@@ -1,0 +1,116 @@
+package graft.plug
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.util.{Success, Try}
+
+/** Compiles a [[PlugRule]] into Catalyst `Column` expressions.
+  *
+  * Where the reference generates SQL text against a temp view
+  * (reference: src/main/scala/sparkplug/models/PlugRule.scala:49-124,
+  * src/main/scala/sparkplug/SparkPlug.scala:98-107), we compile each rule to
+  * a single set of column updates applied with one `withColumns` call — one
+  * Project node per rule, no temp-view mutation, no SQL string splicing, and
+  * the whole rule chain stays inside WholeStageCodegen.
+  */
+object RuleCompiler {
+
+  /** Coerce a string action value to a typed literal `Column`.
+    *
+    * Semantics match the reference exactly (PlugRule.scala:132-141):
+    *   - a value containing ANY backtick is raw SQL with all backticks
+    *     stripped (the whole Spark SQL expression surface);
+    *   - else Int -> bare int literal, Double -> double-cast literal
+    *     (the cast is also what change detection compares against),
+    *     String -> string literal;
+    *   - any other target type is a coercion failure (surfaced by
+    *     validation as "cannot be assigned").
+    */
+  def coerceValue(actionValue: String, dataType: DataType): Try[Column] =
+    if (actionValue.contains('`')) {
+      Success(expr(actionValue.replace("`", "")))
+    } else {
+      Try(dataType match {
+        case IntegerType => lit(actionValue.toInt)
+        case DoubleType  => lit(actionValue.toDouble).cast(DoubleType)
+        case StringType  => lit(actionValue)
+      })
+    }
+
+  /** One compiled rule: every (top-level) column it rewrites, the audit
+    * array update (if plug details are enabled), and the old-value copies
+    * (if keepOldField). Applied as `df.withColumns(allUpdates)`. */
+  case class Compiled(
+      updates: Seq[(String, Column)],
+      oldCopies: Seq[(String, Column)],
+      auditUpdate: Option[(String, Column)]
+  ) {
+    def allUpdates: Map[String, Column] = (oldCopies ++ updates ++ auditUpdate).toMap
+  }
+
+  def compile(
+      rule: PlugRule,
+      schema: StructType,
+      plugDetailsColumn: Option[String],
+      auditAppend: Option[AuditAppender],
+      keepOldField: Boolean
+  ): Compiled = {
+    val fields = PlugRule.buildFieldsMap(schema).toMap
+    val cond   = expr(rule.condition)
+
+    // Invalid literals silently become NULL assignments when validation is
+    // off — reference parity (PlugRule.scala:129 `.getOrElse(null)`).
+    val converted: Seq[(PlugAction, Column)] = rule.actions.map { a =>
+      a -> coerceValue(a.value, fields.getOrElse(a.key, StringType)).getOrElse(lit(null))
+    }
+
+    // Null-safe change detection, OR-ed across actions; the comparison
+    // operand is the post-coercion value, matching the reference's
+    // `not(key <=> cast(v as double))` (PlugRule.scala:50,58).
+    val anyChanged: Column =
+      converted.map { case (a, v) => !(col(a.key) <=> v) }.reduce(_ || _)
+
+    // Group actions by the top-level column so two actions on the same
+    // struct parent fold into ONE rebuild (fixes reference quirk of
+    // duplicate `parent_new` columns, PlugRule.scala:121).
+    val updates: Seq[(String, Column)] =
+      converted.groupBy(_._1.updateKey).toSeq.sortBy(_._1).map { case (top, acts) =>
+        val updated = acts.foldLeft(col(top)) {
+          case (acc, (a, v)) if a.key.contains('.') =>
+            // Struct-field override via withField: null parents propagate
+            // (withField on a null struct is null), matching the reference's
+            // `if(parent is null, null, named_struct(...))` rebuild
+            // (PlugRule.scala:111-121). Arbitrary nesting depth is supported
+            // (the reference validated deep paths but crashed applying them —
+            // lifting the 1-level limit is strictly compatible).
+            val relPath = a.key.split('.').drop(1).mkString(".")
+            acc.withField(relPath, when(cond, v).otherwise(col(a.key)))
+          case (_, (_, v)) =>
+            when(cond, v).otherwise(col(top))
+        }
+        top -> updated
+      }
+
+    // keepOldField: retain the pre-rule value as `<col>_<rule>_old`
+    // (README.md:186-194). The reference keeps the whole top-level column
+    // (its rename targets updateKey, PlugRule.scala:83); we do the same and
+    // fix its struct-action leak by always naming by updateKey.
+    val oldCopies: Seq[(String, Column)] =
+      if (!keepOldField) Seq.empty
+      else converted.map(_._1.updateKey).distinct.map(k => s"${k}_${rule.name}_old" -> col(k))
+
+    // Audit-trail append: if the rule matched AND changed something, append
+    // a PlugDetail to the audit array. Pure built-in exprs replace the
+    // reference's UDF4 (SparkPlugUDFs.scala:14-31); a custom appender hook
+    // preserves the custom-audit-type API.
+    val auditUpdate = plugDetailsColumn.map { pd =>
+      val appender = auditAppend.getOrElse(AuditAppender.default)
+      val appended = appender.append(col(pd), rule.name, rule.version, rule.actions.map(_.key))
+      pd -> when(cond && anyChanged, appended).otherwise(col(pd))
+    }
+
+    Compiled(updates, oldCopies, auditUpdate)
+  }
+}

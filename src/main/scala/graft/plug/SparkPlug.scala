@@ -1,0 +1,155 @@
+package graft.plug
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+
+import scala.util.Try
+
+/** Plug-details config: audit array column name + record appender. */
+case class SparkPlugDetails(column: String, appender: AuditAppender)
+
+/** Lineage-control config: `repartition(numberOfPartitions)` every
+  * `rulesPerStage` rules, `checkpoint()` every `2*rulesPerStage` rules —
+  * same cadence as the reference (SparkPlug.scala:109-122). Needed for
+  * 100+-rule chains where Catalyst analysis time grows with plan depth. */
+case class SparkPlugCheckpointDetails(checkpointDir: String, rulesPerStage: Int, numberOfPartitions: Int)
+
+/** Rule-based data-override ("plugging") engine, Spark-4-native.
+  *
+  * Same public surface as the reference engine (reference:
+  * src/main/scala/sparkplug/SparkPlug.scala) — builder, `plug`, `validate` —
+  * but each rule compiles to `Column` expressions applied as ONE `withColumns`
+  * projection (single Project node per rule): no temp views, no SQL string
+  * concatenation, no UDFs in the default path, stable column order, and the
+  * whole chain is collapsible/optimizable by Catalyst.
+  *
+  * Scale posture (100 TB): rules are compiled into the plan as literals —
+  * there is no data-side rule join and nothing to broadcast (the reference's
+  * rules "broadcast" was a driver no-op, SparkPlug.scala:43-45). The rule
+  * chain is narrow (no shuffles); only opt-in repartition/checkpoint staging
+  * introduces exchanges. The change count uses `Dataset.observe` so it
+  * piggybacks on the caller's action instead of an extra full-scan job.
+  */
+case class SparkPlug(
+    private val plugDetails: Option[SparkPlugDetails],
+    private val isValidateRulesEnabled: Boolean,
+    private val checkpointDetails: Option[SparkPlugCheckpointDetails],
+    private val isAccumulatorsEnabled: Boolean,
+    isKeepOldField: Boolean
+)(implicit val spark: SparkSession) {
+
+  checkpointDetails.foreach(cd => spark.sparkContext.setCheckpointDir(cd.checkpointDir))
+
+  /** Validate (if enabled) then fold the rules over the input frame.
+    * (reference: SparkPlug.scala:29-40) */
+  def plug(in: DataFrame, rules: List[PlugRule]): Either[List[PlugRuleValidationError], DataFrame] = {
+    val validationResult =
+      if (isValidateRulesEnabled) validate(in.schema, rules) else Nil
+    if (validationResult.nonEmpty) Left(validationResult)
+    else Right(plugDf(in, rules))
+  }
+
+  /** Duplicate-name check + static per-rule checks; the SQL dry-run only
+    * runs when static validation is clean (reference: SparkPlug.scala:67-76). */
+  def validate(schema: StructType, rules: List[PlugRule]): List[PlugRuleValidationError] = {
+    val duplicates = rules
+      .groupBy(_.name)
+      .filter(_._2.size > 1)
+      .keysIterator
+      .map(r => PlugRuleValidationError(r, "Only one version per rule should be applied."))
+      .toList
+    val static = rules.flatMap(_.validate(schema))
+    duplicates ++ (if (static.nonEmpty) static else rules.flatMap(r => validateRuleSql(schema, r)))
+  }
+
+  /** Dry-run a rule against an empty frame of the schema; analysis errors
+    * (bad function names, unresolved columns in conditions) surface as
+    * "[SQL Error] ..." (reference: SparkPlug.scala:78-86). Dataset creation
+    * analyzes eagerly, so no job runs. */
+  private def validateRuleSql(schema: StructType, rule: PlugRule): List[PlugRuleValidationError] =
+    Try(applyRule(preProcessInput(emptyDf(schema)), rule)).failed
+      .map(t => List(PlugRuleValidationError(rule.name, s"[SQL Error] ${t.getMessage}")))
+      .getOrElse(Nil)
+
+  private def emptyDf(schema: StructType) =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  private def plugDf(in: DataFrame, rules: List[PlugRule]): DataFrame = {
+    val plugged = rules.zipWithIndex.foldLeft(preProcessInput(in)) {
+      case (df, (rule, ruleNumber)) =>
+        repartitionAndCheckpoint(applyRule(df, rule), ruleNumber)
+    }
+    withChangeCount(plugged)
+  }
+
+  /** Initialize the audit column to a schema-correct empty array. The
+    * reference always overwrites a pre-existing column (SparkPlug.scala:88-91)
+    * — kept for parity. */
+  private def preProcessInput(in: DataFrame): DataFrame =
+    plugDetails.fold(in)(pd => in.withColumn(pd.column, pd.appender.emptyDetails))
+
+  /** Apply one rule = one projection. */
+  private[plug] def applyRule(frame: DataFrame, rule: PlugRule): DataFrame = {
+    val compiled = RuleCompiler.compile(
+      rule, frame.schema, plugDetails.map(_.column), plugDetails.map(_.appender), isKeepOldField)
+    frame.withColumns(compiled.allUpdates)
+  }
+
+  /** Changed-row count. The reference runs an extra eager full-scan job with
+    * a LongAccumulator (SparkPlug.scala:52-62); we attach `Dataset.observe`
+    * so the count rides on whatever action the caller runs — zero extra jobs.
+    * Read it back via a QueryExecutionListener or `observedMetrics`. */
+  private def withChangeCount(out: DataFrame): DataFrame =
+    if (isAccumulatorsEnabled && plugDetails.nonEmpty)
+      out.observe(
+        SparkPlug.observationName,
+        sum(when(size(col(plugDetails.get.column)) > 0, 1L).otherwise(0L)).as(SparkPlug.changedMetric))
+    else out
+
+  private def repartitionAndCheckpoint(in: Dataset[Row], ruleNumber: Int): Dataset[Row] =
+    checkpointDetails.fold(in) { cd =>
+      val repartitioned =
+        if ((ruleNumber + 1) % cd.rulesPerStage == 0) in.repartition(cd.numberOfPartitions) else in
+      if ((ruleNumber + 1) % (2 * cd.rulesPerStage) == 0) repartitioned.checkpoint() else repartitioned
+    }
+}
+
+case class SparkPlugBuilder(
+    plugDetails: Option[SparkPlugDetails] = None,
+    isValidateRulesEnabled: Boolean = false,
+    checkpointDetails: Option[SparkPlugCheckpointDetails] = None,
+    isAccumulatorsEnabled: Boolean = false,
+    isKeepOldField: Boolean = false
+)(implicit val spark: SparkSession) {
+
+  def enablePlugDetails(
+      plugDetailsColumn: String = SparkPlug.defaultPlugDetailsColumn,
+      appender: AuditAppender = AuditAppender.default
+  ): SparkPlugBuilder =
+    copy(plugDetails = Some(SparkPlugDetails(plugDetailsColumn, appender)))
+
+  def enableRulesValidation: SparkPlugBuilder = copy(isValidateRulesEnabled = true)
+
+  def enableCheckpointing(checkpointDir: String, rulesPerStage: Int, numberOfPartitions: Int): SparkPlugBuilder =
+    copy(checkpointDetails = Some(SparkPlugCheckpointDetails(checkpointDir, rulesPerStage, numberOfPartitions)))
+
+  /** Changed-row counting; auto-couples plug details like the reference
+    * (SparkPlug.scala:148-149). */
+  def enableAccumulators: SparkPlugBuilder =
+    if (plugDetails.nonEmpty) copy(isAccumulatorsEnabled = true)
+    else copy(isAccumulatorsEnabled = true).enablePlugDetails()
+
+  def keepOldField: SparkPlugBuilder = copy(isKeepOldField = true)
+
+  def create(): SparkPlug =
+    SparkPlug(plugDetails, isValidateRulesEnabled, checkpointDetails, isAccumulatorsEnabled, isKeepOldField)
+}
+
+object SparkPlug {
+  val defaultPlugDetailsColumn = "plugDetails"
+  val observationName          = "sparkplug"
+  val changedMetric            = "changed"
+
+  def builder(implicit spark: SparkSession): SparkPlugBuilder = SparkPlugBuilder()
+}

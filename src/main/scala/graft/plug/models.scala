@@ -1,0 +1,68 @@
+package graft.plug
+
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** A single column override: set `key` (possibly a dotted struct path) to
+  * `value` when the owning rule's condition holds.
+  *
+  * Mirrors the reference data model (reference:
+  * src/main/scala/sparkplug/models/PlugRule.scala:10-12) but is compiled to
+  * Catalyst `Column` expressions instead of SQL text.
+  */
+case class PlugAction(key: String, value: String) {
+  /** Top-level column this action touches (`price.minPrice` -> `price`). */
+  val updateKey: String = key.split('.').head
+}
+
+/** Validation error surfaced by [[SparkPlug.validate]].
+  * (reference: src/main/scala/sparkplug/models/PlugRuleValidationError.scala:3) */
+case class PlugRuleValidationError(name: String, error: String)
+
+/** Audit record appended to the plug-details array column for every row a
+  * rule changed. (reference: src/main/scala/sparkplug/models/PlugDetail.scala:3) */
+case class PlugDetail(name: String, version: String, fieldNames: Seq[String])
+
+/** A plugging rule: rows matching the Spark-SQL `condition` get each action's
+  * column overwritten with the action value (typed literal, or arbitrary SQL
+  * when backtick-quoted).
+  *
+  * (reference: src/main/scala/sparkplug/models/PlugRule.scala:16)
+  */
+case class PlugRule(name: String, version: String, condition: String, actions: Seq[PlugAction]) {
+
+  /** Static (no-Spark-session) validation: actions non-empty, every action key
+    * present in the (recursively flattened) schema, literal coercible to the
+    * target type. Error strings match the reference verbatim
+    * (reference: PlugRule.scala:23-44).
+    */
+  def validate(schema: StructType): List[PlugRuleValidationError] = {
+    if (actions.isEmpty)
+      List(validationError("At the least one action must be specified per rule."))
+    else {
+      val fields = PlugRule.buildFieldsMap(schema).toMap
+      actions.flatMap { action =>
+        fields.get(action.key) match {
+          case None =>
+            Some(validationError(s"""Field "${action.key}" not found in the schema."""))
+          case Some(dt) if RuleCompiler.coerceValue(action.value, dt).isFailure =>
+            Some(validationError(s"""Value "${action.value}" cannot be assigned to field ${action.key}."""))
+          case _ => None
+        }
+      }.toList
+    }
+  }
+
+  private def validationError(message: String) = PlugRuleValidationError(name, message)
+}
+
+object PlugRule {
+  /** Recursive flatten of a StructType into dotted-path -> DataType pairs;
+    * struct parents are included as well (reference: PlugRule.scala:146-151). */
+  def buildFieldsMap(schema: StructType, prefix: String = ""): Seq[(String, DataType)] =
+    schema.fields.toSeq.flatMap {
+      case f if f.dataType.isInstanceOf[StructType] =>
+        (s"$prefix${f.name}", f.dataType) +:
+          buildFieldsMap(f.dataType.asInstanceOf[StructType], s"$prefix${f.name}.")
+      case f => Seq((s"$prefix${f.name}", f.dataType))
+    }
+}

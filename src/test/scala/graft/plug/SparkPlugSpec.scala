@@ -1,0 +1,220 @@
+package graft.plug
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions, DataFrame, SparkSession}
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+// Fixture schemas ported from the reference test suite
+// (reference: src/test/scala/sparkplug/SparkPlugSpec.scala:24-54).
+case class TestRow(title: String, brand: String, price: Int)
+case class TestRowWithPlugDetails(title: String, brand: String, price: Int,
+    plugDetails: Seq[PlugDetail] = Seq())
+case class TestPriceDetails(minPrice: Double, maxPrice: Double, availability: String = "available")
+case class TestRowWithStruct(title: String, brand: String, price: Option[TestPriceDetails])
+case class OverrideDetail(ruleId: Option[String], fieldNames: Seq[String], ruleVersion: Option[String])
+
+class SparkPlugSpec extends AnyFlatSpec with Matchers {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  def df: DataFrame = Seq(TestRow("iPhone", "Apple", 300), TestRow("Galaxy", "Samsung", 200)).toDF()
+
+  def structDf: DataFrame = Seq(
+    TestRowWithStruct("iPhone", "Apple", Some(TestPriceDetails(100.0, 150.0))),
+    TestRowWithStruct("Galaxy", "Samsung", Some(TestPriceDetails(10.0, 15.0, "not available"))),
+    TestRowWithStruct("Lumia", "Nokia", None)
+  ).toDF()
+
+  "SparkPlug" should "return input df as is on empty rules" in {
+    val out = SparkPlug.builder(spark).create().plug(df, List.empty)
+    out.isRight shouldBe true
+    out.toOption.get.collect() should contain theSameElementsAs df.collect()
+  }
+
+  it should "add the plugDetails column when enabled" in {
+    val out = SparkPlug.builder(spark).enablePlugDetails().create().plug(df, List.empty)
+    val frame = out.toOption.get
+    frame.schema.fieldNames should contain("plugDetails")
+    frame.as[TestRowWithPlugDetails].collect().foreach(_.plugDetails shouldBe Seq.empty)
+  }
+
+  it should "report a validation error for a field missing from the schema" in {
+    val rules = List(PlugRule("rule1", "v1", "title like '%iPhone%'",
+      Seq(PlugAction("nonexistent", "x"))))
+    val out = SparkPlug.builder(spark).enableRulesValidation.create().plug(df, rules)
+    out shouldBe Left(List(PlugRuleValidationError("rule1",
+      """Field "nonexistent" not found in the schema.""")))
+  }
+
+  it should "report a validation error for a non-coercible literal" in {
+    val rules = List(PlugRule("rule1", "v1", "title like '%iPhone%'",
+      Seq(PlugAction("price", "too expensive"))))
+    val out = SparkPlug.builder(spark).enableRulesValidation.create().plug(df, rules)
+    out shouldBe Left(List(PlugRuleValidationError("rule1",
+      """Value "too expensive" cannot be assigned to field price.""")))
+  }
+
+  it should "report a validation error for empty actions" in {
+    val rules = List(PlugRule("rule1", "v1", "true", Seq.empty))
+    val out = SparkPlug.builder(spark).enableRulesValidation.create().plug(df, rules)
+    out shouldBe Left(List(PlugRuleValidationError("rule1",
+      "At the least one action must be specified per rule.")))
+  }
+
+  it should "report duplicate rule versions" in {
+    val rules = List(
+      PlugRule("rule1", "v1", "true", Seq(PlugAction("title", "a"))),
+      PlugRule("rule1", "v2", "true", Seq(PlugAction("title", "b"))))
+    val out = SparkPlug.builder(spark).enableRulesValidation.create().plug(df, rules)
+    out shouldBe Left(List(PlugRuleValidationError("rule1",
+      "Only one version per rule should be applied.")))
+  }
+
+  it should "report SQL analysis errors from the dry-run" in {
+    val rules = List(PlugRule("rule1", "v1", "conc(title, '-') like '%iPhone%'",
+      Seq(PlugAction("title", "Apple iPhone"))))
+    val out = SparkPlug.builder(spark).enableRulesValidation.create().plug(df, rules)
+    out.isLeft shouldBe true
+    val err = out.swap.toOption.get.head
+    err.name shouldBe "rule1"
+    err.error should startWith("[SQL Error]")
+  }
+
+  it should "apply rules sequentially, each seeing the previous output" in {
+    val rules = List(
+      PlugRule("rule1", "v1", "title like '%iPhone%'",
+        Seq(PlugAction("title", "Apple iPhone"), PlugAction("price", "1000"))),
+      PlugRule("rule2", "v1", "title = 'Apple iPhone'", Seq(PlugAction("brand", "Apple Inc"))))
+    val out = SparkPlug.builder(spark).create().plug(df, rules).toOption.get
+    val rows = out.as[TestRow].collect().sortBy(_.title)
+    rows(0) shouldBe TestRow("Apple iPhone", "Apple Inc", 1000)
+    rows(1) shouldBe TestRow("Galaxy", "Samsung", 200)
+  }
+
+  it should "preserve the input column order" in {
+    val rules = List(PlugRule("rule1", "v1", "price > 250", Seq(PlugAction("price", "100"))))
+    val out = SparkPlug.builder(spark).create().plug(df, rules).toOption.get
+    out.schema.fieldNames.toSeq shouldBe Seq("title", "brand", "price")
+  }
+
+  it should "keep old values in <col>_<rule>_old columns when keepOldField" in {
+    val rules = List(PlugRule("rule1", "v1", "title like '%iPhone%'",
+      Seq(PlugAction("title", "Apple iPhone"), PlugAction("price", "1000"))))
+    val out = SparkPlug.builder(spark).keepOldField.create().plug(df, rules).toOption.get
+    out.schema.fieldNames should contain allOf ("title_rule1_old", "price_rule1_old")
+    val r = out.filter($"brand" === "Apple")
+      .select("title", "title_rule1_old", "price", "price_rule1_old").as[(String, String, Int, Int)]
+      .collect().head
+    r shouldBe (("Apple iPhone", "iPhone", 1000, 300))
+  }
+
+  it should "evaluate backtick values as SQL expressions" in {
+    val rules = List(PlugRule("rule1", "v1", "title like '%iPhone%'",
+      Seq(PlugAction("title", "`concat(brand, ' ', title)`"))))
+    val out = SparkPlug.builder(spark).create().plug(df, rules).toOption.get
+    out.filter($"brand" === "Apple").select("title").as[String].collect().head shouldBe "Apple iPhone"
+  }
+
+  it should "override struct fields and preserve null parents" in {
+    val rules = List(PlugRule("rule1", "v1", "title like '%iPhone%' or title like '%Lumia%'",
+      Seq(PlugAction("price.minPrice", "1000.0"), PlugAction("price.availability", "sold out"))))
+    val out = SparkPlug.builder(spark).create().plug(structDf, rules).toOption.get
+    // NB: "iPhone" (lowercase i) sorts AFTER "Lumia" — order is Galaxy, Lumia, iPhone.
+    val rows = out.as[TestRowWithStruct].collect().sortBy(_.title)
+    rows(0).price shouldBe Some(TestPriceDetails(10.0, 15.0, "not available")) // Galaxy untouched
+    rows(1).price shouldBe None                                                 // Lumia null preserved
+    rows(2).price shouldBe Some(TestPriceDetails(1000.0, 150.0, "sold out"))   // iPhone plugged
+  }
+
+  it should "assign backtick null to a struct field" in {
+    val rules = List(PlugRule("rule1", "v1", "title like '%iPhone%'",
+      Seq(PlugAction("price.minPrice", "`null`"))))
+    val out = SparkPlug.builder(spark).create().plug(structDf, rules).toOption.get
+    val iphone = out.filter($"title" === "iPhone").select("price.minPrice").collect().head
+    iphone.isNullAt(0) shouldBe true
+  }
+
+  it should "append plug details only for changed rows" in {
+    val rules = List(
+      PlugRule("rule1", "v1", "title like '%iPhone%'", Seq(PlugAction("price", "1000"))),
+      PlugRule("rule2", "v1", "brand = 'Apple'", Seq(PlugAction("brand", "Apple")))) // no-op change
+    val out = SparkPlug.builder(spark).enablePlugDetails().create().plug(df, rules).toOption.get
+    val rows = out.as[TestRowWithPlugDetails].collect().sortBy(_.title)
+    rows(0).plugDetails shouldBe Seq.empty // Galaxy: no rule matched
+    rows(1).plugDetails shouldBe Seq(PlugDetail("rule1", "v1", Seq("price"))) // rule2 changed nothing
+  }
+
+  it should "support a custom plug details column name" in {
+    val rules = List(PlugRule("rule1", "v1", "title like '%iPhone%'", Seq(PlugAction("price", "1000"))))
+    val out = SparkPlug.builder(spark).enablePlugDetails("overrideDetails").create()
+      .plug(df, rules).toOption.get
+    out.schema.fieldNames should contain("overrideDetails")
+    out.filter($"title" === "iPhone").select(functions.size($"overrideDetails")).as[Int].collect().head shouldBe 1
+  }
+
+  it should "support custom audit record types" in {
+    val appender = AuditAppender.forProduct[OverrideDetail] { (name, version, fields) =>
+      struct(lit(name).as("ruleId"), typedlit(fields).as("fieldNames"), lit(version).as("ruleVersion"))
+    }
+    val rules = List(PlugRule("rule1", "v1", "title like '%iPhone%'", Seq(PlugAction("price", "1000"))))
+    val out = SparkPlug.builder(spark).enablePlugDetails("overrideDetails", appender).create()
+      .plug(df, rules).toOption.get
+    val details = out.filter($"title" === "iPhone")
+      .select(explode($"overrideDetails")).select("col.*")
+      .as[OverrideDetail].collect()
+    details shouldBe Array(OverrideDetail(Some("rule1"), Seq("price"), Some("v1")))
+  }
+
+  it should "overwrite a plugDetails column already present in the input" in {
+    val in = Seq(TestRowWithPlugDetails("iPhone", "Apple", 300,
+      Seq(PlugDetail("stale", "v0", Seq("price"))))).toDF()
+    val out = SparkPlug.builder(spark).enablePlugDetails().create().plug(in, List.empty).toOption.get
+    out.as[TestRowWithPlugDetails].collect().head.plugDetails shouldBe Seq.empty
+  }
+
+  it should "count changed rows via observe when accumulators are enabled" in {
+    val rules = List(PlugRule("rule1", "v1", "title like '%iPhone%'", Seq(PlugAction("price", "1000"))))
+    val out = SparkPlug.builder(spark).enableAccumulators.create().plug(df, rules).toOption.get
+    import org.apache.spark.sql.Observation
+    // Re-attach via the public Observation API for a deterministic read-back.
+    val obs = Observation("spec")
+    val observed = out.observe(obs,
+      sum(when(functions.size(col("plugDetails")) > 0, 1L).otherwise(0L)).as("n"))
+    observed.collect()
+    obs.get("n") shouldBe 1L
+  }
+
+  it should "checkpoint and repartition on the configured cadence" in {
+    val dir = java.nio.file.Files.createTempDirectory("plug-ckpt").toString
+    val rules = List(
+      PlugRule("rule1", "v1", "title like '%iPhone%'", Seq(PlugAction("price", "1000"))),
+      PlugRule("rule2", "v1", "title like '%Galaxy%'", Seq(PlugAction("price", "500"))))
+    val out = SparkPlug.builder(spark).enableCheckpointing(dir, 1, 2).create()
+      .plug(df, rules).toOption.get
+    val rows = out.as[TestRow].collect().sortBy(_.title)
+    rows.map(_.price).toSeq shouldBe Seq(500, 1000)
+    out.rdd.getNumPartitions shouldBe 2
+  }
+
+  it should "silently assign null for a non-coercible literal when validation is off" in {
+    // Reference quirk parity: convertActions .getOrElse(null) (PlugRule.scala:129).
+    val rules = List(PlugRule("rule1", "v1", "title like '%iPhone%'",
+      Seq(PlugAction("price", "not a number"))))
+    val out = SparkPlug.builder(spark).create().plug(df, rules).toOption.get
+    val r = out.filter($"title" === "iPhone").select("price").collect().head
+    r.isNullAt(0) shouldBe true
+  }
+
+  it should "fold two actions on the same struct parent into one rebuild" in {
+    // Reference quirk #4 fix: duplicate `parent_new` columns would collide.
+    val rules = List(PlugRule("rule1", "v1", "true",
+      Seq(PlugAction("price.minPrice", "1.0"), PlugAction("price.maxPrice", "2.0"))))
+    val out = SparkPlug.builder(spark).create().plug(structDf, rules).toOption.get
+    out.schema.fieldNames.count(_ == "price") shouldBe 1
+    val iphone = out.filter($"title" === "iPhone").select("price.minPrice", "price.maxPrice")
+      .as[(Double, Double)].collect().head
+    iphone shouldBe ((1.0, 2.0))
+  }
+}
