@@ -142,7 +142,64 @@ object SparkEntry {
         .plug(table(s, dir, "lineitem"), List(rule))
         .fold(identity, _ => List.empty[PlugRuleValidationError])
       errs.toDF().select(col("name"), col("error"))
-    })
+    }),
+
+    // Extension: token counting + document fingerprinting (rolling md5).
+    "text_token_stats" -> ((s, dir) => {
+      import graft.ops.TextFunctions._
+      val nTokens = tokenCount(col("text"))
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        nTokens.as("n_tokens"),
+        (length(regexp_replace(col("text"), "\\s+", "")) / greatest(nTokens, lit(1)))
+          .as("avg_token_len"),
+        fingerprint(col("text")).as("fp"))
+    }),
+
+    // Extension: quality scoring (length/punct/stopword ratios).
+    "text_quality" -> ((s, dir) => {
+      import graft.ops.TextFunctions._
+      val toks = tokens(col("text"))
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        (punctCount(col("text")) / greatest(length(col("text")), lit(1))).as("punct_ratio"),
+        (stopwordCount(toks) / greatest(size(toks), lit(1))).as("stop_ratio"),
+        qualityScore(col("text"), toks).as("quality"))
+    }),
+
+    // Extension: n-gram-heuristic language ID (marker-word argmax).
+    "text_lang_id" -> ((s, dir) => {
+      import graft.ops.TextFunctions._
+      table(s, dir, "documents").select(
+        col("doc_id"), col("lang"), langId(tokens(col("text"))).as("lang_pred"))
+    }),
+
+    // Extension: corpus token frequency (shuffle agg + deterministic top-k).
+    "text_token_freq" -> ((s, dir) => {
+      import graft.ops.TextFunctions._
+      table(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(100)
+    }),
+
+    // Extension: exact dedup by md5 fingerprint (hash-groupBy, 32-byte keys).
+    "dedup_exact" -> ((s, dir) =>
+      graft.ops.Dedup.exactDedup(table(s, dir, "documents"), "doc_id", "text")),
+
+    // Extension: MinHash+LSH near-dup (shingle→minhash→band→bucket-join).
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      graft.ops.Dedup.minhashNearDupPairs(table(s, dir, "documents"), "doc_id", "text")),
+
+    // Extension: exact n-gram Jaccard within metadata blocks.
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      graft.ops.Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text", "source")),
+
+    // Extension: SimHash near-dup via 15-bit chunk bucketing.
+    "dedup_simhash" -> ((s, dir) =>
+      graft.ops.Dedup.simhashNearDupPairs(table(s, dir, "documents"), "doc_id", "text"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -200,6 +257,85 @@ object SparkEntry {
         |FROM part""".stripMargin,
 
     "plug_validation_missing_field" ->
-      """SELECT 'rv' AS name, 'Field "no_such_column" not found in the schema.' AS error"""
+      """SELECT 'rv' AS name, 'Field "no_such_column" not found in the schema.' AS error""",
+
+    "text_token_stats" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  length(regexp_replace(text, '\s+', '', 'g')) / greatest(len(toks), 1) AS avg_token_len,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM t""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |q AS (SELECT doc_id, text, toks,
+        |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
+        |  len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this'], x))) AS stops
+        |  FROM t)
+        |SELECT doc_id,
+        |  punct / greatest(length(text), 1) AS punct_ratio,
+        |  stops / greatest(len(toks), 1) AS stop_ratio,
+        |  least(len(toks) / 100.0, 1.0) * 0.4 + (1.0 - punct / greatest(length(text), 1)) * 0.3 + (stops / greatest(len(toks), 1)) * 0.3 AS quality
+        |FROM q""".stripMargin,
+
+    "text_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS s_en,
+        |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS s_de,
+        |  len(list_filter(toks, x -> list_contains(['le','la','les','et','est','pas'], x))) AS s_fr,
+        |  len(list_filter(toks, x -> list_contains(['el','los','las','y','es','no'], x))) AS s_es,
+        |  len(list_filter(toks, x -> list_contains(['的','是','不','了','在'], x))) AS s_zh
+        | FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_en >= greatest(s_en,s_de,s_fr,s_es,s_zh) AND s_en > 0 THEN 'en'
+        |       WHEN s_de >= greatest(s_en,s_de,s_fr,s_es,s_zh) AND s_de > 0 THEN 'de'
+        |       WHEN s_fr >= greatest(s_en,s_de,s_fr,s_es,s_zh) AND s_fr > 0 THEN 'fr'
+        |       WHEN s_es >= greatest(s_en,s_de,s_fr,s_es,s_zh) AND s_es > 0 THEN 'es'
+        |       WHEN s_zh >= greatest(s_en,s_de,s_fr,s_es,s_zh) AND s_zh > 0 THEN 'zh'
+        |       ELSE 'und' END AS lang_pred
+        |FROM sc""".stripMargin,
+
+    "text_token_freq" ->
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_dupes
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(0, greatest(len(toks)-3, 0)), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM t),
+        |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 15), k -> list_min(list_transform(sh, x -> (('0x'||substr(md5(k::VARCHAR||':'||x),1,15))::UBIGINT)::BIGINT))) AS sig FROM sh),
+        |bands AS (SELECT doc_id, j, md5(j::VARCHAR||':'||array_to_string(sig[j*2+1:j*2+2], ',')) AS key FROM sig, range(8) r(j)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a JOIN bands b ON a.j=b.j AND a.key=b.key AND a.doc_id<b.doc_id)
+        |SELECT c.a_id, c.b_id,
+        |  len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard,
+        |  len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.7 AS is_dup
+        |FROM cand c JOIN sh sa ON c.a_id = sa.doc_id JOIN sh sb ON c.b_id = sb.doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, source, list_distinct(list_transform(generate_series(0, greatest(len(toks)-3, 0)), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM t)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  len(list_intersect(a.sh, b.sh)) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |h AS (SELECT doc_id, list_transform(toks, x -> (('0x'||substr(md5(x),1,15))::UBIGINT)::BIGINT) AS th FROM t),
+        |sh AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0,59), i ->
+        |  CASE WHEN 2*len(list_filter(th, v -> (v & (1::BIGINT << i)) != 0)) >= len(th) THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS simhash FROM h),
+        |chunks AS (SELECT doc_id, simhash, j AS chunk, (simhash >> (15*j)) & 32767 AS value FROM sh, range(4) r(j)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.simhash AS ha, b.simhash AS hb
+        |         FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.value = b.value AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 8""".stripMargin
   )
 }

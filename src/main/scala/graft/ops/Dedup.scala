@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+
+/** Deduplication operators for large-scale corpus cleaning.
+  *
+  * Design for 100 TB:
+  *  - Exact dedup groups on an md5 fingerprint, never on the raw text — the
+  *    shuffle carries 32-byte keys instead of document bodies.
+  *  - Near-dup never does an O(n²) cross join: MinHash-LSH banding and
+  *    SimHash chunk-bucketing both reduce to equi-joins on small keys, which
+  *    Spark executes as shuffle hash/sort-merge joins partitioned by bucket.
+  *  - Signatures are computed with md5-derived 60-bit hashes (portable, so
+  *    the DuckDB oracle replicates them exactly) in a single projection —
+  *    all built-in higher-order functions, no UDFs.
+  */
+object Dedup {
+
+  /** Exact dedup by normalized-text fingerprint: one row per distinct
+    * fingerprint with the surviving (minimum) id and the duplicate count. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  /** MinHash signature: k seeded 60-bit hash functions, each min-ed over the
+    * shingle set. One projection, nested higher-order functions. */
+  def minhashSignature(shingleSet: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleSet,
+        s => hash60(concat(i.cast("string"), lit(":"), s)))))
+
+  /** LSH band keys for a signature: `bands` structs of (band index, md5 of
+    * the band's signature slice). */
+  private def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), j =>
+      struct(
+        j.as("band"),
+        md5(concat(j.cast("string"), lit(":"),
+          concat_ws(",", transform(
+            slice(sig, j * rowsPerBand + 1, lit(rowsPerBand)),
+            v => v.cast("string"))))).as("key")))
+
+  /** MinHash+LSH near-duplicate pairs.
+    *
+    * shingle(n) → signature(k) → band(b) explode → equi-join on
+    * (band, key) → exact-Jaccard verification of candidates. Returns
+    * (a_id, b_id, jaccard, is_dup) for every candidate pair; filter on
+    * `is_dup` (jaccard >= threshold) for the dedup decision.
+    */
+  def minhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val sh = df.select(
+        col(idCol).as("id"),
+        shingles(tokens(col(textCol)), shingleN).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    val bandsDf = sh
+      .select(col("id"), explode(bandKeys(col("sig"), bands, r)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    val cand = bandsDf.as("a")
+      .join(bandsDf.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+
+    val sets = sh.select(col("id"), col("sh"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    cand
+      .join(sets.withColumnRenamed("sh", "sa"), col("a_id") === col("id")).drop("id")
+      .join(sets.withColumnRenamed("sh", "sb"), col("b_id") === col("id")).drop("id")
+      .select(col("a_id"), col("b_id"),
+        (inter / (size(col("sa")) + size(col("sb")) - inter)).as("jaccard"))
+      .withColumn("is_dup", col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram-Jaccard near-dup pairs within a blocking column (for
+    * bounded blocks — metadata like source/shard; use MinHash-LSH when no
+    * natural block exists). */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      shingles(tokens(col(textCol)), shingleN).as("sh"))
+    val inter = size(array_intersect(col("a.sh"), col("b.sh")))
+    sh.as("a")
+      .join(sh.as("b"), col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        (inter / (size(col("a.sh")) + size(col("b.sh")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 60-bit SimHash over the token multiset: bit i is set when at least half
+    * the tokens have bit i set in their 60-bit hash. Token hashes are
+    * computed once into an array column, then every bit test reuses them. */
+  def simhash(toks: Column): Column = {
+    val th = transform(toks, hash60(_))
+    val powers = typedlit((0 until 60).map(1L << _))
+    val bit = (i: Column) => element_at(powers, i + 1)
+    aggregate(
+      sequence(lit(0), lit(59)),
+      lit(0L),
+      (acc, i) =>
+        acc + when(
+          size(filter(th, h => h.bitwiseAND(bit(i)) =!= 0)) * 2 >= size(th),
+          bit(i)).otherwise(0L))
+  }
+
+  /** SimHash near-dup pairs via chunk bucketing: the 60-bit simhash splits
+    * into 4 15-bit chunks; by pigeonhole, pairs within hamming distance 3
+    * share at least one chunk. Candidates equi-join on (chunk index, chunk
+    * value) and are verified with the exact hamming distance. */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 8
+  ): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"), simhash(tokens(col(textCol))).as("simhash"))
+    val chunks = hashed.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("chunk"),
+          shiftright(col("simhash"), 15 * j).bitwiseAND(lit(0x7FFFL)).as("value"))): _*)).as("ck"))
+      .select(col("id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.value").as("value"))
+
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.value") === col("b.value") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines.
+  *
+  * Everything here is built from codegen'd Spark SQL built-ins — no UDFs, no
+  * codegen fences — so the expressions inline into whole-stage codegen and
+  * scale linearly with the scan. Hashes are md5-derived so a DuckDB oracle
+  * can replicate them bit-for-bit (`('0x' || substr(md5(s),1,15))::UBIGINT`).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of the trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Lowercased, whitespace-collapsed canonical form for fingerprinting. */
+  def normalized(text: Column): Column = regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Deterministic document fingerprint: md5 of the normalized text. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Portable 60-bit hash: first 15 hex chars of md5, as a positive Long.
+    * 60 bits keeps it inside a signed 64-bit range on every engine. */
+  def hash60(c: Column): Column = conv(substr(md5(c), lit(1), lit(15)), 16, 10).cast("long")
+
+  /** Seeded hash family for MinHash: h_k(s) = hash60(k ++ ":" ++ s). */
+  def hash60(c: Column, seed: Int): Column = hash60(concat(lit(s"$seed:"), c))
+
+  /** Distinct word n-gram shingles; texts shorter than n tokens collapse to
+    * one whole-text shingle (sequence end is clamped to 0). */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+
+  /** Tokens that appear in a fixed marker list (with duplicates). */
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers)))
+
+  /** Per-language marker words for the n-gram language-ID heuristic.
+    * Order is the tie-break priority. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas"),
+    "es" -> Seq("el", "los", "las", "y", "es", "no"),
+    "zh" -> Seq("的", "是", "不", "了", "在")
+  )
+
+  /** Language-ID: argmax of marker-word counts with fixed priority order;
+    * "und" when no marker matches. */
+  def langId(toks: Column): Column = {
+    val scores   = langMarkers.map { case (lang, ms) => lang -> markerCount(toks, ms) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s >= maxScore && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Stopword list for quality scoring (English-ish; the scoring only needs
+    * determinism, not linguistic perfection). */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "this")
+
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+
+  def upperCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[A-Z]", ""))
+
+  def stopwordCount(toks: Column): Column = markerCount(toks, stopwords)
+
+  /** Composite quality score in [0,1]: length saturation + low punctuation +
+    * stopword presence. The exact arithmetic (operand order included) is
+    * mirrored by the DuckDB oracle, so keep it stable. */
+  def qualityScore(text: Column, toks: Column): Column = {
+    val nChars   = greatest(length(text), lit(1))
+    val nTokens  = greatest(size(toks), lit(1))
+    val lenScore = least(size(toks) / lit(100.0), lit(1.0))
+    val punctOk  = lit(1.0) - punctCount(text) / nChars
+    val stopFrac = stopwordCount(toks) / nTokens
+    lenScore * 0.4 + punctOk * 0.3 + stopFrac * 0.3
+  }
+}
