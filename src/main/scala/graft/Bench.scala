@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query at the configured scale
+  * factor and prints ONE JSON line for the driver.
+  *
+  * Each query is fully materialized via `queryExecution.toRdd` — a plain
+  * `count()` would let Catalyst prune the projections and measure only the
+  * parquet scan. One untimed warmup of the flagship query absorbs JVM/codegen
+  * startup so per-query numbers reflect steady-state execution.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +16,27 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def consume(name: String): Long = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        val rdd = SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd
+        rdd.foreachPartition(it => while (it.hasNext) it.next())
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      System.nanoTime() - t0
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.headOption.foreach(consume) // warmup (untimed)
+    val results = names.map(n => n -> consume(n) / 1e9)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

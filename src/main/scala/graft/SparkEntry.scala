@@ -17,6 +17,13 @@ object SparkEntry {
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Test-scale knob: the small testdata tables arrive as one parquet split,
+    * which would serialize the compute-heavy ops on a single core. At real
+    * scale the input has thousands of splits and this repartition would be a
+    * 100 TB shuffle — so it lives here in the harness, not in the ops. */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   private def plugged(
       df: DataFrame,
       rules: List[PlugRule],
@@ -191,15 +198,36 @@ object SparkEntry {
 
     // Extension: MinHash+LSH near-dup (shingle→minhash→band→bucket-join).
     "dedup_minhash_lsh" -> ((s, dir) =>
-      graft.ops.Dedup.minhashNearDupPairs(table(s, dir, "documents"), "doc_id", "text")),
+      graft.ops.Dedup.minhashNearDupPairs(spread(s, table(s, dir, "documents")), "doc_id", "text")),
 
     // Extension: exact n-gram Jaccard within metadata blocks.
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      graft.ops.Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text", "source")),
+      graft.ops.Dedup.ngramJaccardPairs(spread(s, table(s, dir, "documents")), "doc_id", "text", "source")),
 
     // Extension: SimHash near-dup via 15-bit chunk bucketing.
     "dedup_simhash" -> ((s, dir) =>
-      graft.ops.Dedup.simhashNearDupPairs(table(s, dir, "documents"), "doc_id", "text"))
+      graft.ops.Dedup.simhashNearDupPairs(spread(s, table(s, dir, "documents")), "doc_id", "text")),
+
+    // Extension: exact cosine top-k via broadcast queries + window group limit.
+    "sim_topk_bruteforce" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.ops.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim"), 6).as("sim"))
+    }),
+
+    // Extension: ANN near-dup pairs via deterministic sign-LSH buckets.
+    "sim_lsh_near_dup" -> ((s, dir) =>
+      graft.ops.Similarity.lshCosineNearDupPairs(
+          spread(s, table(s, dir, "embeddings")), "vec_id", "embedding", dim = 64)
+        .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))),
+
+    // Extension: multimodal binary-column plumbing — batched partition-local
+    // decode (stubbed deterministically; see graft.ops.Multimodal).
+    "multimodal_decode" -> ((s, dir) =>
+      graft.ops.Multimodal.decodeBatched(
+        graft.ops.Multimodal.asMedia(table(s, dir, "documents"), "doc_id", "text")).toDF())
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -336,6 +364,39 @@ object SparkEntry {
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.simhash AS ha, b.simhash AS hb
         |         FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.value = b.value AND a.doc_id < b.doc_id)
         |SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
-        |FROM cand WHERE bit_count(xor(ha, hb)) <= 8""".stripMargin
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 8""".stripMargin,
+
+    "sim_topk_bruteforce" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM e WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(q.qvec)), i -> q.qvec[i]::DOUBLE * c.embedding[i]::DOUBLE)), (a,b) -> a+b)
+        |  / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(q.qvec)), i -> q.qvec[i]::DOUBLE * q.qvec[i]::DOUBLE)), (a,b) -> a+b))
+        |   * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(c.embedding)), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)), (a,b) -> a+b))) AS sim
+        |  FROM e c, q WHERE c.vec_id != q.query_id),
+        |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
+        |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin,
+
+    "sim_lsh_near_dup" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |bk AS (SELECT vec_id, v, list_sum(list_transform(generate_series(0,7), j ->
+        |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(v)), i ->
+        |    v[i]::DOUBLE * (CASE WHEN (('0x'||substr(md5(j::VARCHAR||':'||(i-1)::VARCHAR),1,15))::UBIGINT & 1) = 1 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END))), (a,x) -> a+x) >= 0
+        |  THEN (1 << j) ELSE 0 END)) AS bucket FROM e),
+        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(a.v)), i -> a.v[i]::DOUBLE * b.v[i]::DOUBLE)), (x,y) -> x+y)
+        |  / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(a.v)), i -> a.v[i]::DOUBLE * a.v[i]::DOUBLE)), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(b.v)), i -> b.v[i]::DOUBLE * b.v[i]::DOUBLE)), (x,y) -> x+y))) AS sim
+        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, round(sim, 6) AS sim FROM p WHERE sim >= 0.3""".stripMargin,
+
+    "multimodal_decode" ->
+      """SELECT doc_id AS id,
+        |  CAST(strlen(text) AS INTEGER) AS byte_len,
+        |  CAST(strlen(text) % 640 AS INTEGER) AS width,
+        |  CAST((strlen(text) * 7) % 480 AS INTEGER) AS height,
+        |  3 AS channels,
+        |  substr(md5(text), 1, 8) AS feature
+        |FROM documents""".stripMargin
   )
 }

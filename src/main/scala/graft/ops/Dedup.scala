@@ -26,12 +26,22 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
 
-  /** MinHash signature: k seeded 60-bit hash functions, each min-ed over the
-    * shingle set. One projection, nested higher-order functions. */
+  /** Per-shingle hash matrix: every shingle hashed once by each of the k
+    * seeded functions — k·m md5 calls per row total, with the shingle set in
+    * HOF argument position (see the performance invariant on
+    * [[TextFunctions.shingles]]). */
+  private def shingleHashes(shingleSet: Column, k: Int): Column =
+    transform(shingleSet, s =>
+      transform(sequence(lit(0), lit(k - 1)),
+        i => hash60(concat(i.cast("string"), lit(":"), s))))
+
+  /** MinHash signature: element-wise running minimum over the per-shingle
+    * hash matrix — a single left fold, no per-element re-evaluation. */
   def minhashSignature(shingleSet: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleSet,
-        s => hash60(concat(i.cast("string"), lit(":"), s)))))
+    aggregate(
+      shingleHashes(shingleSet, k),
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, hs) => zip_with(acc, hs, (a, b) => least(a, b)))
 
   /** LSH band keys for a signature: `bands` structs of (band index, md5 of
     * the band's signature slice). */
@@ -39,10 +49,14 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)), j =>
       struct(
         j.as("band"),
-        md5(concat(j.cast("string"), lit(":"),
+        // coalesce marks the key non-nullable: otherwise the bucket join
+        // infers an IsNotNull(key) constraint and predicate pushdown clones
+        // the ENTIRE signature expression into a pre-exchange Filter —
+        // doubling the heavy compute and pinning it to the input partitioning.
+        coalesce(md5(concat(j.cast("string"), lit(":"),
           concat_ws(",", transform(
             slice(sig, j * rowsPerBand + 1, lit(rowsPerBand)),
-            v => v.cast("string"))))).as("key")))
+            v => v.cast("string"))))), lit("")).as("key")))
 
   /** MinHash+LSH near-duplicate pairs.
     *
@@ -110,19 +124,25 @@ object Dedup {
   }
 
   /** 60-bit SimHash over the token multiset: bit i is set when at least half
-    * the tokens have bit i set in their 60-bit hash. Token hashes are
-    * computed once into an array column, then every bit test reuses them. */
+    * the tokens have bit i set in their 60-bit hash.
+    *
+    * Two left folds: token hashes → per-bit counts (one pass over tokens,
+    * zip_with against the literal power array), then counts → bit field.
+    * Each token is hashed exactly once; nothing heavy sits in a lambda body. */
   def simhash(toks: Column): Column = {
-    val th = transform(toks, hash60(_))
     val powers = typedlit((0 until 60).map(1L << _))
-    val bit = (i: Column) => element_at(powers, i + 1)
-    aggregate(
-      sequence(lit(0), lit(59)),
-      lit(0L),
-      (acc, i) =>
-        acc + when(
-          size(filter(th, h => h.bitwiseAND(bit(i)) =!= 0)) * 2 >= size(th),
-          bit(i)).otherwise(0L))
+    val th     = transform(toks, hash60(_))
+    val counts = aggregate(th, array_repeat(lit(0L), 60),
+      (acc, h) => zip_with(acc, powers,
+        (c, p) => c + when(h.bitwiseAND(p) =!= 0, 1L).otherwise(0L)))
+    // coalesce marks the simhash non-nullable — see the note on bandKeys:
+    // without it the chunk join's inferred IsNotNull duplicates this whole
+    // fold into a pre-exchange Filter.
+    coalesce(
+      aggregate(
+        zip_with(counts, powers, (c, p) => when(c * 2 >= size(toks), p).otherwise(lit(0L))),
+        lit(0L), _ + _),
+      lit(0L))
   }
 
   /** SimHash near-dup pairs via chunk bucketing: the 60-bit simhash splits

@@ -31,11 +31,23 @@ object TextFunctions {
   def hash60(c: Column, seed: Int): Column = hash60(concat(lit(s"$seed:"), c))
 
   /** Distinct word n-gram shingles; texts shorter than n tokens collapse to
-    * one whole-text shingle (sequence end is clamped to 0). */
-  def shingles(toks: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+    * one whole-text shingle.
+    *
+    * PERFORMANCE INVARIANT (applies to every function in graft.ops): Spark
+    * higher-order functions are CodegenFallback and re-evaluate any
+    * non-lambda subtree embedded in a lambda BODY once per element. Heavy
+    * arrays must therefore only ever appear in HOF *argument* position
+    * (evaluated once per row). This implementation builds the sliding
+    * n-grams as a chain of shifted `zip_with`s — no lambda body references
+    * anything but its own variables — so cost stays O(n·m) per row even if
+    * the optimizer inlines the whole chain into one projection. */
+  def shingles(toks: Column, n: Int): Column = {
+    val joined = (1 until n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), size(toks)), (a, b) => concat(a, lit(" "), b))
+    }
+    val full = slice(joined, lit(1), greatest(size(toks) - (n - 1), lit(1)))
+    array_distinct(when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(full))
+  }
 
   /** Tokens that appear in a fixed marker list (with duplicates). */
   def markerCount(toks: Column, markers: Seq[String]): Column =

@@ -1,0 +1,149 @@
+package graft.ops
+
+import graft.plug.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+case class Doc(doc_id: Long, text: String, source: String)
+case class Vec(vec_id: Long, embedding: Seq[Float])
+
+class OpsSpec extends AnyFlatSpec with Matchers {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  behavior of "TextFunctions"
+
+  it should "tokenize on whitespace and count tokens" in {
+    val out = Seq(("  a  b\tc ", 3), ("x", 1)).toDF("text", "expected")
+      .select(TextFunctions.tokenCount(col("text")).as("n"), col("expected"))
+      .collect()
+    out.foreach(r => r.getInt(0) shouldBe r.getInt(1))
+  }
+
+  it should "fingerprint ignoring case and whitespace runs" in {
+    val fps = Seq("Hello  World", "hello world", "HELLO\tWORLD", "helloworld")
+      .toDF("text").select(TextFunctions.fingerprint(col("text"))).collect().map(_.getString(0))
+    fps(0) shouldBe fps(1)
+    fps(1) shouldBe fps(2)
+    fps(3) should not be fps(0)
+  }
+
+  it should "build sliding word shingles with distinct + short-text collapse" in {
+    val sh = Seq("a b c d", "a b c a b c", "a b").toDF("text")
+      .select(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    sh(0) shouldBe Seq("a b c", "b c d")
+    sh(1) shouldBe Seq("a b c", "b c a", "c a b")  // distinct keeps first occurrences
+    sh(2) shouldBe Seq("a b")                      // shorter than n -> whole text
+  }
+
+  it should "identify languages from marker words with priority tie-break" in {
+    val preds = Seq("der hund und die katze ist", "le chat est pas la",
+        "no es el problema y", "just words without markers", "the a of")
+      .toDF("text")
+      .select(TextFunctions.langId(TextFunctions.tokens(col("text"))).as("lang"))
+      .collect().map(_.getString(0))
+    preds shouldBe Array("de", "fr", "es", "und", "en")
+  }
+
+  behavior of "Dedup"
+
+  it should "exact-dedup whitespace/case variants to one fingerprint group" in {
+    val df = Seq(
+      Doc(1, "Hello  World", "s1"), Doc(2, "hello world", "s1"), Doc(3, "other", "s2")
+    ).toDS.toDF()
+    val out = Dedup.exactDedup(df, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    out.length shouldBe 2
+    out.map(r => (r.getLong(1), r.getLong(2))) shouldBe Array((1L, 2L), (3L, 1L))
+  }
+
+  it should "give identical minhash signatures to identical shingle sets" in {
+    val sigs = Seq("a b c d e", "a b c d e", "v w x y z").toDF("text")
+      .select(Dedup.minhashSignature(
+        TextFunctions.shingles(TextFunctions.tokens(col("text")), 3), 16).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    sigs(0) shouldBe sigs(1)
+    sigs(0) should not be sigs(2)
+    sigs(0).length shouldBe 16
+  }
+
+  it should "find near-dup pairs via minhash LSH and score exact jaccard" in {
+    val docs = Seq(
+      Doc(1, "the quick brown fox jumps over the lazy dog today", "s"),
+      Doc(2, "the quick brown fox jumps over the lazy dog tonight", "s"),
+      Doc(3, "completely different words appear in this unrelated text", "s")
+    ).toDS.toDF()
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+      .filter(col("is_dup")).collect()
+    pairs.map(r => (r.getLong(0), r.getLong(1))) should contain ((1L, 2L))
+    pairs.foreach(r => r.getDouble(2) should be >= 0.7)
+  }
+
+  it should "compute simhash with small hamming distance for similar texts" in {
+    val df = Seq(
+      Doc(1, "the quick brown fox jumps over the lazy dog today", "s"),
+      Doc(2, "the quick brown fox jumps over the lazy dog tonight", "s"),
+      Doc(3, "completely different words appear in this unrelated text", "s")
+    ).toDS.toDF()
+    val pairs = Dedup.simhashNearDupPairs(df, "doc_id", "text", maxHamming = 12).collect()
+    pairs.map(r => (r.getLong(0), r.getLong(1))) should contain ((1L, 2L))
+  }
+
+  it should "score blocked n-gram jaccard pairs" in {
+    val docs = Seq(
+      Doc(1, "a b c d e f", "s1"), Doc(2, "a b c d e g", "s1"), Doc(3, "a b c d e f", "s2")
+    ).toDS.toDF()
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", threshold = 0.3)
+      .collect()
+    pairs.length shouldBe 1 // (1,2) share block s1; (1,3) blocked apart
+    pairs.head.getLong(0) shouldBe 1L
+    pairs.head.getLong(1) shouldBe 2L
+    pairs.head.getDouble(2) shouldBe (3.0 / 5.0) // {abc,bcd,cde} of {abc,bcd,cde,def|deg}
+  }
+
+  behavior of "Similarity"
+
+  it should "compute exact cosine in double precision" in {
+    val df = Seq(
+      (1L, Seq(1f, 0f, 0f), 2L, Seq(0f, 1f, 0f)),
+      (3L, Seq(1f, 2f, 2f), 4L, Seq(1f, 2f, 2f)),
+      (5L, Seq(1f, 0f, 0f), 6L, Seq(-1f, 0f, 0f))
+    ).toDF("a_id", "a", "b_id", "b")
+    val sims = df.select(Similarity.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    sims(0) shouldBe 0.0 +- 1e-12
+    sims(1) shouldBe 1.0 +- 1e-12
+    sims(2) shouldBe -1.0 +- 1e-12
+  }
+
+  it should "rank brute-force top-k neighbors excluding self" in {
+    val vecs = Seq(
+      Vec(0, Seq(1f, 0f)), Vec(1, Seq(0.9f, 0.1f)), Vec(2, Seq(0f, 1f)), Vec(3, Seq(0.8f, 0.3f))
+    ).toDS.toDF()
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    out.map(_.getInt(3)) shouldBe Array(1, 2)
+    out.map(_.getLong(1)) shouldBe Array(1L, 3L) // nearest first, no self-match
+  }
+
+  it should "bucket near-identical vectors together under sign-LSH" in {
+    val vecs = Seq(
+      Vec(0, Seq.fill(8)(1f)), Vec(1, Seq.fill(8)(0.99f)), Vec(2, Seq.fill(8)(-1f))
+    ).toDS.toDF()
+    val pairs = Similarity.lshCosineNearDupPairs(vecs, "vec_id", "embedding", dim = 8,
+      threshold = 0.9).collect()
+    pairs.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((0L, 1L))
+  }
+
+  behavior of "Multimodal"
+
+  it should "decode payload batches deterministically with intact schema" in {
+    val docs = Seq(Doc(1, "hello", "s"), Doc(2, "x" * 1000, "s")).toDS.toDF()
+    val out = Multimodal.decodeBatched(Multimodal.asMedia(docs, "doc_id", "text"))
+      .orderBy("id").collect()
+    out.length shouldBe 2
+    out(0) shouldBe DecodedMedia(1, 5, 5 % 640, (5 * 7) % 480, 3, "5d41402a")
+    out(1).byte_len shouldBe 1000
+  }
+}
