@@ -18,6 +18,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.ext.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

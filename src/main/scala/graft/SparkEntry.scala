@@ -17,6 +17,17 @@ object SparkEntry {
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table stores INT64 TIMESTAMP(NANOS), which Spark 4 refuses
+    * to read as a timestamp. With `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (set in Verify/Bench sessions) the column arrives as Long nanos and is
+    * converted here; the testdata has no sub-microsecond components. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = table(s, dir, "events")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
   /** Test-scale knob: the small testdata tables arrive as one parquet split,
     * which would serialize the compute-heavy ops on a single core. At real
     * scale the input has thousands of splits and this repartition would be a
@@ -227,7 +238,28 @@ object SparkEntry {
     // decode (stubbed deterministically; see graft.ops.Multimodal).
     "multimodal_decode" -> ((s, dir) =>
       graft.ops.Multimodal.decodeBatched(
-        graft.ops.Multimodal.asMedia(table(s, dir, "documents"), "doc_id", "text")).toDF())
+        graft.ops.Multimodal.asMedia(table(s, dir, "documents"), "doc_id", "text")).toDF()),
+
+    // Extension: tumbling-window aggregation with order-independent sums
+    // (double sums go through DECIMAL so partial-agg order can't change bits).
+    "events_window_agg" -> ((s, dir) =>
+      graft.ops.EventOps.windowedAgg(events(s, dir), "ts", "event_type", "value", "1 hour")),
+
+    // Extension: gap-based sessionization (30-minute inactivity gap).
+    "events_sessionize" -> ((s, dir) =>
+      graft.ops.EventOps.sessionize(events(s, dir), "user_id", "ts", 30 * 60 * 1000L)),
+
+    // Extension: exact per-key cardinality (oracle-checked half of the
+    // profile; the HLL estimate below is checked rows-only).
+    "events_distinct_by_type" -> ((s, dir) =>
+      graft.ops.EventOps.cardinalityProfile(events(s, dir), "event_type", "user_id")
+        .select(col("event_type"), col("n"), col("nd_exact"))),
+
+    // Extension: HyperLogLog cardinality estimate — the 100 TB path
+    // (constant-size sketches instead of a distinct shuffle). No DuckDB
+    // oracle: HLL implementations differ across engines (rows-only check).
+    "events_approx_distinct" -> ((s, dir) =>
+      graft.ops.EventOps.cardinalityProfile(events(s, dir), "event_type", "user_id"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -397,6 +429,27 @@ object SparkEntry {
         |  CAST((strlen(text) * 7) % 480 AS INTEGER) AS height,
         |  3 AS channels,
         |  substr(md5(text), 1, 8) AS feature
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "events_window_agg" ->
+      """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start_ms, event_type,
+        |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH x AS (SELECT user_id, ts, epoch_ms(ts) AS ts_ms,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |y AS (SELECT user_id, ts_ms,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM x)
+        |SELECT user_id, session_id, count(*) AS n_events, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+        |FROM y GROUP BY 1, 2""".stripMargin,
+
+    "events_distinct_by_type" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS nd_exact
+        |FROM events GROUP BY 1""".stripMargin
   )
 }

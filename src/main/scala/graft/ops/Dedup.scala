@@ -104,7 +104,13 @@ object Dedup {
 
   /** Exact n-gram-Jaccard near-dup pairs within a blocking column (for
     * bounded blocks — metadata like source/shard; use MinHash-LSH when no
-    * natural block exists). */
+    * natural block exists).
+    *
+    * Inverted-index shape, not a pairwise array compare: explode the
+    * distinct shingles, equi-join on (block, shingle) so only documents that
+    * actually share a shingle ever meet, and count the intersection with a
+    * hash aggregate. Everything stays in whole-stage codegen; per-pair work
+    * is O(shared shingles), not O(|a|·|b|). */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -115,11 +121,19 @@ object Dedup {
   ): DataFrame = {
     val sh = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       shingles(tokens(col(textCol)), shingleN).as("sh"))
-    val inter = size(array_intersect(col("a.sh"), col("b.sh")))
-    sh.as("a")
-      .join(sh.as("b"), col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        (inter / (size(col("a.sh")) + size(col("b.sh")) - inter)).as("jaccard"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val posting = sh.select(col("id"), col("blk"), explode(col("sh")).as("g"))
+    val inter = posting.as("a")
+      .join(posting.as("b"),
+        col("a.blk") === col("b.blk") && col("a.g") === col("b.g") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("n", "na"), col("a_id") === col("id")).drop("id")
+      .join(sizes.withColumnRenamed("n", "nb"), col("b_id") === col("id")).drop("id")
+      .select(col("a_id"), col("b_id"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

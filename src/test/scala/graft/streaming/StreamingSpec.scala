@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.plug.{PlugAction, PlugRule, TestSpark}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import java.sql.Timestamp
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends AnyFlatSpec with Matchers {
+  lazy val spark = TestSpark.session
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  behavior of "StreamingOps"
+
+  it should "apply plug rules to a stream unchanged" in {
+    implicit val sp = spark
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(t("2024-01-01 10:00:00"), 1, "click", 5.0),
+      Ev(t("2024-01-01 10:01:00"), 2, "click", 50.0))
+    val plugged = StreamingOps.plugStream(in.toDF(),
+      List(PlugRule("big", "v1", "value > 10", Seq(PlugAction("event_type", "big")))))
+    plugged.isStreaming shouldBe true
+    StreamingOps.runToMemory(plugged, "plugged_out", OutputMode.Append)
+    val rows = spark.table("plugged_out").orderBy("user_id")
+      .select("event_type").as[String].collect()
+    rows shouldBe Array("click", "big")
+  }
+
+  it should "aggregate tumbling windows with a watermark" in {
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(t("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Ev(t("2024-01-01 10:55:00"), 2, "click", 2.0),
+      Ev(t("2024-01-01 11:05:00"), 3, "click", 4.0))
+    val agg = StreamingOps.windowedAgg(in.toDF(), "ts", "event_type", "value", "1 hour", "10 minutes")
+    StreamingOps.runToMemory(agg, "win_out", OutputMode.Complete)
+    val rows = spark.table("win_out")
+      .select(col("w.start").cast("string"), col("n_events"), col("total_value"))
+      .orderBy("n_events").collect()
+    rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))) shouldBe Array(
+      ("2024-01-01 11:00:00", 1L, 4.0),
+      ("2024-01-01 10:00:00", 2L, 3.0))
+  }
+
+  it should "keep running user totals across micro-batches via mapGroupsWithState" in {
+    val in = MemoryStream[Ev]
+    val totals = StreamingOps.runningUserTotals(in.toDF())
+    val q = totals.writeStream.format("memory").queryName("totals_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0),
+                 Ev(t("2024-01-01 10:01:00"), 1, "click", 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(t("2024-01-01 10:02:00"), 1, "click", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // Update mode appends one row per user per batch; the last row carries
+    // the cumulative state across batches.
+    val last = spark.table("totals_out").filter(col("user_id") === 1)
+      .orderBy(col("n_events").desc).limit(1).as[UserTotal].collect().head
+    last shouldBe UserTotal(1, 3, 7.0)
+  }
+}
