@@ -3,29 +3,42 @@ package graft.ext
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-/** Session extension registering graft's codegen'd vector kernels as SQL
-  * functions. Install with
-  * `spark.sql.extensions=graft.ext.GraftExtensions` — then
-  * `expr("graft_cosine(a, b)")` / `graft_dot_double(a, b)` resolve anywhere
-  * (SQL text, DataFrame expr, streaming queries).
+/** Session extension registering graft's codegen'd kernels as SQL functions.
+  * Install with `spark.sql.extensions=graft.ext.GraftExtensions` — then
+  * `graft_cosine(a, b)`, `graft_dot_double(a, b)`, `graft_minhash_sig(sh, k)`
+  * and `graft_simhash60(hashes)` resolve anywhere (SQL text, DataFrame expr,
+  * streaming queries). The graft.ops operators pick these up automatically
+  * when present and fall back to the portable higher-order-function
+  * formulations (bit-identical results) when not.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def fn(
       name: String,
+      arity: Int,
       build: Seq[Expression] => Expression
   ): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) =
     (new FunctionIdentifier(name),
       new ExpressionInfo("graft.ext.GraftExtensions", name),
       (args: Seq[Expression]) => {
-        require(args.length == 2, s"$name expects exactly 2 arguments")
+        require(args.length == arity, s"$name expects exactly $arity arguments")
         build(args)
       })
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(fn("graft_dot_double", args => DotProductDouble(args(0), args(1))))
-    ext.injectFunction(fn("graft_cosine", args => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction(fn("graft_dot_double", 2, args => DotProductDouble(args(0), args(1))))
+    ext.injectFunction(fn("graft_cosine", 2, args => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction(fn("graft_simhash60", 1, args => SimHash60(args(0))))
+    ext.injectFunction(fn("graft_minhash_sig", 2, args => {
+      val k = args(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash_sig: k must be an integer literal")
+      }
+      MinHashSig(args(0), k)
+    }))
   }
 }

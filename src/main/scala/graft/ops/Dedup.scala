@@ -26,22 +26,34 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
 
-  /** Per-shingle hash matrix: every shingle hashed once by each of the k
-    * seeded functions — k·m md5 calls per row total, with the shingle set in
-    * HOF argument position (see the performance invariant on
-    * [[TextFunctions.shingles]]). */
-  private def shingleHashes(shingleSet: Column, k: Int): Column =
-    transform(shingleSet, s =>
-      transform(sequence(lit(0), lit(k - 1)),
-        i => hash60(concat(i.cast("string"), lit(":"), s))))
+  /** 28-bit hash from md5 hex chars [off+1, off+7] — the two halves feed the
+    * Kirsch-Mitzenmacher family h_i = h1 + i*h2 (one md5 per shingle
+    * instead of one per (shingle, seed); values stay < 2^33 so every engine
+    * computes them in plain 64-bit arithmetic). */
+  private def hash28(c: Column, off: Int): Column =
+    conv(substr(md5(c), lit(off + 1), lit(7)), 16, 10).cast("long")
 
-  /** MinHash signature: element-wise running minimum over the per-shingle
-    * hash matrix — a single left fold, no per-element re-evaluation. */
-  def minhashSignature(shingleSet: Column, k: Int): Column =
+  /** MinHash signature (portable HOF formulation): per-shingle [h1,h2]
+    * pairs, then an element-wise running minimum of h1 + i*h2 — a single
+    * left fold, heavy arrays in argument position only. */
+  def minhashSignature(shingleSet: Column, k: Int): Column = {
+    val seeds = typedlit((0 until k).map(_.toLong))
+    val pairs = transform(shingleSet, s => array(hash28(s, 0), hash28(s, 7)))
     aggregate(
-      shingleHashes(shingleSet, k),
+      pairs,
       array_repeat(lit(Long.MaxValue), k),
-      (acc, hs) => zip_with(acc, hs, (a, b) => least(a, b)))
+      (acc, p) => zip_with(acc, seeds,
+        (a, i) => least(a, element_at(p, 1) + i * element_at(p, 2))))
+  }
+
+  /** Kernel dispatch: the codegen'd graft_minhash_sig when registered
+    * (spark.sql.extensions=graft.ext.GraftExtensions), else the HOF fold.
+    * Both produce identical signatures. */
+  private def minhashSigFor(spark: org.apache.spark.sql.SparkSession)(
+      sh: Column, k: Int): Column =
+    if (spark.catalog.functionExists("graft_minhash_sig"))
+      call_function("graft_minhash_sig", sh, lit(k))
+    else minhashSignature(sh, k)
 
   /** LSH band keys for a signature: `bands` structs of (band index, md5 of
     * the band's signature slice). */
@@ -79,7 +91,7 @@ object Dedup {
     val sh = df.select(
         col(idCol).as("id"),
         shingles(tokens(col(textCol)), shingleN).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("sig", minhashSigFor(df.sparkSession)(col("sh"), numHashes))
 
     val bandsDf = sh
       .select(col("id"), explode(bandKeys(col("sig"), bands, r)).as("bk"))
@@ -163,13 +175,20 @@ object Dedup {
     * into 4 15-bit chunks; by pigeonhole, pairs within hamming distance 3
     * share at least one chunk. Candidates equi-join on (chunk index, chunk
     * value) and are verified with the exact hamming distance. */
+  /** Kernel dispatch for simhash — see minhashSigFor. */
+  private def simhashFor(spark: org.apache.spark.sql.SparkSession)(toks: Column): Column =
+    if (spark.catalog.functionExists("graft_simhash60"))
+      call_function("graft_simhash60", transform(toks, hash60(_)))
+    else simhash(toks)
+
   def simhashNearDupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 8
   ): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"), simhash(tokens(col(textCol))).as("simhash"))
+    val hashed = df.select(col(idCol).as("id"),
+      simhashFor(df.sparkSession)(tokens(col(textCol))).as("simhash"))
     val chunks = hashed.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("chunk"),

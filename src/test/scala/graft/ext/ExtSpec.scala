@@ -37,6 +37,25 @@ class ExtSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "match the HOF minhash and simhash formulations exactly" in {
+    import graft.ops.{Dedup, TextFunctions}
+    val df = Seq("the quick brown fox jumps over the lazy dog", "a b c d e f g h")
+      .toDF("text")
+      .select(
+        TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("sh"),
+        TextFunctions.tokens(col("text")).as("toks"))
+    val out = df.select(
+      expr("graft_minhash_sig(sh, 16)").as("ksig"),
+      Dedup.minhashSignature(col("sh"), 16).as("hsig"),
+      expr("graft_simhash60(transform(toks, t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)))").as("ksim"),
+      Dedup.simhash(col("toks")).as("hsim")
+    ).collect()
+    out.foreach { r =>
+      r.getSeq[Long](0) shouldBe r.getSeq[Long](1)
+      r.getLong(2) shouldBe r.getLong(3)
+    }
+  }
+
   it should "stay inside whole-stage codegen" in {
     // literals would constant-fold into a LocalTableScan; use a real scan
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
