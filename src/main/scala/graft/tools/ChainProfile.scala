@@ -1,7 +1,10 @@
-package graft
+package graft.tools
+
 import graft.plug._
 import org.apache.spark.sql.functions._
-object SmokeTmp {
+/** Profiles plug-rule-chain scaling: plan build / optimize / execute time
+  * for 10-100 rule chains, with plug details and checkpoint staging. */
+object ChainProfile {
   def main(a: Array[String]): Unit = {
     implicit val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[8]").config("spark.sql.shuffle.partitions", "8")
