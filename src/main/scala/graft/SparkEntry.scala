@@ -203,6 +203,21 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // Extension: BPE-ish pre-tokenization counts next to whitespace counts.
+    "text_bpeish_tokens" -> ((s, dir) => {
+      import graft.ops.TextFunctions._
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        size(bpeishTokens(col("text"))).as("n_bpe_tokens"),
+        tokenCount(col("text")).as("n_word_tokens"))
+    }),
+
+    // Extension: JSON property extraction from the events props column.
+    "events_props_extract" -> ((s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))),
+
     // Extension: exact dedup by md5 fingerprint (hash-groupBy, 32-byte keys).
     "dedup_exact" -> ((s, dir) =>
       graft.ops.Dedup.exactDedup(table(s, dir, "documents"), "doc_id", "text")),
@@ -362,6 +377,16 @@ object SparkEntry {
       """SELECT token, count(*) AS cnt FROM (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+
+    "text_bpeish_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_word_tokens
+        |FROM documents""".stripMargin,
+
+    "events_props_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,

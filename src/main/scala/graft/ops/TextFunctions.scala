@@ -49,6 +49,12 @@ object TextFunctions {
     array_distinct(when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(full))
   }
 
+  /** BPE-ish subword tokens: letter runs, digit runs, and single
+    * non-alphanumeric marks — the pre-tokenization split a byte-pair
+    * encoder starts from. Pure regex, portable across engines. */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
   /** Tokens that appear in a fixed marker list (with duplicates). */
   def markerCount(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(markers)))
