@@ -32,6 +32,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_dot_double", 2, args => DotProductDouble(args(0), args(1))))
     ext.injectFunction(fn("graft_cosine", 2, args => CosineSimilarity(args(0), args(1))))
     ext.injectFunction(fn("graft_simhash60", 1, args => SimHash60(args(0))))
+    ext.injectFunction(fn("graft_shingles", 2, args => {
+      val n = args(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case _ => throw new IllegalArgumentException(
+          "graft_shingles: n must be an integer literal")
+      }
+      ShinglesExpr(args(0), n)
+    }))
     ext.injectFunction(fn("graft_minhash_sig", 2, args => {
       val k = args(1) match {
         case Literal(v: Int, IntegerType) => v

@@ -53,6 +53,31 @@ object HashKernels {
     new GenericArrayData(sig)
   }
 
+  /** Distinct word n-gram shingles (first-occurrence order); fewer than n
+    * tokens collapse to one whole-text shingle — identical semantics to
+    * [[graft.ops.TextFunctions.shingles]]. */
+  def shingles(toks: ArrayData, n: Int): ArrayData = {
+    val m   = toks.numElements()
+    val sep = UTF8String.fromString(" ")
+    val out = new java.util.LinkedHashSet[UTF8String]
+    if (m < n) {
+      val parts = new Array[UTF8String](m)
+      var i = 0
+      while (i < m) { parts(i) = toks.getUTF8String(i); i += 1 }
+      out.add(UTF8String.concatWs(sep, parts: _*))
+    } else {
+      val parts = new Array[UTF8String](n)
+      var i = 0
+      while (i <= m - n) {
+        var j = 0
+        while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+        out.add(UTF8String.concatWs(sep, parts: _*))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
   /** 60-bit SimHash from precomputed token hashes. */
   def simhash60(th: ArrayData): Long = {
     val n = th.numElements()
@@ -97,6 +122,39 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
           graft.ext.HashKernels.minhashSig(
             ${c.isNull} ? graft.ext.HashKernels.emptyArray() : ${c.value}, $k);""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_shingles(tokens, n)`: distinct word n-grams as array<string>. */
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${t.simpleString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val arr = if (v == null) HashKernels.emptyArray else v.asInstanceOf[ArrayData]
+    HashKernels.shingles(arr, n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.ext.HashKernels.shingles(
+            ${c.isNull} ? graft.ext.HashKernels.emptyArray() : ${c.value}, $n);""",
       isNull = FalseLiteral)
   }
 

@@ -90,7 +90,7 @@ object Dedup {
     val r = numHashes / bands
     val sh = df.select(
         col(idCol).as("id"),
-        shingles(tokens(col(textCol)), shingleN).as("sh"))
+        shinglesFor(df.sparkSession)(tokens(col(textCol)), shingleN).as("sh"))
       .withColumn("sig", minhashSigFor(df.sparkSession)(col("sh"), numHashes))
 
     val bandsDf = sh
@@ -132,7 +132,7 @@ object Dedup {
       threshold: Double = 0.5
   ): DataFrame = {
     val sh = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      shingles(tokens(col(textCol)), shingleN).as("sh"))
+      shinglesFor(df.sparkSession)(tokens(col(textCol)), shingleN).as("sh"))
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     val posting = sh.select(col("id"), col("blk"), explode(col("sh")).as("g"))
     val inter = posting.as("a")

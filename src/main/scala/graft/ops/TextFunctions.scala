@@ -49,6 +49,16 @@ object TextFunctions {
     array_distinct(when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(full))
   }
 
+  /** Kernel dispatch: the codegen'd graft_shingles when the session
+    * extension is installed (identical output, and a few hundred bytes of
+    * generated code instead of the huge inlined zip_with chain — first-run
+    * Janino compilation of the HOF form dominated cold query times), else
+    * the portable HOF formulation above. */
+  def shinglesFor(spark: org.apache.spark.sql.SparkSession)(toks: Column, n: Int): Column =
+    if (spark.catalog.functionExists("graft_shingles"))
+      call_function("graft_shingles", toks, lit(n))
+    else shingles(toks, n)
+
   /** BPE-ish subword tokens: letter runs, digit runs, and single
     * non-alphanumeric marks — the pre-tokenization split a byte-pair
     * encoder starts from. Pure regex, portable across engines. */

@@ -136,6 +136,43 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     pairs.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((0L, 1L))
   }
 
+  behavior of "EventOps"
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  it should "sessionize by inactivity gap" in {
+    val ev = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      (ts("2024-01-01 10:10:00"), 1L, "click", 1.0),
+      (ts("2024-01-01 10:50:00"), 1L, "click", 1.0), // 40-min gap -> new session
+      (ts("2024-01-01 09:00:00"), 2L, "view", 1.0)
+    ).toDF("ts", "user_id", "event_type", "value")
+    val out = EventOps.sessionize(ev, "user_id", "ts", 30 * 60 * 1000L)
+      .orderBy("user_id", "session_id").collect()
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe
+      Array((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L))
+  }
+
+  it should "aggregate tumbling windows with order-independent sums" in {
+    val ev = Seq(
+      (ts("2024-01-01 10:05:00"), 1L, "click", 0.1),
+      (ts("2024-01-01 10:55:00"), 2L, "click", 0.2),
+      (ts("2024-01-01 11:05:00"), 3L, "click", 0.4)
+    ).toDF("ts", "user_id", "event_type", "value")
+    val out = EventOps.windowedAgg(ev, "ts", "event_type", "value", "1 hour")
+      .orderBy("window_start_ms").collect()
+    out.map(r => (r.getLong(2), r.getDouble(3))) shouldBe Array((2L, 0.3), (1L, 0.4))
+  }
+
+  it should "profile cardinality with exact and approximate distincts" in {
+    val ev = (1 to 100).map(i => (ts("2024-01-01 10:00:00"), (i % 10).toLong, "t", 1.0))
+      .toDF("ts", "user_id", "event_type", "value")
+    val r = EventOps.cardinalityProfile(ev, "event_type", "user_id").collect().head
+    r.getLong(1) shouldBe 100L
+    r.getLong(2) shouldBe 10L
+    r.getLong(3).toDouble shouldBe 10.0 +- 2.0 // HLL estimate
+  }
+
   behavior of "Multimodal"
 
   it should "decode payload batches deterministically with intact schema" in {
