@@ -162,6 +162,66 @@ object SparkEntry {
       errs.toDF().select(col("name"), col("error"))
     }),
 
+    // O1: JSON-lines rule ingestion — read rules.json into driver-side rule
+    // objects (a real distributed JSON scan + encoder decode; rules then
+    // live on the driver and compile into plans as literals).
+    "plug_rules_ingest" -> ((s, dir) => {
+      import RuleReader._
+      import s.implicits._
+      val rules = s.readPlugRulesFrom("data/rules.json").toSeq.sortBy(_.name)
+      rules.toDF().select(
+        col("name"), col("version"), col("condition").as("rule_condition"),
+        size(col("actions")).as("n_actions"),
+        element_at(col("actions"), 1).getField("key").as("key1"),
+        element_at(col("actions"), 1).getField("value").as("value1"))
+    }),
+
+    // O14: SQL dry-run validation — an undefined function in a condition
+    // passes static validation but fails the empty-frame dry-run with an
+    // "[SQL Error] ..." message (exact analyzer text is version-specific, so
+    // the oracle checks the stable prefix and that the function is named).
+    "plug_sql_dryrun_error" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val rule = PlugRule("rdry", "v1", "conc(l_returnflag, 'x') = 'Ax'",
+        Seq(PlugAction("l_returnflag", "D")))
+      val errs = SparkPlug.builder.enableRulesValidation.create()
+        .plug(table(s, dir, "lineitem"), List(rule))
+        .fold(identity, _ => List.empty[PlugRuleValidationError])
+      errs.toDF().select(
+        col("name"),
+        substring(col("error"), 1, 11).as("err_prefix"),
+        col("error").contains("conc").as("mentions_fn"))
+    }),
+
+    // O15: change accumulator via Dataset.observe — the count rides on the
+    // caller's action (zero extra jobs); read back after the action.
+    "plug_observe_count" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val rule = PlugRule("robs", "v1", "l_discount > 0.05",
+        Seq(PlugAction("l_returnflag", "D")))
+      val plug = SparkPlug.builder.enableAccumulators.create()
+      val out = plug.plug(table(s, dir, "lineitem"), List(rule))
+        .fold(errs => throw new IllegalArgumentException(errs.mkString("; ")), identity)
+      out.count() // the action the observation rides on
+      val changed = plug.changedRowCount.getOrElse(-1L)
+      s.range(1).select(lit("robs").as("name"), lit(changed).as("changed_rows"))
+    }),
+
+    // O16: checkpoint/repartition staging — with rulesPerStage=1 and two
+    // rules the chain repartitions to 7 after each rule and checkpoints
+    // after rule 2; the surviving partition count proves the staging ran.
+    "plug_staging_partitions" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val r1 = PlugRule("s1", "v1", "l_discount > 0.05", Seq(PlugAction("l_returnflag", "D")))
+      val r2 = PlugRule("s2", "v1", "l_quantity < 10", Seq(PlugAction("l_linestatus", "X")))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val out = plugged(table(s, dir, "lineitem"), List(r1, r2),
+        _.enableCheckpointing(ckpt, rulesPerStage = 1, numberOfPartitions = 7))
+      s.range(1).select(lit("stage").as("name"),
+        lit(out.rdd.getNumPartitions).as("n_partitions"))
+    }),
+
     // Extension: token counting + document fingerprinting (rolling md5).
     "text_token_stats" -> ((s, dir) => {
       import graft.ops.TextFunctions._
@@ -172,7 +232,7 @@ object SparkEntry {
         nTokens.as("n_tokens"),
         (length(regexp_replace(col("text"), "\\s+", "")) / greatest(nTokens, lit(1)))
           .as("avg_token_len"),
-        fingerprint(col("text")).as("fp"))
+        fingerprintFor(s)(col("text")).as("fp"))
     }),
 
     // Extension: quality scoring (length/punct/stopword ratios).
@@ -213,10 +273,12 @@ object SparkEntry {
     }),
 
     // Extension: JSON property extraction from the events props column.
+    // Uses the codegen string-scan kernel (no per-row Jackson parser) when
+    // the extension is registered; get_json_object otherwise.
     "events_props_extract" -> ((s, dir) =>
       events(s, dir).select(
         col("event_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))),
+        graft.ops.TextFunctions.jsonGetFor(s)(col("props"), "k").cast("int").as("k"))),
 
     // Extension: exact dedup by md5 fingerprint (hash-groupBy, 32-byte keys).
     "dedup_exact" -> ((s, dir) =>
@@ -243,10 +305,12 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
     }),
 
-    // Extension: ANN near-dup pairs via deterministic sign-LSH buckets.
+    // Extension: ANN near-dup pairs via banded sign-LSH (2 bands x 8 planes,
+    // OR-amplified candidate union, exact-cosine verification).
     "sim_lsh_near_dup" -> ((s, dir) =>
       graft.ops.Similarity.lshCosineNearDupPairs(
-          spread(s, table(s, dir, "embeddings")), "vec_id", "embedding", dim = 64)
+          spread(s, table(s, dir, "embeddings")), "vec_id", "embedding",
+          dim = 64, planes = 8, bands = 2)
         .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))),
 
     // Extension: multimodal binary-column plumbing — batched partition-local
@@ -271,10 +335,14 @@ object SparkEntry {
         .select(col("event_type"), col("n"), col("nd_exact"))),
 
     // Extension: HyperLogLog cardinality estimate — the 100 TB path
-    // (constant-size sketches instead of a distinct shuffle). No DuckDB
-    // oracle: HLL implementations differ across engines (rows-only check).
+    // (constant-size sketches instead of a distinct shuffle). HLL bit
+    // patterns differ across engines, so the oracle gates the ESTIMATE
+    // QUALITY instead: |approx - exact| / exact <= 5% must hold per key.
     "events_approx_distinct" -> ((s, dir) =>
-      graft.ops.EventOps.cardinalityProfile(events(s, dir), "event_type", "user_id"))
+      graft.ops.EventOps.cardinalityProfile(events(s, dir), "event_type", "user_id")
+        .select(col("event_type"), col("n"), col("nd_exact"),
+          (abs(col("nd_approx") - col("nd_exact")) / col("nd_exact") <= 0.05)
+            .as("within_5pct")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -333,6 +401,22 @@ object SparkEntry {
 
     "plug_validation_missing_field" ->
       """SELECT 'rv' AS name, 'Field "no_such_column" not found in the schema.' AS error""",
+
+    "plug_rules_ingest" ->
+      """SELECT 'rule1' AS name, 'v1' AS version, 'l_discount > 0.05' AS rule_condition,
+        |  1 AS n_actions, 'l_returnflag' AS key1, 'D' AS value1
+        |UNION ALL
+        |SELECT 'rule2', 'v2', 'l_quantity < 10', 2, 'l_linestatus', 'X'""".stripMargin,
+
+    "plug_sql_dryrun_error" ->
+      """SELECT 'rdry' AS name, '[SQL Error]' AS err_prefix, true AS mentions_fn""",
+
+    "plug_observe_count" ->
+      """SELECT 'robs' AS name, count(*) AS changed_rows FROM lineitem
+        |WHERE l_discount > 0.05 AND l_returnflag IS DISTINCT FROM 'D'""".stripMargin,
+
+    "plug_staging_partitions" ->
+      """SELECT 'stage' AS name, 7 AS n_partitions""",
 
     "text_token_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
@@ -406,11 +490,17 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
-        |sh AS (SELECT doc_id, source, list_distinct(list_transform(generate_series(0, greatest(len(toks)-3, 0)), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM t)
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  len(list_intersect(a.sh, b.sh)) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-        |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.sh, b.sh)) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""".stripMargin,
+        |sh AS (SELECT doc_id, source, list_distinct(list_transform(generate_series(0, greatest(len(toks)-3, 0)), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM t),
+        |post AS (SELECT doc_id, source, unnest(sh) AS g FROM sh),
+        |hot AS (SELECT source, g FROM post GROUP BY source, g HAVING count(*) > 64),
+        |capped AS (SELECT p.doc_id, p.source, p.g FROM post p ANTI JOIN hot h ON p.source = h.source AND p.g = h.g),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |          FROM capped a JOIN capped b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM sh)
+        |SELECT i.a_id, i.b_id, i.inter / (sa.n + sb.n - i.inter) AS jaccard
+        |FROM inter i JOIN sz sa ON i.a_id = sa.doc_id JOIN sz sb ON i.b_id = sb.doc_id
+        |WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5""".stripMargin,
 
     "dedup_simhash" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -436,25 +526,30 @@ object SparkEntry {
 
     "sim_lsh_near_dup" ->
       """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
-        |bk AS (SELECT vec_id, v, list_sum(list_transform(generate_series(0,7), j ->
+        |bk AS (SELECT vec_id, t.b AS band, list_sum(list_transform(generate_series(0,7), j ->
         |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(v)), i ->
-        |    v[i]::DOUBLE * (CASE WHEN (('0x'||substr(md5(j::VARCHAR||':'||(i-1)::VARCHAR),1,15))::UBIGINT & 1) = 1 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END))), (a,x) -> a+x) >= 0
-        |  THEN (1 << j) ELSE 0 END)) AS bucket FROM e),
-        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(a.v)), i -> a.v[i]::DOUBLE * b.v[i]::DOUBLE)), (x,y) -> x+y)
-        |  / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(a.v)), i -> a.v[i]::DOUBLE * a.v[i]::DOUBLE)), (x,y) -> x+y))
-        |   * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(b.v)), i -> b.v[i]::DOUBLE * b.v[i]::DOUBLE)), (x,y) -> x+y))) AS sim
-        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |    v[i]::DOUBLE * (CASE WHEN (('0x'||substr(md5((t.b*8+j)::VARCHAR||':'||(i-1)::VARCHAR),1,15))::UBIGINT & 1) = 1 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END))), (a,x) -> a+x) >= 0
+        |  THEN (1 << j) ELSE 0 END)) AS bucket FROM e, range(2) t(b)),
+        |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |p AS (SELECT c.a_id, c.b_id,
+        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(ea.v)), i -> ea.v[i]::DOUBLE * eb.v[i]::DOUBLE)), (x,y) -> x+y)
+        |  / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(ea.v)), i -> ea.v[i]::DOUBLE * ea.v[i]::DOUBLE)), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(eb.v)), i -> eb.v[i]::DOUBLE * eb.v[i]::DOUBLE)), (x,y) -> x+y))) AS sim
+        |  FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id)
         |SELECT a_id, b_id, round(sim, 6) AS sim FROM p WHERE sim >= 0.3""".stripMargin,
 
     "multimodal_decode" ->
-      """SELECT doc_id AS id,
-        |  CAST(strlen(text) AS INTEGER) AS byte_len,
-        |  CAST(strlen(text) % 640 AS INTEGER) AS width,
-        |  CAST((strlen(text) * 7) % 480 AS INTEGER) AS height,
+      """WITH d AS (SELECT doc_id, text, strlen(text) AS L,
+        |    1 + strlen(text) % 64 AS w, 1 + strlen(text) % 48 AS h
+        |  FROM documents)
+        |SELECT doc_id AS id,
+        |  CAST(54 + ((w*3+3)//4)*4*h AS INTEGER) AS byte_len,
+        |  CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
         |  3 AS channels,
-        |  substr(md5(text), 1, 8) AS feature
-        |FROM documents""".stripMargin,
+        |  lower(hex(substr(text, 1, 4))) AS feature
+        |FROM d""".stripMargin,
 
     "events_window_agg" ->
       """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start_ms, event_type,
@@ -475,6 +570,13 @@ object SparkEntry {
 
     "events_distinct_by_type" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS nd_exact
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // HLL bit patterns differ across engines; the oracle asserts the
+    // estimate lands within 5% of exact (emitted as a literal `true`).
+    "events_approx_distinct" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS nd_exact,
+        |  true AS within_5pct
         |FROM events GROUP BY 1""".stripMargin
   )
 }

@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       })
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("graft_json_get", 2, args => JsonGetSimple(args(0), args(1))))
+    ext.injectFunction(fn("graft_md5hex", 1, args => Md5HexExpr(args(0))))
+    ext.injectFunction(fn("graft_hash60_arr", 1, args => Hash60Array(args(0))))
     ext.injectFunction(fn("graft_dot_double", 2, args => DotProductDouble(args(0), args(1))))
     ext.injectFunction(fn("graft_cosine", 2, args => CosineSimilarity(args(0), args(1))))
     ext.injectFunction(fn("graft_simhash60", 1, args => SimHash60(args(0))))

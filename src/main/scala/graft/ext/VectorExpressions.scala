@@ -24,8 +24,9 @@ private[ext] trait FloatArrayArgs { self: BinaryExpression =>
   * The composable route (`zip_with` + `aggregate`) is CodegenFallback: it
   * breaks whole-stage codegen and allocates an intermediate array per row.
   * These expressions generate a tight fused loop instead — the semantics
-  * (strict left-to-right double accumulation over min-length) match the
-  * higher-order-function formulation bit for bit, so results are
+  * (strict left-to-right double accumulation; NULL for NULL inputs and for
+  * mismatched lengths, where `zip_with`'s null-padding poisons the fold)
+  * match the higher-order-function formulation bit for bit, so results are
   * interchangeable with [[graft.ops.Similarity.dotDouble]] / `cosine` and
   * with the DuckDB `list_reduce` oracle.
   */
@@ -34,12 +35,14 @@ case class DotProductDouble(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = checkFloatArrays(prettyName)
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot_double"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
@@ -49,12 +52,16 @@ case class DotProductDouble(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  s += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int n = $a.numElements();
+         |  double s = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    s += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |  }
+         |  ${ev.value} = s;
          |}
-         |${ev.value} = s;
        """.stripMargin
     })
 
@@ -71,12 +78,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = checkFloatArrays(prettyName)
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -91,14 +100,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xv = (double) $a.getFloat(i);
-         |  double yv = (double) $b.getFloat(i);
-         |  dot += xv * yv; na += xv * xv; nb += yv * yv;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int n = $a.numElements();
+         |  double dot = 0.0, na = 0.0, nb = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    double xv = (double) $a.getFloat(i);
+         |    double yv = (double) $b.getFloat(i);
+         |    dot += xv * yv; na += xv * xv; nb += yv * yv;
+         |  }
+         |  ${ev.value} = dot / (Math.sqrt(na) * Math.sqrt(nb));
          |}
-         |${ev.value} = dot / (Math.sqrt(na) * Math.sqrt(nb));
        """.stripMargin
     })
 

@@ -22,7 +22,7 @@ object Dedup {
   /** Exact dedup by normalized-text fingerprint: one row per distinct
     * fingerprint with the surviving (minimum) id and the duplicate count. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(fingerprint(col(textCol)).as("fp"), col(idCol))
+    df.select(fingerprintFor(df.sparkSession)(col(textCol)).as("fp"), col(idCol))
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
 
@@ -48,7 +48,7 @@ object Dedup {
 
   /** Kernel dispatch: the codegen'd graft_minhash_sig when registered
     * (spark.sql.extensions=graft.ext.GraftExtensions), else the HOF fold.
-    * Both produce identical signatures. */
+    * Both produce identical signatures (both null-propagating). */
   private def minhashSigFor(spark: org.apache.spark.sql.SparkSession)(
       sh: Column, k: Int): Column =
     if (spark.catalog.functionExists("graft_minhash_sig"))
@@ -56,8 +56,10 @@ object Dedup {
     else minhashSignature(sh, k)
 
   /** LSH band keys for a signature: `bands` structs of (band index, md5 of
-    * the band's signature slice). */
-  private def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    * the band's signature slice). `md5Fn` is the session-dispatched md5
+    * (kernel when the extension is installed). */
+  private def bandKeys(sig: Column, bands: Int, rowsPerBand: Int,
+      md5Fn: Column => Column): Column =
     transform(sequence(lit(0), lit(bands - 1)), j =>
       struct(
         j.as("band"),
@@ -65,7 +67,7 @@ object Dedup {
         // infers an IsNotNull(key) constraint and predicate pushdown clones
         // the ENTIRE signature expression into a pre-exchange Filter —
         // doubling the heavy compute and pinning it to the input partitioning.
-        coalesce(md5(concat(j.cast("string"), lit(":"),
+        coalesce(md5Fn(concat(j.cast("string"), lit(":"),
           concat_ws(",", transform(
             slice(sig, j * rowsPerBand + 1, lit(rowsPerBand)),
             v => v.cast("string"))))), lit("")).as("key")))
@@ -88,13 +90,20 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
+    // The shingle+signature frame is read three times (band explode + both
+    // sides of the verification join). Persist it so the shingling/minhash
+    // work runs ONCE — at 100 TB recomputing signatures three times is the
+    // dominant cost. MEMORY_AND_DISK spills instead of recomputing; a
+    // production pipeline would typically write signatures to a table first.
     val sh = df.select(
         col(idCol).as("id"),
         shinglesFor(df.sparkSession)(tokens(col(textCol)), shingleN).as("sh"))
       .withColumn("sig", minhashSigFor(df.sparkSession)(col("sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bandsDf = sh
-      .select(col("id"), explode(bandKeys(col("sig"), bands, r)).as("bk"))
+      .select(col("id"),
+        explode(bandKeys(col("sig"), bands, r, md5For(df.sparkSession))).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
     val cand = bandsDf.as("a")
@@ -129,14 +138,28 @@ object Dedup {
       textCol: String,
       blockCol: String,
       shingleN: Int = 3,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      maxShingleDf: Int = 64
   ): DataFrame = {
     val sh = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       shinglesFor(df.sparkSession)(tokens(col(textCol)), shingleN).as("sh"))
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     val posting = sh.select(col("id"), col("blk"), explode(col("sh")).as("g"))
-    val inter = posting.as("a")
-      .join(posting.as("b"),
+    // Hot-shingle defense: a shingle shared by f documents in a block emits
+    // f² candidate rows from the self-join — one boilerplate shingle at
+    // 100 TB is a blowup. Drop postings whose in-block document frequency
+    // exceeds the cap BEFORE the join (an anti-join against the tiny hot
+    // set, which Spark broadcasts). Pairs whose only shared shingles are
+    // hot ones are missed — the standard recall/robustness trade; the
+    // Jaccard denominator still uses the full set sizes, so reported
+    // similarity for surviving pairs is a (tight) lower bound.
+    val hot = posting.groupBy(col("blk"), col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select(col("blk"), col("g"))
+    val capped = posting.join(hot, Seq("blk", "g"), "left_anti")
+    val inter = capped.as("a")
+      .join(capped.as("b"),
         col("a.blk") === col("b.blk") && col("a.g") === col("b.g") &&
           col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
@@ -175,10 +198,14 @@ object Dedup {
     * into 4 15-bit chunks; by pigeonhole, pairs within hamming distance 3
     * share at least one chunk. Candidates equi-join on (chunk index, chunk
     * value) and are verified with the exact hamming distance. */
-  /** Kernel dispatch for simhash — see minhashSigFor. */
+  /** Kernel dispatch for simhash — see minhashSigFor. The kernel is
+    * null-propagating, so it gets the same `coalesce(_, 0)` the HOF fold
+    * carries: identical null-input result (0L) AND a non-nullable join key
+    * (otherwise the chunk join's inferred IsNotNull clones the whole hash
+    * into a pre-exchange Filter). */
   private def simhashFor(spark: org.apache.spark.sql.SparkSession)(toks: Column): Column =
     if (spark.catalog.functionExists("graft_simhash60"))
-      call_function("graft_simhash60", transform(toks, hash60(_)))
+      coalesce(call_function("graft_simhash60", hash60ArrFor(spark)(toks)), lit(0L))
     else simhash(toks)
 
   def simhashNearDupPairs(

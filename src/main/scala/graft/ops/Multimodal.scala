@@ -1,5 +1,7 @@
 package graft.ops
 
+import java.nio.{ByteBuffer, ByteOrder}
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -9,19 +11,24 @@ import org.apache.spark.sql.functions._
   * without touching bytes. */
 case class MediaRecord(id: Long, payload: Array[Byte], kind: String)
 
-/** Output of the (stubbed) decoder. */
+/** Output of the decoder. */
 case class DecodedMedia(
     id: Long, byte_len: Int, width: Int, height: Int, channels: Int, feature: String)
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * processed in partition-local batches.
   *
-  * The decode itself is a STUB — image/audio libraries are not available in
-  * this environment — but it is a deterministic fake, so the whole pipeline
-  * (schema, encoders, partitioning, batch shape) is real and testable
-  * end-to-end against a SQL oracle. A real deployment swaps `decodePayload`
-  * for a native decoder call; the batching seam is exactly where a
-  * vectorized/native library would take over a chunk of records at once.
+  * The decoder is REAL: [[Multimodal.decodePayload]] parses the BMP header
+  * (magic, little-endian dimensions, bit depth, pixel-data offset) with no
+  * image library — so the whole pipeline (schema, encoders, partitioning,
+  * batch shape, byte-level decode) runs end-to-end and is checkable against
+  * a SQL oracle. Only the *source* of the images is synthetic:
+  * [[Multimodal.asMedia]] wraps each text row into a valid 24-bit BMP whose
+  * dimensions derive from the text length (the testdata has no true binary
+  * columns). A production pipeline swaps `decodePayload`'s body for a
+  * full-featured decoder (JPEG, audio frames, …); the batching seam is
+  * exactly where a vectorized/native library would take over a chunk of
+  * records at once.
   */
 object Multimodal {
 
@@ -29,13 +36,53 @@ object Multimodal {
     * amortizes per-call overhead without holding a partition in memory. */
   val batchSize = 64
 
-  /** STUB decoder: deterministic fake (dimensions derived from byte length,
-    * feature = md5 prefix). Stands in for e.g. JPEG decode + embedding. */
+  /** Build a minimal valid 24-bit BMP (BITMAPINFOHEADER) whose pixel data is
+    * `content` cycled to fill width*height pixels (+row padding). Dimensions
+    * derive deterministically from the content length. */
+  def toBmp(content: Array[Byte]): Array[Byte] = {
+    val w = 1 + content.length % 64
+    val h = 1 + content.length % 48
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val dataSize = rowSize * h
+    val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + dataSize)            // file size
+    buf.putInt(0)                        // reserved
+    buf.putInt(54)                       // pixel-data offset
+    buf.putInt(40)                       // BITMAPINFOHEADER size
+    buf.putInt(w)
+    buf.putInt(h)
+    buf.putShort(1)                      // color planes
+    buf.putShort(24)                     // bits per pixel
+    buf.putInt(0)                        // compression = BI_RGB
+    buf.putInt(dataSize)
+    buf.putInt(2835); buf.putInt(2835)   // 72 DPI
+    buf.putInt(0); buf.putInt(0)         // palette
+    var i = 0
+    while (i < dataSize) {
+      buf.put(if (content.isEmpty) 0.toByte else content(i % content.length))
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** REAL BMP header decode (pure JVM, no image library): validates the
+    * 'BM' magic and reads width/height/bpp and the pixel-data offset from
+    * the little-endian header; `feature` is the first 4 pixel bytes in hex
+    * (stand-in for a real feature extraction over the decoded pixels). */
   def decodePayload(payload: Array[Byte]): (Int, Int, Int, String) = {
-    val len = payload.length
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(payload).map("%02x".format(_)).mkString.take(8)
-    (len % 640, (len * 7) % 480, 3, hex)
+    require(payload.length >= 54 && payload(0) == 'B'.toByte && payload(1) == 'M'.toByte,
+      s"not a BMP payload (${payload.length} bytes)")
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    val pixelOffset = buf.getInt(10)
+    val width = buf.getInt(18)
+    val height = buf.getInt(22)
+    val bpp = buf.getShort(28).toInt
+    val feature = (0 until 4).map { i =>
+      val b = if (pixelOffset + i < payload.length) payload(pixelOffset + i) else 0.toByte
+      f"${b & 0xff}%02x"
+    }.mkString
+    (width, height, bpp / 8, feature)
   }
 
   /** Batched decode over partitions: no shuffle, no driver involvement;
@@ -52,14 +99,15 @@ object Multimodal {
     }
   }
 
-  /** Wrap a text table as fake media records (payload = utf-8 bytes). Used
-    * by the driver queries since the testdata has no true binary columns. */
+  /** Wrap a text table as media records: each text becomes a valid BMP
+    * (see [[toBmp]]). Used by the driver queries since the testdata has no
+    * true binary columns; the decode side treats the payload as opaque. */
   def asMedia(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(
-      col(idCol).cast("long").as("id"),
-      encode(col(textCol), "utf-8").as("payload"),
-      lit("image").as("kind")
-    ).as[MediaRecord]
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRecord(id, toBmp(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), "image")
+      }
   }
 }

@@ -71,37 +71,60 @@ object Similarity {
       }
     }
 
-  /** Sign-LSH bucket id in [0, 2^planes): bit j set iff dot(v, plane_j) >= 0.
+  /** Sign-LSH bucket id in [0, 2^planes) from plane family `firstPlane ..
+    * firstPlane+planes-1`: bit j set iff dot(v, plane_{firstPlane+j}) >= 0.
     * Plane components are plan literals — nothing is shipped at runtime. */
-  def lshBucket(vec: Column, planes: Int, dim: Int): Column = {
-    val signs = hyperplaneSigns(planes, dim)
+  def lshBucket(vec: Column, planes: Int, dim: Int, firstPlane: Int = 0): Column = {
+    val signs = hyperplaneSigns(firstPlane + planes, dim)
     // coalesce marks the bucket non-nullable so the bucket equi-join can't
     // infer an IsNotNull constraint that would clone all `planes` dot
     // products into a pre-exchange Filter (see Dedup.bandKeys).
     coalesce(
       (0 until planes).map { j =>
-        when(dotDouble(vec, typedlit(signs(j))) >= 0, lit(1 << j)).otherwise(lit(0))
+        when(dotDouble(vec, typedlit(signs(firstPlane + j))) >= 0, lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _),
       lit(-1))
   }
 
-  /** Approximate cosine near-dup pairs: bucket by sign-LSH, equi-join within
-    * buckets, verify with the exact cosine. */
+  /** Approximate cosine near-dup pairs: banded sign-LSH with OR-amplification.
+    *
+    * Each of the `bands` tables hashes with its own `planes` hyperplanes;
+    * a pair is a candidate when it collides in ANY band (union → distinct).
+    * Candidates are verified with the exact cosine. This is the scale shape:
+    *  - recall is tuned by adding bands (OR), precision by adding planes per
+    *    band (AND) — at corpus size n, pick `planes ≈ log2(n / target bucket
+    *    size)` so bucket population, and with it the per-bucket self-join,
+    *    stays bounded as n grows; a fixed bucket count would be O(n²/buckets).
+    *  - candidate generation is an equi-join on (band, bucket) — never a
+    *    cross join — and verification joins fetch vectors by id only for
+    *    surviving pairs.
+    */
   def lshCosineNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       dim: Int,
       planes: Int = 8,
+      bands: Int = 1,
       threshold: Double = 0.3
   ): DataFrame = {
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), planes, dim))
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = vecs.select(col("id"), col("v"),
+      explode(array((0 until bands).map(t =>
+        struct(lit(t).as("band"),
+          lshBucket(col("v"), planes, dim, firstPlane = t * planes).as("bucket"))): _*)).as("tb"))
+      .select(col("id"), col("tb.band").as("band"), col("tb.bucket").as("bucket"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
     val cos = cosineFor(df.sparkSession) _
-    b.as("a")
-      .join(b.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        cos(col("a.v"), col("b.v")).as("sim"))
+    cand
+      .join(vecs.withColumnRenamed("v", "va"), col("a_id") === col("id")).drop("id")
+      .join(vecs.withColumnRenamed("v", "vb"), col("b_id") === col("id")).drop("id")
+      .select(col("a_id"), col("b_id"), cos(col("va"), col("vb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

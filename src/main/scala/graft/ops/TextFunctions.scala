@@ -23,6 +23,25 @@ object TextFunctions {
   /** Deterministic document fingerprint: md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** md5-hex dispatch: the graft_md5hex kernel when the session extension is
+    * installed (identical output to the built-in `md5()`, but no per-row
+    * `MessageDigest.getInstance`/ThreadLocal acquisition — see
+    * graft.ext.HashKernels.md5Hex), else the built-in. */
+  def md5For(spark: org.apache.spark.sql.SparkSession)(c: Column): Column =
+    if (spark.catalog.functionExists("graft_md5hex")) call_function("graft_md5hex", c)
+    else md5(c)
+
+  /** fingerprint via the kernel-dispatched md5 — output-identical. */
+  def fingerprintFor(spark: org.apache.spark.sql.SparkSession)(text: Column): Column =
+    md5For(spark)(normalized(text))
+
+  /** Per-element hash60 dispatch: graft_hash60_arr kernel when installed,
+    * else `transform(toks, hash60)` (interpreted, one digest per element). */
+  def hash60ArrFor(spark: org.apache.spark.sql.SparkSession)(toks: Column): Column =
+    if (spark.catalog.functionExists("graft_hash60_arr"))
+      call_function("graft_hash60_arr", toks)
+    else transform(toks, hash60(_))
+
   /** Portable 60-bit hash: first 15 hex chars of md5, as a positive Long.
     * 60 bits keeps it inside a signed 64-bit range on every engine. */
   def hash60(c: Column): Column = conv(substr(md5(c), lit(1), lit(15)), 16, 10).cast("long")
@@ -58,6 +77,15 @@ object TextFunctions {
     if (spark.catalog.functionExists("graft_shingles"))
       call_function("graft_shingles", toks, lit(n))
     else shingles(toks, n)
+
+  /** Top-level scalar JSON extraction: the codegen'd string-scan kernel when
+    * the session extension is installed (no per-row Jackson parser /
+    * ThreadLocal buffer acquisition — see graft.ext.JsonKernels), else
+    * `get_json_object`. Identical output on flat scalar JSON. */
+  def jsonGetFor(spark: org.apache.spark.sql.SparkSession)(json: Column, key: String): Column =
+    if (spark.catalog.functionExists("graft_json_get"))
+      call_function("graft_json_get", json, lit(key))
+    else get_json_object(json, s"$$.$key")
 
   /** BPE-ish subword tokens: letter runs, digit runs, and single
     * non-alphanumeric marks — the pre-tokenization split a byte-pair

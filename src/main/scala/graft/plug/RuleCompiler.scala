@@ -60,17 +60,33 @@ object RuleCompiler {
     val fields = PlugRule.buildFieldsMap(schema).toMap
     val cond   = expr(rule.condition)
 
+    // A rule with no actions is a no-op projection the reference only
+    // rejects via a SQL parse error when validation is off — fail with a
+    // real message instead (documented divergence; validation-on surfaces
+    // the same text as a PlugRuleValidationError).
+    if (rule.actions.isEmpty)
+      throw new IllegalArgumentException(
+        s"""Rule "${rule.name}": At the least one action must be specified per rule.""")
+
     // Invalid literals silently become NULL assignments when validation is
     // off — reference parity (PlugRule.scala:129 `.getOrElse(null)`).
+    // An action key ABSENT from the schema fails here: the reference fails
+    // too (its generated `if(cond, v, missing_col)` dies in analysis with
+    // an unresolved-column error); we raise the validation message rather
+    // than silently adding a new column via withColumns.
     val converted: Seq[(PlugAction, Column)] = rule.actions.map { a =>
-      a -> coerceValue(a.value, fields.getOrElse(a.key, StringType)).getOrElse(lit(null))
+      val dt = fields.getOrElse(a.key, throw new IllegalArgumentException(
+        s"""Rule "${rule.name}": Field "${a.key}" not found in the schema."""))
+      a -> coerceValue(a.value, dt).getOrElse(lit(null))
     }
 
     // Null-safe change detection, OR-ed across actions; the comparison
     // operand is the post-coercion value, matching the reference's
-    // `not(key <=> cast(v as double))` (PlugRule.scala:50,58).
-    val anyChanged: Column =
-      converted.map { case (a, v) => !(col(a.key) <=> v) }.reduce(_ || _)
+    // `not(key <=> cast(v as double))` (PlugRule.scala:50,58). Only built
+    // when an audit column needs the gate.
+    def anyChanged: Column =
+      converted.map { case (a, v) => !(col(a.key) <=> v) }
+        .reduceOption(_ || _).getOrElse(lit(false))
 
     // Group actions by the top-level column so two actions on the same
     // struct parent fold into ONE rebuild (fixes reference quirk of

@@ -41,6 +41,19 @@ case class SparkPlug(
 
   checkpointDetails.foreach(cd => spark.sparkContext.setCheckpointDir(cd.checkpointDir))
 
+  /** Observation handle attached by the most recent [[plug]] call when
+    * accumulators are enabled (one fresh handle per call — an Observation
+    * can only ride one Dataset). */
+  @transient private var lastObservation: Option[org.apache.spark.sql.Observation] = None
+
+  /** Changed-row count from the most recent plug's observation. Call AFTER
+    * running an action on the plugged frame (the metric is collected when
+    * the action completes; this blocks until then). Replaces the
+    * reference's eager accumulator read (SparkPlug.scala:52-62) without its
+    * extra full-scan job. */
+  def changedRowCount: Option[Long] =
+    lastObservation.flatMap(_.get.get(SparkPlug.changedMetric)).map(_.asInstanceOf[Long])
+
   /** Validate (if enabled) then fold the rules over the input frame.
     * (reference: SparkPlug.scala:29-40) */
   def plug(in: DataFrame, rules: List[PlugRule]): Either[List[PlugRuleValidationError], DataFrame] = {
@@ -101,11 +114,13 @@ case class SparkPlug(
     * so the count rides on whatever action the caller runs — zero extra jobs.
     * Read it back via a QueryExecutionListener or `observedMetrics`. */
   private def withChangeCount(out: DataFrame): DataFrame =
-    if (isAccumulatorsEnabled && plugDetails.nonEmpty)
+    if (isAccumulatorsEnabled && plugDetails.nonEmpty) {
+      val obs = new org.apache.spark.sql.Observation(SparkPlug.observationName)
+      lastObservation = Some(obs)
       out.observe(
-        SparkPlug.observationName,
+        obs,
         sum(when(size(col(plugDetails.get.column)) > 0, 1L).otherwise(0L)).as(SparkPlug.changedMetric))
-    else out
+    } else out
 
   private def repartitionAndCheckpoint(in: Dataset[Row], ruleNumber: Int): Dataset[Row] =
     checkpointDetails.fold(in) { cd =>

@@ -46,21 +46,41 @@ object StreamingOps {
         sum(col(valueCol).cast(DecimalType(18, 6))).cast("double").as("total_value"))
 
   /** Custom streaming state: running per-user totals via mapGroupsWithState.
-    * Input must have (user_id: Long, value: Double) columns. */
-  def runningUserTotals(stream: DataFrame): Dataset[UserTotal] = {
+    * Input must have (user_id: Long, value: Double) columns.
+    *
+    * State eviction: with `idleTimeout` set (the default), a processing-time
+    * timeout drops the state of users with no new events (emitting their
+    * final total once) — without it per-user state grows without bound over
+    * the stream's life. Pass `None` only for bounded replays/tests (note:
+    * a processing-time timeout makes the engine schedule no-data batches
+    * continuously, so `processAllAvailable`-style draining never settles). */
+  def runningUserTotals(
+      stream: DataFrame,
+      idleTimeout: Option[String] = Some("30 minutes")
+  ): Dataset[UserTotal] = {
     import stream.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     stream.select(col("user_id").cast("long"), col("value").cast("double"))
       .as[(Long, Double)]
       .groupByKey(_._1)
-      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[UserTotal, UserTotal](timeoutConf) {
         case (user, events, state: GroupState[UserTotal]) =>
-          val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0.0))
-          val (n, v) = events.foldLeft((prev.n_events, prev.total_value)) {
-            case ((cn, cv), (_, value)) => (cn + 1, cv + value)
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0.0))
+            val (n, v) = events.foldLeft((prev.n_events, prev.total_value)) {
+              case ((cn, cv), (_, value)) => (cn + 1, cv + value)
+            }
+            val next = UserTotal(user, n, v)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            next
           }
-          val next = UserTotal(user, n, v)
-          state.update(next)
-          next
       }
   }
 

@@ -56,6 +56,63 @@ class ExtSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "propagate nulls exactly like the HOF formulations" in {
+    import graft.ops.{Dedup, Similarity, TextFunctions}
+    val df = Seq((Option.empty[Seq[String]], Option.empty[Seq[Float]], Some(Seq(1f, 2f)), Some(Seq(1f, 2f, 3f))))
+      .toDF("toks", "nv", "v2", "v3")
+    val r = df.select(
+      expr("graft_minhash_sig(toks, 16)").as("ksig"),
+      Dedup.minhashSignature(col("toks"), 16).as("hsig"),
+      expr("graft_shingles(toks, 3)").as("ksh"),
+      TextFunctions.shingles(col("toks"), 3).as("hsh"),
+      expr("graft_dot_double(nv, v2)").as("kdn"),
+      Similarity.dotDouble(col("nv"), col("v2")).as("hdn"),
+      // mismatched lengths: HOF null-pads -> NULL; kernels must match
+      expr("graft_dot_double(v2, v3)").as("kdm"),
+      Similarity.dotDouble(col("v2"), col("v3")).as("hdm"),
+      expr("graft_cosine(v2, v3)").as("kcm"),
+      Similarity.cosine(col("v2"), col("v3")).as("hcm")
+    ).collect().head
+    (0 until 10).foreach(i => r.isNullAt(i) shouldBe true)
+  }
+
+  it should "match built-in md5 and the transform-hash60 formulation" in {
+    import graft.ops.TextFunctions
+    val df = Seq("the quick brown fox", "", "ünïcode tëxt").toDF("text")
+      .select(col("text"), TextFunctions.tokens(col("text")).as("toks"))
+    df.select(
+      expr("graft_md5hex(text)").as("k"),
+      md5(col("text")).as("b")
+    ).collect().foreach(r => r.getString(0) shouldBe r.getString(1))
+    df.select(
+      expr("graft_hash60_arr(toks)").as("k"),
+      transform(col("toks"), t => TextFunctions.hash60(t)).as("h")
+    ).collect().foreach(r => r.getSeq[Long](0) shouldBe r.getSeq[Long](1))
+  }
+
+  it should "extract flat JSON scalars exactly like get_json_object" in {
+    val df = Seq(
+      """{"k": 69, "s": "hi"}""",
+      """{"k":-12,"s":"a b","f":150.5,"t":true,"z":null}""",
+      """{"other": 1}""",
+      """{"s": "esc\"aped\nvalue", "k": 7}""",
+      """not json at all""",
+      """{"arr": [1,2,{"k": 99}], "k": 5}"""
+    ).toDF("j")
+    Seq("k", "s", "f", "t", "z", "missing").foreach { key =>
+      val rows = df.select(
+        expr(s"graft_json_get(j, '$key')").as("mine"),
+        get_json_object(col("j"), s"$$.$key").as("spark")
+      ).collect()
+      rows.foreach { r =>
+        withClue(s"key=$key row=$r: ") { r.getString(0) shouldBe r.getString(1) }
+      }
+    }
+    // null input propagates
+    Seq(Option.empty[String]).toDF("j")
+      .select(expr("graft_json_get(j, 'k')")).collect().head.isNullAt(0) shouldBe true
+  }
+
   it should "stay inside whole-stage codegen" in {
     // literals would constant-fold into a LocalTableScan; use a real scan
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -173,14 +173,66 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     r.getLong(3).toDouble shouldBe 10.0 +- 2.0 // HLL estimate
   }
 
+  it should "cap hot shingles by in-block document frequency" in {
+    // "a b c" appears in every doc of block s1; with a cap of 2 the hot
+    // shingle is dropped from the posting list, so docs sharing ONLY it
+    // never become candidates, while pairs sharing rarer shingles survive.
+    val docs = Seq(
+      Doc(1, "a b c d e f", "s1"), Doc(2, "a b c d e g", "s1"),
+      Doc(3, "a b c x y z", "s1"), Doc(4, "a b c p q r", "s1")
+    ).toDS.toDF()
+    val all = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", threshold = 0.0)
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
+      threshold = 0.0, maxShingleDf = 2)
+    // uncapped: every pair shares at least "a b c" -> 6 pairs
+    all.count() shouldBe 6
+    // capped: "a b c" (df=4) is dropped; only (1,2) share {b c d, c d e}
+    val rows = capped.collect()
+    rows.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((1L, 2L))
+    // denominator still uses FULL set sizes: inter=2, union=4+4-2
+    rows.head.getDouble(2) shouldBe (2.0 / 6.0)
+  }
+
+  it should "find pairs in any band under banded sign-LSH" in {
+    val vecs = Seq(
+      Vec(0, Seq.fill(8)(1f)), Vec(1, Seq.fill(8)(0.99f)), Vec(2, Seq.fill(8)(-1f))
+    ).toDS.toDF()
+    val pairs = Similarity.lshCosineNearDupPairs(vecs, "vec_id", "embedding", dim = 8,
+      planes = 4, bands = 2, threshold = 0.9).collect()
+    // identical-direction vectors collide in EVERY band; the distinct over
+    // the band union must still emit the pair exactly once
+    pairs.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((0L, 1L))
+  }
+
   behavior of "Multimodal"
 
-  it should "decode payload batches deterministically with intact schema" in {
+  it should "round-trip a real BMP header through encode and decode" in {
+    val content = "hello world".getBytes("UTF-8")
+    val bmp = Multimodal.toBmp(content)
+    bmp(0) shouldBe 'B'.toByte
+    bmp(1) shouldBe 'M'.toByte
+    val (w, h, c, feature) = Multimodal.decodePayload(bmp)
+    w shouldBe 1 + content.length % 64
+    h shouldBe 1 + content.length % 48
+    c shouldBe 3
+    feature shouldBe "68656c6c" // "hell" — first 4 pixel bytes
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    bmp.length shouldBe 54 + rowSize * h
+  }
+
+  it should "reject non-BMP payloads" in {
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodePayload("not a bitmap".getBytes("UTF-8"))
+  }
+
+  it should "decode payload batches with intact schema" in {
     val docs = Seq(Doc(1, "hello", "s"), Doc(2, "x" * 1000, "s")).toDS.toDF()
     val out = Multimodal.decodeBatched(Multimodal.asMedia(docs, "doc_id", "text"))
       .orderBy("id").collect()
     out.length shouldBe 2
-    out(0) shouldBe DecodedMedia(1, 5, 5 % 640, (5 * 7) % 480, 3, "5d41402a")
-    out(1).byte_len shouldBe 1000
+    // len=5: w=6, h=6, rowSize=20 -> 54 + 120 bytes; pixels start "hell"+pad
+    out(0) shouldBe DecodedMedia(1, 174, 6, 6, 3, "68656c6c")
+    // len=1000: w=41, h=41, rowSize=124
+    out(1) shouldBe DecodedMedia(2, 54 + 124 * 41, 41, 41, 3, "78787878")
   }
 }

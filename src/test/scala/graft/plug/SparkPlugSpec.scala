@@ -198,6 +198,31 @@ class SparkPlugSpec extends AnyFlatSpec with Matchers {
     out.rdd.getNumPartitions shouldBe 2
   }
 
+  it should "fail fast on a missing action field when validation is off" in {
+    // The reference also fails (unresolved column at analysis); we raise the
+    // validation message instead of silently adding a new column.
+    val rules = List(PlugRule("rule1", "v1", "true", Seq(PlugAction("nonexistent", "x"))))
+    val e = the[IllegalArgumentException] thrownBy
+      SparkPlug.builder(spark).create().plug(df, rules)
+    e.getMessage should include("""Field "nonexistent" not found in the schema.""")
+  }
+
+  it should "fail with a clear message on empty actions when validation is off" in {
+    // The reference dies with an opaque SQL parse error; we name the rule.
+    val rules = List(PlugRule("rule1", "v1", "true", Seq.empty))
+    val e = the[IllegalArgumentException] thrownBy
+      SparkPlug.builder(spark).create().plug(df, rules)
+    e.getMessage should include("At the least one action must be specified per rule.")
+  }
+
+  it should "expose the changed-row count after an action when accumulators are enabled" in {
+    val rules = List(PlugRule("rule1", "v1", "title like '%iPhone%'", Seq(PlugAction("price", "1000"))))
+    val plug = SparkPlug.builder(spark).enableAccumulators.create()
+    val out = plug.plug(df, rules).toOption.get
+    out.count()
+    plug.changedRowCount shouldBe Some(1L)
+  }
+
   it should "silently assign null for a non-coercible literal when validation is off" in {
     // Reference quirk parity: convertActions .getOrElse(null) (PlugRule.scala:129).
     val rules = List(PlugRule("rule1", "v1", "title like '%iPhone%'",

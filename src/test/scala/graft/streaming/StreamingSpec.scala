@@ -53,7 +53,9 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
 
   it should "keep running user totals across micro-batches via mapGroupsWithState" in {
     val in = MemoryStream[Ev]
-    val totals = StreamingOps.runningUserTotals(in.toDF())
+    // idleTimeout=None: a processing-time timeout would schedule no-data
+    // batches continuously and processAllAvailable would never settle.
+    val totals = StreamingOps.runningUserTotals(in.toDF(), idleTimeout = None)
     val q = totals.writeStream.format("memory").queryName("totals_out")
       .outputMode(OutputMode.Update).start()
     try {
