@@ -8,73 +8,139 @@ import org.apache.spark.sql.SparkSession
   *  - Each query is fully materialized via `queryExecution.toRdd` — a plain
   *    `count()` would let Catalyst prune the projections and measure only
   *    the parquet scan.
-  *  - Pass 1 warms every query once, untimed: the first execution pays
-  *    one-time Janino compilation of the generated code, which at 100 TB
-  *    amortizes to zero but at test scale would dominate. The codegen cache
-  *    is JVM-static, so warmed code stays warm across session restarts.
-  *  - Pass 2 is the timed steady-state pass, run on FRESH executor threads:
-  *    the session is restarted before the pass and then every `chunkSize`
-  *    queries. Round 1 showed long-lived local-mode worker threads can
-  *    accumulate degraded ThreadLocalMaps (per-row `ThreadLocal.get`
-  *    becomes a linear scan; a 0.5 s query took 200+ s depending on which
-  *    thread its tasks landed on). Restarts bound any such per-thread state
-  *    to one chunk; restart time is excluded from query times.
-  *  - Per-query ok flags are emitted so a failing query can't masquerade as
-  *    a fast one (failures also keep their elapsed time).
+  *  - Queries run in CHUNKS, each chunk in a FRESH CHILD JVM (same
+  *    classpath/JVM flags as the parent). The child warms its chunk once
+  *    untimed — paying Janino codegen AND JIT compilation — then runs the
+  *    timed steady-state pass. Round-1/2 investigation showed a single
+  *    long-lived local[32] JVM intermittently degrades whole-process
+  *    (identical binaries measured 17 s / 29 s / 443 s for the full set;
+  *    stuck tasks burned 100x the CPU of healthy runs inside generated
+  *    code, with `ThreadLocalMap.getEntryAfterMiss` hot in stacks) — a
+  *    fresh JVM per chunk bounds any cumulative JVM/thread state to one
+  *    chunk, and per-chunk warmup keeps every timed query steady-state.
+  *  - JVM/session startup and warmup are excluded from query times and
+  *    reported as warmup_sec; system load averages are recorded before and
+  *    after so external CPU contention on a shared host is visible.
+  *  - Per-query ok flags are emitted so a failing query can't masquerade
+  *    as a fast one (failures also keep their elapsed time).
+  *  - If spawning children fails (restricted environments), everything
+  *    falls back to one in-process pass with session restarts per chunk.
   */
 object Bench {
+
+  private val chunkSize = 8
+
+  private def newSession(cpus: String): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.ext.GraftExtensions")
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def consume(spark: SparkSession, sfDir: String, name: String): (Double, Boolean) = {
+    val t0 = System.nanoTime()
+    val ok =
+      try {
+        val rdd = SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd
+        rdd.foreachPartition(it => while (it.hasNext) it.next())
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        false
+      }
+    ((System.nanoTime() - t0) / 1e9, ok)
+  }
+
+  /** Warm + time a chunk of queries on a fresh session; returns
+    * (per-query results, warmup seconds). */
+  private def runChunk(sfDir: String, cpus: String, names: Seq[String])
+      : (Seq[(String, (Double, Boolean))], Double) = {
+    val spark = newSession(cpus)
+    val w0 = System.nanoTime()
+    names.foreach(n => consume(spark, sfDir, n))
+    val warmup = (System.nanoTime() - w0) / 1e9
+    val results = names.map(n => n -> consume(spark, sfDir, n))
+    spark.stop()
+    (results, warmup)
+  }
+
+  private def loadAvg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").take(3).mkString(",")
+    catch { case _: Throwable => "" }
+
+  /** Child mode: run one chunk, print machine-parsable lines, exit. */
+  private def childMain(sfDir: String, cpus: String, names: Seq[String]): Unit = {
+    val (results, warmup) = runChunk(sfDir, cpus, names)
+    results.foreach { case (n, (sec, ok)) => println(s"GRAFT_BENCH_Q\t$n\t$sec\t$ok") }
+    println(s"GRAFT_BENCH_WARMUP\t$warmup")
+  }
+
+  /** Spawn a child JVM (same java, flags, classpath) for one chunk; returns
+    * parsed results, or None if the spawn/parse failed. */
+  private def spawnChunk(sfDir: String, cpus: String, names: Seq[String])
+      : Option[(Seq[(String, (Double, Boolean))], Double)] =
+    try {
+      val javaBin = new java.io.File(new java.io.File(
+        System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      val jvmArgs = scala.jdk.CollectionConverters.ListHasAsScala(
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments).asScala
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xlog"))
+      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
+        "-cp", System.getProperty("java.class.path"), "graft.Bench")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("GRAFT_BENCH_CHILD", names.mkString(","))
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+      val rc = proc.waitFor()
+      if (rc != 0) { System.err.println(s"[bench] child exited rc=$rc"); return None }
+      val qs = out.collect { case l if l.startsWith("GRAFT_BENCH_Q\t") =>
+        val Array(_, n, sec, ok) = l.split("\t")
+        n -> (sec.toDouble, ok.toBoolean)
+      }
+      val warmup = out.collectFirst { case l if l.startsWith("GRAFT_BENCH_WARMUP\t") =>
+        l.split("\t")(1).toDouble
+      }.getOrElse(0.0)
+      if (qs.map(_._1) == names) Some((qs, warmup)) else None
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] child spawn failed: ${e.getMessage}")
+      None
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val chunkSize = 10
 
-    def newSession(): SparkSession = {
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      val s = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.extensions", "graft.ext.GraftExtensions")
-        .config("spark.sql.codegen.cache.maxEntries", "1000")
-        .getOrCreate()
-      s.sparkContext.setLogLevel("WARN")
-      s
-    }
-
-    def consume(spark: SparkSession, name: String): (Double, Boolean) = {
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          val rdd = SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd
-          rdd.foreachPartition(it => while (it.hasNext) it.next())
-          true
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+    sys.env.get("GRAFT_BENCH_CHILD") match {
+      case Some(list) =>
+        childMain(sfDir, cpus, list.split(",").toSeq)
+      case None =>
+        val loadBefore = loadAvg()
+        val names = SparkEntry.queries.keys.toSeq.sorted
+        val chunks = names.grouped(chunkSize).toSeq
+        var warmupTotal = 0.0
+        val results = chunks.flatMap { chunk =>
+          val (rs, w) = spawnChunk(sfDir, cpus, chunk)
+            .getOrElse(runChunk(sfDir, cpus, chunk)) // in-process fallback
+          warmupTotal += w
+          rs
         }
-      ((System.nanoTime() - t0) / 1e9, ok)
+        val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        val oks = results.map { case (k, (_, ok)) => "\"" + k + "\":" + ok }.mkString("{", ",", "}")
+        val total = results.map(_._2._1).sum
+        println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"warmup_sec":$warmupTotal,"loadavg_before":"$loadBefore","loadavg_after":"${loadAvg()}","methodology":"per-chunk fresh JVM at local[$cpus]: each child warms its $chunkSize queries untimed (Janino+JIT), then times a steady-state pass; JVM/session startup excluded","sf":"$sfDir"}""")
     }
-
-    val names = SparkEntry.queries.keys.toSeq.sorted
-
-    var spark = newSession()
-    val w0 = System.nanoTime()
-    names.foreach(n => consume(spark, n))
-    val warmupSec = (System.nanoTime() - w0) / 1e9
-
-    val results = names.grouped(chunkSize).flatMap { group =>
-      spark.stop()
-      spark = newSession()
-      group.map(n => n -> consume(spark, n))
-    }.toSeq
-
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val oks = results.map { case (k, (_, ok)) => "\"" + k + "\":" + ok }.mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"warmup_sec":$warmupSec,"methodology":"steady-state 2nd pass at local[$cpus]; session restart (fresh executor threads) every $chunkSize queries, restart time excluded; warmup pass pays one-time codegen compilation","sf":"$sfDir"}""")
-    spark.stop()
   }
 }
