@@ -305,6 +305,18 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
     }),
 
+    // Extension: IVF approximate top-k — coarse centroids, cell assignment,
+    // nprobe probing (the classic ANN scale shape; deterministic sampled
+    // centroids keep it oracle-expressible).
+    "sim_ivf_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.ops.Similarity.ivfTopK(
+          spread(s, emb), emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, centroidEvery = 25, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim"), 6).as("sim"))
+    }),
+
     // Extension: ANN near-dup pairs via banded sign-LSH (2 bands x 8 planes,
     // OR-amplified candidate union, exact-cosine verification).
     "sim_lsh_near_dup" -> ((s, dir) =>
@@ -522,6 +534,28 @@ object SparkEntry {
         |   * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(c.embedding)), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)), (a,b) -> a+b))) AS sim
         |  FROM e c, q WHERE c.vec_id != q.query_id),
         |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
+        |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin,
+
+    "sim_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 25 = 0),
+        |sims AS (SELECT e.vec_id, e.v, c.cent_id,
+        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(e.v)), i -> e.v[i]::DOUBLE * c.cv[i]::DOUBLE)), (x,y) -> x+y)
+        |  / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(e.v)), i -> e.v[i]::DOUBLE * e.v[i]::DOUBLE)), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(c.cv)), i -> c.cv[i]::DOUBLE * c.cv[i]::DOUBLE)), (x,y) -> x+y))) AS csim
+        |  FROM e, cent c),
+        |cells AS (SELECT vec_id, v, cent_id AS cell FROM
+        |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims)
+        |  WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, v AS qv, cent_id AS cell FROM
+        |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims WHERE vec_id < 10)
+        |  WHERE rn <= 4),
+        |scored AS (SELECT p.query_id, cl.vec_id AS neighbor_id,
+        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(p.qv)), i -> p.qv[i]::DOUBLE * cl.v[i]::DOUBLE)), (x,y) -> x+y)
+        |  / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(p.qv)), i -> p.qv[i]::DOUBLE * p.qv[i]::DOUBLE)), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(cl.v)), i -> cl.v[i]::DOUBLE * cl.v[i]::DOUBLE)), (x,y) -> x+y))) AS sim
+        |  FROM probes p JOIN cells cl ON p.cell = cl.cell WHERE cl.vec_id != p.query_id),
+        |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored)
         |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin,
 
     "sim_lsh_near_dup" ->

@@ -59,6 +59,66 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) approximate top-k — the classic ANN scale shape.
+    *
+    * Build: every `centroidEvery`-th corpus vector is a coarse centroid
+    * (deterministic, so the oracle can replicate; a production build swaps
+    * in k-means centroids — the search path is identical). Each corpus
+    * vector is assigned to its nearest centroid (its "cell") with ONE
+    * broadcast join + hash aggregate: the argmax is a map-side-combinable
+    * `max(struct(sim, -centroid_id))`, no shuffle of (n × C) rows.
+    * Search: each query probes only its `nprobe` nearest cells and ranks
+    * exact cosine inside them — per-query work is O(C + n·nprobe/C)
+    * instead of O(n), and recall is tuned by `nprobe`.
+    *
+    * At 100 TB: centroids are small (broadcast); the cells frame is the
+    * partitioned inverted file (in production, written bucketed by cell so
+    * the probe join is co-located); the probe join shuffles only on cell
+    * ids. Ties break on centroid/neighbor id so results are deterministic
+    * across partitionings and engines. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroidEvery: Int = 25,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val cos = cosineFor(corpus.sparkSession) _
+    val cent = corpus.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+
+    // cell assignment: nearest centroid per corpus vector (broadcast + agg)
+    val assigned = c.crossJoin(broadcast(cent))
+      .select(col("neighbor_id"), col("nvec"),
+        struct(cos(col("nvec"), col("cvec")).as("csim"),
+          (-col("cent_id")).as("neg_id")).as("cand"))
+      .groupBy(col("neighbor_id"), col("nvec"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("neighbor_id"), col("nvec"), (-col("best.neg_id")).as("cell"))
+
+    // probes: nprobe nearest centroids per query
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qvec"), col("cent_id"),
+        cos(col("qvec"), col("cvec")).as("csim"))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cent_id").as("cell"))
+
+    // exact cosine within probed cells, deterministic top-k
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    probes.join(assigned, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cos(col("qvec"), col("nvec")).as("sim"))
+      .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= k)
+  }
+
   /** Deterministic ±1 hyperplane components: sign_{j,i} = +1 iff the 60-bit
     * md5 hash of "j:i" is odd — the same family TextFunctions.hash60 /
     * the DuckDB oracle computes. */

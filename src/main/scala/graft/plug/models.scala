@@ -44,7 +44,13 @@ case class PlugRule(name: String, version: String, condition: String, actions: S
         fields.get(action.key) match {
           case None =>
             Some(validationError(s"""Field "${action.key}" not found in the schema."""))
-          case Some(dt) if RuleCompiler.coerceValue(action.value, dt).isFailure =>
+          // Backtick values bypass static type checking entirely (reference:
+          // PlugRule.scala:132-135 converts them without validation); parse
+          // errors in the SQL surface at the dry-run as "[SQL Error] ...",
+          // never here — coercing them statically would throw ParseException
+          // out of validate() instead of returning an error list.
+          case Some(dt) if !action.value.contains('`') &&
+              RuleCompiler.coerceValue(action.value, dt).isFailure =>
             Some(validationError(s"""Value "${action.value}" cannot be assigned to field ${action.key}."""))
           case _ => None
         }

@@ -84,6 +84,23 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup: drop records whose content fingerprint was
+    * already seen, with state bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark` evicts fingerprints older than the
+    * horizon — the streaming twin of [[graft.ops.Dedup.exactDedup]]).
+    * The 32-byte md5 fingerprint, not the document body, is what the
+    * dedup state stores and the shuffle carries. */
+  def dedupStream(
+      stream: DataFrame,
+      tsCol: String,
+      textCol: String,
+      watermarkDelay: String
+  ): DataFrame =
+    stream
+      .withColumn("fp", graft.ops.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Convenience sink for tests/demos: run a streaming frame into an
     * in-memory table and process everything currently available. */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): Unit = {

@@ -193,6 +193,37 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     rows.head.getDouble(2) shouldBe (2.0 / 6.0)
   }
 
+  it should "probe IVF cells and rank exact cosine within them" in {
+    // Two well-separated directions; centroids = every 2nd vector (ids 0,2).
+    // Query 1 probes both cells (nprobe=2) so IVF recall equals brute force
+    // here — ranks must match bruteForceTopK exactly.
+    val vecs = Seq(
+      Vec(0, Seq(1f, 0f)), Vec(1, Seq(0.95f, 0.05f)),
+      Vec(2, Seq(0f, 1f)), Vec(3, Seq(0.1f, 0.9f))
+    ).toDS.toDF()
+    val q = vecs.filter(col("vec_id") === 1)
+    val ivf = Similarity.ivfTopK(vecs, q, "vec_id", "embedding",
+        k = 3, centroidEvery = 2, nprobe = 2)
+      .orderBy("rank").collect()
+    val bf = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 3)
+      .orderBy("rank").collect()
+    ivf.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) shouldBe
+      bf.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+  }
+
+  it should "prune unprobed IVF cells" in {
+    val vecs = Seq(
+      Vec(0, Seq(1f, 0f)), Vec(1, Seq(0.95f, 0.05f)),
+      Vec(2, Seq(0f, 1f)), Vec(3, Seq(0.1f, 0.9f))
+    ).toDS.toDF()
+    val q = vecs.filter(col("vec_id") === 1)
+    // nprobe=1: only the x-axis cell (centroid 0) is searched; the y-axis
+    // vectors never appear even though k would admit them
+    val out = Similarity.ivfTopK(vecs, q, "vec_id", "embedding",
+        k = 3, centroidEvery = 2, nprobe = 1).collect()
+    out.map(_.getLong(1)).toSet shouldBe Set(0L)
+  }
+
   it should "find pairs in any band under banded sign-LSH" in {
     val vecs = Seq(
       Vec(0, Seq.fill(8)(1f)), Vec(1, Seq.fill(8)(0.99f)), Vec(2, Seq.fill(8)(-1f))

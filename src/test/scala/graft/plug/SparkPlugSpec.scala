@@ -82,6 +82,16 @@ class SparkPlugSpec extends AnyFlatSpec with Matchers {
     err.error should startWith("[SQL Error]")
   }
 
+  it should "report malformed backtick SQL via the dry-run, not a thrown ParseException" in {
+    val rules = List(PlugRule("rule1", "v1", "title like '%iPhone%'",
+      Seq(PlugAction("title", "`concat(brand,`"))))
+    val out = SparkPlug.builder(spark).enableRulesValidation.create().plug(df, rules)
+    out.isLeft shouldBe true
+    val err = out.swap.toOption.get.head
+    err.name shouldBe "rule1"
+    err.error should startWith("[SQL Error]")
+  }
+
   it should "apply rules sequentially, each seeing the previous output" in {
     val rules = List(
       PlugRule("rule1", "v1", "title like '%iPhone%'",

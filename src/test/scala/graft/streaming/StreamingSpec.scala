@@ -51,6 +51,21 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
       ("2024-01-01 10:00:00", 2L, 3.0))
   }
 
+  it should "dedup a stream by content fingerprint within the watermark" in {
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(t("2024-01-01 10:00:00"), 1, "same  text", 1.0),
+      Ev(t("2024-01-01 10:01:00"), 2, "SAME TEXT", 2.0), // fingerprint dup
+      Ev(t("2024-01-01 10:02:00"), 3, "different text", 3.0))
+    val deduped = StreamingOps.dedupStream(in.toDF(), "ts", "event_type", "10 minutes")
+    StreamingOps.runToMemory(deduped, "dedup_out", OutputMode.Append)
+    val users = spark.table("dedup_out").select("user_id").as[Long].collect().sorted
+    // exactly one of the two fingerprint-equal rows survives, plus user 3
+    users.length shouldBe 2
+    users should contain(3L)
+    Set(1L, 2L) should contain(users.min)
+  }
+
   it should "keep running user totals across micro-batches via mapGroupsWithState" in {
     val in = MemoryStream[Ev]
     // idleTimeout=None: a processing-time timeout would schedule no-data
