@@ -331,6 +331,12 @@ object SparkEntry {
       graft.ops.Multimodal.decodeBatched(
         graft.ops.Multimodal.asMedia(table(s, dir, "documents"), "doc_id", "text")).toDF()),
 
+    // Extension: multimodal audio — text wrapped as real PCM WAV files,
+    // decoded by walking the RIFF chunks (rate/channels/bits/duration).
+    "multimodal_audio_decode" -> ((s, dir) =>
+      graft.ops.Multimodal.decodeAudioBatched(
+        graft.ops.Multimodal.asAudio(table(s, dir, "documents"), "doc_id", "text")).toDF()),
+
     // Extension: tumbling-window aggregation with order-independent sums
     // (double sums go through DECIMAL so partial-agg order can't change bits).
     "events_window_agg" -> ((s, dir) =>
@@ -584,6 +590,16 @@ object SparkEntry {
         |  3 AS channels,
         |  lower(hex(substr(text, 1, 4))) AS feature
         |FROM d""".stripMargin,
+
+    "multimodal_audio_decode" ->
+      """SELECT doc_id AS id,
+        |  CAST(44 + strlen(text) * 2 AS INTEGER) AS byte_len,
+        |  CAST(8000 + (strlen(text) % 8) * 1000 AS INTEGER) AS sample_rate,
+        |  1 AS channels,
+        |  16 AS bits_per_sample,
+        |  CAST(strlen(text) AS BIGINT) AS n_samples,
+        |  CAST(strlen(text) * 1000 // (8000 + (strlen(text) % 8) * 1000) AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
 
     "events_window_agg" ->
       """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start_ms, event_type,

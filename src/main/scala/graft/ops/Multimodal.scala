@@ -11,9 +11,14 @@ import org.apache.spark.sql.functions._
   * without touching bytes. */
 case class MediaRecord(id: Long, payload: Array[Byte], kind: String)
 
-/** Output of the decoder. */
+/** Output of the image decoder. */
 case class DecodedMedia(
     id: Long, byte_len: Int, width: Int, height: Int, channels: Int, feature: String)
+
+/** Output of the audio decoder. */
+case class DecodedAudio(
+    id: Long, byte_len: Int, sample_rate: Int, channels: Int, bits_per_sample: Int,
+    n_samples: Long, duration_ms: Long)
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * processed in partition-local batches.
@@ -83,6 +88,83 @@ object Multimodal {
       f"${b & 0xff}%02x"
     }.mkString
     (width, height, bpp / 8, feature)
+  }
+
+  /** Build a minimal valid PCM WAV (RIFF) file: 16-bit mono at a sample
+    * rate derived from the content length, samples = content bytes widened
+    * to 16 bits. */
+  def toWav(content: Array[Byte]): Array[Byte] = {
+    val sampleRate = 8000 + (content.length % 8) * 1000
+    val nSamples = content.length
+    val dataSize = nSamples * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+    buf.putInt(36 + dataSize)            // RIFF chunk size
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII"))
+    buf.putInt(16)                       // fmt chunk size (PCM)
+    buf.putShort(1)                      // audio format = PCM
+    buf.putShort(1)                      // channels = mono
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * 2)           // byte rate = rate * channels * 2
+    buf.putShort(2)                      // block align
+    buf.putShort(16)                     // bits per sample
+    buf.put("data".getBytes("US-ASCII"))
+    buf.putInt(dataSize)
+    var i = 0
+    while (i < nSamples) { buf.putShort((content(i) & 0xff).toShort); i += 1 }
+    buf.array()
+  }
+
+  /** REAL WAV/RIFF header decode (pure JVM): validates RIFF/WAVE magic,
+    * walks to the fmt chunk, reads rate/channels/bits, and derives the
+    * sample count and duration from the data chunk size. */
+  def decodeWav(payload: Array[Byte]): DecodedAudio = {
+    require(payload.length >= 44 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
+      payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E',
+      s"not a WAV payload (${payload.length} bytes)")
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var rate = 0; var channels = 0; var bits = 0; var dataSize = -1L
+    while (pos + 8 <= payload.length && (rate == 0 || dataSize < 0)) {
+      val id = new String(payload, pos, 4, "US-ASCII")
+      val size = buf.getInt(pos + 4)
+      id match {
+        case "fmt " =>
+          channels = buf.getShort(pos + 10).toInt
+          rate = buf.getInt(pos + 12)
+          bits = buf.getShort(pos + 22).toInt
+        case "data" => dataSize = size.toLong
+        case _ => ()
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    require(rate > 0 && dataSize >= 0, "WAV missing fmt or data chunk")
+    val nSamples = dataSize / (channels * bits / 8)
+    DecodedAudio(0L, payload.length, rate, channels, bits, nSamples,
+      nSamples * 1000L / rate)
+  }
+
+  /** Batched audio decode — same partition-local batching seam as
+    * [[decodeBatched]]. */
+  def decodeAudioBatched(ds: Dataset[MediaRecord]): Dataset[DecodedAudio] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map(r => decodeWav(r.payload).copy(id = r.id))
+      }
+    }
+  }
+
+  /** Wrap a text table as WAV media records (see [[toWav]]). */
+  def asAudio(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRecord(id, toWav(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), "audio")
+      }
   }
 
   /** Batched decode over partitions: no shuffle, no driver involvement;

@@ -10,10 +10,14 @@ import scala.util.Try
 case class SparkPlugDetails(column: String, appender: AuditAppender)
 
 /** Lineage-control config: `repartition(numberOfPartitions)` every
-  * `rulesPerStage` rules, `checkpoint()` every `2*rulesPerStage` rules —
+  * `rulesPerStage` rules, checkpoint every `2*rulesPerStage` rules —
   * same cadence as the reference (SparkPlug.scala:109-122). Needed for
-  * 100+-rule chains where Catalyst analysis time grows with plan depth. */
-case class SparkPlugCheckpointDetails(checkpointDir: String, rulesPerStage: Int, numberOfPartitions: Int)
+  * 100+-rule chains where Catalyst analysis time grows with plan depth.
+  * With `checkpointDir` set the checkpoint is reliable (HDFS/object-store
+  * durable, survives executor loss); with None it is `localCheckpoint()` —
+  * same lineage truncation without the remote write, the right default for
+  * lineage control alone. */
+case class SparkPlugCheckpointDetails(checkpointDir: Option[String], rulesPerStage: Int, numberOfPartitions: Int)
 
 /** Rule-based data-override ("plugging") engine, Spark-4-native.
   *
@@ -39,7 +43,8 @@ case class SparkPlug(
     isKeepOldField: Boolean
 )(implicit val spark: SparkSession) {
 
-  checkpointDetails.foreach(cd => spark.sparkContext.setCheckpointDir(cd.checkpointDir))
+  checkpointDetails.flatMap(_.checkpointDir)
+    .foreach(dir => spark.sparkContext.setCheckpointDir(dir))
 
   /** Observation handle attached by the most recent [[plug]] call when
     * accumulators are enabled (one fresh handle per call — an Observation
@@ -126,7 +131,10 @@ case class SparkPlug(
     checkpointDetails.fold(in) { cd =>
       val repartitioned =
         if ((ruleNumber + 1) % cd.rulesPerStage == 0) in.repartition(cd.numberOfPartitions) else in
-      if ((ruleNumber + 1) % (2 * cd.rulesPerStage) == 0) repartitioned.checkpoint() else repartitioned
+      if ((ruleNumber + 1) % (2 * cd.rulesPerStage) == 0) {
+        if (cd.checkpointDir.isDefined) repartitioned.checkpoint()
+        else repartitioned.localCheckpoint()
+      } else repartitioned
     }
 }
 
@@ -146,8 +154,15 @@ case class SparkPlugBuilder(
 
   def enableRulesValidation: SparkPlugBuilder = copy(isValidateRulesEnabled = true)
 
+  /** Reliable checkpointing to `checkpointDir` (reference-parity API). */
   def enableCheckpointing(checkpointDir: String, rulesPerStage: Int, numberOfPartitions: Int): SparkPlugBuilder =
-    copy(checkpointDetails = Some(SparkPlugCheckpointDetails(checkpointDir, rulesPerStage, numberOfPartitions)))
+    copy(checkpointDetails = Some(SparkPlugCheckpointDetails(Some(checkpointDir), rulesPerStage, numberOfPartitions)))
+
+  /** Lineage truncation via `localCheckpoint()` — no checkpoint dir or
+    * remote write; sufficient (and faster) when staging exists only to
+    * bound Catalyst plan growth on long rule chains. */
+  def enableLocalCheckpointing(rulesPerStage: Int, numberOfPartitions: Int): SparkPlugBuilder =
+    copy(checkpointDetails = Some(SparkPlugCheckpointDetails(None, rulesPerStage, numberOfPartitions)))
 
   /** Changed-row counting; auto-couples plug details like the reference
     * (SparkPlug.scala:148-149). */

@@ -256,6 +256,45 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       Multimodal.decodePayload("not a bitmap".getBytes("UTF-8"))
   }
 
+  it should "round-trip a real WAV header through encode and decode" in {
+    val content = "hello world".getBytes("UTF-8") // 11 bytes
+    val wav = Multimodal.toWav(content)
+    new String(wav, 0, 4, "US-ASCII") shouldBe "RIFF"
+    val a = Multimodal.decodeWav(wav)
+    a.byte_len shouldBe 44 + 22
+    a.sample_rate shouldBe 8000 + (11 % 8) * 1000
+    a.channels shouldBe 1
+    a.bits_per_sample shouldBe 16
+    a.n_samples shouldBe 11L
+    a.duration_ms shouldBe 11L * 1000 / a.sample_rate
+  }
+
+  it should "decode audio batches with intact schema" in {
+    val docs = Seq(Doc(7, "abc", "s")).toDS.toDF()
+    val out = Multimodal.decodeAudioBatched(Multimodal.asAudio(docs, "doc_id", "text"))
+      .collect()
+    out shouldBe Array(DecodedAudio(7, 44 + 6, 11000, 1, 16, 3, 3 * 1000 / 11000))
+  }
+
+  it should "reject non-WAV payloads" in {
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeWav(Multimodal.toBmp("x".getBytes))
+  }
+
+  behavior of "empty inputs"
+
+  it should "return empty results, not errors, across the dedup and similarity ops" in {
+    val docs = spark.emptyDataset[Doc].toDF()
+    val vecs = spark.emptyDataset[Vec].toDF()
+    Dedup.exactDedup(docs, "doc_id", "text").count() shouldBe 0
+    Dedup.minhashNearDupPairs(docs, "doc_id", "text").count() shouldBe 0
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source").count() shouldBe 0
+    Dedup.simhashNearDupPairs(docs, "doc_id", "text").count() shouldBe 0
+    Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 5).count() shouldBe 0
+    Similarity.lshCosineNearDupPairs(vecs, "vec_id", "embedding", dim = 8).count() shouldBe 0
+    Similarity.ivfTopK(vecs, vecs, "vec_id", "embedding", k = 5).count() shouldBe 0
+  }
+
   it should "decode payload batches with intact schema" in {
     val docs = Seq(Doc(1, "hello", "s"), Doc(2, "x" * 1000, "s")).toDS.toDF()
     val out = Multimodal.decodeBatched(Multimodal.asMedia(docs, "doc_id", "text"))

@@ -208,6 +208,17 @@ class SparkPlugSpec extends AnyFlatSpec with Matchers {
     out.rdd.getNumPartitions shouldBe 2
   }
 
+  it should "truncate lineage with localCheckpoint when no dir is configured" in {
+    val rules = List(
+      PlugRule("rule1", "v1", "title like '%iPhone%'", Seq(PlugAction("price", "1000"))),
+      PlugRule("rule2", "v1", "title like '%Galaxy%'", Seq(PlugAction("price", "500"))))
+    val out = SparkPlug.builder(spark).enableLocalCheckpointing(1, 2).create()
+      .plug(df, rules).toOption.get
+    val rows = out.as[TestRow].collect().sortBy(_.title)
+    rows.map(_.price).toSeq shouldBe Seq(500, 1000)
+    out.rdd.getNumPartitions shouldBe 2
+  }
+
   it should "fail fast on a missing action field when validation is off" in {
     // The reference also fails (unresolved column at analysis); we raise the
     // validation message instead of silently adding a new column.
