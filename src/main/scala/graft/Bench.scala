@@ -127,20 +127,32 @@ object Bench {
       case Some(list) =>
         childMain(sfDir, cpus, list.split(",").toSeq)
       case None =>
+        val repeats = sys.env.getOrElse("GRAFT_BENCH_REPEATS", "3").toInt
         val loadBefore = loadAvg()
         val names = SparkEntry.queries.keys.toSeq.sorted
         val chunks = names.grouped(chunkSize).toSeq
         var warmupTotal = 0.0
+        // Each chunk runs `repeats` times, each time in its own fresh JVM;
+        // the reported per-query time is the MEDIAN across runs (robust to
+        // a transient co-tenant CPU spike or a degenerate JVM hitting one
+        // run), ok = every run succeeded.
         val results = chunks.flatMap { chunk =>
-          val (rs, w) = spawnChunk(sfDir, cpus, chunk)
-            .getOrElse(runChunk(sfDir, cpus, chunk)) // in-process fallback
-          warmupTotal += w
-          rs
+          val runs = (1 to repeats).map { _ =>
+            val (rs, w) = spawnChunk(sfDir, cpus, chunk)
+              .getOrElse(runChunk(sfDir, cpus, chunk)) // in-process fallback
+            warmupTotal += w
+            rs.toMap
+          }
+          chunk.map { n =>
+            val times = runs.map(_(n)._1).sorted
+            val ok = runs.forall(_(n)._2)
+            n -> (times(times.size / 2), ok)
+          }
         }
         val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
         val oks = results.map { case (k, (_, ok)) => "\"" + k + "\":" + ok }.mkString("{", ",", "}")
         val total = results.map(_._2._1).sum
-        println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"warmup_sec":$warmupTotal,"loadavg_before":"$loadBefore","loadavg_after":"${loadAvg()}","methodology":"per-chunk fresh JVM at local[$cpus]: each child warms its $chunkSize queries untimed (Janino+JIT), then times a steady-state pass; JVM/session startup excluded","sf":"$sfDir"}""")
+        println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"warmup_sec":$warmupTotal,"loadavg_before":"$loadBefore","loadavg_after":"${loadAvg()}","methodology":"per-chunk fresh JVMs at local[$cpus]: each child warms its $chunkSize queries untimed (Janino+JIT) then times a steady-state pass; per-query time = median over $repeats fresh-JVM runs; JVM/session startup excluded","sf":"$sfDir"}""")
     }
   }
 }

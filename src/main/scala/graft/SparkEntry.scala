@@ -346,6 +346,15 @@ object SparkEntry {
     "events_sessionize" -> ((s, dir) =>
       graft.ops.EventOps.sessionize(events(s, dir), "user_id", "ts", 30 * 60 * 1000L)),
 
+    // Extension: per-key numeric value profile (data-quality stats with
+    // order-independent DECIMAL sums and the exact interpolated median).
+    "events_value_profile" -> ((s, dir) =>
+      graft.ops.EventOps.valueProfile(events(s, dir), "event_type", "value")
+        .select(col("event_type"), col("n"), col("n_null"),
+          round(col("vmin"), 6).as("vmin"), round(col("vmax"), 6).as("vmax"),
+          col("vsum"), round(col("vavg"), 6).as("vavg"),
+          round(col("p50"), 6).as("p50"))),
+
     // Extension: exact per-key cardinality (oracle-checked half of the
     // profile; the HLL estimate below is checked rows-only).
     "events_distinct_by_type" -> ((s, dir) =>
@@ -620,6 +629,17 @@ object SparkEntry {
 
     "events_distinct_by_type" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS nd_exact
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "events_value_profile" ->
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT) AS n_null,
+        |  round(min(value), 6) AS vmin,
+        |  round(max(value), 6) AS vmax,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vsum,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS vavg,
+        |  round(quantile_cont(value, 0.5), 6) AS p50
         |FROM events GROUP BY 1""".stripMargin,
 
     // HLL bit patterns differ across engines; the oracle asserts the

@@ -60,6 +60,26 @@ object EventOps {
         max(col("ts_ms")).as("end_ms"))
   }
 
+  /** Per-key numeric profile for data-quality checks: counts, null counts,
+    * min/max, and DECIMAL-routed sum/mean (partial-aggregation-order
+    * independent — a plain sum(double) is nondeterministic across
+    * partitionings), plus the exact interpolated median. One shuffle on the
+    * key with map-side partial aggregation; the median is the only
+    * full-values aggregate (swap in approx_percentile at scales where
+    * holding a key's values is unreasonable). */
+  def valueProfile(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val decSum = sum(col(valueCol).cast(DecimalType(18, 6)))
+    df.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(valueCol).isNull, 1L).otherwise(0L)).as("n_null"),
+        min(col(valueCol)).as("vmin"),
+        max(col(valueCol)).as("vmax"),
+        decSum.cast("double").as("vsum"),
+        (decSum.cast("double") / count(lit(1))).as("vavg"),
+        percentile(col(valueCol), lit(0.5)).as("p50"))
+  }
+
   /** Per-key cardinality profile: exact distinct plus HyperLogLog estimate
     * (the scale path — approx_count_distinct aggregates constant-size
     * sketches instead of shuffling the full distinct key set). */

@@ -164,6 +164,23 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out.map(r => (r.getLong(2), r.getDouble(3))) shouldBe Array((2L, 0.3), (1L, 0.4))
   }
 
+  it should "profile numeric values with order-independent sums and exact median" in {
+    val ev = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "t", 1.0),
+      (ts("2024-01-01 10:01:00"), 2L, "t", 2.0),
+      (ts("2024-01-01 10:02:00"), 3L, "t", 4.0),
+      (ts("2024-01-01 10:03:00"), 4L, "t", 10.0)
+    ).toDF("ts", "user_id", "event_type", "value")
+    val r = EventOps.valueProfile(ev, "event_type", "value").collect().head
+    r.getLong(1) shouldBe 4L          // n
+    r.getLong(2) shouldBe 0L          // n_null
+    r.getDouble(3) shouldBe 1.0       // vmin
+    r.getDouble(4) shouldBe 10.0      // vmax
+    r.getDouble(5) shouldBe 17.0      // vsum
+    r.getDouble(6) shouldBe 4.25      // vavg
+    r.getDouble(7) shouldBe 3.0       // p50: interpolated between 2 and 4
+  }
+
   it should "profile cardinality with exact and approximate distincts" in {
     val ev = (1 to 100).map(i => (ts("2024-01-01 10:00:00"), (i % 10).toLong, "t", 1.0))
       .toDF("ts", "user_id", "event_type", "value")
