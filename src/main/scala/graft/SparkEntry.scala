@@ -101,6 +101,17 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
     }),
 
+    // §2.2 delegated expression surface: date + math functions pass through
+    // the condition and backtick-value paths verbatim (the accepted input
+    // language is all of Spark SQL's scalar surface).
+    "plug_date_math_passthrough" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val rule = PlugRule("rdm", "v1", "year(o_orderdate) >= 1997 and o_totalprice > 200000",
+        Seq(PlugAction("o_totalprice", "`o_totalprice * 1.1`")))
+      plugged(table(s, dir, "orders"), List(rule))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    }),
+
     // O11: keepOldField retains pre-rule values as <col>_<rule>_old.
     "plug_keep_old_field" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -404,6 +415,12 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, l_returnflag,
         |  CASE WHEN l_returnflag = 'D' AND l_tax > 0.03 THEN 'X' ELSE l_linestatus END AS l_linestatus
         |FROM s1""".stripMargin,
+
+    "plug_date_math_passthrough" ->
+      """SELECT o_orderkey,
+        |CASE WHEN year(o_orderdate) >= 1997 AND o_totalprice > 200000
+        |     THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
+        |o_orderstatus FROM orders""".stripMargin,
 
     "plug_keep_old_field" ->
       """SELECT l_orderkey, l_linenumber,
