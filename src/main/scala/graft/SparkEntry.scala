@@ -233,6 +233,19 @@ object SparkEntry {
         lit(out.rdd.getNumPartitions).as("n_partitions"))
     }),
 
+    // Integration: plug rules over the documents corpus — the rule engine
+    // and the pipeline ops share tables; a backtick regexp value scrubs
+    // digits from short English docs (regex functions pass through like
+    // any other Spark SQL scalar).
+    "plug_scrub_documents" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val rule = PlugRule("scrub", "v1", "lang = 'en' and length(text) < 300",
+        Seq(PlugAction("text", "`regexp_replace(text, '[0-9]+', '<num>')`")))
+      plugged(table(s, dir, "documents"), List(rule))
+        .select(col("doc_id"), col("lang"),
+          graft.ops.TextFunctions.md5For(s)(col("text")).as("text_md5"))
+    }),
+
     // Extension: token counting + document fingerprinting (rolling md5).
     "text_token_stats" -> ((s, dir) => {
       import graft.ops.TextFunctions._
@@ -461,6 +474,12 @@ object SparkEntry {
 
     "plug_staging_partitions" ->
       """SELECT 'stage' AS name, 7 AS n_partitions""",
+
+    "plug_scrub_documents" ->
+      """SELECT doc_id, lang,
+        |md5(CASE WHEN lang = 'en' AND length(text) < 300
+        |    THEN regexp_replace(text, '[0-9]+', '<num>', 'g') ELSE text END) AS text_md5
+        |FROM documents""".stripMargin,
 
     "text_token_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)

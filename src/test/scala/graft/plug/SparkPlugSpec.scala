@@ -208,6 +208,20 @@ class SparkPlugSpec extends AnyFlatSpec with Matchers {
     out.rdd.getNumPartitions shouldBe 2
   }
 
+  it should "be idempotent when reapplied to its own output" in {
+    val rules = List(PlugRule("rule1", "v1", "price > 250", Seq(PlugAction("price", "100"))))
+    val plug = SparkPlug.builder(spark).create()
+    val once = plug.plug(df, rules).toOption.get
+    val twice = plug.plug(once, rules).toOption.get
+    twice.collect() should contain theSameElementsAs once.collect()
+  }
+
+  it should "leave non-matching rows bit-identical" in {
+    val rules = List(PlugRule("rule1", "v1", "false", Seq(PlugAction("price", "100"))))
+    val out = SparkPlug.builder(spark).create().plug(df, rules).toOption.get
+    out.collect() should contain theSameElementsAs df.collect()
+  }
+
   it should "truncate lineage with localCheckpoint when no dir is configured" in {
     val rules = List(
       PlugRule("rule1", "v1", "title like '%iPhone%'", Seq(PlugAction("price", "1000"))),
