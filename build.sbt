@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit the forked JVM's stdout/stderr directly instead of routing them
+// through sbt's logger: the logger prefixes every line with [info]/[error]
+// and interleaves streams, which corrupts the single machine-parsed JSON
+// line Bench prints for the driver (the driver reads only the tail of the
+// combined output).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
