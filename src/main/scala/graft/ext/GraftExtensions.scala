@@ -51,5 +51,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
       MinHashSig(args(0), k)
     }))
+    ext.injectFunction(fn("graft_lsh_bucket", 4, args => {
+      def intLit(e: Expression, what: String): Int = e match {
+        case Literal(v: Int, IntegerType) => v
+        case _ => throw new IllegalArgumentException(
+          s"graft_lsh_bucket: $what must be an integer literal")
+      }
+      SignLshBucket(args(0),
+        intLit(args(1), "planes"), intLit(args(2), "dim"), intLit(args(3), "firstPlane"))
+    }))
   }
 }

@@ -1,10 +1,12 @@
 package graft.ext
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 private[ext] trait FloatArrayArgs { self: BinaryExpression =>
   def checkFloatArrays(name: String): TypeCheckResult = {
@@ -67,6 +69,90 @@ case class DotProductDouble(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** Sign-LSH bucket id in one fused pass: all `planes` dot products against
+  * the deterministic md5-parity hyperplanes (family
+  * [[graft.ops.Similarity.hyperplaneSigns]], planes `firstPlane ..
+  * firstPlane+planes-1`) are accumulated per plane in element order, so
+  * every per-plane sum is bit-identical to the higher-order-function
+  * formulation in [[graft.ops.Similarity.lshBucket]] (strict left fold) and
+  * to the DuckDB oracle's `list_reduce`.
+  *
+  * The HOF route evaluates `planes` interpreted CodegenFallback folds per
+  * row (planes × dim element evals); this kernel is one tight generated
+  * loop. NULL or wrong-length vectors map to bucket -1 — same as the HOF
+  * form — keeping the output NON-NULLABLE so the bucket equi-join can't
+  * infer an IsNotNull constraint that would clone the whole computation
+  * into a pre-exchange Filter. */
+case class SignLshBucket(child: Expression, planes: Int, dim: Int, firstPlane: Int)
+    extends UnaryExpression {
+
+  require(planes > 0 && planes <= 30, "graft_lsh_bucket: planes must be in [1,30]")
+
+  @transient private lazy val signs: Array[Array[Double]] = {
+    val all = graft.ops.Similarity.hyperplaneSigns(firstPlane + planes, dim)
+    (0 until planes).map(j => all(firstPlane + j).toArray).toArray
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_lsh_bucket"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return -1
+    val x = v.asInstanceOf[ArrayData]
+    if (x.numElements() != dim) return -1
+    var b = 0
+    var j = 0
+    while (j < planes) {
+      val s = signs(j)
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc += x.getFloat(i).toDouble * s(i); i += 1 }
+      if (acc >= 0.0) b |= 1 << j
+      j += 1
+    }
+    b
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("lshSigns", signs, "double[][]")
+    val c = child.genCode(ctx)
+    val nullGuard = if (child.nullable) s"!${c.isNull} && " else ""
+    val b = ctx.freshName("lshBits")
+    val s = ctx.freshName("lshSgn")
+    val acc = ctx.freshName("lshAcc")
+    val i = ctx.freshName("lshI")
+    val j = ctx.freshName("lshJ")
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |int ${ev.value} = -1;
+        |if ($nullGuard${c.value}.numElements() == $dim) {
+        |  int $b = 0;
+        |  for (int $j = 0; $j < $planes; $j++) {
+        |    double[] $s = $signsRef[$j];
+        |    double $acc = 0.0;
+        |    for (int $i = 0; $i < $dim; $i++) {
+        |      $acc += (double) ${c.value}.getFloat($i) * $s[$i];
+        |    }
+        |    if ($acc >= 0.0) $b |= 1 << $j;
+        |  }
+        |  ${ev.value} = $b;
+        |}
+      """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** One-pass cosine similarity: accumulates dot(a,b), |a|² and |b|² in a

@@ -136,15 +136,25 @@ object Similarity {
     * Plane components are plan literals — nothing is shipped at runtime. */
   def lshBucket(vec: Column, planes: Int, dim: Int, firstPlane: Int = 0): Column = {
     val signs = hyperplaneSigns(firstPlane + planes, dim)
-    // coalesce marks the bucket non-nullable so the bucket equi-join can't
-    // infer an IsNotNull constraint that would clone all `planes` dot
-    // products into a pre-exchange Filter (see Dedup.bandKeys).
-    coalesce(
-      (0 until planes).map { j =>
-        when(dotDouble(vec, typedlit(signs(firstPlane + j))) >= 0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _),
-      lit(-1))
+    val bits = (0 until planes).map { j =>
+      when(dotDouble(vec, typedlit(signs(firstPlane + j))) >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    // NULL / wrong-length vectors map to bucket -1 (matching the codegen'd
+    // graft_lsh_bucket kernel); coalesce marks the bucket non-nullable so
+    // the bucket equi-join can't infer an IsNotNull constraint that would
+    // clone all `planes` dot products into a pre-exchange Filter (see
+    // Dedup.bandKeys).
+    coalesce(when(vec.isNotNull && size(vec) === dim, bits), lit(-1))
   }
+
+  /** lshBucket via the codegen'd one-pass kernel when graft.ext.GraftExtensions
+    * is registered, else the portable HOF form — per-plane sums accumulate in
+    * identical element order, so buckets are bit-identical. */
+  def lshBucketFor(spark: org.apache.spark.sql.SparkSession)(
+      vec: Column, planes: Int, dim: Int, firstPlane: Int = 0): Column =
+    if (spark.catalog.functionExists("graft_lsh_bucket"))
+      call_function("graft_lsh_bucket", vec, lit(planes), lit(dim), lit(firstPlane))
+    else lshBucket(vec, planes, dim, firstPlane)
 
   /** Approximate cosine near-dup pairs: banded sign-LSH with OR-amplification.
     *
@@ -168,11 +178,12 @@ object Similarity {
       bands: Int = 1,
       threshold: Double = 0.3
   ): DataFrame = {
+    val bucketOf = lshBucketFor(df.sparkSession) _
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val banded = vecs.select(col("id"), col("v"),
       explode(array((0 until bands).map(t =>
         struct(lit(t).as("band"),
-          lshBucket(col("v"), planes, dim, firstPlane = t * planes).as("bucket"))): _*)).as("tb"))
+          bucketOf(col("v"), planes, dim, t * planes).as("bucket"))): _*)).as("tb"))
       .select(col("id"), col("tb.band").as("band"), col("tb.bucket").as("bucket"))
     val cand = banded.as("a")
       .join(banded.as("b"),

@@ -113,6 +113,31 @@ class ExtSpec extends AnyFlatSpec with Matchers {
       .select(expr("graft_json_get(j, 'k')")).collect().head.isNullAt(0) shouldBe true
   }
 
+  it should "match the HOF sign-LSH bucket bit for bit" in {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = df.select(
+      expr("graft_lsh_bucket(embedding, 8, 64, 0)").as("k0"),
+      Similarity.lshBucket(col("embedding"), 8, 64, firstPlane = 0).as("h0"),
+      expr("graft_lsh_bucket(embedding, 8, 64, 8)").as("k1"),
+      Similarity.lshBucket(col("embedding"), 8, 64, firstPlane = 8).as("h1")
+    ).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      r.getInt(0) shouldBe r.getInt(1)
+      r.getInt(2) shouldBe r.getInt(3)
+    }
+    // NULL and wrong-length vectors land in bucket -1 on both routes
+    val edge = Seq((Option.empty[Seq[Float]], Some(Seq(1f, 2f))))
+      .toDF("nv", "shortv")
+    val e = edge.select(
+      expr("graft_lsh_bucket(nv, 8, 64, 0)").as("kn"),
+      Similarity.lshBucket(col("nv"), 8, 64).as("hn"),
+      expr("graft_lsh_bucket(shortv, 8, 64, 0)").as("km"),
+      Similarity.lshBucket(col("shortv"), 8, 64).as("hm")
+    ).collect().head
+    (0 until 4).foreach(i => e.getInt(i) shouldBe -1)
+  }
+
   it should "stay inside whole-stage codegen" in {
     // literals would constant-fold into a LocalTableScan; use a real scan
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -123,5 +148,10 @@ class ExtSpec extends AnyFlatSpec with Matchers {
     plan should include ("*(1) Project [graft_cosine")
     // self-cosine of a non-zero vector is exactly 1 up to rounding
     df.limit(5).collect().foreach(_.getDouble(0) shouldBe 1.0 +- 1e-12)
+    // the LSH bucket kernel must also stay codegen'd
+    val bplan = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(expr("graft_lsh_bucket(embedding, 8, 64, 0)").as("b"))
+      .queryExecution.executedPlan.toString
+    bplan should include ("*(1) Project [graft_lsh_bucket")
   }
 }
