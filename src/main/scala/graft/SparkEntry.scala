@@ -320,6 +320,38 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       graft.ops.Dedup.simhashNearDupPairs(spread(s, table(s, dir, "documents")), "doc_id", "text")),
 
+    // Extension: connected-components clustering over verified MinHash
+    // near-dup pairs — pairwise verdicts → per-document cluster id + the
+    // keeper flag (min-label propagation, one shuffle per round).
+    "dedup_cluster_cc" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = graft.ops.Dedup
+        .minhashNearDupPairs(spread(s, docs), "doc_id", "text")
+        .filter(col("is_dup"))
+      graft.ops.Components.dedupClusters(docs, "doc_id", pairs, "a_id", "b_id")
+    }),
+
+    // Extension: deterministic hash sampling (10% = first 1000 of 10000
+    // md5 buckets) — reproducible across engines and partitionings.
+    "docs_hash_sample" -> ((s, dir) =>
+      graft.ops.Corpus.hashSample(
+        table(s, dir, "documents").select("doc_id", "lang", "source"),
+        "doc_id", keep = 1000)),
+
+    // Extension: per-(document, term) TF-IDF with smoothed idf.
+    "text_tfidf" -> ((s, dir) =>
+      graft.ops.Corpus.tfidf(table(s, dir, "documents"), "doc_id", "text")),
+
+    // Extension: train/test n-gram contamination (every 20th doc is the
+    // held-out set; union containment against the rest of the corpus).
+    "text_contamination" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.ops.Corpus.contamination(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text")
+    }),
+
     // Extension: exact cosine top-k via broadcast queries + window group limit.
     "sim_topk_bruteforce" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -550,6 +582,54 @@ object SparkEntry {
         |  len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard,
         |  len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.7 AS is_dup
         |FROM cand c JOIN sh sa ON c.a_id = sa.doc_id JOIN sh sb ON c.b_id = sb.doc_id""".stripMargin,
+
+    "dedup_cluster_cc" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(0, greatest(len(toks)-3, 0)), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM t),
+        |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 15), k -> list_min(list_transform(sh, x -> (('0x'||substr(md5(x),1,7))::UBIGINT)::BIGINT + k * (('0x'||substr(md5(x),8,7))::UBIGINT)::BIGINT))) AS sig FROM sh),
+        |bands AS (SELECT doc_id, j, md5(j::VARCHAR||':'||array_to_string(sig[j*2+1:j*2+2], ',')) AS key FROM sig, range(8) r(j)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a JOIN bands b ON a.j=b.j AND a.key=b.key AND a.doc_id<b.doc_id),
+        |p AS (SELECT c.a_id, c.b_id,
+        |  len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+        |  FROM cand c JOIN sh sa ON c.a_id = sa.doc_id JOIN sh sb ON c.b_id = sb.doc_id),
+        |e AS (SELECT a_id AS s, b_id AS d FROM p WHERE jaccard >= 0.7
+        |      UNION ALL SELECT b_id, a_id FROM p WHERE jaccard >= 0.7),
+        |reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
+        |          UNION SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s)
+        |SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS is_keeper
+        |FROM reach GROUP BY id""".stripMargin,
+
+    "docs_hash_sample" ->
+      """SELECT doc_id, lang, source, bucket FROM (
+        |  SELECT doc_id, lang, source,
+        |    (('0x'||substr(md5(doc_id::VARCHAR),1,7))::UBIGINT)::BIGINT % 10000 AS bucket
+        |  FROM documents)
+        |WHERE bucket < 1000""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |x AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM x GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |  round((tf.tf / dl.dl) * (ln((n.n_docs + 1) / (dfq.df + 1)) + 1), 6) AS tfidf
+        |FROM tf JOIN dl ON tf.doc_id = dl.doc_id JOIN dfq ON tf.term = dfq.term CROSS JOIN n""".stripMargin,
+
+    "text_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(0, greatest(len(toks)-3, 0)), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM t),
+        |test AS (SELECT doc_id, sh FROM sh WHERE doc_id % 20 = 0),
+        |corpus AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 20 != 0),
+        |tp AS (SELECT doc_id, unnest(sh) AS g FROM test),
+        |hits AS (SELECT doc_id, count(*) AS n_hit FROM tp
+        |         WHERE g IN (SELECT g FROM corpus) GROUP BY 1)
+        |SELECT s.doc_id, CAST(len(s.sh) AS INTEGER) AS n_shingles,
+        |  COALESCE(h.n_hit, 0) AS n_hit,
+        |  round(COALESCE(h.n_hit, 0) / len(s.sh), 6) AS containment,
+        |  COALESCE(h.n_hit, 0) / len(s.sh) >= 0.8 AS contaminated
+        |FROM test s LEFT JOIN hits h ON s.doc_id = h.doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+
+/** Corpus-level operators for training-data pipelines: deterministic
+  * sampling, TF-IDF term weighting, and train/test contamination checks.
+  *
+  * Design for 100 TB:
+  *  - Sampling is hash-based, not RNG-based: membership depends only on the
+  *    row id, so it is reproducible across runs, engines, partitionings and
+  *    incremental re-runs, needs no seed plumbing or second pass (unlike
+  *    `sampleBy`), and pushes down as a cheap scan filter.
+  *  - TF-IDF is two partial-aggregable `groupBy`s plus one equi-join on the
+  *    term (both sides shuffle-partitioned by term) and one broadcast
+  *    scalar; nothing is collected to the driver.
+  *  - Contamination reduces to a semi-join of test-set shingles against the
+  *    distinct corpus shingle set — only shingles move through the shuffle,
+  *    never document bodies.
+  */
+object Corpus {
+
+  /** Deterministic bucket in [0, buckets): the 28-bit md5 prefix of the id,
+    * modulo buckets — same hash28 family as MinHash, exactly reproducible
+    * by the DuckDB oracle. */
+  def hashBucket(id: Column, buckets: Int): Column =
+    conv(substr(md5(id.cast("string")), lit(1), lit(7)), 16, 10).cast("long") % buckets
+
+  /** Kernel-dispatched variant (no per-row MessageDigest ThreadLocal
+    * acquisition when graft.ext.GraftExtensions is installed). */
+  def hashBucketFor(spark: org.apache.spark.sql.SparkSession)(
+      id: Column, buckets: Int): Column =
+    conv(substr(md5For(spark)(id.cast("string")), lit(1), lit(7)), 16, 10)
+      .cast("long") % buckets
+
+  /** Keeps rows whose id hashes into the first `keep` of `buckets` buckets —
+    * a stable ~keep/buckets sample. The bucket column is retained so
+    * downstream stages can sub-sample consistently (bucket < k' refines the
+    * same sample). */
+  def hashSample(
+      df: DataFrame,
+      idCol: String,
+      keep: Int,
+      buckets: Int = 10000
+  ): DataFrame =
+    df.withColumn("bucket", hashBucketFor(df.sparkSession)(col(idCol), buckets))
+      .filter(col("bucket") < keep)
+
+  /** Per-(document, term) TF-IDF over whitespace tokens:
+    * tf/dl · (ln((N+1)/(df+1)) + 1) — the smoothed-idf form, so terms in
+    * every document still get positive weight. Returns
+    * (idCol, term, tf, df, tfidf[rounded to 6 decimals]). */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum("tf").as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    tf.join(dl, idCol)
+      .join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        round((col("tf") / col("dl")) *
+          (log((col("n_docs") + 1) / (col("df") + 1)) + 1), 6).as("tfidf"))
+  }
+
+  /** Train/test n-gram contamination: for each test document, the fraction
+    * of its distinct `shingleN`-gram shingles that appear anywhere in the
+    * training corpus (union containment — the standard decontamination
+    * check). Returns (idCol, n_shingles, n_hit, containment, contaminated).
+    */
+  def contamination(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    val spark = train.sparkSession
+    val tsh = test.select(col(idCol),
+      shinglesFor(spark)(tokens(col(textCol)), shingleN).as("sh"))
+    val corpusGrams = train
+      .select(explode(shinglesFor(spark)(tokens(col(textCol)), shingleN)).as("g"))
+      .distinct()
+    val hits = tsh.select(col(idCol), explode(col("sh")).as("g"))
+      .join(corpusGrams, Seq("g"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    tsh.select(col(idCol), size(col("sh")).as("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("containment", round(col("n_hit") / col("n_shingles"), 6))
+      .withColumn("contaminated", col("n_hit") / col("n_shingles") >= threshold)
+  }
+}
