@@ -425,7 +425,66 @@ object SparkEntry {
       graft.ops.EventOps.cardinalityProfile(events(s, dir), "event_type", "user_id")
         .select(col("event_type"), col("n"), col("nd_exact"),
           (abs(col("nd_approx") - col("nd_exact")) / col("nd_exact") <= 0.05)
-            .as("within_5pct")))
+            .as("within_5pct"))),
+
+    // Extension: as-of join — each click picks up the most recent error
+    // value at-or-before it for the same user. Union + running-last: one
+    // shuffle on the key, no inequality join (which Spark would plan as a
+    // broadcast nested loop). The DuckDB oracle uses its NATIVE ASOF JOIN —
+    // an independent algorithm agreeing bit-for-bit.
+    "events_asof_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      graft.ops.Temporal.asofJoin(
+          e.filter(col("event_type") === "click")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          e.filter(col("event_type") === "error"),
+          "user_id", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          unix_millis(col("asof_ts")).as("asof_ts_ms"),
+          col("asof_value"))
+    }),
+
+    // Extension: bounded interval self-join via time bucketing — per event,
+    // how many same-type events fall within ±30 minutes. Equi-join on
+    // (type, bucket) with a 3-bucket probe explode; never an O(n²)
+    // comparison. The oracle runs the naive quadratic join — feasible at
+    // oracle scale, and a genuinely different plan shape agreeing exactly.
+    "events_range_count" -> ((s, dir) =>
+      graft.ops.Temporal.rangeSelfCount(
+        events(s, dir), "event_id", "ts", "event_type", 30 * 60 * 1000L)),
+
+    // Extension: quantile profile with approximation gates — exact
+    // interpolated p50/p90 plus booleans asserting the Greenwald-Khanna
+    // sketch (the constant-memory 100 TB path) lands within 5% of exact.
+    "events_quantile_gate" -> ((s, dir) =>
+      graft.ops.EventOps.quantileProfile(events(s, dir), "event_type", "value")),
+
+    // Extension: incremental dedup — a simulated daily batch (every 10th
+    // document) screened for near-dups against the standing corpus. Band
+    // keys join across the two sets; nothing self-joins.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.ops.Dedup.minhashNearDupsAgainst(
+        spread(s, docs.filter(col("doc_id") % 10 === 0)),
+        spread(s, docs.filter(col("doc_id") % 10 =!= 0)),
+        "doc_id", "text")
+    }),
+
+    // Extension: stratified deterministic sampling — down-sample the
+    // dominant language (en: 10%) while keeping 40% of the rest; same md5
+    // bucket family as docs_hash_sample, so samples are stable and nested.
+    "docs_stratified_sample" -> ((s, dir) =>
+      graft.ops.Corpus.stratifiedHashSample(
+        table(s, dir, "documents").select("doc_id", "lang", "source"),
+        "doc_id", "lang", Map("en" -> 0.1), defaultRate = 0.4)),
+
+    // Extension: int8 embedding quantization profile — per-vector scale,
+    // quantized min/max/checksum and worst reconstruction error, all in
+    // one codegen'd projection (the 4x-compression storage path for ANN).
+    "sim_quantize_int8" -> ((s, dir) =>
+      graft.ops.Similarity.quantizeInt8Profile(
+        table(s, dir, "embeddings"), "vec_id", "embedding"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -763,6 +822,65 @@ object SparkEntry {
     "events_approx_distinct" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS nd_exact,
         |  true AS within_5pct
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // DuckDB's NATIVE ASOF JOIN — an independent algorithm for the same
+    // semantics as the Spark-side union + running-last formulation.
+    "events_asof_join" ->
+      """SELECT l.event_id, l.user_id,
+        |  CAST(epoch_ms(l.ts) AS BIGINT) AS ts_ms,
+        |  CAST(epoch_ms(r.ts) AS BIGINT) AS asof_ts_ms,
+        |  r.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    // The naive quadratic interval join — fine at oracle scale, and a
+    // genuinely different plan shape than the bucketed Spark version.
+    "events_range_count" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_ms(ts) AS ms FROM events)
+        |SELECT a.event_id, count(b.event_id) AS n_within
+        |FROM e a LEFT JOIN e b
+        |  ON a.event_type = b.event_type AND b.event_id <> a.event_id
+        |  AND abs(a.ms - b.ms) <= 1800000
+        |GROUP BY 1""".stripMargin,
+
+    // Sketch quantiles differ across engines; the oracle checks the exact
+    // quantiles and asserts the 5%-window gates as literal `true`.
+    "events_quantile_gate" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  true AS ok_p50, true AS ok_p90
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(0, greatest(len(toks)-3, 0)), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM t),
+        |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 15), k -> list_min(list_transform(sh, x -> (('0x'||substr(md5(x),1,7))::UBIGINT)::BIGINT + k * (('0x'||substr(md5(x),8,7))::UBIGINT)::BIGINT))) AS sig FROM sh),
+        |bands AS (SELECT doc_id, j, md5(j::VARCHAR||':'||array_to_string(sig[j*2+1:j*2+2], ',')) AS key FROM sig, range(8) r(j)),
+        |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id FROM bands a JOIN bands b
+        |         ON a.j = b.j AND a.key = b.key AND a.doc_id % 10 = 0 AND b.doc_id % 10 != 0)
+        |SELECT c.new_id, c.corpus_id,
+        |  len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard,
+        |  len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.7 AS is_dup
+        |FROM cand c JOIN sh sa ON c.new_id = sa.doc_id JOIN sh sb ON c.corpus_id = sb.doc_id""".stripMargin,
+
+    "docs_stratified_sample" ->
+      """SELECT doc_id, lang, source, bucket FROM (
+        |  SELECT doc_id, lang, source,
+        |    (('0x'||substr(md5(doc_id::VARCHAR),1,7))::UBIGINT)::BIGINT % 10000 AS bucket
+        |  FROM documents)
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 1000 ELSE 4000 END""".stripMargin,
+
+    "sim_quantize_int8" ->
+      """WITH s AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v, greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127 AS scale FROM s),
+        |q AS (SELECT vec_id, v, scale, list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS q FROM sc)
+        |SELECT vec_id, round(scale, 9) AS scale,
+        |  list_min(q) AS qmin, list_max(q) AS qmax,
+        |  CAST(list_sum(q) AS BIGINT) AS qsum,
+        |  round(list_max(list_transform(generate_series(1, len(v)), i -> abs(q[i] * scale - v[i]))), 9) AS max_err
+        |FROM q""".stripMargin
   )
 }

@@ -48,6 +48,29 @@ object Corpus {
     df.withColumn("bucket", hashBucketFor(df.sparkSession)(col(idCol), buckets))
       .filter(col("bucket") < keep)
 
+  /** Stratified deterministic sampling: per-stratum keep rates (e.g. cap
+    * the dominant language while keeping all of a rare one). Same hash
+    * family as [[hashSample]], so membership is stable across runs and
+    * engines, and refining a stratum's rate only adds/removes rows at the
+    * bucket boundary — rows never churn between samples. The rate map is
+    * compiled into the plan as a literal CASE chain (strata counts are
+    * small); at 100 TB this is still a scan-side filter, no shuffle. */
+  def stratifiedHashSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      buckets: Int = 10000
+  ): DataFrame = {
+    val cutoff = rates.toSeq.sortBy(_._1).foldLeft(lit((defaultRate * buckets).toInt)) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit((rate * buckets).toInt)).otherwise(acc)
+    }
+    df.withColumn("bucket", hashBucketFor(df.sparkSession)(col(idCol), buckets))
+      .filter(col("bucket") < cutoff)
+  }
+
   /** Per-(document, term) TF-IDF over whitespace tokens:
     * tf/dl · (ln((N+1)/(df+1)) + 1) — the smoothed-idf form, so terms in
     * every document still get positive weight. Returns

@@ -123,6 +123,54 @@ object Dedup {
       .withColumn("is_dup", col("jaccard") >= threshold)
   }
 
+  /** Incremental near-dup screening: candidate matches of a NEW batch of
+    * documents against an EXISTING corpus — the shape a production pipeline
+    * runs daily (band keys of the new batch join against the corpus's band
+    * keys; nothing is ever self-joined, and the corpus side's signatures
+    * would be precomputed/stored in practice). Returns
+    * (new_id, corpus_id, jaccard, is_dup) for every banding candidate.
+    *
+    * At 100 TB the corpus band-key table is written bucketed by key so this
+    * join is co-located with no corpus-side shuffle; the new batch (orders
+    * of magnitude smaller) shuffles to it. */
+  def minhashNearDupsAgainst(
+      newDf: DataFrame,
+      corpusDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val spark = newDf.sparkSession
+    def sigs(df: DataFrame) = df.select(
+        col(idCol).as("id"),
+        shinglesFor(spark)(tokens(col(textCol)), shingleN).as("sh"))
+      .withColumn("sig", minhashSigFor(spark)(col("sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bandFrame(sh: DataFrame) = sh
+      .select(col("id"), explode(bandKeys(col("sig"), bands, r, md5For(spark))).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    val shNew = sigs(newDf)
+    val shOld = sigs(corpusDf)
+    val cand = bandFrame(shNew).as("a")
+      .join(bandFrame(shOld).as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
+      .distinct()
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    cand
+      .join(shNew.select(col("id"), col("sh").as("sa")), col("new_id") === col("id")).drop("id")
+      .join(shOld.select(col("id"), col("sh").as("sb")), col("corpus_id") === col("id")).drop("id")
+      .select(col("new_id"), col("corpus_id"),
+        (inter / (size(col("sa")) + size(col("sb")) - inter)).as("jaccard"))
+      .withColumn("is_dup", col("jaccard") >= threshold)
+  }
+
   /** Exact n-gram-Jaccard near-dup pairs within a blocking column (for
     * bounded blocks — metadata like source/shard; use MinHash-LSH when no
     * natural block exists).

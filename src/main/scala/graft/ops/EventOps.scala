@@ -80,6 +80,38 @@ object EventOps {
         percentile(col(valueCol), lit(0.5)).as("p50"))
   }
 
+  /** Per-key quantile profile with a self-checking approximation gate:
+    * exact interpolated p50/p90 next to the Greenwald-Khanna sketch
+    * estimates (`approx_percentile` — the 100 TB path: constant-memory
+    * mergeable sketches instead of holding each key's full value set), plus
+    * booleans asserting the sketch lands within `relTol` of exact. The
+    * booleans make the approximation ORACLE-CHECKABLE across engines whose
+    * sketches differ (same pattern as the HLL gate in
+    * `events_approx_distinct`). */
+  def quantileProfile(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      accuracy: Int = 10000,
+      relTol: Double = 0.05
+  ): DataFrame = {
+    val v = col(valueCol)
+    def within(approx: Column, exact: Column): Column =
+      abs(approx - exact) <= abs(exact) * relTol
+    df.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        percentile(v, lit(0.5)).as("p50"),
+        percentile(v, lit(0.9)).as("p90"),
+        percentile_approx(v, lit(0.5), lit(accuracy)).as("ap50"),
+        percentile_approx(v, lit(0.9), lit(accuracy)).as("ap90"))
+      .select(col(keyCol), col("n"),
+        round(col("p50"), 6).as("p50"),
+        round(col("p90"), 6).as("p90"),
+        within(col("ap50"), col("p50")).as("ok_p50"),
+        within(col("ap90"), col("p90")).as("ok_p90"))
+  }
+
   /** Per-key cardinality profile: exact distinct plus HyperLogLog estimate
     * (the scale path — approx_count_distinct aggregates constant-size
     * sketches instead of shuffling the full distinct key set). */

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark has no native operator for: as-of join and bounded
+  * range (interval) join.
+  *
+  * Design for 100 TB:
+  *  - The as-of join is NOT an inequality join (Spark would plan
+  *    `l.ts >= r.ts` as BroadcastNestedLoop — O(n·m) and a driver OOM when
+  *    neither side is small). It is the union + running-`last` formulation:
+  *    tag both inputs, union them, and take per key the last right-hand
+  *    value at-or-before each left row in one window pass. ONE shuffle on
+  *    the key, sort within partitions, no join node at all.
+  *  - The range join never compares all pairs: rows land in fixed-width
+  *    time buckets sized to the match window, the probe side explodes to
+  *    its 3 adjacent buckets, and candidates meet in an equi-join on
+  *    (key, bucket) — per-bucket occupancy bounds the work, and AQE handles
+  *    skewed buckets. |Δt| ≤ window implies the buckets differ by at most
+  *    one, so every qualifying pair is found exactly once (the build side
+  *    keeps its single home bucket — no distinct needed).
+  *  - Both results are deterministic for any partitioning: the as-of pick
+  *    carries (ts, value) atomically in one struct ordered by an explicit
+  *    total order, and the range counts are plain aggregates.
+  */
+object Temporal {
+
+  /** For every `left` row, the most recent `right` row with
+    * `right.ts <= left.ts` within the same `keyCol` (an as-of / "last known
+    * value" join — quotes-to-trades, state-at-event-time lookups).
+    *
+    * Returns all `left` columns plus `asof_<tsCol>` and `asof_<c>` for each
+    * requested right column (null when no right row precedes the left row).
+    * Ties on (key, ts) between right rows resolve to the largest carried
+    * struct — an explicit total order, so the result does not depend on
+    * partitioning or execution order. */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightCols: Seq[String]
+  ): DataFrame = {
+    val carried = struct(
+      col(tsCol).as(tsCol) +: rightCols.map(c => col(c).as(c)): _*)
+    val r = right.select(col(keyCol), col(tsCol), carried.as("__asof"))
+      .withColumn("__tag", lit(0))
+    val l = left.withColumn("__tag", lit(1))
+    // Right rows sort before left rows at equal ts (tag 0 < 1), so "at or
+    // before" is inclusive; the struct tie-break makes same-ts right rows
+    // deterministic. A single `last` over the struct keeps the matched
+    // row's (ts, values) atomic — two separate `last` calls could mix rows.
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col("__tag").asc, col("__asof").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val leftCols = left.columns.map(col).toSeq
+    val asofCols = (tsCol +: rightCols).map(c =>
+      col(s"__match.$c").as(s"asof_$c"))
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__match", last(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(leftCols ++ asofCols: _*)
+  }
+
+  /** For every row, the number of OTHER rows with the same `partCol` whose
+    * timestamp lies within ±`windowMs` (bounded interval self-join, e.g.
+    * burst detection). `tsCol` must be a timestamp column; comparison is at
+    * millisecond granularity. Returns (idCol, n_within) over ALL input rows
+    * (0 when nothing is nearby). */
+  def rangeSelfCount(
+      df: DataFrame,
+      idCol: String,
+      tsCol: String,
+      partCol: String,
+      windowMs: Long
+  ): DataFrame = {
+    val e = df.select(col(partCol).as("__p"), col(idCol).as("__id"),
+      unix_millis(col(tsCol)).as("__ms"))
+    val bkt = floor(col("__ms") / windowMs).cast("long")
+    val build = e.select(col("__p"), col("__id").as("__b_id"),
+      col("__ms").as("__b_ms"), bkt.as("__bucket"))
+    val probe = e.select(col("__p"), col("__id").as("__a_id"),
+      col("__ms").as("__a_ms"),
+      explode(array(bkt - 1, bkt, bkt + 1)).as("__bucket"))
+    val counts = probe.join(build, Seq("__p", "__bucket"))
+      .filter(col("__b_id") =!= col("__a_id") &&
+        abs(col("__a_ms") - col("__b_ms")) <= windowMs)
+      .groupBy(col("__a_id")).agg(count(lit(1)).as("n_within"))
+    e.join(counts, col("__id") === col("__a_id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_within"), lit(0L)).as("n_within"))
+  }
+}

@@ -322,4 +322,77 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     // len=1000: w=41, h=41, rowSize=124
     out(1) shouldBe DecodedMedia(2, 54 + 124 * 41, 41, 41, 3, "78787878")
   }
+
+  behavior of "Temporal"
+
+  it should "as-of join the most recent right row at-or-before each left row" in {
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, 10L, "a"), (1L, 15L, "b"), (1L, 30L, "c"), (2L, 6L, "d"))
+      .toDF("k", "ts", "v")
+    val out = Temporal.asofJoin(left, right, "k", "ts", Seq("v"))
+      .orderBy("lid").collect()
+    // lid=100: right at equal ts matches (inclusive); lid=101: latest of
+    // {10,15}; lid=102: right row is later -> no match
+    out.map(r => (r.getLong(2), Option(r.getString(4)))) shouldBe
+      Array((100L, Some("a")), (101L, Some("b")), (102L, None))
+    out(0).getLong(3) shouldBe 10L // asof_ts carried from the matched row
+  }
+
+  it should "count interval neighbors across bucket boundaries" in {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000)
+    // window 60s -> buckets of 60s; 55s and 65s sit in adjacent buckets but
+    // are 10s apart; 200s is alone; type separation respected.
+    val df = Seq((1L, ts(55), "a"), (2L, ts(65), "a"), (3L, ts(200), "a"),
+        (4L, ts(60), "b"))
+      .toDF("event_id", "ts", "event_type")
+    val out = Temporal.rangeSelfCount(df, "event_id", "ts", "event_type", 60000L)
+      .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    out shouldBe Array((1L, 1L), (2L, 1L), (3L, 0L), (4L, 0L))
+  }
+
+  behavior of "Corpus sampling and Similarity quantization"
+
+  it should "apply per-stratum rates with stable hash buckets" in {
+    val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val out = Corpus.stratifiedHashSample(df, "doc_id", "lang",
+      Map("a" -> 0.0), defaultRate = 1.0)
+    out.filter(col("lang") === "a").count() shouldBe 0
+    out.filter(col("lang") === "b").count() shouldBe 200
+    // nested-sample property: rate 0.5 subset of rate 1.0 sample
+    val half = Corpus.stratifiedHashSample(df, "doc_id", "lang",
+      Map.empty, defaultRate = 0.5)
+    val fullBuckets = out.select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    half.collect().foreach { r =>
+      fullBuckets.get(r.getLong(0)).foreach(_ shouldBe r.getLong(2))
+    }
+  }
+
+  it should "quantize embeddings symmetrically with round-half-up" in {
+    val df = Seq(Vec(1, Seq(1.0f, -0.5f, 0.25f))).toDS.toDF()
+    val r = Similarity.quantizeInt8Profile(df, "vec_id", "embedding").collect()(0)
+    r.getDouble(1) shouldBe (1.0 / 127) +- 1e-9      // scale
+    r.getInt(2) shouldBe -63                          // qmin: floor(-63.5+0.5)
+    r.getInt(3) shouldBe 127                          // qmax
+    r.getLong(4) shouldBe (127L - 63L + 32L)          // qsum
+    r.getDouble(5) should be < 0.005                  // worst recon error
+  }
+
+  behavior of "incremental dedup"
+
+  it should "screen a new batch against the corpus without self-joining" in {
+    val corpus = Seq(
+      Doc(1, "alpha beta gamma delta epsilon zeta", "s"),
+      Doc(2, "totally different content here now ok", "s")).toDS.toDF()
+    val fresh = Seq(
+      Doc(10, "alpha beta gamma delta epsilon zeta", "s"), // dup of 1
+      Doc(11, "unique new material nothing shared at all", "s")).toDS.toDF()
+    val out = Dedup.minhashNearDupsAgainst(fresh, corpus, "doc_id", "text")
+      .filter(col("is_dup")).collect()
+    out.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((10L, 1L))
+    out(0).getDouble(2) shouldBe 1.0
+  }
 }
