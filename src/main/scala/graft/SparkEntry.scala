@@ -484,7 +484,29 @@ object SparkEntry {
     // one codegen'd projection (the 4x-compression storage path for ANN).
     "sim_quantize_int8" -> ((s, dir) =>
       graft.ops.Similarity.quantizeInt8Profile(
-        table(s, dir, "embeddings"), "vec_id", "embedding"))
+        table(s, dir, "embeddings"), "vec_id", "embedding")),
+
+    // Extension: salted equi-join — event_type has 5 values over the whole
+    // table (maximal skew: a plain shuffle join puts ~n/5 rows in one
+    // task). The salt spreads each key over 8 reducers; the result is
+    // row-identical to the plain join, which is exactly what the oracle
+    // checks.
+    "events_skew_join_enrich" -> ((s, dir) => {
+      val e = events(s, dir)
+      val dim = e.groupBy("event_type").agg(
+        round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1)), 6).as("type_avg"))
+      graft.ops.Skew.saltedEquiJoin(
+        e.select(col("event_id"), col("event_type")), dim,
+        Seq("event_type"), "event_id", salts = 8)
+    }),
+
+    // Extension: corpus-unigram LM scoring (add-one smoothing) — the cheap
+    // gibberish/outlier quality signal; DECIMAL-routed sums keep the mean
+    // log-prob independent of partial-aggregation order.
+    "text_unigram_logprob" -> ((s, dir) =>
+      graft.ops.Corpus.unigramLogProb(
+        spread(s, table(s, dir, "documents")), "doc_id", "text"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -872,6 +894,22 @@ object SparkEntry {
         |    (('0x'||substr(md5(doc_id::VARCHAR),1,7))::UBIGINT)::BIGINT % 10000 AS bucket
         |  FROM documents)
         |WHERE bucket < CASE WHEN lang = 'en' THEN 1000 ELSE 4000 END""".stripMargin,
+
+    // The oracle runs the PLAIN join — salting must be row-identical to it.
+    "events_skew_join_enrich" ->
+      """WITH d AS (SELECT event_type,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS type_avg
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, d.type_avg
+        |FROM events e JOIN d USING (event_type)""".stripMargin,
+
+    "text_unigram_logprob" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM c)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(CAST(ln((c.cnt + 1) / (tot.total + tot.vocab)) AS DECIMAL(27,12))) AS DOUBLE) / count(*), 6) AS avg_logprob
+        |FROM t JOIN c USING (term) CROSS JOIN tot GROUP BY 1""".stripMargin,
 
     "sim_quantize_int8" ->
       """WITH s AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

@@ -89,6 +89,31 @@ object Corpus {
           (log((col("n_docs") + 1) / (col("df") + 1)) + 1), 6).as("tfidf"))
   }
 
+  /** Corpus-unigram language-model scoring with add-one smoothing: each
+    * document's mean token log-probability under the corpus's own unigram
+    * distribution, p(t) = (count(t)+1) / (total_tokens + vocab). Low
+    * scores flag gibberish/outlier documents (a standard cheap quality
+    * signal before expensive LM-based filtering).
+    *
+    * Scale shape: one groupBy builds the term-count table (vocab — orders
+    * of magnitude smaller than the corpus; broadcast here, shuffle-join on
+    * term when a tokenizer-free vocab outgrows broadcast), one scalar
+    * cross-join broadcasts (total, vocab), one groupBy scores documents.
+    * The per-token log-probs sum through DECIMAL(27,12) so the mean is
+    * independent of partial-aggregation order. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum("cnt").as("total"), count(lit(1)).as("vocab"))
+    val decSum = sum(log((col("cnt") + 1) / (col("total") + col("vocab")))
+      .cast(org.apache.spark.sql.types.DecimalType(27, 12)))
+    toks.join(broadcast(counts), "term")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(decSum.cast("double") / count(lit(1)), 6).as("avg_logprob"))
+  }
+
   /** Train/test n-gram contamination: for each test document, the fraction
     * of its distinct `shingleN`-gram shingles that appear anywhere in the
     * training corpus (union containment — the standard decontamination

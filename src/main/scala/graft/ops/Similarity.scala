@@ -130,16 +130,22 @@ object Similarity {
     * shipping the arrays. Pure codegen'd higher-order functions, one
     * projection, no shuffle. */
   def quantizeInt8Profile(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val vd = transform(col(vecCol), _.cast("double"))
-    val scale = greatest(array_max(transform(vd, abs(_))), lit(1e-12)) / 127d
-    val q = transform(vd, x => floor(x / scale + 0.5d).cast("int"))
-    val err = array_max(zip_with(q, vd, (qi, x) => abs(qi * scale - x)))
-    df.select(col(idCol),
-        round(scale, 9).as("scale"),
-        array_min(q).as("qmin"),
-        array_max(q).as("qmax"),
-        aggregate(q, lit(0L), (a, x) => a + x).as("qsum"),
-        round(err, 9).as("max_err"))
+    // Staged projections: `scale` is an O(dim) fold and is referenced from
+    // inside the per-element lambdas below — inlining it there would make
+    // each row O(dim²). Aliasing it in its own Project keeps it evaluated
+    // once per row (CollapseProject never duplicates non-cheap aliases).
+    df.select(col(idCol), transform(col(vecCol), _.cast("double")).as("__v"))
+      .withColumn("__scale",
+        greatest(array_max(transform(col("__v"), abs(_))), lit(1e-12)) / 127d)
+      .withColumn("__q",
+        transform(col("__v"), x => floor(x / col("__scale") + 0.5d).cast("int")))
+      .select(col(idCol),
+        round(col("__scale"), 9).as("scale"),
+        array_min(col("__q")).as("qmin"),
+        array_max(col("__q")).as("qmax"),
+        aggregate(col("__q"), lit(0L), (a, x) => a + x).as("qsum"),
+        round(array_max(zip_with(col("__q"), col("__v"),
+          (qi, x) => abs(qi * col("__scale") - x))), 9).as("max_err"))
   }
 
   /** Deterministic ±1 hyperplane components: sign_{j,i} = +1 iff the 60-bit

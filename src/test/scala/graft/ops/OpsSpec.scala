@@ -323,6 +323,55 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out(1) shouldBe DecodedMedia(2, 54 + 124 * 41, 41, 41, 3, "78787878")
   }
 
+  behavior of "Components"
+
+  it should "propagate min labels through chains, not just stars" in {
+    // 1-2, 2-3, 3-4 is a diameter-3 chain: label 1 must travel three hops;
+    // 10 is a singleton that keeps its own id.
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = Components.connectedComponents(vertices, "id", edges, "a", "b")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    out shouldBe Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L))
+  }
+
+  it should "mark one keeper per duplicate cluster" in {
+    val docs = Seq(Doc(1, "x", "s"), Doc(2, "x", "s"), Doc(3, "y", "s")).toDS.toDF()
+    val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val out = Components.dedupClusters(docs, "doc_id", pairs, "a_id", "b_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    out shouldBe Array((1L, 1L, true), (2L, 1L, false), (3L, 3L, true))
+  }
+
+  behavior of "Corpus text statistics"
+
+  it should "weight terms by smoothed tf-idf" in {
+    val docs = Seq(Doc(1, "a a b", "s"), Doc(2, "a c", "s")).toDS.toDF()
+    val out = Corpus.tfidf(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    out((1L, "a"))._1 shouldBe 2                     // tf
+    out((1L, "a"))._2 shouldBe 2                     // df
+    // term in every doc still gets positive weight (smoothed idf: ln(3/3)+1)
+    out((2L, "a"))._3 shouldBe (0.5 * 1.0) +- 1e-6
+    // rarer term: ln(3/2)+1
+    out((1L, "b"))._3 shouldBe ((1.0 / 3) * (math.log(1.5) + 1)) +- 1e-6
+  }
+
+  it should "flag test documents contained in the training corpus" in {
+    val train = Seq(Doc(1, "the quick brown fox jumps over dogs", "s")).toDS.toDF()
+    val test = Seq(
+      Doc(20, "the quick brown fox jumps", "s"),   // fully contained
+      Doc(21, "completely novel text never seen before", "s")).toDS.toDF()
+    val out = Corpus.contamination(train, test, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getBoolean(4)))
+    out(0) shouldBe ((20L, 1.0, true))
+    out(1)._2 shouldBe 0.0
+    out(1)._3 shouldBe false
+  }
+
   behavior of "Temporal"
 
   it should "as-of join the most recent right row at-or-before each left row" in {
@@ -379,6 +428,55 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     r.getInt(3) shouldBe 127                          // qmax
     r.getLong(4) shouldBe (127L - 63L + 32L)          // qsum
     r.getDouble(5) should be < 0.005                  // worst recon error
+  }
+
+  it should "plan the as-of join as one window pass, never a nested-loop join" in {
+    val left = Seq((1L, 10L, 100L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, 10L, 1.0)).toDF("k", "ts", "v")
+    val plan = Temporal.asofJoin(left, right, "k", "ts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    // the naive l.ts >= r.ts formulation plans as BroadcastNestedLoopJoin
+    // (O(n*m)); the union + running-last form must contain NO join at all
+    plan should not include "NestedLoop"
+    plan should not include "CartesianProduct"
+    plan should include ("Window")
+  }
+
+  it should "plan the range join as an equi-join on buckets, not a cross product" in {
+    import java.sql.Timestamp
+    val df = Seq((1L, new Timestamp(1000L), "a")).toDF("event_id", "ts", "event_type")
+    val plan = Temporal.rangeSelfCount(df, "event_id", "ts", "event_type", 60000L)
+      .queryExecution.executedPlan.toString
+    plan should not include "NestedLoop"
+    plan should not include "CartesianProduct"
+  }
+
+  behavior of "Skew"
+
+  it should "salted-join identically to the plain join, spreading hot keys" in {
+    val fact = (0L until 300L).map(i => (i, if (i % 10 == 0) "cold" else "hot"))
+      .toDF("id", "k")
+    val dim = Seq(("hot", 1.0), ("cold", 2.0), ("unmatched", 3.0)).toDF("k", "attr")
+    val salted = Skew.saltedEquiJoin(fact, dim, Seq("k"), "id", salts = 4)
+    val plain = fact.join(dim, Seq("k"))
+    salted.count() shouldBe 300
+    salted.exceptAll(plain).count() shouldBe 0
+    plain.exceptAll(salted).count() shouldBe 0
+    // the dim side is replicated once per salt
+    Skew.saltedEquiJoin(fact, dim, Seq("k"), "id", salts = 1).count() shouldBe 300
+  }
+
+  it should "score documents under the corpus unigram LM" in {
+    // corpus: "a a b" + "a" -> counts: a=3, b=1; total=4, vocab=2
+    val docs = Seq(Doc(1, "a a b", "s"), Doc(2, "a", "s")).toDS.toDF()
+    val out = Corpus.unigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pa = math.log(4.0 / 6)  // (3+1)/(4+2)
+    val pb = math.log(2.0 / 6)  // (1+1)/(4+2)
+    out(0)._2 shouldBe 3
+    out(0)._3 shouldBe ((2 * pa + pb) / 3) +- 1e-5
+    out(1)._3 shouldBe pa +- 1e-5
   }
 
   behavior of "incremental dedup"
