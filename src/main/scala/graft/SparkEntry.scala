@@ -506,7 +506,16 @@ object SparkEntry {
     // log-prob independent of partial-aggregation order.
     "text_unigram_logprob" -> ((s, dir) =>
       graft.ops.Corpus.unigramLogProb(
-        spread(s, table(s, dir, "documents")), "doc_id", "text"))
+        spread(s, table(s, dir, "documents")), "doc_id", "text")),
+
+    // Extension: the COMPOSED corpus-cleaning pipeline (quality gate →
+    // exact dedup → MinHash near-dup clustering → stratified sample) —
+    // the end-to-end integration of the ops above, oracle-checked as one
+    // unit so stage wiring bugs can't hide between per-op checks.
+    "docs_clean_pipeline" -> ((s, dir) =>
+      graft.ops.Corpus.cleanPipeline(
+        spread(s, table(s, dir, "documents")), "doc_id", "text", "lang",
+        minTokens = 40, rates = Map("en" -> 0.5), defaultRate = 1.0))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -910,6 +919,33 @@ object SparkEntry {
         |SELECT t.doc_id, count(*) AS n_tokens,
         |  round(CAST(sum(CAST(ln((c.cnt + 1) / (tot.total + tot.vocab)) AS DECIMAL(27,12))) AS DOUBLE) / count(*), 6) AS avg_logprob
         |FROM t JOIN c USING (term) CROSS JOIN tot GROUP BY 1""".stripMargin,
+
+    // The composed pipeline, assembled from the same proven CTE fragments
+    // as the per-op oracles (fingerprint, minhash banding, recursive
+    // closure, bucket sampling).
+    "docs_clean_pipeline" ->
+      """WITH RECURSIVE
+        |q AS (SELECT doc_id, lang, text FROM documents WHERE len(string_split_regex(trim(text), '\s+')) >= 40),
+        |fp AS (SELECT doc_id, lang, text, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f FROM q),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+        |ek AS (SELECT fp.doc_id, fp.lang, fp.text FROM fp JOIN keep USING (doc_id)),
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM ek),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(0, greatest(len(toks)-3, 0)), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM t),
+        |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 15), k -> list_min(list_transform(sh, x -> (('0x'||substr(md5(x),1,7))::UBIGINT)::BIGINT + k * (('0x'||substr(md5(x),8,7))::UBIGINT)::BIGINT))) AS sig FROM sh),
+        |bands AS (SELECT doc_id, j, md5(j::VARCHAR||':'||array_to_string(sig[j*2+1:j*2+2], ',')) AS key FROM sig, range(8) r(j)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a JOIN bands b ON a.j=b.j AND a.key=b.key AND a.doc_id<b.doc_id),
+        |p AS (SELECT c.a_id, c.b_id, len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh, sb.sh))) AS jaccard
+        |      FROM cand c JOIN sh sa ON c.a_id=sa.doc_id JOIN sh sb ON c.b_id=sb.doc_id),
+        |e AS (SELECT a_id AS s, b_id AS d FROM p WHERE jaccard >= 0.7
+        |      UNION ALL SELECT b_id, a_id FROM p WHERE jaccard >= 0.7),
+        |reach AS (SELECT doc_id AS id, doc_id AS r FROM ek
+        |          UNION SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s),
+        |ck AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id)
+        |SELECT doc_id, lang, bucket FROM (
+        |  SELECT ek.doc_id, ek.lang,
+        |    (('0x'||substr(md5(ek.doc_id::VARCHAR),1,7))::UBIGINT)::BIGINT % 10000 AS bucket
+        |  FROM ek JOIN ck USING (doc_id))
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 5000 ELSE 10000 END""".stripMargin,
 
     "sim_quantize_int8" ->
       """WITH s AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table staging: the storage half of the 100 TB join strategy.
+  *
+  * A shuffle join moves BOTH sides over the network every time it runs. For
+  * tables that are joined repeatedly on a stable key (the corpus signature
+  * table every incremental dedup batch probes, the inverted band-key index,
+  * the event log keyed by user), writing them bucketed by that key pays the
+  * shuffle ONCE at write time: every later equi-join between tables
+  * bucketed the same way is planned with zero Exchange on the pre-bucketed
+  * side(s) — Spark trusts the on-disk hash layout (`spark.sql.sources
+  * .bucketing.enabled`, on by default).
+  *
+  * `sortBy` on the bucket key additionally lets sort-merge joins skip the
+  * per-task sort. Bucket count is a layout commitment: pick it for the
+  * TARGET scale (e.g. corpus_rows / rows_per_task), not the current one —
+  * repartitioning to match a mismatched bucket count reintroduces the
+  * shuffle this exists to avoid.
+  */
+object Bucketing {
+
+  /** Writes `df` as a parquet table bucketed (and sorted) by `keyCols`,
+    * registered as `table` in the session catalog. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      keyCols: Seq[String],
+      buckets: Int
+  ): Unit =
+    df.write
+      .format("parquet")
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .saveAsTable(table)
+
+  /** Equi-join of two same-bucketed tables — co-located by layout, no
+    * Exchange in the plan (assert with `requireNoExchange`). */
+  def bucketedJoin(
+      spark: SparkSession,
+      leftTable: String,
+      rightTable: String,
+      keyCols: Seq[String]
+  ): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), keyCols)
+
+  /** True when the executed plan contains no shuffle Exchange — the
+    * property bucketing buys. Exposed for tests and plan audits. */
+  def hasNoShuffle(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}

@@ -89,6 +89,44 @@ object Corpus {
           (log((col("n_docs") + 1) / (col("df") + 1)) + 1), 6).as("tfidf"))
   }
 
+  /** End-to-end corpus cleaning — the composed pipeline a training-data
+    * build actually runs, in dependency order:
+    *   1. quality gate (cheap scan-side filter first — everything
+    *      downstream sees only survivors);
+    *   2. exact dedup (md5-fingerprint groupBy, min-id keeper);
+    *   3. near-dup clustering (MinHash-LSH pairs → connected components →
+    *      one keeper per cluster);
+    *   4. stratified down-sampling of the kept set.
+    * Returns (idCol, strataCol, bucket) — the final kept sample. Every
+    * stage is one of this package's primitives, so the 100 TB posture
+    * (bucketed band joins, one-shuffle-per-round CC, scan-side sampling)
+    * is inherited rather than re-derived. */
+  def cleanPipeline(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      strataCol: String,
+      minTokens: Int,
+      rates: Map[String, Double],
+      defaultRate: Double
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val quality = df.filter(size(tokens(col(textCol))) >= minTokens)
+    val keepers = quality
+      .select(col(idCol), fingerprintFor(spark)(col(textCol)).as("__fp"))
+      .groupBy("__fp").agg(min(col(idCol)).as("__keep"))
+    val exactKept = quality.join(keepers, col(idCol) === col("__keep"))
+      .drop("__fp", "__keep")
+    val dupPairs = Dedup.minhashNearDupPairs(exactKept, idCol, textCol)
+      .filter(col("is_dup"))
+    val clusterKept = Components
+      .dedupClusters(exactKept, idCol, dupPairs, "a_id", "b_id")
+      .filter(col("is_keeper")).select(col(idCol))
+    stratifiedHashSample(
+      exactKept.join(clusterKept, idCol).select(col(idCol), col(strataCol)),
+      idCol, strataCol, rates, defaultRate)
+  }
+
   /** Corpus-unigram language-model scoring with add-one smoothing: each
     * document's mean token log-probability under the corpus's own unigram
     * distribution, p(t) = (count(t)+1) / (total_tokens + vocab). Low

@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.plug.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Bucketed-layout join co-location: the write-once-shuffle-never property
+  * the 100 TB design leans on for repeatedly-joined tables. */
+class BucketingSpec extends AnyFlatSpec with Matchers {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  behavior of "Bucketing"
+
+  it should "plan a same-bucketed equi-join with no shuffle exchange" in {
+    val docs = (0L until 1000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val sigs = (0L until 1000L).map(i => (i, i % 7)).toDF("doc_id", "band")
+    Bucketing.writeBucketed(docs, "b_docs", Seq("doc_id"), 4)
+    Bucketing.writeBucketed(sigs, "b_sigs", Seq("doc_id"), 4)
+    // force sort-merge joins: tiny test frames would otherwise broadcast,
+    // which has no shuffle either and would make both assertions vacuous
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.bucketedJoin(spark, "b_docs", "b_sigs", Seq("doc_id"))
+      joined.count() shouldBe 1000
+      withClue(joined.queryExecution.executedPlan.toString) {
+        Bucketing.hasNoShuffle(joined) shouldBe true
+      }
+      // control: the same join on un-bucketed frames DOES shuffle
+      val plain = docs.join(sigs, "doc_id")
+      Bucketing.hasNoShuffle(plain) shouldBe false
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_docs")
+      spark.sql("DROP TABLE IF EXISTS b_sigs")
+    }
+  }
+}

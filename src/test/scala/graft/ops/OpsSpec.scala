@@ -451,6 +451,20 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     plan should not include "CartesianProduct"
   }
 
+  it should "compose the cleaning pipeline end to end" in {
+    val docs = Seq(
+      Doc(1, "too short", "s"),                                  // quality-gated
+      Doc(2, "alpha beta gamma delta epsilon zeta eta omega", "s"),   // kept
+      Doc(3, "alpha beta gamma delta epsilon zeta eta omega", "s"),   // exact dup of 2
+      Doc(4, "alpha beta gamma delta epsilon zeta eta psi", "s"),     // near-dup of 2 (jaccard 5/7)
+      Doc(5, "completely different words appear in here", "s")   // kept
+    ).toDS.toDF().withColumn("lang", lit("xx"))
+    val out = Corpus.cleanPipeline(docs, "doc_id", "text", "lang",
+        minTokens = 3, rates = Map.empty, defaultRate = 1.0)
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    out shouldBe Array(2L, 5L)
+  }
+
   behavior of "Skew"
 
   it should "salted-join identically to the plain join, spreading hot keys" in {
