@@ -508,6 +508,21 @@ object SparkEntry {
       graft.ops.Corpus.unigramLogProb(
         spread(s, table(s, dir, "documents")), "doc_id", "text")),
 
+    // Extension: fixed-width value histogram per type (10-unit bins,
+    // overflow clamped into the last bin) — the constant-memory
+    // distribution profile.
+    "events_histogram" -> ((s, dir) =>
+      graft.ops.EventOps.fixedHistogram(events(s, dir), "event_type", "value",
+        binWidth = 10.0, nBins = 10)),
+
+    // Extension: schema-wide one-pass profile — null and exact-distinct
+    // counts for every column, unpivoted one-row-per-column. (`ts` is
+    // excluded: Spark reads the nano parquet column at micros, so its
+    // distinct count is not engine-comparable.)
+    "events_schema_profile" -> ((s, dir) =>
+      graft.ops.EventOps.schemaProfile(events(s, dir),
+        Seq("event_id", "user_id", "event_type", "value", "props"))),
+
     // Extension: the COMPOSED corpus-cleaning pipeline (quality gate →
     // exact dedup → MinHash near-dup clustering → stratified sample) —
     // the end-to-end integration of the ops above, oracle-checked as one
@@ -919,6 +934,21 @@ object SparkEntry {
         |SELECT t.doc_id, count(*) AS n_tokens,
         |  round(CAST(sum(CAST(ln((c.cnt + 1) / (tot.total + tot.vocab)) AS DECIMAL(27,12))) AS DOUBLE) / count(*), 6) AS avg_logprob
         |FROM t JOIN c USING (term) CROSS JOIN tot GROUP BY 1""".stripMargin,
+
+    "events_histogram" ->
+      """SELECT event_type,
+        |  CAST(least(greatest(floor(value / 10), 0), 9) AS INTEGER) AS bin,
+        |  count(*) AS n
+        |FROM events WHERE value IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "events_schema_profile" ->
+      """WITH p AS (
+        |  SELECT 'event_id' AS col_name, count(*) - count(event_id) AS n_null, count(DISTINCT event_id) AS n_distinct FROM events
+        |  UNION ALL SELECT 'user_id', count(*) - count(user_id), count(DISTINCT user_id) FROM events
+        |  UNION ALL SELECT 'event_type', count(*) - count(event_type), count(DISTINCT event_type) FROM events
+        |  UNION ALL SELECT 'value', count(*) - count(value), count(DISTINCT value) FROM events
+        |  UNION ALL SELECT 'props', count(*) - count(props), count(DISTINCT props) FROM events)
+        |SELECT col_name, (SELECT count(*) FROM events) AS n, n_null, n_distinct FROM p""".stripMargin,
 
     // The composed pipeline, assembled from the same proven CTE fragments
     // as the per-op oracles (fingerprint, minhash banding, recursive

@@ -52,18 +52,22 @@ object Components {
       // Propagate each vertex's label to its neighbors, then take the min
       // of (own label, neighbor labels) per vertex. Partial `min` combines
       // map-side, so the shuffle carries one row per (vertex, distinct
-      // incoming label) at most.
+      // incoming label) at most. The convergence check rides the SAME
+      // aggregate: each vertex has exactly one own-label row, so
+      // min(own-only) recovers the previous label and `new < old` is the
+      // per-vertex changed flag — no extra join per round, and counting
+      // the flags is a cheap scan of the just-checkpointed blocks.
+      val own = labels.select(col("id"), col("component"), lit(true).as("own"))
       val propagated = sym
         .join(labels.withColumnRenamed("id", "s"), "s")
-        .select(col("d").as("id"), col("component"))
-      val next = labels.union(propagated)
-        .groupBy("id").agg(min("component").as("component"))
+        .select(col("d").as("id"), col("component"), lit(false).as("own"))
+      val next = own.union(propagated)
+        .groupBy("id").agg(
+          min("component").as("component"),
+          min(when(col("own"), col("component"))).as("__old"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .count()
-      labels = next
+      changed = next.filter(col("component") < col("__old")).count()
+      labels = next.drop("__old")
       it += 1
     }
     labels.withColumnRenamed("id", idCol)

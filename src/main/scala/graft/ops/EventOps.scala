@@ -112,6 +112,43 @@ object EventOps {
         within(col("ap90"), col("p90")).as("ok_p90"))
   }
 
+  /** Fixed-width histogram per key: values bucket into
+    * `[i*binWidth, (i+1)*binWidth)` with the last bin catching overflow
+    * (and bin 0 catching negatives) — one map-side-combinable aggregate,
+    * the constant-memory distribution profile for dashboards/drift checks.
+    * Returns (keyCol, bin, n) for occupied bins. */
+  def fixedHistogram(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      binWidth: Double,
+      nBins: Int
+  ): DataFrame = {
+    val bin = least(greatest(floor(col(valueCol) / binWidth), lit(0)), lit(nBins - 1))
+      .cast("int")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** One-pass multi-column profile: row count, null count and exact
+    * distinct count for every requested column, unpivoted to one row per
+    * column — the schema-wide data-quality sweep. All statistics ride ONE
+    * aggregate over one scan (Catalyst plans the multiple distincts via
+    * Expand); at 100 TB swap `countDistinct` for `approx_count_distinct`
+    * to avoid the expand blowup — the shape is otherwise identical. */
+  def schemaProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+      countDistinct(col(c)).as(s"${c}__nd")))
+    val stackArgs = cols
+      .map(c => s"'$c', `${c}__nn`, `${c}__nd`").mkString(", ")
+    df.agg(count(lit(1)).as("n"), aggs: _*)
+      .select(col("n"),
+        expr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct)"))
+      .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"))
+  }
+
   /** Per-key cardinality profile: exact distinct plus HyperLogLog estimate
     * (the scale path — approx_count_distinct aggregates constant-size
     * sketches instead of shuffling the full distinct key set). */

@@ -451,6 +451,24 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     plan should not include "CartesianProduct"
   }
 
+  it should "histogram values into clamped fixed-width bins" in {
+    val df = Seq(("a", -5.0), ("a", 5.0), ("a", 15.0), ("a", 200.0), ("b", 5.0))
+      .toDF("k", "v")
+    val out = EventOps.fixedHistogram(df, "k", "v", binWidth = 10.0, nBins = 10)
+      .orderBy("k", "bin").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    out shouldBe Array(("a", 0, 2L), ("a", 1, 1L), ("a", 9, 1L), ("b", 0, 1L))
+  }
+
+  it should "profile nulls and distincts for every column in one pass" in {
+    val df = Seq((Some(1), "x"), (None, "y"), (Some(1), "y"))
+      .toDF("a", "b")
+    val out = EventOps.schemaProfile(df, Seq("a", "b"))
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out shouldBe Array(("a", 3L, 1L, 1L), ("b", 3L, 0L, 2L))
+  }
+
   it should "compose the cleaning pipeline end to end" in {
     val docs = Seq(
       Doc(1, "too short", "s"),                                  // quality-gated
