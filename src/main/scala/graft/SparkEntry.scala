@@ -393,6 +393,26 @@ object SparkEntry {
       graft.ops.Multimodal.decodeAudioBatched(
         graft.ops.Multimodal.asAudio(table(s, dir, "documents"), "doc_id", "text")).toDF()),
 
+    // Extension: REAL nearest-neighbor image resize (pure-JVM 24-bit BMP
+    // resample to 16x16); the feature is the RESIZED image's first pixels,
+    // so the oracle checks the resample's source-pixel mapping, not just
+    // header arithmetic.
+    "multimodal_resize" -> ((s, dir) =>
+      graft.ops.Multimodal.resizeBatched(
+        graft.ops.Multimodal.asMedia(table(s, dir, "documents"), "doc_id", "text"),
+        16, 16).toDF()),
+
+    // Extension: PCM frame sampling — fixed 256-sample windows with
+    // first/loudest frame mean amplitudes (sums of <=256 ints <= 255 are
+    // exact in doubles, so the means are engine-portable bit-for-bit).
+    "multimodal_audio_frames" -> ((s, dir) =>
+      graft.ops.Multimodal.frameStatsBatched(
+          graft.ops.Multimodal.asAudio(table(s, dir, "documents"), "doc_id", "text"),
+          frameLen = 256).toDF()
+        .select(col("id"), col("n_samples"), col("frame_len"), col("n_frames"),
+          round(col("first_mean"), 6).as("first_mean"),
+          round(col("max_mean"), 6).as("max_mean"))),
+
     // Extension: tumbling-window aggregation with order-independent sums
     // (double sums go through DECIMAL so partial-agg order can't change bits).
     "events_window_agg" -> ((s, dir) =>
@@ -820,6 +840,34 @@ object SparkEntry {
         |  3 AS channels,
         |  lower(hex(substr(text, 1, 4))) AS feature
         |FROM d""".stripMargin,
+
+    // The resized image's first 4 pixel bytes: out pixel (0,0) maps to src
+    // pixel (0,0) = text bytes 0..2 (pixel data cycles the text), and the
+    // 4th byte is out pixel (1,0)'s first channel = src pixel x = w//16,
+    // i.e. text byte (3*(w//16)) % L.
+    "multimodal_resize" ->
+      """WITH d AS (SELECT doc_id, text, strlen(text) AS L,
+        |    1 + strlen(text) % 64 AS w, 1 + strlen(text) % 48 AS h
+        |  FROM documents)
+        |SELECT doc_id AS id,
+        |  CAST(w AS INTEGER) AS in_width,
+        |  CAST(h AS INTEGER) AS in_height,
+        |  16 AS out_width, 16 AS out_height,
+        |  CAST(54 + 48 * 16 AS INTEGER) AS out_byte_len,
+        |  lower(hex(substr(text, 1, 3) || substr(text, CAST((3 * (w // 16)) % L AS INTEGER) + 1, 1))) AS feature
+        |FROM d""".stripMargin,
+
+    "multimodal_audio_frames" ->
+      """WITH t AS (SELECT doc_id, text, strlen(text) AS len FROM documents),
+        |f AS (SELECT doc_id, len, CAST(ceil(len / 256.0) AS BIGINT) AS n_frames,
+        |  list_transform(generate_series(0, CAST(ceil(len / 256.0) AS BIGINT) - 1), fr ->
+        |    list_avg(list_transform(generate_series(fr * 256 + 1, least((fr + 1) * 256, len)), i ->
+        |      unicode(substr(text, CAST(i AS INTEGER), 1)))))
+        |  AS means FROM t)
+        |SELECT doc_id AS id, CAST(len AS BIGINT) AS n_samples, 256 AS frame_len, n_frames,
+        |  round(means[1], 6) AS first_mean,
+        |  round(list_max(means), 6) AS max_mean
+        |FROM f""".stripMargin,
 
     "multimodal_audio_decode" ->
       """SELECT doc_id AS id,

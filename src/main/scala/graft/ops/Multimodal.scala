@@ -20,6 +20,16 @@ case class DecodedAudio(
     id: Long, byte_len: Int, sample_rate: Int, channels: Int, bits_per_sample: Int,
     n_samples: Long, duration_ms: Long)
 
+/** Output of the image resizer. */
+case class ResizedMedia(
+    id: Long, in_width: Int, in_height: Int, out_width: Int, out_height: Int,
+    out_byte_len: Int, feature: String)
+
+/** Output of audio frame sampling. */
+case class AudioFrames(
+    id: Long, n_samples: Long, frame_len: Int, n_frames: Long,
+    first_mean: Double, max_mean: Double)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * processed in partition-local batches.
   *
@@ -88,6 +98,104 @@ object Multimodal {
       f"${b & 0xff}%02x"
     }.mkString
     (width, height, bpp / 8, feature)
+  }
+
+  /** REAL nearest-neighbor resize of a 24-bit BMP (pure JVM): output pixel
+    * (x, y) copies source pixel (x·w/tw, y·h/th); rows keep BMP 4-byte
+    * padding. Returns a complete, re-decodable BMP. */
+  def resizeBmp(payload: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+    require(tw > 0 && th > 0, "target dimensions must be positive")
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    require(payload.length >= 54 && payload(0) == 'B'.toByte && payload(1) == 'M'.toByte,
+      s"not a BMP payload (${payload.length} bytes)")
+    require(buf.getShort(28) == 24, "resizeBmp supports 24-bit BMPs")
+    val srcOff = buf.getInt(10)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    val srcRow = ((w * 3 + 3) / 4) * 4
+    val dstRow = ((tw * 3 + 3) / 4) * 4
+    val out = ByteBuffer.allocate(54 + dstRow * th).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(payload, 0, 54)
+    out.putInt(2, 54 + dstRow * th)   // file size
+    out.putInt(10, 54)                // pixel offset (no palette)
+    out.putInt(18, tw)
+    out.putInt(22, th)
+    out.putInt(34, dstRow * th)       // image size
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * h / th).toInt
+      var x = 0
+      while (x < tw) {
+        val sx = (x.toLong * w / tw).toInt
+        val sp = srcOff + sy * srcRow + sx * 3
+        val dp = 54 + y * dstRow + x * 3
+        out.put(dp, payload(sp)); out.put(dp + 1, payload(sp + 1)); out.put(dp + 2, payload(sp + 2))
+        x += 1
+      }
+      y += 1
+    }
+    out.array()
+  }
+
+  /** Batched resize: decode-resize-redecode per record in partition-local
+    * batches; the emitted feature is the resized image's first 4 pixel
+    * bytes, proving the resample actually ran. */
+  def resizeBatched(ds: Dataset[MediaRecord], tw: Int, th: Int): Dataset[ResizedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, _, _) = decodePayload(r.payload)
+          val resized = resizeBmp(r.payload, tw, th)
+          val (ow, oh, _, feature) = decodePayload(resized)
+          ResizedMedia(r.id, w, h, ow, oh, resized.length, feature)
+        }
+      }
+    }
+  }
+
+  /** REAL PCM frame sampling (pure JVM): splits the 16-bit sample stream
+    * into fixed-length frames and reports per-frame mean amplitudes (first
+    * frame + loudest frame) — the standard windowing step before any
+    * audio featurization. */
+  def frameStats(payload: Array[Byte], frameLen: Int): AudioFrames = {
+    decodeWav(payload) // validates RIFF/WAVE magic and chunk structure
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    // find the data chunk again (decodeWav validated it exists)
+    var pos = 12
+    var dataPos = -1; var dataSize = 0
+    while (dataPos < 0 && pos + 8 <= payload.length) {
+      val id = new String(payload, pos, 4, "US-ASCII")
+      val size = buf.getInt(pos + 4)
+      if (id == "data") { dataPos = pos + 8; dataSize = size }
+      else pos += 8 + size + (size & 1)
+    }
+    val n = dataSize / 2
+    val nFrames = (n + frameLen - 1) / frameLen
+    var firstMean = 0.0; var maxMean = 0.0
+    var f = 0
+    while (f < nFrames) {
+      val start = f * frameLen
+      val end = math.min(start + frameLen, n)
+      var sum = 0.0
+      var i = start
+      while (i < end) { sum += math.abs(buf.getShort(dataPos + 2 * i).toDouble); i += 1 }
+      val mean = sum / (end - start)
+      if (f == 0) firstMean = mean
+      if (mean > maxMean) maxMean = mean
+      f += 1
+    }
+    AudioFrames(0L, n.toLong, frameLen, nFrames.toLong, firstMean, maxMean)
+  }
+
+  /** Batched frame sampling over audio records. */
+  def frameStatsBatched(ds: Dataset[MediaRecord], frameLen: Int): Dataset[AudioFrames] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map(r => frameStats(r.payload, frameLen).copy(id = r.id))
+      }
+    }
   }
 
   /** Build a minimal valid PCM WAV (RIFF) file: 16-bit mono at a sample

@@ -293,6 +293,27 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out shouldBe Array(DecodedAudio(7, 44 + 6, 11000, 1, 16, 3, 3 * 1000 / 11000))
   }
 
+  it should "resize a BMP by nearest-neighbor resampling" in {
+    // "hello": w=6, h=6, rowSize=20, data[i] = content[i % 5]
+    val bmp = Multimodal.toBmp("hello".getBytes("US-ASCII"))
+    val out = Multimodal.resizeBmp(bmp, 2, 2)
+    val (w, h, c, feature) = Multimodal.decodePayload(out)
+    (w, h, c) shouldBe ((2, 2, 3))
+    out.length shouldBe 54 + 8 * 2 // dstRow = ((2*3+3)/4)*4 = 8
+    // pixel(0,0) = src(0,0) = "hel"; pixel(1,0) = src(x=3,y=0) byte 9 = 'o'
+    feature shouldBe "68656c6f"
+  }
+
+  it should "window PCM samples into frames with exact means" in {
+    val wav = Multimodal.toWav("ab".getBytes("US-ASCII")) // samples 97, 98
+    val f = Multimodal.frameStats(wav, frameLen = 1)
+    (f.n_samples, f.n_frames) shouldBe ((2L, 2L))
+    f.first_mean shouldBe 97.0
+    f.max_mean shouldBe 98.0
+    val one = Multimodal.frameStats(wav, frameLen = 256)
+    (one.n_frames, one.first_mean) shouldBe ((1L, 97.5))
+  }
+
   it should "reject non-WAV payloads" in {
     an[IllegalArgumentException] should be thrownBy
       Multimodal.decodeWav(Multimodal.toBmp("x".getBytes))
