@@ -39,4 +39,22 @@ class BucketingSpec extends AnyFlatSpec with Matchers {
       spark.sql("DROP TABLE IF EXISTS b_sigs")
     }
   }
+
+  it should "prune partitions at the scan for partitioned layouts" in {
+    // Hive-style partitioning: the OTHER storage-layout lever — a stratum
+    // filter must never touch the other strata's files at 100 TB.
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val docs = (0L until 300L)
+      .map(i => (i, Seq("en", "de", "fr")((i % 3).toInt), s"text $i"))
+      .toDF("doc_id", "lang", "text")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val filtered = spark.read.parquet(dir).filter(col("lang") === "en")
+    filtered.count() shouldBe 100
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().head.toString
+    // the lang predicate must land in the scan's PartitionFilters (pruned
+    // at planning), not as a post-scan Filter over all partitions
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(scan).getOrElse("")
+    withClue(scan) { pf should include ("lang") }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
