@@ -166,15 +166,15 @@ object Bench {
         }
         // The driver parses this line from the TAIL of the combined sbt
         // output (observed window: 2000 chars), so the line must stay well
-        // under that: 3-decimal times, a failed-names list instead of a
-        // per-query ok map, and a one-clause methodology note. Full
-        // methodology lives in the Bench scaladoc + README.
-        def f3(d: Double) = "%.3f".format(d)
-        val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+        // under that: 2-decimal times (53+ queries no longer fit at 3), a
+        // failed-names list instead of a per-query ok map, and a one-clause
+        // methodology note. Full methodology lives in the scaladoc + README.
+        def f2(d: Double) = "%.2f".format(d)
+        val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
         val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }.mkString("[", ",", "]")
         val total = results.map(_._2._1).sum
         val line =
-          s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"warmup_sec":${f3(warmupTotal)},"fallbacks":$fallbacks,"load":"$loadBefore;${loadAvg()}","note":"median of $repeats fresh-JVM steady-state runs per $chunkSize-query chunk at local[$cpus]","sf":"$sfDir"}"""
+          s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"failed":$failed,"warmup_sec":${f2(warmupTotal)},"fallbacks":$fallbacks,"load":"$loadBefore;${loadAvg()}","note":"median of $repeats fresh-JVM steady-state runs per $chunkSize-query chunk at local[$cpus]","sf":"$sfDir"}"""
         if (line.length > 1800)
           System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may overflow the driver's tail window")
         println(line)
