@@ -147,6 +147,25 @@ object SparkEntry {
           col("price.maxPrice").as("max_price"))
     }),
 
+    // O5 extension: depth-2 struct-leaf override — the reference validates
+    // deep paths but its SQL generator only rebuilds one level
+    // (PlugRule.scala:102-121); `withField` lifts the limit (documented
+    // divergence). The condition also resolves through the nested struct.
+    "plug_nested_struct_override" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val df = table(s, dir, "lineitem").withColumn("detail",
+        struct(
+          struct(col("l_quantity").as("qty"), col("l_discount").as("disc")).as("amounts"),
+          col("l_tax").as("tax")))
+      val rule = PlugRule("rnest", "v1", "detail.amounts.disc > 0.05",
+        Seq(PlugAction("detail.amounts.qty", "0")))
+      plugged(df, List(rule))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("detail.amounts.qty").as("qty"),
+          col("detail.amounts.disc").as("disc"),
+          col("detail.tax").as("tax"))
+    }),
+
     // O5: null struct parents stay null (withField null-propagation).
     "plug_null_struct_preserved" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -607,6 +626,12 @@ object SparkEntry {
       """SELECT p_partkey,
         |CASE WHEN p_size > 40 THEN 1000.5 ELSE p_retailprice END AS min_price,
         |p_retailprice * 1.2 AS max_price FROM part""".stripMargin,
+
+    "plug_nested_struct_override" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CASE WHEN l_discount > 0.05 THEN 0.0 ELSE l_quantity END AS qty,
+        |l_discount AS disc, l_tax AS tax
+        |FROM lineitem""".stripMargin,
 
     "plug_null_struct_preserved" ->
       """SELECT p_partkey,

@@ -277,4 +277,19 @@ class SparkPlugSpec extends AnyFlatSpec with Matchers {
       .as[(Double, Double)].collect().head
     iphone shouldBe ((1.0, 2.0))
   }
+
+  it should "override a depth-2 struct leaf, preserving siblings and null parents" in {
+    // Extension past the reference: its SQL generator rebuilds only one
+    // struct level (PlugRule.scala:102-121); withField handles any depth.
+    val deep = structDf.withColumn("wrap", struct($"price".as("price"), lit(1L).as("v")))
+    val rules = List(PlugRule("rule1", "v1", "wrap.price.minPrice < 50",
+      Seq(PlugAction("wrap.price.minPrice", "42.5"))))
+    val out = SparkPlug.builder(spark).create().plug(deep, rules).toOption.get
+    val got = out.select($"title", $"wrap.price.minPrice", $"wrap.price.maxPrice", $"wrap.v")
+      .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)), r.getLong(3)))
+    got should contain theSameElementsAs Seq(
+      ("iPhone", Some(100.0), Some(150.0), 1L),  // condition false -> untouched
+      ("Galaxy", Some(42.5), Some(15.0), 1L),    // leaf overridden, sibling kept
+      ("Lumia", None, None, 1L))                 // null struct parent stays null
+  }
 }
