@@ -84,6 +84,26 @@ object StreamingOps {
       }
   }
 
+  /** Streaming gap-based sessionization via Spark's native
+    * `session_window`: a user's session closes after `gap` of inactivity,
+    * and the watermark bounds session state (sessions whose end falls
+    * behind the horizon are finalized and evicted) — the streaming twin of
+    * [[graft.ops.EventOps.sessionize]]. Emits one row per closed session
+    * in Append mode. */
+  def sessionAgg(
+      stream: DataFrame,
+      tsCol: String,
+      userCol: String,
+      gap: String,
+      watermarkDelay: String
+  ): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap).as("w"), col(userCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+
   /** Streaming exact dedup: drop records whose content fingerprint was
     * already seen, with state bounded by the event-time watermark
     * (`dropDuplicatesWithinWatermark` evicts fingerprints older than the

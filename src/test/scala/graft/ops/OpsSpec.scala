@@ -356,6 +356,32 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out shouldBe Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L))
   }
 
+  it should "agree with brute-force closure on randomized graphs" in {
+    val rng = new scala.util.Random(42) // fixed seed: deterministic cases
+    (1 to 3).foreach { _ =>
+      val n = 30
+      val edges = Seq.fill(25)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // brute force: repeated relabel to min over edges until fixpoint
+      var label = (0L until n).map(i => i -> i).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        edges.foreach { case (a, b) =>
+          val m = math.min(label(a), label(b))
+          if (label(a) != m || label(b) != m) {
+            label += (a -> m); label += (b -> m); changed = true
+          }
+        }
+      }
+      val vertices = (0L until n).toDF("id")
+      val out = Components.connectedComponents(
+          vertices, "id", edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      out shouldBe label
+    }
+  }
+
   it should "mark one keeper per duplicate cluster" in {
     val docs = Seq(Doc(1, "x", "s"), Doc(2, "x", "s"), Doc(3, "y", "s")).toDS.toDF()
     val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")

@@ -51,6 +51,23 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
       ("2024-01-01 10:00:00", 2L, 3.0))
   }
 
+  it should "sessionize a stream with native session windows" in {
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(t("2024-01-01 10:10:00"), 1, "click", 2.0),  // same session (10m < 30m gap)
+      Ev(t("2024-01-01 11:30:00"), 1, "click", 4.0),  // new session after 80m gap
+      Ev(t("2024-01-01 10:00:00"), 2, "click", 8.0))
+    val sess = StreamingOps.sessionAgg(in.toDF(), "ts", "user_id", "30 minutes", "5 minutes")
+    StreamingOps.runToMemory(sess, "sess_out", OutputMode.Complete)
+    val rows = spark.table("sess_out")
+      .select(col("user_id"), col("n_events"), col("total_value"),
+        col("w.start").cast("string"))
+      .orderBy("user_id", "w.start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    rows shouldBe Array((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0))
+  }
+
   it should "dedup a stream by content fingerprint within the watermark" in {
     val in = MemoryStream[Ev]
     in.addData(
