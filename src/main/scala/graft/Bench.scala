@@ -173,8 +173,13 @@ object Bench {
         val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
         val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }.mkString("[", ",", "]")
         val total = results.map(_._2._1).sum
+        // 1-minute loadavg before;after — enough to flag host contention
+        // without spending the driver's 2000-char tail window on it.
+        val load1 = s"${loadBefore.split(",").headOption.getOrElse("")};" +
+          s"${loadAvg().split(",").headOption.getOrElse("")}"
+        val fb = if (fallbacks > 0) s""","fallbacks":$fallbacks""" else ""
         val line =
-          s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"failed":$failed,"warmup_sec":${f2(warmupTotal)},"fallbacks":$fallbacks,"load":"$loadBefore;${loadAvg()}","note":"median of $repeats fresh-JVM steady-state runs per $chunkSize-query chunk at local[$cpus]","sf":"$sfDir"}"""
+          s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"failed":$failed,"warmup_sec":${"%.0f".format(warmupTotal)}$fb,"load":"$load1","note":"median of $repeats fresh-JVM chunk runs, local[$cpus]","sf":"$sfDir"}"""
         if (line.length > 1800)
           System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may overflow the driver's tail window")
         println(line)

@@ -569,7 +569,42 @@ object SparkEntry {
     "docs_clean_pipeline" -> ((s, dir) =>
       graft.ops.Corpus.cleanPipeline(
         spread(s, table(s, dir, "documents")), "doc_id", "text", "lang",
-        minTokens = 40, rates = Map("en" -> 0.5), defaultRate = 1.0))
+        minTokens = 40, rates = Map("en" -> 0.5), defaultRate = 1.0)),
+
+    // Extension: Gopher-style repetition signals (top token/bigram
+    // fractions, duplicate-trigram fraction) — the structural-quality
+    // gates a corpus build runs before any model-based filtering.
+    "text_repetition" -> ((s, dir) =>
+      graft.ops.Corpus.repetitionSignals(
+        spread(s, table(s, dir, "documents")), "doc_id", "text")),
+
+    // Extension: concat-then-chunk sequence packing — documents hash into
+    // independent bucket streams, order deterministically within each, and
+    // land in the fixed 512-token training sequence containing their first
+    // token (per-bucket window cumsum; no global sort).
+    "docs_pack_seqs" -> ((s, dir) =>
+      graft.ops.Packing.packSequences(
+        spread(s, table(s, dir, "documents")), "doc_id", "text",
+        budget = 512, buckets = 32)),
+
+    // Extension: min-timestamp funnel over the event stream — per-stage
+    // user counts under first-touch strict time ordering; per-user state in
+    // the aggregate is |stages| timestamps, never the event list.
+    "events_funnel" -> ((s, dir) =>
+      graft.ops.EventOps.funnel(events(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))),
+
+    // Extension: Hive-partitioned parquet SINK — write documents
+    // partitioned by lang, then profile the read-back layout (scans
+    // filtering on lang prune to one directory; BucketingSpec asserts the
+    // PartitionFilters plan shape).
+    "docs_part_sink" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+      graft.ops.Bucketing.writePartitioned(
+        table(s, dir, "documents"), out, Seq("lang"))
+      s.read.parquet(out).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1058,6 +1093,63 @@ object SparkEntry {
         |  list_min(q) AS qmin, list_max(q) AS qmax,
         |  CAST(list_sum(q) AS BIGINT) AS qsum,
         |  round(list_max(list_transform(generate_series(1, len(v)), i -> abs(q[i] * scale - v[i]))), 9) AS max_err
-        |FROM q""".stripMargin
+        |FROM q""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, 1 AS n, unnest(toks) AS g FROM t
+        |  UNION ALL
+        |  SELECT doc_id, 2, unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1])) FROM t
+        |  UNION ALL
+        |  SELECT doc_id, 3, unnest(list_transform(generate_series(1, len(toks)-2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) FROM t),
+        |c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
+        |a AS (SELECT doc_id,
+        |    sum(CASE WHEN n=1 THEN c END) AS n_tokens,
+        |    max(CASE WHEN n=1 THEN c END) AS top1,
+        |    sum(CASE WHEN n=2 THEN c END) AS tot2,
+        |    max(CASE WHEN n=2 THEN c END) AS top2,
+        |    sum(CASE WHEN n=3 THEN c END) AS tot3,
+        |    count(CASE WHEN n=3 THEN 1 END) AS dist3
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(top1 / n_tokens, 6) AS top_token_frac,
+        |  round(top2 / tot2, 6) AS top_bigram_frac,
+        |  round((tot3 - dist3) / tot3, 6) AS dup_trigram_frac
+        |FROM a""".stripMargin,
+
+    "docs_pack_seqs" ->
+      """WITH d AS (SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |    (('0x'||substr(md5(doc_id::VARCHAR),1,7))::UBIGINT)::BIGINT % 32 AS bucket,
+        |    md5(doc_id::VARCHAR) AS h
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_tokens, bucket,
+        |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+        |  FROM d)
+        |SELECT bucket, CAST(floor(start_off / 512) AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+        |  min(doc_id) AS first_doc_id
+        |FROM p GROUP BY 1, 2""".stripMargin,
+
+    "events_funnel" ->
+      """WITH m AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY 1),
+        |r AS (SELECT
+        |    count(CASE WHEN t0 IS NOT NULL THEN 1 END) AS n0,
+        |    count(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t0 < t1 THEN 1 END) AS n1,
+        |    count(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL AND t0 < t1 AND t1 < t2 THEN 1 END) AS n2
+        |  FROM m)
+        |SELECT 'view' AS stage, 0 AS stage_idx, n0 AS n_users FROM r
+        |UNION ALL SELECT 'click', 1, n1 FROM r
+        |UNION ALL SELECT 'purchase', 2, n2 FROM r""".stripMargin,
+
+    "docs_part_sink" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin
   )
 }

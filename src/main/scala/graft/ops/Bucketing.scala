@@ -36,6 +36,21 @@ object Bucketing {
       .sortBy(keyCols.head, keyCols.tail: _*)
       .saveAsTable(table)
 
+  /** Hive-partitioned parquet sink: one directory per distinct value
+    * combination of `partCols` (`dir/lang=en/part-*.parquet`). The layout
+    * complement of [[writeBucketed]]: bucketing co-locates JOIN keys,
+    * directory partitioning prunes SCANS — a reader filtering on a
+    * partition column never opens the other directories (PartitionFilters
+    * in the scan node, asserted by BucketingSpec). Partition by low-
+    * cardinality columns only (each value pair is a directory and at least
+    * one file); high-cardinality pruning belongs to row-group statistics,
+    * not directories. */
+  def writePartitioned(df: DataFrame, dir: String, partCols: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*)
+      .parquet(dir)
+
   /** Equi-join of two same-bucketed tables — co-located by layout, no
     * Exchange in the plan (assert with `requireNoExchange`). */
   def bucketedJoin(

@@ -127,6 +127,46 @@ object Corpus {
       idCol, strataCol, rates, defaultRate)
   }
 
+  /** Gopher-style repetition signals — the cheap structural-quality gates a
+    * pretraining corpus build runs before any model-based filtering
+    * (Rae et al. 2021 §A1 use duplicate-line and top-n-gram fractions; this
+    * is the token-level analogue for single-line documents):
+    *   - top_token_frac:   occurrences of the most frequent token / tokens
+    *   - top_bigram_frac:  occurrences of the most frequent bigram / bigram
+    *                       positions
+    *   - dup_trigram_frac: fraction of trigram positions whose trigram also
+    *                       occurs elsewhere in the document (1 − distinct/total)
+    * High values flag boilerplate, keyword stuffing, and degenerate
+    * repetition. Fractions are NULL when the document is too short to have
+    * any n-gram of that size.
+    *
+    * Scale shape: all three gram sizes ride ONE explode (tagged by n) into
+    * one (id, n, gram) count aggregate and one per-document rollup — two
+    * shuffles total, both with map-side partial aggregation, no joins. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def tag(n: Int): Column =
+      transform(gramsAll(col("__toks"), n),
+        g => struct(lit(n).as("n"), g.as("g")))
+    val grams = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(concat(tag(1), tag(2), tag(3))).as("x"))
+      .select(col(idCol), col("x.n").as("n"), col("x.g").as("g"))
+    grams
+      .groupBy(col(idCol), col("n"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("n") === 1, col("c"))).as("n_tokens"),
+        max(when(col("n") === 1, col("c"))).as("top1"),
+        sum(when(col("n") === 2, col("c"))).as("tot2"),
+        max(when(col("n") === 2, col("c"))).as("top2"),
+        sum(when(col("n") === 3, col("c"))).as("tot3"),
+        count(when(col("n") === 3, lit(1))).as("dist3"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("top1") / col("n_tokens"), 6).as("top_token_frac"),
+        round(col("top2") / col("tot2"), 6).as("top_bigram_frac"),
+        round((col("tot3") - col("dist3")) / col("tot3"), 6).as("dup_trigram_frac"))
+  }
+
   /** Corpus-unigram language-model scoring with add-one smoothing: each
     * document's mean token log-probability under the corpus's own unigram
     * distribution, p(t) = (count(t)+1) / (total_tokens + vocab). Low

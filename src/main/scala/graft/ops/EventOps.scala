@@ -149,6 +149,49 @@ object EventOps {
       .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"))
   }
 
+  /** Min-timestamp funnel (first-touch attribution): a user reaches stage k
+    * when their EARLIEST occurrence of every stage 1..k exists and is
+    * strictly ordered in time (t₁ < t₂ < … < t_k). Returns one row per
+    * stage: (stage, stage_idx, n_users).
+    *
+    * Scale shape: one shuffle groups events by user with map-side partial
+    * `min(when(...))` aggregation — per-user state is `stages.size`
+    * timestamps regardless of event count — then a single-row rollup of
+    * stage booleans unpivots to the per-stage counts. No self-joins (the
+    * naive k-way join formulation shuffles the event table k times). */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String]
+  ): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val mins = events
+      .filter(col(typeCol).isInCollection(stages))
+      .groupBy(col(userCol))
+      .agg(
+        min(when(col(typeCol) === stages.head, col(tsCol))).as("__t_0"),
+        stages.tail.zipWithIndex.map { case (s, i) =>
+          min(when(col(typeCol) === s, col(tsCol))).as(s"__t_${i + 1}")
+        }: _*)
+    val reached: Seq[Column] = stages.indices.map { k =>
+      val present = (0 to k).map(i => col(s"__t_$i").isNotNull)
+      val ordered = (1 to k).map(i => col(s"__t_${i - 1}") < col(s"__t_$i"))
+      (present ++ ordered).reduce(_ && _)
+    }
+    val rolled = mins.agg(
+      sum(when(reached.head, 1L).otherwise(0L)).as("__n_0"),
+      reached.tail.zipWithIndex.map { case (c, i) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"__n_${i + 1}")
+      }: _*)
+    val stackArgs = stages.zipWithIndex
+      .map { case (s, i) => s"'$s', $i, `__n_$i`" }.mkString(", ")
+    rolled
+      .select(expr(s"stack(${stages.size}, $stackArgs) AS (stage, stage_idx, n_users)"))
+      .select(col("stage"), col("stage_idx"), coalesce(col("n_users"), lit(0L)).as("n_users"))
+  }
+
   /** Per-key cardinality profile: exact distinct plus HyperLogLog estimate
     * (the scale path — approx_count_distinct aggregates constant-size
     * sketches instead of shuffling the full distinct key set). */

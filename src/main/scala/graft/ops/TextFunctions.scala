@@ -68,6 +68,19 @@ object TextFunctions {
     array_distinct(when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(full))
   }
 
+  /** ALL word n-gram positions in order, duplicates kept — repetition
+    * counters need multiplicity, unlike the distinct [[shingles]]. Texts
+    * shorter than n tokens yield an EMPTY array (there is no full n-gram),
+    * not a whole-text collapse. Same shifted-`zip_with` chain as
+    * [[shingles]], so the performance invariant above holds: heavy arrays
+    * appear only in HOF argument position. */
+  def gramsAll(toks: Column, n: Int): Column = {
+    val joined = (1 until n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), size(toks)), (a, b) => concat(a, lit(" "), b))
+    }
+    slice(joined, lit(1), greatest(size(toks) - (n - 1), lit(0)))
+  }
+
   /** Kernel dispatch: the codegen'd graft_shingles when the session
     * extension is installed (identical output, and a few hundred bytes of
     * generated code instead of the huge inlined zip_with chain — first-run

@@ -121,6 +121,19 @@ object StreamingOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Stream-static enrichment: join each micro-batch against a broadcast
+    * static dimension (stateless — no streaming state, no watermark needed;
+    * the dimension is re-resolvable per batch, so a dim backed by a table
+    * picks up slowly-changing updates). The broadcast keeps the stream side
+    * shuffle-free: at scale the alternative — shuffling every micro-batch
+    * on the join key — dominates batch latency. */
+  def enrichWithStatic(
+      stream: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String]
+  ): DataFrame =
+    stream.join(broadcast(dim), keys)
+
   /** Convenience sink for tests/demos: run a streaming frame into an
     * in-memory table and process everything currently available. */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): Unit = {

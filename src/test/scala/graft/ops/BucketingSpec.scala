@@ -47,7 +47,7 @@ class BucketingSpec extends AnyFlatSpec with Matchers {
     val docs = (0L until 300L)
       .map(i => (i, Seq("en", "de", "fr")((i % 3).toInt), s"text $i"))
       .toDF("doc_id", "lang", "text")
-    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    Bucketing.writePartitioned(docs, dir, Seq("lang"))
     val filtered = spark.read.parquet(dir).filter(col("lang") === "en")
     filtered.count() shouldBe 100
     val scan = filtered.queryExecution.executedPlan.collectLeaves().head.toString

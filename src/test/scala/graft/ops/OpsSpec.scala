@@ -558,6 +558,76 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out(1)._3 shouldBe pa +- 1e-5
   }
 
+  behavior of "repetition signals"
+
+  it should "measure top-token, top-bigram and duplicate-trigram fractions" in {
+    val docs = Seq(
+      Doc(1, "a a a b", "s"),       // top token 3/4; bigrams aa,aa,ab -> 2/3; trigrams aaa,aab distinct
+      Doc(2, "x y x y x y", "s"),   // top token 3/6; bigrams xy,yx,xy,yx,xy -> 3/5; trigrams 4 total 2 distinct
+      Doc(3, "a b", "s")            // no trigram -> dup_trigram_frac null; one bigram -> 1.0
+    ).toDS.toDF()
+    val out = Corpus.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    out(0).getLong(1) shouldBe 4
+    out(0).getDouble(2) shouldBe 0.75
+    out(0).getDouble(3) shouldBe 0.666667 +- 1e-6
+    out(0).getDouble(4) shouldBe 0.0
+    out(1).getDouble(2) shouldBe 0.5
+    out(1).getDouble(3) shouldBe 0.6
+    out(1).getDouble(4) shouldBe 0.5
+    out(2).getDouble(3) shouldBe 1.0
+    out(2).isNullAt(4) shouldBe true
+  }
+
+  behavior of "sequence packing"
+
+  it should "pack every token exactly once into budgeted per-bucket chunks" in {
+    val docs = (0L until 200L)
+      .map(i => Doc(i, ("tok " * (5 + (i % 37).toInt)).trim, "s")).toDS.toDF()
+    val totalTokens = docs
+      .select(sum(TextFunctions.tokenCount(col("text")))).collect()(0).getLong(0)
+    val packed = Packing.packSequences(docs, "doc_id", "text", budget = 64, buckets = 4)
+    val rows = packed.collect()
+    rows.map(_.getLong(3)).sum shouldBe totalTokens           // token-conserving
+    rows.map(_.getLong(2)).sum shouldBe 200L                  // every doc placed once
+    all(rows.map(_.getLong(1))) should be >= 0L
+    rows.map(_.getLong(0)).distinct.length should be <= 4     // bucket domain respected
+    // deterministic under any input partitioning
+    val repartitioned = Packing
+      .packSequences(docs.repartition(7), "doc_id", "text", budget = 64, buckets = 4)
+    packed.exceptAll(repartitioned).count() shouldBe 0
+    repartitioned.exceptAll(packed).count() shouldBe 0
+  }
+
+  it should "start each bucket's chunk ids at zero with bounded span" in {
+    val docs = (0L until 100L).map(i => Doc(i, "w w w w w w w w", "s")).toDS.toDF()
+    val packed = Packing.packSequences(docs, "doc_id", "text", budget = 32, buckets = 2)
+      .collect()
+    packed.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      rs.map(_.getLong(1)).min shouldBe 0L
+      // 8-token docs, 32-token budget: chunks fill completely, ids contiguous
+      val ids = rs.map(_.getLong(1)).sorted
+      ids shouldBe (0L until ids.length).toArray
+    }
+  }
+
+  behavior of "funnel"
+
+  it should "count users per stage under strict first-touch ordering" in {
+    val ts = (ms: Long) => new java.sql.Timestamp(ms)
+    val events = Seq(
+      (1L, "view", ts(1000)), (1L, "click", ts(2000)), (1L, "purchase", ts(3000)),
+      (2L, "view", ts(1000)), (2L, "purchase", ts(2000)),       // skipped click
+      (3L, "click", ts(1000)), (3L, "view", ts(2000)),          // click before view
+      (4L, "error", ts(1000))                                   // no funnel stages
+    ).toDF("user_id", "event_type", "ts")
+    val out = EventOps.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    out shouldBe Array(("view", 3L), ("click", 1L), ("purchase", 1L))
+  }
+
   behavior of "incremental dedup"
 
   it should "screen a new batch against the corpus without self-joining" in {

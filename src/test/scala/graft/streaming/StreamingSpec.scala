@@ -83,6 +83,22 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     Set(1L, 2L) should contain(users.min)
   }
 
+  it should "enrich a stream against a broadcast static dimension" in {
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(t("2024-01-01 10:01:00"), 2, "view", 2.0),
+      Ev(t("2024-01-01 10:02:00"), 3, "error", 3.0))
+    val dim = Seq(("click", 10.0), ("view", 20.0)).toDF("event_type", "weight")
+    val enriched = StreamingOps.enrichWithStatic(in.toDF(), dim, Seq("event_type"))
+    enriched.isStreaming shouldBe true
+    StreamingOps.runToMemory(enriched, "enrich_out", OutputMode.Append)
+    val rows = spark.table("enrich_out")
+      .select(col("user_id"), col("weight")).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    rows shouldBe Array((1L, 10.0), (2L, 20.0)) // inner join drops 'error'
+  }
+
   it should "keep running user totals across micro-batches via mapGroupsWithState" in {
     val in = MemoryStream[Ev]
     // idleTimeout=None: a processing-time timeout would schedule no-data
