@@ -594,6 +594,13 @@ object SparkEntry {
       graft.ops.EventOps.funnel(events(s, dir), "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"))),
 
+    // Extension: overlapping token-window chunking (RAG/embedding prep) —
+    // 32-token windows advancing by 16 (50% overlap), fingerprint per
+    // chunk; pure scan-side generator, no shuffle.
+    "docs_chunk" -> ((s, dir) =>
+      graft.ops.Packing.chunkTokens(
+        table(s, dir, "documents"), "doc_id", "text", window = 32, stride = 16)),
+
     // Extension: Hive-partitioned parquet SINK — write documents
     // partitioned by lang, then profile the read-back layout (scans
     // filtering on lang prune to one directory; BucketingSpec asserts the
@@ -1150,6 +1157,17 @@ object SparkEntry {
 
     "docs_part_sink" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents GROUP BY 1""".stripMargin
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "docs_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(0, CAST(floor((len(toks)-1)/16) AS BIGINT)),
+        |    k -> struct_pack(chunk_id := k, ch := toks[k*16+1 : k*16+32]))) AS u
+        |  FROM t)
+        |SELECT doc_id, CAST(u.chunk_id AS INTEGER) AS chunk_id,
+        |  CAST(len(u.ch) AS INTEGER) AS n_chunk_tokens,
+        |  md5(array_to_string(u.ch, ' ')) AS chunk_fp
+        |FROM c""".stripMargin
   )
 }

@@ -28,6 +28,40 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Overlapping token-window chunking (RAG / embedding prep): split each
+    * document into windows of `window` tokens advancing by `stride`
+    * (window > stride ⇒ consecutive chunks overlap by window − stride
+    * tokens, the standard retrieval layout so no phrase is cut at a hard
+    * boundary). Returns one row per chunk: (idCol, chunk_id,
+    * n_chunk_tokens, chunk_fp) — the md5 fingerprint stands in for the
+    * chunk body (embed/store happens downstream; the fingerprint is the
+    * join key back).
+    *
+    * Shape: one narrow projection + one generator — NO shuffle; chunking
+    * is a scan-side map at any scale. The token array is staged in its own
+    * projection and only referenced (cheap bound attribute) inside the
+    * chunk-slicing lambda; the chunks are built per row BEFORE the explode
+    * so generated rows carry one chunk each, never the whole document. */
+  def chunkTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int
+  ): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val spark = df.sparkSession
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)), lit(stride)),
+          st => slice(col("__toks"), st + 1, lit(window))))
+          .as(Seq("chunk_id", "__chunk")))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__chunk")).as("n_chunk_tokens"),
+        TextFunctions.md5For(spark)(concat_ws(" ", col("__chunk"))).as("chunk_fp"))
+  }
+
   /** One row per packed sequence: (bucket, seq_id, n_docs, seq_tokens,
     * first_doc_id). `seq_id` numbers chunks within a bucket from 0;
     * `seq_tokens` counts the tokens of documents STARTING in the chunk (so

@@ -611,6 +611,42 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  behavior of "token chunking"
+
+  it should "cut overlapping windows covering every token" in {
+    // 10 tokens, window 4, stride 2 -> starts 0,2,4,6,8; last chunks truncate
+    val docs = Seq(Doc(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9", "s"), Doc(2, "solo", "s")).toDS.toDF()
+    val out = Packing.chunkTokens(docs, "doc_id", "text", window = 4, stride = 2)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    d1.map(_.getInt(1)) shouldBe Array(0, 1, 2, 3, 4)
+    d1.map(_.getInt(2)) shouldBe Array(4, 4, 4, 4, 2)
+    // chunk 1 = tokens 2..5; fingerprint matches direct md5 of the join
+    val fp = Seq("x").toDF("x")
+      .select(md5(lit("t2 t3 t4 t5"))).collect()(0).getString(0)
+    d1(1).getString(3) shouldBe fp
+    // single-token doc -> exactly one (possibly short) chunk
+    out.filter(_.getLong(0) == 2L).map(r => (r.getInt(1), r.getInt(2))) shouldBe Array((0, 1))
+  }
+
+  it should "chunk without any shuffle in the plan" in {
+    val docs = Seq(Doc(1, "a b c d e f", "s")).toDS.toDF()
+    val plan = Packing.chunkTokens(docs, "doc_id", "text", 4, 2)
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+
+  it should "pack and profile repetition with the minimal shuffle count" in {
+    val docs = (0L until 50L).map(i => Doc(i, "a b c a b c", "s")).toDS.toDF()
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    // packing: one shuffle on bucket serves both the window and the rollup
+    // (HashPartitioning(bucket) satisfies clustering by (bucket, seq_id))
+    exchanges(Packing.packSequences(docs, "doc_id", "text", 64, 4)) shouldBe 1
+    // repetition: (id,n,g) count then per-id rollup - two shuffles, no joins
+    exchanges(Corpus.repetitionSignals(docs, "doc_id", "text")) should be <= 2
+  }
+
   behavior of "funnel"
 
   it should "count users per stage under strict first-touch ordering" in {
