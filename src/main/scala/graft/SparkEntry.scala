@@ -601,6 +601,39 @@ object SparkEntry {
       graft.ops.Packing.chunkTokens(
         table(s, dir, "documents"), "doc_id", "text", window = 32, stride = 16)),
 
+    // Extension: embedding-dedup clustering — banded sign-LSH near-dup
+    // pairs at cosine >= 0.9 feed connected components, one keeper per
+    // cluster (the embedding-space twin of dedup_cluster_cc; candidate
+    // generation is bucket equi-joins, labels propagate one shuffle/round).
+    "sim_cluster_cc" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val pairs = graft.ops.Similarity.lshCosineNearDupPairs(
+        spread(s, emb), "vec_id", "embedding",
+        dim = 64, planes = 8, bands = 2, threshold = 0.9)
+      graft.ops.Components.dedupClusters(emb, "vec_id", pairs, "a_id", "b_id")
+    }),
+
+    // Extension: range-sorted parquet layout — repartitionByRange +
+    // sortWithinPartitions write, so every file covers a DISJOINT doc_id
+    // range (row-group min/max file skipping: the high-cardinality
+    // complement to directory partitioning). The query reads the layout
+    // back and proves per-file ranges are disjoint and complete. The
+    // single-partition window is over one row per FILE (4 rows), not data.
+    "docs_range_layout" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_range").toString
+      graft.ops.Bucketing.writeRangeSorted(
+        table(s, dir, "documents"), out, "doc_id", numFiles = 4)
+      val perFile = s.read.parquet(out)
+        .select(col("doc_id"), input_file_name().as("f"))
+        .groupBy("f")
+        .agg(min("doc_id").as("lo"), max("doc_id").as("hi"), count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("lo")
+      perFile
+        .select(col("n"), (col("lo") > lag(col("hi"), 1, -1L).over(w)).as("ok"))
+        .agg(count(lit(1)).as("n_files"), sum(col("n")).as("n_docs"),
+          min(col("ok")).as("all_disjoint"))
+    }),
+
     // Extension: Hive-partitioned parquet SINK — write documents
     // partitioned by lang, then profile the read-back layout (scans
     // filtering on lang prune to one directory; BucketingSpec asserts the
@@ -1168,6 +1201,30 @@ object SparkEntry {
         |SELECT doc_id, CAST(u.chunk_id AS INTEGER) AS chunk_id,
         |  CAST(len(u.ch) AS INTEGER) AS n_chunk_tokens,
         |  md5(array_to_string(u.ch, ' ')) AS chunk_fp
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    "sim_cluster_cc" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |bk AS (SELECT vec_id, t.b AS band, list_sum(list_transform(generate_series(0,7), j ->
+        |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(v)), i ->
+        |    v[i]::DOUBLE * (CASE WHEN (('0x'||substr(md5((t.b*8+j)::VARCHAR||':'||(i-1)::VARCHAR),1,15))::UBIGINT & 1) = 1 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END))), (a,x) -> a+x) >= 0
+        |  THEN (1 << j) ELSE 0 END)) AS bucket FROM e, range(2) t(b)),
+        |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |p AS (SELECT c.a_id, c.b_id,
+        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(ea.v)), i -> ea.v[i]::DOUBLE * eb.v[i]::DOUBLE)), (x,y) -> x+y)
+        |  / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(ea.v)), i -> ea.v[i]::DOUBLE * ea.v[i]::DOUBLE)), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(eb.v)), i -> eb.v[i]::DOUBLE * eb.v[i]::DOUBLE)), (x,y) -> x+y))) AS sim
+        |  FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id),
+        |ed AS (SELECT a_id AS s, b_id AS d FROM p WHERE sim >= 0.9
+        |       UNION ALL SELECT b_id, a_id FROM p WHERE sim >= 0.9),
+        |reach AS (SELECT vec_id AS id, vec_id AS r FROM embeddings
+        |          UNION SELECT reach.id, ed.d FROM reach JOIN ed ON reach.r = ed.s)
+        |SELECT id AS vec_id, min(r) AS cluster_id, min(r) = id AS is_keeper
+        |FROM reach GROUP BY id""".stripMargin,
+
+    "docs_range_layout" ->
+      """SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS n_docs, true AS all_disjoint
+        |FROM documents""".stripMargin
   )
 }

@@ -51,6 +51,25 @@ object Bucketing {
       .partitionBy(partCols: _*)
       .parquet(dir)
 
+  /** Range-sorted parquet layout: `repartitionByRange` on the key +
+    * `sortWithinPartitions` before the write. The third storage lever next
+    * to [[writeBucketed]] (join co-location) and [[writePartitioned]]
+    * (directory pruning): every output file covers a DISJOINT key range, so
+    * a reader filtering on the key skips whole files via parquet row-group
+    * min/max statistics — the high-cardinality complement to directory
+    * partitioning (which would explode into one directory per value).
+    * Sorting within partitions also gives run-length/dictionary encoders
+    * monotone input — smaller files at 100 TB. */
+  def writeRangeSorted(
+      df: DataFrame,
+      dir: String,
+      keyCol: String,
+      numFiles: Int
+  ): Unit =
+    df.repartitionByRange(numFiles, df.col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+
   /** Equi-join of two same-bucketed tables — co-located by layout, no
     * Exchange in the plan (assert with `requireNoExchange`). */
   def bucketedJoin(

@@ -40,6 +40,25 @@ class BucketingSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "write range-sorted files covering disjoint key ranges" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_range_t").toString
+    val docs = (0L until 300L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+      .repartition(7) // any input partitioning; the writer re-ranges
+    Bucketing.writeRangeSorted(docs, dir, "doc_id", numFiles = 3)
+    val perFile = spark.read.parquet(dir)
+      .select(col("doc_id"), input_file_name().as("f"))
+      .groupBy("f")
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"), count(lit(1)).as("n"))
+      .orderBy("lo").collect()
+    perFile.length shouldBe 3
+    perFile.map(_.getLong(3)).sum shouldBe 300
+    // each file's range starts strictly after the previous file's end
+    perFile.sliding(2).foreach { case Array(a, b) =>
+      b.getLong(1) should be > a.getLong(2)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   it should "prune partitions at the scan for partitioned layouts" in {
     // Hive-style partitioning: the OTHER storage-layout lever — a stratum
     // filter must never touch the other strata's files at 100 TB.
