@@ -134,6 +134,38 @@ object StreamingOps {
   ): DataFrame =
     stream.join(broadcast(dim), keys)
 
+  /** Stream-stream interval join: each left event pairs with right events
+    * of the same key whose timestamp falls in
+    * [left.ts − before, left.ts + after]. BOTH sides carry event-time
+    * watermarks and the join condition bounds the time range in both
+    * directions — that pair is what lets the engine evict buffered rows
+    * once the watermark passes their join window; an unbounded condition
+    * would grow state forever. Returns the left columns plus the matched
+    * right timestamp and the requested right payload columns (prefixed
+    * `right_`). */
+  def intervalJoinStreams(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      before: String,
+      after: String,
+      watermarkDelay: String,
+      rightPayload: Seq[String]
+  ): DataFrame = {
+    val l = left.withWatermark(tsCol, watermarkDelay).alias("l")
+    val r = right.withWatermark(tsCol, watermarkDelay).alias("r")
+    val cond = expr(
+      s"l.$keyCol = r.$keyCol AND " +
+        s"r.$tsCol >= l.$tsCol - INTERVAL $before AND " +
+        s"r.$tsCol <= l.$tsCol + INTERVAL $after")
+    l.join(r, cond)
+      .select(
+        left.columns.map(c => col(s"l.$c")) ++
+          (col(s"r.$tsCol").as(s"right_$tsCol") +:
+            rightPayload.map(c => col(s"r.$c").as(s"right_$c"))): _*)
+  }
+
   /** Convenience sink for tests/demos: run a streaming frame into an
     * in-memory table and process everything currently available. */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): Unit = {

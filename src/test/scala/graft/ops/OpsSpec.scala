@@ -664,6 +664,109 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out shouldBe Array(("view", 3L), ("click", 1L), ("purchase", 1L))
   }
 
+  behavior of "randomized references"
+
+  // Seeded random corpora checked against independent driver-side Scala
+  // implementations — the same pattern as the randomized CC closure test:
+  // if the distributed formulation diverges from the obvious sequential
+  // one anywhere in the input space, a 60-doc random sample catches it.
+  private def randomDocs(seed: Int, nDocs: Int, maxTokens: Int): Seq[Doc] = {
+    val rnd = new scala.util.Random(seed)
+    (0L until nDocs.toLong).map { i =>
+      val n = 1 + rnd.nextInt(maxTokens)
+      Doc(i, Seq.fill(n)("w" + rnd.nextInt(8)).mkString(" "), "s")
+    }
+  }
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  it should "chunk exactly like a sequential sliding-window reference" in {
+    val docs = randomDocs(7, 60, 40)
+    val expected = docs.flatMap { d =>
+      val toks = d.text.trim.split("\\s+").toSeq
+      (0 until toks.length by 3).zipWithIndex.map { case (st, ci) =>
+        (d.doc_id, ci, toks.slice(st, st + 7).size)
+      }
+    }.toSet
+    val got = Packing.chunkTokens(docs.toDS.toDF(), "doc_id", "text", 7, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    got shouldBe expected
+  }
+
+  it should "pack exactly like a sequential per-bucket cumsum reference" in {
+    val docs = randomDocs(11, 60, 40)
+    val budget = 50; val buckets = 8
+    val expected = docs
+      .groupBy(d => java.lang.Long.parseLong(md5hex(d.doc_id.toString).take(7), 16) % buckets)
+      .flatMap { case (b, ds) =>
+        var off = 0L
+        ds.sortBy(d => (md5hex(d.doc_id.toString), d.doc_id)).map { d =>
+          val n = d.text.trim.split("\\s+").length
+          val seq = off / budget; off += n
+          (b, seq, d.doc_id, n.toLong)
+        }
+      }
+      .groupBy(t => (t._1, t._2))
+      .map { case ((b, sq), xs) =>
+        (b, sq, xs.size.toLong, xs.map(_._4).sum, xs.map(_._3).min) }
+      .toSet
+    val got = Packing.packSequences(docs.toDS.toDF(), "doc_id", "text", budget, buckets)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    got shouldBe expected
+  }
+
+  it should "measure repetition exactly like a sequential n-gram reference" in {
+    val docs = randomDocs(13, 60, 30)
+    def gramFracs(text: String): (Long, Option[Double], Option[Double], Option[Double]) = {
+      val toks = text.trim.split("\\s+").toSeq
+      def grams(n: Int) = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+      def topFrac(g: Seq[String]) =
+        if (g.isEmpty) None
+        else Some(g.groupBy(identity).values.map(_.size).max.toDouble / g.size)
+      val g3 = grams(3)
+      (toks.size.toLong, topFrac(grams(1)), topFrac(grams(2)),
+        if (g3.isEmpty) None else Some((g3.size - g3.distinct.size).toDouble / g3.size))
+    }
+    val expected = docs.map(d => d.doc_id -> gramFracs(d.text)).toMap
+    val rows = Corpus.repetitionSignals(docs.toDS.toDF(), "doc_id", "text").collect()
+    rows.length shouldBe docs.size
+    rows.foreach { r =>
+      val (n, t1, t2, d3) = expected(r.getLong(0))
+      r.getLong(1) shouldBe n
+      def check(i: Int, exp: Option[Double]) = exp match {
+        case Some(v) => r.getDouble(i) shouldBe v +- 1e-6
+        case None    => r.isNullAt(i) shouldBe true
+      }
+      check(2, t1); check(3, t2); check(4, d3)
+    }
+  }
+
+  it should "funnel exactly like a sequential per-user min-ts reference" in {
+    val rnd = new scala.util.Random(17)
+    val stages = Seq("view", "click", "purchase")
+    val types = stages ++ Seq("error", "signup")
+    val events = (0 until 400).map { _ =>
+      (rnd.nextInt(40).toLong, types(rnd.nextInt(types.size)),
+        new java.sql.Timestamp(1000L * rnd.nextInt(10000)))
+    }
+    val mins = events.groupBy(_._1).map { case (u, es) =>
+      u -> stages.map(s => es.filter(_._2 == s).map(_._3.getTime).minOption)
+    }
+    val expected = stages.indices.map { k =>
+      mins.values.count { ts =>
+        (0 to k).forall(ts(_).isDefined) &&
+          (1 to k).forall(i => ts(i - 1).get < ts(i).get)
+      }.toLong
+    }
+    val got = EventOps.funnel(events.toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", stages)
+      .orderBy("stage_idx").collect().map(_.getLong(2)).toSeq
+    got shouldBe expected
+  }
+
   behavior of "incremental dedup"
 
   it should "screen a new batch against the corpus without self-joining" in {

@@ -99,6 +99,29 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     rows shouldBe Array((1L, 10.0), (2L, 20.0)) // inner join drops 'error'
   }
 
+  it should "interval-join two streams with bounded state" in {
+    val clicks = MemoryStream[Ev]
+    val errors = MemoryStream[Ev]
+    clicks.addData(
+      Ev(t("2024-01-01 10:10:00"), 1, "click", 1.0),
+      Ev(t("2024-01-01 10:40:00"), 2, "click", 2.0))
+    errors.addData(
+      Ev(t("2024-01-01 10:05:00"), 1, "error", 9.0),  // 5m before u1 click: joins
+      Ev(t("2024-01-01 10:12:00"), 1, "error", 8.0),  // 2m after u1 click: joins
+      Ev(t("2024-01-01 09:00:00"), 2, "error", 7.0))  // 100m before u2 click: outside
+    val joined = StreamingOps.intervalJoinStreams(
+      clicks.toDF(), errors.toDF(), "user_id", "ts",
+      before = "10 minutes", after = "5 minutes", watermarkDelay = "1 minute",
+      rightPayload = Seq("value"))
+    joined.isStreaming shouldBe true
+    StreamingOps.runToMemory(joined, "ij_out", OutputMode.Append)
+    val rows = spark.table("ij_out")
+      .select(col("user_id"), col("right_value"))
+      .orderBy("user_id", "right_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    rows shouldBe Array((1L, 8.0), (1L, 9.0))
+  }
+
   it should "keep running user totals across micro-batches via mapGroupsWithState" in {
     val in = MemoryStream[Ev]
     // idleTimeout=None: a processing-time timeout would schedule no-data
