@@ -43,6 +43,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
       ShinglesExpr(args(0), n)
     }))
+    ext.injectFunction(fn("graft_grams", 2, args => {
+      val n = args(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case _ => throw new IllegalArgumentException(
+          "graft_grams: n must be an integer literal")
+      }
+      GramsAllExpr(args(0), n)
+    }))
     ext.injectFunction(fn("graft_minhash_sig", 2, args => {
       val k = args(1) match {
         case Literal(v: Int, IntegerType) => v

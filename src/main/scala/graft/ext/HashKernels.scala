@@ -116,6 +116,33 @@ object HashKernels {
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** ALL word n-gram positions, duplicates kept; fewer than n tokens give
+    * an EMPTY array — identical semantics to
+    * [[graft.ops.TextFunctions.gramsAll]] (note the divergence from
+    * [[shingles]], which collapses short texts to one whole-text shingle).
+    * A null token poisons its grams to null, like `concat` in the HOF
+    * chain. */
+  def gramsAll(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return emptyArray
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[Any](m - n + 1)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= m - n) {
+      var j = 0
+      var hasNull = false
+      while (j < n) {
+        if (toks.isNullAt(i + j)) hasNull = true
+        else parts(j) = toks.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = if (hasNull) null else UTF8String.concatWs(sep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 60-bit SimHash from precomputed token hashes. */
   def simhash60(th: ArrayData): Long = {
     val n = th.numElements()
@@ -226,6 +253,30 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.ext.HashKernels.shingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_grams(tokens, n)`: ALL word n-gram positions (duplicates kept;
+  * shorter-than-n input gives an empty array) as array<string>.
+  * Null-propagating, matching [[graft.ops.TextFunctions.gramsAll]]. */
+case class GramsAllExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_grams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.gramsAll(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ext.HashKernels.gramsAll($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -144,8 +144,9 @@ object Corpus {
     * one (id, n, gram) count aggregate and one per-document rollup — two
     * shuffles total, both with map-side partial aggregation, no joins. */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams3 = gramsAllFor(df.sparkSession) _
     def tag(n: Int): Column =
-      transform(gramsAll(col("__toks"), n),
+      transform(grams3(col("__toks"), n),
         g => struct(lit(n).as("n"), g.as("g")))
     val grams = df
       .select(col(idCol), tokens(col(textCol)).as("__toks"))

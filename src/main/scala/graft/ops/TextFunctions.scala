@@ -81,6 +81,14 @@ object TextFunctions {
     slice(joined, lit(1), greatest(size(toks) - (n - 1), lit(0)))
   }
 
+  /** Kernel dispatch for [[gramsAll]]: the codegen'd graft_grams when the
+    * session extension is installed (one array build instead of the inlined
+    * zip_with chain), else the portable HOF form — output-identical. */
+  def gramsAllFor(spark: org.apache.spark.sql.SparkSession)(toks: Column, n: Int): Column =
+    if (spark.catalog.functionExists("graft_grams"))
+      call_function("graft_grams", toks, lit(n))
+    else gramsAll(toks, n)
+
   /** Kernel dispatch: the codegen'd graft_shingles when the session
     * extension is installed (identical output, and a few hundred bytes of
     * generated code instead of the huge inlined zip_with chain — first-run

@@ -56,6 +56,31 @@ class ExtSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "match the HOF gramsAll formulation exactly" in {
+    import graft.ops.TextFunctions
+    val df = Seq("a b c d", "x y", "solo", "r r r r r").toDF("text")
+      .select(TextFunctions.tokens(col("text")).as("toks"))
+    val out = df.select(
+      expr("graft_grams(toks, 3)").as("kg"),
+      TextFunctions.gramsAll(col("toks"), 3).as("hg"),
+      expr("graft_grams(toks, 1)").as("kg1"),
+      TextFunctions.gramsAll(col("toks"), 1).as("hg1")
+    ).collect()
+    out.foreach { r =>
+      r.getSeq[String](0) shouldBe r.getSeq[String](1)
+      r.getSeq[String](2) shouldBe r.getSeq[String](3)
+    }
+    // duplicates kept, short input -> empty (NOT the shingles collapse)
+    out(3).getSeq[String](0) shouldBe Seq("r r r", "r r r", "r r r")
+    out(1).getSeq[String](0) shouldBe Seq.empty
+    // null input propagates on both forms
+    val nr = Seq(Option.empty[Seq[String]]).toDF("toks").select(
+      expr("graft_grams(toks, 2)"), TextFunctions.gramsAll(col("toks"), 2)
+    ).collect().head
+    nr.isNullAt(0) shouldBe true
+    nr.isNullAt(1) shouldBe true
+  }
+
   it should "propagate nulls exactly like the HOF formulations" in {
     import graft.ops.{Dedup, Similarity, TextFunctions}
     val df = Seq((Option.empty[Seq[String]], Option.empty[Seq[Float]], Some(Seq(1f, 2f)), Some(Seq(1f, 2f, 3f))))
