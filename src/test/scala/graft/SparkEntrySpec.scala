@@ -1,0 +1,50 @@
+package graft
+
+import graft.plug.TestSpark
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Guards on the driver contract itself — the harness the correctness gate
+  * runs through, so a wiring mistake here silently weakens every check. */
+class SparkEntrySpec extends AnyFlatSpec with Matchers {
+  lazy val spark = TestSpark.session
+  private val sf = "/root/testdata/sf0.001"
+
+  behavior of "SparkEntry"
+
+  it should "provide an oracle for every query (and no orphan oracles)" in {
+    // The driver records a weaker rows-only check for queries without an
+    // oracle; keeping the sets equal means every operator stays on the
+    // strong hash-match gate. An oracle without a query is dead SQL.
+    SparkEntry.queries.keySet shouldBe SparkEntry.oracleSql.keySet
+  }
+
+  it should "smoke the flagship entry on sf0.001" in {
+    SparkEntry.entry(spark).count() should be > 0L
+  }
+
+  it should "prune unused columns all the way into the parquet scan" in {
+    // text_token_stats touches only (doc_id, text); documents also carries
+    // lang/source/n_chars. If the projection doesn't reach the scan, every
+    // query pays full-width reads at 100 TB.
+    val plan = SparkEntry.queries("text_token_stats")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    withClue(readSchema) {
+      readSchema should include ("doc_id")
+      readSchema should include ("text")
+      readSchema should not include "n_chars"
+      readSchema should not include "source"
+    }
+  }
+
+  it should "push partition-key filters into the scan for plug queries" in {
+    // The rule engine is a projection chain: a caller's filter below it
+    // must still reach PushedFilters in the parquet scan.
+    val df = SparkEntry.queries("plug_flat_override")(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("l_orderkey") === 42L)
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    withClue(plan) { pushed should include ("l_orderkey") }
+  }
+}
