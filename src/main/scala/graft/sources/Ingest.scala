@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** Schema-enforced text-format ingestion (JSON-lines / CSV) with
+  * corrupt-record quarantine.
+  *
+  * The reference's only source is `spark.read.json` for rules
+  * (SparkPlugHelper.scala:8–11) with inferred schema and default corrupt
+  * handling; at pipeline scale both defaults are wrong:
+  *  - schema inference reads the data TWICE (one full pass just to guess
+  *    types) and can silently flip a column's type between daily batches —
+  *    always pass the expected schema;
+  *  - the default PERMISSIVE mode nulls out unparseable rows in place,
+  *    which silently corrupts downstream aggregates. Quarantining keeps
+  *    the bad raw lines queryable (count them, alert, replay after a fix)
+  *    while the clean frame stays strictly typed.
+  * Both readers are scan-side only — no shuffle, no extra pass.
+  */
+object Ingest {
+
+  private val corruptCol = "_corrupt_record"
+
+  private def withCorrupt(schema: StructType): StructType =
+    if (schema.fieldNames.contains(corruptCol)) schema
+    else schema.add(corruptCol, StringType, nullable = true)
+
+  /** JSON-lines read against a REQUIRED schema. Returns
+    * (clean rows matching `schema`, quarantined raw lines).
+    *
+    * A row is quarantined when the line fails to parse at all or a field
+    * conflicts with the declared type; missing fields are null (standard
+    * JSON-lines evolution semantics, same as the reference's rule reads). */
+  def readJsonQuarantined(
+      spark: SparkSession,
+      path: String,
+      schema: StructType
+  ): (DataFrame, DataFrame) = {
+    val raw = spark.read
+      .schema(withCorrupt(schema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+      .cache() // one scan serves both splits; unpersist after materializing
+    val clean = raw.filter(col(corruptCol).isNull)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val quarantine = raw.filter(col(corruptCol).isNotNull)
+      .select(col(corruptCol).as("raw_line"))
+    (clean, quarantine)
+  }
+
+  /** CSV read with header against a REQUIRED schema, same quarantine
+    * contract as [[readJsonQuarantined]]. */
+  def readCsvQuarantined(
+      spark: SparkSession,
+      path: String,
+      schema: StructType
+  ): (DataFrame, DataFrame) = {
+    val raw = spark.read
+      .schema(withCorrupt(schema))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .csv(path)
+      .cache()
+    val clean = raw.filter(col(corruptCol).isNull)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val quarantine = raw.filter(col(corruptCol).isNotNull)
+      .select(col(corruptCol).as("raw_line"))
+    (clean, quarantine)
+  }
+}

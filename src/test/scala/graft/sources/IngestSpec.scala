@@ -1,0 +1,51 @@
+package graft.sources
+
+import graft.plug.TestSpark
+import org.apache.spark.sql.types._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import java.nio.file.Files
+
+class IngestSpec extends AnyFlatSpec with Matchers {
+  lazy val spark = TestSpark.session
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType)))
+
+  private def writeTemp(suffix: String, lines: Seq[String]): String = {
+    val f = Files.createTempFile("graft_ingest", suffix)
+    Files.writeString(f, lines.mkString("\n"))
+    f.toString
+  }
+
+  behavior of "Ingest"
+
+  it should "split clean and corrupt JSON lines against a declared schema" in {
+    val path = writeTemp(".json", Seq(
+      """{"id": 1, "name": "ok"}""",
+      """{"id": "not-a-number", "name": "bad type"}""",
+      """this is not json at all""",
+      """{"id": 4}"""))  // missing field -> null, still clean
+    val (clean, quarantine) = Ingest.readJsonQuarantined(spark, path, schema)
+    clean.schema.fieldNames.toSeq shouldBe Seq("id", "name")
+    val rows = clean.orderBy("id").collect()
+    rows.map(r => if (r.isNullAt(0)) -1L else r.getLong(0)) shouldBe Array(1L, 4L)
+    rows(1).isNullAt(1) shouldBe true
+    val bad = quarantine.collect().map(_.getString(0))
+    bad.length shouldBe 2
+    bad should contain ("this is not json at all")
+  }
+
+  it should "split clean and corrupt CSV rows against a declared schema" in {
+    val path = writeTemp(".csv", Seq(
+      "id,name",
+      "1,ok",
+      "oops,bad id",
+      "3,fine"))
+    val (clean, quarantine) = Ingest.readCsvQuarantined(spark, path, schema)
+    clean.orderBy("id").collect().map(_.getLong(0)) shouldBe Array(1L, 3L)
+    quarantine.collect().map(_.getString(0)) shouldBe Array("oops,bad id")
+  }
+}

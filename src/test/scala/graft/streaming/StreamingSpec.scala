@@ -122,6 +122,26 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     rows shouldBe Array((1L, 8.0), (1L, 9.0))
   }
 
+  it should "compose plug -> dedup -> windowed agg as one streaming pipeline" in {
+    implicit val sp = spark
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(t("2024-01-01 10:00:00"), 1, "raw  text", 5.0),
+      Ev(t("2024-01-01 10:01:00"), 2, "RAW TEXT", 50.0),   // fingerprint dup
+      Ev(t("2024-01-01 10:02:00"), 3, "other words", 70.0))
+    val plugged = StreamingOps.plugStream(in.toDF(),
+      List(PlugRule("cap", "v1", "value > 60", Seq(PlugAction("value", "60.0")))))
+    val deduped = StreamingOps.dedupStream(plugged, "ts", "event_type", "10 minutes")
+    val agg = deduped
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+    StreamingOps.runToMemory(agg, "pipe_out", OutputMode.Complete)
+    val row = spark.table("pipe_out").collect().head
+    // one of the two dup rows dropped; 70 capped to 60; 5 or 50 survives
+    row.getAs[Long]("n") shouldBe 2L
+    Set(65.0, 110.0) should contain (row.getAs[Double]("total"))
+  }
+
   it should "keep running user totals across micro-batches via mapGroupsWithState" in {
     val in = MemoryStream[Ev]
     // idleTimeout=None: a processing-time timeout would schedule no-data
