@@ -634,6 +634,18 @@ object SparkEntry {
           min(col("ok")).as("all_disjoint"))
     }),
 
+    // Extension: Morton/Z-order interleave — the two-dimensional
+    // data-skipping key (writeZOrdered sorts the layout by it; here the
+    // oracle pins the bit-interleave arithmetic itself).
+    "events_zorder" -> ((s, dir) => {
+      val e = events(s, dir)
+      val mask = (1 << 10) - 1
+      val a = col("user_id").bitwiseAND(lit(mask.toLong))
+      val b = coalesce(floor(col("value")).cast("long"), lit(0L))
+        .bitwiseAND(lit(mask.toLong))
+      e.select(col("event_id"), graft.ops.Bucketing.zValue(a, b, 10).as("z"))
+    }),
+
     // Extension: Hive-partitioned parquet SINK — write documents
     // partitioned by lang, then profile the read-back layout (scans
     // filtering on lang prune to one directory; BucketingSpec asserts the
@@ -1225,6 +1237,15 @@ object SparkEntry {
 
     "docs_range_layout" ->
       """SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS n_docs, true AS all_disjoint
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "events_zorder" ->
+      """WITH e AS (SELECT event_id,
+        |    user_id & 1023 AS a,
+        |    coalesce(CAST(floor(value) AS BIGINT), 0) & 1023 AS b
+        |  FROM events)
+        |SELECT event_id, CAST(list_sum(list_transform(generate_series(0, 9), i ->
+        |  (((a >> i) & 1) << (2*i)) + (((b >> i) & 1) << (2*i+1)))) AS BIGINT) AS z
+        |FROM e""".stripMargin
   )
 }

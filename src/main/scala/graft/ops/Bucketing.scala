@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Bucketed-table staging: the storage half of the 100 TB join strategy.
   *
@@ -68,6 +69,37 @@ object Bucketing {
   ): Unit =
     df.repartitionByRange(numFiles, df.col(keyCol))
       .sortWithinPartitions(keyCol)
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+
+  /** Morton (Z-order) interleave of two non-negative keys, `bits` low bits
+    * each: bit i of `a` lands at position 2i, bit i of `b` at 2i+1. Rows
+    * close in z-value are close in BOTH keys, so sorting the layout by z
+    * gives row-group min/max skipping on two filter dimensions at once —
+    * what a single-key sort ([[writeRangeSorted]]) cannot do. Pure bit-op
+    * built-ins (2·bits shift/and/sum terms, fully codegen'd, no UDF), and
+    * the same arithmetic is expressible in the DuckDB oracle. */
+  def zValue(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftleft(shiftright(a.cast("long"), i).bitwiseAND(1L), 2 * i) +
+        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(1L), 2 * i + 1)
+    }
+
+  /** Z-ordered parquet layout over two keys: range-partition and sort by
+    * the interleaved z-value, then drop it — files end up clustered in both
+    * dimensions for two-sided data skipping. */
+  def writeZOrdered(
+      df: DataFrame,
+      dir: String,
+      colA: String,
+      colB: String,
+      bits: Int,
+      numFiles: Int
+  ): Unit =
+    df.withColumn("__z", zValue(df.col(colA), df.col(colB), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(dir)
 
   /** Equi-join of two same-bucketed tables — co-located by layout, no

@@ -59,6 +59,30 @@ class BucketingSpec extends AnyFlatSpec with Matchers {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  it should "skip files on BOTH keys under a z-ordered layout" in {
+    val n = 64
+    val grid = (0 until n * n).map(i => (i.toLong, (i % n).toLong, (i / n).toLong))
+      .toDF("id", "x", "y")
+    def filesTouched(dir: String, cond: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(dir).filter(cond)
+        .select(input_file_name()).distinct().count()
+
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    Bucketing.writeZOrdered(grid, zDir, "x", "y", bits = 6, numFiles = 8)
+    // an x-range AND a y-range filter each concentrate in a few files
+    filesTouched(zDir, col("x") < 8) should be <= 6L
+    filesTouched(zDir, col("y") < 8) should be <= 6L
+
+    // control: a single-key sort stripes one dimension — the filter on the
+    // OTHER key touches every file
+    val xDir = java.nio.file.Files.createTempDirectory("graft_x").toString
+    Bucketing.writeRangeSorted(grid, xDir, "x", numFiles = 8)
+    filesTouched(xDir, col("y") < 8) shouldBe 8L
+
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zDir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(xDir))
+  }
+
   it should "prune partitions at the scan for partitioned layouts" in {
     // Hive-style partitioning: the OTHER storage-layout lever — a stratum
     // filter must never touch the other strata's files at 100 TB.
