@@ -634,6 +634,21 @@ object SparkEntry {
           min(col("ok")).as("all_disjoint"))
     }),
 
+    // Extension: per-group top-k — the 5 highest-quality documents per
+    // language (rank <= k pushes a partial WindowGroupLimit before the
+    // exchange, so only k rows per group per partition shuffle — the
+    // map-side-combine of top-k).
+    "docs_topk_by_lang" -> ((s, dir) => {
+      import graft.ops.TextFunctions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("quality").desc, col("doc_id").asc)
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          round(qualityScore(col("text"), tokens(col("text"))), 6).as("quality"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+    }),
+
     // Extension: Morton/Z-order interleave — the two-dimensional
     // data-skipping key (writeZOrdered sorts the layout by it; here the
     // oracle pins the bit-interleave arithmetic itself).
@@ -1238,6 +1253,17 @@ object SparkEntry {
     "docs_range_layout" ->
       """SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS n_docs, true AS all_disjoint
         |FROM documents""".stripMargin,
+
+    "docs_topk_by_lang" ->
+      """WITH t AS (SELECT doc_id, lang, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |  round(least(len(toks) / 100.0, 1.0) * 0.4
+        |    + (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / greatest(length(text), 1)) * 0.3
+        |    + (len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this'], x))) / greatest(len(toks), 1)) * 0.3, 6) AS quality
+        |  FROM t),
+        |r AS (SELECT doc_id, lang, quality,
+        |  row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rk FROM q)
+        |SELECT doc_id, lang, quality, CAST(rk AS INTEGER) AS "rank" FROM r WHERE rk <= 5""".stripMargin,
 
     "events_zorder" ->
       """WITH e AS (SELECT event_id,

@@ -112,6 +112,25 @@ object Bucketing {
   ): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), keyCols)
 
+  /** Small-file compaction: rewrite a parquet directory into `targetFiles`
+    * files (atomically via a temp dir + move). Incremental pipelines
+    * accumulate one-file-per-micro-batch layouts whose per-file open/footer
+    * cost eventually dominates scans — the classic small-file problem.
+    * `coalesce` (not repartition) merges WITHOUT a shuffle: each output
+    * task concatenates whole input files. Run where layout matters less
+    * than file count (landing/staging zones); for sorted/bucketed layouts
+    * use the layout writers above, which re-sort. */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int): Unit = {
+    val tmp = dir + "__compacting"
+    spark.read.parquet(dir).coalesce(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
   /** True when the executed plan contains no shuffle Exchange — the
     * property bucketing buys. Exposed for tests and plan audits. */
   def hasNoShuffle(df: DataFrame): Boolean =

@@ -38,6 +38,15 @@ class SparkEntrySpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "plan per-group top-k with a partial window group limit" in {
+    // rank <= 5 must become a map-side WindowGroupLimit (partial top-k per
+    // partition BEFORE the exchange) — at 100 TB the alternative is a full
+    // sort of every group.
+    val plan = SparkEntry.queries("docs_topk_by_lang")(spark, sf)
+      .queryExecution.executedPlan.toString
+    withClue(plan) { plan should include ("WindowGroupLimit") }
+  }
+
   it should "push partition-key filters into the scan for plug queries" in {
     // The rule engine is a projection chain: a caller's filter below it
     // must still reach PushedFilters in the parquet scan.

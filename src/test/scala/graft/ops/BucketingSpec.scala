@@ -83,6 +83,21 @@ class BucketingSpec extends AnyFlatSpec with Matchers {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(xDir))
   }
 
+  it should "compact a many-file layout without losing rows" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val docs = (0L until 500L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    docs.repartition(20).write.mode("overwrite").parquet(dir) // 20 small files
+    def parquetFiles() = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    parquetFiles() shouldBe 20
+    Bucketing.compact(spark, dir, targetFiles = 2)
+    parquetFiles() shouldBe 2
+    val back = spark.read.parquet(dir)
+    back.count() shouldBe 500
+    back.agg(sum("doc_id")).collect()(0).getLong(0) shouldBe (0L until 500L).sum
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   it should "prune partitions at the scan for partitioned layouts" in {
     // Hive-style partitioning: the OTHER storage-layout lever — a stratum
     // filter must never touch the other strata's files at 100 TB.
