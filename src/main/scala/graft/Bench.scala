@@ -179,7 +179,7 @@ object Bench {
           s"${loadAvg().split(",").headOption.getOrElse("")}"
         val fb = if (fallbacks > 0) s""","fallbacks":$fallbacks""" else ""
         val line =
-          s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"failed":$failed,"warmup":${"%.0f".format(warmupTotal)}$fb,"load":"$load1","note":"med/$repeats fresh-JVM chunk runs local[$cpus]","sf":"$sfDir"}"""
+          s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"failed":$failed,"warmup":${"%.0f".format(warmupTotal)}$fb,"load":"$load1","note":"med/$repeats fresh-JVM chunks","sf":"$sfDir"}"""
         if (line.length > 1800)
           System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may overflow the driver's tail window")
         println(line)
