@@ -170,7 +170,6 @@ object Bench {
         // failed-names list instead of a per-query ok map, and a one-clause
         // methodology note. Full methodology lives in the scaladoc + README.
         def f2(d: Double) = "%.2f".format(d)
-        val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
         val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }.mkString("[", ",", "]")
         val total = results.map(_._2._1).sum
         // 1-minute loadavg before;after — enough to flag host contention
@@ -178,8 +177,17 @@ object Bench {
         val load1 = s"${loadBefore.split(",").headOption.getOrElse("")};" +
           s"${loadAvg().split(",").headOption.getOrElse("")}"
         val fb = if (fallbacks > 0) s""","fallbacks":$fallbacks""" else ""
-        val line =
+        // The driver parses this line from the TAIL of the combined sbt
+        // output (observed window ~2000 chars). Per-query times are emitted
+        // at 2 decimals, degrading to 1 decimal if the line would crowd the
+        // window — the headline total keeps full precision either way.
+        def assemble(fmt: Double => String) = {
+          val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
+            .mkString("{", ",", "}")
           s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"failed":$failed,"warmup":${"%.0f".format(warmupTotal)}$fb,"load":"$load1","note":"med/$repeats fresh-JVM chunks","sf":"$sfDir"}"""
+        }
+        val line2 = assemble(f2)
+        val line = if (line2.length <= 1750) line2 else assemble(d => "%.1f".format(d))
         if (line.length > 1800)
           System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may overflow the driver's tail window")
         println(line)

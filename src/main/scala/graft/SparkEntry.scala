@@ -634,6 +634,40 @@ object SparkEntry {
           min(col("ok")).as("all_disjoint"))
     }),
 
+    // Extension: heavy hitters via the Misra-Gries sketch
+    // (DataFrameStatFunctions.freqItems — constant memory, one pass; the
+    // third sketch family next to HLL cardinality and GK quantiles).
+    // Sketch contents are engine-specific, so the oracle gates the sketch
+    // CONTRACT instead: every token above the exact support threshold must
+    // be captured (emitted as a literal-true `in_sketch`).
+    "text_heavy_hitters" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(explode(graft.ops.TextFunctions.tokens(col("text"))).as("token"))
+      val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      val sketch = toks.stat.freqItems(Seq("token"), 0.01)
+      counts.crossJoin(broadcast(total))
+        .filter(col("cnt") > col("total") * 0.034)
+        .crossJoin(broadcast(sketch))
+        .select(col("token"), col("cnt"),
+          array_contains(col("token_freqItems"), col("token")).as("in_sketch"))
+    }),
+
+    // Extension: one-row corpus summary — the dataset card numbers
+    // (volume, token budget, language spread) in one partial-agg pass.
+    "docs_corpus_summary" -> ((s, dir) => {
+      import graft.ops.TextFunctions._
+      table(s, dir, "documents")
+        .select(tokenCount(col("text")).as("nt"), col("lang"), col("n_chars"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("total_tokens"),
+          round(sum(col("nt")) / count(lit(1)), 6).as("mean_tokens"),
+          percentile(col("nt"), lit(0.5)).as("p50_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"))
+    }),
+
     // Extension: per-group top-k — the 5 highest-quality documents per
     // language (rank <= k pushes a partial WindowGroupLimit before the
     // exchange, so only k rows per group per partition shuffle — the
@@ -1253,6 +1287,24 @@ object SparkEntry {
     "docs_range_layout" ->
       """SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS n_docs, true AS all_disjoint
         |FROM documents""".stripMargin,
+
+    "text_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+        |SELECT token, cnt, true AS in_sketch FROM c, tot
+        |WHERE cnt > total * 0.034""".stripMargin,
+
+    "docs_corpus_summary" ->
+      """WITH t AS (SELECT lang, n_chars,
+        |    len(string_split_regex(trim(text), '\s+')) AS nt FROM documents)
+        |SELECT count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(nt) AS BIGINT) / count(*), 6) AS mean_tokens,
+        |  quantile_cont(nt, 0.5) AS p50_tokens,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM t""".stripMargin,
 
     "docs_topk_by_lang" ->
       """WITH t AS (SELECT doc_id, lang, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
