@@ -634,6 +634,14 @@ object SparkEntry {
           min(col("ok")).as("all_disjoint"))
     }),
 
+    // Extension: deterministic train/val/test split assignment — stable
+    // md5-bucket ranges (80/10/10); documents never migrate between splits
+    // across runs or incremental re-runs.
+    "docs_split_assign" -> ((s, dir) =>
+      graft.ops.Corpus.splitAssign(
+        table(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+
     // Extension: heavy hitters via the Misra-Gries sketch
     // (DataFrameStatFunctions.freqItems — constant memory, one pass; the
     // third sketch family next to HLL cardinality and GK quantiles).
@@ -1287,6 +1295,14 @@ object SparkEntry {
     "docs_range_layout" ->
       """SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS n_docs, true AS all_disjoint
         |FROM documents""".stripMargin,
+
+    "docs_split_assign" ->
+      """SELECT doc_id, lang, bucket,
+        |  CASE WHEN bucket < 8000 THEN 'train'
+        |       WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang,
+        |  (('0x'||substr(md5(doc_id::VARCHAR),1,7))::UBIGINT)::BIGINT % 10000 AS bucket
+        |  FROM documents)""".stripMargin,
 
     "text_heavy_hitters" ->
       """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),

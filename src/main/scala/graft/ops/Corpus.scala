@@ -71,6 +71,32 @@ object Corpus {
       .filter(col("bucket") < cutoff)
   }
 
+  /** Deterministic train/val/test (or any named) split assignment: each
+    * row's md5 bucket falls into one split's cumulative-fraction range.
+    * Same bucket family as [[hashSample]], so splits are stable across
+    * runs, engines and incremental re-runs (a new document never moves an
+    * old one between splits), membership is a scan-side projection with no
+    * shuffle, and refining fractions only moves rows at range boundaries.
+    * Fractions must sum to 1. */
+  def splitAssign(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      buckets: Int = 10000
+  ): DataFrame = {
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "split fractions must sum to 1")
+    val bucket = hashBucketFor(df.sparkSession)(col(idCol), buckets)
+    val cutoffs = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(c => math.round(c * buckets))
+    val assign = splits.map(_._1).zip(cutoffs).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, (name, cut)) =>
+        when(col("__bucket") < cut, lit(name)).otherwise(acc)
+      }
+    df.withColumn("__bucket", bucket)
+      .withColumn("split", assign)
+      .withColumnRenamed("__bucket", "bucket")
+  }
+
   /** Per-(document, term) TF-IDF over whitespace tokens:
     * tf/dl · (ln((N+1)/(df+1)) + 1) — the smoothed-idf form, so terms in
     * every document still get positive weight. Returns

@@ -664,6 +664,30 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out shouldBe Array(("view", 3L), ("click", 1L), ("purchase", 1L))
   }
 
+  behavior of "split assignment"
+
+  it should "assign stable disjoint named splits with roughly the asked fractions" in {
+    val docs = (0L until 2000L).map(i => Doc(i, s"text $i", "s")).toDS.toDF()
+    val out = Corpus.splitAssign(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.values.sum shouldBe 2000L
+    counts("train").toDouble should be (1600.0 +- 100)
+    counts("val").toDouble should be (200.0 +- 60)
+    counts("test").toDouble should be (200.0 +- 60)
+    // stability: membership is a pure function of the id
+    val again = Corpus.splitAssign(docs.repartition(13), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    out.exceptAll(again).count() shouldBe 0
+    // nested refinement: widening val only grows it from train's boundary
+    val wider = Corpus.splitAssign(docs, "doc_id",
+      Seq("train" -> 0.7, "val" -> 0.2, "test" -> 0.1))
+    wider.filter(col("split") === "test").select("doc_id")
+      .exceptAll(out.filter(col("split") === "test").select("doc_id"))
+      .count() shouldBe 0
+  }
+
   behavior of "randomized references"
 
   // Seeded random corpora checked against independent driver-side Scala
