@@ -20,12 +20,24 @@ import org.apache.spark.sql.SparkSession
   *    fresh JVM per chunk bounds any cumulative JVM/thread state to one
   *    chunk, and per-chunk warmup keeps every timed query steady-state.
   *  - JVM/session startup and warmup are excluded from query times and
-  *    reported as warmup_sec; system load averages are recorded before and
-  *    after so external CPU contention on a shared host is visible.
-  *  - Per-query ok flags are emitted so a failing query can't masquerade
-  *    as a fast one (failures also keep their elapsed time).
+  *    reported under the `warmup` key (whole seconds); 1-minute load
+  *    averages before;after are under `load`, so external CPU contention
+  *    on a shared host is visible.
+  *  - Failing queries are listed by name under `failed` (empty list when
+  *    all pass), so a failing query can't masquerade as a fast one.
   *  - If spawning children fails (restricted environments), everything
-  *    falls back to one in-process pass with session restarts per chunk.
+  *    falls back to one in-process pass with session restarts per chunk,
+  *    and the count appears under a `fallbacks` key (omitted when zero).
+  *
+  * Emitted line (driver-parsed from the output tail, window ~2000 chars):
+  * `{"metric":"total","value":S,"unit":"sec","queries":{name:sec,...},
+  * "failed":[...],"warmup":W[,"fallbacks":N],"load":"a;b","note":...,
+  * "sf":dir}`. To stay under the window as the query set grows, the line
+  * degrades deterministically: (1) per-query times at 2 decimals with
+  * trailing zeros trimmed; (2) 1 decimal, trimmed; (3) additionally the
+  * query-name PREFIX abbreviation `multimodal_→mm_ events_→ev_ dedup_→dd_
+  * plug_→pl_ docs_→dc_ text_→tx_ sim_→si_ ingest_→in_` (first fit wins;
+  * the headline total keeps full precision in every form).
   */
 object Bench {
 
@@ -164,11 +176,6 @@ object Bench {
             n -> (times(times.size / 2), ok)
           }
         }
-        // The driver parses this line from the TAIL of the combined sbt
-        // output (observed window: 2000 chars), so the line must stay well
-        // under that: 2-decimal times (53+ queries no longer fit at 3), a
-        // failed-names list instead of a per-query ok map, and a one-clause
-        // methodology note. Full methodology lives in the scaladoc + README.
         def f2(d: Double) = "%.2f".format(d)
         val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }.mkString("[", ",", "]")
         val total = results.map(_._2._1).sum
@@ -178,16 +185,30 @@ object Bench {
           s"${loadAvg().split(",").headOption.getOrElse("")}"
         val fb = if (fallbacks > 0) s""","fallbacks":$fallbacks""" else ""
         // The driver parses this line from the TAIL of the combined sbt
-        // output (observed window ~2000 chars). Per-query times are emitted
-        // at 2 decimals, degrading to 1 decimal if the line would crowd the
-        // window — the headline total keeps full precision either way.
-        def assemble(fmt: Double => String) = {
-          val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
+        // output (observed window ~2000 chars; BENCH_r02 overflowed it and
+        // parsed as null). Degrade chain — see the scaladoc: trimmed
+        // 2-decimals → trimmed 1-decimals → prefix-abbreviated names.
+        def trim0(s: String): String =
+          if (!s.contains('.')) s
+          else { val t = s.replaceAll("0+$", ""); if (t.endsWith(".")) t.dropRight(1) else t }
+        val abbrev = Seq(
+          "multimodal_" -> "mm_", "events_" -> "ev_", "dedup_" -> "dd_",
+          "plug_" -> "pl_", "docs_" -> "dc_", "text_" -> "tx_",
+          "sim_" -> "si_", "ingest_" -> "in_")
+        def short(n: String): String =
+          abbrev.collectFirst { case (p, a) if n.startsWith(p) => a + n.stripPrefix(p) }
+            .getOrElse(n)
+        def assemble(fmt: Double => String, name: String => String) = {
+          val qs = results.map { case (k, (v, _)) => "\"" + name(k) + "\":" + fmt(v) }
             .mkString("{", ",", "}")
           s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"failed":$failed,"warmup":${"%.0f".format(warmupTotal)}$fb,"load":"$load1","note":"med/$repeats fresh-JVM chunks","sf":"$sfDir"}"""
         }
-        val line2 = assemble(f2)
-        val line = if (line2.length <= 1750) line2 else assemble(d => "%.1f".format(d))
+        val line = Seq[() => String](
+          () => assemble(d => trim0(f2(d)), identity),
+          () => assemble(d => trim0("%.1f".format(d)), identity),
+          () => assemble(d => trim0("%.1f".format(d)), short)
+        ).iterator.map(_.apply()).find(_.length <= 1700)
+          .getOrElse(assemble(d => trim0("%.1f".format(d)), short))
         if (line.length > 1800)
           System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may overflow the driver's tail window")
         println(line)

@@ -35,6 +35,28 @@ object SparkEntry {
   private def spread(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
 
+  /** Per-JVM scratch root, removed on JVM exit — repeated verify/bench
+    * invocations of the layout queries reuse one path per purpose instead
+    * of leaking a fresh temp copy of the dataset per run. Pid-scoped so
+    * concurrently running harness JVMs can't wipe each other's writes. */
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(): Unit
+  }
+  private lazy val scratchRoot: java.io.File = {
+    val d = new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft_scratch_${ProcessHandle.current().pid()}")
+    sys.addShutdownHook(rmTree(d))
+    d
+  }
+  /** Fixed per-purpose scratch dir, wiped and recreated on every call. */
+  private def scratch(sub: String): String = {
+    val d = new java.io.File(scratchRoot, sub)
+    rmTree(d)
+    d.mkdirs()
+    d.toString
+  }
+
   private def plugged(
       df: DataFrame,
       rules: List[PlugRule],
@@ -192,6 +214,23 @@ object SparkEntry {
       errs.toDF().select(col("name"), col("error"))
     }),
 
+    // O12: validation — two versions of the same rule name are rejected
+    // with the reference's exact message (reference SparkPlug.scala:67-73
+    // "Only one version per rule should be applied.").
+    "plug_dup_names" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val rules = List(
+        PlugRule("rdup", "v1", "l_discount > 0.05",
+          Seq(PlugAction("l_returnflag", "D"))),
+        PlugRule("rdup", "v2", "l_discount > 0.06",
+          Seq(PlugAction("l_returnflag", "E"))))
+      val errs = SparkPlug.builder.enableRulesValidation.create()
+        .plug(table(s, dir, "lineitem"), rules)
+        .fold(identity, _ => List.empty[PlugRuleValidationError])
+      errs.toDF().select(col("name"), col("error"))
+    }),
+
     // O1: JSON-lines rule ingestion — read rules.json into driver-side rule
     // objects (a real distributed JSON scan + encoder decode; rules then
     // live on the driver and compile into plans as literals).
@@ -245,7 +284,7 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       val r1 = PlugRule("s1", "v1", "l_discount > 0.05", Seq(PlugAction("l_returnflag", "D")))
       val r2 = PlugRule("s2", "v1", "l_quantity < 10", Seq(PlugAction("l_linestatus", "X")))
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val ckpt = scratch("ckpt")
       val out = plugged(table(s, dir, "lineitem"), List(r1, r2),
         _.enableCheckpointing(ckpt, rulesPerStage = 1, numberOfPartitions = 7))
       s.range(1).select(lit("stage").as("name"),
@@ -350,6 +389,37 @@ object SparkEntry {
       graft.ops.Components.dedupClusters(docs, "doc_id", pairs, "a_id", "b_id")
     }),
 
+    // Extension: schema-enforced JSON-lines ingestion with corrupt-record
+    // quarantine — a deterministic fixture is written, split into
+    // clean/quarantined by graft.sources.Ingest, counted, and the shared
+    // parse cache released. The oracle re-judges every raw line with
+    // DuckDB's JSON functions (valid JSON + declared types), so both
+    // engines classify the same file independently.
+    "ingest_quarantine" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val path = "/tmp/graft_ingest_fixture.jsonl"
+      val lines = Seq(
+        """{"id": 1, "name": "alpha"}""",
+        """{"id": 2, "name": "beta"}""",
+        """{"id": 3}""",
+        """not json at all""",
+        """{"id": "oops", "name": "bad-type"}""",
+        """{"id": 6, "name": "gamma"}""",
+        """{broken""")
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        lines.mkString("\n").getBytes("UTF-8"))
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType)))
+      val read = graft.sources.Ingest.readJsonQuarantined(s, path, schema)
+      val cleanAgg = read.clean.agg(
+        count(lit(1)).as("clean_rows"), sum(col("id")).as("id_sum")).collect()(0)
+      val quarantined = read.quarantine.count()
+      read.unpersist()
+      import s.implicits._
+      Seq((cleanAgg.getLong(0), cleanAgg.getLong(1), quarantined))
+        .toDF("clean_rows", "id_sum", "quarantined")
+    }),
+
     // Extension: deterministic hash sampling (10% = first 1000 of 10000
     // md5 buckets) — reproducible across engines and partitionings.
     "docs_hash_sample" -> ((s, dir) =>
@@ -380,14 +450,15 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
     }),
 
-    // Extension: IVF approximate top-k — coarse centroids, cell assignment,
-    // nprobe probing (the classic ANN scale shape; deterministic sampled
-    // centroids keep it oracle-expressible).
+    // Extension: IVF approximate top-k — fixed-k deterministic k-means
+    // centroids (md5-seeded + 2 DECIMAL-routed Lloyd rounds), cell
+    // assignment as a pure projection, nprobe probing. k is FIXED, so the
+    // plan ships O(k·dim) literals no matter the corpus size.
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       graft.ops.Similarity.ivfTopK(
           spread(s, emb), emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, centroidEvery = 25, nprobe = 4)
+          k = 5, numCentroids = 16, lloydRounds = 2, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("sim"), 6).as("sim"))
     }),
@@ -620,7 +691,7 @@ object SparkEntry {
     // back and proves per-file ranges are disjoint and complete. The
     // single-partition window is over one row per FILE (4 rows), not data.
     "docs_range_layout" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_range").toString
+      val out = scratch("range")
       graft.ops.Bucketing.writeRangeSorted(
         table(s, dir, "documents"), out, "doc_id", numFiles = 4)
       val perFile = s.read.parquet(out)
@@ -708,7 +779,7 @@ object SparkEntry {
     // filtering on lang prune to one directory; BucketingSpec asserts the
     // PartitionFilters plan shape).
     "docs_part_sink" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+      val out = scratch("sink")
       graft.ops.Bucketing.writePartitioned(
         table(s, dir, "documents"), out, Seq("lang"))
       s.read.parquet(out).groupBy("lang")
@@ -718,6 +789,30 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** DuckDB cosine similarity between two DOUBLE list expressions — the
+    * exact strict-left-fold shape the Spark side computes (dot/(|a||b|)),
+    * kept in one place because the IVF oracle needs it six times. */
+  private def cosSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x,y) -> x+y)" +
+      s" / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (x,y) -> x+y))" +
+      s" * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($b)), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)), (x,y) -> x+y)))"
+
+  /** One Lloyd round in DuckDB SQL: assign each vector of `e` to its nearest
+    * centroid in `centCte`, then recompute per-cell component means with
+    * DECIMAL(27,12)-routed sums — mirroring Similarity.kmeansCentroids
+    * bit for bit (same fold, same tie-break, same decimal route). */
+  private def lloydRoundSql(centCte: String, dim: Int): String =
+    s"""(SELECT cell AS cent_id, list(mu ORDER BY pos) AS cv FROM (
+       |  SELECT cell, i - 1 AS pos,
+       |    CAST(SUM(CAST(v[i] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mu
+       |  FROM (SELECT vec_id, v, cell FROM (
+       |      SELECT e.vec_id, e.v, c.cent_id AS cell,
+       |        row_number() OVER (PARTITION BY e.vec_id
+       |          ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cent_id) AS rn
+       |      FROM e, $centCte c) WHERE rn = 1),
+       |    generate_series(1, $dim) g(i)
+       |  GROUP BY 1, 2) GROUP BY cell)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "plug_flat_override" ->
       """SELECT l_orderkey, l_linenumber,
@@ -784,6 +879,24 @@ object SparkEntry {
 
     "plug_validation_missing_field" ->
       """SELECT 'rv' AS name, 'Field "no_such_column" not found in the schema.' AS error""",
+
+    "plug_dup_names" ->
+      """SELECT 'rdup' AS name, 'Only one version per rule should be applied.' AS error""",
+
+    // Re-judges the fixture written by the Spark query from its RAW lines:
+    // a line is clean iff it is valid JSON and each declared field is
+    // absent or of the declared type — exactly the PERMISSIVE
+    // corrupt-record contract the Spark side enforces.
+    "ingest_quarantine" ->
+      """WITH raw AS (SELECT raw FROM read_csv('/tmp/graft_ingest_fixture.jsonl', header=false, quote='', columns={'raw': 'VARCHAR'})),
+        |j AS (SELECT raw, json_valid(raw) AS ok,
+        |  json_type(try_cast(raw AS JSON), '$.id') AS tid,
+        |  json_type(try_cast(raw AS JSON), '$.name') AS tname FROM raw),
+        |c AS (SELECT raw, ok AND (tid IS NULL OR tid = 'UBIGINT') AND (tname IS NULL OR tname = 'VARCHAR') AS clean FROM j)
+        |SELECT count(*) FILTER (clean) AS clean_rows,
+        |  CAST(sum(CASE WHEN clean THEN CAST(json_extract_string(raw, '$.id') AS BIGINT) END) AS BIGINT) AS id_sum,
+        |  count(*) FILTER (NOT clean) AS quarantined
+        |FROM c""".stripMargin,
 
     "plug_rules_ingest" ->
       """SELECT 'rule1' AS name, 'v1' AS version, 'l_discount > 0.05' AS rule_condition,
@@ -962,23 +1075,18 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin,
 
     "sim_ivf_topk" ->
-      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
-        |cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 25 = 0),
-        |sims AS (SELECT e.vec_id, e.v, c.cent_id,
-        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(e.v)), i -> e.v[i]::DOUBLE * c.cv[i]::DOUBLE)), (x,y) -> x+y)
-        |  / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(e.v)), i -> e.v[i]::DOUBLE * e.v[i]::DOUBLE)), (x,y) -> x+y))
-        |   * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(c.cv)), i -> c.cv[i]::DOUBLE * c.cv[i]::DOUBLE)), (x,y) -> x+y))) AS csim
-        |  FROM e, cent c),
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |c1 AS ${lloydRoundSql("seeds", 64)},
+        |c2 AS ${lloydRoundSql("c1", 64)},
+        |sims AS (SELECT e.vec_id, e.v, c.cent_id, ${cosSql("e.v", "c.cv")} AS csim FROM e, c2 c),
         |cells AS (SELECT vec_id, v, cent_id AS cell FROM
         |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims)
         |  WHERE rn = 1),
         |probes AS (SELECT vec_id AS query_id, v AS qv, cent_id AS cell FROM
         |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims WHERE vec_id < 10)
         |  WHERE rn <= 4),
-        |scored AS (SELECT p.query_id, cl.vec_id AS neighbor_id,
-        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(p.qv)), i -> p.qv[i]::DOUBLE * cl.v[i]::DOUBLE)), (x,y) -> x+y)
-        |  / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(p.qv)), i -> p.qv[i]::DOUBLE * p.qv[i]::DOUBLE)), (x,y) -> x+y))
-        |   * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(cl.v)), i -> cl.v[i]::DOUBLE * cl.v[i]::DOUBLE)), (x,y) -> x+y))) AS sim
+        |scored AS (SELECT p.query_id, cl.vec_id AS neighbor_id, ${cosSql("p.qv", "cl.v")} AS sim
         |  FROM probes p JOIN cells cl ON p.cell = cl.cell WHERE cl.vec_id != p.query_id),
         |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored)
         |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin,

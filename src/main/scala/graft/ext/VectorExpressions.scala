@@ -9,16 +9,32 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 private[ext] trait FloatArrayArgs { self: BinaryExpression =>
+  /** Accepts array<float> or array<double> per side. Floats are widened to
+    * double exactly, so mixing sides (e.g. a float corpus vector against a
+    * double k-means centroid literal) stays bit-identical to the
+    * higher-order-function formulation, which casts every element to double
+    * before multiplying. */
   def checkFloatArrays(name: String): TypeCheckResult = {
     def ok(t: DataType) = t match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$name expects two array<float> arguments, got " +
+      s"$name expects two array<float|double> arguments, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
+
+  private def isFloat(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  /** Interpreted-mode element getter for a side. */
+  protected def elemGetter(t: DataType): (ArrayData, Int) => Double =
+    if (isFloat(t)) (a, i) => a.getFloat(i).toDouble else (a, i) => a.getDouble(i)
+  /** Codegen element-read snippet for a side. */
+  protected def elemCode(t: DataType, arr: String, idx: String): String =
+    if (isFloat(t)) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
 }
 
 /** Codegen'd float-vector kernels.
@@ -44,10 +60,12 @@ case class DotProductDouble(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) return null
+    val getL = elemGetter(left.dataType)
+    val getR = elemGetter(right.dataType)
     val n = x.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) { s += getL(x, i) * getR(y, i); i += 1 }
     s
   }
 
@@ -60,7 +78,7 @@ case class DotProductDouble(left: Expression, right: Expression)
          |  int n = $a.numElements();
          |  double s = 0.0;
          |  for (int i = 0; i < n; i++) {
-         |    s += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |    s += ${elemCode(left.dataType, a, "i")} * ${elemCode(right.dataType, b, "i")};
          |  }
          |  ${ev.value} = s;
          |}
@@ -171,12 +189,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) return null
+    val getL = elemGetter(left.dataType)
+    val getR = elemGetter(right.dataType)
     val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xv = x.getFloat(i).toDouble
-      val yv = y.getFloat(i).toDouble
+      val xv = getL(x, i)
+      val yv = getR(y, i)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
@@ -192,8 +212,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  int n = $a.numElements();
          |  double dot = 0.0, na = 0.0, nb = 0.0;
          |  for (int i = 0; i < n; i++) {
-         |    double xv = (double) $a.getFloat(i);
-         |    double yv = (double) $b.getFloat(i);
+         |    double xv = ${elemCode(left.dataType, a, "i")};
+         |    double yv = ${elemCode(right.dataType, b, "i")};
          |    dot += xv * yv; na += xv * xv; nb += yv * yv;
          |  }
          |  ${ev.value} = dot / (Math.sqrt(na) * Math.sqrt(nb));

@@ -113,22 +113,37 @@ object Bucketing {
     spark.table(leftTable).join(spark.table(rightTable), keyCols)
 
   /** Small-file compaction: rewrite a parquet directory into `targetFiles`
-    * files (atomically via a temp dir + move). Incremental pipelines
+    * files via temp-dir + rename-aside swap. Incremental pipelines
     * accumulate one-file-per-micro-batch layouts whose per-file open/footer
     * cost eventually dominates scans — the classic small-file problem.
     * `coalesce` (not repartition) merges WITHOUT a shuffle: each output
     * task concatenates whole input files. Run where layout matters less
     * than file count (landing/staging zones); for sorted/bucketed layouts
-    * use the layout writers above, which re-sort. */
+    * use the layout writers above, which re-sort.
+    *
+    * Swap order: write tmp → rename dst aside → rename tmp into place →
+    * delete the aside copy. The not-found window is one directory rename
+    * (rolled back on failure), and the data always exists somewhere on
+    * disk. NOTE: directory rename is atomic on HDFS/POSIX but NOT on
+    * object stores (S3 renames are copy+delete) — front those with a
+    * manifest-committing table format instead. */
   def compact(spark: SparkSession, dir: String, targetFiles: Int): Unit = {
-    val tmp = dir + "__compacting"
-    spark.read.parquet(dir).coalesce(targetFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(dir)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // resolve the FS from the path itself — dir may live on a different
+    // scheme than the default filesystem
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
+    val aside = new org.apache.hadoop.fs.Path(dir + "__old")
+    spark.read.parquet(dir).coalesce(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(aside, true) // leftover from a crashed previous run
+    if (!fs.rename(dst, aside))
+      throw new java.io.IOException(s"compact: cannot move $dst aside")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(aside, dst) // roll back; dataset stays visible
+      throw new java.io.IOException(s"compact: cannot publish $tmp to $dst")
+    }
+    fs.delete(aside, true)
   }
 
   /** True when the executed plan contains no shuffle Exchange — the

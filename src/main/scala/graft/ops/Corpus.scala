@@ -77,7 +77,9 @@ object Corpus {
     * runs, engines and incremental re-runs (a new document never moves an
     * old one between splits), membership is a scan-side projection with no
     * shuffle, and refining fractions only moves rows at range boundaries.
-    * Fractions must sum to 1. */
+    * Fractions must sum to 1. Pre-existing `bucket`/`split` columns are
+    * REPLACED, so composing with [[hashSample]] (whose output keeps its
+    * own `bucket` column) can't produce ambiguous duplicates. */
   def splitAssign(
       df: DataFrame,
       idCol: String,
@@ -85,16 +87,15 @@ object Corpus {
       buckets: Int = 10000
   ): DataFrame = {
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "split fractions must sum to 1")
-    val bucket = hashBucketFor(df.sparkSession)(col(idCol), buckets)
     val cutoffs = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
       .map(c => math.round(c * buckets))
     val assign = splits.map(_._1).zip(cutoffs).reverse
       .foldLeft(lit(splits.last._1)) { case (acc, (name, cut)) =>
-        when(col("__bucket") < cut, lit(name)).otherwise(acc)
+        when(col("bucket") < cut, lit(name)).otherwise(acc)
       }
-    df.withColumn("__bucket", bucket)
+    df.drop("bucket", "split")
+      .withColumn("bucket", hashBucketFor(df.sparkSession)(col(idCol), buckets))
       .withColumn("split", assign)
-      .withColumnRenamed("__bucket", "bucket")
   }
 
   /** Per-(document, term) TF-IDF over whitespace tokens:
@@ -200,19 +201,33 @@ object Corpus {
     * scores flag gibberish/outlier documents (a standard cheap quality
     * signal before expensive LM-based filtering).
     *
-    * Scale shape: one groupBy builds the term-count table (vocab — orders
-    * of magnitude smaller than the corpus; broadcast here, shuffle-join on
-    * term when a tokenizer-free vocab outgrows broadcast), one scalar
-    * cross-join broadcasts (total, vocab), one groupBy scores documents.
-    * The per-token log-probs sum through DECIMAL(27,12) so the mean is
-    * independent of partial-aggregation order. */
-  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * Scale shape: one groupBy builds the term-count table, one scalar
+    * cross-join broadcasts the (total, vocab) pair, one groupBy scores
+    * documents. `broadcastVocab` picks the term-join strategy:
+    *  - `true` (default): a word-level vocab is orders of magnitude smaller
+    *    than the corpus — broadcast-hash-join it against the token stream.
+    *  - `false`: a tokenizer-free / n-gram vocab can outgrow the driver and
+    *    executors; shuffle-join on `term` instead. Both token stream and
+    *    counts are already keyed by term, so this is one co-partitioned
+    *    exchange — no driver-side collect anywhere.
+    * Results are bit-identical in both modes: the per-token log-probs sum
+    * through DECIMAL(27,12), so the mean is independent of join strategy
+    * and partial-aggregation order. */
+  def unigramLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      broadcastVocab: Boolean = true
+  ): DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val counts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(sum("cnt").as("total"), count(lit(1)).as("vocab"))
     val decSum = sum(log((col("cnt") + 1) / (col("total") + col("vocab")))
       .cast(org.apache.spark.sql.types.DecimalType(27, 12)))
-    toks.join(broadcast(counts), "term")
+    val countsSide =
+      if (broadcastVocab) broadcast(counts)
+      else counts.hint("shuffle_hash") // big vocab: never ship it whole
+    toks.join(countsSide, "term")
       .crossJoin(broadcast(totals))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),

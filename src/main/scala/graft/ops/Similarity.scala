@@ -59,55 +59,124 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Fixed-k deterministic k-means centroids — the IVF coarse quantizer.
+    *
+    * Seeds are the `k` corpus vectors with the smallest `(md5(id), id)` —
+    * a map-side partial top-k (TakeOrderedAndProject), so the result is
+    * O(k) no matter the corpus size, and every engine picks the identical
+    * seed set. Each Lloyd round then:
+    *   1. assigns every vector to its nearest current centroid with a
+    *      narrow PROJECTION — centroids are plan literals, so assignment
+    *      has no join, no broadcast exchange, and no shuffle; and
+    *   2. recomputes per-cell component means with one map-side-combinable
+    *      aggregate whose shuffle carries only k·dim partial sums.
+    * Component sums are DECIMAL(27,12)-routed, so they are independent of
+    * partial-aggregation order and bit-replicable by the DuckDB oracle;
+    * the mean is `CAST(sum AS DOUBLE) / count` in both engines.
+    *
+    * The driver materializes k·dim doubles per round — the same shape
+    * Spark MLlib's KMeans uses between iterations — O(k·dim), never O(n).
+    * Cells that lose every member drop out (deterministic in both
+    * engines); ties in the assignment argmax break to the smallest
+    * centroid id, matching `ORDER BY csim DESC, cent_id ASC LIMIT 1`. */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int = 2
+  ): Seq[(Long, Seq[Double])] = {
+    import org.apache.spark.sql.types.DecimalType
+    val cos = cosineFor(corpus.sparkSession) _
+    val vecs = corpus
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .filter(col("v").isNotNull)
+    var cent: Seq[(Long, Seq[Double])] = vecs
+      .orderBy(md5(col("id").cast("string")), col("id")).limit(k)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    var round = 0
+    while (round < rounds && cent.nonEmpty) {
+      val sums = vecs
+        .select(nearestCell(cos)(col("v"), cent).as("cell"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("x").cast(DecimalType(27, 12))).as("s"), count(lit(1)).as("n"))
+        .collect()
+      cent = sums.toSeq
+        .map(r => (r.getLong(0), r.getInt(1),
+          r.getDecimal(2).doubleValue() / r.getLong(3)))
+        .groupBy(_._1).toSeq
+        .map { case (cell, xs) => (cell, xs.sortBy(_._2).map(_._3)) }
+        .sortBy(_._1)
+      round += 1
+    }
+    cent
+  }
+
+  /** Nearest-centroid cell id as a pure projection over literal centroids:
+    * `max(struct(csim, -cent_id)).(-neg)` — highest cosine, ties to the
+    * smallest centroid id. No join, no shuffle, non-degenerate for k >= 1. */
+  def nearestCell(cos: (Column, Column) => Column)(
+      vec: Column, cent: Seq[(Long, Seq[Double])]): Column = {
+    val cands = cent.map { case (cid, cv) =>
+      struct(cos(vec, typedlit(cv)).as("csim"), lit(-cid).as("neg"))
+    }
+    -array_max(array(cands: _*)).getField("neg")
+  }
+
   /** IVF (inverted-file) approximate top-k — the classic ANN scale shape.
     *
-    * Build: every `centroidEvery`-th corpus vector is a coarse centroid
-    * (deterministic, so the oracle can replicate; a production build swaps
-    * in k-means centroids — the search path is identical). Each corpus
-    * vector is assigned to its nearest centroid (its "cell") with ONE
-    * broadcast join + hash aggregate: the argmax is a map-side-combinable
-    * `max(struct(sim, -centroid_id))`, no shuffle of (n × C) rows.
+    * Build: `numCentroids` fixed-k deterministic k-means centroids
+    * ([[kmeansCentroids]] — O(k·dim) driver state, independent of corpus
+    * size). Each corpus vector is assigned to its nearest centroid (its
+    * "cell") by a narrow projection against the centroid literals — no
+    * join, no broadcast, no shuffle in the assignment.
     * Search: each query probes only its `nprobe` nearest cells and ranks
-    * exact cosine inside them — per-query work is O(C + n·nprobe/C)
+    * exact cosine inside them — per-query work is O(k + n·nprobe/k)
     * instead of O(n), and recall is tuned by `nprobe`.
     *
-    * At 100 TB: centroids are small (broadcast); the cells frame is the
-    * partitioned inverted file (in production, written bucketed by cell so
-    * the probe join is co-located); the probe join shuffles only on cell
-    * ids. Ties break on centroid/neighbor id so results are deterministic
-    * across partitionings and engines. */
+    * At 100 TB: the plan ships only k·dim literal doubles (k is FIXED —
+    * nothing grows with the corpus); the assigned frame is the partitioned
+    * inverted file (in production, written bucketed by cell so the probe
+    * join is co-located); the probe join shuffles only on cell ids. Ties
+    * break on centroid/neighbor id so results are deterministic across
+    * partitionings and engines. */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      centroidEvery: Int = 25,
+      numCentroids: Int = 16,
+      lloydRounds: Int = 2,
       nprobe: Int = 4
   ): DataFrame = {
     val cos = cosineFor(corpus.sparkSession) _
-    val cent = corpus.filter(col(idCol) % centroidEvery === 0)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+    val cent = kmeansCentroids(corpus, idCol, vecCol, numCentroids, lloydRounds)
+    // empty corpus → no centroids, no neighbors (schema-preserving)
+    if (cent.isEmpty)
+      return queries.limit(0).select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0.0).as("sim"), lit(0).as("rank"))
 
-    // cell assignment: nearest centroid per corpus vector (broadcast + agg)
-    val assigned = c.crossJoin(broadcast(cent))
-      .select(col("neighbor_id"), col("nvec"),
-        struct(cos(col("nvec"), col("cvec")).as("csim"),
-          (-col("cent_id")).as("neg_id")).as("cand"))
-      .groupBy(col("neighbor_id"), col("nvec"))
-      .agg(max(col("cand")).as("best"))
-      .select(col("neighbor_id"), col("nvec"), (-col("best.neg_id")).as("cell"))
+    // cell assignment: narrow projection, centroids are plan literals
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+      .withColumn("cell", nearestCell(cos)(col("nvec"), cent))
 
-    // probes: nprobe nearest centroids per query
+    // probes: nprobe nearest centroids per query (queries are small; the
+    // explode adds k rows per query and the rank window shuffles only that)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val candArr = array(cent.map { case (cid, cv) =>
+      struct(cos(col("qvec"), typedlit(cv)).as("csim"), lit(cid).as("cent_id"))
+    }: _*)
     val wProbe = Window.partitionBy("query_id")
-      .orderBy(col("csim").desc, col("cent_id").asc)
-    val probes = q.crossJoin(broadcast(cent))
-      .select(col("query_id"), col("qvec"), col("cent_id"),
-        cos(col("qvec"), col("cvec")).as("csim"))
+      .orderBy(col("cand.csim").desc, col("cand.cent_id").asc)
+    val probes = q.select(col("query_id"), col("qvec"), explode(candArr).as("cand"))
       .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("cent_id").as("cell"))
+      .select(col("query_id"), col("qvec"), col("cand.cent_id").as("cell"))
 
     // exact cosine within probed cells, deterministic top-k
     val wRank = Window.partitionBy("query_id")

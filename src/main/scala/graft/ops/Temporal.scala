@@ -64,6 +64,66 @@ object Temporal {
       .select(leftCols ++ asofCols: _*)
   }
 
+  /** [[asofJoin]] with a hot-key defense: the window partitions on
+    * `(key, floor(ts / chunkMs))` instead of the key alone, so one
+    * celebrity key's history splits across time chunks instead of landing
+    * in a single task (AQE cannot split window partitions — the chunking
+    * must be in the plan). A carry pass threads the last right-hand value
+    * across chunk boundaries:
+    *   1. per (key, chunk): the max (ts, value) right struct — ONE
+    *      map-side-combinable aggregate, output one row per (key, chunk);
+    *   2. running max over STRICTLY-previous chunks per key — a window
+    *      over the tiny per-chunk frame (rows = chunks, not events);
+    *   3. within each (key, chunk): the usual union + running-`last`,
+    *      coalesced with the chunk's carry-in.
+    * Identical results to [[asofJoin]] for every input (randomized
+    * equivalence spec); same total order, so still deterministic under any
+    * partitioning. Cost: one extra small shuffle + one tiny window.
+    * Pick `chunkMs` so a hot key's densest chunk fits one task; cold keys
+    * just see a couple of near-empty chunks. */
+  def asofJoinChunked(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightCols: Seq[String],
+      chunkMs: Long
+  ): DataFrame = {
+    val carried = struct(
+      col(tsCol).as(tsCol) +: rightCols.map(c => col(c).as(c)): _*)
+    val tsNum = left.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_millis(col(tsCol))
+      case _ => col(tsCol).cast("long")
+    }
+    val chunk = floor(tsNum.cast("double") / chunkMs).cast("long")
+    val r = right.select(col(keyCol), col(tsCol), carried.as("__asof"))
+      .withColumn("__tag", lit(0))
+    val l = left.withColumn("__tag", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__chunk", chunk)
+    // last right struct per (key, chunk) — null where a chunk has no right
+    // rows, so the running carry max skips it
+    val perChunk = u.groupBy(col(keyCol), col("__chunk"))
+      .agg(max(when(col("__tag") === 0,
+        struct(col(tsCol).as("__ts"), col("__asof").as("__a")))).as("__m"))
+    val wCarry = Window.partitionBy(keyCol).orderBy(col("__chunk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = perChunk
+      .withColumn("__c", max(col("__m")).over(wCarry))
+      .select(col(keyCol), col("__chunk"), col("__c.__a").as("__carry"))
+    val wChunk = Window.partitionBy(col(keyCol), col("__chunk"))
+      .orderBy(col(tsCol).asc, col("__tag").asc, col("__asof").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val leftCols = left.columns.map(col).toSeq
+    val asofCols = (tsCol +: rightCols).map(c =>
+      col(s"__match.$c").as(s"asof_$c"))
+    u.join(carry, Seq(keyCol, "__chunk"))
+      .withColumn("__match",
+        coalesce(last(col("__asof"), ignoreNulls = true).over(wChunk), col("__carry")))
+      .filter(col("__tag") === 1)
+      .select(leftCols ++ asofCols: _*)
+  }
+
   /** For every row, the number of OTHER rows with the same `partCol` whose
     * timestamp lies within ±`windowMs` (bounded interval self-join, e.g.
     * burst detection). `tsCol` must be a timestamp column; comparison is at

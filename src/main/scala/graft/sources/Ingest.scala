@@ -27,7 +27,30 @@ object Ingest {
     if (schema.fieldNames.contains(corruptCol)) schema
     else schema.add(corruptCol, StringType, nullable = true)
 
-  /** JSON-lines read against a REQUIRED schema. Returns
+  /** A quarantined read: the typed clean split, the raw corrupt lines, and
+    * the cached one-scan parse both are carved from. The cache is REQUIRED
+    * for correctness, not just speed: since Spark 2.3 a file-source query
+    * whose referenced columns are only the internal corrupt-record column
+    * is disallowed, and caching materializes the full row so the
+    * quarantine projection stays legal. The caller owns the cache's
+    * lifetime — call [[unpersist]] once both splits are materialized
+    * (written/counted), or the parsed raw frame stays pinned in executor
+    * memory for the session. */
+  final case class QuarantinedRead(
+      clean: DataFrame,
+      quarantine: DataFrame,
+      private val raw: DataFrame
+  ) {
+    /** Release the shared one-scan cache; safe after both splits'
+      * actions have run (re-running them would just re-scan). */
+    def unpersist(): this.type = { raw.unpersist(); this }
+
+    /** Whether the shared parse is still pinned (for leak checks). */
+    def isCached: Boolean =
+      raw.storageLevel.useMemory || raw.storageLevel.useDisk
+  }
+
+  /** JSON-lines read against a REQUIRED schema → [[QuarantinedRead]] of
     * (clean rows matching `schema`, quarantined raw lines).
     *
     * A row is quarantined when the line fails to parse at all or a field
@@ -37,18 +60,14 @@ object Ingest {
       spark: SparkSession,
       path: String,
       schema: StructType
-  ): (DataFrame, DataFrame) = {
+  ): QuarantinedRead = {
     val raw = spark.read
       .schema(withCorrupt(schema))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corruptCol)
       .json(path)
-      .cache() // one scan serves both splits; unpersist after materializing
-    val clean = raw.filter(col(corruptCol).isNull)
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    val quarantine = raw.filter(col(corruptCol).isNotNull)
-      .select(col(corruptCol).as("raw_line"))
-    (clean, quarantine)
+      .cache() // one scan serves both splits; caller unpersists (see QuarantinedRead)
+    split(raw, schema)
   }
 
   /** CSV read with header against a REQUIRED schema, same quarantine
@@ -57,7 +76,7 @@ object Ingest {
       spark: SparkSession,
       path: String,
       schema: StructType
-  ): (DataFrame, DataFrame) = {
+  ): QuarantinedRead = {
     val raw = spark.read
       .schema(withCorrupt(schema))
       .option("header", "true")
@@ -65,10 +84,14 @@ object Ingest {
       .option("columnNameOfCorruptRecord", corruptCol)
       .csv(path)
       .cache()
+    split(raw, schema)
+  }
+
+  private def split(raw: DataFrame, schema: StructType): QuarantinedRead = {
     val clean = raw.filter(col(corruptCol).isNull)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val quarantine = raw.filter(col(corruptCol).isNotNull)
       .select(col(corruptCol).as("raw_line"))
-    (clean, quarantine)
+    QuarantinedRead(clean, quarantine, raw)
   }
 }

@@ -98,6 +98,50 @@ class BucketingSpec extends AnyFlatSpec with Matchers {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  it should "skip row groups at the scan for range-sorted and z-ordered layouts" in {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // What the scan actually READ (post row-group min/max skipping), not
+    // just which files contained matches: each small file is one parquet
+    // row group, so a skipped file contributes zero to the scan's
+    // numOutputRows metric.
+    def scanned(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val leaves = plan.collectLeaves()
+      val rows = leaves.flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+      (rows, leaves.map(_.toString).mkString("\n"))
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_skip").toString
+    val docs = (0L until 300L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    Bucketing.writeRangeSorted(docs, dir, "doc_id", numFiles = 3)
+    val (rows, scan) = scanned(spark.read.parquet(dir).filter(col("doc_id") < 50))
+    withClue(scan) {
+      // the predicate reaches the parquet reader...
+      scan should include ("PushedFilters")
+      scan should include ("LessThan(doc_id,50)")
+      // ...and 2 of 3 disjoint-range row groups are never materialized
+      rows should be < 300L
+      rows should be >= 50L
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+
+    // z-order: BOTH dimensions skip at the scan
+    val n = 64
+    val grid = (0 until n * n).map(i => (i.toLong, (i % n).toLong, (i / n).toLong))
+      .toDF("id", "x", "y")
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zskip").toString
+    Bucketing.writeZOrdered(grid, zDir, "x", "y", bits = 6, numFiles = 8)
+    val (zx, sx) = scanned(spark.read.parquet(zDir).filter(col("x") < 8))
+    val (zy, sy) = scanned(spark.read.parquet(zDir).filter(col("y") < 8))
+    withClue(sx) { zx should be < (n * n).toLong }
+    withClue(sy) { zy should be < (n * n).toLong }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zDir))
+  }
+
   it should "prune partitions at the scan for partitioned layouts" in {
     // Hive-style partitioning: the OTHER storage-layout lever — a stratum
     // filter must never touch the other strata's files at 100 TB.

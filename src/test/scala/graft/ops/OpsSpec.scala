@@ -211,16 +211,17 @@ class OpsSpec extends AnyFlatSpec with Matchers {
   }
 
   it should "probe IVF cells and rank exact cosine within them" in {
-    // Two well-separated directions; centroids = every 2nd vector (ids 0,2).
-    // Query 1 probes both cells (nprobe=2) so IVF recall equals brute force
-    // here — ranks must match bruteForceTopK exactly.
+    // Two well-separated directions; k-means (k=2, 2 Lloyd rounds)
+    // separates them whatever the md5-seeded start. Query 1 probes both
+    // cells (nprobe=2) so IVF recall equals brute force here — ranks must
+    // match bruteForceTopK exactly.
     val vecs = Seq(
       Vec(0, Seq(1f, 0f)), Vec(1, Seq(0.95f, 0.05f)),
       Vec(2, Seq(0f, 1f)), Vec(3, Seq(0.1f, 0.9f))
     ).toDS.toDF()
     val q = vecs.filter(col("vec_id") === 1)
     val ivf = Similarity.ivfTopK(vecs, q, "vec_id", "embedding",
-        k = 3, centroidEvery = 2, nprobe = 2)
+        k = 3, numCentroids = 2, nprobe = 2)
       .orderBy("rank").collect()
     val bf = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 3)
       .orderBy("rank").collect()
@@ -234,11 +235,58 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       Vec(2, Seq(0f, 1f)), Vec(3, Seq(0.1f, 0.9f))
     ).toDS.toDF()
     val q = vecs.filter(col("vec_id") === 1)
-    // nprobe=1: only the x-axis cell (centroid 0) is searched; the y-axis
-    // vectors never appear even though k would admit them
+    // nprobe=1: only query 1's own (x-direction) cell is searched; the
+    // y-direction vectors never appear even though k would admit them
     val out = Similarity.ivfTopK(vecs, q, "vec_id", "embedding",
-        k = 3, centroidEvery = 2, nprobe = 1).collect()
+        k = 3, numCentroids = 2, nprobe = 1).collect()
     out.map(_.getLong(1)).toSet shouldBe Set(0L)
+  }
+
+  it should "build a fixed number of k-means centroids independent of corpus size" in {
+    def corpus(n: Int) = (0 until n)
+      .map(i => Vec(i.toLong, Seq(i.toFloat, (n - i).toFloat, 1f))).toDS.toDF()
+    val small = Similarity.kmeansCentroids(corpus(40), "vec_id", "embedding", k = 4)
+    val big = Similarity.kmeansCentroids(corpus(200), "vec_id", "embedding", k = 4)
+    small should have size 4
+    big should have size 4
+    all(small.map(_._2.size)) shouldBe 3
+  }
+
+  it should "build bit-identical centroids under any input partitioning" in {
+    // DECIMAL-routed component sums make the Lloyd means independent of
+    // partial-aggregation order — the property that lets the single-threaded
+    // DuckDB oracle replicate a 32-way-parallel Spark build bit for bit.
+    val base = (0 until 60)
+      .map(i => Vec(i.toLong, Seq(math.sin(i).toFloat, math.cos(i).toFloat))).toDS.toDF()
+    val a = Similarity.kmeansCentroids(base.repartition(7), "vec_id", "embedding", k = 3)
+    val b = Similarity.kmeansCentroids(base.repartition(3), "vec_id", "embedding", k = 3)
+    a shouldBe b
+  }
+
+  it should "plan IVF with no corpus-side broadcast and no join in cell assignment" in {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val vecs = (0 until 40)
+      .map(i => Vec(i.toLong, Seq(i.toFloat, 1f))).toDS.toDF()
+    val q = vecs.filter(col("vec_id") < 2)
+    val out = Similarity.ivfTopK(vecs, q, "vec_id", "embedding",
+      k = 2, numCentroids = 4, nprobe = 2)
+    out.count() // materialize so AQE finalizes the plan
+    val plan = out.queryExecution.executedPlan
+    val finalPlan = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // centroids are plan literals: the ONLY broadcast allowed is the tiny
+    // probes (query) side of the probe join — never anything corpus-shaped
+    val broadcasts = finalPlan.collect { case b: BroadcastExchangeExec => b }
+    broadcasts.foreach { b =>
+      assert(b.output.map(_.name).contains("query_id"),
+        s"unexpected corpus-side broadcast: ${b.output.map(_.name)}")
+    }
+    val s = finalPlan.toString
+    s should not include "NestedLoop"
+    s should not include "CartesianProduct"
   }
 
   it should "find pairs in any band under banded sign-LSH" in {
@@ -435,6 +483,37 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out(0).getLong(3) shouldBe 10L // asof_ts carried from the matched row
   }
 
+  it should "carry the last right value across as-of chunk boundaries" in {
+    // right row in an EARLIER chunk (chunkMs=2000: 1000 -> chunk 0,
+    // 10000 -> chunk 5); only the carry pass can deliver it
+    val l = Seq((1L, 10000L, 7L)).toDF("k", "ts", "lid")
+    val r = Seq((1L, 1000L, 2.5)).toDF("k", "ts", "v")
+    val out = Temporal.asofJoinChunked(l, r, "k", "ts", Seq("v"), 2000L).collect()
+    out should have size 1
+    out.head.getLong(3) shouldBe 1000L // asof_ts
+    out.head.getDouble(4) shouldBe 2.5 // asof_v
+  }
+
+  it should "chunked as-of equals plain as-of on randomized hot-key data" in {
+    val rng = new scala.util.Random(7)
+    // one celebrity key (0) holding ~2/3 of all rows + a few cold keys,
+    // duplicate timestamps included — the exact skew shape the chunked
+    // variant exists for
+    def key() = if (rng.nextInt(3) == 0) 1L + rng.nextInt(4) else 0L
+    def ts() = rng.nextInt(20000).toLong
+    val l = Seq.fill(300)((key(), ts(), rng.nextInt(1000).toLong)).toDF("k", "ts", "lid")
+    val r = Seq.fill(200)((key(), ts(), rng.nextInt(50) / 10.0)).toDF("k", "ts", "v")
+    val plain = Temporal.asofJoin(l, r, "k", "ts", Seq("v"))
+      .orderBy("k", "ts", "lid").collect()
+    val chunked = Temporal.asofJoinChunked(l, r, "k", "ts", Seq("v"), chunkMs = 3000L)
+      .orderBy("k", "ts", "lid").collect()
+    chunked shouldBe plain
+    val s = Temporal.asofJoinChunked(l, r, "k", "ts", Seq("v"), 3000L)
+      .queryExecution.executedPlan.toString
+    s should not include "NestedLoop"
+    s should not include "CartesianProduct"
+  }
+
   it should "count interval neighbors across bucket boundaries" in {
     import java.sql.Timestamp
     def ts(sec: Long) = new Timestamp(sec * 1000)
@@ -556,6 +635,37 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out(0)._2 shouldBe 3
     out(0)._3 shouldBe ((2 * pa + pb) / 3) +- 1e-5
     out(1)._3 shouldBe pa +- 1e-5
+  }
+
+  it should "score bit-identically in broadcast-vocab and shuffle-vocab modes" in {
+    val docs = (0 until 50)
+      .map(i => Doc(i.toLong, s"w${i % 7} w${i % 11} w${i % 13} common", "s"))
+      .toDS.toDF()
+    val bc = Corpus.unigramLogProb(docs, "doc_id", "text", broadcastVocab = true)
+      .orderBy("doc_id").collect()
+    val sh = Corpus.unigramLogProb(docs, "doc_id", "text", broadcastVocab = false)
+      .orderBy("doc_id").collect()
+    bc shouldBe sh
+  }
+
+  it should "plan the big-vocab mode without broadcasting the term counts" in {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val docs = Seq(Doc(1, "a a b", "s"), Doc(2, "a", "s")).toDS.toDF()
+    val out = Corpus.unigramLogProb(docs, "doc_id", "text", broadcastVocab = false)
+    out.count()
+    val plan = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // the only broadcast allowed is the 1-row (total, vocab) scalar —
+    // the term-count table must arrive via a shuffle, not the driver
+    val broadcasts = plan.collect { case b: BroadcastExchangeExec => b }
+    broadcasts.foreach { b =>
+      assert(b.output.map(_.name).toSet.subsetOf(Set("total", "vocab")),
+        s"vocab-shaped broadcast in big-vocab mode: ${b.output.map(_.name)}")
+    }
+    plan.toString should include ("ShuffledHashJoin")
   }
 
   behavior of "repetition signals"

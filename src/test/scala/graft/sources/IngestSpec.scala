@@ -28,7 +28,8 @@ class IngestSpec extends AnyFlatSpec with Matchers {
       """{"id": "not-a-number", "name": "bad type"}""",
       """this is not json at all""",
       """{"id": 4}"""))  // missing field -> null, still clean
-    val (clean, quarantine) = Ingest.readJsonQuarantined(spark, path, schema)
+    val read = Ingest.readJsonQuarantined(spark, path, schema)
+    val (clean, quarantine) = (read.clean, read.quarantine)
     clean.schema.fieldNames.toSeq shouldBe Seq("id", "name")
     val rows = clean.orderBy("id").collect()
     rows.map(r => if (r.isNullAt(0)) -1L else r.getLong(0)) shouldBe Array(1L, 4L)
@@ -36,6 +37,10 @@ class IngestSpec extends AnyFlatSpec with Matchers {
     val bad = quarantine.collect().map(_.getString(0))
     bad.length shouldBe 2
     bad should contain ("this is not json at all")
+    // the shared parse cache must be releasable by the caller
+    read.isCached shouldBe true
+    read.unpersist()
+    read.isCached shouldBe false
   }
 
   it should "split clean and corrupt CSV rows against a declared schema" in {
@@ -44,8 +49,9 @@ class IngestSpec extends AnyFlatSpec with Matchers {
       "1,ok",
       "oops,bad id",
       "3,fine"))
-    val (clean, quarantine) = Ingest.readCsvQuarantined(spark, path, schema)
-    clean.orderBy("id").collect().map(_.getLong(0)) shouldBe Array(1L, 3L)
-    quarantine.collect().map(_.getString(0)) shouldBe Array("oops,bad id")
+    val read = Ingest.readCsvQuarantined(spark, path, schema)
+    read.clean.orderBy("id").collect().map(_.getLong(0)) shouldBe Array(1L, 3L)
+    read.quarantine.collect().map(_.getString(0)) shouldBe Array("oops,bad id")
+    read.unpersist()
   }
 }

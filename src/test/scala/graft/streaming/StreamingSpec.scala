@@ -142,6 +142,64 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     Set(65.0, 110.0) should contain (row.getAs[Double]("total"))
   }
 
+  behavior of "stream-batch equivalence (randomized)"
+
+  // The same randomized-reference pattern as the CC/dedup closure tests:
+  // a seeded random event set pushed through the STREAMING operator must
+  // equal its batch twin on the identical data. Everything arrives in one
+  // micro-batch, so the watermark never drops anything and the comparison
+  // is exact.
+  private def randomEvents(seed: Int, n: Int): Seq[Ev] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(n)(Ev(
+      new Timestamp(Timestamp.valueOf("2024-01-01 10:00:00").getTime
+        + rng.nextInt(7200) * 1000L),
+      1L + rng.nextInt(5),
+      Seq("click", "view", "error")(rng.nextInt(3)),
+      rng.nextInt(1000) / 10.0))
+  }
+
+  it should "match the batch tumbling-window aggregate on random streams" in {
+    val evs = randomEvents(23, 200)
+    val in = MemoryStream[Ev]
+    in.addData(evs: _*)
+    val agg = StreamingOps.windowedAgg(
+      in.toDF(), "ts", "event_type", "value", "15 minutes", "10 minutes")
+    StreamingOps.runToMemory(agg, "rand_win_out", OutputMode.Complete)
+    val stream = spark.table("rand_win_out")
+      .select(unix_millis(col("w.start")).as("ws"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy("ws", "event_type").collect()
+    val batch = graft.ops.EventOps.windowedAgg(
+        evs.toDF(), "ts", "event_type", "value", "15 minutes")
+      .select(col("window_start_ms").as("ws"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy("ws", "event_type").collect()
+    stream shouldBe batch
+  }
+
+  it should "match the batch sessionizer on random streams" in {
+    // gap 1500 ms with second-granularity timestamps: the strict-< /
+    // inclusive-<= boundary difference between session_window and the
+    // batch lag() formulation can never fire (no gap equals exactly 1.5 s)
+    val evs = randomEvents(41, 150)
+    val in = MemoryStream[Ev]
+    in.addData(evs: _*)
+    val sess = StreamingOps.sessionAgg(
+      in.toDF(), "ts", "user_id", "1500 milliseconds", "10 minutes")
+    StreamingOps.runToMemory(sess, "rand_sess_out", OutputMode.Complete)
+    val stream = spark.table("rand_sess_out")
+      .select(col("user_id"), col("n_events"),
+        unix_millis(col("w.start")).as("start_ms"),
+        // session_window end = last event + gap
+        (unix_millis(col("w.end")) - 1500L).as("end_ms"))
+      .orderBy("user_id", "start_ms").collect()
+    val batch = graft.ops.EventOps.sessionize(evs.toDF(), "user_id", "ts", 1500L)
+      .select(col("user_id"), col("n_events"), col("start_ms"), col("end_ms"))
+      .orderBy("user_id", "start_ms").collect()
+    stream shouldBe batch
+  }
+
   it should "keep running user totals across micro-batches via mapGroupsWithState" in {
     val in = MemoryStream[Ev]
     // idleTimeout=None: a processing-time timeout would schedule no-data
