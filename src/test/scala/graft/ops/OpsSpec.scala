@@ -321,6 +321,33 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       Multimodal.decodePayload("not a bitmap".getBytes("UTF-8"))
   }
 
+  it should "round-trip a JPEG through the SOF marker walk" in {
+    val content = "hello jpeg world".getBytes("UTF-8")
+    val jpeg = Multimodal.toJpeg(content)
+    jpeg.length shouldBe 45 + content.length
+    val (w, h, c, f) = Multimodal.decodeJpeg(jpeg)
+    w shouldBe 1 + content.length % 64
+    h shouldBe 1 + content.length % 48
+    c shouldBe 3
+    f shouldBe "sof0:" + content.take(4).map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  it should "walk JPEG segments by length, not fixed offsets" in {
+    // a COM payload containing 0xFF bytes must not derail the marker walk
+    val tricky = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0x00)
+    val (w, h, _, _) = Multimodal.decodeJpeg(Multimodal.toJpeg(tricky))
+    w shouldBe 1 + tricky.length % 64
+    h shouldBe 1 + tricky.length % 48
+  }
+
+  it should "reject non-JPEG payloads and scans without SOF" in {
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeJpeg("plainly not a jpeg".getBytes("UTF-8"))
+    // SOI immediately followed by EOI: valid JPEG framing, no frame header
+    val noSof = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodeJpeg(noSof)
+  }
+
   it should "round-trip a real WAV header through encode and decode" in {
     val content = "hello world".getBytes("UTF-8") // 11 bytes
     val wav = Multimodal.toWav(content)
