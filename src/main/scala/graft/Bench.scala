@@ -36,8 +36,10 @@ import org.apache.spark.sql.SparkSession
   * degrades deterministically: (1) per-query times at 2 decimals with
   * trailing zeros trimmed; (2) 1 decimal, trimmed; (3) additionally the
   * query-name PREFIX abbreviation `multimodal_→mm_ events_→ev_ dedup_→dd_
-  * plug_→pl_ docs_→dc_ text_→tx_ sim_→si_ ingest_→in_` (first fit wins;
-  * the headline total keeps full precision in every form).
+  * plug_→pl_ docs_→dc_ text_→tx_ sim_→si_ ingest_→in_`; (4) additionally
+  * the diagnostic keys (warmup/load/note/fallbacks) move to stderr and
+  * only the contract fields remain (first fit wins; the headline total
+  * keeps full precision in every form).
   */
 object Bench {
 
@@ -198,17 +200,25 @@ object Bench {
         def short(n: String): String =
           abbrev.collectFirst { case (p, a) if n.startsWith(p) => a + n.stripPrefix(p) }
             .getOrElse(n)
-        def assemble(fmt: Double => String, name: String => String) = {
+        def assemble(fmt: Double => String, name: String => String, diag: Boolean) = {
           val qs = results.map { case (k, (v, _)) => "\"" + name(k) + "\":" + fmt(v) }
             .mkString("{", ",", "}")
-          s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"failed":$failed,"warmup":${"%.0f".format(warmupTotal)}$fb,"load":"$load1","note":"med/$repeats fresh-JVM chunks","sf":"$sfDir"}"""
+          val diagPart =
+            if (diag) s""","warmup":${"%.0f".format(warmupTotal)}$fb,"load":"$load1","note":"med/$repeats fresh-JVM chunks""""
+            else ""
+          s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"failed":$failed$diagPart,"sf":"$sfDir"}"""
         }
+        val f1t = (d: Double) => trim0("%.1f".format(d))
         val line = Seq[() => String](
-          () => assemble(d => trim0(f2(d)), identity),
-          () => assemble(d => trim0("%.1f".format(d)), identity),
-          () => assemble(d => trim0("%.1f".format(d)), short)
+          () => assemble(d => trim0(f2(d)), identity, diag = true),
+          () => assemble(f1t, identity, diag = true),
+          () => assemble(f1t, short, diag = true),
+          // last resort: contract fields only (metric/value/unit/queries/
+          // failed/sf) — diagnostics move to stderr
+          () => { System.err.println(s"[bench] warmup=${"%.0f".format(warmupTotal)} load=$load1 fallbacks=$fallbacks")
+                  assemble(f1t, short, diag = false) }
         ).iterator.map(_.apply()).find(_.length <= 1700)
-          .getOrElse(assemble(d => trim0("%.1f".format(d)), short))
+          .getOrElse(assemble(f1t, short, diag = false))
         if (line.length > 1800)
           System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may overflow the driver's tail window")
         println(line)

@@ -441,6 +441,25 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // Extension: deterministic weighted Bernoulli sample — keep probability
+    // proportional to n_chars via exact integer arithmetic on the 28-bit id
+    // hash (token-budget-biased downsample; scan-side, no RNG).
+    "docs_weighted_sample" -> ((s, dir) =>
+      graft.ops.Corpus.weightedHashSample(
+        table(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "doc_id", "n_chars")),
+
+    // Extension: contamination via a PORTABLE Bloom filter (md5-derived bit
+    // positions, constant-size bit_or word table) — the oracle rebuilds the
+    // identical filter, so even the false positives hash-match.
+    "text_contam_bloom" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.ops.Corpus.contaminationBloom(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text")
+    }),
+
     // Extension: exact cosine top-k via broadcast queries + window group limit.
     "sim_topk_bruteforce" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -1044,6 +1063,30 @@ object SparkEntry {
         |  round(COALESCE(h.n_hit, 0) / len(s.sh), 6) AS containment,
         |  COALESCE(h.n_hit, 0) / len(s.sh) >= 0.8 AS contaminated
         |FROM test s LEFT JOIN hits h ON s.doc_id = h.doc_id""".stripMargin,
+
+    "docs_weighted_sample" ->
+      """WITH w AS (SELECT max(n_chars) AS wmax FROM documents)
+        |SELECT doc_id, lang, n_chars FROM documents, w
+        |WHERE (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,7))::UBIGINT)::BIGINT * wmax
+        |      < n_chars * (1::BIGINT << 28)""".stripMargin,
+
+    "text_contam_bloom" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(0, greatest(len(toks)-3, 0)), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM t),
+        |test AS (SELECT doc_id, sh FROM sh WHERE doc_id % 20 = 0),
+        |corpus AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 20 != 0),
+        |cpos AS (SELECT CAST(('0x'||substr(md5(g), 1+5*j, 5))::UBIGINT % 1048576 AS BIGINT) AS p FROM corpus, range(4) r(j)),
+        |bloom AS (SELECT p // 32 AS word, bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS bits FROM cpos GROUP BY 1),
+        |tp AS (SELECT doc_id, unnest(sh) AS g FROM test),
+        |probes AS (SELECT doc_id, g, CAST(('0x'||substr(md5(g), 1+5*j, 5))::UBIGINT % 1048576 AS BIGINT) AS p FROM tp, range(4) r(j)),
+        |pergram AS (SELECT doc_id, g,
+        |    min(CASE WHEN (COALESCE(b.bits, 0) & (1::BIGINT << CAST(p % 32 AS INTEGER))) != 0 THEN 1 ELSE 0 END) AS hit
+        |  FROM probes LEFT JOIN bloom b ON probes.p // 32 = b.word GROUP BY 1, 2),
+        |perdoc AS (SELECT doc_id, count(*) AS n_shingles, CAST(sum(hit) AS BIGINT) AS n_bloom FROM pergram GROUP BY 1),
+        |hits AS (SELECT doc_id, count(*) AS n_exact FROM tp WHERE g IN (SELECT g FROM corpus) GROUP BY 1)
+        |SELECT p.doc_id, p.n_shingles, COALESCE(h.n_exact, 0) AS n_exact, p.n_bloom,
+        |  p.n_bloom >= COALESCE(h.n_exact, 0) AS no_false_neg
+        |FROM perdoc p LEFT JOIN hits h ON p.doc_id = h.doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -98,6 +98,24 @@ object Corpus {
       .withColumn("split", assign)
   }
 
+  /** Deterministic weighted Bernoulli sample: each row is kept with
+    * probability `weight / max(weight)` using EXACT integer arithmetic on
+    * the 28-bit id hash — keep iff `hash28(id) * wMax < w * 2^28`.
+    * Reproducible across engines, partitionings and re-runs like
+    * [[hashSample]] (no RNG, no seed plumbing); heavier rows (e.g. token
+    * counts for a token-budget-biased downsample) survive proportionally
+    * more often. One scalar aggregate broadcast + a scan-side filter — no
+    * shuffle of the data at any scale. Products stay below 2^28 * wMax,
+    * exact in BIGINT for weights up to ~2^35. */
+  def weightedHashSample(df: DataFrame, idCol: String, weightCol: String): DataFrame = {
+    val wMax = df.agg(max(col(weightCol).cast("long")).as("__wmax"))
+    val h28 = conv(substr(md5For(df.sparkSession)(col(idCol).cast("string")),
+      lit(1), lit(7)), 16, 10).cast("long")
+    df.crossJoin(broadcast(wMax))
+      .filter(h28 * col("__wmax") < col(weightCol).cast("long") * lit(1L << 28))
+      .drop("__wmax")
+  }
+
   /** Per-(document, term) TF-IDF over whitespace tokens:
     * tf/dl · (ln((N+1)/(df+1)) + 1) — the smoothed-idf form, so terms in
     * every document still get positive weight. Returns
@@ -232,6 +250,71 @@ object Corpus {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         round(decSum.cast("double") / count(lit(1)), 6).as("avg_logprob"))
+  }
+
+  /** Train/test contamination via a PORTABLE Bloom filter: every corpus
+    * shingle sets `k` bits in an `m = 64·words`-bit array; a test shingle
+    * is flagged when all its bits are set. Bit positions are 20-bit md5
+    * substrings modulo m (unbiased for power-of-two m), so the filter
+    * CONTENTS — including its false positives — are bit-identical in any
+    * engine: the oracle rebuilds the same filter and hash-matches exact
+    * counts, not just a tolerance gate.
+    *
+    * Scale: the filter is a CONSTANT-size word table (2·`words` 32-bit
+    * chunks, independent of corpus size) built by one map-side-combinable
+    * `bit_or` aggregate and probed via a broadcast join — at query time the corpus
+    * side never re-shuffles its shingle set the way [[contamination]]'s
+    * semi-join does. The trade is a tunable false-positive rate
+    * ((1-e^{-kn/m})^k); `no_false_neg` is structural. Returns
+    * (idCol, n_shingles, n_exact, n_bloom, no_false_neg). */
+  def contaminationBloom(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      words: Int = 16384,
+      k: Int = 4
+  ): DataFrame = {
+    require(Integer.bitCount(words) == 1 && words <= (1 << 14),
+      "words must be a power of two <= 16384 (bit positions are 20-bit)")
+    require(k >= 1 && k <= 6, "k hashes draw 5 hex chars each from one md5")
+    val spark = train.sparkSession
+    val mBits = words.toLong * 64L
+    def positions(g: Column): Column = array((0 until k).map { j =>
+      conv(substr(md5For(spark)(g), lit(1 + 5 * j), lit(5)), 16, 10)
+        .cast("long") % mBits
+    }: _*)
+    val corpusGrams = train
+      .select(explode(shinglesFor(spark)(tokens(col(textCol)), shingleN)).as("g"))
+      .distinct()
+    // 32-bit chunks, not 64: a bit-63 mask is negative in one engine and
+    // an overflow error in the other (DuckDB rejects 1::BIGINT << 63) —
+    // chunked at 32 every mask is a positive BIGINT everywhere
+    val bloom = corpusGrams
+      .select(explode(positions(col("g"))).as("p"))
+      .select(shiftright(col("p"), 5).as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 31 AS INT))").as("mask"))
+      .groupBy("word").agg(bit_or(col("mask")).as("bits"))
+    val tp = test
+      .select(col(idCol),
+        explode(shinglesFor(spark)(tokens(col(textCol)), shingleN)).as("g"))
+    val perGram = tp
+      .select(col(idCol), col("g"), explode(positions(col("g"))).as("p"))
+      .select(col(idCol), col("g"), shiftright(col("p"), 5).as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 31 AS INT))").as("mask"))
+      .join(broadcast(bloom), Seq("word"), "left")
+      .groupBy(col(idCol), col("g"))
+      .agg(min(when(coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) =!= 0, 1)
+        .otherwise(0)).as("hit"))
+    val perDoc = perGram.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("hit")).as("n_bloom"))
+    val exact = tp.join(corpusGrams, Seq("g"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_exact"))
+    perDoc.join(exact, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"), col("n_bloom"),
+        (col("n_bloom") >= coalesce(col("n_exact"), lit(0L))).as("no_false_neg"))
   }
 
   /** Train/test n-gram contamination: for each test document, the fraction

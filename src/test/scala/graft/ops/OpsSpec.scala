@@ -573,6 +573,38 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "weight the Bernoulli sample by exact integer arithmetic" in {
+    val docs = (0 until 200)
+      .map(i => (i.toLong, Seq(0L, 50L, 100L)(i % 3))).toDF("doc_id", "w")
+    val kept = Corpus.weightedHashSample(docs, "doc_id", "w")
+    // p = w/max: zero-weight rows never survive, max-weight rows always do
+    kept.filter(col("w") === 0).count() shouldBe 0
+    kept.filter(col("w") === 100).count() shouldBe docs.filter(col("w") === 100).count()
+    // half-weight keeps ~half (hash-deterministic, so an exact stable count)
+    val mid = kept.filter(col("w") === 50).count()
+    mid should be > 15L
+    mid should be < 55L
+    // membership is a pure function of the id — any partitioning agrees
+    Corpus.weightedHashSample(docs.repartition(7), "doc_id", "w")
+      .orderBy("doc_id").collect() shouldBe kept.orderBy("doc_id").collect()
+  }
+
+  it should "never miss a true hit in the Bloom contamination screen" in {
+    val train = Seq(
+      Doc(1, "alpha beta gamma delta", "s"),
+      Doc(3, "one two three four five", "s")).toDS.toDF()
+    val test = Seq(
+      Doc(20, "alpha beta gamma delta", "s"),
+      Doc(40, "totally novel words here now", "s")).toDS.toDF()
+    val out = Corpus.contaminationBloom(train, test, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // fully-contained doc: every shingle flagged, exact == shingles
+    out(0).getLong(1) shouldBe out(0).getLong(3)
+    out(0).getLong(2) shouldBe out(0).getLong(1)
+    // the Bloom superset property is structural — never a false negative
+    all(out.map(_.getBoolean(4))) shouldBe true
+  }
+
   it should "quantize embeddings symmetrically with round-half-up" in {
     val df = Seq(Vec(1, Seq(1.0f, -0.5f, 0.25f))).toDS.toDF()
     val r = Similarity.quantizeInt8Profile(df, "vec_id", "embedding").collect()(0)
