@@ -163,6 +163,24 @@ class ExtSpec extends AnyFlatSpec with Matchers {
     (0 until 4).foreach(i => e.getInt(i) shouldBe -1)
   }
 
+  it should "match the HOF fold bit-for-bit on mixed float/double arrays" in {
+    // the k-means centroid path compares float corpus vectors against
+    // double centroid literals — the kernel must equal the portable HOF
+    // cosine exactly in every type combination
+    val df = Seq((Seq(1.5f, -2.25f, 3f), Seq(0.5d, 1.125d, -2.75d)))
+      .toDF("fv", "dv")
+    val r = df.select(
+      expr("graft_cosine(fv, dv)").as("k_fd"),
+      Similarity.cosine(col("fv"), col("dv")).as("h_fd"),
+      expr("graft_cosine(dv, dv)").as("k_dd"),
+      Similarity.cosine(col("dv"), col("dv")).as("h_dd")
+    ).collect().head
+    java.lang.Double.doubleToRawLongBits(r.getDouble(0)) shouldBe
+      java.lang.Double.doubleToRawLongBits(r.getDouble(1))
+    java.lang.Double.doubleToRawLongBits(r.getDouble(2)) shouldBe
+      java.lang.Double.doubleToRawLongBits(r.getDouble(3))
+  }
+
   it should "stay inside whole-stage codegen" in {
     // literals would constant-fold into a LocalTableScan; use a real scan
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
