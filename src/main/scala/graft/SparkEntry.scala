@@ -503,6 +503,12 @@ object SparkEntry {
       graft.ops.Multimodal.decodeJpegBatched(
         graft.ops.Multimodal.asJpeg(table(s, dir, "documents"), "doc_id", "text")).toDF()),
 
+    // Extension: REAL PNG dimension decode — signature + IHDR with CRC-32
+    // verification and a chunk walk to the first IDAT payload.
+    "multimodal_png" -> ((s, dir) =>
+      graft.ops.Multimodal.decodePngBatched(
+        graft.ops.Multimodal.asPng(table(s, dir, "documents"), "doc_id", "text")).toDF()),
+
     // Extension: multimodal audio — text wrapped as real PCM WAV files,
     // decoded by walking the RIFF chunks (rate/channels/bits/duration).
     "multimodal_audio_decode" -> ((s, dir) =>
@@ -1182,6 +1188,21 @@ object SparkEntry {
         |  16 AS out_width, 16 AS out_height,
         |  CAST(54 + 48 * 16 AS INTEGER) AS out_byte_len,
         |  lower(hex(substr(text, 1, 3) || substr(text, CAST((3 * (w // 16)) % L AS INTEGER) + 1, 1))) AS feature
+        |FROM d""".stripMargin,
+
+    // byte_len = sig(8) + IHDR chunk(25) + IDAT chunk(12+len) + IEND(12);
+    // color type 2 (truecolor) = 3 channels; feature echoes the IDAT
+    // payload's first 4 bytes.
+    "multimodal_png" ->
+      """WITH d AS (SELECT doc_id, text, strlen(text) AS L,
+        |    1 + strlen(text) % 64 AS w, 1 + strlen(text) % 48 AS h
+        |  FROM documents)
+        |SELECT doc_id AS id,
+        |  CAST(57 + L AS INTEGER) AS byte_len,
+        |  CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  3 AS channels,
+        |  lower(hex(substr(text, 1, 4))) AS feature
         |FROM d""".stripMargin,
 
     // byte_len = SOI(2) + APP0(18) + COM(4+len) + SOF0(19) + EOI(2); the

@@ -348,6 +348,20 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy Multimodal.decodeJpeg(noSof)
   }
 
+  it should "round-trip a PNG through IHDR decode with CRC verification" in {
+    val content = "png content here".getBytes("UTF-8")
+    val png = Multimodal.toPng(content)
+    png.length shouldBe 57 + content.length
+    val (w, h, c, f) = Multimodal.decodePng(png)
+    w shouldBe 1 + content.length % 64
+    h shouldBe 1 + content.length % 48
+    c shouldBe 3
+    f shouldBe content.take(4).map(b => f"${b & 0xff}%02x").mkString
+    // a corrupted IHDR byte must fail the CRC check, not decode garbage
+    val bad = png.clone(); bad(17) = (bad(17) ^ 1).toByte // width byte
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodePng(bad)
+  }
+
   it should "round-trip a real WAV header through encode and decode" in {
     val content = "hello world".getBytes("UTF-8") // 11 bytes
     val wav = Multimodal.toWav(content)
@@ -571,6 +585,22 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     half.collect().foreach { r =>
       fullBuckets.get(r.getLong(0)).foreach(_ shouldBe r.getLong(2))
     }
+  }
+
+  it should "compose hashSample into splitAssign without duplicate columns" in {
+    val docs = (0 until 100).map(i => (i.toLong, s"d$i")).toDF("doc_id", "x")
+    // hashSample keeps its own `bucket` column; splitAssign must REPLACE
+    // it, not produce an ambiguous duplicate
+    val out = Corpus.splitAssign(
+      Corpus.hashSample(docs, "doc_id", keep = 5000),
+      "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    out.columns.count(_ == "bucket") shouldBe 1
+    out.select("split").distinct().count() should be >= 1L
+    // idempotent under repeated application too
+    val again = Corpus.splitAssign(out, "doc_id",
+      Seq("a" -> 0.5, "b" -> 0.5))
+    again.columns.count(_ == "bucket") shouldBe 1
+    again.columns.count(_ == "split") shouldBe 1
   }
 
   it should "weight the Bernoulli sample by exact integer arithmetic" in {
