@@ -482,6 +482,30 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
     }),
 
+    // Extension: random-projection compression quality — recall@5 of
+    // top-k search in the 16-dim projected space vs the exact 64-dim
+    // ranking (the JL pre-filter evaluation a pipeline runs before
+    // trusting a compressed index). Projections are md5-parity planes, so
+    // the oracle reproduces both rankings bit-for-bit.
+    "sim_proj_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = graft.ops.Similarity
+        .bruteForceTopK(spread(s, emb), q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val pc = graft.ops.Similarity
+        .randomProject(spread(s, emb), "vec_id", "embedding", dim = 64, proj = 16)
+      val pq = graft.ops.Similarity
+        .randomProject(q, "vec_id", "embedding", dim = 64, proj = 16)
+      val approx = graft.ops.Similarity.bruteForceTopK(pc, pq, "vec_id", "pvec", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      q.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) / 5.0, 6).as("recall"))
+    }),
+
     // Extension: ANN near-dup pairs via banded sign-LSH (2 bands x 8 planes,
     // OR-amplified candidate union, exact-cosine verification).
     "sim_lsh_near_dup" -> ((s, dir) =>
@@ -1146,6 +1170,26 @@ object SparkEntry {
         |  FROM probes p JOIN cells cl ON p.cell = cl.cell WHERE cl.vec_id != p.query_id),
         |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored)
         |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin,
+
+    "sim_proj_recall" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id) AS rk
+        |  FROM q, e c WHERE c.vec_id != q.vec_id) WHERE rk <= 5),
+        |p AS (SELECT vec_id, list_transform(generate_series(0, 15), j ->
+        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64), i ->
+        |    v[i] * (CASE WHEN (('0x'||substr(md5((64+j)::VARCHAR||':'||(i-1)::VARCHAR),1,15))::UBIGINT & 1) = 1 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END))), (a,x) -> a+x)) AS pv FROM e),
+        |pq AS (SELECT vec_id, pv FROM p WHERE vec_id < 10),
+        |ap AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT pq.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY pq.vec_id ORDER BY ${cosSql("pq.pv", "c.pv")} DESC, c.vec_id) AS rk
+        |  FROM pq, p c WHERE c.vec_id != pq.vec_id) WHERE rk <= 5),
+        |hits AS (SELECT ex.query_id, count(*) AS n_hit FROM ex SEMI JOIN ap ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id GROUP BY 1)
+        |SELECT q.vec_id AS query_id, COALESCE(h.n_hit, 0) AS n_hit,
+        |  round(COALESCE(h.n_hit, 0) / 5.0, 6) AS recall
+        |FROM q LEFT JOIN hits h ON q.vec_id = h.query_id""".stripMargin,
 
     "sim_lsh_near_dup" ->
       """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),

@@ -188,6 +188,30 @@ object Similarity {
       .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= k)
   }
 
+  /** Deterministic random-projection compression: `dim` → `proj`
+    * dimensions via the md5-parity ±1 hyperplane family (an
+    * Achlioptas-style database-friendly projection — no stored matrix, the
+    * planes are plan literals; `firstPlane` offsets the family so the
+    * projection is independent of the sign-LSH buckets). A narrow
+    * scan-side map: no shuffle, no UDF, `proj`·`dim` multiply-adds per
+    * row, and every engine derives the identical planes — the compressed
+    * vectors are bit-reproducible. Johnson–Lindenstrauss distortion decays
+    * with `proj`, so this is the standard cheap pre-filter before exact
+    * re-ranking on the full vectors. */
+  def randomProject(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      proj: Int,
+      firstPlane: Int = 64
+  ): DataFrame = {
+    val signs = hyperplaneSigns(firstPlane + proj, dim)
+    df.select(col(idCol),
+      array((0 until proj).map(j =>
+        dotDouble(col(vecCol), typedlit(signs(firstPlane + j)))): _*).as("pvec"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * storage/bandwidth shape for ANN at scale (4× smaller vectors; dot
     * products run on int8 with one final rescale). Per vector:

@@ -242,6 +242,22 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out.map(_.getLong(1)).toSet shouldBe Set(0L)
   }
 
+  it should "project deterministically onto the md5-parity plane family" in {
+    val vecs = (0 until 20)
+      .map(i => Vec(i.toLong, Seq.tabulate(8)(d => (i + d).toFloat))).toDS.toDF()
+    val p1 = Similarity.randomProject(vecs, "vec_id", "embedding", dim = 8, proj = 4)
+      .orderBy("vec_id").collect()
+    p1.foreach(_.getSeq[Double](1).size shouldBe 4)
+    // projection is a pure function of the vector — partitioning-invariant
+    val p2 = Similarity.randomProject(vecs.repartition(5), "vec_id", "embedding", 8, 4)
+      .orderBy("vec_id").collect()
+    p2 shouldBe p1
+    // a different family offset gives an independent projection
+    val p3 = Similarity.randomProject(vecs, "vec_id", "embedding", 8, 4, firstPlane = 32)
+      .orderBy("vec_id").collect()
+    p3 should not be p1
+  }
+
   it should "build a fixed number of k-means centroids independent of corpus size" in {
     def corpus(n: Int) = (0 until n)
       .map(i => Vec(i.toLong, Seq(i.toFloat, (n - i).toFloat, 1f))).toDS.toDF()
