@@ -12,6 +12,10 @@ import org.apache.spark.sql.functions._
   * on both sides — the driver's compare sorts columns by name before
   * hashing values.
   */
+/** Bounded deterministic event feed for the streaming oracle queries. */
+case class StreamEv(ts: java.sql.Timestamp, event_type: String,
+    value: Double, props: String)
+
 object SparkEntry {
 
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
@@ -563,6 +567,53 @@ object SparkEntry {
     // (double sums go through DECIMAL so partial-agg order can't change bits).
     "events_window_agg" -> ((s, dir) =>
       graft.ops.EventOps.windowedAgg(events(s, dir), "ts", "event_type", "value", "1 hour")),
+
+    // Extension: STREAMING windowed aggregation, oracle-checked — a
+    // bounded deterministic slice of the events table replays through a
+    // MemoryStream into StreamingOps.windowedAgg and drains to a memory
+    // sink; everything arrives inside the watermark, so the streaming
+    // answer must equal the batch SQL the oracle computes directly. (The
+    // driver-side feed is a harness artifact — production reads Kafka.)
+    "stream_window_agg" -> ((s, dir) => {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val feed = events(s, dir).filter(col("event_id") < 2000)
+        .select(col("ts"), col("event_type"), col("value"), col("props"))
+        .as[StreamEv].collect()
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEv]
+      in.addData(feed.toIndexedSeq: _*)
+      val agg = graft.streaming.StreamingOps.windowedAgg(
+        in.toDF(), "ts", "event_type", "value", "1 hour", "10 minutes")
+      s.catalog.dropTempView("stream_win_out")
+      graft.streaming.StreamingOps.runToMemory(agg, "stream_win_out",
+        org.apache.spark.sql.streaming.OutputMode.Complete)
+      s.table("stream_win_out").select(
+        unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"), col("total_value"))
+    }),
+
+    // Extension: STREAMING exact dedup, oracle-checked — the same bounded
+    // feed through dropDuplicatesWithinWatermark on the props fingerprint;
+    // exactly one row per distinct fingerprint survives, which the oracle
+    // verifies as a distinct count over the same slice.
+    "stream_dedup" -> ((s, dir) => {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val feed = events(s, dir).filter(col("event_id") < 2000)
+        .select(col("ts"), col("event_type"), col("value"), col("props"))
+        .as[StreamEv].collect()
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEv]
+      in.addData(feed.toIndexedSeq: _*)
+      val dd = graft.streaming.StreamingOps.dedupStream(in.toDF(), "ts", "props", "1 hour")
+      s.catalog.dropTempView("stream_dedup_out")
+      graft.streaming.StreamingOps.runToMemory(dd, "stream_dedup_out",
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      s.table("stream_dedup_out").agg(
+          count(lit(1)).as("n_survivors"),
+          countDistinct(col("fp")).as("n_distinct_fp"))
+        .select(lit(feed.length.toLong).as("n_in"),
+          col("n_survivors"), col("n_distinct_fp"))
+    }),
 
     // Extension: gap-based sessionization (30-minute inactivity gap).
     "events_sessionize" -> ((s, dir) =>
@@ -1290,6 +1341,17 @@ object SparkEntry {
       """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start_ms, event_type,
         |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "stream_window_agg" ->
+      """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start_ms, event_type,
+        |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_id < 2000 GROUP BY 1, 2""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT count(*) AS n_in,
+        |  count(DISTINCT md5(regexp_replace(trim(lower(props)), '\s+', ' ', 'g'))) AS n_survivors,
+        |  count(DISTINCT md5(regexp_replace(trim(lower(props)), '\s+', ' ', 'g'))) AS n_distinct_fp
+        |FROM events WHERE event_id < 2000""".stripMargin,
 
     "events_sessionize" ->
       """WITH x AS (SELECT user_id, ts, epoch_ms(ts) AS ts_ms,
