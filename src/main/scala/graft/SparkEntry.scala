@@ -619,6 +619,12 @@ object SparkEntry {
     "events_sessionize" -> ((s, dir) =>
       graft.ops.EventOps.sessionize(events(s, dir), "user_id", "ts", 30 * 60 * 1000L)),
 
+    // Extension: cohort retention — users bucketed by first-activity week,
+    // activity counted per (cohort, week); integer week arithmetic keeps
+    // it engine-portable.
+    "events_cohort" -> ((s, dir) =>
+      graft.ops.EventOps.cohortRetention(events(s, dir), "user_id", "ts")),
+
     // Extension: per-key numeric value profile (data-quality stats with
     // order-independent DECIMAL sums and the exact interpolated median).
     "events_value_profile" -> ((s, dir) =>
@@ -1368,6 +1374,14 @@ object SparkEntry {
     "events_distinct_by_type" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS nd_exact
         |FROM events GROUP BY 1""".stripMargin,
+
+    "events_cohort" ->
+      """WITH wk AS (SELECT user_id, epoch_ms(ts) // 604800000 AS w FROM events),
+        |f AS (SELECT user_id, min(w) AS cohort_week FROM wk GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, w AS active_week FROM wk)
+        |SELECT f.cohort_week, a.active_week, a.active_week - f.cohort_week AS week_offset,
+        |  count(*) AS n_users
+        |FROM a JOIN f USING (user_id) GROUP BY 1, 2, 3""".stripMargin,
 
     "events_value_profile" ->
       """SELECT event_type,

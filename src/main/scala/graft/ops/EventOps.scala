@@ -201,4 +201,23 @@ object EventOps {
         count(lit(1)).as("n"),
         countDistinct(col(idCol)).as("nd_exact"),
         approx_count_distinct(col(idCol)).as("nd_approx"))
+
+  /** Cohort retention: users grouped by first-activity week, activity
+    * counted per (cohort week, active week) — the classic growth rollup.
+    * Weeks are `epoch_millis div 604800000` integer buckets
+    * (engine-portable arithmetic; no calendar-week locale ambiguity).
+    * Three map-side-combinable aggregates (first week per user, distinct
+    * user-weeks, the cohort×week count) and one equi-join on the user —
+    * every shuffle carries ids and week ints, never events. Output:
+    * (cohort_week, active_week, week_offset, n_users). */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val wk = expr(s"unix_millis(`$tsCol`) div 604800000")
+    val firstWeek = events.groupBy(col(userCol)).agg(min(wk).as("cohort_week"))
+    val active = events.select(col(userCol), wk.as("active_week")).distinct()
+    active.join(firstWeek, Seq(userCol))
+      .groupBy(col("cohort_week"), col("active_week"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("cohort_week"), col("active_week"),
+        (col("active_week") - col("cohort_week")).as("week_offset"), col("n_users"))
+  }
 }

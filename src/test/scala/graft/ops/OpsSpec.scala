@@ -682,6 +682,18 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     plan should not include "CartesianProduct"
   }
 
+  it should "roll up cohort retention by first-activity week" in {
+    import java.sql.Timestamp
+    def ts(day: Int) = new Timestamp(day * 86400000L)
+    // user 1 first active week 0, returns week 1; user 2 only week 1
+    val df = Seq((1L, ts(0)), (1L, ts(2)), (1L, ts(8)), (2L, ts(9)))
+      .toDF("user_id", "ts")
+    val out = EventOps.cohortRetention(df, "user_id", "ts")
+      .orderBy("cohort_week", "active_week").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out shouldBe Array((0L, 0L, 0L, 1L), (0L, 1L, 1L, 1L), (1L, 1L, 0L, 1L))
+  }
+
   it should "histogram values into clamped fixed-width bins" in {
     val df = Seq(("a", -5.0), ("a", 5.0), ("a", 15.0), ("a", 200.0), ("b", 5.0))
       .toDF("k", "v")
