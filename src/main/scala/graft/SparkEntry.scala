@@ -410,8 +410,13 @@ object SparkEntry {
         """{"id": "oops", "name": "bad-type"}""",
         """{"id": 6, "name": "gamma"}""",
         """{broken""")
-      java.nio.file.Files.write(java.nio.file.Paths.get(path),
-        lines.mkString("\n").getBytes("UTF-8"))
+      // write-to-temp + atomic rename: the oracle (and a concurrently
+      // running harness JVM) must never observe a partially-written fixture
+      val tmp = java.nio.file.Files.createTempFile("graft_ingest_fixture", ".tmp")
+      java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       val schema = StructType(Seq(
         StructField("id", LongType), StructField("name", StringType)))
       val read = graft.sources.Ingest.readJsonQuarantined(s, path, schema)
@@ -1306,15 +1311,16 @@ object SparkEntry {
         |  lower(hex(substr(text, 1, 4))) AS feature
         |FROM d""".stripMargin,
 
-    // byte_len = SOI(2) + APP0(18) + COM(4+len) + SOF0(19) + EOI(2); the
-    // SOF walk reads dims the synthesizer derived from the text length and
-    // the feature echoes the COM payload's first 4 bytes.
+    // byte_len = SOI(2) + APP0(18) + COM(4+len) + SOF0(19) + EOI(2), with
+    // the COM payload capped at 60000 (16-bit segment length field — the
+    // synthesizer applies the same cap); the SOF walk reads dims derived
+    // from the text length and the feature echoes the COM first 4 bytes.
     "multimodal_jpeg" ->
       """WITH d AS (SELECT doc_id, text, strlen(text) AS L,
         |    1 + strlen(text) % 64 AS w, 1 + strlen(text) % 48 AS h
         |  FROM documents)
         |SELECT doc_id AS id,
-        |  CAST(45 + L AS INTEGER) AS byte_len,
+        |  CAST(45 + least(L, 60000) AS INTEGER) AS byte_len,
         |  CAST(w AS INTEGER) AS width,
         |  CAST(h AS INTEGER) AS height,
         |  3 AS channels,

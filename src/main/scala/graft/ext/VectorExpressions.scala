@@ -56,12 +56,13 @@ case class DotProductDouble(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_dot_double"
 
+  @transient private lazy val getL = elemGetter(left.dataType)
+  @transient private lazy val getR = elemGetter(right.dataType)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) return null
-    val getL = elemGetter(left.dataType)
-    val getR = elemGetter(right.dataType)
     val n = x.numElements()
     var s = 0.0
     var i = 0
@@ -185,12 +186,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
+  @transient private lazy val getL = elemGetter(left.dataType)
+  @transient private lazy val getR = elemGetter(right.dataType)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) return null
-    val getL = elemGetter(left.dataType)
-    val getR = elemGetter(right.dataType)
     val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0

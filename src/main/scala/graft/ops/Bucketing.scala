@@ -140,8 +140,12 @@ object Bucketing {
     if (!fs.rename(dst, aside))
       throw new java.io.IOException(s"compact: cannot move $dst aside")
     if (!fs.rename(tmp, dst)) {
-      fs.rename(aside, dst) // roll back; dataset stays visible
-      throw new java.io.IOException(s"compact: cannot publish $tmp to $dst")
+      // roll back so the dataset stays visible; if even that fails, say
+      // exactly where the data now lives instead of implying it is intact
+      val rolledBack = fs.rename(aside, dst)
+      throw new java.io.IOException(
+        if (rolledBack) s"compact: cannot publish $tmp to $dst (rolled back, $dst intact)"
+        else s"compact: cannot publish $tmp to $dst AND rollback failed — data is at $aside")
     }
     fs.delete(aside, true)
   }

@@ -308,6 +308,8 @@ object Multimodal {
     * segments only, which is exactly how production tooling reads JPEG
     * dimensions without decoding pixels. */
   def toJpeg(content: Array[Byte]): Array[Byte] = {
+    // a COM segment length field is 16-bit: cap the carried payload (the
+    // multimodal_jpeg oracle mirrors this cap in its byte_len arithmetic)
     val com = content.take(60000)
     val w = 1 + content.length % 64
     val h = 1 + content.length % 48
@@ -351,8 +353,14 @@ object Multimodal {
       if (marker == 0xd9 || marker == 0xda)
         throw new IllegalArgumentException("no SOF marker before scan/EOI")
       val len = ((payload(pos + 2) & 0xff) << 8) | (payload(pos + 3) & 0xff)
+      // a declared segment length must fit the buffer and advance the walk
+      // — a truncated/corrupt stream fails the decoder's contract error,
+      // never an uncontrolled out-of-bounds read
+      require(len >= 2 && pos + 2 + len <= payload.length,
+        s"JPEG segment at offset $pos overruns the payload (len=$len)")
       if (marker >= 0xc0 && marker <= 0xcf &&
           marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+        require(len >= 8, s"JPEG frame header too short (len=$len)")
         val h = ((payload(pos + 5) & 0xff) << 8) | (payload(pos + 6) & 0xff)
         val w = ((payload(pos + 7) & 0xff) << 8) | (payload(pos + 8) & 0xff)
         val ncomp = payload(pos + 9) & 0xff
@@ -386,7 +394,7 @@ object Multimodal {
     * inflates), IEND. CRCs are computed for real (IHDR's is validated by
     * [[decodePng]]). */
   def toPng(content: Array[Byte]): Array[Byte] = {
-    val idat = content.take(60000)
+    val idat = content // PNG chunk lengths are 32-bit; no truncation needed
     val w = 1 + content.length % 64
     val h = 1 + content.length % 48
     val ihdr = ByteBuffer.allocate(17).order(ByteOrder.BIG_ENDIAN)
@@ -432,11 +440,15 @@ object Multimodal {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
       case t => throw new IllegalArgumentException(s"bad PNG color type $t")
     }
-    // chunk walk to the first IDAT
+    // chunk walk to the first IDAT; a corrupt/negative declared length
+    // must fail the contract error, never stall the walk or read past the
+    // buffer (pos += 12 + len with len = -12 would otherwise loop forever)
     var pos = 33
     var feature = ""
     while (pos + 8 <= payload.length && feature.isEmpty) {
       val len = buf.getInt(pos)
+      require(len >= 0 && pos + 12 + len <= payload.length,
+        s"PNG chunk at offset $pos overruns the payload (len=$len)")
       val typ = new String(payload, pos + 4, 4, "US-ASCII")
       if (typ == "IDAT")
         feature = (0 until math.min(4, len))

@@ -362,6 +362,21 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     // SOI immediately followed by EOI: valid JPEG framing, no frame header
     val noSof = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)
     an[IllegalArgumentException] should be thrownBy Multimodal.decodeJpeg(noSof)
+    // truncated mid-SOF: the decoder's contract error, never an
+    // uncontrolled out-of-bounds read inside an executor task
+    val jpeg = Multimodal.toJpeg("x".getBytes("UTF-8"))
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeJpeg(jpeg.take(jpeg.length - 12))
+  }
+
+  it should "fail fast on a corrupt PNG chunk length instead of looping" in {
+    val png = Multimodal.toPng("some payload".getBytes("UTF-8"))
+    // IDAT length field (offset 33) -> 0xFFFFFFF4 = -12: pos += 12 + len
+    // would never advance without the overrun guard
+    val bad = png.clone()
+    bad(33) = 0xff.toByte; bad(34) = 0xff.toByte
+    bad(35) = 0xff.toByte; bad(36) = 0xf4.toByte
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodePng(bad)
   }
 
   it should "round-trip a PNG through IHDR decode with CRC verification" in {
