@@ -36,7 +36,8 @@ import org.apache.spark.sql.SparkSession
   * degrades deterministically: (1) per-query times at 2 decimals with
   * trailing zeros trimmed; (2) 1 decimal, trimmed; (3) additionally the
   * query-name PREFIX abbreviation `multimodal_→mm_ events_→ev_ dedup_→dd_
-  * plug_→pl_ docs_→dc_ text_→tx_ sim_→si_ ingest_→in_`; (4) additionally
+  * plug_→pl_ docs_→dc_ text_→tx_ sim_→si_ ingest_→in_ stream_→st_`;
+  * (4) additionally
   * the diagnostic keys (warmup/load/note/fallbacks) move to stderr and
   * only the contract fields remain (first fit wins; the headline total
   * keeps full precision in every form).
@@ -196,7 +197,7 @@ object Bench {
         val abbrev = Seq(
           "multimodal_" -> "mm_", "events_" -> "ev_", "dedup_" -> "dd_",
           "plug_" -> "pl_", "docs_" -> "dc_", "text_" -> "tx_",
-          "sim_" -> "si_", "ingest_" -> "in_")
+          "sim_" -> "si_", "ingest_" -> "in_", "stream_" -> "st_")
         def short(n: String): String =
           abbrev.collectFirst { case (p, a) if n.startsWith(p) => a + n.stripPrefix(p) }
             .getOrElse(n)
