@@ -458,6 +458,13 @@ object SparkEntry {
         table(s, dir, "documents").select("doc_id", "lang", "n_chars"),
         "doc_id", "n_chars")),
 
+    // Extension: corpus vocabulary + OOV profiling — vocab = tokens with
+    // frequency >= 5; per-doc OOV rate under it (the pre-training vocab
+    // commit check).
+    "text_vocab_oov" -> ((s, dir) =>
+      graft.ops.Corpus.vocabOovRate(
+        table(s, dir, "documents"), "doc_id", "text", minCount = 5)),
+
     // Extension: contamination via a PORTABLE Bloom filter (md5-derived bit
     // positions, constant-size bit_or word table) — the oracle rebuilds the
     // identical filter, so even the false positives hash-match.
@@ -1161,6 +1168,14 @@ object SparkEntry {
         |SELECT doc_id, lang, n_chars FROM documents, w
         |WHERE (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,7))::UBIGINT)::BIGINT * wmax
         |      < n_chars * (1::BIGINT << 28)""".stripMargin,
+
+    "text_vocab_oov" ->
+      """WITH x AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |v AS (SELECT term FROM x GROUP BY term HAVING count(*) >= 5)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN term IN (SELECT term FROM v) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+        |  round(CAST(sum(CASE WHEN term IN (SELECT term FROM v) THEN 0 ELSE 1 END) AS BIGINT) / count(*), 6) AS oov_rate
+        |FROM x GROUP BY 1""".stripMargin,
 
     "text_contam_bloom" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -252,6 +252,38 @@ object Corpus {
         round(decSum.cast("double") / count(lit(1)), 6).as("avg_logprob"))
   }
 
+  /** Corpus vocabulary + out-of-vocabulary profiling: the vocabulary is
+    * every token with corpus frequency >= `minCount`; each document gets
+    * its OOV token count and rate under that vocabulary — the standard
+    * check before committing a tokenizer/vocab to a training run (a high
+    * corpus-wide OOV rate means the cutoff is wrong; a high per-doc rate
+    * flags outlier documents).
+    *
+    * Same scale shape as [[unigramLogProb]]: one map-side-combinable
+    * groupBy builds the counts, the token stream left-joins the vocab
+    * (broadcast by default; `broadcastVocab = false` switches to a
+    * shuffle-hash join on the term for vocabularies beyond broadcast),
+    * one groupBy scores documents. */
+  def vocabOovRate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 5,
+      broadcastVocab: Boolean = true
+  ): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("term"), lit(1).as("__in"))
+    val vocabSide =
+      if (broadcastVocab) broadcast(vocab) else vocab.hint("shuffle_hash")
+    toks.join(vocabSide, Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
+  }
+
   /** Train/test contamination via a PORTABLE Bloom filter: every corpus
     * shingle sets `k` bits in an `m = 64·words`-bit array; a test shingle
     * is flagged when all its bits are set. Bit positions are 20-bit md5

@@ -769,6 +769,36 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out(1)._3 shouldBe pa +- 1e-5
   }
 
+  it should "profile OOV rates against a minCount vocabulary" in {
+    // "common" appears 3x (>= 2 -> in vocab); rare tokens appear once
+    val docs = Seq(
+      Doc(1, "common common rare1", "s"),
+      Doc(2, "common rare2", "s")).toDS.toDF()
+    val out = Corpus.vocabOovRate(docs, "doc_id", "text", minCount = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out shouldBe Array((1L, 3L, 1L, 0.333333), (2L, 2L, 1L, 0.5))
+    // broadcast and shuffle-hash vocab joins agree exactly
+    val sh = Corpus.vocabOovRate(docs, "doc_id", "text", 2, broadcastVocab = false)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    sh shouldBe out
+  }
+
+  it should "fingerprint invariantly under case and whitespace perturbations" in {
+    val rng = new scala.util.Random(99)
+    val words = Seq("alpha", "beta", "Gamma", "DELTA", "eps1")
+    (1 to 20).foreach { _ =>
+      val base = Seq.fill(1 + rng.nextInt(6))(words(rng.nextInt(words.size)))
+        .mkString(" ")
+      val perturbed = "  " + base.toUpperCase.replace(" ", "   ") + " "
+      val df = Seq((1L, base), (2L, perturbed)).toDF("id", "t")
+      val fps = df.select(TextFunctions.fingerprint(col("t")))
+        .collect().map(_.getString(0))
+      fps(0) shouldBe fps(1)
+    }
+  }
+
   it should "score bit-identically in broadcast-vocab and shuffle-vocab modes" in {
     val docs = (0 until 50)
       .map(i => Doc(i.toLong, s"w${i % 7} w${i % 11} w${i % 13} common", "s"))
