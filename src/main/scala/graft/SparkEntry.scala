@@ -458,6 +458,18 @@ object SparkEntry {
         table(s, dir, "documents").select("doc_id", "lang", "n_chars"),
         "doc_id", "n_chars")),
 
+    // Extension: corpus-bigram LM scoring — mean log p(w2|w1) with
+    // add-one smoothing (the bigram complement of the unigram scorer;
+    // flags shuffled-word gibberish).
+    "text_bigram_lm" -> ((s, dir) =>
+      graft.ops.Corpus.bigramLogProb(table(s, dir, "documents"), "doc_id", "text")),
+
+    // Extension: per-user conversion delay — first signup to first
+    // purchase at-or-after it (aggregate-only; no event-history window).
+    "events_conversion" -> ((s, dir) =>
+      graft.ops.EventOps.conversionDelay(
+        events(s, dir), "user_id", "ts", "event_type", "signup", "purchase")),
+
     // Extension: corpus vocabulary + OOV profiling — vocab = tokens with
     // frequency >= 5; per-doc OOV rate under it (the pre-training vocab
     // commit check).
@@ -1168,6 +1180,33 @@ object SparkEntry {
         |SELECT doc_id, lang, n_chars FROM documents, w
         |WHERE (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,7))::UBIGINT)::BIGINT * wmax
         |      < n_chars * (1::BIGINT << 28)""".stripMargin,
+
+    "text_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t),
+        |x AS (SELECT unnest(toks) AS term FROM t),
+        |uni AS (SELECT term, count(*) AS cu FROM x GROUP BY 1),
+        |v AS (SELECT count(*) AS vocab FROM uni),
+        |bic AS (SELECT bg, count(*) AS cb FROM bg GROUP BY 1)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(CAST(ln((bic.cb + 1) / (uni.cu + v.vocab)) AS DECIMAL(27,12))) AS DOUBLE) / count(*), 6) AS avg_logprob
+        |FROM bg b
+        |JOIN bic ON b.bg = bic.bg
+        |JOIN uni ON split_part(b.bg, ' ', 1) = uni.term
+        |CROSS JOIN v
+        |GROUP BY 1""".stripMargin,
+
+    "events_conversion" ->
+      """WITH f AS (SELECT user_id, min(epoch_ms(ts)) FILTER (event_type = 'signup') AS from_ms
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS to_ms
+        |      FROM events e JOIN f ON e.user_id = f.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= f.from_ms
+        |      GROUP BY 1)
+        |SELECT f.user_id, f.from_ms, t.to_ms, t.to_ms - f.from_ms AS delay_ms,
+        |  t.to_ms IS NOT NULL AS converted
+        |FROM f LEFT JOIN t ON f.user_id = t.user_id
+        |WHERE f.from_ms IS NOT NULL""".stripMargin,
 
     "text_vocab_oov" ->
       """WITH x AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),

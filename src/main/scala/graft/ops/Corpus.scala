@@ -349,6 +349,45 @@ object Corpus {
         (col("n_bloom") >= coalesce(col("n_exact"), lit(0L))).as("no_false_neg"))
   }
 
+  /** Corpus-bigram language-model scoring with add-one smoothing: each
+    * document's mean bigram log-probability, p(w2|w1) = (C(w1 w2)+1) /
+    * (C(w1)+V). The bigram complement of [[unigramLogProb]] — catches
+    * shuffled-word gibberish that unigram frequencies cannot (every token
+    * common, every transition rare). Documents with fewer than 2 tokens
+    * have no bigrams ([[TextFunctions.gramsAll]] yields an empty array,
+    * no whole-text collapse) and are absent from the output.
+    *
+    * Scale shape: two map-side-combinable count tables (bigrams,
+    * unigrams), one scalar broadcast (V), and the same
+    * broadcast-vs-shuffle join switch as the unigram scorer. Log-probs
+    * sum through DECIMAL(27,12) — partial-aggregation-order independent. */
+  def bigramLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      broadcastVocab: Boolean = true
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val bigrams = df.select(col(idCol),
+      explode(gramsAllFor(spark)(tokens(col(textCol)), 2)).as("bg"))
+    val uni = df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).as("vocab"))
+    val bi = bigrams.groupBy("bg").agg(count(lit(1)).as("cb"))
+    val biSide = if (broadcastVocab) broadcast(bi) else bi.hint("shuffle_hash")
+    val uniSide = if (broadcastVocab) broadcast(uni) else uni.hint("shuffle_hash")
+    val decSum = sum(log((col("cb") + 1) / (col("cu") + col("vocab")))
+      .cast(org.apache.spark.sql.types.DecimalType(27, 12)))
+    bigrams
+      .join(biSide, "bg")
+      .withColumn("term", substring_index(col("bg"), " ", 1))
+      .join(uniSide, "term")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(decSum.cast("double") / count(lit(1)), 6).as("avg_logprob"))
+  }
+
   /** Train/test n-gram contamination: for each test document, the fraction
     * of its distinct `shingleN`-gram shingles that appear anywhere in the
     * training corpus (union containment — the standard decontamination

@@ -202,6 +202,36 @@ object EventOps {
         countDistinct(col(idCol)).as("nd_exact"),
         approx_count_distinct(col(idCol)).as("nd_approx"))
 
+  /** Per-user conversion delay: time from the user's FIRST `fromType`
+    * event to their first `toType` event at-or-after it (signup→purchase,
+    * view→click…). Two map-side-combinable aggregates and one user-keyed
+    * equi-join, all co-partitioned on the user — no window over event
+    * history, so a hot user costs one aggregate row, not a sorted task.
+    * Users with no `fromType` event are excluded; unconverted users keep
+    * null `to_ms`/`delay_ms` and `converted = false`. */
+  def conversionDelay(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      fromType: String,
+      toType: String
+  ): DataFrame = {
+    val ms = unix_millis(col(tsCol))
+    val first = events.groupBy(col(userCol))
+      .agg(min(when(col(typeCol) === fromType, ms)).as("from_ms"))
+      .filter(col("from_ms").isNotNull)
+    val to = events.select(col(userCol), ms.as("ms"), col(typeCol))
+      .filter(col(typeCol) === toType)
+      .join(first, Seq(userCol))
+      .filter(col("ms") >= col("from_ms"))
+      .groupBy(col(userCol)).agg(min(col("ms")).as("to_ms"))
+    first.join(to, Seq(userCol), "left")
+      .select(col(userCol), col("from_ms"), col("to_ms"),
+        (col("to_ms") - col("from_ms")).as("delay_ms"),
+        col("to_ms").isNotNull.as("converted"))
+  }
+
   /** Cohort retention: users grouped by first-activity week, activity
     * counted per (cohort week, active week) — the classic growth rollup.
     * Weeks are `epoch_millis div 604800000` integer buckets

@@ -769,6 +769,42 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out(1)._3 shouldBe pa +- 1e-5
   }
 
+  it should "score bigram transitions under the corpus bigram LM" in {
+    // corpus: "a b", "a b", "a c" -> C(a b)=2, C(a c)=1; C(a)=3, V=3
+    val docs = Seq(Doc(1, "a b", "s"), Doc(2, "a b", "s"), Doc(3, "a c", "s"))
+      .toDS.toDF()
+    val out = Corpus.bigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out(0)._2 shouldBe 1
+    out(0)._3 shouldBe math.log(3.0 / 6) +- 1e-5 // p(b|a) = (2+1)/(3+3)
+    out(2)._3 shouldBe math.log(2.0 / 6) +- 1e-5 // p(c|a) = (1+1)/(3+3)
+    // a one-token document has no bigrams and is absent from the output
+    val short = Seq(Doc(9, "solo", "s")).toDS.toDF()
+    Corpus.bigramLogProb(docs.union(short), "doc_id", "text")
+      .filter(col("doc_id") === 9).count() shouldBe 0
+  }
+
+  it should "compute conversion delay from first signup to first purchase after it" in {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val df = Seq(
+      (1L, ts(5), "purchase"),  // BEFORE the signup: must not count
+      (1L, ts(10), "signup"),
+      (1L, ts(20), "purchase"), // first at-or-after -> delay 10 s
+      (2L, ts(10), "signup"),   // never converts
+      (3L, ts(10), "purchase")  // no signup: excluded entirely
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventOps.conversionDelay(df, "user_id", "ts", "event_type",
+        "signup", "purchase")
+      .orderBy("user_id").collect()
+    out.map(_.getLong(0)) shouldBe Array(1L, 2L)
+    out(0).getLong(3) shouldBe 10000L
+    out(0).getBoolean(4) shouldBe true
+    out(1).isNullAt(2) shouldBe true
+    out(1).getBoolean(4) shouldBe false
+  }
+
   it should "profile OOV rates against a minCount vocabulary" in {
     // "common" appears 3x (>= 2 -> in vocab); rare tokens appear once
     val docs = Seq(
