@@ -357,10 +357,13 @@ object Corpus {
     * have no bigrams ([[TextFunctions.gramsAll]] yields an empty array,
     * no whole-text collapse) and are absent from the output.
     *
-    * Scale shape: two map-side-combinable count tables (bigrams,
-    * unigrams), one scalar broadcast (V), and the same
-    * broadcast-vs-shuffle join switch as the unigram scorer. Log-probs
-    * sum through DECIMAL(27,12) — partial-aggregation-order independent. */
+    * Scale shape: two map-side-combinable count tables and one scalar
+    * broadcast (V). The UNIGRAM table follows the `broadcastVocab` switch
+    * (a word vocab is orders of magnitude smaller than the corpus); the
+    * BIGRAM count table is NEVER broadcast — distinct bigrams grow with
+    * the corpus, so that join is always a shuffle-hash equi-join on the
+    * bigram (both sides already keyed by it). Log-probs sum through
+    * DECIMAL(27,12) — partial-aggregation-order independent. */
   def bigramLogProb(
       df: DataFrame,
       idCol: String,
@@ -374,7 +377,7 @@ object Corpus {
       .groupBy("term").agg(count(lit(1)).as("cu"))
     val vocab = uni.agg(count(lit(1)).as("vocab"))
     val bi = bigrams.groupBy("bg").agg(count(lit(1)).as("cb"))
-    val biSide = if (broadcastVocab) broadcast(bi) else bi.hint("shuffle_hash")
+    val biSide = bi.hint("shuffle_hash") // corpus-sized: never broadcast
     val uniSide = if (broadcastVocab) broadcast(uni) else uni.hint("shuffle_hash")
     val decSum = sum(log((col("cb") + 1) / (col("cu") + col("vocab")))
       .cast(org.apache.spark.sql.types.DecimalType(27, 12)))

@@ -783,6 +783,24 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     val short = Seq(Doc(9, "solo", "s")).toDS.toDF()
     Corpus.bigramLogProb(docs.union(short), "doc_id", "text")
       .filter(col("doc_id") === 9).count() shouldBe 0
+    // the shuffle-vocab mode is bit-identical to the broadcast mode, and
+    // the corpus-sized bigram table is never broadcast in either
+    val sh = Corpus.bigramLogProb(docs, "doc_id", "text", broadcastVocab = false)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    sh shouldBe out
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val q = Corpus.bigramLogProb(docs, "doc_id", "text")
+    q.count()
+    val plan = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect { case b: BroadcastExchangeExec => b }.foreach { b =>
+      assert(!b.output.map(_.name).contains("cb"),
+        s"bigram-count table broadcast: ${b.output.map(_.name)}")
+    }
   }
 
   it should "compute conversion delay from first signup to first purchase after it" in {
