@@ -37,10 +37,11 @@ import org.apache.spark.sql.SparkSession
   * trailing zeros trimmed; (2) 1 decimal, trimmed; (3) additionally the
   * query-name PREFIX abbreviation `multimodal_→mm_ events_→ev_ dedup_→dd_
   * plug_→pl_ docs_→dc_ text_→tx_ sim_→si_ ingest_→in_ stream_→st_`;
-  * (4) additionally
-  * the diagnostic keys (warmup/load/note/fallbacks) move to stderr and
-  * only the contract fields remain (first fit wins; the headline total
-  * keeps full precision in every form).
+  * (4) additionally the diagnostic keys (warmup/load/note/fallbacks) move
+  * to stderr and only the contract fields remain; (5) additionally
+  * per-query times drop to whole seconds and an EMPTY failed list is
+  * omitted (a non-empty failed list is always emitted). First fit wins;
+  * the headline total keeps full precision in every form.
   */
 object Bench {
 
@@ -201,25 +202,34 @@ object Bench {
         def short(n: String): String =
           abbrev.collectFirst { case (p, a) if n.startsWith(p) => a + n.stripPrefix(p) }
             .getOrElse(n)
-        def assemble(fmt: Double => String, name: String => String, diag: Boolean) = {
+        def assemble(fmt: Double => String, name: String => String,
+            diag: Boolean, failedAlways: Boolean) = {
           val qs = results.map { case (k, (v, _)) => "\"" + name(k) + "\":" + fmt(v) }
             .mkString("{", ",", "}")
           val diagPart =
             if (diag) s""","warmup":${"%.0f".format(warmupTotal)}$fb,"load":"$load1","note":"med/$repeats fresh-JVM chunks""""
             else ""
-          s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"failed":$failed$diagPart,"sf":"$sfDir"}"""
+          // the failed list is load-bearing whenever non-empty; only the
+          // tightest stage may omit the empty "[]"
+          val failedPart =
+            if (failedAlways || failed != "[]") s""","failed":$failed""" else ""
+          s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$failedPart$diagPart,"sf":"$sfDir"}"""
         }
         val f1t = (d: Double) => trim0("%.1f".format(d))
+        def diagToStderr(): Unit =
+          System.err.println(s"[bench] warmup=${"%.0f".format(warmupTotal)} load=$load1 fallbacks=$fallbacks")
         val line = Seq[() => String](
-          () => assemble(d => trim0(f2(d)), identity, diag = true),
-          () => assemble(f1t, identity, diag = true),
-          () => assemble(f1t, short, diag = true),
-          // last resort: contract fields only (metric/value/unit/queries/
-          // failed/sf) — diagnostics move to stderr
-          () => { System.err.println(s"[bench] warmup=${"%.0f".format(warmupTotal)} load=$load1 fallbacks=$fallbacks")
-                  assemble(f1t, short, diag = false) }
+          () => assemble(d => trim0(f2(d)), identity, diag = true, failedAlways = true),
+          () => assemble(f1t, identity, diag = true, failedAlways = true),
+          () => assemble(f1t, short, diag = true, failedAlways = true),
+          // contract fields only (metric/value/unit/queries/failed/sf) —
+          // diagnostics move to stderr
+          () => { diagToStderr(); assemble(f1t, short, diag = false, failedAlways = true) },
+          // tightest: whole-second per-query times (headline total keeps
+          // 2 decimals) and the empty failed list omitted
+          () => { diagToStderr(); assemble(d => "%.0f".format(d), short, diag = false, failedAlways = false) }
         ).iterator.map(_.apply()).find(_.length <= 1700)
-          .getOrElse(assemble(f1t, short, diag = false))
+          .getOrElse(assemble(d => "%.0f".format(d), short, diag = false, failedAlways = false))
         if (line.length > 1800)
           System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may overflow the driver's tail window")
         println(line)

@@ -268,6 +268,24 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     all(small.map(_._2.size)) shouldBe 3
   }
 
+  it should "degrade gracefully when k exceeds the corpus size" in {
+    // 3 vectors, k=8: every vector seeds its own cell; with nprobe
+    // covering all cells IVF recall equals brute force exactly
+    val vecs = Seq(
+      Vec(0, Seq(1f, 0f)), Vec(1, Seq(0f, 1f)), Vec(2, Seq(0.7f, 0.7f))
+    ).toDS.toDF()
+    Similarity.kmeansCentroids(vecs, "vec_id", "embedding", k = 8)
+      .size should be <= 3
+    val q = vecs.filter(col("vec_id") === 0)
+    val ivf = Similarity.ivfTopK(vecs, q, "vec_id", "embedding",
+        k = 2, numCentroids = 8, nprobe = 8)
+      .orderBy("rank").collect()
+    val bf = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    ivf.map(r => (r.getLong(1), r.getDouble(2))) shouldBe
+      bf.map(r => (r.getLong(1), r.getDouble(2)))
+  }
+
   it should "build bit-identical centroids under any input partitioning" in {
     // DECIMAL-routed component sums make the Lloyd means independent of
     // partial-aggregation order — the property that lets the single-threaded
@@ -664,6 +682,16 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out(0).getLong(2) shouldBe out(0).getLong(1)
     // the Bloom superset property is structural — never a false negative
     all(out.map(_.getBoolean(4))) shouldBe true
+  }
+
+  it should "flag nothing against an empty training corpus in the Bloom screen" in {
+    val train = spark.emptyDataset[Doc].toDF()
+    val test = Seq(Doc(20, "anything at all here", "s")).toDS.toDF()
+    val out = Corpus.contaminationBloom(train, test, "doc_id", "text").collect()
+    out should have size 1
+    out.head.getLong(2) shouldBe 0 // n_exact
+    out.head.getLong(3) shouldBe 0 // n_bloom: empty filter, no bits set
+    out.head.getBoolean(4) shouldBe true
   }
 
   it should "quantize embeddings symmetrically with round-half-up" in {
