@@ -38,16 +38,63 @@ import org.apache.spark.sql.SparkSession
   * query-name PREFIX abbreviation `multimodal_→mm_ events_→ev_ dedup_→dd_
   * plug_→pl_ docs_→dc_ text_→tx_ sim_→si_ ingest_→in_ stream_→st_`;
   * (4) additionally the diagnostic keys (warmup/load/note/fallbacks) move
-  * to stderr and only the contract fields remain — this stage may run to
-  * 1850 chars (observed window ~2000) because the next one costs real
-  * information; (5) additionally per-query times drop to whole seconds
-  * and an EMPTY failed list is omitted (a non-empty failed list is always
-  * emitted). First fit wins; the headline total keeps full precision in
-  * every form.
+  * to stderr and only the contract fields remain; (5) additionally names
+  * compress to INITIALS — the prefix abbreviation plus the first letter of
+  * each remaining `_`-token (`dedup_ngram_jaccard`→`dd_nj`,
+  * `docs_topk_by_lang`→`dc_tbl`); names that would collide at one letter
+  * per token deterministically take 2, then 3… letters per token until
+  * unique (`docs_pack_seqs`→`dc_pase`, `docs_part_sink`→`dc_pasi`), so the
+  * map is reversible against the sorted query list — this stage keeps the
+  * 1-decimal times and holds ~90 queries under ~1300 chars; (6) last
+  * resort: per-query times drop to whole seconds and an EMPTY failed list
+  * is omitted (a non-empty failed list is always emitted). Dropping the
+  * leading zero of sub-second times (`.2`) was considered and rejected:
+  * that is not a valid JSON number and the driver json-parses the line.
+  * First fit wins; the headline total keeps full precision in every form.
   */
 object Bench {
 
   private val chunkSize = 8
+
+  /** Stage-3 query-name prefix abbreviations (see the degrade chain). */
+  private[graft] val abbrev = Seq(
+    "multimodal_" -> "mm_", "events_" -> "ev_", "dedup_" -> "dd_",
+    "plug_" -> "pl_", "docs_" -> "dc_", "text_" -> "tx_",
+    "sim_" -> "si_", "ingest_" -> "in_", "stream_" -> "st_")
+
+  private[graft] def short(n: String): String =
+    abbrev.collectFirst { case (p, a) if n.startsWith(p) => a + n.stripPrefix(p) }
+      .getOrElse(n)
+
+  /** Stage-5 initials map (see the scaladoc degrade chain): prefix abbrev
+    * + first letter of each remaining `_`-token; names whose initials
+    * collide take 2, then 3… letters per token until unique. Resolved
+    * names reserve their abbrev, so the final map is globally injective
+    * for the given query set; anything unresolved at 8 letters/token
+    * (impossible in practice) keeps its stage-3 name. */
+  private[graft] def initialsAbbrev(names: Seq[String]): Map[String, String] = {
+    def at(n: String, lvl: Int): String = {
+      val (p, rest) = abbrev.collectFirst {
+        case (pr, a) if n.startsWith(pr) => (a, n.stripPrefix(pr))
+      }.getOrElse(("", n))
+      p + rest.split('_').map(_.take(lvl)).mkString
+    }
+    var taken = Set.empty[String]
+    var resolved = Map.empty[String, String]
+    var remaining = names
+    var lvl = 1
+    while (remaining.nonEmpty && lvl <= 8) {
+      val byAb = remaining.groupBy(at(_, lvl))
+      val ok = byAb.collect {
+        case (ab, Seq(n)) if !taken(ab) => n -> ab
+      }
+      resolved ++= ok
+      taken ++= ok.values
+      remaining = remaining.filterNot(resolved.contains)
+      lvl += 1
+    }
+    resolved ++ remaining.map(n => n -> short(n))
+  }
 
   private def newSession(cpus: String): SparkSession = {
     SparkSession.clearActiveSession()
@@ -197,13 +244,8 @@ object Bench {
         def trim0(s: String): String =
           if (!s.contains('.')) s
           else { val t = s.replaceAll("0+$", ""); if (t.endsWith(".")) t.dropRight(1) else t }
-        val abbrev = Seq(
-          "multimodal_" -> "mm_", "events_" -> "ev_", "dedup_" -> "dd_",
-          "plug_" -> "pl_", "docs_" -> "dc_", "text_" -> "tx_",
-          "sim_" -> "si_", "ingest_" -> "in_", "stream_" -> "st_")
-        def short(n: String): String =
-          abbrev.collectFirst { case (p, a) if n.startsWith(p) => a + n.stripPrefix(p) }
-            .getOrElse(n)
+        val initialsMap = initialsAbbrev(names)
+        def initials(n: String): String = initialsMap.getOrElse(n, short(n))
         def assemble(fmt: Double => String, name: String => String,
             diag: Boolean, failedAlways: Boolean) = {
           val qs = results.map { case (k, (v, _)) => "\"" + name(k) + "\":" + fmt(v) }
@@ -218,25 +260,34 @@ object Bench {
           s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$failedPart$diagPart,"sf":"$sfDir"}"""
         }
         val f1t = (d: Double) => trim0("%.1f".format(d))
-        def diagToStderr(): Unit =
+        // Hoisted out of the stage thunks and flag-guarded: several
+        // diag-less stages may be TRIED before one fits, and the
+        // diagnostics line must print exactly once.
+        var diagPrinted = false
+        def diagToStderr(): Unit = if (!diagPrinted) {
+          diagPrinted = true
           System.err.println(s"[bench] warmup=${"%.0f".format(warmupTotal)} load=$load1 fallbacks=$fallbacks")
-        // per-stage budgets: stages 1-4 keep decimal granularity and give
-        // up other things first; stage 4 may run to 1850 (the observed
+        }
+        // per-stage budgets: stages 1-5 keep decimal granularity and give
+        // up other things first; stage 5 may run to 1850 (the observed
         // window is ~2000 and a 1804-char line parsed fine) because stage
-        // 5's whole-second times cost real per-query information
+        // 6's whole-second times cost real per-query information
         val line = Seq[(() => String, Int)](
           (() => assemble(d => trim0(f2(d)), identity, diag = true, failedAlways = true), 1700),
           (() => assemble(f1t, identity, diag = true, failedAlways = true), 1700),
           (() => assemble(f1t, short, diag = true, failedAlways = true), 1700),
           // contract fields only (metric/value/unit/queries/failed/sf) —
           // diagnostics move to stderr
-          (() => { diagToStderr(); assemble(f1t, short, diag = false, failedAlways = true) }, 1850),
-          // tightest: whole-second per-query times (headline total keeps
-          // 2 decimals) and the empty failed list omitted
-          (() => { diagToStderr(); assemble(d => "%.0f".format(d), short, diag = false, failedAlways = false) }, Int.MaxValue)
+          (() => { diagToStderr(); assemble(f1t, short, diag = false, failedAlways = true) }, 1700),
+          // initials-abbreviated names, 1-decimal times intact — the
+          // workhorse stage once the set outgrows stage 4 (~80 queries)
+          (() => { diagToStderr(); assemble(f1t, initials, diag = false, failedAlways = true) }, 1850),
+          // last resort: whole-second per-query times (headline total
+          // keeps 2 decimals) and the empty failed list omitted
+          (() => { diagToStderr(); assemble(d => "%.0f".format(d), initials, diag = false, failedAlways = false) }, Int.MaxValue)
         ).iterator.map { case (mk, limit) => (mk.apply(), limit) }
           .collectFirst { case (l, limit) if l.length <= limit => l }
-          .getOrElse(assemble(d => "%.0f".format(d), short, diag = false, failedAlways = false))
+          .getOrElse(assemble(d => "%.0f".format(d), initials, diag = false, failedAlways = false))
         if (line.length > 1800)
           System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may overflow the driver's tail window")
         println(line)

@@ -23,6 +23,37 @@ class SparkEntrySpec extends AnyFlatSpec with Matchers {
     SparkEntry.entry(spark).count() should be > 0L
   }
 
+  it should "assign injective initials abbreviations for the bench line" in {
+    // Stage 5 of the bench degrade chain compresses names to
+    // prefix + token initials; an abbrev collision would silently merge
+    // two queries' times in the emitted JSON object.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val m = Bench.initialsAbbrev(names)
+    m.keySet shouldBe names.toSet
+    m.values.toSeq.distinct.size shouldBe names.size
+    m("dedup_ngram_jaccard") shouldBe "dd_nj"
+    // collision pairs resolve deterministically by lengthening per-token
+    m("docs_pack_seqs") shouldBe "dc_pase"
+    m("docs_part_sink") shouldBe "dc_pasi"
+    m("events_cohort") shouldBe "ev_coh"
+    m("events_conversion") shouldBe "ev_con"
+  }
+
+  it should "keep the stage-5 bench line under budget at 90 queries" in {
+    // The driver parses the bench JSON from a ~2000-char tail window;
+    // stage 5 (initials + 1-decimal times) must hold a 90-query set
+    // comfortably below the 1850 budget so decimals survive growth.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val padded = names ++ (names.size until 90).map(i => s"text_future_query_$i")
+    val m = Bench.initialsAbbrev(padded)
+    m.values.toSeq.distinct.size shouldBe padded.size
+    val qs = padded.map(n => "\"" + m(n) + "\":88.8").mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":8888.88,"unit":"sec","queries":$qs,"failed":[],"sf":"/root/testdata/sf0.1"}"""
+    withClue(s"projected stage-5 line length ${line.length}: ") {
+      line.length should be < 1700
+    }
+  }
+
   it should "prune unused columns all the way into the parquet scan" in {
     // text_token_stats touches only (doc_id, text); documents also carries
     // lang/source/n_chars. If the projection doesn't reach the scan, every
