@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   * hashing values.
   */
 /** Bounded deterministic event feed for the streaming oracle queries. */
-case class StreamEv(ts: java.sql.Timestamp, event_type: String,
-    value: Double, props: String)
+case class StreamEv(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+    event_type: String, value: Double, props: String)
 
 object SparkEntry {
 
@@ -534,6 +534,28 @@ object SparkEntry {
           round(coalesce(col("n_hit"), lit(0L)) / 5.0, 6).as("recall"))
     }),
 
+    // Extension: IVF quality evaluation — recall@5 of the IVF index
+    // (nprobe=4) against the exact brute-force ranking, the same
+    // eval pattern as sim_proj_recall. Quantifies the nprobe/recall
+    // trade the IVF docstring promises; both engines rebuild the same
+    // deterministic k-means index, so the recall numbers hash-match.
+    "sim_ivf_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = graft.ops.Similarity
+        .bruteForceTopK(spread(s, emb), q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = graft.ops.Similarity.ivfTopK(
+          spread(s, emb), q, "vec_id", "embedding",
+          k = 5, numCentroids = 16, lloydRounds = 2, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      q.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) / 5.0, 6).as("recall"))
+    }),
+
     // Extension: ANN near-dup pairs via banded sign-LSH (2 bands x 8 planes,
     // OR-amplified candidate union, exact-cosine verification).
     "sim_lsh_near_dup" -> ((s, dir) =>
@@ -602,7 +624,8 @@ object SparkEntry {
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
       val feed = events(s, dir).filter(col("event_id") < 2000)
-        .select(col("ts"), col("event_type"), col("value"), col("props"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          col("value"), col("props"))
         .as[StreamEv].collect()
       val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEv]
       in.addData(feed.toIndexedSeq: _*)
@@ -619,12 +642,18 @@ object SparkEntry {
     // Extension: STREAMING exact dedup, oracle-checked — the same bounded
     // feed through dropDuplicatesWithinWatermark on the props fingerprint;
     // exactly one row per distinct fingerprint survives, which the oracle
-    // verifies as a distinct count over the same slice.
+    // verifies as a distinct count over the same slice. The single-batch
+    // replay is LOAD-BEARING for that GLOBAL-distinct oracle:
+    // dropDuplicatesWithinWatermark only guarantees dedup within the
+    // 1-hour delay, and the equality holds because the whole feed lands in
+    // one micro-batch (no fingerprint state is evicted mid-run); a
+    // multi-batch replay with duplicates >1h apart would break it.
     "stream_dedup" -> ((s, dir) => {
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
       val feed = events(s, dir).filter(col("event_id") < 2000)
-        .select(col("ts"), col("event_type"), col("value"), col("props"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          col("value"), col("props"))
         .as[StreamEv].collect()
       val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEv]
       in.addData(feed.toIndexedSeq: _*)
@@ -637,6 +666,68 @@ object SparkEntry {
           countDistinct(col("fp")).as("n_distinct_fp"))
         .select(lit(feed.length.toLong).as("n_in"),
           col("n_survivors"), col("n_distinct_fp"))
+    }),
+
+    // Extension: STREAMING session windows, oracle-checked — the bounded
+    // feed through Spark's native session_window (30-minute gap), drained
+    // in Complete mode so every session emits regardless of the final
+    // watermark. Session semantics: a new session starts iff the gap to
+    // the previous event is >= 30 min (session end = last ts + gap), which
+    // the oracle mirrors with a lag()-based cumulative-sum sessionization
+    // using the SAME >= boundary — no tie ambiguity by construction.
+    "stream_session" -> ((s, dir) => {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val feed = events(s, dir).filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          col("value"), col("props"))
+        .as[StreamEv].collect()
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEv]
+      in.addData(feed.toIndexedSeq: _*)
+      val sess = graft.streaming.StreamingOps.sessionAgg(
+        in.toDF(), "ts", "user_id", "30 minutes", "10 minutes")
+      s.catalog.dropTempView("stream_sess_out")
+      graft.streaming.StreamingOps.runToMemory(sess, "stream_sess_out",
+        org.apache.spark.sql.streaming.OutputMode.Complete)
+      s.table("stream_sess_out").select(
+        col("user_id"),
+        unix_millis(col("w.start")).as("session_start_ms"),
+        unix_millis(col("w.end")).as("session_end_ms"),
+        col("n_events"), col("total_value"))
+    }),
+
+    // Extension: STREAMING stream-stream interval join, oracle-checked —
+    // clicks and errors replay through two MemoryStreams into the
+    // double-watermarked interval join (errors within [click-1h,
+    // click+10min] per user). Inner-join rows emit as they match, so the
+    // single-batch replay drains every pair; the watermarks exist for
+    // state eviction at scale, not emission. The oracle is the naive
+    // bounded join — a genuinely different algorithm agreeing exactly.
+    "stream_interval_join" -> ((s, dir) => {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev = events(s, dir).filter(col("event_id") < 5000)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          col("value"), col("props"))
+      val clicks = ev.filter(col("event_type") === "click").as[StreamEv].collect()
+      val errors = ev.filter(col("event_type") === "error").as[StreamEv].collect()
+      val inL = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEv]
+      val inR = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEv]
+      inL.addData(clicks.toIndexedSeq: _*)
+      inR.addData(errors.toIndexedSeq: _*)
+      val joined = graft.streaming.StreamingOps.intervalJoinStreams(
+        inL.toDF().select("event_id", "user_id", "ts"),
+        inR.toDF().select("user_id", "ts", "value"),
+        "user_id", "ts", before = "1 hour", after = "10 minutes",
+        watermarkDelay = "10 minutes", rightPayload = Seq("value"))
+      s.catalog.dropTempView("stream_ij_out")
+      graft.streaming.StreamingOps.runToMemory(joined, "stream_ij_out",
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      s.table("stream_ij_out").select(
+        col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        unix_millis(col("right_ts")).as("right_ts_ms"),
+        col("right_value"))
     }),
 
     // Extension: gap-based sessionization (30-minute inactivity gap).
@@ -686,6 +777,25 @@ object SparkEntry {
             .select(col("event_id"), col("user_id"), col("ts")),
           e.filter(col("event_type") === "error"),
           "user_id", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          unix_millis(col("asof_ts")).as("asof_ts_ms"),
+          col("asof_value"))
+    }),
+
+    // Extension: the hot-key-safe CHUNKED as-of join over the SAME slice
+    // and oracle as events_asof_join — identical semantics, different
+    // plan: the window partitions on (key, 6h-time-chunk) with a carry
+    // pass threading the last right value across chunk boundaries, so a
+    // celebrity key's history can never pin a single task. The sf slice
+    // spans weeks, so 6h chunks genuinely exercise the carry join.
+    "events_asof_chunked" -> ((s, dir) => {
+      val e = events(s, dir)
+      graft.ops.Temporal.asofJoinChunked(
+          e.filter(col("event_type") === "click")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          e.filter(col("event_type") === "error"),
+          "user_id", "ts", Seq("value"), chunkMs = 6 * 3600 * 1000L)
         .select(col("event_id"), col("user_id"),
           unix_millis(col("ts")).as("ts_ms"),
           unix_millis(col("asof_ts")).as("asof_ts_ms"),
@@ -1025,7 +1135,7 @@ object SparkEntry {
     // absent or of the declared type — exactly the PERMISSIVE
     // corrupt-record contract the Spark side enforces.
     "ingest_quarantine" ->
-      """WITH raw AS (SELECT raw FROM read_csv('/tmp/graft_ingest_fixture.jsonl', header=false, quote='', columns={'raw': 'VARCHAR'})),
+      """WITH raw AS (SELECT raw FROM read_csv('/tmp/graft_ingest_fixture.jsonl', header=false, quote='', delim='', columns={'raw': 'VARCHAR'})),
         |j AS (SELECT raw, json_valid(raw) AS ok,
         |  json_type(try_cast(raw AS JSON), '$.id') AS tid,
         |  json_type(try_cast(raw AS JSON), '$.name') AS tname FROM raw),
@@ -1307,6 +1417,37 @@ object SparkEntry {
         |  round(COALESCE(h.n_hit, 0) / 5.0, 6) AS recall
         |FROM q LEFT JOIN hits h ON q.vec_id = h.query_id""".stripMargin,
 
+    // Rebuilds the identical deterministic IVF index (the sim_ivf_topk CTE
+    // chain), ranks the same queries through it, and scores recall@5
+    // against the exact brute-force ranking — the sim_proj_recall eval
+    // pattern applied to the IVF quality knob.
+    "sim_ivf_recall" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |c1 AS ${lloydRoundSql("seeds", 64)},
+        |c2 AS ${lloydRoundSql("c1", 64)},
+        |sims AS (SELECT e.vec_id, e.v, c.cent_id, ${cosSql("e.v", "c.cv")} AS csim FROM e, c2 c),
+        |cells AS (SELECT vec_id, v, cent_id AS cell FROM
+        |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims)
+        |  WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, v AS qv, cent_id AS cell FROM
+        |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims WHERE vec_id < 10)
+        |  WHERE rn <= 4),
+        |scored AS (SELECT p.query_id, cl.vec_id AS neighbor_id, ${cosSql("p.qv", "cl.v")} AS sim
+        |  FROM probes p JOIN cells cl ON p.cell = cl.cell WHERE cl.vec_id != p.query_id),
+        |ap AS (SELECT query_id, neighbor_id FROM
+        |  (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored)
+        |  WHERE rk <= 5),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id) AS rk
+        |  FROM q, e c WHERE c.vec_id != q.vec_id) WHERE rk <= 5),
+        |hits AS (SELECT ex.query_id, count(*) AS n_hit FROM ex SEMI JOIN ap ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id GROUP BY 1)
+        |SELECT q.vec_id AS query_id, COALESCE(h.n_hit, 0) AS n_hit,
+        |  round(COALESCE(h.n_hit, 0) / 5.0, 6) AS recall
+        |FROM q LEFT JOIN hits h ON q.vec_id = h.query_id""".stripMargin,
+
     "sim_lsh_near_dup" ->
       """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
         |bk AS (SELECT vec_id, t.b AS band, list_sum(list_transform(generate_series(0,7), j ->
@@ -1413,6 +1554,39 @@ object SparkEntry {
         |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events WHERE event_id < 2000 GROUP BY 1, 2""".stripMargin,
 
+    // Mirrors Spark's session_window semantics exactly: a new session
+    // starts iff the gap to the previous event is >= 30 min (so ties with
+    // the boundary are unambiguous on both sides), session end = last
+    // event + gap, value sums DECIMAL-routed.
+    "stream_session" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, value
+        |  FROM events WHERE event_id < 2000),
+        |x AS (SELECT user_id, ms, value,
+        |    CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+        |           OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) >= 1800000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e),
+        |y AS (SELECT user_id, ms, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, min(ms) AS session_start_ms,
+        |  max(ms) + 1800000 AS session_end_ms,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM y GROUP BY user_id, sid""".stripMargin,
+
+    // The naive bounded join over the same slices — a genuinely different
+    // algorithm than the double-watermarked streaming join.
+    "stream_interval_join" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
+        |  FROM events WHERE event_id < 5000 AND event_type = 'click'),
+        |r AS (SELECT user_id, epoch_ms(ts) AS ms, value
+        |  FROM events WHERE event_id < 5000 AND event_type = 'error')
+        |SELECT l.event_id, l.user_id, l.ms AS ts_ms,
+        |  r.ms AS right_ts_ms, r.value AS right_value
+        |FROM l JOIN r ON l.user_id = r.user_id
+        |  AND r.ms >= l.ms - 3600000 AND r.ms <= l.ms + 600000""".stripMargin,
+
     "stream_dedup" ->
       """SELECT count(*) AS n_in,
         |  count(DISTINCT md5(regexp_replace(trim(lower(props)), '\s+', ' ', 'g'))) AS n_survivors,
@@ -1464,6 +1638,17 @@ object SparkEntry {
     // DuckDB's NATIVE ASOF JOIN — an independent algorithm for the same
     // semantics as the Spark-side union + running-last formulation.
     "events_asof_join" ->
+      """SELECT l.event_id, l.user_id,
+        |  CAST(epoch_ms(l.ts) AS BIGINT) AS ts_ms,
+        |  CAST(epoch_ms(r.ts) AS BIGINT) AS asof_ts_ms,
+        |  r.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    // The chunked variant must agree with the plain as-of join on every
+    // row — same oracle, DuckDB's native ASOF JOIN.
+    "events_asof_chunked" ->
       """SELECT l.event_id, l.user_id,
         |  CAST(epoch_ms(l.ts) AS BIGINT) AS ts_ms,
         |  CAST(epoch_ms(r.ts) AS BIGINT) AS asof_ts_ms,

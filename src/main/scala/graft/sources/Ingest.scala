@@ -41,8 +41,12 @@ object Ingest {
       quarantine: DataFrame,
       private val raw: DataFrame
   ) {
-    /** Release the shared one-scan cache; safe after both splits'
-      * actions have run (re-running them would just re-scan). */
+    /** Release the shared one-scan cache once both splits' actions have
+      * run (written/counted). After release, `clean` safely re-scans the
+      * file, but re-running `quarantine` THROWS (AnalysisException): its
+      * projection references only the internal corrupt-record column,
+      * which a file-source query disallows uncached — the cache is what
+      * made it legal (see the class doc). */
     def unpersist(): this.type = { raw.unpersist(); this }
 
     /** Whether the shared parse is still pinned (for leak checks). */
