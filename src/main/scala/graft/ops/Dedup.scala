@@ -123,16 +123,94 @@ object Dedup {
       .withColumn("is_dup", col("jaccard") >= threshold)
   }
 
+  /** The persisted corpus index for incremental dedup: the shingle-set
+    * table `(id, sh)` the Jaccard verification joins, and the exploded
+    * band-key table `(id, band, key)` the candidate join probes. Write
+    * both through [[Bucketing.writeBucketed]] — `shingles` bucketed by
+    * `id`, `bands` bucketed by `(band, key)` — and every nightly
+    * [[minhashNearDupsAgainstIndex]] probe joins them with ZERO
+    * corpus-side shuffle (BucketingSpec asserts the plan property with a
+    * live bucketed round-trip). */
+  final case class MinhashIndex(shingles: DataFrame, bands: DataFrame)
+
+  /** Builds the [[MinhashIndex]] frames for a corpus. Writing both frames
+    * scans the corpus twice (once per table) — the once-at-index-build
+    * cost that buys every later probe its shuffle-free corpus side. */
+  def minhashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8
+  ): MinhashIndex = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val spark = df.sparkSession
+    val sh = df.select(
+        col(idCol).as("id"),
+        shinglesFor(spark)(tokens(col(textCol)), shingleN).as("sh"))
+      .withColumn("sig", minhashSigFor(spark)(col("sh"), numHashes))
+    val bf = sh
+      .select(col("id"), explode(bandKeys(col("sig"), bands, r, md5For(spark))).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    MinhashIndex(sh.select(col("id"), col("sh")), bf)
+  }
+
+  /** Incremental near-dup screening against a PRE-BUILT corpus index
+    * (typically [[MinhashIndex]] frames read back from bucketed tables):
+    * band keys of the new batch equi-join the corpus band table, and
+    * candidates verify exact Jaccard against the corpus shingle table.
+    * Returns (new_id, corpus_id, jaccard, is_dup) for every banding
+    * candidate. With the index tables bucketed as [[MinhashIndex]]
+    * documents, the corpus side of BOTH joins is co-located by layout —
+    * only the (orders-of-magnitude smaller) new batch and the candidate
+    * pairs ever shuffle. */
+  def minhashNearDupsAgainstIndex(
+      newDf: DataFrame,
+      corpusShingles: DataFrame,
+      corpusBands: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val spark = newDf.sparkSession
+    // the new batch's shingle+signature frame feeds the band explode AND
+    // the verification join — persist so the minhash work runs once
+    val shNew = newDf.select(
+        col(idCol).as("id"),
+        shinglesFor(spark)(tokens(col(textCol)), shingleN).as("sh"))
+      .withColumn("sig", minhashSigFor(spark)(col("sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandNew = shNew
+      .select(col("id"), explode(bandKeys(col("sig"), bands, r, md5For(spark))).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bandNew.as("a")
+      .join(corpusBands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
+      .distinct()
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    cand
+      .join(shNew.select(col("id"), col("sh").as("sa")), col("new_id") === col("id")).drop("id")
+      .join(corpusShingles.select(col("id"), col("sh").as("sb")), col("corpus_id") === col("id")).drop("id")
+      .select(col("new_id"), col("corpus_id"),
+        (inter / (size(col("sa")) + size(col("sb")) - inter)).as("jaccard"))
+      .withColumn("is_dup", col("jaccard") >= threshold)
+  }
+
   /** Incremental near-dup screening: candidate matches of a NEW batch of
     * documents against an EXISTING corpus — the shape a production pipeline
     * runs daily (band keys of the new batch join against the corpus's band
-    * keys; nothing is ever self-joined, and the corpus side's signatures
-    * would be precomputed/stored in practice). Returns
-    * (new_id, corpus_id, jaccard, is_dup) for every banding candidate.
-    *
-    * At 100 TB the corpus band-key table is written bucketed by key so this
-    * join is co-located with no corpus-side shuffle; the new batch (orders
-    * of magnitude smaller) shuffles to it. */
+    * keys; nothing is ever self-joined). Builds the corpus index inline
+    * and persists it for the two reads; a production pipeline stores the
+    * [[MinhashIndex]] frames bucketed instead and calls
+    * [[minhashNearDupsAgainstIndex]] so the corpus side never shuffles. */
   def minhashNearDupsAgainst(
       newDf: DataFrame,
       corpusDf: DataFrame,
@@ -145,30 +223,17 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
-    val spark = newDf.sparkSession
-    def sigs(df: DataFrame) = df.select(
+    val spark = corpusDf.sparkSession
+    val shOld = corpusDf.select(
         col(idCol).as("id"),
         shinglesFor(spark)(tokens(col(textCol)), shingleN).as("sh"))
       .withColumn("sig", minhashSigFor(spark)(col("sh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def bandFrame(sh: DataFrame) = sh
+    val bandOld = shOld
       .select(col("id"), explode(bandKeys(col("sig"), bands, r, md5For(spark))).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-
-    val shNew = sigs(newDf)
-    val shOld = sigs(corpusDf)
-    val cand = bandFrame(shNew).as("a")
-      .join(bandFrame(shOld).as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
-      .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
-      .distinct()
-    val inter = size(array_intersect(col("sa"), col("sb")))
-    cand
-      .join(shNew.select(col("id"), col("sh").as("sa")), col("new_id") === col("id")).drop("id")
-      .join(shOld.select(col("id"), col("sh").as("sb")), col("corpus_id") === col("id")).drop("id")
-      .select(col("new_id"), col("corpus_id"),
-        (inter / (size(col("sa")) + size(col("sb")) - inter)).as("jaccard"))
-      .withColumn("is_dup", col("jaccard") >= threshold)
+    minhashNearDupsAgainstIndex(newDf, shOld.select(col("id"), col("sh")),
+      bandOld, idCol, textCol, shingleN, numHashes, bands, threshold)
   }
 
   /** Exact n-gram-Jaccard near-dup pairs within a blocking column (for

@@ -40,6 +40,69 @@ class BucketingSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "probe a bucketed corpus dedup index with zero corpus-side shuffle" in {
+    // The posture the Dedup.MinhashIndex doc promises: corpus bands
+    // bucketed by (band, key), corpus shingles bucketed by (id) — every
+    // nightly incremental probe joins them co-located by layout, and only
+    // the new batch + candidate pairs shuffle.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val idx = Dedup.minhashIndex(corpus, "doc_id", "text")
+    Bucketing.writeBucketed(idx.bands, "g_corpus_bands", Seq("band", "key"), 4)
+    Bucketing.writeBucketed(idx.shingles, "g_corpus_sh", Seq("id"), 4)
+    // static plans (AQE off) so every Exchange is visible to collect();
+    // broadcast off so a broadcast corpus wouldn't make the check vacuous
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val res = Dedup.minhashNearDupsAgainstIndex(batch,
+        spark.table("g_corpus_sh"), spark.table("g_corpus_bands"), "doc_id", "text")
+      // identical rows to the build-inline path on the same inputs
+      val direct = Dedup.minhashNearDupsAgainst(batch, corpus, "doc_id", "text")
+      res.collect().toSet shouldBe direct.collect().toSet
+      res.count() should be > 0L
+      // the plan property bucketing buys: neither corpus-table scan is
+      // re-partitioned before its consuming join. Exchanges ABOVE a join
+      // legitimately carry derived candidate pairs (which descend from the
+      // corpus scan), so the check walks each Exchange's child subtree and
+      // flags a corpus scan only if reachable without crossing a join.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      def scanShuffledBeforeJoin(e: ShuffleExchangeExec, marker: String): Boolean = {
+        def walk(p: SparkPlan): Boolean = p match {
+          case _: BaseJoinExec => false
+          case leaf if leaf.children.isEmpty => leaf.toString.contains(marker)
+          case other => other.children.exists(walk)
+        }
+        walk(e.child)
+      }
+      val plan = res.queryExecution.executedPlan
+      plan.toString should include ("Bucketed: true") // both index scans
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      exchanges should not be empty // the new-batch side DOES shuffle
+      val offending = exchanges.filter(scanShuffledBeforeJoin(_, "g_corpus"))
+      withClue(plan.toString) { offending shouldBe empty }
+      // control: probing un-bucketed corpus frames shuffles the corpus
+      // band scan (a raw documents.parquet read) before its join
+      val plain = Dedup.minhashNearDupsAgainstIndex(batch,
+        idx.shingles, idx.bands, "doc_id", "text")
+      val plainCorpusShuffled = plain.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+        .exists(scanShuffledBeforeJoin(_, "documents"))
+      plainCorpusShuffled shouldBe true
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS g_corpus_bands")
+      spark.sql("DROP TABLE IF EXISTS g_corpus_sh")
+    }
+  }
+
   it should "write range-sorted files covering disjoint key ranges" in {
     val dir = java.nio.file.Files.createTempDirectory("graft_range_t").toString
     val docs = (0L until 300L).map(i => (i, s"text $i")).toDF("doc_id", "text")
