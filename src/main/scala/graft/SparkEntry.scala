@@ -583,6 +583,13 @@ object SparkEntry {
       graft.ops.Multimodal.decodePngBatched(
         graft.ops.Multimodal.asPng(table(s, dir, "documents"), "doc_id", "text")).toDF()),
 
+    // Extension: REAL MP4/ISO-BMFF dimension decode — box walk through
+    // ftyp/moov/mvhd/trak/tkhd (16.16 fixed-point dims, timescale-scaled
+    // duration) with the feature echoing the mdat payload's first bytes.
+    "multimodal_mp4" -> ((s, dir) =>
+      graft.ops.Multimodal.decodeMp4Batched(
+        graft.ops.Multimodal.asMp4(table(s, dir, "documents"), "doc_id", "text")).toDF()),
+
     // Extension: multimodal audio — text wrapped as real PCM WAV files,
     // decoded by walking the RIFF chunks (rate/channels/bits/duration).
     "multimodal_audio_decode" -> ((s, dir) =>
@@ -1503,6 +1510,23 @@ object SparkEntry {
         |  CAST(w AS INTEGER) AS width,
         |  CAST(h AS INTEGER) AS height,
         |  3 AS channels,
+        |  lower(hex(substr(text, 1, 4))) AS feature
+        |FROM d""".stripMargin,
+
+    // byte_len = ftyp(20) + moov(8 + mvhd 108 + trak 100) + mdat(8+len);
+    // tkhd stores dims as 16.16 fixed point, mvhd timescale 1000 with
+    // duration = len ticks so duration_ms = len; feature echoes the mdat
+    // payload's first 4 bytes.
+    "multimodal_mp4" ->
+      """WITH d AS (SELECT doc_id, text, strlen(text) AS L,
+        |    1 + strlen(text) % 64 AS w, 1 + strlen(text) % 48 AS h
+        |  FROM documents)
+        |SELECT doc_id AS id,
+        |  CAST(244 + L AS INTEGER) AS byte_len,
+        |  CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  1000 AS timescale,
+        |  CAST(L AS BIGINT) AS duration_ms,
         |  lower(hex(substr(text, 1, 4))) AS feature
         |FROM d""".stripMargin,
 

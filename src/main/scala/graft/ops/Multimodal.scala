@@ -20,6 +20,11 @@ case class DecodedAudio(
     id: Long, byte_len: Int, sample_rate: Int, channels: Int, bits_per_sample: Int,
     n_samples: Long, duration_ms: Long)
 
+/** Output of the video container decoder. */
+case class DecodedVideo(
+    id: Long, byte_len: Int, width: Int, height: Int, timescale: Int,
+    duration_ms: Long, feature: String)
+
 /** Output of the image resizer. */
 case class ResizedMedia(
     id: Long, in_width: Int, in_height: Int, out_width: Int, out_height: Int,
@@ -470,6 +475,132 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Build a minimal but structurally valid MP4 (ISO-BMFF, ISO/IEC
+    * 14496-12): `ftyp`, a `moov` containing `mvhd` (timescale 1000,
+    * duration = content length, so duration in ms equals the length) and
+    * one `trak`/`tkhd` whose 16.16 fixed-point width/height derive
+    * deterministically from the content length, then an `mdat` carrying
+    * `content`. No codec samples — the dimension decoder walks box
+    * headers only, which is exactly how production tooling reads video
+    * dimensions without touching a codec. */
+  def toMp4(content: Array[Byte]): Array[Byte] = {
+    val w = 1 + content.length % 64
+    val h = 1 + content.length % 48
+    val buf = ByteBuffer.allocate(244 + content.length).order(ByteOrder.BIG_ENDIAN)
+    def tag(s: String): Unit = { buf.put(s.getBytes("US-ASCII")); () }
+    // ftyp: major brand + version + one compatible brand
+    buf.putInt(20); tag("ftyp"); tag("isom"); buf.putInt(512); tag("isom")
+    // moov container: mvhd (108) + trak (100)
+    buf.putInt(216); tag("moov")
+    buf.putInt(108); tag("mvhd")
+    buf.putInt(0)                         // version 0 + flags
+    buf.putInt(0); buf.putInt(0)          // creation/modification
+    buf.putInt(1000)                      // timescale (ticks per second)
+    buf.putInt(content.length)            // duration in ticks
+    buf.putInt(0x00010000)                // rate 1.0 (16.16)
+    buf.putShort(0x0100.toShort)          // volume 1.0 (8.8)
+    buf.putShort(0); buf.putLong(0L)      // reserved
+    unityMatrix(buf)
+    var i = 0
+    while (i < 6) { buf.putInt(0); i += 1 } // pre_defined
+    buf.putInt(2)                         // next_track_ID
+    buf.putInt(100); tag("trak")
+    buf.putInt(92); tag("tkhd")
+    buf.putInt(0x000007)                  // version 0 + enabled/in-movie flags
+    buf.putInt(0); buf.putInt(0)          // creation/modification
+    buf.putInt(1)                         // track_ID
+    buf.putInt(0)                         // reserved
+    buf.putInt(content.length)            // duration (movie timescale ticks)
+    buf.putLong(0L)                       // reserved
+    buf.putShort(0); buf.putShort(0)      // layer, alternate_group
+    buf.putShort(0); buf.putShort(0)      // volume (video track), reserved
+    unityMatrix(buf)
+    buf.putInt(w << 16); buf.putInt(h << 16) // 16.16 fixed-point dimensions
+    // mdat with the raw content
+    buf.putInt(8 + content.length); tag("mdat"); buf.put(content)
+    buf.array()
+  }
+
+  /** The identity transform matrix every *hd box carries (9 × 32-bit,
+    * fixed-point: 1.0 on the diagonal, 1.0 in the 2.30 w position). */
+  private def unityMatrix(buf: ByteBuffer): Unit = {
+    buf.putInt(0x00010000); buf.putInt(0); buf.putInt(0)
+    buf.putInt(0); buf.putInt(0x00010000); buf.putInt(0)
+    buf.putInt(0); buf.putInt(0); buf.putInt(0x40000000)
+    ()
+  }
+
+  /** REAL ISO-BMFF box-walk decode (pure JVM, no codec): validates the
+    * leading `ftyp`, walks sibling boxes by their 32-bit big-endian sizes
+    * to `moov`, descends to `mvhd` (timescale, duration) and the first
+    * `trak`'s `tkhd` (16.16 fixed-point width/height), and walks on to
+    * `mdat` for the feature echo (first 4 payload bytes in hex — proof the
+    * top-level walk is real, not fixed offsets). Declared box sizes are
+    * bounds-checked like the JPEG/PNG walks: a corrupt size fails the
+    * contract error, never an out-of-bounds read or an infinite walk.
+    * 64-bit largesize boxes (size==1) and to-end boxes (size==0) are
+    * rejected — the synthesizer never emits them and handling them
+    * needlessly complicates the bounds argument. */
+  def decodeMp4(payload: Array[Byte]): DecodedVideo = {
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
+    require(payload.length >= 8 && new String(payload, 4, 4, "US-ASCII") == "ftyp",
+      s"not an ISO-BMFF payload (${payload.length} bytes)")
+    // (type, payloadStart, payloadEnd) for each box in [from, end)
+    def boxes(from: Int, end: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var pos = from
+        def hasNext: Boolean = pos + 8 <= end
+        def next(): (String, Int, Int) = {
+          val size = buf.getInt(pos)
+          require(size >= 8 && pos + size <= end,
+            s"box at offset $pos overruns the payload (size=$size)")
+          val t = new String(payload, pos + 4, 4, "US-ASCII")
+          val r = (t, pos + 8, pos + size)
+          pos += size
+          r
+        }
+      }
+    def find(from: Int, end: Int, typ: String): (Int, Int) =
+      boxes(from, end).collectFirst { case (t, s, e) if t == typ => (s, e) }
+        .getOrElse(throw new IllegalArgumentException(s"no $typ box found"))
+    val (moovS, moovE) = find(0, payload.length, "moov")
+    val (mvhdS, _) = find(moovS, moovE, "mvhd")
+    require((payload(mvhdS) & 0xff) == 0, "only version-0 mvhd supported")
+    val timescale = buf.getInt(mvhdS + 12)
+    val duration = buf.getInt(mvhdS + 16).toLong & 0xffffffffL
+    val (trakS, trakE) = find(moovS, moovE, "trak")
+    val (tkhdS, _) = find(trakS, trakE, "tkhd")
+    require((payload(tkhdS) & 0xff) == 0, "only version-0 tkhd supported")
+    val w = buf.getInt(tkhdS + 76) >>> 16
+    val h = buf.getInt(tkhdS + 80) >>> 16
+    val (mdatS, mdatE) = find(0, payload.length, "mdat")
+    val feature = (0 until math.min(4, mdatE - mdatS))
+      .map(i => f"${payload(mdatS + i) & 0xff}%02x").mkString
+    require(timescale > 0, "mvhd timescale must be positive")
+    DecodedVideo(0L, payload.length, w, h, timescale,
+      duration * 1000L / timescale, feature)
+  }
+
+  /** Batched MP4 decode — same partition-local batch seam. */
+  def decodeMp4Batched(ds: Dataset[MediaRecord]): Dataset[DecodedVideo] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map(r => decodeMp4(r.payload).copy(id = r.id))
+      }
+    }
+  }
+
+  /** Wrap a text table as MP4 media records (see [[toMp4]]). */
+  def asMp4(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRecord(id, toMp4(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), "video")
+      }
   }
 
   /** Wrap a text table as PNG media records (see [[toPng]]). */

@@ -411,6 +411,34 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy Multimodal.decodePng(bad)
   }
 
+  it should "round-trip an MP4 through the ISO-BMFF box walk" in {
+    val content = "movie bits here!".getBytes("UTF-8")
+    val mp4 = Multimodal.toMp4(content)
+    mp4.length shouldBe 244 + content.length
+    val v = Multimodal.decodeMp4(mp4)
+    v.byte_len shouldBe mp4.length
+    v.width shouldBe 1 + content.length % 64
+    v.height shouldBe 1 + content.length % 48
+    v.timescale shouldBe 1000
+    v.duration_ms shouldBe content.length.toLong
+    v.feature shouldBe content.take(4).map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  it should "fail fast on corrupt or truncated MP4 boxes" in {
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeMp4("never was a movie".getBytes("UTF-8"))
+    val mp4 = Multimodal.toMp4("content".getBytes("UTF-8"))
+    // moov size field (offset 20) -> 4: size < 8 must fail the walk's
+    // contract error, never stall (pos += size with size=4 loops) or
+    // read out of bounds
+    val bad = mp4.clone()
+    bad(20) = 0; bad(21) = 0; bad(22) = 0; bad(23) = 4
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodeMp4(bad)
+    // truncated inside moov: the declared size overruns the payload
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeMp4(mp4.take(100))
+  }
+
   it should "round-trip a real WAV header through encode and decode" in {
     val content = "hello world".getBytes("UTF-8") // 11 bytes
     val wav = Multimodal.toWav(content)
