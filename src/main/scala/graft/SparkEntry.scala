@@ -737,6 +737,61 @@ object SparkEntry {
         col("right_value"))
     }),
 
+    // Extension: STREAMING custom state (mapGroupsWithState), oracle-
+    // checked — running per-user totals over the bounded feed in Update
+    // mode; the single-batch replay emits each user's final state exactly
+    // once, which must equal the batch per-user aggregate. The state holds
+    // the value total as exact micros, so the emitted double cannot depend
+    // on the order events happened to arrive within the group iterator.
+    "stream_running_totals" -> ((s, dir) => {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val feed = events(s, dir).filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          col("value"), col("props"))
+        .as[StreamEv].collect()
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEv]
+      in.addData(feed.toIndexedSeq: _*)
+      val totals = graft.streaming.StreamingOps
+        .runningUserTotals(in.toDF(), idleTimeout = None)
+      s.catalog.dropTempView("stream_totals_out")
+      graft.streaming.StreamingOps.runToMemory(totals.toDF(), "stream_totals_out",
+        org.apache.spark.sql.streaming.OutputMode.Update)
+      s.table("stream_totals_out")
+        .select(col("user_id"), col("n_events"), col("total_value"))
+    }),
+
+    // Extension: STREAMING stream-static enrichment, oracle-checked — the
+    // bounded feed inner-joins a broadcast customer dimension per
+    // micro-batch (stateless: no watermark, no streaming state; the
+    // broadcast keeps the stream side shuffle-free). The oracle is the
+    // plain batch join over the same slice.
+    "stream_enrich" -> ((s, dir) => {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val feed = events(s, dir).filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          col("value"), col("props"))
+        .as[StreamEv].collect()
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEv]
+      in.addData(feed.toIndexedSeq: _*)
+      val dim = table(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val enriched = graft.streaming.StreamingOps.enrichWithStatic(
+        in.toDF().select("event_id", "user_id", "event_type"), dim, Seq("user_id"))
+      s.catalog.dropTempView("stream_enrich_out")
+      graft.streaming.StreamingOps.runToMemory(enriched, "stream_enrich_out",
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      s.table("stream_enrich_out")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("c_mktsegment"))
+    }),
+
+    // Extension: PII scrubbing — redact emails / phone numbers / long digit
+    // runs with per-document match counts; pure scan-side regexp
+    // projections both engines interpret identically.
+    "text_pii_scrub" -> ((s, dir) =>
+      graft.ops.Corpus.piiScrub(table(s, dir, "documents"), "doc_id", "text")),
+
     // Extension: gap-based sessionization (30-minute inactivity gap).
     "events_sessionize" -> ((s, dir) =>
       graft.ops.EventOps.sessionize(events(s, dir), "user_id", "ts", 30 * 60 * 1000L)),
@@ -1598,6 +1653,29 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM y GROUP BY user_id, sid""".stripMargin,
+
+    // The final mapGroupsWithState state per user must equal the batch
+    // aggregate (value totals DECIMAL-routed on both sides).
+    "stream_running_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_id < 2000 GROUP BY 1""".stripMargin,
+
+    "stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_id < 2000""".stripMargin,
+
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+        |    '\d{4,}', '[NUM]', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text, '\d{4,}')) AS BIGINT) AS n_digit_runs
+        |FROM documents""".stripMargin,
 
     // The naive bounded join over the same slices — a genuinely different
     // algorithm than the double-watermarked streaming join.

@@ -396,6 +396,33 @@ object Corpus {
     * training corpus (union containment — the standard decontamination
     * check). Returns (idCol, n_shingles, n_hit, containment, contaminated).
     */
+  /** PII scrubbing: redact email addresses, NNN-NNN-NNNN phone numbers and
+    * long (4+) digit runs from the text, with per-document match counts
+    * (counted on the ORIGINAL text, so a phone inside a scrubbed email
+    * still counts). A mandatory hygiene pass before training-data release.
+    *
+    * Scan-side only: three codegen'd regexp projections, no shuffle, no
+    * UDF. The patterns stick to the regex subset Java and RE2 interpret
+    * identically, so the DuckDB oracle reproduces the scrub byte-for-byte.
+    * At 100 TB this is the cheapest kind of operator — it rides whatever
+    * scan partitioning the input already has. */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+    val digits = "\\d{4,}"
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, email, "[EMAIL]"),
+          phone, "[PHONE]"),
+        digits, "[NUM]").as("clean_text"),
+      regexp_count(t, lit(email)).cast("long").as("n_emails"),
+      regexp_count(t, lit(phone)).cast("long").as("n_phones"),
+      regexp_count(t, lit(digits)).cast("long").as("n_digit_runs"))
+  }
+
   def contamination(
       train: DataFrame,
       test: DataFrame,

@@ -9,6 +9,14 @@ import org.apache.spark.sql.types.DecimalType
 /** Running per-user aggregate maintained by [[StreamingOps.runningUserTotals]]. */
 case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
+/** Internal state for [[StreamingOps.runningUserTotals]]: the running value
+  * total is held as exact micros (value rounded to 6 decimals, the same
+  * HALF_UP convention as a `cast(value as decimal(18,6))`), so the
+  * accumulated total is independent of the order events arrive within and
+  * across micro-batches — double addition would make the emitted total
+  * depend on shuffle iteration order. */
+case class UserTotalState(n_events: Long, value_micros: Long)
+
 /** Structured Streaming integration.
   *
   * The plug engine compiles rules to stateless projections, so the exact
@@ -62,24 +70,28 @@ object StreamingOps {
     val timeoutConf =
       if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
+    def micros(v: Double): Long = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+    def emit(user: Long, s: UserTotalState): UserTotal =
+      UserTotal(user, s.n_events, java.math.BigDecimal.valueOf(s.value_micros, 6).doubleValue())
     stream.select(col("user_id").cast("long"), col("value").cast("double"))
       .as[(Long, Double)]
       .groupByKey(_._1)
-      .mapGroupsWithState[UserTotal, UserTotal](timeoutConf) {
-        case (user, events, state: GroupState[UserTotal]) =>
+      .mapGroupsWithState[UserTotalState, UserTotal](timeoutConf) {
+        case (user, events, state: GroupState[UserTotalState]) =>
           if (state.hasTimedOut) {
             val last = state.get
             state.remove()
-            last
+            emit(user, last)
           } else {
-            val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0.0))
-            val (n, v) = events.foldLeft((prev.n_events, prev.total_value)) {
-              case ((cn, cv), (_, value)) => (cn + 1, cv + value)
+            val prev = state.getOption.getOrElse(UserTotalState(0L, 0L))
+            val next = events.foldLeft(prev) {
+              case (UserTotalState(cn, cv), (_, value)) =>
+                UserTotalState(cn + 1, cv + micros(value))
             }
-            val next = UserTotal(user, n, v)
             state.update(next)
             idleTimeout.foreach(state.setTimeoutDuration)
-            next
+            emit(user, next)
           }
       }
   }
