@@ -93,7 +93,16 @@ object Bench {
       remaining = remaining.filterNot(resolved.contains)
       lvl += 1
     }
-    resolved ++ remaining.map(n => n -> short(n))
+    // fallback for names unresolved after 8 levels: even here the emitted
+    // key must stay unique — short(n) alone could equal an already-taken
+    // initials abbrev (e.g. `docs_ab` -> `dc_ab` vs `docs_a_b`'s level-1
+    // `dc_ab`), which would silently merge two queries in the JSON object
+    resolved ++ remaining.sorted.map { n =>
+      val candidate = (short(n) #:: n #:: LazyList.from(2).map(i => s"${n}_$i"))
+        .find(!taken(_)).get
+      taken += candidate
+      n -> candidate
+    }
   }
 
   private def newSession(cpus: String): SparkSession = {
@@ -287,7 +296,7 @@ object Bench {
           (() => { diagToStderr(); assemble(d => "%.0f".format(d), initials, diag = false, failedAlways = false) }, Int.MaxValue)
         ).iterator.map { case (mk, limit) => (mk.apply(), limit) }
           .collectFirst { case (l, limit) if l.length <= limit => l }
-          .getOrElse(assemble(d => "%.0f".format(d), initials, diag = false, failedAlways = false))
+          .get // total: the last stage's limit is Int.MaxValue
         if (line.length > 1800)
           System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may overflow the driver's tail window")
         println(line)

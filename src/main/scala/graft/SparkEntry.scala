@@ -678,10 +678,12 @@ object SparkEntry {
     // Extension: STREAMING session windows, oracle-checked — the bounded
     // feed through Spark's native session_window (30-minute gap), drained
     // in Complete mode so every session emits regardless of the final
-    // watermark. Session semantics: a new session starts iff the gap to
-    // the previous event is >= 30 min (session end = last ts + gap), which
-    // the oracle mirrors with a lag()-based cumulative-sum sessionization
-    // using the SAME >= boundary — no tie ambiguity by construction.
+    // watermark. Session semantics: session_window MERGES an event landing
+    // exactly gap after the previous one (a new session starts only when
+    // the gap is STRICTLY greater; session end = last ts + gap) — pinned
+    // by a StreamingSpec boundary test against Spark's sessionizer — and
+    // the oracle mirrors that exact boundary with a lag()-based
+    // cumulative-sum sessionization using `> gap`.
     "stream_session" -> ((s, dir) => {
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
@@ -1633,16 +1635,17 @@ object SparkEntry {
         |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events WHERE event_id < 2000 GROUP BY 1, 2""".stripMargin,
 
-    // Mirrors Spark's session_window semantics exactly: a new session
-    // starts iff the gap to the previous event is >= 30 min (so ties with
-    // the boundary are unambiguous on both sides), session end = last
+    // Mirrors Spark's session_window semantics exactly: an event exactly
+    // gap after its predecessor still MERGES into the session — a new
+    // session starts only when the gap is STRICTLY greater than 30 min
+    // (boundary pinned by a StreamingSpec test); session end = last
     // event + gap, value sums DECIMAL-routed.
     "stream_session" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, value
         |  FROM events WHERE event_id < 2000),
         |x AS (SELECT user_id, ms, value,
         |    CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
-        |           OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) >= 1800000
+        |           OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
         |         THEN 1 ELSE 0 END AS is_new
         |  FROM e),
         |y AS (SELECT user_id, ms, value,

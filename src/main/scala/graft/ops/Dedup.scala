@@ -72,6 +72,28 @@ object Dedup {
             slice(sig, j * rowsPerBand + 1, lit(rowsPerBand)),
             v => v.cast("string"))))), lit("")).as("key")))
 
+  /** The (id, sh, sig) shingle+signature frame every MinHash operator
+    * starts from — THE single definition of the signature scheme; the
+    * pair/index/incremental paths must all derive from it or they would
+    * silently diverge. */
+  private def sigFrame(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int): DataFrame = {
+    val spark = df.sparkSession
+    df.select(
+        col(idCol).as("id"),
+        shinglesFor(spark)(tokens(col(textCol)), shingleN).as("sh"))
+      .withColumn("sig", minhashSigFor(spark)(col("sh"), numHashes))
+  }
+
+  /** The exploded (id, band, key) band-key frame of a [[sigFrame]]. */
+  private def bandFrameOf(sigDf: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigDf
+      .select(col("id"),
+        explode(bandKeys(col("sig"), bands, rowsPerBand,
+          md5For(sigDf.sparkSession))).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
   /** MinHash+LSH near-duplicate pairs.
     *
     * shingle(n) → signature(k) → band(b) explode → equi-join on
@@ -95,16 +117,10 @@ object Dedup {
     // work runs ONCE — at 100 TB recomputing signatures three times is the
     // dominant cost. MEMORY_AND_DISK spills instead of recomputing; a
     // production pipeline would typically write signatures to a table first.
-    val sh = df.select(
-        col(idCol).as("id"),
-        shinglesFor(df.sparkSession)(tokens(col(textCol)), shingleN).as("sh"))
-      .withColumn("sig", minhashSigFor(df.sparkSession)(col("sh"), numHashes))
+    val sh = sigFrame(df, idCol, textCol, shingleN, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val bandsDf = sh
-      .select(col("id"),
-        explode(bandKeys(col("sig"), bands, r, md5For(df.sparkSession))).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bandsDf = bandFrameOf(sh, bands, r)
 
     val cand = bandsDf.as("a")
       .join(bandsDf.as("b"),
@@ -145,16 +161,9 @@ object Dedup {
       bands: Int = 8
   ): MinhashIndex = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val r = numHashes / bands
-    val spark = df.sparkSession
-    val sh = df.select(
-        col(idCol).as("id"),
-        shinglesFor(spark)(tokens(col(textCol)), shingleN).as("sh"))
-      .withColumn("sig", minhashSigFor(spark)(col("sh"), numHashes))
-    val bf = sh
-      .select(col("id"), explode(bandKeys(col("sig"), bands, r, md5For(spark))).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    MinhashIndex(sh.select(col("id"), col("sh")), bf)
+    val sh = sigFrame(df, idCol, textCol, shingleN, numHashes)
+    MinhashIndex(sh.select(col("id"), col("sh")),
+      bandFrameOf(sh, bands, numHashes / bands))
   }
 
   /** Incremental near-dup screening against a PRE-BUILT corpus index
@@ -179,17 +188,11 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
-    val spark = newDf.sparkSession
     // the new batch's shingle+signature frame feeds the band explode AND
     // the verification join — persist so the minhash work runs once
-    val shNew = newDf.select(
-        col(idCol).as("id"),
-        shinglesFor(spark)(tokens(col(textCol)), shingleN).as("sh"))
-      .withColumn("sig", minhashSigFor(spark)(col("sh"), numHashes))
+    val shNew = sigFrame(newDf, idCol, textCol, shingleN, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandNew = shNew
-      .select(col("id"), explode(bandKeys(col("sig"), bands, r, md5For(spark))).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bandNew = bandFrameOf(shNew, bands, r)
     val cand = bandNew.as("a")
       .join(corpusBands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
@@ -222,18 +225,11 @@ object Dedup {
       threshold: Double = 0.7
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val r = numHashes / bands
-    val spark = corpusDf.sparkSession
-    val shOld = corpusDf.select(
-        col(idCol).as("id"),
-        shinglesFor(spark)(tokens(col(textCol)), shingleN).as("sh"))
-      .withColumn("sig", minhashSigFor(spark)(col("sh"), numHashes))
+    val shOld = sigFrame(corpusDf, idCol, textCol, shingleN, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandOld = shOld
-      .select(col("id"), explode(bandKeys(col("sig"), bands, r, md5For(spark))).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
     minhashNearDupsAgainstIndex(newDf, shOld.select(col("id"), col("sh")),
-      bandOld, idCol, textCol, shingleN, numHashes, bands, threshold)
+      bandFrameOf(shOld, bands, numHashes / bands),
+      idCol, textCol, shingleN, numHashes, bands, threshold)
   }
 
   /** Exact n-gram-Jaccard near-dup pairs within a blocking column (for

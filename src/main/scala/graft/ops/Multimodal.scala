@@ -554,7 +554,10 @@ object Multimodal {
         def hasNext: Boolean = pos + 8 <= end
         def next(): (String, Int, Int) = {
           val size = buf.getInt(pos)
-          require(size >= 8 && pos + size <= end,
+          // compare as `size <= end - pos` (both sides small non-negative):
+          // `pos + size` could overflow Int for a hostile declared size and
+          // slip past the guard with a negative sum
+          require(size >= 8 && size <= end - pos,
             s"box at offset $pos overruns the payload (size=$size)")
           val t = new String(payload, pos + 4, 4, "US-ASCII")
           val r = (t, pos + 8, pos + size)
@@ -566,12 +569,17 @@ object Multimodal {
       boxes(from, end).collectFirst { case (t, s, e) if t == typ => (s, e) }
         .getOrElse(throw new IllegalArgumentException(s"no $typ box found"))
     val (moovS, moovE) = find(0, payload.length, "moov")
-    val (mvhdS, _) = find(moovS, moovE, "mvhd")
+    val (mvhdS, mvhdE) = find(moovS, moovE, "mvhd")
+    // the fixed-offset field reads below must stay inside the box's own
+    // declared extent — a corrupt undersized box fails the contract error
+    // instead of reading the next box's bytes (or past the payload)
+    require(mvhdE - mvhdS >= 100, s"mvhd box too short (${mvhdE - mvhdS} bytes)")
     require((payload(mvhdS) & 0xff) == 0, "only version-0 mvhd supported")
     val timescale = buf.getInt(mvhdS + 12)
     val duration = buf.getInt(mvhdS + 16).toLong & 0xffffffffL
     val (trakS, trakE) = find(moovS, moovE, "trak")
-    val (tkhdS, _) = find(trakS, trakE, "tkhd")
+    val (tkhdS, tkhdE) = find(trakS, trakE, "tkhd")
+    require(tkhdE - tkhdS >= 84, s"tkhd box too short (${tkhdE - tkhdS} bytes)")
     require((payload(tkhdS) & 0xff) == 0, "only version-0 tkhd supported")
     val w = buf.getInt(tkhdS + 76) >>> 16
     val h = buf.getInt(tkhdS + 80) >>> 16

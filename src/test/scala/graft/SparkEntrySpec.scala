@@ -39,6 +39,16 @@ class SparkEntrySpec extends AnyFlatSpec with Matchers {
     m("events_conversion") shouldBe "ev_con"
   }
 
+  it should "keep bench abbreviations unique even for unresolvable names" in {
+    // docs_ab can never win an initials abbrev: dc_ab is taken by
+    // docs_a_b at level 1 and docs_ab's sole token caps at "ab". The
+    // fallback must not emit the colliding short form dc_ab — a duplicate
+    // JSON key would silently merge two queries' bench times.
+    val m = Bench.initialsAbbrev(Seq("docs_a", "docs_ab", "docs_a_b").sorted)
+    m.values.toSeq.distinct.size shouldBe 3
+    m("docs_ab") shouldBe "docs_ab" // full name, not the taken dc_ab
+  }
+
   it should "keep the stage-5 bench line under budget at 90 queries" in {
     // The driver parses the bench JSON from a ~2000-char tail window;
     // stage 5 (initials + 1-decimal times) must hold a 90-query set

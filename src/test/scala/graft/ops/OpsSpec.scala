@@ -437,6 +437,17 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     // truncated inside moov: the declared size overruns the payload
     an[IllegalArgumentException] should be thrownBy
       Multimodal.decodeMp4(mp4.take(100))
+    // a hostile size near Int.MaxValue must hit the bounds guard, not
+    // wrap `pos + size` negative and slip past it
+    val big = mp4.clone()
+    big(20) = 0x7f.toByte; big(21) = 0xff.toByte
+    big(22) = 0xff.toByte; big(23) = 0x00
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodeMp4(big)
+    // an undersized mvhd (declared size 8, legal for the walk) must fail
+    // the box-extent check, not read the next box's bytes as fields
+    val tiny = mp4.clone()
+    tiny(28) = 0; tiny(29) = 0; tiny(30) = 0; tiny(31) = 8
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodeMp4(tiny)
   }
 
   it should "round-trip a real WAV header through encode and decode" in {

@@ -200,6 +200,25 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     stream shouldBe batch
   }
 
+  it should "merge events landing exactly gap apart into one session" in {
+    // Pins the boundary the stream_session oracle depends on: Spark's
+    // session_window starts a new session only when the gap is STRICTLY
+    // greater than the configured gap — an event exactly gap after its
+    // predecessor still merges (UpdatingSessionsIterator extends a
+    // session while newStart <= currentEnd).
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(t("2024-01-01 10:30:00"), 1, "click", 2.0),  // exactly 30m: merges
+      Ev(t("2024-01-01 11:00:01"), 1, "click", 3.0))  // 30m 1s: new session
+    val sess = StreamingOps.sessionAgg(
+      in.toDF(), "ts", "user_id", "30 minutes", "10 minutes")
+    StreamingOps.runToMemory(sess, "tie_sess_out", OutputMode.Complete)
+    val rows = spark.table("tie_sess_out")
+      .select(col("n_events")).orderBy(col("n_events").desc).collect().map(_.getLong(0))
+    rows shouldBe Array(2L, 1L)
+  }
+
   it should "keep running user totals across micro-batches via mapGroupsWithState" in {
     val in = MemoryStream[Ev]
     // idleTimeout=None: a processing-time timeout would schedule no-data
