@@ -61,6 +61,22 @@ object SparkEntry {
     d.toString
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered —
+    * used by the STREAMING replay queries. A streaming query's state is
+    * partitioned by this conf at start (and pinned by the checkpoint for
+    * its lifetime): for a bounded replay with kilobytes of state, 32 state
+    * partitions × up to 4 state stores per stateful op is pure per-batch
+    * task overhead (measured: the stream-stream interval join spends 8 s
+    * on it at local[32]). Production sizes this to state VOLUME — the same
+    * deliberate knob, applied here at harness scale. Batch queries are
+    * unaffected: the conf is restored before returning. */
+  private def withStreamingShuffle[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   private def plugged(
       df: DataFrame,
       rules: List[PlugRule],
@@ -370,6 +386,13 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       graft.ops.Dedup.exactDedup(table(s, dir, "documents"), "doc_id", "text")),
 
+    // Extension: exact dedup with quality-based survivor selection — keep
+    // the longest copy per fingerprint (max_by aggregate, still one
+    // 32-byte-key shuffle, no per-group window sort).
+    "dedup_exact_best" -> ((s, dir) =>
+      graft.ops.Dedup.exactDedupBest(
+        table(s, dir, "documents"), "doc_id", "text", "n_chars")),
+
     // Extension: MinHash+LSH near-dup (shingle→minhash→band→bucket-join).
     "dedup_minhash_lsh" -> ((s, dir) =>
       graft.ops.Dedup.minhashNearDupPairs(spread(s, table(s, dir, "documents")), "doc_id", "text")),
@@ -627,7 +650,7 @@ object SparkEntry {
     // sink; everything arrives inside the watermark, so the streaming
     // answer must equal the batch SQL the oracle computes directly. (The
     // driver-side feed is a harness artifact — production reads Kafka.)
-    "stream_window_agg" -> ((s, dir) => {
+    "stream_window_agg" -> ((s, dir) => withStreamingShuffle(s, 4) {
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
       val feed = events(s, dir).filter(col("event_id") < 2000)
@@ -655,7 +678,7 @@ object SparkEntry {
     // 1-hour delay, and the equality holds because the whole feed lands in
     // one micro-batch (no fingerprint state is evicted mid-run); a
     // multi-batch replay with duplicates >1h apart would break it.
-    "stream_dedup" -> ((s, dir) => {
+    "stream_dedup" -> ((s, dir) => withStreamingShuffle(s, 4) {
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
       val feed = events(s, dir).filter(col("event_id") < 2000)
@@ -684,7 +707,7 @@ object SparkEntry {
     // by a StreamingSpec boundary test against Spark's sessionizer — and
     // the oracle mirrors that exact boundary with a lag()-based
     // cumulative-sum sessionization using `> gap`.
-    "stream_session" -> ((s, dir) => {
+    "stream_session" -> ((s, dir) => withStreamingShuffle(s, 4) {
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
       val feed = events(s, dir).filter(col("event_id") < 2000)
@@ -712,7 +735,7 @@ object SparkEntry {
     // single-batch replay drains every pair; the watermarks exist for
     // state eviction at scale, not emission. The oracle is the naive
     // bounded join — a genuinely different algorithm agreeing exactly.
-    "stream_interval_join" -> ((s, dir) => {
+    "stream_interval_join" -> ((s, dir) => withStreamingShuffle(s, 4) {
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
       val ev = events(s, dir).filter(col("event_id") < 5000)
@@ -745,7 +768,7 @@ object SparkEntry {
     // once, which must equal the batch per-user aggregate. The state holds
     // the value total as exact micros, so the emitted double cannot depend
     // on the order events happened to arrive within the group iterator.
-    "stream_running_totals" -> ((s, dir) => {
+    "stream_running_totals" -> ((s, dir) => withStreamingShuffle(s, 4) {
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
       val feed = events(s, dir).filter(col("event_id") < 2000)
@@ -768,7 +791,7 @@ object SparkEntry {
     // micro-batch (stateless: no watermark, no streaming state; the
     // broadcast keeps the stream side shuffle-free). The oracle is the
     // plain batch join over the same slice.
-    "stream_enrich" -> ((s, dir) => {
+    "stream_enrich" -> ((s, dir) => withStreamingShuffle(s, 4) {
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
       val feed = events(s, dir).filter(col("event_id") < 2000)
@@ -1289,6 +1312,20 @@ object SparkEntry {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // Window formulation of the survivor pick — a different algorithm
+    // than Spark's max_by aggregate, agreeing exactly because the
+    // (score, -id) order is total.
+    "dedup_exact_best" ->
+      """WITH f AS (SELECT doc_id, n_chars,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |r AS (SELECT fp, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY fp) AS n_dupes
+        |  FROM f)
+        |SELECT fp, doc_id AS keep_id, CAST(n_chars AS BIGINT) AS best_score, n_dupes
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "dedup_minhash_lsh" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

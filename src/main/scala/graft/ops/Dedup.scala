@@ -72,6 +72,25 @@ object Dedup {
             slice(sig, j * rowsPerBand + 1, lit(rowsPerBand)),
             v => v.cast("string"))))), lit("")).as("key")))
 
+  /** Exact dedup with QUALITY-based survivor selection: one row per
+    * distinct fingerprint keeping the id of the highest-`scoreCol`
+    * duplicate (ties → smallest id). The release-pipeline variant of
+    * [[exactDedup]]: when duplicates differ only in truncation or
+    * boilerplate, keep the best-scoring copy, not an arbitrary one.
+    * Still ONE shuffle on the 32-byte fingerprint, and the survivor pick
+    * is a `max_by` aggregate with a totally-ordered key (map-side
+    * combinable) — not a per-group window sort. */
+  def exactDedupBest(
+      df: DataFrame, idCol: String, textCol: String, scoreCol: String): DataFrame =
+    df.select(fingerprintFor(df.sparkSession)(col(textCol)).as("fp"),
+        col(idCol), col(scoreCol))
+      .groupBy("fp")
+      .agg(
+        // (score, -id) is unique per row, so max_by is deterministic
+        max_by(col(idCol), struct(col(scoreCol), -col(idCol))).as("keep_id"),
+        max(col(scoreCol)).cast("long").as("best_score"),
+        count(lit(1)).as("n_dupes"))
+
   /** The (id, sh, sig) shingle+signature frame every MinHash operator
     * starts from — THE single definition of the signature scheme; the
     * pair/index/incremental paths must all derive from it or they would

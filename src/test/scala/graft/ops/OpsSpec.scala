@@ -59,6 +59,19 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out.map(r => (r.getLong(1), r.getLong(2))) shouldBe Array((1L, 2L), (3L, 1L))
   }
 
+  it should "keep the best-scoring duplicate in quality-survivor dedup" in {
+    val df = Seq(
+      (1L, "Hello  World", 5L), (2L, "hello world", 11L),  // dup pair: 2 wins on score
+      (3L, "other", 7L), (4L, "OTHER", 7L),                // tie: smaller id wins
+      (5L, "unique", 1L)
+    ).toDF("doc_id", "text", "n_chars")
+    val out = Dedup.exactDedupBest(df, "doc_id", "text", "n_chars")
+      .orderBy("keep_id")
+      .select("keep_id", "best_score", "n_dupes").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out shouldBe Array((2L, 11L, 2L), (3L, 7L, 2L), (5L, 1L, 1L))
+  }
+
   it should "give identical minhash signatures to identical shingle sets" in {
     val sigs = Seq("a b c d e", "a b c d e", "v w x y z").toDF("text")
       .select(Dedup.minhashSignature(
