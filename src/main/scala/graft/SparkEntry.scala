@@ -61,6 +61,27 @@ object SparkEntry {
     d.toString
   }
 
+  /** The bounded deterministic event slice every STREAMING oracle query
+    * replays, loaded into a MemoryStream: events with `event_id < maxId`,
+    * collected once on the driver (a documented harness artifact — the
+    * production path reads Kafka). Single definition so the feed schema
+    * and slice convention can't drift across the six replay queries. */
+  private def streamFeed(
+      s: SparkSession, dir: String, maxId: Long,
+      eventType: Option[String] = None
+  ): (org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEv], Int) = {
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val slice = events(s, dir).filter(col("event_id") < maxId)
+    val feed = eventType.fold(slice)(t => slice.filter(col("event_type") === t))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"), col("props"))
+      .as[StreamEv].collect()
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEv]
+    in.addData(feed.toIndexedSeq: _*)
+    (in, feed.length)
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered —
     * used by the STREAMING replay queries. A streaming query's state is
     * partitioned by this conf at start (and pinned by the checkpoint for
@@ -651,14 +672,7 @@ object SparkEntry {
     // answer must equal the batch SQL the oracle computes directly. (The
     // driver-side feed is a harness artifact — production reads Kafka.)
     "stream_window_agg" -> ((s, dir) => withStreamingShuffle(s, 4) {
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val feed = events(s, dir).filter(col("event_id") < 2000)
-        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
-          col("value"), col("props"))
-        .as[StreamEv].collect()
-      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEv]
-      in.addData(feed.toIndexedSeq: _*)
+      val (in, _) = streamFeed(s, dir, 2000)
       val agg = graft.streaming.StreamingOps.windowedAgg(
         in.toDF(), "ts", "event_type", "value", "1 hour", "10 minutes")
       s.catalog.dropTempView("stream_win_out")
@@ -679,14 +693,7 @@ object SparkEntry {
     // one micro-batch (no fingerprint state is evicted mid-run); a
     // multi-batch replay with duplicates >1h apart would break it.
     "stream_dedup" -> ((s, dir) => withStreamingShuffle(s, 4) {
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val feed = events(s, dir).filter(col("event_id") < 2000)
-        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
-          col("value"), col("props"))
-        .as[StreamEv].collect()
-      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEv]
-      in.addData(feed.toIndexedSeq: _*)
+      val (in, nIn) = streamFeed(s, dir, 2000)
       val dd = graft.streaming.StreamingOps.dedupStream(in.toDF(), "ts", "props", "1 hour")
       s.catalog.dropTempView("stream_dedup_out")
       graft.streaming.StreamingOps.runToMemory(dd, "stream_dedup_out",
@@ -694,7 +701,7 @@ object SparkEntry {
       s.table("stream_dedup_out").agg(
           count(lit(1)).as("n_survivors"),
           countDistinct(col("fp")).as("n_distinct_fp"))
-        .select(lit(feed.length.toLong).as("n_in"),
+        .select(lit(nIn.toLong).as("n_in"),
           col("n_survivors"), col("n_distinct_fp"))
     }),
 
@@ -708,14 +715,7 @@ object SparkEntry {
     // the oracle mirrors that exact boundary with a lag()-based
     // cumulative-sum sessionization using `> gap`.
     "stream_session" -> ((s, dir) => withStreamingShuffle(s, 4) {
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val feed = events(s, dir).filter(col("event_id") < 2000)
-        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
-          col("value"), col("props"))
-        .as[StreamEv].collect()
-      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEv]
-      in.addData(feed.toIndexedSeq: _*)
+      val (in, _) = streamFeed(s, dir, 2000)
       val sess = graft.streaming.StreamingOps.sessionAgg(
         in.toDF(), "ts", "user_id", "30 minutes", "10 minutes")
       s.catalog.dropTempView("stream_sess_out")
@@ -736,17 +736,8 @@ object SparkEntry {
     // state eviction at scale, not emission. The oracle is the naive
     // bounded join — a genuinely different algorithm agreeing exactly.
     "stream_interval_join" -> ((s, dir) => withStreamingShuffle(s, 4) {
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val ev = events(s, dir).filter(col("event_id") < 5000)
-        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
-          col("value"), col("props"))
-      val clicks = ev.filter(col("event_type") === "click").as[StreamEv].collect()
-      val errors = ev.filter(col("event_type") === "error").as[StreamEv].collect()
-      val inL = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEv]
-      val inR = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEv]
-      inL.addData(clicks.toIndexedSeq: _*)
-      inR.addData(errors.toIndexedSeq: _*)
+      val (inL, _) = streamFeed(s, dir, 5000, Some("click"))
+      val (inR, _) = streamFeed(s, dir, 5000, Some("error"))
       val joined = graft.streaming.StreamingOps.intervalJoinStreams(
         inL.toDF().select("event_id", "user_id", "ts"),
         inR.toDF().select("user_id", "ts", "value"),
@@ -769,14 +760,7 @@ object SparkEntry {
     // the value total as exact micros, so the emitted double cannot depend
     // on the order events happened to arrive within the group iterator.
     "stream_running_totals" -> ((s, dir) => withStreamingShuffle(s, 4) {
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val feed = events(s, dir).filter(col("event_id") < 2000)
-        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
-          col("value"), col("props"))
-        .as[StreamEv].collect()
-      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEv]
-      in.addData(feed.toIndexedSeq: _*)
+      val (in, _) = streamFeed(s, dir, 2000)
       val totals = graft.streaming.StreamingOps
         .runningUserTotals(in.toDF(), idleTimeout = None)
       s.catalog.dropTempView("stream_totals_out")
@@ -792,14 +776,7 @@ object SparkEntry {
     // broadcast keeps the stream side shuffle-free). The oracle is the
     // plain batch join over the same slice.
     "stream_enrich" -> ((s, dir) => withStreamingShuffle(s, 4) {
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val feed = events(s, dir).filter(col("event_id") < 2000)
-        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
-          col("value"), col("props"))
-        .as[StreamEv].collect()
-      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEv]
-      in.addData(feed.toIndexedSeq: _*)
+      val (in, _) = streamFeed(s, dir, 2000)
       val dim = table(s, dir, "customer")
         .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
       val enriched = graft.streaming.StreamingOps.enrichWithStatic(
@@ -1610,7 +1587,10 @@ object SparkEntry {
     // byte_len = ftyp(20) + moov(8 + mvhd 108 + trak 100) + mdat(8+len);
     // tkhd stores dims as 16.16 fixed point, mvhd timescale 1000 with
     // duration = len ticks so duration_ms = len; feature echoes the mdat
-    // payload's first 4 bytes.
+    // payload's first 4 bytes. NOTE (shared with the decode/jpeg/png
+    // siblings): substr(text,1,4) is CHARACTERS while the Spark side
+    // echoes UTF-8 BYTES — equal only because the documents fixture is
+    // ASCII; a non-ASCII fixture would need an octet-based oracle here.
     "multimodal_mp4" ->
       """WITH d AS (SELECT doc_id, text, strlen(text) AS L,
         |    1 + strlen(text) % 64 AS w, 1 + strlen(text) % 48 AS h

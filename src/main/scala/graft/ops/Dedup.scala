@@ -81,7 +81,14 @@ object Dedup {
     * is a `max_by` aggregate with a totally-ordered key (map-side
     * combinable) — not a per-group window sort. */
   def exactDedupBest(
-      df: DataFrame, idCol: String, textCol: String, scoreCol: String): DataFrame =
+      df: DataFrame, idCol: String, textCol: String, scoreCol: String): DataFrame = {
+    // the tie-break negates the id, which silently casts a non-numeric id
+    // to null and makes the survivor partition-order-dependent — fail the
+    // contract instead ([[exactDedup]] remains the any-id-type sibling)
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"exactDedupBest needs a numeric id column for its deterministic " +
+        s"tie-break; '$idCol' is ${df.schema(idCol).dataType.simpleString}")
     df.select(fingerprintFor(df.sparkSession)(col(textCol)).as("fp"),
         col(idCol), col(scoreCol))
       .groupBy("fp")
@@ -90,6 +97,7 @@ object Dedup {
         max_by(col(idCol), struct(col(scoreCol), -col(idCol))).as("keep_id"),
         max(col(scoreCol)).cast("long").as("best_score"),
         count(lit(1)).as("n_dupes"))
+  }
 
   /** The (id, sh, sig) shingle+signature frame every MinHash operator
     * starts from — THE single definition of the signature scheme; the

@@ -70,8 +70,18 @@ object StreamingOps {
     val timeoutConf =
       if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    def micros(v: Double): Long = java.math.BigDecimal.valueOf(v)
-      .setScale(6, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+    // Mirrors the batch twin's `sum(cast(value as decimal(18,6)))`
+    // including its hygiene: NaN/Infinity and |v| too large for
+    // DECIMAL(18,6) null out of a non-ANSI cast and are SKIPPED by the
+    // sum — here they contribute 0 micros (still counted in n_events,
+    // like count(*)). One divergence, documented: a group with NO
+    // representable value reports 0.0 where SQL reports NULL. Without the
+    // clamp a single NaN event would throw inside mapGroupsWithState and
+    // permanently fail the query, including on checkpoint-restart replay.
+    def micros(v: Double): Long =
+      if (v.isNaN || v.isInfinite || math.abs(v) >= 1e12) 0L
+      else java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
     def emit(user: Long, s: UserTotalState): UserTotal =
       UserTotal(user, s.n_events, java.math.BigDecimal.valueOf(s.value_micros, 6).doubleValue())
     stream.select(col("user_id").cast("long"), col("value").cast("double"))

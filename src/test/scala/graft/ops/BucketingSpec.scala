@@ -88,13 +88,22 @@ class BucketingSpec extends AnyFlatSpec with Matchers {
       val offending = exchanges.filter(scanShuffledBeforeJoin(_, "g_corpus"))
       withClue(plan.toString) { offending shouldBe empty }
       // control: probing un-bucketed corpus frames shuffles the corpus
-      // band scan (a raw documents.parquet read) before its join
+      // band scan before its join. The corpus is re-read from its OWN
+      // distinctly-named parquet dir so the marker cannot match the
+      // new-batch side's documents.parquet scan (which always shuffles) —
+      // otherwise this control could never fail and would prove nothing.
+      val ctlDir = java.nio.file.Files
+        .createTempDirectory("graft_corpus_ctl").toString
+      corpus.write.mode("overwrite").parquet(ctlDir)
+      val idxPlain = Dedup.minhashIndex(
+        spark.read.parquet(ctlDir), "doc_id", "text")
       val plain = Dedup.minhashNearDupsAgainstIndex(batch,
-        idx.shingles, idx.bands, "doc_id", "text")
+        idxPlain.shingles, idxPlain.bands, "doc_id", "text")
       val plainCorpusShuffled = plain.queryExecution.executedPlan
         .collect { case e: ShuffleExchangeExec => e }
-        .exists(scanShuffledBeforeJoin(_, "documents"))
+        .exists(scanShuffledBeforeJoin(_, "graft_corpus_ctl"))
       plainCorpusShuffled shouldBe true
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ctlDir))
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)

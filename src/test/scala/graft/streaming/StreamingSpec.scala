@@ -239,4 +239,26 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
       .orderBy(col("n_events").desc).limit(1).as[UserTotal].collect().head
     last shouldBe UserTotal(1, 3, 7.0)
   }
+
+  it should "survive unrepresentable values in running totals (decimal-cast hygiene)" in {
+    // NaN / Infinity / |v| >= 1e12 null out of the batch twin's
+    // cast-to-decimal(18,6) sum; the state function must SKIP them (still
+    // counting the event), not throw and permanently fail the query.
+    val in = MemoryStream[Ev]
+    val totals = StreamingOps.runningUserTotals(in.toDF(), idleTimeout = None)
+    val q = totals.writeStream.format("memory").queryName("hygiene_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, "click", 1.5),
+        Ev(t("2024-01-01 10:01:00"), 1, "click", Double.NaN),
+        Ev(t("2024-01-01 10:02:00"), 1, "click", Double.PositiveInfinity),
+        Ev(t("2024-01-01 10:03:00"), 1, "click", 2.0e12),
+        Ev(t("2024-01-01 10:04:00"), 1, "click", 2.5))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("hygiene_out").filter(col("user_id") === 1)
+      .orderBy(col("n_events").desc).limit(1).as[UserTotal].collect().head
+    last shouldBe UserTotal(1, 5, 4.0)
+  }
 }
