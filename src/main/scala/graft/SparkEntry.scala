@@ -788,6 +788,13 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"), col("c_mktsegment"))
     }),
 
+    // Extension: inter-document boilerplate fraction — per doc, the share
+    // of its distinct shingles that are corpus-common (df > 10); the
+    // cross-document repetition filter per-doc signals can't see.
+    "text_boilerplate" -> ((s, dir) =>
+      graft.ops.Corpus.boilerplateFraction(
+        table(s, dir, "documents"), "doc_id", "text")),
+
     // Extension: PII scrubbing — redact emails / phone numbers / long digit
     // runs with per-document match counts; pure scan-side regexp
     // projections both engines interpret identically.
@@ -1685,6 +1692,18 @@ object SparkEntry {
       """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |WHERE e.event_id < 2000""".stripMargin,
+
+    // Same shingle construction as the MinHash oracle CTE (distinct
+    // trigrams, short texts collapse to one whole-text shingle).
+    "text_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(0, greatest(len(toks)-3, 0)), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |dfc AS (SELECT s, count(*) AS df FROM e GROUP BY 1)
+        |SELECT e.doc_id, count(*) AS n_shingles,
+        |  count(*) FILTER (dfc.df > 10) AS n_common,
+        |  round(count(*) FILTER (dfc.df > 10) / count(*), 6) AS common_frac
+        |FROM e JOIN dfc USING (s) GROUP BY 1""".stripMargin,
 
     "text_pii_scrub" ->
       """SELECT doc_id,

@@ -396,6 +396,39 @@ object Corpus {
     * training corpus (union containment — the standard decontamination
     * check). Returns (idCol, n_shingles, n_hit, containment, contaminated).
     */
+  /** Inter-document boilerplate signal (the MassiveText/Gopher-style
+    * cross-document repetition filter): per document, the fraction of its
+    * DISTINCT shingles whose document frequency across the corpus exceeds
+    * `dfThreshold` — near 1.0 flags template/boilerplate pages that
+    * per-document repetition signals ([[repetitionSignals]]) cannot see.
+    *
+    * Shape at 100 TB: one shingle explode → one partial-agg df count →
+    * one equi-join back on the shingle — the TF-IDF/contamination posture
+    * (only shingle strings and counts shuffle, never document bodies).
+    * Short texts collapse to a single whole-text shingle (same convention
+    * as the MinHash shingler), so the fraction is always well-defined. */
+  def boilerplateFraction(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      dfThreshold: Int = 10
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val e = df.select(col(idCol).as("id"),
+        explode(shinglesFor(spark)(tokens(col(textCol)), shingleN)).as("s"))
+    // shingle sets are distinct per doc, so df = plain row count per shingle
+    val dfc = e.groupBy("s").agg(count(lit(1)).as("df"))
+    e.join(dfc, "s")
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(when(col("df") > dfThreshold, 1)).as("n_common"))
+      .select(col(idCol), col("n_shingles"), col("n_common"),
+        round(col("n_common").cast("double") / col("n_shingles"), 6)
+          .as("common_frac"))
+  }
+
   /** PII scrubbing: redact email addresses, NNN-NNN-NNNN phone numbers and
     * long (4+) digit runs from the text, with per-document match counts
     * (counted on the ORIGINAL text, so a phone inside a scrubbed email

@@ -59,6 +59,20 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out.map(r => (r.getLong(1), r.getLong(2))) shouldBe Array((1L, 2L), (3L, 1L))
   }
 
+  it should "flag cross-document boilerplate shingles by document frequency" in {
+    val df = Seq(
+      (1L, "the quick brown fox runs"),   // shares "the quick brown"+tail with 2
+      (2L, "the quick brown fox sleeps"),
+      (3L, "completely different words here")
+    ).toDF("doc_id", "text")
+    val out = Corpus.boilerplateFraction(df, "doc_id", "text", shingleN = 3, dfThreshold = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // docs 1/2: 3 trigrams each, the first two shared (df=2 > 1);
+    // doc 3: 4 tokens -> 2 trigrams, none common
+    out shouldBe Array((1L, 3L, 2L), (2L, 3L, 2L), (3L, 2L, 0L))
+  }
+
   it should "keep the best-scoring duplicate in quality-survivor dedup" in {
     val df = Seq(
       (1L, "Hello  World", 5L), (2L, "hello world", 11L),  // dup pair: 2 wins on score
