@@ -788,6 +788,13 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"), col("c_mktsegment"))
     }),
 
+    // Extension: source-mixing plan — per-source keep probabilities that
+    // spend a 100k-char budget uniformly across sources (the
+    // domain-reweighting step before sampling).
+    "docs_mix_plan" -> ((s, dir) =>
+      graft.ops.Corpus.mixPlan(
+        table(s, dir, "documents"), "source", "n_chars", budget = 100000L)),
+
     // Extension: inter-document boilerplate fraction — per doc, the share
     // of its distinct shingles that are corpus-common (df > 10); the
     // cross-document repetition filter per-doc signals can't see.
@@ -1692,6 +1699,16 @@ object SparkEntry {
       """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |WHERE e.event_id < 2000""".stripMargin,
+
+    "docs_mix_plan" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS w_total
+        |  FROM documents GROUP BY 1),
+        |k AS (SELECT count(*) AS k FROM per)
+        |SELECT source, n_docs, w_total,
+        |  round(least(1.0, (100000.0 / k.k) / w_total), 6) AS keep_prob,
+        |  CAST(floor(round(least(1.0, (100000.0 / k.k) / w_total), 6) * w_total) AS BIGINT) AS projected_w
+        |FROM per, k""".stripMargin,
 
     // Same shingle construction as the MinHash oracle CTE (distinct
     // trigrams, short texts collapse to one whole-text shingle).

@@ -396,6 +396,36 @@ object Corpus {
     * training corpus (union containment — the standard decontamination
     * check). Returns (idCol, n_shingles, n_hit, containment, contaminated).
     */
+  /** Source-mixing plan: per source, the deterministic keep probability
+    * that spends a total `budget` of `weightCol` units (chars/tokens)
+    * UNIFORMLY across sources — the domain-reweighting step a pipeline
+    * runs before sampling, so one giant crawl source can't drown the
+    * curated ones. Over-budget sources get budget/k weight; sources
+    * already under their share keep everything (prob 1.0). Pair with
+    * [[weightedHashSample]]/[[hashSample]] to execute the plan.
+    *
+    * One partial-agg shuffle to per-source totals; the window that
+    * counts sources runs over the aggregated frame (rows = #sources,
+    * bounded by source cardinality — never the document count). All
+    * arithmetic is IEEE double division + round(6), bit-identical across
+    * engines. */
+  def mixPlan(
+      df: DataFrame,
+      sourceCol: String,
+      weightCol: String,
+      budget: Long
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol).cast("long")).as("w_total"))
+      .withColumn("keep_prob",
+        round(least(lit(1.0),
+          (lit(budget).cast("double") / count(lit(1)).over(w)) / col("w_total")), 6))
+      .select(col(sourceCol), col("n_docs"), col("w_total"), col("keep_prob"),
+        floor(col("keep_prob") * col("w_total")).cast("long").as("projected_w"))
+  }
+
   /** Inter-document boilerplate signal (the MassiveText/Gopher-style
     * cross-document repetition filter): per document, the fraction of its
     * DISTINCT shingles whose document frequency across the corpus exceeds

@@ -59,6 +59,18 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out.map(r => (r.getLong(1), r.getLong(2))) shouldBe Array((1L, 2L), (3L, 1L))
   }
 
+  it should "plan source mixing with capped keep probabilities" in {
+    val df = Seq(
+      (1L, "a", 100L), (2L, "a", 100L),  // source a: 200 units, over budget share
+      (3L, "b", 30L)                      // source b: 30 units, under its 50 share
+    ).toDF("doc_id", "source", "n_chars")
+    val out = Corpus.mixPlan(df, "source", "n_chars", budget = 100L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    // 2 sources -> 50 units each: a keeps 50/200=0.25, b keeps everything
+    out shouldBe Array(("a", 2L, 200L, 0.25, 50L), ("b", 1L, 30L, 1.0, 30L))
+  }
+
   it should "flag cross-document boilerplate shingles by document frequency" in {
     val df = Seq(
       (1L, "the quick brown fox runs"),   // shares "the quick brown"+tail with 2
