@@ -59,6 +59,30 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out.map(r => (r.getLong(1), r.getLong(2))) shouldBe Array((1L, 2L), (3L, 1L))
   }
 
+  it should "plan PII scrubbing scan-side with no shuffle" in {
+    // the docstring's claim, plan-proven: three regexp projections ride
+    // the scan — no Exchange anywhere, and only (doc_id, text) are read
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val scrub = Corpus.piiScrub(docs, "doc_id", "text")
+    Bucketing.hasNoShuffle(scrub) shouldBe true
+    val scan = scrub.queryExecution.executedPlan.collectLeaves().head.toString
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(scan).getOrElse("")
+    withClue(readSchema) {
+      readSchema should include ("text")
+      readSchema should not include "n_chars"
+    }
+  }
+
+  it should "run the boilerplate fraction on at most three exchanges" in {
+    // shingle df count + join back + per-doc rollup — the TF-IDF posture;
+    // more exchanges would mean the shingle frame shuffles redundantly
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Corpus.boilerplateFraction(docs, "doc_id", "text")
+    val n = "Exchange hashpartitioning".r
+      .findAllIn(out.queryExecution.executedPlan.toString).length
+    withClue(out.queryExecution.executedPlan.toString) { n should be <= 3 }
+  }
+
   it should "plan source mixing with capped keep probabilities" in {
     val df = Seq(
       (1L, "a", 100L), (2L, "a", 100L),  // source a: 200 units, over budget share
