@@ -391,11 +391,6 @@ object Corpus {
         round(decSum.cast("double") / count(lit(1)), 6).as("avg_logprob"))
   }
 
-  /** Train/test n-gram contamination: for each test document, the fraction
-    * of its distinct `shingleN`-gram shingles that appear anywhere in the
-    * training corpus (union containment — the standard decontamination
-    * check). Returns (idCol, n_shingles, n_hit, containment, contaminated).
-    */
   /** Source-mixing plan: per source, the deterministic keep probability
     * that spends a total `budget` of `weightCol` units (chars/tokens)
     * UNIFORMLY across sources — the domain-reweighting step a pipeline
@@ -486,6 +481,11 @@ object Corpus {
       regexp_count(t, lit(digits)).cast("long").as("n_digit_runs"))
   }
 
+  /** Train/test n-gram contamination: for each test document, the fraction
+    * of its distinct `shingleN`-gram shingles that appear anywhere in the
+    * training corpus (union containment — the standard decontamination
+    * check). Returns (idCol, n_shingles, n_hit, containment, contaminated).
+    */
   def contamination(
       train: DataFrame,
       test: DataFrame,

@@ -95,9 +95,13 @@ object StreamingOps {
             emit(user, last)
           } else {
             val prev = state.getOption.getOrElse(UserTotalState(0L, 0L))
+            // addExact: the running total is exact up to ±9.2e12 value
+            // units; past that the query fails LOUDLY (like the batch
+            // twin's wider decimal would keep going, but unlike a silent
+            // Long wrap-around emitting garbage totals)
             val next = events.foldLeft(prev) {
               case (UserTotalState(cn, cv), (_, value)) =>
-                UserTotalState(cn + 1, cv + micros(value))
+                UserTotalState(cn + 1, Math.addExact(cv, micros(value)))
             }
             state.update(next)
             idleTimeout.foreach(state.setTimeoutDuration)

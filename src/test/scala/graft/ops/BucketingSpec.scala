@@ -58,6 +58,7 @@ class BucketingSpec extends AnyFlatSpec with Matchers {
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    var ctlDir: String = null
     try {
       val res = Dedup.minhashNearDupsAgainstIndex(batch,
         spark.table("g_corpus_sh"), spark.table("g_corpus_bands"), "doc_id", "text")
@@ -92,7 +93,7 @@ class BucketingSpec extends AnyFlatSpec with Matchers {
       // distinctly-named parquet dir so the marker cannot match the
       // new-batch side's documents.parquet scan (which always shuffles) —
       // otherwise this control could never fail and would prove nothing.
-      val ctlDir = java.nio.file.Files
+      ctlDir = java.nio.file.Files
         .createTempDirectory("graft_corpus_ctl").toString
       corpus.write.mode("overwrite").parquet(ctlDir)
       val idxPlain = Dedup.minhashIndex(
@@ -103,12 +104,13 @@ class BucketingSpec extends AnyFlatSpec with Matchers {
         .collect { case e: ShuffleExchangeExec => e }
         .exists(scanShuffledBeforeJoin(_, "graft_corpus_ctl"))
       plainCorpusShuffled shouldBe true
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ctlDir))
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       spark.sql("DROP TABLE IF EXISTS g_corpus_bands")
       spark.sql("DROP TABLE IF EXISTS g_corpus_sh")
+      if (ctlDir != null) // cleaned even when an assertion above fails
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ctlDir))
     }
   }
 
