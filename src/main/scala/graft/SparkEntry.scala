@@ -788,6 +788,11 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"), col("c_mktsegment"))
     }),
 
+    // Extension: curriculum-style length binning — exact quartile
+    // boundaries once, scan-side bin assignment (never a global ntile).
+    "docs_length_bins" -> ((s, dir) =>
+      graft.ops.Corpus.lengthBins(table(s, dir, "documents"), "doc_id", "n_chars")),
+
     // Extension: source-mixing plan — per-source keep probabilities that
     // spend a 100k-char budget uniformly across sources (the
     // domain-reweighting step before sampling).
@@ -1699,6 +1704,18 @@ object SparkEntry {
       """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |WHERE e.event_id < 2000""".stripMargin,
+
+    // quantile_cont interpolates identically to Spark's exact percentile
+    // (both a + (b-a)*frac in IEEE doubles — the events_value_profile p50
+    // precedent), so the boundary comparisons agree bit-for-bit.
+    "docs_length_bins" ->
+      """WITH b AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS bs FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CASE WHEN n_chars <= bs[1] THEN 0
+        |       WHEN n_chars <= bs[2] THEN 1
+        |       WHEN n_chars <= bs[3] THEN 2
+        |       ELSE 3 END AS bin
+        |FROM documents, b""".stripMargin,
 
     "docs_mix_plan" ->
       """WITH per AS (SELECT source, count(*) AS n_docs,

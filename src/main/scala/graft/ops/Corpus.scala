@@ -391,6 +391,27 @@ object Corpus {
         round(decSum.cast("double") / count(lit(1)), 6).as("avg_logprob"))
   }
 
+  /** Quartile binning by an integer weight column (curriculum/length
+    * buckets): exact interpolated quartile boundaries computed ONCE
+    * (1-row aggregate), then per-row bin assignment as a broadcast-join
+    * projection — the scan-side scale path. A global-sort `ntile` would
+    * put every row through one WindowExec task; here only three doubles
+    * cross the cluster. `percentile` is exact and aggregates a
+    * value→count map, fine for bounded-cardinality columns like lengths;
+    * switch to `approx_percentile` for unbounded ones. Bin k holds rows
+    * with weight <= boundary(k) (0-based; bin 3 = above p75). */
+  def lengthBins(df: DataFrame, idCol: String, weightCol: String): DataFrame = {
+    val b = df.agg(
+      expr(s"percentile($weightCol, array(0.25D, 0.5D, 0.75D))").as("bs"))
+    df.select(col(idCol), col(weightCol))
+      .crossJoin(broadcast(b))
+      .select(col(idCol), col(weightCol),
+        when(col(weightCol) <= element_at(col("bs"), 1), 0)
+          .when(col(weightCol) <= element_at(col("bs"), 2), 1)
+          .when(col(weightCol) <= element_at(col("bs"), 3), 2)
+          .otherwise(3).as("bin"))
+  }
+
   /** Source-mixing plan: per source, the deterministic keep probability
     * that spends a total `budget` of `weightCol` units (chars/tokens)
     * UNIFORMLY across sources — the domain-reweighting step a pipeline

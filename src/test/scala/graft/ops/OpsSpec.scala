@@ -83,6 +83,19 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     withClue(out.queryExecution.executedPlan.toString) { n should be <= 3 }
   }
 
+  it should "bin by exact quartile boundaries without a global sort" in {
+    val df = (1L to 8L).map(i => (i, i)).toDF("doc_id", "n_chars")
+    val out = Corpus.lengthBins(df, "doc_id", "n_chars")
+      .orderBy("doc_id").collect().map(_.getInt(2))
+    // 1..8: p25=2.75, p50=4.5, p75=6.25 -> two docs per bin
+    out shouldBe Array(0, 0, 1, 1, 2, 2, 3, 3)
+    // scale posture: the per-row side never shuffles — the only exchange
+    // feeds the 1-row boundary aggregate
+    val plan = Corpus.lengthBins(df, "doc_id", "n_chars")
+      .queryExecution.executedPlan.toString
+    "Exchange hashpartitioning".r.findAllIn(plan).length shouldBe 0
+  }
+
   it should "plan source mixing with capped keep probabilities" in {
     val df = Seq(
       (1L, "a", 100L), (2L, "a", 100L),  // source a: 200 units, over budget share
