@@ -634,6 +634,14 @@ object SparkEntry {
       graft.ops.Multimodal.decodeMp4Batched(
         graft.ops.Multimodal.asMp4(table(s, dir, "documents"), "doc_id", "text")).toDF()),
 
+    // Extension: REAL GIF dimension decode — the spec's variable-length
+    // block walk (skip GCT by encoded size, chain extension sub-blocks)
+    // to the first image descriptor; the canvas dims deliberately differ
+    // from the image dims, so only a real walk matches the oracle.
+    "multimodal_gif" -> ((s, dir) =>
+      graft.ops.Multimodal.decodeGifBatched(
+        graft.ops.Multimodal.asGif(table(s, dir, "documents"), "doc_id", "text")).toDF()),
+
     // Extension: multimodal audio — text wrapped as real PCM WAV files,
     // decoded by walking the RIFF chunks (rate/channels/bits/duration).
     "multimodal_audio_decode" -> ((s, dir) =>
@@ -1620,6 +1628,24 @@ object SparkEntry {
         |  CAST(h AS INTEGER) AS height,
         |  1000 AS timescale,
         |  CAST(L AS BIGINT) AS duration_ms,
+        |  lower(hex(substr(text, 1, 4))) AS feature
+        |FROM d""".stripMargin,
+
+    // byte_len = header(6) + LSD(7) + GCT(6) + GCE(8) + image descriptor
+    // (10) + LZW-min(1) + data (len + one length byte per ≤255-byte
+    // sub-block) + terminator(1) + trailer(1) = 40 + L + ceil(L/255); the
+    // image dims (not the canvas dims, which are offset by +2/+1) derive
+    // from the text length and the feature echoes the first data
+    // sub-block's first 4 bytes.
+    "multimodal_gif" ->
+      """WITH d AS (SELECT doc_id, text, strlen(text) AS L,
+        |    1 + strlen(text) % 64 AS w, 1 + strlen(text) % 48 AS h
+        |  FROM documents)
+        |SELECT doc_id AS id,
+        |  CAST(40 + L + (L + 254) // 255 AS INTEGER) AS byte_len,
+        |  CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  3 AS channels,
         |  lower(hex(substr(text, 1, 4))) AS feature
         |FROM d""".stripMargin,
 

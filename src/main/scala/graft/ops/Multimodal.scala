@@ -630,4 +630,127 @@ object Multimodal {
         MediaRecord(id, toJpeg(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), "image")
       }
   }
+
+  /** Build a minimal but structurally valid GIF89a: header, a logical
+    * screen descriptor whose canvas dims deliberately DIFFER from the
+    * image dims (so a decoder that lazily reads the screen descriptor
+    * instead of walking to the image descriptor gets the wrong answer), a
+    * 4-entry global color table, a graphic-control extension, one image
+    * descriptor with dimensions derived from the content length, an LZW
+    * minimum-code byte, the content chopped into ≤255-byte data sub-blocks
+    * (a structural stand-in for the LZW stream — the dimension decoder
+    * never decompresses, same as the PNG IDAT stand-in), a block
+    * terminator, and the trailer. */
+  def toGif(content: Array[Byte]): Array[Byte] = {
+    val w = 1 + content.length % 64
+    val h = 1 + content.length % 48
+    val nBlocks = (content.length + 254) / 255
+    // 6 header + 7 LSD + 6 GCT + 8 GCE + 10 image descriptor + 1 LZW min
+    // + data (L + one length byte per sub-block) + 1 terminator + 1 trailer
+    val buf = ByteBuffer.allocate(40 + content.length + nBlocks)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("GIF89a".getBytes("US-ASCII"))
+    // logical screen descriptor: canvas ≠ image dims on purpose
+    buf.putShort((w + 2).toShort).putShort((h + 1).toShort)
+    buf.put(0x80.toByte)          // GCT present, 2^(0+1)=2… packed size bits 0
+    buf.put(0.toByte).put(0.toByte) // bg color index, pixel aspect
+    var i = 0
+    while (i < 6) { buf.put(0.toByte); i += 1 } // GCT: 2 entries × RGB
+    // graphic-control extension: introducer, label, block size, 4 bytes, term
+    buf.put(0x21.toByte).put(0xf9.toByte).put(4.toByte)
+    buf.put(0.toByte).putShort(0.toShort).put(0.toByte).put(0.toByte)
+    // image descriptor: separator, left, top, width, height, packed (no LCT)
+    buf.put(0x2c.toByte).putShort(0.toShort).putShort(0.toShort)
+    buf.putShort(w.toShort).putShort(h.toShort).put(0.toByte)
+    buf.put(8.toByte)             // LZW minimum code size
+    var off = 0
+    while (off < content.length) {
+      val n = math.min(255, content.length - off)
+      buf.put(n.toByte).put(content, off, n)
+      off += n
+    }
+    buf.put(0.toByte)             // block terminator
+    buf.put(0x3b.toByte)          // trailer
+    buf.array()
+  }
+
+  /** REAL GIF dimension decode (pure JVM, no LZW): validates the
+    * GIF87a/GIF89a header, reads the logical screen descriptor, skips the
+    * global color table by its encoded size, then performs the spec's
+    * variable-length block walk — extension blocks (0x21) are skipped by
+    * chaining their length-prefixed sub-blocks — until the first image
+    * descriptor (0x2C), whose little-endian dims are the answer. `feature`
+    * is the first 4 bytes of the first image-data sub-block in hex (proof
+    * the walk crossed the extension chain, not a fixed offset). Every
+    * declared length is bounds-checked: corrupt input fails the contract
+    * error, never an out-of-bounds read or an unterminated walk. */
+  def decodeGif(payload: Array[Byte]): (Int, Int, Int, String) = {
+    require(payload.length >= 13 && {
+      val hdr = new String(payload, 0, 6, "US-ASCII")
+      hdr == "GIF87a" || hdr == "GIF89a"
+    }, s"not a GIF payload (${payload.length} bytes)")
+    def u16(i: Int): Int = (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
+    val packed = payload(10) & 0xff
+    var pos = 13 + (if ((packed & 0x80) != 0) 3 << ((packed & 7) + 1) else 0)
+    def skipSubBlocks(): Unit = {
+      var len = -1
+      while (len != 0) {
+        require(pos < payload.length, s"sub-block chain overruns the payload at $pos")
+        len = payload(pos) & 0xff
+        require(pos + 1 + len <= payload.length,
+          s"sub-block at offset $pos overruns the payload (len=$len)")
+        pos += 1 + len
+      }
+    }
+    while (pos < payload.length) {
+      (payload(pos) & 0xff) match {
+        case 0x21 => // extension: introducer + label, then sub-block chain
+          require(pos + 2 <= payload.length, "truncated extension block")
+          pos += 2
+          skipSubBlocks()
+        case 0x2c => // image descriptor
+          require(pos + 10 <= payload.length, "truncated image descriptor")
+          val w = u16(pos + 5)
+          val h = u16(pos + 7)
+          val idPacked = payload(pos + 9) & 0xff
+          pos += 10 + (if ((idPacked & 0x80) != 0) 3 << ((idPacked & 7) + 1) else 0)
+          require(pos + 2 <= payload.length, "truncated image data") // LZW byte + first len
+          pos += 1 // LZW minimum code size
+          val firstLen = payload(pos) & 0xff
+          require(pos + 1 + firstLen <= payload.length,
+            s"image data sub-block overruns the payload (len=$firstLen)")
+          val feature = (0 until math.min(4, firstLen))
+            .map(i => f"${payload(pos + 1 + i) & 0xff}%02x").mkString
+          return (w, h, 3, feature)
+        case 0x3b => // trailer before any image descriptor
+          throw new IllegalArgumentException("GIF has no image descriptor")
+        case b =>
+          throw new IllegalArgumentException(f"unknown GIF block 0x$b%02x at offset $pos")
+      }
+    }
+    throw new IllegalArgumentException("GIF ended without trailer or image")
+  }
+
+  /** Batched GIF decode — same partition-local batch seam. */
+  def decodeGifBatched(ds: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, c, f) = decodeGif(r.payload)
+          DecodedMedia(r.id, r.payload.length, w, h, c, f)
+        }
+      }
+    }
+  }
+
+  /** Wrap a text table as GIF media records (see [[toGif]]). */
+  def asGif(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRecord(id, toGif(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), "image")
+      }
+  }
 }

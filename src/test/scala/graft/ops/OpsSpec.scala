@@ -526,6 +526,45 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy Multimodal.decodeMp4(tiny)
   }
 
+  it should "round-trip a GIF through the variable-length block walk" in {
+    val content = "gif pixels follow".getBytes("UTF-8")
+    val gif = Multimodal.toGif(content)
+    gif.length shouldBe 40 + content.length + (content.length + 254) / 255
+    val (w, h, c, f) = Multimodal.decodeGif(gif)
+    // the image descriptor's dims, NOT the logical screen's (+2/+1) canvas
+    w shouldBe 1 + content.length % 64
+    h shouldBe 1 + content.length % 48
+    c shouldBe 3
+    f shouldBe content.take(4).map(b => f"${b & 0xff}%02x").mkString
+    // >255-byte content must chop into chained sub-blocks and still echo
+    // the FIRST sub-block's first bytes
+    val long = Array.tabulate[Byte](700)(i => (i % 251).toByte)
+    val gif2 = Multimodal.toGif(long)
+    gif2.length shouldBe 40 + 700 + 3
+    Multimodal.decodeGif(gif2)._4 shouldBe
+      long.take(4).map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  it should "fail fast on corrupt or truncated GIF blocks" in {
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeGif("definitely not a gif".getBytes("UTF-8"))
+    val gif = Multimodal.toGif("animated nonsense".getBytes("UTF-8"))
+    // truncated mid-extension: the sub-block walk must hit the bounds
+    // guard, never read past the payload
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeGif(gif.take(22))
+    // GCE sub-block length 0xFF points past the end of the payload
+    val bad = gif.clone()
+    bad(21) = 0xff.toByte
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodeGif(bad)
+    // trailer immediately after the GCT: no image descriptor to find
+    val noImage = gif.take(19) :+ 0x3b.toByte
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodeGif(noImage)
+    // an unknown block introducer must fail loudly, not walk blindly
+    val junk = gif.clone(); junk(19) = 0x7e.toByte
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodeGif(junk)
+  }
+
   it should "round-trip a real WAV header through encode and decode" in {
     val content = "hello world".getBytes("UTF-8") // 11 bytes
     val wav = Multimodal.toWav(content)
