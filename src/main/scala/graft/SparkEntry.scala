@@ -831,6 +831,26 @@ object SparkEntry {
     "events_cohort" -> ((s, dir) =>
       graft.ops.EventOps.cohortRetention(events(s, dir), "user_id", "ts")),
 
+    // Extension: multi-level OLAP rollup — (type, day) subtotals, per-type
+    // totals, grand total in one Expand+aggregate pass; grouping() flags
+    // disambiguate the 'ALL' labels from genuine values.
+    "events_rollup" -> ((s, dir) =>
+      graft.ops.EventOps.rollupProfile(events(s, dir), "event_type", "ts", "value")),
+
+    // Extension: robust outlier gate — per-type median + MAD (median
+    // absolute deviation) and the count of values beyond 3 scaled MADs.
+    // The per-key stat tables broadcast back; the fact table never
+    // shuffles beyond its own aggregations.
+    "events_anomaly_mad" -> ((s, dir) =>
+      graft.ops.EventOps.madOutlierGate(events(s, dir), "event_type", "value")),
+
+    // Extension: per-event trailing-rate feature — events by the same user
+    // in the preceding hour, a RANGE frame over epoch seconds (tie-order
+    // independent by construction).
+    "events_rate_window" -> ((s, dir) =>
+      graft.ops.EventOps.slidingRate(events(s, dir), "user_id", "ts", 3600L)
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("n_trailing"))),
+
     // Extension: per-key numeric value profile (data-quality stats with
     // order-independent DECIMAL sums and the exact interpolated median).
     "events_value_profile" -> ((s, dir) =>
@@ -1817,6 +1837,41 @@ object SparkEntry {
         |SELECT f.cohort_week, a.active_week, a.active_week - f.cohort_week AS week_offset,
         |  count(*) AS n_users
         |FROM a JOIN f USING (user_id) GROUP BY 1, 2, 3""".stripMargin,
+
+    // GROUPING() disambiguates the rolled-up 'ALL' labels; the DECIMAL
+    // route keeps the sums partial-order independent in both engines.
+    "events_rollup" ->
+      """WITH e AS (SELECT event_type AS k, CAST(ts AS DATE) AS d, value FROM events)
+        |SELECT coalesce(CAST(k AS VARCHAR), 'ALL') AS key,
+        |  coalesce(CAST(d AS VARCHAR), 'ALL') AS day,
+        |  CAST(GROUPING(k) AS INTEGER) AS g_key,
+        |  CAST(GROUPING(d) AS INTEGER) AS g_day,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS vsum
+        |FROM e GROUP BY ROLLUP (k, d)""".stripMargin,
+
+    // Medians/MADs interpolate identically (quantile_cont ↔ percentile,
+    // proven by events_quantile_gate); the outlier count uses the
+    // UNROUNDED stats so both engines gate on the same threshold.
+    "events_anomaly_mad" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
+        |mad AS (SELECT e.event_type, count(*) AS n, min(m.med) AS med_raw,
+        |    quantile_cont(abs(e.value - m.med), 0.5) AS mad_raw
+        |  FROM events e JOIN med m USING (event_type) GROUP BY 1),
+        |outl AS (SELECT e.event_type,
+        |    count(*) FILTER (WHERE abs(e.value - m.med) > 3.0 * 1.4826 * d.mad_raw) AS n_outliers
+        |  FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type) GROUP BY 1)
+        |SELECT d.event_type, d.n, round(d.med_raw, 6) AS med,
+        |  round(d.mad_raw, 6) AS mad, o.n_outliers
+        |FROM mad d JOIN outl o USING (event_type)""".stripMargin,
+
+    // RANGE frame over epoch seconds — tie-order independent, so the
+    // per-event counts are deterministic in both engines.
+    "events_rate_window" ->
+      """SELECT user_id, epoch_ms(ts) AS ts_ms,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_trailing
+        |FROM events""".stripMargin,
 
     "events_value_profile" ->
       """SELECT event_type,

@@ -240,6 +240,93 @@ object EventOps {
     * user-weeks, the cohort×week count) and one equi-join on the user —
     * every shuffle carries ids and week ints, never events. Output:
     * (cohort_week, active_week, week_offset, n_users). */
+  /** Multi-level OLAP rollup over (key, day): per-(key, day) subtotals,
+    * per-key totals, and the grand total in ONE pass. Spark plans `rollup`
+    * as an Expand (3 grouping sets per input row) feeding a single hash
+    * aggregate — one shuffle, map-side partial combine, so the 100 TB cost
+    * is the same shape as a plain groupBy with 3× the map-side rows.
+    * Rolled-up levels are labeled 'ALL' and disambiguated from genuine
+    * values by the `grouping()` flags (a real key named 'ALL' would
+    * otherwise collide). Sums are DECIMAL-routed. */
+  def rollupProfile(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val day = to_date(col(tsCol))
+    val decSum = sum(col(valueCol).cast(DecimalType(18, 6)))
+    events
+      .select(col(keyCol), day.as("day"), col(valueCol))
+      .rollup(col(keyCol), col("day"))
+      .agg(count(lit(1)).as("n"), decSum.cast("double").as("vsum"),
+        grouping(col(keyCol)).as("g_key"), grouping(col("day")).as("g_day"))
+      .select(
+        coalesce(col(keyCol).cast("string"), lit("ALL")).as("key"),
+        coalesce(col("day").cast("string"), lit("ALL")).as("day"),
+        col("g_key").cast("int").as("g_key"),
+        col("g_day").cast("int").as("g_day"),
+        col("n"), round(col("vsum"), 6).as("vsum"))
+  }
+
+  /** Robust outlier gate via the median absolute deviation: per key, the
+    * exact interpolated median, the MAD (median of |v − median|), and the
+    * count of values beyond `k` scaled MADs (1.4826·MAD ≈ σ under
+    * normality — the standard robust z-score). Two full scans by
+    * construction (the second pass needs the first's medians); the per-key
+    * median table is tiny and broadcast back, so neither pass shuffles the
+    * fact table beyond its own aggregation. At scales where holding a
+    * key's values for the exact percentile is unreasonable, swap in
+    * `approx_percentile` (same gate pattern as [[quantileProfile]]). */
+  def madOutlierGate(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      k: Double = 3.0
+  ): DataFrame = {
+    val v = col(valueCol)
+    // pass 1: per-key medians (tiny — one row per key)
+    val medians = df.groupBy(col(keyCol))
+      .agg(percentile(v, lit(0.5)).as("med"))
+    val withMed = df.join(broadcast(medians), Seq(keyCol))
+    // pass 2: MAD = median of absolute deviations from the key's median
+    val mads = withMed.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("med")).as("med_raw"),
+        percentile(abs(v - col("med")), lit(0.5)).as("mad_raw"))
+    // pass 3: count values beyond k scaled MADs
+    withMed
+      .join(broadcast(mads.select(col(keyCol), col("mad_raw"))), Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(sum(when(abs(v - col("med")) > lit(k) * lit(1.4826) * col("mad_raw"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .join(broadcast(mads), Seq(keyCol))
+      .select(
+        col(keyCol),
+        col("n"),
+        round(col("med_raw"), 6).as("med"),
+        round(col("mad_raw"), 6).as("mad"),
+        col("n_outliers"))
+  }
+
+  /** Per-event sliding-rate feature: how many events the same user emitted
+    * in the trailing `windowSec` seconds (inclusive of this one) — a RANGE
+    * frame over epoch seconds, so simultaneous events count each other
+    * symmetrically and tie order is irrelevant. One shuffle on the user
+    * plus an in-partition sort; no join, no second pass. */
+  def slidingRate(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      windowSec: Long
+  ): DataFrame = {
+    val sec = expr(s"unix_millis(`$tsCol`) div 1000")
+    val w = Window.partitionBy(col(userCol)).orderBy(sec)
+      .rangeBetween(-windowSec, Window.currentRow)
+    events.select(col(userCol), col(tsCol), count(lit(1)).over(w).as("n_trailing"))
+  }
+
   def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val wk = expr(s"unix_millis(`$tsCol`) div 604800000")
     val firstWeek = events.groupBy(col(userCol)).agg(min(wk).as("cohort_week"))

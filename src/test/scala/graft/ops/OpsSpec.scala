@@ -257,6 +257,55 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     r.getDouble(7) shouldBe 3.0       // p50: interpolated between 2 and 4
   }
 
+  it should "roll up (key, day) with grouping flags and 'ALL' labels" in {
+    val ev = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "a", 1.0),
+      (ts("2024-01-01 11:00:00"), 2L, "a", 2.0),
+      (ts("2024-01-02 10:00:00"), 3L, "a", 4.0),
+      (ts("2024-01-01 10:00:00"), 4L, "b", 8.0)
+    ).toDF("ts", "user_id", "event_type", "value")
+    val out = EventOps.rollupProfile(ev, "event_type", "ts", "value")
+      .orderBy("g_day", "g_key", "key", "day").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getDouble(5)))
+    out shouldBe Array(
+      ("a", "2024-01-01", 0, 0, 2L, 3.0),
+      ("a", "2024-01-02", 0, 0, 1L, 4.0),
+      ("b", "2024-01-01", 0, 0, 1L, 8.0),
+      ("a", "ALL", 0, 1, 3L, 7.0),
+      ("b", "ALL", 0, 1, 1L, 8.0),
+      ("ALL", "ALL", 1, 1, 4L, 15.0))
+  }
+
+  it should "gate outliers on median absolute deviation" in {
+    // nine values near 10 plus one wild outlier: med=10, sorted deviations
+    // {0,0,0,0,0,1,1,1,1,990} -> p50 interpolates positions 4..5 (0 and 1)
+    // -> MAD=0.5; threshold 3*1.4826*0.5 ≈ 2.22 -> only 990 is beyond it
+    val vals = Seq(10.0, 10.0, 10.0, 10.0, 10.0, 9.0, 9.0, 11.0, 11.0, 1000.0)
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      (ts("2024-01-01 10:00:00"), i.toLong, "t", v)
+    }.toDF("ts", "user_id", "event_type", "value")
+    val r = EventOps.madOutlierGate(ev, "event_type", "value").collect().head
+    r.getLong(1) shouldBe 10L      // n
+    r.getDouble(2) shouldBe 10.0   // med
+    r.getDouble(3) shouldBe 0.5    // mad
+    r.getLong(4) shouldBe 1L       // n_outliers
+  }
+
+  it should "count trailing events in a sliding range window" in {
+    val ev = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "t", 1.0),
+      (ts("2024-01-01 10:30:00"), 1L, "t", 1.0),
+      (ts("2024-01-01 11:00:00"), 1L, "t", 1.0), // exactly 3600s after first: inclusive
+      (ts("2024-01-01 13:00:00"), 1L, "t", 1.0), // outside any prior window
+      (ts("2024-01-01 10:15:00"), 2L, "t", 1.0)
+    ).toDF("ts", "user_id", "event_type", "value")
+    val out = EventOps.slidingRate(ev, "user_id", "ts", 3600L)
+      .orderBy("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    out shouldBe Array((1L, 1L), (1L, 2L), (1L, 3L), (1L, 1L), (2L, 1L))
+  }
+
   it should "profile cardinality with exact and approximate distincts" in {
     val ev = (1 to 100).map(i => (ts("2024-01-01 10:00:00"), (i % 10).toLong, "t", 1.0))
       .toDF("ts", "user_id", "event_type", "value")
