@@ -608,6 +608,14 @@ object SparkEntry {
           dim = 64, planes = 8, bands = 2)
         .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))),
 
+    // Extension: approximate kNN graph — LSH candidate pairs symmetrized
+    // into directed edges, per-node top-k, mutual-edge flag. The oracle
+    // replicates the whole pipeline (bucketing, cosine, ranking).
+    "sim_knn_graph" -> ((s, dir) =>
+      graft.ops.Similarity.knnGraph(
+        spread(s, table(s, dir, "embeddings")), "vec_id", "embedding",
+        dim = 64, planes = 8, bands = 2, k = 5)),
+
     // Extension: multimodal binary-column plumbing — batched partition-local
     // decode (stubbed deterministically; see graft.ops.Multimodal).
     "multimodal_decode" -> ((s, dir) =>
@@ -1587,6 +1595,31 @@ object SparkEntry {
         |   * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(eb.v)), i -> eb.v[i]::DOUBLE * eb.v[i]::DOUBLE)), (x,y) -> x+y))) AS sim
         |  FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id)
         |SELECT a_id, b_id, round(sim, 6) AS sim FROM p WHERE sim >= 0.3""".stripMargin,
+
+    // Same LSH bucketing/cosine replication as sim_lsh_near_dup (no
+    // threshold), then symmetrize, rank per node, flag mutual edges.
+    "sim_knn_graph" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |bk AS (SELECT vec_id, t.b AS band, list_sum(list_transform(generate_series(0,7), j ->
+        |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(v)), i ->
+        |    v[i]::DOUBLE * (CASE WHEN (('0x'||substr(md5((t.b*8+j)::VARCHAR||':'||(i-1)::VARCHAR),1,15))::UBIGINT & 1) = 1 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END))), (a,x) -> a+x) >= 0
+        |  THEN (1 << j) ELSE 0 END)) AS bucket FROM e, range(2) t(b)),
+        |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |p AS (SELECT c.a_id, c.b_id,
+        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(ea.v)), i -> ea.v[i]::DOUBLE * eb.v[i]::DOUBLE)), (x,y) -> x+y)
+        |  / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(ea.v)), i -> ea.v[i]::DOUBLE * ea.v[i]::DOUBLE)), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(eb.v)), i -> eb.v[i]::DOUBLE * eb.v[i]::DOUBLE)), (x,y) -> x+y))) AS sim
+        |  FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id),
+        |sym AS (SELECT a_id AS src, b_id AS dst, sim FROM p
+        |        UNION ALL SELECT b_id, a_id, sim FROM p),
+        |rk AS (SELECT src, dst, sim,
+        |    CAST(row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS INTEGER) AS rank
+        |  FROM sym),
+        |top AS (SELECT * FROM rk WHERE rank <= 5)
+        |SELECT t.src, t.dst, t.rank, round(t.sim, 6) AS sim,
+        |  (m.src IS NOT NULL) AS mutual
+        |FROM top t LEFT JOIN top m ON m.src = t.dst AND m.dst = t.src""".stripMargin,
 
     "multimodal_decode" ->
       """WITH d AS (SELECT doc_id, text, strlen(text) AS L,

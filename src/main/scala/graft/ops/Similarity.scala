@@ -320,4 +320,35 @@ object Similarity {
       .select(col("a_id"), col("b_id"), cos(col("va"), col("vb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Approximate kNN graph: banded sign-LSH candidate pairs (the scalable
+    * generator — an equi-join on (band, bucket), never all-pairs), each
+    * pair scored ONCE with the exact cosine, symmetrized into directed
+    * edges, then per-node top-k by (sim desc, neighbor asc). The `mutual`
+    * flag marks edges present in BOTH endpoints' top-k — the standard
+    * mutual-kNN pruning for graph clustering. Output is O(n·k) edges;
+    * nodes whose buckets yield fewer than k candidates emit fewer edges
+    * (recall is tuned by adding bands, like [[lshCosineNearDupPairs]]).
+    * The rank filter is a WindowGroupLimit, so per-node state during the
+    * window pass is bounded at k. */
+  def knnGraph(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      planes: Int = 8,
+      bands: Int = 2,
+      k: Int = 5
+  ): DataFrame = {
+    // threshold −2 keeps every scored candidate (cosine ∈ [−1, 1])
+    val pairs = lshCosineNearDupPairs(df, idCol, vecCol, dim, planes, bands, threshold = -2.0)
+    val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"), col("sim"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst"), col("sim")))
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)
+    val ranked = sym.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val reversed = ranked.select(col("dst").as("src"), col("src").as("dst"), lit(1).as("m"))
+    ranked.join(reversed, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), col("rank"),
+        round(col("sim"), 6).as("sim"), col("m").isNotNull.as("mutual"))
+  }
 }

@@ -203,6 +203,28 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out.map(_.getLong(1)) shouldBe Array(1L, 3L) // nearest first, no self-match
   }
 
+  it should "build a mutual-flagged kNN graph from LSH candidates" in {
+    // two colinear clusters: scaling by a positive constant preserves every
+    // hyperplane sign, so clusters share buckets; 7 nonzero components keep
+    // each plane dot an odd multiple of the scale (never 0), so opposite
+    // clusters NEVER collide. k=2 ≥ cluster-mates, so each node's top-k is
+    // its whole cluster regardless of tie order among ~1.0 sims.
+    val base = Seq(1f, 1f, 1f, 1f, 1f, 1f, 1f, 0f)
+    val vecs = Seq(
+      Vec(0, base), Vec(1, base.map(_ * 0.99f)), Vec(2, base.map(_ * 0.98f)),
+      Vec(3, base.map(_ * -1f)), Vec(4, base.map(_ * -0.99f))
+    ).toDS.toDF()
+    val edges = Similarity.knnGraph(vecs, "vec_id", "embedding",
+      dim = 8, planes = 8, bands = 1, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(4)))
+    edges.map(e => (e._1, e._2)).sorted shouldBe Array(
+      (0L, 1L), (0L, 2L), (1L, 0L), (1L, 2L), (2L, 0L), (2L, 1L),
+      (3L, 4L), (4L, 3L))
+    all(edges.map(_._4)) shouldBe true // every edge lands in both top-ks
+    edges.filter(_._1 <= 2).map(_._3).sorted shouldBe Array(1, 1, 1, 2, 2, 2)
+    edges.filter(_._1 >= 3).map(_._3) shouldBe Array(1, 1)
+  }
+
   it should "bucket near-identical vectors together under sign-LSH" in {
     val vecs = Seq(
       Vec(0, Seq.fill(8)(1f)), Vec(1, Seq.fill(8)(0.99f)), Vec(2, Seq.fill(8)(-1f))
