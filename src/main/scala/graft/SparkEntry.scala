@@ -508,6 +508,19 @@ object SparkEntry {
     "text_bigram_lm" -> ((s, dir) =>
       graft.ops.Corpus.bigramLogProb(table(s, dir, "documents"), "doc_id", "text")),
 
+    // Extension: Jelinek-Mercer interpolated bigram LM — λ·P_bi + (1−λ)·
+    // P_uni with MLE estimates; the corpus-sized bigram table is never
+    // broadcast, the unigram table joins twice (denominator + back-off).
+    "text_interp_lm" -> ((s, dir) =>
+      graft.ops.Corpus.interpolatedLogProb(table(s, dir, "documents"), "doc_id", "text")),
+
+    // Extension: per-language quality filter at the median threshold —
+    // exact per-lang quantile (rows = #languages) broadcast back as a
+    // scan-side comparison; no global sort, no per-row window.
+    "docs_quality_filter" -> ((s, dir) =>
+      graft.ops.Corpus.qualityThresholdFilter(
+        table(s, dir, "documents"), "doc_id", "text", "lang")),
+
     // Extension: per-user conversion delay — first signup to first
     // purchase at-or-after it (aggregate-only; no event-history window).
     "events_conversion" -> ((s, dir) =>
@@ -1438,6 +1451,39 @@ object SparkEntry {
         |JOIN uni ON split_part(b.bg, ' ', 1) = uni.term
         |CROSS JOIN v
         |GROUP BY 1""".stripMargin,
+
+    // Same count tables as text_bigram_lm plus the token total N; the
+    // interpolation literal λ=0.5 keeps (1−λ) exact in both engines, and
+    // the operand order mirrors the Scala expression exactly.
+    "text_interp_lm" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t),
+        |x AS (SELECT unnest(toks) AS term FROM t),
+        |uni AS (SELECT term, count(*) AS cu FROM x GROUP BY 1),
+        |n AS (SELECT CAST(sum(cu) AS BIGINT) AS ntok FROM uni),
+        |bic AS (SELECT bg, count(*) AS cb FROM bg GROUP BY 1)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(CAST(ln(0.5 * bic.cb / u1.cu + (1.0 - 0.5) * u2.cu / n.ntok) AS DECIMAL(27,12))) AS DOUBLE) / count(*), 6) AS avg_interp_logprob
+        |FROM bg b
+        |JOIN bic ON b.bg = bic.bg
+        |JOIN uni u1 ON string_split(b.bg, ' ')[1] = u1.term
+        |JOIN uni u2 ON string_split(b.bg, ' ')[2] = u2.term
+        |CROSS JOIN n
+        |GROUP BY 1""".stripMargin,
+
+    // The q replication is text_quality's (bit-exact, unrounded); the
+    // per-lang median threshold interpolates identically in both engines.
+    "docs_quality_filter" ->
+      """WITH t AS (SELECT doc_id, lang, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |  least(len(toks) / 100.0, 1.0) * 0.4
+        |    + (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / greatest(length(text), 1)) * 0.3
+        |    + (len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this'], x))) / greatest(len(toks), 1)) * 0.3 AS q
+        |  FROM t),
+        |thr AS (SELECT lang, quantile_cont(q, 0.5) AS thr FROM q GROUP BY 1)
+        |SELECT q.doc_id, q.lang, round(q.q, 6) AS quality
+        |FROM q JOIN thr ON q.lang = thr.lang
+        |WHERE q.q >= thr.thr""".stripMargin,
 
     "events_conversion" ->
       """WITH f AS (SELECT user_id, min(epoch_ms(ts)) FILTER (event_type = 'signup') AS from_ms

@@ -391,6 +391,78 @@ object Corpus {
         round(decSum.cast("double") / count(lit(1)), 6).as("avg_logprob"))
   }
 
+  /** Per-language quality filter at a percentile threshold: the exact
+    * interpolated (1−keepFrac) quality quantile is computed per language
+    * (one map-side-combinable aggregate, rows = #languages), broadcast
+    * back, and applied as a scan-side comparison — documents at or above
+    * their language's threshold survive. The same shape as [[lengthBins]]:
+    * no global sort, no per-row window; only #languages doubles cross the
+    * cluster. The threshold comparison uses the UNROUNDED score, which
+    * both engines compute bit-identically (operand order is pinned by
+    * [[TextFunctions.qualityScore]]). */
+  def qualityThresholdFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      keepFrac: Double = 0.5
+  ): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = df.select(col(idCol), col(langCol),
+      qualityScore(col(textCol), toks).as("q"))
+    val thresholds = scored.groupBy(col(langCol))
+      .agg(percentile(col("q"), lit(1.0 - keepFrac)).as("thr"))
+    scored.join(broadcast(thresholds), Seq(langCol))
+      .filter(col("q") >= col("thr"))
+      .select(col(idCol), col(langCol), round(col("q"), 6).as("quality"))
+  }
+
+  /** Jelinek-Mercer interpolated bigram LM score: per document, the mean
+    * over its bigrams of log(λ·P_bi(w2|w1) + (1−λ)·P_uni(w2)) with MLE
+    * estimates P_bi = cb/cu(w1), P_uni = cu(w2)/N. The interpolation is
+    * what production LM-quality filters actually run — pure bigram MLE
+    * (see [[bigramLogProb]]'s add-one variant) over-penalizes rare but
+    * valid continuations; the unigram back-off floor keeps them finite.
+    *
+    * Scale shape mirrors [[bigramLogProb]]: the bigram count table is
+    * corpus-sized and NEVER broadcast (shuffle-hash equi-join on the
+    * bigram); the unigram table joins twice (w1 denominator, w2 back-off)
+    * under the `broadcastVocab` switch; N is a 1-row scalar broadcast.
+    * Log-probs sum through DECIMAL(27,12). λ defaults to 0.5 so (1−λ) is
+    * exact in binary floating point — the oracle mirrors the literal. */
+  def interpolatedLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lambda: Double = 0.5,
+      broadcastVocab: Boolean = true
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val bigrams = df.select(col(idCol),
+      explode(gramsAllFor(spark)(tokens(col(textCol)), 2)).as("bg"))
+    val uni = df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cu"))
+    val ntok = uni.agg(sum(col("cu")).as("ntok"))
+    val bi = bigrams.groupBy("bg").agg(count(lit(1)).as("cb"))
+    def uniSide(as: String, cuAs: String) = {
+      val r = uni.select(col("term").as(as), col("cu").as(cuAs))
+      if (broadcastVocab) broadcast(r) else r.hint("shuffle_hash")
+    }
+    val p = lit(lambda) * col("cb") / col("cu1") +
+      (lit(1.0) - lit(lambda)) * col("cu2") / col("ntok")
+    val decSum = sum(log(p).cast(org.apache.spark.sql.types.DecimalType(27, 12)))
+    bigrams
+      .join(bi.hint("shuffle_hash"), "bg") // corpus-sized: never broadcast
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(uniSide("w1", "cu1"), "w1")
+      .join(uniSide("w2", "cu2"), "w2")
+      .crossJoin(broadcast(ntok))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(decSum.cast("double") / count(lit(1)), 6).as("avg_interp_logprob"))
+  }
+
   /** Quartile binning by an integer weight column (curriculum/length
     * buckets): exact interpolated quartile boundaries computed ONCE
     * (1-row aggregate), then per-row bin assignment as a broadcast-join
