@@ -414,6 +414,30 @@ object SparkEntry {
       graft.ops.Dedup.exactDedupBest(
         table(s, dir, "documents"), "doc_id", "text", "n_chars")),
 
+    // Extension: truncation-duplicate screen — prefix pairs blocked on the
+    // first-64-chars hash, verified exactly in-bucket; 1-row summary (a
+    // healthy corpus legitimately reports zero pairs).
+    "dedup_prefix" -> ((s, dir) =>
+      graft.ops.Dedup.prefixDups(table(s, dir, "documents"), "doc_id", "text")),
+
+    // Extension: batch CDC merge (latest-wins upsert) — every 10th doc
+    // updated at version 1, a shifted-id slice inserted; fingerprints
+    // prove which side survived per key.
+    "docs_merge_upsert" -> ((s, dir) => {
+      val base = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), lit(0L).as("version"))
+      val updates = table(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), concat(lit("UPDATED: "), col("text")).as("text"),
+          lit(1L).as("version"))
+        .unionByName(table(s, dir, "documents")
+          .filter(col("doc_id") % 97 === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            lit(1L).as("version")))
+      graft.ops.Corpus.mergeUpsert(base, updates, "doc_id", "version")
+        .select(col("doc_id"), col("version"), md5(col("text")).as("fp"))
+    }),
+
     // Extension: MinHash+LSH near-dup (shingle→minhash→band→bucket-join).
     "dedup_minhash_lsh" -> ((s, dir) =>
       graft.ops.Dedup.minhashNearDupPairs(spread(s, table(s, dir, "documents")), "doc_id", "text")),
@@ -1436,6 +1460,31 @@ object SparkEntry {
         |SELECT doc_id, lang, n_chars FROM documents, w
         |WHERE (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,7))::UBIGINT)::BIGINT * wmax
         |      < n_chars * (1::BIGINT << 28)""".stripMargin,
+
+    // Same first-64-chars blocking as the Spark side; the exact prefix
+    // verify runs only within buckets in both engines.
+    "dedup_prefix" ->
+      """WITH e AS (SELECT doc_id AS id, text AS t FROM documents WHERE length(text) >= 64),
+        |k AS (SELECT id, t, md5(substr(t, 1, 64)) AS pk FROM e),
+        |p AS (SELECT s.id AS short_id FROM k s JOIN k l
+        |      ON s.pk = l.pk AND length(s.t) < length(l.t) AND left(l.t, length(s.t)) = s.t)
+        |SELECT (SELECT count(*) FROM e) AS n_checked,
+        |  count(*) AS n_pairs, count(DISTINCT short_id) AS n_truncated
+        |FROM p""".stripMargin,
+
+    // Latest-wins merge: version 1 updates beat version 0 base rows;
+    // shifted-id rows insert; fingerprints prove the surviving side.
+    "docs_merge_upsert" ->
+      """WITH base AS (SELECT doc_id, text, 0::BIGINT AS version, 0 AS src FROM documents),
+        |upd AS (SELECT doc_id, 'UPDATED: ' || text AS text, 1::BIGINT AS version, 1 AS src
+        |        FROM documents WHERE doc_id % 10 = 0
+        |        UNION ALL
+        |        SELECT doc_id + 1000000, text, 1::BIGINT, 1 FROM documents WHERE doc_id % 97 = 3),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+        |r AS (SELECT doc_id, text, version,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY version DESC, src DESC) AS rn
+        |      FROM u)
+        |SELECT doc_id, version, md5(text) AS fp FROM r WHERE rn = 1""".stripMargin,
 
     "text_bigram_lm" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

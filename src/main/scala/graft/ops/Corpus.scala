@@ -391,6 +391,31 @@ object Corpus {
         round(decSum.cast("double") / count(lit(1)), 6).as("avg_logprob"))
   }
 
+  /** Batch CDC merge (upsert, latest-wins): applies an updates batch to a
+    * base table keyed by `keyCol`. Per key the surviving row is the one
+    * with the highest (`versionCol`, side) — an update beats a base row
+    * at the same version; new keys insert; untouched base rows pass
+    * through. One shuffle on the key; per-key groups are 1 + the key's
+    * update count, so the window sort is bounded by batch depth, not
+    * table size. Both frames must share the schema, and (key, version)
+    * must be unique within `updates` — two updates of one key at the
+    * same version have no defined winner. */
+  def mergeUpsert(
+      base: DataFrame,
+      updates: DataFrame,
+      keyCol: String,
+      versionCol: String
+  ): DataFrame = {
+    val all = base.withColumn("_src", lit(0))
+      .unionByName(updates.withColumn("_src", lit(1)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(versionCol).desc, col("_src").desc)
+    all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_src")
+  }
+
   /** Per-language quality filter at a percentile threshold: the exact
     * interpolated (1−keepFrac) quality quantile is computed per language
     * (one map-side-combinable aggregate, rows = #languages), broadcast

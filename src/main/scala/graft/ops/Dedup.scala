@@ -26,6 +26,40 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
 
+  /** Truncation-duplicate screen: documents that are an exact PREFIX of a
+    * longer document — the crawl/ingestion artifact shingle-set near-dup
+    * misses by construction (a 100-word prefix of a 10k-word page has
+    * near-zero Jaccard). Blocking: a prefix pair of length ≥ `probeLen`
+    * shares its first `probeLen` chars, so candidates reduce to an
+    * equi-join on md5(first probeLen chars) — never all-pairs; bucket
+    * population is the family sharing a probeLen-char prefix, and the
+    * full prefix relation is verified exactly within the bucket. Docs
+    * shorter than probeLen are out of scope by contract (lower probeLen
+    * to catch them at the cost of key selectivity). Output is a 1-row
+    * summary — a healthy corpus legitimately reports zero pairs. */
+  def prefixDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      probeLen: Int = 64
+  ): DataFrame = {
+    val eligible = df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .filter(length(col("t")) >= probeLen)
+    val keyed = eligible.select(col("id"), col("t"),
+      md5(substring(col("t"), 1, probeLen)).as("pk"))
+    val pairs = keyed.as("s")
+      .join(keyed.as("l"),
+        col("s.pk") === col("l.pk") &&
+          length(col("s.t")) < length(col("l.t")) &&
+          expr("left(l.t, length(s.t)) = s.t"))
+      .select(col("s.id").as("short_id"), col("l.id").as("long_id"))
+    pairs
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("short_id")).as("n_truncated"))
+      .crossJoin(broadcast(eligible.agg(count(lit(1)).as("n_checked"))))
+      .select(col("n_checked"), col("n_pairs"), col("n_truncated"))
+  }
+
   /** 28-bit hash from md5 hex chars [off+1, off+7] — the two halves feed the
     * Kirsch-Mitzenmacher family h_i = h1 + i*h2 (one md5 per shingle
     * instead of one per (shingle, seed); values stay < 2^33 so every engine

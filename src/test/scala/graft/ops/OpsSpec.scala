@@ -1090,6 +1090,45 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       .count() shouldBe 4
   }
 
+  it should "find truncation duplicates blocked on the 64-char prefix" in {
+    val long = ("start " * 20).trim                  // 119 chars
+    val docs = Seq(
+      Doc(1, long, "s"),                             // full page
+      Doc(2, long.take(80), "s"),                    // truncated copy (≥64)
+      Doc(3, long.take(30), "s"),                    // too short: out of scope
+      Doc(4, "completely different text " * 4, "s")  // same length ballpark, no match
+    ).toDS.toDF()
+    val r = Dedup.prefixDups(docs, "doc_id", "text").collect().head
+    r.getLong(0) shouldBe 3L  // docs 1, 2, 4 are ≥64 chars
+    r.getLong(1) shouldBe 1L  // (2 -> 1) is the only prefix pair
+    r.getLong(2) shouldBe 1L
+    // a corpus with no prefix relations reports zeros, not an empty frame
+    val clean = Dedup.prefixDups(docs.filter(col("doc_id") === 4), "doc_id", "text")
+      .collect().head
+    (clean.getLong(1), clean.getLong(2)) shouldBe ((0L, 0L))
+  }
+
+  it should "merge upserts latest-wins with inserts and passthrough" in {
+    val base = Seq((1L, "one", 0L), (2L, "two", 0L), (3L, "three", 5L))
+      .toDF("doc_id", "text", "version")
+    val updates = Seq(
+      (2L, "two-v1", 1L),   // beats base v0
+      (3L, "three-v1", 1L), // LOSES to base v5 (stale update)
+      (3L, "three-v9", 9L), // beats base v5
+      (9L, "nine", 1L)      // insert
+    ).toDF("doc_id", "text", "version")
+    val out = Corpus.mergeUpsert(base, updates, "doc_id", "version")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    out shouldBe Array(
+      (1L, "one", 0L), (2L, "two-v1", 1L), (3L, "three-v9", 9L), (9L, "nine", 1L))
+    // same version on both sides: the update wins the tie
+    val tie = Corpus.mergeUpsert(base, Seq((1L, "one-upd", 0L))
+        .toDF("doc_id", "text", "version"), "doc_id", "version")
+      .filter(col("doc_id") === 1).collect().head.getString(1)
+    tie shouldBe "one-upd"
+  }
+
   it should "compute conversion delay from first signup to first purchase after it" in {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000)
