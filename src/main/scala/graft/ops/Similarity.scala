@@ -340,12 +340,19 @@ object Similarity {
       bands: Int = 2,
       k: Int = 5
   ): DataFrame = {
-    // threshold −2 keeps every scored candidate (cosine ∈ [−1, 1])
+    // threshold −2 keeps every scored candidate (cosine ∈ [−1, 1]);
+    // persisted so candidate generation + cosine scoring run ONCE — the
+    // symmetrizing union reads both directions from the same pass instead
+    // of recomputing the LSH join per branch
     val pairs = lshCosineNearDupPairs(df, idCol, vecCol, dim, planes, bands, threshold = -2.0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"), col("sim"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst"), col("sim")))
     val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)
+    // also persisted: the mutual check reads the ranked edge set twice
+    // (as itself and reversed) — one window pass, two cached reads
     val ranked = sym.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reversed = ranked.select(col("dst").as("src"), col("src").as("dst"), lit(1).as("m"))
     ranked.join(reversed, Seq("src", "dst"), "left")
       .select(col("src"), col("dst"), col("rank"),
