@@ -421,8 +421,11 @@ object SparkEntry {
       graft.ops.Dedup.prefixDups(table(s, dir, "documents"), "doc_id", "text")),
 
     // Extension: batch CDC merge (latest-wins upsert) — every 10th doc
-    // updated at version 1, a shifted-id slice inserted; fingerprints
-    // prove which side survived per key.
+    // updated at version 1, an inserted slice keyed NEGATIVE (-id-1, so
+    // insert keys are structurally disjoint from the non-negative natural
+    // ids at ANY corpus size — a fixed offset could collide and create
+    // the same-(key,version,side) tie the operator's contract forbids);
+    // fingerprints prove which side survived per key.
     "docs_merge_upsert" -> ((s, dir) => {
       val base = table(s, dir, "documents")
         .select(col("doc_id"), col("text"), lit(0L).as("version"))
@@ -432,7 +435,7 @@ object SparkEntry {
           lit(1L).as("version"))
         .unionByName(table(s, dir, "documents")
           .filter(col("doc_id") % 97 === 3)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          .select((-col("doc_id") - 1L).as("doc_id"), col("text"),
             lit(1L).as("version")))
       graft.ops.Corpus.mergeUpsert(base, updates, "doc_id", "version")
         .select(col("doc_id"), col("version"), md5(col("text")).as("fp"))
@@ -1473,13 +1476,14 @@ object SparkEntry {
         |FROM p""".stripMargin,
 
     // Latest-wins merge: version 1 updates beat version 0 base rows;
-    // shifted-id rows insert; fingerprints prove the surviving side.
+    // negative-keyed rows insert (disjoint from natural ids at any
+    // corpus size); fingerprints prove the surviving side.
     "docs_merge_upsert" ->
       """WITH base AS (SELECT doc_id, text, 0::BIGINT AS version, 0 AS src FROM documents),
         |upd AS (SELECT doc_id, 'UPDATED: ' || text AS text, 1::BIGINT AS version, 1 AS src
         |        FROM documents WHERE doc_id % 10 = 0
         |        UNION ALL
-        |        SELECT doc_id + 1000000, text, 1::BIGINT, 1 FROM documents WHERE doc_id % 97 = 3),
+        |        SELECT -doc_id - 1, text, 1::BIGINT, 1 FROM documents WHERE doc_id % 97 = 3),
         |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
         |r AS (SELECT doc_id, text, version,
         |        row_number() OVER (PARTITION BY doc_id ORDER BY version DESC, src DESC) AS rn
@@ -1784,7 +1788,8 @@ object SparkEntry {
     // sub-block) + terminator(1) + trailer(1) = 40 + L + ceil(L/255); the
     // image dims (not the canvas dims, which are offset by +2/+1) derive
     // from the text length and the feature echoes the first data
-    // sub-block's first 4 bytes.
+    // sub-block's first 4 bytes. The substr(text,1,4) CHARACTERS-vs-BYTES
+    // caveat on the mp4 oracle applies here identically (ASCII fixture).
     "multimodal_gif" ->
       """WITH d AS (SELECT doc_id, text, strlen(text) AS L,
         |    1 + strlen(text) % 64 AS w, 1 + strlen(text) % 48 AS h

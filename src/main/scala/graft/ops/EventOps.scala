@@ -232,14 +232,6 @@ object EventOps {
         col("to_ms").isNotNull.as("converted"))
   }
 
-  /** Cohort retention: users grouped by first-activity week, activity
-    * counted per (cohort week, active week) — the classic growth rollup.
-    * Weeks are `epoch_millis div 604800000` integer buckets
-    * (engine-portable arithmetic; no calendar-week locale ambiguity).
-    * Three map-side-combinable aggregates (first week per user, distinct
-    * user-weeks, the cohort×week count) and one equi-join on the user —
-    * every shuffle carries ids and week ints, never events. Output:
-    * (cohort_week, active_week, week_offset, n_users). */
   /** Multi-level OLAP rollup over (key, day): per-(key, day) subtotals,
     * per-key totals, and the grand total in ONE pass. Spark plans `rollup`
     * as an Expand (3 grouping sets per input row) feeding a single hash
@@ -272,10 +264,10 @@ object EventOps {
   /** Robust outlier gate via the median absolute deviation: per key, the
     * exact interpolated median, the MAD (median of |v − median|), and the
     * count of values beyond `k` scaled MADs (1.4826·MAD ≈ σ under
-    * normality — the standard robust z-score). Two full scans by
-    * construction (the second pass needs the first's medians); the per-key
-    * median table is tiny and broadcast back, so neither pass shuffles the
-    * fact table beyond its own aggregation. At scales where holding a
+    * normality — the standard robust z-score). Three full scans by
+    * construction (each pass needs the previous one's per-key stats); the
+    * per-key stat tables are tiny and broadcast back, so no pass shuffles
+    * the fact table beyond its own aggregation. At scales where holding a
     * key's values for the exact percentile is unreasonable, swap in
     * `approx_percentile` (same gate pattern as [[quantileProfile]]). */
   def madOutlierGate(
@@ -285,34 +277,28 @@ object EventOps {
       k: Double = 3.0
   ): DataFrame = {
     val v = col(valueCol)
-    // pass 1: per-key medians (tiny — one row per key). The stat frames
-    // are persisted: Spark does not dedup common subplans, so without the
-    // persist each downstream reference would re-run its full-scan
-    // percentile aggregate (5 scans instead of the semantic 3).
+    // pass 1: per-key medians (tiny — one row per key). Persisted because
+    // withMed is consumed by BOTH later passes and Spark does not dedup
+    // common subplans — uncached, each would re-run the percentile agg.
     val medians = df.groupBy(col(keyCol))
       .agg(percentile(v, lit(0.5)).as("med"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withMed = df.join(broadcast(medians), Seq(keyCol))
     // pass 2: MAD = median of absolute deviations from the key's median
     val mads = withMed.groupBy(col(keyCol))
+      .agg(percentile(abs(v - col("med")), lit(0.5)).as("mad_raw"))
+    // pass 3: count beyond k scaled MADs; n/med/mad ride the same
+    // aggregate (every row already carries them), so no join-back
+    withMed
+      .join(broadcast(mads), Seq(keyCol))
+      .groupBy(col(keyCol))
       .agg(
         count(lit(1)).as("n"),
-        first(col("med")).as("med_raw"),
-        percentile(abs(v - col("med")), lit(0.5)).as("mad_raw"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // pass 3: count values beyond k scaled MADs
-    withMed
-      .join(broadcast(mads.select(col(keyCol), col("mad_raw"))), Seq(keyCol))
-      .groupBy(col(keyCol))
-      .agg(sum(when(abs(v - col("med")) > lit(k) * lit(1.4826) * col("mad_raw"), 1L)
-        .otherwise(0L)).as("n_outliers"))
-      .join(broadcast(mads), Seq(keyCol))
-      .select(
-        col(keyCol),
-        col("n"),
-        round(col("med_raw"), 6).as("med"),
-        round(col("mad_raw"), 6).as("mad"),
-        col("n_outliers"))
+        round(first(col("med")), 6).as("med"),
+        round(first(col("mad_raw")), 6).as("mad"),
+        sum(when(abs(v - col("med")) > lit(k) * lit(1.4826) * col("mad_raw"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col(keyCol), col("n"), col("med"), col("mad"), col("n_outliers"))
   }
 
   /** Per-event sliding-rate feature: how many events the same user emitted
@@ -332,6 +318,14 @@ object EventOps {
     events.select(col(userCol), col(tsCol), count(lit(1)).over(w).as("n_trailing"))
   }
 
+  /** Cohort retention: users grouped by first-activity week, activity
+    * counted per (cohort week, active week) — the classic growth rollup.
+    * Weeks are `epoch_millis div 604800000` integer buckets
+    * (engine-portable arithmetic; no calendar-week locale ambiguity).
+    * Three map-side-combinable aggregates (first week per user, distinct
+    * user-weeks, the cohort×week count) and one equi-join on the user —
+    * every shuffle carries ids and week ints, never events. Output:
+    * (cohort_week, active_week, week_offset, n_users). */
   def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val wk = expr(s"unix_millis(`$tsCol`) div 604800000")
     val firstWeek = events.groupBy(col(userCol)).agg(min(wk).as("cohort_week"))

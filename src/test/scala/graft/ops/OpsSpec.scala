@@ -1096,11 +1096,14 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       Doc(1, long, "s"),                             // full page
       Doc(2, long.take(80), "s"),                    // truncated copy (≥64)
       Doc(3, long.take(30), "s"),                    // too short: out of scope
-      Doc(4, "completely different text " * 4, "s")  // same length ballpark, no match
+      Doc(4, "completely different text " * 4, "s"), // same length ballpark, no match
+      // shares the 64-char blocking prefix with docs 1/2 but diverges at
+      // char 71 — a candidate the in-bucket exact verify MUST reject
+      Doc(5, long.take(70) + " DIVERGENT TAIL", "s")
     ).toDS.toDF()
     val r = Dedup.prefixDups(docs, "doc_id", "text").collect().head
-    r.getLong(0) shouldBe 3L  // docs 1, 2, 4 are ≥64 chars
-    r.getLong(1) shouldBe 1L  // (2 -> 1) is the only prefix pair
+    r.getLong(0) shouldBe 4L  // docs 1, 2, 4, 5 are ≥64 chars
+    r.getLong(1) shouldBe 1L  // (2 -> 1) only: doc 5's bucket hits fail verify
     r.getLong(2) shouldBe 1L
     // a corpus with no prefix relations reports zeros, not an empty frame
     val clean = Dedup.prefixDups(docs.filter(col("doc_id") === 4), "doc_id", "text")
