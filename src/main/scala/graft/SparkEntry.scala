@@ -885,6 +885,17 @@ object SparkEntry {
     "events_rollup" -> ((s, dir) =>
       graft.ops.EventOps.rollupProfile(events(s, dir), "event_type", "ts", "value")),
 
+    // Extension: CUBE — all four grouping sets in the same single
+    // Expand+aggregate pass as the rollup.
+    "events_cube" -> ((s, dir) =>
+      graft.ops.EventOps.cubeProfile(events(s, dir), "event_type", "ts", "value")),
+
+    // Extension: time-series gap fill — densify per-(type, hour) counts
+    // over the corpus's full bucket range with explicit zero rows; the
+    // grid is generated from a 1-row bounds aggregate, never scanned.
+    "events_gap_fill" -> ((s, dir) =>
+      graft.ops.EventOps.gapFill(events(s, dir), "event_type", "ts", "value", 3600000L)),
+
     // Extension: robust outlier gate — per-type median + MAD (median
     // absolute deviation) and the count of values beyond 3 scaled MADs.
     // The per-key stat tables broadcast back; the fact table never
@@ -1982,6 +1993,30 @@ object SparkEntry {
         |  count(*) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS vsum
         |FROM e GROUP BY ROLLUP (k, d)""".stripMargin,
+
+    "events_cube" ->
+      """WITH e AS (SELECT event_type AS k, CAST(ts AS DATE) AS d, value FROM events)
+        |SELECT coalesce(CAST(k AS VARCHAR), 'ALL') AS key,
+        |  coalesce(CAST(d AS VARCHAR), 'ALL') AS day,
+        |  CAST(GROUPING(k) AS INTEGER) AS g_key,
+        |  CAST(GROUPING(d) AS INTEGER) AS g_day,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS vsum
+        |FROM e GROUP BY CUBE (k, d)""".stripMargin,
+
+    // The grid generates laterally from the 1-row bounds aggregate in
+    // both engines; zero rows are explicit, not absent.
+    "events_gap_fill" ->
+      """WITH a AS (SELECT event_type AS k, epoch_ms(ts) // 3600000 AS bucket,
+        |    count(*) AS n,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS vsum
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM a),
+        |grid AS (SELECT k, unnest(generate_series(b.lo, b.hi)) AS bucket
+        |         FROM (SELECT DISTINCT k FROM a) keys, b)
+        |SELECT g.k AS event_type, g.bucket,
+        |  coalesce(a.n, 0) AS n, coalesce(a.vsum, 0.0) AS vsum
+        |FROM grid g LEFT JOIN a ON g.k = a.k AND g.bucket = a.bucket""".stripMargin,
 
     // Medians/MADs interpolate identically (quantile_cont ↔ percentile,
     // proven by events_quantile_gate); the outlier count uses the

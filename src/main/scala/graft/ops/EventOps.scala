@@ -245,12 +245,33 @@ object EventOps {
       keyCol: String,
       tsCol: String,
       valueCol: String
+  ): DataFrame = multiLevelProfile(events, keyCol, tsCol, valueCol, toCube = false)
+
+  /** CUBE sibling of [[rollupProfile]]: adds the per-day marginal the
+    * rollup lacks — all four grouping sets (key, day) / (key) / (day) /
+    * () in the same single Expand+aggregate pass (4 grouping sets per
+    * input row instead of 3; identical shuffle shape). */
+  def cubeProfile(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String
+  ): DataFrame = multiLevelProfile(events, keyCol, tsCol, valueCol, toCube = true)
+
+  private def multiLevelProfile(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      toCube: Boolean
   ): DataFrame = {
     val day = to_date(col(tsCol))
     val decSum = sum(col(valueCol).cast(DecimalType(18, 6)))
-    events
-      .select(col(keyCol), day.as("day"), col(valueCol))
-      .rollup(col(keyCol), col("day"))
+    val pre = events.select(col(keyCol), day.as("day"), col(valueCol))
+    val grouped =
+      if (toCube) pre.cube(col(keyCol), col("day"))
+      else pre.rollup(col(keyCol), col("day"))
+    grouped
       .agg(count(lit(1)).as("n"), decSum.cast("double").as("vsum"),
         grouping(col(keyCol)).as("g_key"), grouping(col("day")).as("g_day"))
       .select(
@@ -259,6 +280,37 @@ object EventOps {
         col("g_key").cast("int").as("g_key"),
         col("g_day").cast("int").as("g_day"),
         col("n"), round(col("vsum"), 6).as("vsum"))
+  }
+
+  /** Time-series gap fill: densify per-key bucket aggregates over the
+    * corpus's full [min, max] bucket range, emitting explicit zero rows
+    * for silent periods — resampling for dashboards/anomaly baselines,
+    * where a missing bucket and a zero bucket mean different things.
+    * The grid is GENERATED, not scanned: distinct keys (small) ×
+    * `sequence(lo, hi)` from a 1-row bounds aggregate, so grid size is
+    * #keys · #buckets regardless of event count; the aggregated frame
+    * left-joins the grid on (key, bucket). */
+  def gapFill(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      bucketMs: Long
+  ): DataFrame = {
+    val bucket = expr(s"unix_millis(`$tsCol`) div $bucketMs")
+    val decSum = sum(col(valueCol).cast(DecimalType(18, 6)))
+    val agg = events
+      .groupBy(col(keyCol), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"), round(decSum.cast("double"), 6).as("vsum"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = agg.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+    val grid = agg.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(keyCol), explode(sequence(col("lo"), col("hi"))).as("bucket"))
+    grid.join(agg, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("vsum"), lit(0.0)).as("vsum"))
   }
 
   /** Robust outlier gate via the median absolute deviation: per key, the

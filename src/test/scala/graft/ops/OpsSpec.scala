@@ -299,6 +299,38 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       ("ALL", "ALL", 1, 1, 4L, 15.0))
   }
 
+  it should "cube (key, day) adding the per-day marginal to the rollup sets" in {
+    val ev = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "a", 1.0),
+      (ts("2024-01-02 10:00:00"), 2L, "a", 2.0),
+      (ts("2024-01-01 10:00:00"), 3L, "b", 4.0)
+    ).toDF("ts", "user_id", "event_type", "value")
+    val out = EventOps.cubeProfile(ev, "event_type", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(4), r.getDouble(5)))
+      .toSet
+    // rollup sets …
+    out should contain allOf (("a", "2024-01-01", 1L, 1.0), ("a", "ALL", 2L, 3.0),
+      ("ALL", "ALL", 3L, 7.0))
+    // … plus the day marginals only CUBE emits
+    out should contain allOf (("ALL", "2024-01-01", 2L, 5.0), ("ALL", "2024-01-02", 1L, 2.0))
+    out.size shouldBe 8
+  }
+
+  it should "gap-fill silent buckets with explicit zero rows" in {
+    val ev = Seq(
+      (ts("2024-01-01 10:10:00"), 1L, "a", 1.0),
+      (ts("2024-01-01 13:10:00"), 2L, "a", 2.0), // hours 11 and 12 silent
+      (ts("2024-01-01 11:10:00"), 3L, "b", 4.0)
+    ).toDF("ts", "user_id", "event_type", "value")
+    val out = EventOps.gapFill(ev, "event_type", "ts", "value", 3600000L)
+      .orderBy("event_type", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    // range spans hours 10..13 for BOTH keys (corpus-wide bounds)
+    out shouldBe Array(
+      ("a", 1L, 1.0), ("a", 0L, 0.0), ("a", 0L, 0.0), ("a", 1L, 2.0),
+      ("b", 0L, 0.0), ("b", 1L, 4.0), ("b", 0L, 0.0), ("b", 0L, 0.0))
+  }
+
   it should "gate outliers on median absolute deviation" in {
     // nine values near 10 plus one wild outlier: med=10, sorted deviations
     // {0,0,0,0,0,1,1,1,1,990} -> p50 interpolates positions 4..5 (0 and 1)
