@@ -414,6 +414,12 @@ object SparkEntry {
       graft.ops.Dedup.exactDedupBest(
         table(s, dir, "documents"), "doc_id", "text", "n_chars")),
 
+    // Extension: duplicate-cluster size histogram — clusters and docs per
+    // exact-duplicate cluster size; the corpus-health summary a dedup
+    // decision starts from (two chained map-side-combinable aggregates).
+    "dedup_size_hist" -> ((s, dir) =>
+      graft.ops.Dedup.dupSizeHistogram(table(s, dir, "documents"), "doc_id", "text")),
+
     // Extension: truncation-duplicate screen — prefix pairs blocked on the
     // first-64-chars hash, verified exactly in-bucket; 1-row summary (a
     // healthy corpus legitimately reports zero pairs).
@@ -516,6 +522,18 @@ object SparkEntry {
     "text_contamination" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       graft.ops.Corpus.contamination(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text")
+    }),
+
+    // Extension: any-hit 5-gram decontamination of the TRAINING slice
+    // against the held-out benchmark slice — the reverse direction of
+    // text_contamination (one verbatim benchmark fragment flags the doc;
+    // no containment threshold). Benchmark grams broadcast-semi-join.
+    "text_contam_ngram" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.ops.Corpus.ngramDecontaminate(
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0),
         "doc_id", "text")
@@ -878,6 +896,28 @@ object SparkEntry {
     // it engine-portable.
     "events_cohort" -> ((s, dir) =>
       graft.ops.EventOps.cohortRetention(events(s, dir), "user_id", "ts")),
+
+    // Extension: per-day wide pivot over the (caller-supplied) event-type
+    // domain — counts + DECIMAL-routed value sums per type as one
+    // conditional-aggregation pass (see pivotProfile scaladoc for why
+    // this beats .pivot at scale).
+    "events_pivot" -> ((s, dir) =>
+      graft.ops.EventOps.pivotProfile(events(s, dir), "ts", "event_type", "value",
+        Seq("click", "error", "purchase", "signup", "view"))),
+
+    // Extension: first-touch attribution — per purchase event, the type
+    // of the user's first event plus elapsed ms and prior-event count at
+    // conversion; cumulative window, (ts, event_id)-pinned tie order.
+    "events_attribution" -> ((s, dir) =>
+      graft.ops.EventOps.firstTouchAttribution(events(s, dir),
+        "user_id", "ts", "event_type", "event_id", "purchase")),
+
+    // Extension: top-25 3-step event-type sequences in per-user
+    // timestamp order — sequence mining for funnel discovery; the global
+    // cut is TakeOrderedAndProject with ties broken on the sequence.
+    "events_top_sequences" -> ((s, dir) =>
+      graft.ops.EventOps.topSequences(events(s, dir),
+        "user_id", "ts", "event_type", "event_id")),
 
     // Extension: multi-level OLAP rollup — (type, day) subtotals, per-type
     // totals, grand total in one Expand+aggregate pass; grouping() flags
@@ -1396,6 +1436,14 @@ object SparkEntry {
         |  min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY 1""".stripMargin,
 
+    "dedup_size_hist" ->
+      """WITH d AS (SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |    count(*) AS n_dupes
+        |  FROM documents GROUP BY 1)
+        |SELECT n_dupes AS cluster_size, count(*) AS n_clusters,
+        |  n_dupes * count(*) AS n_docs
+        |FROM d GROUP BY 1""".stripMargin,
+
     // Window formulation of the survivor pick — a different algorithm
     // than Spark's max_by aggregate, agreeing exactly because the
     // (score, -id) order is total.
@@ -1468,6 +1516,19 @@ object SparkEntry {
         |  round(COALESCE(h.n_hit, 0) / len(s.sh), 6) AS containment,
         |  COALESCE(h.n_hit, 0) / len(s.sh) >= 0.8 AS contaminated
         |FROM test s LEFT JOIN hits h ON s.doc_id = h.doc_id""".stripMargin,
+
+    "text_contam_ngram" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(0, greatest(len(toks)-5, 0)), i -> array_to_string(toks[i+1:i+5], ' '))) AS sh FROM t),
+        |train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 20 != 0),
+        |bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 20 = 0),
+        |tp AS (SELECT doc_id, unnest(sh) AS g FROM train),
+        |hits AS (SELECT doc_id, count(*) AS n_matched FROM tp
+        |         WHERE g IN (SELECT g FROM bench) GROUP BY 1)
+        |SELECT s.doc_id, CAST(len(s.sh) AS BIGINT) AS n_grams,
+        |  COALESCE(h.n_matched, 0) AS n_matched,
+        |  COALESCE(h.n_matched, 0) > 0 AS contaminated
+        |FROM train s LEFT JOIN hits h ON s.doc_id = h.doc_id""".stripMargin,
 
     "docs_weighted_sample" ->
       """WITH w AS (SELECT max(n_chars) AS wmax FROM documents)
@@ -1981,6 +2042,45 @@ object SparkEntry {
         |SELECT f.cohort_week, a.active_week, a.active_week - f.cohort_week AS week_offset,
         |  count(*) AS n_users
         |FROM a JOIN f USING (user_id) GROUP BY 1, 2, 3""".stripMargin,
+
+    "events_pivot" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |  count(*) FILTER (event_type = 'click') AS n_click,
+        |  round(CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_click,
+        |  count(*) FILTER (event_type = 'error') AS n_error,
+        |  round(CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_error,
+        |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |  round(CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_purchase,
+        |  count(*) FILTER (event_type = 'signup') AS n_signup,
+        |  round(CAST(sum(CAST(CASE WHEN event_type = 'signup' THEN value ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_signup,
+        |  count(*) FILTER (event_type = 'view') AS n_view,
+        |  round(CAST(sum(CAST(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "events_attribution" ->
+      """WITH w AS (SELECT event_id, user_id, event_type,
+        |    epoch_ms(ts) AS ts_ms,
+        |    first_value(event_type) OVER u AS first_touch,
+        |    min(epoch_ms(ts)) OVER u AS first_ms,
+        |    count(*) OVER u AS n_cum
+        |  FROM events
+        |  WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, user_id, first_touch,
+        |  ts_ms - first_ms AS ms_to_convert,
+        |  n_cum - 1 AS n_prior_events
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
+
+    "events_top_sequences" ->
+      """WITH s AS (SELECT
+        |    event_type AS t0,
+        |    lead(event_type, 1) OVER u AS t1,
+        |    lead(event_type, 2) OVER u AS t2
+        |  FROM events
+        |  WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT t0 || '>' || t1 || '>' || t2 AS seq, count(*) AS n_occurrences
+        |FROM s WHERE t2 IS NOT NULL
+        |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 25""".stripMargin,
 
     // GROUPING() disambiguates the rolled-up 'ALL' labels; the DECIMAL
     // route keeps the sums partial-order independent in both engines.

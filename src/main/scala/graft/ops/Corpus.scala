@@ -631,4 +631,43 @@ object Corpus {
       .withColumn("containment", round(col("n_hit") / col("n_shingles"), 6))
       .withColumn("contaminated", col("n_hit") / col("n_shingles") >= threshold)
   }
+
+  /** Benchmark decontamination of the TRAINING set — the reverse direction
+    * of [[contamination]] (which scores held-out docs against the corpus):
+    * a training document is flagged when it shares ANY word `n`-gram with
+    * the benchmark, the standard any-hit blocklist rule for eval-set
+    * leakage (one verbatim benchmark fragment is disqualifying; no
+    * containment threshold). Output is one row per training document with
+    * its distinct-n-gram count, the number matched, and the flag.
+    *
+    * Scale: benchmarks are small by nature (eval sets, not corpora), so
+    * the distinct benchmark-gram set broadcasts and the per-gram probe is
+    * a broadcast semi-join — the training side never shuffles. With
+    * `broadcastBenchmark=false` the probe is a shuffle semi-join on the
+    * gram (both sides partial-aggregated first) for callers whose
+    * blocklist outgrows a broadcast. */
+  def ngramDecontaminate(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 5,
+      broadcastBenchmark: Boolean = true
+  ): DataFrame = {
+    val spark = train.sparkSession
+    val tsh = train.select(col(idCol),
+      shinglesFor(spark)(tokens(col(textCol)), shingleN).as("sh"))
+    val benchGrams = benchmark
+      .select(explode(shinglesFor(spark)(tokens(col(textCol)), shingleN)).as("g"))
+      .distinct()
+    val probeSide = if (broadcastBenchmark) broadcast(benchGrams) else benchGrams
+    val hits = tsh.select(col(idCol), explode(col("sh")).as("g"))
+      .join(probeSide, Seq("g"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_matched"))
+    tsh.select(col(idCol), size(col("sh")).cast("long").as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("contaminated", col("n_matched") > 0L)
+  }
 }

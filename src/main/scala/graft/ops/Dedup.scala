@@ -401,4 +401,17 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Duplicate-cluster size histogram — the corpus-health summary every
+    * dedup decision starts from: for each exact-duplicate cluster size,
+    * how many clusters and how many documents. Two chained map-side-
+    * combinable aggregates ([[exactDedup]]'s fingerprint groupBy, then a
+    * groupBy on the tiny size domain); the second shuffle carries one
+    * long per cluster. Output rows = #distinct sizes (a handful). */
+  def dupSizeHistogram(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactDedup(df, idCol, textCol)
+      .groupBy(col("n_dupes").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
 }

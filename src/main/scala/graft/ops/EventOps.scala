@@ -388,4 +388,90 @@ object EventOps {
       .select(col("cohort_week"), col("active_week"),
         (col("active_week") - col("cohort_week")).as("week_offset"), col("n_users"))
   }
+
+  /** Per-day pivot: one row per day, one (count, value-sum) column pair
+    * per pivot value — the wide-format report `rollupProfile`'s long
+    * format feeds. The pivot domain is CALLER-SUPPLIED: at 100 TB you
+    * never spend a full scan discovering it (`.pivot(col)` without
+    * values does exactly that), and `.pivot(col, values)` still compiles
+    * to a two-stage aggregate via `PivotFirst`. Conditional aggregation
+    * is one map-side-combinable pass with the same single shuffle on the
+    * day — strictly the better plan, identical output. Values absent
+    * from a day produce 0s, not nulls; sums are DECIMAL-routed. */
+  def pivotProfile(
+      events: DataFrame,
+      tsCol: String,
+      pivotCol: String,
+      valueCol: String,
+      values: Seq[String]
+  ): DataFrame = {
+    val day = to_date(col(tsCol)).cast("string")
+    val aggs = values.flatMap { v =>
+      val hit = col(pivotCol) === lit(v)
+      Seq(
+        sum(when(hit, 1L).otherwise(0L)).as(s"n_$v"),
+        round(sum(when(hit, col(valueCol)).otherwise(lit(0.0))
+          .cast(DecimalType(18, 6))).cast("double"), 6).as(s"sum_$v"))
+    }
+    events.groupBy(day.as("day")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** First-touch attribution: for every conversion event, the type of the
+    * user's FIRST event (at or before the conversion) and the elapsed
+    * time to convert. One shuffle on the user plus an in-partition sort;
+    * the window is cumulative (`rows unbounded preceding`), so running
+    * min/first state is O(1) per row and the filter to conversions
+    * happens after the window without a second pass. Tie order is pinned
+    * by (ts, event_id) — simultaneous events attribute deterministically. */
+  def firstTouchAttribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String,
+      conversionType: String
+  ): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tsMs = unix_millis(col(tsCol))
+    events
+      .withColumn("first_touch", first(col(typeCol)).over(w))
+      .withColumn("ms_to_convert", tsMs - min(tsMs).over(w))
+      .withColumn("n_prior_events", count(lit(1)).over(w) - 1L)
+      .filter(col(typeCol) === lit(conversionType))
+      .select(col(idCol), col(userCol), col("first_touch"),
+        col("ms_to_convert"), col("n_prior_events"))
+  }
+
+  /** Top-k event-type sequences: the `n`-length type n-grams users emit
+    * in timestamp order, globally counted, top `k` by frequency —
+    * sequence mining for funnel discovery. `lead` windows build the
+    * n-grams in the same single user-shuffle+sort every per-user pass
+    * here uses; the global count is map-side combinable on short string
+    * keys; top-k is TakeOrderedAndProject (per-partition heads, never a
+    * full sort). Ties break on the sequence string so the cut is
+    * deterministic. */
+  def topSequences(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String,
+      n: Int = 3,
+      k: Int = 25
+  ): DataFrame = {
+    require(n >= 2, s"sequence length must be >= 2, got $n")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val steps = (0 until n).map { i =>
+      if (i == 0) col(typeCol) else lead(col(typeCol), i).over(w)
+    }
+    events
+      .select(concat_ws(">", steps: _*).as("seq"), steps.last.isNotNull.as("full"))
+      .filter(col("full"))
+      .groupBy(col("seq"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("seq"))
+      .limit(k)
+  }
 }

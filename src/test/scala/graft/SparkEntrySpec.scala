@@ -104,6 +104,28 @@ class SparkEntrySpec extends AnyFlatSpec with Matchers {
     // build side of a broadcast join
     val lm = plan("text_interp_lm")
     withClue(lm) { lm should include ("ShuffledHashJoin [bg") }
+    // pivot: ONE conditional-aggregation pass — a single day shuffle, no
+    // Expand, no join (the .pivot two-stage shape would add an aggregate)
+    val pivot = plan("events_pivot")
+    withClue(pivot) {
+      exchanges(pivot) shouldBe 1
+      pivot should not include "Expand"
+      pivot should not include "Join"
+    }
+    // attribution: one user shuffle + in-partition sort, no join
+    val attr = plan("events_attribution")
+    withClue(attr) {
+      exchanges(attr) shouldBe 1
+      attr should not include "Join"
+    }
+    // sequence mining: the global cut is TakeOrderedAndProject (per-
+    // partition heads), never a full sort of the count table
+    val seqs = plan("events_top_sequences")
+    withClue(seqs) { seqs should include ("TakeOrderedAndProject") }
+    // decontamination: the benchmark gram set is the BROADCAST side of the
+    // semi-join; the training side never shuffles for the probe
+    val decon = plan("text_contam_ngram")
+    withClue(decon) { decon should include ("BroadcastHashJoin") }
   }
 
   it should "prune unused columns all the way into the parquet scan" in {

@@ -513,6 +513,72 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     pairs.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((0L, 1L))
   }
 
+  it should "pivot per-day type counts and sums with zeros for absent types" in {
+    val ev = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "click", 1.5),
+      (ts("2024-01-01 11:00:00"), 2L, "click", 2.5),
+      (ts("2024-01-02 10:00:00"), 1L, "view", 3.0)
+    ).toDF("ts", "user_id", "event_type", "value")
+    val out = EventOps.pivotProfile(ev, "ts", "event_type", "value",
+      Seq("click", "view", "purchase")).orderBy("day").collect()
+    out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+      r.getDouble(4), r.getLong(5), r.getDouble(6))) shouldBe Array(
+      ("2024-01-01", 2L, 4.0, 0L, 0.0, 0L, 0.0),
+      ("2024-01-02", 0L, 0.0, 1L, 3.0, 0L, 0.0))
+  }
+
+  it should "attribute conversions to the user's first touch" in {
+    val ev = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 1L, "signup", 0.0),
+      (11L, ts("2024-01-01 10:05:00"), 1L, "click", 0.0),
+      (12L, ts("2024-01-01 10:10:00"), 1L, "purchase", 9.0),
+      (20L, ts("2024-01-01 09:00:00"), 2L, "purchase", 5.0), // converts on first event
+      (21L, ts("2024-01-01 09:30:00"), 2L, "purchase", 6.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.firstTouchAttribution(ev, "user_id", "ts", "event_type",
+      "event_id", "purchase").orderBy("event_id").collect()
+    out.map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getLong(4))) shouldBe
+      Array((12L, "signup", 600000L, 2L), (20L, "purchase", 0L, 0L),
+        (21L, "purchase", 1800000L, 1L))
+  }
+
+  it should "mine top event-type sequences with deterministic tie order" in {
+    val ev = (0 until 3).flatMap { u => // three users emit a>b>c>b>c
+      Seq("a", "b", "c", "b", "c").zipWithIndex.map { case (t, i) =>
+        (u * 10L + i, ts(f"2024-01-01 10:0$i:00"), u.toLong, t, 0.0)
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.topSequences(ev, "user_id", "ts", "event_type", "event_id",
+      n = 3, k = 2).collect()
+    // per user: a>b>c, b>c>b, c>b>c — all count 3; tie-break is the string
+    out.map(r => (r.getString(0), r.getLong(1))) shouldBe
+      Array(("a>b>c", 3L), ("b>c>b", 3L))
+  }
+
+  it should "flag training docs sharing any n-gram with the benchmark" in {
+    val train = Seq(Doc(1, "u v w x y z", "s"), Doc(2, "p q r s t", "s"),
+      Doc(3, "tiny", "s")).toDS.toDF()
+    val bench = Seq(Doc(100, "a b u v w x y c", "s")).toDS.toDF()
+    val res = Corpus.ngramDecontaminate(train, bench, "doc_id", "text", shingleN = 5)
+      .orderBy("doc_id").collect()
+    // doc 1 shares the 5-gram "u v w x y"; doc 2 shares nothing; doc 3 is
+    // shorter than n (whole-text collapse, no benchmark hit)
+    res.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))) shouldBe
+      Array((1L, 2L, 1L, true), (2L, 1L, 0L, false), (3L, 1L, 0L, false))
+    val shuffled = Corpus.ngramDecontaminate(train, bench, "doc_id", "text",
+      shingleN = 5, broadcastBenchmark = false).orderBy("doc_id").collect()
+    shuffled shouldBe res
+  }
+
+  it should "histogram duplicate-cluster sizes" in {
+    val docs = Seq(Doc(1, "same text", "s"), Doc(2, "same  TEXT", "s"),
+      Doc(3, "other", "s"), Doc(4, "third", "s")).toDS.toDF()
+    val out = Dedup.dupSizeHistogram(docs, "doc_id", "text")
+      .orderBy("cluster_size").collect()
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe
+      Array((1L, 2L, 2L), (2L, 1L, 2L))
+  }
+
   behavior of "Multimodal"
 
   it should "round-trip a real BMP header through encode and decode" in {
