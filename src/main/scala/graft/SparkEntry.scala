@@ -470,6 +470,25 @@ object SparkEntry {
       graft.ops.Components.dedupClusters(docs, "doc_id", pairs, "a_id", "b_id")
     }),
 
+    // Extension: MinHash-LSH banding evaluation — candidate recall and
+    // precision against EXHAUSTIVE exact-Jaccard ground truth (the
+    // eval-only inverted-index enumeration; prices the bands/rows knob
+    // the way sim_proj_recall prices the projection).
+    "dedup_lsh_eval" -> ((s, dir) =>
+      graft.ops.Dedup.lshRecallEval(
+        spread(s, table(s, dir, "documents")), "doc_id", "text")),
+
+    // Extension: PageRank over the verified near-dup pair graph — hub
+    // centrality within duplicate families (GraphX static convention,
+    // 3 iterations; DECIMAL-routed contribution sums).
+    "dedup_pagerank" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = graft.ops.Dedup
+        .minhashNearDupPairs(spread(s, docs), "doc_id", "text")
+        .filter(col("is_dup"))
+      graft.ops.Components.pageRank(docs, "doc_id", pairs, "a_id", "b_id")
+    }),
+
     // Extension: schema-enforced JSON-lines ingestion with corrupt-record
     // quarantine — a deterministic fixture is written, split into
     // clean/quarantined by graft.sources.Ingest, counted, and the shared
@@ -1484,6 +1503,57 @@ object SparkEntry {
         |          UNION SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s)
         |SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS is_keeper
         |FROM reach GROUP BY id""".stripMargin,
+
+    // Ground truth brute-forces ALL pairs (affordable for DuckDB at the
+    // verify sf); pairs sharing no shingle have Jaccard 0 and drop, so it
+    // equals the Spark side's shared-gram enumeration.
+    "dedup_lsh_eval" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(0, greatest(len(toks)-3, 0)), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM t),
+        |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 15), k -> list_min(list_transform(sh, x -> (('0x'||substr(md5(x),1,7))::UBIGINT)::BIGINT + k * (('0x'||substr(md5(x),8,7))::UBIGINT)::BIGINT))) AS sig FROM sh),
+        |bands AS (SELECT doc_id, j, md5(j::VARCHAR||':'||array_to_string(sig[j*2+1:j*2+2], ',')) AS key FROM sig, range(8) r(j)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a JOIN bands b ON a.j=b.j AND a.key=b.key AND a.doc_id<b.doc_id),
+        |ver AS (SELECT count(*) AS n FROM cand c JOIN sh sa ON c.a_id = sa.doc_id JOIN sh sb ON c.b_id = sb.doc_id
+        |  WHERE len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.7),
+        |truth AS (SELECT count(*) AS n FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7),
+        |nc AS (SELECT count(*) AS n FROM cand)
+        |SELECT truth.n AS n_true_pairs, nc.n AS n_candidates, ver.n AS n_verified,
+        |  round(ver.n / truth.n, 6) AS recall, round(ver.n / nc.n, 6) AS precision
+        |FROM truth, nc, ver""".stripMargin,
+
+    // The PageRank recurrence is replayed bit-for-bit: pr/deg is the same
+    // IEEE double in both engines, per-edge contributions are cast to
+    // DECIMAL(28,15) so the incoming sum is exact (order-independent),
+    // and (1-d)/d arithmetic is forced to DOUBLE (DuckDB's bare numeric
+    // literals are DECIMAL and would compute an exact 0.15 instead of
+    // the double 1.0-0.85 the Scala side folds).
+    "dedup_pagerank" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(0, greatest(len(toks)-3, 0)), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM t),
+        |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 15), k -> list_min(list_transform(sh, x -> (('0x'||substr(md5(x),1,7))::UBIGINT)::BIGINT + k * (('0x'||substr(md5(x),8,7))::UBIGINT)::BIGINT))) AS sig FROM sh),
+        |bands AS (SELECT doc_id, j, md5(j::VARCHAR||':'||array_to_string(sig[j*2+1:j*2+2], ',')) AS key FROM sig, range(8) r(j)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a JOIN bands b ON a.j=b.j AND a.key=b.key AND a.doc_id<b.doc_id),
+        |p AS (SELECT c.a_id, c.b_id,
+        |  len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+        |  FROM cand c JOIN sh sa ON c.a_id = sa.doc_id JOIN sh sb ON c.b_id = sb.doc_id),
+        |e AS (SELECT a_id AS s, b_id AS d FROM p WHERE jaccard >= 0.7
+        |      UNION ALL SELECT b_id, a_id FROM p WHERE jaccard >= 0.7),
+        |dg AS (SELECT s, count(*) AS deg FROM e GROUP BY 1),
+        |pr0 AS (SELECT doc_id AS id, CAST(1.0 AS DOUBLE) AS pr FROM documents),
+        |c1 AS (SELECT e.d AS id, CAST(pr0.pr / dg.deg AS DECIMAL(28,15)) AS c
+        |       FROM e JOIN dg ON e.s = dg.s JOIN pr0 ON e.s = pr0.id),
+        |pr1 AS (SELECT p0.id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * coalesce(CAST(x.cs AS DOUBLE), CAST(0.0 AS DOUBLE)) AS pr
+        |        FROM pr0 p0 LEFT JOIN (SELECT id, sum(c) AS cs FROM c1 GROUP BY 1) x ON p0.id = x.id),
+        |c2 AS (SELECT e.d AS id, CAST(pr1.pr / dg.deg AS DECIMAL(28,15)) AS c
+        |       FROM e JOIN dg ON e.s = dg.s JOIN pr1 ON e.s = pr1.id),
+        |pr2 AS (SELECT p1.id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * coalesce(CAST(x.cs AS DOUBLE), CAST(0.0 AS DOUBLE)) AS pr
+        |        FROM pr1 p1 LEFT JOIN (SELECT id, sum(c) AS cs FROM c2 GROUP BY 1) x ON p1.id = x.id),
+        |c3 AS (SELECT e.d AS id, CAST(pr2.pr / dg.deg AS DECIMAL(28,15)) AS c
+        |       FROM e JOIN dg ON e.s = dg.s JOIN pr2 ON e.s = pr2.id),
+        |pr3 AS (SELECT p2.id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * coalesce(CAST(x.cs AS DOUBLE), CAST(0.0 AS DOUBLE)) AS pr
+        |        FROM pr2 p2 LEFT JOIN (SELECT id, sum(c) AS cs FROM c3 GROUP BY 1) x ON p2.id = x.id)
+        |SELECT id AS doc_id, round(pr, 6) AS pagerank FROM pr3""".stripMargin,
 
     "docs_hash_sample" ->
       """SELECT doc_id, lang, source, bucket FROM (

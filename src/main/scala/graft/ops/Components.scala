@@ -26,6 +26,16 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Both directions of an undirected edge list, materialized so the
+    * (often expensive — e.g. a full MinHash banding pipeline) upstream
+    * edge computation runs ONCE: the one-direction frame is checkpointed
+    * first, and the union reads its blocks twice instead of executing
+    * the pipeline twice. */
+  private def symmetrized(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val once = edges.select(col(srcCol).as("s"), col(dstCol).as("d")).localCheckpoint()
+    once.union(once.select(col("d").as("s"), col("s").as("d"))).localCheckpoint()
+  }
+
   /** Assigns every vertex the minimum vertex id reachable from it in the
     * undirected graph given by `edges`. Returns (`idCol`, "component").
     *
@@ -40,9 +50,7 @@ object Components {
       dstCol: String,
       maxIter: Int = 25
   ): DataFrame = {
-    val sym = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
-      .union(edges.select(col(dstCol).as("s"), col(srcCol).as("d")))
-      .localCheckpoint()
+    val sym = symmetrized(edges, srcCol, dstCol)
 
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("component"))
       .localCheckpoint()
@@ -86,4 +94,52 @@ object Components {
     connectedComponents(docs, idCol, pairs, aCol, bCol)
       .select(col(idCol), col("component").as("cluster_id"),
         (col(idCol) === col("component")).as("is_keeper"))
+
+  /** Fixed-iteration PageRank over an undirected pair graph — node
+    * centrality for duplicate-cluster triage (which copy is the "hub" of
+    * a near-dup family) and general graph analytics over derived edges.
+    *
+    * Convention is GraphX's static PageRank: init 1.0, then
+    * `pr' = (1−d) + d·Σ pr(in)/deg(in)` for exactly `iterations` rounds,
+    * no dangling-mass redistribution — vertices without edges settle at
+    * (1−d). Each round is the [[connectedComponents]] shuffle shape: one
+    * equi-join on the source plus one map-side-combinable aggregate on
+    * the destination, ended with `localCheckpoint` so the iterative plan
+    * cannot snowball. Only the loop counter lives on the driver.
+    *
+    * Determinism across engines and partitionings: the per-edge
+    * contribution `pr/deg` is an IEEE double both engines compute
+    * identically, but SUMMING doubles is order-dependent — so each
+    * contribution is cast to DECIMAL(28,15) and the sum is exact decimal
+    * arithmetic, then one cast back. The oracle replays the recurrence
+    * bit-for-bit. */
+  def pageRank(
+      vertices: DataFrame,
+      idCol: String,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 3,
+      damping: Double = 0.85
+  ): DataFrame = {
+    val sym = symmetrized(edges, srcCol, dstCol)
+    val deg = sym.groupBy("s").agg(count(lit(1)).as("deg")).localCheckpoint()
+    var pr = vertices.select(col(idCol).as("id"), lit(1.0).as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contribs = sym
+        .join(deg, "s")
+        .join(pr.withColumnRenamed("id", "s"), "s")
+        .select(col("d").as("id"),
+          (col("pr") / col("deg"))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 15)).as("c"))
+      pr = pr.select(col("id"))
+        .join(contribs.groupBy("id").agg(sum(col("c")).as("cs")), Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("cs").cast("double"), lit(0.0))).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("id").as(idCol), round(col("pr"), 6).as("pagerank"))
+  }
 }

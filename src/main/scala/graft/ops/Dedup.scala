@@ -402,6 +402,64 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Evaluation harness for the MinHash-LSH banding knob: recall of the
+    * candidate generator against EXHAUSTIVE exact-Jaccard ground truth,
+    * plus candidate precision (what fraction of generated candidates
+    * verify). The banding trade (more bands → higher recall, more
+    * candidates) is otherwise set blind; this row prices it the way
+    * `sim_proj_recall` prices the projection.
+    *
+    * The ground-truth side enumerates every pair sharing at least one
+    * shingle (an inverted-index self-join with NO df cap — complete for
+    * any threshold > 0 because positive Jaccard requires a shared
+    * shingle, and quadratic in hot-shingle document frequency). That is
+    * an EVAL-ONLY posture: run it on a sample, never the corpus — the
+    * production candidate path stays [[minhashNearDupPairs]].
+    * Verified candidates are exact-Jaccard-checked, so they are a subset
+    * of the truth set and recall = n_verified / n_true_pairs. */
+  def lshRecallEval(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val sh = df.select(col(idCol).as("id"),
+      shinglesFor(spark)(tokens(col(textCol)), shingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = sh.select(col("id"), explode(col("sh")).as("g"))
+    // Shingle lists are distinct, so the per-pair shared-gram COUNT from
+    // the exploded self-join IS |intersection| — no per-pair array
+    // rejoin/intersect; the (id, size) frame joins back (AQE picks the
+    // strategy) and the Jaccard denominator is exact integer arithmetic.
+    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
+    val jac = col("inter") / (col("sa") + col("sb") - col("inter"))
+    val truth = grams.as("a")
+      .join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("sz", "sa"), col("a_id") === col("id")).drop("id")
+      .join(sizes.withColumnRenamed("sz", "sb"), col("b_id") === col("id")).drop("id")
+      .filter(jac >= threshold)
+      .select(col("a_id"), col("b_id"), lit(1L).as("is_true"))
+    val predicted = minhashNearDupPairs(df, idCol, textCol, shingleN, numHashes,
+      bands, threshold)
+      .select(col("a_id"), col("b_id"), lit(1L).as("is_cand"),
+        when(col("is_dup"), 1L).otherwise(0L).as("is_ver"))
+    truth.join(predicted, Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        sum(coalesce(col("is_true"), lit(0L))).as("n_true_pairs"),
+        sum(coalesce(col("is_cand"), lit(0L))).as("n_candidates"),
+        sum(coalesce(col("is_ver"), lit(0L))).as("n_verified"))
+      .select(col("n_true_pairs"), col("n_candidates"), col("n_verified"),
+        round(col("n_verified") / col("n_true_pairs"), 6).as("recall"),
+        round(col("n_verified") / col("n_candidates"), 6).as("precision"))
+  }
+
   /** Duplicate-cluster size histogram — the corpus-health summary every
     * dedup decision starts from: for each exact-duplicate cluster size,
     * how many clusters and how many documents. Two chained map-side-

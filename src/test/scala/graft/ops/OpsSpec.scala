@@ -817,6 +817,29 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out shouldBe Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L))
   }
 
+  it should "match hand-computed PageRank on a path graph with a singleton" in {
+    // path 1-2-3 plus isolated 4; GraphX static convention, 3 iterations:
+    //   iter1: pr = (0.575, 1.85, 0.575)
+    //   iter2: pr = (0.93625, 1.1275, 0.93625)
+    //   iter3: pr = (0.6291875, 1.741625, 0.6291875); singleton stays 0.15
+    val vertices = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = Components.pageRank(vertices, "id", edges, "a", "b")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    out shouldBe Array((1L, 0.629188), (2L, 1.741625), (3L, 0.629188), (4L, 0.15))
+  }
+
+  it should "report full recall when banding catches every true pair" in {
+    val docs = Seq(
+      Doc(1, "alpha beta gamma delta epsilon zeta", "s"),
+      Doc(2, "alpha beta gamma delta epsilon zeta", "s"), // exact dup of 1
+      Doc(3, "one two three four five six seven", "s")
+    ).toDS.toDF()
+    val out = Dedup.lshRecallEval(docs, "doc_id", "text").collect()(0)
+    (out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getDouble(3), out.getDouble(4)) shouldBe (1L, 1L, 1L, 1.0, 1.0)
+  }
+
   it should "agree with brute-force closure on randomized graphs" in {
     val rng = new scala.util.Random(42) // fixed seed: deterministic cases
     (1 to 3).foreach { _ =>
