@@ -881,6 +881,32 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"), col("c_mktsegment"))
     }),
 
+    // Extension: STREAMING rule application, oracle-checked — the plug
+    // engine compiles rules to STATELESS projections, so the identical
+    // SparkPlug API runs on a streaming frame (readStream → plug →
+    // writeStream, no watermark, no state). The bounded feed replays
+    // through a 2-rule chain (reclassify hot views; zero out cheap
+    // clicks — rule 2 sees rule 1's output) and the drained sink
+    // aggregates per type; the oracle is the equivalent batch CASE chain.
+    "stream_plug" -> ((s, dir) => withStreamingShuffle(s, 4) {
+      import graft.plug.{PlugAction, PlugRule}
+      val (in, _) = streamFeed(s, dir, 2000)
+      val rules = List(
+        PlugRule("hot_views", "v1", "event_type = 'view' and value > 250",
+          Seq(PlugAction("event_type", "view_hot"))),
+        PlugRule("zero_cheap_clicks", "v1", "event_type = 'click' and value < 50",
+          Seq(PlugAction("value", "0.0"))))
+      val plugged = graft.streaming.StreamingOps.plugStream(in.toDF(), rules)(s)
+      s.catalog.dropTempView("stream_plug_out")
+      graft.streaming.StreamingOps.runToMemory(plugged, "stream_plug_out",
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      s.table("stream_plug_out")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double"), 6).as("vsum"))
+    }),
+
     // Extension: curriculum-style length binning — exact quartile
     // boundaries once, scan-side bin assignment (never a global ntile).
     "docs_length_bins" -> ((s, dir) =>
@@ -968,6 +994,31 @@ object SparkEntry {
     "events_rate_window" -> ((s, dir) =>
       graft.ops.EventOps.slidingRate(events(s, dir), "user_id", "ts", 3600L)
         .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("n_trailing"))),
+
+    // Extension: debounce — drop an event whose predecessor of the same
+    // (user, type) landed under 10 minutes before it (duplicate-click /
+    // retry-storm suppression); one (user, type) window pass, no join.
+    "events_debounce" -> ((s, dir) =>
+      graft.ops.EventOps.debounce(events(s, dir),
+          "user_id", "event_type", "ts", "event_id", 600000L)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ts_ms"))),
+
+    // Extension: rolling 7-day distinct actives per observed day. The
+    // Spark side EXPLODES each deduped (day, user) pair to the 7 windows
+    // it serves (narrow — the range join becomes arithmetic); the oracle
+    // is the independent naive formulation (day grid range-joined to the
+    // pairs), so the rewrite itself is what the hash match proves.
+    "events_rolling_active" -> ((s, dir) =>
+      graft.ops.EventOps.rollingActive(events(s, dir), "user_id", "ts", 7)),
+
+    // Extension: SCD2 change history — per user, collapse the event stream
+    // to event_type TRANSITIONS and stamp each surviving version with
+    // [valid_from, valid_to) epoch-millis and a version number (the
+    // slowly-changing-dimension build every mutation feed needs).
+    "events_change_history" -> ((s, dir) =>
+      graft.ops.EventOps.changeHistory(events(s, dir),
+        "user_id", "event_type", "ts", "event_id")),
 
     // Extension: per-key numeric value profile (data-quality stats with
     // order-independent DECIMAL sums and the exact interpolated median).
@@ -1093,6 +1144,13 @@ object SparkEntry {
     "text_unigram_logprob" -> ((s, dir) =>
       graft.ops.Corpus.unigramLogProb(
         spread(s, table(s, dir, "documents")), "doc_id", "text")),
+
+    // Extension: Zipf rank-frequency fit — least-squares slope/intercept
+    // of ln(freq) vs ln(rank) over the top-100 tokens, the corpus-health
+    // check for templated/synthetic text (natural text ≈ slope −1). The
+    // top-k cut is TakeOrderedAndProject; the regression runs over k rows.
+    "text_zipf" -> ((s, dir) =>
+      graft.ops.Corpus.zipfFit(table(s, dir, "documents"), "text", 100)),
 
     // Extension: fixed-width value histogram per type (10-unit bins,
     // overflow clamped into the last bin) — the constant-memory
@@ -2089,6 +2147,22 @@ object SparkEntry {
         |  count(DISTINCT md5(regexp_replace(trim(lower(props)), '\s+', ' ', 'g'))) AS n_distinct_fp
         |FROM events WHERE event_id < 2000""".stripMargin,
 
+    // The batch CASE chain equivalent to the 2-rule plug: rule 2 evaluates
+    // over rule 1's OUTPUT (sequential semantics), hence the nested CTEs.
+    "stream_plug" ->
+      """WITH r1 AS (SELECT
+        |    CASE WHEN event_type = 'view' AND value > 250 THEN 'view_hot'
+        |         ELSE event_type END AS event_type,
+        |    value
+        |  FROM events WHERE event_id < 2000),
+        |r2 AS (SELECT event_type,
+        |    CASE WHEN event_type = 'click' AND value < 50 THEN 0.0
+        |         ELSE value END AS value
+        |  FROM r1)
+        |SELECT event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS vsum
+        |FROM r2 GROUP BY 1""".stripMargin,
+
     "events_sessionize" ->
       """WITH x AS (SELECT user_id, ts, epoch_ms(ts) AS ts_ms,
         |    CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
@@ -2211,6 +2285,35 @@ object SparkEntry {
         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_trailing
         |FROM events""".stripMargin,
 
+    "events_debounce" ->
+      """WITH w AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts, event_id) AS prev_ms
+        |  FROM events)
+        |SELECT event_id, user_id, event_type, ts_ms
+        |FROM w WHERE prev_ms IS NULL OR ts_ms - prev_ms >= 600000""".stripMargin,
+
+    // Deliberately the NAIVE formulation (day grid range-joined to deduped
+    // (day, user) pairs) — independent of the Spark side's explode-to-
+    // equi-join rewrite, so the hash match proves the rewrite.
+    "events_rolling_active" ->
+      """WITH du AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id FROM events),
+        |obs AS (SELECT DISTINCT day FROM du)
+        |SELECT obs.day AS day, count(DISTINCT du.user_id) AS active_users
+        |FROM obs JOIN du ON du.day BETWEEN obs.day - 6 AND obs.day
+        |GROUP BY 1""".stripMargin,
+
+    "events_change_history" ->
+      """WITH w AS (SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |v AS (SELECT user_id, event_type, event_id, ts_ms AS valid_from_ms
+        |  FROM w WHERE event_type IS DISTINCT FROM prev_type)
+        |SELECT user_id, event_type, valid_from_ms,
+        |  lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY valid_from_ms, event_id) AS valid_to_ms,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY valid_from_ms, event_id) AS version_n
+        |FROM v""".stripMargin,
+
     "events_value_profile" ->
       """SELECT event_type,
         |  count(*) AS n,
@@ -2304,6 +2407,29 @@ object SparkEntry {
         |SELECT t.doc_id, count(*) AS n_tokens,
         |  round(CAST(sum(CAST(ln((c.cnt + 1) / (tot.total + tot.vocab)) AS DECIMAL(27,12))) AS DOUBLE) / count(*), 6) AS avg_logprob
         |FROM t JOIN c USING (term) CROSS JOIN tot GROUP BY 1""".stripMargin,
+
+    // ln values round-trip through DECIMAL(27,12) (canonicalized doubles,
+    // order-independent sums — the unigram-LM recipe); products stay in
+    // double because a (27,12)×(27,12) decimal multiply overflows width 38.
+    "text_zipf" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+        |top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 100),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank FROM top),
+        |l AS (SELECT
+        |    CAST(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(27,12)) AS DOUBLE) AS lx,
+        |    CAST(CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(27,12)) AS DOUBLE) AS ly
+        |  FROM r),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(lx AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(ly AS DECIMAL(27,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(lx * ly AS DECIMAL(27,12))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(lx * lx AS DECIMAL(27,12))) AS DOUBLE) AS sxx
+        |  FROM l)
+        |SELECT CAST(n AS BIGINT) AS n_ranks,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+        |FROM s""".stripMargin,
 
     "events_histogram" ->
       """SELECT event_type,

@@ -670,4 +670,53 @@ object Corpus {
         coalesce(col("n_matched"), lit(0L)).as("n_matched"))
       .withColumn("contaminated", col("n_matched") > 0L)
   }
+
+  /** Zipf rank-frequency fit: least-squares slope/intercept of
+    * ln(frequency) against ln(rank) over the corpus's top-`k` tokens — the
+    * classic corpus-health check (natural text sits near slope −1;
+    * templated/synthetic text drifts flat or cliff-shaped). Scale shape:
+    * token counting is one map-side-combinable groupBy; the top-k cut is
+    * TakeOrderedAndProject (per-partition heads, never a global sort) with
+    * ties broken on the token so the ranked set is deterministic; the
+    * closed-form regression then runs over k rows — the single-partition
+    * window after `limit(k)` is bounded by construction. Float discipline:
+    * each ln() routes through DECIMAL(27,12) before summing (the
+    * [[unigramLogProb]] recipe — order-independent sums, sub-ulp noise
+    * truncated), and the slope/intercept are scalar double arithmetic over
+    * those exact sums, rounded to 6. */
+  def zipfFit(
+      df: DataFrame,
+      textCol: String,
+      k: Int = 100
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = df
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(k)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+    val dec = org.apache.spark.sql.types.DecimalType(27, 12)
+    // ln values round-trip through DECIMAL(27,12) so both engines start the
+    // regression from bit-identical canonicalized doubles; the PRODUCTS are
+    // computed in double (a (27,12)×(27,12) decimal multiply would overflow
+    // precision 38 — Spark silently rounds, DuckDB errors) and only then
+    // routed back to DECIMAL for the order-independent sum.
+    val lx = log(col("rank").cast("double")).cast(dec).cast("double")
+    val ly = log(col("cnt").cast("double")).cast(dec).cast("double")
+    ranked.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(lx.cast(dec)).cast("double").as("sx"),
+        sum(ly.cast(dec)).cast("double").as("sy"),
+        sum((lx * ly).cast(dec)).cast("double").as("sxy"),
+        sum((lx * lx).cast(dec)).cast("double").as("sxx"))
+      .select(
+        col("n").cast("long").as("n_ranks"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+              col("n"), 6).as("intercept"))
+  }
 }

@@ -474,4 +474,95 @@ object EventOps {
       .orderBy(col("n_occurrences").desc, col("seq"))
       .limit(k)
   }
+
+  /** Debounce: drop an event when the PREVIOUS raw event of the same
+    * (user, type) landed within `minGapMs` before it — duplicate-click /
+    * retry-storm suppression. The gate compares to the previous RAW event
+    * (a `lag` over the (user, type) partition), not the previous kept one:
+    * a burst collapses to its first event only if every inter-event gap is
+    * short, which is the standard analytics debounce and — unlike
+    * kept-event chaining — is expressible as one window pass with no
+    * recursion. Tie order inside equal timestamps is pinned on `idCol`.
+    * One shuffle on (user, type); no join, no second pass. */
+  def debounce(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      minGapMs: Long
+  ): DataFrame = {
+    val w = Window.partitionBy(col(userCol), col(typeCol))
+      .orderBy(col(tsCol), col(idCol))
+    val tsMs   = unix_millis(col(tsCol))
+    val prevMs = lag(tsMs, 1).over(w)
+    events
+      .withColumn("gap_ok", prevMs.isNull || (tsMs - prevMs) >= minGapMs)
+      .filter(col("gap_ok"))
+      .drop("gap_ok")
+  }
+
+  /** Rolling distinct actives: for every day with activity, the distinct
+    * `userCol` count over the trailing `windowDays` days (inclusive). The
+    * scale shape converts the range join a naive rolling-distinct implies
+    * into narrow arithmetic: dedup (day, user) pairs first (map-side
+    * combinable, collapses each user's per-day event volume to 1 row),
+    * EXPLODE each pair to the `windowDays` target days it contributes to
+    * (narrow — no join, no grid scan), dedup (target_day, user) again
+    * (a user active on several days of one window must count once), then
+    * count. Day-grid frames are #days-sized — broadcast by construction.
+    * Output is restricted to days that actually appear in the data (the
+    * semi-join with `obsDays`), matching the "report days we observed"
+    * convention; a gap-filled variant would swap in [[gapFill]]'s grid. */
+  def rollingActive(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      windowDays: Int
+  ): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val day = expr(s"unix_millis(`$tsCol`) div ${86400000L}")
+    val dayUser = events.select(day.as("day"), col(userCol).as("u")).distinct()
+    val obsDays = dayUser.select(col("day")).distinct()
+    val contrib = dayUser
+      .select(explode(sequence(col("day"), col("day") + lit(windowDays - 1)))
+        .as("target_day"), col("u"))
+    contrib
+      .join(broadcast(obsDays.withColumnRenamed("day", "target_day")), "target_day")
+      .distinct()
+      .groupBy(col("target_day"))
+      .agg(count(lit(1)).as("active_users"))
+      .withColumnRenamed("target_day", "day")
+  }
+
+  /** SCD2 change history over an attribute: per user, collapse the event
+    * stream to the rows where `attrCol` CHANGES (null-safe: `<=>` against
+    * the lag), then stamp each surviving version with
+    * [valid_from, valid_to) epoch-millis and a per-user version number —
+    * the slowly-changing-dimension type-2 build warehouses run on every
+    * mutation feed. `valid_to` is null for the open current version. Two
+    * window passes over the SAME (user × (ts, id)) sort — Catalyst reuses
+    * the one shuffle+sort for both (no second exchange); tie order inside
+    * equal timestamps is pinned on `idCol`. */
+  def changeHistory(
+      events: DataFrame,
+      userCol: String,
+      attrCol: String,
+      tsCol: String,
+      idCol: String
+  ): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val tsMs    = unix_millis(col(tsCol))
+    val changed = !(col(attrCol) <=> lag(col(attrCol), 1).over(w))
+    val versions = events
+      .withColumn("valid_from_ms", tsMs)
+      .withColumn("chg", changed)
+      .filter(col("chg"))
+    val wv = Window.partitionBy(col(userCol)).orderBy(col("valid_from_ms"), col(idCol))
+    versions
+      .withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(wv))
+      .withColumn("version_n", row_number().over(wv).cast("long"))
+      .select(col(userCol), col(attrCol), col("valid_from_ms"),
+        col("valid_to_ms"), col("version_n"))
+  }
 }

@@ -360,6 +360,57 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out shouldBe Array((1L, 1L), (1L, 2L), (1L, 3L), (1L, 1L), (2L, 1L))
   }
 
+  it should "debounce per (user, type) against the previous raw event" in {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click"),
+      (2L, ts("2024-01-01 10:00:30"), 1L, "click"), // 30s after raw prev: dropped
+      (3L, ts("2024-01-01 10:00:50"), 1L, "click"), // 20s after DROPPED prev: still dropped (raw-lag semantics)
+      (4L, ts("2024-01-01 10:02:00"), 1L, "click"), // 70s gap: kept
+      (5L, ts("2024-01-01 10:00:10"), 1L, "view"),  // other type: kept
+      (6L, ts("2024-01-01 10:00:10"), 2L, "click")  // other user: kept
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.debounce(ev, "user_id", "event_type", "ts", "event_id", 60000L)
+      .select("event_id").orderBy("event_id").collect().map(_.getLong(0))
+    out shouldBe Array(1L, 4L, 5L, 6L)
+  }
+
+  it should "count rolling 7-day distinct actives per observed day" in {
+    def d(day: Int) = ts(f"2024-01-$day%02d 10:00:00")
+    val ev = Seq(
+      (d(1), 1L, "t", 1.0), (d(1), 1L, "t", 1.0), // same (day, user) twice: once
+      (d(1), 2L, "t", 1.0),
+      (d(3), 1L, "t", 1.0),                       // u1 again inside day-1's window
+      (d(9), 3L, "t", 1.0)                        // beyond day 1+6, own window
+    ).toDF("ts", "user_id", "event_type", "value")
+    val out = EventOps.rollingActive(ev, "user_id", "ts", 7)
+      .orderBy("day").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val day1 = out(0)._1
+    // day 1: {u1,u2}; day 3: window [d-6,d] covers days 1+3 -> {u1,u2};
+    // day 9: window covers day 3 (u1) + day 9 (u3) -> {u1,u3}
+    out shouldBe Array((day1, 2L), (day1 + 2, 2L), (day1 + 8, 2L))
+  }
+
+  it should "build SCD2 change history over attribute transitions" in {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "free"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "free"), // no change: collapsed
+      (3L, ts("2024-01-01 12:00:00"), 1L, "paid"), // transition
+      (4L, ts("2024-01-01 13:00:00"), 1L, "free"), // back again: new version
+      (5L, ts("2024-01-01 10:00:00"), 2L, "paid")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.changeHistory(ev, "user_id", "event_type", "ts", "event_id")
+      .orderBy("user_id", "version_n").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.isNullAt(3), r.getLong(4)))
+    out shouldBe Array(
+      (1L, "free", false, 1L), (1L, "paid", false, 2L), (1L, "free", true, 3L),
+      (2L, "paid", true, 1L))
+    // valid_to chains to the NEXT version's valid_from (no gaps)
+    val u1 = EventOps.changeHistory(ev, "user_id", "event_type", "ts", "event_id")
+      .filter($"user_id" === 1L).orderBy("version_n").collect()
+    u1.map(_.getLong(2)).drop(1) shouldBe u1.flatMap(r =>
+      if (r.isNullAt(3)) None else Some(r.getLong(3)))
+  }
+
   it should "profile cardinality with exact and approximate distincts" in {
     val ev = (1 to 100).map(i => (ts("2024-01-01 10:00:00"), (i % 10).toLong, "t", 1.0))
       .toDF("ts", "user_id", "event_type", "value")
@@ -901,6 +952,26 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out(0) shouldBe ((20L, 1.0, true))
     out(1)._2 shouldBe 0.0
     out(1)._3 shouldBe false
+  }
+
+  it should "fit the Zipf rank-frequency slope on an exact power law" in {
+    // exact linearity in ln-ln space needs f(r) = c·r^s: s=-1, c=60 gives
+    // integer frequencies 60,30,20,15,12,10 at ranks 1..6
+    val words = Seq("a" -> 60, "b" -> 30, "c" -> 20, "d" -> 15, "e" -> 12, "f" -> 10)
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val docs = Seq(Doc(1, text, "s")).toDS.toDF()
+    val r = Corpus.zipfFit(docs, "text", 6).collect().head
+    r.getLong(0) shouldBe 6L
+    r.getDouble(1) shouldBe -1.0 +- 1e-4          // exact r^-1 law -> slope -1
+    r.getDouble(2) shouldBe math.log(60.0) +- 1e-4 // intercept = ln c
+  }
+
+  it should "cut the Zipf top-k deterministically on count ties" in {
+    // four tokens tie at count 2; k=3 must keep the lexicographically first
+    val docs = Seq(Doc(1, "b b a a d d c c", "s")).toDS.toDF()
+    val r = Corpus.zipfFit(docs, "text", 3).collect().head
+    r.getLong(0) shouldBe 3L // a, b, c survive the tie cut; slope 0 (flat)
+    r.getDouble(1) shouldBe 0.0 +- 1e-9
   }
 
   behavior of "Temporal"
