@@ -489,6 +489,18 @@ object SparkEntry {
       graft.ops.Components.pageRank(docs, "doc_id", pairs, "a_id", "b_id")
     }),
 
+    // Extension: triangle count + global clustering coefficient over the
+    // verified near-dup graph — distinguishes chain-shaped dup clusters
+    // (template drift, cc≈0) from clique-shaped ones (true copy families);
+    // degree-ordered orientation bounds wedge-join out-degrees at O(√m).
+    "dedup_triangles" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = graft.ops.Dedup
+        .minhashNearDupPairs(spread(s, docs), "doc_id", "text")
+        .filter(col("is_dup"))
+      graft.ops.Components.triangleStats(pairs, "a_id", "b_id")
+    }),
+
     // Extension: schema-enforced JSON-lines ingestion with corrupt-record
     // quarantine — a deterministic fixture is written, split into
     // clean/quarantined by graft.sources.Ingest, counted, and the shared
@@ -1020,6 +1032,13 @@ object SparkEntry {
       graft.ops.EventOps.changeHistory(events(s, dir),
         "user_id", "event_type", "ts", "event_id")),
 
+    // Extension: first-order Markov transition matrix over consecutive
+    // same-user event types — counts + row-normalized probabilities; the
+    // per-from totals broadcast back, so the pair table shuffles once.
+    "events_markov" -> ((s, dir) =>
+      graft.ops.EventOps.transitionMatrix(events(s, dir),
+        "user_id", "ts", "event_type", "event_id")),
+
     // Extension: per-key numeric value profile (data-quality stats with
     // order-independent DECIMAL sums and the exact interpolated median).
     "events_value_profile" -> ((s, dir) =>
@@ -1115,6 +1134,21 @@ object SparkEntry {
       graft.ops.Corpus.stratifiedHashSample(
         table(s, dir, "documents").select("doc_id", "lang", "source"),
         "doc_id", "lang", Map("en" -> 0.1), defaultRate = 0.4)),
+
+    // Extension: fixed-COUNT per-stratum sample (exactly 25 docs per
+    // language by hash order) — the count-quota complement of the
+    // rate-based sampler; rank is a WindowGroupLimit (map-side top-k).
+    "docs_fixed_sample" -> ((s, dir) =>
+      graft.ops.Corpus.fixedStratifiedSample(
+        table(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", k = 25)),
+
+    // Extension: CCNet-style perplexity bucketing — unigram-LM scores cut
+    // at exact terciles, each doc labeled head/middle/tail; the cuts are a
+    // 1-row broadcast, the labels a scan-side comparison.
+    "docs_ppl_buckets" -> ((s, dir) =>
+      graft.ops.Corpus.pplBuckets(
+        spread(s, table(s, dir, "documents")), "doc_id", "text")),
 
     // Extension: int8 embedding quantization profile — per-vector scale,
     // quantized min/max/checksum and worst reconstruction error, all in
@@ -1612,6 +1646,28 @@ object SparkEntry {
         |pr3 AS (SELECT p2.id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * coalesce(CAST(x.cs AS DOUBLE), CAST(0.0 AS DOUBLE)) AS pr
         |        FROM pr2 p2 LEFT JOIN (SELECT id, sum(c) AS cs FROM c3 GROUP BY 1) x ON p2.id = x.id)
         |SELECT id AS doc_id, round(pr, 6) AS pagerank FROM pr3""".stripMargin,
+
+    // Same verified near-dup edge CTE as dedup_pagerank; the triangle join
+    // is the NAIVE ordered 3-way (a<b<c), independent of the Spark side's
+    // degree-ordered orientation — the hash match proves the orientation.
+    "dedup_triangles" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(0, greatest(len(toks)-3, 0)), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM t),
+        |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 15), k -> list_min(list_transform(sh, x -> (('0x'||substr(md5(x),1,7))::UBIGINT)::BIGINT + k * (('0x'||substr(md5(x),8,7))::UBIGINT)::BIGINT))) AS sig FROM sh),
+        |bands AS (SELECT doc_id, j, md5(j::VARCHAR||':'||array_to_string(sig[j*2+1:j*2+2], ',')) AS key FROM sig, range(8) r(j)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a JOIN bands b ON a.j=b.j AND a.key=b.key AND a.doc_id<b.doc_id),
+        |p AS (SELECT c.a_id, c.b_id,
+        |  len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+        |  FROM cand c JOIN sh sa ON c.a_id = sa.doc_id JOIN sh sb ON c.b_id = sb.doc_id),
+        |e AS (SELECT a_id AS u, b_id AS v FROM p WHERE jaccard >= 0.7),
+        |deg AS (SELECT x, count(*) AS d FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY 1),
+        |tri AS (SELECT count(*) AS n_triangles FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |wd AS (SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) AS n_wedges FROM deg)
+        |SELECT (SELECT count(*) FROM e) AS n_edges,
+        |  tri.n_triangles, wd.n_wedges,
+        |  round(CASE WHEN wd.n_wedges = 0 THEN 0.0
+        |             ELSE 3.0 * tri.n_triangles / wd.n_wedges END, 6) AS global_cc
+        |FROM tri, wd""".stripMargin,
 
     "docs_hash_sample" ->
       """SELECT doc_id, lang, source, bucket FROM (
@@ -2303,6 +2359,18 @@ object SparkEntry {
         |FROM obs JOIN du ON du.day BETWEEN obs.day - 6 AND obs.day
         |GROUP BY 1""".stripMargin,
 
+    // BIGINT / HUGEINT division yields DOUBLE in DuckDB exactly as long /
+    // long does in Spark — p is a ratio of exact integers in both engines.
+    "events_markov" ->
+      """WITH pr AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n
+        |  FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, round(c.n / t.n_from, 6) AS p
+        |FROM c JOIN t USING (from_type)""".stripMargin,
+
     "events_change_history" ->
       """WITH w AS (SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms,
         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
@@ -2391,6 +2459,36 @@ object SparkEntry {
         |    (('0x'||substr(md5(doc_id::VARCHAR),1,7))::UBIGINT)::BIGINT % 10000 AS bucket
         |  FROM documents)
         |WHERE bucket < CASE WHEN lang = 'en' THEN 1000 ELSE 4000 END""".stripMargin,
+
+    // row_number over the same (md5(id), id) hash order — DuckDB's window
+    // is a full per-stratum sort; the Spark side's WindowGroupLimit must
+    // pick the identical 25 rows.
+    "docs_fixed_sample" ->
+      """SELECT lang, doc_id, rank_in_stratum FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rank_in_stratum
+        |  FROM documents)
+        |WHERE rank_in_stratum <= 25""".stripMargin,
+
+    // Same LM recipe as text_unigram_logprob; quantile_cont matches
+    // Spark's exact interpolated percentile over the canonically rounded
+    // scores (ties interpolate to themselves; a cut strictly between two
+    // rounded scores classifies identically regardless of FP detail).
+    "docs_ppl_buckets" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM c),
+        |lp AS (SELECT t.doc_id,
+        |    round(CAST(sum(CAST(ln((c.cnt + 1) / (tot.total + tot.vocab)) AS DECIMAL(27,12))) AS DOUBLE) / count(*), 6) AS avg_logprob
+        |  FROM t JOIN c USING (term) CROSS JOIN tot GROUP BY 1),
+        |cuts AS (SELECT quantile_cont(avg_logprob, 2.0/3) AS t_head,
+        |    quantile_cont(avg_logprob, 1.0/3) AS t_mid FROM lp)
+        |SELECT doc_id, avg_logprob,
+        |  CASE WHEN avg_logprob >= t_head THEN 'head'
+        |       WHEN avg_logprob >= t_mid THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM lp CROSS JOIN cuts""".stripMargin,
 
     // The oracle runs the PLAIN join — salting must be row-identical to it.
     "events_skew_join_enrich" ->

@@ -142,4 +142,53 @@ object Components {
     }
     pr.select(col("id").as(idCol), round(col("pr"), 6).as("pagerank"))
   }
+
+  /** Triangle count + global clustering coefficient over an undirected
+    * graph given as CANONICAL edges (src < dst, no self-loops, no
+    * duplicates — what the near-dup pair generators emit). One row:
+    * edge/triangle/wedge counts and 3·T / wedges.
+    *
+    * Scale shape: edges are oriented from their lower-(degree, id)
+    * endpoint before the wedge join — a total order, so the orientation is
+    * acyclic and every triangle has exactly ONE vertex with two out-edges
+    * into the other two (counted once, no post-hoc dedup), and out-degrees
+    * are bounded by O(√m), which is what keeps the wedge self-join from
+    * exploding on hub vertices (the standard degree-ordered triangle
+    * count). Everything else is equi-joins on vertex ids and 1-row
+    * aggregates; nothing touches the driver. */
+  def triangleStats(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String
+  ): DataFrame = {
+    val e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val ed = e
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+    val fromU = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = ed.select(
+      when(fromU, col("u")).otherwise(col("v")).as("s"),
+      when(fromU, col("v")).otherwise(col("u")).as("t"))
+    // wedge: two out-neighbors of one source; t1 < t2 keeps the closing
+    // edge in canonical form so it probes the edge set directly
+    val cand = oriented.select(col("s"), col("t").as("t1"))
+      .join(oriented.select(col("s"), col("t").as("t2")), "s")
+      .filter(col("t1") < col("t2"))
+    val nTri = cand
+      .join(e.select(col("u").as("t1"), col("v").as("t2")), Seq("t1", "t2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nEdge = e.agg(count(lit(1)).as("n_edges"))
+    val nWedge = deg.agg(
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    nEdge.crossJoin(broadcast(nTri)).crossJoin(broadcast(nWedge))
+      .select(col("n_edges"), col("n_triangles"),
+        coalesce(col("n_wedges"), lit(0L)).as("n_wedges"),
+        round(when(coalesce(col("n_wedges"), lit(0L)) === 0L, 0.0)
+          .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges")), 6)
+          .as("global_cc"))
+  }
 }

@@ -671,6 +671,54 @@ object Corpus {
       .withColumn("contaminated", col("n_matched") > 0L)
   }
 
+  /** Per-stratum fixed-COUNT deterministic sample: the `k` rows of each
+    * stratum with the smallest (md5(id), id) — the count-quota complement
+    * of the rate-based [[stratifiedSample]] ("exactly 10k docs per
+    * language", the usual eval-set carve). Hash order makes the pick
+    * reproducible across runs/engines/partitionings and stable under
+    * corpus growth (a doc's rank only moves when smaller-hash docs arrive
+    * in ITS stratum). One shuffle on the stratum; the rank is a
+    * WindowGroupLimit, so each map task keeps only its local top-k before
+    * the exchange — never a full per-stratum sort of all rows. */
+  def fixedStratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rank_in_stratum", row_number().over(w).cast("long"))
+      .filter(col("rank_in_stratum") <= k)
+      .select(col(strataCol), col(idCol), col("rank_in_stratum"))
+  }
+
+  /** CCNet-style perplexity bucketing: score every document with the
+    * corpus unigram LM ([[unigramLogProb]]), cut the score distribution at
+    * exact terciles, and label each doc head / middle / tail (head = most
+    * natural under the LM). The tercile boundaries are a 1-row aggregate
+    * broadcast back as scan-side comparisons — no global sort, no per-row
+    * window; the LM scan dominates, exactly as in the batch LM op. Both
+    * engines interpolate percentiles identically (pinned by the
+    * quantile-gate ops) over the SAME canonically rounded scores, so the
+    * bucket labels are engine-portable. */
+  def pplBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val lp = unigramLogProb(df, idCol, textCol)
+    val cuts = lp.agg(
+      percentile(col("avg_logprob"), lit(2.0 / 3)).as("t_head"),
+      percentile(col("avg_logprob"), lit(1.0 / 3)).as("t_mid"))
+    lp.crossJoin(broadcast(cuts))
+      .select(col(idCol), col("avg_logprob"),
+        when(col("avg_logprob") >= col("t_head"), "head")
+          .when(col("avg_logprob") >= col("t_mid"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** Zipf rank-frequency fit: least-squares slope/intercept of
     * ln(frequency) against ln(rank) over the corpus's top-`k` tokens — the
     * classic corpus-health check (natural text sits near slope −1;

@@ -535,6 +535,36 @@ object EventOps {
       .withColumnRenamed("target_day", "day")
   }
 
+  /** First-order Markov transition matrix over event types: for every
+    * (from, to) pair of consecutive same-user events, the transition count
+    * and row-normalized probability — the sequence model behind
+    * next-action prediction and anomaly scoring. Consecutive pairs come
+    * from the standard single (user × (ts, id)) window pass; the count is
+    * map-side combinable on short string keys; the per-from totals frame
+    * is #types-sized and broadcast back, so normalization never reshuffles
+    * the pair table. p is a ratio of two longs — deterministic, no float
+    * accumulation. */
+  def transitionMatrix(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String
+  ): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val counts = events
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    counts.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("n_from"), 6).as("p"))
+  }
+
   /** SCD2 change history over an attribute: per user, collapse the event
     * stream to the rows where `attrCol` CHANGES (null-safe: `<=>` against
     * the lag), then stamp each surviving version with

@@ -251,6 +251,24 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       Array((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L))
   }
 
+  it should "build a row-normalized Markov transition matrix" in {
+    // user 1: A,B,A,C -> (A,B),(B,A),(A,C); user 2: C,A -> (C,A)
+    val ev = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "A", 1L),
+      (ts("2024-01-01 10:01:00"), 1L, "B", 2L),
+      (ts("2024-01-01 10:02:00"), 1L, "A", 3L),
+      (ts("2024-01-01 10:03:00"), 1L, "C", 4L),
+      (ts("2024-01-01 11:00:00"), 2L, "C", 5L),
+      (ts("2024-01-01 11:01:00"), 2L, "A", 6L)
+    ).toDF("ts", "user_id", "event_type", "event_id")
+    val out = EventOps.transitionMatrix(ev, "user_id", "ts", "event_type", "event_id")
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    out shouldBe Array(
+      ("A", "B", 1L, 0.5), ("A", "C", 1L, 0.5),
+      ("B", "A", 1L, 1.0), ("C", "A", 1L, 1.0))
+  }
+
   it should "aggregate tumbling windows with order-independent sums" in {
     val ev = Seq(
       (ts("2024-01-01 10:05:00"), 1L, "click", 0.1),
@@ -926,6 +944,25 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out shouldBe Array((1L, 1L, true), (2L, 1L, false), (3L, 3L, true))
   }
 
+  it should "count triangles and wedges on a hand-checked graph" in {
+    // triangle {1,2,3} plus pendant edge 3-4: degrees 2,2,3,1 ->
+    // wedges = 1+1+3+0 = 5, cc = 3*1/5 = 0.6
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = triangleRow(pairs)
+    out shouldBe ((4L, 1L, 5L, 0.6))
+    // triangle-free graph: star 1-2, 1-3 has a wedge but no triangle
+    triangleRow(Seq((1L, 2L), (1L, 3L)).toDF("a", "b")) shouldBe
+      ((2L, 0L, 1L, 0.0))
+    // empty edge set: all zeros, cc defined as 0
+    triangleRow(Seq.empty[(Long, Long)].toDF("a", "b")) shouldBe
+      ((0L, 0L, 0L, 0.0))
+  }
+
+  private def triangleRow(pairs: org.apache.spark.sql.DataFrame) = {
+    val r = Components.triangleStats(pairs, "a", "b").collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+  }
+
   behavior of "Corpus text statistics"
 
   it should "weight terms by smoothed tf-idf" in {
@@ -1051,6 +1088,48 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     half.collect().foreach { r =>
       fullBuckets.get(r.getLong(0)).foreach(_ shouldBe r.getLong(2))
     }
+  }
+
+  it should "pick exactly k rows per stratum in md5 order, stable under input order" in {
+    val rows = (0L until 40L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+    val out = Corpus.fixedStratifiedSample(rows.toDF("doc_id", "lang"),
+      "doc_id", "lang", k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.length shouldBe 6
+    out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap shouldBe
+      Map("a" -> Seq(1L, 2L, 3L), "b" -> Seq(1L, 2L, 3L))
+    // engine-independent expectation: the k smallest md5(id) per stratum
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (lang, rs) =>
+      rs.map(_._1).sortBy(i => (md5hex(i.toString), i)).take(3).map(lang -> _)
+    }.toSet
+    out.map(t => t._1 -> t._2).toSet shouldBe expected
+    // permutation invariance
+    val shuffled = Corpus.fixedStratifiedSample(
+      scala.util.Random.shuffle(rows).toDF("doc_id", "lang"),
+      "doc_id", "lang", k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    shuffled shouldBe out.toSet
+  }
+
+  it should "bucket documents into exact terciles by LM score" in {
+    // six docs with distinct unigram profiles -> 2 head, 2 middle, 2 tail;
+    // every head score >= every middle score >= every tail score
+    val docs = Seq(
+      Doc(1, "the the the the", "s"), Doc(2, "the the the of", "s"),
+      Doc(3, "the of of and", "s"), Doc(4, "of and and rare1", "s"),
+      Doc(5, "rare1 rare2 the of", "s"), Doc(6, "rare3 rare4 rare5 rare6", "s")
+    ).toDS.toDF()
+    val out = Corpus.pplBuckets(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    out.length shouldBe 6
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    byBucket.keySet shouldBe Set("head", "middle", "tail")
+    byBucket.values.foreach(_.size shouldBe 2)
+    byBucket("head").min should be >= byBucket("middle").max
+    byBucket("middle").min should be >= byBucket("tail").max
   }
 
   it should "compose hashSample into splitAssign without duplicate columns" in {
