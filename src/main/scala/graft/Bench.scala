@@ -114,6 +114,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep naive-micros parquet reading as TIMESTAMP (see Verify.scala)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.ext.GraftExtensions")
       .config("spark.sql.codegen.cache.maxEntries", "1000")
       .getOrCreate()

@@ -21,15 +21,23 @@ object SparkEntry {
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores INT64 TIMESTAMP(NANOS), which Spark 4 refuses
-    * to read as a timestamp. With `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (set in Verify/Bench sessions) the column arrives as Long nanos and is
-    * converted here; the testdata has no sub-microsecond components. */
+  /** The events table's `ts` physical encoding has changed across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (arrives as Long nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set in Verify/Bench
+    * sessions), then naive TIMESTAMP(isAdjustedToUTC=false, MICROS) (arrives
+    * as TIMESTAMP_NTZ when `spark.sql.parquet.inferTimestampNTZ.enabled` is
+    * on). All encodings normalize here to a session-TZ TIMESTAMP; the
+    * session TZ is pinned UTC, so the NTZ cast is value-preserving. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     val df = table(s, dir, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   /** Test-scale knob: the small testdata tables arrive as one parquet split,

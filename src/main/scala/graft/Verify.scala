@@ -17,6 +17,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // naive-micros parquet (isAdjustedToUTC=false) reads as TIMESTAMP, not
+      // TIMESTAMP_NTZ — session TZ is UTC, so the values are identical and
+      // every timestamp function keeps working
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.ext.GraftExtensions")
       .config("spark.sql.codegen.cache.maxEntries", "1000")
       .getOrCreate()

@@ -159,10 +159,12 @@ object Components {
   def triangleStats(
       pairs: DataFrame,
       aCol: String,
-      bCol: String
+      bCol: String,
+      scope: CacheScope = new CacheScope
   ): DataFrame = {
-    val e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // edges feed the degree count, the orientation join, the wedge-closing
+    // probe and the edge-count aggregate — scope-owned cache
+    val e = scope.cache(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
     val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy("x").agg(count(lit(1)).as("d"))
     val ed = e

@@ -460,17 +460,18 @@ object Corpus {
       idCol: String,
       textCol: String,
       lambda: Double = 0.5,
-      broadcastVocab: Boolean = true
+      broadcastVocab: Boolean = true,
+      scope: CacheScope = new CacheScope
   ): DataFrame = {
     val spark = df.sparkSession
     val bigrams = df.select(col(idCol),
       explode(gramsAllFor(spark)(tokens(col(textCol)), 2)).as("bg"))
-    // persisted: the unigram table feeds THREE consumers (w1 denominator,
+    // cached: the unigram table feeds THREE consumers (w1 denominator,
     // w2 back-off, the N scalar) and Spark does not dedup common
-    // subplans — uncached each would re-run the full token aggregate
-    val uni = df.select(explode(tokens(col(textCol))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("cu"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // subplans — uncached each would re-run the full token aggregate.
+    // Scope-owned — release after the result is materialized.
+    val uni = scope.cache(df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cu")))
     val ntok = uni.agg(sum(col("cu")).as("ntok"))
     val bi = bigrams.groupBy("bg").agg(count(lit(1)).as("cb"))
     def uniSide(as: String, cuAs: String) = {

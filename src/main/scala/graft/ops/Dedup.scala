@@ -169,17 +169,18 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 16,
       bands: Int = 8,
-      threshold: Double = 0.7
+      threshold: Double = 0.7,
+      scope: CacheScope = new CacheScope
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
     // The shingle+signature frame is read three times (band explode + both
-    // sides of the verification join). Persist it so the shingling/minhash
+    // sides of the verification join). Cached so the shingling/minhash
     // work runs ONCE — at 100 TB recomputing signatures three times is the
     // dominant cost. MEMORY_AND_DISK spills instead of recomputing; a
-    // production pipeline would typically write signatures to a table first.
-    val sh = sigFrame(df, idCol, textCol, shingleN, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // production pipeline would typically write signatures to a table
+    // first. Scope-owned — release after the result is materialized.
+    val sh = scope.cache(sigFrame(df, idCol, textCol, shingleN, numHashes))
 
     val bandsDf = bandFrameOf(sh, bands, r)
 
@@ -245,14 +246,14 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 16,
       bands: Int = 8,
-      threshold: Double = 0.7
+      threshold: Double = 0.7,
+      scope: CacheScope = new CacheScope
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
     // the new batch's shingle+signature frame feeds the band explode AND
-    // the verification join — persist so the minhash work runs once
-    val shNew = sigFrame(newDf, idCol, textCol, shingleN, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the verification join — cached so the minhash work runs once
+    val shNew = scope.cache(sigFrame(newDf, idCol, textCol, shingleN, numHashes))
     val bandNew = bandFrameOf(shNew, bands, r)
     val cand = bandNew.as("a")
       .join(corpusBands.as("b"),
@@ -283,14 +284,14 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 16,
       bands: Int = 8,
-      threshold: Double = 0.7
+      threshold: Double = 0.7,
+      scope: CacheScope = new CacheScope
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val shOld = sigFrame(corpusDf, idCol, textCol, shingleN, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shOld = scope.cache(sigFrame(corpusDf, idCol, textCol, shingleN, numHashes))
     minhashNearDupsAgainstIndex(newDf, shOld.select(col("id"), col("sh")),
       bandFrameOf(shOld, bands, numHashes / bands),
-      idCol, textCol, shingleN, numHashes, bands, threshold)
+      idCol, textCol, shingleN, numHashes, bands, threshold, scope)
   }
 
   /** Exact n-gram-Jaccard near-dup pairs within a blocking column (for
@@ -424,12 +425,12 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 16,
       bands: Int = 8,
-      threshold: Double = 0.7
+      threshold: Double = 0.7,
+      scope: CacheScope = new CacheScope
   ): DataFrame = {
     val spark = df.sparkSession
-    val sh = df.select(col(idCol).as("id"),
-      shinglesFor(spark)(tokens(col(textCol)), shingleN).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = scope.cache(df.select(col(idCol).as("id"),
+      shinglesFor(spark)(tokens(col(textCol)), shingleN).as("sh")))
     val grams = sh.select(col("id"), explode(col("sh")).as("g"))
     // Shingle lists are distinct, so the per-pair shared-gram COUNT from
     // the exploded self-join IS |intersection| — no per-pair array
@@ -447,7 +448,7 @@ object Dedup {
       .filter(jac >= threshold)
       .select(col("a_id"), col("b_id"), lit(1L).as("is_true"))
     val predicted = minhashNearDupPairs(df, idCol, textCol, shingleN, numHashes,
-      bands, threshold)
+      bands, threshold, scope)
       .select(col("a_id"), col("b_id"), lit(1L).as("is_cand"),
         when(col("is_dup"), 1L).otherwise(0L).as("is_ver"))
     truth.join(predicted, Seq("a_id", "b_id"), "full_outer")

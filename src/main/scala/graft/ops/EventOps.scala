@@ -27,7 +27,7 @@ object EventOps {
       valueCol: String,
       windowDuration: String
   ): DataFrame =
-    events
+    Ts.normalize(events, tsCol)
       .groupBy(window(col(tsCol), windowDuration).as("w"), col(keyCol))
       .agg(
         count(lit(1)).as("n_events"),
@@ -46,7 +46,7 @@ object EventOps {
       gapMs: Long
   ): DataFrame = {
     val byUser = Window.partitionBy(userCol).orderBy(col(tsCol))
-    val tsMs   = unix_millis(col(tsCol))
+    val tsMs   = Ts.millis(events, tsCol)
     val prevMs = lag(tsMs, 1).over(byUser)
     val isNew  = when(prevMs.isNull || (tsMs - prevMs) > gapMs, 1L).otherwise(0L)
     events
@@ -65,10 +65,20 @@ object EventOps {
     * independent — a plain sum(double) is nondeterministic across
     * partitionings), plus the exact interpolated median. One shuffle on the
     * key with map-side partial aggregation; the median is the only
-    * full-values aggregate (swap in approx_percentile at scales where
-    * holding a key's values is unreasonable). */
-  def valueProfile(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    * full-values aggregate. `exact = false` is the 100 TB call-site
+    * switch: p50 comes from the constant-memory `approx_percentile`
+    * sketch (at `accuracy`) instead of holding each key's value set. */
+  def valueProfile(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      exact: Boolean = true,
+      accuracy: Int = 10000
+  ): DataFrame = {
     val decSum = sum(col(valueCol).cast(DecimalType(18, 6)))
+    val p50 =
+      if (exact) percentile(col(valueCol), lit(0.5))
+      else percentile_approx(col(valueCol), lit(0.5), lit(accuracy)).cast("double")
     df.groupBy(col(keyCol))
       .agg(
         count(lit(1)).as("n"),
@@ -77,7 +87,7 @@ object EventOps {
         max(col(valueCol)).as("vmax"),
         decSum.cast("double").as("vsum"),
         (decSum.cast("double") / count(lit(1))).as("vavg"),
-        percentile(col(valueCol), lit(0.5)).as("p50"))
+        p50.as("p50"))
   }
 
   /** Per-key quantile profile with a self-checking approximation gate:
@@ -87,19 +97,27 @@ object EventOps {
     * booleans asserting the sketch lands within `relTol` of exact. The
     * booleans make the approximation ORACLE-CHECKABLE across engines whose
     * sketches differ (same pattern as the HLL gate in
-    * `events_approx_distinct`). */
+    * `events_approx_distinct`).
+    *
+    * `exact = true` (the eval posture) runs the full-values exact
+    * percentiles next to the sketch; `exact = false` is the 100 TB
+    * call-site switch — p50/p90 come from the sketch alone, nothing holds
+    * a key's value set, and the gates report true vacuously (there is no
+    * reference to compare against; schema is unchanged). */
   def quantileProfile(
       df: DataFrame,
       keyCol: String,
       valueCol: String,
       accuracy: Int = 10000,
-      relTol: Double = 0.05
+      relTol: Double = 0.05,
+      exact: Boolean = true
   ): DataFrame = {
     val v = col(valueCol)
     def within(approx: Column, exact: Column): Column =
       abs(approx - exact) <= abs(exact) * relTol
-    df.groupBy(col(keyCol))
-      .agg(
+    val base = df.groupBy(col(keyCol))
+    if (exact)
+      base.agg(
         count(lit(1)).as("n"),
         percentile(v, lit(0.5)).as("p50"),
         percentile(v, lit(0.9)).as("p90"),
@@ -110,6 +128,16 @@ object EventOps {
         round(col("p90"), 6).as("p90"),
         within(col("ap50"), col("p50")).as("ok_p50"),
         within(col("ap90"), col("p90")).as("ok_p90"))
+    else
+      base.agg(
+        count(lit(1)).as("n"),
+        percentile_approx(v, lit(0.5), lit(accuracy)).cast("double").as("ap50"),
+        percentile_approx(v, lit(0.9), lit(accuracy)).cast("double").as("ap90"))
+      .select(col(keyCol), col("n"),
+        round(col("ap50"), 6).as("p50"),
+        round(col("ap90"), 6).as("p90"),
+        lit(true).as("ok_p50"),
+        lit(true).as("ok_p90"))
   }
 
   /** Fixed-width histogram per key: values bucket into
@@ -217,7 +245,7 @@ object EventOps {
       fromType: String,
       toType: String
   ): DataFrame = {
-    val ms = unix_millis(col(tsCol))
+    val ms = Ts.millis(events, tsCol)
     val first = events.groupBy(col(userCol))
       .agg(min(when(col(typeCol) === fromType, ms)).as("from_ms"))
       .filter(col("from_ms").isNotNull)
@@ -295,14 +323,17 @@ object EventOps {
       keyCol: String,
       tsCol: String,
       valueCol: String,
-      bucketMs: Long
+      bucketMs: Long,
+      scope: CacheScope = new CacheScope
   ): DataFrame = {
-    val bucket = expr(s"unix_millis(`$tsCol`) div $bucketMs")
+    val ev = events.withColumn("__ms", Ts.millis(events, tsCol))
+    val bucket = expr(s"__ms div $bucketMs")
     val decSum = sum(col(valueCol).cast(DecimalType(18, 6)))
-    val agg = events
+    // cached: consumed by the bounds aggregate, the key list AND the final
+    // join — scope-owned, release after the result is materialized
+    val agg = scope.cache(ev
       .groupBy(col(keyCol), bucket.as("bucket"))
-      .agg(count(lit(1)).as("n"), round(decSum.cast("double"), 6).as("vsum"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .agg(count(lit(1)).as("n"), round(decSum.cast("double"), 6).as("vsum")))
     val bounds = agg.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
     val grid = agg.select(col(keyCol)).distinct()
       .crossJoin(broadcast(bounds))
@@ -319,26 +350,33 @@ object EventOps {
     * normality — the standard robust z-score). Three full scans by
     * construction (each pass needs the previous one's per-key stats); the
     * per-key stat tables are tiny and broadcast back, so no pass shuffles
-    * the fact table beyond its own aggregation. At scales where holding a
-    * key's values for the exact percentile is unreasonable, swap in
-    * `approx_percentile` (same gate pattern as [[quantileProfile]]). */
+    * the fact table beyond its own aggregation. `exact = false` is the
+    * 100 TB call-site switch: both medians come from the Greenwald-Khanna
+    * sketch (`approx_percentile` at `accuracy`) — constant memory per key
+    * instead of holding a key's full value set (same trade as
+    * [[quantileProfile]]'s gate). */
   def madOutlierGate(
       df: DataFrame,
       keyCol: String,
       valueCol: String,
-      k: Double = 3.0
+      k: Double = 3.0,
+      exact: Boolean = true,
+      accuracy: Int = 10000,
+      scope: CacheScope = new CacheScope
   ): DataFrame = {
     val v = col(valueCol)
-    // pass 1: per-key medians (tiny — one row per key). Persisted because
+    def med(c: Column): Column =
+      if (exact) percentile(c, lit(0.5))
+      else percentile_approx(c, lit(0.5), lit(accuracy)).cast("double")
+    // pass 1: per-key medians (tiny — one row per key). Cached because
     // withMed is consumed by BOTH later passes and Spark does not dedup
     // common subplans — uncached, each would re-run the percentile agg.
-    val medians = df.groupBy(col(keyCol))
-      .agg(percentile(v, lit(0.5)).as("med"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val medians = scope.cache(df.groupBy(col(keyCol))
+      .agg(med(v).as("med")))
     val withMed = df.join(broadcast(medians), Seq(keyCol))
     // pass 2: MAD = median of absolute deviations from the key's median
     val mads = withMed.groupBy(col(keyCol))
-      .agg(percentile(abs(v - col("med")), lit(0.5)).as("mad_raw"))
+      .agg(med(abs(v - col("med"))).as("mad_raw"))
     // pass 3: count beyond k scaled MADs; n/med/mad ride the same
     // aggregate (every row already carries them), so no join-back
     withMed
@@ -364,10 +402,11 @@ object EventOps {
       tsCol: String,
       windowSec: Long
   ): DataFrame = {
-    val sec = expr(s"unix_millis(`$tsCol`) div 1000")
+    val ev = events.withColumn("__ms", Ts.millis(events, tsCol))
+    val sec = expr("__ms div 1000")
     val w = Window.partitionBy(col(userCol)).orderBy(sec)
       .rangeBetween(-windowSec, Window.currentRow)
-    events.select(col(userCol), col(tsCol), count(lit(1)).over(w).as("n_trailing"))
+    ev.select(col(userCol), col(tsCol), count(lit(1)).over(w).as("n_trailing"))
   }
 
   /** Cohort retention: users grouped by first-activity week, activity
@@ -379,9 +418,10 @@ object EventOps {
     * every shuffle carries ids and week ints, never events. Output:
     * (cohort_week, active_week, week_offset, n_users). */
   def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
-    val wk = expr(s"unix_millis(`$tsCol`) div 604800000")
-    val firstWeek = events.groupBy(col(userCol)).agg(min(wk).as("cohort_week"))
-    val active = events.select(col(userCol), wk.as("active_week")).distinct()
+    val ev = events.withColumn("__ms", Ts.millis(events, tsCol))
+    val wk = expr("__ms div 604800000")
+    val firstWeek = ev.groupBy(col(userCol)).agg(min(wk).as("cohort_week"))
+    val active = ev.select(col(userCol), wk.as("active_week")).distinct()
     active.join(firstWeek, Seq(userCol))
       .groupBy(col("cohort_week"), col("active_week"))
       .agg(count(lit(1)).as("n_users"))
@@ -434,7 +474,7 @@ object EventOps {
     val w = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tsMs = unix_millis(col(tsCol))
+    val tsMs = Ts.millis(events, tsCol)
     events
       .withColumn("first_touch", first(col(typeCol)).over(w))
       .withColumn("ms_to_convert", tsMs - min(tsMs).over(w))
@@ -494,7 +534,7 @@ object EventOps {
   ): DataFrame = {
     val w = Window.partitionBy(col(userCol), col(typeCol))
       .orderBy(col(tsCol), col(idCol))
-    val tsMs   = unix_millis(col(tsCol))
+    val tsMs   = Ts.millis(events, tsCol)
     val prevMs = lag(tsMs, 1).over(w)
     events
       .withColumn("gap_ok", prevMs.isNull || (tsMs - prevMs) >= minGapMs)
@@ -521,8 +561,9 @@ object EventOps {
       windowDays: Int
   ): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
-    val day = expr(s"unix_millis(`$tsCol`) div ${86400000L}")
-    val dayUser = events.select(day.as("day"), col(userCol).as("u")).distinct()
+    val ev = events.withColumn("__ms", Ts.millis(events, tsCol))
+    val day = expr(s"__ms div ${86400000L}")
+    val dayUser = ev.select(day.as("day"), col(userCol).as("u")).distinct()
     val obsDays = dayUser.select(col("day")).distinct()
     val contrib = dayUser
       .select(explode(sequence(col("day"), col("day") + lit(windowDays - 1)))
@@ -582,7 +623,7 @@ object EventOps {
       idCol: String
   ): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
-    val tsMs    = unix_millis(col(tsCol))
+    val tsMs    = Ts.millis(events, tsCol)
     val changed = !(col(attrCol) <=> lag(col(attrCol), 1).over(w))
     val versions = events
       .withColumn("valid_from_ms", tsMs)

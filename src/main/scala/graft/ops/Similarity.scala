@@ -338,21 +338,23 @@ object Similarity {
       dim: Int,
       planes: Int = 8,
       bands: Int = 2,
-      k: Int = 5
+      k: Int = 5,
+      scope: CacheScope = new CacheScope
   ): DataFrame = {
     // threshold −2 keeps every scored candidate (cosine ∈ [−1, 1]);
-    // persisted so candidate generation + cosine scoring run ONCE — the
+    // cached so candidate generation + cosine scoring run ONCE — the
     // symmetrizing union reads both directions from the same pass instead
-    // of recomputing the LSH join per branch
-    val pairs = lshCosineNearDupPairs(df, idCol, vecCol, dim, planes, bands, threshold = -2.0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // of recomputing the LSH join per branch. Scope-owned (release after
+    // the result is materialized).
+    val pairs = scope.cache(
+      lshCosineNearDupPairs(df, idCol, vecCol, dim, planes, bands, threshold = -2.0))
     val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"), col("sim"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst"), col("sim")))
     val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)
-    // also persisted: the mutual check reads the ranked edge set twice
+    // also cached: the mutual check reads the ranked edge set twice
     // (as itself and reversed) — one window pass, two cached reads
-    val ranked = sym.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = scope.cache(
+      sym.withColumn("rank", row_number().over(w)).filter(col("rank") <= k))
     val reversed = ranked.select(col("dst").as("src"), col("src").as("dst"), lit(1).as("m"))
     ranked.join(reversed, Seq("src", "dst"), "left")
       .select(col("src"), col("dst"), col("rank"),

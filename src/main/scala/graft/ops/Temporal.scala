@@ -91,10 +91,7 @@ object Temporal {
   ): DataFrame = {
     val carried = struct(
       col(tsCol).as(tsCol) +: rightCols.map(c => col(c).as(c)): _*)
-    val tsNum = left.schema(tsCol).dataType match {
-      case org.apache.spark.sql.types.TimestampType => unix_millis(col(tsCol))
-      case _ => col(tsCol).cast("long")
-    }
+    val tsNum = Ts.millis(left, tsCol)
     val chunk = floor(tsNum.cast("double") / chunkMs).cast("long")
     val r = right.select(col(keyCol), col(tsCol), carried.as("__asof"))
       .withColumn("__tag", lit(0))
@@ -137,7 +134,7 @@ object Temporal {
       windowMs: Long
   ): DataFrame = {
     val e = df.select(col(partCol).as("__p"), col(idCol).as("__id"),
-      unix_millis(col(tsCol)).as("__ms"))
+      Ts.millis(df, tsCol).as("__ms"))
     val bkt = floor(col("__ms") / windowMs).cast("long")
     val build = e.select(col("__p"), col("__id").as("__b_id"),
       col("__ms").as("__b_ms"), bkt.as("__bucket"))
