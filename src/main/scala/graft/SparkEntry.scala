@@ -463,6 +463,13 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       graft.ops.Dedup.ngramJaccardPairs(spread(s, table(s, dir, "documents")), "doc_id", "text", "source")),
 
+    // Extension: containment near-dup screen — the asymmetric score
+    // |A∩B| / min(|A|,|B|) that catches excerpts/supersets Jaccard's
+    // union normalization hides. Same inverted-index + hot-shingle-cap
+    // core as the Jaccard screen.
+    "dedup_containment" -> ((s, dir) =>
+      graft.ops.Dedup.containmentPairs(spread(s, table(s, dir, "documents")), "doc_id", "text", "source")),
+
     // Extension: SimHash near-dup via 15-bit chunk bucketing.
     "dedup_simhash" -> ((s, dir) =>
       graft.ops.Dedup.simhashNearDupPairs(spread(s, table(s, dir, "documents")), "doc_id", "text")),
@@ -777,6 +784,13 @@ object SparkEntry {
     // (double sums go through DECIMAL so partial-agg order can't change bits).
     "events_window_agg" -> ((s, dir) =>
       graft.ops.EventOps.windowedAgg(events(s, dir), "ts", "event_type", "value", "1 hour")),
+
+    // Extension: hopping-window aggregation — 1 h windows every 30 min;
+    // each event explodes narrowly to its 2 windows and the aggregate
+    // keeps the single tumbling-case shuffle.
+    "events_hopping_window" -> ((s, dir) =>
+      graft.ops.EventOps.hoppingAgg(events(s, dir), "ts", "event_type", "value",
+        "1 hour", "30 minutes")),
 
     // Extension: STREAMING windowed aggregation, oracle-checked — a
     // bounded deterministic slice of the events table replays through a
@@ -1307,6 +1321,19 @@ object SparkEntry {
         .select(col("token"), col("cnt"),
           array_contains(col("token_freqItems"), col("token")).as("in_sketch"))
     }),
+
+    // Extension: duplicated-span profile — per doc, the fraction of its
+    // 8-token positions whose n-gram recurs elsewhere in the corpus (the
+    // substring-dedup signal; set arithmetic on gram counts, no pairwise
+    // doc comparison).
+    "text_dup_spans" -> ((s, dir) =>
+      graft.ops.Corpus.dupSpanProfile(spread(s, table(s, dir, "documents")), "doc_id", "text")),
+
+    // Extension: Count-Min sketch gate — top-20 tokens' exact counts next
+    // to the md5-seeded CMS estimate with the structural n_cms >= n_true
+    // gate; the portable hash family makes every cell oracle-replicable.
+    "text_cms_gate" -> ((s, dir) =>
+      graft.ops.Corpus.cmsTopkGate(spread(s, table(s, dir, "documents")), "text")),
 
     // Extension: one-row corpus summary — the dataset card numbers
     // (volume, token budget, language spread) in one partial-agg pass.
@@ -1854,6 +1881,21 @@ object SparkEntry {
         |FROM inter i JOIN sz sa ON i.a_id = sa.doc_id JOIN sz sb ON i.b_id = sb.doc_id
         |WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5""".stripMargin,
 
+    "dedup_containment" ->
+      """WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, source, list_distinct(list_transform(generate_series(0, greatest(len(toks)-3, 0)), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM t),
+        |post AS (SELECT doc_id, source, unnest(sh) AS g FROM sh),
+        |hot AS (SELECT source, g FROM post GROUP BY source, g HAVING count(*) > 64),
+        |capped AS (SELECT p.doc_id, p.source, p.g FROM post p ANTI JOIN hot h ON p.source = h.source AND p.g = h.g),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |          FROM capped a JOIN capped b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM sh)
+        |SELECT i.a_id, i.b_id, i.inter / least(sa.n, sb.n) AS containment,
+        |  i.inter / (sa.n + sb.n - i.inter) AS jaccard
+        |FROM inter i JOIN sz sa ON i.a_id = sa.doc_id JOIN sz sb ON i.b_id = sb.doc_id
+        |WHERE i.inter / least(sa.n, sb.n) >= 0.6""".stripMargin,
+
     "dedup_simhash" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
         |h AS (SELECT doc_id, list_transform(toks, x -> (('0x'||substr(md5(x),1,15))::UBIGINT)::BIGINT) AS th FROM t),
@@ -2108,6 +2150,13 @@ object SparkEntry {
       """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start_ms, event_type,
         |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_hopping_window" ->
+      """WITH e AS (SELECT event_type, value, CAST(epoch_ms(ts) AS BIGINT) AS ms FROM events),
+        |w AS (SELECT event_type, value, (ms // 1800000 - i) * 1800000 AS ws FROM e, range(2) r(i))
+        |SELECT CAST(ws AS BIGINT) AS window_start_ms, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
 
     "stream_window_agg" ->
       """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start_ms, event_type,
@@ -2688,6 +2737,33 @@ object SparkEntry {
         |FROM (SELECT doc_id, lang,
         |  (('0x'||substr(md5(doc_id::VARCHAR),1,7))::UBIGINT)::BIGINT % 10000 AS bucket
         |  FROM documents)""".stripMargin,
+
+    "text_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(0, len(toks)-8), i -> array_to_string(toks[i+1:i+8], ' '))) AS g FROM t),
+        |pd AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        |tot AS (SELECT g, sum(c) AS tot FROM pd GROUP BY 1),
+        |s AS (SELECT pd.doc_id, sum(c) AS n_spans,
+        |    sum(CASE WHEN tot > c THEN c ELSE 0 END) AS n_dup
+        |  FROM pd JOIN tot USING (g) GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(s.n_dup, 0) AS BIGINT) AS n_dup_spans,
+        |  round(CASE WHEN coalesce(s.n_spans, 0) = 0 THEN 0.0
+        |        ELSE s.n_dup / s.n_spans END, 6) AS dup_span_frac
+        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin,
+
+    "text_cms_gate" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |c AS (SELECT term, count(*) AS n_true FROM t GROUP BY 1),
+        |jb AS (SELECT term, n_true, j,
+        |    CAST((('0x' || substr(md5(j::VARCHAR || ':' || term), 1, 15))::UBIGINT % 256) AS BIGINT) AS b
+        |  FROM c, range(4) r(j)),
+        |cells AS (SELECT j, b, sum(n_true) AS cell FROM jb GROUP BY 1, 2),
+        |e AS (SELECT jb.term, max(jb.n_true) AS n_true, min(cells.cell) AS n_cms
+        |  FROM jb JOIN cells ON jb.j = cells.j AND jb.b = cells.b GROUP BY 1)
+        |SELECT term, CAST(n_true AS BIGINT) AS n_true, CAST(n_cms AS BIGINT) AS n_cms,
+        |  CAST(n_cms - n_true AS BIGINT) AS overest, n_cms >= n_true AS ok_ge
+        |FROM e ORDER BY n_true DESC, term ASC LIMIT 20""".stripMargin,
 
     "text_heavy_hitters" ->
       """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),

@@ -768,4 +768,82 @@ object Corpus {
               (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
               col("n"), 6).as("intercept"))
   }
+
+  /** Duplicated-span profile — the substring-dedup signal: per document,
+    * the fraction of its `spanN`-token positions whose n-gram ALSO occurs
+    * somewhere else in the corpus (another document, or again elsewhere in
+    * the same corpus stream beyond this document's own occurrences).
+    * Output (id, n_spans, n_dup_spans, dup_span_frac) for EVERY input
+    * document; docs shorter than `spanN` tokens report 0 spans.
+    *
+    * Scale shape: positional n-grams explode once; (doc, gram)
+    * multiplicities aggregate map-side; per-gram corpus totals are a second
+    * tiny aggregate over that frame (rows = distinct (doc, gram), not
+    * positions); the total joins back on the gram key (equi-join — AQE
+    * splits hot boilerplate grams) and the per-doc rollup is one more
+    * map-side-combinable aggregate. A position is an external dup iff the
+    * gram's corpus total exceeds this doc's own count — set arithmetic on
+    * two longs, no pairwise doc comparison anywhere. */
+  def dupSpanProfile(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanN: Int = 8
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val pos = df.select(col(idCol).as("id"),
+      explode(gramsAllFor(spark)(tokens(col(textCol)), spanN)).as("g"))
+    val perDoc = pos.groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+    val totals = perDoc.groupBy(col("g")).agg(sum(col("c")).as("tot"))
+    val scored = perDoc.join(totals, "g")
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_spans"),
+        sum(when(col("tot") > col("c"), col("c")).otherwise(0L)).as("n_dup_spans"))
+    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        round(when(coalesce(col("n_spans"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("n_dup_spans") / col("n_spans")), 6).as("dup_span_frac"))
+  }
+
+  /** Count-Min sketch gate over the corpus token stream: for the top `k`
+    * tokens by exact count, the true count next to the CMS estimate
+    * (min over `depth` seeded hash rows of `width`-bucket cell sums) and
+    * the structural over-estimate gate (`n_cms >= n_true` always holds —
+    * collisions only ADD). The gate makes the sketch ORACLE-CHECKABLE
+    * bit-for-bit: buckets come from the portable md5-derived [[hash60]]
+    * family, so an independent engine reproduces every cell.
+    *
+    * Scale shape: the sketch is built from the exact term-count table, not
+    * the raw stream — cells are one tiny aggregate over distinct terms
+    * (depth×width longs of state, mergeable by construction), broadcast
+    * back for the estimate probe; top-k is TakeOrderedAndProject. At
+    * 100 TB the term table itself is the only corpus-sized aggregate, and
+    * it combines map-side. */
+  def cmsTopkGate(
+      df: DataFrame,
+      textCol: String,
+      depth: Int = 4,
+      width: Int = 256,
+      k: Int = 20
+  ): DataFrame = {
+    val terms = df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n_true"))
+    val jb = terms.select(col("term"), col("n_true"),
+      explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"),
+          (hash60(col("term"), j) % width).as("b"))): _*)).as("jb"))
+      .select(col("term"), col("n_true"),
+        col("jb.j").as("j"), col("jb.b").as("b"))
+    val cells = jb.groupBy(col("j"), col("b")).agg(sum(col("n_true")).as("cell"))
+    jb.join(broadcast(cells), Seq("j", "b"))
+      .groupBy(col("term"))
+      .agg(max(col("n_true")).as("n_true"), min(col("cell")).as("n_cms"))
+      .orderBy(col("n_true").desc, col("term").asc)
+      .limit(k)
+      .select(col("term"), col("n_true"), col("n_cms"),
+        (col("n_cms") - col("n_true")).as("overest"),
+        (col("n_cms") >= col("n_true")).as("ok_ge"))
+  }
 }

@@ -311,6 +311,48 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.5,
       maxShingleDf: Int = 64
+  ): DataFrame =
+    sharedShingles(df, idCol, textCol, blockCol, shingleN, maxShingleDf)
+      .select(col("a_id"), col("b_id"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Containment near-dup pairs: the ASYMMETRIC companion to
+    * [[ngramJaccardPairs]] — score = |A∩B| / min(|A|, |B|), which flags a
+    * document whose shingle set is (nearly) a subset of another's: a copy
+    * with added boilerplate, a quoted excerpt, a superset rewrite. Jaccard
+    * misses these when the size ratio is large (|A∩B|/|A∪B| stays small);
+    * containment is the standard screen for them. Same inverted-index /
+    * hot-shingle-cap core and scale posture as [[ngramJaccardPairs]];
+    * returns (a_id, b_id, containment, jaccard) for pairs at or above
+    * `threshold` containment — jaccard rides along so callers can split
+    * symmetric dups from true containments. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.6,
+      maxShingleDf: Int = 64
+  ): DataFrame =
+    sharedShingles(df, idCol, textCol, blockCol, shingleN, maxShingleDf)
+      .select(col("a_id"), col("b_id"),
+        (col("inter") / least(col("na"), col("nb"))).as("containment"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("containment") >= threshold)
+
+  /** Inverted-index core shared by the blocked pair scorers: candidate
+    * pairs that share at least one non-hot shingle within a block, with
+    * the shared-shingle count and both full set sizes —
+    * (a_id, b_id, inter, na, nb). */
+  private def sharedShingles(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      shingleN: Int,
+      maxShingleDf: Int
   ): DataFrame = {
     val sh = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       shinglesFor(df.sparkSession)(tokens(col(textCol)), shingleN).as("sh"))
@@ -338,9 +380,6 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("n", "na"), col("a_id") === col("id")).drop("id")
       .join(sizes.withColumnRenamed("n", "nb"), col("b_id") === col("id")).drop("id")
-      .select(col("a_id"), col("b_id"),
-        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   /** 60-bit SimHash over the token multiset: bit i is set when at least half

@@ -36,6 +36,30 @@ object EventOps {
         unix_millis(col("w.start")).as("window_start_ms"),
         col(keyCol), col("n_events"), col("total_value"))
 
+  /** Hopping (sliding) window aggregation: like [[windowedAgg]] but
+    * windows of `windowDuration` advance every `slideDuration`, so each
+    * event lands in windowDuration/slideDuration overlapping windows.
+    * Spark plans `window(ts, dur, slide)` as a narrow per-event explode of
+    * its window list feeding the SAME single shuffle hash-aggregate as the
+    * tumbling case — the overlap factor multiplies map-side rows, never
+    * shuffles or joins. */
+  def hoppingAgg(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      windowDuration: String,
+      slideDuration: String
+  ): DataFrame =
+    Ts.normalize(events, tsCol)
+      .groupBy(window(col(tsCol), windowDuration, slideDuration).as("w"), col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(DecimalType(18, 6))).cast("double").as("total_value"))
+      .select(
+        unix_millis(col("w.start")).as("window_start_ms"),
+        col(keyCol), col("n_events"), col("total_value"))
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapMs`. Returns one row per
     * (user, session) with event count and start/end epoch-millis. */

@@ -1,0 +1,144 @@
+package graft.ops
+
+import graft.plug.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Round-6 operators: duplicated-span profile, containment screen,
+  * Count-Min gate, hopping windows. */
+class SpanSketchSpec extends AnyFlatSpec with Matchers {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  behavior of "dupSpanProfile"
+
+  it should "flag spans recurring across documents and zero short docs" in {
+    // docs 1 and 2 share their full 8-token prefix; doc 3 is unique;
+    // doc 4 is too short for any 8-gram
+    val docs = Seq(
+      Doc(1, "a b c d e f g h unique1 tail1", "s"),
+      Doc(2, "a b c d e f g h unique2 tail2", "s"),
+      Doc(3, "q r s t u v w x y z", "s"),
+      Doc(4, "too short", "s")).toDS.toDF()
+    val out = Corpus.dupSpanProfile(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe Array(
+      (1L, 3L, 1L), // 10 tokens -> 3 spans; only the shared prefix recurs
+      (2L, 3L, 1L),
+      (3L, 3L, 0L),
+      (4L, 0L, 0L))
+    out(0).getDouble(3) shouldBe 0.333333 +- 1e-9
+    out(3).getDouble(3) shouldBe 0.0
+  }
+
+  it should "count a doc-internal repeat as a dup span" in {
+    // the same 8-gram twice INSIDE one doc: total(g)=2 > c per position?
+    // No — both positions belong to the same doc, c = 2 = tot, NOT a dup
+    // (external-only semantics); a third occurrence in another doc flips
+    // both to dup.
+    val internal = Seq(Doc(1, "a b c d e f g h a b c d e f g h", "s")).toDS.toDF()
+    Corpus.dupSpanProfile(internal, "doc_id", "text")
+      .collect().head.getLong(2) shouldBe 0L
+    val withExt = Seq(
+      Doc(1, "a b c d e f g h a b c d e f g h", "s"),
+      Doc(2, "a b c d e f g h", "s")).toDS.toDF()
+    val out = Corpus.dupSpanProfile(withExt, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    out(0).getLong(2) shouldBe 2L // both internal positions now recur externally
+    out(1).getLong(2) shouldBe 1L
+  }
+
+  behavior of "containmentPairs"
+
+  it should "score an excerpt at containment 1 where jaccard stays low" in {
+    // doc 2's shingle set is a strict subset of doc 1's
+    val docs = Seq(
+      Doc(1, "a b c d e f g h i j k l", "s"),
+      Doc(2, "a b c d e", "s"),
+      Doc(3, "z y x w v u t", "s")).toDS.toDF()
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", "source")
+      .collect()
+    out should have size 1
+    val r = out.head
+    (r.getLong(0), r.getLong(1)) shouldBe (1L, 2L)
+    r.getDouble(2) shouldBe 1.0 // containment
+    r.getDouble(3) should be < 0.5 // jaccard hides the excerpt
+    // the symmetric screen at the same bar misses it
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
+      threshold = 0.6) shouldBe empty
+  }
+
+  behavior of "cmsTopkGate"
+
+  it should "estimate at-or-above truth with exact truth counts" in {
+    val docs = Seq(
+      Doc(1, "x x x x y y z", "s"),
+      Doc(2, "x y w", "s")).toDS.toDF()
+    val out = Corpus.cmsTopkGate(docs, "text", depth = 4, width = 64, k = 10)
+      .collect()
+    out should have size 4 // vocab {x, y, z, w}
+    val byTerm = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    byTerm("x")._1 shouldBe 5L
+    byTerm("y")._1 shouldBe 3L
+    byTerm("z")._1 shouldBe 1L
+    byTerm("w")._1 shouldBe 1L
+    all(out.map(_.getBoolean(4))) shouldBe true // n_cms >= n_true, structural
+    all(out.map(r => r.getLong(2) >= r.getLong(1))) shouldBe true
+    // top-k order: n_true desc, term asc
+    out.map(_.getString(0)) shouldBe Array("x", "y", "w", "z")
+  }
+
+  behavior of "hoppingAgg"
+
+  it should "land each event in exactly windowDuration/slideDuration windows" in {
+    // epoch-built timestamps — TZ-independent (Timestamp.valueOf would
+    // parse in the JVM default zone, not the UTC session zone)
+    val ev = Seq(
+      (1L, new java.sql.Timestamp(1704069600000L), "a", 1.0), // 00:40Z
+      (2L, new java.sql.Timestamp(1704070200000L), "a", 2.0)) // 00:50Z
+      .toDF("event_id", "ts", "event_type", "value")
+    val out = EventOps.hoppingAgg(ev, "ts", "event_type", "value", "1 hour", "30 minutes")
+      .orderBy("window_start_ms").collect()
+    // events at 00:40/00:50 belong to windows starting 00:00 and 00:30
+    out.map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))) shouldBe Array(
+      (1704067200000L, 2L, 3.0),
+      (1704069000000L, 2L, 3.0))
+  }
+
+  behavior of "round-6 plan shapes"
+
+  it should "plan the new operators with their claimed shuffle shapes" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    // dup-span profile: gram/doc aggregates + equi-joins, never pairwise
+    val spans = plan(Corpus.dupSpanProfile(docs, "doc_id", "text"))
+    withClue(spans) {
+      spans should not include "CartesianProduct"
+      spans should not include "BroadcastNestedLoop"
+    }
+    // CMS gate: the depth×width cell table must broadcast back, and the
+    // top-k must be a TakeOrderedAndProject (per-partition heads), not a
+    // global sort
+    val cms = plan(Corpus.cmsTopkGate(docs, "text"))
+    withClue(cms) {
+      cms should include ("BroadcastHashJoin")
+      cms should include ("TakeOrderedAndProject")
+      cms should not include regex("(?s)Sort \\[n_true")
+    }
+    // hopping windows: the overlap explode stays narrow — one aggregate
+    // shuffle, same as tumbling; no join
+    val hop = plan(EventOps.hoppingAgg(
+      docs.select(col("doc_id").as("event_id"),
+        org.apache.spark.sql.functions.timestamp_millis(col("doc_id") * 60000)
+          .as("ts"),
+        col("lang").as("event_type"), col("n_chars").cast("double").as("value")),
+      "ts", "event_type", "value", "1 hour", "30 minutes"))
+    withClue(hop) {
+      "Exchange hashpartitioning".r.findAllIn(hop).size shouldBe 1
+      hop should not include "Join"
+    }
+  }
+}
