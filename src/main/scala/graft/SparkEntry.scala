@@ -663,6 +663,44 @@ object SparkEntry {
     // ranking (the JL pre-filter evaluation a pipeline runs before
     // trusting a compressed index). Projections are md5-parity planes, so
     // the oracle reproduces both rankings bit-for-bit.
+    // Extension: product-quantization approximate top-k — the memory-side
+    // ANN scale path (m·log2(k) bits per indexed vector instead of dim
+    // floats). Deterministic subspace k-means reuses the IVF Lloyd recipe,
+    // so the oracle rebuilds the identical codebooks; ranking is cosine
+    // against the code-reconstructed vectors (asymmetric distance).
+    "sim_pq_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val recon = graft.ops.Similarity
+        .pqReconstruct(spread(s, emb), "vec_id", "embedding", dim = 64)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding").as("pq_vec"))
+      graft.ops.Similarity.bruteForceTopK(recon, q, "vec_id", "pq_vec", 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim"), 6).as("sim"))
+    }),
+
+    // Extension: PQ quality evaluation — recall@5 of the quantized ranking
+    // vs the exact one (the sim_proj_recall / sim_ivf_recall eval pattern
+    // pricing the 128x memory compression).
+    "sim_pq_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = graft.ops.Similarity
+        .bruteForceTopK(spread(s, emb), q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val recon = graft.ops.Similarity
+        .pqReconstruct(spread(s, emb), "vec_id", "embedding", dim = 64)
+      val approx = graft.ops.Similarity.bruteForceTopK(recon,
+          q.select(col("vec_id"), col("embedding").as("pq_vec")),
+          "vec_id", "pq_vec", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      q.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) / 5.0, 6).as("recall"))
+    }),
+
     "sim_proj_recall" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
@@ -1405,6 +1443,12 @@ object SparkEntry {
     * DECIMAL(27,12)-routed sums — mirroring Similarity.kmeansCentroids
     * bit for bit (same fold, same tie-break, same decimal route). */
   private def lloydRoundSql(centCte: String, dim: Int): String =
+    lloydRoundSqlFrom("e", centCte, dim)
+
+  /** One Lloyd round over an arbitrary (vec_id, v) source CTE — the
+    * subspace k-means chains of the PQ oracles reuse the IVF recipe with
+    * sliced vectors. */
+  private def lloydRoundSqlFrom(srcCte: String, centCte: String, dim: Int): String =
     s"""(SELECT cell AS cent_id, list(mu ORDER BY pos) AS cv FROM (
        |  SELECT cell, i - 1 AS pos,
        |    CAST(SUM(CAST(v[i] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mu
@@ -1412,9 +1456,32 @@ object SparkEntry {
        |      SELECT e.vec_id, e.v, c.cent_id AS cell,
        |        row_number() OVER (PARTITION BY e.vec_id
        |          ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cent_id) AS rn
-       |      FROM e, $centCte c) WHERE rn = 1),
+       |      FROM $srcCte e, $centCte c) WHERE rn = 1),
        |    generate_series(1, $dim) g(i)
        |  GROUP BY 1, 2) GROUP BY cell)""".stripMargin
+
+  /** The PQ codebook/encode/reconstruct CTE chain shared by the two PQ
+    * oracles: 4 subspaces × 16 dims, 16 centroids each, 2 Lloyd rounds —
+    * mirrors Similarity.pqReconstruct(dim=64, m=4, k=16) bit-for-bit. */
+  private lazy val pqChainSql: String = {
+    val m = 4
+    val sub = 16
+    val per = (0 until m).map { j =>
+      val lo = j * sub + 1
+      val hi = (j + 1) * sub
+      s"""es$j AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+         |seeds$j AS (SELECT vec_id AS cent_id, v AS cv FROM es$j ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |c1_$j AS ${lloydRoundSqlFrom(s"es$j", s"seeds$j", sub)},
+         |c2_$j AS ${lloydRoundSqlFrom(s"es$j", s"c1_$j", sub)},
+         |code$j AS (SELECT vec_id, cv FROM (
+         |  SELECT s.vec_id, c.cv, row_number() OVER (PARTITION BY s.vec_id ORDER BY ${cosSql("s.v", "c.cv")} DESC, c.cent_id) AS rn
+         |  FROM es$j s, c2_$j c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$per,
+       |recon AS (SELECT k0.vec_id, k0.cv || k1.cv || k2.cv || k3.cv AS rv
+       |  FROM code0 k0 JOIN code1 k1 USING (vec_id) JOIN code2 k2 USING (vec_id)
+       |  JOIN code3 k3 USING (vec_id))""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "plug_flat_override" ->
@@ -1934,6 +2001,32 @@ object SparkEntry {
         |  FROM probes p JOIN cells cl ON p.cell = cl.cell WHERE cl.vec_id != p.query_id),
         |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored)
         |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin,
+
+    "sim_pq_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |$pqChainSql,
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (SELECT q.query_id, r.vec_id AS neighbor_id, ${cosSql("q.qv", "r.rv")} AS sim
+        |  FROM q, recon r WHERE r.vec_id != q.query_id),
+        |rr AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM rr WHERE rk <= 5""".stripMargin,
+
+    "sim_pq_recall" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |$pqChainSql,
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id) AS rk
+        |  FROM q, e c WHERE c.vec_id != q.vec_id) WHERE rk <= 5),
+        |ap AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.v", "r.rv")} DESC, r.vec_id) AS rk
+        |  FROM q, recon r WHERE r.vec_id != q.vec_id) WHERE rk <= 5),
+        |hits AS (SELECT ex.query_id, count(*) AS n_hit FROM ex SEMI JOIN ap ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id GROUP BY 1)
+        |SELECT q.vec_id AS query_id, COALESCE(h.n_hit, 0) AS n_hit,
+        |  round(COALESCE(h.n_hit, 0) / 5.0, 6) AS recall
+        |FROM q LEFT JOIN hits h ON q.vec_id = h.query_id""".stripMargin,
 
     "sim_proj_recall" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

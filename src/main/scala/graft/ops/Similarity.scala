@@ -127,6 +127,45 @@ object Similarity {
     -array_max(array(cands: _*)).getField("neg")
   }
 
+  /** Product-quantization reconstruction — the MEMORY-side ANN scale path
+    * next to [[ivfTopK]]'s compute-side path. The `dim`-space splits into
+    * `m` subspaces; each learns `k` centroids with the SAME deterministic
+    * Lloyd recipe as IVF ([[kmeansCentroids]] on the sliced subvectors —
+    * md5-ordered seeds, DECIMAL-routed means, ties to the smallest id);
+    * every vector's subspace code is its nearest subcentroid, and the
+    * returned frame carries the code-concatenated reconstruction v̂. An
+    * index stores m·log₂(k) BITS per vector (m=4, k=16 → 2 bytes) instead
+    * of dim floats — 128× smaller at dim=64 — and ranks by similarity
+    * against v̂ (asymmetric distance: full-precision query, quantized
+    * corpus).
+    *
+    * Scale shape: the m codebooks are m·k·(dim/m) = k·dim literal doubles
+    * of driver state (same budget as IVF's quantizer — nothing grows with
+    * the corpus); encode + reconstruct is ONE narrow projection per vector
+    * against those literals — no join, no shuffle anywhere in the build. */
+  def pqReconstruct(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int = 4,
+      k: Int = 16,
+      lloydRounds: Int = 2
+  ): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val sub = dim / m
+    val cos = cosineFor(corpus.sparkSession) _
+    val vecs = corpus.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    val recon: Seq[Column] = (0 until m).map { j =>
+      val sv = slice(col("v"), j * sub + 1, sub)
+      val book = kmeansCentroids(
+        vecs.select(col("id"), sv.as("v")), "id", "v", k, lloydRounds)
+      element_at(typedlit(book.toMap), nearestCell(cos)(sv, book))
+    }
+    vecs.select(col("id").as(idCol), concat(recon: _*).as("pq_vec"))
+  }
+
   /** IVF (inverted-file) approximate top-k — the classic ANN scale shape.
     *
     * Build: `numCentroids` fixed-k deterministic k-means centroids

@@ -107,6 +107,36 @@ class SpanSketchSpec extends AnyFlatSpec with Matchers {
       (1704069000000L, 2L, 3.0))
   }
 
+  behavior of "pqReconstruct"
+
+  it should "reconstruct per-subspace codes deterministically" in {
+    val vecs = Seq(
+      Vec(1, Seq(1f, 0f, 0f, 0.1f)), Vec(2, Seq(1f, 0f, 0f, 0.1f)),
+      Vec(3, Seq(0.9f, 0.1f, 0.1f, 0f)), Vec(4, Seq(0f, 1f, 0.9f, 0f)),
+      Vec(5, Seq(0.1f, 0.9f, 1f, 0.1f)), Vec(6, Seq(0f, 1f, 1f, 0f)))
+      .toDS.toDF()
+    val out = Similarity.pqReconstruct(vecs, "vec_id", "embedding",
+      dim = 4, m = 2, k = 2, lloydRounds = 2)
+    val rows = out.orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    rows.map(_._1) shouldBe Array(1L, 2L, 3L, 4L, 5L, 6L)
+    all(rows.map(_._2.size)) shouldBe 4 // codes concat back to full dim
+    // identical inputs quantize to identical reconstructions
+    rows(0)._2 shouldBe rows(1)._2
+    // deterministic across rebuilds (seeding, Lloyd, ties all pinned)
+    val again = Similarity.pqReconstruct(vecs, "vec_id", "embedding",
+      dim = 4, m = 2, k = 2, lloydRounds = 2)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    rows.map(_._2) shouldBe again
+    // the encode+reconstruct is ONE narrow projection: codebooks are plan
+    // literals — no join, no exchange anywhere in the build
+    val plan = out.queryExecution.executedPlan.toString
+    withClue(plan) {
+      plan should not include "Join"
+      plan should not include "Exchange"
+    }
+  }
+
   behavior of "round-6 plan shapes"
 
   it should "plan the new operators with their claimed shuffle shapes" in {
