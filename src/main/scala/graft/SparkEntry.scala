@@ -663,6 +663,14 @@ object SparkEntry {
     // ranking (the JL pre-filter evaluation a pipeline runs before
     // trusting a compressed index). Projections are md5-parity planes, so
     // the oracle reproduces both rankings bit-for-bit.
+    // Extension: per-label mean-pooled prototypes — class centroids with
+    // member counts and DECIMAL-routed intra-class cosine cohesion; the
+    // #labels-sized centroid frame broadcasts back, the corpus never
+    // shuffles beyond its own aggregates.
+    "sim_label_centroids" -> ((s, dir) =>
+      graft.ops.Similarity.labelCentroids(
+        spread(s, table(s, dir, "embeddings")), "embedding", "label")),
+
     // Extension: product-quantization approximate top-k — the memory-side
     // ANN scale path (m·log2(k) bits per indexed vector instead of dim
     // floats). Deterministic subspace k-means reuses the IVF Lloyd recipe,
@@ -844,6 +852,22 @@ object SparkEntry {
       graft.streaming.StreamingOps.runToMemory(agg, "stream_win_out",
         org.apache.spark.sql.streaming.OutputMode.Complete)
       s.table("stream_win_out").select(
+        unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"), col("total_value"))
+    }),
+
+    // Extension: STREAMING hopping-window aggregation — the overlapping
+    // twin of stream_window_agg (1 h windows every 30 min; state scales
+    // by the overlap factor), same bounded replay and batch-SQL oracle.
+    "stream_hopping" -> ((s, dir) => withStreamingShuffle(s, 4) {
+      val (in, _) = streamFeed(s, dir, 2000)
+      val agg = graft.streaming.StreamingOps.hoppingAgg(
+        in.toDF(), "ts", "event_type", "value", "1 hour", "30 minutes",
+        "10 minutes")
+      s.catalog.dropTempView("stream_hop_out")
+      graft.streaming.StreamingOps.runToMemory(agg, "stream_hop_out",
+        org.apache.spark.sql.streaming.OutputMode.Complete)
+      s.table("stream_hop_out").select(
         unix_millis(col("w.start")).as("window_start_ms"),
         col("event_type"), col("n_events"), col("total_value"))
     }),
@@ -2002,6 +2026,20 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored)
         |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin,
 
+    "sim_label_centroids" ->
+      s"""WITH e AS (SELECT CAST(label AS BIGINT) AS label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |mu AS (SELECT label, i - 1 AS pos,
+        |    CAST(SUM(CAST(v[i] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mu
+        |  FROM e, generate_series(1, 64) g(i) GROUP BY 1, 2),
+        |c AS (SELECT label, list(mu ORDER BY pos) AS cv FROM mu GROUP BY 1),
+        |coh AS (SELECT e.label, count(*) AS n_vecs,
+        |    CAST(SUM(CAST(${cosSql("e.v", "c.cv")} AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS mc
+        |  FROM e JOIN c USING (label) GROUP BY 1)
+        |SELECT c.label, coh.n_vecs,
+        |  round(sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b)), 6) AS centroid_norm,
+        |  round(coh.mc, 6) AS mean_cos
+        |FROM c JOIN coh USING (label)""".stripMargin,
+
     "sim_pq_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |$pqChainSql,
@@ -2255,6 +2293,14 @@ object SparkEntry {
       """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start_ms, event_type,
         |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events WHERE event_id < 2000 GROUP BY 1, 2""".stripMargin,
+
+    "stream_hopping" ->
+      """WITH e AS (SELECT event_type, value, CAST(epoch_ms(ts) AS BIGINT) AS ms
+        |  FROM events WHERE event_id < 2000),
+        |w AS (SELECT event_type, value, (ms // 1800000 - i) * 1800000 AS ws FROM e, range(2) r(i))
+        |SELECT CAST(ws AS BIGINT) AS window_start_ms, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
 
     // Mirrors Spark's session_window semantics exactly: an event exactly
     // gap after its predecessor still MERGES into the session — a new

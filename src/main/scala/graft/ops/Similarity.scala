@@ -127,6 +127,48 @@ object Similarity {
     -array_max(array(cands: _*)).getField("neg")
   }
 
+  /** Per-label mean-pooled prototypes (class centroids) with cohesion:
+    * one row per label — member count, centroid L2 norm, and the mean
+    * cosine of members to their own centroid (the intra-class tightness
+    * number behind prototype classifiers and drift monitors).
+    *
+    * Scale shape: component sums shuffle only (label, pos) partial sums
+    * (map-side combinable, #labels·dim rows regardless of corpus size) and
+    * are DECIMAL-routed so the centroid is independent of partial-agg
+    * order; the #labels-sized centroid frame broadcasts back for the
+    * cohesion pass, so the corpus never shuffles beyond its own
+    * aggregates. The DECIMAL-routed cosine mean keeps the cohesion number
+    * order-independent too. */
+  def labelCentroids(
+      df: DataFrame,
+      vecCol: String,
+      labelCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(27, 12)
+    val vecs = df.select(col(labelCol).cast("long").as("label"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    val cents = vecs
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg((sum(col("x").cast(dec)).cast("double") / count(lit(1))).as("mu"))
+      .groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("mu")))),
+        _.getField("mu")).as("cv"))
+    val cos = cosineFor(df.sparkSession) _
+    vecs.join(broadcast(cents), "label")
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        (sum(cos(col("v"), col("cv")).cast(dec)).cast("double") /
+          count(lit(1))).as("mc"),
+        first(col("cv")).as("cv"))
+      .select(col("label"), col("n_vecs"),
+        round(sqrt(aggregate(transform(col("cv"), x => x * x),
+          lit(0.0), (a, x) => a + x)), 6).as("centroid_norm"),
+        round(col("mc"), 6).as("mean_cos"))
+  }
+
   /** Product-quantization reconstruction — the MEMORY-side ANN scale path
     * next to [[ivfTopK]]'s compute-side path. The `dim`-space splits into
     * `m` subspaces; each learns `k` centroids with the SAME deterministic

@@ -53,6 +53,27 @@ object StreamingOps {
         count(lit(1)).as("n_events"),
         sum(col(valueCol).cast(DecimalType(18, 6))).cast("double").as("total_value"))
 
+  /** Hopping-window sibling of [[windowedAgg]]: windows of
+    * `windowDuration` every `slideDuration` — each event joins its
+    * windowDuration/slideDuration overlapping windows. State size scales
+    * by the overlap factor (more open windows per key); the watermark
+    * closes windows exactly as in the tumbling case. */
+  def hoppingAgg(
+      stream: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      windowDuration: String,
+      slideDuration: String,
+      watermarkDelay: String
+  ): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration, slideDuration).as("w"), col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(DecimalType(18, 6))).cast("double").as("total_value"))
+
   /** Custom streaming state: running per-user totals via mapGroupsWithState.
     * Input must have (user_id: Long, value: Double) columns.
     *

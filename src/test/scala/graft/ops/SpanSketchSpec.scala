@@ -107,6 +107,25 @@ class SpanSketchSpec extends AnyFlatSpec with Matchers {
       (1704069000000L, 2L, 3.0))
   }
 
+  behavior of "labelCentroids"
+
+  it should "mean-pool prototypes with exact cohesion on aligned members" in {
+    // label 0: two identical axis vectors -> centroid = the vector,
+    // cohesion 1; label 1: two orthogonal vectors -> centroid at 45°,
+    // cohesion cos(45°)
+    val df = Seq(
+      (1L, Seq(2f, 0f), 0), (2L, Seq(2f, 0f), 0),
+      (3L, Seq(1f, 0f), 1), (4L, Seq(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(df, "embedding", "label")
+      .orderBy("label").collect()
+    out.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((0L, 2L), (1L, 2L))
+    out(0).getDouble(2) shouldBe 2.0 // |centroid| of label 0
+    out(0).getDouble(3) shouldBe 1.0 // members sit ON the centroid
+    out(1).getDouble(2) shouldBe math.sqrt(0.5) +- 1e-6 // (0.5, 0.5)
+    out(1).getDouble(3) shouldBe math.cos(math.Pi / 4) +- 1e-6
+  }
+
   behavior of "pqReconstruct"
 
   it should "reconstruct per-subspace codes deterministically" in {
