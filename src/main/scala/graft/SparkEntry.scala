@@ -1384,6 +1384,24 @@ object SparkEntry {
           array_contains(col("token_freqItems"), col("token")).as("in_sketch"))
     }),
 
+    // Extension: per-doc token Shannon entropy — the cheap repetitiveness
+    // quality screen (ln values canonicalized through DECIMAL so both
+    // engines agree bit-for-bit).
+    "text_entropy" -> ((s, dir) =>
+      graft.ops.Corpus.tokenEntropy(spread(s, table(s, dir, "documents")), "doc_id", "text")),
+
+    // Extension: burst detection — per-(type, 10 min bucket) counts
+    // against the trailing-6-bucket average (RANGE frame, gap-aware),
+    // flagged at 3x with a cold-start guard.
+    "events_burst" -> ((s, dir) =>
+      graft.ops.EventOps.burstScore(events(s, dir), "event_type", "ts", 600000L)),
+
+    // Extension: dedup-threshold sweep — pair counts at five candidate
+    // Jaccard thresholds from ONE scoring pass (the knob-pricing table
+    // next to dedup_lsh_eval's bands/rows eval).
+    "dedup_threshold_sweep" -> ((s, dir) =>
+      graft.ops.Dedup.thresholdSweep(spread(s, table(s, dir, "documents")), "doc_id", "text")),
+
     // Extension: duplicated-span profile — per doc, the fraction of its
     // 8-token positions whose n-gram recurs elsewhere in the corpus (the
     // substring-dedup signal; set arithmetic on gram counts, no pairwise
@@ -2876,6 +2894,39 @@ object SparkEntry {
         |FROM (SELECT doc_id, lang,
         |  (('0x'||substr(md5(doc_id::VARCHAR),1,7))::UBIGINT)::BIGINT % 10000 AS bucket
         |  FROM documents)""".stripMargin,
+
+    "text_entropy" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |c AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY 1, 2),
+        |a AS (SELECT doc_id, sum(c) AS n, count(*) AS nd,
+        |    CAST(SUM(CAST(c * CAST(CAST(ln(c) AS DECIMAL(27,12)) AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE) AS s
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(nd AS BIGINT) AS n_distinct,
+        |  round(CAST(CAST(ln(n) AS DECIMAL(27,12)) AS DOUBLE) - s / n, 6) AS entropy
+        |FROM a""".stripMargin,
+
+    "events_burst" ->
+      """WITH e AS (SELECT event_type, CAST(epoch_ms(ts) AS BIGINT) // 600000 AS bucket FROM events),
+        |c AS (SELECT event_type, bucket, count(*) AS n FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type, bucket, n,
+        |    count(n) OVER w AS n_trail, sum(n) OVER w AS tsum
+        |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bucket RANGE BETWEEN 6 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, bucket, n, CAST(n_trail AS BIGINT) AS n_trail,
+        |  round(CASE WHEN n_trail = 0 THEN 0.0 ELSE CAST(tsum AS DOUBLE) / n_trail END, 6) AS trail_avg,
+        |  (n_trail >= 3 AND n >= 3.0 * CAST(tsum AS DOUBLE) / n_trail) AS is_burst
+        |FROM t""".stripMargin,
+
+    "dedup_threshold_sweep" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(0, greatest(len(toks)-3, 0)), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM t),
+        |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 15), k -> list_min(list_transform(sh, x -> (('0x'||substr(md5(x),1,7))::UBIGINT)::BIGINT + k * (('0x'||substr(md5(x),8,7))::UBIGINT)::BIGINT))) AS sig FROM sh),
+        |bands AS (SELECT doc_id, j, md5(j::VARCHAR||':'||array_to_string(sig[j*2+1:j*2+2], ',')) AS key FROM sig, range(8) r(j)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a JOIN bands b ON a.j=b.j AND a.key=b.key AND a.doc_id<b.doc_id),
+        |p AS (SELECT len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+        |  FROM cand c JOIN sh sa ON c.a_id = sa.doc_id JOIN sh sb ON c.b_id = sb.doc_id),
+        |th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+        |SELECT th.threshold, CAST(COALESCE(SUM(CASE WHEN p.jaccard >= th.threshold THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs
+        |FROM th LEFT JOIN p ON true GROUP BY 1""".stripMargin,
 
     "text_dup_spans" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

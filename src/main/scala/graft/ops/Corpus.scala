@@ -769,6 +769,32 @@ object Corpus {
               col("n"), 6).as("intercept"))
   }
 
+  /** Per-document token-level Shannon entropy (nats): low-entropy docs are
+    * repetitive/templated (keyword stuffing, boilerplate), the classic
+    * cheap quality screen next to [[repetitionSignals]]. Output
+    * (id, n_tokens, n_distinct, entropy) with
+    * H = ln(n) − Σ c·ln(c) / n over per-doc term counts.
+    *
+    * Determinism: ln values are canonicalized through DECIMAL(27,12)
+    * before the product (the [[zipfFit]] recipe — libm ulp differences
+    * truncated), products run in double, and the sum is DECIMAL-routed so
+    * it is independent of partial-aggregation order. Two
+    * map-side-combinable aggregates, one (id, term) shuffle. */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 12)
+    val counts = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("c"))
+    val lc = log(col("c").cast("double")).cast(dec).cast("double")
+    counts.groupBy(col(idCol))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum((col("c").cast("double") * lc).cast(dec)).cast("double").as("s"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        round(log(col("n_tokens").cast("double")).cast(dec).cast("double")
+          - col("s") / col("n_tokens"), 6).as("entropy"))
+  }
+
   /** Duplicated-span profile — the substring-dedup signal: per document,
     * the fraction of its `spanN`-token positions whose n-gram ALSO occurs
     * somewhere else in the corpus (another document, or again elsewhere in

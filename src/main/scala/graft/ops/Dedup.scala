@@ -317,6 +317,43 @@ object Dedup {
         (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
+  /** Dedup-threshold sweep: for each candidate Jaccard threshold, how many
+    * MinHash-verified pairs would be declared duplicates — the one-pass
+    * knob-pricing table an operator reads before committing a threshold
+    * (the companion to [[lshRecallEval]], which prices bands/rows). All
+    * candidate pairs are scored ONCE (threshold 0 keeps every candidate);
+    * the sweep is a tiny literal explode + conditional count over the pair
+    * frame. Always returns one row per threshold, zeros included. */
+  def thresholdSweep(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9),
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      scope: CacheScope = new CacheScope
+  ): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, shingleN, numHashes,
+      bands, threshold = 0.0, scope)
+    pairs
+      .select(col("jaccard"), explode(typedlit(thresholds)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(sum(when(col("jaccard") >= col("threshold"), 1L).otherwise(0L)).as("n_pairs"))
+      .unionByName(
+        // keep every asked threshold present even when no pair qualifies
+        // (or no candidates exist at all)
+        df.sparkSession.createDataFrame(
+          java.util.Arrays.asList(thresholds.map(t => org.apache.spark.sql.Row(t, 0L)): _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("threshold",
+              org.apache.spark.sql.types.DoubleType, nullable = false),
+            org.apache.spark.sql.types.StructField("n_pairs",
+              org.apache.spark.sql.types.LongType, nullable = false)))))
+      .groupBy(col("threshold"))
+      .agg(sum(col("n_pairs")).as("n_pairs"))
+  }
+
   /** Containment near-dup pairs: the ASYMMETRIC companion to
     * [[ngramJaccardPairs]] — score = |A∩B| / min(|A|, |B|), which flags a
     * document whose shingle set is (nearly) a subset of another's: a copy

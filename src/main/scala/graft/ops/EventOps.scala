@@ -600,6 +600,39 @@ object EventOps {
       .withColumnRenamed("target_day", "day")
   }
 
+  /** Burst detection over per-(key, time-bucket) counts: a bucket is a
+    * burst when its event count reaches `factor`× the trailing average of
+    * the `trailingBuckets` PRECEDING buckets (bucket-value RANGE frame, so
+    * silent gaps genuinely thin the baseline out of the frame instead of
+    * shifting it) and at least 3 trailing buckets exist (cold-start
+    * guard). The trailing mean is an exact integer sum divided once —
+    * deterministic across engines and partitionings. One count shuffle on
+    * (key, bucket) + one window pass over the bucket frame (rows = active
+    * buckets, not events). */
+  def burstScore(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      bucketMs: Long,
+      trailingBuckets: Int = 6,
+      factor: Double = 3.0
+  ): DataFrame = {
+    val ev = events.withColumn("__ms", Ts.millis(events, tsCol))
+    val counts = ev.select(col(keyCol), expr(s"__ms div $bucketMs").as("bucket"))
+      .groupBy(col(keyCol), col("bucket")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(keyCol).orderBy(col("bucket"))
+      .rangeBetween(-trailingBuckets, -1)
+    counts
+      .withColumn("n_trail", count(col("n")).over(w))
+      .withColumn("tsum", sum(col("n")).over(w))
+      .select(col(keyCol), col("bucket"), col("n"), col("n_trail"),
+        round(when(col("n_trail") === 0L, lit(0.0))
+          .otherwise(col("tsum").cast("double") / col("n_trail")), 6).as("trail_avg"),
+        (col("n_trail") >= 3L &&
+          col("n") >= lit(factor) * col("tsum").cast("double") / col("n_trail"))
+          .as("is_burst"))
+  }
+
   /** First-order Markov transition matrix over event types: for every
     * (from, to) pair of consecutive same-user events, the transition count
     * and row-normalized probability — the sequence model behind

@@ -107,6 +107,63 @@ class SpanSketchSpec extends AnyFlatSpec with Matchers {
       (1704069000000L, 2L, 3.0))
   }
 
+  behavior of "tokenEntropy"
+
+  it should "compute exact Shannon entropy in nats" in {
+    val docs = Seq(
+      Doc(1, "a a a a", "s"),   // one symbol -> H = 0
+      Doc(2, "a b c d", "s"),   // uniform over 4 -> H = ln 4
+      Doc(3, "a a b b", "s"))   // uniform over 2 -> H = ln 2
+      .toDS.toDF()
+    val out = Corpus.tokenEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    out.map(r => (r.getLong(1), r.getLong(2))) shouldBe
+      Array((4L, 1L), (4L, 4L), (4L, 2L))
+    out(0).getDouble(3) shouldBe 0.0
+    out(1).getDouble(3) shouldBe math.log(4.0) +- 1e-6
+    out(2).getDouble(3) shouldBe math.log(2.0) +- 1e-6
+  }
+
+  behavior of "burstScore"
+
+  it should "flag a spike against the trailing baseline, gap-aware" in {
+    def ev(id: Long, ms: Long) = (id, new java.sql.Timestamp(ms), "a", 1.0)
+    // buckets 0..6: one event each; bucket 7: five events; bucket 20:
+    // one event after silence (trailing frame empty again)
+    val rows = (0L to 6L).map(i => ev(i, i * 1000)) ++
+      (0L until 5L).map(i => ev(100 + i, 7000 + i)) :+ ev(200, 20000)
+    val df = rows.toDF("event_id", "ts", "event_type", "value")
+    val out = EventOps.burstScore(df, "event_type", "ts", 1000L,
+        trailingBuckets = 6, factor = 3.0)
+      .orderBy("bucket").collect()
+    val byBucket = out.map(r =>
+      r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))).toMap
+    byBucket(0L) shouldBe ((1L, 0L, 0.0, false))   // cold start
+    byBucket(3L) shouldBe ((1L, 3L, 1.0, false))   // baseline, no spike
+    byBucket(7L) shouldBe ((5L, 6L, 1.0, true))    // 5 >= 3x1.0 -> burst
+    byBucket(20L) shouldBe ((1L, 0L, 0.0, false))  // gap emptied the frame
+  }
+
+  behavior of "thresholdSweep"
+
+  it should "price every threshold including zero-pair corpora" in {
+    val dup = Seq(
+      Doc(1, "the quick brown fox jumps over the lazy dog", "s"),
+      Doc(2, "the quick brown fox jumps over the lazy dog", "s"),
+      Doc(3, "completely different words appear here instead now", "s"))
+      .toDS.toDF()
+    val out = Dedup.thresholdSweep(dup, "doc_id", "text")
+      .orderBy("threshold").collect()
+    out.map(_.getDouble(0)) shouldBe Array(0.5, 0.6, 0.7, 0.8, 0.9)
+    out.map(_.getLong(1)) shouldBe Array(1L, 1L, 1L, 1L, 1L) // the identical pair
+    // a corpus with no candidates still reports all five thresholds
+    val solo = Seq(Doc(1, "only one document", "s")).toDS.toDF()
+    val zeros = Dedup.thresholdSweep(solo, "doc_id", "text")
+      .orderBy("threshold").collect()
+    zeros.map(_.getDouble(0)) shouldBe Array(0.5, 0.6, 0.7, 0.8, 0.9)
+    all(zeros.map(_.getLong(1))) shouldBe 0L
+  }
+
   behavior of "labelCentroids"
 
   it should "mean-pool prototypes with exact cohesion on aligned members" in {
