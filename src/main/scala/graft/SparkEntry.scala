@@ -1384,6 +1384,25 @@ object SparkEntry {
           array_contains(col("token_freqItems"), col("token")).as("in_sketch"))
     }),
 
+    // Extension: dataset version diff — per-doc added/removed/changed/
+    // unchanged status between the corpus and a derived revision (10%
+    // dropped, every 7th edited, 25 appended); both sides reduce to
+    // (id, fingerprint) before the full-outer join so text never shuffles.
+    "docs_version_diff" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val revised = docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") < 25)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      graft.ops.Corpus.versionDiff(spread(s, docs), revised, "doc_id", "text")
+    }),
+
+    // Extension: top-25 PMI collocations (bigrams whose parts rarely
+    // occur apart) at minCount 5 — exact counts, canonicalized ln.
+    "text_pmi" -> ((s, dir) =>
+      graft.ops.Corpus.pmiCollocations(spread(s, table(s, dir, "documents")), "text")),
+
     // Extension: per-doc token Shannon entropy — the cheap repetitiveness
     // quality screen (ln values canonicalized through DECIMAL so both
     // engines agree bit-for-bit).
@@ -2894,6 +2913,35 @@ object SparkEntry {
         |FROM (SELECT doc_id, lang,
         |  (('0x'||substr(md5(doc_id::VARCHAR),1,7))::UBIGINT)::BIGINT % 10000 AS bucket
         |  FROM documents)""".stripMargin,
+
+    "docs_version_diff" ->
+      """WITH b AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp FROM documents),
+        |rv AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |       FROM documents WHERE doc_id % 10 != 0
+        |       UNION ALL
+        |       SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25),
+        |r AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp FROM rv)
+        |SELECT COALESCE(b.doc_id, r.doc_id) AS doc_id,
+        |  CASE WHEN b.doc_id IS NULL THEN 'added'
+        |       WHEN r.doc_id IS NULL THEN 'removed'
+        |       WHEN b.fp = r.fp THEN 'unchanged' ELSE 'changed' END AS status
+        |FROM b FULL OUTER JOIN r ON b.doc_id = r.doc_id""".stripMargin,
+
+    "text_pmi" ->
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |u AS (SELECT unnest(toks) AS term FROM t),
+        |c AS (SELECT term, count(*) AS cu FROM u GROUP BY 1),
+        |n AS (SELECT sum(cu) AS ntok FROM c),
+        |bg AS (SELECT unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t),
+        |cb AS (SELECT bg, count(*) AS n_pair FROM bg GROUP BY 1 HAVING count(*) >= 5),
+        |j AS (SELECT cb.bg, cb.n_pair, c1.cu AS n_w1, c2.cu AS n_w2,
+        |    round(CAST(CAST(ln(CAST(cb.n_pair AS DOUBLE) * CAST(n.ntok AS DOUBLE) / (CAST(c1.cu AS DOUBLE) * CAST(c2.cu AS DOUBLE))) AS DECIMAL(27,12)) AS DOUBLE), 6) AS pmi
+        |  FROM cb CROSS JOIN n
+        |  JOIN c c1 ON string_split(cb.bg, ' ')[1] = c1.term
+        |  JOIN c c2 ON string_split(cb.bg, ' ')[2] = c2.term)
+        |SELECT bg, CAST(n_pair AS BIGINT) AS n_pair, CAST(n_w1 AS BIGINT) AS n_w1,
+        |  CAST(n_w2 AS BIGINT) AS n_w2, pmi
+        |FROM j ORDER BY pmi DESC, bg LIMIT 25""".stripMargin,
 
     "text_entropy" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),

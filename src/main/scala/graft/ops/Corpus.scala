@@ -769,6 +769,73 @@ object Corpus {
               col("n"), 6).as("intercept"))
   }
 
+  /** Dataset version diff: per document id, its status between a base and
+    * a revised corpus snapshot — `added` / `removed` / `changed` /
+    * `unchanged` — the audit table behind dataset versioning and
+    * incremental reprocessing ("rerun the pipeline only on changed+added").
+    *
+    * Scale shape: both sides reduce to (id, md5 fingerprint) BEFORE the
+    * full-outer join, so the shuffle carries 40-ish bytes per document and
+    * the text columns never leave their scans; change detection is one
+    * fingerprint equality. */
+  def versionDiff(
+      base: DataFrame,
+      revised: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val fp = fingerprintFor(base.sparkSession) _
+    val b = base.select(col(idCol).as("id"), fp(col(textCol)).as("bfp"))
+    val r = revised.select(col(idCol).as("id"), fp(col(textCol)).as("rfp"))
+    b.join(r, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("bfp").isNull, lit("added"))
+          .when(col("rfp").isNull, lit("removed"))
+          .when(col("bfp") === col("rfp"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /** Top-k PMI collocations: bigrams whose pointwise mutual information
+    * ln(c_bg·N / (c_w1·c_w2)) is highest among bigrams with at least
+    * `minCount` occurrences — the classic collocation miner ("new york"
+    * scores high because its parts rarely occur apart). Counts are exact
+    * integers; the PMI argument is computed in double (products stay well
+    * under 2^53 at any realistic count scale, so the division is exact
+    * arithmetic on exactly-represented integers), ln is canonicalized
+    * through DECIMAL(27,12) ([[zipfFit]] recipe), and the top-k cut is a
+    * TakeOrderedAndProject with a bigram tie-break.
+    *
+    * Scale shape: one bigram aggregate + one unigram aggregate (both
+    * map-side combinable), unigrams joined back twice (broadcast — vocab
+    * scale), N as a 1-row broadcast. */
+  def pmiCollocations(
+      df: DataFrame,
+      textCol: String,
+      minCount: Int = 5,
+      k: Int = 25
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val dec = org.apache.spark.sql.types.DecimalType(27, 12)
+    val uni = df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cu"))
+    val ntok = uni.agg(sum(col("cu")).as("ntok"))
+    val bi = df.select(explode(gramsAllFor(spark)(tokens(col(textCol)), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val x = col("n_pair").cast("double") * col("ntok").cast("double") /
+      (col("n_w1").cast("double") * col("n_w2").cast("double"))
+    bi
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(broadcast(uni.select(col("term").as("w1"), col("cu").as("n_w1"))), "w1")
+      .join(broadcast(uni.select(col("term").as("w2"), col("cu").as("n_w2"))), "w2")
+      .crossJoin(broadcast(ntok))
+      .select(col("bg"), col("n_pair"), col("n_w1"), col("n_w2"),
+        round(log(x).cast(dec).cast("double"), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bg"))
+      .limit(k)
+  }
+
   /** Per-document token-level Shannon entropy (nats): low-entropy docs are
     * repetitive/templated (keyword stuffing, boilerplate), the classic
     * cheap quality screen next to [[repetitionSignals]]. Output

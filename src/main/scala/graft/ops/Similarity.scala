@@ -195,15 +195,55 @@ object Similarity {
       lloydRounds: Int = 2
   ): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    import org.apache.spark.sql.types.DecimalType
     val sub = dim / m
     val cos = cosineFor(corpus.sparkSession) _
     val vecs = corpus.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), _.cast("double")).as("v"))
+      .filter(col("v").isNotNull)
+    // Seeds: ONE corpus pass for every subspace — the k md5-smallest
+    // vectors (the ordering ignores the subspace, so each subspace's seed
+    // set is the same ids, sliced). Identical to running
+    // [[kmeansCentroids]] per sliced subspace, 1 job instead of m.
+    val seedRows = vecs.orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(k).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    var books: IndexedSeq[Seq[(Long, Seq[Double])]] = (0 until m).map { j =>
+      seedRows.map { case (cid, v) => (cid, v.slice(j * sub, (j + 1) * sub)) }
+    }
+    var round = 0
+    while (round < lloydRounds) {
+      // ONE aggregate re-centers every subspace per round (vs m separate
+      // k-means: m× fewer corpus passes, same math): per-subspace cell
+      // ids are narrow projections against the codebook literals, then
+      // the posexploded components group by (subspace, cell, pos) with
+      // DECIMAL-routed map-side-combinable sums — the shuffle carries
+      // m·k·(dim/m) = k·dim partial sums, the driver holds k·dim doubles.
+      val cells = (0 until m).map { j =>
+        nearestCell(cos)(slice(col("v"), j * sub + 1, sub), books(j)).as(s"c$j")
+      }
+      val sums = vecs.select(col("v") +: cells: _*)
+        .select(array((0 until m).map(j => col(s"c$j")): _*).as("cs"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .select((col("pos") / sub).cast("int").as("j"),
+          element_at(col("cs"), (col("pos") / sub).cast("int") + 1).as("cell"),
+          pmod(col("pos"), lit(sub)).as("pos"), col("x"))
+        .groupBy("j", "cell", "pos")
+        .agg(sum(col("x").cast(DecimalType(27, 12))).as("s"), count(lit(1)).as("n"))
+        .collect()
+      books = (0 until m).map { j =>
+        sums.filter(_.getInt(0) == j).toSeq
+          .map(r => (r.getLong(1), r.getInt(2),
+            r.getDecimal(3).doubleValue() / r.getLong(4)))
+          .groupBy(_._1).toSeq
+          .map { case (cell, xs) => (cell, xs.sortBy(_._2).map(_._3)) }
+          .sortBy(_._1)
+      }
+      round += 1
+    }
     val recon: Seq[Column] = (0 until m).map { j =>
       val sv = slice(col("v"), j * sub + 1, sub)
-      val book = kmeansCentroids(
-        vecs.select(col("id"), sv.as("v")), "id", "v", k, lloydRounds)
-      element_at(typedlit(book.toMap), nearestCell(cos)(sv, book))
+      element_at(typedlit(books(j).toMap), nearestCell(cos)(sv, books(j)))
     }
     vecs.select(col("id").as(idCol), concat(recon: _*).as("pq_vec"))
   }

@@ -107,6 +107,45 @@ class SpanSketchSpec extends AnyFlatSpec with Matchers {
       (1704069000000L, 2L, 3.0))
   }
 
+  behavior of "versionDiff"
+
+  it should "classify added, removed, changed and unchanged documents" in {
+    val base = Seq(Doc(1, "alpha", "s"), Doc(2, "beta", "s"), Doc(3, "gamma", "s"))
+      .toDS.toDF()
+    val revised = Seq(Doc(2, "beta", "s"), Doc(3, "gamma EDITED", "s"),
+      Doc(4, "delta", "s")).toDS.toDF()
+    val out = Corpus.versionDiff(base, revised, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    out shouldBe Array((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "added"))
+  }
+
+  it should "ignore case and whitespace drift like the exact-dedup fingerprint" in {
+    val base = Seq(Doc(1, "Hello  World", "s")).toDS.toDF()
+    val revised = Seq(Doc(1, "hello world", "s")).toDS.toDF()
+    Corpus.versionDiff(base, revised, "doc_id", "text")
+      .collect().head.getString(1) shouldBe "unchanged"
+  }
+
+  behavior of "pmiCollocations"
+
+  it should "rank exclusive pairs above independent ones" in {
+    // "new york" always co-occur; "the" pairs with everything
+    val docs = (1L to 6L).map(i =>
+      Doc(i, "new york the cat the dog", "s")).toDS.toDF()
+    val out = Corpus.pmiCollocations(docs, "text", minCount = 5, k = 10)
+      .collect()
+    val pmi = out.map(r => r.getString(0) -> r.getDouble(4)).toMap
+    // N = 36 tokens; "new york": 6·36/(6·6) = 6 -> ln 6
+    pmi("new york") shouldBe math.log(6.0) +- 1e-6
+    // "the cat": 6·36/(12·6) = 3 -> ln 3; beaten by the exclusive pair
+    pmi("the cat") shouldBe math.log(3.0) +- 1e-6
+    out.head.getString(0) shouldBe "new york"
+    // counts ride along
+    val r = out.find(_.getString(0) == "new york").get
+    (r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe ((6L, 6L, 6L))
+  }
+
   behavior of "tokenEntropy"
 
   it should "compute exact Shannon entropy in nats" in {
