@@ -1384,6 +1384,19 @@ object SparkEntry {
           array_contains(col("token_freqItems"), col("token")).as("in_sketch"))
     }),
 
+    // Extension: BPE merge induction — the first 12 byte-pair merges
+    // learned from the corpus (one corpus aggregate, then vocab-sized
+    // rounds; the merge table is the tokenizer artifact).
+    "text_bpe_merges" -> ((s, dir) =>
+      graft.ops.Corpus.bpeMerges(spread(s, table(s, dir, "documents")), "text")),
+
+    // Extension: content-defined chunk dedup — shift-resistant
+    // sub-document dup fractions (CDC boundaries where the 4-gram hash
+    // ≡ 0 mod 16, so early insertions don't move later chunk
+    // fingerprints the way they move every fixed-span gram).
+    "text_cdc_dups" -> ((s, dir) =>
+      graft.ops.Corpus.cdcChunkDups(spread(s, table(s, dir, "documents")), "doc_id", "text")),
+
     // Extension: dataset version diff — per-doc added/removed/changed/
     // unchanged status between the corpus and a derived revision (10%
     // dropped, every 7th edited, 25 appended); both sides reduce to
@@ -1520,6 +1533,38 @@ object SparkEntry {
        |      FROM $srcCte e, $centCte c) WHERE rn = 1),
        |    generate_series(1, $dim) g(i)
        |  GROUP BY 1, 2) GROUP BY cell)""".stripMargin
+
+  /** The BPE induction CTE chain: 12 rounds of (pair count → top-1 →
+    * 6-deep literal replace), mirroring Corpus.bpeMerges(nMerges = 12,
+    * maxChain = 6) bit-for-bit — the merge pair each round comes from the
+    * data via 1-row scalar subqueries. */
+  private lazy val bpeChainSql: String = {
+    val n = 12
+    // every CTE is MATERIALIZED: the chain is 12 rounds deep and each
+    // round references its predecessor several times (scalar subqueries
+    // inside the nested replaces) — default CTE inlining would expand the
+    // tree exponentially and re-open the parquet 2^12 times
+    val w0 =
+      """w0 AS MATERIALIZED (SELECT '|' || array_to_string(string_split(w, ''), '|') || '|' AS s, n FROM (
+        |  SELECT w, count(*) AS n FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents) GROUP BY 1))""".stripMargin
+    val rounds = (1 to n).map { k =>
+      val rep = (1 to 6).foldLeft("s") { (e, _) =>
+        s"replace($e, (SELECT '|'||a||'|'||b||'|' FROM p$k), (SELECT '|'||a||b||'|' FROM p$k))"
+      }
+      val pCte =
+        s"""p$k AS MATERIALIZED (SELECT a, b, cnt FROM (
+           |  SELECT string_split(pr, chr(1))[1] AS a, string_split(pr, chr(1))[2] AS b, sum(n) AS cnt
+           |  FROM (SELECT n, unnest(list_transform(generate_series(1, len(sy)-1), i -> sy[i] || chr(1) || sy[i+1])) AS pr
+           |        FROM (SELECT list_filter(string_split(s, '|'), x -> x != '') AS sy, n FROM w${k - 1}))
+           |  GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1))""".stripMargin
+      if (k < n) pCte + s",\nw$k AS MATERIALIZED (SELECT $rep AS s, n FROM w${k - 1})"
+      else pCte
+    }.mkString(",\n")
+    val out = (1 to n).map(k =>
+      s"SELECT $k AS merge_idx, a AS left_sym, b AS right_sym, CAST(cnt AS BIGINT) AS pair_count FROM p$k")
+      .mkString("\nUNION ALL\n")
+    s"$w0,\n$rounds\n$out"
+  }
 
   /** The PQ codebook/encode/reconstruct CTE chain shared by the two PQ
     * oracles: 4 subspaces × 16 dims, 16 centroids each, 2 Lloyd rounds —
@@ -2913,6 +2958,27 @@ object SparkEntry {
         |FROM (SELECT doc_id, lang,
         |  (('0x'||substr(md5(doc_id::VARCHAR),1,7))::UBIGINT)::BIGINT % 10000 AS bucket
         |  FROM documents)""".stripMargin,
+
+    "text_bpe_merges" -> s"WITH $bpeChainSql",
+
+    "text_cdc_dups" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks, list_transform(generate_series(0, len(toks)-4), i -> array_to_string(toks[i+1:i+4], ' ')) AS grams FROM t),
+        |cu AS (SELECT doc_id, toks, list_filter(list_transform(generate_series(0, len(grams)-1), p ->
+        |    CASE WHEN ('0x'||substr(md5(grams[p+1]),1,15))::UBIGINT % 16 = 0 THEN p + 3 ELSE -1 END), c -> c >= 0) AS cuts FROM g),
+        |ch AS (SELECT doc_id, unnest(list_filter(list_transform(generate_series(1, len(cuts)+1), i ->
+        |    array_to_string(toks[(CASE WHEN i = 1 THEN -1 ELSE cuts[i-1] END)+2 :
+        |                         (CASE WHEN i <= len(cuts) THEN cuts[i] ELSE len(toks)-1 END)+1], ' ')), s -> s != '')) AS chunk FROM cu),
+        |pd AS (SELECT doc_id, md5(chunk) AS fp, count(*) AS c FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT fp, sum(c) AS tot FROM pd GROUP BY 1),
+        |s AS (SELECT pd.doc_id, sum(c) AS n_chunks,
+        |    sum(CASE WHEN tot > c THEN c ELSE 0 END) AS n_dup
+        |  FROM pd JOIN tot USING (fp) GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(s.n_chunks, 0) AS BIGINT) AS n_chunks,
+        |  CAST(coalesce(s.n_dup, 0) AS BIGINT) AS n_dup_chunks,
+        |  round(CASE WHEN coalesce(s.n_chunks, 0) = 0 THEN 0.0
+        |        ELSE s.n_dup / s.n_chunks END, 6) AS dup_chunk_frac
+        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin,
 
     "docs_version_diff" ->
       """WITH b AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp FROM documents),

@@ -769,6 +769,131 @@ object Corpus {
               col("n"), 6).as("intercept"))
   }
 
+  /** BPE merge induction: learn the first `nMerges` byte-pair-encoding
+    * merges from the corpus — the tokenizer-training step of an LLM data
+    * pipeline, distributed. Words become '|'-delimited character symbol
+    * strings; each round counts adjacent symbol pairs weighted by word
+    * frequency, picks the most frequent (ties: lexicographically smallest
+    * (left, right)), and rewrites every occurrence. Returns the merge
+    * table (merge_idx, left_sym, right_sym, pair_count) — the artifact a
+    * tokenizer ships.
+    *
+    * The rewrite is `replace` applied `maxChain` times: a delimited
+    * left-to-right literal replace consumes the shared separator, so one
+    * pass misses every second pair of an overlapping chain (|a|b|a|b|);
+    * repeating to a fixed depth reaches the greedy-leftmost BPE result
+    * for chains up to `maxChain` and — being a FIXED count — is
+    * bit-reproducible by the oracle without a loop construct.
+    *
+    * Scale shape: ONE corpus-sized aggregate (word counts), persisted;
+    * every round then runs ONE vocab-sized job — a pair explode +
+    * map-side-combinable count + a 1-row TakeOrderedAndProject — over the
+    * cached base plus the accumulated rewrite chain (narrow per-row
+    * projections; round k replays k string rewrites over vocab rows,
+    * which is noise next to a per-round re-persist's extra
+    * materialization job — at billion-word vocab scale, re-persisting
+    * every ~8 rounds is the cadence knob). Driver state is one
+    * (pair, count) row per round. Assumes corpus text gives `nMerges`
+    * rounds of nonempty pair tables (true for any real corpus). */
+  def bpeMerges(
+      df: DataFrame,
+      textCol: String,
+      nMerges: Int = 12,
+      maxChain: Int = 6
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(concat(lit("|"), array_join(split(col("w"), ""), "|"), lit("|")).as("s"),
+        col("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var words = base
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var it = 1
+    while (it <= nMerges) {
+      val syms = filter(split(col("s"), "\\|"), x => x =!= "")
+      val half = greatest(size(col("sy")) - 1, lit(0))
+      val top = words
+        .select(col("n"), syms.as("sy"))
+        .select(col("n"), explode(zip_with(
+          slice(col("sy"), lit(1), half), slice(col("sy"), lit(2), half),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"corpus exhausted adjacent pairs after ${it - 1} merges")
+      val a = top(0).getString(0)
+      val b = top(0).getString(1)
+      val cnt = top(0).getLong(2)
+      merges += ((it, a, b, cnt))
+      var s2: Column = col("s")
+      for (_ <- 1 to maxChain)
+        s2 = call_function("replace", s2, lit(s"|$a|$b|"), lit(s"|$a$b|"))
+      words = words.select(s2.as("s"), col("n"))
+      it += 1
+    }
+    base.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("merge_idx", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** Content-defined chunk dedup — the SHIFT-RESISTANT sub-document
+    * signal: token streams cut where the `windowN`-gram hash ≡ 0 mod
+    * `divisor` (the rsync/CDC boundary rule at token granularity), so an
+    * insertion early in a document moves every fixed-span gram but leaves
+    * all later CDC chunk boundaries — and therefore the chunk
+    * fingerprints — unchanged. Output per document: chunk count, chunk
+    * instances whose fingerprint recurs in the rest of the corpus, and
+    * the dup fraction ([[dupSpanProfile]] semantics over variable-length
+    * chunks; expected chunk length ≈ `divisor` tokens).
+    *
+    * Scale shape: boundary detection and chunk assembly are ROW-LOCAL
+    * higher-order functions (lambda bodies touch only their own variables
+    * and plain column attributes — the graft HOF invariant); the corpus
+    * pays one (doc, fingerprint) aggregate, one per-fingerprint total,
+    * and the equi-join back — identical posture to the span profile. */
+  def cdcChunkDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowN: Int = 4,
+      divisor: Int = 16
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val prepped = df
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__gh",
+        hash60ArrFor(spark)(gramsAllFor(spark)(col("__toks"), windowN)))
+      .withColumn("__cuts", filter(
+        transform(col("__gh"), (h, i) =>
+          when(pmod(h, lit(divisor.toLong)) === 0L, i + lit(windowN - 1))
+            .otherwise(lit(-1))),
+        c => c >= 0))
+    val prev = concat(array(lit(-1)), col("__cuts"))
+    val nxt = concat(col("__cuts"), array(size(col("__toks")) - 1))
+    val chunks = prepped.select(col(idCol).as("id"),
+      explode(filter(
+        zip_with(prev, nxt, (p, e) =>
+          array_join(slice(col("__toks"), p + 2, e - p), " ")),
+        s => s =!= "")).as("chunk"))
+    val perDoc = chunks
+      .select(col("id"), md5For(spark)(col("chunk")).as("fp"))
+      .groupBy(col("id"), col("fp")).agg(count(lit(1)).as("c"))
+    val totals = perDoc.groupBy(col("fp")).agg(sum(col("c")).as("tot"))
+    val scored = perDoc.join(totals, "fp")
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_chunks"),
+        sum(when(col("tot") > col("c"), col("c")).otherwise(0L)).as("n_dup_chunks"))
+    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        round(when(coalesce(col("n_chunks"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("n_dup_chunks") / col("n_chunks")), 6).as("dup_chunk_frac"))
+  }
+
   /** Dataset version diff: per document id, its status between a base and
     * a revised corpus snapshot — `added` / `removed` / `changed` /
     * `unchanged` — the audit table behind dataset versioning and

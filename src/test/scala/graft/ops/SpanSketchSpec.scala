@@ -107,6 +107,55 @@ class SpanSketchSpec extends AnyFlatSpec with Matchers {
       (1704069000000L, 2L, 3.0))
   }
 
+  behavior of "bpeMerges"
+
+  it should "learn the classic low/lower/lowest merge sequence" in {
+    val docs = Seq(Doc(1, "low low lower lowest", "s")).toDS.toDF()
+    val out = Corpus.bpeMerges(docs, "text", nMerges = 4)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    out shouldBe Array(
+      (1, "l", "o", 4),    // (l,o) ties (o,w) at 4 -> lexicographic pick
+      (2, "lo", "w", 4),
+      (3, "low", "e", 2),
+      (4, "lowe", "r", 1)) // three 1-count pairs -> smallest (left, right)
+  }
+
+  it should "rewrite overlapping chains greedy-leftmost" in {
+    // [a,a,a,a]: greedy BPE gives [aa][aa], then one (aa,aa) pair — the
+    // single-pass replace would leave [aa][a][a] and count wrong
+    val docs = Seq(Doc(1, "aaaa", "s")).toDS.toDF()
+    val out = Corpus.bpeMerges(docs, "text", nMerges = 2)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    out shouldBe Array(("a", "a", 3), ("aa", "aa", 1))
+  }
+
+  behavior of "cdcChunkDups"
+
+  it should "survive a prefix insertion that kills every fixed-span gram" in {
+    // "k2 k3 k4 k5" is a crafted boundary gram (hash60 % 16 == 0), so
+    // both docs cut after k5 and share the trailing "a b c" chunk even
+    // though their prefixes differ in LENGTH — every fixed 8-gram span
+    // shifts, the CDC chunk doesn't.
+    val docs = Seq(
+      Doc(1, "p q k2 k3 k4 k5 a b c", "s"),
+      Doc(2, "x y z k2 k3 k4 k5 a b c", "s")).toDS.toDF()
+    val cdc = Corpus.cdcChunkDups(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    cdc.map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))) shouldBe
+      Array((2L, 1L, 0.5), (2L, 1L, 0.5))
+    // the contrast: the fixed-span profile sees ZERO shared 8-grams here
+    Corpus.dupSpanProfile(docs, "doc_id", "text")
+      .collect().map(_.getLong(2)).sum shouldBe 0L
+  }
+
+  it should "emit one whole-document chunk when no boundary fires" in {
+    val doc = Seq(Doc(1, "alpha beta gamma", "s")).toDS.toDF() // < window
+    val out = Corpus.cdcChunkDups(doc, "doc_id", "text").collect().head
+    (out.getLong(1), out.getLong(2)) shouldBe ((1L, 0L))
+  }
+
   behavior of "versionDiff"
 
   it should "classify added, removed, changed and unchanged documents" in {
