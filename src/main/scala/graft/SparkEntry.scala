@@ -1390,6 +1390,13 @@ object SparkEntry {
     "text_bpe_merges" -> ((s, dir) =>
       graft.ops.Corpus.bpeMerges(spread(s, table(s, dir, "documents")), "text")),
 
+    // Extension: BPE segmentation — per-doc token counts under the
+    // LEARNED merges; the rewrite chain runs once per distinct vocab
+    // word and documents join the segmented vocab (broadcast), never
+    // re-segmenting occurrences.
+    "text_bpe_segment" -> ((s, dir) =>
+      graft.ops.Corpus.bpeSegment(spread(s, table(s, dir, "documents")), "doc_id", "text")),
+
     // Extension: content-defined chunk dedup — shift-resistant
     // sub-document dup fractions (CDC boundaries where the 4-gram hash
     // ≡ 0 mod 16, so early insertions don't move later chunk
@@ -1539,6 +1546,15 @@ object SparkEntry {
     * maxChain = 6) bit-for-bit — the merge pair each round comes from the
     * data via 1-row scalar subqueries. */
   private lazy val bpeChainSql: String = {
+    val out = (1 to 12).map(k =>
+      s"SELECT $k AS merge_idx, a AS left_sym, b AS right_sym, CAST(cnt AS BIGINT) AS pair_count FROM p$k")
+      .mkString("\nUNION ALL\n")
+    s"$bpeCtes\n$out"
+  }
+
+  /** The w0/p1..w11/p12 CTE list shared by the induction and application
+    * oracles. */
+  private lazy val bpeCtes: String = {
     val n = 12
     // every CTE is MATERIALIZED: the chain is 12 rounds deep and each
     // round references its predecessor several times (scalar subqueries
@@ -1560,10 +1576,28 @@ object SparkEntry {
       if (k < n) pCte + s",\nw$k AS MATERIALIZED (SELECT $rep AS s, n FROM w${k - 1})"
       else pCte
     }.mkString(",\n")
-    val out = (1 to n).map(k =>
-      s"SELECT $k AS merge_idx, a AS left_sym, b AS right_sym, CAST(cnt AS BIGINT) AS pair_count FROM p$k")
-      .mkString("\nUNION ALL\n")
-    s"$w0,\n$rounds\n$out"
+    s"$w0,\n$rounds"
+  }
+
+  /** The same 12-round chain, applied: segments the distinct-word vocab
+    * with the learned merges (72 nested scalar-subquery replaces) and
+    * aggregates per document — mirrors Corpus.bpeSegment. */
+  private lazy val bpeSegmentSql: String = {
+    val ctes = bpeCtes
+    val appliedExpr = (1 to 12).foldLeft(
+      "'|' || array_to_string(string_split(w, ''), '|') || '|'") { (e, k) =>
+      (1 to 6).foldLeft(e) { (e2, _) =>
+        s"replace($e2, (SELECT '|'||a||'|'||b||'|' FROM p$k), (SELECT '|'||a||b||'|' FROM p$k))"
+      }
+    }
+    s"""$ctes,
+       |voc AS MATERIALIZED (SELECT w, len(list_filter(string_split($appliedExpr, '|'), x -> x != '')) AS nt
+       |  FROM (SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents)),
+       |occ AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents)
+       |SELECT occ.doc_id, CAST(count(*) AS INTEGER) AS n_word_tokens,
+       |  CAST(sum(voc.nt) AS INTEGER) AS n_bpe_tokens,
+       |  round(sum(voc.nt) / count(*), 6) AS bpe_per_word
+       |FROM occ JOIN voc USING (w) GROUP BY 1""".stripMargin
   }
 
   /** The PQ codebook/encode/reconstruct CTE chain shared by the two PQ
@@ -2960,6 +2994,8 @@ object SparkEntry {
         |  FROM documents)""".stripMargin,
 
     "text_bpe_merges" -> s"WITH $bpeChainSql",
+
+    "text_bpe_segment" -> s"WITH $bpeSegmentSql",
 
     "text_cdc_dups" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -802,6 +802,56 @@ object Corpus {
       maxChain: Int = 6
   ): DataFrame = {
     val spark = df.sparkSession
+    import spark.implicits._
+    learnMerges(df, textCol, nMerges, maxChain)
+      .toDF("merge_idx", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** BPE segmentation with the merges [[bpeMerges]] learns: per document,
+    * word-token and BPE-token counts plus tokens-per-word — the REAL
+    * token-budget number a learned tokenizer yields (vs the regex
+    * heuristic in `bpeishTokenCount`).
+    *
+    * Scale shape: merges apply to the DISTINCT-WORD vocabulary, not to
+    * every occurrence — the rewrite chain (nMerges·maxChain literal
+    * replaces) runs once per vocab entry, and documents join the
+    * segmented vocab on the word (broadcast at vocab scale), then
+    * aggregate per doc. Segmenting occurrences instead would multiply the
+    * string work by the corpus/vocab ratio for identical results. */
+  def bpeSegment(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nMerges: Int = 12,
+      maxChain: Int = 6
+  ): DataFrame = {
+    val merges = learnMerges(df, textCol, nMerges, maxChain)
+    def applied(w: Column): Column = {
+      var s: Column = concat(lit("|"), array_join(split(w, ""), "|"), lit("|"))
+      for ((_, a, b, _) <- merges; _ <- 1 to maxChain)
+        s = call_function("replace", s, lit(s"|$a|$b|"), lit(s"|$a$b|"))
+      s
+    }
+    val vocab = df.select(explode(tokens(col(textCol))).as("w")).distinct()
+      .select(col("w"),
+        size(filter(split(applied(col("w")), "\\|"), x => x =!= "")).as("nt"))
+    df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .join(broadcast(vocab), "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_word_tokens"),
+        sum(col("nt")).cast("int").as("n_bpe_tokens"))
+      .select(col(idCol), col("n_word_tokens"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens") / col("n_word_tokens"), 6).as("bpe_per_word"))
+  }
+
+  /** The induction loop shared by [[bpeMerges]] and [[bpeSegment]]:
+    * (merge_idx, left, right, pair_count) per round. */
+  private def learnMerges(
+      df: DataFrame,
+      textCol: String,
+      nMerges: Int,
+      maxChain: Int
+  ): Seq[(Int, String, String, Long)] = {
     val base = df.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(concat(lit("|"), array_join(split(col("w"), ""), "|"), lit("|")).as("s"),
@@ -835,8 +885,7 @@ object Corpus {
       it += 1
     }
     base.unpersist()
-    import spark.implicits._
-    merges.toSeq.toDF("merge_idx", "left_sym", "right_sym", "pair_count")
+    merges.toSeq
   }
 
   /** Content-defined chunk dedup — the SHIFT-RESISTANT sub-document

@@ -131,6 +131,15 @@ class SpanSketchSpec extends AnyFlatSpec with Matchers {
     out shouldBe Array(("a", "a", 3), ("aa", "aa", 1))
   }
 
+  it should "segment with the learned merges at the vocab level" in {
+    val docs = Seq(Doc(1, "low low lower lowest", "s")).toDS.toDF()
+    val out = Corpus.bpeSegment(docs, "doc_id", "text", nMerges = 4)
+      .collect().head
+    // merges (l,o)(lo,w)(low,e)(lowe,r): low->1, lower->1, lowest->3
+    (out.getInt(1), out.getInt(2)) shouldBe ((4, 6))
+    out.getDouble(3) shouldBe 1.5
+  }
+
   behavior of "cdcChunkDups"
 
   it should "survive a prefix insertion that kills every fixed-span gram" in {
