@@ -1423,6 +1423,18 @@ object SparkEntry {
     "text_pmi" -> ((s, dir) =>
       graft.ops.Corpus.pmiCollocations(spread(s, table(s, dir, "documents")), "text")),
 
+    // Extension: model-ready quality blend — z-score-normalized composite
+    // of quality + entropy + span uniqueness with a p90 keep flag; all
+    // normalization constants are 1-row broadcast aggregates (no rank
+    // windows, no global sort).
+    "docs_quality_blend" -> ((s, dir) =>
+      graft.ops.Corpus.qualityBlend(spread(s, table(s, dir, "documents")), "doc_id", "text")),
+
+    // Extension: skew report — top-10 hottest users with row share and
+    // multiple-of-median (the pre-salting diagnostic).
+    "events_skew_report" -> ((s, dir) =>
+      graft.ops.EventOps.skewReport(events(s, dir), "user_id")),
+
     // Extension: per-doc token Shannon entropy — the cheap repetitiveness
     // quality screen (ln values canonicalized through DECIMAL so both
     // engines agree bit-for-bit).
@@ -2992,6 +3004,41 @@ object SparkEntry {
         |FROM (SELECT doc_id, lang,
         |  (('0x'||substr(md5(doc_id::VARCHAR),1,7))::UBIGINT)::BIGINT % 10000 AS bucket
         |  FROM documents)""".stripMargin,
+
+    "docs_quality_blend" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |qq AS (SELECT doc_id,
+        |  least(len(toks) / 100.0, 1.0) * 0.4 + (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / greatest(length(text), 1)) * 0.3 + (len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this'], x))) / greatest(len(toks), 1)) * 0.3 AS q
+        |  FROM t),
+        |ec AS (SELECT doc_id, term, count(*) AS c FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+        |ee AS (SELECT doc_id, round(CAST(CAST(ln(sum(c)) AS DECIMAL(27,12)) AS DOUBLE)
+        |    - CAST(SUM(CAST(c * CAST(CAST(ln(c) AS DECIMAL(27,12)) AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE) / sum(c), 6) AS e
+        |  FROM ec GROUP BY 1),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(0, len(toks)-8), i -> array_to_string(toks[i+1:i+8], ' '))) AS g FROM t),
+        |pd AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        |tot AS (SELECT g, sum(c) AS tot FROM pd GROUP BY 1),
+        |du AS (SELECT d.doc_id, 1.0 - round(CASE WHEN coalesce(s.n_spans, 0) = 0 THEN 0.0 ELSE s.n_dup / s.n_spans END, 6) AS u
+        |  FROM documents d LEFT JOIN (SELECT pd.doc_id, sum(c) AS n_spans, sum(CASE WHEN tot > c THEN c ELSE 0 END) AS n_dup
+        |    FROM pd JOIN tot USING (g) GROUP BY 1) s ON d.doc_id = s.doc_id),
+        |sig AS (SELECT qq.doc_id, qq.q, ee.e, du.u FROM qq JOIN ee USING (doc_id) JOIN du USING (doc_id)),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(q AS DECIMAL(27,12))) AS DOUBLE) AS s_q, CAST(SUM(CAST(q*q AS DECIMAL(27,12))) AS DOUBLE) AS ss_q,
+        |  CAST(SUM(CAST(e AS DECIMAL(27,12))) AS DOUBLE) AS s_e, CAST(SUM(CAST(e*e AS DECIMAL(27,12))) AS DOUBLE) AS ss_e,
+        |  CAST(SUM(CAST(u AS DECIMAL(27,12))) AS DOUBLE) AS s_u, CAST(SUM(CAST(u*u AS DECIMAL(27,12))) AS DOUBLE) AS ss_u
+        |  FROM sig),
+        |bl AS (SELECT doc_id, round((
+        |    (CASE WHEN sqrt(ss_q/n - (s_q/n)*(s_q/n)) > 0 THEN (q - s_q/n) / sqrt(ss_q/n - (s_q/n)*(s_q/n)) ELSE 0.0 END) +
+        |    (CASE WHEN sqrt(ss_e/n - (s_e/n)*(s_e/n)) > 0 THEN (e - s_e/n) / sqrt(ss_e/n - (s_e/n)*(s_e/n)) ELSE 0.0 END) +
+        |    (CASE WHEN sqrt(ss_u/n - (s_u/n)*(s_u/n)) > 0 THEN (u - s_u/n) / sqrt(ss_u/n - (s_u/n)*(s_u/n)) ELSE 0.0 END)
+        |  ) / 3.0, 6) AS blend FROM sig CROSS JOIN st),
+        |cut AS (SELECT quantile_cont(blend, 0.9) AS p_cut FROM bl)
+        |SELECT doc_id, blend, blend >= (SELECT p_cut FROM cut) AS keep FROM bl""".stripMargin,
+
+    "events_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |st AS (SELECT sum(n) AS total, quantile_cont(n, 0.5) AS p50 FROM c)
+        |SELECT user_id, n, round(n / total, 6) AS share, round(n / p50, 6) AS x_median
+        |FROM c CROSS JOIN st ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
 
     "text_bpe_merges" -> s"WITH $bpeChainSql",
 

@@ -769,6 +769,55 @@ object Corpus {
               col("n"), 6).as("intercept"))
   }
 
+  /** Model-ready quality blend: one composite score per document from
+    * three independent signals — the heuristic quality score, token
+    * Shannon entropy, and span UNIQUENESS (1 − duplicated-span fraction)
+    * — each z-score-normalized against the corpus and averaged, plus a
+    * keep flag at the exact corpus `p`-quantile of the blend (the
+    * single-number filter a curation pipeline thresholds on).
+    *
+    * Scale shape: NO rank windows and no global sort — each signal's
+    * mean/std is a 1-row DECIMAL-routed aggregate broadcast back (z-score
+    * normalization is scan-side arithmetic), and the quantile cut is one
+    * more 1-row aggregate over the cached blend frame (scope-owned).
+    * Degenerate signals (σ = 0) contribute z = 0 instead of dividing by
+    * zero. */
+  def qualityBlend(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanN: Int = 8,
+      p: Double = 0.9,
+      scope: CacheScope = new CacheScope
+  ): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 12)
+    val toks = tokens(col(textCol))
+    val q = df.select(col(idCol).as("id"),
+      qualityScore(col(textCol), toks).as("q"))
+    val e = tokenEntropy(df, idCol, textCol)
+      .select(col(idCol).as("id"), col("entropy").as("e"))
+    val u = dupSpanProfile(df, idCol, textCol, spanN)
+      .select(col(idCol).as("id"), (lit(1.0) - col("dup_span_frac")).as("u"))
+    val sig = q.join(e, Seq("id")).join(u, Seq("id"))
+    def mos(c: String) = Seq(
+      sum(col(c).cast(dec)).cast("double").as(s"s_$c"),
+      sum((col(c) * col(c)).cast(dec)).cast("double").as(s"ss_$c"))
+    val aggs = mos("q") ++ mos("e") ++ mos("u")
+    val stats = sig.agg(count(lit(1)).cast("double").as("n"), aggs: _*)
+    def z(c: String): Column = {
+      val mu = col(s"s_$c") / col("n")
+      val sd = sqrt(col(s"ss_$c") / col("n") - mu * mu)
+      when(sd > 0, (col(c) - mu) / sd).otherwise(lit(0.0))
+    }
+    val blended = scope.cache(sig.crossJoin(broadcast(stats))
+      .select(col("id"),
+        round((z("q") + z("e") + z("u")) / 3.0, 6).as("blend")))
+    val cut = blended.agg(percentile(col("blend"), lit(p)).as("p_cut"))
+    blended.crossJoin(broadcast(cut))
+      .select(col("id").as(idCol), col("blend"),
+        (col("blend") >= col("p_cut")).as("keep"))
+  }
+
   /** BPE merge induction: learn the first `nMerges` byte-pair-encoding
     * merges from the corpus — the tokenizer-training step of an LLM data
     * pipeline, distributed. Words become '|'-delimited character symbol

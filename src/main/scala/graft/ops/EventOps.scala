@@ -633,6 +633,24 @@ object EventOps {
           .as("is_burst"))
   }
 
+  /** Skew report: the top-`k` hottest keys with their share of all rows
+    * and their multiple of the median key size — the diagnostic read
+    * before choosing a salting factor or AQE skew threshold (companion to
+    * `Skew.saltedJoin`). One map-side-combinable count, a 1-row stats
+    * aggregate broadcast back, and a TakeOrderedAndProject cut — never a
+    * global sort. */
+  def skewReport(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(sum(col("n")).as("total"),
+      percentile(col("n"), lit(0.5)).as("p50"))
+    counts.crossJoin(broadcast(stats))
+      .select(col(keyCol), col("n"),
+        round(col("n") / col("total"), 6).as("share"),
+        round(col("n") / col("p50"), 6).as("x_median"))
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** First-order Markov transition matrix over event types: for every
     * (from, to) pair of consecutive same-user events, the transition count
     * and row-normalized probability — the sequence model behind

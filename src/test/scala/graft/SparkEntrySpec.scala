@@ -50,18 +50,36 @@ class SparkEntrySpec extends AnyFlatSpec with Matchers {
   }
 
   it should "keep the stage-5 bench line under budget at 120 queries" in {
-    // The driver parses the bench JSON from a ~2000-char tail window;
-    // stage 5 (initials + 1-decimal times) must hold a 120-query set
-    // below the 1850 budget even with pessimistic 4-char times, so
-    // decimal precision survives another ~20 queries of growth.
+    // The driver parses the bench JSON from a ~2000-char tail window.
+    // Stage 5 (initials + 1-decimal times) is DESIGNED to hold decimal
+    // precision to ~120 queries under pessimistic 4-char times; past
+    // that the chain's stage 6 takes over (next test). Pin the designed
+    // guarantee at exactly 120 names (truncate or pad the live set).
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val padded = names ++ (names.size until 120).map(i => s"text_future_query_$i")
-    val m = Bench.initialsAbbrev(padded)
-    m.values.toSeq.distinct.size shouldBe padded.size
-    val qs = padded.map(n => "\"" + m(n) + "\":88.8").mkString("{", ",", "}")
+    val at120 =
+      if (names.size >= 120) names.take(120)
+      else names ++ (names.size until 120).map(i => s"text_future_query_$i")
+    val m = Bench.initialsAbbrev(at120)
+    m.values.toSeq.distinct.size shouldBe at120.size
+    val qs = at120.map(n => "\"" + m(n) + "\":88.8").mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":8888.88,"unit":"sec","queries":$qs,"failed":[],"sf":"/root/testdata/sf0.1"}"""
     withClue(s"projected stage-5 line length ${line.length}: ") {
       line.length should be < 1850
+    }
+  }
+
+  it should "keep the stage-6 bench line parseable for the full live set" in {
+    // Last-resort stage: whole-second times, empty failed omitted. The
+    // FULL current query set must stay under the 1800 warning threshold
+    // even with pessimistic 3-char times, so the driver's tail window
+    // always parses the line no matter how far the set grows past the
+    // stage-5 decimal budget.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val m = Bench.initialsAbbrev(names)
+    val qs = names.map(n => "\"" + m(n) + "\":888").mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":8888.88,"unit":"sec","queries":$qs,"sf":"/root/testdata/sf0.1"}"""
+    withClue(s"projected stage-6 line length ${line.length} at ${names.size} queries: ") {
+      line.length should be < 1800
     }
   }
 

@@ -165,6 +165,37 @@ class SpanSketchSpec extends AnyFlatSpec with Matchers {
     (out.getLong(1), out.getLong(2)) shouldBe ((1L, 0L))
   }
 
+  behavior of "qualityBlend"
+
+  it should "keep the top decile and zero out degenerate signals" in {
+    // 10 docs with varying length/stopword mix -> distinct blends
+    val docs = (1L to 10L).map(i =>
+      Doc(i, ("the quick fox " * i.toInt).trim + s" unique$i", "s")).toDS.toDF()
+    val out = Corpus.qualityBlend(docs, "doc_id", "text").collect()
+    out should have size 10
+    out.count(_.getBoolean(2)) shouldBe 1 // p90 keeps the top of 10
+    // z-scores are centered: blend sums to ~0 across the corpus
+    math.abs(out.map(_.getDouble(1)).sum) should be < 1e-3
+    // identical docs -> sigma 0 on every signal -> blend 0, all kept
+    val same = (1L to 4L).map(i => Doc(i, "same text here", "s")).toDS.toDF()
+    val deg = Corpus.qualityBlend(same, "doc_id", "text").collect()
+    all(deg.map(_.getDouble(1))) shouldBe 0.0
+    all(deg.map(_.getBoolean(2))) shouldBe true
+  }
+
+  behavior of "skewReport"
+
+  it should "rank hot keys with share and multiple-of-median" in {
+    val df = (Seq.fill(8)(1L) ++ Seq.fill(2)(2L) ++ Seq(3L, 4L))
+      .toDF("user_id")
+    val out = EventOps.skewReport(df, "user_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // counts 8,2,1,1: total 12, median 1.5
+    out shouldBe Array(
+      (1L, 8L, 0.666667, 5.333333),
+      (2L, 2L, 0.166667, 1.333333))
+  }
+
   behavior of "versionDiff"
 
   it should "classify added, removed, changed and unchanged documents" in {
