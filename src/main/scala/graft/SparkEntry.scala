@@ -766,6 +766,23 @@ object SparkEntry {
         spread(s, table(s, dir, "embeddings")), "vec_id", "embedding",
         dim = 64, planes = 8, bands = 2, k = 5)),
 
+    // Extension: SemDeDup (arXiv:2303.09540) — semantic dedup via
+    // deterministic k-means cells + within-cell cosine; the lowest id in
+    // every >= tau relation survives. tau = 0.35 is the harness-scale knob
+    // (the synthetic embeddings top out near cosine 0.45; production runs
+    // ~0.95) — the oracle rebuilds the identical cells and prune set.
+    "sim_semdedup" -> ((s, dir) =>
+      graft.ops.Similarity.semDedup(
+        spread(s, table(s, dir, "embeddings")), "vec_id", "embedding",
+        numCentroids = 16, lloydRounds = 2, tau = 0.35)),
+
+    // Extension: centroid-OOD gate — 1 − max cosine to any k-means
+    // centroid (narrow projection against centroid literals), flagged
+    // above the exact p90 cut computed as a 1-row broadcast aggregate.
+    "sim_centroid_ood" -> ((s, dir) =>
+      graft.ops.Similarity.centroidOodScores(
+        spread(s, table(s, dir, "embeddings")), "vec_id", "embedding")),
+
     // Extension: multimodal binary-column plumbing — batched partition-local
     // decode (stubbed deterministically; see graft.ops.Multimodal).
     "multimodal_decode" -> ((s, dir) =>
@@ -2284,6 +2301,34 @@ object SparkEntry {
         |SELECT t.src, t.dst, t.rank, round(t.sim, 6) AS sim,
         |  (m.src IS NOT NULL) AS mutual
         |FROM top t LEFT JOIN top m ON m.src = t.dst AND m.dst = t.src""".stripMargin,
+
+    // Rebuilds the identical deterministic k-means cells (the sim_ivf_topk
+    // CTE chain), then mirrors the lowest-id-survives prune rule.
+    "sim_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |c1 AS ${lloydRoundSql("seeds", 64)},
+        |c2 AS ${lloydRoundSql("c1", 64)},
+        |cells AS (SELECT vec_id, v, cent_id AS cell FROM
+        |  (SELECT e.vec_id, e.v, c.cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cent_id) AS rn FROM e, c2 c)
+        |  WHERE rn = 1),
+        |pruned AS (SELECT DISTINCT a.vec_id FROM cells a JOIN cells b
+        |  ON a.cell = b.cell AND b.vec_id < a.vec_id AND ${cosSql("a.v", "b.v")} >= 0.35)
+        |SELECT c.vec_id, c.cell, (p.vec_id IS NULL) AS kept
+        |FROM cells c LEFT JOIN pruned p ON c.vec_id = p.vec_id""".stripMargin,
+
+    // Same k-means rebuild; OOD = 1 − max centroid cosine, DECIMAL(20,12)-
+    // canonicalized so the interpolated p90 cut sees identical doubles.
+    "sim_centroid_ood" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |c1 AS ${lloydRoundSql("seeds", 64)},
+        |c2 AS ${lloydRoundSql("c1", 64)},
+        |sc AS (SELECT e.vec_id,
+        |    CAST(CAST(1.0 - max(${cosSql("e.v", "c.cv")}) AS DECIMAL(20,12)) AS DOUBLE) AS ood
+        |  FROM e, c2 c GROUP BY e.vec_id),
+        |cut AS (SELECT quantile_cont(ood, 0.9) AS c FROM sc)
+        |SELECT vec_id, round(ood, 6) AS ood_score, ood > c AS flagged FROM sc, cut""".stripMargin,
 
     "multimodal_decode" ->
       """WITH d AS (SELECT doc_id, text, strlen(text) AS L,

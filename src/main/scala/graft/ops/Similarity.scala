@@ -442,6 +442,91 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means cells bound the candidate set, then a vector
+    * is PRUNED when any LOWER-id cell-mate sits within cosine `tau` — the
+    * deterministic stand-in for the paper's keep-one-per-duplicate-group
+    * rule (lowest id survives every pairwise relation, so the kept set is
+    * unique and engine-independent; no connected-components pass needed).
+    *
+    * Scale shape: the quantizer is [[kmeansCentroids]] — O(k·dim) driver
+    * state, cell assignment a narrow projection against centroid literals.
+    * The only join is the within-cell self-join, an equi-join on the cell
+    * id whose per-cell cost is (n/k)² — k grows with the corpus exactly
+    * like the LSH plane count ([[lshCosineNearDupPairs]]), keeping cell
+    * population (and with it per-cell pair work) bounded. The prune check
+    * is a left-semi join, so no pair list is ever materialized wider than
+    * the candidate equi-join output.
+    *
+    * Returns one row per input vector: (idCol, cell, kept). */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int = 16,
+      lloydRounds: Int = 2,
+      tau: Double = 0.95,
+      scope: CacheScope = new CacheScope
+  ): DataFrame = {
+    val cos = cosineFor(df.sparkSession) _
+    val cent = kmeansCentroids(df, idCol, vecCol, numCentroids, lloydRounds)
+    // cached: the assignment projection (k cosines per row) feeds three
+    // plan references — both self-join sides and the final keep-flag join
+    val assigned = scope.cache(df
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .withColumn("cell", nearestCell(cos)(col("v"), cent)))
+    val pruned = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("b.id") < col("a.id") &&
+          cos(col("a.v"), col("b.v")) >= tau,
+        "left_semi")
+      .select(col("id").as("pid"))
+    assigned.join(pruned, col("id") === col("pid"), "left")
+      .select(col("id").as(idCol), col("cell"), col("pid").isNull.as("kept"))
+  }
+
+  /** Out-of-distribution score per vector: 1 − max cosine to any of the
+    * deterministic k-means centroids — the standard cheap embedding-space
+    * outlier/novelty gate (vectors far from every density center are OOD
+    * candidates; low scores sit inside a cluster). Flags the top fraction
+    * by a quantile cut computed as a 1-row aggregate broadcast back — no
+    * global sort, no per-row window. Scoring itself is a narrow projection
+    * against the centroid literals (no join/shuffle), identical in shape to
+    * IVF cell assignment. The cut uses the exact interpolated percentile
+    * (bit-replicable by the oracle, same recipe as Corpus.lengthBins); at
+    * 100 TB swap it for approx_percentile — the flag is the only consumer.
+    * Caveat (inherent to k-means OOD): keep k well below the outlier count,
+    * or Lloyd convergence hands extreme loners their own centroid. */
+  def centroidOodScores(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int = 16,
+      lloydRounds: Int = 2,
+      flagQuantile: Double = 0.9,
+      scope: CacheScope = new CacheScope
+  ): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cos = cosineFor(df.sparkSession) _
+    val cent = kmeansCentroids(df, idCol, vecCol, numCentroids, lloydRounds)
+    val best = array_max(array(cent.map { case (_, cv) =>
+      cos(col("v"), typedlit(cv))
+    }: _*))
+    // canonicalize through DECIMAL so the quantile cut (an interpolation
+    // over sorted values) sees identical inputs in both engines; cached —
+    // the k-cosine scoring scan feeds both the cut aggregate and the output
+    val scored = scope.cache(df
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .select(col("id"),
+        (lit(1.0) - best).cast(DecimalType(20, 12)).cast("double").as("ood")))
+    val cut = scored.agg(expr(s"percentile(ood, $flagQuantile)").as("c"))
+    scored.crossJoin(broadcast(cut))
+      .select(col("id").as(idCol), round(col("ood"), 6).as("ood_score"),
+        (col("ood") > col("c")).as("flagged"))
+  }
+
   /** Approximate kNN graph: banded sign-LSH candidate pairs (the scalable
     * generator — an equi-join on (band, bucket), never all-pairs), each
     * pair scored ONCE with the exact cosine, symmetrized into directed

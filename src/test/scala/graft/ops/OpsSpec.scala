@@ -234,6 +234,54 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     pairs.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((0L, 1L))
   }
 
+  it should "semantically dedup within cells keeping the lowest id" in {
+    // two tight colinear groups (within-group cosine 1.0) plus a loner;
+    // k=2 cells separate the groups, tau=0.9 prunes every higher-id member
+    // of a group, and the loner (orthogonal to both) always survives
+    val base = Seq(1f, 1f, 1f, 0f)
+    val vecs = Seq(
+      Vec(0, base), Vec(1, base.map(_ * 2f)), Vec(2, base.map(_ * 3f)),
+      Vec(3, base.map(_ * -1f)), Vec(4, base.map(_ * -2f)),
+      Vec(5, Seq(0f, 0f, 0f, 1f))
+    ).toDS.toDF()
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding",
+        numCentroids = 2, lloydRounds = 2, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).sortBy(_._1)
+    val kept = out.filter(_._2).map(_._1)
+    val pruned = out.filterNot(_._2).map(_._1)
+    out.length shouldBe 6
+    kept should contain(5L)                 // loner never pruned
+    (kept ++ pruned).sorted shouldBe (0L to 5L)
+    // within each colinear group only the lowest surviving id is kept:
+    // every pruned id has a lower kept cell-mate with cosine 1.0
+    pruned.foreach(p => kept.exists(_ < p) shouldBe true)
+    Seq(1L, 2L).count(pruned.contains) should be >= 1
+  }
+
+  it should "score OOD by distance to the nearest centroid and flag the tail" in {
+    val base = Seq(1f, 1f, 1f, 0f)
+    // loner at id 5: the md5 seed order picks ids 6 and 9 from 0..9, so the
+    // loner is never a seed (a loner-seed would be its own centroid, ood 0)
+    val vecs = (0L to 9L).map {
+      case 5L => Vec(5, Seq(0f, 0f, 0f, 1f)) // far from the dense region
+      case i  => Vec(i, base.map(_ * (1f + i * 0.01f)))
+    }
+    // one Lloyd round: at convergence k-means would isolate the single
+    // outlier into its own centroid (ood 0) — the documented k ≪ #outliers
+    // caveat, irrelevant at corpus scale but dominant in a 10-row fixture
+    val out = Similarity.centroidOodScores(vecs.toDS.toDF(), "vec_id", "embedding",
+        numCentroids = 2, lloydRounds = 1, flagQuantile = 0.8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    out.length shouldBe 10
+    // cosine is scale-invariant, so every colinear member scores the SAME
+    // ood (0 against its own colinear centroid); nothing scores below 0 and
+    // the loner is the sole value above the p80 cut
+    val byId = out.map(t => t._1 -> t).toMap
+    all(out.map(_._2)) should be >= 0.0
+    byId(5L)._3 shouldBe true
+    out.filter(_._1 != 5).count(_._3) shouldBe 0
+  }
+
   behavior of "EventOps"
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
