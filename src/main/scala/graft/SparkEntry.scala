@@ -1382,6 +1382,20 @@ object SparkEntry {
         table(s, dir, "documents").select("doc_id", "lang"),
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
 
+    // Extension: dedup-aware split — near-dup clusters (MinHash pairs →
+    // connected components) are split as UNITS by hashing the cluster id,
+    // so a test document can never have a near-copy in train (the
+    // dedup-then-split eval-contamination rule). Singletons split exactly
+    // as docs_split_assign.
+    "docs_leakage_split" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = graft.ops.Dedup
+        .minhashNearDupPairs(spread(s, docs), "doc_id", "text")
+        .filter(col("is_dup"))
+      graft.ops.Corpus.leakageSafeSplit(docs.select("doc_id"), "doc_id",
+        pairs, "a_id", "b_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    }),
+
     // Extension: heavy hitters via the Misra-Gries sketch
     // (DataFrameStatFunctions.freqItems — constant memory, one pass; the
     // third sketch family next to HLL cardinality and GK quantiles).
@@ -1420,6 +1434,15 @@ object SparkEntry {
     // fingerprints the way they move every fixed-span gram).
     "text_cdc_dups" -> ((s, dir) =>
       graft.ops.Corpus.cdcChunkDups(spread(s, table(s, dir, "documents")), "doc_id", "text")),
+
+    // Extension: winnowing fingerprints (MOSS local fingerprinting) —
+    // rightmost-minimum selection over a w=4 window of 3-gram hashes;
+    // position-stable ~2/(w+1)-density sketch with the guaranteed-match
+    // property for overlaps of w+k−1 tokens. Entirely row-local (rolling
+    // min = shifted zip_with fold): one narrow projection, no shuffle.
+    "text_winnowing" -> ((s, dir) =>
+      graft.ops.Corpus.winnowingFingerprints(
+        spread(s, table(s, dir, "documents")), "doc_id", "text")),
 
     // Extension: dataset version diff — per-doc added/removed/changed/
     // unchanged status between the corpus and a derived revision (10%
@@ -3050,6 +3073,30 @@ object SparkEntry {
         |  (('0x'||substr(md5(doc_id::VARCHAR),1,7))::UBIGINT)::BIGINT % 10000 AS bucket
         |  FROM documents)""".stripMargin,
 
+    // The dedup_cluster_cc recursive closure (same MinHash banding + 0.7
+    // Jaccard verify), then the docs_split_assign bucket arithmetic taken
+    // on the CLUSTER id instead of the doc id.
+    "docs_leakage_split" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(0, greatest(len(toks)-3, 0)), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM t),
+        |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 15), k -> list_min(list_transform(sh, x -> (('0x'||substr(md5(x),1,7))::UBIGINT)::BIGINT + k * (('0x'||substr(md5(x),8,7))::UBIGINT)::BIGINT))) AS sig FROM sh),
+        |bands AS (SELECT doc_id, j, md5(j::VARCHAR||':'||array_to_string(sig[j*2+1:j*2+2], ',')) AS key FROM sig, range(8) r(j)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a JOIN bands b ON a.j=b.j AND a.key=b.key AND a.doc_id<b.doc_id),
+        |p AS (SELECT c.a_id, c.b_id,
+        |  len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+        |  FROM cand c JOIN sh sa ON c.a_id = sa.doc_id JOIN sh sb ON c.b_id = sb.doc_id),
+        |e AS (SELECT a_id AS s, b_id AS d FROM p WHERE jaccard >= 0.7
+        |      UNION ALL SELECT b_id, a_id FROM p WHERE jaccard >= 0.7),
+        |reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
+        |          UNION SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s),
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT doc_id, cluster_id, bucket,
+        |  CASE WHEN bucket < 8000 THEN 'train'
+        |       WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, cluster_id,
+        |  (('0x'||substr(md5(cluster_id::VARCHAR),1,7))::UBIGINT)::BIGINT % 10000 AS bucket
+        |  FROM cl)""".stripMargin,
+
     "docs_quality_blend" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
         |qq AS (SELECT doc_id,
@@ -3107,6 +3154,22 @@ object SparkEntry {
         |  round(CASE WHEN coalesce(s.n_chunks, 0) = 0 THEN 0.0
         |        ELSE s.n_dup / s.n_chunks END, 6) AS dup_chunk_frac
         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin,
+
+    // Same positional 3-gram hash60 arithmetic as the Spark side; the
+    // rolling rightmost-minimum is replicated per window with
+    // list_min + a rightmost list_filter/list_max argmax.
+    "text_winnowing" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(generate_series(0, len(toks)-3), i -> array_to_string(toks[i+1:i+3], ' ')) END AS grams FROM t),
+        |h AS (SELECT doc_id, list_transform(grams, x -> (('0x'||substr(md5(x),1,15))::UBIGINT)::BIGINT) AS h FROM g),
+        |n AS (SELECT doc_id, h, greatest(len(h) - 3, 1) AS nw FROM h),
+        |sel AS (SELECT doc_id, h, nw, list_distinct(list_transform(generate_series(0, nw-1), i ->
+        |    list_max(list_filter(generate_series(i, least(i+3, len(h)-1)), j -> h[j+1] = list_min(h[i+1:i+4]))))) AS pos FROM n)
+        |SELECT doc_id, CAST(len(h) AS INTEGER) AS n_grams, CAST(len(pos) AS INTEGER) AS n_fps,
+        |  CAST(list_reduce(list_prepend(0::BIGINT, list_transform(pos, p -> h[p+1])), (a,x) -> xor(a,x)) AS BIGINT) AS fp_xor,
+        |  round(len(pos) / nw, 6) AS density
+        |FROM sel""".stripMargin,
 
     "docs_version_diff" ->
       """WITH b AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp FROM documents),

@@ -98,6 +98,33 @@ object Corpus {
       .withColumn("split", assign)
   }
 
+  /** Dedup-aware train/val/test split: near-duplicate documents NEVER
+    * straddle a split boundary (assigning a test doc whose near-copy sits
+    * in train is silent eval contamination — the dedup-then-split rule).
+    * Documents cluster by connected components over the supplied near-dup
+    * pair frame (min-reachable-id labels, [[Components.connectedComponents]]);
+    * the split hash is then taken on the CLUSTER id with the exact
+    * [[splitAssign]] arithmetic, so every member of a dup family lands in
+    * the same split, and singletons (cluster = own id) split exactly as
+    * plain [[splitAssign]] would.
+    *
+    * Scale shape: label propagation is one shuffle per round with
+    * lineage cut per round (see Components); the split itself is a
+    * scan-side hash projection on the cluster label — no extra shuffle. */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      splits: Seq[(String, Double)],
+      buckets: Int = 10000
+  ): DataFrame = {
+    val clustered = Components.connectedComponents(docs, idCol, pairs, aCol, bCol)
+      .select(col(idCol), col("component").as("cluster_id"))
+    splitAssign(clustered, "cluster_id", splits, buckets)
+  }
+
   /** Deterministic weighted Bernoulli sample: each row is kept with
     * probability `weight / max(weight)` using EXACT integer arithmetic on
     * the 28-bit id hash — keep iff `hash28(id) * wMax < w * 2^28`.
@@ -990,6 +1017,63 @@ object Corpus {
         coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
         round(when(coalesce(col("n_chunks"), lit(0L)) === 0L, lit(0.0))
           .otherwise(col("n_dup_chunks") / col("n_chunks")), 6).as("dup_chunk_frac"))
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS local fingerprinting scheme): hash every overlapping
+    * `k`-gram, slide a window of `w` consecutive hashes, and select each
+    * window's minimum, ties to the RIGHTMOST occurrence (robust
+    * winnowing). Adjacent windows mostly re-select the same gram, so the
+    * distinct selections form a position-stable ~2/(w+1)-density sketch
+    * that is guaranteed to share a fingerprint with any copy overlapping
+    * by w+k−1 tokens — the local-match guarantee CDC boundaries
+    * ([[cdcChunkDups]]) do not give. Output per document: gram count,
+    * fingerprint count, xor-of-fingerprints (an order-independent sketch
+    * checksum), selection density.
+    *
+    * Scale shape: entirely ROW-LOCAL — the rolling window minimum is a
+    * chain of `w−1` shifted `zip_with` folds over (hash, position) pairs
+    * (lambda bodies touch only their own variables, the graft HOF
+    * invariant), so the whole operator is one narrow projection: no
+    * shuffle, no join, no per-row window function. Texts shorter than `k`
+    * tokens collapse to one whole-text gram ([[TextFunctions.shingles]]
+    * convention); fewer grams than `w` means one window over them all. */
+  def winnowingFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val toksC = tokens(col(textCol))
+    val prepped = df
+      .withColumn("__grams",
+        when(size(toksC) < k, array(concat_ws(" ", toksC)))
+          .otherwise(gramsAllFor(spark)(toksC, k)))
+      .withColumn("__h", hash60ArrFor(spark)(col("__grams")))
+      .withColumn("__s",
+        zip_with(col("__h"), sequence(lit(0), size(col("__h")) - 1),
+          (v, p) => struct(v.as("v"), p.as("p"))))
+      .withColumn("__nw", greatest(size(col("__h")) - (w - 1), lit(1)))
+    // rolling min of width w: fold of shifted pair arrays; the LATER
+    // element wins ties (<=), giving the rightmost-minimum rule. Trailing
+    // windows run short (zip_with pads with null -> keep the accumulator),
+    // but only the first __nw entries are windows.
+    val folded = (1 until w).foldLeft(col("__s")) { (acc, j) =>
+      zip_with(acc, slice(col("__s"), lit(j + 1), size(col("__s"))), (a, b) =>
+        when(b.isNotNull && b.getField("v") <= a.getField("v"), b).otherwise(a))
+    }
+    prepped
+      .withColumn("__pos",
+        array_distinct(transform(slice(folded, lit(1), col("__nw")),
+          x => x.getField("p"))))
+      .select(col(idCol),
+        size(col("__h")).as("n_grams"),
+        size(col("__pos")).as("n_fps"),
+        aggregate(transform(col("__pos"), p => element_at(col("__h"), p + 1)),
+          lit(0L), (a, x) => a.bitwiseXOR(x)).as("fp_xor"),
+        round(size(col("__pos")) / col("__nw"), 6).as("density"))
   }
 
   /** Dataset version diff: per document id, its status between a base and

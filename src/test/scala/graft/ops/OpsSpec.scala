@@ -1765,6 +1765,55 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     got shouldBe expected
   }
 
+  it should "winnow exactly like a sequential rightmost-min reference" in {
+    val docs = randomDocs(13, 60, 40)
+    val k = 3
+    val w = 4
+    def hash60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val expected = docs.map { d =>
+      val toks = d.text.trim.split("\\s+").toSeq
+      val grams = if (toks.length < k) Seq(toks.mkString(" "))
+        else toks.sliding(k).map(_.mkString(" ")).toSeq
+      val h = grams.map(hash60)
+      val nw = math.max(h.length - w + 1, 1)
+      val pos = (0 until nw).map { i =>
+        val win = h.slice(i, i + w)
+        val m = win.min
+        i + win.lastIndexOf(m) // rightmost minimum
+      }.distinct
+      val xor = pos.map(h(_)).foldLeft(0L)(_ ^ _)
+      (d.doc_id, h.length, pos.length, xor,
+        math.rint(pos.length.toDouble / nw * 1e6) / 1e6)
+    }.toSet
+    val got = Corpus.winnowingFingerprints(docs.toDS.toDF(), "doc_id", "text", k, w)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    got shouldBe expected
+  }
+
+  it should "never let near-dup cluster members straddle a split" in {
+    val docs = (0L to 9L).map(i => Doc(i, s"doc $i", "s")).toDS.toDF()
+    // clusters: {0,1,2} (chain), {3,4}; 5..9 singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("a_id", "b_id")
+    val out = Corpus.leakageSafeSplit(docs, "doc_id", pairs, "a_id", "b_id",
+        Seq("train" -> 0.5, "test" -> 0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSeq
+    out.length shouldBe 10
+    val byDoc = out.map(t => t._1 -> t).toMap
+    // cluster labels are min reachable ids
+    Seq(0L, 1L, 2L).map(byDoc(_)._2).distinct shouldBe Seq(0L)
+    Seq(3L, 4L).map(byDoc(_)._2).distinct shouldBe Seq(3L)
+    // every cluster is split as a unit
+    Seq(0L, 1L, 2L).map(byDoc(_)._3).distinct.length shouldBe 1
+    Seq(3L, 4L).map(byDoc(_)._3).distinct.length shouldBe 1
+    // singletons split exactly as plain splitAssign on their own id
+    val plain = Corpus.splitAssign(
+        docs.filter(col("doc_id") >= 5), "doc_id", Seq("train" -> 0.5, "test" -> 0.5))
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    (5L to 9L).foreach(i => byDoc(i)._3 shouldBe plain(i))
+  }
+
   behavior of "incremental dedup"
 
   it should "screen a new batch against the corpus without self-joining" in {
