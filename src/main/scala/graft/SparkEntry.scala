@@ -1487,6 +1487,20 @@ object SparkEntry {
     "events_burst" -> ((s, dir) =>
       graft.ops.EventOps.burstScore(events(s, dir), "event_type", "ts", 600000L)),
 
+    // Extension: seasonal (hour-of-day) anomaly — per-(type, day, hour)
+    // counts vs that type's same-hour baseline across days; exact integer
+    // moments make mean/variance/z bit-replicable. Complements burst
+    // detection (trailing window) by learning the diurnal profile.
+    "events_seasonal_anomaly" -> ((s, dir) =>
+      graft.ops.EventOps.seasonalAnomaly(events(s, dir), "event_type", "ts")),
+
+    // Extension: Welch two-sample A/B readout — purchase-vs-view value
+    // lift with t statistic and Welch–Satterthwaite df from ONE
+    // conditional-aggregation pass (DECIMAL-routed moment sums).
+    "events_ab_lift" -> ((s, dir) =>
+      graft.ops.EventOps.abTestLift(events(s, dir), "event_type", "value",
+        "purchase", "view")),
+
     // Extension: dedup-threshold sweep — pair counts at five candidate
     // Jaccard thresholds from ONE scoring pass (the knob-pricing table
     // next to dedup_lsh_eval's bands/rows eval).
@@ -3220,6 +3234,50 @@ object SparkEntry {
         |  round(CASE WHEN n_trail = 0 THEN 0.0 ELSE CAST(tsum AS DOUBLE) / n_trail END, 6) AS trail_avg,
         |  (n_trail >= 3 AND n >= 3.0 * CAST(tsum AS DOUBLE) / n_trail) AS is_burst
         |FROM t""".stripMargin,
+
+    // Exact integer moments per (type, hour-of-day): the n·Σx²−(Σx)²
+    // variance identity over count sums, then the identical double
+    // arithmetic for mean and z.
+    "events_seasonal_anomaly" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+        |    (CAST(epoch_ms(ts) AS BIGINT) // 3600000) % 24 AS hour
+        |  FROM events),
+        |c AS (SELECT event_type, day, hour, count(*) AS n FROM e GROUP BY 1, 2, 3),
+        |b AS (SELECT event_type, hour, count(*) AS n_days, sum(n) AS s1, sum(n*n) AS s2
+        |  FROM c GROUP BY 1, 2),
+        |j AS (SELECT c.event_type, c.day, c.hour, c.n, b.n_days,
+        |    CAST(b.s1 AS DOUBLE) / b.n_days AS mean,
+        |    CAST(b.n_days * b.s2 - b.s1 * b.s1 AS DOUBLE) / (b.n_days * (b.n_days - 1)) AS var
+        |  FROM c JOIN b ON c.event_type = b.event_type AND c.hour = b.hour)
+        |SELECT event_type, day, hour, n, n_days,
+        |  round(mean, 6) AS hour_mean,
+        |  round((n - mean) / sqrt(var), 6) AS z
+        |FROM j WHERE n_days >= 2 AND var > 0 AND abs((n - mean) / sqrt(var)) >= 2.0""".stripMargin,
+
+    // One conditional-aggregation pass mirroring the Spark side: value
+    // sums DECIMAL(27,12)-routed (squares in double first), then the same
+    // double-arithmetic chain for mean, variance, t, and Welch df.
+    "events_ab_lift" ->
+      """WITH m AS (SELECT
+        |    count(*) FILTER (event_type = 'purchase') AS n_a,
+        |    sum(CAST(value AS DECIMAL(27,12))) FILTER (event_type = 'purchase') AS s1_a,
+        |    sum(CAST(value * value AS DECIMAL(27,12))) FILTER (event_type = 'purchase') AS s2_a,
+        |    count(*) FILTER (event_type = 'view') AS n_b,
+        |    sum(CAST(value AS DECIMAL(27,12))) FILTER (event_type = 'view') AS s1_b,
+        |    sum(CAST(value * value AS DECIMAL(27,12))) FILTER (event_type = 'view') AS s2_b
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |d AS (SELECT n_a, n_b,
+        |    CAST(s1_a AS DOUBLE) / n_a AS ma, CAST(s1_b AS DOUBLE) / n_b AS mb,
+        |    (CAST(s2_a AS DOUBLE) - n_a * (CAST(s1_a AS DOUBLE) / n_a) * (CAST(s1_a AS DOUBLE) / n_a)) / (n_a - 1) AS va,
+        |    (CAST(s2_b AS DOUBLE) - n_b * (CAST(s1_b AS DOUBLE) / n_b) * (CAST(s1_b AS DOUBLE) / n_b)) / (n_b - 1) AS vb
+        |  FROM m),
+        |s AS (SELECT n_a, n_b, ma, mb, va / n_a AS sa, vb / n_b AS sb FROM d)
+        |SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  round(ma - mb, 6) AS mean_lift,
+        |  round((ma - mb) / sqrt(sa + sb), 6) AS t_stat,
+        |  round(((sa + sb) * (sa + sb)) / (sa * sa / (n_a - 1) + sb * sb / (n_b - 1)), 6) AS welch_df
+        |FROM s""".stripMargin,
 
     "dedup_threshold_sweep" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -633,6 +633,92 @@ object EventOps {
           .as("is_burst"))
   }
 
+  /** Seasonal anomaly gate: flags (type, day, hour) count buckets that
+    * deviate ≥ `zThreshold` sample standard deviations from that type's
+    * SAME-HOUR-OF-DAY baseline — the diurnal-profile complement to
+    * [[burstScore]] (which compares against the trailing window and so
+    * flags every rush hour; this learns the rush hour and flags deviations
+    * FROM it). Baseline moments are exact integer sums of counts (s1, s2),
+    * so mean/variance/z are deterministic double arithmetic over exact
+    * inputs — order-independent and bit-replicable by the oracle.
+    *
+    * Scale shape: one (type, day, hour) count shuffle (map-side
+    * combinable), then the baseline aggregate collapses to #types × 24
+    * rows — broadcast back to the bucket frame; variance uses the
+    * n·Σx²−(Σx)² identity so no second pass over the buckets. Baselines
+    * cover OBSERVED buckets only (a type silent for a whole (day, hour)
+    * contributes no zero row — compose with gapFill first to change that;
+    * documented, not hidden). */
+  def seasonalAnomaly(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      zThreshold: Double = 2.0
+  ): DataFrame = {
+    val ev = events.withColumn("__ms", Ts.millis(events, tsCol))
+    val counts = ev.select(col(typeCol),
+        expr("__ms div 86400000").as("day"),
+        expr("(__ms div 3600000) % 24").as("hour"))
+      .groupBy(col(typeCol), col("day"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val base = counts.groupBy(col(typeCol), col("hour"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+    val mean = col("s1").cast("double") / col("n_days")
+    val varE = (col("n_days") * col("s2") - col("s1") * col("s1")).cast("double") /
+      (col("n_days") * (col("n_days") - 1))
+    val z = (col("n") - mean) / sqrt(varE)
+    counts.join(broadcast(base), Seq(typeCol, "hour"))
+      .filter(col("n_days") >= 2 && varE > 0 && abs(z) >= zThreshold)
+      .select(col(typeCol), col("day"), col("hour"), col("n"), col("n_days"),
+        round(mean, 6).as("hour_mean"), round(z, 6).as("z"))
+  }
+
+  /** Welch two-sample test between the `valueCol` distributions of two
+    * event types — the A/B readout (unequal variances, unequal sizes):
+    * means, mean lift, t statistic, and Welch–Satterthwaite degrees of
+    * freedom. All moments come from ONE conditional-aggregation pass
+    * (count / Σv / Σv² per arm, no join, no second scan); value sums are
+    * DECIMAL(27,12)-routed so they are partial-aggregation-order
+    * independent, and every downstream quantity is deterministic double
+    * arithmetic over those exact sums — the oracle reproduces t and df bit
+    * for bit. Squares are taken in double before the DECIMAL route (a
+    * DECIMAL(27,12)² would overflow width 38 — the zipfFit recipe). */
+  def abTestLift(
+      events: DataFrame,
+      typeCol: String,
+      valueCol: String,
+      typeA: String,
+      typeB: String
+  ): DataFrame = {
+    val dec = DecimalType(27, 12)
+    def armAgg(t: String, suffix: String) = Seq(
+      count(when(col(typeCol) === t, 1)).as(s"n_$suffix"),
+      sum(when(col(typeCol) === t, col(valueCol).cast(dec))).as(s"s1_$suffix"),
+      sum(when(col(typeCol) === t,
+        (col(valueCol) * col(valueCol)).cast(dec))).as(s"s2_$suffix"))
+    val aggs = armAgg(typeA, "a") ++ armAgg(typeB, "b")
+    val m = events.filter(col(typeCol).isin(typeA, typeB))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("ma", col("s1_a").cast("double") / col("n_a"))
+      .withColumn("mb", col("s1_b").cast("double") / col("n_b"))
+      .withColumn("va",
+        (col("s2_a").cast("double") - col("n_a") * col("ma") * col("ma")) /
+          (col("n_a") - 1))
+      .withColumn("vb",
+        (col("s2_b").cast("double") - col("n_b") * col("mb") * col("mb")) /
+          (col("n_b") - 1))
+      .withColumn("sa", col("va") / col("n_a"))
+      .withColumn("sb", col("vb") / col("n_b"))
+    m.select(col("n_a"), col("n_b"),
+      round(col("ma"), 6).as("mean_a"), round(col("mb"), 6).as("mean_b"),
+      round(col("ma") - col("mb"), 6).as("mean_lift"),
+      round((col("ma") - col("mb")) / sqrt(col("sa") + col("sb")), 6).as("t_stat"),
+      round(((col("sa") + col("sb")) * (col("sa") + col("sb"))) /
+        (col("sa") * col("sa") / (col("n_a") - 1) +
+          col("sb") * col("sb") / (col("n_b") - 1)), 6).as("welch_df"))
+  }
+
   /** Skew report: the top-`k` hottest keys with their share of all rows
     * and their multiple of the median key size — the diagnostic read
     * before choosing a salting factor or AQE skew threshold (companion to

@@ -299,6 +299,46 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       Array((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L))
   }
 
+  it should "flag hour-of-day buckets that break the seasonal baseline" in {
+    // type x at hour 10: 8 days of 2 events, day 9 spikes to 14
+    //   n=9, s1=30, s2=228 -> mean=10/3, var=16, z_spike=(14-10/3)/4=2.6667
+    // hour 05: constant count (var 0) -> excluded by the var > 0 gate
+    val ev = (1 to 9).flatMap { d =>
+      val spike = if (d == 9) 14 else 2
+      (1 to spike).map(i => (ts(f"2024-01-0$d 10:0${i % 6}:0${i % 10}"), 1L, "x", 1.0)) ++
+        Seq((ts(f"2024-01-0$d 05:00:00"), 1L, "x", 1.0))
+    }.toDF("ts", "user_id", "event_type", "value")
+    val out = EventOps.seasonalAnomaly(ev, "event_type", "ts")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(6)))
+    out.length shouldBe 1
+    val (_, hour, n, z) = out.head
+    hour shouldBe 10L
+    n shouldBe 14L
+    z shouldBe 2.666667 +- 1e-6
+  }
+
+  it should "compute the Welch t readout from one aggregation pass" in {
+    // arm A values {1,2,3}: n=3 mean=2 var=1; arm B {2,4}: n=2 mean=3 var=2
+    // sa=1/3 sb=1 -> t=(2-3)/sqrt(4/3) = -0.866025; df=(4/3)^2/(1/18+1)
+    val ev = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "A", 1.0),
+      (ts("2024-01-01 10:01:00"), 2L, "A", 2.0),
+      (ts("2024-01-01 10:02:00"), 3L, "A", 3.0),
+      (ts("2024-01-01 10:03:00"), 4L, "B", 2.0),
+      (ts("2024-01-01 10:04:00"), 5L, "B", 4.0),
+      (ts("2024-01-01 10:05:00"), 6L, "C", 99.0) // other arms ignored
+    ).toDF("ts", "user_id", "event_type", "value")
+    val r = EventOps.abTestLift(ev, "event_type", "value", "A", "B").collect()(0)
+    r.getLong(0) shouldBe 3L
+    r.getLong(1) shouldBe 2L
+    r.getDouble(2) shouldBe 2.0
+    r.getDouble(3) shouldBe 3.0
+    r.getDouble(4) shouldBe -1.0
+    r.getDouble(5) shouldBe -0.866025 +- 1e-6
+    val df = math.pow(4.0 / 3.0, 2) / ((1.0 / 9) / 2 + 1.0)
+    r.getDouble(6) shouldBe df +- 1e-6
+  }
+
   it should "build a row-normalized Markov transition matrix" in {
     // user 1: A,B,A,C -> (A,B),(B,A),(A,C); user 2: C,A -> (C,A)
     val ev = Seq(
