@@ -817,6 +817,14 @@ object SparkEntry {
       graft.ops.Multimodal.decodeGifBatched(
         graft.ops.Multimodal.asGif(table(s, dir, "documents"), "doc_id", "text")).toDF()),
 
+    // Extension: REAL WebP dimension decode — RIFF container walk
+    // dispatching on all three bitstream layouts (lossy VP8 start-code +
+    // 14-bit dims, lossless VP8L bit-packed dims, extended VP8X 24-bit
+    // canvas + even-padded chunk walk to the EXIF feature bytes).
+    "multimodal_webp" -> ((s, dir) =>
+      graft.ops.Multimodal.decodeWebpBatched(
+        graft.ops.Multimodal.asWebp(table(s, dir, "documents"), "doc_id", "text")).toDF()),
+
     // Extension: multimodal audio — text wrapped as real PCM WAV files,
     // decoded by walking the RIFF chunks (rate/channels/bits/duration).
     "multimodal_audio_decode" -> ((s, dir) =>
@@ -1480,6 +1488,13 @@ object SparkEntry {
     // engines agree bit-for-bit).
     "text_entropy" -> ((s, dir) =>
       graft.ops.Corpus.tokenEntropy(spread(s, table(s, dir, "documents")), "doc_id", "text")),
+
+    // Extension: per-source distribution drift — Jensen–Shannon divergence
+    // between each source's token distribution and the rest of the corpus
+    // (bounded at ln 2; DECIMAL-canonicalized ln + DECIMAL-routed sums).
+    "text_js_drift" -> ((s, dir) =>
+      graft.ops.Corpus.jsDivergenceBySource(
+        spread(s, table(s, dir, "documents")), "text", "source")),
 
     // Extension: burst detection — per-(type, 10 min bucket) counts
     // against the trailing-6-bucket average (RANGE frame, gap-aware),
@@ -2449,6 +2464,26 @@ object SparkEntry {
         |  lower(hex(substr(text, 1, 4))) AS feature
         |FROM d""".stripMargin,
 
+    // byte_len per container variant (RIFF 12 + chunk header 8 + chunk
+    // payload + RIFF even-padding; VP8X adds the 8-byte EXIF header):
+    // VP8 = 30+L+L%2, VP8L = 25+L+(L+1)%2, VP8X = 38+L+L%2. Channels:
+    // lossy 3, lossless 4, extended 3 + alpha flag (odd L).
+    "multimodal_webp" ->
+      """WITH d AS (SELECT doc_id, text, strlen(text) AS L,
+        |    1 + strlen(text) % 64 AS w, 1 + strlen(text) % 48 AS h,
+        |    strlen(text) % 3 AS v
+        |  FROM documents)
+        |SELECT doc_id AS id,
+        |  CAST(CASE WHEN v = 0 THEN 30 + L + L % 2
+        |            WHEN v = 1 THEN 25 + L + (L + 1) % 2
+        |            ELSE 38 + L + L % 2 END AS INTEGER) AS byte_len,
+        |  CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(CASE WHEN v = 1 THEN 4
+        |            WHEN v = 2 AND L % 2 = 1 THEN 4 ELSE 3 END AS INTEGER) AS channels,
+        |  lower(hex(substr(text, 1, 4))) AS feature
+        |FROM d""".stripMargin,
+
     // byte_len = SOI(2) + APP0(18) + COM(4+len) + SOF0(19) + EOI(2), with
     // the COM payload capped at 60000 (16-bit segment length field — the
     // synthesizer applies the same cap); the SOF walk reads dims derived
@@ -3222,6 +3257,36 @@ object SparkEntry {
         |  FROM c GROUP BY 1)
         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(nd AS BIGINT) AS n_distinct,
         |  round(CAST(CAST(ln(n) AS DECIMAL(27,12)) AS DOUBLE) - s / n, 6) AS entropy
+        |FROM a""".stripMargin,
+
+    // Same (source, term) counts; p/q ratios are IEEE double divisions of
+    // exact longs, ln canonicalized through DECIMAL(27,12), contribution
+    // sums DECIMAL-routed, and the absent-vocabulary side folded into the
+    // same 0.5·ln2·(1−Σq) closed-form correction as the Spark side.
+    "text_js_drift" ->
+      """WITH t AS (SELECT source AS src, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |st AS (SELECT src, term, count(*) AS cs FROM t GROUP BY 1, 2),
+        |tt AS (SELECT term, sum(cs) AS c_t FROM st GROUP BY 1),
+        |stot AS (SELECT src, sum(cs) AS n_s FROM st GROUP BY 1),
+        |nn AS (SELECT sum(n_s) AS n FROM stot),
+        |j AS (SELECT st.src, st.cs, tt.c_t, s.n_s, nn.n
+        |  FROM st JOIN tt USING (term) JOIN stot s ON st.src = s.src CROSS JOIN nn),
+        |pq AS (SELECT src, n_s, n, c_t, cs,
+        |    CAST(cs AS DOUBLE) / n_s AS p,
+        |    CASE WHEN n > n_s THEN CAST(c_t - cs AS DOUBLE) / (n - n_s) ELSE 0.0 END AS q
+        |  FROM j),
+        |k AS (SELECT src, n_s, n, q,
+        |    p * CAST(CAST(ln(2.0 * p / (p + q)) AS DECIMAL(27,12)) AS DOUBLE)
+        |  + CASE WHEN c_t - cs > 0 THEN q * CAST(CAST(ln(2.0 * q / (p + q)) AS DECIMAL(27,12)) AS DOUBLE) ELSE 0.0 END AS contrib
+        |  FROM pq),
+        |a AS (SELECT src, CAST(MIN(n_s) AS BIGINT) AS n_tokens, MIN(n) AS n, count(*) AS n_terms,
+        |    CAST(SUM(CAST(contrib * 0.5 AS DECIMAL(27,12))) AS DOUBLE) AS s_in,
+        |    CAST(SUM(CAST(q AS DECIMAL(27,12))) AS DOUBLE) AS t_in
+        |  FROM k GROUP BY 1)
+        |SELECT src AS source, n_tokens, n_terms,
+        |  round(s_in + CASE WHEN n > n_tokens
+        |    THEN CAST(CAST(ln(2.0) AS DECIMAL(27,12)) AS DOUBLE) * 0.5 * (1.0 - t_in)
+        |    ELSE 0.0 END, 6) AS jsd
         |FROM a""".stripMargin,
 
     "events_burst" ->

@@ -1169,6 +1169,65 @@ object Corpus {
           - col("s") / col("n_tokens"), 6).as("entropy"))
   }
 
+  /** Per-source distribution drift: Jensen–Shannon divergence (nats)
+    * between each source's token distribution and the REST of the corpus —
+    * the standard bounded-symmetric distribution-shift monitor (ln 2 max)
+    * behind mixture rebalancing and "did this crawl slice change?" alerts.
+    * A term absent from the source contributes only through the rest-side
+    * KL term (the same 2q/(p+q) formula — no special casing), so the
+    * divergence is exact, not truncated to shared vocabulary.
+    *
+    * Scale shape: one (source, term) count shuffle (map-side combinable),
+    * a per-term total over that frame, and the #sources-sized totals
+    * broadcast back. Work is Σ_s |vocab_s| — NOT vocabulary × #sources:
+    * terms ABSENT from a source each contribute exactly 0.5·q·ln 2 (the
+    * 2q/(p+q) formula at p = 0), and their q mass sums to 1 − Σ_{t∈s} q —
+    * so the whole absent-vocabulary side collapses to one closed-form
+    * correction per source and only in-source terms are ever enumerated.
+    * ln values are canonicalized through DECIMAL(27,12) (the
+    * [[tokenEntropy]] recipe) and contribution sums are DECIMAL-routed, so
+    * the divergence is partial-aggregation-order independent and
+    * bit-replicable. A single-source corpus reports (ln 2)/2 against its
+    * empty complement — only the p-side KL term carries mass (the q branch
+    * and the correction gate on `n > n_s`, so no NaN ever forms). */
+  def jsDivergenceBySource(
+      df: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      scope: CacheScope = new CacheScope
+  ): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 12)
+    // cached: the exploded (source, term) count frame feeds the per-term
+    // totals, the per-source totals, and the scoring join — one explode
+    // pass over the corpus instead of three
+    val st = scope.cache(
+      df.select(col(sourceCol).as("src"), explode(tokens(col(textCol))).as("term"))
+        .groupBy("src", "term").agg(count(lit(1)).as("cs")))
+    val termTot = st.groupBy("term").agg(sum(col("cs")).as("c_t"))
+    val srcTot = st.groupBy("src").agg(sum(col("cs")).as("n_s"))
+    val corpusTot = srcTot.agg(sum(col("n_s")).as("n"))
+    val scored = st.join(termTot, "term")
+      .join(broadcast(srcTot.crossJoin(corpusTot)), "src")
+    val p = col("cs").cast("double") / col("n_s")
+    val q = when(col("n") > col("n_s"),
+      (col("c_t") - col("cs")).cast("double") / (col("n") - col("n_s")))
+      .otherwise(lit(0.0))
+    def lnD(x: Column) = log(x).cast(dec).cast("double")
+    val contrib = p * lnD(lit(2.0) * p / (p + q)) +
+      when(col("c_t") - col("cs") > 0, q * lnD(lit(2.0) * q / (p + q)))
+        .otherwise(lit(0.0))
+    scored.groupBy("src")
+      .agg(first(col("n_s")).as("n_tokens"), first(col("n")).as("n"),
+        count(lit(1)).as("n_terms"),
+        sum((contrib * 0.5).cast(dec)).cast("double").as("s_in"),
+        sum(q.cast(dec)).cast("double").as("t_in"))
+      .select(col("src").as(sourceCol), col("n_tokens"), col("n_terms"),
+        round(col("s_in") +
+          when(col("n") > col("n_tokens"),
+            lnD(lit(2.0)) * 0.5 * (lit(1.0) - col("t_in"))).otherwise(lit(0.0)),
+          6).as("jsd"))
+  }
+
   /** Duplicated-span profile — the substring-dedup signal: per document,
     * the fraction of its `spanN`-token positions whose n-gram ALSO occurs
     * somewhere else in the corpus (another document, or again elsewhere in

@@ -753,4 +753,141 @@ object Multimodal {
         MediaRecord(id, toGif(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), "image")
       }
   }
+
+  /** Deterministic WebP wrapper cycling through the container's THREE
+    * bitstream layouts by content length — all real RIFF, all spec-valid
+    * headers, so only a real chunk walk decodes every row:
+    *  - L%3 == 0 → lossy `VP8 `: 3-byte frame tag, 9d 01 2a start code,
+    *    14-bit LE dims; content is the frame data.
+    *  - L%3 == 1 → lossless `VP8L`: 0x2f signature, width−1/height−1
+    *    bit-packed into 28 of the next 32 bits; content follows.
+    *  - L%3 == 2 → extended `VP8X`: flags byte (alpha ⇔ odd L), 24-bit
+    *    canvas dims−1, then an EXIF metadata chunk carrying the content —
+    *    the decoder must walk past the VP8X chunk to find it.
+    * RIFF chunks pad to EVEN sizes (the rule real parsers trip on), so
+    * odd-length content exercises the pad path in every variant. */
+  def toWebp(content: Array[Byte]): Array[Byte] = {
+    val len = content.length
+    val w = 1 + len % 64
+    val h = 1 + len % 48
+    val variant = len % 3
+    val chunkData = variant match {
+      case 0 => // 'VP8 ' lossy frame header + content
+        val b = ByteBuffer.allocate(10 + len).order(ByteOrder.LITTLE_ENDIAN)
+        b.put(0.toByte).put(0.toByte).put(0.toByte) // frame tag (keyframe bits unused here)
+        b.put(0x9d.toByte).put(0x01.toByte).put(0x2a.toByte)
+        b.putShort(w.toShort).putShort(h.toShort)
+        b.put(content)
+        ("VP8 ", b.array())
+      case 1 => // 'VP8L' signature + 14+14-bit dims + content
+        val bits = (w - 1) | ((h - 1) << 14)
+        val b = ByteBuffer.allocate(5 + len).order(ByteOrder.LITTLE_ENDIAN)
+        b.put(0x2f.toByte).putInt(bits)
+        b.put(content)
+        ("VP8L", b.array())
+      case _ => // 'VP8X' header only; content rides in a following EXIF chunk
+        val b = ByteBuffer.allocate(10).order(ByteOrder.LITTLE_ENDIAN)
+        b.put((if (len % 2 == 1) 0x10 else 0x00).toByte) // alpha flag
+        b.put(0.toByte).put(0.toByte).put(0.toByte)      // reserved
+        b.put((w - 1).toByte).put((((w - 1) >> 8) & 0xff).toByte)
+          .put((((w - 1) >> 16) & 0xff).toByte)
+        b.put((h - 1).toByte).put((((h - 1) >> 8) & 0xff).toByte)
+          .put((((h - 1) >> 16) & 0xff).toByte)
+        ("VP8X", b.array())
+      }
+    val (fourcc, data) = chunkData
+    def padded(n: Int): Int = n + (n & 1)
+    val extra = if (variant == 2) 8 + padded(len) else 0
+    val total = 12 + 8 + padded(data.length) + extra
+    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+    buf.put("WEBP".getBytes("US-ASCII"))
+    buf.put(fourcc.getBytes("US-ASCII")).putInt(data.length).put(data)
+    if ((data.length & 1) == 1) buf.put(0.toByte)
+    if (variant == 2) {
+      buf.put("EXIF".getBytes("US-ASCII")).putInt(len).put(content)
+      if ((len & 1) == 1) buf.put(0.toByte)
+    }
+    buf.array()
+  }
+
+  /** REAL WebP dimension decode (pure JVM, no bitstream decode): validates
+    * the RIFF/WEBP container (including the declared RIFF size), then
+    * dispatches on the first chunk's fourcc — `VP8 ` (start-code check +
+    * 14-bit dims), `VP8L` (0x2f signature + bit-packed dims−1), or `VP8X`
+    * (24-bit canvas dims−1 + alpha flag, then the even-padded chunk walk
+    * to the EXIF metadata chunk for the feature bytes). Every declared
+    * length is bounds-checked; corrupt input fails the contract error,
+    * never an out-of-bounds read. */
+  def decodeWebp(payload: Array[Byte]): (Int, Int, Int, String) = {
+    require(payload.length >= 20 &&
+      new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(payload, 8, 4, "US-ASCII") == "WEBP",
+      s"not a WebP payload (${payload.length} bytes)")
+    def u32(i: Int): Int = (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8) |
+      ((payload(i + 2) & 0xff) << 16) | ((payload(i + 3) & 0xff) << 24)
+    def u16(i: Int): Int = (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
+    def u24(i: Int): Int = (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8) |
+      ((payload(i + 2) & 0xff) << 16)
+    require(u32(4) == payload.length - 8,
+      s"RIFF size ${u32(4)} != payload ${payload.length} - 8")
+    val fourcc = new String(payload, 12, 4, "US-ASCII")
+    val size = u32(16)
+    require(20 + size <= payload.length, s"$fourcc chunk overruns the payload (size=$size)")
+    def feature(from: Int, avail: Int): String =
+      (0 until math.min(4, avail)).map(i => f"${payload(from + i) & 0xff}%02x").mkString
+    fourcc match {
+      case "VP8 " =>
+        require(size >= 10 && payload(23) == 0x9d.toByte &&
+          payload(24) == 0x01.toByte && payload(25) == 0x2a.toByte,
+          "VP8 frame start code missing")
+        (u16(26) & 0x3fff, u16(28) & 0x3fff, 3, feature(30, size - 10))
+      case "VP8L" =>
+        require(size >= 5 && payload(20) == 0x2f.toByte, "VP8L signature missing")
+        val bits = u32(21)
+        ((bits & 0x3fff) + 1, ((bits >> 14) & 0x3fff) + 1, 4, feature(25, size - 5))
+      case "VP8X" =>
+        require(size == 10, s"VP8X header must be 10 bytes, got $size")
+        val flags = payload(20) & 0xff
+        val w = u24(24) + 1
+        val h = u24(27) + 1
+        // even-padded chunk walk to the EXIF metadata chunk
+        var pos = 20 + size + (size & 1)
+        while (pos + 8 <= payload.length) {
+          val cc = new String(payload, pos, 4, "US-ASCII")
+          val sz = u32(pos + 4)
+          require(pos + 8 + sz <= payload.length,
+            s"$cc chunk at $pos overruns the payload (size=$sz)")
+          if (cc == "EXIF")
+            return (w, h, if ((flags & 0x10) != 0) 4 else 3, feature(pos + 8, sz))
+          pos += 8 + sz + (sz & 1)
+        }
+        throw new IllegalArgumentException("VP8X file has no EXIF chunk")
+      case other =>
+        throw new IllegalArgumentException(s"unknown WebP chunk '$other'")
+    }
+  }
+
+  /** Batched WebP decode — same partition-local batch seam. */
+  def decodeWebpBatched(ds: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, c, f) = decodeWebp(r.payload)
+          DecodedMedia(r.id, r.payload.length, w, h, c, f)
+        }
+      }
+    }
+  }
+
+  /** Wrap a text table as WebP media records (see [[toWebp]]). */
+  def asWebp(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRecord(id, toWebp(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), "image")
+      }
+  }
 }

@@ -891,6 +891,52 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy Multimodal.decodeGif(junk)
   }
 
+  it should "round-trip all three WebP container variants" in {
+    def hex4(c: Array[Byte]) = c.take(4).map(b => f"${b & 0xff}%02x").mkString
+    // L=12 → L%3=0 → lossy VP8, even L → no pad
+    val vp8 = "abcdefghijkl".getBytes("UTF-8")
+    Multimodal.decodeWebp(Multimodal.toWebp(vp8)) shouldBe
+      (1 + 12 % 64, 1 + 12 % 48, 3, hex4(vp8))
+    Multimodal.toWebp(vp8).length shouldBe 30 + 12
+    // L=13 → L%3=1 → lossless VP8L (channels 4); 5+13 even → no pad
+    val vp8l = "abcdefghijklm".getBytes("UTF-8")
+    Multimodal.decodeWebp(Multimodal.toWebp(vp8l)) shouldBe
+      (1 + 13 % 64, 1 + 13 % 48, 4, hex4(vp8l))
+    Multimodal.toWebp(vp8l).length shouldBe 25 + 13
+    // L=14 → L%3=2 → extended VP8X, even L → no alpha, no pad; the
+    // feature must come from the EXIF chunk BEHIND the VP8X header
+    val vp8x = "abcdefghijklmn".getBytes("UTF-8")
+    Multimodal.decodeWebp(Multimodal.toWebp(vp8x)) shouldBe
+      (1 + 14 % 64, 1 + 14 % 48, 3, hex4(vp8x))
+    Multimodal.toWebp(vp8x).length shouldBe 38 + 14
+    // L=17 → VP8X with alpha (odd L): channels 4 and the odd EXIF payload
+    // forces the even-padding rule on the walk
+    val alpha = "abcdefghijklmnopq".getBytes("UTF-8")
+    Multimodal.decodeWebp(Multimodal.toWebp(alpha)) shouldBe
+      (1 + 17 % 64, 1 + 17 % 48, 4, hex4(alpha))
+    Multimodal.toWebp(alpha).length shouldBe 38 + 17 + 1
+  }
+
+  it should "fail fast on corrupt or truncated WebP containers" in {
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeWebp("definitely not webp....".getBytes("UTF-8"))
+    val good = Multimodal.toWebp("abcdefghijkl".getBytes("UTF-8"))
+    // wrong declared RIFF size
+    val badSize = good.clone(); badSize(4) = (badSize(4) + 1).toByte
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodeWebp(badSize)
+    // clobbered VP8 start code
+    val badStart = good.clone(); badStart(23) = 0
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodeWebp(badStart)
+    // unknown first chunk fourcc
+    val badCc = good.clone(); badCc(12) = 'X'.toByte
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodeWebp(badCc)
+    // VP8X whose EXIF chunk is missing (truncate right after the header)
+    val x = Multimodal.toWebp("abcdefghijklmn".getBytes("UTF-8"))
+    val headerOnly = java.util.Arrays.copyOf(x, 30)
+    headerOnly(4) = 22 // fix the RIFF size for the truncated container
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodeWebp(headerOnly)
+  }
+
   it should "round-trip a real WAV header through encode and decode" in {
     val content = "hello world".getBytes("UTF-8") // 11 bytes
     val wav = Multimodal.toWav(content)
@@ -1052,6 +1098,29 @@ class OpsSpec extends AnyFlatSpec with Matchers {
   }
 
   behavior of "Corpus text statistics"
+
+  it should "measure per-source drift as Jensen-Shannon divergence" in {
+    // A: {x:2, y:1} (N=3); B: {x:1, z:1} (N=2) — B is exactly A's
+    // complement, so the two rows must agree (JSD is symmetric)
+    val docs = Seq(Doc(1, "x x y", "A"), Doc(2, "x z", "B")).toDS.toDF()
+    val out = Corpus.jsDivergenceBySource(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val ln = (x: Double) => math.rint(math.log(x) * 1e12) / 1e12 // DECIMAL canon
+    val px = 2.0 / 3; val qx = 1.0 / 2
+    val jsdA = 0.5 * (px * ln(2.0 * px / (px + qx)) + (1.0 / 3) * ln(2.0)
+      + qx * ln(2.0 * qx / (px + qx)) + (1.0 / 2) * ln(2.0))
+    out(0)._1 shouldBe "A"
+    out(0)._2 shouldBe 3L
+    out(0)._3 shouldBe 2L
+    out(0)._4 shouldBe (math.rint(jsdA * 1e6) / 1e6 +- 1e-9)
+    out(1)._4 shouldBe out(0)._4
+    // single source: only the p-side KL carries mass -> (ln 2)/2
+    val solo = Corpus.jsDivergenceBySource(
+        Seq(Doc(1, "a b", "S")).toDS.toDF(), "text", "source")
+      .collect()(0).getDouble(3)
+    solo shouldBe (math.rint(0.5 * ln(2.0) * 1e6) / 1e6 +- 1e-9)
+  }
 
   it should "weight terms by smoothed tf-idf" in {
     val docs = Seq(Doc(1, "a a b", "s"), Doc(2, "a c", "s")).toDS.toDF()
