@@ -563,6 +563,12 @@ object SparkEntry {
     "text_tfidf" -> ((s, dir) =>
       graft.ops.Corpus.tfidf(table(s, dir, "documents"), "doc_id", "text")),
 
+    // Extension: keyword extraction — top-3 terms per document by TF-IDF
+    // (rounded-score ordering with term tie-break; WindowGroupLimit keeps
+    // per-doc state at k).
+    "text_keywords" -> ((s, dir) =>
+      graft.ops.Corpus.topTfidfTerms(table(s, dir, "documents"), "doc_id", "text")),
+
     // Extension: train/test n-gram contamination (every 20th doc is the
     // held-out set; union containment against the rest of the corpus).
     "text_contamination" -> ((s, dir) => {
@@ -781,6 +787,13 @@ object SparkEntry {
     // above the exact p90 cut computed as a 1-row broadcast aggregate.
     "sim_centroid_ood" -> ((s, dir) =>
       graft.ops.Similarity.centroidOodScores(
+        spread(s, table(s, dir, "embeddings")), "vec_id", "embedding")),
+
+    // Extension: diversity-preserving downsample — up to 10 vectors per
+    // k-means cell by stable (md5(id), id) order, flattening the density
+    // profile so rare embedding modes survive a budget cut.
+    "sim_diverse_sample" -> ((s, dir) =>
+      graft.ops.Similarity.cellBalancedSample(
         spread(s, table(s, dir, "embeddings")), "vec_id", "embedding")),
 
     // Extension: multimodal binary-column plumbing — batched partition-local
@@ -2010,6 +2023,21 @@ object SparkEntry {
         |  round((tf.tf / dl.dl) * (ln((n.n_docs + 1) / (dfq.df + 1)) + 1), 6) AS tfidf
         |FROM tf JOIN dl ON tf.doc_id = dl.doc_id JOIN dfq ON tf.term = dfq.term CROSS JOIN n""".stripMargin,
 
+    // The text_tfidf chain + per-doc rounded-score ranking.
+    "text_keywords" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |x AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM x GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |    round((tf.tf / dl.dl) * (ln((n.n_docs + 1) / (dfq.df + 1)) + 1), 6) AS tfidf
+        |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id JOIN dfq ON tf.term = dfq.term CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM sc)
+        |SELECT doc_id, term, tfidf, CAST(rk AS INTEGER) AS "rank" FROM r WHERE rk <= 3""".stripMargin,
+
     "text_contamination" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(0, greatest(len(toks)-3, 0)), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM t),
@@ -2368,6 +2396,21 @@ object SparkEntry {
         |  ON a.cell = b.cell AND b.vec_id < a.vec_id AND ${cosSql("a.v", "b.v")} >= 0.35)
         |SELECT c.vec_id, c.cell, (p.vec_id IS NULL) AS kept
         |FROM cells c LEFT JOIN pruned p ON c.vec_id = p.vec_id""".stripMargin,
+
+    // Same k-means rebuild; the per-cell md5-order ranking mirrors the
+    // fixedStratifiedSample oracle with the cell as the stratum.
+    "sim_diverse_sample" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |c1 AS ${lloydRoundSql("seeds", 64)},
+        |c2 AS ${lloydRoundSql("c1", 64)},
+        |cells AS (SELECT vec_id, cent_id AS cell FROM
+        |  (SELECT e.vec_id, c.cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cent_id) AS rn FROM e, c2 c)
+        |  WHERE rn = 1),
+        |r AS (SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY cell ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |  FROM cells)
+        |SELECT vec_id, cell, CAST(rk AS INTEGER) AS "rank" FROM r WHERE rk <= 10""".stripMargin,
 
     // Same k-means rebuild; OOD = 1 − max centroid cosine, DECIMAL(20,12)-
     // canonicalized so the interpolated p90 cut sees identical doubles.

@@ -161,6 +161,26 @@ object Corpus {
           (log((col("n_docs") + 1) / (col("df") + 1)) + 1), 6).as("tfidf"))
   }
 
+  /** Keyword extraction: each document's top-`k` terms by TF-IDF — the
+    * cheap unsupervised tagger behind corpus browsing, topic sampling, and
+    * per-document metadata. Ranks by the ROUNDED score with a term-text
+    * tie-break, so the cut is deterministic across partitionings and
+    * engines (the docs_topk_by_lang recipe). The rank filter is a
+    * WindowGroupLimit: each map task keeps only its local top-k per doc
+    * before the exchange, so per-doc state is bounded at k. */
+  def topTfidfTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("tfidf").desc, col("term").asc)
+    tfidf(df, idCol, textCol)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tfidf"), col("rank"))
+  }
+
   /** End-to-end corpus cleaning — the composed pipeline a training-data
     * build actually runs, in dependency order:
     *   1. quality gate (cheap scan-side filter first — everything

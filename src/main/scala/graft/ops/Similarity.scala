@@ -527,6 +527,41 @@ object Similarity {
         (col("ood") > col("c")).as("flagged"))
   }
 
+  /** Diversity-preserving downsample: up to `perCell` vectors from EACH
+    * k-means cell, picked by the stable (md5(id), id) order — uniform
+    * sampling keeps the embedding-space density profile (dense clusters
+    * stay dominant); sampling per CELL flattens it, so rare modes survive
+    * a hard budget cut (the coverage-first selection behind diverse
+    * training subsets, evaluation probes, and labeling queues).
+    *
+    * Scale shape: cell assignment is the usual narrow projection against
+    * the centroid literals; the per-cell cut is a WindowGroupLimit over
+    * the md5 hash order — each map task keeps at most `perCell` rows per
+    * cell before the exchange, so the shuffle carries O(k·perCell) rows
+    * per task, never the corpus. Membership is stable under corpus growth
+    * the way [[graft.ops.Corpus.fixedStratifiedSample]] is: adding
+    * vectors only displaces from the hash-order boundary. */
+  def cellBalancedSample(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int = 16,
+      lloydRounds: Int = 2,
+      perCell: Int = 10
+  ): DataFrame = {
+    val cos = cosineFor(df.sparkSession) _
+    val cent = kmeansCentroids(df, idCol, vecCol, numCentroids, lloydRounds)
+    val assigned = df
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .withColumn("cell", nearestCell(cos)(col("v"), cent))
+    val w = Window.partitionBy("cell")
+      .orderBy(md5(col("id").cast("string")), col("id"))
+    assigned.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perCell)
+      .select(col("id").as(idCol), col("cell"), col("rank"))
+  }
+
   /** Approximate kNN graph: banded sign-LSH candidate pairs (the scalable
     * generator — an equi-join on (band, bucket), never all-pairs), each
     * pair scored ONCE with the exact cosine, symmetrized into directed

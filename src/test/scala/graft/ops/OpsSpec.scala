@@ -234,6 +234,28 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     pairs.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((0L, 1L))
   }
 
+  it should "downsample evenly across cells with a stable hash order" in {
+    val base = Seq(1f, 1f, 1f, 0f)
+    val vecs = ((0L to 7L).map(i => Vec(i, base.map(_ * (1f + i * 0.01f)))) ++
+      (8L to 15L).map(i => Vec(i, Seq(0f, 0f, 0f, 1f + i * 0.01f)))).toDS.toDF()
+    val out = Similarity.cellBalancedSample(vecs, "vec_id", "embedding",
+        numCentroids = 2, lloydRounds = 2, perCell = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // at most perCell per cell, ranks dense from 1
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      rows.length should be <= 3
+      rows.map(_._3).sorted shouldBe (1 to rows.length)
+    }
+    // both modes survive the cut: the colinear cluster and the e4 cluster
+    out.count(_._1 <= 7) should be >= 1
+    out.count(_._1 >= 8) should be >= 1
+    // deterministic under repartitioning
+    val again = Similarity.cellBalancedSample(vecs.repartition(5), "vec_id",
+        "embedding", numCentroids = 2, lloydRounds = 2, perCell = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    again.sorted shouldBe out.sorted
+  }
+
   it should "semantically dedup within cells keeping the lowest id" in {
     // two tight colinear groups (within-group cosine 1.0) plus a loner;
     // k=2 cells separate the groups, tau=0.9 prunes every higher-id member
@@ -1098,6 +1120,20 @@ class OpsSpec extends AnyFlatSpec with Matchers {
   }
 
   behavior of "Corpus text statistics"
+
+  it should "extract each document's top TF-IDF keywords" in {
+    val docs = Seq(
+      Doc(1, "apple apple banana", "s"),
+      Doc(2, "banana cherry", "s"),
+      Doc(3, "cherry cherry cherry cherry", "s")).toDS.toDF()
+    val out = Corpus.topTfidfTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+    out.count(_._1 == 1L) shouldBe 2
+    // the doc-specific term beats the one shared with another doc
+    out.find(t => t._1 == 1L && t._3 == 1).get._2 shouldBe "apple"
+    out.find(t => t._1 == 3L && t._3 == 1).get._2 shouldBe "cherry"
+    out.filter(_._1 == 3L).length shouldBe 1 // single-term doc: only 1 keyword
+  }
 
   it should "measure per-source drift as Jensen-Shannon divergence" in {
     // A: {x:2, y:1} (N=3); B: {x:1, z:1} (N=2) — B is exactly A's
