@@ -715,6 +715,30 @@ object SparkEntry {
           round(coalesce(col("n_hit"), lit(0L)) / 5.0, 6).as("recall"))
     }),
 
+    // Extension: prefix-dimension (Matryoshka-style) recall — recall@5 of
+    // top-k search using only the FIRST 16 of 64 dims vs the full-vector
+    // ranking. Prices dimension truncation the way sim_proj_recall prices
+    // random projection: truncation is free (a slice, no projection
+    // arithmetic) but only works when the embedding model front-loads
+    // information; the recall number is the check.
+    "sim_prefix_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = graft.ops.Similarity
+        .bruteForceTopK(spread(s, emb), q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val pc = spread(s, emb).select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("pvec"))
+      val pq = q.select(col("vec_id"), slice(col("embedding"), 1, 16).as("pvec"))
+      val approx = graft.ops.Similarity.bruteForceTopK(pc, pq, "vec_id", "pvec", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      q.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) / 5.0, 6).as("recall"))
+    }),
+
     "sim_proj_recall" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
@@ -953,6 +977,46 @@ object SparkEntry {
         unix_millis(col("w.start")).as("session_start_ms"),
         unix_millis(col("w.end")).as("session_end_ms"),
         col("n_events"), col("total_value"))
+    }),
+
+    // Extension: STREAMING late-data accounting, oracle-checked — the one
+    // watermark behavior a single-batch replay can never exercise. The
+    // feed splits into two MICRO-BATCHES by event_id PARITY (parity is
+    // uncorrelated with time, so batch 1 spans the full range and batch
+    // 2 is almost entirely late — 993 of 1000 rows at sf0.01): batch 1
+    // advances the watermark to max(ts)−10 min, so batch 2's rows landing
+    // in windows already CLOSED under that watermark (window end ≤
+    // watermark) are dropped by the streaming aggregation; late rows into
+    // still-open windows are accepted — exactly event-time semantics, not
+    // arrival-order semantics. A far-future flush event then pushes the
+    // watermark past every real window so Append mode emits them all (the
+    // default no-data micro-batch runs the final emission). The oracle
+    // replays the SAME deterministic watermark rule in SQL: keep batch-2
+    // rows iff hour-window end > max(batch-1 ts) − 600000 ms.
+    "stream_late_drop" -> ((s, dir) => withStreamingShuffle(s, 4) {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val feed = events(s, dir).filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          col("value"), col("props"))
+        .as[StreamEv].collect()
+      val (batch1, batch2) = feed.partition(_.event_id % 2 == 0)
+      val flushTs = new java.sql.Timestamp(
+        feed.map(_.ts.getTime).max + 7L * 24 * 3600 * 1000)
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEv]
+      val agg = graft.streaming.StreamingOps.windowedAgg(
+        in.toDF(), "ts", "event_type", "value", "1 hour", "10 minutes")
+      s.catalog.dropTempView("stream_late_out")
+      val q = agg.writeStream.format("memory").queryName("stream_late_out")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+      in.addData(batch1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(StreamEv(-1L, -1L, flushTs, "__flush__", 0.0, "{}"))
+      q.processAllAvailable()
+      q.stop()
+      s.table("stream_late_out").filter(col("event_type") =!= "__flush__")
+        .select(unix_millis(col("w.start")).as("window_start_ms"),
+          col("event_type"), col("n_events"), col("total_value"))
     }),
 
     // Extension: STREAMING stream-stream interval join, oracle-checked —
@@ -2291,6 +2355,26 @@ object SparkEntry {
         |  round(COALESCE(h.n_hit, 0) / 5.0, 6) AS recall
         |FROM q LEFT JOIN hits h ON q.vec_id = h.query_id""".stripMargin,
 
+    // The sim_proj_recall eval shape with a prefix slice instead of the
+    // projection arithmetic.
+    "sim_prefix_recall" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id) AS rk
+        |  FROM q, e c WHERE c.vec_id != q.vec_id) WHERE rk <= 5),
+        |p AS (SELECT vec_id, v[1:16] AS pv FROM e),
+        |pq AS (SELECT vec_id, pv FROM p WHERE vec_id < 10),
+        |ap AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT pq.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY pq.vec_id ORDER BY ${cosSql("pq.pv", "c.pv")} DESC, c.vec_id) AS rk
+        |  FROM pq, p c WHERE c.vec_id != pq.vec_id) WHERE rk <= 5),
+        |hits AS (SELECT ex.query_id, count(*) AS n_hit FROM ex SEMI JOIN ap ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id GROUP BY 1)
+        |SELECT q.vec_id AS query_id, COALESCE(h.n_hit, 0) AS n_hit,
+        |  round(COALESCE(h.n_hit, 0) / 5.0, 6) AS recall
+        |FROM q LEFT JOIN hits h ON q.vec_id = h.query_id""".stripMargin,
+
     "sim_proj_recall" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
@@ -2581,6 +2665,20 @@ object SparkEntry {
       """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start_ms, event_type,
         |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events WHERE event_id < 2000 GROUP BY 1, 2""".stripMargin,
+
+    // Deterministic watermark replay: batch 2 rows survive iff their hour
+    // window's END is strictly later than max(batch-1 ts) − 10 min.
+    "stream_late_drop" ->
+      """WITH p1 AS (SELECT * FROM events WHERE event_id < 2000 AND event_id % 2 = 0),
+        |w1 AS (SELECT max(CAST(epoch_ms(ts) AS BIGINT)) - 600000 AS wm FROM p1),
+        |p2 AS (SELECT e.* FROM events e, w1
+        |  WHERE e.event_id < 2000 AND e.event_id % 2 = 1
+        |    AND CAST(epoch_ms(date_trunc('hour', e.ts)) AS BIGINT) + 3600000 > w1.wm),
+        |u AS (SELECT ts, event_type, value FROM p1
+        |      UNION ALL SELECT ts, event_type, value FROM p2)
+        |SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start_ms, event_type,
+        |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM u GROUP BY 1, 2""".stripMargin,
 
     "stream_hopping" ->
       """WITH e AS (SELECT event_type, value, CAST(epoch_ms(ts) AS BIGINT) AS ms

@@ -51,6 +51,36 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
       ("2024-01-01 10:00:00", 2L, 3.0))
   }
 
+  it should "drop late rows only for windows closed under the watermark" in {
+    // batch 1: events at 10:05 and 13:30 -> watermark = 13:30 - 10 min = 13:20
+    // batch 2 (late arrivals):
+    //   10:30 -> window [10:00, 11:00) ends 11:00 <= 13:20 -> DROPPED
+    //   13:05 -> window [13:00, 14:00) ends 14:00 >  13:20 -> ACCEPTED
+    // flush at 15:00 pushes the watermark past every window so Append emits
+    val in = MemoryStream[Ev]
+    val agg = StreamingOps.windowedAgg(in.toDF(), "ts", "event_type", "value",
+      "1 hour", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      Ev(t("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Ev(t("2024-01-01 13:30:00"), 2, "click", 2.0))
+    q.processAllAvailable()
+    in.addData(
+      Ev(t("2024-01-01 10:30:00"), 3, "click", 4.0),  // late, closed window
+      Ev(t("2024-01-01 13:05:00"), 4, "click", 8.0))  // late, open window
+    q.processAllAvailable()
+    in.addData(Ev(t("2024-01-01 15:00:00"), 5, "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late_out").filter(col("event_type") === "click")
+      .select(col("w.start").cast("string"), col("n_events"), col("total_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+    rows shouldBe Array(
+      ("2024-01-01 10:00:00", 1L, 1.0), // the late 10:30 row did NOT count
+      ("2024-01-01 13:00:00", 2L, 10.0)) // the late 13:05 row DID count
+  }
+
   it should "sessionize a stream with native session windows" in {
     val in = MemoryStream[Ev]
     in.addData(
