@@ -1268,6 +1268,22 @@ object SparkEntry {
           col("asof_value"))
     }),
 
+    // Extension: FORWARD as-of join — for each click, the user's NEXT
+    // error at or after it (the mirrored direction; DuckDB's native ASOF
+    // with l.ts <= r.ts is the independent oracle).
+    "events_asof_forward" -> ((s, dir) => {
+      val e = events(s, dir)
+      graft.ops.Temporal.asofJoinForward(
+          e.filter(col("event_type") === "click")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          e.filter(col("event_type") === "error"),
+          "user_id", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          unix_millis(col("asof_ts")).as("asof_ts_ms"),
+          col("asof_value"))
+    }),
+
     // Extension: the hot-key-safe CHUNKED as-of join over the SAME slice
     // and oracle as events_asof_join — identical semantics, different
     // plan: the window partitions on (key, 6h-time-chunk) with a carry
@@ -1578,6 +1594,18 @@ object SparkEntry {
     // flagged at 3x with a cold-start guard.
     "events_burst" -> ((s, dir) =>
       graft.ops.EventOps.burstScore(events(s, dir), "event_type", "ts", 600000L)),
+
+    // Extension: inactivity churn — users silent for >= 24 h before the
+    // corpus's last observed event (data-anchored, replay-deterministic).
+    "events_churn" -> ((s, dir) =>
+      graft.ops.EventOps.inactivityChurn(events(s, dir), "user_id", "ts",
+        86400000L)),
+
+    // Extension: per-source duplication rate — share of each source's docs
+    // whose corpus-wide fingerprint recurs (where the dedup budget goes).
+    "dedup_rate_by_source" -> ((s, dir) =>
+      graft.ops.Dedup.dupRateBySource(
+        spread(s, table(s, dir, "documents")), "doc_id", "text", "source")),
 
     // Extension: seasonal (hour-of-day) anomaly — per-(type, day, hour)
     // counts vs that type's same-hour baseline across days; exact integer
@@ -2993,6 +3021,15 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
+    "events_asof_forward" ->
+      """SELECT l.event_id, l.user_id,
+        |  CAST(epoch_ms(l.ts) AS BIGINT) AS ts_ms,
+        |  CAST(epoch_ms(r.ts) AS BIGINT) AS asof_ts_ms,
+        |  r.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
+
     // The chunked variant must agree with the plain as-of join on every
     // row — same oracle, DuckDB's native ASOF JOIN.
     "events_asof_chunked" ->
@@ -3440,6 +3477,22 @@ object SparkEntry {
         |  round(CASE WHEN n_trail = 0 THEN 0.0 ELSE CAST(tsum AS DOUBLE) / n_trail END, 6) AS trail_avg,
         |  (n_trail >= 3 AND n >= 3.0 * CAST(tsum AS DOUBLE) / n_trail) AS is_burst
         |FROM t""".stripMargin,
+
+    "events_churn" ->
+      """WITH u AS (SELECT user_id, max(CAST(epoch_ms(ts) AS BIGINT)) AS last_ms,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT max(last_ms) AS mx FROM u)
+        |SELECT user_id, last_ms, n_events, mx - last_ms AS silent_ms
+        |FROM u, m WHERE mx - last_ms >= 86400000""".stripMargin,
+
+    "dedup_rate_by_source" ->
+      """WITH f AS (SELECT source, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp FROM documents),
+        |tot AS (SELECT fp, count(*) AS tot FROM f GROUP BY 1)
+        |SELECT f.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN tot.tot > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  round(sum(CASE WHEN tot.tot > 1 THEN 1 ELSE 0 END) / count(*), 6) AS dup_rate
+        |FROM f JOIN tot ON f.fp = tot.fp GROUP BY 1""".stripMargin,
 
     // Exact integer moments per (type, hour-of-day): the n·Σx²−(Σx)²
     // variance identity over count sums, then the identical double

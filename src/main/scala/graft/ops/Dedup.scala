@@ -26,6 +26,30 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
 
+  /** Per-source duplication rate: for each source, the share of its
+    * documents whose normalized-text fingerprint recurs ANYWHERE in the
+    * corpus — the "which crawl slice is dirtiest" diagnostic that decides
+    * where dedup budget goes (a source can be internally clean yet be a
+    * wholesale copy of another). One fingerprint projection, a per-
+    * fingerprint total over it, and the equi-join back — the dupSpanProfile
+    * posture at document granularity; text never shuffles. */
+  def dupRateBySource(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String
+  ): DataFrame = {
+    val fps = df.select(col(sourceCol).as("src"),
+      fingerprintFor(df.sparkSession)(col(textCol)).as("fp"))
+    val tot = fps.groupBy("fp").agg(count(lit(1)).as("tot"))
+    fps.join(tot, "fp")
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("tot") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .select(col("src").as(sourceCol), col("n_docs"), col("n_dup_docs"),
+        round(col("n_dup_docs") / col("n_docs"), 6).as("dup_rate"))
+  }
+
   /** Truncation-duplicate screen: documents that are an exact PREFIX of a
     * longer document — the crawl/ingestion artifact shingle-set near-dup
     * misses by construction (a 100-word prefix of a 10k-word page has

@@ -633,6 +633,29 @@ object EventOps {
           .as("is_burst"))
   }
 
+  /** Inactivity churn candidates: users whose LAST event is at least
+    * `thresholdMs` before the corpus's last observed event — the lapsed-
+    * user feed behind win-back campaigns and retention dashboards
+    * (anchored to observed data, not wall-clock, so replays are
+    * deterministic). One map-side-combinable per-user aggregate; the
+    * corpus max is a 1-row aggregate OVER that frame (not a second event
+    * scan) broadcast back; the threshold is a scan-side filter. */
+  def inactivityChurn(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      thresholdMs: Long
+  ): DataFrame = {
+    val ev = events.withColumn("__ms", Ts.millis(events, tsCol))
+    val perUser = ev.groupBy(col(userCol))
+      .agg(max(col("__ms")).as("last_ms"), count(lit(1)).as("n_events"))
+    val mx = perUser.agg(max(col("last_ms")).as("corpus_max_ms"))
+    perUser.crossJoin(broadcast(mx))
+      .filter(col("corpus_max_ms") - col("last_ms") >= thresholdMs)
+      .select(col(userCol), col("last_ms"), col("n_events"),
+        (col("corpus_max_ms") - col("last_ms")).as("silent_ms"))
+  }
+
   /** Seasonal anomaly gate: flags (type, day, hour) count buckets that
     * deviate ≥ `zThreshold` sample standard deviations from that type's
     * SAME-HOUR-OF-DAY baseline — the diurnal-profile complement to

@@ -64,6 +64,38 @@ object Temporal {
       .select(leftCols ++ asofCols: _*)
   }
 
+  /** FORWARD as-of join: each left row matches the EARLIEST right row of
+    * the same key at or AFTER its timestamp — the "next event" direction
+    * ([[asofJoin]] mirrored): next error after a click, next fill after an
+    * order, next heartbeat after a probe. Same union + one-window shape
+    * (no join node, one shuffle): right rows tag AFTER left rows at equal
+    * ts (tag 2 > 1), so "at or after" is inclusive, and `first` over the
+    * [current, unbounded following) frame with the ascending struct
+    * tie-break picks the earliest match deterministically. */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightCols: Seq[String]
+  ): DataFrame = {
+    val carried = struct(
+      col(tsCol).as(tsCol) +: rightCols.map(c => col(c).as(c)): _*)
+    val r = right.select(col(keyCol), col(tsCol), carried.as("__asof"))
+      .withColumn("__tag", lit(2))
+    val l = left.withColumn("__tag", lit(1))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col("__tag").asc, col("__asof").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val leftCols = left.columns.map(col).toSeq
+    val asofCols = (tsCol +: rightCols).map(c =>
+      col(s"__match.$c").as(s"asof_$c"))
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__match", first(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(leftCols ++ asofCols: _*)
+  }
+
   /** [[asofJoin]] with a hot-key defense: the window partitions on
     * `(key, floor(ts / chunkMs))` instead of the key alone, so one
     * celebrity key's history splits across time chunks instead of landing

@@ -321,6 +321,30 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       Array((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L))
   }
 
+  it should "surface users silent past the churn threshold" in {
+    val ev = Seq(
+      (ts("2024-01-10 10:00:00"), 1L, "click", 1.0), // 9 days silent
+      (ts("2024-01-18 10:00:00"), 2L, "click", 1.0), // 1 day silent
+      (ts("2024-01-19 10:00:00"), 3L, "click", 1.0), // anchors the corpus max
+      (ts("2024-01-02 10:00:00"), 3L, "view", 1.0)
+    ).toDF("ts", "user_id", "event_type", "value")
+    val out = EventOps.inactivityChurn(ev, "user_id", "ts", 2L * 86400000)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    out shouldBe Array((1L, 1L, 9L * 86400000))
+  }
+
+  it should "report duplication rate per source against the whole corpus" in {
+    // s1 is internally clean but wholly copied by s2's doc 3
+    val docs = Seq(
+      Doc(1, "alpha beta", "s1"), Doc(2, "unique one", "s1"),
+      Doc(3, "Alpha  Beta", "s2"), Doc(4, "only here", "s2"), Doc(5, "more", "s2")
+    ).toDS.toDF()
+    val out = Dedup.dupRateBySource(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    out shouldBe Array(("s1", 2L, 1L, 0.5), ("s2", 3L, 1L, 0.333333))
+  }
+
   it should "flag hour-of-day buckets that break the seasonal baseline" in {
     // type x at hour 10: 8 days of 2 events, day 9 spikes to 14
     //   n=9, s1=30, s2=228 -> mean=10/3, var=16, z_spike=(14-10/3)/4=2.6667
@@ -1218,6 +1242,20 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out.map(r => (r.getLong(2), Option(r.getString(4)))) shouldBe
       Array((100L, Some("a")), (101L, Some("b")), (102L, None))
     out(0).getLong(3) shouldBe 10L // asof_ts carried from the matched row
+  }
+
+  it should "forward as-of join the earliest right row at-or-after each left row" in {
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 40L, 102L), (2L, 5L, 103L))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, 10L, "a"), (1L, 15L, "b"), (1L, 30L, "c"), (2L, 4L, "d"))
+      .toDF("k", "ts", "v")
+    val out = Temporal.asofJoinForward(left, right, "k", "ts", Seq("v"))
+      .orderBy("lid").collect()
+    // lid=100: equal ts matches (inclusive); lid=101: earliest of {30};
+    // lid=102: nothing after 40 -> null; lid=103: right row is earlier -> null
+    out.map(r => (r.getLong(2), Option(r.getString(4)))) shouldBe
+      Array((100L, Some("a")), (101L, Some("c")), (102L, None), (103L, None))
+    out(1).getLong(3) shouldBe 30L // asof_ts carried from the matched row
   }
 
   it should "carry the last right value across as-of chunk boundaries" in {
