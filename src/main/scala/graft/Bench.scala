@@ -45,9 +45,14 @@ import org.apache.spark.sql.SparkSession
   * per token deterministically take 2, then 3… letters per token until
   * unique (`docs_pack_seqs`→`dc_pase`, `docs_part_sink`→`dc_pasi`), so the
   * map is reversible against the sorted query list — this stage keeps the
-  * 1-decimal times and holds ~90 queries under ~1300 chars; (6) last
-  * resort: per-query times drop to whole seconds and an EMPTY failed list
-  * is omitted (a non-empty failed list is always emitted). Dropping the
+  * 1-decimal times and holds ~90 queries under ~1300 chars; (6) per-query
+  * times drop to whole seconds and an EMPTY failed list is omitted (a
+  * non-empty failed list is always emitted) — holds ~140 queries; (7) last
+  * resort: family prefixes compress to ONE letter with no underscore
+  * (`tightAbbrev`: multimodal→m events→e dedup→d plug→p docs→c text→t
+  * sim→s ingest→i stream→r — distinct letters so initials stay
+  * reversible), saving ~2 chars per query — good past 200 queries.
+  * Dropping the
   * leading zero of sub-second times (`.2`) was considered and rejected:
   * that is not a valid JSON number and the driver json-parses the line.
   * First fit wins; the headline total keeps full precision in every form.
@@ -66,15 +71,26 @@ object Bench {
     abbrev.collectFirst { case (p, a) if n.startsWith(p) => a + n.stripPrefix(p) }
       .getOrElse(n)
 
-  /** Stage-5 initials map (see the scaladoc degrade chain): prefix abbrev
-    * + first letter of each remaining `_`-token; names whose initials
-    * collide take 2, then 3… letters per token until unique. Resolved
-    * names reserve their abbrev, so the final map is globally injective
-    * for the given query set; anything unresolved at 8 letters/token
-    * (impossible in practice) keeps its stage-3 name. */
-  private[graft] def initialsAbbrev(names: Seq[String]): Map[String, String] = {
+  /** Stage-7 prefixes: ONE letter, no underscore — each family keeps a
+    * distinct letter so the initials algorithm stays reversible against
+    * the sorted query list (docs→c and stream→r avoid the d/dedup and
+    * s/sim collisions). */
+  private[graft] val tightAbbrev = Seq(
+    "multimodal_" -> "m", "events_" -> "e", "dedup_" -> "d",
+    "plug_" -> "p", "docs_" -> "c", "text_" -> "t",
+    "sim_" -> "s", "ingest_" -> "i", "stream_" -> "r")
+
+  /** Stage-5/7 initials map (see the scaladoc degrade chain): prefix
+    * abbrev (`pre`) + first letter of each remaining `_`-token; names
+    * whose initials collide take 2, then 3… letters per token until
+    * unique. Resolved names reserve their abbrev, so the final map is
+    * globally injective for the given query set; anything unresolved at 8
+    * letters/token (impossible in practice) keeps its prefix-stage name. */
+  private[graft] def initialsAbbrev(
+      names: Seq[String],
+      pre: Seq[(String, String)] = abbrev): Map[String, String] = {
     def at(n: String, lvl: Int): String = {
-      val (p, rest) = abbrev.collectFirst {
+      val (p, rest) = pre.collectFirst {
         case (pr, a) if n.startsWith(pr) => (a, n.stripPrefix(pr))
       }.getOrElse(("", n))
       p + rest.split('_').map(_.take(lvl)).mkString
@@ -97,8 +113,11 @@ object Bench {
     // key must stay unique — short(n) alone could equal an already-taken
     // initials abbrev (e.g. `docs_ab` -> `dc_ab` vs `docs_a_b`'s level-1
     // `dc_ab`), which would silently merge two queries in the JSON object
+    def preShort(n: String): String =
+      pre.collectFirst { case (p, a) if n.startsWith(p) => a + n.stripPrefix(p) }
+        .getOrElse(n)
     resolved ++ remaining.sorted.map { n =>
-      val candidate = (short(n) #:: n #:: LazyList.from(2).map(i => s"${n}_$i"))
+      val candidate = (preShort(n) #:: n #:: LazyList.from(2).map(i => s"${n}_$i"))
         .find(!taken(_)).get
       taken += candidate
       n -> candidate
@@ -257,6 +276,8 @@ object Bench {
           else { val t = s.replaceAll("0+$", ""); if (t.endsWith(".")) t.dropRight(1) else t }
         val initialsMap = initialsAbbrev(names)
         def initials(n: String): String = initialsMap.getOrElse(n, short(n))
+        lazy val tightMap = initialsAbbrev(names, tightAbbrev)
+        def tight(n: String): String = tightMap.getOrElse(n, n)
         def assemble(fmt: Double => String, name: String => String,
             diag: Boolean, failedAlways: Boolean) = {
           val qs = results.map { case (k, (v, _)) => "\"" + name(k) + "\":" + fmt(v) }
@@ -293,9 +314,13 @@ object Bench {
           // initials-abbreviated names, 1-decimal times intact — the
           // workhorse stage once the set outgrows stage 4 (~80 queries)
           (() => { diagToStderr(); assemble(f1t, initials, diag = false, failedAlways = true) }, 1850),
-          // last resort: whole-second per-query times (headline total
-          // keeps 2 decimals) and the empty failed list omitted
-          (() => { diagToStderr(); assemble(d => "%.0f".format(d), initials, diag = false, failedAlways = false) }, Int.MaxValue)
+          // stage 6: whole-second per-query times (headline total keeps
+          // 2 decimals) and the empty failed list omitted
+          (() => { diagToStderr(); assemble(d => "%.0f".format(d), initials, diag = false, failedAlways = false) }, 1800),
+          // last resort: single-letter family prefixes with no underscore
+          // (tightAbbrev) — saves ~2 chars per query over stage 6's
+          // prefix_-style initials while staying reversible
+          (() => { diagToStderr(); assemble(d => "%.0f".format(d), tight, diag = false, failedAlways = false) }, Int.MaxValue)
         ).iterator.map { case (mk, limit) => (mk.apply(), limit) }
           .collectFirst { case (l, limit) if l.length <= limit => l }
           .get // total: the last stage's limit is Int.MaxValue

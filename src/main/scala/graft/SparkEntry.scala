@@ -552,6 +552,38 @@ object SparkEntry {
         .toDF("clean_rows", "id_sum", "quarantined")
     }),
 
+    // Extension: schema-enforced CSV ingestion with corrupt-record
+    // quarantine — the delimiter-world sibling of ingest_quarantine
+    // (type-mismatch and wrong-arity rows quarantined, not dropped); the
+    // oracle re-judges the raw lines with split + try_cast.
+    "ingest_csv" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val path = "/tmp/graft_ingest_fixture.csv"
+      val lines = Seq(
+        "id,name",
+        "1,alpha",
+        "2,beta",
+        "3,",
+        "oops,bad-type",
+        "7,gamma",
+        "8,extra,field")
+      val tmp = java.nio.file.Files.createTempFile("graft_ingest_csv", ".tmp")
+      java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType)))
+      val read = graft.sources.Ingest.readCsvQuarantined(s, path, schema)
+      val cleanAgg = read.clean.agg(
+        count(lit(1)).as("clean_rows"), sum(col("id")).as("id_sum")).collect()(0)
+      val quarantined = read.quarantine.count()
+      read.unpersist()
+      import s.implicits._
+      Seq((cleanAgg.getLong(0), cleanAgg.getLong(1), quarantined))
+        .toDF("clean_rows", "id_sum", "quarantined")
+    }),
+
     // Extension: deterministic hash sampling (10% = first 1000 of 10000
     // md5 buckets) — reproducible across engines and partitionings.
     "docs_hash_sample" -> ((s, dir) =>
@@ -1627,6 +1659,20 @@ object SparkEntry {
     "dedup_threshold_sweep" -> ((s, dir) =>
       graft.ops.Dedup.thresholdSweep(spread(s, table(s, dir, "documents")), "doc_id", "text")),
 
+    // Extension: novelty profile — per doc, the fraction of its 8-token
+    // positions whose gram is INTRODUCED by this doc under id order (the
+    // marginal-contribution ranking; dupSpanProfile's complement).
+    "text_novelty" -> ((s, dir) =>
+      graft.ops.Corpus.noveltyProfile(
+        spread(s, table(s, dir, "documents")), "doc_id", "text")),
+
+    // Extension: export-shard manifest — 8 deterministic hash shards with
+    // doc counts, token budgets, and corpus share (the pre-write balance
+    // check for training-shard layout).
+    "docs_shard_manifest" -> ((s, dir) =>
+      graft.ops.Corpus.shardManifest(
+        spread(s, table(s, dir, "documents")), "doc_id", "text")),
+
     // Extension: duplicated-span profile — per doc, the fraction of its
     // 8-token positions whose n-gram recurs elsewhere in the corpus (the
     // substring-dedup signal; set arithmetic on gram counts, no pairwise
@@ -1891,6 +1937,19 @@ object SparkEntry {
         |c AS (SELECT raw, ok AND (tid IS NULL OR tid = 'UBIGINT') AND (tname IS NULL OR tname = 'VARCHAR') AS clean FROM j)
         |SELECT count(*) FILTER (clean) AS clean_rows,
         |  CAST(sum(CASE WHEN clean THEN CAST(json_extract_string(raw, '$.id') AS BIGINT) END) AS BIGINT) AS id_sum,
+        |  count(*) FILTER (NOT clean) AS quarantined
+        |FROM c""".stripMargin,
+
+    // Re-judges the raw CSV lines: clean iff exactly two fields and the id
+    // casts to BIGINT (empty-name rows are clean; wrong arity and type
+    // mismatches quarantine).
+    "ingest_csv" ->
+      """WITH raw AS (SELECT raw FROM read_csv('/tmp/graft_ingest_fixture.csv', header=false, quote='', delim='', columns={'raw': 'VARCHAR'}) WHERE raw != 'id,name'),
+        |c AS (SELECT raw,
+        |    len(string_split(raw, ',')) = 2 AND try_cast(string_split(raw, ',')[1] AS BIGINT) IS NOT NULL AS clean
+        |  FROM raw)
+        |SELECT count(*) FILTER (clean) AS clean_rows,
+        |  CAST(sum(CASE WHEN clean THEN try_cast(string_split(raw, ',')[1] AS BIGINT) END) AS BIGINT) AS id_sum,
         |  count(*) FILTER (NOT clean) AS quarantined
         |FROM c""".stripMargin,
 
@@ -3563,6 +3622,32 @@ object SparkEntry {
         |  round(CASE WHEN coalesce(s.n_spans, 0) = 0 THEN 0.0
         |        ELSE s.n_dup / s.n_spans END, 6) AS dup_span_frac
         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin,
+
+    // The dup-spans CTE with min(doc_id) gram ownership instead of
+    // recurrence totals.
+    "text_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(0, len(toks)-8), i -> array_to_string(toks[i+1:i+8], ' '))) AS g FROM t),
+        |pd AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        |own AS (SELECT g, min(doc_id) AS first_id FROM pd GROUP BY 1),
+        |s AS (SELECT pd.doc_id, sum(c) AS n_spans,
+        |    sum(CASE WHEN own.first_id = pd.doc_id THEN c ELSE 0 END) AS n_novel
+        |  FROM pd JOIN own USING (g) GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(s.n_novel, 0) AS BIGINT) AS n_novel_spans,
+        |  round(CASE WHEN coalesce(s.n_spans, 0) = 0 THEN 0.0
+        |        ELSE s.n_novel / s.n_spans END, 6) AS novelty_frac
+        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin,
+
+    "docs_shard_manifest" ->
+      """WITH p AS (SELECT (('0x'||substr(md5(doc_id::VARCHAR),1,7))::UBIGINT)::BIGINT % 8 AS shard,
+        |    len(string_split_regex(trim(text), '\s+')) AS nt
+        |  FROM documents),
+        |s AS (SELECT shard, count(*) AS n_docs, sum(nt) AS n_tokens FROM p GROUP BY 1),
+        |t AS (SELECT sum(n_docs) AS total_docs FROM s)
+        |SELECT shard, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(n_docs / t.total_docs, 6) AS doc_share
+        |FROM s, t""".stripMargin,
 
     "text_cms_gate" ->
       """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),

@@ -1286,6 +1286,69 @@ object Corpus {
           .otherwise(col("n_dup_spans") / col("n_spans")), 6).as("dup_span_frac"))
   }
 
+  /** Novelty profile — [[dupSpanProfile]]'s complement under the corpus's
+    * id order: per document, the fraction of its `spanN`-token positions
+    * whose gram is INTRODUCED by this document (the corpus-wide minimum
+    * doc id owning the gram is this doc). Orders documents by marginal
+    * contribution: a late doc full of already-seen spans adds nothing
+    * even if it is nobody's exact duplicate — the signal behind
+    * dedup-value ranking and incremental-crawl triage. All positions of
+    * an introduced gram inside the introducing document count as novel
+    * (the gram is new to the corpus; within-doc repetition is
+    * [[repetitionSignals]]' job).
+    *
+    * Scale shape: identical to the span profile — positional gram
+    * explode, (doc, gram) map-side counts, per-gram MIN-id aggregate over
+    * that frame, equi-join back, one rollup. Text never shuffles. */
+  def noveltyProfile(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanN: Int = 8
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val pos = df.select(col(idCol).cast("long").as("id"),
+      explode(gramsAllFor(spark)(tokens(col(textCol)), spanN)).as("g"))
+    val perDoc = pos.groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+    val firstOwner = perDoc.groupBy(col("g")).agg(min(col("id")).as("first_id"))
+    val scored = perDoc.join(firstOwner, "g")
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_spans"),
+        sum(when(col("first_id") === col("id"), col("c")).otherwise(0L))
+          .as("n_novel_spans"))
+    df.select(col(idCol).cast("long").as("id")).join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_novel_spans"), lit(0L)).as("n_novel_spans"),
+        round(when(coalesce(col("n_spans"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("n_novel_spans") / col("n_spans")), 6).as("novelty_frac"))
+  }
+
+  /** Deterministic export-shard manifest: assign every document to one of
+    * `nShards` shards by the stable id hash ([[hashBucket]] family), and
+    * report per shard the doc count, token budget, and share of the
+    * corpus — the layout step before writing training shards, with the
+    * balance numbers that decide whether hash sharding suffices or a
+    * size-aware packer ([[Packing]]) is needed. One map-side-combinable
+    * aggregate; the corpus total is a 1-row aggregate over the #shards
+    * frame broadcast back. */
+  def shardManifest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShards: Int = 8
+  ): DataFrame = {
+    val perShard = df
+      .select(hashBucketFor(df.sparkSession)(col(idCol), nShards).as("shard"),
+        size(tokens(col(textCol))).as("__nt"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt").cast("long")).as("n_tokens"))
+    val tot = perShard.agg(sum(col("n_docs")).as("total_docs"))
+    perShard.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs") / col("total_docs"), 6).as("doc_share"))
+  }
+
   /** Count-Min sketch gate over the corpus token stream: for the top `k`
     * tokens by exact count, the true count next to the CMS estimate
     * (min over `depth` seeded hash rows of `width`-bucket cell sums) and

@@ -68,17 +68,35 @@ class SparkEntrySpec extends AnyFlatSpec with Matchers {
     }
   }
 
-  it should "keep the stage-6 bench line parseable for the full live set" in {
-    // Last-resort stage: whole-second times, empty failed omitted. The
-    // FULL current query set must stay under the 1800 warning threshold
-    // even with pessimistic 3-char times, so the driver's tail window
-    // always parses the line no matter how far the set grows past the
-    // stage-5 decimal budget.
-    val names = SparkEntry.queries.keys.toSeq.sorted
+  it should "keep the stage-6 bench line under budget at 140 queries" in {
+    // Whole-second times, empty failed omitted — designed to hold to
+    // ~140 queries with pessimistic 3-char times; past that stage 7's
+    // single-letter prefixes take over (next test). Pin the designed
+    // guarantee at exactly 140 names (truncate or pad the live set).
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names =
+      if (names0.size >= 140) names0.take(140)
+      else names0 ++ (names0.size until 140).map(i => s"text_future_query_$i")
     val m = Bench.initialsAbbrev(names)
     val qs = names.map(n => "\"" + m(n) + "\":888").mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":8888.88,"unit":"sec","queries":$qs,"sf":"/root/testdata/sf0.1"}"""
     withClue(s"projected stage-6 line length ${line.length} at ${names.size} queries: ") {
+      line.length should be < 1850
+    }
+  }
+
+  it should "keep the stage-7 bench line parseable for the full live set" in {
+    // Last-resort stage: single-letter family prefixes, no underscore,
+    // whole-second times, empty failed omitted. The FULL current query
+    // set must stay under the 1800 warning threshold even with
+    // pessimistic 3-char times, so the driver's tail window always
+    // parses the line no matter how far the set grows.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val m = Bench.initialsAbbrev(names, Bench.tightAbbrev)
+    m.values.toSeq.distinct.size shouldBe names.size // still injective
+    val qs = names.map(n => "\"" + m(n) + "\":888").mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":8888.88,"unit":"sec","queries":$qs,"sf":"/root/testdata/sf0.1"}"""
+    withClue(s"projected stage-7 line length ${line.length} at ${names.size} queries: ") {
       line.length should be < 1800
     }
   }

@@ -1145,6 +1145,36 @@ class OpsSpec extends AnyFlatSpec with Matchers {
 
   behavior of "Corpus text statistics"
 
+  it should "credit novel spans to the introducing document only" in {
+    // doc 1 introduces "a b c"; doc 2 repeats it and adds nothing new;
+    // doc 3 introduces its own gram. spanN=3.
+    val docs = Seq(
+      Doc(1, "a b c", "s"),
+      Doc(2, "a b c", "s"),
+      Doc(3, "x y z", "s"),
+      Doc(4, "xy", "s") // shorter than spanN -> zero spans, frac 0
+    ).toDS.toDF()
+    val out = Corpus.noveltyProfile(docs, "doc_id", "text", spanN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    out shouldBe Array(
+      (1L, 1L, 1L, 1.0), (2L, 1L, 0L, 0.0), (3L, 1L, 1L, 1.0), (4L, 0L, 0L, 0.0))
+  }
+
+  it should "build a deterministic shard manifest with shares summing to 1" in {
+    val docs = (0L to 19L).map(i => Doc(i, s"tok$i one two", "s")).toDS.toDF()
+    val out = Corpus.shardManifest(docs, "doc_id", "text", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.map(_._2).sum shouldBe 20L
+    out.map(_._3).sum shouldBe 60L // 3 tokens per doc
+    math.abs(out.map(_._4).sum - 1.0) should be < 1e-4
+    all(out.map(_._1)) should (be >= 0L and be < 4L)
+    // stable under repartitioning
+    val again = Corpus.shardManifest(docs.repartition(7), "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    again.sorted shouldBe out.sorted
+  }
+
   it should "extract each document's top TF-IDF keywords" in {
     val docs = Seq(
       Doc(1, "apple apple banana", "s"),
