@@ -1659,6 +1659,18 @@ object SparkEntry {
     "dedup_threshold_sweep" -> ((s, dir) =>
       graft.ops.Dedup.thresholdSweep(spread(s, table(s, dir, "documents")), "doc_id", "text")),
 
+    // Extension: composition chi-square — the language × source count
+    // grid with expected-under-independence and per-cell chi2
+    // contribution (which crawl slice skews the language mix).
+    "docs_mix_chi2" -> ((s, dir) =>
+      graft.ops.Corpus.mixChiSquare(table(s, dir, "documents"), "lang", "source")),
+
+    // Extension: Flesch readability profile — words, sentence runs,
+    // vowel-group syllables, reading-ease score; three scan-side regex
+    // projections, no shuffle.
+    "text_readability" -> ((s, dir) =>
+      graft.ops.Corpus.readability(table(s, dir, "documents"), "doc_id", "text")),
+
     // Extension: novelty profile — per doc, the fraction of its 8-token
     // positions whose gram is INTRODUCED by this doc under id order (the
     // marginal-contribution ranking; dupSpanProfile's complement).
@@ -3622,6 +3634,26 @@ object SparkEntry {
         |  round(CASE WHEN coalesce(s.n_spans, 0) = 0 THEN 0.0
         |        ELSE s.n_dup / s.n_spans END, 6) AS dup_span_frac
         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin,
+
+    "docs_mix_chi2" ->
+      """WITH c AS (SELECT lang AS a, source AS b, count(*) AS n FROM documents GROUP BY 1, 2),
+        |at AS (SELECT a, sum(n) AS na FROM c GROUP BY 1),
+        |bt AS (SELECT b, sum(n) AS nb FROM c GROUP BY 1),
+        |t AS (SELECT sum(n) AS nn FROM c)
+        |SELECT c.a AS lang, c.b AS source, c.n,
+        |  round(at.na * bt.nb / CAST(t.nn AS DOUBLE), 6) AS expected,
+        |  round((c.n - at.na * bt.nb / CAST(t.nn AS DOUBLE)) * (c.n - at.na * bt.nb / CAST(t.nn AS DOUBLE)) / (at.na * bt.nb / CAST(t.nn AS DOUBLE)), 6) AS chi2
+        |FROM c JOIN at USING (a) JOIN bt USING (b) CROSS JOIN t""".stripMargin,
+
+    "text_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_words,
+        |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INTEGER) AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INTEGER) AS n_syllables,
+        |  round(206.835
+        |    - 1.015 * (len(string_split_regex(trim(text), '\s+')) / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+        |    - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+')) / len(string_split_regex(trim(text), '\s+'))), 6) AS flesch
+        |FROM documents""".stripMargin,
 
     // The dup-spans CTE with min(doc_id) gram ownership instead of
     // recurrence totals.

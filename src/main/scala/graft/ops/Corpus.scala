@@ -1189,6 +1189,67 @@ object Corpus {
           - col("s") / col("n_tokens"), 6).as("entropy"))
   }
 
+  /** Flesch-style readability profile: words, sentence-final punctuation
+    * runs, vowel-group syllable estimate, and the reading-ease score
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) — the
+    * classic complexity screen next to [[quality]]'s stopword/punctuation
+    * heuristics (too-easy text is boilerplate, too-hard is often OCR
+    * noise or code). Three scan-side codegen'd regex/array projections,
+    * no shuffle; both counts use patterns in the Java∩RE2 subset (the
+    * piiScrub rule), so the oracle reproduces every number exactly.
+    * Sentence count floors at 1 (fragments are one sentence). */
+  def readability(
+      df: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val words = size(tokens(col(textCol)))
+    val sents = greatest(
+      size(expr(s"regexp_extract_all($textCol, '[.!?]+', 0)")), lit(1))
+    val syll = size(expr(s"regexp_extract_all(lower($textCol), '[aeiouy]+', 0)"))
+    df.select(col(idCol), words.as("n_words"), sents.as("n_sentences"),
+        syll.as("n_syllables"))
+      .select(col(idCol), col("n_words"), col("n_sentences"), col("n_syllables"),
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words") / col("n_sentences")) -
+          lit(84.6) * (col("n_syllables") / col("n_words")), 6).as("flesch"))
+  }
+
+  /** Composition independence check: the (stratum A × stratum B) count
+    * grid — e.g. language × source — with each cell's expected count
+    * under independence and its chi-square contribution (o−e)²/e. The
+    * corpus-composition drift table behind "is language mix uniform
+    * across crawls?"; a hot cell names the slice that skews the mix.
+    * Marginals and the grand total are exact longs, so expected counts
+    * and contributions are deterministic double arithmetic — the oracle
+    * agrees bit for bit.
+    *
+    * Scale shape: ONE (a, b) count shuffle (map-side combinable, grid
+    * rows = |A|·|B| observed pairs); both marginal frames aggregate over
+    * that grid (not the corpus) and broadcast back. Only OBSERVED cells
+    * are emitted — a full test statistic additionally sums e over the
+    * absent cells (a never-observed pair still has e > 0); the hot-cell
+    * table is the operational readout either way. */
+  def mixChiSquare(
+      df: DataFrame,
+      aCol: String,
+      bCol: String
+  ): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val aTot = cells.groupBy("a").agg(sum(col("n")).as("na"))
+    val bTot = cells.groupBy("b").agg(sum(col("n")).as("nb"))
+    val tot = cells.agg(sum(col("n")).as("nn"))
+    val e = col("na") * col("nb") / col("nn").cast("double")
+    cells
+      .join(broadcast(aTot), "a")
+      .join(broadcast(bTot), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("a").as(aCol), col("b").as(bCol), col("n"),
+        round(e, 6).as("expected"),
+        round((col("n") - e) * (col("n") - e) / e, 6).as("chi2"))
+  }
+
   /** Per-source distribution drift: Jensen–Shannon divergence (nats)
     * between each source's token distribution and the REST of the corpus —
     * the standard bounded-symmetric distribution-shift monitor (ln 2 max)

@@ -1145,6 +1145,41 @@ class OpsSpec extends AnyFlatSpec with Matchers {
 
   behavior of "Corpus text statistics"
 
+  it should "score chi-square contributions against independence" in {
+    // perfectly independent 2x2 grid: every cell matches its expectation
+    val docs = Seq(
+      Doc(1, "a", "s1"), Doc(2, "a", "s1"), Doc(3, "a", "s2"),
+      Doc(4, "b", "s1"), Doc(5, "b", "s1"), Doc(6, "b", "s2")
+    ).toDS.toDF().withColumn("lang", col("text"))
+    val out = Corpus.mixChiSquare(docs, "lang", "source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(t => (t._1, t._2))
+    out.length shouldBe 4
+    out.foreach { case (_, _, n, e, chi2) =>
+      e shouldBe n.toDouble +- 1e-9
+      chi2 shouldBe 0.0 +- 1e-9
+    }
+    // skewed grid: the displaced cells carry the contribution
+    val skew = Seq(
+      Doc(1, "a", "s1"), Doc(2, "a", "s1"), Doc(3, "b", "s2"), Doc(4, "b", "s2")
+    ).toDS.toDF().withColumn("lang", col("text"))
+    val chi = Corpus.mixChiSquare(skew, "lang", "source")
+      .collect().map(_.getDouble(4)).sum
+    // observed cells only: the two populated cells contribute (2-1)^2/1
+    // each; the two EMPTY cells' e=1 contributions are absent by design
+    chi shouldBe 2.0 +- 1e-9
+  }
+
+  it should "profile readability with the Flesch formula" in {
+    val docs = Seq(Doc(1, "the cat sat. it sat!", "s")).toDS.toDF()
+    val r = Corpus.readability(docs, "doc_id", "text").collect()(0)
+    r.getInt(1) shouldBe 5 // words
+    r.getInt(2) shouldBe 2 // sentence runs: "." and "!"
+    r.getInt(3) shouldBe 5 // vowel groups: e, a, a, i, a
+    r.getDouble(4) shouldBe
+      (206.835 - 1.015 * (5.0 / 2) - 84.6 * (5.0 / 5)) +- 1e-6
+  }
+
   it should "credit novel spans to the introducing document only" in {
     // doc 1 introduces "a b c"; doc 2 repeats it and adds nothing new;
     // doc 3 introduces its own gram. spanN=3.
