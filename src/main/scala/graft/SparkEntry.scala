@@ -1076,6 +1076,37 @@ object SparkEntry {
         col("right_value"))
     }),
 
+    // Extension: STREAMING LEFT-OUTER interval join, oracle-checked — the
+    // state-eviction semantics: unmatched clicks emit their null-error
+    // row only when the watermark passes their join window, so a flush
+    // event on BOTH streams drains every pending outer row (the flush
+    // click itself stays inside the final watermark and never emits).
+    // The final set then equals the batch LEFT JOIN — the oracle.
+    "stream_interval_left_join" -> ((s, dir) => withStreamingShuffle(s, 4) {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val (inL, _) = streamFeed(s, dir, 5000, Some("click"))
+      val (inR, _) = streamFeed(s, dir, 5000, Some("error"))
+      val mx = events(s, dir).filter(col("event_id") < 5000)
+        .agg(max(unix_millis(col("ts")))).collect()(0).getLong(0)
+      val flush = StreamEv(-1L, -1L,
+        new java.sql.Timestamp(mx + 7L * 24 * 3600 * 1000), "__flush__", 0.0, "{}")
+      inL.addData(flush)
+      inR.addData(flush)
+      val joined = graft.streaming.StreamingOps.intervalLeftJoinStreams(
+        inL.toDF().select("event_id", "user_id", "ts"),
+        inR.toDF().select("user_id", "ts", "value"),
+        "user_id", "ts", before = "1 hour", after = "10 minutes",
+        watermarkDelay = "10 minutes", rightPayload = Seq("value"))
+      s.catalog.dropTempView("stream_iloj_out")
+      graft.streaming.StreamingOps.runToMemory(joined, "stream_iloj_out",
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      s.table("stream_iloj_out").filter(col("event_id") =!= -1L)
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          unix_millis(col("right_ts")).as("right_ts_ms"),
+          col("right_value"))
+    }),
+
     // Extension: STREAMING custom state (mapGroupsWithState), oracle-
     // checked — running per-user totals over the bounded feed in Update
     // mode; the single-batch replay emits each user's final state exactly
@@ -1626,6 +1657,11 @@ object SparkEntry {
     // flagged at 3x with a cold-start guard.
     "events_burst" -> ((s, dir) =>
       graft.ops.EventOps.burstScore(events(s, dir), "event_type", "ts", 600000L)),
+
+    // Extension: Gini concentration of per-user event counts — the
+    // one-number tail-inequality companion to events_skew_report.
+    "events_gini" -> ((s, dir) =>
+      graft.ops.EventOps.giniConcentration(events(s, dir), "user_id")),
 
     // Extension: inactivity churn — users silent for >= 24 h before the
     // corpus's last observed event (data-anchored, replay-deterministic).
@@ -2878,6 +2914,16 @@ object SparkEntry {
         |FROM l JOIN r ON l.user_id = r.user_id
         |  AND r.ms >= l.ms - 3600000 AND r.ms <= l.ms + 600000""".stripMargin,
 
+    "stream_interval_left_join" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
+        |  FROM events WHERE event_id < 5000 AND event_type = 'click'),
+        |r AS (SELECT user_id, epoch_ms(ts) AS ms, value
+        |  FROM events WHERE event_id < 5000 AND event_type = 'error')
+        |SELECT l.event_id, l.user_id, l.ms AS ts_ms,
+        |  r.ms AS right_ts_ms, r.value AS right_value
+        |FROM l LEFT JOIN r ON l.user_id = r.user_id
+        |  AND r.ms >= l.ms - 3600000 AND r.ms <= l.ms + 600000""".stripMargin,
+
     "stream_dedup" ->
       """SELECT count(*) AS n_in,
         |  count(DISTINCT md5(regexp_replace(trim(lower(props)), '\s+', ' ', 'g'))) AS n_survivors,
@@ -3548,6 +3594,15 @@ object SparkEntry {
         |  round(CASE WHEN n_trail = 0 THEN 0.0 ELSE CAST(tsum AS DOUBLE) / n_trail END, 6) AS trail_avg,
         |  (n_trail >= 3 AND n >= 3.0 * CAST(tsum AS DOUBLE) / n_trail) AS is_burst
         |FROM t""".stripMargin,
+
+    "events_gini" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n ASC, user_id ASC) AS i FROM c),
+        |a AS (SELECT count(*) AS n_keys, sum(n) AS total, sum(i * n) AS sin FROM r)
+        |SELECT CAST(n_keys AS BIGINT) AS n_keys, CAST(total AS BIGINT) AS total,
+        |  round(CAST(2 * sin - (n_keys + 1) * total AS DOUBLE)
+        |    / (CAST(n_keys AS DOUBLE) * total), 6) AS gini
+        |FROM a""".stripMargin,
 
     "events_churn" ->
       """WITH u AS (SELECT user_id, max(CAST(epoch_ms(ts) AS BIGINT)) AS last_ms,

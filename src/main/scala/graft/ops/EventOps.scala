@@ -633,6 +633,32 @@ object EventOps {
           .as("is_burst"))
   }
 
+  /** Concentration profile: the Gini coefficient of per-key event counts
+    * — 0 when activity is uniform across keys, →1 when a few keys own
+    * everything. The one-number companion to [[skewReport]]'s top-k
+    * table: skewReport names the hot keys, Gini says whether the tail
+    * matters. Ascending (count, key) ranking makes ties deterministic;
+    * every sum is an exact long (rank·count products stay far under 2^63
+    * at any realistic key count), so the coefficient is one double
+    * division at the end — bit-replicable.
+    *
+    * Scale note: the rank is a single-partition window over the PER-KEY
+    * count frame (#keys rows, not #events). Beyond ~10^8 keys, swap in a
+    * range-partitioned two-pass rank (partition by count range, offset by
+    * partition-count prefix sums — the writeRangeSorted recipe); the
+    * formula is unchanged. */
+  def giniConcentration(events: DataFrame, keyCol: String): DataFrame = {
+    val counts = events.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").asc, col(keyCol).asc)
+    counts.withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("total"),
+        sum(col("i") * col("n")).as("sin"))
+      .select(col("n_keys"), col("total"),
+        round((lit(2L) * col("sin") - (col("n_keys") + 1) * col("total"))
+          .cast("double") /
+          (col("n_keys").cast("double") * col("total")), 6).as("gini"))
+  }
+
   /** Inactivity churn candidates: users whose LAST event is at least
     * `thresholdMs` before the corpus's last observed event — the lapsed-
     * user feed behind win-back campaigns and retention dashboards

@@ -213,6 +213,37 @@ object StreamingOps {
             rightPayload.map(c => col(s"r.$c").as(s"right_$c"))): _*)
   }
 
+  /** LEFT-OUTER sibling of [[intervalJoinStreams]]: unmatched left rows
+    * emit with null right columns — but only once the watermark passes
+    * their join window, because until then a matching right row could
+    * still arrive (the outer row's emission time is a STATE-EVICTION
+    * event, not an arrival event — the semantics single-batch replays
+    * cannot show; the oracle query advances the watermark with a flush
+    * event to drain them). Both sides need the watermark and the join the
+    * time-range condition, per Spark's outer stream-stream contract. */
+  def intervalLeftJoinStreams(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      before: String,
+      after: String,
+      watermarkDelay: String,
+      rightPayload: Seq[String]
+  ): DataFrame = {
+    val l = left.withWatermark(tsCol, watermarkDelay).alias("l")
+    val r = right.withWatermark(tsCol, watermarkDelay).alias("r")
+    val cond = expr(
+      s"l.$keyCol = r.$keyCol AND " +
+        s"r.$tsCol >= l.$tsCol - INTERVAL $before AND " +
+        s"r.$tsCol <= l.$tsCol + INTERVAL $after")
+    l.join(r, cond, "left_outer")
+      .select(
+        left.columns.map(c => col(s"l.$c")) ++
+          (col(s"r.$tsCol").as(s"right_$tsCol") +:
+            rightPayload.map(c => col(s"r.$c").as(s"right_$c"))): _*)
+  }
+
   /** Convenience sink for tests/demos: run a streaming frame into an
     * in-memory table and process everything currently available. */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): Unit = {

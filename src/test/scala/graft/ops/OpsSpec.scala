@@ -321,6 +321,21 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       Array((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L))
   }
 
+  it should "measure event concentration as a Gini coefficient" in {
+    def gini(counts: Seq[(Long, Int)]) = {
+      val ev = counts.flatMap { case (u, k) =>
+        (1 to k).map(i => (ts(f"2024-01-01 10:00:${i % 60}%02d"), u, "click", 1.0))
+      }.toDF("ts", "user_id", "event_type", "value")
+      EventOps.giniConcentration(ev, "user_id").collect()(0)
+    }
+    val uniform = gini(Seq((1L, 2), (2L, 2), (3L, 2)))
+    uniform.getLong(0) shouldBe 3L
+    uniform.getLong(1) shouldBe 6L
+    uniform.getDouble(2) shouldBe 0.0 +- 1e-9
+    // ascending counts [1, 3]: G = (2*7 - 3*4) / (2*4) = 0.25
+    gini(Seq((1L, 1), (2L, 3))).getDouble(2) shouldBe 0.25 +- 1e-9
+  }
+
   it should "surface users silent past the churn threshold" in {
     val ev = Seq(
       (ts("2024-01-10 10:00:00"), 1L, "click", 1.0), // 9 days silent

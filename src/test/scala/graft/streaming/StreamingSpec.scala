@@ -81,6 +81,38 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
       ("2024-01-01 13:00:00", 2L, 10.0)) // the late 13:05 row DID count
   }
 
+  it should "emit unmatched left rows with nulls once the watermark expires them" in {
+    // click u1@10:00 matches error u1@10:05; click u2@10:00 has no error.
+    // The outer row for u2 must NOT exist until the flush advances the
+    // watermark past u2's join window (10:10 + 10 min delay).
+    val clicks = MemoryStream[Ev]
+    val errors = MemoryStream[Ev]
+    clicks.addData(
+      Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(t("2024-01-01 10:00:00"), 2, "click", 2.0))
+    errors.addData(Ev(t("2024-01-01 10:05:00"), 1, "error", 9.0))
+    val joined = StreamingOps.intervalLeftJoinStreams(
+      clicks.toDF().select("user_id", "ts"),
+      errors.toDF().select("user_id", "ts", "value"),
+      "user_id", "ts", "1 hour", "10 minutes", "10 minutes", Seq("value"))
+    val q = joined.writeStream.format("memory").queryName("iloj_out")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    val before = spark.table("iloj_out")
+      .select("user_id", "right_value").collect()
+      .map(r => (r.getLong(0), Option(r.get(1))))
+    before should contain ((1L, Some(9.0))) // inner match emits promptly
+    before.count(_._1 == 2L) shouldBe 0     // outer row still pending
+    clicks.addData(Ev(t("2024-01-02 12:00:00"), 99, "flush", 0.0))
+    errors.addData(Ev(t("2024-01-02 12:00:00"), 99, "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.table("iloj_out")
+      .select("user_id", "right_value").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    after should contain ((2L, None)) // evicted -> emitted with nulls
+  }
+
   it should "sessionize a stream with native session windows" in {
     val in = MemoryStream[Ev]
     in.addData(
