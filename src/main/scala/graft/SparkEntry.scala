@@ -134,6 +134,19 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_discount")
     }),
 
+    // Extension: per-rule hit/change telemetry under the SEQUENTIAL chain
+    // semantics — r2's condition reads l_returnflag AFTER r1 rewrote it,
+    // so its counts shift with r1 (the dry-run dashboard for rollouts).
+    "plug_rule_hits" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val rules = List(
+        PlugRule("r1", "v1", "l_discount > 0.05",
+          Seq(PlugAction("l_returnflag", "D"))),
+        PlugRule("r2", "v1", "l_returnflag = 'D' AND l_quantity < 25",
+          Seq(PlugAction("l_linestatus", "X"))))
+      SparkPlug.builder.create().ruleHitStats(table(s, dir, "lineitem"), rules)
+    }),
+
     // O6: Int literal coercion (bare int literal).
     "plug_int_coercion" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -1904,6 +1917,22 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // Replays the chain: r2's counts are taken over l_returnflag AS
+    // REWRITTEN by r1 (the CASE expression), not the raw column.
+    "plug_rule_hits" ->
+      """WITH s1 AS (SELECT l_quantity, l_linestatus, l_discount, l_returnflag,
+        |    CASE WHEN l_discount > 0.05 THEN 'D' ELSE l_returnflag END AS rf2
+        |  FROM lineitem)
+        |SELECT 'r1' AS rule_name,
+        |  count(*) FILTER (l_discount > 0.05) AS n_matched,
+        |  count(*) FILTER (l_discount > 0.05 AND l_returnflag IS DISTINCT FROM 'D') AS n_changed
+        |FROM s1
+        |UNION ALL
+        |SELECT 'r2',
+        |  count(*) FILTER (rf2 = 'D' AND l_quantity < 25),
+        |  count(*) FILTER (rf2 = 'D' AND l_quantity < 25 AND l_linestatus IS DISTINCT FROM 'X')
+        |FROM s1""".stripMargin,
+
     "plug_flat_override" ->
       """SELECT l_orderkey, l_linenumber,
         |CASE WHEN l_discount > 0.05 THEN 'D' ELSE l_returnflag END AS l_returnflag,

@@ -107,6 +107,48 @@ case class SparkPlug(
   private def preProcessInput(in: DataFrame): DataFrame =
     plugDetails.fold(in)(pd => in.withColumn(pd.column, pd.appender.emptyDetails))
 
+  /** Per-rule telemetry over the SAME sequential semantics as [[plug]]:
+    * for each rule, how many rows its condition matched and how many it
+    * actually CHANGED (null-safe `<=>` against the post-coercion value) —
+    * evaluated against the frame state that rule actually saw, i.e. after
+    * every earlier rule applied. The dry-run dashboard behind rule
+    * rollouts: a rule with matches but no changes is a no-op, one with
+    * zero matches is dead, and a later rule's numbers shift when an
+    * earlier rule rewrites its inputs — which this catches and a
+    * per-rule-in-isolation count would not.
+    *
+    * One pass: hit/changed FLAGS are added as projections interleaved
+    * with the rule projections (the chain stays narrow, no shuffle), and
+    * one conditional aggregate at the end reads them all; the wide 1-row
+    * result unpivots to a #rules-row frame. */
+  def ruleHitStats(in: DataFrame, rules: List[PlugRule]): DataFrame = {
+    var df = in
+    rules.zipWithIndex.foreach { case (rule, i) =>
+      val fields = PlugRule.buildFieldsMap(df.schema).toMap
+      val changed = rule.actions.map { a =>
+        val dt = fields.getOrElse(a.key, throw new IllegalArgumentException(
+          s"""Rule "${rule.name}": Field "${a.key}" not found in the schema."""))
+        val v = RuleCompiler.coerceValue(a.value, dt).getOrElse(lit(null))
+        !(col(a.key) <=> v)
+      }.reduceOption(_ || _).getOrElse(lit(false))
+      val cond = expr(rule.condition)
+      df = applyRule(
+        df.withColumn(s"__hit_$i", cond)
+          .withColumn(s"__chg_$i", cond && changed),
+        rule)
+    }
+    val aggs = rules.indices.flatMap(i => Seq(
+      sum(when(col(s"__hit_$i"), 1L).otherwise(0L)).as(s"__h_$i"),
+      sum(when(col(s"__chg_$i"), 1L).otherwise(0L)).as(s"__c_$i")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rules.zipWithIndex.map { case (r, i) =>
+        struct(lit(r.name).as("rule_name"),
+          coalesce(col(s"__h_$i"), lit(0L)).as("n_matched"),
+          coalesce(col(s"__c_$i"), lit(0L)).as("n_changed"))
+      }: _*)).as("r"))
+      .select(col("r.rule_name"), col("r.n_matched"), col("r.n_changed"))
+  }
+
   /** Apply one rule = one projection. */
   private[plug] def applyRule(frame: DataFrame, rule: PlugRule): DataFrame = {
     val compiled = RuleCompiler.compile(

@@ -258,6 +258,24 @@ class SparkPlugSpec extends AnyFlatSpec with Matchers {
     plug.changedRowCount shouldBe Some(1L)
   }
 
+  it should "report per-rule hits and changes under the chained frame state" in {
+    // r1 reprices iPhone to 1000; r2 flags price = 1000 — which matches
+    // the iPhone only BECAUSE r1 ran first (chained semantics), and its
+    // brand action is a no-op on a row already branded "Flagged".
+    val data = Seq(
+      TestRow("iPhone", "Apple", 300),
+      TestRow("Galaxy", "Samsung", 1000),
+      TestRow("Lumia", "Flagged", 1000)).toDF()
+    val rules = List(
+      PlugRule("r1", "v1", "title like '%iPhone%'", Seq(PlugAction("price", "1000"))),
+      PlugRule("r2", "v1", "price = 1000", Seq(PlugAction("brand", "Flagged"))))
+    val out = SparkPlug.builder(spark).create().ruleHitStats(data, rules)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // r1: 1 match, 1 change; r2: all three rows match post-r1, but the
+    // pre-branded Lumia is not a change
+    out shouldBe Array(("r1", 1L, 1L), ("r2", 3L, 2L))
+  }
+
   it should "silently assign null for a non-coercible literal when validation is off" in {
     // Reference quirk parity: convertActions .getOrElse(null) (PlugRule.scala:129).
     val rules = List(PlugRule("rule1", "v1", "title like '%iPhone%'",
