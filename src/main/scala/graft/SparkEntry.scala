@@ -1511,6 +1511,22 @@ object SparkEntry {
       graft.ops.EventOps.funnel(events(s, dir), "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"))),
 
+    // Extension: time-boxed funnel — conversions credited only within
+    // 7 days of the user's first stage-0 event (the "converted within N
+    // days" readout; unbounded funnels credit year-late conversions).
+    "events_funnel_window" -> ((s, dir) =>
+      graft.ops.EventOps.funnelWindowed(events(s, dir), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"),
+        7L * 24 * 3600 * 1000)),
+
+    // Extension: kNN hubness report — top in-degree nodes of the ANN
+    // graph with their mutual-edge counts (the embedding-space pathology
+    // check before trusting kNN retrieval).
+    "sim_hubness" -> ((s, dir) =>
+      graft.ops.Similarity.hubnessReport(
+        spread(s, table(s, dir, "embeddings")), "vec_id", "embedding",
+        dim = 64, planes = 8, bands = 2, k = 5)),
+
     // Extension: overlapping token-window chunking (RAG/embedding prep) —
     // 32-token windows advancing by 16 (50% overlap), fingerprint per
     // chunk; pure scan-side generator, no shuffle.
@@ -2630,6 +2646,34 @@ object SparkEntry {
         |  (m.src IS NOT NULL) AS mutual
         |FROM top t LEFT JOIN top m ON m.src = t.dst AND m.dst = t.src""".stripMargin,
 
+    // The sim_knn_graph chain + per-dst in-degree / mutual counts and the
+    // deterministic top-10 cut.
+    "sim_hubness" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |bk AS (SELECT vec_id, t.b AS band, list_sum(list_transform(generate_series(0,7), j ->
+        |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(v)), i ->
+        |    v[i]::DOUBLE * (CASE WHEN (('0x'||substr(md5((t.b*8+j)::VARCHAR||':'||(i-1)::VARCHAR),1,15))::UBIGINT & 1) = 1 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END))), (a,x) -> a+x) >= 0
+        |  THEN (1 << j) ELSE 0 END)) AS bucket FROM e, range(2) t(b)),
+        |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |p AS (SELECT c.a_id, c.b_id,
+        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(ea.v)), i -> ea.v[i]::DOUBLE * eb.v[i]::DOUBLE)), (x,y) -> x+y)
+        |  / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(ea.v)), i -> ea.v[i]::DOUBLE * ea.v[i]::DOUBLE)), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(eb.v)), i -> eb.v[i]::DOUBLE * eb.v[i]::DOUBLE)), (x,y) -> x+y))) AS sim
+        |  FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id),
+        |sym AS (SELECT a_id AS src, b_id AS dst, sim FROM p
+        |        UNION ALL SELECT b_id, a_id, sim FROM p),
+        |rk AS (SELECT src, dst, sim,
+        |    row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rank
+        |  FROM sym),
+        |top AS (SELECT * FROM rk WHERE rank <= 5),
+        |deg AS (SELECT t.dst, count(*) AS in_degree,
+        |    CAST(sum(CASE WHEN m.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual
+        |  FROM top t LEFT JOIN top m ON m.src = t.dst AND m.dst = t.src
+        |  GROUP BY 1)
+        |SELECT dst AS node_id, in_degree, n_mutual
+        |FROM deg ORDER BY in_degree DESC, node_id ASC LIMIT 10""".stripMargin,
+
     // Rebuilds the identical deterministic k-means cells (the sim_ivf_topk
     // CTE chain), then mirrors the lowest-id-survives prune rule.
     "sim_semdedup" ->
@@ -3394,6 +3438,25 @@ object SparkEntry {
         |    count(CASE WHEN t0 IS NOT NULL THEN 1 END) AS n0,
         |    count(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t0 < t1 THEN 1 END) AS n1,
         |    count(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL AND t0 < t1 AND t1 < t2 THEN 1 END) AS n2
+        |  FROM m)
+        |SELECT 'view' AS stage, 0 AS stage_idx, n0 AS n_users FROM r
+        |UNION ALL SELECT 'click', 1, n1 FROM r
+        |UNION ALL SELECT 'purchase', 2, n2 FROM r""".stripMargin,
+
+    "events_funnel_window" ->
+      """WITH m AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN CAST(epoch_ms(ts) AS BIGINT) END) AS t0,
+        |    min(CASE WHEN event_type = 'click' THEN CAST(epoch_ms(ts) AS BIGINT) END) AS t1,
+        |    min(CASE WHEN event_type = 'purchase' THEN CAST(epoch_ms(ts) AS BIGINT) END) AS t2
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY 1),
+        |r AS (SELECT
+        |    count(CASE WHEN t0 IS NOT NULL THEN 1 END) AS n0,
+        |    count(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t0 < t1
+        |      AND t1 <= t0 + 604800000 THEN 1 END) AS n1,
+        |    count(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL
+        |      AND t0 < t1 AND t1 < t2
+        |      AND t1 <= t0 + 604800000 AND t2 <= t0 + 604800000 THEN 1 END) AS n2
         |  FROM m)
         |SELECT 'view' AS stage, 0 AS stage_idx, n0 AS n_users FROM r
         |UNION ALL SELECT 'click', 1, n1 FROM r

@@ -244,6 +244,51 @@ object EventOps {
       .select(col("stage"), col("stage_idx"), coalesce(col("n_users"), lit(0L)).as("n_users"))
   }
 
+  /** Time-boxed funnel — [[funnel]] with a conversion window: a user
+    * counts at stage k only when every later stage's first occurrence
+    * ALSO lands within `maxDelayMs` of the stage-0 anchor (the user's
+    * first stage-0 event). Unbounded funnels credit conversions that took
+    * a year; this is the "converted within 7 days" product readout.
+    * Convention (documented, shared with [[funnel]]): stage times are
+    * each type's FIRST occurrence, anchored at the first stage-0 —
+    * a later qualifying re-entry is out of scope. Same one-aggregate +
+    * one-row-rollup shape: no self-joins, no windows. */
+  def funnelWindowed(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String],
+      maxDelayMs: Long
+  ): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val ev = events.withColumn("__ms", Ts.millis(events, tsCol))
+    val mins = ev
+      .filter(col(typeCol).isInCollection(stages))
+      .groupBy(col(userCol))
+      .agg(
+        min(when(col(typeCol) === stages.head, col("__ms"))).as("__t_0"),
+        stages.tail.zipWithIndex.map { case (s, i) =>
+          min(when(col(typeCol) === s, col("__ms"))).as(s"__t_${i + 1}")
+        }: _*)
+    val reached: Seq[Column] = stages.indices.map { k =>
+      val present = (0 to k).map(i => col(s"__t_$i").isNotNull)
+      val ordered = (1 to k).map(i => col(s"__t_${i - 1}") < col(s"__t_$i"))
+      val inWindow = (1 to k).map(i => col(s"__t_$i") <= col("__t_0") + maxDelayMs)
+      (present ++ ordered ++ inWindow).reduce(_ && _)
+    }
+    val rolled = mins.agg(
+      sum(when(reached.head, 1L).otherwise(0L)).as("__n_0"),
+      reached.tail.zipWithIndex.map { case (c, i) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"__n_${i + 1}")
+      }: _*)
+    val stackArgs = stages.zipWithIndex
+      .map { case (s, i) => s"'$s', $i, `__n_$i`" }.mkString(", ")
+    rolled
+      .select(expr(s"stack(${stages.size}, $stackArgs) AS (stage, stage_idx, n_users)"))
+      .select(col("stage"), col("stage_idx"), coalesce(col("n_users"), lit(0L)).as("n_users"))
+  }
+
   /** Per-key cardinality profile: exact distinct plus HyperLogLog estimate
     * (the scale path — approx_count_distinct aggregates constant-size
     * sketches instead of shuffling the full distinct key set). */

@@ -309,6 +309,34 @@ object Similarity {
       .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= k)
   }
 
+  /** Hubness report: the top in-degree nodes of the approximate kNN graph
+    * — high-dimensional embedding spaces concentrate neighborhoods onto a
+    * few "hub" points (the hubness phenomenon), which silently dominate
+    * retrieval results and poison kNN-based dedup/classification; this is
+    * the diagnostic read before trusting an ANN index. Per hub: in-degree
+    * (how many nodes list it) and how many of those edges are mutual
+    * (low mutual share = asymmetric hub = the pathological kind).
+    * Composes [[knnGraph]]; the cut is a TakeOrderedAndProject over the
+    * #nodes-sized in-degree aggregate — never a global sort. */
+  def hubnessReport(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      planes: Int = 8,
+      bands: Int = 2,
+      k: Int = 5,
+      topN: Int = 10,
+      scope: CacheScope = new CacheScope
+  ): DataFrame =
+    knnGraph(df, idCol, vecCol, dim, planes, bands, k, scope)
+      .groupBy(col("dst"))
+      .agg(count(lit(1)).as("in_degree"),
+        sum(when(col("mutual"), 1L).otherwise(0L)).as("n_mutual"))
+      .orderBy(col("in_degree").desc, col("dst").asc)
+      .limit(topN)
+      .select(col("dst").as("node_id"), col("in_degree"), col("n_mutual"))
+
   /** Deterministic random-projection compression: `dim` → `proj`
     * dimensions via the md5-parity ±1 hyperplane family (an
     * Achlioptas-style database-friendly projection — no stored matrix, the

@@ -321,6 +321,47 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       Array((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L))
   }
 
+  it should "credit funnel conversions only inside the window" in {
+    val ev = Seq(
+      // user 1 converts fully within the 1 h window
+      (ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      (ts("2024-01-01 10:10:00"), 1L, "click", 1.0),
+      (ts("2024-01-01 10:20:00"), 1L, "purchase", 1.0),
+      // user 2 clicks in-window but purchases 2 h after the view anchor
+      (ts("2024-01-01 10:00:00"), 2L, "view", 1.0),
+      (ts("2024-01-01 10:30:00"), 2L, "click", 1.0),
+      (ts("2024-01-01 12:00:00"), 2L, "purchase", 1.0),
+      // user 3: click precedes the view -> ordering still fails them
+      (ts("2024-01-01 10:30:00"), 3L, "view", 1.0),
+      (ts("2024-01-01 10:00:00"), 3L, "click", 1.0)
+    ).toDF("ts", "user_id", "event_type", "value")
+    val out = EventOps.funnelWindowed(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), 3600000L)
+      .orderBy("stage_idx").collect().map(_.getLong(2))
+    out shouldBe Array(3L, 2L, 1L)
+    // the unbounded funnel credits user 2's late purchase
+    EventOps.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy("stage_idx").collect().map(_.getLong(2)) shouldBe Array(3L, 2L, 2L)
+  }
+
+  it should "rank kNN hubs by in-degree with mutual counts" in {
+    // 4 near-colinear vectors + a hub-ish shared direction: just assert
+    // structural properties — ranked by in-degree, counts bounded by k,
+    // mutual <= in_degree
+    val base = Seq(1f, 1f, 1f, 1f, 1f, 1f, 1f, 0f)
+    val vecs = (0L to 4L).map(i => Vec(i, base.map(_ * (1f + i * 0.01f)))).toDS.toDF()
+    val out = Similarity.hubnessReport(vecs, "vec_id", "embedding",
+        dim = 8, planes = 8, bands = 1, k = 2, topN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.length should be <= 3
+    out.map(_._2).toSeq shouldBe out.map(_._2).sortBy(-_).toSeq // desc
+    out.foreach { case (_, inDeg, mut) =>
+      mut should be <= inDeg
+      inDeg should be <= 4L // at most every other node lists it
+    }
+  }
+
   it should "measure event concentration as a Gini coefficient" in {
     def gini(counts: Seq[(Long, Int)]) = {
       val ev = counts.flatMap { case (u, k) =>
