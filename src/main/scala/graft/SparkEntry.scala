@@ -1692,6 +1692,24 @@ object SparkEntry {
     "events_gini" -> ((s, dir) =>
       graft.ops.EventOps.giniConcentration(events(s, dir), "user_id")),
 
+    // Extension: per-user behavioral entropy over event types — the
+    // bot/broken-client screen (single-action users score 0).
+    "events_user_entropy" -> ((s, dir) =>
+      graft.ops.EventOps.userTypeEntropy(events(s, dir), "user_id", "event_type")),
+
+    // Extension: quality-quartile × exact-dup calibration — do the
+    // quality and dedup screens agree about which slice is junk?
+    "docs_quality_calibration" -> ((s, dir) =>
+      graft.ops.Corpus.qualityDupCalibration(
+        spread(s, table(s, dir, "documents")), "doc_id", "text")),
+
+    // Extension: Heaps'-law vocabulary growth fit over 10 id-prefix
+    // checkpoints (one term-ownership aggregate, no sequential scan) —
+    // "is new data still adding new language?"
+    "text_heaps_fit" -> ((s, dir) =>
+      graft.ops.Corpus.heapsFit(
+        spread(s, table(s, dir, "documents")), "doc_id", "text")),
+
     // Extension: inactivity churn — users silent for >= 24 h before the
     // corpus's last observed event (data-anchored, replay-deterministic).
     "events_churn" -> ((s, dir) =>
@@ -3686,6 +3704,62 @@ object SparkEntry {
         |  round(CASE WHEN n_trail = 0 THEN 0.0 ELSE CAST(tsum AS DOUBLE) / n_trail END, 6) AS trail_avg,
         |  (n_trail >= 3 AND n >= 3.0 * CAST(tsum AS DOUBLE) / n_trail) AS is_burst
         |FROM t""".stripMargin,
+
+    "events_user_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+        |a AS (SELECT user_id, sum(c) AS n, count(*) AS nt,
+        |    CAST(SUM(CAST(c * CAST(CAST(ln(c) AS DECIMAL(27,12)) AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE) AS s
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events, CAST(nt AS BIGINT) AS n_types,
+        |  round(CAST(CAST(ln(n) AS DECIMAL(27,12)) AS DOUBLE) - s / n, 6) AS entropy
+        |FROM a""".stripMargin,
+
+    // The docs_quality_blend quality replication + docs_split_assign-style
+    // exact quartile cuts + the dedup_rate_by_source fingerprint totals.
+    "docs_quality_calibration" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |qq AS (SELECT doc_id,
+        |  least(len(toks) / 100.0, 1.0) * 0.4 + (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / greatest(length(text), 1)) * 0.3 + (len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this'], x))) / greatest(len(toks), 1)) * 0.3 AS q,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM t),
+        |tot AS (SELECT fp, count(*) AS tot FROM qq GROUP BY 1),
+        |b AS (SELECT quantile_cont(q, [0.25, 0.5, 0.75]) AS bs FROM qq),
+        |g AS (SELECT CASE WHEN q <= bs[1] THEN 0 WHEN q <= bs[2] THEN 1
+        |    WHEN q <= bs[3] THEN 2 ELSE 3 END AS quartile,
+        |    (tot.tot > 1) AS dup
+        |  FROM qq JOIN tot USING (fp), b)
+        |SELECT quartile, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  round(sum(CASE WHEN dup THEN 1 ELSE 0 END) / count(*), 6) AS dup_rate
+        |FROM g GROUP BY 1""".stripMargin,
+
+    // One term-ownership aggregate + two checkpoint counts + the text_zipf
+    // DECIMAL-canonicalized least-squares recipe.
+    "text_heaps_fit" ->
+      """WITH own AS (SELECT term, min(doc_id) AS first_id FROM
+        |    (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents)
+        |  GROUP BY 1),
+        |mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |nd AS (SELECT i, sum(CASE WHEN doc_id <= mx.mx * i / 10 THEN 1 ELSE 0 END) AS n_docs
+        |  FROM documents, mx, range(1, 11) r(i) GROUP BY 1),
+        |nt AS (SELECT i, sum(CASE WHEN first_id <= mx.mx * i / 10 THEN 1 ELSE 0 END) AS n_terms
+        |  FROM own, mx, range(1, 11) r(i) GROUP BY 1),
+        |p AS (SELECT nd.n_docs, nt.n_terms FROM nd JOIN nt USING (i)
+        |  WHERE nd.n_docs > 0 AND nt.n_terms > 0),
+        |l AS (SELECT
+        |    CAST(CAST(ln(CAST(n_docs AS DOUBLE)) AS DECIMAL(27,12)) AS DOUBLE) AS lx,
+        |    CAST(CAST(ln(CAST(n_terms AS DOUBLE)) AS DECIMAL(27,12)) AS DOUBLE) AS ly
+        |  FROM p),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(lx AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(ly AS DECIMAL(27,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(lx * ly AS DECIMAL(27,12))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(lx * lx AS DECIMAL(27,12))) AS DOUBLE) AS sxx
+        |  FROM l)
+        |SELECT CAST(n AS BIGINT) AS n_points,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS beta,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) + 0.0 AS ln_k
+        |FROM s""".stripMargin,
 
     "events_gini" ->
       """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),

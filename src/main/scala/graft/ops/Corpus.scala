@@ -816,6 +816,93 @@ object Corpus {
               col("n"), 6).as("intercept"))
   }
 
+  /** Quality-vs-duplication calibration: exact quality quartiles × the
+    * exact-dup rate inside each — the cross-signal sanity table ("do our
+    * quality screens and our dedup screens agree about which slice is
+    * junk?"). A dup rate flat across quartiles means the two signals are
+    * independent and both earn their place; dups concentrated in the
+    * bottom quartile means quality filtering already buys most of the
+    * dedup win. Quartile cuts are the exact interpolated percentiles as a
+    * 1-row broadcast ([[lengthBins]] recipe); dup membership is one
+    * fingerprint total join ([[Dedup.dupRateBySource]] posture). */
+  def qualityDupCalibration(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      scope: CacheScope = new CacheScope
+  ): DataFrame = {
+    val spark = df.sparkSession
+    // cached: the quality+fingerprint projection feeds the cut aggregate,
+    // the fingerprint totals, and the final grouping
+    val q = scope.cache(df.select(col(idCol).as("id"),
+      qualityScore(col(textCol), tokens(col(textCol))).as("q"),
+      fingerprintFor(spark)(col(textCol)).as("fp")))
+    val tot = q.groupBy("fp").agg(count(lit(1)).as("tot"))
+    val cuts = q.agg(expr("percentile(q, array(0.25D, 0.5D, 0.75D))").as("bs"))
+    q.join(tot, "fp").crossJoin(broadcast(cuts))
+      .select(
+        when(col("q") <= element_at(col("bs"), 1), 0)
+          .when(col("q") <= element_at(col("bs"), 2), 1)
+          .when(col("q") <= element_at(col("bs"), 3), 2)
+          .otherwise(3).as("quartile"),
+        (col("tot") > 1).as("dup"))
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_docs"))
+      .select(col("quartile"), col("n_docs"), col("n_dup_docs"),
+        round(col("n_dup_docs") / col("n_docs"), 6).as("dup_rate"))
+  }
+
+  /** Heaps'-law fit: vocabulary growth V(N) ≈ K·N^β estimated from 10
+    * document-count checkpoints — the corpus-health number behind "is new
+    * data still adding new language?" (β near the 0.4–0.6 natural-text
+    * band; a collapsing β says the crawl is recycling itself). The
+    * checkpoints are id-threshold prefixes t_i = ⌊max_id·i/10⌋; V(t) counts
+    * terms whose FIRST-owning doc id ([[noveltyProfile]]'s ownership
+    * aggregate at term granularity) is ≤ t — so the whole curve needs one
+    * term-ownership aggregate plus two tiny checkpoint counts, never a
+    * sequential scan. The ln-ln least squares is [[zipfFit]]'s
+    * DECIMAL-canonicalized recipe over the 10-row checkpoint frame. */
+  def heapsFit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 12)
+    val ids = df.select(col(idCol).cast("long").as("id"))
+    val own = df.select(col(idCol).cast("long").as("id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(min(col("id")).as("first_id"))
+    val mx = ids.agg(max(col("id")).as("mx"))
+    def atCheckpoints(src: DataFrame, valueCol: String, outCol: String) =
+      src.crossJoin(broadcast(mx))
+        .select(col(valueCol), explode(sequence(lit(1), lit(10))).as("i"),
+          col("mx"))
+        .groupBy("i")
+        .agg(sum(when(col(valueCol) <= col("mx") * col("i") / 10, 1L)
+          .otherwise(0L)).as(outCol))
+    val pts = atCheckpoints(ids, "id", "n_docs")
+      .join(atCheckpoints(own, "first_id", "n_terms"), "i")
+      .filter(col("n_docs") > 0 && col("n_terms") > 0)
+    val lx = log(col("n_docs").cast("double")).cast(dec).cast("double")
+    val ly = log(col("n_terms").cast("double")).cast(dec).cast("double")
+    pts.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(lx.cast(dec)).cast("double").as("sx"),
+        sum(ly.cast(dec)).cast("double").as("sy"),
+        sum((lx * ly).cast(dec)).cast("double").as("sxy"),
+        sum((lx * lx).cast(dec)).cast("double").as("sxx"))
+      .select(
+        col("n").cast("long").as("n_points"),
+        // + 0.0 canonicalizes IEEE negative zero (a saturated vocabulary
+        // puts the slope numerator at ±0; the engines disagree on the sign)
+        (round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 6) + 0.0).as("beta"),
+        (round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+              col("n"), 6) + 0.0).as("ln_k"))
+  }
+
   /** Model-ready quality blend: one composite score per document from
     * three independent signals — the heuristic quality score, token
     * Shannon entropy, and span UNIQUENESS (1 − duplicated-span fraction)

@@ -678,6 +678,31 @@ object EventOps {
           .as("is_burst"))
   }
 
+  /** Behavioral diversity: per-user Shannon entropy (nats) of the
+    * event-type distribution — 0 for single-action users (bots and
+    * scrapers hammer one endpoint; so do broken clients), higher for
+    * organic mixed sessions. The per-user analog of Corpus.tokenEntropy,
+    * same DECIMAL-canonicalized ln recipe: one (user, type) count shuffle
+    * (map-side combinable), one per-user rollup. */
+  def userTypeEntropy(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String
+  ): DataFrame = {
+    val dec = DecimalType(27, 12)
+    val counts = events.groupBy(col(userCol), col(typeCol))
+      .agg(count(lit(1)).as("c"))
+    val lc = log(col("c").cast("double")).cast(dec).cast("double")
+    counts.groupBy(col(userCol))
+      .agg(
+        sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum((col("c").cast("double") * lc).cast(dec)).cast("double").as("s"))
+      .select(col(userCol), col("n_events"), col("n_types"),
+        round(log(col("n_events").cast("double")).cast(dec).cast("double")
+          - col("s") / col("n_events"), 6).as("entropy"))
+  }
+
   /** Concentration profile: the Gini coefficient of per-key event counts
     * — 0 when activity is uniform across keys, →1 when a few keys own
     * everything. The one-number companion to [[skewReport]]'s top-k

@@ -1280,6 +1280,46 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out.filter(_._1 == 3L).length shouldBe 1 // single-term doc: only 1 keyword
   }
 
+  it should "fit Heaps' law with beta 1 on linear vocabulary growth" in {
+    // doc i contributes exactly one unique token -> V(N) = N at every
+    // checkpoint -> ln V = ln N -> beta = 1, ln K = 0
+    val docs = (1L to 100L).map(i => Doc(i, s"tok$i", "s")).toDS.toDF()
+    val r = Corpus.heapsFit(docs, "doc_id", "text").collect()(0)
+    r.getLong(0) shouldBe 10L
+    r.getDouble(1) shouldBe 1.0 +- 1e-6
+    r.getDouble(2) shouldBe 0.0 +- 1e-6
+    // a fully saturated vocabulary reports beta 0 (never negative zero)
+    val flat = (1L to 100L).map(i => Doc(i, "same words everywhere", "s")).toDS.toDF()
+    val f = Corpus.heapsFit(flat, "doc_id", "text").collect()(0)
+    f.getDouble(1) shouldBe 0.0
+    (1.0 / f.getDouble(1)).isNegInfinity shouldBe false // +0.0, not -0.0
+  }
+
+  it should "score behavioral entropy per user" in {
+    val ev = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      (ts("2024-01-01 10:01:00"), 1L, "click", 1.0),
+      (ts("2024-01-01 10:02:00"), 2L, "view", 1.0),
+      (ts("2024-01-01 10:03:00"), 2L, "view", 1.0)
+    ).toDF("ts", "user_id", "event_type", "value")
+    val out = EventOps.userTypeEntropy(ev, "user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    out(0) shouldBe ((1L, 2L, 2L, math.rint(math.log(2) * 1e6) / 1e6))
+    out(1)._4 shouldBe 0.0 // single-action user
+  }
+
+  it should "calibrate quality quartiles against exact-dup membership" in {
+    val docs = ((1L to 8L).map(i =>
+      Doc(i, ("filler " * i.toInt) + s"unique$i", "s")) ++
+      Seq(Doc(9, "copy of this", "s"), Doc(10, "copy of this", "s"))).toDS.toDF()
+    val out = Corpus.qualityDupCalibration(docs, "doc_id", "text")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    out.map(_._2).sum shouldBe 10L        // every doc lands in a quartile
+    out.map(_._3).sum shouldBe 2L         // exactly the two copies are dups
+    all(out.map(_._1)) should (be >= 0 and be <= 3)
+  }
+
   it should "measure per-source drift as Jensen-Shannon divergence" in {
     // A: {x:2, y:1} (N=3); B: {x:1, z:1} (N=2) — B is exactly A's
     // complement, so the two rows must agree (JSD is symmetric)
