@@ -1697,6 +1697,17 @@ object SparkEntry {
     "events_user_entropy" -> ((s, dir) =>
       graft.ops.EventOps.userTypeEntropy(events(s, dir), "user_id", "event_type")),
 
+    // Extension: inter-arrival cadence regularity — the timing-side bot
+    // screen (metronomic clients have near-zero gap CV).
+    "events_bot_cadence" -> ((s, dir) =>
+      graft.ops.EventOps.interArrivalRegularity(events(s, dir), "user_id", "ts")),
+
+    // Extension: one-row corpus session-shape profile (bounce rate, mean
+    // events/session, exact p50/p90 session durations) over sessionize.
+    "events_session_profile" -> ((s, dir) =>
+      graft.ops.EventOps.sessionProfile(events(s, dir), "user_id", "ts",
+        30 * 60 * 1000L)),
+
     // Extension: quality-quartile × exact-dup calibration — do the
     // quality and dedup screens agree about which slice is junk?
     "docs_quality_calibration" -> ((s, dir) =>
@@ -3713,6 +3724,53 @@ object SparkEntry {
         |SELECT user_id, CAST(n AS BIGINT) AS n_events, CAST(nt AS BIGINT) AS n_types,
         |  round(CAST(CAST(ln(n) AS DECIMAL(27,12)) AS DOUBLE) - s / n, 6) AS entropy
         |FROM a""".stripMargin,
+
+    // Exact integer moments over the per-user gap multiset (HUGEINT-routed
+    // squares ↔ Spark's DECIMAL route); gap order is tie-invariant.
+    "events_bot_cadence" ->
+      """WITH g AS (SELECT user_id,
+        |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+        |  FROM events),
+        |a AS (SELECT user_id, count(*) AS n_gaps, sum(gap) AS s1,
+        |    sum(CAST(gap AS HUGEINT) * gap) AS s2
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+        |m AS (SELECT user_id, n_gaps, s1,
+        |    CAST(s1 AS DOUBLE) / n_gaps AS mean,
+        |    sqrt(CAST(n_gaps * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+        |      / CAST(n_gaps * n_gaps AS DOUBLE)) AS sd
+        |  FROM a WHERE n_gaps >= 5)
+        |SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+        |  round(mean, 6) AS mean_gap_ms,
+        |  CASE WHEN s1 > 0 THEN round(sd / mean, 6) END AS cv,
+        |  (s1 > 0 AND sd / mean < 0.3) AS is_metronomic
+        |FROM m""".stripMargin,
+
+    // The events_sessionize CTE rolled to one row; quantile_cont
+    // interpolates identically to Spark's exact percentile.
+    "events_session_profile" ->
+      """WITH x AS (SELECT user_id, ts, epoch_ms(ts) AS ts_ms,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |y AS (SELECT user_id, ts_ms,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM x),
+        |s AS (SELECT user_id, session_id, count(*) AS n_events,
+        |    max(ts_ms) - min(ts_ms) AS duration_ms
+        |  FROM y GROUP BY 1, 2),
+        |p AS (SELECT count(*) AS n_sessions,
+        |    CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+        |    CAST(sum(n_events) AS BIGINT) AS total_events,
+        |    quantile_cont(duration_ms, 0.5) AS p50,
+        |    quantile_cont(duration_ms, 0.9) AS p90
+        |  FROM s)
+        |SELECT n_sessions, n_bounce,
+        |  round(CAST(n_bounce AS DOUBLE) / n_sessions, 6) AS bounce_rate,
+        |  round(CAST(total_events AS DOUBLE) / n_sessions, 6) AS mean_events,
+        |  round(p50, 6) AS p50_duration_ms,
+        |  round(p90, 6) AS p90_duration_ms
+        |FROM p""".stripMargin,
 
     // The docs_quality_blend quality replication + docs_split_assign-style
     // exact quartile cuts + the dedup_rate_by_source fingerprint totals.

@@ -916,4 +916,82 @@ object EventOps {
       .select(col(userCol), col(attrCol), col("valid_from_ms"),
         col("valid_to_ms"), col("version_n"))
   }
+
+  /** Inter-arrival cadence regularity: per-user mean/CV of the gaps
+    * between consecutive events — scripted clients are metronomic
+    * (coefficient of variation near 0), organic humans are bursty
+    * (CV ≳ 1); this is the timing-side bot screen next to
+    * [[userTypeEntropy]]'s action-mix screen. The gap multiset of a
+    * sorted timestamp multiset is tie-permutation invariant, so ordering
+    * by the timestamp alone is deterministic. Moments are exact: the gap
+    * sum stays a long (it telescopes to the user's time span), squares
+    * route through DECIMAL before summation (a year-scale gap squared
+    * overflows a long), so mean/CV are single deterministic double
+    * chains over exact integers — the oracle reproduces them bit for
+    * bit. One window pass + one per-user aggregate, both on the same
+    * user-partitioned sort. */
+  def interArrivalRegularity(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      minGaps: Int = 5,
+      cvBotThreshold: Double = 0.3
+  ): DataFrame = {
+    val w     = Window.partitionBy(col(userCol)).orderBy(col("__ms"))
+    val ev    = events.withColumn("__ms", Ts.millis(events, tsCol))
+    val gap   = (col("__ms") - lag(col("__ms"), 1).over(w))
+    val gd    = col("gap").cast(DecimalType(19, 0))
+    val agg = ev
+      .withColumn("gap", gap)
+      .filter(col("gap").isNotNull)
+      .groupBy(col(userCol))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("s1"),
+        sum(gd * gd).as("s2"))
+    val mean = col("s1").cast("double") / col("n_gaps")
+    val varE = (col("n_gaps") * col("s2") -
+        col("s1").cast(DecimalType(19, 0)) * col("s1").cast(DecimalType(19, 0)))
+      .cast("double") / (col("n_gaps") * col("n_gaps")).cast("double")
+    val cv = sqrt(varE) / mean
+    agg
+      .filter(col("n_gaps") >= minGaps)
+      .select(col(userCol), col("n_gaps"),
+        round(mean, 6).as("mean_gap_ms"),
+        when(col("s1") > 0, round(cv, 6)).as("cv"),
+        (col("s1") > 0 && cv < cvBotThreshold).as("is_metronomic"))
+  }
+
+  /** Corpus-level session profile: one row of session-shape health
+    * numbers over [[sessionize]]'s output — session count, bounce rate
+    * (single-event sessions), mean events per session, and exact
+    * interpolated p50/p90 session durations. The expensive shuffle is
+    * sessionize's own user-partitioned window; the profile itself
+    * aggregates the #sessions-sized frame down to one row (counts are
+    * exact longs, so mean is one deterministic double division). The
+    * exact percentile holds session durations — a #sessions-sized set,
+    * orders of magnitude below the event count; swap in
+    * `percentile_approx` at the call site if even that is too much
+    * state (the [[valueProfile]] `exact = false` pattern). */
+  def sessionProfile(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      gapMs: Long
+  ): DataFrame = {
+    val sessions = sessionize(events, userCol, tsCol, gapMs)
+      .withColumn("duration_ms", col("end_ms") - col("start_ms"))
+    sessions.agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounce"),
+        sum(col("n_events")).as("total_events"),
+        percentile(col("duration_ms"), lit(0.5)).as("p50"),
+        percentile(col("duration_ms"), lit(0.9)).as("p90"))
+      .select(col("n_sessions"), col("n_bounce"),
+        round(col("n_bounce").cast("double") / col("n_sessions"), 6).as("bounce_rate"),
+        round(col("total_events").cast("double") / col("n_sessions"), 6)
+          .as("mean_events"),
+        round(col("p50"), 6).as("p50_duration_ms"),
+        round(col("p90"), 6).as("p90_duration_ms"))
+  }
 }

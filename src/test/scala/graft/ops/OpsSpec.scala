@@ -1309,6 +1309,41 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out(1)._4 shouldBe 0.0 // single-action user
   }
 
+  it should "flag metronomic inter-arrival cadence and pass bursty users" in {
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val ev = (
+      (0 to 5).map(i => (at(i * 60L), 1L, "ping", 1.0)) ++     // exact 60 s beat
+      Seq(0L, 1L, 2L, 3L, 600L, 601L).map(s => (at(s), 2L, "view", 1.0)) ++
+      Seq((at(0L), 3L, "view", 1.0), (at(9L), 3L, "view", 1.0)) // too few gaps
+    ).toDF("ts", "user_id", "event_type", "value")
+    val out = EventOps.interArrivalRegularity(ev, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).sortBy(_._1)
+    out.map(_._1) shouldBe Array(1L, 2L)       // user 3 below minGaps
+    out(0) shouldBe ((1L, 5L, 60000.0, 0.0, true))
+    out(1)._2 shouldBe 5L
+    out(1)._3 shouldBe 120200.0               // (4*1000 + 597000) / 5
+    out(1)._4 should be > 0.3                 // bursty → high CV
+    out(1)._5 shouldBe false
+  }
+
+  it should "profile session shape in one row" in {
+    val ev = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      (ts("2024-01-01 10:10:00"), 1L, "click", 1.0),
+      (ts("2024-01-01 12:00:00"), 1L, "view", 1.0),   // new session after gap
+      (ts("2024-01-01 10:00:00"), 2L, "view", 1.0)    // bounce
+    ).toDF("ts", "user_id", "event_type", "value")
+    val r = EventOps.sessionProfile(ev, "user_id", "ts", 30 * 60 * 1000L)
+      .collect()(0)
+    r.getLong(0) shouldBe 3L                           // sessions
+    r.getLong(1) shouldBe 2L                           // bounces
+    r.getDouble(2) shouldBe math.rint(2.0 / 3 * 1e6) / 1e6
+    r.getDouble(3) shouldBe math.rint(4.0 / 3 * 1e6) / 1e6
+    r.getDouble(4) shouldBe 0.0                        // p50 of [0,0,600000]
+    r.getDouble(5) shouldBe 480000.0                   // interpolated p90
+  }
+
   it should "calibrate quality quartiles against exact-dup membership" in {
     val docs = ((1L to 8L).map(i =>
       Doc(i, ("filler " * i.toInt) + s"unique$i", "s")) ++
