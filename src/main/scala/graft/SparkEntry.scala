@@ -1708,6 +1708,27 @@ object SparkEntry {
       graft.ops.EventOps.sessionProfile(events(s, dir), "user_id", "ts",
         30 * 60 * 1000L)),
 
+    // Extension: classic star-schema OLAP — fact⋈fact shuffle join on the
+    // natural key, fixed-size dims broadcast, filters pushed to the scans.
+    "star_revenue_by_nation" -> ((s, dir) =>
+      graft.ops.Star.revenueByNation(
+        table(s, dir, "lineitem"), table(s, dir, "orders"),
+        table(s, dir, "customer"), table(s, dir, "nation"),
+        "1996-01-01", "1998-01-01")),
+
+    // Extension: top-k orders by revenue for one segment — the ranking is
+    // a TakeOrderedAndProject over the per-order aggregate.
+    "star_top_orders" -> ((s, dir) =>
+      graft.ops.Star.topOrdersBySegment(
+        table(s, dir, "lineitem"), table(s, dir, "orders"),
+        table(s, dir, "customer"),
+        "BUILDING", "1997-01-01", "1996-06-30", 10)),
+
+    // Extension: single-fact pricing rollup (Q1 flavor) — one shuffle on
+    // the grouping pair, DECIMAL-routed money sums.
+    "star_pricing_summary" -> ((s, dir) =>
+      graft.ops.Star.pricingSummary(table(s, dir, "lineitem"), "2000-12-01")),
+
     // Extension: quality-quartile × exact-dup calibration — do the
     // quality and dedup screens agree about which slice is junk?
     "docs_quality_calibration" -> ((s, dir) =>
@@ -3771,6 +3792,42 @@ object SparkEntry {
         |  round(p50, 6) AS p50_duration_ms,
         |  round(p90, 6) AS p90_duration_ms
         |FROM p""".stripMargin,
+
+    // Money sums route through DECIMAL(18,6) on both engines, so the
+    // star rollups hash-match despite double inputs.
+    "star_revenue_by_nation" ->
+      """SELECT n_name, count(*) AS n_items,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "star_top_orders" ->
+      """SELECT o_orderkey, epoch_ms(o_orderdate) AS orderdate_ms, o_orderpriority,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS order_revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > TIMESTAMP '1996-06-30'
+        |GROUP BY 1, 2, 3
+        |ORDER BY order_revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "star_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY 1, 2""".stripMargin,
 
     // The docs_quality_blend quality replication + docs_split_assign-style
     // exact quartile cuts + the dedup_rate_by_source fingerprint totals.

@@ -33,6 +33,19 @@ private[graft] object Ts {
         s"column `$tsCol` must be TIMESTAMP / TIMESTAMP_NTZ / DATE, got $other")
     }
 
+  /** A date/timestamp literal cast to `tsCol`'s OWN dtype, for use on one
+    * side of a scan filter. Comparing a TIMESTAMP_NTZ column against a
+    * TIMESTAMP literal makes the analyzer cast the COLUMN, which blocks
+    * parquet predicate pushdown — casting the literal instead keeps the
+    * comparison scan-native on every encoding. */
+  def literal(df: DataFrame, tsCol: String, value: String): Column =
+    df.schema(tsCol).dataType match {
+      case t @ (TimestampType | TimestampNTZType | DateType) =>
+        lit(value).cast(t)
+      case other => throw new IllegalArgumentException(
+        s"column `$tsCol` must be TIMESTAMP / TIMESTAMP_NTZ / DATE, got $other")
+    }
+
   /** Epoch-millis of `tsCol` as a LongType column, whatever the physical
     * encoding. Numeric columns pass through as `cast(long)` — callers that
     * already carry an epoch number keep their unit untouched. */

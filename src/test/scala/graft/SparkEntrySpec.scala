@@ -162,6 +162,20 @@ class SparkEntrySpec extends AnyFlatSpec with Matchers {
     // semi-join; the training side never shuffles for the probe
     val decon = plan("text_contam_ngram")
     withClue(decon) { decon should include ("BroadcastHashJoin") }
+    // star rollup: the fixed-size nation dim broadcasts, the shipdate
+    // window reaches the lineitem scan as pushed filters, and no join
+    // degenerates to a cartesian product
+    val star = plan("star_revenue_by_nation")
+    withClue(star) {
+      star should include ("BroadcastHashJoin")
+      star should not include "CartesianProduct"
+      "PushedFilters: \\[[^\\]]*l_shipdate[^\\]]*\\]".r.findFirstIn(star)
+        .getOrElse("") should include ("GreaterThanOrEqual")
+    }
+    // top-orders: the k-cut is TakeOrderedAndProject over the per-order
+    // aggregate, never a global sort of the fact join
+    val topo = plan("star_top_orders")
+    withClue(topo) { topo should include ("TakeOrderedAndProject") }
   }
 
   it should "prune unused columns all the way into the parquet scan" in {
