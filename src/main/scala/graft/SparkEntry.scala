@@ -913,6 +913,13 @@ object SparkEntry {
       graft.ops.Multimodal.decodeAudioBatched(
         graft.ops.Multimodal.asAudio(table(s, dir, "documents"), "doc_id", "text")).toDF()),
 
+    // Extension: FLAC STREAMINFO decode — the real bit-packed layout
+    // (20-bit rate | 3-bit channels | 5-bit bits | 36-bit samples) plus a
+    // full metadata-chain walk to the is-last flag.
+    "multimodal_flac" -> ((s, dir) =>
+      graft.ops.Multimodal.decodeFlacBatched(
+        graft.ops.Multimodal.asFlac(table(s, dir, "documents"), "doc_id", "text")).toDF()),
+
     // Extension: REAL nearest-neighbor image resize (pure-JVM 24-bit BMP
     // resample to 16x16); the feature is the RESIZED image's first pixels,
     // so the oracle checks the resample's source-pixel mapping, not just
@@ -2896,6 +2903,17 @@ object SparkEntry {
         |  round(means[1], 6) AS first_mean,
         |  round(list_max(means), 6) AS max_mean
         |FROM f""".stripMargin,
+
+    // fLaC(4) + STREAMINFO header(4)+body(34) + comment header(4)+text
+    "multimodal_flac" ->
+      """SELECT doc_id AS id,
+        |  CAST(46 + strlen(text) AS INTEGER) AS byte_len,
+        |  CAST(16000 + (strlen(text) % 4) * 4000 AS INTEGER) AS sample_rate,
+        |  CAST(1 + strlen(text) % 2 AS INTEGER) AS channels,
+        |  16 AS bits_per_sample,
+        |  CAST(strlen(text) AS BIGINT) AS n_samples,
+        |  CAST(strlen(text) * 1000 // (16000 + (strlen(text) % 4) * 4000) AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
 
     "multimodal_audio_decode" ->
       """SELECT doc_id AS id,

@@ -280,6 +280,93 @@ object Multimodal {
       }
   }
 
+  /** Build a structurally valid FLAC container: `fLaC` magic, a 34-byte
+    * STREAMINFO metadata block (the real bit-packed layout: 20-bit sample
+    * rate, 3-bit channels−1, 5-bit bits-per-sample−1, 36-bit total
+    * samples), then a VORBIS_COMMENT block carrying `content` with the
+    * is-last flag set. Stream parameters derive deterministically from the
+    * content length so the oracle can reproduce them arithmetically. */
+  def toFlac(content: Array[Byte]): Array[Byte] = {
+    val sampleRate = 16000 + (content.length % 4) * 4000 // fits 20 bits
+    val channels   = 1 + content.length % 2
+    val bits       = 16
+    val nSamples   = content.length.toLong                // fits 36 bits
+    val comment    = content.take((1 << 24) - 1)
+    val buf = ByteBuffer.allocate(4 + 4 + 34 + 4 + comment.length)
+      .order(ByteOrder.BIG_ENDIAN)
+    buf.put("fLaC".getBytes("US-ASCII"))
+    buf.put(0x00.toByte)                  // block type 0 = STREAMINFO, not last
+    buf.put(0.toByte); buf.put(0.toByte); buf.put(34.toByte) // 24-bit length
+    buf.putShort(4096)                    // min block size
+    buf.putShort(4096)                    // max block size
+    buf.put(Array[Byte](0, 0, 0, 0, 0, 0)) // min/max frame size unknown
+    // 64 bits: rate(20) | channels-1(3) | bits-1(5) | totalSamples(36)
+    val packed = (sampleRate.toLong << 44) |
+      ((channels - 1).toLong << 41) | ((bits - 1).toLong << 36) | nSamples
+    buf.putLong(packed)
+    buf.put(new Array[Byte](16))          // MD5 unset (spec: 0 = unknown)
+    buf.put((0x80 | 0x04).toByte)         // VORBIS_COMMENT, is-last
+    buf.put((comment.length >> 16).toByte)
+    buf.put((comment.length >> 8).toByte)
+    buf.put(comment.length.toByte)
+    buf.put(comment)
+    buf.array()
+  }
+
+  /** REAL FLAC STREAMINFO decode (pure JVM): validates the `fLaC` magic,
+    * requires STREAMINFO first (as the spec mandates), bit-unpacks
+    * rate/channels/bits/total-samples, and walks the remaining metadata
+    * blocks to the is-last flag so truncated containers fail loudly. */
+  def decodeFlac(payload: Array[Byte]): DecodedAudio = {
+    require(payload.length >= 42 &&
+      payload(0) == 'f' && payload(1) == 'L' && payload(2) == 'a' && payload(3) == 'C',
+      s"not a FLAC payload (${payload.length} bytes)")
+    require((payload(4) & 0x7f) == 0, "FLAC: STREAMINFO must be the first block")
+    val siLen = ((payload(5) & 0xff) << 16) | ((payload(6) & 0xff) << 8) | (payload(7) & 0xff)
+    require(siLen == 34, s"FLAC: STREAMINFO length $siLen != 34")
+    val si = 8
+    val packed = ByteBuffer.wrap(payload, si + 10, 8).order(ByteOrder.BIG_ENDIAN).getLong
+    val rate     = ((packed >>> 44) & 0xfffff).toInt
+    val channels = (((packed >>> 41) & 0x7) + 1).toInt
+    val bits     = (((packed >>> 36) & 0x1f) + 1).toInt
+    val nSamples = packed & 0xfffffffffL
+    require(rate > 0, "FLAC: sample rate 0")
+    // walk the metadata chain; every block must lie inside the payload
+    var pos = 4
+    var last = false
+    while (!last) {
+      require(pos + 4 <= payload.length, "FLAC: truncated metadata chain")
+      last = (payload(pos) & 0x80) != 0
+      val len = ((payload(pos + 1) & 0xff) << 16) |
+        ((payload(pos + 2) & 0xff) << 8) | (payload(pos + 3) & 0xff)
+      pos += 4 + len
+      require(pos <= payload.length, "FLAC: metadata block overruns payload")
+    }
+    DecodedAudio(0L, payload.length, rate, channels, bits, nSamples,
+      nSamples * 1000L / rate)
+  }
+
+  /** Batched FLAC decode — same partition-local batching seam as
+    * [[decodeBatched]]. */
+  def decodeFlacBatched(ds: Dataset[MediaRecord]): Dataset[DecodedAudio] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map(r => decodeFlac(r.payload).copy(id = r.id))
+      }
+    }
+  }
+
+  /** Wrap a text table as FLAC media records (see [[toFlac]]). */
+  def asFlac(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRecord(id, toFlac(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), "audio")
+      }
+  }
+
   /** Batched decode over partitions: no shuffle, no driver involvement;
     * each partition streams through `grouped(batchSize)` chunks. */
   def decodeBatched(ds: Dataset[MediaRecord]): Dataset[DecodedMedia] = {

@@ -1085,6 +1085,41 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       Multimodal.decodeWav(Multimodal.toBmp("x".getBytes))
   }
 
+  it should "round-trip FLAC STREAMINFO bit fields through encode and decode" in {
+    // 11 bytes → odd length exercises the 2-channel parity arm
+    val flac = Multimodal.toFlac("hello world".getBytes("UTF-8"))
+    new String(flac, 0, 4, "US-ASCII") shouldBe "fLaC"
+    val a = Multimodal.decodeFlac(flac)
+    a.byte_len shouldBe 46 + 11
+    a.sample_rate shouldBe 16000 + (11 % 4) * 4000
+    a.channels shouldBe 2
+    a.bits_per_sample shouldBe 16
+    a.n_samples shouldBe 11L
+    a.duration_ms shouldBe 11L * 1000 / a.sample_rate
+    // even length → mono, different rate residue
+    val b = Multimodal.decodeFlac(Multimodal.toFlac("abcd".getBytes))
+    (b.channels, b.sample_rate) shouldBe ((1, 16000))
+  }
+
+  it should "reject corrupt FLAC containers" in {
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeFlac(Multimodal.toWav("x".getBytes))
+    val flac = Multimodal.toFlac("hello".getBytes)
+    // truncating the vorbis block makes the chain walk overrun
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeFlac(flac.take(flac.length - 2))
+    // a non-STREAMINFO first block violates the spec ordering
+    val wrong = flac.clone(); wrong(4) = 0x04.toByte
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodeFlac(wrong)
+  }
+
+  it should "decode FLAC batches with intact schema" in {
+    val docs = Seq(Doc(7, "abc", "s")).toDS.toDF()
+    val out = Multimodal.decodeFlacBatched(Multimodal.asFlac(docs, "doc_id", "text"))
+      .collect()
+    out shouldBe Array(DecodedAudio(7, 49, 28000, 2, 16, 3, 3 * 1000 / 28000))
+  }
+
   behavior of "empty inputs"
 
   it should "return empty results, not errors, across the dedup and similarity ops" in {
