@@ -851,6 +851,20 @@ object SparkEntry {
         spread(s, table(s, dir, "embeddings")), "vec_id", "embedding",
         numCentroids = 16, lloydRounds = 2, tau = 0.35)),
 
+    // Extension: within-cell pairwise cosine histogram — the separability
+    // diagnostic that prices the semDedup τ knob; pairs bounded by the
+    // same k-means cells, never all-pairs.
+    "sim_pair_hist" -> ((s, dir) =>
+      graft.ops.Similarity.cellPairHistogram(
+        spread(s, table(s, dir, "embeddings")), "vec_id", "embedding",
+        numCentroids = 16, lloydRounds = 2, nBins = 10)),
+
+    // Extension: greedy token-budget curation — best-quality docs until
+    // the cumulative token budget is spent.
+    "docs_budget_pick" -> ((s, dir) =>
+      graft.ops.Corpus.tokenBudgetSelect(
+        spread(s, table(s, dir, "documents")), "doc_id", "text", 10000L)),
+
     // Extension: centroid-OOD gate — 1 − max cosine to any k-means
     // centroid (narrow projection against centroid literals), flagged
     // above the exact p90 cut computed as a 1-row broadcast aggregate.
@@ -2745,6 +2759,36 @@ object SparkEntry {
         |  ON a.cell = b.cell AND b.vec_id < a.vec_id AND ${cosSql("a.v", "b.v")} >= 0.35)
         |SELECT c.vec_id, c.cell, (p.vec_id IS NULL) AS kept
         |FROM cells c LEFT JOIN pruned p ON c.vec_id = p.vec_id""".stripMargin,
+
+    // Same k-means rebuild as sim_semdedup; cosines canonicalize through
+    // DECIMAL(20,12) before the floor-binning, so bins match exactly.
+    "sim_pair_hist" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |c1 AS ${lloydRoundSql("seeds", 64)},
+        |c2 AS ${lloydRoundSql("c1", 64)},
+        |cells AS (SELECT vec_id, v, cent_id AS cell FROM
+        |  (SELECT e.vec_id, e.v, c.cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cent_id) AS rn FROM e, c2 c)
+        |  WHERE rn = 1),
+        |p AS (SELECT CAST(least(floor((CAST(CAST(${cosSql("a.v", "b.v")} AS DECIMAL(20,12)) AS DOUBLE) + 1.0) / 0.2), 9) AS INTEGER) AS bin
+        |  FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id < a.vec_id)
+        |SELECT bin, round(bin * 0.2 - 1.0, 6) AS bin_lo, count(*) AS n_pairs
+        |FROM p GROUP BY 1""".stripMargin,
+
+    // The docs_quality_filter scoring CTE + an ordered running token sum.
+    "docs_budget_pick" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |q AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  least(len(toks) / 100.0, 1.0) * 0.4
+        |    + (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / greatest(length(text), 1)) * 0.3
+        |    + (len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this'], x))) / greatest(len(toks), 1)) * 0.3 AS q
+        |  FROM t),
+        |c AS (SELECT doc_id, n_tokens, q,
+        |    sum(n_tokens) OVER (ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM q)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, round(q, 6) AS quality,
+        |  CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum <= 10000""".stripMargin,
 
     // Same k-means rebuild; the per-cell md5-order ranking mirrors the
     // fixedStratifiedSample oracle with the cell as the stratum.

@@ -1536,4 +1536,35 @@ object Corpus {
         (col("n_cms") - col("n_true")).as("overest"),
         (col("n_cms") >= col("n_true")).as("ok_ge"))
   }
+
+  /** Greedy token-budget selection: the highest-quality documents, in
+    * (quality desc, id) order, until the cumulative token count exceeds
+    * the budget — the "fill the training-mix slot with the best `B`
+    * tokens" curation primitive. The running sum is an ordered window
+    * over the #docs-sized (id, quality, n_tokens) stat frame — the text
+    * itself never leaves the scan projection. The single-partition
+    * ordered pass is fine to ~10^8 docs; past that, do it in two passes
+    * (range-partition by quality, per-partition totals broadcast back —
+    * the [[EventOps.giniConcentration]] note). Quality is
+    * [[TextFunctions.qualityScore]], bit-replicated by the oracle, so
+    * the order — and therefore the cut — is engine-portable. */
+  def tokenBudgetSelect(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budgetTokens: Long
+  ): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = df.select(col(idCol), size(toks).cast("long").as("n_tokens"),
+      qualityScore(col(textCol), toks).as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("q").desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    scored
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col(idCol), col("n_tokens"), round(col("q"), 6).as("quality"),
+        col("cum_tokens"))
+  }
 }

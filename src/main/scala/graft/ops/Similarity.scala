@@ -629,4 +629,40 @@ object Similarity {
       .select(col("src"), col("dst"), col("rank"),
         round(col("sim"), 6).as("sim"), col("m").isNotNull.as("mutual"))
   }
+
+  /** Within-cell pairwise cosine histogram: the "how separable is my
+    * embedding space" diagnostic — a mass near 1.0 says near-dup
+    * saturation, a flat spread says the space is healthy, and the shape
+    * prices the [[semDedup]] τ knob before committing to it. Candidate
+    * pairs are bounded by the same k-means cells as semDedup (within-cell
+    * equi-join, never all-pairs); cosines canonicalize through
+    * DECIMAL(20,12) before binning so the floor arithmetic lands both
+    * engines in the same bin. Output is #bins rows: bin index, inclusive
+    * lower edge, pair count. */
+  def cellPairHistogram(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int = 16,
+      lloydRounds: Int = 2,
+      nBins: Int = 10,
+      scope: CacheScope = new CacheScope
+  ): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cos = cosineFor(df.sparkSession) _
+    val cent = kmeansCentroids(df, idCol, vecCol, numCentroids, lloydRounds)
+    val assigned = scope.cache(df
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .withColumn("cell", nearestCell(cos)(col("v"), cent)))
+    val width = 2.0 / nBins
+    val sim = cos(col("a.v"), col("b.v")).cast(DecimalType(20, 12)).cast("double")
+    assigned.as("a")
+      .join(assigned.as("b"), col("a.cell") === col("b.cell") && col("b.id") < col("a.id"))
+      .select(least(floor((sim + lit(1.0)) / width), lit(nBins - 1)).cast("int").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("bin"), round(col("bin") * width - lit(1.0), 6).as("bin_lo"),
+        col("n_pairs"))
+  }
 }

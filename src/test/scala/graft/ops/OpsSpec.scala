@@ -1085,6 +1085,35 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       Multimodal.decodeWav(Multimodal.toBmp("x".getBytes))
   }
 
+  it should "histogram within-cell pair cosines into fixed bins" in {
+    // four colinear vectors: identical direction → every pair has cos 1,
+    // all land in one cell, all pairs fall in the top bin
+    val vecs = (1L to 4L).map(i =>
+      Vec(i, Seq(i.toFloat, 0f, 0f))).toDS.toDF()
+    val out = Similarity.cellPairHistogram(vecs, "vec_id", "embedding",
+        numCentroids = 2, lloydRounds = 1, nBins = 10)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    out shouldBe Array((9, 0.8, 6L))
+  }
+
+  it should "select the best documents until the token budget is spent" in {
+    val docs = Seq(
+      Doc(1, "the a and of to in is it that this", "s"),  // all stopwords
+      Doc(2, "zig zag quux blorp", "s"),                  // no stopwords
+      Doc(3, "the a and of zig zag", "s")
+    ).toDS.toDF()
+    val out = Corpus.tokenBudgetSelect(docs, "doc_id", "text", 15L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // quality order: doc 1 (stopFrac 1) > doc 3 (stopFrac 4/6) > doc 2;
+    // 10 + 6 = 16 > 15, so doc 3 is cut mid-budget and doc 2 never starts
+    out.map(_._1) shouldBe Array(1L)
+    out(0)._4 shouldBe 10L
+    // raising the budget admits doc 3 next — order follows quality, not id
+    val wide = Corpus.tokenBudgetSelect(docs, "doc_id", "text", 16L)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    wide shouldBe Array((1L, 10L), (3L, 16L))
+  }
+
   it should "round-trip FLAC STREAMINFO bit fields through encode and decode" in {
     // 11 bytes → odd length exercises the 2-channel parity arm
     val flac = Multimodal.toFlac("hello world".getBytes("UTF-8"))
