@@ -841,6 +841,22 @@ object SparkEntry {
         spread(s, table(s, dir, "embeddings")), "vec_id", "embedding",
         dim = 64, planes = 8, bands = 2, k = 5)),
 
+    // Extension: Local Outlier Factor over the approximate kNN graph —
+    // density-ratio outliers a global distance cut cannot see.
+    "sim_lof" -> ((s, dir) =>
+      graft.ops.Similarity.lofScores(
+        spread(s, table(s, dir, "embeddings")), "vec_id", "embedding",
+        dim = 64, planes = 8, bands = 2, k = 5)),
+
+    // Extension: edit-distance near-dup verify over the SAME banded
+    // MinHash candidates — catches character-level variants token-set
+    // Jaccard misreads.
+    "dedup_edit_distance" -> ((s, dir) =>
+      graft.ops.Dedup.editDistanceNearDups(
+        spread(s, table(s, dir, "documents")), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 8,
+        prefixChars = 200, maxDist = 60)),
+
     // Extension: SemDeDup (arXiv:2303.09540) — semantic dedup via
     // deterministic k-means cells + within-cell cosine; the lowest id in
     // every >= tau relation survives. tau = 0.35 is the harness-scale knob
@@ -2231,6 +2247,20 @@ object SparkEntry {
         |  len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.7 AS is_dup
         |FROM cand c JOIN sh sa ON c.a_id = sa.doc_id JOIN sh sb ON c.b_id = sb.doc_id""".stripMargin,
 
+    // The dedup_minhash_lsh banding CTE; verification swaps Jaccard for
+    // Levenshtein over the 200-char prefixes.
+    "dedup_edit_distance" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(0, greatest(len(toks)-3, 0)), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM t),
+        |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 15), k -> list_min(list_transform(sh, x -> (('0x'||substr(md5(x),1,7))::UBIGINT)::BIGINT + k * (('0x'||substr(md5(x),8,7))::UBIGINT)::BIGINT))) AS sig FROM sh),
+        |bands AS (SELECT doc_id, j, md5(j::VARCHAR||':'||array_to_string(sig[j*2+1:j*2+2], ',')) AS key FROM sig, range(8) r(j)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a JOIN bands b ON a.j=b.j AND a.key=b.key AND a.doc_id<b.doc_id),
+        |px AS (SELECT doc_id, substr(text, 1, 200) AS p FROM documents)
+        |SELECT c.a_id, c.b_id,
+        |  CAST(levenshtein(pa.p, pb.p) AS INTEGER) AS edit_dist,
+        |  levenshtein(pa.p, pb.p) <= 60 AS is_dup
+        |FROM cand c JOIN px pa ON c.a_id = pa.doc_id JOIN px pb ON c.b_id = pb.doc_id""".stripMargin,
+
     "dedup_cluster_cc" ->
       """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(0, greatest(len(toks)-3, 0)), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM t),
@@ -2744,6 +2774,38 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT dst AS node_id, in_degree, n_mutual
         |FROM deg ORDER BY in_degree DESC, node_id ASC LIMIT 10""".stripMargin,
+
+    // The sim_hubness kNN CTE chain + the LOF ratio over it; distances
+    // and both aggregates DECIMAL-routed exactly like the Spark op.
+    "sim_lof" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |bk AS (SELECT vec_id, t.b AS band, list_sum(list_transform(generate_series(0,7), j ->
+        |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(v)), i ->
+        |    v[i]::DOUBLE * (CASE WHEN (('0x'||substr(md5((t.b*8+j)::VARCHAR||':'||(i-1)::VARCHAR),1,15))::UBIGINT & 1) = 1 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END))), (a,x) -> a+x) >= 0
+        |  THEN (1 << j) ELSE 0 END)) AS bucket FROM e, range(2) t(b)),
+        |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |p AS (SELECT c.a_id, c.b_id,
+        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(ea.v)), i -> ea.v[i]::DOUBLE * eb.v[i]::DOUBLE)), (x,y) -> x+y)
+        |  / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(ea.v)), i -> ea.v[i]::DOUBLE * ea.v[i]::DOUBLE)), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(eb.v)), i -> eb.v[i]::DOUBLE * eb.v[i]::DOUBLE)), (x,y) -> x+y))) AS sim
+        |  FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id),
+        |sym AS (SELECT a_id AS src, b_id AS dst, sim FROM p
+        |        UNION ALL SELECT b_id, a_id, sim FROM p),
+        |rk AS (SELECT src, dst, sim,
+        |    row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rank
+        |  FROM sym),
+        |d AS (SELECT src, dst, CAST(1.0 - round(sim, 6) AS DECIMAL(20,12)) AS d
+        |  FROM rk WHERE rank <= 5),
+        |kd AS (SELECT src AS o, max(d) AS kdist FROM d GROUP BY 1),
+        |r AS (SELECT d.src, greatest(kd.kdist, d.d) AS rd FROM d JOIN kd ON d.dst = kd.o),
+        |l AS (SELECT src AS node, CAST(count(*) AS DOUBLE) / greatest(CAST(sum(rd) AS DOUBLE), 1e-12) AS lrd
+        |  FROM r GROUP BY 1),
+        |f AS (SELECT d.src, count(*) AS n, sum(CAST(lo.lrd AS DECIMAL(27,12))) AS slo
+        |  FROM d JOIN l lo ON d.dst = lo.node GROUP BY 1)
+        |SELECT f.src AS vec_id, round(l.lrd, 6) AS lrd,
+        |  round(CAST(f.slo AS DOUBLE) / f.n / l.lrd, 6) AS lof
+        |FROM f JOIN l ON f.src = l.node""".stripMargin,
 
     // Rebuilds the identical deterministic k-means cells (the sim_ivf_topk
     // CTE chain), then mirrors the lowest-id-survives prune rule.

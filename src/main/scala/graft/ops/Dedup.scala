@@ -225,6 +225,47 @@ object Dedup {
       .withColumn("is_dup", col("jaccard") >= threshold)
   }
 
+  /** Edit-distance near-duplicates: the same banded MinHash candidate
+    * generation as [[minhashNearDupPairs]] (equi-join on band keys, never
+    * all-pairs), but verification swaps Jaccard for a Levenshtein
+    * distance over the document PREFIX. Token-set Jaccard is blind to
+    * ordering and character-level edits; edit distance catches
+    * typo-variants and template fills Jaccard over-merges. The prefix cap
+    * (`prefixChars`) bounds the O(len²) DP cell count per candidate pair
+    * to a constant — full-document Levenshtein at 100 TB is not a thing —
+    * and the pair join carries only the capped prefixes, never full
+    * text. Returns every candidate pair with its prefix edit distance;
+    * `is_dup` flags distance ≤ `maxDist`. */
+  def editDistanceNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      prefixChars: Int = 200,
+      maxDist: Int = 20,
+      scope: CacheScope = new CacheScope
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val bandsDf = scope.cache(bandFrameOf(
+      sigFrame(df, idCol, textCol, shingleN, numHashes), bands, numHashes / bands))
+    val cand = bandsDf.as("a")
+      .join(bandsDf.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    val prefixes = df.select(col(idCol).as("id"),
+      substring(col(textCol), 1, prefixChars).as("p"))
+    cand
+      .join(prefixes.withColumnRenamed("p", "pa"), col("a_id") === col("id")).drop("id")
+      .join(prefixes.withColumnRenamed("p", "pb"), col("b_id") === col("id")).drop("id")
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("pa"), col("pb")).as("edit_dist"))
+      .withColumn("is_dup", col("edit_dist") <= maxDist)
+  }
+
   /** The persisted corpus index for incremental dedup: the shingle-set
     * table `(id, sh)` the Jaccard verification joins, and the exploded
     * band-key table `(id, band, key)` the candidate join probes. Write

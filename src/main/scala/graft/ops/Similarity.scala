@@ -630,6 +630,53 @@ object Similarity {
         round(col("sim"), 6).as("sim"), col("m").isNotNull.as("mutual"))
   }
 
+  /** Local Outlier Factor over the approximate kNN graph — the
+    * density-ratio outlier score (LOF ≈ 1 inlier, ≫ 1 outlier) that
+    * catches points whose NEIGHBORHOOD is sparse relative to their
+    * neighbors' neighborhoods, which a global distance cut
+    * ([[centroidOodScores]]) cannot see. Composes [[knnGraph]]: cosine
+    * distance d = 1 − sim on the ranked edge set, k-distance = each
+    * node's max neighbor distance, reachability = max(kdist(neighbor),
+    * d), local reachability density = degree / Σreach, LOF = mean
+    * neighbor-lrd / own lrd. Every aggregation routes through DECIMAL so
+    * partial-aggregation order cannot move a score; the Σreach
+    * denominator floors at 1e-12 (documented LOF duplicate-point guard —
+    * co-located points otherwise divide by zero). Three joins, all on
+    * node ids over #edges-sized frames — the vectors never travel past
+    * the knnGraph pass. */
+  def lofScores(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      planes: Int = 8,
+      bands: Int = 2,
+      k: Int = 5,
+      scope: CacheScope = new CacheScope
+  ): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val edges = scope.cache(knnGraph(df, idCol, vecCol, dim, planes, bands, k, scope)
+      .select(col("src"), col("dst"),
+        (lit(1.0) - col("sim")).cast(DecimalType(20, 12)).as("d")))
+    val kdist = edges.groupBy(col("src")).agg(max(col("d")).as("kdist"))
+      .select(col("src").as("o"), col("kdist"))
+    val reach = edges.join(kdist, col("dst") === col("o"))
+      .select(col("src"), col("dst"), greatest(col("kdist"), col("d")).as("rd"))
+    val lrd = scope.cache(reach.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"), sum(col("rd")).as("srd"))
+      .select(col("src").as("node"),
+        (col("deg").cast("double") /
+          greatest(col("srd").cast("double"), lit(1e-12))).as("lrd")))
+    edges.join(lrd.withColumnRenamed("lrd", "lrd_o"), col("dst") === col("node"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("lrd_o").cast(DecimalType(27, 12))).as("slo"))
+      .join(lrd, col("src") === col("node"))
+      .select(col("src").as(idCol),
+        round(col("lrd"), 6).as("lrd"),
+        round(col("slo").cast("double") / col("n") / col("lrd"), 6).as("lof"))
+  }
+
   /** Within-cell pairwise cosine histogram: the "how separable is my
     * embedding space" diagnostic — a mass near 1.0 says near-dup
     * saturation, a flat spread says the space is healthy, and the shape

@@ -1085,6 +1085,36 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       Multimodal.decodeWav(Multimodal.toBmp("x".getBytes))
   }
 
+  it should "score LOF 1.0 across a duplicate cluster (duplicate-point guard)" in {
+    // colinear scaled vectors: every pairwise cosine is 1, every distance
+    // 0 — the 1e-12 reachability floor kicks in, all lrds are equal, so
+    // every LOF is exactly 1.0 after rounding
+    val base = Seq(1f, 1f, 1f, 1f, 1f, 1f, 1f, 0f)
+    val vecs = (0L to 4L).map(i => Vec(i, base.map(_ * (1f + i)))).toDS.toDF()
+    val out = Similarity.lofScores(vecs, "vec_id", "embedding",
+        dim = 8, planes = 8, bands = 1, k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    out.length shouldBe 5
+    all(out.map(_._3)) shouldBe 1.0
+    all(out.map(_._2)) should be > 1e11 // lrd = deg / 1e-12 floor
+  }
+
+  it should "verify banded candidates by prefix edit distance" in {
+    val docs = Seq(
+      Doc(1, "the quick brown fox jumps over the lazy dog today", "s"),
+      Doc(2, "the quick brown fox jumps over the lazy dogs today", "s"),
+      Doc(3, "completely unrelated words about spark shuffles here", "s")
+    ).toDS.toDF()
+    val out = Dedup.editDistanceNearDups(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 8, prefixChars = 200, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    val pair12 = out.find(p => p._1 == 1L && p._2 == 2L)
+    pair12 should be (defined)   // one shared-shingle band must collide
+    pair12.get._3 shouldBe 1     // dog → dogs
+    pair12.get._4 shouldBe true
+    out.filter(p => p._2 == 3L || p._1 == 3L).foreach(_._4 shouldBe false)
+  }
+
   it should "histogram within-cell pair cosines into fixed bins" in {
     // four colinear vectors: identical direction → every pair has cos 1,
     // all land in one cell, all pairs fall in the top bin
