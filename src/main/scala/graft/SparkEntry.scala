@@ -397,6 +397,27 @@ object SparkEntry {
         col("doc_id"), col("lang"), langId(tokens(col("text"))).as("lang_pred"))
     }),
 
+    // Extension: language-ID confusion matrix — the classifier-eval
+    // readout (per-actual-language prediction shares).
+    "text_lang_confusion" -> ((s, dir) => {
+      import graft.ops.TextFunctions._
+      graft.ops.Corpus.confusionMatrix(
+        table(s, dir, "documents").select(
+          col("lang"), langId(tokens(col("text"))).as("lang_pred")),
+        "lang", "lang_pred")
+    }),
+
+    // Extension: schema-evolution union — two snapshot schema versions
+    // union by name with null-filled missing columns, no shuffle.
+    "docs_union_evolve" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.sources.Ingest.unionEvolved(Seq(
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"), col("lang")),
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text"), col("source"), col("n_chars"))))
+    }),
+
     // Extension: corpus token frequency (shuffle agg + deterministic top-k).
     "text_token_freq" -> ((s, dir) => {
       import graft.ops.TextFunctions._
@@ -2193,6 +2214,39 @@ object SparkEntry {
         |       WHEN s_zh >= greatest(s_en,s_de,s_fr,s_es,s_zh) AND s_zh > 0 THEN 'zh'
         |       ELSE 'und' END AS lang_pred
         |FROM sc""".stripMargin,
+
+    // The text_lang_id CASE chain grouped into (actual, pred) cells with
+    // per-actual shares.
+    "text_lang_confusion" ->
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS s_en,
+        |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS s_de,
+        |  len(list_filter(toks, x -> list_contains(['le','la','les','et','est','pas'], x))) AS s_fr,
+        |  len(list_filter(toks, x -> list_contains(['el','los','las','y','es','no'], x))) AS s_es,
+        |  len(list_filter(toks, x -> list_contains(['的','是','不','了','在'], x))) AS s_zh
+        | FROM t),
+        |pr AS (SELECT lang,
+        |  CASE WHEN s_en >= greatest(s_en,s_de,s_fr,s_es,s_zh) AND s_en > 0 THEN 'en'
+        |       WHEN s_de >= greatest(s_en,s_de,s_fr,s_es,s_zh) AND s_de > 0 THEN 'de'
+        |       WHEN s_fr >= greatest(s_en,s_de,s_fr,s_es,s_zh) AND s_fr > 0 THEN 'fr'
+        |       WHEN s_es >= greatest(s_en,s_de,s_fr,s_es,s_zh) AND s_es > 0 THEN 'es'
+        |       WHEN s_zh >= greatest(s_en,s_de,s_fr,s_es,s_zh) AND s_zh > 0 THEN 'zh'
+        |       ELSE 'und' END AS lang_pred
+        |FROM sc),
+        |c AS (SELECT lang, lang_pred, count(*) AS n FROM pr GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(n) AS total FROM c GROUP BY 1)
+        |SELECT c.lang, c.lang_pred, c.n,
+        |  round(CAST(c.n AS DOUBLE) / tot.total, 6) AS share
+        |FROM c JOIN tot ON c.lang = tot.lang""".stripMargin,
+
+    "docs_union_evolve" ->
+      """SELECT doc_id, text, lang, CAST(NULL AS VARCHAR) AS source,
+        |  CAST(NULL AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang, source, n_chars
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
 
     "text_token_freq" ->
       """SELECT token, count(*) AS cnt FROM (

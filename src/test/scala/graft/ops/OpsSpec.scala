@@ -1085,6 +1085,19 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       Multimodal.decodeWav(Multimodal.toBmp("x".getBytes))
   }
 
+  it should "build a confusion matrix with per-actual shares" in {
+    val preds = Seq(
+      ("en", "en"), ("en", "en"), ("en", "de"), ("de", "de")
+    ).toDF("lang", "lang_pred")
+    val out = Corpus.confusionMatrix(preds, "lang", "lang_pred")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    out shouldBe Array(
+      ("de", "de", 1L, 1.0),
+      ("en", "de", 1L, math.rint(1.0 / 3 * 1e6) / 1e6),
+      ("en", "en", 2L, math.rint(2.0 / 3 * 1e6) / 1e6))
+  }
+
   it should "score LOF 1.0 across a duplicate cluster (duplicate-point guard)" in {
     // colinear scaled vectors: every pairwise cosine is 1, every distance
     // 0 — the 1e-12 reachability floor kicks in, all lrds are equal, so

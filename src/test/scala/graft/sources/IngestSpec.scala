@@ -54,4 +54,18 @@ class IngestSpec extends AnyFlatSpec with Matchers {
     read.quarantine.collect().map(_.getString(0)) shouldBe Array("oops,bad id")
     read.unpersist()
   }
+
+  it should "union evolved snapshot schemas by name with null fill" in {
+    import spark.implicits._
+    val v1 = Seq((1L, "a")).toDF("id", "text")
+    val v2 = Seq((2L, "b", "en")).toDF("id", "text", "lang")
+    val out = Ingest.unionEvolved(Seq(v1, v2))
+    out.columns.toSeq shouldBe Seq("id", "text", "lang") // first-seen order
+    val rows = out.orderBy("id").collect()
+    rows(0).isNullAt(2) shouldBe true        // v1 rows null-fill lang
+    rows(1).getString(2) shouldBe "en"
+    // an incompatible type change fails loudly, never coerces silently
+    val bad = Seq(("x", "c")).toDF("id", "text")
+    an[Exception] should be thrownBy Ingest.unionEvolved(Seq(v1, bad)).collect()
+  }
 }
