@@ -185,6 +185,20 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
     }),
 
+    // Extension: first-match-only rule semantics — each row takes the
+    // FIRST matching rule; a later broad rule cannot clobber an earlier
+    // specific one (priority-list behavior).
+    "plug_first_match" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val r1 = PlugRule("narrow", "v1", "l_quantity < 30",
+        Seq(PlugAction("l_returnflag", "X")))
+      val r2 = PlugRule("broad", "v1", "l_quantity < 40",
+        Seq(PlugAction("l_returnflag", "Y")))
+      SparkPlug.builder.create().plugFirstMatch(table(s, dir, "lineitem"), List(r1, r2))
+        .fold(errs => throw new IllegalArgumentException(errs.mkString("; ")), identity)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    }),
+
     // §2.2 delegated expression surface: date + math functions pass through
     // the condition and backtick-value paths verbatim (the accepted input
     // language is all of Spark SQL's scalar surface).
@@ -1759,6 +1773,11 @@ object SparkEntry {
     // screen (metronomic clients have near-zero gap CV).
     "events_bot_cadence" -> ((s, dir) =>
       graft.ops.EventOps.interArrivalRegularity(events(s, dir), "user_id", "ts")),
+
+    // Extension: per-type daily-volume trend — least-squares slope over
+    // day indexes re-anchored per type (exact integer moments).
+    "events_type_trend" -> ((s, dir) =>
+      graft.ops.EventOps.typeTrend(events(s, dir), "event_type", "ts")),
 
     // Extension: one-row corpus session-shape profile (bounce rate, mean
     // events/session, exact p50/p90 session durations) over sessionize.
@@ -3922,6 +3941,29 @@ object SparkEntry {
         |  FROM c GROUP BY 1)
         |SELECT user_id, CAST(n AS BIGINT) AS n_events, CAST(nt AS BIGINT) AS n_types,
         |  round(CAST(CAST(ln(n) AS DECIMAL(27,12)) AS DOUBLE) - s / n, 6) AS entropy
+        |FROM a""".stripMargin,
+
+    // First-match priority semantics: one CASE per row, first arm wins.
+    "plug_first_match" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CASE WHEN l_quantity < 30 THEN 'X'
+        |       WHEN l_quantity < 40 THEN 'Y'
+        |       ELSE l_returnflag END AS l_returnflag
+        |FROM lineitem""".stripMargin,
+
+    // Exact integer regression moments (x re-anchored per type keeps every
+    // sum small and exact on both engines).
+    "events_type_trend" ->
+      """WITH c AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |x AS (SELECT event_type, day - min(day) OVER (PARTITION BY event_type) AS x, n FROM c),
+        |a AS (SELECT event_type, count(*) AS nd, sum(x) AS sx, sum(n) AS sy,
+        |    sum(x * n) AS sxy, sum(x * x) AS sxx
+        |  FROM x GROUP BY 1)
+        |SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+        |  CASE WHEN nd * sxx - sx * sx > 0
+        |       THEN round(CAST(nd * sxy - sx * sy AS DOUBLE) / CAST(nd * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+        |  round(CAST(sy AS DOUBLE) / nd, 6) AS mean_daily
         |FROM a""".stripMargin,
 
     // Exact integer moments over the per-user gap multiset (HUGEINT-routed

@@ -917,6 +917,40 @@ object EventOps {
         col("valid_to_ms"), col("version_n"))
   }
 
+  /** Per-type daily-volume trend: least-squares slope of daily event
+    * counts against the day index — the "is this event type growing or
+    * dying" readout. Days re-anchor to each type's first active day, so
+    * every regression input is a SMALL exact integer (x ≤ the span in
+    * days, y = a count) and all five sufficient statistics are exact
+    * integer sums — the slope is one deterministic double division, no
+    * DECIMAL canonicalization needed. One (type, day) count shuffle, one
+    * window min over the #type×days frame, one per-type rollup.
+    * Single-day types report a null slope (zero variance in x). */
+  def typeTrend(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String
+  ): DataFrame = {
+    val ev = events.withColumn("__ms", Ts.millis(events, tsCol))
+    val daily = ev.select(col(typeCol), expr("__ms div 86400000").as("day"))
+      .groupBy(col(typeCol), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(typeCol))
+    val x = daily.withColumn("x", col("day") - min(col("day")).over(w))
+    val a = x.groupBy(col(typeCol)).agg(
+      count(lit(1)).as("nd"),
+      sum(col("x")).as("sx"),
+      sum(col("n")).as("sy"),
+      sum(col("x") * col("n")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val den = a("nd") * a("sxx") - a("sx") * a("sx")
+    a.select(col(typeCol), col("nd").as("n_days"),
+      when(den > 0,
+        round((col("nd") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          den.cast("double"), 6)).as("slope"),
+      round(col("sy").cast("double") / col("nd"), 6).as("mean_daily"))
+  }
+
   /** Inter-arrival cadence regularity: per-user mean/CV of the gaps
     * between consecutive events — scripted clients are metronomic
     * (coefficient of variation near 0), organic humans are bursty

@@ -107,6 +107,40 @@ case class SparkPlug(
   private def preProcessInput(in: DataFrame): DataFrame =
     plugDetails.fold(in)(pd => in.withColumn(pd.column, pd.appender.emptyDetails))
 
+  /** First-match-only variant of [[plug]]: each row takes the FIRST rule
+    * whose condition matches it and is immune to every later rule — the
+    * priority-list semantics rule authors often intend when overlapping
+    * conditions would otherwise let a later broad rule clobber an earlier
+    * specific one. Same validation, audit, keep-old and staging machinery;
+    * the only change is a `__graft_matched` flag threaded through the
+    * chain: each rule's hit predicate is captured against the frame state
+    * that rule sees (so conditions still read earlier rules' OUTPUT,
+    * exactly like the sequential fold), AND-ed with not-yet-matched, and
+    * folded into the flag afterwards. All narrow projections — the chain
+    * costs the same single pass as [[plug]]. */
+  def plugFirstMatch(in: DataFrame, rules: List[PlugRule]): Either[List[PlugRuleValidationError], DataFrame] = {
+    val validationResult =
+      if (isValidateRulesEnabled) validate(in.schema, rules) else Nil
+    if (validationResult.nonEmpty) Left(validationResult)
+    else {
+      val flag = "__graft_matched"
+      val hit  = "__graft_hit"
+      val seeded = preProcessInput(in).withColumn(flag, lit(false))
+      val plugged = rules.zipWithIndex.foldLeft(seeded) {
+        case (df, (rule, ruleNumber)) =>
+          val staged = repartitionAndCheckpoint(
+            applyRule(
+              df.withColumn(hit, expr(rule.condition) && !col(flag)),
+              rule.copy(condition = hit)),
+            ruleNumber)
+          staged
+            .withColumn(flag, col(flag) || col(hit))
+            .drop(hit)
+      }
+      Right(withChangeCount(plugged.drop(flag)))
+    }
+  }
+
   /** Per-rule telemetry over the SAME sequential semantics as [[plug]]:
     * for each rule, how many rows its condition matched and how many it
     * actually CHANGED (null-safe `<=>` against the post-coercion value) —

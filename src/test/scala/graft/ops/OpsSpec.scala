@@ -1416,6 +1416,22 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out(1)._4 shouldBe 0.0 // single-action user
   }
 
+  it should "fit per-type daily-volume trends from exact integer moments" in {
+    def at(day: Int, i: Int) = new java.sql.Timestamp(day * 86400000L + i * 1000L)
+    val ev = (
+      (0 until 1).map(i => (at(0, i), 1L, "grow", 1.0)) ++   // day 0: 1
+      (0 until 2).map(i => (at(1, i), 1L, "grow", 1.0)) ++   // day 1: 2
+      (0 until 3).map(i => (at(2, i), 1L, "grow", 1.0)) ++   // day 2: 3
+      Seq((at(5, 0), 2L, "oneday", 1.0))
+    ).toDF("ts", "user_id", "event_type", "value")
+    val out = EventOps.typeTrend(ev, "event_type", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getDouble(3)))
+      .sortBy(_._1)
+    out(0) shouldBe (("grow", 3L, Some(1.0), 2.0))   // counts 1,2,3 → slope 1
+    out(1) shouldBe (("oneday", 1L, None, 1.0))      // zero x-variance → null
+  }
+
   it should "flag metronomic inter-arrival cadence and pass bursty users" in {
     def at(sec: Long) = new java.sql.Timestamp(sec * 1000)
     val ev = (

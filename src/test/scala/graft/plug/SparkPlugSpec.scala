@@ -103,6 +103,37 @@ class SparkPlugSpec extends AnyFlatSpec with Matchers {
     rows(1) shouldBe TestRow("Galaxy", "Samsung", 200)
   }
 
+  it should "apply only the first matching rule under plugFirstMatch" in {
+    // both rules match the 300-price row; sequentially rule2 would win,
+    // first-match keeps rule1's write and shields the row from rule2
+    val rules = List(
+      PlugRule("narrow", "v1", "price >= 300", Seq(PlugAction("brand", "Premium"))),
+      PlugRule("broad", "v1", "price >= 100", Seq(PlugAction("brand", "Any"))))
+    val out = SparkPlug.builder(spark).create().plugFirstMatch(df, rules).toOption.get
+    out.schema.fieldNames should not contain "__graft_matched"
+    val rows = out.as[TestRow].collect().sortBy(_.title)
+    rows(0).brand shouldBe "Any"      // Galaxy (200): only rule2 matches
+    rows(1).brand shouldBe "Premium"  // iPhone (300): rule1 claims it first
+    // sequential semantics differ on the same input — both end up "Any"
+    val seq = SparkPlug.builder(spark).create().plug(df, rules).toOption.get
+    seq.as[TestRow].collect().map(_.brand).toSet shouldBe Set("Any")
+  }
+
+  it should "still validate rules and keep audit details under plugFirstMatch" in {
+    val bad = List(PlugRule("r", "v1", "price > 0", Seq(PlugAction("missing", "x"))))
+    SparkPlug.builder(spark).enableRulesValidation.create()
+      .plugFirstMatch(df, bad).isLeft shouldBe true
+    val rules = List(
+      PlugRule("first", "v1", "price >= 300", Seq(PlugAction("brand", "Premium"))),
+      PlugRule("second", "v1", "price >= 100", Seq(PlugAction("brand", "Any"))))
+    val out = SparkPlug.builder(spark).enablePlugDetails().create()
+      .plugFirstMatch(df, rules).toOption.get
+    val details = out.select("title", "plugDetails.name").as[(String, Seq[String])]
+      .collect().toMap
+    details("iPhone") shouldBe Seq("first")  // not also "second"
+    details("Galaxy") shouldBe Seq("second")
+  }
+
   it should "preserve the input column order" in {
     val rules = List(PlugRule("rule1", "v1", "price > 250", Seq(PlugAction("price", "100"))))
     val out = SparkPlug.builder(spark).create().plug(df, rules).toOption.get
