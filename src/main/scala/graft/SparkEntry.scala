@@ -985,6 +985,18 @@ object SparkEntry {
       graft.ops.Multimodal.decodeFlacBatched(
         graft.ops.Multimodal.asFlac(table(s, dir, "documents"), "doc_id", "text")).toDF()),
 
+    // Extension: TIFF header decode — real IFD entry walk in BOTH byte
+    // orders (the fixture alternates II/MM by content-length parity).
+    "multimodal_tiff" -> ((s, dir) =>
+      graft.ops.Multimodal.decodeTiffBatched(
+        graft.ops.Multimodal.asTiff(table(s, dir, "documents"), "doc_id", "text")).toDF()),
+
+    // Extension: source-cap downsample — no source may exceed 30% of the
+    // corpus; survivors are the stable md5-order subsample.
+    "docs_source_cap" -> ((s, dir) =>
+      graft.ops.Corpus.domainCapSample(
+        table(s, dir, "documents"), "doc_id", "source", 0.3)),
+
     // Extension: REAL nearest-neighbor image resize (pure-JVM 24-bit BMP
     // resample to 16x16); the feature is the RESIZED image's first pixels,
     // so the oracle checks the resample's source-pixel mapping, not just
@@ -3082,6 +3094,29 @@ object SparkEntry {
         |  round(means[1], 6) AS first_mean,
         |  round(list_max(means), 6) AS max_mean
         |FROM f""".stripMargin,
+
+    // header(8) + count(2) + 4 entries(48) + next-IFD(4) + text payload
+    "multimodal_tiff" ->
+      """SELECT doc_id AS id,
+        |  CAST(62 + strlen(text) AS INTEGER) AS byte_len,
+        |  CAST(1 + strlen(text) % 101 AS INTEGER) AS width,
+        |  CAST(1 + strlen(text) % 37 AS INTEGER) AS height,
+        |  8 AS bits,
+        |  CAST(1 + strlen(text) % 3 AS INTEGER) AS samples,
+        |  CASE WHEN strlen(text) % 2 = 0 THEN 'II' ELSE 'MM' END AS endian,
+        |  4 AS n_entries
+        |FROM documents""".stripMargin,
+
+    "docs_source_cap" ->
+      """WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_src) AS n_total FROM c),
+        |b AS (SELECT source, least(n_src, CAST(floor(0.3 * n_total) AS BIGINT)) AS budget FROM c, t),
+        |r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS src_rank, b.budget
+        |FROM r JOIN b ON r.source = b.source
+        |WHERE r.rk <= b.budget""".stripMargin,
 
     // fLaC(4) + STREAMINFO header(4)+body(34) + comment header(4)+text
     "multimodal_flac" ->

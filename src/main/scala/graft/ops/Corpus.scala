@@ -1537,6 +1537,36 @@ object Corpus {
         (col("n_cms") >= col("n_true")).as("ok_ge"))
   }
 
+  /** Source-cap downsample (the RefinedWeb-style domain cap): no single
+    * source may exceed `maxShare` of the corpus — per-source budgets are
+    * min(source size, ⌊maxShare · total⌋), survivors picked by the stable
+    * (md5(id), id) order so the cut is a uniform, rerun-deterministic
+    * subsample of the over-represented source. One count aggregate + a
+    * 1-row total broadcast builds the #sources-sized budget frame; the
+    * ranking is one per-source window. The budget is data-dependent, so
+    * the rank cut cannot become a map-side WindowGroupLimit — at 100 TB
+    * swap the exact rank for an md5-threshold cut at budget/n_src (the
+    * same order statistic, approximated without the per-source sort). */
+  def domainCapSample(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      maxShare: Double
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_src"))
+    val total  = counts.agg(sum(col("n_src")).as("n_total"))
+    val budgets = counts.crossJoin(broadcast(total))
+      .select(col(sourceCol),
+        least(col("n_src"), floor(lit(maxShare) * col("n_total"))).as("budget"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("src_rank", row_number().over(w).cast("long"))
+      .join(broadcast(budgets), Seq(sourceCol))
+      .filter(col("src_rank") <= col("budget"))
+      .select(col(idCol), col(sourceCol), col("src_rank"), col("budget"))
+  }
+
   /** Generic confusion matrix with per-actual-class shares: one
     * (actual, predicted) count shuffle (map-side combinable), the
     * #classes-sized per-actual totals broadcast back. The evaluation

@@ -20,6 +20,11 @@ case class DecodedAudio(
     id: Long, byte_len: Int, sample_rate: Int, channels: Int, bits_per_sample: Int,
     n_samples: Long, duration_ms: Long)
 
+/** Output of the TIFF header decoder. */
+case class DecodedTiff(
+    id: Long, byte_len: Int, width: Int, height: Int, bits: Int,
+    samples: Int, endian: String, n_entries: Int)
+
 /** Output of the video container decoder. */
 case class DecodedVideo(
     id: Long, byte_len: Int, width: Int, height: Int, timescale: Int,
@@ -277,6 +282,106 @@ object Multimodal {
       .as[(Long, String)]
       .map { case (id, text) =>
         MediaRecord(id, toWav(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), "audio")
+      }
+  }
+
+  /** Build a structurally valid TIFF: byte-order header (`II` little- or
+    * `MM` big-endian, chosen by content-length parity so BOTH decoder
+    * paths stay exercised), IFD offset, one IFD of four real entries
+    * (ImageWidth 256, ImageLength 257, BitsPerSample 258, SamplesPerPixel
+    * 277 — SHORT values left-justified in the 4-byte value field, as the
+    * spec requires for both byte orders), a zero next-IFD offset, then
+    * `content` as the payload. Dimensions derive deterministically from
+    * the content length. */
+  def toTiff(content: Array[Byte]): Array[Byte] = {
+    val little  = content.length % 2 == 0
+    val width   = 1 + content.length % 101
+    val height  = 1 + content.length % 37
+    val samples = 1 + content.length % 3
+    val buf = ByteBuffer.allocate(62 + content.length)
+      .order(if (little) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    buf.put((if (little) "II" else "MM").getBytes("US-ASCII"))
+    buf.putShort(42)                     // TIFF magic
+    buf.putInt(8)                        // IFD offset
+    buf.putShort(4)                      // entry count
+    def entry(tag: Int, value: Int): Unit = {
+      buf.putShort(tag.toShort)
+      buf.putShort(3)                    // type SHORT
+      buf.putInt(1)                      // count
+      buf.putShort(value.toShort)        // left-justified SHORT value
+      buf.putShort(0)
+    }
+    entry(256, width); entry(257, height); entry(258, 8); entry(277, samples)
+    buf.putInt(0)                        // next-IFD offset: none
+    buf.put(content)
+    buf.array()
+  }
+
+  /** Decoded TIFF header facts. */
+  private def tiffShort(p: Array[Byte], off: Int, little: Boolean): Int =
+    if (little) (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+    else ((p(off) & 0xff) << 8) | (p(off + 1) & 0xff)
+
+  private def tiffInt(p: Array[Byte], off: Int, little: Boolean): Int =
+    if (little) (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+      ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+    else ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+      ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+
+  /** REAL TIFF header decode (pure JVM): validates the byte-order mark and
+    * magic 42, follows the IFD offset, walks the 12-byte entries in the
+    * declared endianness, and extracts the dimension tags. Bounds-checked
+    * throughout — truncated IFDs fail loudly. */
+  def decodeTiff(payload: Array[Byte]): DecodedTiff = {
+    require(payload.length >= 8, s"not a TIFF payload (${payload.length} bytes)")
+    val little = payload(0) == 'I' && payload(1) == 'I'
+    val big    = payload(0) == 'M' && payload(1) == 'M'
+    require(little || big, "TIFF: missing II/MM byte-order mark")
+    require(tiffShort(payload, 2, little) == 42, "TIFF: bad magic")
+    val ifd = tiffInt(payload, 4, little)
+    require(ifd >= 8 && ifd + 2 <= payload.length, "TIFF: IFD offset out of bounds")
+    val n = tiffShort(payload, ifd, little)
+    require(ifd + 2 + n * 12 + 4 <= payload.length, "TIFF: truncated IFD")
+    var width = 0; var height = 0; var bits = 0; var samples = 1
+    var i = 0
+    while (i < n) {
+      val e = ifd + 2 + i * 12
+      val tag = tiffShort(payload, e, little)
+      val typ = tiffShort(payload, e + 2, little)
+      // SHORT(3) left-justified / LONG(4) full-width value reads
+      val v = if (typ == 3) tiffShort(payload, e + 8, little)
+              else tiffInt(payload, e + 8, little)
+      tag match {
+        case 256 => width = v
+        case 257 => height = v
+        case 258 => bits = v
+        case 277 => samples = v
+        case _   => ()
+      }
+      i += 1
+    }
+    require(width > 0 && height > 0, "TIFF: missing dimension tags")
+    DecodedTiff(0L, payload.length, width, height, bits, samples,
+      if (little) "II" else "MM", n)
+  }
+
+  /** Batched TIFF decode — the [[decodeBatched]] seam. */
+  def decodeTiffBatched(ds: Dataset[MediaRecord]): Dataset[DecodedTiff] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map(r => decodeTiff(r.payload).copy(id = r.id))
+      }
+    }
+  }
+
+  /** Wrap a text table as TIFF media records (see [[toTiff]]). */
+  def asTiff(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRecord(id, toTiff(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), "image")
       }
   }
 

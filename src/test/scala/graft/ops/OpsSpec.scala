@@ -1157,6 +1157,38 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     wide shouldBe Array((1L, 10L), (3L, 16L))
   }
 
+  it should "round-trip TIFF headers in both byte orders" in {
+    val even = Multimodal.decodeTiff(Multimodal.toTiff("abcd".getBytes)) // II
+    (even.endian, even.byte_len, even.width, even.height, even.samples,
+      even.n_entries) shouldBe (("II", 66, 5, 5, 2, 4))
+    val odd = Multimodal.decodeTiff(Multimodal.toTiff("abcde".getBytes)) // MM
+    (odd.endian, odd.width, odd.height, odd.samples) shouldBe (("MM", 6, 6, 3))
+    odd.bits shouldBe 8
+  }
+
+  it should "reject corrupt TIFF containers" in {
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeTiff(Multimodal.toBmp("x".getBytes))
+    val t = Multimodal.toTiff("hi".getBytes)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeTiff(t.take(20)) // truncated IFD
+  }
+
+  it should "cap any source at the corpus share budget" in {
+    // source A: 8 docs (80%), B: 2 — a 30% cap budgets A at 3, B at 2
+    val docs = ((1L to 8L).map(i => Doc(i, s"doc $i", "A")) ++
+      Seq(Doc(9, "doc 9", "B"), Doc(10, "doc 10", "B"))).toDS.toDF()
+    val out = Corpus.domainCapSample(docs, "doc_id", "source", 0.3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    out.count(_._2 == "A") shouldBe 3
+    out.count(_._2 == "B") shouldBe 2
+    out.filter(_._2 == "A").map(_._4).distinct shouldBe Array(3L)
+    // deterministic across reruns
+    val again = Corpus.domainCapSample(docs, "doc_id", "source", 0.3)
+      .collect().map(_.getLong(0)).sorted
+    again shouldBe out.map(_._1).sorted
+  }
+
   it should "round-trip FLAC STREAMINFO bit fields through encode and decode" in {
     // 11 bytes → odd length exercises the 2-channel parity arm
     val flac = Multimodal.toFlac("hello world".getBytes("UTF-8"))
