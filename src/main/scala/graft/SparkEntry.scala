@@ -838,6 +838,30 @@ object SparkEntry {
           round(coalesce(col("n_hit"), lit(0L)) / 5.0, 6).as("recall"))
     }),
 
+    // Extension: the nprobe knob PRICED — corpus-level recall@5 at
+    // nprobe ∈ {1, 2, 4} in one 3-row readout (the lshRecallEval pattern
+    // applied to the IVF index): how much recall each extra probed cell
+    // buys before committing the knob at 100 TB.
+    "sim_ivf_nprobe_sweep" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = graft.ops.Similarity
+        .bruteForceTopK(spread(s, emb), q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val nq = q.agg(count(lit(1)).as("n_q"))
+      Seq(1, 2, 4).map { np =>
+        val approx = graft.ops.Similarity.ivfTopK(
+            spread(s, emb), q, "vec_id", "embedding",
+            k = 5, numCentroids = 16, lloydRounds = 2, nprobe = np)
+          .select(col("query_id"), col("neighbor_id"))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .crossJoin(broadcast(nq))
+          .select(lit(np).as("nprobe"), col("n_hits"),
+            round(col("n_hits") / (lit(5.0) * col("n_q")), 6).as("mean_recall"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // Extension: IVF quality evaluation — recall@5 of the IVF index
     // (nprobe=4) against the exact brute-force ranking, the same
     // eval pattern as sim_proj_recall. Quantifies the nprobe/recall
@@ -2765,6 +2789,41 @@ object SparkEntry {
     // chain), ranks the same queries through it, and scores recall@5
     // against the exact brute-force ranking — the sim_proj_recall eval
     // pattern applied to the IVF quality knob.
+    // The sim_ivf_recall CTE chain with one probes/scored/ap/hits arm per
+    // nprobe value, rolled to corpus-level recall.
+    "sim_ivf_nprobe_sweep" -> {
+      def arm(np: Int): String =
+        s"""probes$np AS (SELECT vec_id AS query_id, v AS qv, cent_id AS cell FROM
+           |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims WHERE vec_id < 10)
+           |  WHERE rn <= $np),
+           |scored$np AS (SELECT p.query_id, cl.vec_id AS neighbor_id, ${cosSql("p.qv", "cl.v")} AS sim
+           |  FROM probes$np p JOIN cells cl ON p.cell = cl.cell WHERE cl.vec_id != p.query_id),
+           |ap$np AS (SELECT query_id, neighbor_id FROM
+           |  (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored$np)
+           |  WHERE rk <= 5),
+           |h$np AS (SELECT count(*) AS n_hits FROM ex SEMI JOIN ap$np ON ex.query_id = ap$np.query_id AND ex.neighbor_id = ap$np.neighbor_id)""".stripMargin
+      def row(np: Int): String =
+        s"SELECT $np AS nprobe, CAST(h$np.n_hits AS BIGINT) AS n_hits, round(h$np.n_hits / (5.0 * nq.n_q), 6) AS mean_recall FROM h$np, nq"
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |c1 AS ${lloydRoundSql("seeds", 64)},
+        |c2 AS ${lloydRoundSql("c1", 64)},
+        |sims AS (SELECT e.vec_id, e.v, c.cent_id, ${cosSql("e.v", "c.cv")} AS csim FROM e, c2 c),
+        |cells AS (SELECT vec_id, v, cent_id AS cell FROM
+        |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        |nq AS (SELECT count(*) AS n_q FROM q),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id) AS rk
+        |  FROM q, e c WHERE c.vec_id != q.vec_id) WHERE rk <= 5),
+        |${arm(1)},
+        |${arm(2)},
+        |${arm(4)}
+        |${row(1)} UNION ALL ${row(2)} UNION ALL ${row(4)}""".stripMargin
+    },
+
     "sim_ivf_recall" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
