@@ -51,7 +51,10 @@ import org.apache.spark.sql.SparkSession
   * resort: family prefixes compress to ONE letter with no underscore
   * (`tightAbbrev`: multimodal→m events→e dedup→d plug→p docs→c text→t
   * sim→s ingest→i stream→r — distinct letters so initials stay
-  * reversible), saving ~2 chars per query — good past 200 queries.
+  * reversible), saving ~2 chars per query — holds to ~160 queries; (8)
+  * last resort: names become base-36 ORDINALS of the sorted query list
+  * (≤2 chars to 1296 queries, decoded by re-sorting the list), ~8 chars
+  * per query — holds past 220 queries.
   * Dropping the
   * leading zero of sub-second times (`.2`) was considered and rejected:
   * that is not a valid JSON number and the driver json-parses the line.
@@ -79,6 +82,14 @@ object Bench {
     "multimodal_" -> "m", "events_" -> "e", "dedup_" -> "d",
     "plug_" -> "p", "docs_" -> "c", "text_" -> "t",
     "sim_" -> "s", "ingest_" -> "i", "stream_" -> "r")
+
+  /** Stage-8 ordinal abbreviation: each name's index in the SORTED query
+    * list, base-36 — names stay ≤2 chars to 1296 queries, so the line
+    * grows ~8 chars per query instead of ~11. Reversible: re-sort the
+    * query list and number it. */
+  private[graft] def ordinalAbbrev(names: Seq[String]): Map[String, String] =
+    names.sorted.zipWithIndex
+      .map { case (n, i) => n -> java.lang.Long.toString(i.toLong, 36) }.toMap
 
   /** Stage-5/7 initials map (see the scaladoc degrade chain): prefix
     * abbrev (`pre`) + first letter of each remaining `_`-token; names
@@ -317,10 +328,14 @@ object Bench {
           // stage 6: whole-second per-query times (headline total keeps
           // 2 decimals) and the empty failed list omitted
           (() => { diagToStderr(); assemble(d => "%.0f".format(d), initials, diag = false, failedAlways = false) }, 1800),
-          // last resort: single-letter family prefixes with no underscore
+          // stage 7: single-letter family prefixes with no underscore
           // (tightAbbrev) — saves ~2 chars per query over stage 6's
           // prefix_-style initials while staying reversible
-          (() => { diagToStderr(); assemble(d => "%.0f".format(d), tight, diag = false, failedAlways = false) }, Int.MaxValue)
+          (() => { diagToStderr(); assemble(d => "%.0f".format(d), tight, diag = false, failedAlways = false) }, 1800),
+          // last resort: base-36 ordinals of the sorted query list —
+          // ≤2-char names to 1296 queries, decoded by re-sorting the list
+          (() => { diagToStderr(); assemble(d => "%.0f".format(d),
+            ordinalAbbrev(names), diag = false, failedAlways = false) }, Int.MaxValue)
         ).iterator.map { case (mk, limit) => (mk.apply(), limit) }
           .collectFirst { case (l, limit) if l.length <= limit => l }
           .get // total: the last stage's limit is Int.MaxValue
