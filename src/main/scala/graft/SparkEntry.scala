@@ -2366,7 +2366,7 @@ object SparkEntry {
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a JOIN bands b ON a.j=b.j AND a.key=b.key AND a.doc_id<b.doc_id),
         |px AS (SELECT doc_id, substr(text, 1, 200) AS p FROM documents)
         |SELECT c.a_id, c.b_id,
-        |  CAST(levenshtein(pa.p, pb.p) AS INTEGER) AS edit_dist,
+        |  CASE WHEN levenshtein(pa.p, pb.p) <= 60 THEN CAST(levenshtein(pa.p, pb.p) AS INTEGER) END AS edit_dist,
         |  levenshtein(pa.p, pb.p) <= 60 AS is_dup
         |FROM cand c JOIN px pa ON c.a_id = pa.doc_id JOIN px pb ON c.b_id = pb.doc_id""".stripMargin,
 

@@ -234,7 +234,10 @@ object Dedup {
     * (`prefixChars`) bounds the O(len²) DP cell count per candidate pair
     * to a constant — full-document Levenshtein at 100 TB is not a thing —
     * and the pair join carries only the capped prefixes, never full
-    * text. Returns every candidate pair with its prefix edit distance;
+    * text. The DP is additionally THRESHOLD-BOUNDED (Spark's 3-arg
+    * `levenshtein` explores only the ±maxDist diagonal band — O(len·k)
+    * instead of O(len²) per pair), so far-apart candidates exit early
+    * and report a null `edit_dist`. Returns every candidate pair;
     * `is_dup` flags distance ≤ `maxDist`. */
   def editDistanceNearDups(
       df: DataFrame,
@@ -262,8 +265,10 @@ object Dedup {
       .join(prefixes.withColumnRenamed("p", "pa"), col("a_id") === col("id")).drop("id")
       .join(prefixes.withColumnRenamed("p", "pb"), col("b_id") === col("id")).drop("id")
       .select(col("a_id"), col("b_id"),
-        levenshtein(col("pa"), col("pb")).as("edit_dist"))
-      .withColumn("is_dup", col("edit_dist") <= maxDist)
+        levenshtein(col("pa"), col("pb"), maxDist).as("d"))
+      .select(col("a_id"), col("b_id"),
+        when(col("d") >= 0, col("d")).as("edit_dist"),
+        (col("d") >= 0 && col("d") <= maxDist).as("is_dup"))
   }
 
   /** The persisted corpus index for incremental dedup: the shingle-set

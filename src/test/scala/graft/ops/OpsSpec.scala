@@ -1120,12 +1120,17 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     ).toDS.toDF()
     val out = Dedup.editDistanceNearDups(docs, "doc_id", "text",
         shingleN = 3, numHashes = 16, bands = 8, prefixChars = 200, maxDist = 5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)), r.getBoolean(3)))
     val pair12 = out.find(p => p._1 == 1L && p._2 == 2L)
     pair12 should be (defined)   // one shared-shingle band must collide
-    pair12.get._3 shouldBe 1     // dog → dogs
+    pair12.get._3 shouldBe Some(1) // dog → dogs
     pair12.get._4 shouldBe true
-    out.filter(p => p._2 == 3L || p._1 == 3L).foreach(_._4 shouldBe false)
+    // beyond-threshold pairs early-exit: null distance, not flagged
+    out.filter(p => p._2 == 3L || p._1 == 3L).foreach { p =>
+      p._3 shouldBe None
+      p._4 shouldBe false
+    }
   }
 
   it should "histogram within-cell pair cosines into fixed bins" in {
