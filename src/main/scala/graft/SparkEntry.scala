@@ -838,6 +838,30 @@ object SparkEntry {
           round(coalesce(col("n_hit"), lit(0L)) / 5.0, 6).as("recall"))
     }),
 
+    // Extension: reciprocal-rank fusion of the exact full-vector ranking
+    // with the cheap 16-dim prefix ranking — the zero-tuning merge of
+    // heterogeneous retrievers.
+    "sim_rrf_fusion" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val full = graft.ops.Similarity
+        .bruteForceTopK(spread(s, emb), q, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val pc = spread(s, emb).select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("pvec"))
+      val pq = q.select(col("vec_id"), slice(col("embedding"), 1, 16).as("pvec"))
+      val prefix = graft.ops.Similarity.bruteForceTopK(pc, pq, "vec_id", "pvec", 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      graft.ops.Similarity.rrfFuse(Seq(full, prefix), k = 5)
+    }),
+
+    // Extension: BM25 relevance of every matching document against a
+    // literal query-term set — retrieval-grade ranking with length
+    // normalization and tf saturation.
+    "text_bm25" -> ((s, dir) =>
+      graft.ops.Corpus.bm25Score(spread(s, table(s, dir, "documents")),
+        "doc_id", "text", Seq("spark", "table", "window"))),
+
     // Extension: the nprobe knob PRICED — corpus-level recall@5 at
     // nprobe ∈ {1, 2, 4} in one 3-row readout (the lshRecallEval pattern
     // applied to the IVF index): how much recall each extra probed cell
@@ -2747,6 +2771,47 @@ object SparkEntry {
 
     // The sim_proj_recall eval shape with a prefix slice instead of the
     // projection arithmetic.
+    // Both brute-force rankings re-derived at k=10, fused by the same
+    // DECIMAL-routed 1/(60+rank) sum, ranked, cut at 5.
+    "sim_rrf_fusion" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        |ex AS (SELECT query_id, neighbor_id, rk FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id) AS rk
+        |  FROM q, e c WHERE c.vec_id != q.vec_id) WHERE rk <= 10),
+        |p AS (SELECT vec_id, v[1:16] AS pv FROM e),
+        |pq AS (SELECT vec_id, pv FROM p WHERE vec_id < 10),
+        |ap AS (SELECT query_id, neighbor_id, rk FROM (
+        |  SELECT pq.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY pq.vec_id ORDER BY ${cosSql("pq.pv", "c.pv")} DESC, c.vec_id) AS rk
+        |  FROM pq, p c WHERE c.vec_id != pq.vec_id) WHERE rk <= 10),
+        |u AS (SELECT query_id, neighbor_id, CAST(1.0 / (60 + rk) AS DECIMAL(27,12)) AS c FROM ex
+        |      UNION ALL SELECT query_id, neighbor_id, CAST(1.0 / (60 + rk) AS DECIMAL(27,12)) AS c FROM ap),
+        |g AS (SELECT query_id, neighbor_id, CAST(sum(c) AS DOUBLE) AS rrf_score FROM u GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, round(rrf_score, 6) AS rrf_score, CAST(rk AS INTEGER) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id) AS rk FROM g)
+        |WHERE rk <= 5""".stripMargin,
+
+    // The inverted-index BM25 chain with the same literal-folded k1/b
+    // expressions and DECIMAL-canonicalized idf.
+    "text_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM l),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(toks) AS term FROM t)
+        |  WHERE term IN ('spark', 'table', 'window') GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |  (CAST(CAST(ln(1.0 + (st.n_docs - dfq.dfc + 0.5) / (dfq.dfc + 0.5)) AS DECIMAL(27,12)) AS DOUBLE)
+        |    * (tf.tf * (1.2 + 1.0)))
+        |  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / (CAST(st.total_dl AS DOUBLE) / st.n_docs))) AS s
+        |  FROM tf JOIN dfq ON tf.term = dfq.term JOIN l ON tf.doc_id = l.doc_id, st)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+        |  round(CAST(sum(CAST(s AS DECIMAL(27,12))) AS DOUBLE), 6) AS bm25
+        |FROM sc GROUP BY 1""".stripMargin,
+
     "sim_prefix_recall" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),

@@ -1537,6 +1537,48 @@ object Corpus {
         (col("n_cms") >= col("n_true")).as("ok_ge"))
   }
 
+  /** BM25 relevance scoring of the corpus against a literal query-term
+    * set — the retrieval-grade ranking TF-IDF approximates (length
+    * normalization + tf saturation). The inverted-index shape: tokens
+    * explode, filter to the query terms AT THE SCAN (the posting list is
+    * #matches-sized, never corpus-sized), per-(doc, term) tf counts, the
+    * #terms-sized df frame and the 1-row (N, Σdl) stats broadcast back.
+    * idf = ln(1 + (N − df + ½)/(df + ½)) (the always-positive variant)
+    * canonicalizes through DECIMAL; per-doc term-score sums are
+    * DECIMAL-routed so aggregation order cannot move a score. The k1/b
+    * literals fold at plan time with the same IEEE arithmetic in both
+    * engines (the oracle spells them as the same expressions). */
+  def bm25Score(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 12)
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val lens  = base.select(col("id"), size(col("toks")).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val tf = base.select(col("id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
+    val avgdl = col("total_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("dfc") + lit(0.5)) /
+      (col("dfc") + lit(0.5))).cast(dec).cast("double")
+    val s = (idf * (col("tf") * (lit(k1) + lit(1.0)))) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    tf.join(broadcast(dfq), "term")
+      .join(lens, "id")
+      .crossJoin(broadcast(stats))
+      .select(col("id"), s.as("s"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_terms_matched"),
+        round(sum(col("s").cast(dec)).cast("double"), 6).as("bm25"))
+      .select(col("id").as(idCol), col("n_terms_matched"), col("bm25"))
+  }
+
   /** Source-cap downsample (the RefinedWeb-style domain cap): no single
     * source may exceed `maxShare` of the corpus — per-source budgets are
     * min(source size, ⌊maxShare · total⌋), survivors picked by the stable

@@ -630,6 +630,35 @@ object Similarity {
         round(col("sim"), 6).as("sim"), col("m").isNotNull.as("mutual"))
   }
 
+  /** Reciprocal-rank fusion of per-query rankings: score(q, n) =
+    * Σ_rankings 1/(rrfK + rank) over the rankings that surface n — the
+    * standard zero-tuning way to merge heterogeneous retrievers (dense ANN
+    * + a cheaper proxy, or ANN + keyword BM25) that beats either alone.
+    * Each input needs (query_id, neighbor_id, rank). The fuse is one
+    * union + one (query, neighbor) sum (DECIMAL-routed, so the addition
+    * order of contributing rankings cannot move a score) + a per-query
+    * top-k window — all over #rankings·k rows per query, nothing
+    * corpus-sized. */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      k: Int,
+      rrfK: Int = 60
+  ): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val dec = DecimalType(27, 12)
+    val contrib = rankings.map(_.select(col("query_id"), col("neighbor_id"),
+        (lit(1.0) / (lit(rrfK) + col("rank"))).cast(dec).as("c")))
+      .reduce(_.unionByName(_))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("neighbor_id").asc)
+    contrib.groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("c")).cast("double").as("rrf_score"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("rrf_score"), 6).as("rrf_score"), col("rank"))
+  }
+
   /** Local Outlier Factor over the approximate kNN graph — the
     * density-ratio outlier score (LOF ≈ 1 inlier, ≫ 1 outlier) that
     * catches points whose NEIGHBORHOOD is sparse relative to their

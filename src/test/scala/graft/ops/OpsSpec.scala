@@ -1085,6 +1085,34 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       Multimodal.decodeWav(Multimodal.toBmp("x".getBytes))
   }
 
+  it should "fuse rankings by reciprocal rank" in {
+    val r1 = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val r2 = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.rrfFuse(Seq(r1, r2), k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // B appears in both rankings and must win; A (rank 1 once) beats C
+    out shouldBe Array(
+      (11L, r6(1.0 / 62 + 1.0 / 61), 1),
+      (10L, r6(1.0 / 61), 2),
+      (12L, r6(1.0 / 62), 3))
+  }
+
+  it should "score BM25 with tf saturation and length normalization" in {
+    val docs = Seq(
+      Doc(1, "spark", "s"),
+      Doc(2, "spark spark", "s"),
+      Doc(3, "spark filler filler filler filler filler", "s"),
+      Doc(4, "nothing relevant here", "s")
+    ).toDS.toDF()
+    val rows = Corpus.bm25Score(docs, "doc_id", "text", Seq("spark", "window"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    rows.keySet shouldBe Set(1L, 2L, 3L)        // doc 4 matches nothing
+    rows(2L) should be > rows(1L)               // higher tf → higher score
+    rows(2L) should be < rows(1L) * 2           // ...but saturated, not linear
+    rows(3L) should be < rows(1L)               // longer doc penalized
+  }
+
   it should "build a confusion matrix with per-actual shares" in {
     val preds = Seq(
       ("en", "en"), ("en", "en"), ("en", "de"), ("de", "de")
