@@ -604,6 +604,39 @@ object SparkEntry {
     // quarantine — the delimiter-world sibling of ingest_quarantine
     // (type-mismatch and wrong-arity rows quarantined, not dropped); the
     // oracle re-judges the raw lines with split + try_cast.
+    // Extension: fixed-width ingestion — the mainframe/export layout with
+    // the same quarantine contract (short lines and numeric garbage
+    // quarantined, blank numerics null).
+    "ingest_fixed_width" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+      val path = "/tmp/graft_ingest_fw.txt"
+      val lines = Seq(
+        "  1alpha    1.50",
+        "  2beta      2.5",
+        "  x         1.00",   // id garbage -> quarantine
+        "  4nums         ",   // blank amount -> null, clean
+        " 5")                 // short line -> quarantine
+      val tmp = java.nio.file.Files.createTempFile("graft_ingest_fw", ".tmp")
+      java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val cols = Seq(
+        graft.sources.Ingest.FixedWidthCol("id", 1, 3, LongType),
+        graft.sources.Ingest.FixedWidthCol("name", 4, 7, StringType),
+        graft.sources.Ingest.FixedWidthCol("amount", 11, 6, DoubleType))
+      val read = graft.sources.Ingest.readFixedWidth(s, path, cols)
+      val cleanAgg = read.clean.agg(
+        count(lit(1)).as("clean_rows"), sum(col("id")).as("id_sum"),
+        sum(col("amount").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("amount_sum")).collect()(0)
+      val quarantined = read.quarantine.count()
+      read.unpersist()
+      import s.implicits._
+      Seq((cleanAgg.getLong(0), cleanAgg.getLong(1), cleanAgg.getDouble(2), quarantined))
+        .toDF("clean_rows", "id_sum", "amount_sum", "quarantined")
+    }),
+
     "ingest_csv" -> ((s, dir) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       val path = "/tmp/graft_ingest_fixture.csv"
@@ -2223,6 +2256,19 @@ object SparkEntry {
     // Re-judges the raw CSV lines: clean iff exactly two fields and the id
     // casts to BIGINT (empty-name rows are clean; wrong arity and type
     // mismatches quarantine).
+    // Raw-line re-judgment with the same substr/try_cast rules.
+    "ingest_fixed_width" ->
+      """WITH raw AS (SELECT raw FROM read_csv('/tmp/graft_ingest_fw.txt', header=false, quote='', delim='', columns={'raw': 'VARCHAR'})),
+        |c AS (SELECT raw, strlen(raw) >= 16
+        |    AND (trim(substr(raw, 1, 3)) = '' OR try_cast(trim(substr(raw, 1, 3)) AS BIGINT) IS NOT NULL)
+        |    AND (trim(substr(raw, 11, 6)) = '' OR try_cast(trim(substr(raw, 11, 6)) AS DOUBLE) IS NOT NULL) AS clean
+        |  FROM raw)
+        |SELECT count(*) FILTER (clean) AS clean_rows,
+        |  CAST(sum(CASE WHEN clean THEN try_cast(trim(substr(raw, 1, 3)) AS BIGINT) END) AS BIGINT) AS id_sum,
+        |  CAST(sum(CASE WHEN clean THEN CAST(try_cast(trim(substr(raw, 11, 6)) AS DOUBLE) AS DECIMAL(18,6)) END) AS DOUBLE) AS amount_sum,
+        |  count(*) FILTER (NOT clean) AS quarantined
+        |FROM c""".stripMargin,
+
     "ingest_csv" ->
       """WITH raw AS (SELECT raw FROM read_csv('/tmp/graft_ingest_fixture.csv', header=false, quote='', delim='', columns={'raw': 'VARCHAR'}) WHERE raw != 'id,name'),
         |c AS (SELECT raw,

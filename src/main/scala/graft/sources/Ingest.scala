@@ -99,6 +99,48 @@ object Ingest {
     QuarantinedRead(clean, quarantine, raw)
   }
 
+  /** A fixed-width column: 1-based byte offset, width, and the declared
+    * type (LongType / DoubleType / StringType). */
+  final case class FixedWidthCol(name: String, start: Int, len: Int,
+      dataType: org.apache.spark.sql.types.DataType)
+
+  /** Fixed-width text ingestion (the mainframe/export layout CSV readers
+    * cannot express) with the same quarantine contract as the CSV/JSON
+    * reads: a line is quarantined when it is SHORTER than the declared
+    * record width or a numeric field holds non-blank garbage; blank
+    * numeric fields read as null (fixed-width's standard missing-value
+    * convention). One text scan, cached and shared by both splits;
+    * parsing is pure substring+trim+try_cast projections — codegen'd,
+    * no UDFs, trivially scan-parallel at any file count. */
+  def readFixedWidth(
+      spark: SparkSession,
+      path: String,
+      cols: Seq[FixedWidthCol]
+  ): QuarantinedRead = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType => Str}
+    require(cols.nonEmpty, "readFixedWidth needs at least one column")
+    val minLen = cols.map(c => c.start + c.len - 1).max
+    val raw = spark.read.text(path).cache()
+    def field(c: FixedWidthCol) = trim(substring(col("value"), c.start, c.len))
+    def typed(c: FixedWidthCol) = c.dataType match {
+      case LongType   => expr(s"try_cast(trim(substring(value, ${c.start}, ${c.len})) AS BIGINT)")
+      case DoubleType => expr(s"try_cast(trim(substring(value, ${c.start}, ${c.len})) AS DOUBLE)")
+      case Str        => field(c)
+      case other => throw new IllegalArgumentException(
+        s"fixed-width column `${c.name}`: unsupported type $other")
+    }
+    val ok = cols.map { c =>
+      c.dataType match {
+        case LongType | DoubleType => field(c) === "" || typed(c).isNotNull
+        case _ => lit(true)
+      }
+    }.reduce(_ && _) && length(col("value")) >= minLen
+    val clean = raw.filter(ok)
+      .select(cols.map(c => typed(c).as(c.name)): _*)
+    val quarantine = raw.filter(!ok).select(col("value").as("raw_line"))
+    QuarantinedRead(clean, quarantine, raw)
+  }
+
   /** Schema-evolution union: snapshots written under different schema
     * versions union by COLUMN NAME, with columns missing from a snapshot
     * null-filled — the lakehouse read path for a table whose schema grew

@@ -55,6 +55,28 @@ class IngestSpec extends AnyFlatSpec with Matchers {
     read.unpersist()
   }
 
+  it should "parse fixed-width records with quarantine and blank-as-null" in {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val path = writeTemp(".txt", Seq(
+      "  1alpha    1.50",
+      "  x         1.00",   // garbage id
+      "  4nums         ",   // blank amount
+      " 5"))                // short line
+    val cols = Seq(
+      Ingest.FixedWidthCol("id", 1, 3, LongType),
+      Ingest.FixedWidthCol("name", 4, 7, StringType),
+      Ingest.FixedWidthCol("amount", 11, 6, DoubleType))
+    val read = Ingest.readFixedWidth(spark, path, cols)
+    val clean = read.clean.orderBy("id").collect()
+    clean.map(_.getLong(0)) shouldBe Array(1L, 4L)
+    clean(0).getString(1) shouldBe "alpha"
+    clean(0).getDouble(2) shouldBe 1.5
+    clean(1).isNullAt(2) shouldBe true
+    read.quarantine.collect().map(_.getString(0)).sorted shouldBe
+      Array("  x         1.00", " 5")
+    read.unpersist()
+  }
+
   it should "union evolved snapshot schemas by name with null fill" in {
     import spark.implicits._
     val v1 = Seq((1L, "a")).toDF("id", "text")
