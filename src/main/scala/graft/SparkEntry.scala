@@ -1346,6 +1346,28 @@ object SparkEntry {
             .cast("double"), 6).as("vsum"))
     }),
 
+    // Extension: streaming first-match plug — the priority-list rule
+    // semantics ride the same stateless projections on a readStream frame.
+    "stream_first_match" -> ((s, dir) => withStreamingShuffle(s, 4) {
+      import graft.plug.{PlugAction, PlugRule}
+      val (in, _) = streamFeed(s, dir, 2000)
+      val rules = List(
+        PlugRule("hot", "v1", "value > 250",
+          Seq(PlugAction("event_type", "hot"))),
+        PlugRule("warm", "v1", "value > 100",
+          Seq(PlugAction("event_type", "warm"))))
+      val plugged = graft.streaming.StreamingOps
+        .plugFirstMatchStream(in.toDF(), rules)(s)
+      s.catalog.dropTempView("stream_first_match_out")
+      graft.streaming.StreamingOps.runToMemory(plugged, "stream_first_match_out",
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      s.table("stream_first_match_out")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double"), 6).as("vsum"))
+    }),
+
     // Extension: curriculum-style length binning — exact quartile
     // boundaries once, scan-side bin assignment (never a global ntile).
     "docs_length_bins" -> ((s, dir) =>
@@ -3457,6 +3479,16 @@ object SparkEntry {
 
     // The batch CASE chain equivalent to the 2-rule plug: rule 2 evaluates
     // over rule 1's OUTPUT (sequential semantics), hence the nested CTEs.
+    // First-arm-wins CASE over the bounded replay window.
+    "stream_first_match" ->
+      """SELECT CASE WHEN value > 250 THEN 'hot'
+        |            WHEN value > 100 THEN 'warm'
+        |            ELSE event_type END AS event_type,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS vsum
+        |FROM events WHERE event_id < 2000
+        |GROUP BY 1""".stripMargin,
+
     "stream_plug" ->
       """WITH r1 AS (SELECT
         |    CASE WHEN event_type = 'view' AND value > 250 THEN 'view_hot'

@@ -36,6 +36,17 @@ object StreamingOps {
     SparkPlug.builder.create().plug(stream, rules)
       .fold(errs => throw new IllegalArgumentException(errs.mkString("; ")), identity)
 
+  /** First-match-only plug on a stream: [[SparkPlug.plugFirstMatch]]'s
+    * priority-list semantics compile to the same stateless narrow
+    * projections as the sequential chain (the matched flag is just one
+    * more projected column), so they apply to readStream frames
+    * unchanged — no state store, watermarks or output-mode constraints
+    * untouched. */
+  def plugFirstMatchStream(stream: DataFrame, rules: List[PlugRule])(
+      implicit spark: SparkSession): DataFrame =
+    SparkPlug.builder.create().plugFirstMatch(stream, rules)
+      .fold(errs => throw new IllegalArgumentException(errs.mkString("; ")), identity)
+
   /** Watermarked tumbling-window aggregation for streams: late events beyond
     * `watermarkDelay` are dropped and window state is evicted. */
   def windowedAgg(
