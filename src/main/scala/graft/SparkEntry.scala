@@ -1921,6 +1921,29 @@ object SparkEntry {
     "star_pricing_summary" -> ((s, dir) =>
       graft.ops.Star.pricingSummary(table(s, dir, "lineitem"), "2000-12-01")),
 
+    // Extension: Q5-flavor local-supplier volume — the 6-table join chain
+    // with nation⋈region pre-collapsed into one ≤25-row broadcast.
+    "star_local_supplier" -> ((s, dir) =>
+      graft.ops.Star.localSupplierVolume(
+        table(s, dir, "lineitem"), table(s, dir, "orders"),
+        table(s, dir, "customer"), table(s, dir, "supplier"),
+        table(s, dir, "nation"), table(s, dir, "region"),
+        "ASIA", "1996-01-01", "1997-01-01")),
+
+    // Extension: Q14-flavor promo revenue share — conditional-sum ratio
+    // over the lineitem⋈part shuffle join, one scalar row out.
+    "star_promo_share" -> ((s, dir) =>
+      graft.ops.Star.promoRevenueShare(
+        table(s, dir, "lineitem"), table(s, dir, "part"),
+        "PROMO", "1997-09-01", "1997-10-01")),
+
+    // Extension: Q15-flavor top supplier — two-phase max (per-supplier agg,
+    // 1-row max broadcast back), ties surface like `= (SELECT max …)`.
+    "star_top_supplier" -> ((s, dir) =>
+      graft.ops.Star.topSupplier(
+        table(s, dir, "lineitem"), table(s, dir, "supplier"),
+        "1996-01-01", "1996-04-01")),
+
     // Extension: quality-quartile × exact-dup calibration — do the
     // quality and dedup screens agree about which slice is junk?
     "docs_quality_calibration" -> ((s, dir) =>
@@ -4285,6 +4308,40 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
         |GROUP BY 1, 2""".stripMargin,
+
+    "star_local_supplier" ->
+      """SELECT n_name,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_nationkey = s_nationkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "star_promo_share" ->
+      """SELECT
+        |  round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS promo_share_pct,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+
+    "star_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
 
     // The docs_quality_blend quality replication + docs_split_assign-style
     // exact quartile cuts + the dedup_rate_by_source fingerprint totals.

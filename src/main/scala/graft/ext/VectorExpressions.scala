@@ -72,16 +72,21 @@ case class DotProductDouble(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: two kernels spliced into one codegen scope (e.g. a
+      // projection computing several dot products) must not collide.
+      val n = ctx.freshName("dotN")
+      val s = ctx.freshName("dotS")
+      val i = ctx.freshName("dotI")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int n = $a.numElements();
-         |  double s = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    s += ${elemCode(left.dataType, a, "i")} * ${elemCode(right.dataType, b, "i")};
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ${elemCode(left.dataType, a, i)} * ${elemCode(right.dataType, b, i)};
          |  }
-         |  ${ev.value} = s;
+         |  ${ev.value} = $s;
          |}
        """.stripMargin
     })
@@ -207,18 +212,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: two kernels spliced into one codegen scope must not
+      // collide (observed as "Redefinition of local variable" fallback).
+      val n = ctx.freshName("cosN")
+      val dot = ctx.freshName("cosDot")
+      val na = ctx.freshName("cosNa")
+      val nb = ctx.freshName("cosNb")
+      val i = ctx.freshName("cosI")
+      val xv = ctx.freshName("cosX")
+      val yv = ctx.freshName("cosY")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int n = $a.numElements();
-         |  double dot = 0.0, na = 0.0, nb = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    double xv = ${elemCode(left.dataType, a, "i")};
-         |    double yv = ${elemCode(right.dataType, b, "i")};
-         |    dot += xv * yv; na += xv * xv; nb += yv * yv;
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = ${elemCode(left.dataType, a, i)};
+         |    double $yv = ${elemCode(right.dataType, b, i)};
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |  }
-         |  ${ev.value} = dot / (Math.sqrt(na) * Math.sqrt(nb));
+         |  ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
          |}
        """.stripMargin
     })

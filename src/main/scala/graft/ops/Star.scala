@@ -90,6 +90,104 @@ object Star {
       col("o_orderpriority"), col("order_revenue"))
   }
 
+  /** Local-supplier volume (TPC-H Q5 flavor): revenue by nation where the
+    * ordering customer and the supplying supplier share a nation, inside
+    * one region and one orderdate window.
+    *
+    * Scale shape: nation⋈region collapse to ONE broadcast frame (≤25 rows
+    * at any scale factor, filtered to the region before broadcast), so the
+    * only shuffles are the three fact-side equi-joins (orderkey, custkey,
+    * suppkey). The local-supplier constraint (`c_nationkey = s_nationkey`)
+    * is a post-join filter on two already-carried ints — never a join
+    * condition that would force a nation-keyed repartition. */
+  def localSupplierVolume(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      supplier: DataFrame,
+      nation: DataFrame,
+      region: DataFrame,
+      regionName: String,
+      orderedFrom: String,
+      orderedUntil: String
+  ): DataFrame = {
+    val regionNations = broadcast(
+      nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .join(region.filter(col("r_name") === regionName)
+          .select(col("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+    val ord = orders
+      .filter(col("o_orderdate") >= Ts.literal(orders, "o_orderdate", orderedFrom) &&
+        col("o_orderdate") < Ts.literal(orders, "o_orderdate", orderedUntil))
+      .select(col("o_orderkey"), col("o_custkey"))
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), revenue.as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(regionNations, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("rev")).cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Promotion revenue share (TPC-H Q14 flavor): what fraction of one
+    * shipdate window's revenue came from promo-typed parts. One scalar
+    * row; the part join shuffles on partkey (part is sf-scaled — at
+    * 100 TB it cannot broadcast), the conditional sum folds into the same
+    * partial aggregate as the total. The final ratio divides two DECIMAL
+    * sums, so the result is partial-aggregation-order independent. */
+  def promoRevenueShare(
+      lineitem: DataFrame,
+      part: DataFrame,
+      promoType: String,
+      shipFrom: String,
+      shipUntil: String
+  ): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= Ts.literal(lineitem, "l_shipdate", shipFrom) &&
+        col("l_shipdate") < Ts.literal(lineitem, "l_shipdate", shipUntil))
+      .select(col("l_partkey"), revenue.as("rev"))
+      .join(part.select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        round((lit(100.0) *
+          sum(when(col("p_type") === promoType, col("rev")).otherwise(lit(0).cast(dec)))
+            .cast("double") /
+          sum(col("rev")).cast("double")), 4).as("promo_share_pct"),
+        count(lit(1)).as("n_items"))
+
+  /** Top supplier(s) by revenue in a shipdate window (TPC-H Q15 flavor).
+    * Two-phase max: the per-supplier aggregate (one shuffle on suppkey)
+    * feeds a 1-row global-max frame that is broadcast BACK against the
+    * same aggregate — never a single-partition window over all suppliers
+    * — then the ≤#ties winners join the supplier dim for names. Ties all
+    * surface, matching the reference semantics of a `= (SELECT max …)`
+    * subquery. */
+  def topSupplier(
+      lineitem: DataFrame,
+      supplier: DataFrame,
+      shipFrom: String,
+      shipUntil: String
+  ): DataFrame = {
+    val perSupp = lineitem
+      .filter(col("l_shipdate") >= Ts.literal(lineitem, "l_shipdate", shipFrom) &&
+        col("l_shipdate") < Ts.literal(lineitem, "l_shipdate", shipUntil))
+      .select(col("l_suppkey"), revenue.as("rev"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("rev")).as("total_rev"))
+    val maxRev = perSupp.agg(max(col("total_rev")).as("max_rev"))
+    perSupp.join(broadcast(maxRev), col("total_rev") === col("max_rev"))
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("total_rev").cast("double"), 2).as("total_revenue"))
+  }
+
   /** Pricing summary by returnflag/linestatus (TPC-H Q1 flavor): the
     * single-fact rollup — one shuffle on the two grouping columns,
     * everything else map-side partials over the scan. */

@@ -37,6 +37,31 @@ class ExtSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "compile two kernels spliced into one codegen scope" in {
+    // Regression: the dot/cosine loops once used literal `i`/`n` locals, so
+    // a projection evaluating the kernel twice in one generated function
+    // failed janino compilation ("Redefinition of local variable i") and
+    // silently fell back to interpreted eval. freshName'd locals must keep
+    // the plan compiling with fallback DISABLED.
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq(
+        (Seq(1f, 2f, 3f), Seq(3f, 2f, 1f), Seq(0.5f, -1f, 2f))
+      ).toDF("a", "b", "c")
+      val r = df.select(
+        expr("graft_dot_double(a, b)").as("d1"),
+        expr("graft_dot_double(a, c)").as("d2"),
+        expr("graft_cosine(a, b)").as("c1"),
+        expr("graft_cosine(b, c)").as("c2")
+      ).collect().head
+      r.getDouble(0) shouldBe 10.0
+      r.getDouble(1) shouldBe 4.5
+      r.getDouble(2) should be > 0.0
+      r.getDouble(3) should be < 1.0
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   it should "match the HOF minhash and simhash formulations exactly" in {
     import graft.ops.{Dedup, TextFunctions}
     val df = Seq("the quick brown fox jumps over the lazy dog", "a b c d e f g h")

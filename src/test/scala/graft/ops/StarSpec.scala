@@ -69,4 +69,81 @@ class StarSpec extends AnyFlatSpec with Matchers {
     out(1) shouldBe (("R", "F", 1.0, 30.0, 15.0,
       math.rint(15 * 1.05 * 100) / 100, 1L))
   }
+
+  // supplier-keyed fixture for the Q5/Q14/Q15 flavors
+  private lazy val lineitemS = Seq(
+    (1L, 100L, 500L, 10.0, 0.1, ts("1996-05-01")),   // rev 9,  supp nation 10
+    (1L, 101L, 501L, 20.0, 0.0, ts("1996-06-01")),   // rev 20, supp nation 20
+    (2L, 100L, 500L, 30.0, 0.5, ts("1995-01-01")),   // rev 15, order outside window
+    (3L, 102L, 502L, 40.0, 0.25, ts("1997-01-01"))   // rev 30, supp nation 20
+  ).toDF("l_orderkey", "l_partkey", "l_suppkey",
+    "l_extendedprice", "l_discount", "l_shipdate")
+
+  private lazy val supplier = Seq(
+    (500L, "S-A", 10L), (501L, "S-B", 20L), (502L, "S-C", 20L)
+  ).toDF("s_suppkey", "s_name", "s_nationkey")
+
+  private lazy val nationR = Seq((10L, "ALPHA", 1L), (20L, "BETA", 2L))
+    .toDF("n_nationkey", "n_name", "n_regionkey")
+
+  private lazy val region = Seq((1L, "ASIA"), (2L, "EUROPE"))
+    .toDF("r_regionkey", "r_name")
+
+  private lazy val part = Seq(
+    (100L, "PROMO"), (101L, "STANDARD"), (102L, "PROMO")
+  ).toDF("p_partkey", "p_type")
+
+  it should "keep only local-supplier revenue inside the region" in {
+    // window keeps orders 1 and 3; order 1's supp-501 line is non-local
+    // (cust nation 10 vs supp nation 20); order 3 is local but BETA/EUROPE
+    val asia = Star.localSupplierVolume(lineitemS, orders, customer,
+        supplier, nationR, region, "ASIA", "1996-01-01", "1997-01-01")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    asia shouldBe Array(("ALPHA", 9.0, 1L))
+    val europe = Star.localSupplierVolume(lineitemS, orders, customer,
+        supplier, nationR, region, "EUROPE", "1996-01-01", "1997-01-01")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    europe shouldBe Array(("BETA", 30.0, 1L))
+  }
+
+  it should "compute the promo revenue share as a DECIMAL-sum ratio" in {
+    val out = Star.promoRevenueShare(lineitemS, part, "PROMO",
+        "1995-01-01", "1998-01-01")
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    // promo parts 100/102 carry 9+15+30 = 54 of the 74 total
+    out shouldBe Array((math.rint(100.0 * 54 / 74 * 10000) / 10000, 4L))
+  }
+
+  it should "surface the max-revenue supplier with ties intact" in {
+    val out = Star.topSupplier(lineitemS, supplier,
+        "1996-01-01", "1997-01-01")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    out shouldBe Array((501L, "S-B", 20.0))
+    // widen the window so supp-502's 30 wins alone
+    val wide = Star.topSupplier(lineitemS, supplier,
+        "1995-01-01", "1998-01-01")
+      .collect().map(r => (r.getString(1), r.getDouble(2)))
+    wide shouldBe Array(("S-C", 30.0))
+  }
+
+  it should "plan Q5 with broadcast dims, pushed date filter, no nested loop" in {
+    val dir = "/root/testdata/sf0.001"
+    def t(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val q = Star.localSupplierVolume(t("lineitem"), t("orders"), t("customer"),
+      t("supplier"), t("nation"), t("region"), "ASIA", "1996-01-01", "1997-01-01")
+    q.collect().length should be >= 0
+    val plan = q.queryExecution.executedPlan.toString
+    withClue(plan) {
+      // the ≤25-row nation⋈region frame rides a broadcast join…
+      plan should include("BroadcastHashJoin")
+      // …and nothing degenerates to a nested-loop or cartesian shape
+      plan should not include "BroadcastNestedLoopJoin"
+      plan should not include "CartesianProduct"
+      // the orderdate window reaches the orders parquet scan
+      val ordersScan = plan.linesIterator
+        .filter(l => l.contains("orders.parquet") && l.contains("PushedFilters"))
+        .mkString
+      ordersScan should include("o_orderdate")
+    }
+  }
 }
