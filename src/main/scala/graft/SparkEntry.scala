@@ -2080,6 +2080,21 @@ object SparkEntry {
         table(s, dir, "documents"), out, Seq("lang"))
       s.read.parquet(out).groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // Extension: ORC format parity — the same engine must read archives
+    // that arrive as ORC. Roundtrip documents parquet→ORC→DataFrame and
+    // prove content fidelity (distinct text-md5 count survives, longs and
+    // strings intact); the oracle aggregates the original parquet, so any
+    // roundtrip corruption hash-mismatches.
+    "ingest_orc" -> ((s, dir) => {
+      val out = scratch("orc_docs")
+      table(s, dir, "documents").write.mode("overwrite").orc(out)
+      s.read.orc(out).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(md5(col("text"))).as("n_distinct_texts"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
     })
   )
 
@@ -3971,6 +3986,14 @@ object SparkEntry {
 
     "docs_part_sink" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // Aggregates the ORIGINAL parquet — the Spark side aggregates the ORC
+    // roundtrip, so the compare is the fidelity proof.
+    "ingest_orc" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT md5(text)) AS n_distinct_texts,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM documents GROUP BY 1""".stripMargin,
 
     "docs_chunk" ->
