@@ -1944,6 +1944,69 @@ object SparkEntry {
         table(s, dir, "lineitem"), table(s, dir, "supplier"),
         "1996-01-01", "1996-04-01")),
 
+    // Extension: Q4-flavor late-shipment census — the existence test is a
+    // LEFT SEMI join (equi on orderkey, lateness as the join residual).
+    "star_late_priority" -> ((s, dir) =>
+      graft.ops.Star.latePriorityCensus(
+        table(s, dir, "lineitem"), table(s, dir, "orders"),
+        "1997-01-01", "1997-07-01", 90)),
+
+    // Extension: Q7-flavor bi-national trade volume — the 2-nation slice
+    // broadcasts against both sf-scaled dims BEFORE any fact join.
+    "star_trade_volume" -> ((s, dir) =>
+      graft.ops.Star.tradeVolume(
+        table(s, dir, "lineitem"), table(s, dir, "orders"),
+        table(s, dir, "customer"), table(s, dir, "supplier"),
+        table(s, dir, "nation"),
+        "NATION_3", "NATION_7", "1996-01-01", "1998-01-01")),
+
+    // Extension: Q8-flavor market share — conditional-sum ratio in ONE
+    // aggregate over the 7-table chain, dims broadcast, part shuffled.
+    "star_market_share" -> ((s, dir) =>
+      graft.ops.Star.marketShare(
+        table(s, dir, "lineitem"), table(s, dir, "orders"),
+        table(s, dir, "customer"), table(s, dir, "supplier"),
+        table(s, dir, "part"), table(s, dir, "nation"),
+        table(s, dir, "region"),
+        "EUROPE", "NATION_5", "ECONOMY", "1996-01-01", "1998-01-01")),
+
+    // Extension: Q10-flavor returned-item losers — returnflag pushed to
+    // the fact scan, top-k via TakeOrderedAndProject with a key tiebreak.
+    "star_returned_customers" -> ((s, dir) =>
+      graft.ops.Star.returnedItemTopCustomers(
+        table(s, dir, "lineitem"), table(s, dir, "orders"),
+        table(s, dir, "customer"), table(s, dir, "nation"),
+        "R", "1996-10-01", "1997-01-01", 20)),
+
+    // Extension: Q13-flavor order-count histogram — LEFT OUTER with the
+    // priority exclusion inside the join condition so zero-order
+    // customers survive into the count-of-counts.
+    "star_order_distribution" -> ((s, dir) =>
+      graft.ops.Star.orderCountDistribution(
+        table(s, dir, "orders"), table(s, dir, "customer"), "5-LOW")),
+
+    // Extension: Q17-flavor small-quantity revenue — the correlated
+    // per-part average is a window reusing the join's partkey shuffle.
+    "star_small_qty_revenue" -> ((s, dir) =>
+      graft.ops.Star.smallQuantityRevenue(
+        table(s, dir, "lineitem"), table(s, dir, "part"), "Brand#1")),
+
+    // Extension: Q19-flavor OR-of-ANDs revenue — the disjunction's
+    // per-table envelope pushes to both scans, exact predicate post-join.
+    "star_special_revenue" -> ((s, dir) =>
+      graft.ops.Star.specialDiscountRevenue(
+        table(s, dir, "lineitem"), table(s, dir, "part"),
+        Seq(("Brand#1", (1, 10), (1.0, 15.0)),
+          ("Brand#2", (11, 20), (10.0, 25.0)),
+          ("Brand#3", (21, 35), (20.0, 40.0))))),
+
+    // Extension: Q22-flavor dormant high-balance customers — 1-row avg
+    // broadcast back + LEFT ANTI join against date-filtered orders.
+    "star_dormant_customers" -> ((s, dir) =>
+      graft.ops.Star.dormantHighBalance(
+        table(s, dir, "customer"), table(s, dir, "orders"),
+        table(s, dir, "nation"), "1999-01-01")),
+
     // Extension: quality-quartile × exact-dup calibration — do the
     // quality and dedup screens agree about which slice is junk?
     "docs_quality_calibration" -> ((s, dir) =>
@@ -4365,6 +4428,101 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
+
+    "star_late_priority" ->
+      """SELECT o_orderpriority, count(*) AS late_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1""".stripMargin,
+
+    "star_trade_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l_shipdate) AS ship_year,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+        |    OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "star_market_share" ->
+      """WITH base AS (
+        |  SELECT year(o_orderdate) AS order_year,
+        |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) AS rev,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT order_year,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share,
+        |  count(*) AS n_items
+        |FROM base GROUP BY 1""".stripMargin,
+
+    "star_returned_customers" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "star_order_distribution" ->
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM co GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC
+        |LIMIT 100""".stripMargin,
+
+    "star_small_qty_revenue" ->
+      """WITH b AS (
+        |  SELECT l_quantity, l_extendedprice,
+        |    avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#1')
+        |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n_small
+        |FROM b WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+
+    "star_special_revenue" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20 AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "star_dormant_customers" ->
+      """SELECT n_name, count(*) AS numcust,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS totacctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1""".stripMargin,
 
     // The docs_quality_blend quality replication + docs_split_assign-style
     // exact quartile cuts + the dedup_rate_by_source fingerprint totals.

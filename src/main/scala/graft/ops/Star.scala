@@ -188,6 +188,286 @@ object Star {
         round(col("total_rev").cast("double"), 2).as("total_revenue"))
   }
 
+  /** Late-shipment priority census (TPC-H Q4 flavor): orders in one
+    * orderdate window that had at least one line shipped more than
+    * `graceDays` after the order date, counted by priority.
+    *
+    * The existence test is a LEFT SEMI join — orders never duplicate per
+    * matching line, and the probe side carries only (orderkey, shipdate).
+    * The equi-key (orderkey) keeps it a hash/merge join at any scale; the
+    * lateness comparison rides along as the join residual. */
+  def latePriorityCensus(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      orderedFrom: String,
+      orderedUntil: String,
+      graceDays: Int
+  ): DataFrame = {
+    val ord = orders
+      .filter(col("o_orderdate") >= Ts.literal(orders, "o_orderdate", orderedFrom) &&
+        col("o_orderdate") < Ts.literal(orders, "o_orderdate", orderedUntil))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    ord.join(lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > expr(s"timestampadd(DAY, $graceDays, o_orderdate)"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("late_orders"))
+  }
+
+  /** Bi-national trade volume (TPC-H Q7 flavor): revenue shipped between
+    * two named nations (either direction), by supplier nation × customer
+    * nation × ship year.
+    *
+    * Scale shape: the two-row nation slice is broadcast against customer
+    * and supplier FIRST, so the sf-scaled dims shrink to the two nations
+    * before any fact join — the orderkey/custkey/suppkey shuffles then
+    * move only rows that can still qualify. The direction filter is a
+    * post-join predicate on two already-carried names. */
+  def tradeVolume(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      supplier: DataFrame,
+      nation: DataFrame,
+      nationA: String,
+      nationB: String,
+      shipFrom: String,
+      shipUntil: String
+  ): DataFrame = {
+    val pair = nation.filter(col("n_name").isin(nationA, nationB))
+    val cust = customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(pair.select(col("n_nationkey"),
+        col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val supp = supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(pair.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= Ts.literal(lineitem, "l_shipdate", shipFrom) &&
+        col("l_shipdate") < Ts.literal(lineitem, "l_shipdate", shipUntil))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("ship_year"), revenue.as("rev"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+      .agg(round(sum(col("rev")).cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** National market share (TPC-H Q8 flavor): for one part type sold to
+    * one customer region, the fraction of revenue supplied by one nation,
+    * per order year. The share is a conditional-sum ratio inside ONE
+    * aggregate — never two scans joined back.
+    *
+    * Scale shape: nation⋈region collapses to a ≤25-row broadcast on the
+    * customer side; the supplier-nation name is another ≤25-row broadcast;
+    * part is sf-scaled so the partkey join shuffles. Both DECIMAL sums
+    * share one partial aggregate, and the ratio divides at the end. */
+  def marketShare(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      supplier: DataFrame,
+      part: DataFrame,
+      nation: DataFrame,
+      region: DataFrame,
+      regionName: String,
+      suppNation: String,
+      partType: String,
+      orderedFrom: String,
+      orderedUntil: String
+  ): DataFrame = {
+    val regionNations = broadcast(
+      nation.select(col("n_nationkey"), col("n_regionkey"))
+        .join(region.filter(col("r_name") === regionName)
+          .select(col("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey")))
+    val suppNations = broadcast(nation
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+    val ord = orders
+      .filter(col("o_orderdate") >= Ts.literal(orders, "o_orderdate", orderedFrom) &&
+        col("o_orderdate") < Ts.literal(orders, "o_orderdate", orderedUntil))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("order_year"))
+    lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        revenue.as("rev"))
+      .join(part.filter(col("p_type") === partType).select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(regionNations, col("c_nationkey") === col("n_nationkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(suppNations, col("s_nationkey") === col("sn_key"))
+      .groupBy(col("order_year"))
+      .agg(
+        round(
+          sum(when(col("supp_nation") === suppNation, col("rev"))
+            .otherwise(lit(0).cast(dec))).cast("double") /
+            sum(col("rev")).cast("double"), 6).as("mkt_share"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Returned-item revenue losers (TPC-H Q10 flavor): top-k customers by
+    * revenue on returned lines for one orderdate quarter. The returnflag
+    * filter pushes to the lineitem scan; the ranking cut is a
+    * TakeOrderedAndProject over the per-customer aggregate with a
+    * custkey tiebreak, so the k rows are deterministic under ties. */
+  def returnedItemTopCustomers(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      nation: DataFrame,
+      returnFlag: String,
+      orderedFrom: String,
+      orderedUntil: String,
+      k: Int
+  ): DataFrame = {
+    val ord = orders
+      .filter(col("o_orderdate") >= Ts.literal(orders, "o_orderdate", orderedFrom) &&
+        col("o_orderdate") < Ts.literal(orders, "o_orderdate", orderedUntil))
+      .select(col("o_orderkey"), col("o_custkey"))
+    lineitem
+      .filter(col("l_returnflag") === returnFlag)
+      .select(col("l_orderkey"), revenue.as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("rev")).cast("double"), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+  }
+
+  /** Customer order-count distribution (TPC-H Q13 flavor): how many
+    * customers placed exactly N orders (excluding one priority class),
+    * INCLUDING the zero-order customers — which is why the join is LEFT
+    * OUTER from customer with the priority filter INSIDE the join
+    * condition (a WHERE would silently drop the unmatched rows).
+    *
+    * Two shuffles: custkey for the outer join + count, then the tiny
+    * count-of-counts regroup. The top-100 cut is a TakeOrderedAndProject
+    * with a c_count tiebreak. */
+  def orderCountDistribution(
+      orders: DataFrame,
+      customer: DataFrame,
+      excludePriority: String
+  ): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.filter(col("o_orderpriority") =!= excludePriority)
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+      .limit(100)
+
+  /** Small-quantity-order revenue (TPC-H Q17 flavor): for one brand's
+    * parts, the annualized revenue of lines whose quantity is under 20%
+    * of that part's average quantity.
+    *
+    * The per-part average is a WINDOW over the partkey-joined frame — the
+    * brand join already shuffles on partkey, and the window reuses that
+    * partitioning, so the "correlated subquery" costs no extra shuffle
+    * (vs the aggregate-and-join-back shape, which re-shuffles the fact). */
+  def smallQuantityRevenue(
+      lineitem: DataFrame,
+      part: DataFrame,
+      brand: String
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    lineitem
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(part.filter(col("p_brand") === brand).select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty", avg(col("l_quantity")).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(
+        round(sum(col("l_extendedprice").cast(dec)).cast("double") / 7.0, 2)
+          .as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  /** Discounted-revenue special (TPC-H Q19 flavor): one scalar revenue
+    * over an OR of brand×size×quantity conjunctions.
+    *
+    * The disjunction cannot push down as-is, so its per-table ENVELOPE is
+    * derived and pushed instead: lineitem scans only the overall quantity
+    * range, part scans only the brand set and overall size range — then
+    * the exact OR-of-ANDs applies after the partkey join. At 100 TB the
+    * envelope is what keeps the scan from reading every row group. */
+  def specialDiscountRevenue(
+      lineitem: DataFrame,
+      part: DataFrame,
+      cases: Seq[(String, (Int, Int), (Double, Double))]
+  ): DataFrame = {
+    val qtyLo = cases.map(_._3._1).min
+    val qtyHi = cases.map(_._3._2).max
+    val sizeLo = cases.map(_._2._1).min
+    val sizeHi = cases.map(_._2._2).max
+    val li = lineitem
+      .filter(col("l_quantity") >= qtyLo && col("l_quantity") <= qtyHi)
+      .select(col("l_partkey"), col("l_quantity"), revenue.as("rev"))
+    val pt = part
+      .filter(col("p_brand").isin(cases.map(_._1): _*) &&
+        col("p_size") >= sizeLo && col("p_size") <= sizeHi)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val exact = cases.map { case (b, (sLo, sHi), (qLo, qHi)) =>
+      col("p_brand") === b &&
+        col("p_size") >= sLo && col("p_size") <= sHi &&
+        col("l_quantity") >= qLo && col("l_quantity") <= qHi
+    }.reduce(_ || _)
+    li.join(pt, col("l_partkey") === col("p_partkey"))
+      .filter(exact)
+      .agg(round(sum(col("rev")).cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Dormant high-balance customers (TPC-H Q22 flavor): customers whose
+    * balance beats the positive-balance average and who placed no order
+    * since a cutoff, grouped by nation.
+    *
+    * The average is a 1-row aggregate broadcast back (never a window over
+    * all customers); the "no recent order" test is a LEFT ANTI join on
+    * custkey against the date-filtered orders — the filter pushes to the
+    * orders scan, so the anti join's build side shrinks first. */
+  def dormantHighBalance(
+      customer: DataFrame,
+      orders: DataFrame,
+      nation: DataFrame,
+      orderedSince: String
+  ): DataFrame = {
+    val avgBal = customer.filter(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    val recent = orders
+      .filter(col("o_orderdate") >= Ts.literal(orders, "o_orderdate", orderedSince))
+      .select(col("o_custkey"))
+    customer.select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal").cast(dec)).cast("double"), 2).as("totacctbal"))
+  }
+
   /** Pricing summary by returnflag/linestatus (TPC-H Q1 flavor): the
     * single-fact rollup — one shuffle on the two grouping columns,
     * everything else map-side partials over the scan. */

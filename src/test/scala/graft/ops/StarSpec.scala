@@ -126,6 +126,84 @@ class StarSpec extends AnyFlatSpec with Matchers {
     wide shouldBe Array(("S-C", 30.0))
   }
 
+  it should "count only late-shipped orders per priority via the semi join" in {
+    // o1 has one late line (>90d) and one on-time line → counted ONCE;
+    // o2 ships on time; o3 is outside the orderdate window
+    val ord = Seq(
+      (1L, ts("1997-02-01"), "1-URGENT"),
+      (2L, ts("1997-03-01"), "5-LOW"),
+      (3L, ts("1996-01-01"), "2-HIGH")
+    ).toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (1L, ts("1997-06-15")), (1L, ts("1997-02-10")),
+      (2L, ts("1997-03-20")), (3L, ts("1996-09-01"))
+    ).toDF("l_orderkey", "l_shipdate")
+    val out = Star.latePriorityCensus(li, ord, "1997-01-01", "1997-07-01", 90)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    out shouldBe Array(("1-URGENT", 1L))
+  }
+
+  it should "keep zero-order customers in the order-count distribution" in {
+    val cust = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val ord = Seq(
+      (10L, 1L, "1-URGENT"), (11L, 1L, "5-LOW"), (12L, 2L, "2-HIGH")
+    ).toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val out = Star.orderCountDistribution(ord, cust, "5-LOW")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // cust1: 1 counted order (5-LOW excluded), cust2: 1, cust3: 0
+    out shouldBe Array((0L, 1L), (1L, 2L))
+  }
+
+  it should "anti-join recent orderers out of the dormant-balance census" in {
+    val cust = Seq(
+      (1L, 10L, 300.0),  // above avg, dormant → kept
+      (2L, 10L, 200.0),  // above avg but ordered recently → anti-joined out
+      (3L, 20L, 10.0),   // below the positive-balance avg (170)
+      (4L, 20L, -50.0)   // negative balances don't enter the avg
+    ).toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val ord = Seq((100L, 2L, ts("1999-06-01")), (101L, 1L, ts("1998-01-01")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val out = Star.dormantHighBalance(cust, ord, nation, "1999-01-01")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    out shouldBe Array(("ALPHA", 1L, 300.0))
+  }
+
+  it should "gate small-quantity lines on the windowed per-part average" in {
+    val part = Seq((100L, "Brand#1"), (101L, "Brand#9"))
+      .toDF("p_partkey", "p_brand")
+    val li = Seq(
+      (100L, 1.0, 700.0), (100L, 10.0, 10.0), (100L, 10.0, 10.0),
+      (101L, 1.0, 999.0) // wrong brand — never scanned past the join
+    ).toDF("l_partkey", "l_quantity", "l_extendedprice")
+    // avg qty for part 100 = 7 → cutoff 1.4 → only the qty-1 line passes
+    val out = Star.smallQuantityRevenue(li, part, "Brand#1")
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    out shouldBe Array((100.0, 1L))
+  }
+
+  it should "push the OR-envelope to both scans in the Q19 flavor" in {
+    val dir = "/root/testdata/sf0.001"
+    def t(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val q = Star.specialDiscountRevenue(t("lineitem"), t("part"),
+      Seq(("Brand#1", (1, 10), (1.0, 15.0)),
+        ("Brand#2", (11, 20), (10.0, 25.0)),
+        ("Brand#3", (21, 35), (20.0, 40.0))))
+    q.collect().length shouldBe 1
+    val plan = q.queryExecution.executedPlan.toString
+    withClue(plan) {
+      plan should not include "CartesianProduct"
+      val liScan = plan.linesIterator
+        .filter(l => l.contains("lineitem.parquet") && l.contains("PushedFilters"))
+        .mkString
+      liScan should include("l_quantity")
+      val partScan = plan.linesIterator
+        .filter(l => l.contains("part.parquet") && l.contains("PushedFilters"))
+        .mkString
+      partScan should include("p_size")
+      partScan should include("p_brand")
+    }
+  }
+
   it should "plan Q5 with broadcast dims, pushed date filter, no nested loop" in {
     val dir = "/root/testdata/sf0.001"
     def t(n: String) = spark.read.parquet(s"$dir/$n.parquet")
