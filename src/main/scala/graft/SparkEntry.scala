@@ -1229,6 +1229,37 @@ object SparkEntry {
           col("event_type"), col("n_events"), col("total_value"))
     }),
 
+    // Extension: STREAMING CDC upsert sink, oracle-checked — foreachBatch
+    // maintains a latest-per-key parquet table (versioned dirs + a
+    // CURRENT pointer swap; with Delta/Iceberg the batch body becomes one
+    // MERGE INTO). The feed replays as TWO micro-batches split by
+    // event_id HALVES, so batch 2 genuinely overwrites batch-1 state for
+    // every user seen in both — the multi-batch merge path, not a
+    // single-batch union. The oracle is last-event-per-user over the
+    // bounded slice (event_id is the version: unique and arrival-ordered).
+    "stream_upsert_sink" -> ((s, dir) => withStreamingShuffle(s, 4) {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val feed = events(s, dir).filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          col("value"), col("props"))
+        .as[StreamEv].collect()
+      val (batch1, batch2) = feed.partition(_.event_id < 1000)
+      val out = scratch("stream_upsert")
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEv]
+      val q = graft.streaming.StreamingOps.upsertSink(
+        in.toDF().select("event_id", "user_id", "event_type", "value"),
+        keyCol = "user_id", versionCol = "event_id", tiebreakCol = "event_id",
+        dir = out)
+      in.addData(batch1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
+      q.stop()
+      graft.streaming.StreamingOps.readUpsertTable(s, out)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"),
+          round(col("value"), 6).as("last_value"))
+    }),
+
     // Extension: STREAMING stream-stream interval join, oracle-checked —
     // clicks and errors replay through two MemoryStreams into the
     // double-watermarked interval join (errors within [click-1h,
@@ -1379,6 +1410,20 @@ object SparkEntry {
     "docs_mix_plan" -> ((s, dir) =>
       graft.ops.Corpus.mixPlan(
         table(s, dir, "documents"), "source", "n_chars", budget = 100000L)),
+
+    // Extension: temperature-scaled source mixing — p_i ∝ w_i^α flattens
+    // the source distribution; reports raw/temperature shares + the boost
+    // a sampler applies. Windows run over the #sources aggregate only.
+    "docs_temperature_mix" -> ((s, dir) =>
+      graft.ops.Corpus.temperatureMix(
+        table(s, dir, "documents"), "source", "n_chars", alpha = 0.5)),
+
+    // Extension: deterministic training order — (shard, pos_in_shard)
+    // from the salted id hash; sharding first bounds every rank window to
+    // n/shards rows, so "shuffle 100 TB" never needs a global sort.
+    "docs_training_order" -> ((s, dir) =>
+      graft.ops.Corpus.trainingOrder(
+        table(s, dir, "documents"), "doc_id", salt = "epoch1", nShards = 8)),
 
     // Extension: inter-document boilerplate fraction — per doc, the share
     // of its distinct shingles that are corpus-common (df > 10); the
@@ -3463,6 +3508,13 @@ object SparkEntry {
         |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM u GROUP BY 1, 2""".stripMargin,
 
+    "stream_upsert_sink" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |  round(value, 6) AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events WHERE event_id < 2000)
+        |WHERE rn = 1""".stripMargin,
+
     "stream_hopping" ->
       """WITH e AS (SELECT event_type, value, CAST(epoch_ms(ts) AS BIGINT) AS ms
         |  FROM events WHERE event_id < 2000),
@@ -3526,6 +3578,32 @@ object SparkEntry {
         |  round(least(1.0, (100000.0 / k.k) / w_total), 6) AS keep_prob,
         |  CAST(floor(round(least(1.0, (100000.0 / k.k) / w_total), 6) * w_total) AS BIGINT) AS projected_w
         |FROM per, k""".stripMargin,
+
+    "docs_temperature_mix" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS w_total
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT *,
+        |    CAST(w_total AS DOUBLE) / sum(w_total) OVER () AS raw_share,
+        |    pow(CAST(w_total AS DOUBLE), 0.5) AS temp_w
+        |  FROM per)
+        |SELECT source, n_docs, w_total,
+        |  round(raw_share, 6) AS raw_share,
+        |  round(temp_w / sum(temp_w) OVER (), 6) AS temp_share,
+        |  round((temp_w / sum(temp_w) OVER ()) / raw_share, 6) AS boost
+        |FROM t""".stripMargin,
+
+    // Same md5-prefix bucket arithmetic as docs_hash_sample, salted.
+    "docs_training_order" ->
+      """WITH h AS (SELECT doc_id,
+        |    md5(concat(doc_id::VARCHAR, ':', 'epoch1')) AS shuffle_key
+        |  FROM documents),
+        |s AS (SELECT doc_id, shuffle_key,
+        |    (('0x'||substr(shuffle_key,1,7))::UBIGINT)::BIGINT % 8 AS shard
+        |  FROM h)
+        |SELECT doc_id, shuffle_key, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS pos_in_shard
+        |FROM s""".stripMargin,
 
     // Same shingle construction as the MinHash oracle CTE (distinct
     // trigrams, short texts collapse to one whole-text shingle).

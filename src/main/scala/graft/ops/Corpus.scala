@@ -591,6 +591,66 @@ object Corpus {
         floor(col("keep_prob") * col("w_total")).cast("long").as("projected_w"))
   }
 
+  /** Temperature-scaled source mixing (the multilingual/multi-corpus
+    * reweighting trick: sampling shares p_i ∝ w_i^α with α<1 flatten the
+    * source distribution, so a giant crawl source stops drowning small
+    * curated ones without discarding it entirely). Reports, per source,
+    * the raw corpus share, the temperature share, and the boost factor a
+    * sampler must apply — the plan [[weightedHashSample]] executes.
+    *
+    * Shape matches [[mixPlan]]: one partial-agg shuffle to per-source
+    * totals, then windows over the aggregated frame (rows = #sources,
+    * never the document count). `pow` on IEEE doubles is bit-identical
+    * across engines for these inputs; shares round(6) at the edge. */
+  def temperatureMix(
+      df: DataFrame,
+      sourceCol: String,
+      weightCol: String,
+      alpha: Double = 0.5
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol).cast("long")).as("w_total"))
+      .withColumn("raw_share",
+        col("w_total").cast("double") / sum(col("w_total")).over(w))
+      .withColumn("temp_w", pow(col("w_total").cast("double"), lit(alpha)))
+      .withColumn("temp_share", col("temp_w") / sum(col("temp_w")).over(w))
+      .select(col(sourceCol), col("n_docs"), col("w_total"),
+        round(col("raw_share"), 6).as("raw_share"),
+        round(col("temp_share"), 6).as("temp_share"),
+        round(col("temp_share") / col("raw_share"), 6).as("boost"))
+  }
+
+  /** Deterministic training order: assign every document a (shard,
+    * pos_in_shard) coordinate from the salted id hash — the global
+    * shuffle a training run reads back shard-by-shard. Changing the salt
+    * is a full reshuffle (new epoch); changing nothing reproduces the
+    * exact order on any engine.
+    *
+    * This is the scale-correct shape for "shuffle 100 TB": a TOTAL order
+    * by hash would need a global sort (or a single-partition window for
+    * the rank); sharding first bounds every window partition to n/shards
+    * rows, and shards are read in shard order — the composite
+    * (shard, pos_in_shard) IS the total order, delivered with one hash
+    * shuffle instead of a range-sampled global sort. */
+  def trainingOrder(
+      df: DataFrame,
+      idCol: String,
+      salt: String,
+      nShards: Int = 8
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val key = md5For(spark)(concat_ws(":", col(idCol).cast("string"), lit(salt)))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("shuffle_key"), col(idCol))
+    df.select(col(idCol), key.as("shuffle_key"))
+      .withColumn("shard",
+        (conv(substr(col("shuffle_key"), lit(1), lit(7)), 16, 10)
+          .cast("long") % nShards).as("shard"))
+      .withColumn("pos_in_shard", row_number().over(wp).cast("long"))
+  }
+
   /** Inter-document boilerplate signal (the MassiveText/Gopher-style
     * cross-document repetition filter): per document, the fraction of its
     * DISTINCT shingles whose document frequency across the corpus exceeds

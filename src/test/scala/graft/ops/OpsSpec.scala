@@ -2395,4 +2395,41 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((10L, 1L))
     out(0).getDouble(2) shouldBe 1.0
   }
+
+  behavior of "temperature mixing"
+
+  it should "flatten source shares toward uniform with alpha < 1" in {
+    // weights 9 and 1: raw shares 0.9/0.1; sqrt weights 3 and 1 → 0.75/0.25
+    val df = Seq((1L, "big", 9L), (2L, "small", 1L))
+      .toDF("doc_id", "source", "n_chars")
+    val out = Corpus.temperatureMix(df, "source", "n_chars", alpha = 0.5)
+      .collect().map(r => (r.getString(0), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .sortBy(_._1)
+    out shouldBe Array(
+      ("big", 0.9, 0.75, round6(0.75 / 0.9)),
+      ("small", 0.1, 0.25, 2.5))
+  }
+
+  private def round6(d: Double) = math.rint(d * 1e6) / 1e6
+
+  behavior of "training order"
+
+  it should "rank contiguously within shards and reshuffle on a new salt" in {
+    val df = (1L to 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val out = Corpus.trainingOrder(df, "doc_id", salt = "e1", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    out.length shouldBe 200
+    // every shard's positions are exactly 1..size(shard)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      rows.map(_._3).sorted shouldBe (1L to rows.length).toArray
+    }
+    // deterministic: same salt reproduces the exact coordinates
+    val again = Corpus.trainingOrder(df, "doc_id", salt = "e1", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    again.sortBy(_._1) shouldBe out.sortBy(_._1)
+    // a new salt is a genuine reshuffle (some doc moves shard or position)
+    val epoch2 = Corpus.trainingOrder(df, "doc_id", salt = "e2", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    epoch2.sortBy(_._1) should not be out.sortBy(_._1)
+  }
 }

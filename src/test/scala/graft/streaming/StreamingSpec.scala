@@ -323,4 +323,36 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
       .orderBy(col("n_events").desc).limit(1).as[UserTotal].collect().head
     last shouldBe UserTotal(1, 5, 4.0)
   }
+
+  it should "upsert latest-per-key state across micro-batches via foreachBatch" in {
+    val dir = java.nio.file.Files.createTempDirectory("upsert_sink").toString
+    val in = MemoryStream[Ev]
+    // version = value (cast to long via ts ordering isn't available on Ev;
+    // use user events where later batches carry higher "value" versions)
+    val q = StreamingOps.upsertSink(
+      in.toDF().select(col("user_id"), col("event_type"), col("value")),
+      keyCol = "user_id", versionCol = "value", tiebreakCol = "event_type",
+      dir = dir)
+    try {
+      in.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, "a", 1.0),
+        Ev(t("2024-01-01 10:01:00"), 1, "b", 2.0), // in-batch winner for key 1
+        Ev(t("2024-01-01 10:02:00"), 2, "c", 5.0))
+      q.processAllAvailable()
+      val afterB1 = StreamingOps.readUpsertTable(spark, dir)
+        .orderBy("user_id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      afterB1 shouldBe Array((1L, "b", 2.0), (2L, "c", 5.0))
+      in.addData(
+        Ev(t("2024-01-01 11:00:00"), 1, "d", 9.0),  // overwrites key 1
+        Ev(t("2024-01-01 11:01:00"), 2, "e", 1.0),  // STALE: loses to base v5
+        Ev(t("2024-01-01 11:02:00"), 3, "f", 7.0))  // new key inserts
+      q.processAllAvailable()
+    } finally q.stop()
+    val finalState = StreamingOps.readUpsertTable(spark, dir)
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    finalState shouldBe Array((1L, "d", 9.0), (2L, "c", 5.0), (3L, "f", 7.0))
+    // the pointer names the batch-1 version and batch-0's dir still exists
+    java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "CURRENT")).trim shouldBe "v1"
+  }
 }
