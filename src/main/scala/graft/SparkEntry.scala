@@ -828,6 +828,35 @@ object SparkEntry {
           round(coalesce(col("n_hit"), lit(0L)) / 5.0, 6).as("recall"))
     }),
 
+    // Extension: binary-quantization top-k — sign-bit codes packed into
+    // two 32-bit words, ranked by Hamming distance (two XOR+popcounts per
+    // candidate). The 32×-under-float32 point of the compression ladder.
+    "sim_bq_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      graft.ops.Similarity.bqTopK(spread(s, emb), q, "vec_id", "embedding",
+        dim = 64, k = 5)
+    }),
+
+    // Extension: BQ quality evaluation — recall@5 of the Hamming ranking
+    // vs the exact cosine one (the same eval shape as sim_pq_recall,
+    // pricing the 32× compression against ground truth).
+    "sim_bq_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = graft.ops.Similarity
+        .bruteForceTopK(spread(s, emb), q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = graft.ops.Similarity
+        .bqTopK(spread(s, emb), q, "vec_id", "embedding", dim = 64, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      q.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) / 5.0, 6).as("recall"))
+    }),
+
     // Extension: prefix-dimension (Matryoshka-style) recall — recall@5 of
     // top-k search using only the FIRST 16 of 64 dims vs the full-vector
     // ranking. Prices dimension truncation the way sim_proj_recall prices
@@ -2978,6 +3007,45 @@ object SparkEntry {
         |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.v", "r.rv")} DESC, r.vec_id) AS rk
         |  FROM q, recon r WHERE r.vec_id != q.vec_id) WHERE rk <= 5),
+        |hits AS (SELECT ex.query_id, count(*) AS n_hit FROM ex SEMI JOIN ap ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id GROUP BY 1)
+        |SELECT q.vec_id AS query_id, COALESCE(h.n_hit, 0) AS n_hit,
+        |  round(COALESCE(h.n_hit, 0) / 5.0, 6) AS recall
+        |FROM q LEFT JOIN hits h ON q.vec_id = h.query_id""".stripMargin,
+
+    // Sign-bit codes as two 32-bit words (strictly positive shifts on
+    // both engines); Hamming = popcount of the per-word XORs.
+    "sim_bq_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |codes AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN i <= 32 AND v[i] > 0 THEN (1::BIGINT << (i-1)) ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN i > 32 AND v[i] > 0 THEN (1::BIGINT << (i-33)) ELSE 0 END) AS BIGINT) AS c1
+        |  FROM e, generate_series(1, 64) g(i) GROUP BY 1),
+        |q AS (SELECT vec_id AS query_id, c0 AS q0, c1 AS q1 FROM codes WHERE vec_id < 10),
+        |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    CAST(bit_count(xor(c.c0, q.q0)) + bit_count(xor(c.c1, q.q1)) AS INTEGER) AS hamming
+        |  FROM q, codes c WHERE c.vec_id != q.query_id),
+        |rr AS (SELECT query_id, neighbor_id, hamming,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rk FROM scored)
+        |SELECT query_id, neighbor_id, hamming, CAST(rk AS INTEGER) AS "rank"
+        |FROM rr WHERE rk <= 5""".stripMargin,
+
+    "sim_bq_recall" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |codes AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN i <= 32 AND v[i] > 0 THEN (1::BIGINT << (i-1)) ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN i > 32 AND v[i] > 0 THEN (1::BIGINT << (i-33)) ELSE 0 END) AS BIGINT) AS c1
+        |  FROM e, generate_series(1, 64) g(i) GROUP BY 1),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id) AS rk
+        |  FROM q, e c WHERE c.vec_id != q.vec_id) WHERE rk <= 5),
+        |qc AS (SELECT vec_id AS query_id, c0 AS q0, c1 AS q1 FROM codes WHERE vec_id < 10),
+        |ap AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT qc.query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY qc.query_id
+        |      ORDER BY bit_count(xor(c.c0, qc.q0)) + bit_count(xor(c.c1, qc.q1)), c.vec_id) AS rk
+        |  FROM qc, codes c WHERE c.vec_id != qc.query_id) WHERE rk <= 5),
         |hits AS (SELECT ex.query_id, count(*) AS n_hit FROM ex SEMI JOIN ap ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id GROUP BY 1)
         |SELECT q.vec_id AS query_id, COALESCE(h.n_hit, 0) AS n_hit,
         |  round(COALESCE(h.n_hit, 0) / 5.0, 6) AS recall

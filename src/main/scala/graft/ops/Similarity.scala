@@ -390,6 +390,62 @@ object Similarity {
           (qi, x) => abs(qi * col("__scale") - x))), 9).as("max_err"))
   }
 
+  /** Binary-quantization (sign-bit) codes: bit i set iff x_i > 0, packed
+    * into ⌈dim/32⌉ longs of 32 bits each. 32-bit words keep every shift
+    * strictly positive, so the packing arithmetic is portable to any
+    * engine with signed-64 integers (no sign-bit overflow cases). The
+    * pack is a literal fold unrolled at PLAN time — `dim` CASE/OR terms
+    * of constant shifts, fully codegen'd, no interpreted higher-order
+    * function on the hot path. */
+  def bqCodes(vec: Column, dim: Int): Seq[Column] = {
+    require(dim > 0, "dim must be positive")
+    (0 until (dim + 31) / 32).map { w =>
+      ((w * 32) until math.min(dim, w * 32 + 32)).map { i =>
+        when(element_at(vec, i + 1) > lit(0f), lit(1L << (i - w * 32)))
+          .otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    }
+  }
+
+  /** Binary-quantization approximate top-k: rank corpus vectors by
+    * HAMMING distance between sign-bit codes (ascending, neighbor-id
+    * tiebreak) — the 32×-under-float32 memory point of the compression
+    * ladder (int8 → PQ → BQ), and the cheapest distance there is: two
+    * XORs and two popcounts per candidate, all codegen'd.
+    *
+    * Scale shape mirrors [[bruteForceTopK]]: the query codes broadcast,
+    * the corpus side is a narrow projection over its own scan (codes are
+    * computed on the fly here; a real deployment materializes them once
+    * — the expression is the same either way), and the per-query top-k
+    * is a WindowGroupLimit, never a global sort. */
+  def bqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int
+  ): DataFrame = {
+    val bc = call_function("bit_count", _: Column)
+    val words = bqCodes(col("cvec"), dim).zipWithIndex
+      .map { case (c, w) => c.as(s"c$w") }
+    val qWords = bqCodes(col("qvec"), dim).zipWithIndex
+      .map { case (c, w) => c.as(s"q$w") }
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .select(col("neighbor_id") +: words: _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .select(col("query_id") +: qWords: _*)
+    val hamming = (0 until (dim + 31) / 32)
+      .map(w => bc(col(s"c$w").bitwiseXOR(col(s"q$w"))))
+      .reduce(_ + _).cast("int")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), hamming.as("hamming"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Deterministic ±1 hyperplane components: sign_{j,i} = +1 iff the 60-bit
     * md5 hash of "j:i" is odd — the same family TextFunctions.hash60 /
     * the DuckDB oracle computes. */

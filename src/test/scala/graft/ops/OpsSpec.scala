@@ -2396,6 +2396,34 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out(0).getDouble(2) shouldBe 1.0
   }
 
+  behavior of "binary quantization"
+
+  it should "pack sign bits into 32-bit words and rank by Hamming distance" in {
+    val df = Seq(
+      (1L, Seq(1f, -1f, 0f, 2f)),   // bits 1001 → 9
+      (2L, Seq(1f, 1f, 0f, 2f)),    // bits 1011 → 11, Hamming(1,2)=1
+      (3L, Seq(-1f, -1f, -1f, -1f)) // bits 0000 → 0,  Hamming(1,3)=2
+    ).toDF("vec_id", "embedding")
+    val codes = df.select(col("vec_id"),
+        Similarity.bqCodes(col("embedding"), 4).head.as("c0"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    codes shouldBe Array((1L, 9L), (2L, 11L), (3L, 0L))
+    val out = Similarity.bqTopK(df, df.filter(col("vec_id") === 1),
+        "vec_id", "embedding", dim = 4, k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getInt(3))).sortBy(_._3)
+    out shouldBe Array((2L, 1, 1), (3L, 2, 2))
+  }
+
+  it should "split codes past bit 32 into the second word" in {
+    // dim 34, only dimension 34 positive → word0 = 0, word1 bit 1 → 2
+    val v = Seq.fill(33)(-1f) :+ 1f
+    val df = Seq((1L, v)).toDF("vec_id", "embedding")
+    val words = Similarity.bqCodes(col("embedding"), 34)
+    words.length shouldBe 2
+    val r = df.select(words(0).as("c0"), words(1).as("c1")).collect().head
+    (r.getLong(0), r.getLong(1)) shouldBe ((0L, 2L))
+  }
+
   behavior of "temperature mixing"
 
   it should "flatten source shares toward uniform with alpha < 1" in {
