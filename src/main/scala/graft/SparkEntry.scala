@@ -1101,6 +1101,13 @@ object SparkEntry {
       graft.ops.Multimodal.decodeTiffBatched(
         graft.ops.Multimodal.asTiff(table(s, dir, "documents"), "doc_id", "text")).toDF()),
 
+    // Extension: REAL PDF structure walk — version, startxref→xref
+    // resolution, object count from the xref subsection, declared vs
+    // actual page-tree count, stream sliced by its /Length.
+    "multimodal_pdf" -> ((s, dir) =>
+      graft.ops.Multimodal.decodePdfBatched(
+        graft.ops.Multimodal.asPdf(table(s, dir, "documents"), "doc_id", "text")).toDF()),
+
     // Extension: source-cap downsample — no source may exceed 30% of the
     // corpus; survivors are the stable md5-order subsample.
     "docs_source_cap" -> ((s, dir) =>
@@ -2017,6 +2024,13 @@ object SparkEntry {
       graft.ops.Star.topSupplier(
         table(s, dir, "lineitem"), table(s, dir, "supplier"),
         "1996-01-01", "1996-04-01")),
+
+    // Extension: Q6-flavor forecast revenue change — the pure scan query:
+    // all three predicates push to parquet, one-row map-side aggregate.
+    "star_forecast_revenue" -> ((s, dir) =>
+      graft.ops.Star.forecastRevenueChange(
+        table(s, dir, "lineitem"), "1996-01-01", "1997-01-01",
+        0.04, 0.06, 24.0)),
 
     // Extension: Q4-flavor late-shipment census — the existence test is a
     // LEFT SEMI join (equi on orderkey, lateness as the join residual).
@@ -3525,6 +3539,18 @@ object SparkEntry {
         |WHERE r.rk <= b.budget""".stripMargin,
 
     // fLaC(4) + STREAMINFO header(4)+body(34) + comment header(4)+text
+    // Container length is pure arithmetic (zero-padded variable-width
+    // numbers): 317 fixed bytes + the stream + 97 per page object.
+    "multimodal_pdf" ->
+      """SELECT doc_id AS id,
+        |  CAST(317 + strlen(text) + 97 * (1 + strlen(text) % 5) AS INTEGER) AS byte_len,
+        |  '1.4' AS version,
+        |  CAST(1 + strlen(text) % 5 AS INTEGER) AS n_pages,
+        |  CAST(4 + strlen(text) % 5 AS INTEGER) AS n_objects,
+        |  CAST(strlen(text) AS BIGINT) AS stream_len,
+        |  substr(text, 1, 12) AS feature
+        |FROM documents""".stripMargin,
+
     "multimodal_flac" ->
       """SELECT doc_id AS id,
         |  CAST(46 + strlen(text) AS INTEGER) AS byte_len,
@@ -4574,6 +4600,15 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
+
+    "star_forecast_revenue" ->
+      """SELECT
+        |  round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue_effect,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.04 AND l_discount <= 0.06
+        |  AND l_quantity < 24""".stripMargin,
 
     "star_late_priority" ->
       """SELECT o_orderpriority, count(*) AS late_orders

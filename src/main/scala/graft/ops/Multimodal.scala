@@ -25,6 +25,11 @@ case class DecodedTiff(
     id: Long, byte_len: Int, width: Int, height: Int, bits: Int,
     samples: Int, endian: String, n_entries: Int)
 
+/** Output of the PDF structure decoder. */
+case class DecodedPdf(
+    id: Long, byte_len: Int, version: String, n_pages: Int, n_objects: Int,
+    stream_len: Long, feature: String)
+
 /** Output of the video container decoder. */
 case class DecodedVideo(
     id: Long, byte_len: Int, width: Int, height: Int, timescale: Int,
@@ -1080,6 +1085,98 @@ object Multimodal {
       .as[(Long, String)]
       .map { case (id, text) =>
         MediaRecord(id, toWebp(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), "image")
+      }
+  }
+
+  /** Build a structurally real single-xref PDF: `%PDF-1.4` header, a
+    * Catalog → Pages → N Page-object tree (N = 1 + len%5, so every id
+    * stays single-digit), one content stream carrying `content`, a
+    * byte-accurate xref table (20-byte entries at true offsets), trailer
+    * and `startxref`. Variable-width numbers (`/Length`, startxref) are
+    * zero-padded to 10 digits — legal PDF numbers — so the container
+    * length is pure arithmetic in the content length and the oracle can
+    * reproduce `byte_len` exactly. */
+  def toPdf(content: Array[Byte]): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val nPages = 1 + content.length % 5
+    val out = new java.io.ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def put(s: String): Unit = out.write(s.getBytes(ascii))
+    put("%PDF-1.4\n")
+    offsets += out.size()
+    put("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    offsets += out.size()
+    val kids = (0 until nPages).map(i => s"${3 + i} 0 R").mkString(" ")
+    put(s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $nPages >>\nendobj\n")
+    (0 until nPages).foreach { i =>
+      offsets += out.size()
+      put(s"${3 + i} 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>\nendobj\n")
+    }
+    offsets += out.size()
+    put(f"${3 + nPages} 0 obj\n<< /Length ${content.length}%010d >>\nstream\n")
+    out.write(content)
+    put("\nendstream\nendobj\n")
+    val xrefAt = out.size()
+    put(f"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => put(f"$o%010d 00000 n \n"))
+    put(f"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt%010d\n%%%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Real PDF structure walk, no PDF library: version from the header
+    * comment, the xref offset from `startxref` (resolved and REQUIRED to
+    * land on the `xref` keyword), object count from the xref subsection
+    * header, declared page count from the Pages `/Count`, actual page
+    * count by counting `/Type /Page` dictionary entries (delimiter-aware,
+    * so `/Pages` doesn't match), and the content stream sliced by its
+    * declared `/Length`. Returns (version, n_pages, n_objects,
+    * stream_len, feature = first 12 bytes of the stream). Malformed
+    * containers (bad magic, dangling startxref, count mismatch) throw —
+    * quarantine upstream, like the other decoders. */
+  def decodePdf(payload: Array[Byte]): (String, Int, Int, Long, String) = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val s = new String(payload, ascii)
+    require(s.startsWith("%PDF-"), "bad magic")
+    val version = s.substring(5, s.indexOf('\n')).trim
+    val sx = s.lastIndexOf("startxref")
+    require(sx >= 0, "no startxref")
+    val xrefAt = s.substring(sx + 9).trim.takeWhile(_.isDigit).toInt
+    require(s.startsWith("xref", xrefAt), "startxref does not resolve to xref")
+    val sub = s.substring(xrefAt + 5, s.indexOf('\n', xrefAt + 5)).trim.split(' ')
+    val nObjects = sub(1).toInt - 1 // minus the free-list head entry
+    val cAt = s.indexOf("/Count ")
+    require(cAt >= 0, "no /Count")
+    val declaredPages = s.substring(cAt + 7).takeWhile(_.isDigit).toInt
+    val actualPages = raw"/Type /Page[^s]".r.findAllIn(s).length
+    require(actualPages == declaredPages, "page tree /Count mismatch")
+    val lAt = s.indexOf("/Length ")
+    val streamLen = s.substring(lAt + 8).takeWhile(_.isDigit).toLong
+    val sAt = s.indexOf("stream\n", lAt) + 7
+    val stream = payload.slice(sAt, sAt + streamLen.toInt)
+    (version, declaredPages, nObjects,
+      streamLen, new String(stream.take(12), ascii))
+  }
+
+  /** Batched PDF decode — same partition-local batch seam. */
+  def decodePdfBatched(ds: Dataset[MediaRecord]): Dataset[DecodedPdf] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (v, np, no, sl, f) = decodePdf(r.payload)
+          DecodedPdf(r.id, r.payload.length, v, np, no, sl, f)
+        }
+      }
+    }
+  }
+
+  /** Wrap a text table as PDF media records (see [[toPdf]]). */
+  def asPdf(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRecord(id, toPdf(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), "document")
       }
   }
 }

@@ -188,6 +188,32 @@ object Star {
         round(col("total_rev").cast("double"), 2).as("total_revenue"))
   }
 
+  /** Forecast revenue-change (TPC-H Q6 flavor): the revenue a discount
+    * band would have yielded in one shipdate year — the pure scan-side
+    * query: every predicate (date window, discount band, quantity cap)
+    * pushes to the parquet scan, and the one-row answer is a map-side
+    * partial aggregate with nothing to shuffle but 32 partial sums. The
+    * discount literals compare against the stored doubles directly (no
+    * epsilon): both engines read identical bits and compare against
+    * identical literals. */
+  def forecastRevenueChange(
+      lineitem: DataFrame,
+      shipFrom: String,
+      shipUntil: String,
+      discountLo: Double,
+      discountHi: Double,
+      qtyBelow: Double
+  ): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= Ts.literal(lineitem, "l_shipdate", shipFrom) &&
+        col("l_shipdate") < Ts.literal(lineitem, "l_shipdate", shipUntil) &&
+        col("l_discount") >= discountLo && col("l_discount") <= discountHi &&
+        col("l_quantity") < qtyBelow)
+      .agg(
+        round(sum((col("l_extendedprice") * col("l_discount")).cast(dec))
+          .cast("double"), 2).as("revenue_effect"),
+        count(lit(1)).as("n_items"))
+
   /** Late-shipment priority census (TPC-H Q4 flavor): orders in one
     * orderdate window that had at least one line shipped more than
     * `graceDays` after the order date, counted by priority.

@@ -1039,6 +1039,33 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy Multimodal.decodeWebp(headerOnly)
   }
 
+  it should "round-trip PDF structure through the xref walk" in {
+    val text = "hello pdf corpus" // 16 bytes → 2 pages
+    val pdf = Multimodal.toPdf(text.getBytes("UTF-8"))
+    pdf.length shouldBe 317 + 16 + 97 * 2
+    val (v, np, no, sl, f) = Multimodal.decodePdf(pdf)
+    (v, np, no, sl) shouldBe (("1.4", 2, 5, 16L))
+    f shouldBe "hello pdf co"
+    // empty stream → 1 page, 4 objects
+    Multimodal.decodePdf(Multimodal.toPdf(Array.empty[Byte])) shouldBe
+      (("1.4", 1, 4, 0L, ""))
+  }
+
+  it should "fail fast on corrupt PDF containers" in {
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodePdf("not a pdf at all".getBytes("UTF-8"))
+    val good = Multimodal.toPdf("abcdef".getBytes("UTF-8"))
+    // startxref pointing into the middle of an object
+    val s = new String(good, "US-ASCII")
+    val at = s.lastIndexOf("startxref") + 10
+    val bad = good.clone(); bad(at) = '9'.toByte
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodePdf(bad)
+    // clobber one Page type tag → declared /Count no longer matches
+    val pAt = s.indexOf("/Type /Page /Parent")
+    val badPage = good.clone(); badPage(pAt + 7) = 'X'.toByte
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodePdf(badPage)
+  }
+
   it should "round-trip a real WAV header through encode and decode" in {
     val content = "hello world".getBytes("UTF-8") // 11 bytes
     val wav = Multimodal.toWav(content)
