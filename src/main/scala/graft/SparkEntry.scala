@@ -2025,6 +2025,15 @@ object SparkEntry {
         table(s, dir, "lineitem"), table(s, dir, "supplier"),
         "1996-01-01", "1996-04-01")),
 
+    // Extension: parquet footer statistics — per-row-group metadata read
+    // (no data pages), verified by agreeing with the content-derived
+    // truth: footer row counts sum to the scan count, schema width 5.
+    "ingest_parquet_footer" -> ((s, dir) =>
+      graft.sources.Ingest.parquetFooterStats(s, s"$dir/documents.parquet")
+        .groupBy(col("file_name"))
+        .agg(sum(col("n_rows")).as("n_rows"),
+          max(col("n_columns")).as("n_cols"))),
+
     // Extension: Q6-flavor forecast revenue change — the pure scan query:
     // all three predicates push to parquet, one-row map-side aggregate.
     "star_forecast_revenue" -> ((s, dir) =>
@@ -4600,6 +4609,13 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
+
+    // The footer must agree with the content: row counts sum to the scan
+    // count and the schema width is the table's column count.
+    "ingest_parquet_footer" ->
+      """SELECT 'documents.parquet' AS file_name, count(*) AS n_rows,
+        |  5 AS n_cols
+        |FROM documents""".stripMargin,
 
     "star_forecast_revenue" ->
       """SELECT

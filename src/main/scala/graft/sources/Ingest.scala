@@ -150,6 +150,50 @@ object Ingest {
     * the inputs (stable across runs). Fails loudly if a shared column
     * changed to an incompatible type between versions — silent coercion
     * is how a schema change corrupts a 100 TB backfill. */
+  /** Per-row-group parquet FOOTER statistics — (file, row_group_id,
+    * n_rows, n_columns) read from metadata only, no data pages touched.
+    * The planning/ops readout behind compaction decisions ("thousands of
+    * 3-row-group files → compact"), freshness checks, and scan-cost
+    * estimates.
+    *
+    * Scale shape: the file list distributes over the cluster and each
+    * task opens only footers (a few KB per file at any table size) — at
+    * 100 TB with ~100k files this is a hundred-MB metadata job, never a
+    * data scan. Each task builds its own Hadoop `Configuration` (the
+    * default-fs case; cluster deployments thread the real conf through
+    * the serialized-conf broadcast idiom instead). */
+  def parquetFooterStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val files: Seq[String] =
+      (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq.map(_.getPath)
+       else Seq(p))
+        .filter(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".parq"))
+        .map(_.toString)
+    spark.createDataset(files)
+      .repartition(math.min(files.size, spark.sparkContext.defaultParallelism))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val md = reader.getFooter.getFileMetaData
+            val nCols = md.getSchema.getFieldCount
+            import scala.jdk.CollectionConverters._
+            reader.getFooter.getBlocks.asScala.toList.zipWithIndex.map {
+              case (b, i) =>
+                (f.substring(f.lastIndexOf('/') + 1), i, b.getRowCount, nCols)
+            }
+          } finally reader.close()
+        }
+      }
+      .toDF("file_name", "row_group_id", "n_rows", "n_columns")
+  }
+
   def unionEvolved(snapshots: Seq[DataFrame]): DataFrame = {
     require(snapshots.nonEmpty, "unionEvolved needs at least one snapshot")
     snapshots.reduce(_.unionByName(_, allowMissingColumns = true))

@@ -90,4 +90,22 @@ class IngestSpec extends AnyFlatSpec with Matchers {
     val bad = Seq(("x", "c")).toDF("id", "text")
     an[Exception] should be thrownBy Ingest.unionEvolved(Seq(v1, bad)).collect()
   }
+
+  it should "read per-row-group footer stats that agree with the content" in {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("footer_stats").toString
+    (1L to 20000L).map(i => (i, s"row_$i", i.toDouble))
+      .toDF("id", "name", "score")
+      .coalesce(1)
+      .write.option("parquet.block.size", 64 * 1024) // force multiple groups
+      .mode("overwrite").parquet(dir)
+    val stats = Ingest.parquetFooterStats(spark, dir).collect()
+    stats.map(_.getLong(2)).sum shouldBe 20000L       // footer rows == content rows
+    stats.foreach(_.getInt(3) shouldBe 3)             // schema width
+    stats.length should be > 1                        // block.size actually split
+    // row-group ids are contiguous from 0 within each file
+    stats.groupBy(_.getString(0)).foreach { case (_, g) =>
+      g.map(_.getInt(1)).sorted shouldBe g.indices.toArray
+    }
+  }
 }
