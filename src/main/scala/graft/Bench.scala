@@ -52,9 +52,14 @@ import org.apache.spark.sql.SparkSession
   * (`tightAbbrev`: multimodal→m events→e dedup→d plug→p docs→c text→t
   * sim→s ingest→i stream→r — distinct letters so initials stay
   * reversible), saving ~2 chars per query — holds to ~160 queries; (8)
-  * last resort: names become base-36 ORDINALS of the sorted query list
-  * (≤2 chars to 1296 queries, decoded by re-sorting the list), ~8 chars
-  * per query — holds past 220 queries.
+  * names become base-36 ORDINALS of the sorted query list (≤2 chars to
+  * 1296 queries, decoded by re-sorting the list), ~8 chars per query —
+  * holds to ~190 queries; (9) last resort: ordinals with sub-half-second
+  * PASSING queries omitted from the map (a missing entry means "ran,
+  * passed, <0.5 s"; a non-empty failed list always emits and failed
+  * queries always keep their entry) — the line length now tracks the
+  * SLOW-query count, which the 2× bench gate bounds, instead of the
+  * query-set size.
   * Dropping the
   * leading zero of sub-second times (`.2`) was considered and rejected:
   * that is not a valid JSON number and the driver json-parses the line.
@@ -290,8 +295,16 @@ object Bench {
         lazy val tightMap = initialsAbbrev(names, tightAbbrev)
         def tight(n: String): String = tightMap.getOrElse(n, n)
         def assemble(fmt: Double => String, name: String => String,
-            diag: Boolean, failedAlways: Boolean) = {
-          val qs = results.map { case (k, (v, _)) => "\"" + name(k) + "\":" + fmt(v) }
+            diag: Boolean, failedAlways: Boolean,
+            omitFastOk: Boolean = false) = {
+          // stage 9's lever: entries whose formatted time is "0" carry ~no
+          // information — dropping them (failed queries always stay) makes
+          // the line's length track the SLOW-query count, which the 2×
+          // bench gate bounds, instead of the unbounded set size
+          val kept =
+            if (omitFastOk) results.filter { case (_, (v, ok)) => fmt(v) != "0" || !ok }
+            else results
+          val qs = kept.map { case (k, (v, _)) => "\"" + name(k) + "\":" + fmt(v) }
             .mkString("{", ",", "}")
           val diagPart =
             if (diag) s""","warmup":${"%.0f".format(warmupTotal)}$fb,"load":"$load1","note":"med/$repeats fresh-JVM chunks""""
@@ -332,10 +345,17 @@ object Bench {
           // (tightAbbrev) — saves ~2 chars per query over stage 6's
           // prefix_-style initials while staying reversible
           (() => { diagToStderr(); assemble(d => "%.0f".format(d), tight, diag = false, failedAlways = false) }, 1800),
-          // last resort: base-36 ordinals of the sorted query list —
-          // ≤2-char names to 1296 queries, decoded by re-sorting the list
+          // stage 8: base-36 ordinals of the sorted query list — ≤2-char
+          // names to 1296 queries, decoded by re-sorting the list
           (() => { diagToStderr(); assemble(d => "%.0f".format(d),
-            ordinalAbbrev(names), diag = false, failedAlways = false) }, Int.MaxValue)
+            ordinalAbbrev(names), diag = false, failedAlways = false) }, 1800),
+          // last resort (stage 9): ordinals + whole seconds, sub-half-
+          // second passing queries OMITTED from the map (a missing entry
+          // means "ran, passed, <0.5 s"; failures always emit) — the line
+          // length now tracks the slow-query count, not the set size
+          (() => { diagToStderr(); assemble(d => "%.0f".format(d),
+            ordinalAbbrev(names), diag = false, failedAlways = true,
+            omitFastOk = true) }, Int.MaxValue)
         ).iterator.map { case (mk, limit) => (mk.apply(), limit) }
           .collectFirst { case (l, limit) if l.length <= limit => l }
           .get // total: the last stage's limit is Int.MaxValue

@@ -2025,6 +2025,15 @@ object SparkEntry {
         table(s, dir, "lineitem"), table(s, dir, "supplier"),
         "1996-01-01", "1996-04-01")),
 
+    // Extension: per-shard Bloom point-lookup index — the file-skipping
+    // shape: a probe opens only the shards whose constant-size filter MAY
+    // contain the id; present ids always include their true hash shard.
+    "docs_shard_bloom_probe" -> ((s, dir) =>
+      graft.ops.Corpus.shardBloomProbe(
+        table(s, dir, "documents"), "doc_id",
+        probeIds = (0L to 9L) ++ (1000001L to 1000005L),
+        nShards = 8, words = 1024, k = 4)),
+
     // Extension: parquet footer statistics — per-row-group metadata read
     // (no data pages), verified by agreeing with the content-derived
     // truth: footer row counts sum to the scan count, schema width 5.
@@ -4609,6 +4618,31 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
+
+    // Same md5 position family as text_contam_bloom (5 hex chars per
+    // hash, 32-bit chunking) over the id strings; 1024 words → 65536 bits.
+    "docs_shard_bloom_probe" ->
+      """WITH ids AS (SELECT doc_id::VARCHAR AS s,
+        |    CAST((('0x'||substr(md5(doc_id::VARCHAR),1,7))::UBIGINT) % 8 AS BIGINT) AS shard
+        |  FROM documents),
+        |ipos AS (SELECT shard, CAST(('0x'||substr(md5(s), 1+5*j, 5))::UBIGINT % 65536 AS BIGINT) AS p
+        |  FROM ids, range(4) r(j)),
+        |bloom AS (SELECT shard, p // 32 AS word,
+        |    bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS bits
+        |  FROM ipos GROUP BY 1, 2),
+        |probe AS (SELECT CAST(v AS BIGINT) AS probe_id FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),
+        |    (1000001),(1000002),(1000003),(1000004),(1000005)) t(v)),
+        |pr AS (SELECT probe_id,
+        |    CAST((('0x'||substr(md5(probe_id::VARCHAR),1,7))::UBIGINT) % 8 AS BIGINT) AS true_shard,
+        |    CAST(('0x'||substr(md5(probe_id::VARCHAR), 1+5*j, 5))::UBIGINT % 65536 AS BIGINT) AS p
+        |  FROM probe, range(4) r(j)),
+        |cand AS (SELECT probe_id, true_shard, b.shard
+        |  FROM pr JOIN bloom b ON pr.p // 32 = b.word
+        |    AND (b.bits & (1::BIGINT << CAST(pr.p % 32 AS INTEGER))) != 0
+        |  GROUP BY 1, 2, 3 HAVING count(*) = 4)
+        |SELECT probe_id, count(*) AS n_candidate_shards,
+        |  max(CASE WHEN shard = true_shard THEN 1 ELSE 0 END) = 1 AS no_false_neg
+        |FROM cand GROUP BY probe_id, true_shard""".stripMargin,
 
     // The footer must agree with the content: row counts sum to the scan
     // count and the schema width is the table's column count.

@@ -396,6 +396,70 @@ object Corpus {
         (col("n_bloom") >= coalesce(col("n_exact"), lit(0L))).as("no_false_neg"))
   }
 
+  /** Per-shard Bloom index + point-lookup probe — the file-skipping shape:
+    * one constant-size Bloom filter per shard over the shard's doc ids,
+    * so a point lookup touches only the shards whose filter MAY contain
+    * the id instead of scanning all of them. Returns, per probed id, the
+    * candidate-shard count (the skipping factor: nShards − candidates
+    * shards are never opened) and the structural no-false-negative check
+    * (the id's true hash shard is always among the candidates).
+    *
+    * Scale: the index is #shards × `words` longs built by one
+    * map-side-combinable `bit_or` aggregate — independent of corpus size
+    * — and the probe set is a literal frame crossed against the broadcast
+    * index (probes × shards × k rows, all tiny). Same portable
+    * md5-derived positions and 32-bit chunking as [[contaminationBloom]],
+    * so an independent engine reproduces every bit. */
+  def shardBloomProbe(
+      df: DataFrame,
+      idCol: String,
+      probeIds: Seq[Long],
+      nShards: Int = 8,
+      words: Int = 1024,
+      k: Int = 4
+  ): DataFrame = {
+    require(Integer.bitCount(words) == 1 && words <= (1 << 14),
+      "words must be a power of two <= 16384 (bit positions are 20-bit)")
+    require(k >= 1 && k <= 6, "k hashes draw 5 hex chars each from one md5")
+    val spark = df.sparkSession
+    val mBits = words.toLong * 64L
+    def positions(g: Column): Column = array((0 until k).map { j =>
+      conv(substr(md5For(spark)(g), lit(1 + 5 * j), lit(5)), 16, 10)
+        .cast("long") % mBits
+    }: _*)
+    val index = df
+      .select(hashBucketFor(spark)(col(idCol), nShards).as("shard"),
+        explode(positions(col(idCol).cast("string"))).as("p"))
+      .select(col("shard"), shiftright(col("p"), 5).as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 31 AS INT))").as("mask"))
+      .groupBy("shard", "word").agg(bit_or(col("mask")).as("bits"))
+    val probes = spark.createDataFrame(
+        probeIds.map(java.lang.Long.valueOf).map(Tuple1(_)))
+      .toDF("probe_id")
+      .select(col("probe_id"),
+        hashBucketFor(spark)(col("probe_id"), nShards).as("true_shard"),
+        explode(positions(col("probe_id").cast("string"))).as("p"))
+      .select(col("probe_id"), col("true_shard"),
+        shiftright(col("p"), 5).as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 31 AS INT))").as("mask"))
+    val perShard = probes
+      .join(broadcast(index), Seq("word"))
+      .filter(col("bits").bitwiseAND(col("mask")) =!= 0)
+      .groupBy(col("probe_id"), col("true_shard"), col("shard"))
+      .agg(count(lit(1)).as("n_set"))
+      // a shard is a candidate only if ALL k probe bits are set in it
+      // (explode preserves duplicate positions, so k rows survive exactly
+      // when every one of the k bit tests passes)
+      .filter(col("n_set") === k)
+    perShard
+      .groupBy(col("probe_id"), col("true_shard"))
+      .agg(count(lit(1)).as("n_candidate_shards"),
+        max(when(col("shard") === col("true_shard"), 1).otherwise(0))
+          .as("true_hit"))
+      .select(col("probe_id"), col("n_candidate_shards"),
+        (col("true_hit") === 1).as("no_false_neg"))
+  }
+
   /** Corpus-bigram language-model scoring with add-one smoothing: each
     * document's mean bigram log-probability, p(w2|w1) = (C(w1 w2)+1) /
     * (C(w1)+V). The bigram complement of [[unigramLogProb]] — catches

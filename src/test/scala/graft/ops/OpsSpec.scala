@@ -2423,6 +2423,33 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out(0).getDouble(2) shouldBe 1.0
   }
 
+  behavior of "shard bloom probe"
+
+  it should "always include the true shard for present ids" in {
+    val df = (0L until 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val out = Corpus.shardBloomProbe(df, "doc_id",
+        probeIds = (0L to 19L) ++ Seq(999999L), nShards = 4, words = 64, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // every present id's true shard is a candidate (no false negatives)
+    (0L to 19L).foreach { id =>
+      val (n, ok) = out(id)
+      withClue(s"probe $id:") { ok shouldBe true; n should be >= 1L }
+    }
+    // candidates never exceed the shard count
+    out.values.foreach(_._1 should be <= 4L)
+  }
+
+  it should "drop probes no shard can contain" in {
+    // 4 ids in a huge, sparse filter: an unknown id's bits are almost
+    // surely not all set in any shard — with words=16384 the chance of a
+    // 3-bit false positive in one of 2 shards is ~(12/2^20)^3·2 ≈ 0
+    val df = Seq(1L, 2L, 3L, 4L).map(i => (i, "x")).toDF("doc_id", "text")
+    val out = Corpus.shardBloomProbe(df, "doc_id",
+        probeIds = Seq(123456789L), nShards = 2, words = 16384, k = 3)
+      .collect()
+    out shouldBe empty
+  }
+
   behavior of "binary quantization"
 
   it should "pack sign bits into 32-bit words and rank by Hamming distance" in {
