@@ -1981,6 +1981,19 @@ object SparkEntry {
       graft.ops.EventOps.sessionProfile(events(s, dir), "user_id", "ts",
         30 * 60 * 1000L)),
 
+    // Extension: lag-1 autocorrelation of daily per-type volumes — exact
+    // integer sufficient statistics, deterministic double finish, null r
+    // on zero variance.
+    "events_daily_autocorr" -> ((s, dir) =>
+      graft.ops.EventOps.dailyAutocorr(events(s, dir), "event_type", "ts")),
+
+    // Extension: longest strictly-increasing value streak per user — the
+    // gaps-and-islands analytic; three windows sharing one (user × ts)
+    // sort, islands via the double-row_number difference.
+    "events_value_streaks" -> ((s, dir) =>
+      graft.ops.EventOps.valueStreaks(events(s, dir),
+        "user_id", "ts", "value", "event_id")),
+
     // Extension: classic star-schema OLAP — fact⋈fact shuffle join on the
     // natural key, fixed-size dims broadcast, filters pushed to the scans.
     "star_revenue_by_nation" -> ((s, dir) =>
@@ -4548,6 +4561,41 @@ object SparkEntry {
         |  round(p50, 6) AS p50_duration_ms,
         |  round(p90, 6) AS p90_duration_ms
         |FROM p""".stripMargin,
+
+    // Consecutive-day pairs only (both days active); the five sums are
+    // exact integers, the finish identical IEEE double ops.
+    "events_daily_autocorr" ->
+      """WITH daily AS (SELECT event_type AS t, CAST(ts AS DATE) AS d, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (SELECT a.t, a.c AS x, b.c AS y
+        |  FROM daily a JOIN daily b ON a.t = b.t AND b.d = a.d + 1),
+        |s AS (SELECT t, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM pairs GROUP BY 1)
+        |SELECT t AS event_type, n AS n_pairs,
+        |  CASE WHEN sqrt((n::DOUBLE * sxx - sx::DOUBLE * sx) * (n::DOUBLE * syy - sy::DOUBLE * sy)) = 0.0
+        |    THEN NULL
+        |    ELSE round((n::DOUBLE * sxy - sx::DOUBLE * sy)
+        |      / sqrt((n::DOUBLE * sxx - sx::DOUBLE * sx) * (n::DOUBLE * syy - sy::DOUBLE * sy)), 6)
+        |  END AS autocorr
+        |FROM s""".stripMargin,
+
+    // Users with zero increases have no islands and drop from the
+    // result on both engines; equal consecutive values break streaks.
+    "events_value_streaks" ->
+      """WITH f AS (SELECT user_id,
+        |    CASE WHEN value > lag(value) OVER w THEN 1 ELSE 0 END AS inc,
+        |    row_number() OVER w AS rn
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |i AS (SELECT user_id, inc, rn,
+        |    sum(inc) OVER (PARTITION BY user_id ORDER BY rn) AS inc_rn FROM f),
+        |r AS (SELECT user_id, rn - inc_rn AS island, count(*) AS run
+        |  FROM i WHERE inc = 1 GROUP BY 1, 2)
+        |SELECT user_id, max(run) + 1 AS longest_streak,
+        |  CAST(sum(run) AS BIGINT) AS n_increases
+        |FROM r GROUP BY 1""".stripMargin,
 
     // Money sums route through DECIMAL(18,6) on both engines, so the
     // star rollups hash-match despite double inputs.

@@ -1028,4 +1028,83 @@ object EventOps {
         round(col("p50"), 6).as("p50_duration_ms"),
         round(col("p90"), 6).as("p90_duration_ms"))
   }
+
+  /** Lag-1 autocorrelation of daily event counts per type — "is today's
+    * volume predictive of tomorrow's": Pearson r over (day d, day d+1)
+    * count pairs where both days have activity (silent days leave the
+    * frame, same convention as [[burstScore]]'s gap-aware baseline).
+    *
+    * Shape: one (type, day) count shuffle (map-side combinable), a
+    * self-equi-join on (type, day+1) over the tiny daily frame, one
+    * per-type rollup. The five sufficient statistics are EXACT integer
+    * sums; the final r is deterministic double arithmetic from them
+    * (identical longs → identical IEEE ops on any engine; exact up to
+    * 2^53 — far beyond any real daily-count product). Types with zero
+    * variance on either side report a null r rather than ±Inf/NaN. */
+  def dailyAutocorr(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String
+  ): DataFrame = {
+    val daily = Ts.normalize(events, tsCol)
+      .groupBy(col(typeCol).as("t"), to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.t") === col("b.t") && col("b.d") === date_add(col("a.d"), 1))
+      .select(col("a.t").as("t"), col("a.c").as("x"), col("b.c").as("y"))
+    val stats = pairs.groupBy(col("t"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = n * d("sxy") - d("sx") * d("sy")
+    val den = sqrt((n * d("sxx") - d("sx") * d("sx")) *
+      (n * d("syy") - d("sy") * d("sy")))
+    stats.select(col("t").as(typeCol), col("n").as("n_pairs"),
+      when(den === 0.0, lit(null)).otherwise(round(num / den, 6))
+        .as("autocorr"))
+  }
+
+  /** Longest strictly-increasing value streak per user — the classic
+    * gaps-and-islands analytic: flag each event that beats its
+    * predecessor (ts order, id tiebreak), convert consecutive flags into
+    * island ids with the double-row_number difference trick, then take
+    * the longest island. Trend/engagement features ("how long do users
+    * keep escalating") that a plain lag-delta can't express.
+    *
+    * Shape: one shuffle on the user key; all three windows share the
+    * same (user × ts) ordering so they reuse ONE sort; island sizes are
+    * bounded by per-user event counts (the sessionize skew note applies).
+    * Ties (equal consecutive values) break streaks — strictly greater
+    * only, pinned by the spec. */
+  def valueStreaks(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      valueCol: String,
+      idCol: String
+  ): DataFrame = {
+    val byTs = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val flagged = events
+      .withColumn("inc",
+        when(col(valueCol) > lag(col(valueCol), 1).over(byTs), 1).otherwise(0))
+      .withColumn("rn", row_number().over(byTs))
+    // island id: rn minus the running count of increasing rows is constant
+    // within each maximal run of inc=1 rows (and unique per run)
+    val islands = flagged
+      .withColumn("inc_rn",
+        sum(col("inc")).over(byTs.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("island", col("rn") - col("inc_rn"))
+    islands
+      .filter(col("inc") === 1)
+      .groupBy(col(userCol), col("island"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col(userCol))
+      // +1: a run of k increasing STEPS spans k+1 events
+      .agg((max(col("run")) + 1).as("longest_streak"),
+        sum(col("run")).as("n_increases"))
+  }
 }

@@ -2423,6 +2423,39 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out(0).getDouble(2) shouldBe 1.0
   }
 
+  behavior of "daily autocorrelation"
+
+  it should "compute lag-1 r over consecutive-day count pairs" in {
+    def ts(day: Int, i: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:0$i:00")
+    def rows(t: String, counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (c, d) => (0 until c).map(i => (t, ts(d + 1, i)))
+    }
+    val ev = (rows("up", Seq(1, 2, 3, 4)) ++ rows("flat", Seq(2, 2, 2)) ++
+      rows("oneday", Seq(3))).toDF("event_type", "ts")
+    val out = EventOps.dailyAutocorr(ev, "event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1)
+    // strictly linear counts → perfect correlation; constant → null;
+    // a single active day has no pair and is absent
+    out shouldBe Array(("flat", 2L, None), ("up", 3L, Some(1.0)))
+  }
+
+  behavior of "value streaks"
+
+  it should "count maximal strictly-increasing runs per user" in {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, 10L, ts(0), 1.0), (2L, 10L, ts(1), 2.0), (3L, 10L, ts(2), 3.0),
+      (4L, 10L, ts(3), 2.0), (5L, 10L, ts(4), 3.0),   // runs: 2 steps, 1 step
+      (6L, 20L, ts(0), 5.0), (7L, 20L, ts(1), 5.0),   // tie breaks the streak
+      (8L, 20L, ts(2), 6.0),
+      (9L, 30L, ts(0), 9.0), (10L, 30L, ts(1), 1.0)   // never increases → absent
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = EventOps.valueStreaks(ev, "user_id", "ts", "value", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    out shouldBe Array((10L, 3L, 3L), (20L, 2L, 1L))
+  }
+
   behavior of "shard bloom probe"
 
   it should "always include the true shard for present ids" in {
