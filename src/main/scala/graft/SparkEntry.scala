@@ -147,6 +147,28 @@ object SparkEntry {
       SparkPlug.builder.create().ruleHitStats(table(s, dir, "lineitem"), rules)
     }),
 
+    // Extension: rule-set canary diff — per shared column, how many rows
+    // the v1 and v2 rule outputs disagree on (null-safe); the release
+    // gate run before replacing a live rule set.
+    "plug_ruleset_diff" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val rulesA = List(
+        PlugRule("flag", "v1", "l_discount > 0.05",
+          Seq(PlugAction("l_returnflag", "D"))))
+      val rulesB = List(
+        PlugRule("flag", "v2", "l_discount > 0.10",
+          Seq(PlugAction("l_returnflag", "D"))),
+        PlugRule("bigqty", "v1", "l_quantity > 40",
+          Seq(PlugAction("l_linestatus", "Z"))))
+      // (orderkey, linenumber) is NOT unique in the synthetic data; the
+      // 4-column key is — diffRuleSets requires a unique row key.
+      SparkPlug.builder.create().diffRuleSets(table(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+          rulesA, rulesB)
+        .fold(errs => throw new IllegalArgumentException(errs.mkString("; ")),
+          identity)
+    }),
+
     // O6: Int literal coercion (bare int literal).
     "plug_int_coercion" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -2395,6 +2417,19 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // Tightening a condition un-flags the band between the thresholds;
+    // the added rule touches only its own column; everything else is 0.
+    "plug_ruleset_diff" ->
+      """SELECT * FROM (VALUES
+        |  ('l_quantity', CAST(0 AS BIGINT)),
+        |  ('l_extendedprice', CAST(0 AS BIGINT)),
+        |  ('l_discount', CAST(0 AS BIGINT)),
+        |  ('l_tax', CAST(0 AS BIGINT)),
+        |  ('l_returnflag', (SELECT count(*) FROM lineitem WHERE l_discount > 0.05 AND l_discount <= 0.10)),
+        |  ('l_linestatus', (SELECT count(*) FROM lineitem WHERE l_quantity > 40)),
+        |  ('l_shipdate', CAST(0 AS BIGINT))
+        |) t("column", n_diff)""".stripMargin,
+
     // Replays the chain: r2's counts are taken over l_returnflag AS
     // REWRITTEN by r1 (the CASE expression), not the raw column.
     "plug_rule_hits" ->

@@ -183,6 +183,48 @@ case class SparkPlug(
       .select(col("r.rule_name"), col("r.n_matched"), col("r.n_changed"))
   }
 
+  /** Canary diff between two rule sets — "what would the v2 rules change
+    * vs the v1 rules on this data": both sets plug the SAME input, the
+    * outputs join on the caller's row key (which MUST be unique — a
+    * duplicated key cross-matches unrelated rows and inflates every
+    * count), and every shared non-key
+    * column reports how many rows the two outputs disagree on
+    * (null-safe `<=>`, so null→value and value→null both count). The
+    * release gate a rules canary runs before replacing a live set —
+    * column counts localize WHAT a rewrite touches, and an all-zero
+    * report proves a refactor is behavior-preserving.
+    *
+    * Scale: two narrow projection chains over one input scan lineage,
+    * then a single equi-join on the key (both sides shuffle once; at
+    * 100 TB this is the same cost as any keyed self-comparison) feeding
+    * one conditional aggregate; the per-column melt explodes a 1-row
+    * frame. Validation failures from either set surface unchanged. */
+  def diffRuleSets(
+      in: DataFrame,
+      keyCols: Seq[String],
+      rulesA: List[PlugRule],
+      rulesB: List[PlugRule]
+  ): Either[List[PlugRuleValidationError], DataFrame] =
+    for {
+      a <- plug(in, rulesA)
+      b <- plug(in, rulesB)
+    } yield {
+      val compared = a.columns.toSeq.intersect(b.columns.toSeq)
+        .filterNot(keyCols.contains)
+        .filterNot(c => plugDetails.exists(_.column == c))
+      val aSide = a.select((keyCols ++ compared).map(c => col(c).as(s"a_$c")): _*)
+      val bSide = b.select((keyCols ++ compared).map(c => col(c).as(s"b_$c")): _*)
+      val joined = aSide.join(bSide,
+        keyCols.map(k => col(s"a_$k") === col(s"b_$k")).reduce(_ && _))
+      val aggs = compared.map(c =>
+        sum(when(!(col(s"a_$c") <=> col(s"b_$c")), 1L).otherwise(0L)).as(s"__d_$c"))
+      joined.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(compared.map(c =>
+          struct(lit(c).as("column"),
+            coalesce(col(s"__d_$c"), lit(0L)).as("n_diff"))): _*)).as("d"))
+        .select(col("d.column"), col("d.n_diff"))
+    }
+
   /** Apply one rule = one projection. */
   private[plug] def applyRule(frame: DataFrame, rule: PlugRule): DataFrame = {
     val compiled = RuleCompiler.compile(

@@ -204,6 +204,58 @@ class StarSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "plan Q7/Q8 with broadcast dims and no cartesian shapes" in {
+    val dir = "/root/testdata/sf0.001"
+    def t(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val q7 = Star.tradeVolume(t("lineitem"), t("orders"), t("customer"),
+      t("supplier"), t("nation"), "NATION_3", "NATION_7",
+      "1996-01-01", "1998-01-01")
+    val q8 = Star.marketShare(t("lineitem"), t("orders"), t("customer"),
+      t("supplier"), t("part"), t("nation"), t("region"),
+      "EUROPE", "NATION_5", "ECONOMY", "1996-01-01", "1998-01-01")
+    Seq("q7" -> q7, "q8" -> q8).foreach { case (tag, q) =>
+      q.collect().length should be >= 0
+      val plan = q.queryExecution.executedPlan.toString
+      withClue(s"$tag plan:\n$plan") {
+        plan should include("BroadcastHashJoin")
+        plan should not include "BroadcastNestedLoopJoin"
+        plan should not include "CartesianProduct"
+        // the shipdate/orderdate window reaches the fact scan
+        val factScan = plan.linesIterator.filter(l =>
+          (l.contains("lineitem.parquet") || l.contains("orders.parquet")) &&
+            l.contains("PushedFilters")).mkString
+        factScan should (include("l_shipdate") or include("o_orderdate"))
+      }
+    }
+  }
+
+  it should "plan the anti and semi joins as hash joins with pushed filters" in {
+    val dir = "/root/testdata/sf0.001"
+    def t(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val q22 = Star.dormantHighBalance(t("customer"), t("orders"), t("nation"),
+      "1999-01-01")
+    q22.collect().length should be >= 0
+    val p22 = q22.queryExecution.executedPlan.toString
+    withClue(p22) {
+      p22.toLowerCase should include("leftanti")
+      p22 should not include "CartesianProduct"
+      // the orderdate cutoff pushes to the orders scan (anti build side
+      // shrinks before the join)
+      val ordersScan = p22.linesIterator.filter(l =>
+        l.contains("orders.parquet") && l.contains("PushedFilters")).mkString
+      ordersScan should include("o_orderdate")
+    }
+    val q4 = Star.latePriorityCensus(t("lineitem"), t("orders"),
+      "1997-01-01", "1997-07-01", 90)
+    q4.collect().length should be >= 0
+    val p4 = q4.queryExecution.executedPlan.toString
+    withClue(p4) {
+      p4.toLowerCase should include("leftsemi")
+      p4 should not include "BroadcastNestedLoopJoin"
+      p4 should not include "CartesianProduct"
+    }
+  }
+
   it should "plan Q5 with broadcast dims, pushed date filter, no nested loop" in {
     val dir = "/root/testdata/sf0.001"
     def t(n: String) = spark.read.parquet(s"$dir/$n.parquet")

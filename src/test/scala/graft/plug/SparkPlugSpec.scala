@@ -341,4 +341,27 @@ class SparkPlugSpec extends AnyFlatSpec with Matchers {
       ("Galaxy", Some(42.5), Some(15.0), 1L),    // leaf overridden, sibling kept
       ("Lumia", None, None, 1L))                 // null struct parent stays null
   }
+
+  it should "report per-column disagreement counts between two rule sets" in {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10.0, "A"), (2L, 30.0, "A"), (3L, 60.0, "B")
+    ).toDF("id", "amount", "tag")
+    val v1 = List(PlugRule("r", "v1", "amount > 20", Seq(PlugAction("tag", "X"))))
+    val v2 = List(PlugRule("r", "v2", "amount > 50", Seq(PlugAction("tag", "X"))))
+    val diff = SparkPlug.builder(spark).create()
+      .diffRuleSets(df, Seq("id"), v1, v2).toOption.get
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // only row 2 (20 < amount <= 50) flips between the sets
+    diff shouldBe Map("amount" -> 0L, "tag" -> 1L)
+    // identical sets → an all-zero report (behavior-preserving refactor)
+    val same = SparkPlug.builder(spark).create()
+      .diffRuleSets(df, Seq("id"), v1, v1).toOption.get
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    same.values.toSet shouldBe Set(0L)
+    // with validation on, a failure in EITHER set surfaces as Left
+    val bad = List(PlugRule("r", "v1", "nope > 1", Seq(PlugAction("tag", "X"))))
+    SparkPlug.builder(spark).enableRulesValidation.create()
+      .diffRuleSets(df, Seq("id"), v1, bad).isLeft shouldBe true
+  }
 }
