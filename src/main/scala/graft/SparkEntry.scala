@@ -2060,6 +2060,27 @@ object SparkEntry {
         table(s, dir, "lineitem"), table(s, dir, "supplier"),
         "1996-01-01", "1996-04-01")),
 
+    // Extension: WARC ingestion (the CommonCrawl format) — documents
+    // serialize to real WARC/1.0 files (one per partition), read back by
+    // Content-Length framing; the md5 roundtrip proves byte fidelity.
+    "ingest_warc" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratch("warc")
+      table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          if (it.hasNext) {
+            val bytes = graft.sources.Ingest.toWarc(it)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, f"part-$i%05d.warc"), bytes)
+            Iterator.single(1)
+          } else Iterator.empty
+        }.count(): Unit
+      graft.sources.Ingest.readWarc(s, out)
+        .select(col("doc_id"), col("content_length"),
+          md5(col("payload")).as("payload_md5"), col("target_uri"))
+    }),
+
     // Extension: per-shard Bloom point-lookup index — the file-skipping
     // shape: a probe opens only the shards whose constant-size filter MAY
     // contain the id; present ids always include their true hash shard.
@@ -4701,6 +4722,14 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
+
+    // The WARC roundtrip: byte length and md5 of every payload must match
+    // the source text (ASCII corpus: octet_length == strlen).
+    "ingest_warc" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        |  md5(text) AS payload_md5,
+        |  'http://synthetic.local/doc/' || doc_id AS target_uri
+        |FROM documents""".stripMargin,
 
     // Same md5 position family as text_contam_bloom (5 hex chars per
     // hash, 32-bit chunking) over the id strings; 1024 words → 65536 bits.

@@ -150,6 +150,94 @@ object Ingest {
     * the inputs (stable across runs). Fails loudly if a shared column
     * changed to an incompatible type between versions — silent coercion
     * is how a schema change corrupts a 100 TB backfill. */
+  /** Serialize (id, text) records as a WARC/1.0 byte stream — response
+    * records with the standard header block and Content-Length payload
+    * framing, `\r\n\r\n` terminators. The builder half of the
+    * [[readWarc]] roundtrip; payloads are raw UTF-8 bytes and may
+    * themselves contain `WARC/1.0` — only the length framing delimits
+    * records. */
+  def toWarc(records: Iterator[(Long, String)]): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { case (id, text) =>
+      val payload = text.getBytes(utf8)
+      out.write(
+        (s"WARC/1.0\r\n" +
+          s"WARC-Type: response\r\n" +
+          s"WARC-Record-ID: <urn:graft:doc-$id>\r\n" +
+          s"WARC-Target-URI: http://synthetic.local/doc/$id\r\n" +
+          s"Content-Length: ${payload.length}\r\n\r\n").getBytes(ascii))
+      out.write(payload)
+      out.write("\r\n\r\n".getBytes(ascii))
+    }
+    out.toByteArray
+  }
+
+  /** Parse a WARC/1.0 byte stream: sequential header-block + Content-
+    * Length framing (the ONLY correct way — splitting on the `WARC/1.0`
+    * magic corrupts any record whose payload contains it). Returns
+    * (record_id, target_uri, content_length, payload bytes) per record;
+    * malformed framing (bad magic, missing Content-Length, truncated
+    * payload, missing terminator) throws — quarantine upstream. */
+  def parseWarc(bytes: Array[Byte]): List[(String, String, Long, Array[Byte])] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    var pos = 0
+    val out = scala.collection.mutable.ListBuffer
+      .empty[(String, String, Long, Array[Byte])]
+    def indexOf(pat: Array[Byte], from: Int): Int = {
+      var i = from
+      while (i <= bytes.length - pat.length) {
+        var j = 0
+        while (j < pat.length && bytes(i + j) == pat(j)) j += 1
+        if (j == pat.length) return i
+        i += 1
+      }
+      -1
+    }
+    val sep = "\r\n\r\n".getBytes(ascii)
+    while (pos < bytes.length) {
+      val hEnd = indexOf(sep, pos)
+      require(hEnd >= 0, s"unterminated header block at offset $pos")
+      val header = new String(bytes, pos, hEnd - pos, ascii)
+      require(header.startsWith("WARC/1.0\r\n"), s"bad WARC magic at offset $pos")
+      val fields = header.linesIterator.drop(1).collect {
+        case l if l.contains(": ") =>
+          val Array(k, v) = l.split(": ", 2); k -> v
+      }.toMap
+      val len = fields.getOrElse("Content-Length",
+        throw new IllegalArgumentException(s"no Content-Length at offset $pos")).toLong
+      val pStart = hEnd + sep.length
+      require(pStart + len + sep.length <= bytes.length,
+        s"truncated payload at offset $pos")
+      val payload = java.util.Arrays.copyOfRange(bytes, pStart, (pStart + len).toInt)
+      require(bytes((pStart + len).toInt) == '\r' &&
+        bytes((pStart + len).toInt + 1) == '\n', s"missing record terminator at offset $pos")
+      out += ((fields.getOrElse("WARC-Record-ID", ""),
+        fields.getOrElse("WARC-Target-URI", ""), len, payload))
+      pos = (pStart + len).toInt + sep.length
+    }
+    out.toList
+  }
+
+  /** Distributed WARC ingestion: one task per .warc file (the archive
+    * convention — at 100 TB CommonCrawl ships ~1 GB gzip members, one
+    * sequential parse each; parallelism comes from the FILE count, which
+    * is what a crawl snapshot has tens of thousands of). Each record's
+    * numeric doc id is recovered from the record-id URN. */
+  def readWarc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/*.warc")
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap(parseWarc(_))
+      .toDF("record_id", "target_uri", "content_length", "payload")
+      .select(
+        regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
+        col("target_uri"), col("content_length"),
+        col("payload"))
+  }
+
   /** Per-row-group parquet FOOTER statistics — (file, row_group_id,
     * n_rows, n_columns) read from metadata only, no data pages touched.
     * The planning/ops readout behind compaction decisions ("thousands of

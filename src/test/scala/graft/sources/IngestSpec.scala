@@ -91,6 +91,24 @@ class IngestSpec extends AnyFlatSpec with Matchers {
     an[Exception] should be thrownBy Ingest.unionEvolved(Seq(v1, bad)).collect()
   }
 
+  it should "frame WARC records by Content-Length, not the magic string" in {
+    // payload 2 CONTAINS a fake record header — only length framing
+    // survives this; magic-splitting parsers corrupt it
+    val tricky = "before WARC/1.0\r\nContent-Length: 9\r\n\r\nafter"
+    val bytes = Ingest.toWarc(Iterator((7L, "hello"), (8L, tricky)))
+    val recs = Ingest.parseWarc(bytes)
+    recs.map(_._1) shouldBe List("<urn:graft:doc-7>", "<urn:graft:doc-8>")
+    recs.map(_._2) shouldBe List("http://synthetic.local/doc/7",
+      "http://synthetic.local/doc/8")
+    new String(recs(1)._4, "UTF-8") shouldBe tricky
+    recs(1)._3 shouldBe tricky.getBytes("UTF-8").length.toLong
+    // truncated payload / clobbered magic fail loudly
+    an[IllegalArgumentException] should be thrownBy
+      Ingest.parseWarc(java.util.Arrays.copyOf(bytes, bytes.length - 6))
+    val bad = bytes.clone(); bad(0) = 'X'.toByte
+    an[IllegalArgumentException] should be thrownBy Ingest.parseWarc(bad)
+  }
+
   it should "read per-row-group footer stats that agree with the content" in {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("footer_stats").toString
