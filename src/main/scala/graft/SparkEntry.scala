@@ -2003,6 +2003,27 @@ object SparkEntry {
       graft.ops.EventOps.sessionProfile(events(s, dir), "user_id", "ts",
         30 * 60 * 1000L)),
 
+    // Extension: per-user feature assembly — the feature-store output
+    // frame: counts, distincts, activity span, DECIMAL-routed value
+    // total, all in ONE groupBy pass (one shuffle on the user key,
+    // map-side partials; the shape a training-feature export runs).
+    "events_user_features" -> ((s, dir) => {
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          countDistinct(to_date(col("ts"))).as("active_days"),
+          min(unix_millis(col("ts"))).as("first_ms"),
+          max(unix_millis(col("ts"))).as("last_ms"),
+          round(sum(col("value")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double"), 4).as("total_value"))
+        .withColumn("span_days",
+          expr("(last_ms - first_ms) div 86400000"))
+        .withColumn("events_per_active_day",
+          round(col("n_events").cast("double") / col("active_days"), 6))
+    }),
+
     // Extension: lag-1 autocorrelation of daily per-type volumes — exact
     // integer sufficient statistics, deterministic double finish, null r
     // on zero variance.
@@ -2079,6 +2100,33 @@ object SparkEntry {
       graft.sources.Ingest.readWarc(s, out)
         .select(col("doc_id"), col("content_length"),
           md5(col("payload")).as("payload_md5"), col("target_uri"))
+    }),
+
+    // Extension: gzip WARC ingestion — each partition's records gzip as
+    // CONCATENATED per-record members (the CommonCrawl .warc.gz layout);
+    // the reader decompresses the multi-member stream transparently.
+    "ingest_warc_gz" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratch("warc_gz")
+      table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          if (it.hasNext) {
+            val members = it.map(r =>
+              graft.sources.Ingest.gzip(
+                graft.sources.Ingest.toWarc(Iterator(r)))).toArray
+            val bos = new java.io.ByteArrayOutputStream()
+            members.foreach(bos.write)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, f"part-$i%05d.warc.gz"),
+              bos.toByteArray)
+            Iterator.single(1)
+          } else Iterator.empty
+        }.count(): Unit
+      graft.sources.Ingest.readWarc(s, out, gz = true)
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("content_length")).as("total_bytes"),
+          countDistinct(md5(col("payload"))).as("n_distinct_payloads"))
     }),
 
     // Extension: per-shard Bloom point-lookup index — the file-skipping
@@ -4618,6 +4666,18 @@ object SparkEntry {
         |  round(p90, 6) AS p90_duration_ms
         |FROM p""".stripMargin,
 
+    // One aggregation pass per user; long division for the day span.
+    "events_user_features" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  count(DISTINCT event_type) AS n_types,
+        |  count(DISTINCT CAST(ts AS DATE)) AS active_days,
+        |  min(CAST(epoch_ms(ts) AS BIGINT)) AS first_ms,
+        |  max(CAST(epoch_ms(ts) AS BIGINT)) AS last_ms,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value,
+        |  (max(CAST(epoch_ms(ts) AS BIGINT)) - min(CAST(epoch_ms(ts) AS BIGINT))) // 86400000 AS span_days,
+        |  round(count(*) / count(DISTINCT CAST(ts AS DATE)), 6) AS events_per_active_day
+        |FROM events GROUP BY 1""".stripMargin,
+
     // Consecutive-day pairs only (both days active); the five sums are
     // exact integers, the finish identical IEEE double ops.
     "events_daily_autocorr" ->
@@ -4722,6 +4782,13 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
+
+    // The gzip roundtrip preserves every record and byte count.
+    "ingest_warc_gz" ->
+      """SELECT count(*) AS n_records,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  count(DISTINCT md5(text)) AS n_distinct_payloads
+        |FROM documents""".stripMargin,
 
     // The WARC roundtrip: byte length and md5 of every payload must match
     // the source text (ASCII corpus: octet_length == strlen).

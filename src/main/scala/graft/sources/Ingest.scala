@@ -220,17 +220,36 @@ object Ingest {
     out.toList
   }
 
-  /** Distributed WARC ingestion: one task per .warc file (the archive
-    * convention — at 100 TB CommonCrawl ships ~1 GB gzip members, one
-    * sequential parse each; parallelism comes from the FILE count, which
-    * is what a crawl snapshot has tens of thousands of). Each record's
+  /** gzip-compress `bytes` as one member (the per-record-member layout
+    * CommonCrawl uses concatenates these; Java's GZIPInputStream reads
+    * multi-member streams transparently). */
+  def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+
+  private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Distributed WARC ingestion: one task per .warc / .warc.gz file (the
+    * archive convention — at 100 TB CommonCrawl ships ~1 GB gzip
+    * members, one sequential parse each; parallelism comes from the FILE
+    * count, which is what a crawl snapshot has tens of thousands of).
+    * `.gz` files decompress first — including concatenated-member
+    * streams, which GZIPInputStream reads transparently. Each record's
     * numeric doc id is recovered from the record-id URN. */
-  def readWarc(spark: SparkSession, dir: String): DataFrame = {
+  def readWarc(spark: SparkSession, dir: String, gz: Boolean = false): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$dir/*.warc")
+    val ext = if (gz) "warc.gz" else "warc"
+    spark.read.format("binaryFile").load(s"$dir/*.$ext")
       .select(col("content"))
       .as[Array[Byte]]
-      .flatMap(parseWarc(_))
+      .flatMap(b => parseWarc(if (gz) gunzipAll(b) else b))
       .toDF("record_id", "target_uri", "content_length", "payload")
       .select(
         regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),

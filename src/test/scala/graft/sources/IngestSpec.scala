@@ -109,6 +109,20 @@ class IngestSpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy Ingest.parseWarc(bad)
   }
 
+  it should "read concatenated gzip WARC members as one stream" in {
+    // two independently-gzipped members back to back — the .warc.gz
+    // layout; a single GZIPInputStream must yield both records
+    val m1 = Ingest.gzip(Ingest.toWarc(Iterator((1L, "alpha"))))
+    val m2 = Ingest.gzip(Ingest.toWarc(Iterator((2L, "beta"))))
+    val dir = java.nio.file.Files.createTempDirectory("warc_gz").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-0.warc.gz"), m1 ++ m2)
+    val rows = Ingest.readWarc(spark, dir, gz = true)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), new String(r.getAs[Array[Byte]](3), "UTF-8")))
+    rows shouldBe Array((1L, "alpha"), (2L, "beta"))
+  }
+
   it should "read per-row-group footer stats that agree with the content" in {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("footer_stats").toString
