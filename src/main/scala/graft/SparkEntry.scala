@@ -1123,6 +1123,16 @@ object SparkEntry {
       graft.ops.Multimodal.decodeTiffBatched(
         graft.ops.Multimodal.asTiff(table(s, dir, "documents"), "doc_id", "text")).toDF()),
 
+    // Extension: REAL ZIP structure walk — EOCD scan, central-directory
+    // walk, local-header resolution, DEFLATE inflate + per-entry CRC32
+    // verification against the directory.
+    "multimodal_zip" -> ((s, dir) =>
+      graft.ops.Multimodal.decodeZipBatched(
+        graft.ops.Multimodal.asZip(table(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select(col("id"), col("n_entries"), col("entry_names"),
+          col("total_uncompressed"), col("crc_ok"))),
+
     // Extension: REAL PDF structure walk — version, startxref→xref
     // resolution, object count from the xref subsection, declared vs
     // actual page-tree count, stream sliced by its /Length.
@@ -3674,6 +3684,16 @@ object SparkEntry {
         |WHERE r.rk <= b.budget""".stripMargin,
 
     // fLaC(4) + STREAMINFO header(4)+body(34) + comment header(4)+text
+    // The deflated size is writer-dependent, so the oracle checks the
+    // structure facts: entry census + exact uncompressed byte total +
+    // the decoder's own CRC verification.
+    "multimodal_zip" ->
+      """SELECT doc_id AS id, 2 AS n_entries,
+        |  'doc.txt,meta.json' AS entry_names,
+        |  CAST(octet_length(encode(text)) + octet_length(encode('{"id":' || doc_id || '}')) AS BIGINT) AS total_uncompressed,
+        |  true AS crc_ok
+        |FROM documents""".stripMargin,
+
     // Container length is pure arithmetic (zero-padded variable-width
     // numbers): 317 fixed bytes + the stream + 97 per page object.
     "multimodal_pdf" ->

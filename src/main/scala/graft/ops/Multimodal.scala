@@ -30,6 +30,11 @@ case class DecodedPdf(
     id: Long, byte_len: Int, version: String, n_pages: Int, n_objects: Int,
     stream_len: Long, feature: String)
 
+/** Output of the ZIP structure decoder. */
+case class DecodedZip(
+    id: Long, byte_len: Int, n_entries: Int, entry_names: String,
+    total_uncompressed: Long, crc_ok: Boolean)
+
 /** Output of the video container decoder. */
 case class DecodedVideo(
     id: Long, byte_len: Int, width: Int, height: Int, timescale: Int,
@@ -1168,6 +1173,113 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Build a real ZIP archive (DEFLATE entries, fixed timestamp for
+    * determinism) via the JDK writer — the decode side walks the actual
+    * byte layout, so building with the stock writer keeps the pair
+    * honest: [[decodeZip]] must handle what real tooling emits. */
+  def toZip(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    entries.foreach { case (name, bytes) =>
+      val e = new java.util.zip.ZipEntry(name)
+      e.setTime(0L) // pinned — archive bytes must be run-independent
+      zos.putNextEntry(e)
+      zos.write(bytes)
+      zos.closeEntry()
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  /** Real ZIP structure walk, no ZipInputStream: locate the EOCD record
+    * (PK\0x05\0x06 scanned from the tail), read the central-directory
+    * count and offset from it, walk the central directory (PK\0x01\0x02
+    * records: method, crc, sizes, name, local-header offset), resolve
+    * each entry's local header (PK\0x03\0x04) for the data start, inflate
+    * DEFLATE payloads (stored pass through), and verify each payload's
+    * CRC32 against the directory. Returns (names sorted and joined,
+    * n_entries, total uncompressed bytes, every-crc-ok). Malformed
+    * archives throw — quarantine upstream. */
+  def decodeZip(payload: Array[Byte]): (String, Int, Long, Boolean) = {
+    def u16(at: Int) = ((payload(at) & 0xff) | ((payload(at + 1) & 0xff) << 8))
+    def u32(at: Int): Long =
+      (payload(at) & 0xffL) | ((payload(at + 1) & 0xffL) << 8) |
+        ((payload(at + 2) & 0xffL) << 16) | ((payload(at + 3) & 0xffL) << 24)
+    // EOCD: last PK\5\6 in the final 64KB + comment space
+    var eocd = -1
+    var i = payload.length - 22
+    val floor = math.max(0, payload.length - 22 - 0xffff)
+    while (eocd < 0 && i >= floor) {
+      if (payload(i) == 'P' && payload(i + 1) == 'K' &&
+        payload(i + 2) == 5 && payload(i + 3) == 6) eocd = i
+      i -= 1
+    }
+    require(eocd >= 0, "no EOCD record")
+    val nEntries = u16(eocd + 10)
+    var cd = u32(eocd + 16).toInt
+    var total = 0L
+    var allOk = true
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    (0 until nEntries).foreach { _ =>
+      require(u32(cd) == 0x02014b50L, s"bad central-directory magic at $cd")
+      val method = u16(cd + 10)
+      val crc = u32(cd + 16)
+      val csize = u32(cd + 20).toInt
+      val usize = u32(cd + 24)
+      val nameLen = u16(cd + 28); val extraLen = u16(cd + 30)
+      val commentLen = u16(cd + 32)
+      val lho = u32(cd + 42).toInt
+      val name = new String(payload, cd + 46, nameLen,
+        java.nio.charset.StandardCharsets.UTF_8)
+      require(u32(lho) == 0x04034b50L, s"bad local-header magic at $lho")
+      val dataAt = lho + 30 + u16(lho + 26) + u16(lho + 28)
+      val raw = java.util.Arrays.copyOfRange(payload, dataAt, dataAt + csize)
+      val data = method match {
+        case 0 => raw
+        case 8 =>
+          val inf = new java.util.zip.Inflater(true)
+          inf.setInput(raw)
+          val out = new Array[Byte](usize.toInt)
+          val n = inf.inflate(out); inf.end()
+          require(n == usize, s"inflate returned $n of $usize for $name")
+          out
+        case m => throw new IllegalArgumentException(s"method $m unsupported")
+      }
+      val c = new java.util.zip.CRC32(); c.update(data)
+      allOk &&= c.getValue == crc
+      total += usize
+      names += name
+      cd += 46 + nameLen + extraLen + commentLen
+    }
+    (names.sorted.mkString(","), nEntries, total, allOk)
+  }
+
+  /** Batched ZIP decode — same partition-local batch seam. */
+  def decodeZipBatched(ds: Dataset[MediaRecord]): Dataset[DecodedZip] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (names, n, total, ok) = decodeZip(r.payload)
+          DecodedZip(r.id, r.payload.length, n, names, total, ok)
+        }
+      }
+    }
+  }
+
+  /** Wrap each document as a two-entry ZIP (doc.txt + meta.json). */
+  def asZip(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRecord(id, toZip(Seq(
+          "doc.txt" -> text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          "meta.json" -> s"""{"id":$id}"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))), "archive")
+      }
   }
 
   /** Wrap a text table as PDF media records (see [[toPdf]]). */

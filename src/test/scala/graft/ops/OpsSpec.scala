@@ -1039,6 +1039,30 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy Multimodal.decodeWebp(headerOnly)
   }
 
+  it should "walk ZIP central directories and verify entry CRCs" in {
+    val zip = Multimodal.toZip(Seq(
+      "b.txt" -> "hello zip".getBytes("UTF-8"),
+      "a.txt" -> "world".getBytes("UTF-8")))
+    val (names, n, total, ok) = Multimodal.decodeZip(zip)
+    (names, n, total, ok) shouldBe (("a.txt,b.txt", 2, 14L, true))
+    // tamper the directory's CRC field → decoder flags the mismatch
+    val cdAt = {
+      var i = 0
+      while (!(zip(i) == 'P' && zip(i + 1) == 'K' && zip(i + 2) == 1 &&
+        zip(i + 3) == 2)) i += 1
+      i
+    }
+    val tampered = zip.clone(); tampered(cdAt + 16) = (tampered(cdAt + 16) ^ 0x55).toByte
+    Multimodal.decodeZip(tampered)._4 shouldBe false
+    // clobbered EOCD magic fails loudly
+    val noEocd = zip.clone()
+    var j = noEocd.length - 22
+    while (!(noEocd(j) == 'P' && noEocd(j + 1) == 'K' && noEocd(j + 2) == 5 &&
+      noEocd(j + 3) == 6)) j -= 1
+    noEocd(j + 2) = 9
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodeZip(noEocd)
+  }
+
   it should "round-trip PDF structure through the xref walk" in {
     val text = "hello pdf corpus" // 16 bytes → 2 pages
     val pdf = Multimodal.toPdf(text.getBytes("UTF-8"))
