@@ -125,8 +125,9 @@ object Bucketing {
     * delete the aside copy. The not-found window is one directory rename
     * (rolled back on failure), and the data always exists somewhere on
     * disk. NOTE: directory rename is atomic on HDFS/POSIX but NOT on
-    * object stores (S3 renames are copy+delete) — front those with a
-    * manifest-committing table format instead. */
+    * object stores (S3 renames are copy+delete) — there, keep the table
+    * under [[graft.sources.ManifestTable]] and use ITS `compact`, which
+    * commits by a single pointer swap and never renames a directory. */
   def compact(spark: SparkSession, dir: String, targetFiles: Int): Unit = {
     val dst = new org.apache.hadoop.fs.Path(dir)
     // resolve the FS from the path itself — dir may live on a different

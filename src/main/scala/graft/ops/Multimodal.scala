@@ -1140,8 +1140,32 @@ object Multimodal {
     * quarantine upstream, like the other decoders. */
   def decodePdf(payload: Array[Byte]): (String, Int, Int, Long, String) = {
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
-    val s = new String(payload, ascii)
-    require(s.startsWith("%PDF-"), "bad magic")
+    val raw0 = new String(payload, ascii)
+    require(raw0.startsWith("%PDF-"), "bad magic")
+    // Blank the bytes BETWEEN each stream…endstream pair (offsets are
+    // preserved — blanks, not deletions) so that structural scans
+    // (/Count, /Type /Page, /Length, startxref) can never match text
+    // that merely APPEARS inside a content stream's payload.
+    val s = {
+      val sb = new StringBuilder(raw0)
+      def nextStreamKw(from: Int): Int = {
+        var i = raw0.indexOf("stream", from)
+        while (i >= 3 && raw0.regionMatches(i - 3, "end", 0, 3))
+          i = raw0.indexOf("stream", i + 1)
+        i
+      }
+      var at = nextStreamKw(0)
+      while (at >= 0) {
+        val end = raw0.indexOf("endstream", at)
+        val stop = if (end >= 0) end else raw0.length
+        var i = at + 6
+        if (i < stop && raw0.charAt(i) == '\r') i += 1
+        if (i < stop && raw0.charAt(i) == '\n') i += 1
+        while (i < stop) { sb.setCharAt(i, ' '); i += 1 }
+        at = if (end >= 0) nextStreamKw(stop + 9) else -1
+      }
+      sb.toString
+    }
     val version = s.substring(5, s.indexOf('\n')).trim
     val sx = s.lastIndexOf("startxref")
     require(sx >= 0, "no startxref")
@@ -1235,6 +1259,9 @@ object Multimodal {
         java.nio.charset.StandardCharsets.UTF_8)
       require(u32(lho) == 0x04034b50L, s"bad local-header magic at $lho")
       val dataAt = lho + 30 + u16(lho + 26) + u16(lho + 28)
+      require(dataAt + csize <= payload.length,
+        s"entry $name data runs past end of archive " +
+          s"(${dataAt + csize} > ${payload.length})")
       val raw = java.util.Arrays.copyOfRange(payload, dataAt, dataAt + csize)
       val data = method match {
         case 0 => raw

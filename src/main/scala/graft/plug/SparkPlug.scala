@@ -212,17 +212,33 @@ case class SparkPlug(
       val compared = a.columns.toSeq.intersect(b.columns.toSeq)
         .filterNot(keyCols.contains)
         .filterNot(c => plugDetails.exists(_.column == c))
-      val aSide = a.select((keyCols ++ compared).map(c => col(c).as(s"a_$c")): _*)
-      val bSide = b.select((keyCols ++ compared).map(c => col(c).as(s"b_$c")): _*)
-      val joined = aSide.join(bSide,
-        keyCols.map(k => col(s"a_$k") === col(s"b_$k")).reduce(_ && _))
-      val aggs = compared.map(c =>
-        sum(when(!(col(s"a_$c") <=> col(s"b_$c")), 1L).otherwise(0L)).as(s"__d_$c"))
-      joined.agg(aggs.head, aggs.tail: _*)
-        .select(explode(array(compared.map(c =>
-          struct(lit(c).as("column"),
-            coalesce(col(s"__d_$c"), lit(0L)).as("n_diff"))): _*)).as("d"))
-        .select(col("d.column"), col("d.n_diff"))
+      if (compared.isEmpty) {
+        // Nothing shared beyond the keys: an empty (column, n_diff)
+        // frame, not a NoSuchElementException from agg(aggs.head, ...).
+        val spark = in.sparkSession
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("column",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_diff",
+              org.apache.spark.sql.types.LongType))))
+      } else {
+        val aSide = a.select((keyCols ++ compared).map(c => col(c).as(s"a_$c")): _*)
+        val bSide = b.select((keyCols ++ compared).map(c => col(c).as(s"b_$c")): _*)
+        // Null-safe key equality: both sides run the same plug over the
+        // same input, so a null-keyed row exists on both sides and must
+        // still be compared rather than silently dropping from the join.
+        val joined = aSide.join(bSide,
+          keyCols.map(k => col(s"a_$k") <=> col(s"b_$k")).reduce(_ && _))
+        val aggs = compared.map(c =>
+          sum(when(!(col(s"a_$c") <=> col(s"b_$c")), 1L).otherwise(0L)).as(s"__d_$c"))
+        joined.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(compared.map(c =>
+            struct(lit(c).as("column"),
+              coalesce(col(s"__d_$c"), lit(0L)).as("n_diff"))): _*)).as("d"))
+          .select(col("d.column"), col("d.n_diff"))
+      }
     }
 
   /** Apply one rule = one projection. */

@@ -275,10 +275,19 @@ object Ingest {
       spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
     val files: Seq[String] =
-      (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq.map(_.getPath)
-       else Seq(p))
+      (if (fs.getFileStatus(p).isDirectory) {
+        // Recursive: partitioned tables keep their files in key=value
+        // subdirectories a flat listStatus would miss.
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+        while (it.hasNext) buf += it.next().getPath
+        buf.toSeq
+      } else Seq(p))
         .filter(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".parq"))
         .map(_.toString)
+    if (files.isEmpty)
+      return spark.emptyDataset[(String, Int, Long, Int)]
+        .toDF("file_name", "row_group_id", "n_rows", "n_columns")
     spark.createDataset(files)
       .repartition(math.min(files.size, spark.sparkContext.defaultParallelism))
       .mapPartitions { it =>

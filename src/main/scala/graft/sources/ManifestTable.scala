@@ -1,0 +1,191 @@
+package graft.sources
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Atomic multi-file table commits via a single-pointer manifest swap —
+  * the public-knowledge protocol behind every manifest-committing table
+  * format (Iceberg's snapshot pointer, Delta's `_last_checkpoint`,
+  * Hive ACID's base/delta naming): data files are immutable and
+  * write-once, a MANIFEST file lists exactly the files of one snapshot,
+  * and "commit" is one atomic swap of a tiny pointer file. Readers
+  * resolve pointer → manifest → file list and read ONLY those files, so
+  * they can never observe a torn table: every file a manifest names was
+  * fully written (and its manifest fully written) before the pointer
+  * moved. Directory renames — which are copy+delete, hence non-atomic,
+  * on object stores — never appear anywhere in the protocol; the only
+  * rename is of the one-line pointer file, and on a real object store
+  * that degrades to a single-object PUT, which is atomic per key.
+  *
+  * Layout under `dir`:
+  * {{{
+  *   CURRENT                      // one line: the current manifest's file name
+  *   _manifests/manifest-<v>.txt  // one data-file path per line, relative to dir
+  *   data/<uuid>/part-*.parquet   // immutable data files, one subdir per commit
+  * }}}
+  *
+  * Crash safety, step by step: a writer (1) writes data files into a
+  * fresh `data/<uuid>/` nobody references, (2) writes the new manifest
+  * under a temp name and renames it into `_manifests/`, (3) atomically
+  * swaps `CURRENT` (temp file + `FileContext.rename(OVERWRITE)`, the
+  * Hadoop API whose contract IS atomic replace on HDFS/POSIX). A crash
+  * before (3) leaves orphan files that no reader resolves — the previous
+  * snapshot stays intact and visible; [[vacuum]] sweeps orphans later.
+  * [[StagedCommit]] exposes the (1)+(2) / (3) seam so tests can inject a
+  * crash exactly between file publish and pointer swap.
+  *
+  * Concurrency: last-writer-wins on the pointer (single-writer
+  * deployments; multi-writer needs a compare-and-swap the plain
+  * FileSystem API does not offer — that is precisely the piece Iceberg
+  * delegates to a catalog and Delta to a LogStore).
+  *
+  * Scale shape: commits move O(1) metadata regardless of table size;
+  * readers list zero directories (the manifest replaces listing — on
+  * object stores that also removes eventual-consistency LIST anomalies);
+  * [[compact]] rewrites data files but still commits by pointer swap.
+  */
+object ManifestTable {
+
+  private val PointerName = "CURRENT"
+
+  final case class StagedCommit(version: Long, manifestName: String)
+
+  private def fs(dir: String, spark: SparkSession): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readSmallFile(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  private def writeSmallFile(f: FileSystem, p: Path, content: String): Unit = {
+    val out = f.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The current snapshot version, or -1 for an empty/uninitialised dir. */
+  def currentVersion(spark: SparkSession, dir: String): Long = {
+    val f = fs(dir, spark)
+    val ptr = new Path(dir, PointerName)
+    if (!f.exists(ptr)) -1L
+    else {
+      val name = readSmallFile(f, ptr).trim
+      name.stripPrefix("manifest-").stripSuffix(".txt").toLong
+    }
+  }
+
+  /** The data-file paths (absolute) of the current snapshot. */
+  def currentFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val f = fs(dir, spark)
+    val ptr = new Path(dir, PointerName)
+    require(f.exists(ptr), s"not a manifest table (no $PointerName): $dir")
+    val name = readSmallFile(f, ptr).trim
+    readSmallFile(f, new Path(new Path(dir, "_manifests"), name))
+      .split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+      .map(rel => new Path(dir, rel).toString).toSeq
+  }
+
+  /** Read the current snapshot — exactly the manifest's files, never a
+    * directory listing, so concurrent commits/compactions are invisible. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(currentFiles(spark, dir): _*)
+
+  /** [[read]], or an empty frame of `schema` when the table has no commit
+    * yet — the "first batch of a new sink" case. */
+  def readOrEmpty(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    val f = fs(dir, spark)
+    if (f.exists(new Path(dir, PointerName))) read(spark, dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Steps (1)+(2): publish data files and manifest WITHOUT moving the
+    * pointer. Readers still resolve the previous snapshot. */
+  def stage(spark: SparkSession, dir: String, df: DataFrame): StagedCommit = {
+    val f = fs(dir, spark)
+    val dataDir = new Path(new Path(dir, "data"), UUID.randomUUID().toString)
+    df.write.parquet(dataDir.toString)
+    val files = f.listStatus(dataDir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    val base = new Path(dir)
+    val rel = files.map { p =>
+      val full = p.toUri.getPath
+      val root = f.makeQualified(base).toUri.getPath
+      full.stripPrefix(root).stripPrefix("/")
+    }
+    val v = currentVersion(spark, dir) + 1
+    val name = f"manifest-$v%020d.txt"
+    val mdir = new Path(dir, "_manifests")
+    f.mkdirs(mdir)
+    // manifest itself is also temp-file + rename so a manifest is either
+    // absent or complete — never half a file list
+    val tmp = new Path(mdir, s".$name.tmp.${UUID.randomUUID()}")
+    writeSmallFile(f, tmp, rel.sorted.mkString("\n"))
+    if (!f.rename(tmp, new Path(mdir, name)))
+      throw new java.io.IOException(s"cannot publish manifest $name in $mdir")
+    StagedCommit(v, name)
+  }
+
+  /** Step (3): the atomic pointer swap. After this returns, every new
+    * reader resolves the staged snapshot; a crash before it leaves the
+    * previous snapshot fully intact. */
+  def publish(spark: SparkSession, dir: String, staged: StagedCommit): Unit = {
+    val f = fs(dir, spark)
+    val ptrTmp = new Path(dir, s".$PointerName.tmp.${UUID.randomUUID()}")
+    writeSmallFile(f, ptrTmp, staged.manifestName)
+    val fc = FileContext.getFileContext(
+      f.makeQualified(new Path(dir)).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(f.makeQualified(ptrTmp), f.makeQualified(new Path(dir, PointerName)),
+      Options.Rename.OVERWRITE)
+  }
+
+  /** Full-snapshot commit: stage, then swap. The table's content after
+    * this call is exactly `df`. */
+  def commit(spark: SparkSession, dir: String, df: DataFrame): StagedCommit = {
+    val staged = stage(spark, dir, df)
+    publish(spark, dir, staged)
+    staged
+  }
+
+  /** Manifest-native small-file compaction: coalesce the CURRENT snapshot
+    * into `targetFiles` new data files and commit them by pointer swap —
+    * zero directory renames, zero reader-visible windows (contrast
+    * [[graft.ops.Bucketing.compact]]'s rename-aside, which is only safe
+    * where directory rename is atomic). Old files stay on disk for
+    * in-flight readers until [[vacuum]]. */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int): StagedCommit =
+    commit(spark, dir, read(spark, dir).coalesce(targetFiles))
+
+  /** Delete data files no longer referenced by the CURRENT manifest —
+    * crashed-commit orphans and pre-compaction generations. Run only when
+    * no reader can still hold a pre-swap manifest (retention is a
+    * deployment policy, same as any table format's). Returns the number
+    * of files deleted. */
+  def vacuum(spark: SparkSession, dir: String): Int = {
+    val f = fs(dir, spark)
+    val live = currentFiles(spark, dir)
+      .map(p => f.makeQualified(new Path(p)).toUri.getPath).toSet
+    val dataRoot = new Path(dir, "data")
+    if (!f.exists(dataRoot)) return 0
+    var n = 0
+    f.listStatus(dataRoot).foreach { sub =>
+      val children = f.listStatus(sub.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      val (dead, alive) = children.partition(c =>
+        !live.contains(f.makeQualified(c.getPath).toUri.getPath))
+      dead.foreach { c => if (f.delete(c.getPath, false)) n += 1 }
+      // a generation with no live data files left goes entirely
+      // (markers like _SUCCESS included)
+      if (alive.isEmpty) f.delete(sub.getPath, true): Unit
+    }
+    n
+  }
+}

@@ -273,10 +273,13 @@ object StreamingOps {
     * `versionCol`, `tiebreakCol` breaking exact ties — with a window
     * whose partitions are batch-key-sized; (2) merge against the current
     * table with latest-wins semantics (an update beats base at the same
-    * version, see [[graft.ops.Corpus.mergeUpsert]]); (3) rewrite to a
-    * versioned dir and swap the `current` pointer file. Readers resolve
-    * the pointer, so a crash mid-write leaves the previous version
-    * intact (the orphaned dir is re-overwritten by the next batch).
+    * version, see [[graft.ops.Corpus.mergeUpsert]]); (3) commit the
+    * merged snapshot through [[graft.sources.ManifestTable]] — new data
+    * files into a fresh subdir, then ONE atomic pointer swap. A crash at
+    * any point before the swap leaves the previous snapshot fully
+    * visible; readers resolve pointer → manifest → exact file list and
+    * can never observe a torn table (the protocol's crash-injection
+    * proof lives in ManifestTableSpec).
     *
     * Scale: the rewrite is proportional to the TABLE, not the batch —
     * the documented cost of parquet-as-sink; production bounds it by
@@ -289,40 +292,25 @@ object StreamingOps {
       versionCol: String,
       tiebreakCol: String,
       dir: String
-  ): org.apache.spark.sql.streaming.StreamingQuery = {
-    val root = new java.io.File(dir)
-    root.mkdirs()
-    val pointer = new java.io.File(root, "CURRENT")
+  ): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val wb = org.apache.spark.sql.expressions.Window
           .partitionBy(col(keyCol))
           .orderBy(col(versionCol).desc, col(tiebreakCol).desc)
         val winners = batch.withColumn("_rn", row_number().over(wb))
           .filter(col("_rn") === 1).drop("_rn")
-        val base =
-          if (pointer.exists())
-            spark.read.parquet(
-              new java.io.File(root, java.nio.file.Files.readString(pointer.toPath).trim).toString)
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], winners.schema)
+        val base = graft.sources.ManifestTable
+          .readOrEmpty(spark, dir, winners.schema)
         val merged = graft.ops.Corpus.mergeUpsert(base, winners, keyCol, versionCol)
-        val next = s"v$batchId"
-        merged.write.mode("overwrite")
-          .parquet(new java.io.File(root, next).toString)
-        java.nio.file.Files.writeString(pointer.toPath, next): Unit
+        graft.sources.ManifestTable.commit(spark, dir, merged): Unit
       }
       .start()
-  }
 
-  /** Read the table [[upsertSink]] maintains: the version the `CURRENT`
+  /** Read the table [[upsertSink]] maintains: the snapshot the manifest
     * pointer names. */
-  def readUpsertTable(spark: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(dir)
-    val v = java.nio.file.Files
-      .readString(new java.io.File(root, "CURRENT").toPath).trim
-    spark.read.parquet(new java.io.File(root, v).toString)
-  }
+  def readUpsertTable(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ManifestTable.read(spark, dir)
 }

@@ -351,8 +351,9 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     val finalState = StreamingOps.readUpsertTable(spark, dir)
       .orderBy("user_id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
     finalState shouldBe Array((1L, "d", 9.0), (2L, "c", 5.0), (3L, "f", 7.0))
-    // the pointer names the batch-1 version and batch-0's dir still exists
-    java.nio.file.Files.readString(
-      java.nio.file.Paths.get(dir, "CURRENT")).trim shouldBe "v1"
+    // the manifest pointer names the batch-1 snapshot, and batch-0's
+    // files are still on disk for in-flight readers until vacuum
+    graft.sources.ManifestTable.currentVersion(spark, dir) shouldBe 1L
+    graft.sources.ManifestTable.vacuum(spark, dir) should be > 0
   }
 }
