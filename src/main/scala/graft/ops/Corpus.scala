@@ -1096,10 +1096,11 @@ object Corpus {
     * every round then runs ONE vocab-sized job — a pair explode +
     * map-side-combinable count + a 1-row TakeOrderedAndProject — over the
     * cached base plus the accumulated rewrite chain (narrow per-row
-    * projections; round k replays k string rewrites over vocab rows,
-    * which is noise next to a per-round re-persist's extra
-    * materialization job — at billion-word vocab scale, re-persisting
-    * every ~8 rounds is the cadence knob). Driver state is one
+    * projections; replaying a few string rewrites is noise next to a
+    * per-round re-persist's extra materialization job, so the chain is
+    * localCheckpointed every [[RepersistEvery]] rounds rather than every
+    * round — plan depth and replay cost stay bounded by the cadence,
+    * flat in the merge index). Driver state is one
     * (pair, count) row per round. Assumes corpus text gives `nMerges`
     * rounds of nonempty pair tables (true for any real corpus). */
   def bpeMerges(
@@ -1122,15 +1123,22 @@ object Corpus {
     * Scale shape: merges apply to the DISTINCT-WORD vocabulary, not to
     * every occurrence — the rewrite chain (nMerges·maxChain literal
     * replaces) runs once per vocab entry, and documents join the
-    * segmented vocab on the word (broadcast at vocab scale), then
-    * aggregate per doc. Segmenting occurrences instead would multiply the
-    * string work by the corpus/vocab ratio for identical results. */
+    * segmented vocab on the word, then aggregate per doc. Segmenting
+    * occurrences instead would multiply the string work by the
+    * corpus/vocab ratio for identical results. `broadcastVocab` picks the
+    * join strategy (the [[bigramLm]] switch): true broadcasts the
+    * segmented vocab — right while the distinct-word table fits an
+    * executor; false shuffle-hash-joins on the word — the escape hatch
+    * for web-scale vocabularies, where an unconditional broadcast is an
+    * OOM, at the price of one corpus-sized shuffle. Results are
+    * bit-identical either way (plain equi-join on the word). */
   def bpeSegment(
       df: DataFrame,
       idCol: String,
       textCol: String,
       nMerges: Int = 12,
-      maxChain: Int = 6
+      maxChain: Int = 6,
+      broadcastVocab: Boolean = true
   ): DataFrame = {
     val merges = learnMerges(df, textCol, nMerges, maxChain)
     def applied(w: Column): Column = {
@@ -1143,7 +1151,7 @@ object Corpus {
       .select(col("w"),
         size(filter(split(applied(col("w")), "\\|"), x => x =!= "")).as("nt"))
     df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
-      .join(broadcast(vocab), "w")
+      .join(if (broadcastVocab) broadcast(vocab) else vocab.hint("shuffle_hash"), "w")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_word_tokens"),
         sum(col("nt")).cast("int").as("n_bpe_tokens"))
@@ -1152,12 +1160,27 @@ object Corpus {
   }
 
   /** The induction loop shared by [[bpeMerges]] and [[bpeSegment]]:
-    * (merge_idx, left, right, pair_count) per round. */
-  private def learnMerges(
+    * (merge_idx, left, right, pair_count) per round.
+    *
+    * Lineage discipline: round k's `words` frame is the persisted base
+    * plus k accumulated `replace` chains. Left unchecked, plan depth —
+    * and therefore per-round analysis/codegen time AND recompute cost on
+    * any executor-loss replay — grows linearly in the merge index, which
+    * is exactly the shape that falls over at a real tokenizer's 32k
+    * merges. Every [[RepersistEvery]] rounds the rewritten frame is
+    * localCheckpointed (eager): the chain is materialized to executor
+    * storage and the logical plan truncates back to a leaf, so round
+    * time stays flat in the merge index (ChainScalingSpec proves the
+    * bound). Checkpoint blocks from superseded rounds are reclaimed by
+    * the ContextCleaner once unreferenced. */
+  private val RepersistEvery = 8
+
+  private[ops] def learnMerges(
       df: DataFrame,
       textCol: String,
       nMerges: Int,
-      maxChain: Int
+      maxChain: Int,
+      onRound: (Int, Long) => Unit = (_, _) => ()
   ): Seq[(Int, String, String, Long)] = {
     val base = df.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
@@ -1168,6 +1191,7 @@ object Corpus {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var it = 1
     while (it <= nMerges) {
+      val roundStart = System.nanoTime()
       val syms = filter(split(col("s"), "\\|"), x => x =!= "")
       val half = greatest(size(col("sy")) - 1, lit(0))
       val top = words
@@ -1189,6 +1213,8 @@ object Corpus {
       for (_ <- 1 to maxChain)
         s2 = call_function("replace", s2, lit(s"|$a|$b|"), lit(s"|$a$b|"))
       words = words.select(s2.as("s"), col("n"))
+      if (it % RepersistEvery == 0) words = words.localCheckpoint(true)
+      onRound(it, System.nanoTime() - roundStart)
       it += 1
     }
     base.unpersist()
@@ -1755,14 +1781,22 @@ object Corpus {
   /** Greedy token-budget selection: the highest-quality documents, in
     * (quality desc, id) order, until the cumulative token count exceeds
     * the budget — the "fill the training-mix slot with the best `B`
-    * tokens" curation primitive. The running sum is an ordered window
-    * over the #docs-sized (id, quality, n_tokens) stat frame — the text
-    * itself never leaves the scan projection. The single-partition
-    * ordered pass is fine to ~10^8 docs; past that, do it in two passes
-    * (range-partition by quality, per-partition totals broadcast back —
-    * the [[EventOps.giniConcentration]] note). Quality is
+    * tokens" curation primitive. Quality is
     * [[TextFunctions.qualityScore]], bit-replicated by the oracle, so
-    * the order — and therefore the cut — is engine-portable. */
+    * the order — and therefore the cut — is engine-portable.
+    *
+    * Scale shape: the running sum is the classic DISTRIBUTED prefix sum,
+    * never a single-partition global window. Pass 1 range-partitions the
+    * #docs-sized stat frame on (quality desc, id) — so partition i's
+    * rows all precede partition j's (i < j) in the global order — and
+    * cumsums WITHIN each partition (a window partitioned by
+    * `spark_partition_id()`, parallel across partitions). Pass 2 turns
+    * the per-partition token totals (one row per partition) into prefix
+    * offsets with a tiny triangular self-join and broadcasts them back;
+    * global cumsum = local cumsum + own partition's offset. The plan
+    * contains NO `Exchange SinglePartition` anywhere (RangeRankSpec
+    * pins this), so the op survives a 100× scale-up where the
+    * one-ordered-partition version stalls on a single core. */
   def tokenBudgetSelect(
       df: DataFrame,
       idCol: String,
@@ -1772,14 +1806,44 @@ object Corpus {
     val toks = tokens(col(textCol))
     val scored = df.select(col(idCol), size(toks).cast("long").as("n_tokens"),
       qualityScore(col(textCol), toks).as("q"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("q").desc, col(idCol))
+    rangedPrefixSum(scored, Seq(col("q").desc, col(idCol).asc), col("n_tokens"))
+      .filter(col("__cum") <= budgetTokens)
+      .select(col(idCol), col("n_tokens"), round(col("q"), 6).as("quality"),
+        col("__cum").as("cum_tokens"))
+  }
+
+  /** Distributed ordered prefix sum: the input plus a `__cum` column =
+    * the running total of `valueCol` over the TOTAL order `sortCols`
+    * (which must be a total order — add a unique tiebreak column).
+    * Range-partition on the order, cumsum locally, offset by the
+    * triangular prefix of per-partition totals. No single-partition
+    * exchange at any width; the offset join is a broadcast of one row
+    * per partition. Shared by [[tokenBudgetSelect]] and
+    * [[graft.ops.EventOps.giniConcentration]]'s ranker. */
+  private[ops] def rangedPrefixSum(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      valueCol: Column
+  ): DataFrame = {
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = df.repartitionByRange(nParts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(sortCols: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    scored
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .filter(col("cum_tokens") <= budgetTokens)
-      .select(col(idCol), col("n_tokens"), round(col("q"), 6).as("quality"),
-        col("cum_tokens"))
+    val totals = parts.groupBy(col("__pid")).agg(sum(valueCol).as("__tot"))
+    // triangular self-join instead of an ordered window: P² pairs over a
+    // #partitions-sized frame is noise, and it keeps the WHOLE plan free
+    // of Exchange SinglePartition
+    val offsets = totals.as("a")
+      .join(totals.as("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__tot")), lit(0L)).as("__offset"))
+    parts
+      .withColumn("__cum_local", sum(valueCol).over(wLocal))
+      .join(broadcast(offsets), "__pid")
+      .withColumn("__cum", col("__cum_local") + col("__offset"))
+      .drop("__pid", "__cum_local", "__offset")
   }
 }

@@ -712,15 +712,16 @@ object EventOps {
     * at any realistic key count), so the coefficient is one double
     * division at the end — bit-replicable.
     *
-    * Scale note: the rank is a single-partition window over the PER-KEY
-    * count frame (#keys rows, not #events). Beyond ~10^8 keys, swap in a
-    * range-partitioned two-pass rank (partition by count range, offset by
-    * partition-count prefix sums — the writeRangeSorted recipe); the
-    * formula is unchanged. */
+    * Scale note: the rank runs over the PER-KEY count frame (#keys rows,
+    * not #events) as a range-partitioned two-pass rank
+    * ([[graft.ops.Corpus.rangedPrefixSum]] with a unit value: partition
+    * by (count, key) range, rank locally, offset by the prefix of
+    * per-partition row counts) — no single-partition window at any key
+    * count; the formula is unchanged. */
   def giniConcentration(events: DataFrame, keyCol: String): DataFrame = {
     val counts = events.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
-    val w = Window.orderBy(col("n").asc, col(keyCol).asc)
-    counts.withColumn("i", row_number().over(w).cast("long"))
+    Corpus.rangedPrefixSum(counts, Seq(col("n").asc, col(keyCol).asc), lit(1L))
+      .withColumn("i", col("__cum"))
       .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("total"),
         sum(col("i") * col("n")).as("sin"))
       .select(col("n_keys"), col("total"),

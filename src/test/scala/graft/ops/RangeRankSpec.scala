@@ -1,0 +1,107 @@
+package graft.ops
+
+import graft.plug.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** The two-pass range-partitioned rank/prefix-sum: bit-identical to the
+  * single-partition ordered window it replaces, with NO
+  * `Exchange SinglePartition` anywhere in the executed plan — the shape
+  * that survives a 100× scale-up. */
+class RangeRankSpec extends AnyFlatSpec with Matchers {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  behavior of "rangedPrefixSum"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  it should "match the single-partition ordered window bit for bit" in {
+    val rnd = new scala.util.Random(42)
+    val rows = (0L until 5000L).map(i => (i, rnd.nextInt(50).toLong + 1L))
+    val df = rows.toDF("id", "v")
+    val got = Corpus.rangedPrefixSum(df, Seq(col("v").desc, col("id").asc), col("v"))
+      .select(col("id"), col("__cum")).as[(Long, Long)].collect().toMap
+    // reference: driver-side prefix sum over the same total order
+    var cum = 0L
+    val want = rows.sortBy { case (id, v) => (-v, id) }.map { case (id, v) =>
+      cum += v; (id, cum)
+    }.toMap
+    got shouldBe want
+  }
+
+  it should "keep every exchange partitioned — no SinglePartition anywhere" in {
+    val df = (0L until 5000L).map(i => (i, i % 97)).toDF("id", "v")
+    val plan = planOf(
+      Corpus.rangedPrefixSum(df, Seq(col("v").desc, col("id").asc), col("v")))
+    withClue(plan) {
+      plan should not include "Exchange SinglePartition"
+      plan should include("rangepartitioning")     // pass 1: order-preserving split
+      plan should include("hashpartitioning(__pid") // local cumsum stays per-partition
+    }
+  }
+
+  it should "rank for giniConcentration identically to the direct formula" in {
+    val rnd = new scala.util.Random(7)
+    val events = (0 until 20000).map(i => (s"k${rnd.nextInt(300)}", i))
+      .toDF("user_id", "x")
+    val got = EventOps.giniConcentration(events, "user_id").collect()(0)
+    // direct computation from per-key counts on the driver
+    val counts = events.groupBy("user_id").count()
+      .as[(String, Long)].collect().sortBy { case (k, n) => (n, k) }
+    val nk = counts.length.toLong
+    val total = counts.map(_._2).sum
+    val sin = counts.zipWithIndex.map { case ((_, n), i) => (i + 1L) * n }.sum
+    got.getLong(0) shouldBe nk
+    got.getLong(1) shouldBe total
+    val gini = (2L * sin - (nk + 1) * total).toDouble / (nk.toDouble * total)
+    got.getDouble(2) shouldBe (math.rint(gini * 1e6) / 1e6)
+  }
+
+  it should "plan giniConcentration and tokenBudgetSelect without data-sized SinglePartition exchanges" in {
+    // A SinglePartition exchange is scale-safe ONLY when it moves
+    // map-side partial-aggregate rows (one row per partition — gini's
+    // final 1-row readout). It is the bottleneck shape when it feeds a
+    // Sort/Window over the full frame — the plan this rank replaced.
+    def offendingSinglePartitions(plan: String): Seq[String] = {
+      val lines = plan.linesIterator.toVector
+      lines.zipWithIndex.collect {
+        case (l, i) if l.contains("Exchange SinglePartition") &&
+          !lines.drop(i + 1).take(2).exists(_.contains("partial_")) => l
+      }
+    }
+
+    val events = (0 until 5000).map(i => (s"k${i % 37}", i)).toDF("user_id", "x")
+    val gp = planOf(EventOps.giniConcentration(events, "user_id"))
+    withClue(gp) { offendingSinglePartitions(gp) shouldBe empty }
+
+    val docs = (0L until 500L)
+      .map(i => (i, s"some sample text number $i with a few words"))
+      .toDF("doc_id", "text")
+    val tb = Corpus.tokenBudgetSelect(docs, "doc_id", "text", budgetTokens = 1000L)
+    val tp = planOf(tb)
+    withClue(tp) {
+      offendingSinglePartitions(tp) shouldBe empty
+      // the budget cut emits data rows, not a 1-row readout — here not
+      // even a partial-fed SinglePartition may appear
+      tp should not include "Exchange SinglePartition"
+    }
+  }
+
+  behavior of "bpeSegment broadcastVocab switch"
+
+  it should "produce identical results in broadcast and shuffle-hash modes" in {
+    val docs = (0L until 200L)
+      .map(i => (i, s"alpha beta gamma_$i delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val bc = Corpus.bpeSegment(docs, "doc_id", "text", nMerges = 6,
+      broadcastVocab = true).orderBy("doc_id").collect()
+    val sh = Corpus.bpeSegment(docs, "doc_id", "text", nMerges = 6,
+      broadcastVocab = false).orderBy("doc_id").collect()
+    sh shouldBe bc
+  }
+}
