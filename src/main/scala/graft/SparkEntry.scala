@@ -267,6 +267,28 @@ object SparkEntry {
           col("price.maxPrice").as("max_price"))
     }),
 
+    // O5 extension: array-of-struct element override — an action key like
+    // `items.price` where `items: array<struct>` compiles to
+    // transform(items, x -> x.withField(...)) under the rule condition
+    // (the reference supports only scalar-struct children, README.md:161).
+    // Null arrays pass through untouched (transform(null) is null); the
+    // explode at the end drops them, and the oracle mirrors that with the
+    // p_size % 7 filter.
+    "plug_array_struct_override" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val df = table(s, dir, "part").withColumn("items",
+        when(col("p_size") % 7 === 0, lit(null))
+          .otherwise(array(
+            struct(lit("std").as("sku"), col("p_retailprice").as("price")),
+            struct(lit("promo").as("sku"), (col("p_retailprice") * 0.9).as("price")))))
+      val rule = PlugRule("rarr", "v1", "p_size > 40",
+        Seq(PlugAction("items.price", "0.0")))
+      plugged(df, List(rule))
+        .select(col("p_partkey"), explode(col("items")).as("item"))
+        .select(col("p_partkey"), col("item.sku").as("sku"),
+          round(col("item.price"), 6).as("price"))
+    }),
+
     // O5 extension: depth-2 struct-leaf override — the reference validates
     // deep paths but its SQL generator only rebuilds one level
     // (PlugRule.scala:102-121); `withField` lifts the limit (documented
@@ -2576,6 +2598,15 @@ object SparkEntry {
       """SELECT p_partkey,
         |CASE WHEN p_size > 40 THEN 1000.5 ELSE p_retailprice END AS min_price,
         |p_retailprice * 1.2 AS max_price FROM part""".stripMargin,
+
+    "plug_array_struct_override" ->
+      """SELECT p_partkey, 'std' AS sku,
+        |round(CASE WHEN p_size > 40 THEN 0.0 ELSE p_retailprice END, 6) AS price
+        |FROM part WHERE p_size % 7 <> 0
+        |UNION ALL
+        |SELECT p_partkey, 'promo' AS sku,
+        |round(CASE WHEN p_size > 40 THEN 0.0 ELSE p_retailprice * 0.9 END, 6) AS price
+        |FROM part WHERE p_size % 7 <> 0""".stripMargin,
 
     "plug_nested_struct_override" ->
       """SELECT l_orderkey, l_linenumber,

@@ -1170,7 +1170,7 @@ object Corpus {
     * merges. Every [[RepersistEvery]] rounds the rewritten frame is
     * localCheckpointed (eager): the chain is materialized to executor
     * storage and the logical plan truncates back to a leaf, so round
-    * time stays flat in the merge index (ChainScalingSpec proves the
+    * time stays flat in the merge index (BpeChainScalingSpec proves the
     * bound). Checkpoint blocks from superseded rounds are reclaimed by
     * the ContextCleaner once unreferenced. */
   private val RepersistEvery = 8

@@ -80,13 +80,46 @@ object RuleCompiler {
       a -> coerceValue(a.value, dt).getOrElse(lit(null))
     }
 
+    // True when some prefix of the dotted path is an array-of-struct —
+    // the action targets a PER-ELEMENT field and compiles to transform().
+    def crossesArray(key: String): Boolean = {
+      val segs = key.split('.')
+      (1 until segs.length).exists { i =>
+        fields.get(segs.take(i).mkString(".")).exists(_.isInstanceOf[ArrayType])
+      }
+    }
+
     // Null-safe change detection, OR-ed across actions; the comparison
     // operand is the post-coercion value, matching the reference's
     // `not(key <=> cast(v as double))` (PlugRule.scala:50,58). Only built
-    // when an audit column needs the gate.
+    // when an audit column needs the gate. For a per-element action the
+    // extraction `col("items.price")` resolves to the ARRAY of element
+    // values, so the gate is "some element differs" (exists), null/empty
+    // arrays counting as unchanged.
     def anyChanged: Column =
-      converted.map { case (a, v) => !(col(a.key) <=> v) }
-        .reduceOption(_ || _).getOrElse(lit(false))
+      converted.map { case (a, v) =>
+        if (crossesArray(a.key))
+          coalesce(exists(col(a.key), e => !(e <=> v)), lit(false))
+        else !(col(a.key) <=> v)
+      }.reduceOption(_ || _).getOrElse(lit(false))
+
+    // Per-element override builder: walk the dotted path through the
+    // column's type, rebuilding structs via withField and mapping arrays
+    // via transform (null structs/arrays propagate untouched at every
+    // level — transform(null) is null, withField on null is null). The
+    // row-level rule condition is captured by the lambda, so one codegen'd
+    // projection rewrites every element of every matching row.
+    def overrideAt(dt: DataType, node: Column, segs: Seq[String], v: Column): Column =
+      dt match {
+        case ArrayType(et: StructType, _) if segs.nonEmpty =>
+          transform(node, x => overrideAt(et, x, segs, v))
+        case st: StructType if segs.nonEmpty =>
+          node.withField(segs.head,
+            overrideAt(st(segs.head).dataType, node.getField(segs.head), segs.tail, v))
+        case _ =>
+          require(segs.isEmpty, s"path remainder ${segs.mkString(".")} at scalar type $dt")
+          when(cond, v).otherwise(node)
+      }
 
     // Group actions by the top-level column so two actions on the same
     // struct parent fold into ONE rebuild (fixes reference quirk of
@@ -94,6 +127,12 @@ object RuleCompiler {
     val updates: Seq[(String, Column)] =
       converted.groupBy(_._1.updateKey).toSeq.sortBy(_._1).map { case (top, acts) =>
         val updated = acts.foldLeft(col(top)) {
+          case (acc, (a, v)) if a.key.contains('.') && crossesArray(a.key) =>
+            // Array-of-struct element override: transform + withField,
+            // every element of a matching row gets the value (extension
+            // beyond the reference, which only supported scalar-struct
+            // children — README.md:161).
+            overrideAt(fields(top), acc, a.key.split('.').drop(1).toSeq, v)
           case (acc, (a, v)) if a.key.contains('.') =>
             // Struct-field override via withField: null parents propagate
             // (withField on a null struct is null), matching the reference's

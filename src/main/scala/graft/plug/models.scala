@@ -1,6 +1,6 @@
 package graft.plug
 
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
 
 /** A single column override: set `key` (possibly a dotted struct path) to
   * `value` when the owning rule's condition holds.
@@ -63,12 +63,23 @@ case class PlugRule(name: String, version: String, condition: String, actions: S
 
 object PlugRule {
   /** Recursive flatten of a StructType into dotted-path -> DataType pairs;
-    * struct parents are included as well (reference: PlugRule.scala:146-151). */
+    * struct parents are included as well (reference: PlugRule.scala:146-151).
+    * Extension beyond the reference: an array-of-struct field also
+    * contributes its ELEMENT fields (`items.price` where
+    * `items: array<struct<price,…>>` maps to the element's price type), so
+    * rules can target per-element fields — validated with the element
+    * field's type and compiled to a `transform` by the RuleCompiler. */
   def buildFieldsMap(schema: StructType, prefix: String = ""): Seq[(String, DataType)] =
     schema.fields.toSeq.flatMap {
       case f if f.dataType.isInstanceOf[StructType] =>
         (s"$prefix${f.name}", f.dataType) +:
           buildFieldsMap(f.dataType.asInstanceOf[StructType], s"$prefix${f.name}.")
+      case f if f.dataType.isInstanceOf[ArrayType] &&
+          f.dataType.asInstanceOf[ArrayType].elementType.isInstanceOf[StructType] =>
+        (s"$prefix${f.name}", f.dataType) +:
+          buildFieldsMap(
+            f.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType],
+            s"$prefix${f.name}.")
       case f => Seq((s"$prefix${f.name}", f.dataType))
     }
 }

@@ -8,7 +8,7 @@ import org.scalatest.matchers.should.Matchers
   * localCheckpoint cadence, per-round cost stays FLAT in the merge index
   * instead of growing with the accumulated rewrite chain — the property a
   * real 32k-merge tokenizer run depends on. */
-class ChainScalingSpec extends AnyFlatSpec with Matchers {
+class BpeChainScalingSpec extends AnyFlatSpec with Matchers {
   lazy val spark = TestSpark.session
   import spark.implicits._
 

@@ -13,6 +13,9 @@ case class TestRowWithPlugDetails(title: String, brand: String, price: Int,
 case class TestPriceDetails(minPrice: Double, maxPrice: Double, availability: String = "available")
 case class TestRowWithStruct(title: String, brand: String, price: Option[TestPriceDetails])
 case class OverrideDetail(ruleId: Option[String], fieldNames: Seq[String], ruleVersion: Option[String])
+case class TestDims(w: Int, h: Int)
+case class TestItem(sku: String, price: Double, dims: TestDims)
+case class TestRowWithItems(title: String, brand: String, items: Option[Seq[TestItem]])
 
 class SparkPlugSpec extends AnyFlatSpec with Matchers {
 
@@ -363,5 +366,66 @@ class SparkPlugSpec extends AnyFlatSpec with Matchers {
     val bad = List(PlugRule("r", "v1", "nope > 1", Seq(PlugAction("tag", "X"))))
     SparkPlug.builder(spark).enableRulesValidation.create()
       .diffRuleSets(df, Seq("id"), v1, bad).isLeft shouldBe true
+  }
+
+  // ---- array-of-struct actions (extension beyond the reference, which
+  // supported only scalar-struct children — reference README.md:161) ----
+
+  def itemsDf: DataFrame = Seq(
+    TestRowWithItems("iPhone", "Apple",
+      Some(Seq(TestItem("a1", 100.0, TestDims(1, 2)), TestItem("a2", 200.0, TestDims(3, 4))))),
+    TestRowWithItems("Galaxy", "Samsung",
+      Some(Seq(TestItem("s1", 50.0, TestDims(5, 6))))),
+    TestRowWithItems("Lumia", "Nokia", None),
+    TestRowWithItems("Pixel", "Google", Some(Seq.empty))
+  ).toDF()
+
+  it should "override a field inside every element of an array of structs" in {
+    val rules = List(PlugRule("ra", "v1", "brand = 'Apple'",
+      Seq(PlugAction("items.price", "9.5"))))
+    val out = SparkPlug.builder(spark).create().plug(itemsDf, rules).toOption.get
+    val rows = out.as[TestRowWithItems].collect().sortBy(_.title)
+    rows.map(_.title) shouldBe Array("Galaxy", "Lumia", "Pixel", "iPhone")
+    rows(0).items.get.map(_.price) shouldBe Seq(50.0)          // no match: untouched
+    rows(1).items shouldBe None                                 // null array preserved
+    rows(2).items shouldBe Some(Seq.empty)                      // empty array preserved
+    rows(3).items.get.map(_.price) shouldBe Seq(9.5, 9.5)       // every element plugged
+    rows(3).items.get.map(_.sku) shouldBe Seq("a1", "a2")       // siblings kept
+  }
+
+  it should "override a struct leaf nested inside array elements" in {
+    val rules = List(PlugRule("rad", "v1", "brand = 'Apple'",
+      Seq(PlugAction("items.dims.w", "0"))))
+    val out = SparkPlug.builder(spark).create().plug(itemsDf, rules).toOption.get
+    val apple = out.filter($"title" === "iPhone").as[TestRowWithItems].collect().head
+    apple.items.get.map(_.dims.w) shouldBe Seq(0, 0)
+    apple.items.get.map(_.dims.h) shouldBe Seq(2, 4) // sibling leaf kept
+  }
+
+  it should "audit array actions per element: only rows where some element changes" in {
+    val rules = List(
+      // every Galaxy item already costs 50.0 -> matched but NO change
+      PlugRule("rg", "v1", "brand = 'Samsung'", Seq(PlugAction("items.price", "50.0"))),
+      // Apple items cost 100/200 -> a real change
+      PlugRule("ra", "v1", "brand = 'Apple'", Seq(PlugAction("items.price", "100.0"))))
+    val out = SparkPlug.builder(spark).enablePlugDetails().create()
+      .plug(itemsDf, rules).toOption.get
+    val details = out.select($"title", functions.size($"plugDetails").as("n"))
+      .as[(String, Int)].collect().toMap
+    details("Galaxy") shouldBe 0 // no-op assignment: not audited
+    details("iPhone") shouldBe 1 // one element differed (200 -> 100)
+    details("Lumia") shouldBe 0  // null array: unchanged
+    details("Pixel") shouldBe 0  // empty array: unchanged
+  }
+
+  it should "validate element-field actions against the element schema" in {
+    val ok = PlugRule("r1", "v1", "price > 0", Seq(PlugAction("items.price", "5.0")))
+    ok.validate(itemsDf.schema.asInstanceOf[org.apache.spark.sql.types.StructType]) shouldBe Nil
+    val missing = PlugRule("r2", "v1", "price > 0", Seq(PlugAction("items.nope", "5.0")))
+    missing.validate(itemsDf.schema) shouldBe List(
+      PlugRuleValidationError("r2", """Field "items.nope" not found in the schema."""))
+    val badType = PlugRule("r3", "v1", "price > 0", Seq(PlugAction("items.price", "cheap")))
+    badType.validate(itemsDf.schema) shouldBe List(
+      PlugRuleValidationError("r3", """Value "cheap" cannot be assigned to field items.price."""))
   }
 }
