@@ -2124,8 +2124,7 @@ object SparkEntry {
         .mapPartitionsWithIndex { (i, it) =>
           if (it.hasNext) {
             val bytes = graft.sources.Ingest.toWarc(it)
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(out, f"part-$i%05d.warc"), bytes)
+            graft.sources.Ingest.writeBytes(f"$out/part-$i%05d.warc", bytes)
             Iterator.single(1)
           } else Iterator.empty
         }.count(): Unit
@@ -2149,8 +2148,7 @@ object SparkEntry {
                 graft.sources.Ingest.toWarc(Iterator(r)))).toArray
             val bos = new java.io.ByteArrayOutputStream()
             members.foreach(bos.write)
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(out, f"part-$i%05d.warc.gz"),
+            graft.sources.Ingest.writeBytes(f"$out/part-$i%05d.warc.gz",
               bos.toByteArray)
             Iterator.single(1)
           } else Iterator.empty
@@ -2159,6 +2157,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_records"),
           sum(col("content_length")).as("total_bytes"),
           countDistinct(md5(col("payload"))).as("n_distinct_payloads"))
+    }),
+
+    // Extension: atomic manifest-table commits — the documents table goes
+    // through the full ManifestTable protocol (commit a 8-file snapshot,
+    // overwrite-commit a filtered second snapshot, pointer-swap compact,
+    // vacuum the superseded generations) and reads back EXACTLY the
+    // second snapshot via the manifest's file list — never a directory
+    // listing, so the dead first-generation files sharing the directory
+    // are invisible. The oracle recomputes the same aggregate from the
+    // filtered source rows.
+    "ingest_manifest_commit" -> ((s, dir) => {
+      val out = scratch("manifest_tbl")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      graft.sources.ManifestTable.commit(s, out, docs.repartition(8))
+      graft.sources.ManifestTable.commit(s, out,
+        graft.sources.ManifestTable.read(s, out).filter(col("doc_id") % 3 =!= 0))
+      graft.sources.ManifestTable.compact(s, out, targetFiles = 2)
+      graft.sources.ManifestTable.vacuum(s, out): Unit
+      graft.sources.ManifestTable.read(s, out)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_sum"))
     }),
 
     // Extension: per-shard Bloom point-lookup index — the file-skipping
@@ -4848,6 +4869,16 @@ object SparkEntry {
         |  md5(text) AS payload_md5,
         |  'http://synthetic.local/doc/' || doc_id AS target_uri
         |FROM documents""".stripMargin,
+
+    // The manifest table's CURRENT snapshot is the doc_id % 3 <> 0 filter
+    // of the source — the first (unfiltered) generation's files are dead
+    // on disk and must not leak into the aggregate.
+    "ingest_manifest_commit" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents WHERE doc_id % 3 <> 0
+        |GROUP BY source, lang""".stripMargin,
 
     // Same md5 position family as text_contam_bloom (5 hex chars per
     // hash, 32-bit chunking) over the id strings; 1024 words → 65536 bits.

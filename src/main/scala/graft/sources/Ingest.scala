@@ -223,6 +223,20 @@ object Ingest {
   /** gzip-compress `bytes` as one member (the per-record-member layout
     * CommonCrawl uses concatenates these; Java's GZIPInputStream reads
     * multi-member streams transparently). */
+  /** Write one file through the Hadoop `FileSystem` API — the
+    * cluster-portable seam for archive writers running INSIDE task
+    * closures (`java.nio` paths would scatter the files across each
+    * executor's local disk, invisible to the read side on a real
+    * cluster). Each task resolves the FS from the path and a fresh
+    * `Configuration` — the default-fs case, same idiom as
+    * [[parquetFooterStats]]. */
+  def writeBytes(path: String, bytes: Array[Byte]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
   def gzip(bytes: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bos)
