@@ -64,6 +64,13 @@ import org.apache.spark.sql.SparkSession
   * leading zero of sub-second times (`.2`) was considered and rejected:
   * that is not a valid JSON number and the driver json-parses the line.
   * First fit wins; the headline total keeps full precision in every form.
+  *
+  * Independently of the degraded stdout line, the parent run writes
+  * `bench_detail.json` (override path via `GRAFT_BENCH_DETAIL`, empty
+  * disables): full query names, 2-decimal seconds, ok flags, and the run
+  * diagnostics — the machine-readable bench of record that makes
+  * same-query regression tracking across rounds possible. Commit it
+  * alongside each record run.
   */
 object Bench {
 
@@ -283,6 +290,39 @@ object Bench {
         val load1 = s"${loadBefore.split(",").headOption.getOrElse("")};" +
           s"${loadAvg().split(",").headOption.getOrElse("")}"
         val fb = if (fallbacks > 0) s""","fallbacks":$fallbacks""" else ""
+        // Full-resolution per-query record, UNABBREVIATED and never
+        // degraded: the emitted stdout line compresses to fit the
+        // driver's tail window (whole seconds, ordinal names, fast
+        // queries elided at the tightest stages), which makes same-query
+        // regression tracking across rounds impossible from BENCH_r*.json
+        // alone. This file is the machine-readable bench of record —
+        // commit it alongside each record run.
+        val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL", "bench_detail.json")
+        if (detailPath.nonEmpty) try {
+          val qjson = results.sortBy(_._1).map { case (n, (v, ok)) =>
+            s"""    "$n": {"sec": ${f2(v)}, "ok": $ok}"""
+          }.mkString("{\n", ",\n", "\n  }")
+          val body =
+            s"""{
+               |  "metric": "total",
+               |  "value": ${f2(total)},
+               |  "unit": "sec",
+               |  "sf": "$sfDir",
+               |  "cpus": "$cpus",
+               |  "repeats": $repeats,
+               |  "warmup_sec": ${"%.0f".format(warmupTotal)},
+               |  "load_1min": "$load1",
+               |  "fallbacks": $fallbacks,
+               |  "n_queries": ${results.size},
+               |  "failed": $failed,
+               |  "queries": $qjson
+               |}
+               |""".stripMargin
+          java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+            body.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+        }
         // The driver parses this line from the TAIL of the combined sbt
         // output (observed window ~2000 chars; BENCH_r02 overflowed it and
         // parsed as null). Degrade chain — see the scaladoc: trimmed
