@@ -2182,6 +2182,39 @@ object SparkEntry {
           sum(col("n_chars")).as("chars_sum"))
     }),
 
+    // Extension: manifest-table APPEND commits — two incremental batches
+    // land as append transactions (each moves only its batch's files; the
+    // pointer swap is the only reader-visible mutation), and the final
+    // read is exactly their union.
+    "ingest_manifest_append" -> ((s, dir) => {
+      val out = scratch("manifest_app")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      graft.sources.ManifestTable.commit(s, out, docs.filter(col("doc_id") % 3 === 0))
+      graft.sources.ManifestTable.append(s, out, docs.filter(col("doc_id") % 3 === 1))
+      graft.sources.ManifestTable.read(s, out)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_sum"))
+    }),
+
+    // Extension: manifest-table TIME TRAVEL — manifests are immutable and
+    // data files write-once, so version 0 reads bit-identically after
+    // version 1 replaces it; both snapshots aggregate side by side from
+    // one directory.
+    "ingest_manifest_timetravel" -> ((s, dir) => {
+      val out = scratch("manifest_tt")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      graft.sources.ManifestTable.commit(s, out, docs)
+      graft.sources.ManifestTable.commit(s, out, docs.filter(col("doc_id") % 2 === 0))
+      def snap(v: Long) = graft.sources.ManifestTable.readVersion(s, out, v)
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_sum"))
+        .select(lit(v).as("version"), col("n_docs"), col("id_sum"), col("chars_sum"))
+      snap(0L).unionAll(snap(1L))
+    }),
+
     // Extension: per-shard Bloom point-lookup index — the file-skipping
     // shape: a probe opens only the shards whose constant-size filter MAY
     // contain the id; present ids always include their true hash shard.
@@ -4879,6 +4912,26 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
         |FROM documents WHERE doc_id % 3 <> 0
         |GROUP BY source, lang""".stripMargin,
+
+    // Append union: the two batches cover doc_id % 3 in {0, 1}.
+    "ingest_manifest_append" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents WHERE doc_id % 3 <> 2
+        |GROUP BY source""".stripMargin,
+
+    // Version 0 is the full corpus; version 1 is the doc_id % 2 = 0 cut.
+    "ingest_manifest_timetravel" ->
+      """SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
 
     // Same md5 position family as text_contam_bloom (5 hex chars per
     // hash, 32-bit chunking) over the id strings; 1024 words → 65536 bits.

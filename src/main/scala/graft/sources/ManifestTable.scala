@@ -82,16 +82,19 @@ object ManifestTable {
     }
   }
 
-  /** The data-file paths (absolute) of the current snapshot. */
-  def currentFiles(spark: SparkSession, dir: String): Seq[String] = {
-    val f = fs(dir, spark)
+  private def manifestRel(f: FileSystem, dir: String, name: String): Seq[String] =
+    readSmallFile(f, new Path(new Path(dir, "_manifests"), name))
+      .split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def currentRel(f: FileSystem, dir: String): Seq[String] = {
     val ptr = new Path(dir, PointerName)
     require(f.exists(ptr), s"not a manifest table (no $PointerName): $dir")
-    val name = readSmallFile(f, ptr).trim
-    readSmallFile(f, new Path(new Path(dir, "_manifests"), name))
-      .split('\n').iterator.map(_.trim).filter(_.nonEmpty)
-      .map(rel => new Path(dir, rel).toString).toSeq
+    manifestRel(f, dir, readSmallFile(f, ptr).trim)
   }
+
+  /** The data-file paths (absolute) of the current snapshot. */
+  def currentFiles(spark: SparkSession, dir: String): Seq[String] =
+    currentRel(fs(dir, spark), dir).map(rel => new Path(dir, rel).toString)
 
   /** Read the current snapshot — exactly the manifest's files, never a
     * directory listing, so concurrent commits/compactions are invisible. */
@@ -108,8 +111,16 @@ object ManifestTable {
   }
 
   /** Steps (1)+(2): publish data files and manifest WITHOUT moving the
-    * pointer. Readers still resolve the previous snapshot. */
-  def stage(spark: SparkSession, dir: String, df: DataFrame): StagedCommit = {
+    * pointer. Readers still resolve the previous snapshot. `carryForward`
+    * lists data files (dir-relative) from prior snapshots that stay part
+    * of this one — empty for a full-snapshot commit, the current
+    * manifest's list for an append. */
+  def stage(
+      spark: SparkSession,
+      dir: String,
+      df: DataFrame,
+      carryForward: Seq[String] = Seq.empty
+  ): StagedCommit = {
     val f = fs(dir, spark)
     val dataDir = new Path(new Path(dir, "data"), UUID.randomUUID().toString)
     df.write.parquet(dataDir.toString)
@@ -128,7 +139,7 @@ object ManifestTable {
     // manifest itself is also temp-file + rename so a manifest is either
     // absent or complete — never half a file list
     val tmp = new Path(mdir, s".$name.tmp.${UUID.randomUUID()}")
-    writeSmallFile(f, tmp, rel.sorted.mkString("\n"))
+    writeSmallFile(f, tmp, (carryForward ++ rel).sorted.mkString("\n"))
     if (!f.rename(tmp, new Path(mdir, name)))
       throw new java.io.IOException(s"cannot publish manifest $name in $mdir")
     StagedCommit(v, name)
@@ -155,6 +166,43 @@ object ManifestTable {
     staged
   }
 
+  /** Append-commit: the new snapshot = every current file plus `df`'s new
+    * files — the incremental-ingest transaction. Existing data files are
+    * never rewritten or moved; the commit's data volume is the BATCH, not
+    * the table, and crash safety is identical to [[commit]] (the pointer
+    * swap is the only mutation readers can see). */
+  def append(spark: SparkSession, dir: String, df: DataFrame): StagedCommit = {
+    val f = fs(dir, spark)
+    val carry =
+      if (f.exists(new Path(dir, PointerName))) currentRel(f, dir) else Seq.empty
+    val staged = stage(spark, dir, df, carry)
+    publish(spark, dir, staged)
+    staged
+  }
+
+  /** The committed snapshot versions still present in `_manifests`,
+    * ascending. */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val f = fs(dir, spark)
+    val mdir = new Path(dir, "_manifests")
+    if (!f.exists(mdir)) Seq.empty
+    else f.listStatus(mdir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("manifest-") && n.endsWith(".txt"))
+      .map(_.stripPrefix("manifest-").stripSuffix(".txt").toLong).sorted
+  }
+
+  /** Time travel: read snapshot `version` exactly as it was committed —
+    * manifests are immutable and data files write-once, so any version
+    * not yet [[vacuum]]ed reads bit-identically forever. */
+  def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val f = fs(dir, spark)
+    val name = f"manifest-$version%020d.txt"
+    require(f.exists(new Path(new Path(dir, "_manifests"), name)),
+      s"version $version not found (vacuumed, or never committed) in $dir")
+    spark.read.parquet(
+      manifestRel(f, dir, name).map(rel => new Path(dir, rel).toString): _*)
+  }
+
   /** Manifest-native small-file compaction: coalesce the CURRENT snapshot
     * into `targetFiles` new data files and commit them by pointer swap —
     * zero directory renames, zero reader-visible windows (contrast
@@ -165,12 +213,20 @@ object ManifestTable {
     commit(spark, dir, read(spark, dir).coalesce(targetFiles))
 
   /** Delete data files no longer referenced by the CURRENT manifest —
-    * crashed-commit orphans and pre-compaction generations. Run only when
-    * no reader can still hold a pre-swap manifest (retention is a
-    * deployment policy, same as any table format's). Returns the number
-    * of files deleted. */
+    * crashed-commit orphans and pre-compaction generations — and the
+    * superseded manifests themselves, collapsing [[readVersion]] history
+    * to the current snapshot (a later time-travel call fails with the
+    * clean "vacuumed" message, never a dangling-file scan error). Run
+    * only when no reader can still hold a pre-swap manifest (retention is
+    * a deployment policy, same as any table format's). Returns the number
+    * of data files deleted. */
   def vacuum(spark: SparkSession, dir: String): Int = {
     val f = fs(dir, spark)
+    val keep = readSmallFile(f, new Path(dir, PointerName)).trim
+    val mdir = new Path(dir, "_manifests")
+    if (f.exists(mdir))
+      f.listStatus(mdir).map(_.getPath).filter(_.getName != keep)
+        .foreach(p => f.delete(p, false): Unit)
     val live = currentFiles(spark, dir)
       .map(p => f.makeQualified(new Path(p)).toUri.getPath).toSet
     val dataRoot = new Path(dir, "data")

@@ -82,6 +82,48 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
     } finally rm(dir)
   }
 
+  it should "append incrementally without rewriting existing data files" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.commit(spark, dir,
+        (0L until 50L).map(i => (i, s"base$i")).toDF("id", "v"))
+      val baseFiles = ManifestTable.currentFiles(spark, dir).toSet
+      val baseStamps = baseFiles.map(p => p -> new java.io.File(
+        new java.net.URI(p).getPath).lastModified()).toMap
+      ManifestTable.append(spark, dir,
+        (100L until 130L).map(i => (i, s"inc$i")).toDF("id", "v"))
+      val now = ManifestTable.currentFiles(spark, dir).toSet
+      baseFiles.subsetOf(now) shouldBe true // old files carried forward…
+      baseFiles.foreach { p =>              // …and untouched on disk
+        new java.io.File(new java.net.URI(p).getPath)
+          .lastModified() shouldBe baseStamps(p)
+      }
+      val back = ManifestTable.read(spark, dir)
+      back.count() shouldBe 80
+      back.filter(col("v").startsWith("inc")).count() shouldBe 30
+    } finally rm(dir)
+  }
+
+  it should "time-travel to any unvacuumed version and fail cleanly after vacuum" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.commit(spark, dir,
+        (0L until 100L).map(i => (i, i)).toDF("id", "x"))
+      ManifestTable.commit(spark, dir,
+        (0L until 40L).map(i => (i, -i)).toDF("id", "x"))
+      ManifestTable.versions(spark, dir) shouldBe Seq(0L, 1L)
+      ManifestTable.readVersion(spark, dir, 0L).count() shouldBe 100
+      ManifestTable.readVersion(spark, dir, 1L).count() shouldBe 40
+      ManifestTable.read(spark, dir).count() shouldBe 40
+      ManifestTable.vacuum(spark, dir)
+      ManifestTable.versions(spark, dir) shouldBe Seq(1L)
+      val e = intercept[IllegalArgumentException] {
+        ManifestTable.readVersion(spark, dir, 0L)
+      }
+      e.getMessage should include("vacuumed")
+    } finally rm(dir)
+  }
+
   it should "compact by pointer swap with no reader-visible window and no directory rename" in {
     val dir = tmpDir()
     try {
