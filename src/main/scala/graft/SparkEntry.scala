@@ -1155,6 +1155,18 @@ object SparkEntry {
         .select(col("id"), col("n_entries"), col("entry_names"),
           col("total_uncompressed"), col("crc_ok"))),
 
+    // Extension: REAL ustar (WebDataset shard container) roundtrip —
+    // hand-rolled writer, block-walking decoder with per-header checksum
+    // recomputation; the oracle replicates the name census, payload
+    // totals, AND the 512-block padding arithmetic of the container size.
+    "multimodal_tar" -> ((s, dir) =>
+      graft.ops.Multimodal.decodeTarBatched(
+        graft.ops.Multimodal.asTar(table(s, dir, "documents"),
+          "doc_id", "text", "source"))
+        .toDF()
+        .select(col("id"), col("byte_len"), col("n_entries"), col("n_groups"),
+          col("entry_names"), col("total_bytes"), col("chksum_ok"))),
+
     // Extension: REAL PDF structure walk — version, startxref→xref
     // resolution, object count from the xref subsection, declared vs
     // actual page-tree count, stream sliced by its /Length.
@@ -3778,6 +3790,24 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) + octet_length(encode('{"id":' || doc_id || '}')) AS BIGINT) AS total_uncompressed,
         |  true AS crc_ok
         |FROM documents""".stripMargin,
+
+    // ustar arithmetic: 1024-byte end marker + per entry a 512-byte
+    // header and the payload zero-padded up to a 512 block.
+    "multimodal_tar" ->
+      """WITH e AS (SELECT doc_id,
+        |  octet_length(encode(text)) AS a,
+        |  octet_length(encode('{"id":' || doc_id || '}')) AS b,
+        |  octet_length(encode(source)) AS c
+        |FROM documents)
+        |SELECT doc_id AS id,
+        |  CAST(1024 + 3*512
+        |    + 512*((a + 511) // 512) + 512*((b + 511) // 512)
+        |    + 512*((c + 511) // 512) AS INTEGER) AS byte_len,
+        |  3 AS n_entries, 1 AS n_groups,
+        |  doc_id || '.cls,' || doc_id || '.json,' || doc_id || '.txt' AS entry_names,
+        |  CAST(a + b + c AS BIGINT) AS total_bytes,
+        |  true AS chksum_ok
+        |FROM e""".stripMargin,
 
     // Container length is pure arithmetic (zero-padded variable-width
     // numbers): 317 fixed bytes + the stream + 97 per page object.

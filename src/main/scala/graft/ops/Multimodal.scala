@@ -35,6 +35,11 @@ case class DecodedZip(
     id: Long, byte_len: Int, n_entries: Int, entry_names: String,
     total_uncompressed: Long, crc_ok: Boolean)
 
+/** Output of the TAR (ustar) structure decoder. */
+case class DecodedTar(
+    id: Long, byte_len: Int, n_entries: Int, n_groups: Int,
+    entry_names: String, total_bytes: Long, chksum_ok: Boolean)
+
 /** Output of the video container decoder. */
 case class DecodedVideo(
     id: Long, byte_len: Int, width: Int, height: Int, timescale: Int,
@@ -1217,6 +1222,105 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Build a real POSIX ustar archive — the WebDataset shard container.
+    * Hand-rolled because the JDK has no tar writer: 512-byte header per
+    * entry (name, octal size/mode/mtime, recomputable checksum, ustar
+    * magic), payload zero-padded to the block, two zero blocks as the
+    * end-of-archive marker. All metadata pinned (mtime 0, uid/gid 0,
+    * mode 0644) so archive bytes are run-independent. */
+  def toTar(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val bos = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (name, bytes) =>
+      val h = new Array[Byte](512)
+      def put(at: Int, s: String): Unit = {
+        val b = s.getBytes(ascii); System.arraycopy(b, 0, h, at, b.length)
+      }
+      require(name.getBytes(ascii).length <= 100, s"name too long: $name")
+      put(0, name)
+      put(100, "0000644 ")                       // mode
+      put(108, "0000000 "); put(116, "0000000 ") // uid, gid
+      put(124, f"${bytes.length.toLong}%011o ")  // size, octal
+      put(136, "00000000000 ")                   // mtime
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)  // chksum field as spaces
+      h(156) = '0'                                    // typeflag: regular file
+      put(257, "ustar "); put(263, "00")         // magic + version
+      val sum = h.foldLeft(0L)((a, b) => a + (b & 0xff))
+      put(148, f"$sum%06o  ")
+      bos.write(h)
+      bos.write(bytes)
+      val pad = (512 - bytes.length % 512) % 512
+      bos.write(new Array[Byte](pad))
+    }
+    bos.write(new Array[Byte](1024)) // end-of-archive: two zero blocks
+    bos.toByteArray
+  }
+
+  /** Real ustar structure walk: iterate 512-byte headers, verify the
+    * magic and the recomputed header checksum (sum of header bytes with
+    * the checksum field read as spaces), parse the octal size, skip the
+    * zero-padded payload, stop at the two-zero-block end marker. Returns
+    * (names sorted and joined, n_entries, n_groups — distinct basenames
+    * before the first '.', the WebDataset SAMPLE count —, total payload
+    * bytes, every-checksum-ok). Malformed archives (bad magic, truncated
+    * payload, missing end marker) throw — quarantine upstream. */
+  def decodeTar(payload: Array[Byte]): (String, Int, Int, Long, Boolean) = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def octal(at: Int, len: Int): Long = {
+      val s = new String(payload, at, len, ascii)
+        .takeWhile(c => c >= '0' && c <= '7')
+      if (s.isEmpty) 0L else java.lang.Long.parseLong(s, 8)
+    }
+    var at = 0
+    var total = 0L
+    var allOk = true
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    var done = false
+    while (!done) {
+      require(at + 512 <= payload.length, s"truncated header at $at")
+      if ((at until at + 512).forall(payload(_) == 0)) {
+        require(at + 1024 <= payload.length &&
+          (at + 512 until at + 1024).forall(payload(_) == 0),
+          "missing second end-of-archive zero block")
+        done = true
+      } else {
+        require(new String(payload, at + 257, 5, ascii) == "ustar",
+          s"bad ustar magic at $at")
+        val declared = octal(at + 148, 8)
+        var sum = 0L
+        (0 until 512).foreach { i =>
+          sum += (if (i >= 148 && i < 156) ' '.toInt
+                  else payload(at + i) & 0xff)
+        }
+        allOk &&= sum == declared
+        val nameEnd = {
+          var e = at; while (e < at + 100 && payload(e) != 0) e += 1; e
+        }
+        names += new String(payload, at, nameEnd - at, ascii)
+        val size = octal(at + 124, 12)
+        total += size
+        val blocks = ((size + 511) / 512).toInt
+        at += 512 + blocks * 512
+        require(at <= payload.length, s"entry data runs past end of archive")
+      }
+    }
+    val groups = names.map(n => n.takeWhile(_ != '.')).distinct.size
+    (names.sorted.mkString(","), names.size, groups, total, allOk)
+  }
+
+  /** Batched TAR decode — same partition-local batch seam. */
+  def decodeTarBatched(ds: Dataset[MediaRecord]): Dataset[DecodedTar] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (names, n, groups, total, ok) = decodeTar(r.payload)
+          DecodedTar(r.id, r.payload.length, n, groups, names, total, ok)
+        }
+      }
+    }
+  }
+
   /** Real ZIP structure walk, no ZipInputStream: locate the EOCD record
     * (PK\0x05\0x06 scanned from the tail), read the central-directory
     * count and offset from it, walk the central directory (PK\0x01\0x02
@@ -1306,6 +1410,24 @@ object Multimodal {
           "doc.txt" -> text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
           "meta.json" -> s"""{"id":$id}"""
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))), "archive")
+      }
+  }
+
+  /** Wrap each document as a WebDataset-style ustar sample: entries named
+    * `<key>.<ext>` sharing the basename key — `<id>.txt` (the text),
+    * `<id>.json` (metadata), `<id>.cls` (the label/tag) — exactly the
+    * layout WebDataset shards use to group one training sample's
+    * modalities inside a tar. */
+  def asTar(df: DataFrame, idCol: String, textCol: String, tagCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol), col(tagCol).cast("string"))
+      .as[(Long, String, String)]
+      .map { case (id, text, tag) =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        MediaRecord(id, toTar(Seq(
+          s"$id.txt" -> text.getBytes(utf8),
+          s"$id.json" -> s"""{"id":$id}""".getBytes(utf8),
+          s"$id.cls" -> tag.getBytes(utf8))), "archive")
       }
   }
 

@@ -1063,6 +1063,31 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy Multimodal.decodeZip(noEocd)
   }
 
+  it should "walk ustar blocks, group WebDataset samples, and verify header checksums" in {
+    val tar = Multimodal.toTar(Seq(
+      "7.txt" -> "hello tar".getBytes("UTF-8"),
+      "7.json" -> """{"id":7}""".getBytes("UTF-8"),
+      "9.txt" -> "second sample".getBytes("UTF-8")))
+    // 3 headers + 3 one-block payloads + 1024 end marker
+    tar.length shouldBe 3 * 512 + 3 * 512 + 1024
+    val (names, n, groups, total, ok) = Multimodal.decodeTar(tar)
+    (names, n, groups, total, ok) shouldBe
+      (("7.json,7.txt,9.txt", 3, 2, 9L + 8L + 13L, true))
+    // an exactly-block-sized payload gets no padding block
+    val full = Multimodal.toTar(Seq("a.bin" -> new Array[Byte](512)))
+    full.length shouldBe 512 + 512 + 1024
+    Multimodal.decodeTar(full)._4 shouldBe 512L
+    // tampering any header byte breaks that header's checksum
+    val tampered = tar.clone(); tampered(0) = 'z'
+    Multimodal.decodeTar(tampered)._5 shouldBe false
+    // a clobbered magic fails loudly
+    val badMagic = tar.clone(); badMagic(257) = 'x'
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodeTar(badMagic)
+    // a truncated archive (end marker cut) fails loudly
+    val truncated = java.util.Arrays.copyOf(tar, tar.length - 1024)
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodeTar(truncated)
+  }
+
   it should "round-trip PDF structure through the xref walk" in {
     val text = "hello pdf corpus" // 16 bytes → 2 pages
     val pdf = Multimodal.toPdf(text.getBytes("UTF-8"))
