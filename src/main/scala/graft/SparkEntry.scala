@@ -1728,6 +1728,15 @@ object SparkEntry {
     "events_quantile_gate" -> ((s, dir) =>
       graft.ops.EventOps.quantileProfile(events(s, dir), "event_type", "value")),
 
+    // Extension: EXACT global quantiles by two-pass rank selection —
+    // range-partitioned ranking plus a ≤2-rows-per-quantile filter and
+    // interpolation; nothing holds a value set, no single-partition
+    // window (the "exact p99 over 100 TB" shape, vs quantileProfile's
+    // per-key value buffers).
+    "events_global_quantiles" -> ((s, dir) =>
+      graft.ops.EventOps.globalQuantiles(events(s, dir), "value",
+        Seq(0.1, 0.5, 0.9, 0.99))),
+
     // Extension: incremental dedup — a simulated daily batch (every 10th
     // document) screened for near-dups against the standing corpus. Band
     // keys join across the two sets; nothing self-joins.
@@ -4276,6 +4285,15 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.9), 6) AS p90,
         |  true AS ok_p50, true AS ok_p90
         |FROM events GROUP BY 1""".stripMargin,
+
+    // quantile_cont is the same type-7 interpolation as the rank-selected
+    // two-pass exact quantiles.
+    "events_global_quantiles" ->
+      """WITH v AS (SELECT value FROM events WHERE value IS NOT NULL)
+        |SELECT CAST(0.1 AS DOUBLE) AS q, CAST(count(*) AS BIGINT) AS n_values, round(quantile_cont(value, 0.1), 6) AS quantile FROM v
+        |UNION ALL SELECT CAST(0.5 AS DOUBLE), CAST(count(*) AS BIGINT), round(quantile_cont(value, 0.5), 6) FROM v
+        |UNION ALL SELECT CAST(0.9 AS DOUBLE), CAST(count(*) AS BIGINT), round(quantile_cont(value, 0.9), 6) FROM v
+        |UNION ALL SELECT CAST(0.99 AS DOUBLE), CAST(count(*) AS BIGINT), round(quantile_cont(value, 0.99), 6) FROM v""".stripMargin,
 
     "dedup_incremental" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -703,6 +703,46 @@ object EventOps {
           - col("s") / col("n_events"), 6).as("entropy"))
   }
 
+  /** EXACT global quantiles at unbounded scale: interpolated (type-7,
+    * `percentile`/`quantile_cont` semantics) quantiles of one value
+    * column computed by RANK SELECTION, never by holding the value set —
+    * the two-pass answer to "exact p99 over 100 TB". Pass 1 ranks every
+    * value with [[graft.ops.Corpus.rangedPrefixSum]] (range-partitioned,
+    * no data-sized single-partition exchange); pass 2 broadcasts the
+    * 1-row total count, computes each quantile's fractional index
+    * h = 1 + q·(n−1), keeps ONLY the ≤2 rows per quantile whose rank is
+    * ⌊h⌋ or ⌈h⌉ (a scan-side filter), and interpolates. Ties in the value
+    * column get arbitrary consecutive ranks — equal values, so the
+    * selected quantile is unaffected. Nothing anywhere retains more than
+    * a partition of values, vs `percentile`'s per-group value buffer.
+    *
+    * Output: (q, n_values, quantile), one row per requested q. */
+  def globalQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      qs: Seq[Double]
+  ): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0), s"bad qs: $qs")
+    val vals = df.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val ranked = Corpus.rangedPrefixSum(vals, Seq(col("__v").asc), lit(1L))
+    val n1 = ranked.agg(max(col("__cum")).as("__n"))
+    import df.sparkSession.implicits._
+    val qFrame = qs.toDF("q")
+    ranked.crossJoin(broadcast(n1)).crossJoin(broadcast(qFrame))
+      .withColumn("__h", lit(1.0) + col("q") * (col("__n") - 1).cast("double"))
+      .filter(col("__cum") === floor(col("__h")).cast("long") ||
+        col("__cum") === ceil(col("__h")).cast("long"))
+      .groupBy(col("q"))
+      .agg(max(col("__n")).as("n_values"),
+        min(when(col("__cum") === floor(col("__h")).cast("long"), col("__v"))).as("__lo"),
+        max(when(col("__cum") === ceil(col("__h")).cast("long"), col("__v"))).as("__hi"),
+        max(col("__h") - floor(col("__h"))).as("__frac"))
+      .select(col("q"), col("n_values"),
+        round(col("__lo") + col("__frac") * (coalesce(col("__hi"), col("__lo")) - col("__lo")),
+          6).as("quantile"))
+  }
+
   /** Concentration profile: the Gini coefficient of per-key event counts
     * — 0 when activity is uniform across keys, →1 when a few keys own
     * everything. The one-number companion to [[skewReport]]'s top-k

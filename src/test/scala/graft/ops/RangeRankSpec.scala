@@ -92,6 +92,33 @@ class RangeRankSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "select exact global quantiles matching percentile, with no data-sized SinglePartition" in {
+    val rnd = new scala.util.Random(99)
+    val df = (0 until 10000).map(_ => rnd.nextGaussian() * 100).toDF("value")
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    val got = EventOps.globalQuantiles(df, "value", qs)
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = df.agg(
+      percentile(col("value"), lit(0.1)), percentile(col("value"), lit(0.5)),
+      percentile(col("value"), lit(0.9)), percentile(col("value"), lit(0.99)))
+      .collect()(0)
+    qs.zipWithIndex.foreach { case (q, i) =>
+      got(q)._1 shouldBe 10000L
+      got(q)._2 shouldBe (math.rint(want.getDouble(i) * 1e6) / 1e6)
+    }
+    val plan = planOf(EventOps.globalQuantiles(df, "value", Seq(0.5)))
+    withClue(plan) {
+      // the only SinglePartition exchanges allowed are partial-aggregate
+      // readouts (the 1-row n and the per-q result collapse)
+      val lines = plan.linesIterator.toVector
+      val offending = lines.zipWithIndex.collect {
+        case (l, i) if l.contains("Exchange SinglePartition") &&
+          !lines.drop(i + 1).take(2).exists(_.contains("partial_")) => l
+      }
+      offending shouldBe empty
+    }
+  }
+
   behavior of "bpeSegment broadcastVocab switch"
 
   it should "produce identical results in broadcast and shuffle-hash modes" in {
