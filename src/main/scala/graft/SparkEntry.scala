@@ -2203,6 +2203,22 @@ object SparkEntry {
           sum(col("n_chars")).as("chars_sum"))
     }),
 
+    // Extension: declarative data-quality gate — row-local rules
+    // (not-null, range, accepted) compile into ONE aggregate over ONE
+    // scan; uniqueness is one key count; referential integrity is one
+    // broadcast anti-join. The report is the per-rule violation census a
+    // landing pipeline gates on.
+    "ingest_constraint_report" -> ((s, dir) => {
+      import graft.ops.Quality._
+      constraintReport(table(s, dir, "orders"), Seq(
+        NotNull("o_custkey"),
+        InRange("o_totalprice", 1000.0, 300000.0),
+        Accepted("o_orderstatus", Seq("O", "F")),
+        Unique(Seq("o_orderkey")),
+        Unique(Seq("o_custkey", "o_orderdate")),
+        ForeignKey("o_custkey", "customer", table(s, dir, "customer"), "c_custkey")))
+    }),
+
     // Extension: manifest-table APPEND commits — two incremental batches
     // land as append transactions (each moves only its batch's files; the
     // pointer swap is the only reader-visible mutation), and the final
@@ -4960,6 +4976,37 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
         |FROM documents WHERE doc_id % 3 <> 0
         |GROUP BY source, lang""".stripMargin,
+
+    // Each rule's census re-derived in plain SQL; rule names match the
+    // Scala Constraint.name strings exactly.
+    "ingest_constraint_report" ->
+      """SELECT 'not_null(o_custkey)' AS rule,
+        |  CAST(count(*) AS BIGINT) AS n_checked,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |FROM orders
+        |UNION ALL
+        |SELECT 'in_range(o_totalprice,1000.0,300000.0)',
+        |  CAST(count(o_totalprice) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND NOT (o_totalprice >= 1000.0 AND o_totalprice <= 300000.0) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'accepted(o_orderstatus)',
+        |  CAST(count(o_orderstatus) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'unique(o_orderkey)', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'unique(o_custkey,o_orderdate)', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - (SELECT count(*) FROM (SELECT DISTINCT o_custkey, o_orderdate FROM orders)) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'foreign_key(o_custkey->customer.c_custkey)',
+        |  CAST(count(o_custkey) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders WHERE o_custkey IS NOT NULL""".stripMargin,
 
     // Append union: the two batches cover doc_id % 3 in {0, 1}.
     "ingest_manifest_append" ->

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint gate — the "expectations" check a
+  * pipeline runs on every landed batch before publishing it (uniqueness,
+  * referential integrity, null and domain rules), reported as one
+  * (constraint, n_checked, n_violations) row per rule so the gate is a
+  * single boolean (`max(n_violations) == 0`) and the failure report is
+  * already the debugging readout.
+  *
+  * Scale shape: every ROW-LOCAL rule (not-null, range, accepted-values)
+  * compiles into conditional sums of ONE aggregate over ONE scan — adding
+  * a rule costs a column, never a pass. Each uniqueness rule is one
+  * map-side-combinable key count; each foreign-key rule is one
+  * left-anti join with the dimension broadcast by default (the
+  * fact-vs-dimension asymmetry; `broadcastDim = false` is the escape
+  * hatch for dimension tables past executor memory, degrading to a
+  * shuffle join on the key). Nothing collects to the driver.
+  */
+object Quality {
+
+  sealed trait Constraint { def name: String }
+
+  /** `col` must be non-null on every row. */
+  final case class NotNull(col: String) extends Constraint {
+    def name = s"not_null($col)"
+  }
+
+  /** Non-null values of `col` must lie in [lo, hi]. Nulls are skipped —
+    * pair with [[NotNull]] to forbid them. */
+  final case class InRange(col: String, lo: Double, hi: Double) extends Constraint {
+    def name = s"in_range($col,$lo,$hi)"
+  }
+
+  /** Non-null values of `col` must be one of `values`. */
+  final case class Accepted(col: String, values: Seq[String]) extends Constraint {
+    def name = s"accepted($col)"
+  }
+
+  /** `cols` must be row-unique (a duplicate group of k rows counts k−1
+    * violations — the rows a dedup would have to drop). */
+  final case class Unique(cols: Seq[String]) extends Constraint {
+    def name = s"unique(${cols.mkString(",")})"
+  }
+
+  /** Every non-null `col` must exist in `dim`'s `dimCol`. */
+  final case class ForeignKey(
+      col: String, dimName: String, dim: DataFrame, dimCol: String,
+      broadcastDim: Boolean = true) extends Constraint {
+    def name = s"foreign_key($col->$dimName.$dimCol)"
+  }
+
+  def constraintReport(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "no constraints given")
+    val spark = df.sparkSession
+
+    val rowLocal = constraints.collect {
+      case c: NotNull => c.name ->
+        (count(lit(1)), sum(when(col(c.col).isNull, 1L).otherwise(0L)))
+      case c: InRange => c.name ->
+        (count(col(c.col)),
+          sum(when(col(c.col).isNotNull &&
+            !(col(c.col) >= c.lo && col(c.col) <= c.hi), 1L).otherwise(0L)))
+      case c: Accepted => c.name ->
+        (count(col(c.col)),
+          sum(when(col(c.col).isNotNull &&
+            !col(c.col).isin(c.values: _*), 1L).otherwise(0L)))
+    }
+
+    // all row-local rules ride one aggregate over one scan
+    val localFrame: Option[DataFrame] =
+      if (rowLocal.isEmpty) None
+      else {
+        val aggs = rowLocal.zipWithIndex.flatMap { case ((_, (chk, vio)), i) =>
+          Seq(chk.as(s"__c$i"), vio.as(s"__v$i"))
+        }
+        Some(df.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(rowLocal.zipWithIndex.map { case ((n, _), i) =>
+            struct(lit(n).as("rule"),
+              col(s"__c$i").cast("long").as("n_checked"),
+              coalesce(col(s"__v$i"), lit(0L)).cast("long").as("n_violations"))
+          }: _*)).as("r"))
+          .select(col("r.rule"), col("r.n_checked"), col("r.n_violations")))
+      }
+
+    val uniques = constraints.collect { case c: Unique =>
+      df.groupBy(c.cols.map(col): _*).agg(count(lit(1)).as("__n"))
+        .agg(coalesce(sum(col("__n")), lit(0L)).as("__total"),
+          count(lit(1)).as("__groups"))
+        .select(lit(c.name).as("rule"),
+          col("__total").cast("long").as("n_checked"),
+          (col("__total") - col("__groups")).cast("long").as("n_violations"))
+    }
+
+    val fks = constraints.collect { case c: ForeignKey =>
+      val keys = df.select(col(c.col)).filter(col(c.col).isNotNull)
+      val dimKeys = c.dim.select(col(c.dimCol).as(c.col)).distinct()
+      val side = if (c.broadcastDim) broadcast(dimKeys) else dimKeys
+      val missing = keys.join(side, Seq(c.col), "left_anti")
+        .agg(count(lit(1)).as("__missing"))
+      keys.agg(count(lit(1)).as("__checked")).crossJoin(missing)
+        .select(lit(c.name).as("rule"),
+          col("__checked").cast("long").as("n_checked"),
+          col("__missing").cast("long").as("n_violations"))
+    }
+
+    (localFrame.toSeq ++ uniques ++ fks).reduce(_.unionAll(_))
+  }
+
+  /** The gate: true iff every constraint holds. One action over the
+    * report. */
+  def passes(df: DataFrame, constraints: Seq[Constraint]): Boolean =
+    constraintReport(df, constraints)
+      .agg(max(col("n_violations"))).collect()(0).getLong(0) == 0L
+}

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.plug.TestSpark
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** The constraint gate counts exactly the violating rows — including the
+  * null/duplicate/dangling-key edge semantics each rule documents. */
+class QualitySpec extends AnyFlatSpec with Matchers {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+  import Quality._
+
+  behavior of "Quality.constraintReport"
+
+  it should "count violations per rule with one scan for row-local rules" in {
+    val df = Seq(
+      (Some(1L), Some(10.0), "A"),
+      (Some(2L), Some(-5.0), "B"),   // range violation
+      (None, Some(20.0), "A"),       // null key
+      (Some(2L), None, "C"),         // dup key + null value (range skips) + bad status
+      (Some(3L), Some(999.0), "A")   // range violation
+    ).toDF("id", "v", "status")
+    val dim = Seq(1L, 2L).toDF("k") // id 3 dangles
+
+    val report = constraintReport(df, Seq(
+      NotNull("id"),
+      InRange("v", 0.0, 100.0),
+      Accepted("status", Seq("A", "B")),
+      Unique(Seq("id")),
+      ForeignKey("id", "dim", dim, "k")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    report("not_null(id)") shouldBe ((5L, 1L))
+    report("in_range(v,0.0,100.0)") shouldBe ((4L, 2L))   // nulls skipped
+    report("accepted(status)") shouldBe ((5L, 1L))
+    report("unique(id)") shouldBe ((5L, 1L))              // one extra row of id=2
+    report("foreign_key(id->dim.k)") shouldBe ((4L, 1L))  // null key skipped; 3 dangles
+
+    passes(df, Seq(NotNull("status"))) shouldBe true
+    passes(df, Seq(NotNull("id"))) shouldBe false
+  }
+
+  it should "hold all row-local rules inside a single aggregate over a single scan" in {
+    val df = Seq((1L, 2.0, "A")).toDF("id", "v", "status")
+    val report = constraintReport(df, Seq(
+      NotNull("id"), NotNull("status"), InRange("v", 0.0, 10.0),
+      Accepted("status", Seq("A"))))
+    report.collect().length shouldBe 4
+    // exactly one scan node: four rules, one pass
+    val scans = report.queryExecution.executedPlan.collectLeaves()
+    scans.length shouldBe 1
+  }
+}
