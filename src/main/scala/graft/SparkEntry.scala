@@ -2235,6 +2235,23 @@ object SparkEntry {
           sum(col("n_chars")).as("chars_sum"))
     }),
 
+    // Extension: manifest-table PARTITION-SCOPED overwrite (the
+    // replaceWhere shape) — the second commit rewrites ONLY the 'en'
+    // partition (halved), every other language's files carry forward by
+    // reference, and the read resolves the mixed-generation file list.
+    "ingest_manifest_replace" -> ((s, dir) => {
+      val out = scratch("manifest_rep")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.ManifestTable.replacePartitions(s, out, docs, "lang")
+      graft.sources.ManifestTable.replacePartitions(s, out,
+        docs.filter(col("lang") === "en" && col("doc_id") % 2 === 0), "lang")
+      graft.sources.ManifestTable.readPartitioned(s, out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_sum"))
+    }),
+
     // Extension: manifest-table TIME TRAVEL — manifests are immutable and
     // data files write-once, so version 0 reads bit-identically after
     // version 1 replaces it; both snapshots aggregate side by side from
@@ -5015,6 +5032,14 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
         |FROM documents WHERE doc_id % 3 <> 2
         |GROUP BY source""".stripMargin,
+
+    // After the partition-scoped overwrite: 'en' halved, others intact.
+    "ingest_manifest_replace" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents WHERE lang <> 'en' OR doc_id % 2 = 0
+        |GROUP BY lang""".stripMargin,
 
     // Version 0 is the full corpus; version 1 is the doc_id % 2 = 0 cut.
     "ingest_manifest_timetravel" ->

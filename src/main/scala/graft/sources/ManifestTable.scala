@@ -180,6 +180,67 @@ object ManifestTable {
     staged
   }
 
+  /** Partition-scoped overwrite — Delta's `replaceWhere` shape: the new
+    * snapshot keeps every current file EXCEPT those under the partition
+    * values `df` itself contains, and adds `df`'s files laid out one
+    * directory per partition value. The rewrite cost is the TOUCHED
+    * partitions, not the table — the missing piece the upsert sink's
+    * scaladoc priced ("rewrite only the partitions the batch touches").
+    *
+    * Layout note: the split is driven by a DUPLICATE layout column
+    * (`__p=value/` segments), and the real `partitionCol` stays in the
+    * data files — so reads need no Hive partition inference (which
+    * cannot cope with per-commit uuid roots between the table root and
+    * the `key=value` segment) and no basePath coupling; the manifest's
+    * explicit file list plus recursive lookup is the whole read path. */
+  def replacePartitions(
+      spark: SparkSession,
+      dir: String,
+      df: DataFrame,
+      partitionCol: String
+  ): StagedCommit = {
+    val f = fs(dir, spark)
+    val dataDir = new Path(new Path(dir, "data"), UUID.randomUUID().toString)
+    df.withColumn("__p", org.apache.spark.sql.functions.col(partitionCol))
+      .write.partitionBy("__p").parquet(dataDir.toString)
+    val it = f.listFiles(dataDir, true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet")) files += p
+    }
+    val root = f.makeQualified(new Path(dir)).toUri.getPath
+    val rel = files.toSeq.map(_.toUri.getPath.stripPrefix(root).stripPrefix("/"))
+    // touched partitions come from the WRITTEN paths, so the carry filter
+    // sees exactly the escaping the writer used — and df pays one pass
+    val touched: Set[String] = rel.flatMap { r =>
+      val i = r.indexOf("/__p=")
+      if (i < 0) None
+      else Some(r.substring(i + 1, r.indexOf('/', i + 1)))
+    }.toSet
+    val carry =
+      if (!f.exists(new Path(dir, PointerName))) Seq.empty
+      else currentRel(f, dir).filterNot(r => touched.exists(t => r.contains(s"/$t/")))
+    val v = currentVersion(spark, dir) + 1
+    val name = f"manifest-$v%020d.txt"
+    val mdir = new Path(dir, "_manifests")
+    f.mkdirs(mdir)
+    val tmp = new Path(mdir, s".$name.tmp.${UUID.randomUUID()}")
+    writeSmallFile(f, tmp, (carry ++ rel).sorted.mkString("\n"))
+    if (!f.rename(tmp, new Path(mdir, name)))
+      throw new java.io.IOException(s"cannot publish manifest $name in $mdir")
+    val staged = StagedCommit(v, name)
+    publish(spark, dir, staged)
+    staged
+  }
+
+  /** [[read]] for a partition-laid-out manifest table: recursive lookup
+    * skips Hive partition inference over the `__p=value` layout segments;
+    * the partition column itself lives in the data files. */
+  def readPartitioned(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(currentFiles(spark, dir): _*)
+
   /** The committed snapshot versions still present in `_manifests`,
     * ascending. */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
@@ -233,11 +294,17 @@ object ManifestTable {
     if (!f.exists(dataRoot)) return 0
     var n = 0
     f.listStatus(dataRoot).foreach { sub =>
-      val children = f.listStatus(sub.getPath)
-        .filter(_.getPath.getName.endsWith(".parquet"))
+      // recursive: partition-laid-out generations nest files one level
+      // deeper (__p=value/ segments)
+      val it = f.listFiles(sub.getPath, true)
+      val children = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet")) children += p
+      }
       val (dead, alive) = children.partition(c =>
-        !live.contains(f.makeQualified(c.getPath).toUri.getPath))
-      dead.foreach { c => if (f.delete(c.getPath, false)) n += 1 }
+        !live.contains(f.makeQualified(c).toUri.getPath))
+      dead.foreach { c => if (f.delete(c, false)) n += 1 }
       // a generation with no live data files left goes entirely
       // (markers like _SUCCESS included)
       if (alive.isEmpty) f.delete(sub.getPath, true): Unit

@@ -104,6 +104,39 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
     } finally rm(dir)
   }
 
+  it should "replace only the touched partitions, carrying untouched files forward" in {
+    val dir = tmpDir()
+    try {
+      val base = (0L until 300L).map(i => (i, s"p${i % 3}", s"v$i")).toDF("id", "part", "v")
+      ManifestTable.replacePartitions(spark, dir, base, "part")
+      val before = ManifestTable.currentFiles(spark, dir)
+      val untouchedBefore = before.filter(_.contains("/__p=p2/")).toSet
+      untouchedBefore should not be empty
+
+      // overwrite ONLY p0 and p1 with a 10-row slice
+      val patch = (1000L until 1010L).map(i => (i, s"p${i % 2}", "patched"))
+        .toDF("id", "part", "v")
+      ManifestTable.replacePartitions(spark, dir, patch, "part")
+      val after = ManifestTable.currentFiles(spark, dir)
+      // p2's files are the SAME files, carried by reference
+      after.filter(_.contains("/__p=p2/")).toSet shouldBe untouchedBefore
+      // p0/p1 files are all new
+      after.filter(f => f.contains("/__p=p0/") || f.contains("/__p=p1/"))
+        .toSet.intersect(before.toSet) shouldBe empty
+
+      val back = ManifestTable.readPartitioned(spark, dir)
+      back.filter(col("part") === "p2").count() shouldBe 100
+      back.filter(col("v") === "patched").count() shouldBe 10
+      back.count() shouldBe 110
+      // partition column recovered from the path segments
+      back.select("part").distinct().collect().map(_.getString(0)).sorted shouldBe
+        Array("p0", "p1", "p2")
+      // vacuum reaches the nested partition layout and the table is intact
+      ManifestTable.vacuum(spark, dir) should be > 0
+      ManifestTable.readPartitioned(spark, dir).count() shouldBe 110
+    } finally rm(dir)
+  }
+
   it should "time-travel to any unvacuumed version and fail cleanly after vacuum" in {
     val dir = tmpDir()
     try {
