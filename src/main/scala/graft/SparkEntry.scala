@@ -821,6 +821,44 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
     }),
 
+    // Extension: IVF-PQ composed index — the production FAISS shape
+    // (by_residual=false): coarse cells prune compute (nprobe of 16
+    // cells), PQ codes prune memory (2 bytes/vector), ranking is
+    // asymmetric distance against the code reconstruction. Cell + code
+    // ride ONE projection per corpus vector; both quantizers are plan
+    // literals.
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.ops.Similarity.ivfPqTopK(
+          spread(s, emb), emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          dim = 64, k = 5, numCentroids = 16, lloydRounds = 2, nprobe = 4,
+          m = 4, pqK = 16)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim"), 6).as("sim"))
+    }),
+
+    // Extension: IVF-PQ quality evaluation — recall@5 of the composed
+    // index vs exhaustive truth, pricing BOTH approximations (cell
+    // pruning and code quantization) together before committing them on
+    // a real corpus.
+    "sim_ivfpq_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = graft.ops.Similarity
+        .bruteForceTopK(spread(s, emb), q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = graft.ops.Similarity.ivfPqTopK(
+          spread(s, emb), q, "vec_id", "embedding",
+          dim = 64, k = 5, numCentroids = 16, lloydRounds = 2, nprobe = 4,
+          m = 4, pqK = 16)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      q.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) / 5.0, 6).as("recall"))
+    }),
+
     // Extension: random-projection compression quality — recall@5 of
     // top-k search in the 16-dim projected space vs the exact 64-dim
     // ranking (the JL pre-filter evaluation a pipeline runs before
@@ -3283,6 +3321,54 @@ object SparkEntry {
         |  round(sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b)), 6) AS centroid_norm,
         |  round(coh.mc, 6) AS mean_cos
         |FROM c JOIN coh USING (label)""".stripMargin,
+
+    "sim_ivfpq_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |c1 AS ${lloydRoundSql("seeds", 64)},
+        |c2 AS ${lloydRoundSql("c1", 64)},
+        |sims AS (SELECT e.vec_id, e.v, c.cent_id, ${cosSql("e.v", "c.cv")} AS csim FROM e, c2 c),
+        |cells AS (SELECT vec_id, cent_id AS cell FROM
+        |  (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims)
+        |  WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, v AS qv, cent_id AS cell FROM
+        |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims WHERE vec_id < 10)
+        |  WHERE rn <= 4),
+        |$pqChainSql,
+        |scored AS (SELECT p.query_id, cl.vec_id AS neighbor_id, ${cosSql("p.qv", "r.rv")} AS sim
+        |  FROM probes p JOIN cells cl ON p.cell = cl.cell JOIN recon r ON r.vec_id = cl.vec_id
+        |  WHERE cl.vec_id != p.query_id),
+        |rr AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM rr WHERE rk <= 5""".stripMargin,
+
+    "sim_ivfpq_recall" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |c1 AS ${lloydRoundSql("seeds", 64)},
+        |c2 AS ${lloydRoundSql("c1", 64)},
+        |sims AS (SELECT e.vec_id, e.v, c.cent_id, ${cosSql("e.v", "c.cv")} AS csim FROM e, c2 c),
+        |cells AS (SELECT vec_id, cent_id AS cell FROM
+        |  (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims)
+        |  WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, v AS qv, cent_id AS cell FROM
+        |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims WHERE vec_id < 10)
+        |  WHERE rn <= 4),
+        |$pqChainSql,
+        |scored AS (SELECT p.query_id, cl.vec_id AS neighbor_id, ${cosSql("p.qv", "r.rv")} AS sim
+        |  FROM probes p JOIN cells cl ON p.cell = cl.cell JOIN recon r ON r.vec_id = cl.vec_id
+        |  WHERE cl.vec_id != p.query_id),
+        |ap AS (SELECT query_id, neighbor_id FROM
+        |  (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored)
+        |  WHERE rk <= 5),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id) AS rk
+        |  FROM q, e c WHERE c.vec_id != q.vec_id) WHERE rk <= 5),
+        |hits AS (SELECT ex.query_id, count(*) AS n_hit FROM ex SEMI JOIN ap ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id GROUP BY 1)
+        |SELECT q.vec_id AS query_id, COALESCE(h.n_hit, 0) AS n_hit,
+        |  round(COALESCE(h.n_hit, 0) / 5.0, 6) AS recall
+        |FROM q LEFT JOIN hits h ON q.vec_id = h.query_id""".stripMargin,
 
     "sim_pq_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

@@ -194,6 +194,42 @@ object Similarity {
       k: Int = 16,
       lloydRounds: Int = 2
   ): DataFrame = {
+    val books = pqCodebooks(corpus, idCol, vecCol, dim, m, k, lloydRounds)
+    val cos = cosineFor(corpus.sparkSession) _
+    corpus.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("id").as(idCol), pqReconCol(cos, books, dim)(col("v")).as("pq_vec"))
+  }
+
+  /** The code-reconstruction column v̂ for one vector column against
+    * learned [[pqCodebooks]] — a narrow projection over codebook
+    * literals, shareable with other per-vector projections (cell
+    * assignment, norms) so an index build stays one pass. */
+  def pqReconCol(
+      cos: (Column, Column) => Column,
+      books: IndexedSeq[Seq[(Long, Seq[Double])]],
+      dim: Int)(v: Column): Column = {
+    val m = books.size
+    val sub = dim / m
+    concat((0 until m).map { j =>
+      val sv = slice(v, j * sub + 1, sub)
+      element_at(typedlit(books(j).toMap), nearestCell(cos)(sv, books(j)))
+    }: _*)
+  }
+
+  /** The m deterministic subspace codebooks behind [[pqReconstruct]] —
+    * exposed so composed indexes ([[ivfPqTopK]]) can encode cells and
+    * codes in one projection. */
+  private[ops] def pqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int = 4,
+      k: Int = 16,
+      lloydRounds: Int = 2
+  ): IndexedSeq[Seq[(Long, Seq[Double])]] = {
     require(m > 0 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
     import org.apache.spark.sql.types.DecimalType
     val sub = dim / m
@@ -241,11 +277,7 @@ object Similarity {
       }
       round += 1
     }
-    val recon: Seq[Column] = (0 until m).map { j =>
-      val sv = slice(col("v"), j * sub + 1, sub)
-      element_at(typedlit(books(j).toMap), nearestCell(cos)(sv, books(j)))
-    }
-    vecs.select(col("id").as(idCol), concat(recon: _*).as("pq_vec"))
+    books
   }
 
   /** IVF (inverted-file) approximate top-k — the classic ANN scale shape.
@@ -306,6 +338,69 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cos(col("qvec"), col("nvec")).as("sim"))
+      .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= k)
+  }
+
+  /** IVF-PQ composed approximate top-k — the production ANN index shape
+    * (FAISS `IVFPQ` with `by_residual=false`): the COARSE quantizer
+    * ([[kmeansCentroids]]) prunes compute — each query probes `nprobe`
+    * cells instead of the corpus — while PRODUCT QUANTIZATION
+    * ([[pqCodebooks]]) prunes memory — the index ranks against
+    * code-reconstructed vectors (asymmetric distance: full-precision
+    * query, m·log₂(pqK)-bit corpus codes), so the inverted file holds
+    * bytes per vector, not floats.
+    *
+    * Scale shape: BOTH quantizers are plan literals (k·dim + pqK·dim
+    * doubles of driver state, independent of corpus size); cell id and
+    * PQ reconstruction ride ONE narrow projection per corpus vector — no
+    * build-side join or shuffle; the probe join shuffles only on cell
+    * ids, exactly [[ivfTopK]]'s posture. Every tie breaks on ids, so
+    * results are deterministic across partitionings and engines. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      numCentroids: Int = 16,
+      lloydRounds: Int = 2,
+      nprobe: Int = 4,
+      m: Int = 4,
+      pqK: Int = 16
+  ): DataFrame = {
+    val cos = cosineFor(corpus.sparkSession) _
+    val cent = kmeansCentroids(corpus, idCol, vecCol, numCentroids, lloydRounds)
+    if (cent.isEmpty)
+      return queries.limit(0).select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0.0).as("sim"), lit(0).as("rank"))
+    val books = pqCodebooks(corpus, idCol, vecCol, dim, m, pqK, lloydRounds)
+
+    // one projection builds the whole inverted file: cell + code
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"),
+        transform(col(vecCol), _.cast("double")).as("nv"))
+      .filter(col("nv").isNotNull)
+      .select(col("neighbor_id"),
+        nearestCell(cos)(col("nv"), cent).as("cell"),
+        pqReconCol(cos, books, dim)(col("nv")).as("pq_vec"))
+
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val candArr = array(cent.map { case (cid, cv) =>
+      struct(cos(col("qvec"), typedlit(cv)).as("csim"), lit(cid).as("cent_id"))
+    }: _*)
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("cand.csim").desc, col("cand.cent_id").asc)
+    val probes = q.select(col("query_id"), col("qvec"), explode(candArr).as("cand"))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cand.cent_id").as("cell"))
+
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    probes.join(assigned, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cos(col("qvec"), col("pq_vec")).as("sim"))
       .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= k)
   }
 
