@@ -289,6 +289,24 @@ object SparkEntry {
           round(col("item.price"), 6).as("price"))
     }),
 
+    // O5 extension: map-entry override — an action key whose parent is a
+    // string-keyed map targets ONE entry: existing bindings replace,
+    // absent keys get added, null maps pass through untouched. The entry
+    // key is data (not schema), so validation checks only the map's value
+    // type.
+    "plug_map_override" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val df = table(s, dir, "documents").withColumn("meta",
+        map(lit("lang"), col("lang"), lit("src"), col("source")))
+      val rule = PlugRule("rmap", "v1", "n_chars > 500",
+        Seq(PlugAction("meta.lang", "xx"), PlugAction("meta.flag", "long")))
+      plugged(df, List(rule))
+        .select(col("doc_id"),
+          element_at(col("meta"), "lang").as("m_lang"),
+          element_at(col("meta"), "src").as("m_src"),
+          element_at(col("meta"), "flag").as("m_flag"))
+    }),
+
     // O5 extension: depth-2 struct-leaf override — the reference validates
     // deep paths but its SQL generator only rebuilds one level
     // (PlugRule.scala:102-121); `withField` lifts the limit (documented
@@ -1400,6 +1418,36 @@ object SparkEntry {
           round(col("value"), 6).as("last_value"))
     }),
 
+    // Extension: STREAMING per-batch quality gate — the one-scan
+    // constraint report runs inside foreachBatch and appends per-rule
+    // censuses tagged with the batch id (landing-zone telemetry: "batch
+    // 1's out-of-range rate" without a second pass). Replayed as TWO
+    // micro-batches split by event_id halves; the oracle re-derives each
+    // batch's censuses from the same split rule.
+    "stream_constraint_gate" -> ((s, dir) => withStreamingShuffle(s, 4) {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val feed = events(s, dir).filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          col("value"), col("props"))
+        .as[StreamEv].collect()
+      val (batch1, batch2) = feed.partition(_.event_id < 1000)
+      val out = scratch("stream_gate")
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEv]
+      val q = graft.streaming.StreamingOps.constraintGateSink(
+        in.toDF().select("event_id", "user_id", "event_type", "value"),
+        Seq(graft.ops.Quality.NotNull("user_id"),
+          graft.ops.Quality.InRange("value", 0.0, 400.0),
+          graft.ops.Quality.Accepted("event_type",
+            Seq("click", "view", "purchase", "signup"))),
+        out)
+      in.addData(batch1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
+      q.stop()
+      s.read.parquet(out)
+        .select(col("batch_id"), col("rule"), col("n_checked"), col("n_violations"))
+    }),
+
     // Extension: STREAMING stream-stream interval join, oracle-checked —
     // clicks and errors replay through two MemoryStreams into the
     // double-watermarked interval join (errors within [click-1h,
@@ -1765,6 +1813,14 @@ object SparkEntry {
     // sketch (the constant-memory 100 TB path) lands within 5% of exact.
     "events_quantile_gate" -> ((s, dir) =>
       graft.ops.EventOps.quantileProfile(events(s, dir), "event_type", "value")),
+
+    // Extension: winsorized value profile — the heavy-tail guard: clip
+    // at the exact global [p1, p99] rank-selected quantiles (broadcast as
+    // one row), per-type clip counts + DECIMAL-routed clipped mean. Two
+    // passes at any scale, no value buffers.
+    "events_winsorize" -> ((s, dir) =>
+      graft.ops.EventOps.winsorizedProfile(events(s, dir), "event_type", "value",
+        pLo = 0.01, pHi = 0.99)),
 
     // Extension: EXACT global quantiles by two-pass rank selection —
     // range-partitioned ranking plus a ≤2-rows-per-quantile filter and
@@ -2307,6 +2363,37 @@ object SparkEntry {
       snap(0L).unionAll(snap(1L))
     }),
 
+    // Extension: WebDataset shard roundtrip — documents export as ustar
+    // shards (one per partition, entries `<id>.txt` + `<id>.cls` grouped
+    // by sample key — the WebDataset layout), written through the Hadoop
+    // FS seam, read back with checksum-verified extraction, regrouped per
+    // sample; the md5 roundtrip proves byte fidelity.
+    "ingest_webdataset" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratch("webdataset")
+      table(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+        .as[(Long, String, String)].rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          if (it.hasNext) {
+            val utf8 = java.nio.charset.StandardCharsets.UTF_8
+            val entries = it.flatMap { case (id, text, src) => Seq(
+              s"$id.txt" -> text.getBytes(utf8),
+              s"$id.cls" -> src.getBytes(utf8))
+            }.toSeq
+            graft.sources.Ingest.writeBytes(f"$out/shard-$i%05d.tar",
+              graft.ops.Multimodal.toTar(entries))
+            Iterator.single(1)
+          } else Iterator.empty
+        }.count(): Unit
+      graft.sources.Ingest.readWebDataset(s, out)
+        .groupBy(col("sample_key").cast("long").as("doc_id"))
+        .agg(count(lit(1)).as("n_parts"),
+          max(when(col("ext") === "txt", md5(col("payload")))).as("text_md5"),
+          max(when(col("ext") === "txt", length(col("payload"))))
+            .cast("long").as("text_len"),
+          max(when(col("ext") === "cls", col("payload").cast("string"))).as("cls"))
+    }),
+
     // Extension: per-shard Bloom point-lookup index — the file-skipping
     // shape: a probe opens only the shards whose constant-size filter MAY
     // contain the id; present ids always include their true hash shard.
@@ -2744,6 +2831,14 @@ object SparkEntry {
       """SELECT p_partkey,
         |CASE WHEN p_size > 40 THEN 1000.5 ELSE p_retailprice END AS min_price,
         |p_retailprice * 1.2 AS max_price FROM part""".stripMargin,
+
+    // The map rewrite: lang entry replaced, flag entry added, src kept.
+    "plug_map_override" ->
+      """SELECT doc_id,
+        |CASE WHEN n_chars > 500 THEN 'xx' ELSE lang END AS m_lang,
+        |source AS m_src,
+        |CASE WHEN n_chars > 500 THEN 'long' ELSE NULL END AS m_flag
+        |FROM documents""".stripMargin,
 
     "plug_array_struct_override" ->
       """SELECT p_partkey, 'std' AS sku,
@@ -4007,6 +4102,25 @@ object SparkEntry {
         |      FROM events WHERE event_id < 2000)
         |WHERE rn = 1""".stripMargin,
 
+    // Each micro-batch's censuses re-derived from the event_id split.
+    "stream_constraint_gate" ->
+      """WITH b AS (SELECT *, CAST(CASE WHEN event_id < 1000 THEN 0 ELSE 1 END AS BIGINT) AS batch_id
+        |  FROM events WHERE event_id < 2000)
+        |SELECT batch_id, 'not_null(user_id)' AS rule,
+        |  CAST(count(*) AS BIGINT) AS n_checked,
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |FROM b GROUP BY batch_id
+        |UNION ALL
+        |SELECT batch_id, 'in_range(value,0.0,400.0)',
+        |  CAST(count(value) AS BIGINT),
+        |  CAST(sum(CASE WHEN value IS NOT NULL AND NOT (value >= 0.0 AND value <= 400.0) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM b GROUP BY batch_id
+        |UNION ALL
+        |SELECT batch_id, 'accepted(event_type)',
+        |  CAST(count(event_type) AS BIGINT),
+        |  CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('click','view','purchase','signup') THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM b GROUP BY batch_id""".stripMargin,
+
     "stream_hopping" ->
       """WITH e AS (SELECT event_type, value, CAST(epoch_ms(ts) AS BIGINT) AS ms
         |  FROM events WHERE event_id < 2000),
@@ -4404,6 +4518,17 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.9), 6) AS p90,
         |  true AS ok_p50, true AS ok_p90
         |FROM events GROUP BY 1""".stripMargin,
+
+    // Clip cuts re-derived with quantile_cont; the clipped mean routes
+    // through DECIMAL(18,6) on both engines.
+    "events_winsorize" ->
+      """WITH c AS (SELECT quantile_cont(value, 0.01) AS lo, quantile_cont(value, 0.99) AS hi
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, CAST(count(value) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+        |  CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+        |  round(CAST(sum(CAST(least(greatest(value, lo), hi) AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS clipped_mean
+        |FROM events, c GROUP BY event_type""".stripMargin,
 
     // quantile_cont is the same type-7 interpolation as the rank-selected
     // two-pass exact quantiles.
@@ -5068,6 +5193,13 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
         |  md5(text) AS payload_md5,
         |  'http://synthetic.local/doc/' || doc_id AS target_uri
+        |FROM documents""".stripMargin,
+
+    // WebDataset roundtrip: every sample reassembles to its source row.
+    "ingest_webdataset" ->
+      """SELECT doc_id, CAST(2 AS BIGINT) AS n_parts, md5(text) AS text_md5,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS text_len,
+        |  source AS cls
         |FROM documents""".stripMargin,
 
     // The manifest table's CURRENT snapshot is the doc_id % 3 <> 0 filter

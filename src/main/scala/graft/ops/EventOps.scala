@@ -721,6 +721,17 @@ object EventOps {
       df: DataFrame,
       valueCol: String,
       qs: Seq[Double]
+  ): DataFrame =
+    globalQuantilesRaw(df, valueCol, qs)
+      .select(col("q"), col("n_values"), round(col("quantile"), 6).as("quantile"))
+
+  /** [[globalQuantiles]] without the display rounding — consumers that
+    * COMPARE data against the cut (winsorization) need the exact
+    * interpolated value, not a 6-decimal rendering of it. */
+  private[ops] def globalQuantilesRaw(
+      df: DataFrame,
+      valueCol: String,
+      qs: Seq[Double]
   ): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0), s"bad qs: $qs")
     val vals = df.select(col(valueCol).cast("double").as("__v"))
@@ -739,8 +750,39 @@ object EventOps {
         max(when(col("__cum") === ceil(col("__h")).cast("long"), col("__v"))).as("__hi"),
         max(col("__h") - floor(col("__h"))).as("__frac"))
       .select(col("q"), col("n_values"),
-        round(col("__lo") + col("__frac") * (coalesce(col("__hi"), col("__lo")) - col("__lo")),
-          6).as("quantile"))
+        (col("__lo") + col("__frac") * (coalesce(col("__hi"), col("__lo")) - col("__lo")))
+          .as("quantile"))
+  }
+
+  /** Winsorized per-type value profile: values clipped at the EXACT
+    * global [pLo, pHi] quantiles — the standard heavy-tail guard before
+    * feature scaling/aggregation — with per-type clip counts and the
+    * clipped mean. The cuts come from [[globalQuantiles]] (rank-selected,
+    * no value buffers) and broadcast back as ONE row; clipping is a
+    * scan-side `least/greatest`, and the clipped mean routes through
+    * DECIMAL(18,6) so it is shuffle-order-independent and
+    * oracle-replicable. Two passes total at any scale. */
+  def winsorizedProfile(
+      df: DataFrame,
+      typeCol: String,
+      valueCol: String,
+      pLo: Double = 0.01,
+      pHi: Double = 0.99
+  ): DataFrame = {
+    val v = col(valueCol)
+    val cuts = globalQuantilesRaw(df, valueCol, Seq(pLo, pHi))
+      .agg(min(when(col("q") === pLo, col("quantile"))).as("__lo"),
+        max(when(col("q") === pHi, col("quantile"))).as("__hi"))
+    val clipped = least(greatest(v, col("__lo")), col("__hi"))
+    df.crossJoin(broadcast(cuts))
+      .groupBy(col(typeCol))
+      .agg(count(v).as("n"),
+        sum(when(v < col("__lo"), 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when(v > col("__hi"), 1L).otherwise(0L)).as("n_clipped_high"),
+        (sum(clipped.cast(DecimalType(18, 6))).cast("double") / count(v))
+          .as("__m"))
+      .select(col(typeCol), col("n"), col("n_clipped_low"),
+        col("n_clipped_high"), round(col("__m"), 6).as("clipped_mean"))
   }
 
   /** Concentration profile: the Gini coefficient of per-key event counts

@@ -1308,6 +1308,44 @@ object Multimodal {
     (names.sorted.mkString(","), names.size, groups, total, allOk)
   }
 
+  /** Full ustar entry EXTRACTION (vs [[decodeTar]]'s census): every
+    * (name, payload bytes) pair, header checksums REQUIRED to verify —
+    * extraction is the trust boundary, so a corrupt header throws instead
+    * of flagging. */
+  def parseTarEntries(payload: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def octal(at: Int, len: Int): Long = {
+      val s = new String(payload, at, len, ascii)
+        .takeWhile(c => c >= '0' && c <= '7')
+      if (s.isEmpty) 0L else java.lang.Long.parseLong(s, 8)
+    }
+    var at = 0
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    var done = false
+    while (!done) {
+      require(at + 512 <= payload.length, s"truncated header at $at")
+      if ((at until at + 512).forall(payload(_) == 0)) done = true
+      else {
+        require(new String(payload, at + 257, 5, ascii) == "ustar",
+          s"bad ustar magic at $at")
+        var sum = 0L
+        (0 until 512).foreach { i =>
+          sum += (if (i >= 148 && i < 156) ' '.toInt else payload(at + i) & 0xff)
+        }
+        require(sum == octal(at + 148, 8), s"header checksum mismatch at $at")
+        val nameEnd = {
+          var e = at; while (e < at + 100 && payload(e) != 0) e += 1; e
+        }
+        val name = new String(payload, at, nameEnd - at, ascii)
+        val size = octal(at + 124, 12).toInt
+        require(at + 512 + size <= payload.length, s"entry $name data truncated")
+        out += name -> java.util.Arrays.copyOfRange(payload, at + 512, at + 512 + size)
+        at += 512 + ((size + 511) / 512) * 512
+      }
+    }
+    out.toSeq
+  }
+
   /** Batched TAR decode — same partition-local batch seam. */
   def decodeTarBatched(ds: Dataset[MediaRecord]): Dataset[DecodedTar] = {
     import ds.sparkSession.implicits._

@@ -68,18 +68,6 @@ object RuleCompiler {
       throw new IllegalArgumentException(
         s"""Rule "${rule.name}": At the least one action must be specified per rule.""")
 
-    // Invalid literals silently become NULL assignments when validation is
-    // off — reference parity (PlugRule.scala:129 `.getOrElse(null)`).
-    // An action key ABSENT from the schema fails here: the reference fails
-    // too (its generated `if(cond, v, missing_col)` dies in analysis with
-    // an unresolved-column error); we raise the validation message rather
-    // than silently adding a new column via withColumns.
-    val converted: Seq[(PlugAction, Column)] = rule.actions.map { a =>
-      val dt = fields.getOrElse(a.key, throw new IllegalArgumentException(
-        s"""Rule "${rule.name}": Field "${a.key}" not found in the schema."""))
-      a -> coerceValue(a.value, dt).getOrElse(lit(null))
-    }
-
     // True when some prefix of the dotted path is an array-of-struct —
     // the action targets a PER-ELEMENT field and compiles to transform().
     def crossesArray(key: String): Boolean = {
@@ -87,6 +75,36 @@ object RuleCompiler {
       (1 until segs.length).exists { i =>
         fields.get(segs.take(i).mkString(".")).exists(_.isInstanceOf[ArrayType])
       }
+    }
+
+    // True when the path's parent is a string-keyed map — the action
+    // targets one MAP ENTRY (the last segment is the entry key, which is
+    // data, not schema — so it needs no fields-map membership).
+    def mapEntryParent(key: String): Option[String] = {
+      val segs = key.split('.')
+      if (segs.length < 2) None
+      else {
+        val parent = segs.dropRight(1).mkString(".")
+        fields.get(parent) match {
+          case Some(MapType(StringType, _, _)) => Some(parent)
+          case _ => None
+        }
+      }
+    }
+
+    // Invalid literals silently become NULL assignments when validation is
+    // off — reference parity (PlugRule.scala:129 `.getOrElse(null)`).
+    // An action key ABSENT from the schema fails here: the reference fails
+    // too (its generated `if(cond, v, missing_col)` dies in analysis with
+    // an unresolved-column error); we raise the validation message rather
+    // than silently adding a new column via withColumns.
+    val converted: Seq[(PlugAction, Column)] = rule.actions.map { a =>
+      val dt = fields.get(a.key)
+        .orElse(mapEntryParent(a.key).map(p =>
+          fields(p).asInstanceOf[MapType].valueType))
+        .getOrElse(throw new IllegalArgumentException(
+          s"""Rule "${rule.name}": Field "${a.key}" not found in the schema."""))
+      a -> coerceValue(a.value, dt).getOrElse(lit(null))
     }
 
     // Null-safe change detection, OR-ed across actions; the comparison
@@ -100,7 +118,11 @@ object RuleCompiler {
       converted.map { case (a, v) =>
         if (crossesArray(a.key))
           coalesce(exists(col(a.key), e => !(e <=> v)), lit(false))
-        else !(col(a.key) <=> v)
+        else mapEntryParent(a.key) match {
+          case Some(p) =>
+            !(element_at(col(p), lit(a.key.split('.').last)) <=> v)
+          case None => !(col(a.key) <=> v)
+        }
       }.reduceOption(_ || _).getOrElse(lit(false))
 
     // Per-element override builder: walk the dotted path through the
@@ -113,6 +135,14 @@ object RuleCompiler {
       dt match {
         case ArrayType(et: StructType, _) if segs.nonEmpty =>
           transform(node, x => overrideAt(et, x, segs, v))
+        case MapType(StringType, _, _) if segs.size == 1 =>
+          // one map ENTRY: drop any existing binding for the key, then add
+          // the override (map_concat under the default EXCEPTION dedup
+          // policy requires the filter); null maps pass through untouched
+          val updated = map_concat(
+            map_filter(node, (k, _) => k =!= segs.head),
+            map(lit(segs.head), v))
+          when(cond && node.isNotNull, updated).otherwise(node)
         case st: StructType if segs.nonEmpty =>
           node.withField(segs.head,
             overrideAt(st(segs.head).dataType, node.getField(segs.head), segs.tail, v))
@@ -127,11 +157,12 @@ object RuleCompiler {
     val updates: Seq[(String, Column)] =
       converted.groupBy(_._1.updateKey).toSeq.sortBy(_._1).map { case (top, acts) =>
         val updated = acts.foldLeft(col(top)) {
-          case (acc, (a, v)) if a.key.contains('.') && crossesArray(a.key) =>
-            // Array-of-struct element override: transform + withField,
-            // every element of a matching row gets the value (extension
-            // beyond the reference, which only supported scalar-struct
-            // children — README.md:161).
+          case (acc, (a, v)) if a.key.contains('.') &&
+              (crossesArray(a.key) || mapEntryParent(a.key).isDefined) =>
+            // Array-of-struct element or map-entry override: the type
+            // walker compiles transform/map_concat/withField as the path
+            // demands (extensions beyond the reference, which only
+            // supported scalar-struct children — README.md:161).
             overrideAt(fields(top), acc, a.key.split('.').drop(1).toSeq, v)
           case (acc, (a, v)) if a.key.contains('.') =>
             // Struct-field override via withField: null parents propagate

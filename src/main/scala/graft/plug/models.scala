@@ -40,8 +40,19 @@ case class PlugRule(name: String, version: String, condition: String, actions: S
       List(validationError("At the least one action must be specified per rule."))
     else {
       val fields = PlugRule.buildFieldsMap(schema).toMap
+      // a path whose parent is a string-keyed map targets one map ENTRY;
+      // the entry key is data, so only the parent needs to exist — the
+      // value is checked against the map's value type
+      def mapEntryValueType(key: String): Option[DataType] = {
+        val segs = key.split('.')
+        if (segs.length < 2) None
+        else fields.get(segs.dropRight(1).mkString(".")).collect {
+          case m: org.apache.spark.sql.types.MapType
+              if m.keyType == org.apache.spark.sql.types.StringType => m.valueType
+        }
+      }
       actions.flatMap { action =>
-        fields.get(action.key) match {
+        fields.get(action.key).orElse(mapEntryValueType(action.key)) match {
           case None =>
             Some(validationError(s"""Field "${action.key}" not found in the schema."""))
           // Backtick values bypass static type checking entirely (reference:

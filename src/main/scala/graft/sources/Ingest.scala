@@ -271,6 +271,25 @@ object Ingest {
         col("payload"))
   }
 
+  /** Distributed WebDataset ingestion: one task per .tar shard (the
+    * WebDataset convention — training samples grouped by basename key
+    * inside plain ustar shards, parallelism from the shard count).
+    * Every entry extracts with header-checksum verification
+    * ([[graft.ops.Multimodal.parseTarEntries]]); the output is one row
+    * per (sample key, extension) part, ready for per-sample regrouping. */
+  def readWebDataset(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/*.tar")
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap(b => graft.ops.Multimodal.parseTarEntries(b).map { case (n, d) =>
+        val dot = n.indexOf('.')
+        (if (dot < 0) n else n.substring(0, dot),
+          if (dot < 0) "" else n.substring(dot + 1), d)
+      })
+      .toDF("sample_key", "ext", "payload")
+  }
+
   /** Per-row-group parquet FOOTER statistics — (file, row_group_id,
     * n_rows, n_columns) read from metadata only, no data pages touched.
     * The planning/ops readout behind compaction decisions ("thousands of

@@ -313,4 +313,25 @@ object StreamingOps {
     * pointer names. */
   def readUpsertTable(spark: SparkSession, dir: String): DataFrame =
     graft.sources.ManifestTable.read(spark, dir)
+
+  /** Per-micro-batch data-quality telemetry: each batch runs the ONE-SCAN
+    * [[graft.ops.Quality.constraintReport]] and appends its per-rule
+    * censuses tagged with the batch id — the landing-zone gate a
+    * streaming ingest alerts on ("batch 7's null rate jumped") without a
+    * second pass over the data. Row-local rules only cost conditional
+    * sums inside the batch's existing scan; the report is #rules rows per
+    * batch, so the telemetry table stays trivially small at any volume. */
+  def constraintGateSink(
+      stream: DataFrame,
+      constraints: Seq[graft.ops.Quality.Constraint],
+      dir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Quality.constraintReport(batch, constraints)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(dir)
+      }
+      .start()
 }

@@ -1077,9 +1077,16 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     val full = Multimodal.toTar(Seq("a.bin" -> new Array[Byte](512)))
     full.length shouldBe 512 + 512 + 1024
     Multimodal.decodeTar(full)._4 shouldBe 512L
+    // full extraction returns every payload byte-exact, in archive order
+    val entries = Multimodal.parseTarEntries(tar)
+    entries.map(_._1) shouldBe Seq("7.txt", "7.json", "9.txt")
+    new String(entries(0)._2, "UTF-8") shouldBe "hello tar"
+    new String(entries(2)._2, "UTF-8") shouldBe "second sample"
     // tampering any header byte breaks that header's checksum
     val tampered = tar.clone(); tampered(0) = 'z'
     Multimodal.decodeTar(tampered)._5 shouldBe false
+    // …and extraction (the trust boundary) refuses the same archive
+    an[IllegalArgumentException] should be thrownBy Multimodal.parseTarEntries(tampered)
     // a clobbered magic fails loudly
     val badMagic = tar.clone(); badMagic(257) = 'x'
     an[IllegalArgumentException] should be thrownBy Multimodal.decodeTar(badMagic)

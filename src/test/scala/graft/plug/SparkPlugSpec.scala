@@ -418,6 +418,51 @@ class SparkPlugSpec extends AnyFlatSpec with Matchers {
     details("Pixel") shouldBe 0  // empty array: unchanged
   }
 
+  it should "override one map entry, add absent keys, and preserve null maps" in {
+    val df = Seq(
+      ("iPhone", Map("region" -> "eu", "tier" -> "a")),
+      ("Galaxy", Map("region" -> "us")),
+      ("Lumia", null.asInstanceOf[Map[String, String]])
+    ).toDF("title", "meta")
+    val rules = List(PlugRule("rm", "v1", "title like '%iPhone%' or title like '%Galaxy%'",
+      Seq(PlugAction("meta.region", "apac"), PlugAction("meta.src", "plug"))))
+    val out = SparkPlug.builder(spark).create().plug(df, rules).toOption.get
+      .as[(String, Map[String, String])].collect().sortBy(_._1).toMap
+    out("iPhone") shouldBe Map("region" -> "apac", "tier" -> "a", "src" -> "plug")
+    out("Galaxy") shouldBe Map("region" -> "apac", "src" -> "plug")
+    out("Lumia") shouldBe null // null map preserved
+  }
+
+  it should "audit map-entry actions only when the entry value actually changes" in {
+    val df = Seq(
+      ("iPhone", Map("region" -> "eu")),
+      ("Galaxy", Map("region" -> "us"))
+    ).toDF("title", "meta")
+    val rules = List(
+      // Galaxy already has region=us -> matched but NO change
+      PlugRule("r1", "v1", "title = 'Galaxy'", Seq(PlugAction("meta.region", "us"))),
+      PlugRule("r2", "v1", "title = 'iPhone'", Seq(PlugAction("meta.region", "us"))))
+    val out = SparkPlug.builder(spark).enablePlugDetails().create()
+      .plug(df, rules).toOption.get
+    val details = out.select($"title", functions.size($"plugDetails").as("n"))
+      .as[(String, Int)].collect().toMap
+    details("Galaxy") shouldBe 0
+    details("iPhone") shouldBe 1
+  }
+
+  it should "validate map-entry actions against the map value type" in {
+    val df = Seq(("a", Map("x" -> 1.5))).toDF("title", "scores")
+    val ok = PlugRule("r1", "v1", "title = 'a'", Seq(PlugAction("scores.anykey", "2.5")))
+    ok.validate(df.schema) shouldBe Nil
+    val bad = PlugRule("r2", "v1", "title = 'a'", Seq(PlugAction("scores.x", "cheap")))
+    bad.validate(df.schema) shouldBe List(
+      PlugRuleValidationError("r2", """Value "cheap" cannot be assigned to field scores.x."""))
+    // a missing top-level parent still fails
+    val miss = PlugRule("r3", "v1", "title = 'a'", Seq(PlugAction("nope.x", "1")))
+    miss.validate(df.schema) shouldBe List(
+      PlugRuleValidationError("r3", """Field "nope.x" not found in the schema."""))
+  }
+
   it should "validate element-field actions against the element schema" in {
     val ok = PlugRule("r1", "v1", "price > 0", Seq(PlugAction("items.price", "5.0")))
     ok.validate(itemsDf.schema.asInstanceOf[org.apache.spark.sql.types.StructType]) shouldBe Nil
