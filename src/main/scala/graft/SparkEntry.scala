@@ -839,6 +839,20 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
     }),
 
+    // Extension: FILTERED ANN — top-k among label-even corpus vectors
+    // only. The quantizer trains on the FULL corpus (index built once,
+    // predicates arrive at query time); the filter prunes the inverted
+    // file before the probe join, so pruned rows never enter the shuffle.
+    "sim_filtered_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.ops.Similarity.ivfTopK(
+          spread(s, emb), emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, numCentroids = 16, lloydRounds = 2, nprobe = 4,
+          corpusFilter = col("label") % 2 === 0)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim"), 6).as("sim"))
+    }),
+
     // Extension: IVF-PQ composed index — the production FAISS shape
     // (by_residual=false): coarse cells prune compute (nprobe of 16
     // cells), PQ codes prune memory (2 bytes/vector), ranking is
@@ -1751,6 +1765,22 @@ object SparkEntry {
     // shuffle on the key, no inequality join (which Spark would plan as a
     // broadcast nested loop). The DuckDB oracle uses its NATIVE ASOF JOIN —
     // an independent algorithm agreeing bit-for-bit.
+    // Extension: as-of join with a staleness bound (merge_asof tolerance
+    // semantics) — matches older than 10 minutes null out; the bound is a
+    // row-local gate on the same union-plus-one-window plan.
+    "events_asof_tolerance" -> ((s, dir) => {
+      val e = events(s, dir)
+      graft.ops.Temporal.asofJoinTolerance(
+          e.filter(col("event_type") === "click")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          e.filter(col("event_type") === "error"),
+          "user_id", "ts", Seq("value"), toleranceMs = 10 * 60 * 1000L)
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          unix_millis(col("asof_ts")).as("asof_ts_ms"),
+          col("asof_value"))
+    }),
+
     "events_asof_join" -> ((s, dir) => {
       val e = events(s, dir)
       graft.ops.Temporal.asofJoin(
@@ -3417,6 +3447,23 @@ object SparkEntry {
         |  round(coh.mc, 6) AS mean_cos
         |FROM c JOIN coh USING (label)""".stripMargin,
 
+    "sim_filtered_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |c1 AS ${lloydRoundSql("seeds", 64)},
+        |c2 AS ${lloydRoundSql("c1", 64)},
+        |sims AS (SELECT e.vec_id, e.label, e.v, c.cent_id, ${cosSql("e.v", "c.cv")} AS csim FROM e, c2 c),
+        |cells AS (SELECT vec_id, v, cent_id AS cell FROM
+        |  (SELECT vec_id, label, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims)
+        |  WHERE rn = 1 AND label % 2 = 0),
+        |probes AS (SELECT vec_id AS query_id, v AS qv, cent_id AS cell FROM
+        |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims WHERE vec_id < 10)
+        |  WHERE rn <= 4),
+        |scored AS (SELECT p.query_id, cl.vec_id AS neighbor_id, ${cosSql("p.qv", "cl.v")} AS sim
+        |  FROM probes p JOIN cells cl ON p.cell = cl.cell WHERE cl.vec_id != p.query_id),
+        |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin,
+
     "sim_ivfpq_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
@@ -4479,6 +4526,21 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'click') l
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    // The tolerance gate nulls BOTH carried columns when the match is
+    // older than the bound (or absent).
+    "events_asof_tolerance" ->
+      """SELECT event_id, user_id, ts_ms,
+        |  CASE WHEN ts_ms - asof_ts_ms <= 600000 THEN asof_ts_ms ELSE NULL END AS asof_ts_ms,
+        |  CASE WHEN ts_ms - asof_ts_ms <= 600000 THEN asof_value ELSE NULL END AS asof_value
+        |FROM (
+        |  SELECT l.event_id, l.user_id,
+        |    CAST(epoch_ms(l.ts) AS BIGINT) AS ts_ms,
+        |    CAST(epoch_ms(r.ts) AS BIGINT) AS asof_ts_ms,
+        |    r.value AS asof_value
+        |  FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+        |    ON l.user_id = r.user_id AND l.ts >= r.ts)""".stripMargin,
 
     "events_asof_forward" ->
       """SELECT l.event_id, l.user_id,

@@ -296,7 +296,14 @@ object Similarity {
     * inverted file (in production, written bucketed by cell so the probe
     * join is co-located); the probe join shuffles only on cell ids. Ties
     * break on centroid/neighbor id so results are deterministic across
-    * partitionings and engines. */
+    * partitionings and engines.
+    *
+    * `corpusFilter` is FILTERED ANN (the "top-k among lang='en'" query):
+    * the quantizer trains on the FULL corpus — the index is built once,
+    * predicates arrive at query time — and the predicate applies to the
+    * inverted file BEFORE the probe join, so pruned rows never enter the
+    * shuffle. The classic filtered-recall caveat applies (a probe cell
+    * may hold few survivors; raise `nprobe` under selective filters). */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -305,7 +312,8 @@ object Similarity {
       k: Int,
       numCentroids: Int = 16,
       lloydRounds: Int = 2,
-      nprobe: Int = 4
+      nprobe: Int = 4,
+      corpusFilter: Column = lit(true)
   ): DataFrame = {
     val cos = cosineFor(corpus.sparkSession) _
     val cent = kmeansCentroids(corpus, idCol, vecCol, numCentroids, lloydRounds)
@@ -314,8 +322,10 @@ object Similarity {
       return queries.limit(0).select(col(idCol).as("query_id"),
         col(idCol).as("neighbor_id"), lit(0.0).as("sim"), lit(0).as("rank"))
 
-    // cell assignment: narrow projection, centroids are plan literals
+    // cell assignment: narrow projection, centroids are plan literals;
+    // the query-time predicate prunes the inverted file at its scan
     val assigned = corpus
+      .filter(corpusFilter)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
       .withColumn("cell", nearestCell(cos)(col("nvec"), cent))
 

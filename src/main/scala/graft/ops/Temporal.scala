@@ -64,6 +64,31 @@ object Temporal {
       .select(leftCols ++ asofCols: _*)
   }
 
+  /** [[asofJoin]] with a STALENESS BOUND — pandas `merge_asof(tolerance=)`
+    * semantics: a match older than `toleranceMs` is as good as no match,
+    * so every carried column nulls out (state snapshots go stale; a
+    * quote from last week must not price today's trade). Same
+    * union-plus-one-window scale shape — the bound is a post-window
+    * row-local gate, zero extra passes; the ts gap goes through the
+    * [[Ts]] dtype dispatch so TIMESTAMP/NTZ/DATE/numeric columns all
+    * work. */
+  def asofJoinTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightCols: Seq[String],
+      toleranceMs: Long
+  ): DataFrame = {
+    val joined = asofJoin(left, right, keyCol, tsCol, rightCols)
+    val fresh =
+      Ts.millis(joined, tsCol) - Ts.millis(joined, s"asof_$tsCol") <= toleranceMs
+    val leftCols = left.columns.map(col).toSeq
+    val gated = (tsCol +: rightCols).map(c =>
+      when(fresh, col(s"asof_$c")).otherwise(lit(null)).as(s"asof_$c"))
+    joined.select(leftCols ++ gated: _*)
+  }
+
   /** FORWARD as-of join: each left row matches the EARLIEST right row of
     * the same key at or AFTER its timestamp — the "next event" direction
     * ([[asofJoin]] mirrored): next error after a click, next fill after an
