@@ -2078,6 +2078,14 @@ object SparkEntry {
     // Extension: BPE merge induction — the first 12 byte-pair merges
     // learned from the corpus (one corpus aggregate, then vocab-sized
     // rounds; the merge table is the tokenizer artifact).
+    // Extension: hashing-trick document embeddings — fixed-16-dim signed
+    // bag-of-words with ZERO vocabulary state (feature hashing); integer
+    // components, bit-reproducible norm. One doc-key shuffle with a fixed
+    // agg width.
+    "text_hash_embed" -> ((s, dir) =>
+      graft.ops.Corpus.hashedBowEmbed(
+        table(s, dir, "documents"), "doc_id", "text", dim = 16)),
+
     "text_bpe_merges" -> ((s, dir) =>
       graft.ops.Corpus.bpeMerges(spread(s, table(s, dir, "documents")), "text")),
 
@@ -4926,6 +4934,25 @@ object SparkEntry {
         |st AS (SELECT sum(n) AS total, quantile_cont(n, 0.5) AS p50 FROM c)
         |SELECT user_id, n, round(n / total, 6) AS share, round(n / p50, 6) AS x_median
         |FROM c CROSS JOIN st ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+
+    // Same hash60 md5-prefix arithmetic as the dedup family; components
+    // are exact integer sums, the norm a deterministic sqrt.
+    "text_hash_embed" -> {
+      val sums = (0 until 16).map(i =>
+        s"COALESCE(sum(CASE WHEN slot=$i THEN sgn END),0) AS c$i").mkString(", ")
+      val sq = (0 until 16).map(i => s"c$i*c$i").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents),
+         |s AS (SELECT doc_id,
+         |  (('0x'||substr(md5(w),1,15))::UBIGINT)::BIGINT % 16 AS slot,
+         |  CASE WHEN (('0x'||substr(md5('1:'||w),1,15))::UBIGINT)::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |FROM t),
+         |a AS (SELECT doc_id, count(*) AS n_tokens, $sums FROM s GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  round(sqrt($sq), 6) AS l2_norm,
+         |  CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+         |  CAST(c2 AS BIGINT) AS c2, CAST(c3 AS BIGINT) AS c3
+         |FROM a""".stripMargin
+    },
 
     "text_bpe_merges" -> s"WITH $bpeChainSql",
 

@@ -1778,6 +1778,44 @@ object Corpus {
         round(col("n").cast("double") / col("total"), 6).as("share"))
   }
 
+  /** Hashing-trick document embeddings (Weinberger et al. 2009 — feature
+    * hashing): each token lands in slot `hash60(w) mod dim` with sign
+    * `±1` from an independent hash bit, summed per document — a
+    * fixed-`dim` bag-of-words vector with NO vocabulary state anywhere
+    * (the property that makes it work on an unbounded token stream). The
+    * components are exact INTEGER sums, so the embedding — and its L2
+    * norm — is bit-reproducible by any engine.
+    *
+    * Scale shape: one doc-key shuffle with map-side-combinable
+    * conditional sums (the `dim` slots are a FIXED agg width, not a
+    * pivot); hashing is scan-side. Output: per doc, token count, the L2
+    * norm, and the first four components (the full vector assembles the
+    * same way at any `dim`). */
+  def hashedBowEmbed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 16
+  ): DataFrame = {
+    require(dim >= 4, s"dim=$dim too small")
+    val spark = df.sparkSession
+    val toks = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("w"))
+    val slot = pmod(hash60(col("w")), lit(dim.toLong))
+    val sign = when(pmod(hash60(col("w"), 1), lit(2L)) === 0L, 1L)
+      .otherwise(-1L)
+    val comps = (0 until dim).map(i =>
+      coalesce(sum(when(slot === i.toLong, sign)), lit(0L)).as(s"__c$i"))
+    val allAggs = count(lit(1)).as("n_tokens") +: comps
+    val aggd = toks.groupBy(col(idCol))
+      .agg(allAggs.head, allAggs.tail: _*)
+    val norm = sqrt((0 until dim)
+      .map(i => (col(s"__c$i") * col(s"__c$i")).cast("double")).reduce(_ + _))
+    aggd.select(col(idCol), col("n_tokens"), round(norm, 6).as("l2_norm"),
+      col("__c0").as("c0"), col("__c1").as("c1"),
+      col("__c2").as("c2"), col("__c3").as("c3"))
+  }
+
   /** Greedy token-budget selection: the highest-quality documents, in
     * (quality desc, id) order, until the cumulative token count exceeds
     * the budget — the "fill the training-mix slot with the best `B`
