@@ -2401,6 +2401,23 @@ object SparkEntry {
       snap(0L).unionAll(snap(1L))
     }),
 
+    // Extension: nested-schema flattening (the json_normalize step) —
+    // depth-2 structs flatten to a_b_c scalars in one projection; null
+    // parents propagate null leaves.
+    "ingest_flatten" -> ((s, dir) => {
+      val nested = table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") > 45, lit(null)).otherwise(
+          struct(
+            struct(col("l_quantity").as("qty"), col("l_discount").as("disc"))
+              .as("amounts"),
+            col("l_tax").as("tax"))).as("detail"))
+      graft.sources.Ingest.flattenStructs(nested)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("detail_amounts_qty"), col("detail_amounts_disc"),
+          col("detail_tax"))
+    }),
+
     // Extension: WebDataset shard roundtrip — documents export as ustar
     // shards (one per partition, entries `<id>.txt` + `<id>.cls` grouped
     // by sample key — the WebDataset layout), written through the Hadoop
@@ -5283,6 +5300,14 @@ object SparkEntry {
         |  md5(text) AS payload_md5,
         |  'http://synthetic.local/doc/' || doc_id AS target_uri
         |FROM documents""".stripMargin,
+
+    // Null struct parents flatten to null leaves.
+    "ingest_flatten" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity > 45 THEN NULL ELSE l_quantity END AS detail_amounts_qty,
+        |  CASE WHEN l_quantity > 45 THEN NULL ELSE l_discount END AS detail_amounts_disc,
+        |  CASE WHEN l_quantity > 45 THEN NULL ELSE l_tax END AS detail_tax
+        |FROM lineitem""".stripMargin,
 
     // WebDataset roundtrip: every sample reassembles to its source row.
     "ingest_webdataset" ->

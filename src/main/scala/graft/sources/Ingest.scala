@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructType}
 
@@ -341,6 +341,33 @@ object Ingest {
         }
       }
       .toDF("file_name", "row_group_id", "n_rows", "n_columns")
+  }
+
+  /** Flatten every nested struct column into top-level `a_b_c` columns —
+    * the json_normalize step between "ingest arbitrary nested JSON" and
+    * "feed a columnar pipeline": warehouse sinks, CSV exports, and BI
+    * layers want scalars, and flattened leaves also prune/push down
+    * better than whole-struct reads. Arrays and maps stay opaque at
+    * their flattened position (explode is a ROW-multiplying decision the
+    * caller makes deliberately). Purely a projection — no shuffle, no
+    * data movement; name collisions fail loudly instead of silently
+    * dropping a column. */
+  def flattenStructs(df: DataFrame, sep: String = "_"): DataFrame = {
+    def walk(prefix: String, path: Column, dt: org.apache.spark.sql.types.DataType)
+        : Seq[(String, Column)] = dt match {
+      case st: StructType =>
+        st.fields.toSeq.flatMap(f =>
+          walk(s"$prefix$sep${f.name}", path.getField(f.name), f.dataType))
+      case _ => Seq(prefix -> path)
+    }
+    val cols = df.schema.fields.toSeq.flatMap {
+      case f if f.dataType.isInstanceOf[StructType] =>
+        walk(f.name, col(f.name), f.dataType)
+      case f => Seq(f.name -> col(f.name))
+    }
+    val dups = cols.map(_._1).groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
+    require(dups.isEmpty, s"flattened name collision: ${dups.mkString(", ")}")
+    df.select(cols.map { case (n, c) => c.as(n) }: _*)
   }
 
   def unionEvolved(snapshots: Seq[DataFrame]): DataFrame = {

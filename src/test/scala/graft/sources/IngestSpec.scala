@@ -140,4 +140,22 @@ class IngestSpec extends AnyFlatSpec with Matchers {
       g.map(_.getInt(1)).sorted shouldBe g.indices.toArray
     }
   }
+
+  it should "flatten nested structs to dotted scalars and fail on name collisions" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 2.0, "x"), (2L, 3.0, "y")).toDF("id", "v", "s")
+      .select(col("id"),
+        struct(struct(col("v").as("a"), col("s").as("b")).as("inner"),
+          col("v").as("c")).as("n"),
+        col("s"))
+    val flat = Ingest.flattenStructs(df)
+    flat.columns.toSeq shouldBe Seq("id", "n_inner_a", "n_inner_b", "n_c", "s")
+    flat.orderBy("id").collect().map(_.getDouble(1)) shouldBe Array(2.0, 3.0)
+    // no shuffle: pure projection
+    flat.queryExecution.executedPlan.toString.contains("Exchange") shouldBe false
+    // a collision (pre-existing n_c next to struct n.c) fails loudly
+    val clash = df.withColumn("n_c", lit(0))
+    an[IllegalArgumentException] should be thrownBy Ingest.flattenStructs(clash)
+  }
 }
