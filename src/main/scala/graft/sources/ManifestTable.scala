@@ -82,9 +82,45 @@ object ManifestTable {
     }
   }
 
-  private def manifestRel(f: FileSystem, dir: String, name: String): Seq[String] =
+  // header lines (#key=value) carry snapshot metadata; data-file lines
+  // follow. Readers that predate a header key ignore it.
+  private def manifestLines(f: FileSystem, dir: String, name: String): Seq[String] =
     readSmallFile(f, new Path(new Path(dir, "_manifests"), name))
       .split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def manifestRel(f: FileSystem, dir: String, name: String): Seq[String] =
+    manifestLines(f, dir, name).filterNot(_.startsWith("#"))
+
+  private def manifestSchema(f: FileSystem, dir: String, name: String)
+      : Option[StructType] =
+    manifestLines(f, dir, name).collectFirst {
+      case l if l.startsWith("#schema=") =>
+        org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("#schema="))
+          .asInstanceOf[StructType]
+    }
+
+  /** Nullability- and order-insensitive schema compatibility: the same
+    * (name → type) set. Appending a batch whose columns differ would make
+    * reads silently resolve against whichever file the scan samples
+    * first — the failure mode this guard turns into a loud error. */
+  private def requireSameSchema(
+      current: Option[StructType], incoming: StructType, op: String): Unit =
+    current.foreach { cur =>
+      def canon(st: StructType) =
+        st.fields.map(fd => fd.name -> fd.dataType.catalogString).sortBy(_._1).toSeq
+      require(canon(cur) == canon(incoming),
+        s"$op schema mismatch: table has ${canon(cur).mkString(", ")}; " +
+          s"batch has ${canon(incoming).mkString(", ")}")
+    }
+
+  /** The schema the CURRENT snapshot was committed with (None for
+    * pre-header manifests). */
+  def currentSchema(spark: SparkSession, dir: String): Option[StructType] = {
+    val f = fs(dir, spark)
+    val ptr = new Path(dir, PointerName)
+    if (!f.exists(ptr)) None
+    else manifestSchema(f, dir, readSmallFile(f, ptr).trim)
+  }
 
   private def currentRel(f: FileSystem, dir: String): Seq[String] = {
     val ptr = new Path(dir, PointerName)
@@ -132,24 +168,54 @@ object ManifestTable {
       val root = f.makeQualified(base).toUri.getPath
       full.stripPrefix(root).stripPrefix("/")
     }
-    val v = currentVersion(spark, dir) + 1
-    val name = f"manifest-$v%020d.txt"
+    claimManifestSlot(spark, dir,
+      (s"#schema=${df.schema.json}" +: (carryForward ++ rel).sorted).mkString("\n"))
+  }
+
+  /** Write the manifest into the first FREE version slot at or above
+    * current+1. The slot claim is `rename` WITHOUT overwrite — atomic
+    * file-creation CAS on HDFS/POSIX — so two concurrent writers can
+    * never stage the same version; the loser simply claims the next
+    * slot. The manifest itself goes temp-file-then-rename, so a manifest
+    * is either absent or complete — never half a file list. */
+  private def claimManifestSlot(
+      spark: SparkSession, dir: String, content: String): StagedCommit = {
+    val f = fs(dir, spark)
     val mdir = new Path(dir, "_manifests")
     f.mkdirs(mdir)
-    // manifest itself is also temp-file + rename so a manifest is either
-    // absent or complete — never half a file list
-    val tmp = new Path(mdir, s".$name.tmp.${UUID.randomUUID()}")
-    writeSmallFile(f, tmp, (carryForward ++ rel).sorted.mkString("\n"))
-    if (!f.rename(tmp, new Path(mdir, name)))
-      throw new java.io.IOException(s"cannot publish manifest $name in $mdir")
-    StagedCommit(v, name)
+    var v = currentVersion(spark, dir) + 1
+    var attempts = 0
+    while (true) {
+      val name = f"manifest-$v%020d.txt"
+      val tmp = new Path(mdir, s".$name.tmp.${UUID.randomUUID()}")
+      writeSmallFile(f, tmp, content)
+      if (f.rename(tmp, new Path(mdir, name))) return StagedCommit(v, name)
+      f.delete(tmp, false)
+      v += 1
+      attempts += 1
+      require(attempts < 1000, s"cannot claim a manifest slot in $mdir")
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Step (3): the atomic pointer swap. After this returns, every new
     * reader resolves the staged snapshot; a crash before it leaves the
-    * previous snapshot fully intact. */
+    * previous snapshot fully intact.
+    *
+    * Optimistic concurrency: the swap is refused when another writer
+    * committed since this snapshot was staged (the staged version no
+    * longer succeeds the current one) — a lost-update would otherwise
+    * silently drop the other writer's commit. On conflict, re-stage
+    * against the new current and retry (plain-FileSystem deployments
+    * cannot do better than detect — a true CAS needs the catalog /
+    * LogStore piece the class doc describes). */
   def publish(spark: SparkSession, dir: String, staged: StagedCommit): Unit = {
     val f = fs(dir, spark)
+    val cur = currentVersion(spark, dir)
+    if (staged.version <= cur)
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot v$cur was committed after v${staged.version} was staged " +
+          "— this commit is based on stale state; re-stage and retry")
     val ptrTmp = new Path(dir, s".$PointerName.tmp.${UUID.randomUUID()}")
     writeSmallFile(f, ptrTmp, staged.manifestName)
     val fc = FileContext.getFileContext(
@@ -173,6 +239,7 @@ object ManifestTable {
     * swap is the only mutation readers can see). */
   def append(spark: SparkSession, dir: String, df: DataFrame): StagedCommit = {
     val f = fs(dir, spark)
+    requireSameSchema(currentSchema(spark, dir), df.schema, "append")
     val carry =
       if (f.exists(new Path(dir, PointerName))) currentRel(f, dir) else Seq.empty
     val staged = stage(spark, dir, df, carry)
@@ -200,6 +267,7 @@ object ManifestTable {
       partitionCol: String
   ): StagedCommit = {
     val f = fs(dir, spark)
+    requireSameSchema(currentSchema(spark, dir), df.schema, "replacePartitions")
     val dataDir = new Path(new Path(dir, "data"), UUID.randomUUID().toString)
     df.withColumn("__p", org.apache.spark.sql.functions.col(partitionCol))
       .write.partitionBy("__p").parquet(dataDir.toString)
@@ -221,15 +289,8 @@ object ManifestTable {
     val carry =
       if (!f.exists(new Path(dir, PointerName))) Seq.empty
       else currentRel(f, dir).filterNot(r => touched.exists(t => r.contains(s"/$t/")))
-    val v = currentVersion(spark, dir) + 1
-    val name = f"manifest-$v%020d.txt"
-    val mdir = new Path(dir, "_manifests")
-    f.mkdirs(mdir)
-    val tmp = new Path(mdir, s".$name.tmp.${UUID.randomUUID()}")
-    writeSmallFile(f, tmp, (carry ++ rel).sorted.mkString("\n"))
-    if (!f.rename(tmp, new Path(mdir, name)))
-      throw new java.io.IOException(s"cannot publish manifest $name in $mdir")
-    val staged = StagedCommit(v, name)
+    val staged = claimManifestSlot(spark, dir,
+      (s"#schema=${df.schema.json}" +: (carry ++ rel).sorted).mkString("\n"))
     publish(spark, dir, staged)
     staged
   }

@@ -157,6 +157,45 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
     } finally rm(dir)
   }
 
+  it should "refuse the pointer swap when another writer committed since staging" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.commit(spark, dir, (0L until 10L).map(i => (i, i)).toDF("id", "x"))
+      // writer A stages v1…
+      val a = ManifestTable.stage(spark, dir, (0L until 5L).map(i => (i, -i)).toDF("id", "x"))
+      // …writer B commits v1 first
+      ManifestTable.commit(spark, dir, (0L until 7L).map(i => (i, i * 10)).toDF("id", "x"))
+      // A's swap would silently drop B's commit — refused instead
+      an[java.util.ConcurrentModificationException] should be thrownBy
+        ManifestTable.publish(spark, dir, a)
+      // B's snapshot is intact; A re-stages against it and succeeds
+      ManifestTable.read(spark, dir).count() shouldBe 7
+      ManifestTable.commit(spark, dir, (0L until 5L).map(i => (i, -i)).toDF("id", "x"))
+      ManifestTable.read(spark, dir).count() shouldBe 5
+    } finally rm(dir)
+  }
+
+  it should "refuse appends and partition replaces whose schema drifted" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.commit(spark, dir,
+        (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+      // renamed column
+      val e1 = intercept[IllegalArgumentException] {
+        ManifestTable.append(spark, dir,
+          (10L until 20L).map(i => (i, s"v$i")).toDF("id", "w"))
+      }
+      e1.getMessage should include("append schema mismatch")
+      // same name, different type
+      an[IllegalArgumentException] should be thrownBy ManifestTable.append(
+        spark, dir, (10L until 20L).map(i => (i, i)).toDF("id", "v"))
+      // column ORDER is not drift — append succeeds
+      ManifestTable.append(spark, dir,
+        (10L until 15L).map(i => (s"v$i", i)).toDF("v", "id"))
+      ManifestTable.read(spark, dir).count() shouldBe 15
+    } finally rm(dir)
+  }
+
   it should "compact by pointer swap with no reader-visible window and no directory rename" in {
     val dir = tmpDir()
     try {
