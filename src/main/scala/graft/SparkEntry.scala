@@ -2384,6 +2384,52 @@ object SparkEntry {
           sum(col("n_chars")).as("chars_sum"))
     }),
 
+    // Extension: END-TO-END LANDING PIPELINE — the composed path a batch
+    // actually takes into a governed corpus: (1) the constraint gate must
+    // pass (uniqueness + ranges; a failing batch would never land),
+    // (2) exact dedup keeps the best copy per fingerprint, (3) survivors
+    // land as TWO manifest append transactions, (4) the summary reads the
+    // committed table — every subsystem touches the same bytes.
+    "docs_landing_pipeline" -> ((s, dir) => {
+      val out = scratch("landing")
+      val docs = table(s, dir, "documents")
+      require(graft.ops.Quality.passes(docs, Seq(
+        graft.ops.Quality.NotNull("doc_id"),
+        graft.ops.Quality.Unique(Seq("doc_id")),
+        graft.ops.Quality.InRange("n_chars", 1, 1000000))),
+        "landing gate failed — batch must not land")
+      val keep = graft.ops.Dedup
+        .exactDedupBest(docs, "doc_id", "text", "n_chars")
+        .select(col("keep_id").as("doc_id"))
+      val landed = docs.join(keep, "doc_id")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      graft.sources.ManifestTable.commit(s, out,
+        landed.filter(col("doc_id") % 2 === 0))
+      graft.sources.ManifestTable.append(s, out,
+        landed.filter(col("doc_id") % 2 === 1))
+      graft.sources.ManifestTable.read(s, out)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_sum"))
+    }),
+
+    // Extension: manifest-table INCREMENTAL READ — the consume side of
+    // append: a downstream job remembers its last version and reads
+    // ONLY the files newer manifests added (O(batch) per poll); the base
+    // snapshot's rows never re-read.
+    "ingest_manifest_changes" -> ((s, dir) => {
+      val out = scratch("manifest_chg")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      graft.sources.ManifestTable.commit(s, out, docs.filter(col("doc_id") % 3 === 0))
+      graft.sources.ManifestTable.append(s, out, docs.filter(col("doc_id") % 3 === 1))
+      graft.sources.ManifestTable.append(s, out, docs.filter(col("doc_id") % 3 === 2))
+      graft.sources.ManifestTable.readChangesSince(s, out, fromVersion = 0L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_sum"))
+    }),
+
     // Extension: manifest-table TIME TRAVEL — manifests are immutable and
     // data files write-once, so version 0 reads bit-identically after
     // version 1 replaces it; both snapshots aggregate side by side from
@@ -5372,6 +5418,28 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
         |FROM documents WHERE lang <> 'en' OR doc_id % 2 = 0
         |GROUP BY lang""".stripMargin,
+
+    // Survivors = best copy per normalized-text fingerprint; both append
+    // batches land, so the committed table is exactly the survivor set.
+    "docs_landing_pipeline" ->
+      """WITH f AS (SELECT doc_id, source, n_chars,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM f)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM r WHERE rn = 1 GROUP BY source""".stripMargin,
+
+    // The delta since v0 = the two appended slices, never the base.
+    "ingest_manifest_changes" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents WHERE doc_id % 3 <> 0
+        |GROUP BY source""".stripMargin,
 
     // Version 0 is the full corpus; version 1 is the doc_id % 2 = 0 cut.
     "ingest_manifest_timetravel" ->

@@ -302,6 +302,33 @@ object ManifestTable {
     spark.read.option("recursiveFileLookup", "true")
       .parquet(currentFiles(spark, dir): _*)
 
+  /** Incremental consumption: the rows ADDED between snapshot
+    * `fromVersion` (exclusive) and the current snapshot — exactly the
+    * data files the newer manifests reference that the older one does
+    * not, read directly (no diffing of row contents, no re-scan of the
+    * base). This is the consume side of [[append]]: a downstream job
+    * remembers the version it last processed and reads only the delta —
+    * O(batch) per poll at any table size. Only meaningful while commits
+    * are append-shaped (compaction/overwrite rewrite files, making
+    * "added files" ≠ "added rows" — the same caveat every file-diff CDC
+    * read carries; pair with [[versions]] to detect such commits). */
+  def readChangesSince(
+      spark: SparkSession, dir: String, fromVersion: Long): DataFrame = {
+    val f = fs(dir, spark)
+    val fromName = f"manifest-$fromVersion%020d.txt"
+    require(f.exists(new Path(new Path(dir, "_manifests"), fromName)),
+      s"version $fromVersion not found (vacuumed, or never committed) in $dir")
+    val old = manifestRel(f, dir, fromName).toSet
+    val added = currentRel(f, dir).filterNot(old)
+      .map(rel => new Path(dir, rel).toString)
+    if (added.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        currentSchema(spark, dir).getOrElse(
+          spark.read.parquet(currentFiles(spark, dir): _*).schema))
+    else spark.read.parquet(added: _*)
+  }
+
   /** The committed snapshot versions still present in `_manifests`,
     * ascending. */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {

@@ -157,6 +157,27 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
     } finally rm(dir)
   }
 
+  it should "read only the rows added since a remembered version" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.commit(spark, dir,
+        (0L until 100L).map(i => (i, "base")).toDF("id", "tag"))
+      ManifestTable.append(spark, dir,
+        (100L until 130L).map(i => (i, "b1")).toDF("id", "tag"))
+      ManifestTable.append(spark, dir,
+        (200L until 210L).map(i => (i, "b2")).toDF("id", "tag"))
+      val delta = ManifestTable.readChangesSince(spark, dir, 0L)
+      delta.count() shouldBe 40 // both appends, never the base
+      delta.select("tag").distinct().collect().map(_.getString(0)).sorted shouldBe
+        Array("b1", "b2")
+      ManifestTable.readChangesSince(spark, dir, 1L).count() shouldBe 10
+      // caught up: empty frame with the table schema
+      val none = ManifestTable.readChangesSince(spark, dir, 2L)
+      none.count() shouldBe 0
+      none.columns.toSeq shouldBe Seq("id", "tag")
+    } finally rm(dir)
+  }
+
   it should "refuse the pointer swap when another writer committed since staging" in {
     val dir = tmpDir()
     try {
