@@ -1432,6 +1432,33 @@ object SparkEntry {
           round(col("value"), 6).as("last_value"))
     }),
 
+    // Extension: STREAMING append-only manifest sink — each micro-batch
+    // lands as one atomic append transaction (pointer-swap visibility,
+    // snapshot history for free); replayed as TWO batches, the committed
+    // table is exactly the feed and the version count proves per-batch
+    // commits.
+    "stream_append_sink" -> ((s, dir) => withStreamingShuffle(s, 4) {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val feed = events(s, dir).filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          col("value"), col("props"))
+        .as[StreamEv].collect()
+      val (batch1, batch2) = feed.partition(_.event_id < 1000)
+      val out = scratch("stream_append")
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEv]
+      val q = graft.streaming.StreamingOps.appendSink(
+        in.toDF().select("event_id", "user_id", "event_type", "value"), out)
+      in.addData(batch1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
+      q.stop()
+      val versions = graft.sources.ManifestTable.versions(s, out).size
+      graft.sources.ManifestTable.read(s, out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("id_sum"),
+          lit(versions).as("n_versions"))
+    }),
+
     // Extension: STREAMING per-batch quality gate — the one-scan
     // constraint report runs inside foreachBatch and appends per-rule
     // censuses tagged with the batch id (landing-zone telemetry: "batch
@@ -4219,6 +4246,14 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events WHERE event_id < 2000)
         |WHERE rn = 1""".stripMargin,
+
+    // Two micro-batches → two snapshot versions; the table is the feed.
+    "stream_append_sink" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  2 AS n_versions
+        |FROM events WHERE event_id < 2000
+        |GROUP BY event_type""".stripMargin,
 
     // Each micro-batch's censuses re-derived from the event_id split.
     "stream_constraint_gate" ->

@@ -314,6 +314,24 @@ object StreamingOps {
   def readUpsertTable(spark: SparkSession, dir: String): DataFrame =
     graft.sources.ManifestTable.read(spark, dir)
 
+  /** Append-only manifest sink: every micro-batch lands as ONE
+    * [[graft.sources.ManifestTable.append]] transaction — readers see
+    * each batch atomically (all of its files or none, via the pointer
+    * swap) instead of parquet-append's file-at-a-time trickle, and the
+    * committed table keeps snapshot history/time travel for free. The
+    * cheap complement to [[upsertSink]]: no merge, no table rewrite —
+    * per batch cost is the batch. */
+  def appendSink(
+      stream: DataFrame,
+      dir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.ManifestTable.append(batch.sparkSession, dir, batch): Unit
+      }
+      .start()
+
   /** Per-micro-batch data-quality telemetry: each batch runs the ONE-SCAN
     * [[graft.ops.Quality.constraintReport]] and appends its per-rule
     * censuses tagged with the batch id — the landing-zone gate a
