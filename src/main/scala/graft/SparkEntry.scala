@@ -2440,6 +2440,25 @@ object SparkEntry {
           sum(col("n_chars")).as("chars_sum"))
     }),
 
+    // Extension: manifest-table CLUSTERED compaction — the snapshot
+    // rewrites into files with disjoint n_chars ranges (range partition +
+    // local sort, no global sort) committed by pointer swap; scans on the
+    // sort key then skip whole files via parquet min/max stats
+    // (disjointness is plan-proven in ManifestTableSpec; here the oracle
+    // pins the rewrite losing nothing).
+    "ingest_manifest_cluster" -> ((s, dir) => {
+      val out = scratch("manifest_cluster")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      graft.sources.ManifestTable.commit(s, out, docs.repartition(8))
+      graft.sources.ManifestTable.compactSorted(s, out, Seq("n_chars"), targetFiles = 4)
+      graft.sources.ManifestTable.vacuum(s, out): Unit
+      graft.sources.ManifestTable.read(s, out)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_sum"))
+    }),
+
     // Extension: manifest-table INCREMENTAL READ — the consume side of
     // append: a downstream job remembers its last version and reads
     // ONLY the files newer manifests added (O(batch) per poll); the base
@@ -5467,6 +5486,13 @@ object SparkEntry {
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
         |FROM r WHERE rn = 1 GROUP BY source""".stripMargin,
+
+    // The clustered rewrite loses nothing.
+    "ingest_manifest_cluster" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents GROUP BY source""".stripMargin,
 
     // The delta since v0 = the two appended slices, never the base.
     "ingest_manifest_changes" ->

@@ -361,6 +361,26 @@ object ManifestTable {
   def compact(spark: SparkSession, dir: String, targetFiles: Int): StagedCommit =
     commit(spark, dir, read(spark, dir).coalesce(targetFiles))
 
+  /** Range-clustered compaction: rewrite the snapshot into `targetFiles`
+    * files with DISJOINT `sortCols` ranges (repartitionByRange + local
+    * sort — never a global single-partition sort) and commit by pointer
+    * swap. Point/range scans on the sort key then skip whole files via
+    * parquet min/max row-group stats — [[graft.ops.Bucketing]]'s
+    * writeRangeSorted layout, delivered as a table TRANSACTION instead of
+    * a directory convention. */
+  def compactSorted(
+      spark: SparkSession,
+      dir: String,
+      sortCols: Seq[String],
+      targetFiles: Int
+  ): StagedCommit = {
+    import org.apache.spark.sql.functions.col
+    val ordered = read(spark, dir)
+      .repartitionByRange(targetFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+    commit(spark, dir, ordered)
+  }
+
   /** Delete data files no longer referenced by the CURRENT manifest —
     * crashed-commit orphans and pre-compaction generations — and the
     * superseded manifests themselves, collapsing [[readVersion]] history

@@ -157,6 +157,32 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
     } finally rm(dir)
   }
 
+  it should "cluster into files with disjoint sort-key ranges under compactSorted" in {
+    val dir = tmpDir()
+    try {
+      val rnd = new scala.util.Random(5)
+      val docs = (0L until 2000L).map(i => (i, rnd.nextInt(100000).toLong))
+        .toDF("doc_id", "x")
+      ManifestTable.commit(spark, dir, docs.repartition(16)) // key-shuffled layout
+      ManifestTable.compactSorted(spark, dir, Seq("x"), targetFiles = 4)
+      val files = ManifestTable.currentFiles(spark, dir)
+      files.size shouldBe 4
+      // per-file [min, max] of the sort key must be pairwise disjoint —
+      // the property parquet min/max stats turn into whole-file skipping
+      val ranges = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col("x")), max(col("x"))).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) => hi should be <= lo2
+        case _ =>
+      }
+      ManifestTable.read(spark, dir).agg(sum("doc_id")).collect()(0)
+        .getLong(0) shouldBe (0L until 2000L).sum
+    } finally rm(dir)
+  }
+
   it should "read only the rows added since a remembered version" in {
     val dir = tmpDir()
     try {
