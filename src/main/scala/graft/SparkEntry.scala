@@ -1160,6 +1160,25 @@ object SparkEntry {
       graft.ops.Multimodal.decodeBatched(
         graft.ops.Multimodal.asMedia(table(s, dir, "documents"), "doc_id", "text")).toDF()),
 
+    // Extension: QUARANTINING media decode — every 7th payload is
+    // deliberately corrupted (clobbered magic); the per-record Try keeps
+    // the batch alive, bad records surface with the decoder's message and
+    // null dims, good ones decode normally — the corrupt-record contract
+    // extended to binary columns.
+    "multimodal_quarantine" -> ((s, dir) => {
+      import s.implicits._
+      val media = graft.ops.Multimodal
+        .asMedia(table(s, dir, "documents"), "doc_id", "text")
+        .map { r =>
+          if (r.id % 7 == 0) {
+            val p = r.payload.clone(); p(0) = 'X'.toByte
+            graft.ops.MediaRecord(r.id, p, r.kind)
+          } else r
+        }
+      graft.ops.Multimodal.decodeQuarantined(media).toDF()
+        .select(col("id"), col("ok"), col("error"), col("width"), col("height"))
+    }),
+
     // Extension: REAL JPEG dimension decode — marker-segment walk to the
     // SOF0 frame header (the standard dimensions-without-pixel-decode
     // path); the feature pins the COM-segment payload walk too.
@@ -4024,6 +4043,20 @@ object SparkEntry {
         |  CAST(h AS INTEGER) AS height,
         |  3 AS channels,
         |  lower(hex(substr(text, 1, 4))) AS feature
+        |FROM d""".stripMargin,
+
+    // Corruption rule: doc_id % 7 = 0 clobbers the magic; the message
+    // embeds the container length (the BMP size formula).
+    "multimodal_quarantine" ->
+      """WITH d AS (SELECT doc_id, strlen(text) AS L,
+        |    1 + strlen(text) % 64 AS w, 1 + strlen(text) % 48 AS h
+        |  FROM documents)
+        |SELECT doc_id AS id, doc_id % 7 <> 0 AS ok,
+        |  CASE WHEN doc_id % 7 = 0
+        |    THEN 'requirement failed: not a BMP payload (' || CAST(54 + ((w*3+3)//4)*4*h AS VARCHAR) || ' bytes)'
+        |    ELSE '' END AS error,
+        |  CASE WHEN doc_id % 7 <> 0 THEN CAST(w AS INTEGER) END AS width,
+        |  CASE WHEN doc_id % 7 <> 0 THEN CAST(h AS INTEGER) END AS height
         |FROM d""".stripMargin,
 
     // The resized image's first 4 pixel bytes: out pixel (0,0) maps to src

@@ -35,6 +35,12 @@ case class DecodedZip(
     id: Long, byte_len: Int, n_entries: Int, entry_names: String,
     total_uncompressed: Long, crc_ok: Boolean)
 
+/** Output of the quarantining image decoder: decode outcome per record,
+  * dims null on failure. */
+case class QuarantinedMedia(
+    id: Long, byte_len: Int, ok: Boolean, error: String,
+    width: Option[Int], height: Option[Int])
+
 /** Output of the TAR (ustar) structure decoder. */
 case class DecodedTar(
     id: Long, byte_len: Int, n_entries: Int, n_groups: Int,
@@ -496,6 +502,33 @@ object Multimodal {
         batch.map { r =>
           val (w, h, c, f) = decodePayload(r.payload)
           DecodedMedia(r.id, r.payload.length, w, h, c, f)
+        }
+      }
+    }
+  }
+
+  /** QUARANTINING image decode — the landing-zone posture for media at
+    * corpus scale: every decoder in this module throws on malformed
+    * containers ("quarantine upstream"); this IS that upstream. Each
+    * record decodes under a per-record Try: good records carry their
+    * dims, bad ones carry `ok=false` + the decoder's message and null
+    * dims — so one corrupt shard member can't kill a 10^9-record decode
+    * job, and the quarantine split (`filter(!ok)`) stays queryable for
+    * alerting/replay, exactly the text-side corrupt-record contract. */
+  def decodeQuarantined(ds: Dataset[MediaRecord]): Dataset[QuarantinedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          scala.util.Try(decodePayload(r.payload)) match {
+            case scala.util.Success((w, h, _, _)) =>
+              QuarantinedMedia(r.id, r.payload.length, ok = true, "",
+                Some(w), Some(h))
+            case scala.util.Failure(e) =>
+              QuarantinedMedia(r.id, r.payload.length, ok = false,
+                Option(e.getMessage).getOrElse(e.getClass.getSimpleName),
+                None, None)
+          }
         }
       }
     }
