@@ -169,6 +169,37 @@ object SparkEntry {
           identity)
     }),
 
+    // Extension: GOVERNED rule rollout — rule sets live as manifest-table
+    // snapshot versions (atomic publish, time travel, history), so a
+    // rollout is: commit the candidate set, time-travel-load BOTH
+    // versions, canary-diff them over real data before switching the
+    // production pointer. Every piece (rule serde through parquet, table
+    // versions, diffRuleSets) runs against the same bytes.
+    "plug_governed_rules" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val out = scratch("rules_table")
+      val rulesV0 = List(
+        PlugRule("flag", "v1", "l_discount > 0.05",
+          Seq(PlugAction("l_returnflag", "D"))))
+      val rulesV1 = List(
+        PlugRule("flag", "v2", "l_discount > 0.10",
+          Seq(PlugAction("l_returnflag", "D"))),
+        PlugRule("bigqty", "v1", "l_quantity > 40",
+          Seq(PlugAction("l_linestatus", "Z"))))
+      graft.sources.ManifestTable.commit(s, out, rulesV0.toDS().toDF())
+      graft.sources.ManifestTable.commit(s, out, rulesV1.toDS().toDF())
+      val live = graft.sources.ManifestTable.readVersion(s, out, 0L)
+        .as[PlugRule].collect().toList.sortBy(_.name)
+      val candidate = graft.sources.ManifestTable.read(s, out)
+        .as[PlugRule].collect().toList.sortBy(_.name)
+      SparkPlug.builder.create().diffRuleSets(table(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+          live, candidate)
+        .fold(errs => throw new IllegalArgumentException(errs.mkString("; ")),
+          identity)
+    }),
+
     // O6: Int literal coercion (bare int literal).
     "plug_int_coercion" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -2919,6 +2950,19 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // Tightening a condition un-flags the band between the thresholds;
     // the added rule touches only its own column; everything else is 0.
+    // Same expected diffs as plug_ruleset_diff — the governance layer
+    // (rule sets as table versions) must not change what the rules do.
+    "plug_governed_rules" ->
+      """SELECT * FROM (VALUES
+        |  ('l_quantity', CAST(0 AS BIGINT)),
+        |  ('l_extendedprice', CAST(0 AS BIGINT)),
+        |  ('l_discount', CAST(0 AS BIGINT)),
+        |  ('l_tax', CAST(0 AS BIGINT)),
+        |  ('l_returnflag', (SELECT count(*) FROM lineitem WHERE l_discount > 0.05 AND l_discount <= 0.10)),
+        |  ('l_linestatus', (SELECT count(*) FROM lineitem WHERE l_quantity > 40)),
+        |  ('l_shipdate', CAST(0 AS BIGINT))
+        |) t("column", n_diff)""".stripMargin,
+
     "plug_ruleset_diff" ->
       """SELECT * FROM (VALUES
         |  ('l_quantity', CAST(0 AS BIGINT)),
