@@ -1929,6 +1929,15 @@ object SparkEntry {
       graft.ops.EventOps.winsorizedProfile(events(s, dir), "event_type", "value",
         pLo = 0.01, pHi = 0.99)),
 
+    // Extension: EXACT per-key quantiles with NO per-key value buffers —
+    // within-key rank + key count from one key-partitioned window, ≤2
+    // bracketing rows kept per (key, q), type-7 interpolation. O(1)
+    // memory per key at any per-key cardinality (vs percentile()'s
+    // full-value aggregation buffer).
+    "events_grouped_quantiles" -> ((s, dir) =>
+      graft.ops.EventOps.groupedQuantiles(events(s, dir), "event_type", "value",
+        Seq(0.5, 0.95))),
+
     // Extension: EXACT global quantiles by two-pass rank selection —
     // range-partitioned ranking plus a ≤2-rows-per-quantile filter and
     // interpolation; nothing holds a value set, no single-partition
@@ -4793,6 +4802,17 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
         |  round(CAST(sum(CAST(least(greatest(value, lo), hi) AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS clipped_mean
         |FROM events, c GROUP BY event_type""".stripMargin,
+
+    // Grouped quantile_cont — same interpolation per key.
+    "events_grouped_quantiles" ->
+      """WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, CAST(0.5 AS DOUBLE) AS q, CAST(count(*) AS BIGINT) AS n_values,
+        |  round(quantile_cont(value, 0.5), 6) AS quantile
+        |FROM v GROUP BY event_type
+        |UNION ALL
+        |SELECT event_type, CAST(0.95 AS DOUBLE), CAST(count(*) AS BIGINT),
+        |  round(quantile_cont(value, 0.95), 6)
+        |FROM v GROUP BY event_type""".stripMargin,
 
     // quantile_cont is the same type-7 interpolation as the rank-selected
     // two-pass exact quantiles.

@@ -754,6 +754,50 @@ object EventOps {
           .as("quantile"))
   }
 
+  /** EXACT per-key quantiles WITHOUT per-key value buffers: the grouped
+    * complement to [[globalQuantiles]]. `percentile(...)` (and
+    * `quantileProfile(exact = true)`) materializes each key's full value
+    * set inside one aggregation buffer — fine to ~10^6 values per key, an
+    * executor OOM when one key holds a billion. Here each value gets its
+    * within-key rank AND its key's total count from ONE key-partitioned
+    * window (parallel across keys, never a single partition, no join),
+    * and a scan-side filter keeps only the ≤2 rows bracketing each
+    * quantile's fractional index before type-7 interpolation — memory per
+    * key is O(1) regardless of key cardinality. Skewed keys are the
+    * window sort's problem, not a buffer's (spillable).
+    *
+    * Output: (key, q, n_values, quantile) — one row per key × q. */
+  def groupedQuantiles(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      qs: Seq[Double]
+  ): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0), s"bad qs: $qs")
+    import df.sparkSession.implicits._
+    val vals = df.select(col(keyCol), col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v").asc)
+    val wAll = Window.partitionBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = vals
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val qFrame = qs.toDF("q")
+    ranked.crossJoin(broadcast(qFrame))
+      .withColumn("__h", lit(1.0) + col("q") * (col("__n") - 1).cast("double"))
+      .filter(col("__r") === floor(col("__h")).cast("long") ||
+        col("__r") === ceil(col("__h")).cast("long"))
+      .groupBy(col(keyCol), col("q"))
+      .agg(max(col("__n")).as("n_values"),
+        min(when(col("__r") === floor(col("__h")).cast("long"), col("__v"))).as("__lo"),
+        max(when(col("__r") === ceil(col("__h")).cast("long"), col("__v"))).as("__hi"),
+        max(col("__h") - floor(col("__h"))).as("__frac"))
+      .select(col(keyCol), col("q"), col("n_values"),
+        round(col("__lo") + col("__frac") * (coalesce(col("__hi"), col("__lo")) - col("__lo")),
+          6).as("quantile"))
+  }
+
   /** Winsorized per-type value profile: values clipped at the EXACT
     * global [pLo, pHi] quantiles — the standard heavy-tail guard before
     * feature scaling/aggregation — with per-type clip counts and the

@@ -119,6 +119,24 @@ class RangeRankSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "compute exact per-key quantiles matching percentile, bufferlessly" in {
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 8000).map(i => (s"k${i % 5}", rnd.nextGaussian() * 10))
+      .toDF("k", "value")
+    val got = EventOps.groupedQuantiles(df, "k", "value", Seq(0.5, 0.95))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3)).toMap
+    val want = df.groupBy("k").agg(
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.95)).as("p95"))
+      .collect().flatMap(r => Seq(
+        (r.getString(0), 0.5) -> r.getDouble(1),
+        (r.getString(0), 0.95) -> r.getDouble(2))).toMap
+    got.keySet shouldBe want.keySet
+    got.foreach { case (k, v) =>
+      v shouldBe (math.rint(want(k) * 1e6) / 1e6)
+    }
+  }
+
   behavior of "bpeSegment broadcastVocab switch"
 
   it should "produce identical results in broadcast and shuffle-hash modes" in {
