@@ -2609,6 +2609,60 @@ object SparkEntry {
         probeIds = (0L to 9L) ++ (1000001L to 1000005L),
         nShards = 8, words = 1024, k = 4)),
 
+    // Extension: manifest data-skipping — per-file column min/max stats
+    // are recorded in the manifest at commit time (footer-derived,
+    // metadata-only) and a range predicate prunes FILES from the
+    // manifest alone, zero footers or data pages opened at plan time.
+    // The fixture appends one zone-clustered file per n_chars band so
+    // the prune decision is content-derivable: the oracle recomputes
+    // (files total, files scanned) from per-band min/max overlap and the
+    // row aggregate from the raw predicate — both engines must agree
+    // that stats-pruned reading loses no rows.
+    "ingest_zonemap_scan" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratch("manifest_zonemap")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("band", floor(col("n_chars") / 512).cast("long"))
+      val bands = docs.select(col("band")).distinct()
+        .as[Long].collect().sorted
+      bands.foreach { b =>
+        graft.sources.ManifestTable.append(s, out,
+          docs.filter(col("band") === b).drop("band").coalesce(1))
+      }
+      val (kept, total) = graft.sources.ManifestTable
+        .pruneByRange(s, out, "n_chars", 600.0, 1500.0)
+      graft.sources.ManifestTable.readBetween(s, out, "n_chars", 600.0, 1500.0)
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("chars_sum"),
+          sum(col("doc_id")).as("id_sum"))
+        .select(lit(total.toLong).as("n_files_total"),
+          lit(kept.size.toLong).as("n_files_scanned"),
+          col("n_rows"), col("chars_sum"), col("id_sum"))
+    }),
+
+    // Extension: the manifest statistics as a queryable metadata table
+    // (Delta DESCRIBE DETAIL / Iceberg files-table shape) — per-file
+    // min/max/null-count for two int64 columns over the zone-clustered
+    // fixture above; the oracle recomputes every row from the content
+    // (per-band min/max), proving the footer-derived stats are EXACT.
+    "ingest_manifest_stats" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratch("manifest_statstbl")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("band", floor(col("n_chars") / 1024).cast("long"))
+      val bands = docs.select(col("band")).distinct()
+        .as[Long].collect().sorted
+      bands.foreach { b =>
+        graft.sources.ManifestTable.append(s, out,
+          docs.filter(col("band") === b).drop("band").coalesce(1))
+      }
+      val stats = graft.sources.ManifestTable.currentStats(s, out)
+        .filter(cs => cs.dtype == "int64")
+        .map(cs => (cs.column, cs.min.get.toLong, cs.max.get.toLong, cs.nullCount))
+      stats.toDF("column_name", "min_value", "max_value", "n_nulls")
+    }),
+
     // Extension: parquet footer statistics — per-row-group metadata read
     // (no data pages), verified by agreeing with the content-derived
     // truth: footer row counts sum to the scan count, schema width 5.
@@ -5635,6 +5689,41 @@ object SparkEntry {
         |SELECT probe_id, count(*) AS n_candidate_shards,
         |  max(CASE WHEN shard = true_shard THEN 1 ELSE 0 END) = 1 AS no_false_neg
         |FROM cand GROUP BY probe_id, true_shard""".stripMargin,
+
+    // Both sides derive the prune outcome independently: the engine from
+    // manifest stats, the oracle from per-band content min/max — a file
+    // (= one n_chars band) is scanned iff its [min, max] overlaps
+    // [600, 1500]; the row aggregate is the plain predicate.
+    "ingest_zonemap_scan" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(n_chars / 512) AS BIGINT) AS band, n_chars, doc_id
+        |  FROM documents),
+        |f AS (SELECT band, min(n_chars) AS mn, max(n_chars) AS mx
+        |      FROM b GROUP BY band)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_files_total,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM f
+        |     WHERE mn <= 1500 AND mx >= 600) AS n_files_scanned,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM b
+        |     WHERE n_chars BETWEEN 600 AND 1500) AS n_rows,
+        |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM b
+        |     WHERE n_chars BETWEEN 600 AND 1500) AS chars_sum,
+        |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM b
+        |     WHERE n_chars BETWEEN 600 AND 1500) AS id_sum""".stripMargin,
+
+    // The manifest's footer-derived per-file stats must equal the exact
+    // per-band content min/max for both recorded columns.
+    "ingest_manifest_stats" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(n_chars / 1024) AS BIGINT) AS band, n_chars, doc_id
+        |  FROM documents)
+        |SELECT 'doc_id' AS column_name, CAST(min(doc_id) AS BIGINT) AS min_value,
+        |  CAST(max(doc_id) AS BIGINT) AS max_value, CAST(0 AS BIGINT) AS n_nulls
+        |FROM b GROUP BY band
+        |UNION ALL
+        |SELECT 'n_chars', CAST(min(n_chars) AS BIGINT),
+        |  CAST(max(n_chars) AS BIGINT), CAST(0 AS BIGINT)
+        |FROM b GROUP BY band""".stripMargin,
 
     // The footer must agree with the content: row counts sum to the scan
     // count and the schema width is the table's column count.

@@ -53,6 +53,20 @@ object ManifestTable {
 
   final case class StagedCommit(version: Long, manifestName: String)
 
+  /** Per-(data file, column) min/max/null-count recorded in the manifest
+    * at commit time — the data-skipping statistics every manifest table
+    * format carries (Delta's per-file `stats` JSON, Iceberg's manifest
+    * `lower_bounds`/`upper_bounds`). `min`/`max` are string-encoded in
+    * the column's natural order; `dtype` says how to decode
+    * (int32/int64/float/double/string). */
+  final case class ColStats(
+      file: String,
+      column: String,
+      dtype: String,
+      min: Option[String],
+      max: Option[String],
+      nullCount: Long)
+
   private def fs(dir: String, spark: SparkSession): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -90,6 +104,100 @@ object ManifestTable {
 
   private def manifestRel(f: FileSystem, dir: String, name: String): Seq[String] =
     manifestLines(f, dir, name).filterNot(_.startsWith("#"))
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  // #stats=<b64 rel>|<b64 col>|<dtype>|<b64 min or ->|<b64 max or ->|<nulls>
+  private def statsLine(cs: ColStats): String =
+    s"#stats=${b64(cs.file)}|${b64(cs.column)}|${cs.dtype}|" +
+      s"${cs.min.map(b64).getOrElse("-")}|${cs.max.map(b64).getOrElse("-")}|" +
+      s"${cs.nullCount}"
+
+  private def parseStatsLine(l: String): Option[ColStats] =
+    l.stripPrefix("#stats=").split('|') match {
+      case Array(rel, c, dt, mn, mx, nulls) =>
+        Some(ColStats(unb64(rel), unb64(c), dt,
+          if (mn == "-") None else Some(unb64(mn)),
+          if (mx == "-") None else Some(unb64(mx)),
+          nulls.toLong))
+      case _ => None
+    }
+
+  /** Footer-only per-column min/max for one freshly written data file —
+    * row-group statistics merged across blocks; no data pages touched.
+    * Columns whose physical type has no totally-ordered string encoding
+    * here (INT96, fixed-len decimals, nested paths) are simply omitted —
+    * pruning treats a missing stat as "cannot skip". */
+  private def footerStats(
+      conf: org.apache.hadoop.conf.Configuration,
+      file: Path,
+      rel: String): Seq[ColStats] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[String, (String, Option[String], Option[String], Long)]
+      for {
+        block <- reader.getFooter.getBlocks.asScala
+        chunk <- block.getColumns.asScala
+        colName = chunk.getPath.toDotString
+        if !colName.contains(".")
+      } {
+        val st: org.apache.parquet.column.statistics.Statistics[_] =
+          chunk.getStatistics
+        val prim = chunk.getPrimitiveType
+        val dtype = prim.getPrimitiveTypeName match {
+          case INT32 => Some("int32")
+          case INT64 => Some("int64")
+          case FLOAT => Some("float")
+          case DOUBLE => Some("double")
+          case BINARY
+            if prim.getLogicalTypeAnnotation.isInstanceOf[
+              org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+            Some("string")
+          case _ => None
+        }
+        dtype.foreach { dt =>
+          val (mn, mx) =
+            if (st == null || !st.hasNonNullValue) (None, None)
+            else if (dt == "string") {
+              val s = st.asInstanceOf[
+                org.apache.parquet.column.statistics.BinaryStatistics]
+              (Some(s.genericGetMin.toStringUsingUTF8),
+                Some(s.genericGetMax.toStringUsingUTF8))
+            }
+            else (Some(st.genericGetMin.toString), Some(st.genericGetMax.toString))
+          val nulls = if (st != null && st.isNumNullsSet) st.getNumNulls else 0L
+          acc.get(colName) match {
+            case None => acc(colName) = (dt, mn, mx, nulls)
+            case Some((dt0, mn0, mx0, n0)) =>
+              def merge(a: Option[String], b: Option[String], takeMin: Boolean) =
+                (a, b) match {
+                  case (Some(x), Some(y)) =>
+                    val less =
+                      if (dt0 == "string") x <= y
+                      else x.toDouble <= y.toDouble
+                    Some(if (less == takeMin) x else y)
+                  case (x, y) => x.orElse(y)
+                }
+              acc(colName) =
+                (dt0, merge(mn0, mn, takeMin = true),
+                  merge(mx0, mx, takeMin = false), n0 + nulls)
+          }
+        }
+      }
+      acc.iterator.map { case (c, (dt, mn, mx, n)) =>
+        ColStats(rel, c, dt, mn, mx, n)
+      }.toSeq
+    } finally reader.close()
+  }
 
   private def manifestSchema(f: FileSystem, dir: String, name: String)
       : Option[StructType] =
@@ -155,7 +263,8 @@ object ManifestTable {
       spark: SparkSession,
       dir: String,
       df: DataFrame,
-      carryForward: Seq[String] = Seq.empty
+      carryForward: Seq[String] = Seq.empty,
+      carryStats: Seq[String] = Seq.empty
   ): StagedCommit = {
     val f = fs(dir, spark)
     val dataDir = new Path(new Path(dir, "data"), UUID.randomUUID().toString)
@@ -163,13 +272,14 @@ object ManifestTable {
     val files = f.listStatus(dataDir).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet"))
     val base = new Path(dir)
-    val rel = files.map { p =>
-      val full = p.toUri.getPath
-      val root = f.makeQualified(base).toUri.getPath
-      full.stripPrefix(root).stripPrefix("/")
-    }
+    val root = f.makeQualified(base).toUri.getPath
+    val rel = files.map(_.toUri.getPath.stripPrefix(root).stripPrefix("/"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stats = files.zip(rel).flatMap { case (p, r) => footerStats(conf, p, r) }
+      .map(statsLine)
     claimManifestSlot(spark, dir,
-      (s"#schema=${df.schema.json}" +: (carryForward ++ rel).sorted).mkString("\n"))
+      ((s"#schema=${df.schema.json}" +: (carryStats ++ stats).sorted) ++
+        (carryForward ++ rel).sorted).mkString("\n"))
   }
 
   /** Write the manifest into the first FREE version slot at or above
@@ -240,9 +350,13 @@ object ManifestTable {
   def append(spark: SparkSession, dir: String, df: DataFrame): StagedCommit = {
     val f = fs(dir, spark)
     requireSameSchema(currentSchema(spark, dir), df.schema, "append")
-    val carry =
-      if (f.exists(new Path(dir, PointerName))) currentRel(f, dir) else Seq.empty
-    val staged = stage(spark, dir, df, carry)
+    val (carry, carryStats) =
+      if (f.exists(new Path(dir, PointerName))) {
+        val name = readSmallFile(f, new Path(dir, PointerName)).trim
+        (manifestRel(f, dir, name),
+          manifestLines(f, dir, name).filter(_.startsWith("#stats=")))
+      } else (Seq.empty[String], Seq.empty[String])
+    val staged = stage(spark, dir, df, carry, carryStats)
     publish(spark, dir, staged)
     staged
   }
@@ -286,13 +400,92 @@ object ManifestTable {
       if (i < 0) None
       else Some(r.substring(i + 1, r.indexOf('/', i + 1)))
     }.toSet
-    val carry =
-      if (!f.exists(new Path(dir, PointerName))) Seq.empty
-      else currentRel(f, dir).filterNot(r => touched.exists(t => r.contains(s"/$t/")))
+    val (carry, carryStats) =
+      if (!f.exists(new Path(dir, PointerName))) (Seq.empty[String], Seq.empty[String])
+      else {
+        val name = readSmallFile(f, new Path(dir, PointerName)).trim
+        val kept = manifestRel(f, dir, name)
+          .filterNot(r => touched.exists(t => r.contains(s"/$t/")))
+        val keptSet = kept.toSet
+        (kept, manifestLines(f, dir, name).filter(_.startsWith("#stats="))
+          .filter(l => parseStatsLine(l).exists(cs => keptSet.contains(cs.file))))
+      }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stats = files.toSeq.zip(rel)
+      .flatMap { case (p, r) => footerStats(conf, p, r) }.map(statsLine)
     val staged = claimManifestSlot(spark, dir,
-      (s"#schema=${df.schema.json}" +: (carry ++ rel).sorted).mkString("\n"))
+      ((s"#schema=${df.schema.json}" +: (carryStats ++ stats).sorted) ++
+        (carry ++ rel).sorted).mkString("\n"))
     publish(spark, dir, staged)
     staged
+  }
+
+  /** The data-skipping statistics of the CURRENT snapshot — one entry per
+    * (file, column) with footer-derived min/max/null-count, recorded at
+    * commit time and carried forward by reference on append /
+    * replacePartitions. Empty for manifests written before stats existed
+    * (readers must treat missing stats as "cannot skip"). */
+  def currentStats(spark: SparkSession, dir: String): Seq[ColStats] = {
+    val f = fs(dir, spark)
+    val ptr = new Path(dir, PointerName)
+    require(f.exists(ptr), s"not a manifest table (no $PointerName): $dir")
+    manifestLines(f, dir, readSmallFile(f, ptr).trim)
+      .filter(_.startsWith("#stats=")).flatMap(parseStatsLine)
+  }
+
+  /** Partition the current snapshot's files into (survivors, total) for
+    * the predicate `column BETWEEN lo AND hi` using ONLY manifest
+    * statistics — zero footer or data reads at plan time. A file is
+    * skippable exactly when its recorded [min, max] cannot intersect
+    * [lo, hi]; files with no recorded numeric stat for `column` are
+    * conservatively kept. This is the 100 TB move: at a thousand
+    * executors the scan cost is dominated by files OPENED, and a
+    * range-clustered layout ([[compactSorted]]) plus this prune turns a
+    * point/range query into a handful of file reads. */
+  def pruneByRange(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      lo: Double,
+      hi: Double): (Seq[String], Int) = {
+    val all = currentRel(fs(dir, spark), dir)
+    val numeric = Set("int32", "int64", "float", "double")
+    val byFile = currentStats(spark, dir)
+      .filter(cs => cs.column == column && numeric.contains(cs.dtype))
+      .map(cs => cs.file -> cs).toMap
+    val kept = all.filter { rel =>
+      byFile.get(rel) match {
+        case Some(cs) =>
+          (cs.min, cs.max) match {
+            case (Some(mn), Some(mx)) => mn.toDouble <= hi && mx.toDouble >= lo
+            // all-null column chunk: no row can satisfy BETWEEN
+            case _ => cs.nullCount == 0L
+          }
+        case None => true
+      }
+    }
+    (kept.map(rel => new Path(dir, rel).toString), all.size)
+  }
+
+  /** Stats-pruned read: `column BETWEEN lo AND hi` over only the files
+    * [[pruneByRange]] keeps (the row-level filter still applies — stats
+    * prune FILES, they do not evaluate rows). Equivalent to
+    * `read(...).filter(col between lo and hi)` by construction. */
+  def readBetween(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      lo: Double,
+      hi: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (kept, _) = pruneByRange(spark, dir, column, lo, hi)
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          currentSchema(spark, dir).getOrElse(read(spark, dir).schema))
+      else spark.read.parquet(kept: _*)
+    base.filter(col(column).between(lo, hi))
   }
 
   /** [[read]] for a partition-laid-out manifest table: recursive lookup

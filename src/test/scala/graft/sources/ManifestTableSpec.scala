@@ -260,4 +260,92 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
       ManifestTable.read(spark, dir).count() shouldBe 500
     } finally rm(dir)
   }
+
+  it should "record exact per-file column stats at commit and carry them across appends" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.commit(spark, dir,
+        (0L until 100L).map(i => (i, s"s$i")).toDF("id", "s").coalesce(1))
+      ManifestTable.append(spark, dir,
+        (100L until 250L).map(i => (i, s"s$i")).toDF("id", "s").coalesce(1))
+      val stats = ManifestTable.currentStats(spark, dir)
+      stats.map(_.file).distinct.size shouldBe 2
+      val idStats = stats.filter(_.column == "id").sortBy(_.min.get.toLong)
+      idStats.map(cs => (cs.min.get.toLong, cs.max.get.toLong)) shouldBe
+        Seq((0L, 99L), (100L, 249L))
+      idStats.foreach(_.dtype shouldBe "int64")
+      idStats.foreach(_.nullCount shouldBe 0L)
+      // string column stats recorded too, in UTF-8 order
+      val sStats = stats.filter(_.column == "s")
+      sStats.size shouldBe 2
+      sStats.foreach(_.dtype shouldBe "string")
+      sStats.map(_.min.get).sorted.head shouldBe "s0"
+    } finally rm(dir)
+  }
+
+  it should "prune files by manifest stats and read identically to a full filtered scan" in {
+    val dir = tmpDir()
+    try {
+      // three disjoint zones, one file each
+      Seq(0L until 100L, 100L until 200L, 200L until 300L).foreach { r =>
+        ManifestTable.append(spark, dir,
+          r.map(i => (i, i * 2)).toDF("id", "v").coalesce(1))
+      }
+      val (kept, total) = ManifestTable.pruneByRange(spark, dir, "id", 120.0, 180.0)
+      total shouldBe 3
+      kept.size shouldBe 1 // only the middle zone survives
+      val pruned = ManifestTable.readBetween(spark, dir, "id", 120.0, 180.0)
+      val full = ManifestTable.read(spark, dir)
+        .filter(col("id").between(120, 180))
+      pruned.collect().map(_.getLong(0)).sorted shouldBe
+        full.collect().map(_.getLong(0)).sorted
+      // an empty window prunes everything and reads an empty frame
+      val (none, _) = ManifestTable.pruneByRange(spark, dir, "id", 500.0, 600.0)
+      none shouldBe empty
+      ManifestTable.readBetween(spark, dir, "id", 500.0, 600.0).count() shouldBe 0
+    } finally rm(dir)
+  }
+
+  it should "keep files conservatively when stats are absent for the column" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.commit(spark, dir,
+        (0L until 50L).map(i => (i, Seq(i.toDouble))).toDF("id", "arr").coalesce(1))
+      // nested/array columns carry no manifest stat -> never pruned on them
+      val (kept, total) = ManifestTable.pruneByRange(spark, dir, "arr", 0.0, 1.0)
+      kept.size shouldBe total
+      // a legacy manifest with its stats lines stripped still reads AND never prunes
+      val f = new java.io.File(dir, "CURRENT")
+      val name = new String(java.nio.file.Files.readAllBytes(f.toPath)).trim
+      val mf = new java.io.File(new java.io.File(dir, "_manifests"), name)
+      val lines = scala.io.Source.fromFile(mf).getLines().toSeq
+      java.nio.file.Files.write(mf.toPath,
+        lines.filterNot(_.startsWith("#stats=")).mkString("\n").getBytes)
+      // the raw rewrite invalidates LocalFileSystem's checksum sidecar
+      new java.io.File(mf.getParentFile, s".${mf.getName}.crc").delete()
+      ManifestTable.currentStats(spark, dir) shouldBe empty
+      val (kept2, total2) = ManifestTable.pruneByRange(spark, dir, "id", 500.0, 600.0)
+      kept2.size shouldBe total2 // cannot skip without stats
+      ManifestTable.read(spark, dir).count() shouldBe 50
+    } finally rm(dir)
+  }
+
+  it should "carry only surviving files' stats through replacePartitions" in {
+    val dir = tmpDir()
+    try {
+      val df = (0L until 100L)
+        .map(i => (i, if (i < 50) "a" else "b")).toDF("id", "p")
+      ManifestTable.replacePartitions(spark, dir, df.repartition(col("p")), "p")
+      // rewrite partition "a" only, halved
+      val fix = (0L until 25L).map(i => (i, "a")).toDF("id", "p")
+      ManifestTable.replacePartitions(spark, dir, fix.repartition(col("p")), "p")
+      val stats = ManifestTable.currentStats(spark, dir).filter(_.column == "id")
+      val files = ManifestTable.currentFiles(spark, dir)
+      // every live file has an id stat; no stat points at a dead file
+      val rels = stats.map(_.file).toSet
+      files.size shouldBe rels.size
+      stats.map(cs => (cs.min.get.toLong, cs.max.get.toLong)).sortBy(_._1) shouldBe
+        Seq((0L, 24L), (50L, 99L))
+    } finally rm(dir)
+  }
 }
