@@ -1300,6 +1300,27 @@ object SparkEntry {
       graft.ops.Corpus.domainCapSample(
         table(s, dir, "documents"), "doc_id", "source", 0.3)),
 
+    // Extension: image near-duplicate detection by banded perceptual
+    // hash — 64-bit aHash (8x8 nearest-neighbor luminance grid, exact
+    // integer mean threshold) in two sign-safe 32-bit halves, 4x16-bit
+    // band bucketing (pigeonhole: Hamming <= 3 always shares a band),
+    // exact Hamming verify on candidates only. The fixture plants
+    // near-dups: every document gets a variant (id + 1e6) whose first 16
+    // characters are overwritten — same length, same dims, a handful of
+    // flipped bits. The oracle recomputes every pixel sample, both hash halves,
+    // the banding join, and the Hamming cut from the raw text bytes.
+    "multimodal_phash_dedup" -> ((s, dir) => {
+      val base = table(s, dir, "documents")
+        .select(col("doc_id"), col("text")).filter(length(col("text")) > 0)
+      val variants = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("concat(repeat('x', least(length(text), 16)), substring(text, 17))")
+          .as("text"))
+      graft.ops.Multimodal.phashNearDupPairs(
+        graft.ops.Multimodal.aHashBatched(
+          graft.ops.Multimodal.asMedia(base.unionByName(variants), "doc_id", "text")),
+        maxHamming = 6)
+    }),
+
     // Extension: REAL nearest-neighbor image resize (pure-JVM 24-bit BMP
     // resample to 16x16); the feature is the RESIZED image's first pixels,
     // so the oracle checks the resample's source-pixel mapping, not just
@@ -4255,6 +4276,48 @@ object SparkEntry {
         |            WHEN v = 2 AND L % 2 = 1 THEN 4 ELSE 3 END AS INTEGER) AS channels,
         |  lower(hex(substr(text, 1, 4))) AS feature
         |FROM d""".stripMargin,
+
+    // The oracle rebuilds the whole perceptual pipeline from text bytes:
+    // BMP dims (w, h) and row size from the length, the 8x8
+    // nearest-neighbor sample's source byte offsets (content cycles mod
+    // L, padding included), B+G+R luminance sums via unicode() (ASCII
+    // fixture — the documented bytes-vs-chars caveat), the integer-exact
+    // mean threshold (lum*64 > total), both 32-bit hash halves, the
+    // 4x16-bit band join, and the final Hamming cut.
+    "multimodal_phash_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents WHERE strlen(text) > 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    repeat('x', least(strlen(text), 16)) || substr(text, 17)
+        |  FROM documents WHERE strlen(text) > 0),
+        |d AS (SELECT doc_id, text, strlen(text) AS L,
+        |    1 + strlen(text) % 64 AS w, 1 + strlen(text) % 48 AS h FROM u),
+        |p AS (SELECT doc_id, text, L, w, h, ((w * 3 + 3) // 4) * 4 AS rs FROM d),
+        |lums AS (SELECT doc_id,
+        |  list_transform(generate_series(0, 63), g ->
+        |    unicode(substr(text, CAST((((((g // 8) * h) // 8) * rs + (((g % 8) * w) // 8) * 3) % L) + 1 AS INTEGER), 1))
+        |  + unicode(substr(text, CAST((((((g // 8) * h) // 8) * rs + (((g % 8) * w) // 8) * 3 + 1) % L) + 1 AS INTEGER), 1))
+        |  + unicode(substr(text, CAST((((((g // 8) * h) // 8) * rs + (((g % 8) * w) // 8) * 3 + 2) % L) + 1 AS INTEGER), 1))) AS lum
+        |  FROM p),
+        |hs AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(0, 31), g ->
+        |    CASE WHEN lum[g + 1] * 64 > list_sum(lum) THEN (1::BIGINT << g) ELSE 0 END)) AS BIGINT) AS lo,
+        |  CAST(list_sum(list_transform(generate_series(32, 63), g ->
+        |    CASE WHEN lum[g + 1] * 64 > list_sum(lum) THEN (1::BIGINT << (g - 32)) ELSE 0 END)) AS BIGINT) AS hi
+        |  FROM lums),
+        |chunks AS (SELECT doc_id, lo, hi, j AS band,
+        |    CASE j WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+        |           WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS value
+        |  FROM hs, range(4) r(j)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.lo AS la, a.hi AS ha, b.lo AS lb, b.hi AS hb
+        |  FROM chunks a JOIN chunks b
+        |    ON a.band = b.band AND a.value = b.value AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id,
+        |  CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 6""".stripMargin,
 
     // byte_len = SOI(2) + APP0(18) + COM(4+len) + SOF0(19) + EOI(2), with
     // the COM payload capped at 60000 (16-bit segment length field — the

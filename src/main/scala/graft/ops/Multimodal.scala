@@ -52,6 +52,11 @@ case class DecodedVideo(
     duration_ms: Long, feature: String)
 
 /** Output of the image resizer. */
+/** Output of the perceptual hasher: one 64-bit average hash split into
+  * two sign-safe 32-bit halves (engine-portable xor/bit_count with no
+  * BIGINT bit-63 sign traps). */
+case class ImageHash(id: Long, phash_lo: Long, phash_hi: Long)
+
 case class ResizedMedia(
     id: Long, in_width: Int, in_height: Int, out_width: Int, out_height: Int,
     out_byte_len: Int, feature: String)
@@ -1510,5 +1515,89 @@ object Multimodal {
       .map { case (id, text) =>
         MediaRecord(id, toPdf(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), "document")
       }
+  }
+
+  /** 64-bit AVERAGE HASH (aHash) of a 24-bit BMP — the classic perceptual
+    * image fingerprint: nearest-neighbor sample to an 8x8 grid (same
+    * source-pixel mapping as [[resizeBmp]]: grid cell (x, y) reads source
+    * pixel (x*w/8, y*h/8) in storage order), per-cell luminance = the
+    * B+G+R byte sum, and bit y*8+x set exactly when cell*64 > total
+    * (integer-exact mean comparison, no floating point). Near-identical
+    * images differ in a few bits; the Hamming distance between hashes is
+    * the dissimilarity measure. */
+  def aHash(payload: Array[Byte]): (Long, Long) = {
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    require(payload.length >= 54 && payload(0) == 'B'.toByte && payload(1) == 'M'.toByte,
+      s"not a BMP payload (${payload.length} bytes)")
+    require(buf.getShort(28) == 24, "aHash supports 24-bit BMPs")
+    val off = buf.getInt(10)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val lum = new Array[Long](64)
+    var total = 0L
+    var g = 0
+    while (g < 64) {
+      val sy = ((g / 8).toLong * h / 8).toInt
+      val sx = ((g % 8).toLong * w / 8).toInt
+      val sp = off + sy * rowSize + sx * 3
+      lum(g) = (payload(sp) & 0xff).toLong + (payload(sp + 1) & 0xff) +
+        (payload(sp + 2) & 0xff)
+      total += lum(g)
+      g += 1
+    }
+    var lo = 0L; var hi = 0L
+    g = 0
+    while (g < 64) {
+      if (lum(g) * 64 > total) {
+        if (g < 32) lo |= 1L << g else hi |= 1L << (g - 32)
+      }
+      g += 1
+    }
+    (lo, hi)
+  }
+
+  /** Batched perceptual hashing over the opaque binary column. */
+  def aHashBatched(ds: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val (lo, hi) = aHash(r.payload)
+        ImageHash(r.id, lo, hi)
+      })
+    }
+  }
+
+  /** Image near-duplicate pairs by banded perceptual hash — the
+    * multimodal sibling of `Dedup.simhashNearDupPairs`: the 64-bit aHash
+    * splits into 4 16-bit bands; by pigeonhole, pairs within Hamming
+    * distance 3 share at least one band (and most small-perturbation
+    * near-dups far beyond that). Candidates equi-join on
+    * (band index, band value) — bucketed, NEVER all-pairs, the only
+    * join shape that survives a billion-image corpus — and are verified
+    * with the exact Hamming distance. */
+  def phashNearDupPairs(
+      hashes: Dataset[ImageHash],
+      maxHamming: Int = 6
+  ): org.apache.spark.sql.DataFrame = {
+    val df = hashes.toDF()
+    val bands = df.select(col("id"), col("phash_lo"), col("phash_hi"),
+      explode(array(
+        struct(lit(0).as("band"), col("phash_lo").bitwiseAND(lit(0xFFFFL)).as("value")),
+        struct(lit(1).as("band"), shiftright(col("phash_lo"), 16).bitwiseAND(lit(0xFFFFL)).as("value")),
+        struct(lit(2).as("band"), col("phash_hi").bitwiseAND(lit(0xFFFFL)).as("value")),
+        struct(lit(3).as("band"), shiftright(col("phash_hi"), 16).bitwiseAND(lit(0xFFFFL)).as("value"))
+      )).as("bk"))
+      .select(col("id"), col("phash_lo"), col("phash_hi"),
+        col("bk.band").as("band"), col("bk.value").as("value"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.value") === col("b.value") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        (bit_count(col("a.phash_lo").bitwiseXOR(col("b.phash_lo"))) +
+          bit_count(col("a.phash_hi").bitwiseXOR(col("b.phash_hi")))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 }

@@ -1153,6 +1153,41 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     feature shouldBe "68656c6f"
   }
 
+  it should "perceptually hash images and find planted near-dups via banded Hamming join" in {
+    // identical payloads hash identically
+    val bmp = Multimodal.toBmp("the quick brown fox jumps over the lazy dog".getBytes)
+    Multimodal.aHash(bmp) shouldBe Multimodal.aHash(bmp.clone())
+    // a hash is a genuine 64-bit split: both halves in [0, 2^32)
+    val (lo, hi) = Multimodal.aHash(bmp)
+    lo should be >= 0L; lo should be < (1L << 32)
+    hi should be >= 0L; hi should be < (1L << 32)
+    // planted near-dups: same text with a small overwrite, same length
+    val texts = (0 until 20).map(i => s"document number $i with enough text to vary " * 3)
+    val media = texts.zipWithIndex.flatMap { case (t, i) =>
+      Seq(MediaRecord(i.toLong, Multimodal.toBmp(t.getBytes), "image"),
+        MediaRecord(i.toLong + 1000, Multimodal.toBmp(("x" * 16 + t.drop(16)).getBytes), "image"))
+    }.toDS
+    val pairs = Multimodal.phashNearDupPairs(
+      Multimodal.aHashBatched(media), maxHamming = 6).collect()
+    // every pair's Hamming matches a direct bit-count recomputation
+    val hs = Multimodal.aHashBatched(media).collect().map(h => h.id -> h).toMap
+    pairs.foreach { r =>
+      val (a, b) = (hs(r.getLong(0)), hs(r.getLong(1)))
+      r.getInt(2) shouldBe (java.lang.Long.bitCount(a.phash_lo ^ b.phash_lo) +
+        java.lang.Long.bitCount(a.phash_hi ^ b.phash_hi))
+    }
+    // pigeonhole guarantee: every true pair with Hamming <= 3 is found
+    val all = hs.values.toSeq
+    val truth = for {
+      a <- all; b <- all if a.id < b.id
+      d = java.lang.Long.bitCount(a.phash_lo ^ b.phash_lo) +
+        java.lang.Long.bitCount(a.phash_hi ^ b.phash_hi)
+      if d <= 3
+    } yield (a.id, b.id)
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    truth.foreach(p => found should contain(p))
+  }
+
   it should "window PCM samples into frames with exact means" in {
     val wav = Multimodal.toWav("ab".getBytes("US-ASCII")) // samples 97, 98
     val f = Multimodal.frameStats(wav, frameLen = 1)
