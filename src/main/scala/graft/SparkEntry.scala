@@ -1950,6 +1950,30 @@ object SparkEntry {
       graft.ops.EventOps.winsorizedProfile(events(s, dir), "event_type", "value",
         pLo = 0.01, pHi = 0.99)),
 
+    // Extension: exponential time-decay popularity — 7-day half-life
+    // recency weighting anchored at the corpus max timestamp (1-row
+    // broadcast agg); 12-dp-rounded weights summed through DECIMAL so
+    // the score is partial-order independent. Anchor DELTAS make the
+    // timezone-vs-instant question cancel out entirely.
+    "events_decayed_popularity" -> ((s, dir) =>
+      graft.ops.EventOps.decayedPopularity(events(s, dir), "event_type", "ts",
+        halfLifeDays = 7.0)),
+
+    // Extension: equi-depth quantile binning — bin edges are the exact
+    // rank-selected quartiles (6-dp-rounded on BOTH engines, so boundary
+    // ties bin identically), broadcast as one row; bin = count of edges
+    // strictly below the value.
+    "events_equidepth_bins" -> ((s, dir) =>
+      graft.ops.EventOps.equiDepthBins(events(s, dir), "value")),
+
+    // Extension: k-anonymity census — the release-readiness privacy
+    // check on the documents quasi-identifier (lang, source): groups
+    // under k rows are re-identifiable; the report is one group-by plus
+    // a one-row summary, shuffling one row per GROUP.
+    "docs_k_anonymity" -> ((s, dir) =>
+      graft.ops.Quality.kAnonymityReport(
+        table(s, dir, "documents"), Seq("lang", "source"), k = 12L)),
+
     // Extension: EXACT per-key quantiles with NO per-key value buffers —
     // within-key rank + key count from one key-partitioned window, ≤2
     // bracketing rows kept per (key, q), type-7 interpolation. O(1)
@@ -4908,6 +4932,44 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.9), 6) AS p90,
         |  true AS ok_p50, true AS ok_p90
         |FROM events GROUP BY 1""".stripMargin,
+
+    // Same half-life weighting; epoch-microsecond deltas cancel any
+    // timezone interpretation difference, and the 12-dp weight rounding
+    // happens before the DECIMAL-routed sum on both engines.
+    "events_decayed_popularity" ->
+      """WITH a AS (SELECT max(epoch_us(ts)) AS anchor FROM events),
+        |w AS (SELECT event_type,
+        |    round(pow(0.5, (a.anchor - epoch_us(ts)) / (86400000000.0 * 7)), 12) AS wt
+        |  FROM events, a)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(CAST(sum(CAST(wt AS DECIMAL(27,12))) AS DOUBLE), 6) AS decayed_score
+        |FROM w GROUP BY 1""".stripMargin,
+
+    // quantile_cont quartiles rounded to 6 dp, then the same
+    // strictly-greater edge count bins every value.
+    "events_equidepth_bins" ->
+      """WITH c AS (SELECT round(quantile_cont(value, 0.25), 6) AS c0,
+        |    round(quantile_cont(value, 0.5), 6) AS c1,
+        |    round(quantile_cont(value, 0.75), 6) AS c2
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT CAST((CASE WHEN value > c0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN value > c1 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN value > c2 THEN 1 ELSE 0 END) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(min(value), 6) AS lo,
+        |  round(max(value), 6) AS hi,
+        |  round(CAST(sum(CAST(value AS DECIMAL(27,12))) AS DOUBLE) / count(*), 6) AS mean
+        |FROM events, c WHERE value IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // Group census arithmetic; k matches the Scala call.
+    "docs_k_anonymity" ->
+      """WITH g AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2)
+        |SELECT CAST(12 AS BIGINT) AS k,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN n < 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+        |  CAST(sum(CASE WHEN n < 12 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  CAST(min(n) AS BIGINT) AS min_group_size
+        |FROM g""".stripMargin,
 
     // Clip cuts re-derived with quantile_cont; the clipped mean routes
     // through DECIMAL(18,6) on both engines.

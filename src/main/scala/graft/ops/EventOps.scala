@@ -798,6 +798,68 @@ object EventOps {
           6).as("quantile"))
   }
 
+  /** Exponential time-decay popularity — the standard recency weighting
+    * behind "what matters NOW" rankings and recency-biased sampling
+    * weights: each event contributes 0.5^(age/halfLife) anchored at the
+    * corpus max timestamp (a 1-row broadcast aggregate, not a collect).
+    * Weights are rounded to 12 dp BEFORE the sum (libm pow agreement
+    * across engines at sub-ULP scale) and summed through DECIMAL(27,12)
+    * so partial-aggregation order cannot change bits. One scan, one
+    * shuffle on the type key — no windows, no self-joins. */
+  def decayedPopularity(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      halfLifeDays: Double
+  ): DataFrame = {
+    require(halfLifeDays > 0, s"halfLifeDays must be positive: $halfLifeDays")
+    val dec = DecimalType(27, 12)
+    val anchor = events.agg(max(unix_micros(col(tsCol))).as("__anchor"))
+    events.crossJoin(broadcast(anchor))
+      .withColumn("__w",
+        round(pow(lit(0.5),
+          (col("__anchor") - unix_micros(col(tsCol))).cast("double") /
+            (86400.0e6 * halfLifeDays)), 12).cast(dec))
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("__w")).cast("double"), 6).as("decayed_score"))
+  }
+
+  /** Equi-depth (quantile) binning — the feature-engineering complement
+    * to the equi-width [[histogram]]: bin edges are the EXACT type-7
+    * quartiles from [[globalQuantiles]]' rank selection (no value
+    * buffers, no single-partition sort), pivoted to one row and
+    * broadcast; each value's bin is the count of edges strictly below
+    * it. Both engines bin against the same 6-dp-rounded edges, so
+    * boundary ties cannot diverge. Per-bin means go through
+    * DECIMAL(27,12). */
+  def equiDepthBins(
+      df: DataFrame,
+      valueCol: String,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75)
+  ): DataFrame = {
+    require(qs.nonEmpty, "need at least one cut quantile")
+    val dec = DecimalType(27, 12)
+    val cuts = globalQuantiles(df, valueCol, qs)
+    val wide = cuts.agg(
+      max(when(col("q") === qs.head, col("quantile"))).as("__c0"),
+      qs.tail.zipWithIndex.map { case (q, i) =>
+        max(when(col("q") === q, col("quantile"))).as(s"__c${i + 1}")
+      }: _*)
+    val binExpr = qs.indices
+      .map(i => when(col(valueCol) > col(s"__c$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(wide))
+      .withColumn("bin", binExpr)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col(valueCol)), 6).as("lo"),
+        round(max(col(valueCol)), 6).as("hi"),
+        round((sum(col(valueCol).cast(dec)) / count(lit(1))).cast("double"), 6)
+          .as("mean"))
+  }
+
   /** Winsorized per-type value profile: values clipped at the EXACT
     * global [pLo, pHi] quantiles — the standard heavy-tail guard before
     * feature scaling/aggregation — with per-type clip counts and the

@@ -114,4 +114,27 @@ object Quality {
   def passes(df: DataFrame, constraints: Seq[Constraint]): Boolean =
     constraintReport(df, constraints)
       .agg(max(col("n_violations"))).collect()(0).getLong(0) == 0L
+
+  /** k-anonymity census over a quasi-identifier combination — the
+    * standard release-readiness check before publishing data keyed by
+    * indirect identifiers: every row whose quasi-identifier group holds
+    * fewer than k rows is re-identifiable by that combination. One
+    * group-by plus a one-row summary aggregate (no self-joins, no
+    * windows): total groups, violating groups (size < k), rows at risk,
+    * and the smallest group size. Scale shape: the shuffle carries one
+    * row per GROUP, never row-level data. */
+  def kAnonymityReport(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be at least 2: $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("n_groups"),
+        coalesce(sum(when(col("__n") < k, 1L).otherwise(0L)), lit(0L))
+          .as("n_violating_groups"),
+        coalesce(sum(when(col("__n") < k, col("__n")).otherwise(0L)), lit(0L))
+          .as("n_rows_at_risk"),
+        min(col("__n")).as("min_group_size"))
+      .select(lit(k).as("k"), col("n_groups"), col("n_violating_groups"),
+        col("n_rows_at_risk"), col("min_group_size"))
+  }
 }

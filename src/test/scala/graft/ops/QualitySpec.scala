@@ -51,4 +51,24 @@ class QualitySpec extends AnyFlatSpec with Matchers {
     val scans = report.queryExecution.executedPlan.collectLeaves()
     scans.length shouldBe 1
   }
+
+
+  behavior of "Quality.kAnonymityReport"
+
+  it should "census quasi-identifier groups below k" in {
+    // groups: (a,x)=3 rows, (a,y)=1 row, (b,x)=2 rows -> k=3: two violate
+    val df = Seq(("a","x"),("a","x"),("a","x"),("a","y"),("b","x"),("b","x"))
+      .toDF("lang", "source")
+    val r = Quality.kAnonymityReport(df, Seq("lang", "source"), k = 3L)
+      .collect()(0)
+    r.getLong(0) shouldBe 3L            // k
+    r.getLong(1) shouldBe 3L            // n_groups
+    r.getLong(2) shouldBe 2L            // violating
+    r.getLong(3) shouldBe 3L            // rows at risk (1 + 2)
+    r.getLong(4) shouldBe 1L            // min group size
+    // a k everyone satisfies reports zero risk
+    val ok = Quality.kAnonymityReport(df, Seq("lang"), k = 2L).collect()(0)
+    ok.getLong(2) shouldBe 0L
+    ok.getLong(3) shouldBe 0L
+  }
 }

@@ -137,6 +137,32 @@ class RangeRankSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "cut equi-depth bins at the exact rounded quartiles" in {
+    val df = (1 to 100).map(_.toDouble).toDF("value")
+    val bins = EventOps.equiDepthBins(df, "value").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    bins.keySet shouldBe Set(0L, 1L, 2L, 3L)
+    // quartiles of 1..100 (type-7): 25.75, 50.5, 75.25 -> 25/25/25/25
+    bins(0L) shouldBe ((25L, 1.0, 25.0))
+    bins(1L) shouldBe ((25L, 26.0, 50.0))
+    bins(2L) shouldBe ((25L, 51.0, 75.0))
+    bins(3L) shouldBe ((25L, 76.0, 100.0))
+  }
+
+  it should "weight decayed popularity by exact half-life powers" in {
+    val base = java.sql.Timestamp.valueOf("2026-01-15 00:00:00")
+    def at(days: Double) =
+      new java.sql.Timestamp(base.getTime + (days * 86400000L).toLong)
+    // anchor event weight 1.0; 7 days earlier weight 0.5; 14 days 0.25
+    val df = Seq(("a", at(14.0)), ("a", at(7.0)), ("a", at(0.0)),
+      ("b", at(14.0)), ("b", at(0.0))).toDF("event_type", "ts")
+    val got = EventOps.decayedPopularity(df, "event_type", "ts", halfLifeDays = 7.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    got("a") shouldBe ((3L, 1.75))   // 1 + 0.5 + 0.25
+    got("b") shouldBe ((2L, 1.25))   // 1 + 0.25 (7-day half-life, 14 days)
+  }
+
   behavior of "bpeSegment broadcastVocab switch"
 
   it should "produce identical results in broadcast and shuffle-hash modes" in {
