@@ -1651,6 +1651,34 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"), col("c_mktsegment"))
     }),
 
+    // Extension: STREAMING point-in-time (SCD2) enrichment — each event
+    // joins the dim VERSION valid at the EVENT time, never the latest
+    // (the leakage-safe feature join; stateless broadcast, stream side
+    // shuffle-free). Three versioned tiers per covered type split
+    // January at fixed boundaries; the open version has a null end;
+    // uncovered types emit null (LEFT join). The oracle is the same
+    // interval join in batch SQL over a VALUES dim.
+    "stream_pit_enrich" -> ((s, dir) => withStreamingShuffle(s, 4) {
+      import s.implicits._
+      val (in, _) = streamFeed(s, dir, 2000)
+      val dim = Seq("view", "purchase", "signup").flatMap { t =>
+        Seq(
+          (t, "2024-01-01 00:00:00", Option("2024-01-11 00:00:00"), s"${t}_v1"),
+          (t, "2024-01-11 00:00:00", Option("2024-01-21 00:00:00"), s"${t}_v2"),
+          (t, "2024-01-21 00:00:00", Option.empty[String], s"${t}_v3"))
+      }.toDF("event_type", "valid_from", "valid_to", "tier")
+        .withColumn("valid_from", col("valid_from").cast("timestamp"))
+        .withColumn("valid_to", col("valid_to").cast("timestamp"))
+      val enriched = graft.streaming.StreamingOps.enrichPointInTime(
+        in.toDF().select("event_id", "user_id", "ts", "event_type"),
+        dim, "event_type", "ts", "valid_from", "valid_to")
+      s.catalog.dropTempView("stream_pit_out")
+      graft.streaming.StreamingOps.runToMemory(enriched, "stream_pit_out",
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      s.table("stream_pit_out")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("tier"))
+    }),
+
     // Extension: STREAMING rule application, oracle-checked — the plug
     // engine compiles rules to STATELESS projections, so the identical
     // SparkPlug API runs on a streaming frame (readStream → plug →
@@ -2683,6 +2711,31 @@ object SparkEntry {
         .select(lit(total.toLong).as("n_files_total"),
           lit(kept.size.toLong).as("n_files_scanned"),
           col("n_rows"), col("chars_sum"), col("id_sum"))
+    }),
+
+    // Extension: CATEGORICAL file skipping — string min/max manifest
+    // stats answer an equality predicate: with a per-language layout
+    // (min = max = the language) the prune is perfect, an equality scan
+    // opens exactly the matching files. The oracle re-derives the file
+    // census from the content (one file per distinct language) and the
+    // row aggregate from the raw predicate.
+    "ingest_zonemap_point" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratch("manifest_zonemap_pt")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val langs = docs.select(col("lang")).distinct().as[String].collect().sorted
+      langs.foreach { l =>
+        graft.sources.ManifestTable.append(s, out,
+          docs.filter(col("lang") === l).coalesce(1))
+      }
+      val (kept, total) = graft.sources.ManifestTable
+        .pruneByEquals(s, out, "lang", "en")
+      graft.sources.ManifestTable.readWhereEquals(s, out, "lang", "en")
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("chars_sum"))
+        .select(lit(total.toLong).as("n_files_total"),
+          lit(kept.size.toLong).as("n_files_scanned"),
+          col("n_rows"), col("chars_sum"))
     }),
 
     // Extension: the manifest statistics as a queryable metadata table
@@ -4562,6 +4615,26 @@ object SparkEntry {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |WHERE e.event_id < 2000""".stripMargin,
 
+    // The same SCD2 interval lookup in batch SQL: the version covering
+    // the EVENT time wins; the open version has a null end; uncovered
+    // types keep null tiers.
+    "stream_pit_enrich" ->
+      """WITH d(event_type, valid_from, valid_to, tier) AS (VALUES
+        |  ('view', TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-11', 'view_v1'),
+        |  ('view', TIMESTAMP '2024-01-11', TIMESTAMP '2024-01-21', 'view_v2'),
+        |  ('view', TIMESTAMP '2024-01-21', NULL::TIMESTAMP, 'view_v3'),
+        |  ('purchase', TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-11', 'purchase_v1'),
+        |  ('purchase', TIMESTAMP '2024-01-11', TIMESTAMP '2024-01-21', 'purchase_v2'),
+        |  ('purchase', TIMESTAMP '2024-01-21', NULL::TIMESTAMP, 'purchase_v3'),
+        |  ('signup', TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-11', 'signup_v1'),
+        |  ('signup', TIMESTAMP '2024-01-11', TIMESTAMP '2024-01-21', 'signup_v2'),
+        |  ('signup', TIMESTAMP '2024-01-21', NULL::TIMESTAMP, 'signup_v3'))
+        |SELECT e.event_id, e.user_id, e.event_type, d.tier
+        |FROM events e LEFT JOIN d
+        |  ON e.event_type = d.event_type AND e.ts >= d.valid_from
+        |  AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+        |WHERE e.event_id < 2000""".stripMargin,
+
     // quantile_cont interpolates identically to Spark's exact percentile
     // (both a + (b-a)*frac in IEEE doubles — the events_value_profile p50
     // precedent), so the boundary comparisons agree bit-for-bit.
@@ -5835,6 +5908,18 @@ object SparkEntry {
         |     WHERE n_chars BETWEEN 600 AND 1500) AS chars_sum,
         |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM b
         |     WHERE n_chars BETWEEN 600 AND 1500) AS id_sum""".stripMargin,
+
+    // One file per distinct language; only the 'en' file survives the
+    // equality prune.
+    "ingest_zonemap_point" ->
+      """SELECT
+        |  (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents) AS n_files_total,
+        |  (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+        |     WHERE lang = 'en') AS n_files_scanned,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |     WHERE lang = 'en') AS n_rows,
+        |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
+        |     WHERE lang = 'en') AS chars_sum""".stripMargin,
 
     // The manifest's footer-derived per-file stats must equal the exact
     // per-band content min/max for both recorded columns.

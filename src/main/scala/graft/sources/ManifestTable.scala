@@ -467,6 +467,53 @@ object ManifestTable {
     (kept.map(rel => new Path(dir, rel).toString), all.size)
   }
 
+  /** [[pruneByRange]] for an equality predicate on a STRING column —
+    * categorical file skipping: a file whose recorded [min, max] cannot
+    * contain `value` (UTF-8 order, exactly how parquet orders BINARY
+    * string stats) is skipped. With a per-category layout
+    * ([[replacePartitions]], or per-category appends) min = max = the
+    * category and the prune is perfect: an equality scan opens exactly
+    * the matching files at any table size. */
+  def pruneByEquals(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      value: String): (Seq[String], Int) = {
+    val all = currentRel(fs(dir, spark), dir)
+    val byFile = currentStats(spark, dir)
+      .filter(cs => cs.column == column && cs.dtype == "string")
+      .map(cs => cs.file -> cs).toMap
+    val kept = all.filter { rel =>
+      byFile.get(rel) match {
+        case Some(cs) =>
+          (cs.min, cs.max) match {
+            case (Some(mn), Some(mx)) => mn <= value && value <= mx
+            case _ => cs.nullCount == 0L
+          }
+        case None => true
+      }
+    }
+    (kept.map(rel => new Path(dir, rel).toString), all.size)
+  }
+
+  /** Stats-pruned equality read: `column = value` over only the files
+    * [[pruneByEquals]] keeps. */
+  def readWhereEquals(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      value: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (kept, _) = pruneByEquals(spark, dir, column, value)
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          currentSchema(spark, dir).getOrElse(read(spark, dir).schema))
+      else spark.read.parquet(kept: _*)
+    base.filter(col(column) === value)
+  }
+
   /** Stats-pruned read: `column BETWEEN lo AND hi` over only the files
     * [[pruneByRange]] keeps (the row-level filter still applies — stats
     * prune FILES, they do not evaluate rows). Equivalent to

@@ -192,6 +192,39 @@ object StreamingOps {
   ): DataFrame =
     stream.join(broadcast(dim), keys)
 
+  /** Stream-static POINT-IN-TIME enrichment — the leakage-safe feature
+    * join: each event picks the dimension VERSION whose SCD2 validity
+    * interval covers the EVENT time, never the latest version. Joining
+    * features that postdate the event is exactly the training-serving
+    * leakage point-in-time joins exist to prevent (a model trained on
+    * post-event features cannot reproduce them at serving time).
+    * Stateless like [[enrichWithStatic]] (no watermark, no streaming
+    * state): the versioned dimension broadcasts and the interval
+    * predicate rides the broadcast join, so the stream side stays
+    * shuffle-free; events with no covering version emit with null
+    * payload (LEFT join) rather than silently dropping. An open
+    * current version has a null `validToCol`. */
+  def enrichPointInTime(
+      stream: DataFrame,
+      dim: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      validFromCol: String,
+      validToCol: String
+  ): DataFrame = {
+    val s = stream.alias("s")
+    val d = dim.alias("d")
+    val payload = dim.columns
+      .filterNot(c => c == keyCol || c == validFromCol || c == validToCol)
+    s.join(broadcast(d),
+      col(s"s.$keyCol") === col(s"d.$keyCol") &&
+        col(s"s.$tsCol") >= col(s"d.$validFromCol") &&
+        (col(s"d.$validToCol").isNull || col(s"s.$tsCol") < col(s"d.$validToCol")),
+      "left")
+      .select(stream.columns.map(c => col(s"s.$c")) ++
+        payload.map(c => col(s"d.$c")): _*)
+  }
+
   /** Stream-stream interval join: each left event pairs with right events
     * of the same key whose timestamp falls in
     * [left.ts − before, left.ts + after]. BOTH sides carry event-time

@@ -348,4 +348,24 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
         Seq((0L, 24L), (50L, 99L))
     } finally rm(dir)
   }
+
+  it should "prune files perfectly for equality predicates on a per-category layout" in {
+    val dir = tmpDir()
+    try {
+      Seq("de", "en", "fr").foreach { l =>
+        ManifestTable.append(spark, dir,
+          (0L until 30L).map(i => (i, l)).toDF("id", "lang").coalesce(1))
+      }
+      val (kept, total) = ManifestTable.pruneByEquals(spark, dir, "lang", "en")
+      total shouldBe 3
+      kept.size shouldBe 1
+      val got = ManifestTable.readWhereEquals(spark, dir, "lang", "en")
+      got.count() shouldBe 30
+      got.select("lang").distinct().collect().map(_.getString(0)) shouldBe Array("en")
+      // a value outside every file's range prunes everything
+      val (none, _) = ManifestTable.pruneByEquals(spark, dir, "lang", "zz")
+      none shouldBe empty
+      ManifestTable.readWhereEquals(spark, dir, "lang", "zz").count() shouldBe 0
+    } finally rm(dir)
+  }
 }

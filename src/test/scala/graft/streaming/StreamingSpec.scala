@@ -161,6 +161,32 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     rows shouldBe Array((1L, 10.0), (2L, 20.0)) // inner join drops 'error'
   }
 
+  it should "enrich each event with the dim version valid at EVENT time, not the latest" in {
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(t("2024-01-05 10:00:00"), 1, "click", 1.0), // v1 window
+      Ev(t("2024-01-15 10:00:00"), 2, "click", 2.0), // v2 window
+      Ev(t("2024-01-25 10:00:00"), 3, "click", 3.0), // open v3
+      Ev(t("2024-01-15 10:00:00"), 4, "error", 4.0)) // uncovered type
+    val dim = Seq(
+      ("click", Option("2024-01-01 00:00:00"), Option("2024-01-10 00:00:00"), "v1"),
+      ("click", Option("2024-01-10 00:00:00"), Option("2024-01-20 00:00:00"), "v2"),
+      ("click", Option("2024-01-20 00:00:00"), Option.empty[String], "v3"))
+      .toDF("event_type", "valid_from", "valid_to", "tier")
+      .withColumn("valid_from", col("valid_from").cast("timestamp"))
+      .withColumn("valid_to", col("valid_to").cast("timestamp"))
+    val enriched = StreamingOps.enrichPointInTime(
+      in.toDF(), dim, "event_type", "ts", "valid_from", "valid_to")
+    enriched.isStreaming shouldBe true
+    StreamingOps.runToMemory(enriched, "pit_out", OutputMode.Append)
+    val rows = spark.table("pit_out")
+      .select(col("user_id"), col("tier")).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    rows shouldBe Array(
+      (1L, Some("v1")), (2L, Some("v2")), (3L, Some("v3")),
+      (4L, None)) // LEFT join: uncovered type survives with null tier
+  }
+
   it should "interval-join two streams with bounded state" in {
     val clicks = MemoryStream[Ev]
     val errors = MemoryStream[Ev]
