@@ -1978,6 +1978,16 @@ object SparkEntry {
       graft.ops.EventOps.winsorizedProfile(events(s, dir), "event_type", "value",
         pLo = 0.01, pHi = 0.99)),
 
+    // Extension: Holt linear-trend forecast — double-exponential
+    // smoothing (level + trend) over each type's daily count series,
+    // folded in ONE Catalyst aggregate HOF over the 30-element sorted
+    // daily array (sequential IEEE doubles — bit-reproducible; the
+    // oracle replays the identical recursion in a bounded recursive
+    // CTE). Per-key state: two doubles.
+    "events_forecast_holt" -> ((s, dir) =>
+      graft.ops.EventOps.holtForecast(events(s, dir), "event_type", "ts",
+        alpha = 0.5, beta = 0.3, horizonDays = 7)),
+
     // Extension: exponential time-decay popularity — 7-day half-life
     // recency weighting anchored at the corpus max timestamp (1-row
     // broadcast agg); 12-dp-rounded weights summed through DECIMAL so
@@ -2200,6 +2210,15 @@ object SparkEntry {
       graft.ops.Corpus.splitAssign(
         table(s, dir, "documents").select("doc_id", "lang"),
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+
+    // Extension: stratified k-fold cross-validation manifest — fold =
+    // stable md5 bucket mod 5 (rows never migrate across runs); per
+    // (lang, fold) the held-out size and its leave-one-out train
+    // complement. Uniform within each stratum by construction.
+    "docs_kfold_assign" -> ((s, dir) =>
+      graft.ops.Corpus.kFoldAssign(
+        table(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", k = 5)),
 
     // Extension: dedup-aware split — near-dup clusters (MinHash pairs →
     // connected components) are split as UNITS by hashing the cluster id,
@@ -5005,6 +5024,42 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.9), 6) AS p90,
         |  true AS ok_p50, true AS ok_p90
         |FROM events GROUP BY 1""".stripMargin,
+
+    // The split_assign md5 bucket taken mod 5; leave-one-out complement
+    // via a per-stratum total.
+    "docs_kfold_assign" ->
+      """WITH f AS (SELECT lang,
+        |    (('0x'||substr(md5(doc_id::VARCHAR),1,7))::UBIGINT)::BIGINT % 5 AS fold
+        |  FROM documents),
+        |g AS (SELECT lang, fold, CAST(count(*) AS BIGINT) AS n_val FROM f GROUP BY 1, 2)
+        |SELECT lang, fold, n_val,
+        |  CAST(sum(n_val) OVER (PARTITION BY lang) - n_val AS BIGINT) AS n_train
+        |FROM g""".stripMargin,
+
+    // The identical Holt recursion replayed in a bounded recursive CTE:
+    // base l1 = y1, b1 = y2 - y1; step substitutes l' into b' exactly as
+    // the Catalyst fold computes it (same IEEE evaluation order).
+    "events_forecast_holt" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM d),
+        |n AS (SELECT event_type, count(*) AS t FROM s GROUP BY 1 HAVING count(*) >= 2),
+        |rec AS (
+        |  SELECT s1.event_type, 1 AS rn, s1.y AS l, s2.y - s1.y AS b
+        |  FROM s s1 JOIN s s2 ON s1.event_type = s2.event_type AND s2.rn = 2
+        |  WHERE s1.rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.rn + 1,
+        |    0.5 * s.y + 0.5 * (r.l + r.b) AS l,
+        |    0.3 * ((0.5 * s.y + 0.5 * (r.l + r.b)) - r.l) + (1.0 - 0.3) * r.b AS b
+        |  FROM rec r JOIN s ON s.event_type = r.event_type AND s.rn = r.rn + 1)
+        |SELECT r.event_type, CAST(n.t AS BIGINT) AS n_days,
+        |  round(r.l, 6) AS level, round(r.b, 6) AS trend,
+        |  round(r.l + 7.0 * r.b, 6) AS forecast
+        |FROM rec r JOIN n ON n.event_type = r.event_type AND r.rn = n.t""".stripMargin,
 
     // Same half-life weighting; epoch-microsecond deltas cancel any
     // timezone interpretation difference, and the 12-dp weight rounding

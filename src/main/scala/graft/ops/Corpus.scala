@@ -98,6 +98,29 @@ object Corpus {
       .withColumn("split", assign)
   }
 
+  /** Deterministic stratified k-fold cross-validation manifest: every
+    * row's fold is its stable md5 bucket mod k (the [[splitAssign]]
+    * hash — rows never migrate between folds across runs or incremental
+    * re-runs), and the report gives, per (stratum, fold), the held-out
+    * size and its leave-one-out training complement within the stratum.
+    * The md5 bucket is uniform WITHIN each stratum by construction, so
+    * folds stay balanced per stratum without any stratified shuffling
+    * machinery. One group-by; the shuffle carries one row per
+    * (stratum, fold). */
+  def kFoldAssign(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 2, s"k must be at least 2: $k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+    df.withColumn("fold", hashBucketFor(df.sparkSession)(col(idCol), k))
+      .groupBy(col(strataCol), col("fold"))
+      .agg(count(lit(1)).as("n_val"))
+      .withColumn("n_train", sum(col("n_val")).over(w) - col("n_val"))
+  }
+
   /** Dedup-aware train/val/test split: near-duplicate documents NEVER
     * straddle a split boundary (assigning a test doc whose near-copy sits
     * in train is silent eval contamination — the dedup-then-split rule).

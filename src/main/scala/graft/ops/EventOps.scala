@@ -860,6 +860,55 @@ object EventOps {
           .as("mean"))
   }
 
+  /** Holt linear-trend forecast over each key's DAILY count series — the
+    * classic double-exponential smoothing (level + trend) behind
+    * short-horizon volume forecasts and drift alarms:
+    * {{{
+    *   l_1 = y_1,  b_1 = y_2 - y_1
+    *   l_t = α·y_t + (1-α)(l_{t-1} + b_{t-1})
+    *   b_t = β(l_t - l_{t-1}) + (1-β)·b_{t-1}
+    *   ŷ_{T+h} = l_T + h·b_T
+    * }}}
+    * The per-key series is bounded by the DAY count (30 here, never the
+    * event count), so it folds inside ONE Catalyst `aggregate` HOF over
+    * the sorted daily array — sequential IEEE double arithmetic, bit
+    * reproducible across engines, no window recursion, no driver loop.
+    * Scale shape: the only shuffle is the daily-count group-by; a key's
+    * state is two doubles. */
+  def holtForecast(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      alpha: Double,
+      beta: Double,
+      horizonDays: Int
+  ): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1, "need 0 < alpha, beta < 1")
+    val daily = events.groupBy(col(typeCol), to_date(col(tsCol)).as("__day"))
+      .agg(count(lit(1)).cast("double").as("__y"))
+    val a = lit(alpha); val b = lit(beta)
+    daily.groupBy(col(typeCol))
+      .agg(array_sort(collect_list(struct(col("__day"), col("__y")))).as("__s"))
+      .filter(size(col("__s")) >= 2)
+      .withColumn("__ys", transform(col("__s"), _.getField("__y")))
+      .withColumn("__fit",
+        aggregate(
+          expr("slice(__ys, 2, size(__ys) - 1)"),
+          struct(element_at(col("__ys"), 1).as("l"),
+            (element_at(col("__ys"), 2) - element_at(col("__ys"), 1)).as("b")),
+          (acc, y) => {
+            val l2 = a * y + (lit(1.0) - a) * (acc.getField("l") + acc.getField("b"))
+            struct(l2.as("l"),
+              (b * (l2 - acc.getField("l")) +
+                (lit(1.0) - b) * acc.getField("b")).as("b"))
+          }))
+      .select(col(typeCol), size(col("__ys")).cast("long").as("n_days"),
+        round(col("__fit.l"), 6).as("level"),
+        round(col("__fit.b"), 6).as("trend"),
+        round(col("__fit.l") + lit(horizonDays.toDouble) * col("__fit.b"), 6)
+          .as("forecast"))
+  }
+
   /** Winsorized per-type value profile: values clipped at the EXACT
     * global [pLo, pHi] quantiles — the standard heavy-tail guard before
     * feature scaling/aggregation — with per-type clip counts and the

@@ -838,6 +838,44 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       Array((1L, 2L, 2L), (2L, 1L, 2L))
   }
 
+  it should "fit Holt level and trend exactly on a hand-computed series" in {
+    // days: counts 2, 3, 5 for type a (one event per count unit)
+    val rows = for {
+      (day, n) <- Seq(("2024-01-01", 2), ("2024-01-02", 3), ("2024-01-03", 5))
+      i <- 0 until n
+    } yield ("a", java.sql.Timestamp.valueOf(s"$day 0$i:00:00"))
+    val df = rows.toDF("event_type", "ts")
+    val r = EventOps.holtForecast(df, "event_type", "ts",
+      alpha = 0.5, beta = 0.3, horizonDays = 2).collect()(0)
+    // l1=2, b1=1; t=2: l=.5*3+.5*3=3, b=.3*1+.7*1=1
+    // t=3: l=.5*5+.5*4=4.5, b=.3*1.5+.7*1=1.15; forecast=4.5+2*1.15=6.8
+    r.getLong(1) shouldBe 3L
+    r.getDouble(2) shouldBe 4.5
+    r.getDouble(3) shouldBe 1.15
+    r.getDouble(4) shouldBe 6.8
+    // a single-day key has no trend to fit and is excluded
+    val single = Seq(("b", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("event_type", "ts")
+    EventOps.holtForecast(single, "event_type", "ts", 0.5, 0.3, 2)
+      .count() shouldBe 0L
+  }
+
+  it should "assign stable stratified k-folds with leave-one-out complements" in {
+    val df = (0L until 200L).map(i => (i, if (i % 4 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val rep = graft.ops.Corpus.kFoldAssign(df, "doc_id", "lang", k = 5)
+    val rows = rep.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // every (stratum, fold) complement is the stratum total minus the fold
+    rows.filter(_._1._1 == "en").values.map { case (v, t) => v + t }
+      .toSet shouldBe Set(50L)
+    rows.filter(_._1._1 == "de").values.map { case (v, t) => v + t }
+      .toSet shouldBe Set(150L)
+    // assignment is the stable splitAssign hash: re-running can't move rows
+    rep.collect().toSet shouldBe
+      graft.ops.Corpus.kFoldAssign(df, "doc_id", "lang", k = 5).collect().toSet
+  }
+
   behavior of "Multimodal"
 
   it should "round-trip a real BMP header through encode and decode" in {
