@@ -2732,6 +2732,51 @@ object SparkEntry {
           col("n_rows"), col("chars_sum"), col("id_sum"))
     }),
 
+    // Extension: MERGE (batch upsert) as ONE manifest transaction — the
+    // Delta MERGE-INTO shape: per key the highest version wins (update
+    // side breaks exact ties), new keys insert, and the merged snapshot
+    // commits by a single pointer swap. The oracle replays the same
+    // merge relationally (anti-join + union + per-key winner).
+    "ingest_manifest_merge" -> ((s, dir) => {
+      val out = scratch("manifest_merge")
+      val base = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          lit(0L).as("version"))
+      graft.sources.ManifestTable.commit(s, out, base)
+      val updates = base.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") + 1000L).as("n_chars"), lit(1L).as("version"))
+        .unionByName(base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("source"),
+            col("n_chars"), lit(1L).as("version")))
+      graft.sources.ManifestTable.mergeInto(s, out, updates, "doc_id", "version")
+      graft.sources.ManifestTable.read(s, out)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("chars_sum"),
+          sum(col("version")).as("version_sum"))
+    }),
+
+    // Extension: append with SCHEMA EVOLUTION — the batch carries a NEW
+    // column as one append transaction; the manifest schema advances and
+    // the evolved read resolves pre-evolution files with nulls (add-only:
+    // dropping or retyping still refuses loudly). The oracle assembles
+    // the same union with nulls on the old slice.
+    "ingest_manifest_evolve" -> ((s, dir) => {
+      val out = scratch("manifest_evolve")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      graft.sources.ManifestTable.commit(s, out, docs.filter(col("doc_id") % 2 === 0))
+      graft.sources.ManifestTable.appendEvolve(s, out,
+        docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("quality", col("n_chars").cast("double") / 100.0))
+      graft.sources.ManifestTable.readEvolved(s, out)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("quality")).as("n_with_quality"),
+          round(sum(col("quality").cast(org.apache.spark.sql.types.DecimalType(27, 12)))
+            .cast("double"), 6).as("quality_sum"))
+    }),
+
     // Extension: CATEGORICAL file skipping — string min/max manifest
     // stats answer an equality predicate: with a per-language layout
     // (min = max = the language) the prune is perfect, an equality scan
@@ -5963,6 +6008,39 @@ object SparkEntry {
         |     WHERE n_chars BETWEEN 600 AND 1500) AS chars_sum,
         |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM b
         |     WHERE n_chars BETWEEN 600 AND 1500) AS id_sum""".stripMargin,
+
+    // The same MERGE replayed relationally: updated keys take the
+    // update row, untouched keys keep the base row, new keys insert.
+    "ingest_manifest_merge" ->
+      """WITH base AS (SELECT doc_id, source, n_chars, 0 AS version FROM documents),
+        |upd AS (
+        |  SELECT doc_id, source, n_chars + 1000 AS n_chars, 1 AS version
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000, source, n_chars, 1
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |merged AS (
+        |  SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT * FROM base b WHERE NOT EXISTS
+        |    (SELECT 1 FROM upd u WHERE u.doc_id = b.doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |  CAST(sum(version) AS BIGINT) AS version_sum
+        |FROM merged GROUP BY 1""".stripMargin,
+
+    // The evolved union: the pre-evolution slice carries null quality.
+    "ingest_manifest_evolve" ->
+      """WITH u AS (
+        |  SELECT doc_id, source, n_chars, NULL::DOUBLE AS quality
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, source, n_chars, CAST(n_chars AS DOUBLE) / 100.0
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(quality) AS BIGINT) AS n_with_quality,
+        |  round(CAST(sum(CAST(quality AS DECIMAL(27,12))) AS DOUBLE), 6) AS quality_sum
+        |FROM u GROUP BY 1""".stripMargin,
 
     // One file per distinct language; only the 'en' file survives the
     // equality prune.

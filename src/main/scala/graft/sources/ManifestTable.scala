@@ -361,6 +361,74 @@ object ManifestTable {
     staged
   }
 
+  /** MERGE (batch upsert) as one table transaction — the Delta
+    * MERGE-INTO shape on the manifest protocol: per key, the highest
+    * `versionCol` wins with the UPDATE side breaking exact ties
+    * (idempotent re-delivery semantics, [[graft.ops.Corpus.mergeUpsert]]);
+    * the merged snapshot commits by ONE pointer swap, so readers see the
+    * pre-merge table until the swap and the post-merge table after —
+    * never a mix. First call on an empty dir degrades to a plain commit.
+    *
+    * Scale: the merge is one key shuffle; the rewrite is proportional to
+    * the TABLE (the documented parquet-as-sink cost — bound it by
+    * merging into [[replacePartitions]]-scoped slices when keys are
+    * partition-localized). */
+  def mergeInto(
+      spark: SparkSession,
+      dir: String,
+      updates: DataFrame,
+      keyCol: String,
+      versionCol: String
+  ): StagedCommit = {
+    val f = fs(dir, spark)
+    if (!f.exists(new Path(dir, PointerName))) commit(spark, dir, updates)
+    else {
+      requireSameSchema(currentSchema(spark, dir), updates.schema, "mergeInto")
+      commit(spark, dir,
+        graft.ops.Corpus.mergeUpsert(read(spark, dir), updates, keyCol, versionCol))
+    }
+  }
+
+  /** Append with SCHEMA EVOLUTION — the mergeSchema-on-write shape:
+    * the batch may carry a SUPERSET of the table's columns (brand-new
+    * columns allowed; existing columns must keep their types); the
+    * committed `#schema` header advances to the widened schema and
+    * [[readEvolved]] resolves old files with nulls for the new columns.
+    * Dropping or retyping a column still refuses loudly — silent
+    * narrowing is the failure mode the plain [[append]] guard exists
+    * for. */
+  def appendEvolve(spark: SparkSession, dir: String, df: DataFrame): StagedCommit = {
+    val f = fs(dir, spark)
+    val (carry, carryStats) =
+      if (f.exists(new Path(dir, PointerName))) {
+        val cur = currentSchema(spark, dir)
+        cur.foreach { c =>
+          val incoming = df.schema.fields
+            .map(fd => fd.name -> fd.dataType.catalogString).toMap
+          c.fields.foreach { fd =>
+            val got = incoming.get(fd.name)
+            require(got.contains(fd.dataType.catalogString),
+              s"appendEvolve may only ADD columns: table column ${fd.name}: " +
+                s"${fd.dataType.catalogString} is ${got.fold("missing")(t => s"now $t")} " +
+                "in the batch")
+          }
+        }
+        val name = readSmallFile(f, new Path(dir, PointerName)).trim
+        (manifestRel(f, dir, name),
+          manifestLines(f, dir, name).filter(_.startsWith("#stats=")))
+      } else (Seq.empty[String], Seq.empty[String])
+    val staged = stage(spark, dir, df, carry, carryStats)
+    publish(spark, dir, staged)
+    staged
+  }
+
+  /** [[read]] across schema-evolved snapshots: per-file schemas are
+    * UNIONED (parquet mergeSchema over the manifest's explicit file
+    * list); files written before a column existed read as null for it. */
+  def readEvolved(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(currentFiles(spark, dir): _*)
+
   /** Partition-scoped overwrite — Delta's `replaceWhere` shape: the new
     * snapshot keeps every current file EXCEPT those under the partition
     * values `df` itself contains, and adds `df`'s files laid out one

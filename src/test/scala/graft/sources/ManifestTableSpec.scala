@@ -368,4 +368,64 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
       ManifestTable.readWhereEquals(spark, dir, "lang", "zz").count() shouldBe 0
     } finally rm(dir)
   }
+
+  it should "merge updates as one transaction with version-wins semantics" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.commit(spark, dir,
+        (0L until 50L).map(i => (i, s"v$i", 0L)).toDF("id", "v", "ver"))
+      // update ids 0..9 at version 1, insert 100..104, and carry a STALE
+      // update for id 20 at version -1 that must lose to the base row
+      val updates = ((0L until 10L).map(i => (i, s"upd$i", 1L)) ++
+        (100L until 105L).map(i => (i, s"new$i", 1L)) :+ (20L, "stale", -1L))
+        .toDF("id", "v", "ver")
+      val verBefore = ManifestTable.currentVersion(spark, dir)
+      ManifestTable.mergeInto(spark, dir, updates, "id", "ver")
+      ManifestTable.currentVersion(spark, dir) shouldBe verBefore + 1 // ONE commit
+      val back = ManifestTable.read(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      back.size shouldBe 55
+      back(5L) shouldBe "upd5"
+      back(20L) shouldBe "v20"    // stale update loses
+      back(102L) shouldBe "new102"
+      back(30L) shouldBe "v30"
+      // merging into an empty dir is a plain first commit
+      val dir2 = tmpDir()
+      try {
+        ManifestTable.mergeInto(spark, dir2,
+          (0L until 5L).map(i => (i, s"x$i", 0L)).toDF("id", "v", "ver"),
+          "id", "ver")
+        ManifestTable.read(spark, dir2).count() shouldBe 5
+      } finally rm(dir2)
+    } finally rm(dir)
+  }
+
+  it should "evolve the schema add-only and read old files as null for new columns" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.commit(spark, dir,
+        (0L until 40L).map(i => (i, s"t$i")).toDF("id", "txt"))
+      ManifestTable.appendEvolve(spark, dir,
+        (100L until 120L).map(i => (i, s"t$i", i * 0.5)).toDF("id", "txt", "score"))
+      val back = ManifestTable.readEvolved(spark, dir)
+      back.count() shouldBe 60
+      back.filter(col("score").isNull).count() shouldBe 40    // pre-evolution slice
+      back.filter(col("score").isNotNull).count() shouldBe 20
+      // the manifest schema advanced to the widened one
+      ManifestTable.currentSchema(spark, dir).get.fieldNames.sorted shouldBe
+        Array("id", "score", "txt")
+      // dropping a column refuses
+      val e1 = intercept[IllegalArgumentException] {
+        ManifestTable.appendEvolve(spark, dir,
+          (0L until 3L).map(i => (i, i * 1.0)).toDF("id", "score"))
+      }
+      e1.getMessage should include("may only ADD")
+      // retyping refuses
+      val e2 = intercept[IllegalArgumentException] {
+        ManifestTable.appendEvolve(spark, dir,
+          (0L until 3L).map(i => (i, s"s$i", s"notdouble$i")).toDF("id", "txt", "score"))
+      }
+      e2.getMessage should include("may only ADD")
+    } finally rm(dir)
+  }
 }
