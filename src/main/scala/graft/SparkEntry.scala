@@ -1978,6 +1978,15 @@ object SparkEntry {
       graft.ops.EventOps.winsorizedProfile(events(s, dir), "event_type", "value",
         pLo = 0.01, pHi = 0.99)),
 
+    // Extension: EWMA control chart — the SPC monitor over each type's
+    // daily counts: z = λy + (1-λ)z, a day flags when its deviation
+    // from the running EWMA exceeds L·σ·sqrt(λ/(2-λ)). Same
+    // one-Catalyst-fold shape as the Holt fit; σ comes from the same
+    // sorted array (sequential arithmetic both engines).
+    "events_ewma_chart" -> ((s, dir) =>
+      graft.ops.EventOps.ewmaChart(events(s, dir), "event_type", "ts",
+        lambda = 0.2, limitL = 3.0)),
+
     // Extension: Holt linear-trend forecast — double-exponential
     // smoothing (level + trend) over each type's daily count series,
     // folded in ONE Catalyst aggregate HOF over the 30-element sorted
@@ -2730,6 +2739,34 @@ object SparkEntry {
         .select(lit(total.toLong).as("n_files_total"),
           lit(kept.size.toLong).as("n_files_scanned"),
           col("n_rows"), col("chars_sum"), col("id_sum"))
+    }),
+
+    // Extension: row-level DELETE with a stats-bounded rewrite — only
+    // files whose manifest stats can contain the range are re-read and
+    // rewritten without matching rows; every other file (and its stats)
+    // carries forward by reference, one pointer swap. On this zone
+    // layout the oracle derives BOTH the rewrite census (overlapping
+    // bands) and the post-delete content.
+    "ingest_manifest_delete" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratch("manifest_delete")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("band", floor(col("n_chars") / 512).cast("long"))
+      val bands = docs.select(col("band")).distinct().as[Long].collect().sorted
+      bands.foreach { b =>
+        graft.sources.ManifestTable.append(s, out,
+          docs.filter(col("band") === b).drop("band").coalesce(1))
+      }
+      val (cands, total) = graft.sources.ManifestTable
+        .pruneByRange(s, out, "n_chars", 600.0, 1500.0)
+      graft.sources.ManifestTable.deleteWhere(s, out, "n_chars", 600.0, 1500.0)
+      graft.sources.ManifestTable.read(s, out)
+        .agg(count(lit(1)).as("n_rows_after"),
+          sum(col("n_chars")).as("chars_sum_after"))
+        .select(lit(total.toLong).as("n_files_before"),
+          lit(cands.size.toLong).as("n_files_rewritten"),
+          col("n_rows_after"), col("chars_sum_after"))
     }),
 
     // Extension: MERGE (batch upsert) as ONE manifest transaction — the
@@ -6008,6 +6045,62 @@ object SparkEntry {
         |     WHERE n_chars BETWEEN 600 AND 1500) AS chars_sum,
         |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM b
         |     WHERE n_chars BETWEEN 600 AND 1500) AS id_sum""".stripMargin,
+
+    // Rewrite census = bands whose [min, max] overlaps the delete
+    // range; post-delete content = the complement predicate.
+    "ingest_manifest_delete" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(n_chars / 512) AS BIGINT) AS band, n_chars, doc_id
+        |  FROM documents),
+        |f AS (SELECT band, min(n_chars) AS mn, max(n_chars) AS mx
+        |      FROM b GROUP BY band)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_files_before,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM f
+        |     WHERE mn <= 1500 AND mx >= 600) AS n_files_rewritten,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM b
+        |     WHERE n_chars NOT BETWEEN 600 AND 1500) AS n_rows_after,
+        |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM b
+        |     WHERE n_chars NOT BETWEEN 600 AND 1500) AS chars_sum_after""".stripMargin,
+
+    // The identical EWMA recursion in a bounded recursive CTE; σ and the
+    // control limit are computed from the same ordered list with the
+    // same sequential folds, and (1.0 - 0.2) is written as the exact
+    // float expression Spark evaluates.
+    "events_ewma_chart" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM d),
+        |l AS (SELECT event_type, list(y ORDER BY rn) AS ys
+        |  FROM s GROUP BY 1 HAVING count(*) >= 2),
+        |st AS (SELECT event_type, len(ys)::DOUBLE AS n,
+        |    list_reduce(list_prepend(0.0::DOUBLE, ys), (a, b) -> a + b) AS s1,
+        |    list_reduce(list_prepend(0.0::DOUBLE, ys), (a, b) -> a + b * b) AS s2
+        |  FROM l),
+        |lim AS (SELECT event_type, n,
+        |    sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - 1.0)) AS sigma,
+        |    3.0 * sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - 1.0))
+        |      * sqrt(0.2 / (2.0 - 0.2)) AS lm
+        |  FROM st),
+        |rec AS (
+        |  SELECT s.event_type, 1 AS rn, s.y AS z, 0 AS flags
+        |  FROM s WHERE s.rn = 1
+        |    AND EXISTS (SELECT 1 FROM lim m WHERE m.event_type = s.event_type)
+        |  UNION ALL
+        |  SELECT r.event_type, r.rn + 1,
+        |    0.2 * s.y + (1.0 - 0.2) * r.z AS z,
+        |    r.flags + (CASE WHEN abs(s.y - r.z) > m.lm THEN 1 ELSE 0 END) AS flags
+        |  FROM rec r
+        |  JOIN s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+        |  JOIN lim m ON m.event_type = r.event_type)
+        |SELECT r.event_type, CAST(m.n AS BIGINT) AS n_days,
+        |  round(m.sigma, 6) AS sigma, round(m.lm, 6) AS ctrl_limit,
+        |  round(r.z, 6) AS ewma, CAST(r.flags AS BIGINT) AS n_flagged
+        |FROM rec r JOIN lim m ON m.event_type = r.event_type
+        |WHERE r.rn = CAST(m.n AS INTEGER)""".stripMargin,
 
     // The same MERGE replayed relationally: updated keys take the
     // update row, untouched keys keep the base row, new keys insert.

@@ -909,6 +909,62 @@ object EventOps {
           .as("forecast"))
   }
 
+  /** EWMA control chart over each key's daily count series — the
+    * classic statistical-process-control monitor for a pipeline's volume
+    * (small sustained shifts that per-day z-scores miss accumulate in
+    * the smoothed statistic):
+    * {{{
+    *   z_1 = y_1;   z_t = λ·y_t + (1-λ)·z_{t-1}
+    *   flag day t when |y_t - z_{t-1}| > L·σ·sqrt(λ/(2-λ))
+    * }}}
+    * σ is the sample std of the daily series, computed from the SAME
+    * sorted array the chart folds over (sequential IEEE arithmetic —
+    * bit-reproducible across engines, like [[holtForecast]]). Per-key
+    * state: one double and a counter; the only shuffle is the daily
+    * group-by. */
+  def ewmaChart(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      lambda: Double,
+      limitL: Double
+  ): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"need 0 < lambda < 1: $lambda")
+    val daily = events.groupBy(col(typeCol), to_date(col(tsCol)).as("__day"))
+      .agg(count(lit(1)).cast("double").as("__y"))
+    val lam = lit(lambda)
+    val series = daily.groupBy(col(typeCol))
+      .agg(array_sort(collect_list(struct(col("__day"), col("__y")))).as("__s"))
+      .filter(size(col("__s")) >= 2)
+      .withColumn("__ys", transform(col("__s"), _.getField("__y")))
+      .withColumn("__n", size(col("__ys")).cast("double"))
+      .withColumn("__sum",
+        aggregate(col("__ys"), lit(0.0), (a, y) => a + y))
+      .withColumn("__sumsq",
+        aggregate(col("__ys"), lit(0.0), (a, y) => a + y * y))
+      .withColumn("__mu", col("__sum") / col("__n"))
+      .withColumn("__sigma",
+        sqrt((col("__sumsq") - col("__n") * col("__mu") * col("__mu")) /
+          (col("__n") - 1.0)))
+      .withColumn("__limit",
+        lit(limitL) * col("__sigma") * sqrt(lam / (lit(2.0) - lam)))
+    series
+      .withColumn("__chart",
+        aggregate(
+          expr("slice(__ys, 2, size(__ys) - 1)"),
+          struct(element_at(col("__ys"), 1).as("z"), lit(0L).as("flags")),
+          (acc, y) => struct(
+            (lam * y + (lit(1.0) - lam) * acc.getField("z")).as("z"),
+            (acc.getField("flags") +
+              when(abs(y - acc.getField("z")) > col("__limit"), 1L)
+                .otherwise(0L)).as("flags"))))
+      .select(col(typeCol), col("__n").cast("long").as("n_days"),
+        round(col("__sigma"), 6).as("sigma"),
+        round(col("__limit"), 6).as("ctrl_limit"),
+        round(col("__chart.z"), 6).as("ewma"),
+        col("__chart.flags").as("n_flagged"))
+  }
+
   /** Winsorized per-type value profile: values clipped at the EXACT
     * global [pLo, pHi] quantiles — the standard heavy-tail guard before
     * feature scaling/aggregation — with per-type clip counts and the

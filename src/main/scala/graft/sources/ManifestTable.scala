@@ -361,6 +361,44 @@ object ManifestTable {
     staged
   }
 
+  /** Row-level DELETE as one table transaction, with the rewrite cost
+    * BOUNDED BY DATA SKIPPING: only files whose manifest stats say they
+    * MAY contain `column BETWEEN lo AND hi` rows are re-read and
+    * rewritten without the matching rows; every other file carries
+    * forward by reference, stats included. On a range-clustered layout
+    * ([[compactSorted]] / per-band appends) a narrow delete rewrites a
+    * handful of files at any table size — the GDPR-erasure shape every
+    * manifest format optimizes (Delta's deletion-vector motivation,
+    * here as copy-on-write). The commit is the usual single pointer
+    * swap; a delete that can touch nothing is a metadata no-op. */
+  def deleteWhere(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      lo: Double,
+      hi: Double
+  ): StagedCommit = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(dir, spark)
+    val (candidates, _) = pruneByRange(spark, dir, column, lo, hi)
+    val name = readSmallFile(f, new Path(dir, PointerName)).trim
+    if (candidates.isEmpty)
+      return StagedCommit(currentVersion(spark, dir), name)
+    val candSet = candidates.toSet
+    val untouched = currentRel(f, dir).filterNot { rel =>
+      candSet.contains(new Path(dir, rel).toString)
+    }
+    val untouchedSet = untouched.toSet
+    val carryStats = manifestLines(f, dir, name).filter(_.startsWith("#stats="))
+      .filter(l => parseStatsLine(l).exists(cs => untouchedSet.contains(cs.file)))
+    // null-valued rows can never match a BETWEEN delete — they survive
+    val survivors = spark.read.parquet(candidates: _*)
+      .filter(col(column).isNull || !col(column).between(lo, hi))
+    val staged = stage(spark, dir, survivors, untouched, carryStats)
+    publish(spark, dir, staged)
+    staged
+  }
+
   /** MERGE (batch upsert) as one table transaction — the Delta
     * MERGE-INTO shape on the manifest protocol: per key, the highest
     * `versionCol` wins with the UPDATE side breaking exact ties

@@ -860,6 +860,32 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       .count() shouldBe 0L
   }
 
+  it should "flag EWMA excursions against a reference recursion" in {
+    val counts = Seq(3, 3, 4, 3, 12, 3, 3) // day 5 spikes
+    val rows = for {
+      (n, di) <- counts.zipWithIndex
+      i <- 0 until n
+    } yield ("a", java.sql.Timestamp.valueOf(f"2024-01-${di + 1}%02d 00:$i%02d:00"))
+    val r = EventOps.ewmaChart(rows.toDF("event_type", "ts"), "event_type", "ts",
+      lambda = 0.2, limitL = 3.0).collect()(0)
+    // reference recursion in plain Scala over the same series
+    val ys = counts.map(_.toDouble)
+    val n = ys.length.toDouble
+    val mu = ys.sum / n
+    val sigma = math.sqrt((ys.map(y => y * y).sum - n * mu * mu) / (n - 1.0))
+    val limit = 3.0 * sigma * math.sqrt(0.2 / (2.0 - 0.2))
+    var z = ys.head; var flags = 0L
+    ys.tail.foreach { y =>
+      if (math.abs(y - z) > limit) flags += 1
+      z = 0.2 * y + (1.0 - 0.2) * z
+    }
+    r.getLong(1) shouldBe counts.length.toLong
+    r.getDouble(2) shouldBe (math.rint(sigma * 1e6) / 1e6)
+    r.getDouble(4) shouldBe (math.rint(z * 1e6) / 1e6)
+    r.getLong(5) shouldBe flags
+    flags should be >= 1L // the spike day actually flags
+  }
+
   it should "assign stable stratified k-folds with leave-one-out complements" in {
     val df = (0L until 200L).map(i => (i, if (i % 4 == 0) "en" else "de"))
       .toDF("doc_id", "lang")

@@ -428,4 +428,35 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
       e2.getMessage should include("may only ADD")
     } finally rm(dir)
   }
+
+  it should "delete a range by rewriting only the files whose stats can match" in {
+    val dir = tmpDir()
+    try {
+      // three disjoint zones; the middle holds 100..199 plus a null row
+      ManifestTable.append(spark, dir,
+        (0L until 100L).map(i => (i, Option(i))).toDF("id", "x").coalesce(1))
+      ManifestTable.append(spark, dir,
+        ((100L until 200L).map(i => (i, Option(i))) :+ (9999L, Option.empty[Long]))
+          .toDF("id", "x").coalesce(1))
+      ManifestTable.append(spark, dir,
+        (200L until 300L).map(i => (i, Option(i))).toDF("id", "x").coalesce(1))
+      val before = ManifestTable.currentFiles(spark, dir)
+      ManifestTable.deleteWhere(spark, dir, "x", 120.0, 180.0)
+      val after = ManifestTable.currentFiles(spark, dir)
+      // the two untouched zone files carry forward as the SAME paths
+      before.count(after.contains) shouldBe 2
+      val back = ManifestTable.read(spark, dir)
+      back.count() shouldBe (300 - 61 + 1) // 61 deleted, null row survives
+      back.filter(col("x").between(120, 180)).count() shouldBe 0
+      back.filter(col("x").isNull).count() shouldBe 1
+      // untouched files keep their stats; the rewritten file got fresh
+      // ones -- every live file carries an x stat
+      val stats = ManifestTable.currentStats(spark, dir).filter(_.column == "x")
+      stats.map(_.file).distinct.size shouldBe after.size
+      // a delete that can touch nothing is a metadata no-op
+      val v = ManifestTable.currentVersion(spark, dir)
+      ManifestTable.deleteWhere(spark, dir, "x", 50000.0, 60000.0)
+      ManifestTable.currentVersion(spark, dir) shouldBe v
+    } finally rm(dir)
+  }
 }
