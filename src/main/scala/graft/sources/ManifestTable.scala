@@ -128,6 +128,23 @@ object ManifestTable {
       case _ => None
     }
 
+  /** Unsigned-byte (UTF-8) string order — the order parquet BINARY
+    * statistics are computed in. Java's String compare is UTF-16
+    * code-unit order, which diverges on supplementary characters, so
+    * every stats comparison on string columns goes through this. */
+  private def utf8Lte(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length <= y.length
+  }
+
   /** Footer-only per-column min/max for one freshly written data file —
     * row-group statistics merged across blocks; no data pages touched.
     * Columns whose physical type has no totally-ordered string encoding
@@ -182,7 +199,7 @@ object ManifestTable {
                 (a, b) match {
                   case (Some(x), Some(y)) =>
                     val less =
-                      if (dt0 == "string") x <= y
+                      if (dt0 == "string") utf8Lte(x, y)
                       else x.toDouble <= y.toDouble
                     Some(if (less == takeMin) x else y)
                   case (x, y) => x.orElse(y)
@@ -593,7 +610,8 @@ object ManifestTable {
       byFile.get(rel) match {
         case Some(cs) =>
           (cs.min, cs.max) match {
-            case (Some(mn), Some(mx)) => mn <= value && value <= mx
+            case (Some(mn), Some(mx)) =>
+              utf8Lte(mn, value) && utf8Lte(value, mx)
             case _ => cs.nullCount == 0L
           }
         case None => true
