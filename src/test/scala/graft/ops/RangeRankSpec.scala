@@ -119,6 +119,21 @@ class RangeRankSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "keep the per-key quantile window parallel (no data-sized SinglePartition)" in {
+    val df = (0 until 4000).map(i => (s"k${i % 7}", i.toDouble)).toDF("k", "value")
+    val plan = planOf(EventOps.groupedQuantiles(df, "k", "value", Seq(0.5)))
+    withClue(plan) {
+      val lines = plan.linesIterator.toVector
+      val offending = lines.zipWithIndex.collect {
+        case (l, i) if l.contains("Exchange SinglePartition") &&
+          !lines.drop(i + 1).take(2).exists(_.contains("partial_")) => l
+      }
+      offending shouldBe empty
+      // the window partitions by the key, never globally
+      plan should include("hashpartitioning(k")
+    }
+  }
+
   it should "compute exact per-key quantiles matching percentile, bufferlessly" in {
     val rnd = new scala.util.Random(3)
     val df = (0 until 8000).map(i => (s"k${i % 5}", rnd.nextGaussian() * 10))
