@@ -1978,6 +1978,13 @@ object SparkEntry {
       graft.ops.EventOps.winsorizedProfile(events(s, dir), "event_type", "value",
         pLo = 0.01, pHi = 0.99)),
 
+    // Extension: two-sided CUSUM change-point detector — cumulative
+    // sums accumulate sustained mean shifts per type (k = 0.5σ slack,
+    // h = 4σ threshold); the complement to the EWMA drift monitor,
+    // same one-Catalyst-fold shape and recursive-CTE oracle.
+    "events_cusum" -> ((s, dir) =>
+      graft.ops.EventOps.cusumChart(events(s, dir), "event_type", "ts")),
+
     // Extension: EWMA control chart — the SPC monitor over each type's
     // daily counts: z = λy + (1-λ)z, a day flags when its deviation
     // from the running EWMA exceeds L·σ·sqrt(λ/(2-λ)). Same
@@ -2012,6 +2019,14 @@ object SparkEntry {
     // strictly below the value.
     "events_equidepth_bins" -> ((s, dir) =>
       graft.ops.EventOps.equiDepthBins(events(s, dir), "value")),
+
+    // Extension: reproducible Laplace-noised count release — the DP
+    // mechanism (sensitivity-1 counts, Laplace(1/ε) via inverse CDF)
+    // with the uniform drawn from a seeded hash of the group key, so
+    // the release replays bit-identically; true counts never emitted.
+    "docs_dp_release" -> ((s, dir) =>
+      graft.ops.Quality.dpNoisyCounts(
+        table(s, dir, "documents"), "lang", seed = "r7", epsilon = 1.0)),
 
     // Extension: k-anonymity census — the release-readiness privacy
     // check on the documents quasi-identifier (lang, source): groups
@@ -5171,6 +5186,19 @@ object SparkEntry {
         |  round(CAST(sum(CAST(value AS DECIMAL(27,12))) AS DOUBLE) / count(*), 6) AS mean
         |FROM events, c WHERE value IS NOT NULL GROUP BY 1""".stripMargin,
 
+    // The same seeded inverse-CDF draw: u from the md5 hex prefix, then
+    // the Laplace quantile with identical float expressions.
+    "docs_dp_release" ->
+      """WITH g AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |u AS (SELECT lang, n,
+        |    (((('0x'||substr(md5(lang || 'r7'), 1, 7))::UBIGINT)::BIGINT % 1000000)::DOUBLE
+        |      + 0.5) / 1000000.0 AS uu
+        |  FROM g)
+        |SELECT lang,
+        |  round(n + (-1.0 / 1.0) * sign(uu - 0.5) * ln(1.0 - 2.0 * abs(uu - 0.5)), 6)
+        |    AS noisy_count
+        |FROM u""".stripMargin,
+
     // Group census arithmetic; k matches the Scala call.
     "docs_k_anonymity" ->
       """WITH g AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2)
@@ -6062,6 +6090,45 @@ object SparkEntry {
         |     WHERE n_chars NOT BETWEEN 600 AND 1500) AS n_rows_after,
         |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM b
         |     WHERE n_chars NOT BETWEEN 600 AND 1500) AS chars_sum_after""".stripMargin,
+
+    // The identical two-sided CUSUM recursion; μ, σ, slack, and
+    // threshold from the same sequential list folds, alarm checks
+    // recomputing the updated sums with the same expressions.
+    "events_cusum" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM d),
+        |l AS (SELECT event_type, list(y ORDER BY rn) AS ys
+        |  FROM s GROUP BY 1 HAVING count(*) >= 2),
+        |st AS (SELECT event_type, len(ys)::DOUBLE AS n,
+        |    list_reduce(list_prepend(0.0::DOUBLE, ys), (a, b) -> a + b) AS s1,
+        |    list_reduce(list_prepend(0.0::DOUBLE, ys), (a, b) -> a + b * b) AS s2
+        |  FROM l),
+        |p AS (SELECT event_type, n, s1 / n AS mu,
+        |    0.5 * sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - 1.0)) AS kk,
+        |    4.0 * sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - 1.0)) AS h
+        |  FROM st),
+        |rec AS (
+        |  SELECT event_type, 0 AS rn, 0.0::DOUBLE AS sp, 0.0::DOUBLE AS sn, 0 AS alarms
+        |  FROM p
+        |  UNION ALL
+        |  SELECT r.event_type, r.rn + 1,
+        |    greatest(0.0, r.sp + s.y - m.mu - m.kk) AS sp,
+        |    greatest(0.0, r.sn + m.mu - s.y - m.kk) AS sn,
+        |    r.alarms + (CASE WHEN greatest(0.0, r.sp + s.y - m.mu - m.kk) > m.h
+        |        OR greatest(0.0, r.sn + m.mu - s.y - m.kk) > m.h
+        |      THEN 1 ELSE 0 END) AS alarms
+        |  FROM rec r
+        |  JOIN s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+        |  JOIN p m ON m.event_type = r.event_type)
+        |SELECT r.event_type, CAST(m.n AS BIGINT) AS n_days,
+        |  round(m.mu, 6) AS mu, round(r.sp, 6) AS cusum_high,
+        |  round(r.sn, 6) AS cusum_low, CAST(r.alarms AS BIGINT) AS n_alarms
+        |FROM rec r JOIN p m ON m.event_type = r.event_type
+        |WHERE r.rn = CAST(m.n AS INTEGER)""".stripMargin,
 
     // The identical EWMA recursion in a bounded recursive CTE; σ and the
     // control limit are computed from the same ordered list with the

@@ -965,6 +965,58 @@ object EventOps {
         col("__chart.flags").as("n_flagged"))
   }
 
+  /** Two-sided CUSUM change-point detector over each key's daily count
+    * series — the standard complement to the [[ewmaChart]] drift
+    * monitor: cumulative sums accumulate sustained shifts from the
+    * series mean that per-day tests never see:
+    * {{{
+    *   S⁺_t = max(0, S⁺_{t-1} + y_t - μ - k),  S⁻_t = max(0, S⁻_{t-1} + μ - y_t - k)
+    *   alarm when S⁺ > h or S⁻ > h   (k = 0.5σ slack, h = 4σ threshold)
+    * }}}
+    * μ and σ come from the same sorted array the recursion folds over
+    * (sequential IEEE arithmetic — bit-reproducible, the
+    * [[holtForecast]] shape). Per-key state: two doubles + a counter. */
+  def cusumChart(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String
+  ): DataFrame = {
+    val daily = events.groupBy(col(typeCol), to_date(col(tsCol)).as("__day"))
+      .agg(count(lit(1)).cast("double").as("__y"))
+    val series = daily.groupBy(col(typeCol))
+      .agg(array_sort(collect_list(struct(col("__day"), col("__y")))).as("__s"))
+      .filter(size(col("__s")) >= 2)
+      .withColumn("__ys", transform(col("__s"), _.getField("__y")))
+      .withColumn("__n", size(col("__ys")).cast("double"))
+      .withColumn("__sum", aggregate(col("__ys"), lit(0.0), (a, y) => a + y))
+      .withColumn("__sumsq", aggregate(col("__ys"), lit(0.0), (a, y) => a + y * y))
+      .withColumn("__mu", col("__sum") / col("__n"))
+      .withColumn("__sigma",
+        sqrt((col("__sumsq") - col("__n") * col("__mu") * col("__mu")) /
+          (col("__n") - 1.0)))
+      .withColumn("__k", lit(0.5) * col("__sigma"))
+      .withColumn("__h", lit(4.0) * col("__sigma"))
+    series
+      .withColumn("__c",
+        aggregate(col("__ys"),
+          struct(lit(0.0).as("sp"), lit(0.0).as("sn"), lit(0L).as("alarms")),
+          (acc, y) => {
+            val sp2 = greatest(lit(0.0),
+              acc.getField("sp") + y - col("__mu") - col("__k"))
+            val sn2 = greatest(lit(0.0),
+              acc.getField("sn") + col("__mu") - y - col("__k"))
+            struct(sp2.as("sp"), sn2.as("sn"),
+              (acc.getField("alarms") +
+                when(sp2 > col("__h") || sn2 > col("__h"), 1L).otherwise(0L))
+                .as("alarms"))
+          }))
+      .select(col(typeCol), col("__n").cast("long").as("n_days"),
+        round(col("__mu"), 6).as("mu"),
+        round(col("__c.sp"), 6).as("cusum_high"),
+        round(col("__c.sn"), 6).as("cusum_low"),
+        col("__c.alarms").as("n_alarms"))
+  }
+
   /** Winsorized per-type value profile: values clipped at the EXACT
     * global [pLo, pHi] quantiles — the standard heavy-tail guard before
     * feature scaling/aggregation — with per-type clip counts and the

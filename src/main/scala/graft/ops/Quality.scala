@@ -123,6 +123,34 @@ object Quality {
     * windows): total groups, violating groups (size < k), rows at risk,
     * and the smallest group size. Scale shape: the shuffle carries one
     * row per GROUP, never row-level data. */
+  /** Laplace-noised count release — the differential-privacy MECHANISM
+    * (sensitivity-1 counts + Laplace(1/ε) noise via inverse-CDF), made
+    * REPRODUCIBLE by drawing each group's uniform from a seeded hash of
+    * the group key: u = (md5(group‖seed) mod 10⁶ + 0.5)/10⁶, noise =
+    * −(1/ε)·sign(u−½)·ln(1−2|u−½|). Deterministic noise is what a
+    * replayable release pipeline records (same seed → same release);
+    * for the formal DP guarantee the seed must be secret and rotated
+    * per release — document the seed policy, don't reuse it across
+    * releases of the same data. True counts never appear in the
+    * output. One group-by; noise is a scan-side projection. */
+  def dpNoisyCounts(
+      df: DataFrame,
+      groupCol: String,
+      seed: String,
+      epsilon: Double
+  ): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive: $epsilon")
+    val u = (conv(substring(md5(concat(col(groupCol), lit(seed))), 1, 7), 16, 10)
+      .cast("long") % 1000000L).cast("double")
+      .plus(0.5).divide(1000000.0)
+    val noise = lit(-1.0 / epsilon) * signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(groupCol),
+        round(col("__n") + noise, 6).as("noisy_count"))
+  }
+
   def kAnonymityReport(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
     require(k >= 2, s"k must be at least 2: $k")

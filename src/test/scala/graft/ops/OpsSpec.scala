@@ -886,6 +886,49 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     flags should be >= 1L // the spike day actually flags
   }
 
+  it should "accumulate CUSUM alarms exactly per a reference recursion" in {
+    val counts = Seq.fill(10)(3) ++ Seq.fill(10)(9) // sustained upward shift
+    val rows = for {
+      (n, di) <- counts.zipWithIndex
+      i <- 0 until n
+    } yield ("a", java.sql.Timestamp.valueOf(f"2024-01-${di + 1}%02d 00:$i%02d:00"))
+    val r = EventOps.cusumChart(rows.toDF("event_type", "ts"), "event_type", "ts")
+      .collect()(0)
+    val ys = counts.map(_.toDouble); val n = ys.length.toDouble
+    val mu = ys.sum / n
+    val sigma = math.sqrt((ys.map(y => y * y).sum - n * mu * mu) / (n - 1.0))
+    val (kk, h) = (0.5 * sigma, 4.0 * sigma)
+    var sp = 0.0; var sn = 0.0; var alarms = 0L
+    ys.foreach { y =>
+      sp = math.max(0.0, sp + y - mu - kk)
+      sn = math.max(0.0, sn + mu - y - kk)
+      if (sp > h || sn > h) alarms += 1
+    }
+    r.getLong(1) shouldBe counts.length.toLong
+    r.getDouble(3) shouldBe (math.rint(sp * 1e6) / 1e6)
+    r.getDouble(4) shouldBe (math.rint(sn * 1e6) / 1e6)
+    r.getLong(5) shouldBe alarms
+    alarms should be >= 1L // the shift actually alarms
+  }
+
+  it should "release seeded Laplace-noised counts reproducibly, never the true count" in {
+    val df = (0L until 300L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val rel = graft.ops.Quality.dpNoisyCounts(df, "lang", seed = "s1", epsilon = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // deterministic: the same seed replays the identical release
+    graft.ops.Quality.dpNoisyCounts(df, "lang", seed = "s1", epsilon = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap shouldBe rel
+    // a different seed draws different noise
+    val rel2 = graft.ops.Quality.dpNoisyCounts(df, "lang", "s2", 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rel2 should not be rel
+    // noise is small at eps = 1 but non-degenerate around the true counts
+    math.abs(rel("en") - 100.0) should be < 20.0
+    math.abs(rel("de") - 200.0) should be < 20.0
+    rel("en") should not be 100.0
+  }
+
   it should "assign stable stratified k-folds with leave-one-out complements" in {
     val df = (0L until 200L).map(i => (i, if (i % 4 == 0) "en" else "de"))
       .toDF("doc_id", "lang")
