@@ -2784,6 +2784,36 @@ object SparkEntry {
           col("n_rows_after"), col("chars_sum_after"))
     }),
 
+    // Extension: CATEGORICAL DELETE as one stats-bounded transaction —
+    // the per-language GDPR-erasure shape: on a per-language layout the
+    // UTF-8-order string stats make the equality prune perfect
+    // (min = max = the language), so the erasure rewrites EXACTLY the
+    // target language's files and carries every other file by
+    // reference. The oracle derives the same census (one file per
+    // distinct language, rewritten = the target) and the complement
+    // content.
+    "ingest_manifest_delete_cat" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratch("manifest_delete_cat")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val langs = docs.select(col("lang")).distinct().as[String].collect().sorted
+      langs.foreach { l =>
+        graft.sources.ManifestTable.append(s, out,
+          docs.filter(col("lang") === l).coalesce(1))
+      }
+      val (cands, total) = graft.sources.ManifestTable
+        .pruneByEquals(s, out, "lang", "en")
+      graft.sources.ManifestTable.deleteWhereEquals(s, out, "lang", "en")
+      graft.sources.ManifestTable.read(s, out)
+        .agg(count(lit(1)).as("n_rows_after"),
+          sum(col("n_chars")).as("chars_sum_after"),
+          countDistinct(col("lang")).as("n_langs_after"))
+        .select(lit(total.toLong).as("n_files_before"),
+          lit(cands.size.toLong).as("n_files_rewritten"),
+          col("n_rows_after"), col("chars_sum_after"), col("n_langs_after"))
+    }),
+
     // Extension: MERGE (batch upsert) as ONE manifest transaction — the
     // Delta MERGE-INTO shape: per key the highest version wins (update
     // side breaks exact ties), new keys insert, and the merged snapshot
@@ -6090,6 +6120,21 @@ object SparkEntry {
         |     WHERE n_chars NOT BETWEEN 600 AND 1500) AS n_rows_after,
         |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM b
         |     WHERE n_chars NOT BETWEEN 600 AND 1500) AS chars_sum_after""".stripMargin,
+
+    // Per-language layout: one file per distinct language, rewritten =
+    // the erased one; content = the complement of the equality.
+    "ingest_manifest_delete_cat" ->
+      """WITH f AS (SELECT DISTINCT lang FROM documents)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_files_before,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM f
+        |     WHERE lang = 'en') AS n_files_rewritten,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |     WHERE lang <> 'en') AS n_rows_after,
+        |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
+        |     WHERE lang <> 'en') AS chars_sum_after,
+        |  (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+        |     WHERE lang <> 'en') AS n_langs_after""".stripMargin,
 
     // The identical two-sided CUSUM recursion; μ, σ, slack, and
     // threshold from the same sequential list folds, alarm checks

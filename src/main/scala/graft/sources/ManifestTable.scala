@@ -51,7 +51,24 @@ object ManifestTable {
 
   private val PointerName = "CURRENT"
 
-  final case class StagedCommit(version: Long, manifestName: String)
+  /** A staged-but-unpublished snapshot. `basisVersion` is the snapshot
+    * version the commit was BUILT AGAINST — the version whose file list
+    * an append carried forward, or simply the current version at stage
+    * time for a full-snapshot commit. [[publish]] refuses the pointer
+    * swap unless the table is still at exactly `basisVersion`: a slot
+    * number alone cannot prove freshness (two writers staging off v4
+    * claim slots 5 and 6; publishing 6 after 5 would silently drop 5's
+    * files), so the basis — not the slot — is what the optimistic
+    * concurrency check compares. */
+  final case class StagedCommit(version: Long, manifestName: String, basisVersion: Long)
+
+  /** Data files already written for a commit, before any manifest
+    * exists: dir-relative paths plus their encoded stats lines and the
+    * batch schema. The append retry loop re-stages MANIFESTS from this,
+    * never the data — files are immutable and commit-agnostic, so a
+    * refused publish costs one tiny manifest rewrite, not a re-write of
+    * the batch. */
+  final case class StagedData(rel: Seq[String], statsLines: Seq[String], schemaJson: String)
 
   /** Per-(data file, column) min/max/null-count recorded in the manifest
     * at commit time — the data-skipping statistics every manifest table
@@ -149,7 +166,16 @@ object ManifestTable {
     * row-group statistics merged across blocks; no data pages touched.
     * Columns whose physical type has no totally-ordered string encoding
     * here (INT96, fixed-len decimals, nested paths) are simply omitted —
-    * pruning treats a missing stat as "cannot skip". */
+    * pruning treats a missing stat as "cannot skip".
+    *
+    * A chunk that CONTAINS rows but carries no min/max — parquet writers
+    * legitimately drop statistics (e.g. for oversized binary values) —
+    * POISONS the column for the whole file: recording only the other
+    * chunks' bounds would understate the true range and let
+    * [[pruneByRange]]/[[pruneByEquals]] skip a file that holds matching
+    * rows (a silent row loss on reads, a silent non-erasure on
+    * [[deleteWhere]]). Absent min/max is only trusted as "no non-null
+    * values" when the null count PROVES it (numNulls == valueCount). */
   private def footerStats(
       conf: org.apache.hadoop.conf.Configuration,
       file: Path,
@@ -161,6 +187,7 @@ object ManifestTable {
       import scala.jdk.CollectionConverters._
       val acc = scala.collection.mutable.LinkedHashMap
         .empty[String, (String, Option[String], Option[String], Long)]
+      val poisoned = scala.collection.mutable.Set.empty[String]
       for {
         block <- reader.getFooter.getBlocks.asScala
         chunk <- block.getColumns.asScala
@@ -182,31 +209,44 @@ object ManifestTable {
           case _ => None
         }
         dtype.foreach { dt =>
-          val (mn, mx) =
-            if (st == null || !st.hasNonNullValue) (None, None)
-            else if (dt == "string") {
-              val s = st.asInstanceOf[
-                org.apache.parquet.column.statistics.BinaryStatistics]
-              (Some(s.genericGetMin.toStringUsingUTF8),
-                Some(s.genericGetMax.toStringUsingUTF8))
+          val valueCount = chunk.getValueCount
+          val provablyAllNull = st != null && st.isNumNullsSet &&
+            st.getNumNulls == valueCount
+          val statsDropped = valueCount > 0L &&
+            (st == null || (!st.hasNonNullValue && !provablyAllNull))
+          if (statsDropped) {
+            poisoned += colName
+            acc.remove(colName): Unit
+          } else if (!poisoned.contains(colName)) {
+            val (mn, mx) =
+              if (st == null || !st.hasNonNullValue) (None, None)
+              else if (dt == "string") {
+                val s = st.asInstanceOf[
+                  org.apache.parquet.column.statistics.BinaryStatistics]
+                (Some(s.genericGetMin.toStringUsingUTF8),
+                  Some(s.genericGetMax.toStringUsingUTF8))
+              }
+              else (Some(st.genericGetMin.toString), Some(st.genericGetMax.toString))
+            val nulls = if (st != null && st.isNumNullsSet) st.getNumNulls else 0L
+            acc.get(colName) match {
+              case None => acc(colName) = (dt, mn, mx, nulls)
+              case Some((dt0, mn0, mx0, n0)) =>
+                def merge(a: Option[String], b: Option[String], takeMin: Boolean) =
+                  (a, b) match {
+                    case (Some(x), Some(y)) =>
+                      val less =
+                        if (dt0 == "string") utf8Lte(x, y)
+                        else x.toDouble <= y.toDouble
+                      Some(if (less == takeMin) x else y)
+                    // one side all-null/empty: the other side's bound IS
+                    // the chunk-union bound (dropped stats never reach
+                    // here — they poison the column above)
+                    case (x, y) => x.orElse(y)
+                  }
+                acc(colName) =
+                  (dt0, merge(mn0, mn, takeMin = true),
+                    merge(mx0, mx, takeMin = false), n0 + nulls)
             }
-            else (Some(st.genericGetMin.toString), Some(st.genericGetMax.toString))
-          val nulls = if (st != null && st.isNumNullsSet) st.getNumNulls else 0L
-          acc.get(colName) match {
-            case None => acc(colName) = (dt, mn, mx, nulls)
-            case Some((dt0, mn0, mx0, n0)) =>
-              def merge(a: Option[String], b: Option[String], takeMin: Boolean) =
-                (a, b) match {
-                  case (Some(x), Some(y)) =>
-                    val less =
-                      if (dt0 == "string") utf8Lte(x, y)
-                      else x.toDouble <= y.toDouble
-                    Some(if (less == takeMin) x else y)
-                  case (x, y) => x.orElse(y)
-                }
-              acc(colName) =
-                (dt0, merge(mn0, mn, takeMin = true),
-                  merge(mx0, mx, takeMin = false), n0 + nulls)
           }
         }
       }
@@ -271,53 +311,105 @@ object ManifestTable {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
-  /** Steps (1)+(2): publish data files and manifest WITHOUT moving the
-    * pointer. Readers still resolve the previous snapshot. `carryForward`
-    * lists data files (dir-relative) from prior snapshots that stay part
-    * of this one — empty for a full-snapshot commit, the current
-    * manifest's list for an append. */
-  def stage(
-      spark: SparkSession,
-      dir: String,
-      df: DataFrame,
-      carryForward: Seq[String] = Seq.empty,
-      carryStats: Seq[String] = Seq.empty
-  ): StagedCommit = {
+  /** Step (1): write `df`'s data files into a fresh `data/<uuid>/` that
+    * no manifest references, and compute their footer stats. No manifest
+    * exists yet, no reader can resolve the files, and the result is
+    * commit-agnostic — [[completeAppend]]'s rebase retry re-stages
+    * manifests from one [[StagedData]] without ever rewriting data. */
+  def stageData(spark: SparkSession, dir: String, df: DataFrame): StagedData = {
     val f = fs(dir, spark)
     val dataDir = new Path(new Path(dir, "data"), UUID.randomUUID().toString)
     df.write.parquet(dataDir.toString)
     val files = f.listStatus(dataDir).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet"))
-    val base = new Path(dir)
-    val root = f.makeQualified(base).toUri.getPath
+    val root = f.makeQualified(new Path(dir)).toUri.getPath
     val rel = files.map(_.toUri.getPath.stripPrefix(root).stripPrefix("/"))
     val conf = spark.sparkContext.hadoopConfiguration
     val stats = files.zip(rel).flatMap { case (p, r) => footerStats(conf, p, r) }
       .map(statsLine)
+    StagedData(rel, stats, df.schema.json)
+  }
+
+  /** Steps (1)+(2): publish data files and manifest WITHOUT moving the
+    * pointer. Readers still resolve the previous snapshot. `carryForward`
+    * lists data files (dir-relative) from prior snapshots that stay part
+    * of this one — empty for a full-snapshot commit, the current
+    * manifest's list for an append. `basisVersion` is the snapshot the
+    * carry list was read from (defaults to the current version at entry);
+    * [[publish]] later refuses the swap unless the table is still there. */
+  def stage(
+      spark: SparkSession,
+      dir: String,
+      df: DataFrame,
+      carryForward: Seq[String] = Seq.empty,
+      carryStats: Seq[String] = Seq.empty,
+      basisVersion: Option[Long] = None
+  ): StagedCommit = {
+    val basis = basisVersion.getOrElse(currentVersion(spark, dir))
+    val sd = stageData(spark, dir, df)
+    stageManifest(spark, dir, sd, carryForward, carryStats, basis)
+  }
+
+  /** Step (2) alone: claim a version slot for already-written data files
+    * plus a carry list. Tiny (one small-file write); this is the only
+    * piece a rebase retry repeats. */
+  def stageManifest(
+      spark: SparkSession,
+      dir: String,
+      sd: StagedData,
+      carryForward: Seq[String],
+      carryStats: Seq[String],
+      basisVersion: Long
+  ): StagedCommit =
     claimManifestSlot(spark, dir,
-      ((s"#schema=${df.schema.json}" +: (carryStats ++ stats).sorted) ++
-        (carryForward ++ rel).sorted).mkString("\n"))
+      ((s"#schema=${sd.schemaJson}" +: (carryStats ++ sd.statsLines).sorted) ++
+        (carryForward ++ sd.rel).sorted).mkString("\n"), basisVersion)
+
+  /** Drop a staged-but-unpublished commit's manifest, releasing its
+    * version slot (the data files stay until [[vacuum]] — they are
+    * unreferenced orphans). Used by the rebase retry after a refused
+    * [[publish]], and by any writer abandoning a staged commit. */
+  def abandon(spark: SparkSession, dir: String, staged: StagedCommit): Unit = {
+    val f = fs(dir, spark)
+    f.delete(new Path(new Path(dir, "_manifests"), staged.manifestName), false): Unit
   }
 
   /** Write the manifest into the first FREE version slot at or above
-    * current+1. The slot claim is `rename` WITHOUT overwrite — atomic
-    * file-creation CAS on HDFS/POSIX — so two concurrent writers can
-    * never stage the same version; the loser simply claims the next
-    * slot. The manifest itself goes temp-file-then-rename, so a manifest
-    * is either absent or complete — never half a file list. */
+    * current+1. The slot claim must be an atomic create-if-absent so two
+    * concurrent writers can never stage the same version (the loser
+    * claims the next slot): on HDFS that is `rename` WITHOUT overwrite
+    * (atomic by contract); on local filesystems Hadoop's rename degrades
+    * to POSIX rename(2), which silently REPLACES an existing destination
+    * — so there the claim is a hard link (link(2) fails with EEXIST,
+    * the same O_EXCL guarantee). Either way the content is fully written
+    * before the name appears, so a manifest is either absent or complete
+    * — never half a file list. */
   private def claimManifestSlot(
-      spark: SparkSession, dir: String, content: String): StagedCommit = {
+      spark: SparkSession, dir: String, content: String, basis: Long): StagedCommit = {
     val f = fs(dir, spark)
     val mdir = new Path(dir, "_manifests")
     f.mkdirs(mdir)
-    var v = currentVersion(spark, dir) + 1
+    val local = f.getScheme == "file"
+    var v = math.max(currentVersion(spark, dir), basis) + 1
     var attempts = 0
     while (true) {
       val name = f"manifest-$v%020d.txt"
       val tmp = new Path(mdir, s".$name.tmp.${UUID.randomUUID()}")
       writeSmallFile(f, tmp, content)
-      if (f.rename(tmp, new Path(mdir, name))) return StagedCommit(v, name)
+      val dst = new Path(mdir, name)
+      val claimed =
+        if (local) {
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath),
+              java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        } else !f.exists(dst) && f.rename(tmp, dst)
       f.delete(tmp, false)
+      if (claimed) return StagedCommit(v, name, basis)
       v += 1
       attempts += 1
       require(attempts < 1000, s"cannot claim a manifest slot in $mdir")
@@ -329,20 +421,24 @@ object ManifestTable {
     * reader resolves the staged snapshot; a crash before it leaves the
     * previous snapshot fully intact.
     *
-    * Optimistic concurrency: the swap is refused when another writer
-    * committed since this snapshot was staged (the staged version no
-    * longer succeeds the current one) — a lost-update would otherwise
-    * silently drop the other writer's commit. On conflict, re-stage
-    * against the new current and retry (plain-FileSystem deployments
+    * Optimistic concurrency: the swap is refused unless the table is
+    * still at exactly the staged commit's BASIS version — the snapshot
+    * its carry list was read from. Comparing versions alone is not
+    * enough: two appenders staging off v4 claim slots 5 and 6, and after
+    * 5 publishes, 6 still "succeeds" the current version while its file
+    * list never saw 5's files — the classic lost update, refused here in
+    * BOTH interleavings. On refusal, [[abandon]] the staged commit and
+    * re-stage against the new current ([[completeAppend]] automates
+    * exactly that for commutative appends; plain-FileSystem deployments
     * cannot do better than detect — a true CAS needs the catalog /
     * LogStore piece the class doc describes). */
   def publish(spark: SparkSession, dir: String, staged: StagedCommit): Unit = {
     val f = fs(dir, spark)
     val cur = currentVersion(spark, dir)
-    if (staged.version <= cur)
+    if (cur != staged.basisVersion)
       throw new java.util.ConcurrentModificationException(
-        s"snapshot v$cur was committed after v${staged.version} was staged " +
-          "— this commit is based on stale state; re-stage and retry")
+        s"table moved v${staged.basisVersion} -> v$cur after v${staged.version} " +
+          "was staged — this commit is based on stale state; re-stage and retry")
     val ptrTmp = new Path(dir, s".$PointerName.tmp.${UUID.randomUUID()}")
     writeSmallFile(f, ptrTmp, staged.manifestName)
     val fc = FileContext.getFileContext(
@@ -359,23 +455,57 @@ object ManifestTable {
     staged
   }
 
+  // The carry list, its stats lines, and the version they came from —
+  // read from ONE pointer resolution so they can never mix snapshots.
+  private def carryState(f: FileSystem, dir: String): (Seq[String], Seq[String], Long) =
+    if (f.exists(new Path(dir, PointerName))) {
+      val name = readSmallFile(f, new Path(dir, PointerName)).trim
+      (manifestRel(f, dir, name),
+        manifestLines(f, dir, name).filter(_.startsWith("#stats=")),
+        name.stripPrefix("manifest-").stripSuffix(".txt").toLong)
+    } else (Seq.empty[String], Seq.empty[String], -1L)
+
+  /** Steps (2)+(3) for an append of already-written data files, with
+    * OPTIMISTIC REBASE: read the current carry list, stage a manifest
+    * against it, publish; if another writer committed in between
+    * (refused swap), abandon the manifest, re-read the carry — now
+    * including the other writer's files — and retry. Appends are
+    * commutative (pure file-list union), so the rebase needs no data
+    * rewrite and both writers' batches land; this is the multi-writer
+    * append loop Delta/Iceberg writers run against their log. */
+  def completeAppend(
+      spark: SparkSession,
+      dir: String,
+      sd: StagedData,
+      maxRetries: Int = 20
+  ): StagedCommit = {
+    val f = fs(dir, spark)
+    var attempts = 0
+    while (true) {
+      val (carry, carryStats, basis) = carryState(f, dir)
+      val staged = stageManifest(spark, dir, sd, carry, carryStats, basis)
+      try {
+        publish(spark, dir, staged)
+        return staged
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          abandon(spark, dir, staged)
+          attempts += 1
+          if (attempts >= maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Append-commit: the new snapshot = every current file plus `df`'s new
     * files — the incremental-ingest transaction. Existing data files are
     * never rewritten or moved; the commit's data volume is the BATCH, not
     * the table, and crash safety is identical to [[commit]] (the pointer
-    * swap is the only mutation readers can see). */
+    * swap is the only mutation readers can see). Concurrent appenders
+    * each land exactly once via [[completeAppend]]'s rebase loop. */
   def append(spark: SparkSession, dir: String, df: DataFrame): StagedCommit = {
-    val f = fs(dir, spark)
     requireSameSchema(currentSchema(spark, dir), df.schema, "append")
-    val (carry, carryStats) =
-      if (f.exists(new Path(dir, PointerName))) {
-        val name = readSmallFile(f, new Path(dir, PointerName)).trim
-        (manifestRel(f, dir, name),
-          manifestLines(f, dir, name).filter(_.startsWith("#stats=")))
-      } else (Seq.empty[String], Seq.empty[String])
-    val staged = stage(spark, dir, df, carry, carryStats)
-    publish(spark, dir, staged)
-    staged
+    completeAppend(spark, dir, stageData(spark, dir, df))
   }
 
   /** Row-level DELETE as one table transaction, with the rewrite cost
@@ -396,22 +526,57 @@ object ManifestTable {
       hi: Double
   ): StagedCommit = {
     import org.apache.spark.sql.functions.col
+    boundedRewrite(spark, dir, pruneByRange(spark, dir, column, lo, hi)._1,
+      cands => spark.read.parquet(cands: _*)
+        // null-valued rows can never match a BETWEEN delete — they survive
+        .filter(col(column).isNull || !col(column).between(lo, hi)))
+  }
+
+  /** [[deleteWhere]] for a CATEGORICAL (string-equality) predicate — the
+    * per-language / per-tenant GDPR-erasure shape: only files whose
+    * UTF-8-order string stats say they MAY contain `column = value` rows
+    * are re-read and rewritten without them; with a per-category layout
+    * ([[replacePartitions]] or per-category appends) that is exactly the
+    * category's files at any table size. Null rows survive (SQL equality
+    * never matches null). */
+  def deleteWhereEquals(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      value: String
+  ): StagedCommit = {
+    import org.apache.spark.sql.functions.col
+    boundedRewrite(spark, dir, pruneByEquals(spark, dir, column, value)._1,
+      cands => spark.read.parquet(cands: _*)
+        .filter(col(column).isNull || col(column) =!= value))
+  }
+
+  /** The shared stats-bounded copy-on-write transaction: re-read ONLY
+    * `candidates`, rewrite them through `rewrite`, carry every other
+    * file — and its stats lines — forward BY REFERENCE, commit with one
+    * pointer swap. A transaction whose prune touches nothing is a
+    * metadata no-op (no new version). The cost is the candidate files,
+    * never the table — the invariant [[deleteWhere]],
+    * [[deleteWhereEquals]] and [[mergeInto]] all ride on. */
+  private def boundedRewrite(
+      spark: SparkSession,
+      dir: String,
+      candidates: Seq[String],
+      rewrite: Seq[String] => DataFrame
+  ): StagedCommit = {
     val f = fs(dir, spark)
-    val (candidates, _) = pruneByRange(spark, dir, column, lo, hi)
     val name = readSmallFile(f, new Path(dir, PointerName)).trim
-    if (candidates.isEmpty)
-      return StagedCommit(currentVersion(spark, dir), name)
+    val basis = name.stripPrefix("manifest-").stripSuffix(".txt").toLong
+    if (candidates.isEmpty) return StagedCommit(basis, name, basis)
     val candSet = candidates.toSet
-    val untouched = currentRel(f, dir).filterNot { rel =>
+    val untouched = manifestRel(f, dir, name).filterNot { rel =>
       candSet.contains(new Path(dir, rel).toString)
     }
     val untouchedSet = untouched.toSet
     val carryStats = manifestLines(f, dir, name).filter(_.startsWith("#stats="))
       .filter(l => parseStatsLine(l).exists(cs => untouchedSet.contains(cs.file)))
-    // null-valued rows can never match a BETWEEN delete — they survive
-    val survivors = spark.read.parquet(candidates: _*)
-      .filter(col(column).isNull || !col(column).between(lo, hi))
-    val staged = stage(spark, dir, survivors, untouched, carryStats)
+    val staged = stage(spark, dir, rewrite(candidates), untouched, carryStats,
+      Some(basis))
     publish(spark, dir, staged)
     staged
   }
@@ -424,10 +589,16 @@ object ManifestTable {
     * pre-merge table until the swap and the post-merge table after —
     * never a mix. First call on an empty dir degrades to a plain commit.
     *
-    * Scale: the merge is one key shuffle; the rewrite is proportional to
-    * the TABLE (the documented parquet-as-sink cost — bound it by
-    * merging into [[replacePartitions]]-scoped slices when keys are
-    * partition-localized). */
+    * Scale — the rewrite is STATS-BOUNDED, never the table: the update
+    * batch's key range (one 1-row aggregate) is intersected with every
+    * file's manifest key stats; only files that MAY hold an updated key
+    * are re-read and merged, every other file — and its stats — carries
+    * forward by reference ([[deleteWhere]]'s recipe). On a key-clustered
+    * layout ([[compactSorted]]) a narrow batch merges against a handful
+    * of files at any table size; keys OUTSIDE every file's range are
+    * pure inserts and rewrite nothing. The merge itself is one key
+    * shuffle over candidate rows + batch. Int and string keys both
+    * prune (numeric range / UTF-8-order range). */
   def mergeInto(
       spark: SparkSession,
       dir: String,
@@ -435,13 +606,43 @@ object ManifestTable {
       keyCol: String,
       versionCol: String
   ): StagedCommit = {
+    import org.apache.spark.sql.functions.{col, max, min}
     val f = fs(dir, spark)
-    if (!f.exists(new Path(dir, PointerName))) commit(spark, dir, updates)
-    else {
-      requireSameSchema(currentSchema(spark, dir), updates.schema, "mergeInto")
-      commit(spark, dir,
-        graft.ops.Corpus.mergeUpsert(read(spark, dir), updates, keyCol, versionCol))
+    if (!f.exists(new Path(dir, PointerName)))
+      return commit(spark, dir,
+        graft.ops.Corpus.mergeUpsert(
+          updates.filter(org.apache.spark.sql.functions.lit(false)),
+          updates, keyCol, versionCol))
+    requireSameSchema(currentSchema(spark, dir), updates.schema, "mergeInto")
+    val bounds = updates.agg(min(col(keyCol)), max(col(keyCol))).collect()(0)
+    val name = readSmallFile(f, new Path(dir, PointerName)).trim
+    val basis = name.stripPrefix("manifest-").stripSuffix(".txt").toLong
+    if (bounds.isNullAt(0)) // empty batch: metadata no-op
+      return StagedCommit(basis, name, basis)
+    val candidates = updates.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        pruneByRangeString(spark, dir, keyCol,
+          bounds.get(0).toString, bounds.get(1).toString)._1
+      case _ =>
+        pruneByRange(spark, dir, keyCol,
+          bounds.get(0).toString.toDouble, bounds.get(1).toString.toDouble)._1
     }
+    val candSet = candidates.toSet
+    val untouched = manifestRel(f, dir, name).filterNot { rel =>
+      candSet.contains(new Path(dir, rel).toString)
+    }
+    val untouchedSet = untouched.toSet
+    val carryStats = manifestLines(f, dir, name).filter(_.startsWith("#stats="))
+      .filter(l => parseStatsLine(l).exists(cs => untouchedSet.contains(cs.file)))
+    val base =
+      if (candidates.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], updates.schema)
+      else spark.read.parquet(candidates: _*)
+    val merged = graft.ops.Corpus.mergeUpsert(base, updates, keyCol, versionCol)
+    val staged = stage(spark, dir, merged, untouched, carryStats, Some(basis))
+    publish(spark, dir, staged)
+    staged
   }
 
   /** Append with SCHEMA EVOLUTION — the mergeSchema-on-write shape:
@@ -454,7 +655,7 @@ object ManifestTable {
     * for. */
   def appendEvolve(spark: SparkSession, dir: String, df: DataFrame): StagedCommit = {
     val f = fs(dir, spark)
-    val (carry, carryStats) =
+    val (carry, carryStats, basis) =
       if (f.exists(new Path(dir, PointerName))) {
         val cur = currentSchema(spark, dir)
         cur.foreach { c =>
@@ -470,9 +671,10 @@ object ManifestTable {
         }
         val name = readSmallFile(f, new Path(dir, PointerName)).trim
         (manifestRel(f, dir, name),
-          manifestLines(f, dir, name).filter(_.startsWith("#stats=")))
-      } else (Seq.empty[String], Seq.empty[String])
-    val staged = stage(spark, dir, df, carry, carryStats)
+          manifestLines(f, dir, name).filter(_.startsWith("#stats=")),
+          name.stripPrefix("manifest-").stripSuffix(".txt").toLong)
+      } else (Seq.empty[String], Seq.empty[String], -1L)
+    val staged = stage(spark, dir, df, carry, carryStats, Some(basis))
     publish(spark, dir, staged)
     staged
   }
@@ -523,22 +725,32 @@ object ManifestTable {
       if (i < 0) None
       else Some(r.substring(i + 1, r.indexOf('/', i + 1)))
     }.toSet
-    val (carry, carryStats) =
-      if (!f.exists(new Path(dir, PointerName))) (Seq.empty[String], Seq.empty[String])
+    val (carry, carryStats, basis) =
+      if (!f.exists(new Path(dir, PointerName)))
+        (Seq.empty[String], Seq.empty[String], -1L)
       else {
         val name = readSmallFile(f, new Path(dir, PointerName)).trim
-        val kept = manifestRel(f, dir, name)
-          .filterNot(r => touched.exists(t => r.contains(s"/$t/")))
+        val all = manifestRel(f, dir, name)
+        // files committed OUTSIDE the __p layout (plain commit/append)
+        // can belong to any partition value — carrying them forward would
+        // silently duplicate replaced rows, so a mixed layout refuses
+        val bare = all.filterNot(_.contains("/__p="))
+        require(bare.isEmpty,
+          s"replacePartitions on a mixed layout: ${bare.size} current file(s) " +
+            "carry no __p= partition segment (written via commit/append); " +
+            "such a table must only ever be written through replacePartitions")
+        val kept = all.filterNot(r => touched.exists(t => r.contains(s"/$t/")))
         val keptSet = kept.toSet
         (kept, manifestLines(f, dir, name).filter(_.startsWith("#stats="))
-          .filter(l => parseStatsLine(l).exists(cs => keptSet.contains(cs.file))))
+          .filter(l => parseStatsLine(l).exists(cs => keptSet.contains(cs.file))),
+          name.stripPrefix("manifest-").stripSuffix(".txt").toLong)
       }
     val conf = spark.sparkContext.hadoopConfiguration
     val stats = files.toSeq.zip(rel)
       .flatMap { case (p, r) => footerStats(conf, p, r) }.map(statsLine)
     val staged = claimManifestSlot(spark, dir,
       ((s"#schema=${df.schema.json}" +: (carryStats ++ stats).sorted) ++
-        (carry ++ rel).sorted).mkString("\n"))
+        (carry ++ rel).sorted).mkString("\n"), basis)
     publish(spark, dir, staged)
     staged
   }
@@ -582,6 +794,33 @@ object ManifestTable {
           (cs.min, cs.max) match {
             case (Some(mn), Some(mx)) => mn.toDouble <= hi && mx.toDouble >= lo
             // all-null column chunk: no row can satisfy BETWEEN
+            case _ => cs.nullCount == 0L
+          }
+        case None => true
+      }
+    }
+    (kept.map(rel => new Path(dir, rel).toString), all.size)
+  }
+
+  /** [[pruneByRange]] on a STRING column: a file is skippable exactly
+    * when its recorded [min, max] (UTF-8 unsigned-byte order — how
+    * parquet orders BINARY stats) cannot intersect [lo, hi]. The
+    * string-key leg of [[mergeInto]]'s candidate prune. */
+  def pruneByRangeString(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      lo: String,
+      hi: String): (Seq[String], Int) = {
+    val all = currentRel(fs(dir, spark), dir)
+    val byFile = currentStats(spark, dir)
+      .filter(cs => cs.column == column && cs.dtype == "string")
+      .map(cs => cs.file -> cs).toMap
+    val kept = all.filter { rel =>
+      byFile.get(rel) match {
+        case Some(cs) =>
+          (cs.min, cs.max) match {
+            case (Some(mn), Some(mx)) => utf8Lte(mn, hi) && utf8Lte(lo, mx)
             case _ => cs.nullCount == 0L
           }
         case None => true
@@ -752,16 +991,36 @@ object ManifestTable {
     * clean "vacuumed" message, never a dangling-file scan error). Run
     * only when no reader can still hold a pre-swap manifest (retention is
     * a deployment policy, same as any table format's). Returns the number
-    * of data files deleted. */
-  def vacuum(spark: SparkSession, dir: String): Int = {
+    * of data files deleted.
+    *
+    * In-flight staged commits are NOT swept: a manifest with a version
+    * ABOVE the current pointer's is a commit between [[stage]] and
+    * [[publish]] — deleting it (and its data files) would let a
+    * subsequent publish swap the pointer to a void snapshot. Such
+    * manifests — and the files they reference — are retained while
+    * younger than `retainStagedMillis`; older ones are treated as
+    * crashed-and-abandoned and swept (pass 0 to sweep all, the
+    * known-no-writers recovery mode). */
+  def vacuum(
+      spark: SparkSession, dir: String, retainStagedMillis: Long = 3600000L): Int = {
     val f = fs(dir, spark)
     val keep = readSmallFile(f, new Path(dir, PointerName)).trim
+    val curV = keep.stripPrefix("manifest-").stripSuffix(".txt").toLong
     val mdir = new Path(dir, "_manifests")
+    val cutoff = System.currentTimeMillis() - retainStagedMillis
+    val retained = scala.collection.mutable.ArrayBuffer.empty[String]
     if (f.exists(mdir))
-      f.listStatus(mdir).map(_.getPath).filter(_.getName != keep)
-        .foreach(p => f.delete(p, false): Unit)
-    val live = currentFiles(spark, dir)
-      .map(p => f.makeQualified(new Path(p)).toUri.getPath).toSet
+      f.listStatus(mdir).filter(_.getPath.getName != keep).foreach { st =>
+        val n = st.getPath.getName
+        val v = scala.util.Try(
+          n.stripPrefix("manifest-").stripSuffix(".txt").toLong).toOption
+        val inFlight = v.exists(_ > curV) && st.getModificationTime >= cutoff
+        if (inFlight) retained += n
+        else f.delete(st.getPath, false): Unit
+      }
+    val live = (currentRel(f, dir) ++
+      retained.flatMap(n => manifestRel(f, dir, n)))
+      .map(rel => f.makeQualified(new Path(dir, rel)).toUri.getPath).toSet
     val dataRoot = new Path(dir, "data")
     if (!f.exists(dataRoot)) return 0
     var n = 0

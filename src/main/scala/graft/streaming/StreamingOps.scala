@@ -314,11 +314,15 @@ object StreamingOps {
     * can never observe a torn table (the protocol's crash-injection
     * proof lives in ManifestTableSpec).
     *
-    * Scale: the rewrite is proportional to the TABLE, not the batch —
-    * the documented cost of parquet-as-sink; production bounds it by
-    * partitioning the table on a key prefix and rewriting only the
-    * partitions the batch touches, or swapping in a MERGE-capable
-    * format. The merge itself is one key shuffle. */
+    * Scale: the merge is STATS-BOUNDED ([[graft.sources.ManifestTable
+    * .mergeInto]]): each micro-batch's key range prunes the table's
+    * per-file key stats, so only files that may hold a batch key are
+    * re-read and rewritten — per-batch cost is the touched files plus
+    * the batch, never the table. On a key-clustered layout
+    * ([[graft.sources.ManifestTable.compactSorted]], re-run as
+    * maintenance) a narrow batch rewrites a handful of files at any
+    * table size. The merge itself is one key shuffle over batch-sized
+    * partitions. */
   def upsertSink(
       stream: DataFrame,
       keyCol: String,
@@ -335,10 +339,8 @@ object StreamingOps {
           .orderBy(col(versionCol).desc, col(tiebreakCol).desc)
         val winners = batch.withColumn("_rn", row_number().over(wb))
           .filter(col("_rn") === 1).drop("_rn")
-        val base = graft.sources.ManifestTable
-          .readOrEmpty(spark, dir, winners.schema)
-        val merged = graft.ops.Corpus.mergeUpsert(base, winners, keyCol, versionCol)
-        graft.sources.ManifestTable.commit(spark, dir, merged): Unit
+        graft.sources.ManifestTable
+          .mergeInto(spark, dir, winners, keyCol, versionCol): Unit
       }
       .start()
 

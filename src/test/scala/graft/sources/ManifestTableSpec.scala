@@ -71,10 +71,11 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
       ManifestTable.commit(spark, dir,
         (0L until 50L).map(i => (i, s"keep$i")).toDF("id", "v"))
       // recovery path B: the crashed commit is abandoned; its files are
-      // orphans no manifest the pointer names references
+      // orphans no manifest the pointer names references. retention 0 =
+      // the known-no-writers sweep that treats staged commits as crashed
       ManifestTable.stage(spark, dir,
         (0L until 500L).map(i => (i, "orphan")).toDF("id", "v"))
-      val deleted = ManifestTable.vacuum(spark, dir)
+      val deleted = ManifestTable.vacuum(spark, dir, retainStagedMillis = 0L)
       deleted should be > 0
       val back = ManifestTable.read(spark, dir)
       back.count() shouldBe 50
@@ -426,6 +427,173 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
           (0L until 3L).map(i => (i, s"s$i", s"notdouble$i")).toDF("id", "txt", "score"))
       }
       e2.getMessage should include("may only ADD")
+    } finally rm(dir)
+  }
+
+  it should "land BOTH batches when two appenders interleave stage/publish" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.commit(spark, dir,
+        (0L until 10L).map(i => (i, "base")).toDF("id", "tag"))
+      // A and B both write data and stage manifests off v0 (carry = v0's
+      // files); A publishes first
+      val sdA = ManifestTable.stageData(spark, dir,
+        (100L until 110L).map(i => (i, "A")).toDF("id", "tag"))
+      val sdB = ManifestTable.stageData(spark, dir,
+        (200L until 220L).map(i => (i, "B")).toDF("id", "tag"))
+      val a = ManifestTable.stageManifest(spark, dir, sdA,
+        ManifestTable.currentFiles(spark, dir).map(p =>
+          p.stripPrefix(p.substring(0, p.indexOf("/data/") + 1))), Seq.empty, 0L)
+      val b = ManifestTable.stageManifest(spark, dir, sdB,
+        ManifestTable.currentFiles(spark, dir).map(p =>
+          p.stripPrefix(p.substring(0, p.indexOf("/data/") + 1))), Seq.empty, 0L)
+      a.version should not be b.version // slot CAS: never the same slot
+      ManifestTable.publish(spark, dir, a)
+      // B's manifest was built from v0's file list and never saw A's
+      // files — the lost-update interleaving. The swap must refuse in
+      // THIS direction too (B's slot number exceeds A's).
+      an[java.util.ConcurrentModificationException] should be thrownBy
+        ManifestTable.publish(spark, dir, b)
+      ManifestTable.abandon(spark, dir, b)
+      // the rebase loop re-stages B's ALREADY-WRITTEN files against the
+      // new current and lands them without rewriting data
+      ManifestTable.completeAppend(spark, dir, sdB)
+      val back = ManifestTable.read(spark, dir)
+      back.count() shouldBe 40
+      back.filter(col("tag") === "A").count() shouldBe 10 // A's batch survived
+      back.filter(col("tag") === "B").count() shouldBe 20
+      // and every staged data file is referenced exactly once
+      val files = ManifestTable.currentFiles(spark, dir)
+      files.distinct.size shouldBe files.size
+    } finally rm(dir)
+  }
+
+  it should "merge a narrow key range rewriting only overlapping files, carrying the rest verbatim" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.commit(spark, dir,
+        (0L until 1000L).map(i => (i, s"v$i", 0L)).toDF("id", "v", "ver")
+          .repartition(8))
+      ManifestTable.compactSorted(spark, dir, Seq("id"), targetFiles = 5)
+      val before = ManifestTable.currentFiles(spark, dir)
+      before.size shouldBe 5
+      // keys 100..149 live in the first clustered file only — the
+      // batch's [min, max] intersects exactly one file's id range
+      val updates = (100L until 150L).map(i => (i, s"upd$i", 1L))
+        .toDF("id", "v", "ver")
+      ManifestTable.mergeInto(spark, dir, updates, "id", "ver")
+      val after = ManifestTable.currentFiles(spark, dir)
+      // at most one clustered file rewritten; the other four carry
+      // forward as the SAME paths
+      before.count(after.contains) should be >= 4
+      val back = ManifestTable.read(spark, dir)
+      back.count() shouldBe 1000
+      back.filter(col("v").startsWith("upd")).count() shouldBe 50
+      // carried files keep their stats; every live file has an id stat
+      val stats = ManifestTable.currentStats(spark, dir).filter(_.column == "id")
+      stats.map(_.file).distinct.size shouldBe after.size
+      // a merge of ONLY out-of-range keys rewrites nothing
+      val b2 = ManifestTable.currentFiles(spark, dir).toSet
+      ManifestTable.mergeInto(spark, dir,
+        Seq((90000L, "far", 1L)).toDF("id", "v", "ver"), "id", "ver")
+      val a2 = ManifestTable.currentFiles(spark, dir).toSet
+      b2.subsetOf(a2) shouldBe true
+      (a2 -- b2).size should be >= 1 // only the insert's new file appears
+      ManifestTable.read(spark, dir).count() shouldBe 1001
+    } finally rm(dir)
+  }
+
+  it should "delete a category by rewriting only files whose string stats can match" in {
+    val dir = tmpDir()
+    try {
+      Seq("de", "en", "fr").foreach { l =>
+        ManifestTable.append(spark, dir,
+          ((0L until 40L).map(i => (i, l)) :+ (999L, null.asInstanceOf[String]))
+            .toDF("id", "lang").coalesce(1))
+      }
+      val before = ManifestTable.currentFiles(spark, dir)
+      ManifestTable.deleteWhereEquals(spark, dir, "lang", "en")
+      val after = ManifestTable.currentFiles(spark, dir)
+      // de and fr zone files carry forward untouched
+      before.count(after.contains) shouldBe 2
+      val back = ManifestTable.read(spark, dir)
+      back.filter(col("lang") === "en").count() shouldBe 0
+      back.filter(col("lang") === "de").count() shouldBe 40
+      // null rows survive a categorical erasure (equality never matches)
+      back.filter(col("lang").isNull).count() shouldBe 3
+      back.count() shouldBe 83
+      // deleting an absent category is a metadata no-op
+      val v = ManifestTable.currentVersion(spark, dir)
+      ManifestTable.deleteWhereEquals(spark, dir, "lang", "zz")
+      ManifestTable.currentVersion(spark, dir) shouldBe v
+    } finally rm(dir)
+  }
+
+  it should "retain a freshly staged commit through vacuum so its publish still succeeds" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.commit(spark, dir,
+        (0L until 30L).map(i => (i, "base")).toDF("id", "tag"))
+      ManifestTable.commit(spark, dir,
+        (0L until 20L).map(i => (i, "cur")).toDF("id", "tag"))
+      val staged = ManifestTable.stage(spark, dir,
+        (0L until 7L).map(i => (i, "staged")).toDF("id", "tag"))
+      // default vacuum sweeps the SUPERSEDED manifest but must not touch
+      // the in-flight staged commit or its data files
+      ManifestTable.vacuum(spark, dir)
+      ManifestTable.versions(spark, dir) should contain(staged.version)
+      ManifestTable.publish(spark, dir, staged)
+      val back = ManifestTable.read(spark, dir)
+      back.count() shouldBe 7
+      back.select("tag").distinct().collect().map(_.getString(0)) shouldBe
+        Array("staged")
+    } finally rm(dir)
+  }
+
+  it should "refuse replacePartitions over a layout holding plain-committed files" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.commit(spark, dir,
+        (0L until 30L).map(i => (i, s"p${i % 3}", s"v$i")).toDF("id", "part", "v"))
+      val e = intercept[IllegalArgumentException] {
+        ManifestTable.replacePartitions(spark, dir,
+          (100L until 110L).map(i => (i, "p0", "patched")).toDF("id", "part", "v"),
+          "part")
+      }
+      e.getMessage should include("mixed layout")
+      // the refused call left no pointer movement
+      ManifestTable.read(spark, dir).count() shouldBe 30
+    } finally rm(dir)
+  }
+
+  it should "record no stats for a column whose chunk dropped them, and never prune on it" in {
+    val dir = tmpDir()
+    try {
+      // parquet-mr omits BINARY min/max when a value exceeds the 4 KB
+      // stats cap — the chunk then has rows but no bounds. Recording the
+      // other rows' bounds would let an equality prune skip this file.
+      val big = "z" * 8192
+      ManifestTable.commit(spark, dir,
+        ((0L until 20L).map(i => (i, s"s$i")) :+ (99L, big))
+          .toDF("id", "s").coalesce(1))
+      val sStats = ManifestTable.currentStats(spark, dir).filter(_.column == "s")
+      if (sStats.nonEmpty) {
+        // writer kept (possibly truncated) bounds: they must still cover
+        // the big value's file — the file may not be pruned for it
+        val (kept, _) = ManifestTable.pruneByEquals(spark, dir, "s", big)
+        kept.size shouldBe 1
+      } else {
+        // stats dropped: the column is poisoned for the file and every
+        // prune on it conservatively keeps the file
+        val (kept, total) = ManifestTable.pruneByEquals(spark, dir, "s", "zzz")
+        kept.size shouldBe total
+      }
+      // the sibling int column keeps exact stats either way
+      val idStats = ManifestTable.currentStats(spark, dir).filter(_.column == "id")
+      idStats.size shouldBe 1
+      idStats.head.min.get.toLong shouldBe 0L
+      idStats.head.max.get.toLong shouldBe 99L
+      ManifestTable.readWhereEquals(spark, dir, "s", big).count() shouldBe 1
     } finally rm(dir)
   }
 
