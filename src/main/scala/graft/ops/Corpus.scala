@@ -1757,16 +1757,30 @@ object Corpus {
     * min(source size, ⌊maxShare · total⌋), survivors picked by the stable
     * (md5(id), id) order so the cut is a uniform, rerun-deterministic
     * subsample of the over-represented source. One count aggregate + a
-    * 1-row total broadcast builds the #sources-sized budget frame; the
-    * ranking is one per-source window. The budget is data-dependent, so
-    * the rank cut cannot become a map-side WindowGroupLimit — at 100 TB
-    * swap the exact rank for an md5-threshold cut at budget/n_src (the
-    * same order statistic, approximated without the per-source sort). */
+    * 1-row total broadcast builds the #sources-sized budget frame.
+    *
+    * Two rank plans, IDENTICAL output:
+    *  - default: one per-source window — simplest, but a web corpus is
+    *    domain-skewed, and a source holding 30% of rows funnels 30% of
+    *    the corpus through one window-sort task;
+    *  - `skewSafe = true`: the [[rangedPrefixSum]] recipe specialised to
+    *    per-source ranks — range-partition on (source, md5(id), id) so a
+    *    huge source SPANS many partitions in global order, rank locally
+    *    per (partition, source) — every window is bounded by the
+    *    PARTITION size, never a source's — and add back per-source
+    *    prefix offsets from a broadcast (partition, source) count frame
+    *    (≤ #partitions + #sources rows: each source's partitions are
+    *    contiguous in range order). Exact, deterministic, and no task
+    *    ever sorts more than one range partition — the 100 TB shape
+    *    (an md5-threshold cut would be the approximate fallback; the
+    *    range rank makes it unnecessary). DomainCapSkewSpec proves mode
+    *    agreement on a skewed fixture. */
   def domainCapSample(
       df: DataFrame,
       idCol: String,
       sourceCol: String,
-      maxShare: Double
+      maxShare: Double,
+      skewSafe: Boolean = false
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_src"))
@@ -1774,9 +1788,36 @@ object Corpus {
     val budgets = counts.crossJoin(broadcast(total))
       .select(col(sourceCol),
         least(col("n_src"), floor(lit(maxShare) * col("n_total"))).as("budget"))
-    val w = Window.partitionBy(col(sourceCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.withColumn("src_rank", row_number().over(w).cast("long"))
+    val ranked =
+      if (!skewSafe) {
+        val w = Window.partitionBy(col(sourceCol))
+          .orderBy(md5(col(idCol).cast("string")), col(idCol))
+        df.withColumn("src_rank", row_number().over(w).cast("long"))
+      } else {
+        val spark = df.sparkSession
+        val nParts = spark.sessionState.conf.numShufflePartitions
+        val parts = df
+          .select(col(idCol), col(sourceCol),
+            md5(col(idCol).cast("string")).as("__k"))
+          .repartitionByRange(nParts, col(sourceCol), col("__k"), col(idCol))
+          .withColumn("__pid", spark_partition_id())
+        val wLocal = Window.partitionBy(col("__pid"), col(sourceCol))
+          .orderBy(col("__k"), col(idCol))
+        val cnts = parts.groupBy(col("__pid"), col(sourceCol))
+          .agg(count(lit(1)).as("__n"))
+        val offsets = cnts.as("a")
+          .join(cnts.as("b"),
+            col(s"a.$sourceCol") === col(s"b.$sourceCol") &&
+              col("b.__pid") < col("a.__pid"), "left")
+          .groupBy(col("a.__pid").as("__pid"), col(s"a.$sourceCol").as(sourceCol))
+          .agg(coalesce(sum(col("b.__n")), lit(0L)).as("__offset"))
+        parts
+          .withColumn("__lr", row_number().over(wLocal).cast("long"))
+          .join(broadcast(offsets), Seq("__pid", sourceCol))
+          .withColumn("src_rank", col("__lr") + col("__offset"))
+          .drop("__k", "__pid", "__lr", "__offset")
+      }
+    ranked
       .join(broadcast(budgets), Seq(sourceCol))
       .filter(col("src_rank") <= col("budget"))
       .select(col(idCol), col(sourceCol), col("src_rank"), col("budget"))

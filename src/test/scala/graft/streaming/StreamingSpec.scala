@@ -382,4 +382,34 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     graft.sources.ManifestTable.currentVersion(spark, dir) shouldBe 1L
     graft.sources.ManifestTable.vacuum(spark, dir) should be > 0
   }
+
+  it should "carry batch-1 files untouched when batch 2's keys cannot overlap them" in {
+    // the stats-bounded upsert sink invariant: a micro-batch rewrites
+    // only files whose key stats intersect the batch's key range — a
+    // disjoint-key batch costs its own files plus metadata, not the table
+    val dir = java.nio.file.Files.createTempDirectory("upsert_bounded").toString
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.upsertSink(
+      in.toDF().select(col("user_id"), col("event_type"), col("value")),
+      keyCol = "user_id", versionCol = "value", tiebreakCol = "event_type",
+      dir = dir)
+    try {
+      in.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, "a", 1.0),
+        Ev(t("2024-01-01 10:01:00"), 2, "b", 2.0),
+        Ev(t("2024-01-01 10:02:00"), 3, "c", 3.0))
+      q.processAllAvailable()
+      val batch1Files = graft.sources.ManifestTable.currentFiles(spark, dir).toSet
+      batch1Files should not be empty
+      in.addData( // keys 100.. — above every batch-1 file's max
+        Ev(t("2024-01-01 11:00:00"), 100, "x", 9.0),
+        Ev(t("2024-01-01 11:01:00"), 101, "y", 9.0))
+      q.processAllAvailable()
+      val after = graft.sources.ManifestTable.currentFiles(spark, dir).toSet
+      // every batch-1 file carries forward as the SAME path — no rewrite
+      batch1Files.subsetOf(after) shouldBe true
+      (after -- batch1Files) should not be empty // plus the new keys' files
+      StreamingOps.readUpsertTable(spark, dir).count() shouldBe 5
+    } finally q.stop()
+  }
 }
