@@ -1108,24 +1108,16 @@ object Corpus {
     * table (merge_idx, left_sym, right_sym, pair_count) — the artifact a
     * tokenizer ships.
     *
-    * The rewrite is `replace` applied `maxChain` times: a delimited
-    * left-to-right literal replace consumes the shared separator, so one
-    * pass misses every second pair of an overlapping chain (|a|b|a|b|);
-    * repeating to a fixed depth reaches the greedy-leftmost BPE result
-    * for chains up to `maxChain` and — being a FIXED count — is
-    * bit-reproducible by the oracle without a loop construct.
-    *
-    * Scale shape: ONE corpus-sized aggregate (word counts), persisted;
-    * every round then runs ONE vocab-sized job — a pair explode +
-    * map-side-combinable count + a 1-row TakeOrderedAndProject — over the
-    * cached base plus the accumulated rewrite chain (narrow per-row
-    * projections; replaying a few string rewrites is noise next to a
-    * per-round re-persist's extra materialization job, so the chain is
-    * localCheckpointed every [[RepersistEvery]] rounds rather than every
-    * round — plan depth and replay cost stay bounded by the cadence,
-    * flat in the merge index). Driver state is one
-    * (pair, count) row per round. Assumes corpus text gives `nMerges`
-    * rounds of nonempty pair tables (true for any real corpus). */
+    * Scale shape: ONE corpus-sized aggregate (word counts); every round
+    * then runs ONE vocab-sized job — a pair explode + map-side-combinable
+    * count + a 1-row TakeOrderedAndProject — over the (symbol array,
+    * frequency) vocabulary, applying the winner by a single
+    * greedy-leftmost array fold (see [[learnMerges]]: constant round
+    * cost in the merge index, the representation that reaches a real
+    * tokenizer's 32k merges). Driver state is one (pair, count) row per
+    * round. Assumes corpus text gives `nMerges` rounds of nonempty pair
+    * tables (true for any real corpus). `maxChain` shapes only
+    * [[bpeSegment]]'s oracle-replayable segmentation rewrite. */
   def bpeMerges(
       df: DataFrame,
       textCol: String,
@@ -1185,17 +1177,27 @@ object Corpus {
   /** The induction loop shared by [[bpeMerges]] and [[bpeSegment]]:
     * (merge_idx, left, right, pair_count) per round.
     *
-    * Lineage discipline: round k's `words` frame is the persisted base
-    * plus k accumulated `replace` chains. Left unchecked, plan depth —
-    * and therefore per-round analysis/codegen time AND recompute cost on
-    * any executor-loss replay — grows linearly in the merge index, which
-    * is exactly the shape that falls over at a real tokenizer's 32k
-    * merges. Every [[RepersistEvery]] rounds the rewritten frame is
-    * localCheckpointed (eager): the chain is materialized to executor
-    * storage and the logical plan truncates back to a leaf, so round
-    * time stays flat in the merge index (BpeChainScalingSpec proves the
-    * bound). Checkpoint blocks from superseded rounds are reclaimed by
-    * the ContextCleaner once unreferenced. */
+    * Representation: the vocabulary lives as (symbol ARRAY, frequency)
+    * rows — the pair-indexed shape a real 32k-merge tokenizer run
+    * needs. Each round is two fixed-size operations over the DISTINCT
+    * vocab: (1) explode adjacent symbol pairs and count them
+    * (map-side-combinable, 1-row TakeOrderedAndProject readout), and
+    * (2) apply the winning merge by ARRAY SURGERY — a single
+    * greedy-leftmost fold (`aggregate` HOF, row-local) that rewrites
+    * every occurrence in one pass, however long the chain. Round cost
+    * is therefore CONSTANT in the merge index — contrast the literal
+    * replace-chain representation this replaced, where round k replayed
+    * k·maxChain nested string replaces (at 32k merges: ~200k replaces
+    * per word per round — the shape that falls over).
+    *
+    * Lineage discipline: the fold still adds one plan node per round,
+    * so every [[RepersistEvery]] rounds the frame is localCheckpointed
+    * (eager): plan depth and executor-loss replay cost stay bounded by
+    * the cadence (BpeChainScalingSpec proves round time flat through
+    * 512 merges). Checkpoint blocks from superseded rounds are
+    * reclaimed by the ContextCleaner once unreferenced. `maxChain` is
+    * segmentation-side only ([[bpeSegment]]'s oracle-replayable
+    * rewrite); induction merges chains of ANY length exactly. */
   private val RepersistEvery = 8
 
   private[ops] def learnMerges(
@@ -1205,20 +1207,16 @@ object Corpus {
       maxChain: Int,
       onRound: (Int, Long) => Unit = (_, _) => ()
   ): Seq[(Int, String, String, Long)] = {
-    val base = df.select(explode(tokens(col(textCol))).as("w"))
+    var words = df.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-      .select(concat(lit("|"), array_join(split(col("w"), ""), "|"), lit("|")).as("s"),
-        col("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var words = base
+      .select(filter(split(col("w"), ""), x => x =!= "").as("sy"), col("n"))
+      .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var it = 1
     while (it <= nMerges) {
       val roundStart = System.nanoTime()
-      val syms = filter(split(col("s"), "\\|"), x => x =!= "")
       val half = greatest(size(col("sy")) - 1, lit(0))
       val top = words
-        .select(col("n"), syms.as("sy"))
         .select(col("n"), explode(zip_with(
           slice(col("sy"), lit(1), half), slice(col("sy"), lit(2), half),
           (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
@@ -1232,15 +1230,24 @@ object Corpus {
       val b = top(0).getString(1)
       val cnt = top(0).getLong(2)
       merges += ((it, a, b, cnt))
-      var s2: Column = col("s")
-      for (_ <- 1 to maxChain)
-        s2 = call_function("replace", s2, lit(s"|$a|$b|"), lit(s"|$a$b|"))
-      words = words.select(s2.as("s"), col("n"))
+      // greedy-leftmost merge application: fold the symbol array,
+      // coalescing [..., a] + b into [..., ab]; after a coalesce the
+      // merged token is "ab", so an overlapping chain (a,a,a with pair
+      // a·a) correctly yields [aa, a] — byte-pair semantics, all chain
+      // lengths, one pass
+      val stepped = aggregate(
+        col("sy"),
+        array().cast("array<string>"),
+        (acc, x) =>
+          when(size(acc) === 0, array(x))
+            .when(element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x))))
+      words = words.select(stepped.as("sy"), col("n"))
       if (it % RepersistEvery == 0) words = words.localCheckpoint(true)
       onRound(it, System.nanoTime() - roundStart)
       it += 1
     }
-    base.unpersist()
     merges.toSeq
   }
 
