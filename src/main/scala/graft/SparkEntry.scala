@@ -2814,6 +2814,43 @@ object SparkEntry {
           col("n_rows_after"), col("chars_sum_after"), col("n_langs_after"))
     }),
 
+    // Extension: MERGE-ON-READ DELETE via deletion vectors — no data
+    // file is rewritten; matching (file, row-index) positions land in a
+    // tiny parquet sidecar recorded in the manifest header, and every
+    // read subtracts them by broadcast anti-join (Delta/Iceberg's
+    // position-delete shape). Two overlapping deletes prove vectors
+    // accumulate MINIMALLY (the second lists only rows the first did
+    // not already delete), and the unchanged-file census proves the
+    // merge-on-read claim. The oracle derives the same census and the
+    // complement content from the raw table.
+    "ingest_manifest_dv" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratch("manifest_dv")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("band", floor(col("n_chars") / 64).cast("long"))
+      val bands = docs.select(col("band")).distinct().as[Long].collect().sorted
+      bands.foreach { b =>
+        graft.sources.ManifestTable.append(s, out,
+          docs.filter(col("band") === b).drop("band").coalesce(1))
+      }
+      val before = graft.sources.ManifestTable.currentFiles(s, out)
+      graft.sources.ManifestTable.deleteVectorWhere(s, out, "n_chars", 100.0, 200.0)
+      graft.sources.ManifestTable.deleteVectorWhere(s, out, "n_chars", 150.0, 300.0)
+      val after = graft.sources.ManifestTable.currentFiles(s, out)
+      val unchanged = before.count(after.contains)
+      val nVec = graft.sources.ManifestTable.currentDeleteVectors(s, out).size
+      val dvRows = graft.sources.ManifestTable.deleteVectorRowCount(s, out)
+      graft.sources.ManifestTable.read(s, out)
+        .agg(count(lit(1)).as("n_rows_after"),
+          sum(col("n_chars")).as("chars_sum_after"))
+        .select(lit(before.size.toLong).as("n_files_before"),
+          lit(unchanged.toLong).as("n_files_unchanged"),
+          lit(nVec.toLong).as("n_vectors"),
+          lit(dvRows).as("dv_positions"),
+          col("n_rows_after"), col("chars_sum_after"))
+    }),
+
     // Extension: MERGE (batch upsert) as ONE manifest transaction — the
     // Delta MERGE-INTO shape: per key the highest version wins (update
     // side breaks exact ties), new keys insert, and the merged snapshot
@@ -6135,6 +6172,24 @@ object SparkEntry {
         |     WHERE lang <> 'en') AS chars_sum_after,
         |  (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents
         |     WHERE lang <> 'en') AS n_langs_after""".stripMargin,
+
+    // Merge-on-read census: every band file survives both deletes
+    // untouched; the two vectors' positions union to one interval
+    // (the second only lists rows the first left live).
+    "ingest_manifest_dv" ->
+      """WITH f AS (
+        |  SELECT CAST(floor(n_chars / 64) AS BIGINT) AS band
+        |  FROM documents GROUP BY 1)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_files_before,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_files_unchanged,
+        |  CAST(2 AS BIGINT) AS n_vectors,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |     WHERE n_chars BETWEEN 100 AND 300) AS dv_positions,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |     WHERE n_chars NOT BETWEEN 100 AND 300) AS n_rows_after,
+        |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
+        |     WHERE n_chars NOT BETWEEN 100 AND 300) AS chars_sum_after""".stripMargin,
 
     // The identical two-sided CUSUM recursion; μ, σ, slack, and
     // threshold from the same sequential list folds, alarm checks

@@ -122,6 +122,70 @@ object ManifestTable {
   private def manifestRel(f: FileSystem, dir: String, name: String): Seq[String] =
     manifestLines(f, dir, name).filterNot(_.startsWith("#"))
 
+  // #dv=<b64 rel> — one DELETION-VECTOR sidecar (a tiny parquet of
+  // (_file: string rel, _pos: long row index) pairs) whose positions are
+  // subtracted from every read of this snapshot. Carried forward
+  // verbatim by append/merge/replace; dropped by full-snapshot commits
+  // (compaction materializes the deletes).
+  private def manifestDvLines(f: FileSystem, dir: String, name: String): Seq[String] =
+    manifestLines(f, dir, name).filter(_.startsWith("#dv="))
+
+  private def dvRelsOf(dvLines: Seq[String]): Seq[String] =
+    dvLines.map(l => unb64(l.stripPrefix("#dv=")))
+
+  private def dvLineOf(rel: String): String = s"#dv=${b64(rel)}"
+
+  // header lines every new manifest carries forward verbatim from its
+  // basis snapshot (data-skipping stats + deletion vectors)
+  private def carriedHeaderLines(f: FileSystem, dir: String, name: String): Seq[String] =
+    manifestLines(f, dir, name)
+      .filter(l => l.startsWith("#stats=") || l.startsWith("#dv="))
+
+  /** The dir-relative paths ('data/<uuid>/…parquet') the file-scan
+    * metadata column resolves to: every data file lives under one
+    * `data/` root, so the suffix after the LAST '/data/' is the rel path
+    * regardless of scheme/qualification. Used identically when WRITING a
+    * deletion vector and when anti-joining it at read, so the two sides
+    * can never disagree. */
+  private def relOfFilePath(fileCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{concat, lit, substring_index}
+    concat(lit("data/"), substring_index(fileCol, "/data/", -1))
+  }
+
+  /** Subtract a snapshot's deletion vectors from `base` (a file-scan
+    * frame over that snapshot's data files): anti-join on (file rel, row
+    * index) via the parquet scan's `_metadata` column. Vectors are tiny
+    * relative to the table — broadcast, so the read plan stays a narrow
+    * scan + broadcast anti-join (this is exactly how merge-on-read
+    * position deletes execute in Delta/Iceberg readers). */
+  private def applyDv(
+      spark: SparkSession,
+      dir: String,
+      base: DataFrame,
+      dvRels: Seq[String]): DataFrame =
+    if (dvRels.isEmpty) base
+    else {
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val keyed = base
+        .withColumn("__graft_dv_rel", relOfFilePath(col("_metadata.file_path")))
+        .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+      val dv = spark.read.parquet(
+        dvRels.map(r => new Path(dir, r).toString): _*)
+      keyed.join(broadcast(dv),
+          keyed("__graft_dv_rel") === dv("_file") &&
+            keyed("__graft_dv_pos") === dv("_pos"),
+          "left_anti")
+        .drop("__graft_dv_rel", "__graft_dv_pos")
+    }
+
+  private def parquetRowCount(
+      conf: org.apache.hadoop.conf.Configuration, p: Path): Long = {
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try r.getRecordCount finally r.close()
+  }
+
   private def b64(s: String): String =
     java.util.Base64.getEncoder.encodeToString(
       s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -298,9 +362,15 @@ object ManifestTable {
     currentRel(fs(dir, spark), dir).map(rel => new Path(dir, rel).toString)
 
   /** Read the current snapshot — exactly the manifest's files, never a
-    * directory listing, so concurrent commits/compactions are invisible. */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(currentFiles(spark, dir): _*)
+    * directory listing, so concurrent commits/compactions are invisible.
+    * Deletion-vector positions ([[deleteVectorWhere]]) are subtracted. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val f = fs(dir, spark)
+    val files = currentFiles(spark, dir) // requires the pointer exists
+    val name = readSmallFile(f, new Path(dir, PointerName)).trim
+    applyDv(spark, dir, spark.read.parquet(files: _*),
+      dvRelsOf(manifestDvLines(f, dir, name)))
+  }
 
   /** [[read]], or an empty frame of `schema` when the table has no commit
     * yet — the "first batch of a new sink" case. */
@@ -461,7 +531,7 @@ object ManifestTable {
     if (f.exists(new Path(dir, PointerName))) {
       val name = readSmallFile(f, new Path(dir, PointerName)).trim
       (manifestRel(f, dir, name),
-        manifestLines(f, dir, name).filter(_.startsWith("#stats=")),
+        carriedHeaderLines(f, dir, name),
         name.stripPrefix("manifest-").stripSuffix(".txt").toLong)
     } else (Seq.empty[String], Seq.empty[String], -1L)
 
@@ -527,9 +597,8 @@ object ManifestTable {
   ): StagedCommit = {
     import org.apache.spark.sql.functions.col
     boundedRewrite(spark, dir, pruneByRange(spark, dir, column, lo, hi)._1,
-      cands => spark.read.parquet(cands: _*)
-        // null-valued rows can never match a BETWEEN delete — they survive
-        .filter(col(column).isNull || !col(column).between(lo, hi)))
+      // null-valued rows can never match a BETWEEN delete — they survive
+      _.filter(col(column).isNull || !col(column).between(lo, hi)))
   }
 
   /** [[deleteWhere]] for a CATEGORICAL (string-equality) predicate — the
@@ -547,8 +616,124 @@ object ManifestTable {
   ): StagedCommit = {
     import org.apache.spark.sql.functions.col
     boundedRewrite(spark, dir, pruneByEquals(spark, dir, column, value)._1,
-      cands => spark.read.parquet(cands: _*)
-        .filter(col(column).isNull || col(column) =!= value))
+      _.filter(col(column).isNull || col(column) =!= value))
+  }
+
+  /** Row-level DELETE as a MERGE-ON-READ transaction — Delta/Iceberg's
+    * deletion-vector (position-delete) shape: NO data file is rewritten;
+    * the matching rows' (file, row-index) positions are written to a
+    * tiny parquet sidecar and recorded in the manifest header, and every
+    * read of the snapshot subtracts them by a broadcast anti-join. The
+    * scan cost of the delete itself is stats-bounded (only files whose
+    * manifest min/max may hold `column BETWEEN lo AND hi` are read); the
+    * write cost is the sidecar — at 100 TB, erasing a narrow range costs
+    * a few file scans and a KB-scale write where [[deleteWhere]]'s
+    * copy-on-write would rewrite the candidate files. Deletes
+    * accumulate: each call adds one vector (already-deleted positions
+    * are never re-listed, so vectors stay minimal and disjoint); any
+    * full-snapshot rewrite — [[compact]] / [[compactSorted]] — reads
+    * with vectors applied and commits WITHOUT them, i.e. compaction is
+    * the materialize step. A delete that can match nothing (stats prune
+    * everything, or every matching row is already deleted) is a
+    * metadata no-op. Null values never match, as in SQL. */
+  def deleteVectorWhere(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      lo: Double,
+      hi: Double
+  ): StagedCommit = {
+    import org.apache.spark.sql.functions.col
+    dvDelete(spark, dir, pruneByRange(spark, dir, column, lo, hi)._1,
+      col(column).isNotNull && col(column).between(lo, hi))
+  }
+
+  /** [[deleteVectorWhere]] for a CATEGORICAL (string-equality)
+    * predicate — the per-tenant / per-language GDPR-erasure shape,
+    * without rewriting a single data file. */
+  def deleteVectorWhereEquals(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      value: String
+  ): StagedCommit = {
+    import org.apache.spark.sql.functions.col
+    dvDelete(spark, dir, pruneByEquals(spark, dir, column, value)._1,
+      col(column) === value)
+  }
+
+  /** The current snapshot's deletion-vector sidecar paths
+    * (dir-relative), in manifest order — empty when every row of every
+    * listed file is live. */
+  def currentDeleteVectors(spark: SparkSession, dir: String): Seq[String] = {
+    val f = fs(dir, spark)
+    val ptr = new Path(dir, PointerName)
+    require(f.exists(ptr), s"not a manifest table (no $PointerName): $dir")
+    dvRelsOf(manifestDvLines(f, dir, readSmallFile(f, ptr).trim))
+  }
+
+  /** Total positions across the current snapshot's deletion vectors —
+    * footer row counts only, no data read. The compaction trigger: when
+    * this grows past a fraction of the table's live rows, [[compact]] /
+    * [[compactSorted]] materializes and resets it to zero. */
+  def deleteVectorRowCount(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    currentDeleteVectors(spark, dir)
+      .map(rel => parquetRowCount(conf, new Path(dir, rel))).sum
+  }
+
+  private def dvDelete(
+      spark: SparkSession,
+      dir: String,
+      candidates: Seq[String],
+      matches: org.apache.spark.sql.Column
+  ): StagedCommit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val f = fs(dir, spark)
+    val name = readSmallFile(f, new Path(dir, PointerName)).trim
+    val basis = name.stripPrefix("manifest-").stripSuffix(".txt").toLong
+    if (candidates.isEmpty) return StagedCommit(basis, name, basis)
+    val dvLines = manifestDvLines(f, dir, name)
+    val existing = dvRelsOf(dvLines)
+    // positions of matching rows NOT already deleted — one scan of the
+    // candidate files, nothing else
+    val keyed = spark.read.parquet(candidates: _*)
+      .withColumn("__graft_dv_rel", relOfFilePath(col("_metadata.file_path")))
+      .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+    val notYet =
+      if (existing.isEmpty) keyed
+      else {
+        val dv = spark.read.parquet(
+          existing.map(r => new Path(dir, r).toString): _*)
+        keyed.join(broadcast(dv),
+          keyed("__graft_dv_rel") === dv("_file") &&
+            keyed("__graft_dv_pos") === dv("_pos"),
+          "left_anti")
+      }
+    val newDv = notYet.filter(matches)
+      .select(col("__graft_dv_rel").as("_file"),
+        col("__graft_dv_pos").as("_pos"))
+    val dvDir = new Path(new Path(dir, "data"), UUID.randomUUID().toString)
+    newDv.coalesce(1).write.parquet(dvDir.toString)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dvFiles = f.listStatus(dvDir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    if (dvFiles.map(p => parquetRowCount(conf, p)).sum == 0L) {
+      f.delete(dvDir, true) // nothing newly deleted: metadata no-op
+      return StagedCommit(basis, name, basis)
+    }
+    val root = f.makeQualified(new Path(dir)).toUri.getPath
+    val newDvRels = dvFiles.map(_.toUri.getPath.stripPrefix(root).stripPrefix("/"))
+    // same data files, same stats, one more vector — header-only commit
+    val lines = manifestLines(f, dir, name)
+    val schemaLine = lines.filter(_.startsWith("#schema="))
+    val stats = lines.filter(_.startsWith("#stats="))
+    val content =
+      ((schemaLine ++ (stats ++ dvLines ++ newDvRels.map(dvLineOf)).sorted) ++
+        manifestRel(f, dir, name).sorted).mkString("\n")
+    val staged = claimManifestSlot(spark, dir, content, basis)
+    publish(spark, dir, staged)
+    staged
   }
 
   /** The shared stats-bounded copy-on-write transaction: re-read ONLY
@@ -562,7 +747,7 @@ object ManifestTable {
       spark: SparkSession,
       dir: String,
       candidates: Seq[String],
-      rewrite: Seq[String] => DataFrame
+      rewrite: DataFrame => DataFrame
   ): StagedCommit = {
     val f = fs(dir, spark)
     val name = readSmallFile(f, new Path(dir, PointerName)).trim
@@ -573,10 +758,16 @@ object ManifestTable {
       candSet.contains(new Path(dir, rel).toString)
     }
     val untouchedSet = untouched.toSet
+    val dvLines = manifestDvLines(f, dir, name)
     val carryStats = manifestLines(f, dir, name).filter(_.startsWith("#stats="))
       .filter(l => parseStatsLine(l).exists(cs => untouchedSet.contains(cs.file)))
-    val staged = stage(spark, dir, rewrite(candidates), untouched, carryStats,
-      Some(basis))
+    // candidates re-read WITH deletion vectors applied (a DV'd row must
+    // not resurrect in the rewrite); the vectors carry verbatim — their
+    // entries for rewritten files reference dead rels and match nothing
+    val candDf = applyDv(spark, dir,
+      spark.read.parquet(candidates: _*), dvRelsOf(dvLines))
+    val staged = stage(spark, dir, rewrite(candDf), untouched,
+      carryStats ++ dvLines, Some(basis))
     publish(spark, dir, staged)
     staged
   }
@@ -632,15 +823,18 @@ object ManifestTable {
       candSet.contains(new Path(dir, rel).toString)
     }
     val untouchedSet = untouched.toSet
+    val dvLines = manifestDvLines(f, dir, name)
     val carryStats = manifestLines(f, dir, name).filter(_.startsWith("#stats="))
       .filter(l => parseStatsLine(l).exists(cs => untouchedSet.contains(cs.file)))
     val base =
       if (candidates.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], updates.schema)
-      else spark.read.parquet(candidates: _*)
+      else applyDv(spark, dir,
+        spark.read.parquet(candidates: _*), dvRelsOf(dvLines))
     val merged = graft.ops.Corpus.mergeUpsert(base, updates, keyCol, versionCol)
-    val staged = stage(spark, dir, merged, untouched, carryStats, Some(basis))
+    val staged = stage(spark, dir, merged, untouched,
+      carryStats ++ dvLines, Some(basis))
     publish(spark, dir, staged)
     staged
   }
@@ -671,7 +865,7 @@ object ManifestTable {
         }
         val name = readSmallFile(f, new Path(dir, PointerName)).trim
         (manifestRel(f, dir, name),
-          manifestLines(f, dir, name).filter(_.startsWith("#stats=")),
+          carriedHeaderLines(f, dir, name),
           name.stripPrefix("manifest-").stripSuffix(".txt").toLong)
       } else (Seq.empty[String], Seq.empty[String], -1L)
     val staged = stage(spark, dir, df, carry, carryStats, Some(basis))
@@ -682,9 +876,14 @@ object ManifestTable {
   /** [[read]] across schema-evolved snapshots: per-file schemas are
     * UNIONED (parquet mergeSchema over the manifest's explicit file
     * list); files written before a column existed read as null for it. */
-  def readEvolved(spark: SparkSession, dir: String): DataFrame =
-    spark.read.option("mergeSchema", "true")
-      .parquet(currentFiles(spark, dir): _*)
+  def readEvolved(spark: SparkSession, dir: String): DataFrame = {
+    val f = fs(dir, spark)
+    val files = currentFiles(spark, dir)
+    val name = readSmallFile(f, new Path(dir, PointerName)).trim
+    applyDv(spark, dir,
+      spark.read.option("mergeSchema", "true").parquet(files: _*),
+      dvRelsOf(manifestDvLines(f, dir, name)))
+  }
 
   /** Partition-scoped overwrite — Delta's `replaceWhere` shape: the new
     * snapshot keeps every current file EXCEPT those under the partition
@@ -741,8 +940,11 @@ object ManifestTable {
             "such a table must only ever be written through replacePartitions")
         val kept = all.filterNot(r => touched.exists(t => r.contains(s"/$t/")))
         val keptSet = kept.toSet
+        // deletion vectors carry verbatim: entries for replaced files
+        // reference rels no longer in the manifest and anti-join nothing
         (kept, manifestLines(f, dir, name).filter(_.startsWith("#stats="))
-          .filter(l => parseStatsLine(l).exists(cs => keptSet.contains(cs.file))),
+          .filter(l => parseStatsLine(l).exists(cs => keptSet.contains(cs.file))) ++
+          manifestDvLines(f, dir, name),
           name.stripPrefix("manifest-").stripSuffix(".txt").toLong)
       }
     val conf = spark.sparkContext.hadoopConfiguration
@@ -868,12 +1070,15 @@ object ManifestTable {
       value: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val (kept, _) = pruneByEquals(spark, dir, column, value)
+    val f = fs(dir, spark)
+    val name = readSmallFile(f, new Path(dir, PointerName)).trim
     val base =
       if (kept.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           currentSchema(spark, dir).getOrElse(read(spark, dir).schema))
-      else spark.read.parquet(kept: _*)
+      else applyDv(spark, dir, spark.read.parquet(kept: _*),
+        dvRelsOf(manifestDvLines(f, dir, name)))
     base.filter(col(column) === value)
   }
 
@@ -889,21 +1094,29 @@ object ManifestTable {
       hi: Double): DataFrame = {
     import org.apache.spark.sql.functions.col
     val (kept, _) = pruneByRange(spark, dir, column, lo, hi)
+    val f = fs(dir, spark)
+    val name = readSmallFile(f, new Path(dir, PointerName)).trim
     val base =
       if (kept.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           currentSchema(spark, dir).getOrElse(read(spark, dir).schema))
-      else spark.read.parquet(kept: _*)
+      else applyDv(spark, dir, spark.read.parquet(kept: _*),
+        dvRelsOf(manifestDvLines(f, dir, name)))
     base.filter(col(column).between(lo, hi))
   }
 
   /** [[read]] for a partition-laid-out manifest table: recursive lookup
     * skips Hive partition inference over the `__p=value` layout segments;
     * the partition column itself lives in the data files. */
-  def readPartitioned(spark: SparkSession, dir: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true")
-      .parquet(currentFiles(spark, dir): _*)
+  def readPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val f = fs(dir, spark)
+    val files = currentFiles(spark, dir)
+    val name = readSmallFile(f, new Path(dir, PointerName)).trim
+    applyDv(spark, dir,
+      spark.read.option("recursiveFileLookup", "true").parquet(files: _*),
+      dvRelsOf(manifestDvLines(f, dir, name)))
+  }
 
   /** Incremental consumption: the rows ADDED between snapshot
     * `fromVersion` (exclusive) and the current snapshot — exactly the
@@ -929,7 +1142,14 @@ object ManifestTable {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         currentSchema(spark, dir).getOrElse(
           spark.read.parquet(currentFiles(spark, dir): _*).schema))
-    else spark.read.parquet(added: _*)
+    else {
+      // CURRENT deletion vectors apply: a row appended since
+      // `fromVersion` but DV-deleted since is not part of any snapshot
+      // the consumer could now read
+      val curName = readSmallFile(f, new Path(dir, PointerName)).trim
+      applyDv(spark, dir, spark.read.parquet(added: _*),
+        dvRelsOf(manifestDvLines(f, dir, curName)))
+    }
   }
 
   /** The committed snapshot versions still present in `_manifests`,
@@ -951,8 +1171,10 @@ object ManifestTable {
     val name = f"manifest-$version%020d.txt"
     require(f.exists(new Path(new Path(dir, "_manifests"), name)),
       s"version $version not found (vacuumed, or never committed) in $dir")
-    spark.read.parquet(
-      manifestRel(f, dir, name).map(rel => new Path(dir, rel).toString): _*)
+    applyDv(spark, dir,
+      spark.read.parquet(
+        manifestRel(f, dir, name).map(rel => new Path(dir, rel).toString): _*),
+      dvRelsOf(manifestDvLines(f, dir, name)))
   }
 
   /** Manifest-native small-file compaction: coalesce the CURRENT snapshot
@@ -1018,8 +1240,13 @@ object ManifestTable {
         if (inFlight) retained += n
         else f.delete(st.getPath, false): Unit
       }
+    // deletion-vector sidecars are live exactly while a retained
+    // manifest references them (they are .parquet files under data/,
+    // so the sweep below would otherwise delete them)
     val live = (currentRel(f, dir) ++
-      retained.flatMap(n => manifestRel(f, dir, n)))
+      dvRelsOf(manifestDvLines(f, dir, keep)) ++
+      retained.flatMap(n => manifestRel(f, dir, n) ++
+        dvRelsOf(manifestDvLines(f, dir, n))))
       .map(rel => f.makeQualified(new Path(dir, rel)).toUri.getPath).toSet
     val dataRoot = new Path(dir, "data")
     if (!f.exists(dataRoot)) return 0

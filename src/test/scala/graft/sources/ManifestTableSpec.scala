@@ -627,4 +627,127 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
       ManifestTable.currentVersion(spark, dir) shouldBe v
     } finally rm(dir)
   }
+
+  it should "delete rows by deletion vector without touching any data file" in {
+    val dir = tmpDir()
+    try {
+      // three band-clustered appends, one file each
+      Seq(0L, 100L, 200L).foreach { lo =>
+        ManifestTable.append(spark, dir,
+          (lo until lo + 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+      }
+      val filesBefore = ManifestTable.currentFiles(spark, dir).sorted
+      val v = ManifestTable.currentVersion(spark, dir)
+      ManifestTable.deleteVectorWhere(spark, dir, "id", 120.0, 180.0)
+      ManifestTable.currentVersion(spark, dir) shouldBe (v + 1)
+      // merge-on-read: the data-file list is IDENTICAL — no rewrite
+      ManifestTable.currentFiles(spark, dir).sorted shouldBe filesBefore
+      ManifestTable.currentDeleteVectors(spark, dir).size shouldBe 1
+      ManifestTable.deleteVectorRowCount(spark, dir) shouldBe 61L
+      val back = ManifestTable.read(spark, dir)
+      back.count() shouldBe 239
+      back.filter(col("id").between(120, 180)).count() shouldBe 0
+      // stats carried verbatim — still one id stat per (unchanged) file
+      ManifestTable.currentStats(spark, dir).filter(_.column == "id")
+        .map(_.file).distinct.size shouldBe filesBefore.size
+      // a vector delete that stats-prunes everything is a metadata no-op
+      val v2 = ManifestTable.currentVersion(spark, dir)
+      ManifestTable.deleteVectorWhere(spark, dir, "id", 50000.0, 60000.0)
+      ManifestTable.currentVersion(spark, dir) shouldBe v2
+      // ... and so is one whose rows are ALL already deleted
+      ManifestTable.deleteVectorWhere(spark, dir, "id", 130.0, 170.0)
+      ManifestTable.currentVersion(spark, dir) shouldBe v2
+    } finally rm(dir)
+  }
+
+  it should "accumulate minimal disjoint vectors and subtract them on every read path" in {
+    val dir = tmpDir()
+    try {
+      Seq("en", "fr", "de").foreach { l =>
+        ManifestTable.append(spark, dir,
+          (0L until 50L).map(i => (i, l)).toDF("id", "lang").coalesce(1))
+      }
+      val v0 = ManifestTable.currentVersion(spark, dir)
+      ManifestTable.deleteVectorWhereEquals(spark, dir, "lang", "fr")
+      ManifestTable.deleteVectorWhere(spark, dir, "id", 40.0, 49.0)
+      // second vector lists only rows the first did not already delete
+      ManifestTable.currentDeleteVectors(spark, dir).size shouldBe 2
+      ManifestTable.deleteVectorRowCount(spark, dir) shouldBe (50L + 20L)
+      ManifestTable.read(spark, dir).count() shouldBe 80
+      // pruned reads subtract vectors too
+      ManifestTable.readWhereEquals(spark, dir, "lang", "fr").count() shouldBe 0
+      ManifestTable.readBetween(spark, dir, "id", 40.0, 49.0).count() shouldBe 0
+      ManifestTable.readBetween(spark, dir, "id", 0.0, 39.0).count() shouldBe 80
+      // time travel reads the PRE-delete snapshot with its (absent) vectors
+      ManifestTable.readVersion(spark, dir, v0).count() shouldBe 150
+    } finally rm(dir)
+  }
+
+  it should "carry deletion vectors across appends and merges" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.append(spark, dir,
+        (0L until 100L).map(i => (i, i, 0L)).toDF("id", "x", "version").coalesce(1))
+      ManifestTable.deleteVectorWhere(spark, dir, "id", 0.0, 9.0)
+      // append: vectors carry — deleted rows stay deleted, new rows land
+      ManifestTable.append(spark, dir,
+        (100L until 150L).map(i => (i, i, 0L)).toDF("id", "x", "version").coalesce(1))
+      val afterAppend = ManifestTable.read(spark, dir)
+      afterAppend.count() shouldBe 140
+      afterAppend.filter(col("id") < 10).count() shouldBe 0
+      // merge on a DV'd table: candidate re-read applies vectors, so a
+      // deleted key re-inserts as the UPDATE row alone (no resurrection)
+      ManifestTable.mergeInto(spark, dir,
+        Seq((5L, -1L, 1L), (120L, -2L, 1L)).toDF("id", "x", "version"),
+        "id", "version")
+      val merged = ManifestTable.read(spark, dir)
+      merged.count() shouldBe 141 // 140 + key 5 re-inserted; 120 updated in place
+      merged.filter(col("id") === 5L).select("x").as[Long].collect() shouldBe Array(-1L)
+      merged.filter(col("id") === 120L).select("x").as[Long].collect() shouldBe Array(-2L)
+      merged.filter(col("id") === 3L).count() shouldBe 0
+    } finally rm(dir)
+  }
+
+  it should "apply vectors inside copy-on-write deletes so rows never resurrect" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.append(spark, dir,
+        (0L until 100L).map(i => (i, i % 7)).toDF("id", "x").coalesce(1))
+      ManifestTable.deleteVectorWhere(spark, dir, "id", 0.0, 19.0)
+      // copy-on-write delete over an overlapping slice rewrites the file
+      // FROM the vector-applied view
+      ManifestTable.deleteWhere(spark, dir, "id", 10.0, 29.0)
+      val back = ManifestTable.read(spark, dir)
+      back.count() shouldBe 70
+      back.filter(col("id") < 30).count() shouldBe 0
+    } finally rm(dir)
+  }
+
+  it should "materialize vectors on compaction and sweep their sidecars on vacuum" in {
+    val dir = tmpDir()
+    try {
+      Seq(0L, 100L).foreach { lo =>
+        ManifestTable.append(spark, dir,
+          (lo until lo + 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+      }
+      ManifestTable.deleteVectorWhere(spark, dir, "id", 50.0, 149.0)
+      val dvRel = ManifestTable.currentDeleteVectors(spark, dir).head
+      val dvPath = new java.io.File(dir, dvRel)
+      dvPath.exists() shouldBe true
+      // vacuum with history retention keeps the referenced sidecar
+      ManifestTable.vacuum(spark, dir, retainStagedMillis = 0L)
+      dvPath.exists() shouldBe true
+      ManifestTable.read(spark, dir).count() shouldBe 100
+      // compaction reads vectors applied and commits WITHOUT them
+      ManifestTable.compactSorted(spark, dir, Seq("id"), 2)
+      ManifestTable.currentDeleteVectors(spark, dir) shouldBe empty
+      ManifestTable.read(spark, dir).count() shouldBe 100
+      ManifestTable.read(spark, dir)
+        .filter(col("id").between(50, 149)).count() shouldBe 0
+      // now nothing references the sidecar: vacuum sweeps it
+      ManifestTable.vacuum(spark, dir, retainStagedMillis = 0L)
+      dvPath.exists() shouldBe false
+      ManifestTable.read(spark, dir).count() shouldBe 100
+    } finally rm(dir)
+  }
 }
