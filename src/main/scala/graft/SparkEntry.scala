@@ -1002,6 +1002,21 @@ object SparkEntry {
           round(coalesce(col("n_hit"), lit(0L)) / 5.0, 6).as("recall"))
     }),
 
+    // Extension: TWO-STAGE retrieval — Hamming shortlist over the 32×-
+    // compressed sign-bit codes, exact-cosine rerank over ONLY the
+    // shortlisted pairs (the production serving shape: compressed pass
+    // touches every code, float pass touches shortlist×queries vectors).
+    // The rerank re-fetch is a broadcast join of the tiny shortlist back
+    // to the corpus, so neither stage shuffles the corpus.
+    "sim_bq_rerank" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      graft.ops.Similarity.bqRerankTopK(spread(s, emb), q, "vec_id",
+          "embedding", dim = 64, shortlist = 20, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim"), 6).as("sim"))
+    }),
+
     // Extension: prefix-dimension (Matryoshka-style) recall — recall@5 of
     // top-k search using only the FIRST 16 of 64 dims vs the full-vector
     // ranking. Prices dimension truncation the way sim_proj_recall prices
@@ -4100,6 +4115,31 @@ object SparkEntry {
         |SELECT q.vec_id AS query_id, COALESCE(h.n_hit, 0) AS n_hit,
         |  round(COALESCE(h.n_hit, 0) / 5.0, 6) AS recall
         |FROM q LEFT JOIN hits h ON q.vec_id = h.query_id""".stripMargin,
+
+    // The same Hamming shortlist at 20, then the exact-cosine rerank cut
+    // to 5 — stage 1 from the sim_bq_topk recipe, stage 2 from the
+    // brute-force one, composed.
+    "sim_bq_rerank" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |codes AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN i <= 32 AND v[i] > 0 THEN (1::BIGINT << (i-1)) ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN i > 32 AND v[i] > 0 THEN (1::BIGINT << (i-33)) ELSE 0 END) AS BIGINT) AS c1
+        |  FROM e, generate_series(1, 64) g(i) GROUP BY 1),
+        |qc AS (SELECT vec_id AS query_id, c0 AS q0, c1 AS q1 FROM codes WHERE vec_id < 10),
+        |short AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT qc.query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY qc.query_id
+        |      ORDER BY bit_count(xor(c.c0, qc.q0)) + bit_count(xor(c.c1, qc.q1)), c.vec_id) AS rk
+        |  FROM qc, codes c WHERE c.vec_id != qc.query_id) WHERE rk <= 20),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (SELECT sh.query_id, sh.neighbor_id, ${cosSql("q.qv", "c.v")} AS sim
+        |  FROM short sh JOIN e c ON c.vec_id = sh.neighbor_id
+        |  JOIN q ON q.query_id = sh.query_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim
+        |FROM r WHERE rk <= 5""".stripMargin,
 
     // The sim_proj_recall eval shape with a prefix slice instead of the
     // projection arithmetic.

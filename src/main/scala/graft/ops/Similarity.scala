@@ -551,6 +551,42 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** TWO-STAGE retrieval — the production ANN serving shape: a cheap
+    * Hamming pass over the sign-bit codes shortlists `shortlist`
+    * candidates per query ([[bqTopK]]), then ONLY those pairs are
+    * re-scored with the exact cosine and cut to `k`. The compressed pass
+    * touches every corpus code (2 XOR+popcounts each); the float pass
+    * touches `queries × shortlist` vectors — at 100 TB that is the whole
+    * point: full-precision vectors are read for a few dozen rows per
+    * query, not the corpus. The re-fetch joins the (tiny) shortlist back
+    * to the corpus as a BROADCAST hash join on id, so the corpus side
+    * stays a single narrow scan with no shuffle in either stage; recall
+    * is tuned by `shortlist` (eval it with the recall harness, as
+    * sim_bq_recall does for the raw Hamming ranking). */
+  def bqRerankTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      shortlist: Int,
+      k: Int
+  ): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cand = bqTopK(corpus, queries, idCol, vecCol, dim, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val cvec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val qvec = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val cos = cosineFor(corpus.sparkSession) _
+    val scored = cvec.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qvec), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cos(col("qvec"), col("cvec")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Deterministic ±1 hyperplane components: sign_{j,i} = +1 iff the 60-bit
     * md5 hash of "j:i" is odd — the same family TextFunctions.hash60 /
     * the DuckDB oracle computes. */

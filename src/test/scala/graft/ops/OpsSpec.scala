@@ -2709,6 +2709,42 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     (r.getLong(0), r.getLong(1)) shouldBe ((0L, 2L))
   }
 
+  it should "rerank the Hamming shortlist by exact cosine without shuffling the corpus" in {
+    // 40 corpus vectors in 4 dims; with shortlist = corpus size the
+    // rerank must agree with the exact brute-force ranking
+    val vecs = (1L to 40L).map { i =>
+      (i, Seq((i % 5).toFloat - 2f, (i % 7).toFloat - 3f,
+        (i % 3).toFloat - 1f, (i % 11).toFloat - 5f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") <= 2)
+    val reranked = Similarity
+      .bqRerankTopK(df, q, "vec_id", "embedding", dim = 4, shortlist = 39, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val exact = Similarity.bruteForceTopK(df, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    reranked shouldBe exact
+    // narrow shortlist: results are a subset of the shortlist pairs
+    val short = Similarity.bqTopK(df, q, "vec_id", "embedding", dim = 4, k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val narrow = Similarity
+      .bqRerankTopK(df, q, "vec_id", "embedding", dim = 4, shortlist = 10, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    narrow.length shouldBe 10
+    all(narrow.map(short.contains)) shouldBe true
+    // plan shape: the rerank re-fetch is broadcast — the only
+    // SortMergeJoin-free plan keeps the corpus unshuffled
+    val plan = Similarity
+      .bqRerankTopK(df, q, "vec_id", "embedding", dim = 4, shortlist = 10, k = 5)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
   behavior of "temperature mixing"
 
   it should "flatten source shares toward uniform with alpha < 1" in {
