@@ -2355,6 +2355,19 @@ object SparkEntry {
     "docs_quality_blend" -> ((s, dir) =>
       graft.ops.Corpus.qualityBlend(spread(s, table(s, dir, "documents")), "doc_id", "text")),
 
+    // Extension: linear classifier INFERENCE over hashed bag-of-words —
+    // the fastText-style quality scorer applied at scan speed: weights
+    // are plan literals, scoring is one codegen'd fold per row (no
+    // vocabulary join, no shuffle). Weights here are the deterministic
+    // md5-derived pseudo-model so the oracle re-derives them; a trained
+    // model drops in as the same literal vector.
+    "docs_quality_lr" -> ((s, dir) =>
+      graft.ops.Quality.linearScore(spread(s, table(s, dir, "documents")),
+          "doc_id", "text", graft.ops.Quality.pseudoWeights(64),
+          bias = 0.1, threshold = 0.55)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("score"), 6).as("score"), col("accept"))),
+
     // Extension: skew report — top-10 hottest users with row share and
     // multiple-of-median (the pre-salting diagnostic).
     "events_skew_report" -> ((s, dir) =>
@@ -5637,6 +5650,21 @@ object SparkEntry {
         |FROM (SELECT doc_id, cluster_id,
         |  (('0x'||substr(md5(cluster_id::VARCHAR),1,7))::UBIGINT)::BIGINT % 10000 AS bucket
         |  FROM cl)""".stripMargin,
+
+    // Same hashed-unigram fold: per token, the md5-derived weight at
+    // bucket hash60(token) mod 64; mean-pooled in list order, sigmoid,
+    // thresholded. Weight derivation replays Quality.pseudoWeights.
+    "docs_quality_lr" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |z AS (SELECT doc_id, len(toks) AS n_tokens,
+        |    0.1::DOUBLE + list_reduce(list_prepend(0.0::DOUBLE, list_transform(toks,
+        |      x -> (((('0x'||substr(md5('w:' || ((('0x'||substr(md5(x),1,15))::UBIGINT)::BIGINT % 64)::VARCHAR),1,15))::UBIGINT)::BIGINT % 2001 - 1000) / 1000.0)::DOUBLE)),
+        |      (a, v) -> a + v) / len(toks) AS zval
+        |  FROM t),
+        |sc AS (SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |    1.0 / (1.0 + exp(-zval)) AS score FROM z)
+        |SELECT doc_id, n_tokens, round(score, 6) AS score,
+        |  CAST(score >= 0.55 AS INTEGER) AS accept FROM sc""".stripMargin,
 
     "docs_quality_blend" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),

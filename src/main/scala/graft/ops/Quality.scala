@@ -165,4 +165,53 @@ object Quality {
       .select(lit(k).as("k"), col("n_groups"), col("n_violating_groups"),
         col("n_rows_at_risk"), col("min_group_size"))
   }
+
+  /** Deterministic pseudo-trained weights for [[linearScore]] demos and
+    * tests: w_j = ((hash60("w:j") mod 2001) - 1000) / 1000 ∈ [-1, 1] —
+    * the same md5-derived family the LSH hyperplanes use, so an external
+    * engine can re-derive the identical vector. A real deployment passes
+    * its trained coefficients instead; the inference plan is the same. */
+  def pseudoWeights(d: Int): Seq[Double] =
+    (0 until d).map { j =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"w:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+    }
+
+  /** Linear text-classifier INFERENCE over hashed bag-of-words features —
+    * the fastText-style quality/toxicity/domain scorer every corpus
+    * pipeline runs over each document before filtering. The model is
+    * (weights, bias): score = σ(bias + mean over tokens of
+    * w[hash60(token) mod d]) — mean-pooled hashed unigram features, the
+    * hashing trick, so there is no vocabulary table at all.
+    *
+    * Scale shape — the weights are PLAN LITERALS: scoring is one narrow
+    * projection per row (a strict left fold over the document's token
+    * array, fully codegen'd), with NO join, NO broadcast exchange, and NO
+    * shuffle anywhere; 100 TB of documents score at scan speed. The fold
+    * accumulates in array order, so an external engine replays it
+    * bit-identically (the unigram-LM precedent). */
+  def linearScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: Seq[Double],
+      bias: Double,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(weights.nonEmpty, "need at least one weight")
+    val d = weights.size
+    val w = typedlit(weights)
+    val toks = TextFunctions.tokens(col(textCol))
+    val contrib = transform(toks, t =>
+      element_at(w, (TextFunctions.hash60(t) % d).cast("int") + 1))
+    df.select(col(idCol), contrib.as("__c"))
+      .select(col(idCol), size(col("__c")).as("n_tokens"),
+        (lit(bias) + aggregate(col("__c"), lit(0.0),
+          (acc, x) => acc + x) / size(col("__c"))).as("__z"))
+      .select(col(idCol), col("n_tokens"),
+        (lit(1.0) / (lit(1.0) + exp(-col("__z")))).as("score"))
+      .withColumn("accept", (col("score") >= threshold).cast("int"))
+  }
 }

@@ -71,4 +71,32 @@ class QualitySpec extends AnyFlatSpec with Matchers {
     ok.getLong(2) shouldBe 0L
     ok.getLong(3) shouldBe 0L
   }
+
+  behavior of "Quality.linearScore"
+
+  it should "score documents with literal weights and no shuffle" in {
+    val docs = Seq((1L, "good text here"), (2L, "bad"), (3L, "a a a a"))
+      .toDF("doc_id", "text")
+    // hand model: single weight bucket-independent check is impossible
+    // with d=1 collapsing every token to w(0) — mean pooling then makes
+    // score = sigmoid(bias + w0) for EVERY doc
+    val flat = Quality.linearScore(docs, "doc_id", "text",
+        weights = Seq(2.0), bias = -1.0, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._1)
+    flat.map(_._2) shouldBe Array(3, 1, 4) // token counts
+    all(flat.map(_._3)) shouldBe (1.0 / (1.0 + math.exp(-1.0)) +- 1e-12)
+    all(flat.map(_._4)) shouldBe 1
+    // deterministic pseudo-weights reproduce the md5 derivation
+    val w = Quality.pseudoWeights(4)
+    w.length shouldBe 4
+    all(w.map(math.abs)) should be <= 1.0
+    w shouldBe Quality.pseudoWeights(4)
+    // scale shape: weights are plan literals — no join, no exchange
+    val plan = Quality.linearScore(docs, "doc_id", "text",
+        Quality.pseudoWeights(64), bias = 0.1)
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "Join"
+  }
 }
