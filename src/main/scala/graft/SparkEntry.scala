@@ -1761,6 +1761,16 @@ object SparkEntry {
       graft.ops.Corpus.temperatureMix(
         table(s, dir, "documents"), "source", "n_chars", alpha = 0.5)),
 
+    // Extension: DSIR importance resampling (Xie et al. 2023) — pick the
+    // raw documents that look most like the 'en' target slice: hashed-
+    // unigram importance weights (two 64-bucket histograms → a literal
+    // log-ratio vector → one codegen'd fold per row), then deterministic
+    // Gumbel top-k so the draw samples ∝ exp(weight) reproducibly. Cut is
+    // a TakeOrderedAndProject, never a global sort.
+    "docs_dsir_sample" -> ((s, dir) =>
+      graft.ops.Corpus.dsirSample(spread(s, table(s, dir, "documents")),
+        "doc_id", "text", col("lang") === "en", d = 64, n = 50)),
+
     // Extension: deterministic training order — (shard, pos_in_shard)
     // from the salted id hash; sharding first bounds every rank window to
     // n/shards rows, so "shuffle 100 TB" never needs a global sort.
@@ -4892,6 +4902,35 @@ object SparkEntry {
         |  round(least(1.0, (100000.0 / k.k) / w_total), 6) AS keep_prob,
         |  CAST(floor(round(least(1.0, (100000.0 / k.k) / w_total), 6) * w_total) AS BIGINT) AS projected_w
         |FROM per, k""".stripMargin,
+
+    // The same two smoothed 64-bucket histograms, the same 12-decimal-
+    // canonicalized log-ratio vector, the same per-token fold in list
+    // order, and the same deterministic Gumbel keys.
+    "docs_dsir_sample" ->
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |tb AS (SELECT lang, ((('0x'||substr(md5(tok),1,15))::UBIGINT)::BIGINT % 64) AS b
+        |  FROM (SELECT lang, unnest(toks) AS tok FROM t)),
+        |ht AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM tb WHERE lang = 'en' GROUP BY 1),
+        |hr AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM tb GROUP BY 1),
+        |tots AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM ht) AS tt,
+        |               (SELECT CAST(sum(c) AS BIGINT) FROM hr) AS tr),
+        |lr AS (SELECT g.j AS b,
+        |    round(ln(((COALESCE(ht.c, 0) + 1) / (tots.tt + 64.0)) /
+        |             ((COALESCE(hr.c, 0) + 1) / (tots.tr + 64.0))), 12) AS w
+        |  FROM generate_series(0, 63) g(j) CROSS JOIN tots
+        |  LEFT JOIN ht ON ht.b = g.j LEFT JOIN hr ON hr.b = g.j),
+        |warr AS (SELECT list(w ORDER BY b) AS ws FROM lr),
+        |scored AS (SELECT doc_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(toks,
+        |      x -> ws[CAST((('0x'||substr(md5(x),1,15))::UBIGINT)::BIGINT % 64 AS INTEGER) + 1])),
+        |      (a, v) -> a + v) AS log_weight,
+        |    ((('0x'||substr(md5(doc_id::VARCHAR),1,15))::UBIGINT)::BIGINT + 1) / 1152921504606846977.0 AS u
+        |  FROM t CROSS JOIN warr),
+        |keyed AS (SELECT doc_id, log_weight,
+        |    log_weight + (-round(ln(-round(ln(u), 12)), 12)) AS pick_key
+        |  FROM scored)
+        |SELECT doc_id, round(log_weight, 6) AS log_weight, round(pick_key, 6) AS pick_key
+        |FROM keyed ORDER BY pick_key DESC, doc_id LIMIT 50""".stripMargin,
 
     "docs_temperature_mix" ->
       """WITH per AS (SELECT source, count(*) AS n_docs,

@@ -1955,4 +1955,60 @@ object Corpus {
       .withColumn("__cum", col("__cum_local") + col("__offset"))
       .drop("__pid", "__cum_local", "__offset")
   }
+
+  /** Data Selection via Importance Resampling (DSIR, Xie et al. 2023 —
+    * arXiv:2302.03169): pick the `n` raw documents that look most like a
+    * TARGET slice, by importance weights over hashed unigram features.
+    *
+    *  1. Two bucket histograms (target rows vs the whole corpus) over
+    *     `d` md5-hash buckets, add-1 smoothed into probabilities;
+    *  2. per-document log importance weight = Σ over tokens of
+    *     ln(p_target[bucket] / p_raw[bucket]);
+    *  3. GUMBEL TOP-K resampling — key = logweight − ln(−ln(u)) with
+    *     u ∈ (0,1) a deterministic md5 hash of the id, so the draw is
+    *     a reproducible sample ∝ exp(logweight), not a hard top-k (the
+    *     paper's resampling, de-randomized).
+    *
+    * Scale shape: each histogram is one explode + d-key map-side-combinable
+    * groupBy collected as d doubles (bounded driver state, the codebook
+    * precedent); the log-ratio vector then rides the plan as a LITERAL, so
+    * scoring is a codegen'd per-row fold — no vocabulary join, no shuffle
+    * — and the cut is a TakeOrderedAndProject (map-side partial top-n),
+    * never a global sort. Every ln() is canonicalized to 12 decimals so an
+    * external engine replays keys bit-identically (the unigram-LM recipe).
+    */
+  def dsirSample(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetFilter: Column,
+      d: Int = 64,
+      n: Int = 50
+  ): DataFrame = {
+    require(d > 0 && n > 0, s"d=$d and n=$n must be positive")
+    def hist(rows: DataFrame): Map[Int, Long] =
+      rows.select(explode(tokens(col(textCol))).as("__t"))
+        .select((hash60(col("__t")) % d).cast("int").as("__b"))
+        .groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def smooth(h: Map[Int, Long]): Seq[Double] = {
+      val tot = h.values.sum.toDouble + d
+      (0 until d).map(j => (h.getOrElse(j, 0L) + 1L) / tot)
+    }
+    val round12 = (x: Double) =>
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pT = smooth(hist(df.filter(targetFilter)))
+    val pR = smooth(hist(df))
+    val logRatio = typedlit((0 until d).map(j => round12(math.log(pT(j) / pR(j)))))
+    val u = (hash60(col(idCol).cast("string")) + 1L) / lit(1152921504606846977.0)
+    val gumbel = -round(log(-round(log(u), 12)), 12)
+    val scored = df.select(col(idCol),
+        aggregate(transform(tokens(col(textCol)), t =>
+            element_at(logRatio, (hash60(t) % d).cast("int") + 1)),
+          lit(0.0), (acc, x) => acc + x).as("log_weight"))
+      .withColumn("pick_key", col("log_weight") + gumbel)
+    scored.orderBy(col("pick_key").desc, col(idCol).asc).limit(n)
+      .select(col(idCol), round(col("log_weight"), 6).as("log_weight"),
+        round(col("pick_key"), 6).as("pick_key"))
+  }
 }

@@ -2745,6 +2745,35 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     plan should not include "SortMergeJoin"
   }
 
+  behavior of "DSIR importance resampling"
+
+  it should "upweight documents that look like the target slice, scoring without a shuffle" in {
+    // target slice speaks "alpha beta"; off-target docs speak "zzz www"
+    val docs = ((1L to 20L).map(i => (i, "alpha beta alpha beta", "en")) ++
+      (21L to 40L).map(i => (i, "zzz www zzz www", "xx"))).toDF("doc_id", "text", "lang")
+    val out = Corpus.dsirSample(docs, "doc_id", "text",
+        col("lang") === "en", d = 16, n = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    out.length shouldBe 10
+    // every target-vocabulary doc outweighs every off-target doc, and the
+    // Gumbel perturbation (|g| bounded for these u) cannot cross the gap,
+    // so the pick is entirely target-looking docs
+    all(out.map(_._1)) should be <= 20L
+    all(out.map(_._2)) should be > 0.0
+    // deterministic: same input → identical draw
+    val again = Corpus.dsirSample(docs, "doc_id", "text",
+        col("lang") === "en", d = 16, n = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    again shouldBe out
+    // plan shape: literal log-ratios → scoring joins nothing; the cut is
+    // a map-side partial top-n, never a global sort
+    val plan = Corpus.dsirSample(docs, "doc_id", "text",
+        col("lang") === "en", d = 16, n = 10)
+      .queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+    plan should not include "Join"
+  }
+
   behavior of "temperature mixing"
 
   it should "flatten source shares toward uniform with alpha < 1" in {
