@@ -2852,6 +2852,37 @@ object SparkEntry {
           col("n_rows_after"), col("chars_sum_after"), col("n_langs_after"))
     }),
 
+    // Extension: NAMED TAGS pin snapshots — tag the full table "audit",
+    // erase a language with a deletion vector, vacuum with zero
+    // retention: the tagged snapshot (manifest + files) survives the
+    // sweep and reads back bit-identically while CURRENT shows the
+    // erased view. The oracle derives both views from the raw table.
+    "ingest_manifest_tag" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratch("manifest_tag")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val langs = docs.select(col("lang")).distinct().as[String].collect().sorted
+      langs.foreach { l =>
+        graft.sources.ManifestTable.append(s, out,
+          docs.filter(col("lang") === l).coalesce(1))
+      }
+      val vAll = graft.sources.ManifestTable.currentVersion(s, out)
+      graft.sources.ManifestTable.tag(s, out, "audit", vAll)
+      graft.sources.ManifestTable.deleteVectorWhereEquals(s, out, "lang", "en")
+      graft.sources.ManifestTable.vacuum(s, out, retainStagedMillis = 0L)
+      val tagAgg = graft.sources.ManifestTable.readTag(s, out, "audit")
+        .agg(count(lit(1)).as("n_rows_tag"),
+          sum(col("n_chars")).as("chars_sum_tag"))
+      val curAgg = graft.sources.ManifestTable.read(s, out)
+        .agg(count(lit(1)).as("n_rows_current"),
+          sum(col("n_chars")).as("chars_sum_current"))
+      tagAgg.crossJoin(curAgg)
+        .select(lit(vAll).as("tag_version"), col("n_rows_tag"),
+          col("chars_sum_tag"), col("n_rows_current"),
+          col("chars_sum_current"))
+    }),
+
     // Extension: MERGE-ON-READ DELETE via deletion vectors — no data
     // file is rewritten; matching (file, row-index) positions land in a
     // tiny parquet sidecar recorded in the manifest header, and every
@@ -6279,6 +6310,19 @@ object SparkEntry {
         |     WHERE lang <> 'en') AS chars_sum_after,
         |  (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents
         |     WHERE lang <> 'en') AS n_langs_after""".stripMargin,
+
+    // One append per language (versions 0..n-1), so the tagged full
+    // snapshot is version n-1; the tag view is the whole table, the
+    // current view is the erased complement.
+    "ingest_manifest_tag" ->
+      """SELECT
+        |  (SELECT CAST(count(DISTINCT lang) - 1 AS BIGINT) FROM documents) AS tag_version,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows_tag,
+        |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS chars_sum_tag,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |     WHERE lang <> 'en') AS n_rows_current,
+        |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
+        |     WHERE lang <> 'en') AS chars_sum_current""".stripMargin,
 
     // Merge-on-read census: every band file survives both deletes
     // untouched; the two vectors' positions union to one interval

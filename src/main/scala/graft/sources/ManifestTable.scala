@@ -525,6 +525,61 @@ object ManifestTable {
     staged
   }
 
+  /** Name a committed snapshot — Iceberg's tag / Delta's "version as of
+    * a name" governance shape: `_tags/<name>` holds the manifest file
+    * name, set by the same tmp-write + atomic-overwrite-rename as the
+    * CURRENT pointer (re-tagging is one atomic swap). Tags PIN
+    * snapshots: [[vacuum]] never sweeps a tagged manifest or the files
+    * it references, so "prod", "audit-2026Q3", "rollback-point" survive
+    * history collapse — the retention contract a compliance pipeline
+    * needs before it can vacuum at all. */
+  def tag(spark: SparkSession, dir: String, name: String, version: Long): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"tag names are [A-Za-z0-9._-]+: '$name'")
+    val f = fs(dir, spark)
+    val mName = f"manifest-$version%020d.txt"
+    require(f.exists(new Path(new Path(dir, "_manifests"), mName)),
+      s"version $version not found (vacuumed, or never committed) in $dir")
+    val tdir = new Path(dir, "_tags")
+    f.mkdirs(tdir)
+    val tmp = new Path(tdir, s".$name.tmp.${UUID.randomUUID()}")
+    writeSmallFile(f, tmp, mName)
+    val fc = FileContext.getFileContext(
+      f.makeQualified(new Path(dir)).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(f.makeQualified(tmp), f.makeQualified(new Path(tdir, name)),
+      Options.Rename.OVERWRITE)
+  }
+
+  /** Every tag, name → pinned version. */
+  def tags(spark: SparkSession, dir: String): Map[String, Long] = {
+    val f = fs(dir, spark)
+    val tdir = new Path(dir, "_tags")
+    if (!f.exists(tdir)) Map.empty
+    else f.listStatus(tdir).toSeq
+      .filterNot(_.getPath.getName.startsWith("."))
+      .map { st =>
+        st.getPath.getName -> readSmallFile(f, st.getPath).trim
+          .stripPrefix("manifest-").stripSuffix(".txt").toLong
+      }.toMap
+  }
+
+  /** [[readVersion]] by tag name — deletion vectors of the pinned
+    * snapshot apply, exactly as they did when it was CURRENT. */
+  def readTag(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val f = fs(dir, spark)
+    val p = new Path(new Path(dir, "_tags"), name)
+    require(f.exists(p), s"tag '$name' not found in $dir")
+    readVersion(spark, dir, readSmallFile(f, p).trim
+      .stripPrefix("manifest-").stripSuffix(".txt").toLong)
+  }
+
+  /** Remove a tag (the snapshot itself stays until [[vacuum]]). */
+  def dropTag(spark: SparkSession, dir: String, name: String): Unit = {
+    val f = fs(dir, spark)
+    f.delete(new Path(new Path(dir, "_tags"), name), false): Unit
+  }
+
   // The carry list, its stats lines, and the version they came from —
   // read from ONE pointer resolution so they can never mix snapshots.
   private def carryState(f: FileSystem, dir: String): (Seq[String], Seq[String], Long) =
@@ -1230,6 +1285,9 @@ object ManifestTable {
     val curV = keep.stripPrefix("manifest-").stripSuffix(".txt").toLong
     val mdir = new Path(dir, "_manifests")
     val cutoff = System.currentTimeMillis() - retainStagedMillis
+    // tagged snapshots are PINNED: their manifests and files survive
+    val tagged = tags(spark, dir).values
+      .map(v => f"manifest-$v%020d.txt").toSet
     val retained = scala.collection.mutable.ArrayBuffer.empty[String]
     if (f.exists(mdir))
       f.listStatus(mdir).filter(_.getPath.getName != keep).foreach { st =>
@@ -1237,7 +1295,7 @@ object ManifestTable {
         val v = scala.util.Try(
           n.stripPrefix("manifest-").stripSuffix(".txt").toLong).toOption
         val inFlight = v.exists(_ > curV) && st.getModificationTime >= cutoff
-        if (inFlight) retained += n
+        if (inFlight || tagged.contains(n)) retained += n
         else f.delete(st.getPath, false): Unit
       }
     // deletion-vector sidecars are live exactly while a retained

@@ -750,4 +750,41 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
       ManifestTable.read(spark, dir).count() shouldBe 100
     } finally rm(dir)
   }
+
+  it should "pin tagged snapshots through vacuum and read them by name" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.append(spark, dir,
+        (0L until 100L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
+      ManifestTable.append(spark, dir,
+        (100L until 200L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1))
+      ManifestTable.tag(spark, dir, "audit", 1L)
+      ManifestTable.tags(spark, dir) shouldBe Map("audit" -> 1L)
+      // history moves on: full overwrite, then vacuum with zero retention
+      ManifestTable.commit(spark, dir,
+        (0L until 10L).map(i => (i, s"c$i")).toDF("id", "v"))
+      ManifestTable.vacuum(spark, dir, retainStagedMillis = 0L)
+      // v0 is swept, the tagged v1 survives with its files
+      intercept[IllegalArgumentException] {
+        ManifestTable.readVersion(spark, dir, 0L)
+      }
+      ManifestTable.readTag(spark, dir, "audit").count() shouldBe 200
+      ManifestTable.read(spark, dir).count() shouldBe 10
+      // re-tag moves the name; dropTag unpins
+      ManifestTable.tag(spark, dir, "audit", 2L)
+      ManifestTable.readTag(spark, dir, "audit").count() shouldBe 10
+      ManifestTable.dropTag(spark, dir, "audit")
+      ManifestTable.tags(spark, dir) shouldBe empty
+      intercept[IllegalArgumentException] {
+        ManifestTable.readTag(spark, dir, "audit")
+      }
+      // tagging a missing version refuses loudly
+      intercept[IllegalArgumentException] {
+        ManifestTable.tag(spark, dir, "nope", 99L)
+      }
+      intercept[IllegalArgumentException] {
+        ManifestTable.tag(spark, dir, "bad/name", 2L)
+      }
+    } finally rm(dir)
+  }
 }
