@@ -2897,7 +2897,7 @@ object SparkEntry {
       val out = scratch("manifest_dv")
       val docs = table(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("band", floor(col("n_chars") / 64).cast("long"))
+        .withColumn("band", floor(col("n_chars") / 128).cast("long"))
       val bands = docs.select(col("band")).distinct().as[Long].collect().sorted
       bands.foreach { b =>
         graft.sources.ManifestTable.append(s, out,
@@ -6329,7 +6329,7 @@ object SparkEntry {
     // (the second only lists rows the first left live).
     "ingest_manifest_dv" ->
       """WITH f AS (
-        |  SELECT CAST(floor(n_chars / 64) AS BIGINT) AS band
+        |  SELECT CAST(floor(n_chars / 128) AS BIGINT) AS band
         |  FROM documents GROUP BY 1)
         |SELECT
         |  (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_files_before,
