@@ -2852,6 +2852,36 @@ object SparkEntry {
           col("n_rows_after"), col("chars_sum_after"), col("n_langs_after"))
     }),
 
+    // Extension: PER-FILE BLOOM FILTERS in the manifest — the
+    // point-lookup complement to min/max zone maps: doc_id is scattered
+    // across the source-bucketed files, so range stats skip nothing, but
+    // each file's md5-derived bloom answers "certainly absent" from the
+    // manifest alone (zero footers or data opened at plan time). The
+    // oracle rebuilds every file's bloom bit-for-bit and derives the
+    // same kept-file census; an absent id's lookup may keep only
+    // false-positive files and finds zero rows.
+    "ingest_manifest_bloom" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratch("manifest_bloom")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("bkt", graft.ops.Corpus.hashBucket(col("source"), 8))
+      val bkts = docs.select(col("bkt")).distinct().as[Long].collect().sorted
+      bkts.foreach { b =>
+        graft.sources.ManifestTable.append(s, out,
+          docs.filter(col("bkt") === b).drop("bkt").coalesce(1))
+      }
+      graft.sources.ManifestTable.addBloom(s, out, "doc_id", words = 64, k = 4)
+      val rows = Seq(5L, 123L, 999999L).map { p =>
+        val (kept, total) = graft.sources.ManifestTable
+          .pruneByBloom(s, out, "doc_id", p.toString)
+        val n = graft.sources.ManifestTable
+          .readWhereEqualsBloom(s, out, "doc_id", p.toString).count()
+        (p, total.toLong, kept.size.toLong, n)
+      }
+      rows.toDF("probe_id", "n_files_total", "n_files_kept", "n_rows")
+    }),
+
     // Extension: NAMED TAGS pin snapshots — tag the full table "audit",
     // erase a language with a deletion vector, vacuum with zero
     // retention: the tagged snapshot (manifest + files) survives the
@@ -6310,6 +6340,31 @@ object SparkEntry {
         |     WHERE lang <> 'en') AS chars_sum_after,
         |  (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents
         |     WHERE lang <> 'en') AS n_langs_after""".stripMargin,
+
+    // The same 8 source-hash buckets, each file's 4096-bit bloom rebuilt
+    // from the same 4 md5-derived positions per doc_id; a file is kept
+    // iff it holds ALL of the probe's positions.
+    "ingest_manifest_bloom" ->
+      """WITH b AS (SELECT doc_id,
+        |    (('0x'||substr(md5(source),1,7))::UBIGINT)::BIGINT % 8 AS bkt
+        |  FROM documents),
+        |pos AS (SELECT bkt,
+        |    (('0x'||substr(md5(doc_id::VARCHAR), 1+5*j, 5))::UBIGINT)::BIGINT % 4096 AS p
+        |  FROM b, generate_series(0, 3) g(j)),
+        |pset AS (SELECT bkt, list(DISTINCT p) AS ps FROM pos GROUP BY 1),
+        |probes AS (SELECT CAST(probe_id AS BIGINT) AS probe_id
+        |  FROM (VALUES (5), (123), (999999)) t(probe_id)),
+        |pp AS (SELECT probe_id,
+        |    list(DISTINCT (('0x'||substr(md5(probe_id::VARCHAR), 1+5*j, 5))::UBIGINT)::BIGINT % 4096) AS plist
+        |  FROM probes, generate_series(0, 3) g(j) GROUP BY 1),
+        |kept AS (SELECT pp.probe_id, CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM pp, pset WHERE list_has_all(pset.ps, pp.plist) GROUP BY 1)
+        |SELECT pp.probe_id,
+        |  (SELECT CAST(count(DISTINCT bkt) AS BIGINT) FROM b) AS n_files_total,
+        |  COALESCE(kept.n_kept, 0) AS n_files_kept,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |     WHERE doc_id = pp.probe_id) AS n_rows
+        |FROM pp LEFT JOIN kept ON kept.probe_id = pp.probe_id""".stripMargin,
 
     // One append per language (versions 0..n-1), so the tagged full
     // snapshot is version n-1; the tag view is the whole table, the

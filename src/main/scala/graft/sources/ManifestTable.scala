@@ -136,10 +136,21 @@ object ManifestTable {
   private def dvLineOf(rel: String): String = s"#dv=${b64(rel)}"
 
   // header lines every new manifest carries forward verbatim from its
-  // basis snapshot (data-skipping stats + deletion vectors)
+  // basis snapshot (data-skipping stats, deletion vectors, blooms)
   private def carriedHeaderLines(f: FileSystem, dir: String, name: String): Seq[String] =
-    manifestLines(f, dir, name)
-      .filter(l => l.startsWith("#stats=") || l.startsWith("#dv="))
+    manifestLines(f, dir, name).filter(l =>
+      l.startsWith("#stats=") || l.startsWith("#dv=") || l.startsWith("#bloom="))
+
+  // header lines a PARTIAL rewrite carries: per-file stats and blooms only
+  // for files that survive (`keepRel`); deletion vectors always carry
+  // verbatim (entries for dropped rels anti-join nothing)
+  private def carriedHeadersFor(
+      lines: Seq[String], keepRel: String => Boolean): Seq[String] =
+    lines.filter { l =>
+      if (l.startsWith("#stats=")) parseStatsLine(l).exists(cs => keepRel(cs.file))
+      else if (l.startsWith("#bloom=")) parseBloomLine(l).exists(b => keepRel(b._1))
+      else l.startsWith("#dv=")
+    }
 
   /** The dir-relative paths ('data/<uuid>/…parquet') the file-scan
     * metadata column resolves to: every data file lives under one
@@ -580,6 +591,155 @@ object ManifestTable {
     f.delete(new Path(new Path(dir, "_tags"), name), false): Unit
   }
 
+  // #bloom=<b64 rel>|<b64 col>|<k>|<mBits>|<b64 sparse "word:hex,...">
+  // — one PORTABLE per-file Bloom filter over a column's values, the
+  // point-lookup complement to the min/max zone maps: range stats skip
+  // nothing for a high-cardinality column scattered across files; the
+  // bloom skips every file that provably lacks the value. Positions are
+  // md5-derived (5 hex chars per hash) with 32-bit chunking, the same
+  // engine-portable family as graft.ops.Corpus's Bloom ops.
+  private final case class FileBloom(k: Int, mBits: Long, bits: Map[Long, Long])
+
+  private def bloomLineOf(
+      rel: String, column: String, fb: FileBloom): String = {
+    val sparse = fb.bits.toSeq.sorted
+      .map { case (w, b) => s"$w:${java.lang.Long.toHexString(b)}" }
+      .mkString(",")
+    s"#bloom=${b64(rel)}|${b64(column)}|${fb.k}|${fb.mBits}|${b64(sparse)}"
+  }
+
+  private def parseBloomLine(l: String): Option[(String, String, FileBloom)] =
+    l.stripPrefix("#bloom=").split('|') match {
+      case Array(rel, c, k, m, sparse) =>
+        val bits = unb64(sparse).split(',').iterator.filter(_.nonEmpty).map { p =>
+          val Array(w, h) = p.split(':')
+          w.toLong -> java.lang.Long.parseUnsignedLong(h, 16)
+        }.toMap
+        Some((unb64(rel), unb64(c), FileBloom(k.toInt, m.toLong, bits)))
+      case _ => None
+    }
+
+  private def bloomPositions(value: String, k: Int, mBits: Long): Seq[Long] = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    (0 until k).map(j =>
+      java.lang.Long.parseLong(hex.substring(5 * j, 5 * j + 5), 16) % mBits)
+  }
+
+  /** Record a per-file Bloom filter over `column` for every current file
+    * that lacks one — ONE metadata transaction (same data files, stats,
+    * vectors; new `#bloom=` header lines). The build scans ONLY the
+    * unbloomeed files once (per-file bit positions fold with a
+    * map-side-combinable bit_or; the collected state is #files × a few
+    * sparse words). Files appended later simply lack a bloom until the
+    * next call — missing means "cannot skip", the stats contract.
+    * Blooms are computed over raw file contents, so rows hidden by
+    * deletion vectors can only cause a false KEEP, never a wrong skip. */
+  def addBloom(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      words: Int = 64,
+      k: Int = 4
+  ): StagedCommit = {
+    require(Integer.bitCount(words) == 1 && words <= (1 << 14),
+      "words must be a power of two <= 16384 (bit positions are 20-bit)")
+    require(k >= 1 && k <= 6, "k hashes draw 5 hex chars each from one md5")
+    import org.apache.spark.sql.functions.{bit_or, explode, expr, shiftright}
+    import org.apache.spark.sql.functions.{array, col, conv, lit, md5, substring}
+    val f = fs(dir, spark)
+    val name = readSmallFile(f, new Path(dir, PointerName)).trim
+    val basis = name.stripPrefix("manifest-").stripSuffix(".txt").toLong
+    val lines = manifestLines(f, dir, name)
+    val have = lines.filter(_.startsWith("#bloom="))
+      .flatMap(parseBloomLine).filter(_._2 == column).map(_._1).toSet
+    val todo = manifestRel(f, dir, name).filterNot(have)
+    if (todo.isEmpty) return StagedCommit(basis, name, basis)
+    val mBits = words.toLong * 64L
+    val pos = array((0 until k).map { j =>
+      conv(substring(md5(col(column).cast("string")), 1 + 5 * j, 5), 16, 10)
+        .cast("long") % mBits
+    }: _*)
+    val rows = spark.read
+      .parquet(todo.map(rel => new Path(dir, rel).toString): _*)
+      .select(relOfFilePath(col("_metadata.file_path")).as("__rel"),
+        explode(pos).as("__p"))
+      .select(col("__rel"), shiftright(col("__p"), 5).as("__w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__p & 31 AS INT))").as("__m"))
+      .groupBy(col("__rel"), col("__w")).agg(bit_or(col("__m")).as("__b"))
+      .collect()
+    val byRel = rows.groupBy(_.getString(0)).map { case (rel, rs) =>
+      rel -> FileBloom(k, mBits,
+        rs.map(r => r.getLong(1) -> r.getLong(2)).toMap)
+    }
+    val newLines = todo.flatMap(rel =>
+      byRel.get(rel).map(fb => bloomLineOf(rel, column, fb)))
+    val schemaLine = lines.filter(_.startsWith("#schema="))
+    val header = lines.filter(l =>
+      l.startsWith("#stats=") || l.startsWith("#dv=") || l.startsWith("#bloom="))
+    val content =
+      ((schemaLine ++ (header ++ newLines).sorted) ++
+        manifestRel(f, dir, name).sorted).mkString("\n")
+    val staged = claimManifestSlot(spark, dir, content, basis)
+    publish(spark, dir, staged)
+    staged
+  }
+
+  /** Partition the current snapshot's files into (survivors, total) for
+    * `column = value` using ONLY the manifest's Bloom headers — zero
+    * footers or data opened. A file is skipped exactly when its bloom
+    * provably lacks one of the value's bit positions; files with no
+    * bloom for `column` are conservatively kept. This is the
+    * point-lookup move min/max stats cannot make: a high-cardinality id
+    * scattered across files has useless range stats, but each file's
+    * bloom answers "certainly absent" for all but ~fp-rate of files. */
+  def pruneByBloom(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      value: String): (Seq[String], Int) = {
+    val f = fs(dir, spark)
+    val ptr = new Path(dir, PointerName)
+    require(f.exists(ptr), s"not a manifest table (no $PointerName): $dir")
+    val name = readSmallFile(f, ptr).trim
+    val blooms = manifestLines(f, dir, name).filter(_.startsWith("#bloom="))
+      .flatMap(parseBloomLine).filter(_._2 == column)
+      .map(t => t._1 -> t._3).toMap
+    val rels = manifestRel(f, dir, name)
+    val kept = rels.filter { rel =>
+      blooms.get(rel).forall { fb =>
+        bloomPositions(value, fb.k, fb.mBits).forall { p =>
+          (fb.bits.getOrElse(p >> 5, 0L) & (1L << (p & 31L).toInt)) != 0L
+        }
+      }
+    }
+    (kept.map(rel => new Path(dir, rel).toString), rels.size)
+  }
+
+  /** Bloom-pruned point lookup: `column = value` over only the files
+    * [[pruneByBloom]] keeps (deletion vectors applied, the row filter
+    * still evaluated). Equivalent to `read(...).filter(col === value)`
+    * by construction — blooms have false positives, never negatives. */
+  def readWhereEqualsBloom(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      value: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (kept, _) = pruneByBloom(spark, dir, column, value)
+    val f = fs(dir, spark)
+    val name = readSmallFile(f, new Path(dir, PointerName)).trim
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          currentSchema(spark, dir).getOrElse(read(spark, dir).schema))
+      else applyDv(spark, dir, spark.read.parquet(kept: _*),
+        dvRelsOf(manifestDvLines(f, dir, name)))
+    base.filter(col(column).cast("string") === value)
+  }
+
   // The carry list, its stats lines, and the version they came from —
   // read from ONE pointer resolution so they can never mix snapshots.
   private def carryState(f: FileSystem, dir: String): (Seq[String], Seq[String], Long) =
@@ -779,12 +939,14 @@ object ManifestTable {
     }
     val root = f.makeQualified(new Path(dir)).toUri.getPath
     val newDvRels = dvFiles.map(_.toUri.getPath.stripPrefix(root).stripPrefix("/"))
-    // same data files, same stats, one more vector — header-only commit
+    // same data files, same stats/blooms, one more vector — header-only
+    // commit
     val lines = manifestLines(f, dir, name)
     val schemaLine = lines.filter(_.startsWith("#schema="))
-    val stats = lines.filter(_.startsWith("#stats="))
+    val carried = lines.filter(l =>
+      l.startsWith("#stats=") || l.startsWith("#bloom="))
     val content =
-      ((schemaLine ++ (stats ++ dvLines ++ newDvRels.map(dvLineOf)).sorted) ++
+      ((schemaLine ++ (carried ++ dvLines ++ newDvRels.map(dvLineOf)).sorted) ++
         manifestRel(f, dir, name).sorted).mkString("\n")
     val staged = claimManifestSlot(spark, dir, content, basis)
     publish(spark, dir, staged)
@@ -814,15 +976,15 @@ object ManifestTable {
     }
     val untouchedSet = untouched.toSet
     val dvLines = manifestDvLines(f, dir, name)
-    val carryStats = manifestLines(f, dir, name).filter(_.startsWith("#stats="))
-      .filter(l => parseStatsLine(l).exists(cs => untouchedSet.contains(cs.file)))
+    val carryHeaders =
+      carriedHeadersFor(manifestLines(f, dir, name), untouchedSet.contains)
     // candidates re-read WITH deletion vectors applied (a DV'd row must
     // not resurrect in the rewrite); the vectors carry verbatim — their
     // entries for rewritten files reference dead rels and match nothing
     val candDf = applyDv(spark, dir,
       spark.read.parquet(candidates: _*), dvRelsOf(dvLines))
     val staged = stage(spark, dir, rewrite(candDf), untouched,
-      carryStats ++ dvLines, Some(basis))
+      carryHeaders, Some(basis))
     publish(spark, dir, staged)
     staged
   }
@@ -879,8 +1041,8 @@ object ManifestTable {
     }
     val untouchedSet = untouched.toSet
     val dvLines = manifestDvLines(f, dir, name)
-    val carryStats = manifestLines(f, dir, name).filter(_.startsWith("#stats="))
-      .filter(l => parseStatsLine(l).exists(cs => untouchedSet.contains(cs.file)))
+    val carryHeaders =
+      carriedHeadersFor(manifestLines(f, dir, name), untouchedSet.contains)
     val base =
       if (candidates.isEmpty)
         spark.createDataFrame(
@@ -889,7 +1051,7 @@ object ManifestTable {
         spark.read.parquet(candidates: _*), dvRelsOf(dvLines))
     val merged = graft.ops.Corpus.mergeUpsert(base, updates, keyCol, versionCol)
     val staged = stage(spark, dir, merged, untouched,
-      carryStats ++ dvLines, Some(basis))
+      carryHeaders, Some(basis))
     publish(spark, dir, staged)
     staged
   }
@@ -997,9 +1159,8 @@ object ManifestTable {
         val keptSet = kept.toSet
         // deletion vectors carry verbatim: entries for replaced files
         // reference rels no longer in the manifest and anti-join nothing
-        (kept, manifestLines(f, dir, name).filter(_.startsWith("#stats="))
-          .filter(l => parseStatsLine(l).exists(cs => keptSet.contains(cs.file))) ++
-          manifestDvLines(f, dir, name),
+        (kept,
+          carriedHeadersFor(manifestLines(f, dir, name), keptSet.contains),
           name.stripPrefix("manifest-").stripSuffix(".txt").toLong)
       }
     val conf = spark.sparkContext.hadoopConfiguration

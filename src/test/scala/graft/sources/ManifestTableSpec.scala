@@ -787,4 +787,49 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
       }
     } finally rm(dir)
   }
+
+  it should "skip files by manifest blooms for point lookups, never losing rows" in {
+    val dir = tmpDir()
+    try {
+      // 4 files keyed by id range; ids are high-cardinality, so min/max
+      // stats WOULD prune here — the bloom must work without relying on
+      // the clustered layout, so probe ids live in exactly one file each
+      Seq(0L, 1000L, 2000L, 3000L).foreach { lo =>
+        ManifestTable.append(spark, dir,
+          (lo until lo + 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+      }
+      ManifestTable.addBloom(spark, dir, "id", words = 64, k = 4)
+      val (kept, total) = ManifestTable.pruneByBloom(spark, dir, "id", "2042")
+      total shouldBe 4
+      kept.size should be < 4 // 4096 bits vs 100 ids: skips are certain
+      ManifestTable.readWhereEqualsBloom(spark, dir, "id", "2042")
+        .count() shouldBe 1
+      // absent id: bloom may keep false-positive files, never finds rows
+      ManifestTable.readWhereEqualsBloom(spark, dir, "id", "999999")
+        .count() shouldBe 0
+      // appends lack blooms until the next addBloom — conservative keep
+      ManifestTable.append(spark, dir,
+        (5000L until 5050L).map(i => (i, s"n$i")).toDF("id", "v").coalesce(1))
+      val (kept2, total2) = ManifestTable.pruneByBloom(spark, dir, "id", "2042")
+      total2 shouldBe 5
+      kept2.size shouldBe (kept.size + 1) // old skips hold, new file kept
+      // incremental addBloom covers ONLY the new file, then it prunes too
+      ManifestTable.addBloom(spark, dir, "id", words = 64, k = 4)
+      val (kept3, _) = ManifestTable.pruneByBloom(spark, dir, "id", "2042")
+      kept3.size shouldBe kept.size
+      ManifestTable.readWhereEqualsBloom(spark, dir, "id", "5001")
+        .count() shouldBe 1
+      // blooms survive a copy-on-write delete of OTHER files, and the
+      // rewritten file's stale bloom drops with it
+      ManifestTable.deleteWhere(spark, dir, "id", 0.0, 50.0)
+      val (kept4, _) = ManifestTable.pruneByBloom(spark, dir, "id", "2042")
+      kept4.size should be <= kept3.size + 1 // rewritten file unbloomeed -> kept
+      ManifestTable.readWhereEqualsBloom(spark, dir, "id", "2042")
+        .count() shouldBe 1
+      // and they compose with deletion vectors: erase the probed row
+      ManifestTable.deleteVectorWhere(spark, dir, "id", 2042.0, 2042.0)
+      ManifestTable.readWhereEqualsBloom(spark, dir, "id", "2042")
+        .count() shouldBe 0
+    } finally rm(dir)
+  }
 }
