@@ -2506,6 +2506,24 @@ object SparkEntry {
         table(s, dir, "lineitem"), table(s, dir, "supplier"),
         "1996-01-01", "1996-04-01")),
 
+    // Extension: Q9-flavor product-line profit by supplier nation and
+    // order year (unit cost modeled as 60% of retail price — no partsupp
+    // in this schema). Name filter pushed to the part scan, nation
+    // broadcast, profit folded in DECIMAL before the one rollup shuffle.
+    "star_profit_by_nation" -> ((s, dir) =>
+      graft.ops.Star.profitByNation(
+        table(s, dir, "lineitem"), table(s, dir, "orders"),
+        table(s, dir, "supplier"), table(s, dir, "part"),
+        table(s, dir, "nation"), "an")),
+
+    // Extension: Q18-flavor large-volume orders — per-order quantity
+    // rollup on the fact's own key, HAVING cut before any join, top-k
+    // as a TakeOrderedAndProject.
+    "star_large_orders" -> ((s, dir) =>
+      graft.ops.Star.largeOrderCustomers(
+        table(s, dir, "lineitem"), table(s, dir, "orders"),
+        table(s, dir, "customer"), minQty = 200.0, k = 20)),
+
     // Extension: WARC ingestion (the CommonCrawl format) — documents
     // serialize to real WARC/1.0 files (one per partition), read back by
     // Content-Length framing; the md5 roundtrip proves byte fidelity.
@@ -6124,6 +6142,33 @@ object SparkEntry {
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+
+    // Same DECIMAL-folded profit expression, same 60%-of-retail cost
+    // model, same (nation, year) rollup.
+    "star_profit_by_nation" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    - 0.6 * p_retailprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_profit,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND contains(p_name, 'an')
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Per-order quantity sums in DECIMAL, HAVING > 200, value-ranked
+    // top-20 with the orderkey tiebreak.
+    "star_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,6))) AS qty
+        |  FROM lineitem GROUP BY 1 HAVING qty > 200)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  round(o_totalprice, 2) AS o_totalprice,
+        |  round(CAST(qty AS DOUBLE), 2) AS total_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY orders.o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "star_top_supplier" ->
       """WITH rev AS (

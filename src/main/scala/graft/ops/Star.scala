@@ -497,6 +497,71 @@ object Star {
   /** Pricing summary by returnflag/linestatus (TPC-H Q1 flavor): the
     * single-fact rollup — one shuffle on the two grouping columns,
     * everything else map-side partials over the scan. */
+  /** Product-line profit by supplier nation and order year (TPC-H Q9
+    * flavor, adapted to this schema: there is no partsupp table, so unit
+    * cost is modeled as 60% of `p_retailprice`). The part-name substring
+    * filter pushes to the part scan; nation broadcasts (fixed 25 rows);
+    * part, supplier and orders are sf-scaled and join by shuffle; the
+    * profit expression folds in DECIMAL before the one (nation, year)
+    * aggregate shuffle. */
+  def profitByNation(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      supplier: DataFrame,
+      part: DataFrame,
+      nation: DataFrame,
+      namePattern: String
+  ): DataFrame = {
+    val p = part.filter(col("p_name").contains(namePattern))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val profit = (col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      lit(0.6) * col("p_retailprice") * col("l_quantity")).cast(dec)
+    lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(orders.select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"),
+          col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(round(sum(profit).cast("double"), 2).as("sum_profit"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Large-volume orders and who placed them (TPC-H Q18 flavor): orders
+    * whose line quantities total past `minQty`, top-k by order value.
+    * The per-order quantity rollup is one map-side-combinable groupBy
+    * on the fact's own key; the HAVING filter drops almost everything
+    * BEFORE the joins; the cut is a TakeOrderedAndProject with an
+    * orderkey tiebreak. */
+  def largeOrderCustomers(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      minQty: Double,
+      k: Int
+  ): DataFrame = {
+    val big = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(dec)).as("__qty"))
+      .filter(col("__qty") > minQty)
+    orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      // rank on the RAW price (rounding only in the output projection, so
+      // near-tie orders can never flip rank against an external replay)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(k)
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        round(col("__qty").cast("double"), 2).as("total_qty"))
+  }
+
   def pricingSummary(lineitem: DataFrame, shipUntil: String): DataFrame =
     lineitem
       .filter(col("l_shipdate") <= Ts.literal(lineitem, "l_shipdate", shipUntil))

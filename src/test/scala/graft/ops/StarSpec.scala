@@ -276,4 +276,36 @@ class StarSpec extends AnyFlatSpec with Matchers {
       ordersScan should include("o_orderdate")
     }
   }
+
+  it should "plan Q9/Q18 flavors with pushed filters and pre-join cuts" in {
+    val dir = "/root/testdata/sf0.001"
+    def t(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val q9 = Star.profitByNation(t("lineitem"), t("orders"), t("supplier"),
+      t("part"), t("nation"), "an")
+    q9.collect().length should be >= 1
+    val p9 = q9.queryExecution.executedPlan.toString
+    withClue(p9) {
+      // fixed 25-row nation broadcasts; nothing goes nested-loop
+      p9 should include("BroadcastHashJoin")
+      p9 should not include "BroadcastNestedLoopJoin"
+      p9 should not include "CartesianProduct"
+      // the name-substring filter reaches the part scan
+      val partScan = p9.linesIterator
+        .filter(l => l.contains("part.parquet") && l.contains("PushedFilters"))
+        .mkString
+      partScan should include("p_name")
+    }
+    val q18 = Star.largeOrderCustomers(t("lineitem"), t("orders"),
+      t("customer"), minQty = 200.0, k = 20)
+    val rows = q18.collect()
+    rows.length should be > 0
+    rows.length should be <= 20
+    all(rows.map(_.getDouble(4))) should be > 200.0
+    val p18 = q18.queryExecution.executedPlan.toString
+    withClue(p18) {
+      // the value-ranked cut is a map-side partial top-k, never a sort
+      p18 should include("TakeOrderedAndProject")
+      p18 should not include "CartesianProduct"
+    }
+  }
 }
