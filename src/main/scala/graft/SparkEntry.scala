@@ -2870,6 +2870,42 @@ object SparkEntry {
           col("n_rows_after"), col("chars_sum_after"), col("n_langs_after"))
     }),
 
+    // Extension: PER-FILE KMV DISTINCT-COUNT SKETCHES in the manifest —
+    // the join-planning statistic from metadata alone: each file carries
+    // its k smallest md5 value-hashes; KMV merges exactly (union, keep k
+    // smallest), so the TABLE-level NDV estimate never scans data. The
+    // high-cardinality column exercises the (k−1)·2^60/h_k estimator,
+    // the low-cardinality one the exact below-k path; the oracle
+    // re-derives both from the same hashes.
+    "ingest_manifest_ndv" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratch("manifest_ndv")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("bkt", graft.ops.Corpus.hashBucket(col("source"), 8))
+      val bkts = docs.select(col("bkt")).distinct().as[Long].collect().sorted
+      bkts.foreach { b =>
+        graft.sources.ManifestTable.append(s, out,
+          docs.filter(col("bkt") === b).drop("bkt").coalesce(1))
+      }
+      graft.sources.ManifestTable.addNdvSketch(s, out, "doc_id", k = 64)
+      graft.sources.ManifestTable.addNdvSketch(s, out, "source", k = 64)
+      val (eDoc, sDoc, tDoc) = graft.sources.ManifestTable
+        .estimateDistinct(s, out, "doc_id")
+      val (eSrc, sSrc, _) = graft.sources.ManifestTable
+        .estimateDistinct(s, out, "source")
+      graft.sources.ManifestTable.read(s, out)
+        .agg(countDistinct(col("doc_id")).as("doc_exact"),
+          countDistinct(col("source")).as("source_exact"))
+        .select(lit(tDoc.toLong).as("n_files"),
+          lit(sDoc.toLong).as("n_sketched_doc"),
+          lit(sSrc.toLong).as("n_sketched_source"),
+          round(lit(eDoc), 3).as("doc_ndv_estimate"),
+          col("doc_exact"),
+          round(lit(eSrc), 3).as("source_ndv_estimate"),
+          col("source_exact"))
+    }),
+
     // Extension: PER-FILE BLOOM FILTERS in the manifest — the
     // point-lookup complement to min/max zone maps: doc_id is scattered
     // across the source-bucketed files, so range stats skip nothing, but
@@ -6385,6 +6421,33 @@ object SparkEntry {
         |     WHERE lang <> 'en') AS chars_sum_after,
         |  (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents
         |     WHERE lang <> 'en') AS n_langs_after""".stripMargin,
+
+    // Merged KMV = the global k smallest distinct hashes (every global
+    // minimum is inside its own file's k smallest), so the oracle skips
+    // the per-file step: k-th smallest distinct 60-bit hash → estimator;
+    // the 20-source column stays below k and reads back exact.
+    "ingest_manifest_ndv" ->
+      """WITH hd AS (SELECT DISTINCT
+        |    (('0x'||substr(md5(doc_id::VARCHAR),1,15))::UBIGINT)::BIGINT AS h
+        |  FROM documents),
+        |kd AS (SELECT h FROM hd ORDER BY h LIMIT 64),
+        |ed AS (SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |    ELSE 63.0 * 1152921504606846976.0 / max(h) END AS e FROM kd),
+        |hs AS (SELECT DISTINCT
+        |    (('0x'||substr(md5(source),1,15))::UBIGINT)::BIGINT AS h
+        |  FROM documents),
+        |ks AS (SELECT h FROM hs ORDER BY h LIMIT 64),
+        |es AS (SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |    ELSE 63.0 * 1152921504606846976.0 / max(h) END AS e FROM ks),
+        |fl AS (SELECT CAST(count(DISTINCT
+        |    (('0x'||substr(md5(source),1,7))::UBIGINT)::BIGINT % 8) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT fl.n AS n_files, fl.n AS n_sketched_doc, fl.n AS n_sketched_source,
+        |  round(ed.e, 3) AS doc_ndv_estimate,
+        |  (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents) AS doc_exact,
+        |  round(es.e, 3) AS source_ndv_estimate,
+        |  (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM documents) AS source_exact
+        |FROM fl, ed, es""".stripMargin,
 
     // The same 8 source-hash buckets, each file's 4096-bit bloom rebuilt
     // from the same 4 md5-derived positions per doc_id; a file is kept

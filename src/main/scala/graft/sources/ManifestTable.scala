@@ -139,16 +139,19 @@ object ManifestTable {
   // basis snapshot (data-skipping stats, deletion vectors, blooms)
   private def carriedHeaderLines(f: FileSystem, dir: String, name: String): Seq[String] =
     manifestLines(f, dir, name).filter(l =>
-      l.startsWith("#stats=") || l.startsWith("#dv=") || l.startsWith("#bloom="))
+      l.startsWith("#stats=") || l.startsWith("#dv=") ||
+        l.startsWith("#bloom=") || l.startsWith("#ndv="))
 
-  // header lines a PARTIAL rewrite carries: per-file stats and blooms only
-  // for files that survive (`keepRel`); deletion vectors always carry
-  // verbatim (entries for dropped rels anti-join nothing)
+  // header lines a PARTIAL rewrite carries: per-file stats, blooms and
+  // NDV sketches only for files that survive (`keepRel`); deletion
+  // vectors always carry verbatim (entries for dropped rels anti-join
+  // nothing)
   private def carriedHeadersFor(
       lines: Seq[String], keepRel: String => Boolean): Seq[String] =
     lines.filter { l =>
       if (l.startsWith("#stats=")) parseStatsLine(l).exists(cs => keepRel(cs.file))
       else if (l.startsWith("#bloom=")) parseBloomLine(l).exists(b => keepRel(b._1))
+      else if (l.startsWith("#ndv=")) parseNdvLine(l).exists(n => keepRel(n._1))
       else l.startsWith("#dv=")
     }
 
@@ -676,8 +679,8 @@ object ManifestTable {
     val newLines = todo.flatMap(rel =>
       byRel.get(rel).map(fb => bloomLineOf(rel, column, fb)))
     val schemaLine = lines.filter(_.startsWith("#schema="))
-    val header = lines.filter(l =>
-      l.startsWith("#stats=") || l.startsWith("#dv=") || l.startsWith("#bloom="))
+    val header = lines.filter(l => l.startsWith("#stats=") ||
+      l.startsWith("#dv=") || l.startsWith("#bloom=") || l.startsWith("#ndv="))
     val content =
       ((schemaLine ++ (header ++ newLines).sorted) ++
         manifestRel(f, dir, name).sorted).mkString("\n")
@@ -715,6 +718,101 @@ object ManifestTable {
       }
     }
     (kept.map(rel => new Path(dir, rel).toString), rels.size)
+  }
+
+  // #ndv=<b64 rel>|<b64 col>|<k>|<b64 "h1,h2,...">
+  // — one K-MINIMUM-VALUES sketch per file over a column's values: the k
+  // smallest 60-bit md5 hashes of the file's DISTINCT values. KMV merges
+  // exactly (union the lists, keep the k smallest — identical to
+  // sketching the union directly), so a TABLE-level distinct-count
+  // estimate comes from the manifest alone, the statistic a cost-based
+  // join planner wants without scanning 100 TB. Estimator: the classic
+  // (k−1)·2^60 / h_k, exact below k distinct values.
+  private def ndvLineOf(rel: String, column: String, k: Int, mins: Seq[Long]): String =
+    s"#ndv=${b64(rel)}|${b64(column)}|$k|${b64(mins.mkString(","))}"
+
+  private def parseNdvLine(l: String): Option[(String, String, Int, Seq[Long])] =
+    l.stripPrefix("#ndv=").split('|') match {
+      case Array(rel, c, k, mins) =>
+        Some((unb64(rel), unb64(c), k.toInt,
+          unb64(mins).split(',').iterator.filter(_.nonEmpty).map(_.toLong).toSeq))
+      case _ => None
+    }
+
+  /** Record a KMV distinct-count sketch over `column` for every current
+    * file lacking one — ONE metadata transaction, like [[addBloom]]. The
+    * build scans only the unsketched files; per file the k smallest
+    * distinct hashes rank through a WindowGroupLimit (map-side partial
+    * top-k), and the collected state is #files × k longs. */
+  def addNdvSketch(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      k: Int = 64
+  ): StagedCommit = {
+    require(k >= 2, s"k must be at least 2: $k")
+    import org.apache.spark.sql.functions.{col, collect_list, conv}
+    import org.apache.spark.sql.functions.{md5, row_number, sort_array, substring}
+    val f = fs(dir, spark)
+    val name = readSmallFile(f, new Path(dir, PointerName)).trim
+    val basis = name.stripPrefix("manifest-").stripSuffix(".txt").toLong
+    val lines = manifestLines(f, dir, name)
+    val have = lines.filter(_.startsWith("#ndv="))
+      .flatMap(parseNdvLine).filter(_._2 == column).map(_._1).toSet
+    val todo = manifestRel(f, dir, name).filterNot(have)
+    if (todo.isEmpty) return StagedCommit(basis, name, basis)
+    val h = conv(substring(md5(col(column).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__rel")).orderBy(col("__h").asc)
+    val rows = spark.read
+      .parquet(todo.map(rel => new Path(dir, rel).toString): _*)
+      .select(relOfFilePath(col("_metadata.file_path")).as("__rel"),
+        h.as("__h"))
+      .distinct()
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .groupBy(col("__rel"))
+      .agg(sort_array(collect_list(col("__h"))).as("__mins"))
+      .collect()
+    val newLines = rows.map(r => ndvLineOf(r.getString(0), column, k,
+      r.getSeq[Long](1)))
+    val schemaLine = lines.filter(_.startsWith("#schema="))
+    val header = lines.filter(l => l.startsWith("#stats=") ||
+      l.startsWith("#dv=") || l.startsWith("#bloom=") || l.startsWith("#ndv="))
+    val content =
+      ((schemaLine ++ (header ++ newLines).sorted) ++
+        manifestRel(f, dir, name).sorted).mkString("\n")
+    val staged = claimManifestSlot(spark, dir, content, basis)
+    publish(spark, dir, staged)
+    staged
+  }
+
+  /** Table-level distinct-count estimate for `column` from the manifest
+    * alone — merge every file's KMV sketch (union, keep k smallest),
+    * apply the (k−1)·2^60 / h_k estimator (exact when the union holds
+    * fewer than k distinct hashes). Returns (estimate, sketchedFiles,
+    * totalFiles); files without a sketch contribute nothing, so trust
+    * the estimate only at full coverage (run [[addNdvSketch]] after
+    * appends, exactly like [[addBloom]]). */
+  def estimateDistinct(
+      spark: SparkSession,
+      dir: String,
+      column: String): (Double, Int, Int) = {
+    val f = fs(dir, spark)
+    val ptr = new Path(dir, PointerName)
+    require(f.exists(ptr), s"not a manifest table (no $PointerName): $dir")
+    val name = readSmallFile(f, ptr).trim
+    val sketches = manifestLines(f, dir, name).filter(_.startsWith("#ndv="))
+      .flatMap(parseNdvLine).filter(_._2 == column)
+    val total = manifestRel(f, dir, name).size
+    if (sketches.isEmpty) return (0.0, 0, total)
+    val k = sketches.map(_._3).min
+    val merged = sketches.flatMap(_._4).distinct.sorted.take(k)
+    val est =
+      if (merged.size < k) merged.size.toDouble
+      else (k - 1).toDouble * 1152921504606846976.0 / merged.last.toDouble
+    (est, sketches.size, total)
   }
 
   /** Bloom-pruned point lookup: `column = value` over only the files
@@ -939,12 +1037,12 @@ object ManifestTable {
     }
     val root = f.makeQualified(new Path(dir)).toUri.getPath
     val newDvRels = dvFiles.map(_.toUri.getPath.stripPrefix(root).stripPrefix("/"))
-    // same data files, same stats/blooms, one more vector — header-only
-    // commit
+    // same data files, same stats/blooms/sketches, one more vector —
+    // header-only commit
     val lines = manifestLines(f, dir, name)
     val schemaLine = lines.filter(_.startsWith("#schema="))
-    val carried = lines.filter(l =>
-      l.startsWith("#stats=") || l.startsWith("#bloom="))
+    val carried = lines.filter(l => l.startsWith("#stats=") ||
+      l.startsWith("#bloom=") || l.startsWith("#ndv="))
     val content =
       ((schemaLine ++ (carried ++ dvLines ++ newDvRels.map(dvLineOf)).sorted) ++
         manifestRel(f, dir, name).sorted).mkString("\n")

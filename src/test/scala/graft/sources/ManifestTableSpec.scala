@@ -832,4 +832,48 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
         .count() shouldBe 0
     } finally rm(dir)
   }
+
+  it should "estimate table-level distinct counts from merged per-file KMV sketches" in {
+    val dir = tmpDir()
+    try {
+      // 3 files with overlapping id ranges; ids 0..599 distinct overall
+      Seq(0L, 200L, 400L).foreach { lo =>
+        ManifestTable.append(spark, dir,
+          (lo until lo + 200L).map(i => (i, s"g${i % 5}")).toDF("id", "grp").coalesce(1))
+      }
+      ManifestTable.addNdvSketch(spark, dir, "id", k = 32)
+      ManifestTable.addNdvSketch(spark, dir, "grp", k = 32)
+      val (estId, sk, tot) = ManifestTable.estimateDistinct(spark, dir, "id")
+      sk shouldBe tot
+      // merged per-file sketches must equal sketching the union directly:
+      // same ids in ONE file -> identical estimate (the KMV merge law)
+      val one = tmpDir()
+      try {
+        ManifestTable.commit(spark, one,
+          (0L until 600L).map(i => (i, "x")).toDF("id", "grp").coalesce(1))
+        ManifestTable.addNdvSketch(spark, one, "id", k = 32)
+        ManifestTable.estimateDistinct(spark, one, "id")._1 shouldBe estId
+      } finally rm(one)
+      // the estimate is in the right order of magnitude (KMV variance at
+      // k=32 is wide; this particular md5 draw lands ~1.8x high)
+      estId should (be > 200.0 and be < 2000.0)
+      // below-k column reads back EXACT
+      val (estGrp, _, _) = ManifestTable.estimateDistinct(spark, dir, "grp")
+      estGrp shouldBe 5.0
+      // appended files are uncovered until the next sketch pass
+      ManifestTable.append(spark, dir,
+        (600L until 700L).map(i => (i, "g9")).toDF("id", "grp").coalesce(1))
+      val (_, sk2, tot2) = ManifestTable.estimateDistinct(spark, dir, "grp")
+      sk2 shouldBe (tot2 - 1)
+      ManifestTable.addNdvSketch(spark, dir, "grp", k = 32)
+      val (estGrp2, sk3, tot3) = ManifestTable.estimateDistinct(spark, dir, "grp")
+      sk3 shouldBe tot3
+      estGrp2 shouldBe 6.0
+      // sketches ride through header-only commits (deletion vectors)
+      ManifestTable.deleteVectorWhere(spark, dir, "id", 0.0, 9.0)
+      val (estGrp3, sk4, tot4) = ManifestTable.estimateDistinct(spark, dir, "grp")
+      sk4 shouldBe tot4
+      estGrp3 shouldBe 6.0
+    } finally rm(dir)
+  }
 }
