@@ -1280,6 +1280,15 @@ object SparkEntry {
       graft.ops.Multimodal.decodeTiffBatched(
         graft.ops.Multimodal.asTiff(table(s, dir, "documents"), "doc_id", "text")).toDF()),
 
+    // Extension: REAL Exif metadata extraction — JPEG segment walk to
+    // APP1, "Exif\0\0" preamble check, embedded-TIFF IFD scan in the
+    // declared byte order (Orientation, ResolutionUnit), dimensions from
+    // SOF0 — the orientation-aware ingest step every image pipeline runs
+    // before resize. The oracle replicates the byte-layout arithmetic.
+    "multimodal_exif" -> ((s, dir) =>
+      graft.ops.Multimodal.decodeExifBatched(
+        graft.ops.Multimodal.asExifJpeg(table(s, dir, "documents"), "doc_id", "text")).toDF()),
+
     // Extension: REAL ZIP structure walk — EOCD scan, central-directory
     // walk, local-header resolution, DEFLATE inflate + per-entry CRC32
     // verification against the directory.
@@ -4786,6 +4795,20 @@ object SparkEntry {
         |FROM f""".stripMargin,
 
     // header(8) + count(2) + 4 entries(48) + next-IFD(4) + text payload
+    // Exif byte-layout arithmetic: SOI 2 + APP1 48 + SOF0 13 + payload
+    // + EOI 2 = 65 + L; metadata fields are the same length-derived
+    // values the builder wrote.
+    "multimodal_exif" ->
+      """SELECT doc_id AS id,
+        |  CAST(65 + strlen(text) AS INTEGER) AS byte_len,
+        |  CASE WHEN strlen(text) % 2 = 0 THEN 'II' ELSE 'MM' END AS endian,
+        |  2 AS n_entries,
+        |  CAST(1 + strlen(text) % 8 AS INTEGER) AS orientation,
+        |  CAST(1 + strlen(text) % 3 AS INTEGER) AS resolution_unit,
+        |  CAST(1 + strlen(text) % 199 AS INTEGER) AS width,
+        |  CAST(1 + strlen(text) % 121 AS INTEGER) AS height
+        |FROM documents""".stripMargin,
+
     "multimodal_tiff" ->
       """SELECT doc_id AS id,
         |  CAST(62 + strlen(text) AS INTEGER) AS byte_len,

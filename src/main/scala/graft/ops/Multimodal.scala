@@ -25,6 +25,11 @@ case class DecodedTiff(
     id: Long, byte_len: Int, width: Int, height: Int, bits: Int,
     samples: Int, endian: String, n_entries: Int)
 
+/** Output of the JPEG/Exif metadata decoder. */
+case class DecodedExif(
+    id: Long, byte_len: Int, endian: String, n_entries: Int,
+    orientation: Int, resolution_unit: Int, width: Int, height: Int)
+
 /** Output of the PDF structure decoder. */
 case class DecodedPdf(
     id: Long, byte_len: Int, version: String, n_pages: Int, n_objects: Int,
@@ -409,6 +414,130 @@ object Multimodal {
       .map { case (id, text) =>
         MediaRecord(id, toTiff(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), "image")
       }
+  }
+
+  /** Build a JPEG with a REAL Exif APP1 segment: SOI, APP1 holding
+    * "Exif\0\0" plus an embedded TIFF block (byte order by content-length
+    * parity, so both endian paths stay exercised; Orientation 274 and
+    * ResolutionUnit 296 as left-justified SHORTs), a SOF0 frame header
+    * carrying the pixel dimensions, then `content` as entropy bytes and
+    * EOI. All fields derive deterministically from the content length:
+    * orientation 1+L%8, resolution unit 1+L%3, width 1+L%199, height
+    * 1+L%121; total size is exactly 65+L bytes. */
+  def toExifJpeg(content: Array[Byte]): Array[Byte] = {
+    val little = content.length % 2 == 0
+    val orientation = 1 + content.length % 8
+    val resUnit = 1 + content.length % 3
+    val width = 1 + content.length % 199
+    val height = 1 + content.length % 121
+    val tiff = ByteBuffer.allocate(38)
+      .order(if (little) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    tiff.put((if (little) "II" else "MM").getBytes("US-ASCII"))
+    tiff.putShort(42)
+    tiff.putInt(8)            // IFD right after the header
+    tiff.putShort(2)          // entry count
+    def entry(tag: Int, value: Int): Unit = {
+      tiff.putShort(tag.toShort); tiff.putShort(3) // SHORT
+      tiff.putInt(1)
+      tiff.putShort(value.toShort); tiff.putShort(0)
+    }
+    entry(274, orientation); entry(296, resUnit)
+    tiff.putInt(0)            // next IFD: none
+    val buf = ByteBuffer.allocate(65 + content.length)
+      .order(ByteOrder.BIG_ENDIAN) // JPEG segment framing is big-endian
+    buf.putShort(0xFFD8.toShort)               // SOI
+    buf.putShort(0xFFE1.toShort)               // APP1
+    buf.putShort((2 + 6 + 38).toShort)         // segment length (incl. itself)
+    buf.put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+    buf.put(tiff.array())
+    buf.putShort(0xFFC0.toShort)               // SOF0
+    buf.putShort(11)                           // length
+    buf.put(8.toByte)                          // precision
+    buf.putShort(height.toShort)
+    buf.putShort(width.toShort)
+    buf.put(1.toByte)                          // one component
+    buf.put(1.toByte).put(0x11.toByte).put(0.toByte) // component spec
+    buf.put(content)
+    buf.putShort(0xFFD9.toShort)               // EOI
+    buf.array()
+  }
+
+  /** Wrap a text table as Exif-bearing JPEG media records. */
+  def asExifJpeg(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRecord(id,
+          toExifJpeg(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), "image")
+      }
+  }
+
+  /** REAL Exif decode (pure JVM): walk the JPEG segment chain to APP1,
+    * require the "Exif\0\0" preamble, then run the TIFF IFD walk — byte
+    * order mark, magic 42, entry scan in the declared endianness — for
+    * Orientation (274) and ResolutionUnit (296); pixel dimensions come
+    * from the SOF0 frame header like any JPEG dimension probe. Bounds-
+    * checked; a JPEG without APP1 fails loudly (quarantine upstream). */
+  def decodeExif(payload: Array[Byte]): DecodedExif = {
+    require(payload.length >= 4 &&
+      (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8,
+      "not a JPEG payload (missing SOI)")
+    var off = 2
+    var orientation = 0; var resUnit = 0; var entries = 0
+    var endian = ""; var width = 0; var height = 0
+    var seenApp1 = false; var seenSof = false
+    while (off + 4 <= payload.length && !(seenApp1 && seenSof)) {
+      require((payload(off) & 0xff) == 0xff, "JPEG: broken segment chain")
+      val marker = payload(off + 1) & 0xff
+      val segLen = ((payload(off + 2) & 0xff) << 8) | (payload(off + 3) & 0xff)
+      require(off + 2 + segLen <= payload.length, "JPEG: truncated segment")
+      if (marker == 0xe1) {
+        val p = off + 4
+        require(segLen >= 8 + 6 &&
+          new String(payload, p, 4, "US-ASCII") == "Exif" &&
+          payload(p + 4) == 0 && payload(p + 5) == 0,
+          "APP1 without Exif preamble")
+        val base = p + 6
+        val little = payload(base) == 'I' && payload(base + 1) == 'I'
+        require(little ||
+          (payload(base) == 'M' && payload(base + 1) == 'M'),
+          "Exif TIFF: missing byte-order mark")
+        require(tiffShort(payload, base + 2, little) == 42, "Exif TIFF: bad magic")
+        val ifd = base + tiffInt(payload, base + 4, little)
+        entries = tiffShort(payload, ifd, little)
+        var i = 0
+        while (i < entries) {
+          val e = ifd + 2 + i * 12
+          val tag = tiffShort(payload, e, little)
+          val v = tiffShort(payload, e + 8, little)
+          if (tag == 274) orientation = v
+          if (tag == 296) resUnit = v
+          i += 1
+        }
+        endian = if (little) "II" else "MM"
+        seenApp1 = true
+      } else if (marker == 0xc0) {
+        height = ((payload(off + 5) & 0xff) << 8) | (payload(off + 6) & 0xff)
+        width = ((payload(off + 7) & 0xff) << 8) | (payload(off + 8) & 0xff)
+        seenSof = true
+      }
+      off += 2 + segLen
+    }
+    require(seenApp1, "JPEG: no Exif APP1 segment")
+    require(seenSof, "JPEG: no SOF0 frame header")
+    DecodedExif(0L, payload.length, endian, entries, orientation, resUnit,
+      width, height)
+  }
+
+  /** Batched Exif decode — the [[decodeBatched]] seam. */
+  def decodeExifBatched(ds: Dataset[MediaRecord]): Dataset[DecodedExif] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map(r => decodeExif(r.payload).copy(id = r.id))
+      }
+    }
   }
 
   /** Build a structurally valid FLAC container: `fLaC` magic, a 34-byte

@@ -1432,6 +1432,22 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       Multimodal.decodeTiff(t.take(20)) // truncated IFD
   }
 
+  it should "extract Exif orientation and SOF0 dims from the JPEG segment walk" in {
+    val even = Multimodal.decodeExif(Multimodal.toExifJpeg("abcd".getBytes)) // II
+    (even.endian, even.byte_len, even.n_entries) shouldBe (("II", 69, 2))
+    (even.orientation, even.resolution_unit) shouldBe ((5, 2)) // 1+4%8, 1+4%3
+    (even.width, even.height) shouldBe ((5, 5))
+    val odd = Multimodal.decodeExif(Multimodal.toExifJpeg("abcde".getBytes)) // MM
+    (odd.endian, odd.orientation, odd.resolution_unit) shouldBe (("MM", 6, 3))
+    // a JPEG without APP1 (the plain fixture) refuses loudly
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeExif(Multimodal.toExifJpeg("ab".getBytes).patch(2,
+        Array[Byte](0xff.toByte, 0xfe.toByte), 2)) // APP1 -> COM marker
+    // truncation inside the APP1 segment refuses loudly
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeExif(Multimodal.toExifJpeg("abcd".getBytes).take(30))
+  }
+
   it should "cap any source at the corpus share budget" in {
     // source A: 8 docs (80%), B: 2 — a 30% cap budgets A at 3, B at 2
     val docs = ((1L to 8L).map(i => Doc(i, s"doc $i", "A")) ++
