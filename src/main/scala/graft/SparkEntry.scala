@@ -2879,6 +2879,34 @@ object SparkEntry {
           col("n_rows_after"), col("chars_sum_after"), col("n_langs_after"))
     }),
 
+    // Extension: INCREMENTAL VIEW MAINTENANCE — an additive rollup
+    // refreshed from the change feed: each refresh reads only the files
+    // the newer manifest added (plus the key-cardinality summary), never
+    // the source table, and the final summary equals the direct
+    // aggregate. Three appends, three O(delta) refreshes, one oracle.
+    "ingest_manifest_ivm" -> ((s, dir) => {
+      import s.implicits._
+      val src = scratch("ivm_src")
+      val agg = scratch("ivm_agg")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      var watermark = -1L
+      Seq(0, 1, 2).foreach { slice =>
+        graft.sources.ManifestTable.append(s, src,
+          docs.filter(col("doc_id") % 3 === slice).coalesce(1))
+        watermark = graft.sources.ManifestTable
+          .maintainRollup(s, src, agg, watermark, "lang", "n_chars")
+      }
+      // an idle refresh is a no-op commit-wise
+      val before = graft.sources.ManifestTable.currentVersion(s, agg)
+      graft.sources.ManifestTable
+        .maintainRollup(s, src, agg, watermark, "lang", "n_chars"): Unit
+      val after = graft.sources.ManifestTable.currentVersion(s, agg)
+      graft.sources.ManifestTable.read(s, agg)
+        .select(col("lang"), col("n_rows"), col("value_sum"),
+          lit(after - before).as("idle_refresh_commits"))
+    }),
+
     // Extension: PER-FILE KMV DISTINCT-COUNT SKETCHES in the manifest —
     // the join-planning statistic from metadata alone: each file carries
     // its k smallest md5 value-hashes; KMV merges exactly (union, keep k
@@ -6444,6 +6472,13 @@ object SparkEntry {
         |     WHERE lang <> 'en') AS chars_sum_after,
         |  (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents
         |     WHERE lang <> 'en') AS n_langs_after""".stripMargin,
+
+    // The incrementally maintained rollup equals the direct aggregate.
+    "ingest_manifest_ivm" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS value_sum,
+        |  CAST(0 AS BIGINT) AS idle_refresh_commits
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // Merged KMV = the global k smallest distinct hashes (every global
     // minimum is inside its own file's k smallest), so the oracle skips

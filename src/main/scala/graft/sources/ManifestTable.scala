@@ -1466,6 +1466,57 @@ object ManifestTable {
     }
   }
 
+  /** INCREMENTAL VIEW MAINTENANCE on the change feed: fold the rows
+    * appended to `srcDir` after `sinceVersion` into an additive
+    * (n_rows, value_sum) rollup keyed by `keyCol`, committed to `aggDir`
+    * as one snapshot. Each refresh costs the NEW batch plus the summary
+    * (key cardinality) — never the source table — which is why a 100 TB
+    * dashboard refresh is O(delta): count and sum merge by addition, so
+    * the full scan happens exactly once, at bootstrap. Returns the
+    * source version the summary is now consistent with (thread it into
+    * the next call); a refresh with nothing new is a no-op. Pass
+    * sinceVersion = -1 to bootstrap from the full table. The source must
+    * be append-shaped between refreshes (the [[readChangesSince]]
+    * caveat — pair with [[versions]] to detect rewrites). */
+  def maintainRollup(
+      spark: SparkSession,
+      srcDir: String,
+      aggDir: String,
+      sinceVersion: Long,
+      keyCol: String,
+      valueCol: String
+  ): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val f = fs(srcDir, spark)
+    val curV = currentVersion(spark, srcDir)
+    if (curV < 0) return sinceVersion
+    val curName = f"manifest-$curV%020d.txt"
+    val added =
+      if (sinceVersion < 0) manifestRel(f, srcDir, curName)
+      else {
+        val fromName = f"manifest-$sinceVersion%020d.txt"
+        require(f.exists(new Path(new Path(srcDir, "_manifests"), fromName)),
+          s"version $sinceVersion not found (vacuumed, or never committed) in $srcDir")
+        val old = manifestRel(f, srcDir, fromName).toSet
+        manifestRel(f, srcDir, curName).filterNot(old)
+      }
+    if (added.isEmpty) return curV
+    val delta = applyDv(spark, srcDir,
+      spark.read.parquet(added.map(rel => new Path(srcDir, rel).toString): _*),
+      dvRelsOf(manifestDvLines(f, srcDir, curName)))
+    val part = delta.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_rows"), sum(col(valueCol)).as("value_sum"))
+    val fa = fs(aggDir, spark)
+    val merged =
+      if (!fa.exists(new Path(aggDir, PointerName))) part
+      else read(spark, aggDir).unionByName(part)
+        .groupBy(col(keyCol))
+        .agg(sum(col("n_rows")).as("n_rows"),
+          sum(col("value_sum")).as("value_sum"))
+    commit(spark, aggDir, merged)
+    curV
+  }
+
   /** The committed snapshot versions still present in `_manifests`,
     * ascending. */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {

@@ -876,4 +876,36 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
       estGrp3 shouldBe 6.0
     } finally rm(dir)
   }
+
+  it should "maintain an additive rollup from the change feed in O(delta)" in {
+    val src = tmpDir(); val agg = tmpDir()
+    try {
+      ManifestTable.append(spark, src,
+        (0L until 100L).map(i => (i, s"k${i % 3}", i)).toDF("id", "k", "v").coalesce(1))
+      var wm = ManifestTable.maintainRollup(spark, src, agg, -1L, "k", "v")
+      wm shouldBe 0L
+      ManifestTable.append(spark, src,
+        (100L until 150L).map(i => (i, s"k${i % 3}", i)).toDF("id", "k", "v").coalesce(1))
+      wm = ManifestTable.maintainRollup(spark, src, agg, wm, "k", "v")
+      wm shouldBe 1L
+      // the summary equals the direct aggregate of the whole source
+      val got = ManifestTable.read(spark, agg)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+      val want = ManifestTable.read(spark, src)
+        .groupBy(col("k")).agg(count(lit(1)), sum(col("v")))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+      got shouldBe want
+      // nothing new: no refresh commit at all
+      val v = ManifestTable.currentVersion(spark, agg)
+      ManifestTable.maintainRollup(spark, src, agg, wm, "k", "v") shouldBe wm
+      ManifestTable.currentVersion(spark, agg) shouldBe v
+      // a vector delete in a NEW batch's window is honored by the feed
+      ManifestTable.append(spark, src,
+        (150L until 160L).map(i => (i, "k9", i)).toDF("id", "k", "v").coalesce(1))
+      ManifestTable.deleteVectorWhere(spark, src, "id", 155.0, 159.0)
+      wm = ManifestTable.maintainRollup(spark, src, agg, wm, "k", "v")
+      ManifestTable.read(spark, agg).filter(col("k") === "k9")
+        .collect().map(r => r.getLong(1)) shouldBe Array(5L)
+    } finally { rm(src); rm(agg) }
+  }
 }
