@@ -3364,6 +3364,24 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"),
           countDistinct(md5(col("text"))).as("n_distinct_texts"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+    }),
+
+    // Extension: XML format parity (Spark 4's native XML source) —
+    // documents roundtrip through row-tagged XML; the md5 census proves
+    // content fidelity through the markup encode/decode, exactly the
+    // ingest_orc contract. Text goes through XML escaping and back.
+    "ingest_xml" -> ((s, dir) => {
+      val out = scratch("xml_docs")
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+        .write.mode("overwrite").format("xml")
+        .option("rootTag", "docs").option("rowTag", "doc").save(out)
+      s.read.format("xml").option("rowTag", "doc").load(out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(md5(col("text"))).as("n_distinct_texts"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
     })
   )
 
@@ -5784,6 +5802,13 @@ object SparkEntry {
     // Aggregates the ORIGINAL parquet — the Spark side aggregates the ORC
     // roundtrip, so the compare is the fidelity proof.
     "ingest_orc" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT md5(text)) AS n_distinct_texts,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // The XML roundtrip preserves every value bit-for-bit.
+    "ingest_xml" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  count(DISTINCT md5(text)) AS n_distinct_texts,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
