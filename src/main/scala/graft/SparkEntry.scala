@@ -2084,6 +2084,16 @@ object SparkEntry {
     // interpolation; nothing holds a value set, no single-partition
     // window (the "exact p99 over 100 TB" shape, vs quantileProfile's
     // per-key value buffers).
+    // Extension: DDSketch relative-error quantiles — logarithmic buckets
+    // (γ = 1.02/0.98 ≈ 2% relative error) make the state constant
+    // (log_γ(range) buckets per key) and the error scale WITH the value,
+    // the property latency/size monitoring needs across orders of
+    // magnitude. One (key, bucket) groupBy + a per-key fold over the
+    // sorted bucket array — never a per-key value sort.
+    "events_ddsketch" -> ((s, dir) =>
+      graft.ops.EventOps.ddsketchQuantiles(events(s, dir), "event_type",
+        "value", alpha = 0.02, qs = Seq(0.5, 0.9, 0.99))),
+
     "events_global_quantiles" -> ((s, dir) =>
       graft.ops.EventOps.globalQuantiles(events(s, dir), "value",
         Seq(0.1, 0.5, 0.9, 0.99))),
@@ -3390,6 +3400,12 @@ object SparkEntry {
   /** DuckDB cosine similarity between two DOUBLE list expressions — the
     * exact strict-left-fold shape the Spark side computes (dot/(|a||b|)),
     * kept in one place because the IVF oracle needs it six times. */
+  /** 17-significant-digit decimal of ln(γ) for the DDSketch oracle — the
+    * SAME double the Spark side ships as a literal, so both engines
+    * bucket ⌈ln(v)/ln(γ)⌉ bit-identically (17 digits round-trip any
+    * IEEE double exactly). */
+  private val ddLnGamma: String = f"${math.log(1.02 / 0.98)}%.17g"
+
   private def cosSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x,y) -> x+y)" +
       s" / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (x,y) -> x+y))" +
@@ -5576,6 +5592,32 @@ object SparkEntry {
 
     // quantile_cont is the same type-7 interpolation as the rank-selected
     // two-pass exact quantiles.
+    // Same 17-digit ln(γ) literal, same 12-dp-canonicalized bucket map,
+    // same rank walk — here as a window cumsum instead of the fold.
+    "events_ddsketch" ->
+      s"""WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type,
+        |    CAST(ceil(round(ln(value) / $ddLnGamma, 12)) AS INTEGER) AS b
+        |  FROM v WHERE value > 0),
+        |h AS (SELECT event_type, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |cw AS (SELECT event_type, b, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n FROM h),
+        |sel AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_values,
+        |    min(CASE WHEN cum >= floor(0.5 * (n - 1)) + 1 THEN b END) AS b50,
+        |    min(CASE WHEN cum >= floor(0.9 * (n - 1)) + 1 THEN b END) AS b90,
+        |    min(CASE WHEN cum >= floor(0.99 * (n - 1)) + 1 THEN b END) AS b99
+        |  FROM cw GROUP BY 1),
+        |np AS (SELECT event_type,
+        |    CAST(count(*) FILTER (value <= 0) AS BIGINT) AS n_nonpos
+        |  FROM v GROUP BY 1)
+        |SELECT sel.event_type, sel.n_values, COALESCE(np.n_nonpos, 0) AS n_nonpos,
+        |  round(2.0 * exp(b50 * $ddLnGamma) / (1.02 / 0.98 + 1.0), 6) AS p50,
+        |  round(2.0 * exp(b90 * $ddLnGamma) / (1.02 / 0.98 + 1.0), 6) AS p90,
+        |  round(2.0 * exp(b99 * $ddLnGamma) / (1.02 / 0.98 + 1.0), 6) AS p99
+        |FROM sel LEFT JOIN np ON np.event_type = sel.event_type""".stripMargin,
+
     "events_global_quantiles" ->
       """WITH v AS (SELECT value FROM events WHERE value IS NOT NULL)
         |SELECT CAST(0.1 AS DOUBLE) AS q, CAST(count(*) AS BIGINT) AS n_values, round(quantile_cont(value, 0.1), 6) AS quantile FROM v

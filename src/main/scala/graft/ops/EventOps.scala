@@ -798,6 +798,68 @@ object EventOps {
           6).as("quantile"))
   }
 
+  /** DDSketch-style RELATIVE-ERROR quantiles (Masson et al., VLDB 2019):
+    * positive values map to logarithmic buckets i = ⌈ln(v)/ln(γ)⌉ with
+    * γ = (1+α)/(1−α), so the bucket midpoint 2γ^i/(γ+1) is within
+    * relative error α of every value it holds — the sketch every
+    * latency/size monitoring pipeline ships because ERROR SCALES WITH
+    * THE VALUE (a 1% p99 of 10 s is 100 ms; a rank sketch's absolute
+    * error is useless across 6 orders of magnitude).
+    *
+    * Scale shape — this is the constant-state quantile path: one
+    * map-side-combinable groupBy on (key, bucket) whose distinct-key
+    * count is bounded by log_γ(range) (~hundreds at α = 2%), one
+    * per-key fold over the SORTED bucket array to locate each rank —
+    * never a per-key value sort, never a value buffer. ln quotients are
+    * canonicalized to 12 dp against a 17-digit ln(γ) literal so both
+    * engines bucket identically; estimates round to 6 dp.
+    * Non-positive values are counted out (`n_nonpos`), as in the
+    * sketch's real deployments (they get the exact zero/negative side
+    * store). */
+  def ddsketchQuantiles(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      alpha: Double,
+      qs: Seq[Double]
+  ): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1): $alpha")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0), s"bad qs: $qs")
+    val gamma = (1 + alpha) / (1 - alpha)
+    val lnGamma = math.log(gamma)
+    val bucket = ceil(round(log(col(valueCol).cast("double")) / lit(lnGamma), 12))
+      .cast("int")
+    val pos = df.filter(col(valueCol).isNotNull)
+    val hist = pos.filter(col(valueCol) > 0)
+      .groupBy(col(keyCol), bucket.as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val perKey = hist.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("__b"), col("__c")))).as("__h"),
+        sum(col("__c")).as("n_values"))
+    val nonpos = pos.groupBy(col(keyCol))
+      .agg(sum(when(col(valueCol) <= 0, 1L).otherwise(0L)).as("n_nonpos"))
+    val qCols = qs.map { q =>
+      val rank = (floor(lit(q) * (col("n_values") - 1).cast("double")) + 1)
+        .cast("long")
+      // fold the sorted buckets: carry (cumulative, found bucket); the
+      // first bucket whose running count reaches the rank wins
+      val found = aggregate(col("__h"),
+        struct(lit(0L).as("cum"), lit(Int.MinValue).as("b")),
+        (acc, x) => {
+          val cum = acc.getField("cum") + x.getField("__c")
+          struct(cum.as("cum"),
+            when(acc.getField("b") =!= Int.MinValue, acc.getField("b"))
+              .when(cum >= rank, x.getField("__b"))
+              .otherwise(Int.MinValue).as("b"))
+        }).getField("b")
+      round(lit(2.0) * exp(found.cast("double") * lit(lnGamma)) /
+        lit(gamma + 1.0), 6).as(s"p${(q * 100).round}")
+    }
+    perKey.join(nonpos, Seq(keyCol), "left")
+      .select(Seq(col(keyCol), col("n_values"),
+        coalesce(col("n_nonpos"), lit(0L)).as("n_nonpos")) ++ qCols: _*)
+  }
+
   /** Exponential time-decay popularity — the standard recency weighting
     * behind "what matters NOW" rankings and recency-biased sampling
     * weights: each event contributes 0.5^(age/halfLife) anchored at the

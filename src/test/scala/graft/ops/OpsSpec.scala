@@ -2761,6 +2761,39 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     plan should not include "SortMergeJoin"
   }
 
+  behavior of "DDSketch quantiles"
+
+  it should "answer quantiles within the relative-error bound without sorting values" in {
+    // values spanning 4 orders of magnitude — the regime rank sketches
+    // with absolute error lose
+    val vals = (1 to 2000).map(i => ("a", math.pow(1.004, i))) ++
+      (1 to 100).map(i => ("b", i.toDouble))
+    val df = vals.toDF("k", "value")
+    val alpha = 0.02
+    val out = EventOps.ddsketchQuantiles(df, "k", "value", alpha,
+      Seq(0.5, 0.9, 0.99))
+    val rows = out.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    rows("a")._1 shouldBe 2000L
+    // exact type-lower quantiles for comparison
+    def exact(xs: Seq[Double], q: Double): Double =
+      xs.sorted.apply((math.floor(q * (xs.size - 1)) + 1).toInt - 1)
+    val aVals = vals.filter(_._1 == "a").map(_._2)
+    val bVals = vals.filter(_._1 == "b").map(_._2)
+    for ((got, q) <- Seq(rows("a")._2 -> 0.5, rows("a")._3 -> 0.9,
+        rows("a")._4 -> 0.99)) {
+      val truth = exact(aVals, q)
+      math.abs(got - truth) / truth should be <= alpha + 1e-6
+    }
+    math.abs(rows("b")._3 - exact(bVals, 0.9)) / exact(bVals, 0.9) should
+      be <= alpha + 1e-6
+    // plan shape: constant-state aggregation — no rank window, no
+    // range-partitioned value sort anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should not include "rangepartitioning"
+  }
+
   behavior of "DSIR importance resampling"
 
   it should "upweight documents that look like the target slice, scoring without a shuffle" in {
