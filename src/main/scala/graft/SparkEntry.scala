@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions._
 case class StreamEv(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
     event_type: String, value: Double, props: String)
 
+/** Bounded deterministic document feed for the streaming oracle queries. */
+case class StreamDoc(doc_id: Long, text: String)
+
 object SparkEntry {
 
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
@@ -1582,6 +1585,32 @@ object SparkEntry {
       q.stop()
       s.read.parquet(out)
         .select(col("batch_id"), col("rule"), col("n_checked"), col("n_violations"))
+    }),
+
+    // Extension: STREAMING CONTAMINATION GATE — every arriving training
+    // document screens against the static benchmark's shingle Bloom
+    // before landing; per-doc hit counts + the exact truth + the
+    // structural no-false-negative check append per batch. The oracle
+    // rebuilds the same bloom bits and derives each doc's batch.
+    "stream_contam_gate" -> ((s, dir) => withStreamingShuffle(s, 4) {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+      val benchmark = docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("text"))
+      val feed = docs.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), col("text")).as[StreamDoc].collect()
+      val (batch1, batch2) = feed.partition(_.doc_id < 250)
+      val out = scratch("stream_contam")
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamDoc]
+      val q = graft.streaming.StreamingOps.contamGateSink(
+        in.toDF(), benchmark, "doc_id", "text", out)
+      in.addData(batch1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
+      q.stop()
+      s.read.parquet(out)
+        .select(col("batch_id"), col("doc_id"), col("n_shingles"),
+          col("n_exact"), col("n_bloom"), col("no_false_neg"), col("flagged"))
     }),
 
     // Extension: STREAMING stream-stream interval join, oracle-checked —
@@ -4094,6 +4123,28 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN term IN (SELECT term FROM v) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
         |  round(CAST(sum(CASE WHEN term IN (SELECT term FROM v) THEN 0 ELSE 1 END) AS BIGINT) / count(*), 6) AS oov_rate
         |FROM x GROUP BY 1""".stripMargin,
+
+    // The same benchmark bloom (corpus = doc_id%20==0 here), probed by
+    // the STREAMED side; batch = doc_id < 250 → 0, else 1.
+    "stream_contam_gate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(0, greatest(len(toks)-3, 0)), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM t),
+        |test AS (SELECT doc_id, sh FROM sh WHERE doc_id % 20 != 0),
+        |corpus AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 20 = 0),
+        |cpos AS (SELECT CAST(('0x'||substr(md5(g), 1+5*j, 5))::UBIGINT % 1048576 AS BIGINT) AS p FROM corpus, range(4) r(j)),
+        |bloom AS (SELECT p // 32 AS word, bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS bits FROM cpos GROUP BY 1),
+        |tp AS (SELECT doc_id, unnest(sh) AS g FROM test),
+        |probes AS (SELECT doc_id, g, CAST(('0x'||substr(md5(g), 1+5*j, 5))::UBIGINT % 1048576 AS BIGINT) AS p FROM tp, range(4) r(j)),
+        |pergram AS (SELECT doc_id, g,
+        |    min(CASE WHEN (COALESCE(b.bits, 0) & (1::BIGINT << CAST(p % 32 AS INTEGER))) != 0 THEN 1 ELSE 0 END) AS hit
+        |  FROM probes LEFT JOIN bloom b ON probes.p // 32 = b.word GROUP BY 1, 2),
+        |perdoc AS (SELECT doc_id, count(*) AS n_shingles, CAST(sum(hit) AS BIGINT) AS n_bloom FROM pergram GROUP BY 1),
+        |hits AS (SELECT doc_id, count(*) AS n_exact FROM tp WHERE g IN (SELECT g FROM corpus) GROUP BY 1)
+        |SELECT CAST(CASE WHEN p.doc_id < 250 THEN 0 ELSE 1 END AS BIGINT) AS batch_id,
+        |  p.doc_id, p.n_shingles, COALESCE(h.n_exact, 0) AS n_exact, p.n_bloom,
+        |  p.n_bloom >= COALESCE(h.n_exact, 0) AS no_false_neg,
+        |  p.n_bloom > 0 AS flagged
+        |FROM perdoc p LEFT JOIN hits h ON p.doc_id = h.doc_id""".stripMargin,
 
     "text_contam_bloom" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -387,4 +387,35 @@ object StreamingOps {
           .write.mode("append").parquet(dir)
       }
       .start()
+
+  /** STREAMING CONTAMINATION GATE — screen every arriving training
+    * document against a static evaluation benchmark before it can land:
+    * each micro-batch's shingles probe the benchmark's portable Bloom
+    * filter ([[graft.ops.Corpus.contaminationBloom]]); per-document hit
+    * counts (plus the exact semi-join truth and the structural
+    * no-false-negative check) append to `dir` with the batch id, so the
+    * quarantine decision (`flagged`) is auditable per batch. The
+    * benchmark side is small and static — its shingle set broadcasts;
+    * the stream side never shuffles document bodies, only shingle
+    * hashes. (A long-lived deployment would persist the bloom words once
+    * — e.g. in a ManifestTable — instead of re-deriving them per batch;
+    * the probe plan is identical either way.) */
+  def contamGateSink(
+      stream: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      shingleN: Int = 3
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Corpus
+          .contaminationBloom(benchmark, batch, idCol, textCol, shingleN)
+          .withColumn("batch_id", lit(batchId))
+          .withColumn("flagged", col("n_bloom") > 0)
+          .write.mode("append").parquet(dir)
+      }
+      .start()
 }

@@ -412,4 +412,30 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
       StreamingOps.readUpsertTable(spark, dir).count() shouldBe 5
     } finally q.stop()
   }
+
+  it should "flag streamed documents that share shingles with the benchmark" in {
+    val benchmark = Seq((100L, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_contam_gate").toString
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.contamGateSink(
+      in.toDF().toDF("doc_id", "text"), benchmark, "doc_id", "text", out)
+    in.addData(
+      (1L, "the quick brown fox runs home"), // shares "the quick brown"
+      (2L, "completely different words entirely here"))
+    q.processAllAvailable()
+    in.addData((3L, "quick brown fox jumps again now"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(out)
+      .select("batch_id", "doc_id", "flagged", "no_false_neg")
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getBoolean(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    rows.map(_._1) shouldBe Array(1L, 2L, 3L)
+    rows.map(_._2) shouldBe Array(0L, 0L, 1L)  // batch ids
+    rows.map(_._3) shouldBe Array(true, false, true)
+    all(rows.map(_._4)) shouldBe true          // bloom never under-counts
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
 }
