@@ -2918,6 +2918,40 @@ object SparkEntry {
           col("n_rows_after"), col("chars_sum_after"), col("n_langs_after"))
     }),
 
+    // Extension: BOUNDED OPTIMIZE — the ingest-dribble compaction: the
+    // manifest's #size= headers plan a first-fit-decreasing binning of
+    // ONLY the small files (zero store RPCs), and one stats-bounded
+    // transaction rewrites just those bins while the two big clustered
+    // files — and their stats — carry by reference. The oracle checks
+    // content preservation; the untouched-big-files and files-reduced
+    // invariants are computed from the manifests themselves.
+    "ingest_manifest_optimize" -> ((s, dir) => {
+      val out = scratch("manifest_opt")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      graft.sources.ManifestTable.commit(s, out,
+        docs.filter(col("doc_id") % 50 >= 10).coalesce(2))
+      val big = graft.sources.ManifestTable.currentFiles(s, out).toSet
+      // threshold pinned to the clustered files' actual size, so the
+      // big/small split is scale-factor-independent
+      val bigMin = big.map(p =>
+        new java.io.File(new java.net.URI(p).getPath).length()).min
+      (0 until 10).foreach { k =>
+        graft.sources.ManifestTable.append(s, out,
+          docs.filter(col("doc_id") % 50 === k).coalesce(1))
+      }
+      val before = graft.sources.ManifestTable.currentFiles(s, out).size
+      val removed = graft.sources.ManifestTable
+        .compactSmallFiles(s, out, targetBytes = bigMin)
+      val after = graft.sources.ManifestTable.currentFiles(s, out)
+      graft.sources.ManifestTable.read(s, out)
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("chars_sum"))
+        .select(lit(removed > 0 && after.size == before - removed)
+            .as("files_reduced"),
+          lit(big.subsetOf(after.toSet)).as("big_files_untouched"),
+          col("n_rows"), col("chars_sum"))
+    }),
+
     // Extension: INCREMENTAL VIEW MAINTENANCE — an additive rollup
     // refreshed from the change feed: each refresh reads only the files
     // the newer manifest added (plus the key-cardinality summary), never
@@ -6590,6 +6624,14 @@ object SparkEntry {
         |     WHERE lang <> 'en') AS chars_sum_after,
         |  (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents
         |     WHERE lang <> 'en') AS n_langs_after""".stripMargin,
+
+    // The optimize invariants hold structurally; content is preserved.
+    "ingest_manifest_optimize" ->
+      """SELECT CAST(true AS BOOLEAN) AS files_reduced,
+        |  CAST(true AS BOOLEAN) AS big_files_untouched,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents""".stripMargin,
 
     // The incrementally maintained rollup equals the direct aggregate.
     "ingest_manifest_ivm" ->

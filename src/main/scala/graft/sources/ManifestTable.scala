@@ -135,25 +135,31 @@ object ManifestTable {
 
   private def dvLineOf(rel: String): String = s"#dv=${b64(rel)}"
 
-  // header lines every new manifest carries forward verbatim from its
-  // basis snapshot (data-skipping stats, deletion vectors, blooms)
-  private def carriedHeaderLines(f: FileSystem, dir: String, name: String): Seq[String] =
-    manifestLines(f, dir, name).filter(l =>
-      l.startsWith("#stats=") || l.startsWith("#dv=") ||
-        l.startsWith("#bloom=") || l.startsWith("#ndv="))
+  // the data file a PER-FILE header line describes, or None for
+  // non-per-file headers (schema) and verbatim ones (deletion vectors)
+  private def headerRel(l: String): Option[String] =
+    if (l.startsWith("#stats=")) parseStatsLine(l).map(_.file)
+    else if (l.startsWith("#bloom=")) parseBloomLine(l).map(_._1)
+    else if (l.startsWith("#ndv=")) parseNdvLine(l).map(_._1)
+    else if (l.startsWith("#size=")) parseSizeLine(l).map(_._1)
+    else None
 
-  // header lines a PARTIAL rewrite carries: per-file stats, blooms and
-  // NDV sketches only for files that survive (`keepRel`); deletion
-  // vectors always carry verbatim (entries for dropped rels anti-join
-  // nothing)
+  // header lines a new manifest carries from its basis: per-file headers
+  // (stats, blooms, NDV sketches, sizes) only for files that survive
+  // (`keepRel`); deletion vectors always carry verbatim (entries for
+  // dropped rels anti-join nothing)
   private def carriedHeadersFor(
       lines: Seq[String], keepRel: String => Boolean): Seq[String] =
     lines.filter { l =>
-      if (l.startsWith("#stats=")) parseStatsLine(l).exists(cs => keepRel(cs.file))
-      else if (l.startsWith("#bloom=")) parseBloomLine(l).exists(b => keepRel(b._1))
-      else if (l.startsWith("#ndv=")) parseNdvLine(l).exists(n => keepRel(n._1))
-      else l.startsWith("#dv=")
+      headerRel(l) match {
+        case Some(rel) => keepRel(rel)
+        case None => l.startsWith("#dv=")
+      }
     }
+
+  // the full-carry case: every per-file header plus the vectors
+  private def carriedHeaderLines(f: FileSystem, dir: String, name: String): Seq[String] =
+    carriedHeadersFor(manifestLines(f, dir, name), _ => true)
 
   /** The dir-relative paths ('data/<uuid>/…parquet') the file-scan
     * metadata column resolves to: every data file lives under one
@@ -199,6 +205,18 @@ object ManifestTable {
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
     try r.getRecordCount finally r.close()
   }
+
+  // #size=<b64 rel>|<bytes>|<rows> — recorded at commit so compaction
+  // planning ([[planCompaction]]) reads file sizes from the manifest
+  // alone, no per-file metadata RPCs against the store
+  private def sizeLineOf(rel: String, bytes: Long, rows: Long): String =
+    s"#size=${b64(rel)}|$bytes|$rows"
+
+  private def parseSizeLine(l: String): Option[(String, Long, Long)] =
+    l.stripPrefix("#size=").split('|') match {
+      case Array(rel, bytes, rows) => Some((unb64(rel), bytes.toLong, rows.toLong))
+      case _ => None
+    }
 
   private def b64(s: String): String =
     java.util.Base64.getEncoder.encodeToString(
@@ -404,14 +422,18 @@ object ManifestTable {
     val f = fs(dir, spark)
     val dataDir = new Path(new Path(dir, "data"), UUID.randomUUID().toString)
     df.write.parquet(dataDir.toString)
-    val files = f.listStatus(dataDir).toSeq.map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
+    val statuses = f.listStatus(dataDir).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val files = statuses.map(_.getPath)
     val root = f.makeQualified(new Path(dir)).toUri.getPath
     val rel = files.map(_.toUri.getPath.stripPrefix(root).stripPrefix("/"))
     val conf = spark.sparkContext.hadoopConfiguration
     val stats = files.zip(rel).flatMap { case (p, r) => footerStats(conf, p, r) }
       .map(statsLine)
-    StagedData(rel, stats, df.schema.json)
+    val sizes = statuses.zip(rel).map { case (st, r) =>
+      sizeLineOf(r, st.getLen, parquetRowCount(conf, st.getPath))
+    }
+    StagedData(rel, stats ++ sizes, df.schema.json)
   }
 
   /** Steps (1)+(2): publish data files and manifest WITHOUT moving the
@@ -679,8 +701,7 @@ object ManifestTable {
     val newLines = todo.flatMap(rel =>
       byRel.get(rel).map(fb => bloomLineOf(rel, column, fb)))
     val schemaLine = lines.filter(_.startsWith("#schema="))
-    val header = lines.filter(l => l.startsWith("#stats=") ||
-      l.startsWith("#dv=") || l.startsWith("#bloom=") || l.startsWith("#ndv="))
+    val header = carriedHeadersFor(lines, _ => true)
     val content =
       ((schemaLine ++ (header ++ newLines).sorted) ++
         manifestRel(f, dir, name).sorted).mkString("\n")
@@ -778,8 +799,7 @@ object ManifestTable {
     val newLines = rows.map(r => ndvLineOf(r.getString(0), column, k,
       r.getSeq[Long](1)))
     val schemaLine = lines.filter(_.startsWith("#schema="))
-    val header = lines.filter(l => l.startsWith("#stats=") ||
-      l.startsWith("#dv=") || l.startsWith("#bloom=") || l.startsWith("#ndv="))
+    val header = carriedHeadersFor(lines, _ => true)
     val content =
       ((schemaLine ++ (header ++ newLines).sorted) ++
         manifestRel(f, dir, name).sorted).mkString("\n")
@@ -1041,10 +1061,9 @@ object ManifestTable {
     // header-only commit
     val lines = manifestLines(f, dir, name)
     val schemaLine = lines.filter(_.startsWith("#schema="))
-    val carried = lines.filter(l => l.startsWith("#stats=") ||
-      l.startsWith("#bloom=") || l.startsWith("#ndv="))
+    val carried = carriedHeadersFor(lines, _ => true) // incl. prior vectors
     val content =
-      ((schemaLine ++ (carried ++ dvLines ++ newDvRels.map(dvLineOf)).sorted) ++
+      ((schemaLine ++ (carried ++ newDvRels.map(dvLineOf)).sorted) ++
         manifestRel(f, dir, name).sorted).mkString("\n")
     val staged = claimManifestSlot(spark, dir, content, basis)
     publish(spark, dir, staged)
@@ -1263,7 +1282,10 @@ object ManifestTable {
       }
     val conf = spark.sparkContext.hadoopConfiguration
     val stats = files.toSeq.zip(rel)
-      .flatMap { case (p, r) => footerStats(conf, p, r) }.map(statsLine)
+      .flatMap { case (p, r) => footerStats(conf, p, r) }.map(statsLine) ++
+      files.toSeq.zip(rel).map { case (p, r) =>
+        sizeLineOf(r, f.getFileStatus(p).getLen, parquetRowCount(conf, p))
+      }
     val staged = claimManifestSlot(spark, dir,
       ((s"#schema=${df.schema.json}" +: (carryStats ++ stats).sorted) ++
         (carry ++ rel).sorted).mkString("\n"), basis)
@@ -1540,6 +1562,62 @@ object ManifestTable {
       spark.read.parquet(
         manifestRel(f, dir, name).map(rel => new Path(dir, rel).toString): _*),
       dvRelsOf(manifestDvLines(f, dir, name)))
+  }
+
+  /** Plan a BOUNDED small-file compaction from the manifest's `#size=`
+    * headers alone — zero store RPCs: files under `targetBytes / 2` are
+    * binned first-fit-decreasing into bins of ≤ `targetBytes`; bins with
+    * at least two files are worth a rewrite. Files committed before size
+    * headers existed are measured by one `getFileStatus` each (bounded
+    * by the uncovered count). Returns dir-relative bins. */
+  def planCompaction(
+      spark: SparkSession,
+      dir: String,
+      targetBytes: Long
+  ): Seq[Seq[String]] = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val f = fs(dir, spark)
+    val name = readSmallFile(f, new Path(dir, PointerName)).trim
+    val sizes = manifestLines(f, dir, name).filter(_.startsWith("#size="))
+      .flatMap(parseSizeLine).map(t => t._1 -> t._2).toMap
+    val smallCut = targetBytes / 2
+    val small = manifestRel(f, dir, name)
+      .map(rel => rel ->
+        sizes.getOrElse(rel, f.getFileStatus(new Path(dir, rel)).getLen))
+      .filter(_._2 < smallCut)
+      .sortBy { case (rel, bytes) => (-bytes, rel) } // FFD, stable
+    val bins = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[String], Long)]
+    small.foreach { case (rel, bytes) =>
+      bins.indexWhere(_._2 + bytes <= targetBytes) match {
+        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(rel), bytes))
+        case i  =>
+          bins(i)._1 += rel
+          bins(i) = (bins(i)._1, bins(i)._2 + bytes)
+      }
+    }
+    bins.toSeq.map(_._1.toSeq).filter(_.size >= 2)
+  }
+
+  /** Execute [[planCompaction]] as ONE stats-bounded transaction — the
+    * incremental OPTIMIZE: only the planned small files are re-read
+    * (deletion vectors applied) and rewritten one file per bin; every
+    * other file, its stats, blooms and sketches carry by reference. At
+    * 100 TB this is the difference between "compact the ingest dribble"
+    * (seconds, touching megabytes) and [[compact]]'s full rewrite.
+    * Returns the number of files compacted away (0 = metadata no-op). */
+  def compactSmallFiles(
+      spark: SparkSession,
+      dir: String,
+      targetBytes: Long
+  ): Int = {
+    val bins = planCompaction(spark, dir, targetBytes)
+    if (bins.isEmpty) return 0
+    val rels = bins.flatten
+    boundedRewrite(spark, dir,
+      rels.map(rel => new Path(dir, rel).toString),
+      _.coalesce(bins.size))
+    rels.size - bins.size
   }
 
   /** Manifest-native small-file compaction: coalesce the CURRENT snapshot

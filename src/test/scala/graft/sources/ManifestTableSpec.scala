@@ -908,4 +908,45 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
         .collect().map(r => r.getLong(1)) shouldBe Array(5L)
     } finally { rm(src); rm(agg) }
   }
+
+  it should "bin-pack only small files in a bounded OPTIMIZE transaction" in {
+    val dir = tmpDir()
+    try {
+      // one big clustered file, six dribble appends
+      ManifestTable.commit(spark, dir,
+        (0L until 5000L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+      val big = ManifestTable.currentFiles(spark, dir).toSet
+      val bigLen = big.map(pth =>
+        new java.io.File(new java.net.URI(pth).getPath).length()).min
+      (0 until 6).foreach { k =>
+        ManifestTable.append(spark, dir,
+          (5000L + k * 10L until 5010L + k * 10L).map(i => (i, s"n$i"))
+            .toDF("id", "v").coalesce(1))
+      }
+      // the plan reads sizes from #size= headers and bins only the dribble
+      val bins = ManifestTable.planCompaction(spark, dir, bigLen)
+      bins.flatten.toSet.intersect(
+        big.map(_.split("/data/").last).map("data/" + _)) shouldBe empty
+      bins.flatten.size shouldBe 6
+      val removed = ManifestTable.compactSmallFiles(spark, dir, bigLen)
+      removed shouldBe (6 - bins.size)
+      val after = ManifestTable.currentFiles(spark, dir)
+      big.subsetOf(after.toSet) shouldBe true
+      after.size shouldBe (1 + bins.size)
+      ManifestTable.read(spark, dir).count() shouldBe 5060
+      // idempotent: a second pass finds nothing to do (no new version)
+      val v = ManifestTable.currentVersion(spark, dir)
+      ManifestTable.compactSmallFiles(spark, dir, bigLen) shouldBe 0
+      ManifestTable.currentVersion(spark, dir) shouldBe v
+      // deletion vectors are honored by the rewrite: erase a dribble row,
+      // optimize again after more dribble, the row stays gone
+      ManifestTable.deleteVectorWhere(spark, dir, "id", 5000.0, 5004.0)
+      ManifestTable.append(spark, dir,
+        (9000L until 9010L).map(i => (i, s"x$i")).toDF("id", "v").coalesce(1))
+      ManifestTable.compactSmallFiles(spark, dir, bigLen)
+      val back = ManifestTable.read(spark, dir)
+      back.count() shouldBe 5065
+      back.filter(col("id").between(5000, 5004)).count() shouldBe 0
+    } finally rm(dir)
+  }
 }
