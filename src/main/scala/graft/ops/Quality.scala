@@ -179,6 +179,63 @@ object Quality {
       ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
     }
 
+  /** Population Stability Index between two corpus versions — the
+    * standard feature-drift monitor a data pipeline alarms on before a
+    * model silently degrades: per key, a numeric feature bins into
+    * `nBins` fixed-width buckets (overflow clamps into the last), both
+    * versions' bucket shares are add-1 smoothed over the full bin
+    * domain, and PSI = Σ (p−q)·ln(p/q). Rule of thumb: <0.1 stable,
+    * 0.1–0.25 drifting, >0.25 shifted.
+    *
+    * Scale shape: each side is one map-side-combinable (key, bin)
+    * count; the domain frame is keys × nBins (tiny, broadcast); ln
+    * terms are canonicalized to 12 dp and summed through DECIMAL so
+    * partial-aggregation order cannot change bits. */
+  def psiDrift(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      binWidth: Double,
+      nBins: Int
+  ): DataFrame = {
+    require(binWidth > 0 && nBins > 1, s"bad bins: $binWidth x $nBins")
+    val dec = org.apache.spark.sql.types.DecimalType(27, 12)
+    def binned(df: DataFrame, cnt: String) = df
+      .select(col(keyCol),
+        least(floor(col(valueCol) / binWidth), lit(nBins - 1)).cast("int")
+          .as("__bin"))
+      .groupBy(col(keyCol), col("__bin"))
+      .agg(count(lit(1)).as(cnt))
+    val o = binned(oldDf, "__co")
+    val n = binned(newDf, "__cn")
+    val keys = o.select(col(keyCol)).union(n.select(col(keyCol))).distinct()
+    val domain = keys.select(col(keyCol),
+      explode(sequence(lit(0), lit(nBins - 1))).as("__bin"))
+    val joined = domain
+      .join(o, Seq(keyCol, "__bin"), "left")
+      .join(n, Seq(keyCol, "__bin"), "left")
+      .select(col(keyCol),
+        coalesce(col("__co"), lit(0L)).as("__co"),
+        coalesce(col("__cn"), lit(0L)).as("__cn"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val shares = joined
+      .withColumn("__p",
+        (col("__co") + 1).cast("double") /
+          (sum(col("__co")).over(w) + nBins).cast("double"))
+      .withColumn("__q",
+        (col("__cn") + 1).cast("double") /
+          (sum(col("__cn")).over(w) + nBins).cast("double"))
+    shares
+      .withColumn("__term",
+        round((col("__p") - col("__q")) * round(log(col("__p") / col("__q")), 12),
+          12).cast(dec))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__co")).as("n_old"),
+        sum(col("__cn")).as("n_new"),
+        round(sum(col("__term")).cast("double"), 6).as("psi"))
+  }
+
   /** Linear text-classifier INFERENCE over hashed bag-of-words features —
     * the fastText-style quality/toxicity/domain scorer every corpus
     * pipeline runs over each document before filtering. The model is

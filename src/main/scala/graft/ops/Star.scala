@@ -562,6 +562,42 @@ object Star {
         round(col("__qty").cast("double"), 2).as("total_qty"))
   }
 
+  /** Suppliers who ALONE held up multi-supplier orders (TPC-H Q21
+    * flavor, adapted: "late" is shipping more than `lateDays` after the
+    * order date — this schema has no commit/receipt dates). The
+    * exists/not-exists pair becomes ONE per-order aggregate (distinct
+    * suppliers, distinct LATE suppliers), so the whole census is two
+    * hash aggregates and an equi-join — no correlated subqueries, no
+    * double fact scan; the cut is a TakeOrderedAndProject. */
+  def loneLateSuppliers(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      supplier: DataFrame,
+      lateDays: Int,
+      k: Int
+  ): DataFrame = {
+    val l = lineitem.select(col("l_orderkey"), col("l_suppkey"),
+        col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") >
+          col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")).as("late"))
+    val perOrder = l.groupBy(col("l_orderkey").as("__ok"))
+      .agg(countDistinct(col("l_suppkey")).as("__ns"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("__nl"))
+      .filter(col("__ns") > 1 && col("__nl") === 1)
+    l.filter(col("late"))
+      .join(perOrder, col("l_orderkey") === col("__ok"))
+      .groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("l_orderkey")).as("numwait"))
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey").asc)
+      .limit(k)
+  }
+
   def pricingSummary(lineitem: DataFrame, shipUntil: String): DataFrame =
     lineitem
       .filter(col("l_shipdate") <= Ts.literal(lineitem, "l_shipdate", shipUntil))

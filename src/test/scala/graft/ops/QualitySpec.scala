@@ -72,6 +72,28 @@ class QualitySpec extends AnyFlatSpec with Matchers {
     ok.getLong(3) shouldBe 0L
   }
 
+  behavior of "Quality.psiDrift"
+
+  it should "score identical distributions near zero and shifts high" in {
+    val base = (1 to 200).map(i => ("en", (i % 100).toDouble)).toDF("lang", "x")
+    val same = Quality.psiDrift(base, base, "lang", "x",
+        binWidth = 10.0, nBins = 10)
+      .collect()(0)
+    same.getLong(1) shouldBe 200L
+    same.getLong(2) shouldBe 200L
+    same.getDouble(3) shouldBe 0.0 +- 1e-9
+    // push every value into the top bin: a hard shift
+    val shifted = (1 to 200).map(i => ("en", 95.0)).toDF("lang", "x")
+    val drift = Quality.psiDrift(base, shifted, "lang", "x",
+        binWidth = 10.0, nBins = 10)
+      .collect()(0)
+    drift.getDouble(3) should be > 0.25
+    // keys missing on one side still census over the full bin domain
+    val two = base.union(Seq(("fr", 5.0)).toDF("lang", "x"))
+    Quality.psiDrift(two, base, "lang", "x", 10.0, 10)
+      .collect().map(_.getString(0)).sorted shouldBe Array("en", "fr")
+  }
+
   behavior of "Quality.linearScore"
 
   it should "score documents with literal weights and no shuffle" in {

@@ -295,6 +295,17 @@ class StarSpec extends AnyFlatSpec with Matchers {
         .mkString
       partScan should include("p_name")
     }
+    val q21 = Star.loneLateSuppliers(t("lineitem"), t("orders"),
+      t("supplier"), lateDays = 90, k = 10)
+    val w = q21.collect()
+    w.length shouldBe 10
+    // ranked by wait count with the suppkey tiebreak
+    w.map(_.getLong(2)).toSeq shouldBe w.map(_.getLong(2)).sortBy(-_).toSeq
+    val p21 = q21.queryExecution.executedPlan.toString
+    withClue(p21) {
+      p21 should include("TakeOrderedAndProject")
+      p21 should not include "CartesianProduct"
+    }
     val q18 = Star.largeOrderCustomers(t("lineitem"), t("orders"),
       t("customer"), minQty = 200.0, k = 20)
     val rows = q18.collect()
