@@ -587,6 +587,88 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE rerank (Carbonell & Goldstein, SIGIR'98)
+    * over the Hamming shortlist — the diversity-aware serving cut: k
+    * greedy picks of argmax λ·rel(d) − (1−λ)·max_{s∈picked} cos(d, s),
+    * so near-duplicate neighbors don't crowd the result page. Ties break
+    * to the smaller neighbor id.
+    *
+    * Scale shape: stage 1 is [[bqTopK]] (compressed pass over every
+    * corpus code); the greedy runs PER QUERY over its own ≤`shortlist`
+    * candidates, collected into one bounded array column and folded by
+    * plan-time-unrolled HOF steps (k literal iterations) — no iterative
+    * jobs, no driver loop, one shuffle to group the shortlist. */
+  def mmrRerankTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      shortlist: Int,
+      k: Int,
+      lambdaRel: Double = 0.7
+  ): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val spark = corpus.sparkSession
+    val cos = cosineFor(spark) _
+    val cand = bqTopK(corpus, queries, idCol, vecCol, dim, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val cvec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val qvec = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    import spark.implicits._
+    val perQ = cvec.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qvec), Seq("query_id"))
+      .select(col("query_id"),
+        struct(col("neighbor_id").as("nid"),
+          cos(col("qvec"), col("cvec")).as("rel"),
+          transform(col("cvec"), _.cast("double")).as("v")).as("c"))
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(col("c"))).as("cands"))
+      .as[(Long, Seq[(Long, Double, Seq[Double])])]
+    // The greedy is a bounded per-row fold (≤ shortlist candidates), so
+    // it runs as plain executor-side JVM code — an HOF-unrolled plan
+    // version duplicates the growing selected-set expression at every
+    // step and explodes. Arithmetic mirrors the relational cosine
+    // exactly: strict left folds, dot/(√·√), so the recursive-CTE
+    // oracle replays it bit-for-bit.
+    def cosD(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val oneMinus = 1.0 - lambdaRel
+    perQ.flatMap { case (qid, cands) =>
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+      val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
+      var i = 1
+      while (i <= k && sel.size < cands.size) {
+        var bestScore = Double.NegativeInfinity
+        var bestNid = Long.MaxValue
+        var bestVec: Seq[Double] = null
+        cands.foreach { case (nid, rel, v) =>
+          if (!sel.exists(_._1 == nid)) {
+            val pen =
+              if (sel.isEmpty) 0.0
+              else sel.iterator.map(s => cosD(v, s._2)).max
+            val score = lambdaRel * rel - oneMinus * pen
+            if (score > bestScore || (score == bestScore && nid < bestNid)) {
+              bestScore = score; bestNid = nid; bestVec = v
+            }
+          }
+        }
+        sel += ((bestNid, bestVec))
+        picks += ((qid, bestNid, i, bestScore))
+        i += 1
+      }
+      picks
+    }.toDF("query_id", "neighbor_id", "rank", "score")
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Deterministic ±1 hyperplane components: sign_{j,i} = +1 iff the 60-bit
     * md5 hash of "j:i" is odd — the same family TextFunctions.hash60 /
     * the DuckDB oracle computes. */

@@ -1620,6 +1620,31 @@ object ManifestTable {
     rels.size - bins.size
   }
 
+  /** RESTORE — history-preserving rollback (Delta RESTORE / Iceberg
+    * rollback): commit a NEW version whose content is exactly snapshot
+    * `version`'s — files, stats, blooms, sketches and deletion vectors
+    * all carried BY REFERENCE, so rolling back a 100 TB table writes one
+    * manifest. The bad version stays in history (time travel still
+    * reads it); an existing target manifest implies its files are still
+    * live, because any [[vacuum]] that would have swept the files would
+    * have swept the manifest first. */
+  def restore(spark: SparkSession, dir: String, version: Long): StagedCommit = {
+    val f = fs(dir, spark)
+    val name = f"manifest-$version%020d.txt"
+    require(f.exists(new Path(new Path(dir, "_manifests"), name)),
+      s"version $version not found (vacuumed, or never committed) in $dir")
+    val basis = currentVersion(spark, dir)
+    if (basis == version) return StagedCommit(version, name, version)
+    val lines = manifestLines(f, dir, name)
+    val schemaLine = lines.filter(_.startsWith("#schema="))
+    val headers = carriedHeadersFor(lines, _ => true)
+    val content = ((schemaLine ++ headers.sorted) ++
+      manifestRel(f, dir, name).sorted).mkString("\n")
+    val staged = claimManifestSlot(spark, dir, content, basis)
+    publish(spark, dir, staged)
+    staged
+  }
+
   /** Manifest-native small-file compaction: coalesce the CURRENT snapshot
     * into `targetFiles` new data files and commit them by pointer swap —
     * zero directory renames, zero reader-visible windows (contrast

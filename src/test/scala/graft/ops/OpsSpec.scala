@@ -2725,6 +2725,30 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     (r.getLong(0), r.getLong(1)) shouldBe ((0L, 2L))
   }
 
+  it should "pick diverse neighbors greedily under the MMR objective" in {
+    // 1↔2 and 3↔4 are near-duplicate pairs; pure relevance for query 1
+    // would return 2 then 6 then… MMR's diversity penalty demotes
+    // redundant picks (hand-computed greedy: 2, 6, 5)
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.1f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.2f, 0.0f)),
+      (4L, Seq(0.0f, 0.9f, 0.1f, 0.1f)),
+      (5L, Seq(0.1f, 0.0f, 1.0f, 0.0f)),
+      (6L, Seq(0.5f, 0.5f, 0.5f, 0.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerankTopK(df, df.filter(col("vec_id") === 1),
+        "vec_id", "embedding", dim = 4, shortlist = 5, k = 3, lambdaRel = 0.7)
+      .collect().map(r => (r.getInt(2), r.getLong(1), r.getDouble(3))).sorted
+    out.map(_._2) shouldBe Array(2L, 6L, 5L)
+    out.map(_._3) shouldBe Array(0.692266, 0.217442, -0.094874)
+    // determinism
+    val again = Similarity.mmrRerankTopK(df, df.filter(col("vec_id") === 1),
+        "vec_id", "embedding", dim = 4, shortlist = 5, k = 3, lambdaRel = 0.7)
+      .collect().map(r => (r.getInt(2), r.getLong(1))).sorted
+    again.map(_._2) shouldBe Array(2L, 6L, 5L)
+  }
+
   it should "rerank the Hamming shortlist by exact cosine without shuffling the corpus" in {
     // 40 corpus vectors in 4 dims; with shortlist = corpus size the
     // rerank must agree with the exact brute-force ranking

@@ -949,4 +949,37 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
       back.filter(col("id").between(5000, 5004)).count() shouldBe 0
     } finally rm(dir)
   }
+
+  it should "restore a prior snapshot by reference as a new version" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.append(spark, dir,
+        (0L until 100L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
+      ManifestTable.append(spark, dir,
+        (100L until 200L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1))
+      val goodFiles = ManifestTable.currentFiles(spark, dir).sorted
+      // incident: overwrite with junk
+      ManifestTable.commit(spark, dir,
+        Seq((999L, "junk")).toDF("id", "v"))
+      ManifestTable.restore(spark, dir, 1L)
+      ManifestTable.currentVersion(spark, dir) shouldBe 3L
+      // content AND file identity restored by reference — no data write
+      ManifestTable.currentFiles(spark, dir).sorted shouldBe goodFiles
+      ManifestTable.read(spark, dir).count() shouldBe 200
+      // the bad version stays time-travelable
+      ManifestTable.readVersion(spark, dir, 2L).count() shouldBe 1
+      // restoring the current version is a no-op
+      ManifestTable.restore(spark, dir, 3L)
+      ManifestTable.currentVersion(spark, dir) shouldBe 3L
+      // restore carries deletion vectors: erase, restore v1, rows return;
+      // restore the DV'd version, rows stay gone
+      ManifestTable.deleteVectorWhere(spark, dir, "id", 0.0, 49.0)
+      val dvv = ManifestTable.currentVersion(spark, dir)
+      ManifestTable.read(spark, dir).count() shouldBe 150
+      ManifestTable.restore(spark, dir, 1L)
+      ManifestTable.read(spark, dir).count() shouldBe 200
+      ManifestTable.restore(spark, dir, dvv)
+      ManifestTable.read(spark, dir).count() shouldBe 150
+    } finally rm(dir)
+  }
 }
