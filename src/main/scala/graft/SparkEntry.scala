@@ -1020,6 +1020,18 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
     }),
 
+    // Extension: MMR diversity rerank — k greedy picks of
+    // λ·relevance − (1−λ)·max-similarity-to-picked over the Hamming
+    // shortlist, so near-duplicates don't crowd the result page. The
+    // greedy folds per query over a bounded array (plan-unrolled steps,
+    // no iterative jobs); the oracle replays it as a recursive CTE.
+    "sim_mmr_rerank" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      graft.ops.Similarity.mmrRerankTopK(spread(s, emb), q, "vec_id",
+        "embedding", dim = 64, shortlist = 20, k = 5, lambdaRel = 0.7)
+    }),
+
     // Extension: prefix-dimension (Matryoshka-style) recall — recall@5 of
     // top-k search using only the FIRST 16 of 64 dims vs the full-vector
     // ranking. Prices dimension truncation the way sim_proj_recall prices
@@ -2572,6 +2584,27 @@ object SparkEntry {
         table(s, dir, "lineitem"), table(s, dir, "orders"),
         table(s, dir, "customer"), minQty = 200.0, k = 20)),
 
+    // Extension: Q21-flavor lone late suppliers — the exists/not-exists
+    // pair collapsed into ONE per-order aggregate (distinct suppliers vs
+    // distinct LATE suppliers), so the census is two hash aggregates and
+    // an equi-join instead of correlated subqueries.
+    "star_lone_late_supplier" -> ((s, dir) =>
+      graft.ops.Star.loneLateSuppliers(
+        table(s, dir, "lineitem"), table(s, dir, "orders"),
+        table(s, dir, "supplier"), lateDays = 90, k = 10)),
+
+    // Extension: PSI feature-drift monitor between two corpus versions —
+    // per-language fixed-width bins of n_chars, add-1-smoothed shares,
+    // Σ (p−q)·ln(p/q); the alarm a pipeline fires before a model
+    // silently degrades (<0.1 stable, >0.25 shifted).
+    "docs_psi_drift" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.ops.Quality.psiDrift(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        "lang", "n_chars", binWidth = 64.0, nBins = 10)
+    }),
+
     // Extension: WARC ingestion (the CommonCrawl format) — documents
     // serialize to real WARC/1.0 files (one per partition), read back by
     // Content-Length framing; the md5 roundtrip proves byte fidelity.
@@ -2916,6 +2949,33 @@ object SparkEntry {
         .select(lit(total.toLong).as("n_files_before"),
           lit(cands.size.toLong).as("n_files_rewritten"),
           col("n_rows_after"), col("chars_sum_after"), col("n_langs_after"))
+    }),
+
+    // Extension: RESTORE — history-preserving rollback: a bad deletion
+    // is rolled back by committing a NEW version with the old snapshot's
+    // content carried entirely by reference (one manifest write at any
+    // table size); the bad version stays time-travelable. The oracle
+    // derives the restored content and the version arithmetic.
+    "ingest_manifest_restore" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratch("manifest_restore")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val langs = docs.select(col("lang")).distinct().as[String].collect().sorted
+      langs.foreach { l =>
+        graft.sources.ManifestTable.append(s, out,
+          docs.filter(col("lang") === l).coalesce(1))
+      }
+      val good = graft.sources.ManifestTable.currentVersion(s, out)
+      // the "incident": a vector delete erases a language
+      graft.sources.ManifestTable.deleteVectorWhereEquals(s, out, "lang", "en")
+      graft.sources.ManifestTable.restore(s, out, good)
+      val cur = graft.sources.ManifestTable.currentVersion(s, out)
+      graft.sources.ManifestTable.read(s, out)
+        .agg(count(lit(1)).as("n_rows_after"),
+          sum(col("n_chars")).as("chars_sum_after"))
+        .select(lit(good).as("good_version"), lit(cur).as("restored_version"),
+          col("n_rows_after"), col("chars_sum_after"))
     }),
 
     // Extension: BOUNDED OPTIMIZE — the ingest-dribble compaction: the
@@ -4434,6 +4494,45 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim
         |FROM r WHERE rk <= 5""".stripMargin,
+
+    // The identical greedy replayed as a recursive CTE: per step, the
+    // LATERAL argmax of λ·rel − (1−λ)·max cos to the picked set
+    // (list_cosine_similarity ≡ the strict-fold cosine bit-for-bit on
+    // 64-dim doubles — verified against the cosSql fold).
+    "sim_mmr_rerank" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |codes AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN i <= 32 AND v[i] > 0 THEN (1::BIGINT << (i-1)) ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN i > 32 AND v[i] > 0 THEN (1::BIGINT << (i-33)) ELSE 0 END) AS BIGINT) AS c1
+        |  FROM e, generate_series(1, 64) g(i) GROUP BY 1),
+        |qc AS (SELECT vec_id AS query_id, c0 AS q0, c1 AS q1 FROM codes WHERE vec_id < 10),
+        |short AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT qc.query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY qc.query_id
+        |      ORDER BY bit_count(xor(c.c0, qc.q0)) + bit_count(xor(c.c1, qc.q1)), c.vec_id) AS rk
+        |  FROM qc, codes c WHERE c.vec_id != qc.query_id) WHERE rk <= 20),
+        |cand AS (SELECT sh.query_id, sh.neighbor_id, ${cosSql("q.v", "c.v")} AS rel, c.v AS v
+        |  FROM short sh JOIN e c ON c.vec_id = sh.neighbor_id
+        |  JOIN e q ON q.vec_id = sh.query_id),
+        |mmr AS (
+        |  SELECT query_id, 0 AS rk, CAST(NULL AS BIGINT) AS nid,
+        |         CAST(NULL AS DOUBLE) AS score,
+        |         CAST([] AS STRUCT(nid BIGINT, v DOUBLE[])[]) AS sel
+        |  FROM (SELECT DISTINCT query_id FROM cand)
+        |  UNION ALL
+        |  SELECT m.query_id, m.rk + 1, b.nid, b.score,
+        |         list_append(m.sel, struct_pack(nid := b.nid, v := b.v))
+        |  FROM mmr m, LATERAL (
+        |    SELECT c.neighbor_id AS nid, c.v AS v,
+        |      0.7 * c.rel - (1.0 - 0.7) * COALESCE(list_max(
+        |        list_transform(m.sel, s -> list_cosine_similarity(c.v, s.v))), 0.0) AS score
+        |    FROM cand c
+        |    WHERE c.query_id = m.query_id
+        |      AND NOT list_contains(list_transform(m.sel, s -> s.nid), c.neighbor_id)
+        |    ORDER BY score DESC, c.neighbor_id LIMIT 1) b
+        |  WHERE m.rk < 5)
+        |SELECT query_id, nid AS neighbor_id, CAST(rk AS INTEGER) AS "rank", round(score, 6) AS score
+        |FROM mmr WHERE rk >= 1""".stripMargin,
 
     // The sim_proj_recall eval shape with a prefix slice instead of the
     // projection arithmetic.
@@ -6396,6 +6495,43 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2""".stripMargin,
 
+    // Same one-aggregate collapse of the exists/not-exists pair.
+    "star_lone_late_supplier" ->
+      """WITH l AS (SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |po AS (SELECT l_orderkey AS ok, count(DISTINCT l_suppkey) AS ns,
+        |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nl
+        |  FROM l GROUP BY 1),
+        |t AS (SELECT l.l_suppkey, CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS numwait
+        |  FROM l JOIN po ON l.l_orderkey = po.ok AND po.ns > 1 AND po.nl = 1
+        |  WHERE l.late GROUP BY 1)
+        |SELECT s_suppkey, s_name, numwait
+        |FROM t JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY numwait DESC, s_suppkey LIMIT 10""".stripMargin,
+
+    // The same smoothed shares over the full bin domain, ln canonicalized
+    // to 12 dp, terms DECIMAL-routed.
+    "docs_psi_drift" ->
+      """WITH o AS (SELECT lang, CAST(least(floor(n_chars/64.0), 9) AS INTEGER) AS bin
+        |  FROM documents WHERE doc_id % 7 != 0),
+        |n AS (SELECT lang, CAST(least(floor(n_chars/64.0), 9) AS INTEGER) AS bin
+        |  FROM documents WHERE doc_id % 5 != 0),
+        |oc AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS c FROM o GROUP BY 1, 2),
+        |nc AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS c FROM n GROUP BY 1, 2),
+        |keys AS (SELECT DISTINCT lang FROM (SELECT lang FROM oc UNION ALL SELECT lang FROM nc)),
+        |dom AS (SELECT lang, j AS bin FROM keys, generate_series(0, 9) g(j)),
+        |jj AS (SELECT dom.lang, dom.bin, COALESCE(oc.c, 0) AS co, COALESCE(nc.c, 0) AS cn
+        |  FROM dom LEFT JOIN oc ON oc.lang = dom.lang AND oc.bin = dom.bin
+        |  LEFT JOIN nc ON nc.lang = dom.lang AND nc.bin = dom.bin),
+        |sh AS (SELECT lang, co, cn,
+        |    (co + 1) / (sum(co) OVER (PARTITION BY lang) + 10.0) AS p,
+        |    (cn + 1) / (sum(cn) OVER (PARTITION BY lang) + 10.0) AS q
+        |  FROM jj)
+        |SELECT lang, CAST(sum(co) AS BIGINT) AS n_old, CAST(sum(cn) AS BIGINT) AS n_new,
+        |  round(CAST(sum(CAST(round((p - q) * round(ln(p / q), 12), 12) AS DECIMAL(27,12))) AS DOUBLE), 6) AS psi
+        |FROM sh GROUP BY 1""".stripMargin,
+
     // Per-order quantity sums in DECIMAL, HAVING > 200, value-ranked
     // top-20 with the orderkey tiebreak.
     "star_large_orders" ->
@@ -6624,6 +6760,15 @@ object SparkEntry {
         |     WHERE lang <> 'en') AS chars_sum_after,
         |  (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents
         |     WHERE lang <> 'en') AS n_langs_after""".stripMargin,
+
+    // Appends = one per language (good = n-1), the delete adds one, the
+    // restore one more (n+1); content is the full table again.
+    "ingest_manifest_restore" ->
+      """SELECT
+        |  (SELECT CAST(count(DISTINCT lang) - 1 AS BIGINT) FROM documents) AS good_version,
+        |  (SELECT CAST(count(DISTINCT lang) + 1 AS BIGINT) FROM documents) AS restored_version,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows_after,
+        |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS chars_sum_after""".stripMargin,
 
     // The optimize invariants hold structurally; content is preserved.
     "ingest_manifest_optimize" ->
