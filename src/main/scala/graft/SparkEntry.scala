@@ -2593,6 +2593,16 @@ object SparkEntry {
         table(s, dir, "lineitem"), table(s, dir, "orders"),
         table(s, dir, "supplier"), lateDays = 90, k = 10)),
 
+    // Extension: l-diversity census — k-anonymity's complement: a large
+    // quasi-group still leaks if every member shares one sensitive
+    // value; groups need >= l DISTINCT sensitive values. One group-by
+    // (a row per group through the shuffle) + a one-row summary.
+    "docs_l_diversity" -> ((s, dir) =>
+      graft.ops.Quality.lDiversityReport(
+        table(s, dir, "documents")
+          .withColumn("band", floor(col("n_chars") / 128).cast("long")),
+        Seq("lang", "band"), "source", l = 3L)),
+
     // Extension: PSI feature-drift monitor between two corpus versions —
     // per-language fixed-width bins of n_chars, add-1-smoothed shares,
     // Σ (p−q)·ln(p/q); the alarm a pipeline fires before a model
@@ -2949,6 +2959,45 @@ object SparkEntry {
         .select(lit(total.toLong).as("n_files_before"),
           lit(cands.size.toLong).as("n_files_rewritten"),
           col("n_rows_after"), col("chars_sum_after"), col("n_langs_after"))
+    }),
+
+    // Extension: TABLE CHECK CONSTRAINTS — Delta's CHECK shape on the
+    // manifest protocol: registered constraints carry in the manifest
+    // header, every write transaction validates its INCOMING batch with
+    // one aggregate and refuses violations loudly, so bad data can
+    // never enter the table. The demo registers three checks, lands a
+    // clean batch, is refused a dirty one (null lang + out-of-range),
+    // and proves the table unchanged by the refusal.
+    "ingest_manifest_check" -> ((s, dir) => {
+      val out = scratch("manifest_check")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.ManifestTable.commit(s, out,
+        docs.filter(col("doc_id") % 2 === 0))
+      graft.sources.ManifestTable.addCheck(s, out,
+        graft.ops.Quality.NotNull("lang"))
+      graft.sources.ManifestTable.addCheck(s, out,
+        graft.ops.Quality.InRange("n_chars", 0.0, 100000.0))
+      graft.sources.ManifestTable.addCheck(s, out,
+        graft.ops.Quality.Accepted("lang", Seq("de", "en", "es", "fr", "zh")))
+      graft.sources.ManifestTable.append(s, out,
+        docs.filter(col("doc_id") % 2 =!= 0)) // clean: lands
+      val dirty = docs.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id") + 1000000L,
+          when(col("doc_id") % 3 === 0, lit(null: String))
+            .otherwise(col("lang")).as("lang"),
+          (col("n_chars") - 200000L).as("n_chars"))
+        .toDF("doc_id", "lang", "n_chars")
+      val refused =
+        try { graft.sources.ManifestTable.append(s, out, dirty); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      graft.sources.ManifestTable.read(s, out)
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("chars_sum"))
+        .select(
+          lit(graft.sources.ManifestTable.checks(s, out).size.toLong)
+            .as("n_checks"),
+          lit(refused).as("n_refused"),
+          col("n_rows"), col("chars_sum"))
     }),
 
     // Extension: RESTORE — history-preserving rollback: a bad deletion
@@ -6510,6 +6559,19 @@ object SparkEntry {
         |FROM t JOIN supplier ON l_suppkey = s_suppkey
         |ORDER BY numwait DESC, s_suppkey LIMIT 10""".stripMargin,
 
+    // Same group census: distinct sensitive values per quasi-group.
+    "docs_l_diversity" ->
+      """WITH g AS (SELECT lang, CAST(floor(n_chars / 128) AS BIGINT) AS band,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT CAST(3 AS BIGINT) AS l,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(COALESCE(sum(CASE WHEN d < 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violating_groups,
+        |  CAST(COALESCE(sum(CASE WHEN d < 3 THEN n ELSE 0 END), 0) AS BIGINT) AS n_rows_at_risk,
+        |  min(d) AS min_distinct_sensitive
+        |FROM g""".stripMargin,
+
     // The same smoothed shares over the full bin domain, ln canonicalized
     // to 12 dp, terms DECIMAL-routed.
     "docs_psi_drift" ->
@@ -6760,6 +6822,14 @@ object SparkEntry {
         |     WHERE lang <> 'en') AS chars_sum_after,
         |  (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents
         |     WHERE lang <> 'en') AS n_langs_after""".stripMargin,
+
+    // Three registered checks, one refused dirty batch, content = the
+    // full clean table.
+    "ingest_manifest_check" ->
+      """SELECT CAST(3 AS BIGINT) AS n_checks, CAST(1 AS BIGINT) AS n_refused,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents""".stripMargin,
 
     // Appends = one per language (good = n-1), the delete adds one, the
     // restore one more (n+1); content is the full table again.

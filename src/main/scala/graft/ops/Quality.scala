@@ -179,6 +179,32 @@ object Quality {
       ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
     }
 
+  /** l-diversity census — k-anonymity's necessary complement: a
+    * quasi-identifier group can be large (k-anonymous) yet still leak
+    * if every member shares one sensitive value; a group is l-diverse
+    * only when it holds at least `l` DISTINCT sensitive values. Same
+    * scale shape as [[kAnonymityReport]]: one group-by whose shuffle
+    * carries a row per group, then a one-row summary. */
+  def lDiversityReport(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be at least 2: $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(countDistinct(col(sensitiveCol)).as("__d"),
+        count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("n_groups"),
+        coalesce(sum(when(col("__d") < l, 1L).otherwise(0L)), lit(0L))
+          .as("n_violating_groups"),
+        coalesce(sum(when(col("__d") < l, col("__n")).otherwise(0L)), lit(0L))
+          .as("n_rows_at_risk"),
+        min(col("__d")).as("min_distinct_sensitive"))
+      .select(lit(l).as("l"), col("n_groups"), col("n_violating_groups"),
+        col("n_rows_at_risk"), col("min_distinct_sensitive"))
+  }
+
   /** Population Stability Index between two corpus versions — the
     * standard feature-drift monitor a data pipeline alarms on before a
     * model silently degrades: per key, a numeric feature bins into

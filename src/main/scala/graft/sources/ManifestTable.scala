@@ -146,14 +146,14 @@ object ManifestTable {
 
   // header lines a new manifest carries from its basis: per-file headers
   // (stats, blooms, NDV sketches, sizes) only for files that survive
-  // (`keepRel`); deletion vectors always carry verbatim (entries for
-  // dropped rels anti-join nothing)
+  // (`keepRel`); deletion vectors and table-level CHECK constraints
+  // always carry verbatim
   private def carriedHeadersFor(
       lines: Seq[String], keepRel: String => Boolean): Seq[String] =
     lines.filter { l =>
       headerRel(l) match {
         case Some(rel) => keepRel(rel)
-        case None => l.startsWith("#dv=")
+        case None => l.startsWith("#dv=") || l.startsWith("#check=")
       }
     }
 
@@ -554,9 +554,26 @@ object ManifestTable {
   }
 
   /** Full-snapshot commit: stage, then swap. The table's content after
-    * this call is exactly `df`. */
+    * this call is exactly `df`. Registered CHECK constraints carry
+    * forward and the incoming content must satisfy them. */
   def commit(spark: SparkSession, dir: String, df: DataFrame): StagedCommit = {
-    val staged = stage(spark, dir, df)
+    enforceChecks(spark, dir, df)
+    commitCarryingChecks(spark, dir, df)
+  }
+
+  // commit WITHOUT re-validating: for content derived from the table
+  // itself (compaction), whose rows already passed at their own commit —
+  // a redundant full validation pass is exactly what a 100 TB compaction
+  // must not pay. Still carries the #check headers forward.
+  private def commitCarryingChecks(
+      spark: SparkSession, dir: String, df: DataFrame): StagedCommit = {
+    val f = fs(dir, spark)
+    val checkLines =
+      if (!f.exists(new Path(dir, PointerName))) Seq.empty[String]
+      else manifestLines(f, dir,
+        readSmallFile(f, new Path(dir, PointerName)).trim)
+        .filter(_.startsWith("#check="))
+    val staged = stage(spark, dir, df, Seq.empty, checkLines)
     publish(spark, dir, staged)
     staged
   }
@@ -908,6 +925,7 @@ object ManifestTable {
     * each land exactly once via [[completeAppend]]'s rebase loop. */
   def append(spark: SparkSession, dir: String, df: DataFrame): StagedCommit = {
     requireSameSchema(currentSchema(spark, dir), df.schema, "append")
+    enforceChecks(spark, dir, df)
     completeAppend(spark, dir, stageData(spark, dir, df))
   }
 
@@ -1139,6 +1157,7 @@ object ManifestTable {
           updates.filter(org.apache.spark.sql.functions.lit(false)),
           updates, keyCol, versionCol))
     requireSameSchema(currentSchema(spark, dir), updates.schema, "mergeInto")
+    enforceChecks(spark, dir, updates)
     val bounds = updates.agg(min(col(keyCol)), max(col(keyCol))).collect()(0)
     val name = readSmallFile(f, new Path(dir, PointerName)).trim
     val basis = name.stripPrefix("manifest-").stripSuffix(".txt").toLong
@@ -1182,6 +1201,7 @@ object ManifestTable {
     * narrowing is the failure mode the plain [[append]] guard exists
     * for. */
   def appendEvolve(spark: SparkSession, dir: String, df: DataFrame): StagedCommit = {
+    enforceChecks(spark, dir, df)
     val f = fs(dir, spark)
     val (carry, carryStats, basis) =
       if (f.exists(new Path(dir, PointerName))) {
@@ -1240,6 +1260,7 @@ object ManifestTable {
   ): StagedCommit = {
     val f = fs(dir, spark)
     requireSameSchema(currentSchema(spark, dir), df.schema, "replacePartitions")
+    enforceChecks(spark, dir, df)
     val dataDir = new Path(new Path(dir, "data"), UUID.randomUUID().toString)
     df.withColumn("__p", org.apache.spark.sql.functions.col(partitionCol))
       .write.partitionBy("__p").parquet(dataDir.toString)
@@ -1620,6 +1641,110 @@ object ManifestTable {
     rels.size - bins.size
   }
 
+  // #check=<b64 spec> — a TABLE-LEVEL CHECK constraint every write
+  // transaction must satisfy (Delta's CHECK / NOT NULL constraint
+  // shape). Specs serialize the row-local Quality constraints:
+  //   not_null|<b64 col>
+  //   in_range|<b64 col>|<lo>|<hi>
+  //   accepted|<b64 col>|<b64 v1>,<b64 v2>,...
+  private def checkLineOf(c: graft.ops.Quality.Constraint): String = {
+    val spec = c match {
+      case graft.ops.Quality.NotNull(col) => s"not_null|${b64(col)}"
+      case graft.ops.Quality.InRange(col, lo, hi) =>
+        s"in_range|${b64(col)}|$lo|$hi"
+      case graft.ops.Quality.Accepted(col, vs) =>
+        s"accepted|${b64(col)}|${vs.map(b64).mkString(",")}"
+      case other => throw new IllegalArgumentException(
+        s"only row-local constraints can be table CHECKs: ${other.name}")
+    }
+    s"#check=${b64(spec)}"
+  }
+
+  private def parseCheckLine(l: String): Option[graft.ops.Quality.Constraint] =
+    unb64(l.stripPrefix("#check=")).split('|') match {
+      case Array("not_null", c) => Some(graft.ops.Quality.NotNull(unb64(c)))
+      case Array("in_range", c, lo, hi) =>
+        Some(graft.ops.Quality.InRange(unb64(c), lo.toDouble, hi.toDouble))
+      case Array("accepted", c, vs) =>
+        Some(graft.ops.Quality.Accepted(unb64(c),
+          vs.split(',').toSeq.filter(_.nonEmpty).map(unb64)))
+      case _ => None
+    }
+
+  /** The table's registered CHECK constraints. */
+  def checks(spark: SparkSession, dir: String): Seq[graft.ops.Quality.Constraint] = {
+    val f = fs(dir, spark)
+    val ptr = new Path(dir, PointerName)
+    if (!f.exists(ptr)) Seq.empty
+    else manifestLines(f, dir, readSmallFile(f, ptr).trim)
+      .filter(_.startsWith("#check=")).flatMap(parseCheckLine)
+  }
+
+  /** Register a CHECK constraint as one header-only commit — refused
+    * unless the CURRENT content already satisfies it (a constraint that
+    * is false at creation would make every future write fail). Once
+    * registered, [[append]], [[commit]], [[appendEvolve]],
+    * [[replacePartitions]] and [[mergeInto]] validate their INCOMING
+    * batch with one aggregate over the batch and refuse violations
+    * loudly — bad data can never enter the table, the contract a landed
+    * table needs before downstreams trust it without re-validating. */
+  def addCheck(
+      spark: SparkSession,
+      dir: String,
+      constraint: graft.ops.Quality.Constraint): StagedCommit = {
+    val line = checkLineOf(constraint) // validates the constraint kind
+    require(graft.ops.Quality.passes(read(spark, dir), Seq(constraint)),
+      s"existing rows violate ${constraint.name}; a CHECK must hold at creation")
+    val f = fs(dir, spark)
+    val name = readSmallFile(f, new Path(dir, PointerName)).trim
+    val basis = name.stripPrefix("manifest-").stripSuffix(".txt").toLong
+    val lines = manifestLines(f, dir, name)
+    if (lines.contains(line)) return StagedCommit(basis, name, basis)
+    val schemaLine = lines.filter(_.startsWith("#schema="))
+    val header = carriedHeadersFor(lines, _ => true)
+    val content = ((schemaLine ++ (header :+ line).sorted) ++
+      manifestRel(f, dir, name).sorted).mkString("\n")
+    val staged = claimManifestSlot(spark, dir, content, basis)
+    publish(spark, dir, staged)
+    staged
+  }
+
+  /** Drop a CHECK constraint (header-only commit; no-op if absent). */
+  def dropCheck(
+      spark: SparkSession,
+      dir: String,
+      constraint: graft.ops.Quality.Constraint): StagedCommit = {
+    val line = checkLineOf(constraint)
+    val f = fs(dir, spark)
+    val name = readSmallFile(f, new Path(dir, PointerName)).trim
+    val basis = name.stripPrefix("manifest-").stripSuffix(".txt").toLong
+    val lines = manifestLines(f, dir, name)
+    if (!lines.contains(line)) return StagedCommit(basis, name, basis)
+    val schemaLine = lines.filter(_.startsWith("#schema="))
+    val header = carriedHeadersFor(lines, _ => true).filterNot(_ == line)
+    val content = ((schemaLine ++ header.sorted) ++
+      manifestRel(f, dir, name).sorted).mkString("\n")
+    val staged = claimManifestSlot(spark, dir, content, basis)
+    publish(spark, dir, staged)
+    staged
+  }
+
+  // every write transaction funnels its INCOMING rows through this: one
+  // aggregate over the batch, loud refusal naming the broken rule
+  private def enforceChecks(
+      spark: SparkSession, dir: String, df: DataFrame): Unit = {
+    val cs = checks(spark, dir)
+    if (cs.nonEmpty) {
+      val bad = graft.ops.Quality.constraintReport(df, cs)
+        .filter(org.apache.spark.sql.functions.col("n_violations") > 0)
+        .collect()
+      require(bad.isEmpty,
+        s"CHECK constraint violated by the incoming batch: " +
+          bad.map(r => s"${r.getString(0)} (${r.getLong(2)} rows)")
+            .mkString(", "))
+    }
+  }
+
   /** RESTORE — history-preserving rollback (Delta RESTORE / Iceberg
     * rollback): commit a NEW version whose content is exactly snapshot
     * `version`'s — files, stats, blooms, sketches and deletion vectors
@@ -1652,7 +1777,7 @@ object ManifestTable {
     * where directory rename is atomic). Old files stay on disk for
     * in-flight readers until [[vacuum]]. */
   def compact(spark: SparkSession, dir: String, targetFiles: Int): StagedCommit =
-    commit(spark, dir, read(spark, dir).coalesce(targetFiles))
+    commitCarryingChecks(spark, dir, read(spark, dir).coalesce(targetFiles))
 
   /** Range-clustered compaction: rewrite the snapshot into `targetFiles`
     * files with DISJOINT `sortCols` ranges (repartitionByRange + local
@@ -1671,7 +1796,7 @@ object ManifestTable {
     val ordered = read(spark, dir)
       .repartitionByRange(targetFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
-    commit(spark, dir, ordered)
+    commitCarryingChecks(spark, dir, ordered)
   }
 
   /** Delete data files no longer referenced by the CURRENT manifest —

@@ -72,6 +72,23 @@ class QualitySpec extends AnyFlatSpec with Matchers {
     ok.getLong(3) shouldBe 0L
   }
 
+  behavior of "Quality.lDiversityReport"
+
+  it should "flag quasi-groups whose sensitive values lack diversity" in {
+    // group (a): 3 rows, 1 distinct sensitive -> leaks even at k=3
+    // group (b): 2 rows, 2 distinct -> diverse at l=2, not at l=3
+    val df = Seq(("a","s1"),("a","s1"),("a","s1"),("b","s1"),("b","s2"))
+      .toDF("q", "sens")
+    val r = Quality.lDiversityReport(df, Seq("q"), "sens", l = 2L).collect()(0)
+    r.getLong(1) shouldBe 2L  // groups
+    r.getLong(2) shouldBe 1L  // violating (a)
+    r.getLong(3) shouldBe 3L  // rows at risk
+    r.getLong(4) shouldBe 1L  // min distinct
+    val r3 = Quality.lDiversityReport(df, Seq("q"), "sens", l = 3L).collect()(0)
+    r3.getLong(2) shouldBe 2L
+    r3.getLong(3) shouldBe 5L
+  }
+
   behavior of "Quality.psiDrift"
 
   it should "score identical distributions near zero and shifts high" in {

@@ -982,4 +982,53 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
       ManifestTable.read(spark, dir).count() shouldBe 150
     } finally rm(dir)
   }
+
+  it should "enforce registered CHECK constraints on every write transaction" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.commit(spark, dir,
+        (0L until 50L).map(i => (i, "ok", i.toDouble)).toDF("id", "s", "x"))
+      // a CHECK that existing rows violate refuses at creation
+      intercept[IllegalArgumentException] {
+        ManifestTable.addCheck(spark, dir,
+          graft.ops.Quality.InRange("x", 100.0, 200.0))
+      }
+      ManifestTable.addCheck(spark, dir, graft.ops.Quality.NotNull("s"))
+      ManifestTable.addCheck(spark, dir,
+        graft.ops.Quality.InRange("x", 0.0, 1000.0))
+      ManifestTable.checks(spark, dir).size shouldBe 2
+      // registering the same check twice is a no-op
+      val v = ManifestTable.currentVersion(spark, dir)
+      ManifestTable.addCheck(spark, dir, graft.ops.Quality.NotNull("s"))
+      ManifestTable.currentVersion(spark, dir) shouldBe v
+      // clean writes land; dirty ones refuse and leave the table intact
+      ManifestTable.append(spark, dir,
+        (50L until 60L).map(i => (i, "ok", i.toDouble)).toDF("id", "s", "x"))
+      val before = ManifestTable.read(spark, dir).count()
+      val e = intercept[IllegalArgumentException] {
+        ManifestTable.append(spark, dir,
+          Seq((99L, null: String, 5.0)).toDF("id", "s", "x"))
+      }
+      e.getMessage should include("not_null(s)")
+      intercept[IllegalArgumentException] {
+        ManifestTable.mergeInto(spark, dir,
+          Seq((1L, "ok", 5000.0)).toDF("id", "s", "x"), "id", "x")
+      }
+      ManifestTable.read(spark, dir).count() shouldBe before
+      // checks carry through compaction (no re-validation scan needed)
+      ManifestTable.compact(spark, dir, 1)
+      ManifestTable.checks(spark, dir).size shouldBe 2
+      // ... and still bite afterwards
+      intercept[IllegalArgumentException] {
+        ManifestTable.append(spark, dir,
+          Seq((100L, "ok", -5.0)).toDF("id", "s", "x"))
+      }
+      // dropCheck lifts the rule
+      ManifestTable.dropCheck(spark, dir,
+        graft.ops.Quality.InRange("x", 0.0, 1000.0))
+      ManifestTable.append(spark, dir,
+        Seq((100L, "ok", -5.0)).toDF("id", "s", "x"))
+      ManifestTable.read(spark, dir).count() shouldBe (before + 1)
+    } finally rm(dir)
+  }
 }
