@@ -1599,6 +1599,31 @@ object SparkEntry {
         .select(col("batch_id"), col("rule"), col("n_checked"), col("n_violations"))
     }),
 
+    // Extension: STREAMING DDSketch — each micro-batch ADDS its
+    // (type, bucket) counts into a persistent histogram table; because
+    // DDSketch buckets merge by pure addition, the maintained sketch
+    // answers exactly the batch sketch of the whole feed — the oracle
+    // IS the batch recipe over the full feed.
+    "stream_ddsketch" -> ((s, dir) => withStreamingShuffle(s, 4) {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val feed = events(s, dir).filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          col("value"), col("props"))
+        .as[StreamEv].collect()
+      val (batch1, batch2) = feed.partition(_.event_id < 1000)
+      val out = scratch("stream_ddsketch")
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEv]
+      val q = graft.streaming.StreamingOps.ddsketchSink(
+        in.toDF(), "event_type", "value", alpha = 0.02, out)
+      in.addData(batch1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
+      q.stop()
+      graft.ops.EventOps.ddsketchQuantilesFromHistogram(
+        graft.sources.ManifestTable.read(s, out),
+        "event_type", "bucket", "n", alpha = 0.02, qs = Seq(0.5, 0.9, 0.99))
+    }),
+
     // Extension: STREAMING CONTAMINATION GATE — every arriving training
     // document screens against the static benchmark's shingle Bloom
     // before landing; per-doc hit counts + the exact truth + the
@@ -5825,6 +5850,25 @@ object SparkEntry {
 
     // quantile_cont is the same type-7 interpolation as the rank-selected
     // two-pass exact quantiles.
+    // The batch sketch of the whole (bounded) feed — merged micro-batch
+    // histograms must answer identically.
+    "stream_ddsketch" ->
+      s"""WITH v AS (SELECT event_type, value FROM events
+        |  WHERE event_id < 2000 AND value IS NOT NULL),
+        |b AS (SELECT event_type,
+        |    CAST(ceil(round(ln(value) / $ddLnGamma, 12)) AS INTEGER) AS b
+        |  FROM v WHERE value > 0),
+        |h AS (SELECT event_type, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |cw AS (SELECT event_type, b, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n FROM h)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_values,
+        |  round(2.0 * exp(min(CASE WHEN cum >= floor(0.5 * (n - 1)) + 1 THEN b END) * $ddLnGamma) / (1.02 / 0.98 + 1.0), 6) AS p50,
+        |  round(2.0 * exp(min(CASE WHEN cum >= floor(0.9 * (n - 1)) + 1 THEN b END) * $ddLnGamma) / (1.02 / 0.98 + 1.0), 6) AS p90,
+        |  round(2.0 * exp(min(CASE WHEN cum >= floor(0.99 * (n - 1)) + 1 THEN b END) * $ddLnGamma) / (1.02 / 0.98 + 1.0), 6) AS p99
+        |FROM cw GROUP BY 1""".stripMargin,
+
     // Same 17-digit ln(γ) literal, same 12-dp-canonicalized bucket map,
     // same rank walk — here as a window cumsum instead of the fold.
     "events_ddsketch" ->

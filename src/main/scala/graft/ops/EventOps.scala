@@ -833,11 +833,38 @@ object EventOps {
     val hist = pos.filter(col(valueCol) > 0)
       .groupBy(col(keyCol), bucket.as("__b"))
       .agg(count(lit(1)).as("__c"))
-    val perKey = hist.groupBy(col(keyCol))
-      .agg(sort_array(collect_list(struct(col("__b"), col("__c")))).as("__h"),
-        sum(col("__c")).as("n_values"))
     val nonpos = pos.groupBy(col(keyCol))
       .agg(sum(when(col(valueCol) <= 0, 1L).otherwise(0L)).as("n_nonpos"))
+    ddsketchQuantilesFromHistogram(hist, keyCol, "__b", "__c", alpha, qs)
+      .join(nonpos, Seq(keyCol), "left")
+      .select(Seq(col(keyCol), col("n_values"),
+        coalesce(col("n_nonpos"), lit(0L)).as("n_nonpos")) ++
+        qs.map(q => col(s"p${(q * 100).round}")): _*)
+  }
+
+  /** The DDSketch rank walk over an ALREADY-BUILT (key, bucket, count)
+    * histogram — the readout for sketches maintained incrementally
+    * (e.g. [[graft.streaming.StreamingOps.ddsketchSink]]'s table):
+    * DDSketch buckets merge by pure addition, so a histogram summed
+    * across batches answers exactly the batch sketch's quantiles. */
+  def ddsketchQuantilesFromHistogram(
+      hist: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      countCol: String,
+      alpha: Double,
+      qs: Seq[Double]
+  ): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1): $alpha")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0), s"bad qs: $qs")
+    val gamma = (1 + alpha) / (1 - alpha)
+    val lnGamma = math.log(gamma)
+    val perKey = hist
+      .select(col(keyCol), col(bucketCol).cast("int").as("__b"),
+        col(countCol).cast("long").as("__c"))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("__b"), col("__c")))).as("__h"),
+        sum(col("__c")).as("n_values"))
     val qCols = qs.map { q =>
       val rank = (floor(lit(q) * (col("n_values") - 1).cast("double")) + 1)
         .cast("long")
@@ -855,9 +882,7 @@ object EventOps {
       round(lit(2.0) * exp(found.cast("double") * lit(lnGamma)) /
         lit(gamma + 1.0), 6).as(s"p${(q * 100).round}")
     }
-    perKey.join(nonpos, Seq(keyCol), "left")
-      .select(Seq(col(keyCol), col("n_values"),
-        coalesce(col("n_nonpos"), lit(0L)).as("n_nonpos")) ++ qCols: _*)
+    perKey.select(Seq(col(keyCol), col("n_values")) ++ qCols: _*)
   }
 
   /** Exponential time-decay popularity — the standard recency weighting

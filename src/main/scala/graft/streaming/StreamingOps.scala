@@ -388,6 +388,47 @@ object StreamingOps {
       }
       .start()
 
+  /** STREAMING DDSketch maintenance — the observability loop: each
+    * micro-batch folds its values into per-(key, bucket) counts and
+    * ADDS them into a persistent histogram table (one ManifestTable
+    * commit per batch; the table is key × log_γ(range) buckets — tiny).
+    * Because DDSketch buckets merge by pure addition, the maintained
+    * table equals the batch sketch of the whole feed at every point —
+    * quantiles never drift from their batch counterpart, the property
+    * that lets a streaming p99 dashboard be trusted against offline
+    * recomputation. Read the quantiles with
+    * [[graft.ops.EventOps.ddsketchQuantilesFromHistogram]]. */
+  def ddsketchSink(
+      stream: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      alpha: Double,
+      dir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val gamma = (1 + alpha) / (1 - alpha)
+    val lnGamma = math.log(gamma)
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val part = batch.filter(col(valueCol).isNotNull && col(valueCol) > 0)
+          .groupBy(col(keyCol),
+            ceil(round(log(col(valueCol).cast("double")) / lit(lnGamma), 12))
+              .cast("int").as("bucket"))
+          .agg(count(lit(1)).as("n"))
+        val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (!f.exists(new org.apache.hadoop.fs.Path(dir, "CURRENT"))) part
+          else graft.sources.ManifestTable.read(spark, dir)
+            .unionByName(part)
+            .groupBy(col(keyCol), col("bucket"))
+            .agg(sum(col("n")).as("n"))
+        graft.sources.ManifestTable.commit(spark, dir, merged): Unit
+      }
+      .start()
+  }
+
   /** STREAMING CONTAMINATION GATE — screen every arriving training
     * document against a static evaluation benchmark before it can land:
     * each micro-batch's shingles probe the benchmark's portable Bloom

@@ -438,4 +438,30 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     all(rows.map(_._4)) shouldBe true          // bloom never under-counts
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
+
+  it should "maintain a DDSketch histogram that merges across batches additively" in {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_stream_dds").toString
+    val in = MemoryStream[(String, Double)]
+    val q = StreamingOps.ddsketchSink(
+      in.toDF().toDF("k", "value"), "k", "value", alpha = 0.02, out)
+    in.addData(("a", 10.0), ("a", 20.0), ("a", 30.0))
+    q.processAllAvailable()
+    in.addData(("a", 40.0), ("a", 50.0), ("b", 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val merged = graft.ops.EventOps.ddsketchQuantilesFromHistogram(
+      graft.sources.ManifestTable.read(spark, out),
+      "k", "bucket", "n", alpha = 0.02, qs = Seq(0.5))
+    // the maintained sketch equals the batch sketch of the union feed
+    val batch = graft.ops.EventOps.ddsketchQuantiles(
+      Seq(("a",10.0),("a",20.0),("a",30.0),("a",40.0),("a",50.0),("b",7.0))
+        .toDF("k", "value"), "k", "value", 0.02, Seq(0.5))
+    val m = merged.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+    val b = batch.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).sorted
+    m shouldBe b
+    // p50 of a is within 2% of 30
+    math.abs(m(0)._3 - 30.0) / 30.0 should be <= 0.021
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
 }
