@@ -1295,6 +1295,16 @@ object SparkEntry {
       graft.ops.Multimodal.decodeTiffBatched(
         graft.ops.Multimodal.asTiff(table(s, dir, "documents"), "doc_id", "text")).toDF()),
 
+    // Extension: REAL animated-GIF structure decode — the FULL block
+    // walk to the trailer: frame and graphic-control census, loop count
+    // parsed out of the NETSCAPE2.0 application extension, LZW-area
+    // bytes summed across every frame's sub-block chain. The oracle
+    // replicates the frame split and byte-layout arithmetic.
+    "multimodal_gif_frames" -> ((s, dir) =>
+      graft.ops.Multimodal.decodeGifFramesBatched(
+        graft.ops.Multimodal.asGifAnimated(
+          table(s, dir, "documents"), "doc_id", "text")).toDF()),
+
     // Extension: REAL Exif metadata extraction — JPEG segment walk to
     // APP1, "Exif\0\0" preamble check, embedded-TIFF IFD scan in the
     // declared byte order (Orientation, ResolutionUnit), dimensions from
@@ -5115,6 +5125,23 @@ object SparkEntry {
         |FROM f""".stripMargin,
 
     // header(8) + count(2) + 4 entries(48) + next-IFD(4) + text payload
+    // Frame split: frame j of N = 1+L%3 gets L//N (+1 while j < L%N);
+    // container = 39 + 20N + L + Σ⌈len_j/255⌉; loop = L%5.
+    "multimodal_gif_frames" ->
+      """WITH d AS (SELECT doc_id, strlen(text) AS l FROM documents),
+        |f AS (SELECT doc_id, l, CAST(1 + l % 3 AS INTEGER) AS n FROM d),
+        |blocks AS (SELECT doc_id,
+        |    CAST(sum(CAST(ceil((l // n + CASE WHEN j < l % n THEN 1 ELSE 0 END) / 255.0) AS BIGINT)) AS INTEGER) AS nb
+        |  FROM f, generate_series(0, 2) g(j) WHERE j < n GROUP BY 1)
+        |SELECT f.doc_id AS id,
+        |  CAST(39 + 20 * f.n + f.l + b.nb AS INTEGER) AS byte_len,
+        |  f.n AS n_frames, f.n AS n_gce,
+        |  CAST(f.l % 5 AS INTEGER) AS loop_count,
+        |  CAST(1 + f.l % 64 AS INTEGER) AS width,
+        |  CAST(1 + f.l % 48 AS INTEGER) AS height,
+        |  CAST(f.l AS INTEGER) AS data_bytes
+        |FROM f JOIN blocks b ON b.doc_id = f.doc_id""".stripMargin,
+
     // Exif byte-layout arithmetic: SOI 2 + APP1 48 + SOF0 13 + payload
     // + EOI 2 = 65 + L; metadata fields are the same length-derived
     // values the builder wrote.

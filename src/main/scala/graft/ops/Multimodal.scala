@@ -30,6 +30,11 @@ case class DecodedExif(
     id: Long, byte_len: Int, endian: String, n_entries: Int,
     orientation: Int, resolution_unit: Int, width: Int, height: Int)
 
+/** Output of the animated-GIF structure decoder. */
+case class DecodedGifAnim(
+    id: Long, byte_len: Int, n_frames: Int, n_gce: Int, loop_count: Int,
+    width: Int, height: Int, data_bytes: Int)
+
 /** Output of the PDF structure decoder. */
 case class DecodedPdf(
     id: Long, byte_len: Int, version: String, n_pages: Int, n_objects: Int,
@@ -1114,6 +1119,144 @@ object Multimodal {
           val (w, h, c, f) = decodeGif(r.payload)
           DecodedMedia(r.id, r.payload.length, w, h, c, f)
         }
+      }
+    }
+  }
+
+  /** Build a structurally valid ANIMATED GIF89a: logical screen, 2-entry
+    * GCT, a NETSCAPE2.0 application extension carrying the loop count,
+    * then 1 + L%3 frames — each a graphic-control extension, an image
+    * descriptor and the frame's slice of `content` as length-prefixed
+    * LZW-area sub-blocks. Content splits contiguously: frame j gets
+    * ⌊L/N⌋ bytes plus one extra while j < L mod N. Loop count is L%5.
+    * Total size: 39 + 20·N + L + Σ_j ⌈len_j/255⌉. */
+  def toGifAnimated(content: Array[Byte]): Array[Byte] = {
+    val l = content.length
+    val w = 1 + l % 64
+    val h = 1 + l % 48
+    val frames = 1 + l % 3
+    val loops = l % 5
+    val lens = (0 until frames).map(j => l / frames + (if (j < l % frames) 1 else 0))
+    val totalBlocks = lens.map(x => (x + 254) / 255).sum
+    val buf = ByteBuffer.allocate(39 + 20 * frames + l + totalBlocks)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("GIF89a".getBytes("US-ASCII"))
+    buf.putShort((w + 2).toShort).putShort((h + 1).toShort)
+    buf.put(0x80.toByte).put(0.toByte).put(0.toByte)
+    var i = 0
+    while (i < 6) { buf.put(0.toByte); i += 1 } // 2-entry GCT
+    // NETSCAPE2.0 application extension: the animation loop count
+    buf.put(0x21.toByte).put(0xff.toByte).put(11.toByte)
+    buf.put("NETSCAPE2.0".getBytes("US-ASCII"))
+    buf.put(3.toByte).put(1.toByte).putShort(loops.toShort).put(0.toByte)
+    var off = 0
+    lens.foreach { flen =>
+      // graphic-control extension per frame
+      buf.put(0x21.toByte).put(0xf9.toByte).put(4.toByte)
+      buf.put(0.toByte).putShort(0.toShort).put(0.toByte).put(0.toByte)
+      // image descriptor (no LCT) + LZW minimum code size
+      buf.put(0x2c.toByte).putShort(0.toShort).putShort(0.toShort)
+      buf.putShort(w.toShort).putShort(h.toShort).put(0.toByte)
+      buf.put(8.toByte)
+      var rem = flen
+      while (rem > 0) {
+        val n = math.min(255, rem)
+        buf.put(n.toByte).put(content, off, n)
+        off += n; rem -= n
+      }
+      buf.put(0.toByte) // block terminator
+    }
+    buf.put(0x3b.toByte)
+    buf.array()
+  }
+
+  /** Wrap a text table as ANIMATED GIF media records. */
+  def asGifAnimated(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRecord(id,
+          toGifAnimated(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+          "image")
+      }
+  }
+
+  /** REAL animated-GIF structure decode: the FULL block walk to the
+    * trailer — counting image descriptors (frames) and graphic-control
+    * extensions, parsing the loop count out of the NETSCAPE2.0
+    * application extension's data sub-block, skipping local color
+    * tables by their encoded size, and summing the LZW-area bytes
+    * across every frame's sub-block chain. Bounds-checked throughout;
+    * a GIF that ends without its trailer fails loudly. */
+  def decodeGifFrames(payload: Array[Byte]): DecodedGifAnim = {
+    require(payload.length >= 13 && {
+      val hdr = new String(payload, 0, 6, "US-ASCII")
+      hdr == "GIF87a" || hdr == "GIF89a"
+    }, s"not a GIF payload (${payload.length} bytes)")
+    def u16(i: Int): Int = (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
+    val packed = payload(10) & 0xff
+    var pos = 13 + (if ((packed & 0x80) != 0) 3 << ((packed & 7) + 1) else 0)
+    var frames = 0; var gce = 0; var loops = -1
+    var width = 0; var height = 0; var dataBytes = 0
+    var done = false
+    while (!done) {
+      require(pos < payload.length, "GIF ended without trailer")
+      (payload(pos) & 0xff) match {
+        case 0x21 =>
+          require(pos + 2 <= payload.length, "truncated extension block")
+          val label = payload(pos + 1) & 0xff
+          if (label == 0xf9) gce += 1
+          pos += 2
+          // app extension: 11-byte block, then data sub-blocks; the
+          // NETSCAPE2.0 one carries (0x01, loop u16 LE)
+          if (label == 0xff) {
+            require(pos + 12 <= payload.length, "truncated app extension")
+            val app = new String(payload, pos + 1, 11, "US-ASCII")
+            if ((payload(pos) & 0xff) == 11 && app == "NETSCAPE2.0" &&
+              pos + 15 <= payload.length && (payload(pos + 12) & 0xff) == 3 &&
+              (payload(pos + 13) & 0xff) == 1)
+              loops = u16(pos + 14)
+          }
+          var len = -1
+          while (len != 0) {
+            require(pos < payload.length, "sub-block chain overruns the payload")
+            len = payload(pos) & 0xff
+            require(pos + 1 + len <= payload.length, "sub-block overruns the payload")
+            pos += 1 + len
+          }
+        case 0x2c =>
+          require(pos + 10 <= payload.length, "truncated image descriptor")
+          frames += 1
+          if (frames == 1) { width = u16(pos + 5); height = u16(pos + 7) }
+          val idPacked = payload(pos + 9) & 0xff
+          pos += 10 + (if ((idPacked & 0x80) != 0) 3 << ((idPacked & 7) + 1) else 0)
+          require(pos + 1 <= payload.length, "truncated image data")
+          pos += 1 // LZW minimum code size
+          var len = -1
+          while (len != 0) {
+            require(pos < payload.length, "image data overruns the payload")
+            len = payload(pos) & 0xff
+            require(pos + 1 + len <= payload.length, "image data overruns the payload")
+            dataBytes += len
+            pos += 1 + len
+          }
+        case 0x3b =>
+          done = true
+        case b =>
+          throw new IllegalArgumentException(f"unknown GIF block 0x$b%02x at offset $pos")
+      }
+    }
+    require(frames > 0, "GIF has no image descriptor")
+    DecodedGifAnim(0L, payload.length, frames, gce, loops, width, height, dataBytes)
+  }
+
+  /** Batched animated-GIF decode — the [[decodeBatched]] seam. */
+  def decodeGifFramesBatched(ds: Dataset[MediaRecord]): Dataset[DecodedGifAnim] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map(r => decodeGifFrames(r.payload).copy(id = r.id))
       }
     }
   }

@@ -1432,6 +1432,22 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       Multimodal.decodeTiff(t.take(20)) // truncated IFD
   }
 
+  it should "walk every frame of an animated GIF to the trailer" in {
+    // L=5 -> 3 frames (2,2,1 bytes), loop 0; L=4 -> 2 frames, loop 4
+    val a = Multimodal.decodeGifFrames(Multimodal.toGifAnimated("abcde".getBytes))
+    (a.n_frames, a.n_gce, a.loop_count, a.data_bytes) shouldBe ((3, 3, 0, 5))
+    (a.width, a.height) shouldBe ((6, 6))
+    a.byte_len shouldBe (39 + 20 * 3 + 5 + 3)
+    val b = Multimodal.decodeGifFrames(Multimodal.toGifAnimated("abcd".getBytes))
+    (b.n_frames, b.loop_count, b.data_bytes) shouldBe ((2, 4, 4))
+    // the single-frame builder parses too (loop absent -> -1)
+    val single = Multimodal.decodeGifFrames(Multimodal.toGif("abc".getBytes))
+    (single.n_frames, single.loop_count) shouldBe ((1, -1))
+    // truncation mid-walk fails loudly
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeGifFrames(Multimodal.toGifAnimated("abcde".getBytes).dropRight(2))
+  }
+
   it should "extract Exif orientation and SOF0 dims from the JPEG segment walk" in {
     val even = Multimodal.decodeExif(Multimodal.toExifJpeg("abcd".getBytes)) // II
     (even.endian, even.byte_len, even.n_entries) shouldBe (("II", 69, 2))
