@@ -378,6 +378,24 @@ object Corpus {
       words: Int = 16384,
       k: Int = 4
   ): DataFrame = {
+    val (corpusGrams, bloom) =
+      contaminationIndex(train, textCol, shingleN, words, k)
+    contaminationProbe(corpusGrams, bloom, test, idCol, textCol,
+      shingleN, words, k)
+  }
+
+  /** The benchmark side of [[contaminationBloom]], built ONCE: the
+    * distinct shingle set and its Bloom words. A long-lived screen
+    * (e.g. [[graft.streaming.StreamingOps.contamGateSink]]) persists
+    * both and probes every batch against the cached frames instead of
+    * re-deriving them. */
+  def contaminationIndex(
+      train: DataFrame,
+      textCol: String,
+      shingleN: Int = 3,
+      words: Int = 16384,
+      k: Int = 4
+  ): (DataFrame, DataFrame) = {
     require(Integer.bitCount(words) == 1 && words <= (1 << 14),
       "words must be a power of two <= 16384 (bit positions are 20-bit)")
     require(k >= 1 && k <= 6, "k hashes draw 5 hex chars each from one md5")
@@ -398,6 +416,27 @@ object Corpus {
       .select(shiftright(col("p"), 5).as("word"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 31 AS INT))").as("mask"))
       .groupBy("word").agg(bit_or(col("mask")).as("bits"))
+    (corpusGrams, bloom)
+  }
+
+  /** The probe side of [[contaminationBloom]] against a pre-built
+    * [[contaminationIndex]]. */
+  def contaminationProbe(
+      corpusGrams: DataFrame,
+      bloom: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      words: Int = 16384,
+      k: Int = 4
+  ): DataFrame = {
+    val spark = test.sparkSession
+    val mBits = words.toLong * 64L
+    def positions(g: Column): Column = array((0 until k).map { j =>
+      conv(substr(md5For(spark)(g), lit(1 + 5 * j), lit(5)), 16, 10)
+        .cast("long") % mBits
+    }: _*)
     val tp = test
       .select(col(idCol),
         explode(shinglesFor(spark)(tokens(col(textCol)), shingleN)).as("g"))

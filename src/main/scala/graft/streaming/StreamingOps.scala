@@ -436,11 +436,10 @@ object StreamingOps {
     * counts (plus the exact semi-join truth and the structural
     * no-false-negative check) append to `dir` with the batch id, so the
     * quarantine decision (`flagged`) is auditable per batch. The
-    * benchmark side is small and static — its shingle set broadcasts;
-    * the stream side never shuffles document bodies, only shingle
-    * hashes. (A long-lived deployment would persist the bloom words once
-    * — e.g. in a ManifestTable — instead of re-deriving them per batch;
-    * the probe plan is identical either way.) */
+    * benchmark side is small and static — its shingle set and Bloom
+    * words build ONCE at sink creation and stay persisted for the
+    * query's lifetime, so each micro-batch pays only its own probe (the
+    * stream side never shuffles document bodies, only shingle hashes). */
   def contamGateSink(
       stream: DataFrame,
       benchmark: DataFrame,
@@ -448,15 +447,19 @@ object StreamingOps {
       textCol: String,
       dir: String,
       shingleN: Int = 3
-  ): org.apache.spark.sql.streaming.StreamingQuery =
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val (grams, bloom) =
+      graft.ops.Corpus.contaminationIndex(benchmark, textCol, shingleN)
+    grams.persist(); bloom.persist()
     stream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.ops.Corpus
-          .contaminationBloom(benchmark, batch, idCol, textCol, shingleN)
+          .contaminationProbe(grams, bloom, batch, idCol, textCol, shingleN)
           .withColumn("batch_id", lit(batchId))
           .withColumn("flagged", col("n_bloom") > 0)
           .write.mode("append").parquet(dir)
       }
       .start()
+  }
 }
