@@ -1031,4 +1031,31 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
       ManifestTable.read(spark, dir).count() shouldBe (before + 1)
     } finally rm(dir)
   }
+
+  it should "plan deletion-vector reads as a broadcast anti-join over the scan" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.append(spark, dir,
+        (0L until 500L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(2))
+      ManifestTable.deleteVectorWhere(spark, dir, "id", 10.0, 19.0)
+      val plan = ManifestTable.read(spark, dir)
+        .queryExecution.executedPlan.toString
+      withClue(plan) {
+        // the vectors ride a broadcast; the corpus scan never shuffles
+        plan should include("BroadcastHashJoin")
+        plan should include("LeftAnti")
+        plan should not include "SortMergeJoin"
+        plan should not include "Exchange hashpartitioning"
+      }
+      // a vector-free table reads as a bare scan — zero join machinery
+      val clean = tmpDir()
+      try {
+        ManifestTable.commit(spark, clean,
+          (0L until 10L).map(i => (i, i)).toDF("id", "x"))
+        val p2 = ManifestTable.read(spark, clean)
+          .queryExecution.executedPlan.toString
+        p2 should not include "Join"
+      } finally rm(clean)
+    } finally rm(dir)
+  }
 }
