@@ -633,6 +633,134 @@ object ManifestTable {
     f.delete(new Path(new Path(dir, "_tags"), name), false): Unit
   }
 
+  // ---- branches: zero-copy write-audit-publish -------------------------
+  //
+  // `_branches/<name>` holds two lines: the branch HEAD manifest name and
+  // the BASE manifest name (CURRENT at branch creation). Branch commits
+  // claim version slots in the shared `_manifests/` namespace but swap
+  // the BRANCH pointer, so main's readers never see them; fast-forward
+  // publishes the whole branch with one CURRENT swap — Iceberg's branch /
+  // Delta's shallow-clone-then-swap governance shape, and the
+  // write-audit-publish (WAP) pattern: land a batch on a branch, audit it
+  // with real reads, then make it visible atomically or drop it. All
+  // zero-copy: a branch of a 100 TB table is two small files.
+
+  private def branchPath(dir: String, name: String): Path = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"branch names are [A-Za-z0-9._-]+: '$name'")
+    new Path(new Path(dir, "_branches"), name)
+  }
+
+  /** Create branch `name` at the CURRENT snapshot (head = base = CURRENT).
+    * Refused if the branch already exists. */
+  def createBranch(spark: SparkSession, dir: String, name: String): Unit = {
+    val f = fs(dir, spark)
+    val ptr = new Path(dir, PointerName)
+    require(f.exists(ptr), s"not a manifest table (no $PointerName): $dir")
+    val p = branchPath(dir, name)
+    require(!f.exists(p), s"branch '$name' already exists in $dir")
+    val cur = readSmallFile(f, ptr).trim
+    f.mkdirs(p.getParent)
+    writeSmallFile(f, p, s"$cur\n$cur")
+  }
+
+  /** Every branch, name → (head version, base version). */
+  def branches(spark: SparkSession, dir: String): Map[String, (Long, Long)] = {
+    val f = fs(dir, spark)
+    val bdir = new Path(dir, "_branches")
+    if (!f.exists(bdir)) Map.empty
+    else f.listStatus(bdir).toSeq
+      .filterNot(_.getPath.getName.startsWith("."))
+      .map { st =>
+        val Array(head, base) =
+          readSmallFile(f, st.getPath).trim.split('\n').map(_.trim)
+        def v(n: String) = n.stripPrefix("manifest-").stripSuffix(".txt").toLong
+        st.getPath.getName -> (v(head), v(base))
+      }.toMap
+  }
+
+  private def branchState(f: FileSystem, dir: String, name: String)
+      : (String, String) = {
+    val p = branchPath(dir, name)
+    require(f.exists(p), s"branch '$name' not found in $dir")
+    val Array(head, base) = readSmallFile(f, p).trim.split('\n').map(_.trim)
+    (head, base)
+  }
+
+  /** Read branch `name`'s head snapshot (deletion vectors applied) —
+    * the audit read of WAP, invisible to main's readers and vice versa. */
+  def readBranch(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val f = fs(dir, spark)
+    val (head, _) = branchState(f, dir, name)
+    applyDv(spark, dir,
+      spark.read.parquet(
+        manifestRel(f, dir, head).map(rel => new Path(dir, rel).toString): _*),
+      dvRelsOf(manifestDvLines(f, dir, head)))
+  }
+
+  /** Append `df` to branch `name`: carry the branch HEAD's file list and
+    * headers, claim a fresh version slot, swap the BRANCH pointer (main's
+    * CURRENT never moves). The head's CHECK constraints validate the
+    * batch; the swap is refused if the branch head moved since it was
+    * read (same optimistic rule as [[publish]], scoped to the branch). */
+  def appendToBranch(
+      spark: SparkSession, dir: String, name: String, df: DataFrame): StagedCommit = {
+    val f = fs(dir, spark)
+    val (head, base) = branchState(f, dir, name)
+    requireSameSchema(manifestSchema(f, dir, head), df.schema, "appendToBranch")
+    val headChecks =
+      manifestLines(f, dir, head).filter(_.startsWith("#check="))
+        .flatMap(parseCheckLine)
+    if (headChecks.nonEmpty) {
+      val bad = graft.ops.Quality.constraintReport(df, headChecks)
+        .filter(org.apache.spark.sql.functions.col("n_violations") > 0)
+        .collect()
+      require(bad.isEmpty,
+        s"CHECK constraint violated by the incoming branch batch: " +
+          bad.map(r => s"${r.getString(0)} (${r.getLong(2)} rows)").mkString(", "))
+    }
+    val headV = head.stripPrefix("manifest-").stripSuffix(".txt").toLong
+    val staged = stage(spark, dir, df,
+      manifestRel(f, dir, head), carriedHeaderLines(f, dir, head), Some(headV))
+    val (nowHead, _) = branchState(f, dir, name)
+    if (nowHead != head) {
+      abandon(spark, dir, staged)
+      throw new java.util.ConcurrentModificationException(
+        s"branch '$name' moved $head -> $nowHead while staging; retry")
+    }
+    val tmp = new Path(branchPath(dir, name).getParent,
+      s".$name.tmp.${UUID.randomUUID()}")
+    writeSmallFile(f, tmp, s"${staged.manifestName}\n$base")
+    val fc = FileContext.getFileContext(
+      f.makeQualified(new Path(dir)).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(f.makeQualified(tmp), f.makeQualified(branchPath(dir, name)),
+      Options.Rename.OVERWRITE)
+    staged
+  }
+
+  /** Publish branch `name` to main — the WAP publish: one atomic CURRENT
+    * swap to the branch head. Refused unless main is still at the
+    * branch's BASE (a fast-forward; if main moved, the branch was built
+    * against stale state — rebase by replaying its batches on a fresh
+    * branch). The branch pointer stays (drop it when done). */
+  def fastForward(spark: SparkSession, dir: String, name: String): StagedCommit = {
+    val f = fs(dir, spark)
+    val (head, base) = branchState(f, dir, name)
+    def v(n: String) = n.stripPrefix("manifest-").stripSuffix(".txt").toLong
+    val staged = StagedCommit(v(head), head, v(base))
+    publish(spark, dir, staged) // basis check = "main still at base"
+    staged
+  }
+
+  /** Remove a branch pointer — the WAP abort path: the branch's staged
+    * snapshots become unreferenced and [[vacuum]] sweeps them; main never
+    * saw anything. */
+  def dropBranch(spark: SparkSession, dir: String, name: String): Unit = {
+    val f = fs(dir, spark)
+    f.delete(branchPath(dir, name), false): Unit
+  }
+
   // #bloom=<b64 rel>|<b64 col>|<k>|<mBits>|<b64 sparse "word:hex,...">
   // — one PORTABLE per-file Bloom filter over a column's values, the
   // point-lookup complement to the min/max zone maps: range stats skip
@@ -1797,6 +1925,64 @@ object ManifestTable {
       .repartitionByRange(targetFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
     commitCarryingChecks(spark, dir, ordered)
+  }
+
+  /** Z-ORDER clustered compaction — multi-dimensional file skipping as
+    * one table transaction (Delta's `OPTIMIZE ZORDER BY` shape): rewrite
+    * the snapshot range-partitioned and sorted by the Morton interleave
+    * of two non-negative integer keys ([[graft.ops.Bucketing.zValue]] —
+    * pure codegen'd bit ops, never a UDF), then commit by pointer swap.
+    * Rows close in z-value are close in BOTH keys, so each new file's
+    * manifest min/max is tight on BOTH columns and
+    * [[pruneByRange]]/[[readBetween2D]] skip files on either predicate —
+    * what a single-key [[compactSorted]] cannot give: its second column
+    * is scattered and every file's min/max spans the full range. At
+    * 100 TB this is the difference between "scan the table" and "open
+    * ~√files" for a two-sided range query. The sort cost is ONE shuffle
+    * (repartitionByRange + local sort), identical to compactSorted's. */
+  def compactZOrder(
+      spark: SparkSession,
+      dir: String,
+      colA: String,
+      colB: String,
+      bits: Int,
+      targetFiles: Int
+  ): StagedCommit = {
+    import org.apache.spark.sql.functions.col
+    val base = read(spark, dir)
+    val ordered = base
+      .withColumn("__graft_z",
+        graft.ops.Bucketing.zValue(col(colA), col(colB), bits))
+      .repartitionByRange(targetFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+    commitCarryingChecks(spark, dir, ordered)
+  }
+
+  /** Two-sided stats-pruned read: `colA BETWEEN loA AND hiA AND colB
+    * BETWEEN loB AND hiB` over only the files BOTH per-column prunes
+    * keep — the read side of [[compactZOrder]] (correct on any layout;
+    * fast on a z-ordered one, where the kept set is the intersection of
+    * two tight stripes instead of the whole table). Row-level filters
+    * still apply: stats prune FILES, they never evaluate rows. */
+  def readBetween2D(
+      spark: SparkSession,
+      dir: String,
+      colA: String, loA: Double, hiA: Double,
+      colB: String, loB: Double, hiB: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val keptA = pruneByRange(spark, dir, colA, loA, hiA)._1.toSet
+    val kept = pruneByRange(spark, dir, colB, loB, hiB)._1.filter(keptA)
+    val f = fs(dir, spark)
+    val name = readSmallFile(f, new Path(dir, PointerName)).trim
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          currentSchema(spark, dir).getOrElse(read(spark, dir).schema))
+      else applyDv(spark, dir, spark.read.parquet(kept: _*),
+        dvRelsOf(manifestDvLines(f, dir, name)))
+    base.filter(col(colA).between(loA, hiA) && col(colB).between(loB, hiB))
   }
 
   /** Delete data files no longer referenced by the CURRENT manifest —
