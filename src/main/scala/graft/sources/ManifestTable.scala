@@ -540,6 +540,12 @@ object ManifestTable {
     * LogStore piece the class doc describes). */
   def publish(spark: SparkSession, dir: String, staged: StagedCommit): Unit = {
     val f = fs(dir, spark)
+    // never swap CURRENT to a void snapshot: a manifest that no longer
+    // exists (vacuumed while the commit was in flight, or never staged)
+    // must refuse here, not surface later as a dangling-file read error
+    require(f.exists(new Path(new Path(dir, "_manifests"), staged.manifestName)),
+      s"staged manifest ${staged.manifestName} not found in $dir " +
+        "(vacuumed while in flight, or never staged) — refusing to publish")
     val cur = currentVersion(spark, dir)
     if (cur != staged.basisVersion)
       throw new java.util.ConcurrentModificationException(
@@ -702,8 +708,13 @@ object ManifestTable {
   /** Append `df` to branch `name`: carry the branch HEAD's file list and
     * headers, claim a fresh version slot, swap the BRANCH pointer (main's
     * CURRENT never moves). The head's CHECK constraints validate the
-    * batch; the swap is refused if the branch head moved since it was
-    * read (same optimistic rule as [[publish]], scoped to the branch). */
+    * batch. Concurrency is DETECT-ONLY, weaker than [[publish]]'s basis
+    * check: the head is re-read after staging and a moved head aborts,
+    * but the window between that re-check and the pointer rename is not
+    * atomic on a plain filesystem — two appenders racing inside it are
+    * last-writer-wins (same single-writer-per-branch deployment
+    * assumption the class doc states for the CURRENT pointer; a true CAS
+    * needs the catalog/LogStore piece). */
   def appendToBranch(
       spark: SparkSession, dir: String, name: String, df: DataFrame): StagedCommit = {
     val f = fs(dir, spark)
@@ -1075,7 +1086,7 @@ object ManifestTable {
       hi: Double
   ): StagedCommit = {
     import org.apache.spark.sql.functions.col
-    boundedRewrite(spark, dir, pruneByRange(spark, dir, column, lo, hi)._1,
+    boundedRewrite(spark, dir, () => pruneByRange(spark, dir, column, lo, hi)._1,
       // null-valued rows can never match a BETWEEN delete — they survive
       _.filter(col(column).isNull || !col(column).between(lo, hi)))
   }
@@ -1094,7 +1105,7 @@ object ManifestTable {
       value: String
   ): StagedCommit = {
     import org.apache.spark.sql.functions.col
-    boundedRewrite(spark, dir, pruneByEquals(spark, dir, column, value)._1,
+    boundedRewrite(spark, dir, () => pruneByEquals(spark, dir, column, value)._1,
       _.filter(col(column).isNull || col(column) =!= value))
   }
 
@@ -1123,7 +1134,7 @@ object ManifestTable {
       hi: Double
   ): StagedCommit = {
     import org.apache.spark.sql.functions.col
-    dvDelete(spark, dir, pruneByRange(spark, dir, column, lo, hi)._1,
+    dvDelete(spark, dir, () => pruneByRange(spark, dir, column, lo, hi)._1,
       col(column).isNotNull && col(column).between(lo, hi))
   }
 
@@ -1137,7 +1148,7 @@ object ManifestTable {
       value: String
   ): StagedCommit = {
     import org.apache.spark.sql.functions.col
-    dvDelete(spark, dir, pruneByEquals(spark, dir, column, value)._1,
+    dvDelete(spark, dir, () => pruneByEquals(spark, dir, column, value)._1,
       col(column) === value)
   }
 
@@ -1164,92 +1175,149 @@ object ManifestTable {
   private def dvDelete(
       spark: SparkSession,
       dir: String,
-      candidates: Seq[String],
+      candidatesOf: () => Seq[String],
       matches: org.apache.spark.sql.Column
-  ): StagedCommit = {
+  ): StagedCommit = withCommitRetry(5) { () =>
     import org.apache.spark.sql.functions.{broadcast, col}
     val f = fs(dir, spark)
     val name = readSmallFile(f, new Path(dir, PointerName)).trim
     val basis = name.stripPrefix("manifest-").stripSuffix(".txt").toLong
-    if (candidates.isEmpty) return StagedCommit(basis, name, basis)
-    val dvLines = manifestDvLines(f, dir, name)
-    val existing = dvRelsOf(dvLines)
-    // positions of matching rows NOT already deleted — one scan of the
-    // candidate files, nothing else
-    val keyed = spark.read.parquet(candidates: _*)
-      .withColumn("__graft_dv_rel", relOfFilePath(col("_metadata.file_path")))
-      .withColumn("__graft_dv_pos", col("_metadata.row_index"))
-    val notYet =
-      if (existing.isEmpty) keyed
-      else {
-        val dv = spark.read.parquet(
-          existing.map(r => new Path(dir, r).toString): _*)
-        keyed.join(broadcast(dv),
-          keyed("__graft_dv_rel") === dv("_file") &&
-            keyed("__graft_dv_pos") === dv("_pos"),
-          "left_anti")
+    val candidates = candidatesOf()
+    if (candidates.isEmpty) StagedCommit(basis, name, basis)
+    else {
+      val dvLines = manifestDvLines(f, dir, name)
+      val existing = dvRelsOf(dvLines)
+      // positions of matching rows NOT already deleted — one scan of the
+      // candidate files, nothing else
+      val keyed = spark.read.parquet(candidates: _*)
+        .withColumn("__graft_dv_rel", relOfFilePath(col("_metadata.file_path")))
+        .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+      val notYet =
+        if (existing.isEmpty) keyed
+        else {
+          val dv = spark.read.parquet(
+            existing.map(r => new Path(dir, r).toString): _*)
+          keyed.join(broadcast(dv),
+            keyed("__graft_dv_rel") === dv("_file") &&
+              keyed("__graft_dv_pos") === dv("_pos"),
+            "left_anti")
+        }
+      val newDv = notYet.filter(matches)
+        .select(col("__graft_dv_rel").as("_file"),
+          col("__graft_dv_pos").as("_pos"))
+      val dvDir = new Path(new Path(dir, "data"), UUID.randomUUID().toString)
+      newDv.coalesce(1).write.parquet(dvDir.toString)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dvFiles = f.listStatus(dvDir).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      if (dvFiles.map(p => parquetRowCount(conf, p)).sum == 0L) {
+        f.delete(dvDir, true) // nothing newly deleted: metadata no-op
+        StagedCommit(basis, name, basis)
+      } else {
+        val root = f.makeQualified(new Path(dir)).toUri.getPath
+        val newDvRels = dvFiles.map(_.toUri.getPath.stripPrefix(root).stripPrefix("/"))
+        // same data files, same stats/blooms/sketches, one more vector —
+        // header-only commit
+        val lines = manifestLines(f, dir, name)
+        val schemaLine = lines.filter(_.startsWith("#schema="))
+        val carried = carriedHeadersFor(lines, _ => true) // incl. prior vectors
+        val content =
+          ((schemaLine ++ (carried ++ newDvRels.map(dvLineOf)).sorted) ++
+            manifestRel(f, dir, name).sorted).mkString("\n")
+        val staged = claimManifestSlot(spark, dir, content, basis)
+        onBeforePublish()
+        try { publish(spark, dir, staged); staged }
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            // release the slot AND the sidecar: a retry recomputes the
+            // still-live positions against the new CURRENT
+            abandon(spark, dir, staged)
+            f.delete(dvDir, true)
+            throw e
+        }
       }
-    val newDv = notYet.filter(matches)
-      .select(col("__graft_dv_rel").as("_file"),
-        col("__graft_dv_pos").as("_pos"))
-    val dvDir = new Path(new Path(dir, "data"), UUID.randomUUID().toString)
-    newDv.coalesce(1).write.parquet(dvDir.toString)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dvFiles = f.listStatus(dvDir).toSeq.map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
-    if (dvFiles.map(p => parquetRowCount(conf, p)).sum == 0L) {
-      f.delete(dvDir, true) // nothing newly deleted: metadata no-op
-      return StagedCommit(basis, name, basis)
     }
-    val root = f.makeQualified(new Path(dir)).toUri.getPath
-    val newDvRels = dvFiles.map(_.toUri.getPath.stripPrefix(root).stripPrefix("/"))
-    // same data files, same stats/blooms/sketches, one more vector —
-    // header-only commit
-    val lines = manifestLines(f, dir, name)
-    val schemaLine = lines.filter(_.startsWith("#schema="))
-    val carried = carriedHeadersFor(lines, _ => true) // incl. prior vectors
-    val content =
-      ((schemaLine ++ (carried ++ newDvRels.map(dvLineOf)).sorted) ++
-        manifestRel(f, dir, name).sorted).mkString("\n")
-    val staged = claimManifestSlot(spark, dir, content, basis)
-    publish(spark, dir, staged)
-    staged
+  }
+
+  /** Test seam for the optimistic-retry paths: invoked between staging
+    * and the publish attempt of every retrying transaction
+    * ([[boundedRewrite]], [[mergeInto]], [[compactSmallFiles]], the
+    * deletion-vector commits), so a spec can inject a concurrent commit
+    * into exactly the stage→publish window. Production value is a
+    * no-op. */
+  private[graft] var onBeforePublish: () => Unit = () => ()
+
+  /** Bounded retries for a refused optimistic commit: `tx` runs the
+    * WHOLE transaction — re-read CURRENT, re-prune candidates, re-stage —
+    * and must leave nothing published on failure (each retrying caller
+    * abandons its own staged manifest before rethrowing). This is the
+    * [[completeAppend]] rebase loop generalized to non-append
+    * transactions, the retry Delta/Iceberg writers run: a busy
+    * multi-pipeline table must not make every conflicting merge/delete/
+    * compaction a caller-side redo. Retries re-execute the prune AND the
+    * data rewrite against the post-conflict snapshot, so the result is
+    * always what a sequential execution would have produced; orphaned
+    * data files from refused attempts are swept by [[vacuum]]. */
+  private def withCommitRetry[A](maxRetries: Int)(tx: () => A): A = {
+    var attempts = 0
+    while (true) {
+      try return tx()
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** The shared stats-bounded copy-on-write transaction: re-read ONLY
-    * `candidates`, rewrite them through `rewrite`, carry every other
-    * file — and its stats lines — forward BY REFERENCE, commit with one
-    * pointer swap. A transaction whose prune touches nothing is a
-    * metadata no-op (no new version). The cost is the candidate files,
+    * the candidate files, rewrite them through `rewrite`, carry every
+    * other file — and its stats lines — forward BY REFERENCE, commit
+    * with one pointer swap. A transaction whose prune touches nothing is
+    * a metadata no-op (no new version). The cost is the candidate files,
     * never the table — the invariant [[deleteWhere]],
-    * [[deleteWhereEquals]] and [[mergeInto]] all ride on. */
+    * [[deleteWhereEquals]] and [[mergeInto]] all ride on.
+    *
+    * `candidatesOf` is a CLOSURE over the prune, not a precomputed list:
+    * a refused publish (concurrent commit) abandons the staged manifest
+    * and re-runs the whole transaction — prune included — against the
+    * new CURRENT, bounded by `maxRetries`. */
   private def boundedRewrite(
       spark: SparkSession,
       dir: String,
-      candidates: Seq[String],
-      rewrite: DataFrame => DataFrame
-  ): StagedCommit = {
+      candidatesOf: () => Seq[String],
+      rewrite: DataFrame => DataFrame,
+      maxRetries: Int = 5
+  ): StagedCommit = withCommitRetry(maxRetries) { () =>
     val f = fs(dir, spark)
     val name = readSmallFile(f, new Path(dir, PointerName)).trim
     val basis = name.stripPrefix("manifest-").stripSuffix(".txt").toLong
-    if (candidates.isEmpty) return StagedCommit(basis, name, basis)
-    val candSet = candidates.toSet
-    val untouched = manifestRel(f, dir, name).filterNot { rel =>
-      candSet.contains(new Path(dir, rel).toString)
+    val candidates = candidatesOf()
+    if (candidates.isEmpty) StagedCommit(basis, name, basis)
+    else {
+      val candSet = candidates.toSet
+      val untouched = manifestRel(f, dir, name).filterNot { rel =>
+        candSet.contains(new Path(dir, rel).toString)
+      }
+      val untouchedSet = untouched.toSet
+      val dvLines = manifestDvLines(f, dir, name)
+      val carryHeaders =
+        carriedHeadersFor(manifestLines(f, dir, name), untouchedSet.contains)
+      // candidates re-read WITH deletion vectors applied (a DV'd row must
+      // not resurrect in the rewrite); the vectors carry verbatim — their
+      // entries for rewritten files reference dead rels and match nothing
+      val candDf = applyDv(spark, dir,
+        spark.read.parquet(candidates: _*), dvRelsOf(dvLines))
+      val staged = stage(spark, dir, rewrite(candDf), untouched,
+        carryHeaders, Some(basis))
+      onBeforePublish()
+      try { publish(spark, dir, staged); staged }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          abandon(spark, dir, staged); throw e
+      }
     }
-    val untouchedSet = untouched.toSet
-    val dvLines = manifestDvLines(f, dir, name)
-    val carryHeaders =
-      carriedHeadersFor(manifestLines(f, dir, name), untouchedSet.contains)
-    // candidates re-read WITH deletion vectors applied (a DV'd row must
-    // not resurrect in the rewrite); the vectors carry verbatim — their
-    // entries for rewritten files reference dead rels and match nothing
-    val candDf = applyDv(spark, dir,
-      spark.read.parquet(candidates: _*), dvRelsOf(dvLines))
-    val staged = stage(spark, dir, rewrite(candDf), untouched,
-      carryHeaders, Some(basis))
-    publish(spark, dir, staged)
-    staged
   }
 
   /** MERGE (batch upsert) as one table transaction — the Delta
@@ -1279,45 +1347,62 @@ object ManifestTable {
   ): StagedCommit = {
     import org.apache.spark.sql.functions.{col, max, min}
     val f = fs(dir, spark)
-    if (!f.exists(new Path(dir, PointerName)))
-      return commit(spark, dir,
-        graft.ops.Corpus.mergeUpsert(
-          updates.filter(org.apache.spark.sql.functions.lit(false)),
-          updates, keyCol, versionCol))
-    requireSameSchema(currentSchema(spark, dir), updates.schema, "mergeInto")
-    enforceChecks(spark, dir, updates)
-    val bounds = updates.agg(min(col(keyCol)), max(col(keyCol))).collect()(0)
-    val name = readSmallFile(f, new Path(dir, PointerName)).trim
-    val basis = name.stripPrefix("manifest-").stripSuffix(".txt").toLong
-    if (bounds.isNullAt(0)) // empty batch: metadata no-op
-      return StagedCommit(basis, name, basis)
-    val candidates = updates.schema(keyCol).dataType match {
-      case org.apache.spark.sql.types.StringType =>
-        pruneByRangeString(spark, dir, keyCol,
-          bounds.get(0).toString, bounds.get(1).toString)._1
-      case _ =>
-        pruneByRange(spark, dir, keyCol,
-          bounds.get(0).toString.toDouble, bounds.get(1).toString.toDouble)._1
+    // the batch's key range never depends on table state — one 1-row
+    // aggregate, computed once across every retry
+    lazy val bounds = updates.agg(min(col(keyCol)), max(col(keyCol))).collect()(0)
+    // a refused publish (concurrent commit between stage and swap)
+    // abandons the staged manifest and re-runs the WHOLE transaction —
+    // prune, candidate re-read, merge — against the new CURRENT, so the
+    // result equals sequential execution (the Delta/Iceberg writer
+    // retry; round-8 callers had to redo all of this by hand)
+    withCommitRetry(5) { () =>
+      if (!f.exists(new Path(dir, PointerName)))
+        commit(spark, dir,
+          graft.ops.Corpus.mergeUpsert(
+            updates.filter(org.apache.spark.sql.functions.lit(false)),
+            updates, keyCol, versionCol))
+      else {
+        requireSameSchema(currentSchema(spark, dir), updates.schema, "mergeInto")
+        enforceChecks(spark, dir, updates)
+        val name = readSmallFile(f, new Path(dir, PointerName)).trim
+        val basis = name.stripPrefix("manifest-").stripSuffix(".txt").toLong
+        if (bounds.isNullAt(0)) // empty batch: metadata no-op
+          StagedCommit(basis, name, basis)
+        else {
+          val candidates = updates.schema(keyCol).dataType match {
+            case org.apache.spark.sql.types.StringType =>
+              pruneByRangeString(spark, dir, keyCol,
+                bounds.get(0).toString, bounds.get(1).toString)._1
+            case _ =>
+              pruneByRange(spark, dir, keyCol,
+                bounds.get(0).toString.toDouble, bounds.get(1).toString.toDouble)._1
+          }
+          val candSet = candidates.toSet
+          val untouched = manifestRel(f, dir, name).filterNot { rel =>
+            candSet.contains(new Path(dir, rel).toString)
+          }
+          val untouchedSet = untouched.toSet
+          val dvLines = manifestDvLines(f, dir, name)
+          val carryHeaders =
+            carriedHeadersFor(manifestLines(f, dir, name), untouchedSet.contains)
+          val base =
+            if (candidates.isEmpty)
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], updates.schema)
+            else applyDv(spark, dir,
+              spark.read.parquet(candidates: _*), dvRelsOf(dvLines))
+          val merged = graft.ops.Corpus.mergeUpsert(base, updates, keyCol, versionCol)
+          val staged = stage(spark, dir, merged, untouched,
+            carryHeaders, Some(basis))
+          onBeforePublish()
+          try { publish(spark, dir, staged); staged }
+          catch {
+            case e: java.util.ConcurrentModificationException =>
+              abandon(spark, dir, staged); throw e
+          }
+        }
+      }
     }
-    val candSet = candidates.toSet
-    val untouched = manifestRel(f, dir, name).filterNot { rel =>
-      candSet.contains(new Path(dir, rel).toString)
-    }
-    val untouchedSet = untouched.toSet
-    val dvLines = manifestDvLines(f, dir, name)
-    val carryHeaders =
-      carriedHeadersFor(manifestLines(f, dir, name), untouchedSet.contains)
-    val base =
-      if (candidates.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], updates.schema)
-      else applyDv(spark, dir,
-        spark.read.parquet(candidates: _*), dvRelsOf(dvLines))
-    val merged = graft.ops.Corpus.mergeUpsert(base, updates, keyCol, versionCol)
-    val staged = stage(spark, dir, merged, untouched,
-      carryHeaders, Some(basis))
-    publish(spark, dir, staged)
-    staged
   }
 
   /** Append with SCHEMA EVOLUTION — the mergeSchema-on-write shape:
@@ -1470,9 +1555,29 @@ object ManifestTable {
       column: String,
       lo: Double,
       hi: Double): (Seq[String], Int) = {
-    val all = currentRel(fs(dir, spark), dir)
+    val f = fs(dir, spark)
+    val ptr = new Path(dir, PointerName)
+    require(f.exists(ptr), s"not a manifest table (no $PointerName): $dir")
+    pruneByRangeIn(spark, dir, readSmallFile(f, ptr).trim, column, lo, hi)
+  }
+
+  /** [[pruneByRange]] against a NAMED manifest — the single-snapshot leg
+    * multi-column reads need: [[readBetween2D]] resolves CURRENT once and
+    * evaluates both column prunes and the deletion-vector lines against
+    * that one snapshot, so a commit landing mid-plan can never mix two
+    * snapshots' file sets. */
+  private def pruneByRangeIn(
+      spark: SparkSession,
+      dir: String,
+      name: String,
+      column: String,
+      lo: Double,
+      hi: Double): (Seq[String], Int) = {
+    val f = fs(dir, spark)
+    val all = manifestRel(f, dir, name)
     val numeric = Set("int32", "int64", "float", "double")
-    val byFile = currentStats(spark, dir)
+    val byFile = manifestLines(f, dir, name)
+      .filter(_.startsWith("#stats=")).flatMap(parseStatsLine)
       .filter(cs => cs.column == column && numeric.contains(cs.dtype))
       .map(cs => cs.file -> cs).toMap
     val kept = all.filter { rel =>
@@ -1610,9 +1715,12 @@ object ManifestTable {
     * base). This is the consume side of [[append]]: a downstream job
     * remembers the version it last processed and reads only the delta —
     * O(batch) per poll at any table size. Only meaningful while commits
-    * are append-shaped (compaction/overwrite rewrite files, making
-    * "added files" ≠ "added rows" — the same caveat every file-diff CDC
-    * read carries; pair with [[versions]] to detect such commits). */
+    * are append-shaped, and that is ENFORCED: if any file of the
+    * `fromVersion` snapshot is gone from CURRENT (a compaction/
+    * overwrite/delete rewrote it), "added files" ≠ "added rows" — the
+    * rewritten files would replay already-consumed rows — so the read
+    * refuses loudly and the consumer must re-bootstrap from the full
+    * table (the same contract every file-diff CDC read carries). */
   def readChangesSince(
       spark: SparkSession, dir: String, fromVersion: Long): DataFrame = {
     val f = fs(dir, spark)
@@ -1620,7 +1728,14 @@ object ManifestTable {
     require(f.exists(new Path(new Path(dir, "_manifests"), fromName)),
       s"version $fromVersion not found (vacuumed, or never committed) in $dir")
     val old = manifestRel(f, dir, fromName).toSet
-    val added = currentRel(f, dir).filterNot(old)
+    val cur = currentRel(f, dir)
+    val removed = old.diff(cur.toSet)
+    require(removed.isEmpty,
+      s"table is not append-shaped since v$fromVersion: ${removed.size} of " +
+        s"its files were rewritten or removed (compaction/overwrite/delete)" +
+        " — a file diff would replay already-consumed rows; re-bootstrap" +
+        " the consumer from the full table")
+    val added = cur.filterNot(old)
       .map(rel => new Path(dir, rel).toString)
     if (added.isEmpty)
       spark.createDataFrame(
@@ -1646,9 +1761,14 @@ object ManifestTable {
     * the full scan happens exactly once, at bootstrap. Returns the
     * source version the summary is now consistent with (thread it into
     * the next call); a refresh with nothing new is a no-op. Pass
-    * sinceVersion = -1 to bootstrap from the full table. The source must
-    * be append-shaped between refreshes (the [[readChangesSince]]
-    * caveat — pair with [[versions]] to detect rewrites). */
+    * sinceVersion = -1 to bootstrap from the full table. Append-shape is
+    * ENFORCED, not assumed: if any file of the `sinceVersion` snapshot
+    * is gone from CURRENT (a compaction/OPTIMIZE/overwrite rewrote it),
+    * a file diff would double-count the rewritten files' already-folded
+    * rows — the refresh detects that and AUTO-RE-BOOTSTRAPS, replacing
+    * the rollup with the exact full aggregate of the current snapshot
+    * (one source scan, the bootstrap cost — correctness over
+    * incrementality whenever the two conflict). */
   def maintainRollup(
       spark: SparkSession,
       srcDir: String,
@@ -1662,16 +1782,21 @@ object ManifestTable {
     val curV = currentVersion(spark, srcDir)
     if (curV < 0) return sinceVersion
     val curName = f"manifest-$curV%020d.txt"
-    val added =
-      if (sinceVersion < 0) manifestRel(f, srcDir, curName)
+    val curRel = manifestRel(f, srcDir, curName)
+    val (added, rebootstrap) =
+      if (sinceVersion < 0) (curRel, true)
       else {
         val fromName = f"manifest-$sinceVersion%020d.txt"
         require(f.exists(new Path(new Path(srcDir, "_manifests"), fromName)),
           s"version $sinceVersion not found (vacuumed, or never committed) in $srcDir")
         val old = manifestRel(f, srcDir, fromName).toSet
-        manifestRel(f, srcDir, curName).filterNot(old)
+        if (old.subsetOf(curRel.toSet)) (curRel.filterNot(old), false)
+        // rewrite commit since the last refresh: an incremental fold
+        // would double-count the rewritten files — recompute from scratch
+        else (curRel, true)
       }
-    if (added.isEmpty) return curV
+    if (added.isEmpty && !rebootstrap) return curV
+    if (added.isEmpty) return curV // re-bootstrap of an empty snapshot
     val delta = applyDv(spark, srcDir,
       spark.read.parquet(added.map(rel => new Path(srcDir, rel).toString): _*),
       dvRelsOf(manifestDvLines(f, srcDir, curName)))
@@ -1679,7 +1804,7 @@ object ManifestTable {
       .agg(count(lit(1)).as("n_rows"), sum(col(valueCol)).as("value_sum"))
     val fa = fs(aggDir, spark)
     val merged =
-      if (!fa.exists(new Path(aggDir, PointerName))) part
+      if (rebootstrap || !fa.exists(new Path(aggDir, PointerName))) part
       else read(spark, aggDir).unionByName(part)
         .groupBy(col(keyCol))
         .agg(sum(col("n_rows")).as("n_rows"),
@@ -1724,9 +1849,21 @@ object ManifestTable {
       dir: String,
       targetBytes: Long
   ): Seq[Seq[String]] = {
+    val f = fs(dir, spark)
+    planCompactionIn(spark, dir,
+      readSmallFile(f, new Path(dir, PointerName)).trim, targetBytes)
+  }
+
+  // [[planCompaction]] against a NAMED manifest, so
+  // [[compactSmallFiles]] plans and commits against ONE snapshot
+  private def planCompactionIn(
+      spark: SparkSession,
+      dir: String,
+      name: String,
+      targetBytes: Long
+  ): Seq[Seq[String]] = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val f = fs(dir, spark)
-    val name = readSmallFile(f, new Path(dir, PointerName)).trim
     val sizes = manifestLines(f, dir, name).filter(_.startsWith("#size="))
       .flatMap(parseSizeLine).map(t => t._1 -> t._2).toMap
     val smallCut = targetBytes / 2
@@ -1750,23 +1887,56 @@ object ManifestTable {
 
   /** Execute [[planCompaction]] as ONE stats-bounded transaction — the
     * incremental OPTIMIZE: only the planned small files are re-read
-    * (deletion vectors applied) and rewritten one file per bin; every
-    * other file, its stats, blooms and sketches carry by reference. At
-    * 100 TB this is the difference between "compact the ingest dribble"
-    * (seconds, touching megabytes) and [[compact]]'s full rewrite.
-    * Returns the number of files compacted away (0 = metadata no-op). */
+    * (deletion vectors applied) and rewritten EXACTLY one output file
+    * per planned bin; every other file, its stats, blooms and sketches
+    * carry by reference. The bin assignment is HONORED, not
+    * approximated: each bin's files (whose sizes sum ≤ targetBytes by
+    * construction) coalesce into their own single output, so no output
+    * file can exceed the target — round 8's `coalesce(bins.size)` merged
+    * partitions by locality instead and could collapse skewed sizes into
+    * one oversized file. At 100 TB this is the difference between
+    * "compact the ingest dribble" (seconds, touching megabytes) and
+    * [[compact]]'s full rewrite. A concurrent commit between stage and
+    * swap triggers an automatic replan-and-retry. Returns the number of
+    * files compacted away (0 = metadata no-op). */
   def compactSmallFiles(
       spark: SparkSession,
       dir: String,
       targetBytes: Long
-  ): Int = {
-    val bins = planCompaction(spark, dir, targetBytes)
-    if (bins.isEmpty) return 0
-    val rels = bins.flatten
-    boundedRewrite(spark, dir,
-      rels.map(rel => new Path(dir, rel).toString),
-      _.coalesce(bins.size))
-    rels.size - bins.size
+  ): Int = withCommitRetry(5) { () =>
+    val f = fs(dir, spark)
+    val name = readSmallFile(f, new Path(dir, PointerName)).trim
+    val bins = planCompactionIn(spark, dir, name, targetBytes)
+    if (bins.isEmpty) 0
+    else {
+      val basis = name.stripPrefix("manifest-").stripSuffix(".txt").toLong
+      val dvRels = dvRelsOf(manifestDvLines(f, dir, name))
+      // one write per bin: the planned bin IS the output unit
+      val binData = bins.map { bin =>
+        val binDf = applyDv(spark, dir,
+          spark.read.parquet(bin.map(rel => new Path(dir, rel).toString): _*),
+          dvRels)
+        stageData(spark, dir, binDf.coalesce(1))
+      }
+      val candSet = bins.flatten.toSet
+      val untouched = manifestRel(f, dir, name).filterNot(candSet)
+      val untouchedSet = untouched.toSet
+      val lines = manifestLines(f, dir, name)
+      val carryHeaders = carriedHeadersFor(lines, untouchedSet.contains)
+      val content =
+        ((s"#schema=${binData.head.schemaJson}" +:
+          (carryHeaders ++ binData.flatMap(_.statsLines)).sorted) ++
+          (untouched ++ binData.flatMap(_.rel)).sorted).mkString("\n")
+      val staged = claimManifestSlot(spark, dir, content, basis)
+      onBeforePublish()
+      try { publish(spark, dir, staged); bins.flatten.size - bins.size }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          // release the slot; the bin outputs become vacuum-swept
+          // orphans and the retry replans against the new CURRENT
+          abandon(spark, dir, staged); throw e
+      }
+    }
   }
 
   // #check=<b64 spec> — a TABLE-LEVEL CHECK constraint every write
@@ -1971,10 +2141,15 @@ object ManifestTable {
       colA: String, loA: Double, hiA: Double,
       colB: String, loB: Double, hiB: Double): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val keptA = pruneByRange(spark, dir, colA, loA, hiA)._1.toSet
-    val kept = pruneByRange(spark, dir, colB, loB, hiB)._1.filter(keptA)
+    // ONE pointer resolution: both prunes and the DV lines evaluate
+    // against the same snapshot (a commit landing between independent
+    // resolutions could silently drop rows)
     val f = fs(dir, spark)
-    val name = readSmallFile(f, new Path(dir, PointerName)).trim
+    val ptr = new Path(dir, PointerName)
+    require(f.exists(ptr), s"not a manifest table (no $PointerName): $dir")
+    val name = readSmallFile(f, ptr).trim
+    val keptA = pruneByRangeIn(spark, dir, name, colA, loA, hiA)._1.toSet
+    val kept = pruneByRangeIn(spark, dir, name, colB, loB, hiB)._1.filter(keptA)
     val base =
       if (kept.isEmpty)
         spark.createDataFrame(
@@ -2001,7 +2176,9 @@ object ManifestTable {
     * manifests — and the files they reference — are retained while
     * younger than `retainStagedMillis`; older ones are treated as
     * crashed-and-abandoned and swept (pass 0 to sweep all, the
-    * known-no-writers recovery mode). */
+    * known-no-writers recovery mode). Tagged snapshots and live
+    * branches' head/base snapshots are pinned unconditionally
+    * (drop the tag/branch to release them). */
   def vacuum(
       spark: SparkSession, dir: String, retainStagedMillis: Long = 3600000L): Int = {
     val f = fs(dir, spark)
@@ -2012,6 +2189,20 @@ object ManifestTable {
     // tagged snapshots are PINNED: their manifests and files survive
     val tagged = tags(spark, dir).values
       .map(v => f"manifest-$v%020d.txt").toSet
+    // live BRANCHES pin their head AND base manifests (and, below, the
+    // files/vectors those reference): a branch head's version can be at
+    // or below CURRENT's once main commits past its slots, and it is
+    // older than any staged-commit window — without this pin a routine
+    // vacuum would sweep a live branch's snapshot and a later
+    // [[fastForward]] would swap main onto a void manifest
+    val branchPinned: Set[String] = {
+      val bdir = new Path(dir, "_branches")
+      if (!f.exists(bdir)) Set.empty
+      else f.listStatus(bdir).toSeq
+        .filterNot(_.getPath.getName.startsWith("."))
+        .flatMap(st => readSmallFile(f, st.getPath).trim.split('\n').map(_.trim))
+        .filter(_.nonEmpty).toSet
+    }
     val retained = scala.collection.mutable.ArrayBuffer.empty[String]
     if (f.exists(mdir))
       f.listStatus(mdir).filter(_.getPath.getName != keep).foreach { st =>
@@ -2019,7 +2210,7 @@ object ManifestTable {
         val v = scala.util.Try(
           n.stripPrefix("manifest-").stripSuffix(".txt").toLong).toOption
         val inFlight = v.exists(_ > curV) && st.getModificationTime >= cutoff
-        if (inFlight || tagged.contains(n)) retained += n
+        if (inFlight || tagged.contains(n) || branchPinned.contains(n)) retained += n
         else f.delete(st.getPath, false): Unit
       }
     // deletion-vector sidecars are live exactly while a retained

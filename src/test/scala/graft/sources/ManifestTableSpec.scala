@@ -1058,4 +1058,257 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
       } finally rm(clean)
     } finally rm(dir)
   }
+
+  private def fileLen(p: String): Long =
+    new java.io.File(new java.net.URI(p).getPath).length()
+
+  it should "honor compaction bins: no rewritten output exceeds targetBytes on skewed sizes" in {
+    val dir = tmpDir()
+    try {
+      // skewed dribble: two medium files and four tiny ones — the shape
+      // where merging partitions by locality (round 8's coalesce) could
+      // collapse both mediums into one oversized output
+      val counts = Seq(3000, 3000, 150, 150, 150, 150)
+      counts.zipWithIndex.foreach { case (n, k) =>
+        ManifestTable.append(spark, dir,
+          (k * 10000L until k * 10000L + n).map(i => (i, s"v$i"))
+            .toDF("id", "v").coalesce(1))
+      }
+      val sizes = ManifestTable.currentFiles(spark, dir).map(fileLen)
+      // two mediums fit one bin with ~10% slack; every file counts small
+      val target = (sizes.max * 2.2).toLong
+      sizes.foreach(_ should be < target / 2)
+      val bins = ManifestTable.planCompaction(spark, dir, target)
+      bins.foreach(_.size should be >= 2)
+      ManifestTable.compactSmallFiles(spark, dir, target) shouldBe
+        (counts.size - bins.size)
+      val after = ManifestTable.currentFiles(spark, dir)
+      // the planned bin IS the output unit: one file per bin, each
+      // within the target the plan promised
+      after.size shouldBe bins.size
+      after.foreach(p => fileLen(p) should be <= target)
+      ManifestTable.read(spark, dir).count() shouldBe counts.sum.toLong
+    } finally rm(dir)
+  }
+
+  it should "refuse an incremental read across a rewrite commit" in {
+    val dir = tmpDir()
+    try {
+      (0 until 3).foreach { k =>
+        ManifestTable.append(spark, dir,
+          (k * 100L until k * 100L + 100L).map(i => (i, s"v$i"))
+            .toDF("id", "v").coalesce(1))
+      }
+      ManifestTable.readChangesSince(spark, dir, 0L).count() shouldBe 200
+      // a compaction rewrites version-0 files: "added files" no longer
+      // means "added rows" and the file-diff read must refuse loudly
+      val target = ManifestTable.currentFiles(spark, dir).map(fileLen).max * 4
+      ManifestTable.compactSmallFiles(spark, dir, target) should be > 0
+      val e = intercept[IllegalArgumentException] {
+        ManifestTable.readChangesSince(spark, dir, 0L)
+      }
+      e.getMessage should include("append-shaped")
+      // a fresh watermark taken AFTER the rewrite works again
+      val v = ManifestTable.currentVersion(spark, dir)
+      ManifestTable.append(spark, dir,
+        (900L until 910L).map(i => (i, s"n$i")).toDF("id", "v"))
+      ManifestTable.readChangesSince(spark, dir, v).count() shouldBe 10
+    } finally rm(dir)
+  }
+
+  it should "re-bootstrap the rollup after a source rewrite instead of double-counting" in {
+    val src = tmpDir(); val agg = tmpDir()
+    try {
+      (0 until 3).foreach { k =>
+        ManifestTable.append(spark, src,
+          (k * 100L until k * 100L + 100L).map(i => (i, s"k${i % 3}", i))
+            .toDF("id", "k", "v").coalesce(1))
+      }
+      var wm = ManifestTable.maintainRollup(spark, src, agg, -1L, "k", "v")
+      // an OPTIMIZE between refreshes rewrites already-counted rows into
+      // "new" files — the refresh must detect it and recompute, never
+      // fold the rewritten files in again
+      val target = ManifestTable.currentFiles(spark, src).map(fileLen).max * 4
+      ManifestTable.compactSmallFiles(spark, src, target) should be > 0
+      ManifestTable.append(spark, src,
+        (900L until 950L).map(i => (i, s"k${i % 3}", i))
+          .toDF("id", "k", "v").coalesce(1))
+      wm = ManifestTable.maintainRollup(spark, src, agg, wm, "k", "v")
+      val got = ManifestTable.read(spark, agg)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+      val want = ManifestTable.read(spark, src)
+        .groupBy(col("k")).agg(count(lit(1)), sum(col("v")))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+      got shouldBe want
+    } finally { rm(src); rm(agg) }
+  }
+
+  it should "auto-retry a merge refused by a concurrent append, landing both" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.commit(spark, dir,
+        (0L until 100L).map(i => (i, s"v$i", 0L)).toDF("id", "v", "ver")
+          .repartition(2))
+      // inject: an append PUBLISHES inside the merge's stage→publish
+      // window — exactly the interleaving that threw
+      // ConcurrentModificationException at the caller in round 8
+      var fired = false
+      ManifestTable.onBeforePublish = () => if (!fired) {
+        fired = true
+        ManifestTable.append(spark, dir,
+          (200L until 210L).map(i => (i, s"a$i", 0L)).toDF("id", "v", "ver"))
+      }
+      try {
+        ManifestTable.mergeInto(spark, dir,
+          (90L until 105L).map(i => (i, s"u$i", 1L)).toDF("id", "v", "ver"),
+          "id", "ver")
+      } finally ManifestTable.onBeforePublish = () => ()
+      fired shouldBe true
+      // both transactions landed; the content equals sequential execution
+      val back = ManifestTable.read(spark, dir)
+      back.count() shouldBe 115 // 100 base (90-99 updated) + 5 inserts + 10 appended
+      back.filter(col("v").startsWith("u")).count() shouldBe 15
+      back.filter(col("v").startsWith("a")).count() shouldBe 10
+    } finally rm(dir)
+  }
+
+  it should "auto-retry a refused compaction by replanning against the new snapshot" in {
+    val dir = tmpDir()
+    try {
+      (0 until 4).foreach { k =>
+        ManifestTable.append(spark, dir,
+          (k * 100L until k * 100L + 100L).map(i => (i, s"v$i"))
+            .toDF("id", "v").coalesce(1))
+      }
+      val target = ManifestTable.currentFiles(spark, dir).map(fileLen).max * 8
+      var fired = false
+      ManifestTable.onBeforePublish = () => if (!fired) {
+        fired = true
+        ManifestTable.append(spark, dir,
+          (900L until 910L).map(i => (i, s"x$i")).toDF("id", "v").coalesce(1))
+      }
+      try ManifestTable.compactSmallFiles(spark, dir, target) should be > 0
+      finally ManifestTable.onBeforePublish = () => ()
+      fired shouldBe true
+      val back = ManifestTable.read(spark, dir)
+      back.count() shouldBe 410
+      back.filter(col("v").startsWith("x")).count() shouldBe 10
+    } finally rm(dir)
+  }
+
+  behavior of "ManifestTable branches (write-audit-publish)"
+
+  it should "run the branch lifecycle: create, append, audit-read, fast-forward, drop" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.commit(spark, dir,
+        (0L until 100L).map(i => (i, s"base$i")).toDF("id", "v"))
+      ManifestTable.createBranch(spark, dir, "audit")
+      intercept[IllegalArgumentException] {
+        ManifestTable.createBranch(spark, dir, "audit")
+      }
+      ManifestTable.appendToBranch(spark, dir, "audit",
+        (100L until 150L).map(i => (i, s"new$i")).toDF("id", "v"))
+      // main's readers never see the branch batch…
+      ManifestTable.currentVersion(spark, dir) shouldBe 0L
+      ManifestTable.read(spark, dir).count() shouldBe 100
+      // …the audit read does
+      ManifestTable.readBranch(spark, dir, "audit").count() shouldBe 150
+      ManifestTable.branches(spark, dir) shouldBe Map("audit" -> (1L, 0L))
+      // publish: one atomic CURRENT swap to the branch head
+      ManifestTable.fastForward(spark, dir, "audit")
+      ManifestTable.read(spark, dir).count() shouldBe 150
+      ManifestTable.dropBranch(spark, dir, "audit")
+      ManifestTable.branches(spark, dir) shouldBe empty
+    } finally rm(dir)
+  }
+
+  it should "refuse fast-forward once main moved past the branch base" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.commit(spark, dir,
+        (0L until 50L).map(i => (i, s"a$i")).toDF("id", "v"))
+      ManifestTable.createBranch(spark, dir, "stale")
+      ManifestTable.appendToBranch(spark, dir, "stale",
+        (100L until 120L).map(i => (i, s"b$i")).toDF("id", "v"))
+      // main commits independently: the branch is now built on stale state
+      ManifestTable.append(spark, dir,
+        (200L until 230L).map(i => (i, s"c$i")).toDF("id", "v"))
+      intercept[java.util.ConcurrentModificationException] {
+        ManifestTable.fastForward(spark, dir, "stale")
+      }
+      // nothing moved: main keeps its own content, the branch its own
+      ManifestTable.read(spark, dir).count() shouldBe 80
+      ManifestTable.readBranch(spark, dir, "stale").count() shouldBe 70
+    } finally rm(dir)
+  }
+
+  it should "pin a live branch's snapshots against vacuum until dropped" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.commit(spark, dir,
+        (0L until 100L).map(i => (i, s"a$i")).toDF("id", "v"))
+      ManifestTable.createBranch(spark, dir, "wap")
+      ManifestTable.appendToBranch(spark, dir, "wap",
+        (100L until 120L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1))
+      // main commits PAST the branch's version slot: the head is no
+      // longer "in-flight" by version, so only the branch pin saves it
+      ManifestTable.append(spark, dir,
+        (200L until 230L).map(i => (i, s"c$i")).toDF("id", "v").coalesce(1))
+      ManifestTable.vacuum(spark, dir, retainStagedMillis = 0L)
+      ManifestTable.readBranch(spark, dir, "wap").count() shouldBe 120
+      // dropping the branch releases the pin; the next vacuum sweeps its
+      // snapshot without touching main's
+      ManifestTable.dropBranch(spark, dir, "wap")
+      ManifestTable.vacuum(spark, dir, retainStagedMillis = 0L) should be > 0
+      ManifestTable.read(spark, dir).count() shouldBe 130
+    } finally rm(dir)
+  }
+
+  it should "fast-forward a branch that survived a zero-retention vacuum" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.commit(spark, dir,
+        (0L until 100L).map(i => (i, s"a$i")).toDF("id", "v"))
+      ManifestTable.createBranch(spark, dir, "wap")
+      ManifestTable.appendToBranch(spark, dir, "wap",
+        (100L until 120L).map(i => (i, s"b$i")).toDF("id", "v"))
+      // the round-8 hazard: with main still at the base, a zero-retention
+      // vacuum treated the branch head (version > CURRENT's) as a crashed
+      // staged commit, swept it, and the later fastForward swapped main
+      // onto a void manifest
+      ManifestTable.vacuum(spark, dir, retainStagedMillis = 0L)
+      ManifestTable.readBranch(spark, dir, "wap").count() shouldBe 120
+      ManifestTable.fastForward(spark, dir, "wap")
+      ManifestTable.read(spark, dir).count() shouldBe 120
+    } finally rm(dir)
+  }
+
+  it should "skip files on both dimensions after a z-order compaction" in {
+    val dir = tmpDir()
+    try {
+      // a 100×100 grid: every (a, b) pair exactly once
+      ManifestTable.commit(spark, dir,
+        (0L until 10000L).map(i => (i, (i % 100L).toInt, (i / 100L).toInt))
+          .toDF("id", "a", "b"))
+      ManifestTable.compactZOrder(spark, dir, "a", "b", bits = 7, targetFiles = 16)
+      // correctness: the 2D stats-pruned read equals the full filter
+      val got = ManifestTable.readBetween2D(spark, dir,
+        "a", 10.0, 19.0, "b", 10.0, 19.0)
+      got.count() shouldBe 100
+      got.agg(sum(col("id"))).collect()(0).getLong(0) shouldBe
+        ManifestTable.read(spark, dir)
+          .filter(col("a").between(10, 19) && col("b").between(10, 19))
+          .agg(sum(col("id"))).collect()(0).getLong(0)
+      // skipping: each single-column prune keeps a stripe; their
+      // intersection — what readBetween2D opens — is a small box, which
+      // a single-key sort cannot give (its second column spans every file)
+      val keptA = ManifestTable.pruneByRange(spark, dir, "a", 10.0, 19.0)._1.toSet
+      val keptB = ManifestTable.pruneByRange(spark, dir, "b", 10.0, 19.0)._1.toSet
+      val box = keptA.intersect(keptB)
+      box.size should be < 16
+      box.size should be <= math.min(keptA.size, keptB.size)
+      box.size should be >= 1
+    } finally rm(dir)
+  }
 }
