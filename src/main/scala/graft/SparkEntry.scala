@@ -860,6 +860,27 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
     }),
 
+    // Extension: hard-negative mining — per anchor, the top-5 most
+    // similar DIFFERENT-label vectors (contrastive-training negatives;
+    // the label guard excludes false negatives). Anchor batch
+    // broadcasts; the corpus pays only its per-anchor top-k window.
+    "sim_hard_negatives" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.ops.Similarity.hardNegatives(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", "label", 5)
+        .select(col("query_id"), col("anchor_label"), col("neighbor_id"),
+          col("neg_label"), col("rank"), round(col("sim"), 6).as("sim"))
+    }),
+
+    // Extension: triplet mining — hardest same-label positive + hardest
+    // different-label negative per anchor, with the triplet margin the
+    // metric-learning curriculum ranks by.
+    "sim_triplet_mine" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.ops.Similarity.tripletMine(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", "label")
+    }),
+
     // Extension: IVF approximate top-k — fixed-k deterministic k-means
     // centroids (md5-seeded + 2 DECIMAL-routed Lloyd rounds), cell
     // assignment as a pure projection, nprobe probing. k is FIXED, so the
@@ -4392,6 +4413,27 @@ object SparkEntry {
         |  FROM e c, q WHERE c.vec_id != q.query_id),
         |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
         |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin,
+
+    "sim_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS anchor_label, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, q.anchor_label, c.vec_id AS neighbor_id, c.label AS neg_label, ${cosSql("q.qv", "c.v")} AS sim
+        |  FROM e c, q WHERE c.vec_id != q.query_id AND c.label != q.anchor_label),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
+        |SELECT query_id, anchor_label, neighbor_id, neg_label, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim
+        |FROM r WHERE rk <= 5""".stripMargin,
+
+    "sim_triplet_mine" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS anchor_label, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, q.anchor_label, c.vec_id AS other_id, ${cosSql("q.qv", "c.v")} AS sim,
+        |  c.label = q.anchor_label AS same FROM e c, q WHERE c.vec_id != q.query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id, same ORDER BY sim DESC, other_id) AS rk FROM s),
+        |p AS (SELECT query_id, anchor_label, other_id AS positive_id, sim AS ps FROM r WHERE same AND rk = 1),
+        |n AS (SELECT query_id, other_id AS negative_id, sim AS ns FROM r WHERE NOT same AND rk = 1)
+        |SELECT p.query_id, p.anchor_label, p.positive_id, n.negative_id,
+        |  round(p.ps, 6) AS pos_sim, round(n.ns, 6) AS neg_sim, round(p.ps - n.ns, 6) AS margin
+        |FROM p JOIN n USING (query_id)""".stripMargin,
 
     "sim_ivf_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

@@ -1147,16 +1147,18 @@ object Corpus {
     * table (merge_idx, left_sym, right_sym, pair_count) — the artifact a
     * tokenizer ships.
     *
-    * Scale shape: ONE corpus-sized aggregate (word counts); every round
-    * then runs ONE vocab-sized job — a pair explode + map-side-combinable
-    * count + a 1-row TakeOrderedAndProject — over the (symbol array,
-    * frequency) vocabulary, applying the winner by a single
-    * greedy-leftmost array fold (see [[learnMerges]]: constant round
-    * cost in the merge index, the representation that reaches a real
-    * tokenizer's 32k merges). Driver state is one (pair, count) row per
-    * round. Assumes corpus text gives `nMerges` rounds of nonempty pair
-    * tables (true for any real corpus). `maxChain` shapes only
-    * [[bpeSegment]]'s oracle-replayable segmentation rewrite. */
+    * Scale shape: ONE corpus-sized aggregate (word counts) + ONE
+    * corpus-sized pair-count seed; every round after that costs only the
+    * words the winning merge TOUCHES — pair counts are maintained
+    * incrementally on the driver and each round's delta aggregate
+    * retracts/asserts pairs for touched words alone, with the winner
+    * applied by a greedy-leftmost array fold (see [[learnMerges]]: the
+    * incremental-trainer shape that reaches a real tokenizer's 32k
+    * merges — 32k full recounts would not). Driver state is the bounded
+    * (pair -> count) map every production BPE trainer keeps. Assumes
+    * corpus text gives `nMerges` rounds of nonempty pair tables (true
+    * for any real corpus). `maxChain` shapes only [[bpeSegment]]'s
+    * oracle-replayable segmentation rewrite. */
   def bpeMerges(
       df: DataFrame,
       textCol: String,
@@ -1217,26 +1219,37 @@ object Corpus {
     * (merge_idx, left, right, pair_count) per round.
     *
     * Representation: the vocabulary lives as (symbol ARRAY, frequency)
-    * rows — the pair-indexed shape a real 32k-merge tokenizer run
-    * needs. Each round is two fixed-size operations over the DISTINCT
-    * vocab: (1) explode adjacent symbol pairs and count them
-    * (map-side-combinable, 1-row TakeOrderedAndProject readout), and
-    * (2) apply the winning merge by ARRAY SURGERY — a single
-    * greedy-leftmost fold (`aggregate` HOF, row-local) that rewrites
-    * every occurrence in one pass, however long the chain. Round cost
-    * is therefore CONSTANT in the merge index — contrast the literal
-    * replace-chain representation this replaced, where round k replayed
-    * k·maxChain nested string replaces (at 32k merges: ~200k replaces
-    * per word per round — the shape that falls over).
+    * rows; pair counts live INCREMENTALLY on the driver. ONE
+    * corpus-sized aggregate seeds a (pair -> weighted count) map; every
+    * round then (1) reads the top pair from an ordered view of that map
+    * (O(log P)), (2) runs a DELTA aggregate over only the words that
+    * CONTAIN the winning pair — each touched word retracts its old
+    * adjacent-pair multiset and asserts its post-merge one — and folds
+    * the collected delta back into the map, and (3) applies the merge by
+    * ARRAY SURGERY: a greedy-leftmost fold (`aggregate` HOF, row-local)
+    * guarded by a contains-the-pair predicate, so untouched rows pass
+    * through unrewritten. A round therefore costs the TOUCHED words
+    * (Sennrich's incremental trainer, distributed), not the vocabulary —
+    * the previous full per-round pair recount priced 32k merges at 32k
+    * vocabulary-sized shuffle jobs; this prices them at the sum of
+    * touched-word sizes, which real corpora decay geometrically.
     *
-    * Lineage discipline: the fold still adds one plan node per round,
-    * so every [[RepersistEvery]] rounds the frame is localCheckpointed
-    * (eager): plan depth and executor-loss replay cost stay bounded by
-    * the cadence (BpeChainScalingSpec proves round time flat through
-    * 512 merges). Checkpoint blocks from superseded rounds are
-    * reclaimed by the ContextCleaner once unreferenced. `maxChain` is
-    * segmentation-side only ([[bpeSegment]]'s oracle-replayable
-    * rewrite); induction merges chains of ANY length exactly. */
+    * Driver-state budget: the pair map is O(distinct adjacent pairs) —
+    * the same bounded single-node state every production BPE trainer
+    * keeps (a few million entries at web scale), NOT corpus-sized; the
+    * corpus- and vocab-sized work (seed count, per-round deltas,
+    * rewrites) all stays distributed. Per-round collects are one delta
+    * frame of touched distinct pairs.
+    *
+    * Lineage discipline: the fold adds one plan node per round, so every
+    * [[RepersistEvery]] rounds the frame is localCheckpointed (eager):
+    * plan depth and executor-loss replay cost stay bounded by the
+    * cadence (BpeChainScalingSpec proves round time flat through 1,024
+    * merges and pins the shuffle volume to the touched words).
+    * Checkpoint blocks from superseded rounds are reclaimed by the
+    * ContextCleaner once unreferenced. `maxChain` is segmentation-side
+    * only ([[bpeSegment]]'s oracle-replayable rewrite); induction merges
+    * chains of ANY length exactly. */
   private val RepersistEvery = 8
 
   private[ops] def learnMerges(
@@ -1250,25 +1263,41 @@ object Corpus {
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(filter(split(col("w"), ""), x => x =!= "").as("sy"), col("n"))
       .localCheckpoint(true)
+
+    def adjPairs(sy: Column): Column = {
+      val half = greatest(size(sy) - 1, lit(0))
+      zip_with(slice(sy, lit(1), half), slice(sy, lit(2), half),
+        (x, y) => struct(x.as("a"), y.as("b")))
+    }
+
+    // seed: the ONE full pair count; thereafter counts evolve by deltas.
+    // `byCount` keeps the rows ordered (count desc, then lexicographic
+    // (a, b)) so each round's winner is an O(log P) head read — the
+    // tie-break is identical to the former ORDER BY cnt DESC, a, b.
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val byCount = scala.collection.mutable.TreeSet
+      .empty[(Long, String, String)](Ordering.by {
+        case (c, a, b) => (-c, a, b)
+      })
+    words.select(explode(adjPairs(col("sy"))).as("p"), col("n"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("n")).as("cnt"))
+      .collect()
+      .foreach { r =>
+        counts((r.getString(0), r.getString(1))) = r.getLong(2)
+        byCount += ((r.getLong(2), r.getString(0), r.getString(1)))
+      }
+
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var it = 1
     while (it <= nMerges) {
       val roundStart = System.nanoTime()
-      val half = greatest(size(col("sy")) - 1, lit(0))
-      val top = words
-        .select(col("n"), explode(zip_with(
-          slice(col("sy"), lit(1), half), slice(col("sy"), lit(2), half),
-          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("n")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
-      require(top.nonEmpty,
+      require(byCount.nonEmpty,
         s"corpus exhausted adjacent pairs after ${it - 1} merges")
-      val a = top(0).getString(0)
-      val b = top(0).getString(1)
-      val cnt = top(0).getLong(2)
+      val (cnt, a, b) = byCount.head
       merges += ((it, a, b, cnt))
+      val touched = exists(adjPairs(col("sy")),
+        p => p("a") === lit(a) && p("b") === lit(b))
       // greedy-leftmost merge application: fold the symbol array,
       // coalescing [..., a] + b into [..., ab]; after a coalesce the
       // merged token is "ab", so an overlapping chain (a,a,a with pair
@@ -1282,6 +1311,41 @@ object Corpus {
             .when(element_at(acc, -1) === lit(a) && x === lit(b),
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
             .otherwise(concat(acc, array(x))))
+      // delta aggregate over ONLY the touched words: retract the old
+      // pair multiset, assert the post-merge one; everything else in the
+      // corpus provably kept its pairs and contributes nothing. The
+      // touched guard lives INSIDE the projected array (untouched rows
+      // yield an empty array explode drops) rather than in a Filter
+      // node: a filter on this expression would be pushed through the
+      // in-window fold projections, substituting the fold into the
+      // predicate at every level and growing the plan ~3^cadence
+      val pairDeltas = when(touched,
+          concat(
+            transform(adjPairs(col("sy")),
+              p => struct(p("a").as("a"), p("b").as("b"), (-col("n")).as("d"))),
+            transform(adjPairs(stepped),
+              p => struct(p("a").as("a"), p("b").as("b"), col("n").as("d")))))
+        .otherwise(array().cast("array<struct<a:string,b:string,d:bigint>>"))
+      val delta = words.select(explode(pairDeltas).as("x"))
+        .groupBy(col("x.a").as("a"), col("x.b").as("b"))
+        .agg(sum(col("x.d")).as("d"))
+        .collect()
+      delta.foreach { r =>
+        val k = (r.getString(0), r.getString(1))
+        val old = counts.getOrElse(k, 0L)
+        if (old != 0L) byCount -= ((old, k._1, k._2))
+        val nv = old + r.getLong(2)
+        if (nv > 0L) {
+          counts(k) = nv
+          byCount += ((nv, k._1, k._2))
+        } else counts.remove(k): Unit
+      }
+      // the fold is a no-op on rows without the pair, so apply it
+      // UNCONDITIONALLY: guarding it (when(touched, stepped)
+      // .otherwise(sy)) would reference `sy` five times per round, and
+      // the optimizer's project collapsing then grows the in-window
+      // plan ~5^k — the unconditional fold references `sy` once, so
+      // plan size stays linear in the checkpoint cadence
       words = words.select(stepped.as("sy"), col("n"))
       if (it % RepersistEvery == 0) words = words.localCheckpoint(true)
       onRound(it, System.nanoTime() - roundStart)

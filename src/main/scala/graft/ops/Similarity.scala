@@ -59,6 +59,85 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining — for each anchor, the top-`k` most similar
+    * corpus vectors with a DIFFERENT label: the contrastive-training
+    * negatives that actually move a model (easy negatives are
+    * uninformative; same-label false negatives are excluded by the
+    * label guard). Output: (query_id, anchor_label, neighbor_id,
+    * neg_label, sim, rank).
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — the anchor set
+    * broadcasts (it must be small: a training batch, not the corpus)
+    * and the corpus shuffles only its per-anchor candidate rows into
+    * the top-k window. Web-scale mining swaps the exact corpus side for
+    * the IVF/PQ probe with the same contract. */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      col(labelCol).cast("long").as("neg_label"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      col(labelCol).cast("long").as("anchor_label"))
+    val cos = cosineFor(corpus.sparkSession) _
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("neg_label") =!= col("anchor_label"))
+      .select(col("query_id"), col("anchor_label"), col("neighbor_id"),
+        col("neg_label"), cos(col("qvec"), col("cvec")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Triplet mining — per anchor, the hardest POSITIVE (most similar
+    * same-label vector) and hardest NEGATIVE (most similar
+    * different-label vector), with the triplet margin `pos_sim -
+    * neg_sim`: the (anchor, positive, negative) batches metric-learning
+    * losses train on, and the margin histogram is the curriculum signal
+    * (near-zero or negative margins are the informative triplets).
+    * Anchors whose label has no other member yield no row (no positive
+    * exists). Output: (query_id, anchor_label, positive_id, negative_id,
+    * pos_sim, neg_sim, margin).
+    *
+    * Scale shape: one broadcast nested loop over the anchor batch (see
+    * [[hardNegatives]]), one window partitioned by (anchor, same-label
+    * flag), and a tiny anchor-sized self-join at the end. */
+  def tripletMine(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("other_id"), col(vecCol).as("cvec"),
+      col(labelCol).cast("long").as("other_label"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      col(labelCol).cast("long").as("anchor_label"))
+    val cos = cosineFor(corpus.sparkSession) _
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("other_id"))
+      .select(col("query_id"), col("anchor_label"), col("other_id"),
+        cos(col("qvec"), col("cvec")).as("sim"),
+        (col("other_label") === col("anchor_label")).as("same"))
+    val w = Window.partitionBy("query_id", "same")
+      .orderBy(col("sim").desc, col("other_id").asc)
+    val best = scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+    val pos = best.filter(col("same")).select(col("query_id"), col("anchor_label"),
+      col("other_id").as("positive_id"), col("sim").as("ps"))
+    val neg = best.filter(!col("same")).select(col("query_id"),
+      col("other_id").as("negative_id"), col("sim").as("ns"))
+    pos.join(neg, "query_id")
+      .select(col("query_id"), col("anchor_label"), col("positive_id"),
+        col("negative_id"), round(col("ps"), 6).as("pos_sim"),
+        round(col("ns"), 6).as("neg_sim"),
+        round(col("ps") - col("ns"), 6).as("margin"))
+  }
+
   /** Fixed-k deterministic k-means centroids — the IVF coarse quantizer.
     *
     * Seeds are the `k` corpus vectors with the smallest `(md5(id), id)` —

@@ -1206,7 +1206,12 @@ object ManifestTable {
         .select(col("__graft_dv_rel").as("_file"),
           col("__graft_dv_pos").as("_pos"))
       val dvDir = new Path(new Path(dir, "data"), UUID.randomUUID().toString)
-      newDv.coalesce(1).write.parquet(dvDir.toString)
+      // repartition(1), NOT coalesce(1): coalesce would collapse the
+      // whole candidate scan + anti-join into one task, while the
+      // repartition shuffle keeps the scan parallel and moves only the
+      // tiny (file, pos) pairs to a single writer — preserving the
+      // one-sidecar-per-delete minimality every future read pays for
+      newDv.repartition(1).write.parquet(dvDir.toString)
       val conf = spark.sparkContext.hadoopConfiguration
       val dvFiles = f.listStatus(dvDir).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".parquet"))

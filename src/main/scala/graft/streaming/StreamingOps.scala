@@ -439,7 +439,11 @@ object StreamingOps {
     * benchmark side is small and static — its shingle set and Bloom
     * words build ONCE at sink creation and stay persisted for the
     * query's lifetime, so each micro-batch pays only its own probe (the
-    * stream side never shuffles document bodies, only shingle hashes). */
+    * stream side never shuffles document bodies, only shingle hashes).
+    * The two cached index frames are RELEASED when the query
+    * terminates (a [[StreamingQueryListener]] keyed on the query id
+    * unpersists them and removes itself), so a long-lived session that
+    * starts and stops many gates holds no stale cache blocks. */
   def contamGateSink(
       stream: DataFrame,
       benchmark: DataFrame,
@@ -451,7 +455,7 @@ object StreamingOps {
     val (grams, bloom) =
       graft.ops.Corpus.contaminationIndex(benchmark, textCol, shingleN)
     grams.persist(); bloom.persist()
-    stream.writeStream
+    val q = stream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.ops.Corpus
@@ -461,5 +465,29 @@ object StreamingOps {
           .write.mode("append").parquet(dir)
       }
       .start()
+    val spark = stream.sparkSession
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def release(): Unit = if (released.compareAndSet(false, true)) {
+      grams.unpersist(); bloom.unpersist(): Unit
+    }
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent)
+          : Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent)
+          : Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent)
+          : Unit = if (e.id == q.id) {
+        release()
+        spark.streams.removeListener(this)
+      }
+    }
+    spark.streams.addListener(listener)
+    // the query can die between start() and addListener — the missed
+    // terminated event would leak the caches, so close that window here
+    if (!q.isActive) { release(); spark.streams.removeListener(listener) }
+    q
   }
 }

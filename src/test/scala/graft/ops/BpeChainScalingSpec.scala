@@ -1,58 +1,159 @@
 package graft.ops
 
 import graft.plug.TestSpark
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.scalatest.flatspec.AnyFlatSpec
 import org.scalatest.matchers.should.Matchers
 
-/** BPE induction at REALISTIC merge counts: the pair-indexed (symbol
-  * array, frequency) representation plus the every-[[Corpus.RepersistEvery]]
-  * localCheckpoint cadence keep per-round cost FLAT in the merge index —
-  * the property a real 32k-merge tokenizer run depends on. The replaced
-  * literal replace-chain representation grew round cost linearly (round k
-  * replayed k·maxChain nested replaces), which is exactly what this spec
-  * would catch at 512 rounds. */
+/** BPE induction at REALISTIC merge counts: pair counts are maintained
+  * INCREMENTALLY (driver map + per-round delta aggregates over only the
+  * words the winning merge touched — see [[Corpus.learnMerges]]), so a
+  * round costs the touched words, not the vocabulary. This spec proves
+  * all three properties a 32k-merge tokenizer run depends on, at 1,024
+  * merges:
+  *
+  *   1. EXACTNESS — the distributed merges equal a pure-Scala
+  *      single-node reference trainer's, round for round, count for
+  *      count (so the incremental deltas are provably lossless);
+  *   2. FLAT ROUNDS — late rounds are no slower than early ones (the
+  *      localCheckpoint cadence bounds lineage);
+  *   3. TOUCHED-WORDS COST — total shuffle-write records across all
+  *      rounds are bounded by the touched-pair volume the reference
+  *      replay predicts, far below what per-round full pair recounts
+  *      would shuffle.
+  */
 class BpeChainScalingSpec extends AnyFlatSpec with Matchers {
   lazy val spark = TestSpark.session
   import spark.implicits._
 
-  behavior of "learnMerges pair-indexed rounds"
+  behavior of "learnMerges incremental rounds"
 
-  it should "learn 512 merges with late rounds no slower than early ones" in {
-    // a corpus rich enough that 512 rounds never exhaust adjacent pairs:
-    // distinct multi-word docs over a varied token set (~2600 adjacent
-    // pair slots across the distinct vocab)
+  /** Single-node reference BPE over (word -> corpus frequency): returns
+    * (merges, touchedPairRows, naivePairRows) where touchedPairRows is
+    * the total pair rows an incremental trainer's delta aggregates
+    * process (old + new pairs of touched words, per round) and
+    * naivePairRows is what per-round full recounts would explode. */
+  private def referenceBpe(
+      wordFreq: Seq[(String, Long)],
+      nMerges: Int): (Seq[(Int, String, String, Long)], Long, Long) = {
+    var vocab: Vector[(Vector[String], Long)] =
+      wordFreq.toVector.map { case (w, n) =>
+        (w.split("").filter(_.nonEmpty).toVector, n)
+      }
+    def pairsOf(sy: Vector[String]): Vector[(String, String)] =
+      if (sy.size < 2) Vector.empty else sy.zip(sy.tail)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    for ((sy, n) <- vocab; p <- pairsOf(sy))
+      counts(p) = counts.getOrElse(p, 0L) + n
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var touchedPairRows = 0L
+    var naivePairRows = 0L
+    for (it <- 1 to nMerges) {
+      naivePairRows += vocab.map { case (sy, _) => math.max(sy.size - 1, 0).toLong }.sum
+      require(counts.nonEmpty, s"test corpus exhausted pairs after ${it - 1} merges")
+      val ((a, b), cnt) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      merges += ((it, a, b, cnt))
+      vocab = vocab.map { case (sy, n) =>
+        if (!pairsOf(sy).contains((a, b))) (sy, n)
+        else {
+          val ns = sy.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+            else acc :+ x
+          }
+          touchedPairRows += pairsOf(sy).size.toLong + pairsOf(ns).size.toLong
+          for (p <- pairsOf(sy)) {
+            val nv = counts(p) - n
+            if (nv > 0L) counts(p) = nv else counts.remove(p)
+          }
+          for (p <- pairsOf(ns)) counts(p) = counts.getOrElse(p, 0L) + n
+          (ns, n)
+        }
+      }
+    }
+    (merges.toSeq, touchedPairRows, naivePairRows)
+  }
+
+  it should "learn 1,024 merges exactly, with flat rounds, shuffling only touched words" in {
+    // a corpus rich enough that 1,024 rounds never exhaust adjacent
+    // pairs: distinct multi-word docs over a varied token set (~5,000
+    // adjacent pair slots across the distinct vocab)
     val rnd = new scala.util.Random(13)
-    val words = (0 until 400).map(_ =>
-      (0 until (5 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
-    val docs = (0 until 600).map { i =>
+    val words = (0 until 600).map(_ =>
+      (0 until (6 + rnd.nextInt(7))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    val docs = (0 until 900).map { i =>
       (i.toLong, (0 until 12).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
-    }.toDF("doc_id", "text")
-    docs.persist()
-    docs.count()
+    }
+    val docsDf = docs.toDF("doc_id", "text")
+    docsDf.persist()
+    docsDf.count()
+
+    // the reference trainer predicts the merges AND the work profile
+    val corpusTokens = docs.flatMap(_._2.split(" "))
+    val wordFreq = corpusTokens.groupBy(identity).toSeq
+      .map { case (w, ws) => (w, ws.size.toLong) }
+    val (expected, touchedPairRows, naivePairRows) = referenceBpe(wordFreq, 1024)
+    expected.size shouldBe 1024
+
+    // account every shuffle-write record the run produces
+    val shuffled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) shuffled.addAndGet(m.shuffleWriteMetrics.recordsWritten): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
 
     val times = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
-    val merges = Corpus.learnMerges(docs, "text", nMerges = 512, maxChain = 6,
-      onRound = (i, ns) => times += ((i, ns)))
-    docs.unpersist()
+    val merges =
+      try {
+        Corpus.learnMerges(docsDf, "text", nMerges = 1024, maxChain = 6,
+          onRound = (i, ns) => times += ((i, ns)))
+      } finally {
+        // listener delivery is async — drain before reading the counter
+        var last = -1L
+        var stable = 0
+        while (stable < 5) {
+          Thread.sleep(100)
+          val now = shuffled.get
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    docsDf.unpersist()
 
-    merges.size shouldBe 512
-    merges.map(_._1) shouldBe (1 to 512)
-    // every merge pair must be distinct — the loop genuinely progresses
-    merges.map(m => (m._2, m._3)).distinct.size shouldBe 512
+    // 1. EXACTNESS: every round's (left, right, weighted count) matches
+    // the single-node reference — the incremental deltas are lossless
+    merges shouldBe expected
 
+    // 2. FLAT ROUNDS: the checkpoint cadence keeps lineage bounded; a
+    // representation replaying the merge history would blow up here
     def median(xs: Seq[Long]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2).toDouble
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     val byRound = times.toMap
-    val early = median((2 to 32).map(byRound))   // round 1 pays JIT/analysis warmup
-    val late = median((481 to 512).map(byRound))
-    // flat cadence ⇒ ratio ≈ 1 (checkpoint rounds add a bounded job); a
-    // per-round representation that replays the merge history would be
-    // ~16× slower here by round ~500. Generous slack for a loaded host.
+    val early = median((2 to 64).map(byRound)) // round 1 pays JIT/analysis warmup
+    val late = median((961 to 1024).map(byRound))
     withClue(s"early=$early late=$late ratio=${late / early}") {
       late should be < early * 5.0
+    }
+
+    // 3. TOUCHED-WORDS COST: everything the run shuffles is the
+    // one-time seed (word counts + initial pair counts) plus the
+    // per-round deltas over touched words. The bound is generous (2×
+    // for partial-aggregation accounting) yet far below what 1,024
+    // full vocabulary recounts would shuffle — the shape this design
+    // replaced.
+    val seedRows = corpusTokens.size.toLong + // word-count groupBy input
+      wordFreq.map { case (w, _) => math.max(w.length - 1, 0).toLong }.sum // pair seed
+    val budget = 2L * (seedRows + touchedPairRows) + 50_000L
+    withClue(s"shuffled=${shuffled.get} budget=$budget naive=$naivePairRows") {
+      shuffled.get should be < budget
+      // and the budget itself must be decisively below the naive cost,
+      // or this assertion would prove nothing
+      budget should be < naivePairRows / 2
     }
   }
 }

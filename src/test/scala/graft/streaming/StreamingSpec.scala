@@ -419,6 +419,7 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     val out = java.nio.file.Files
       .createTempDirectory("graft_contam_gate").toString
     val in = MemoryStream[(Long, String)]
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     val q = StreamingOps.contamGateSink(
       in.toDF().toDF("doc_id", "text"), benchmark, "doc_id", "text", out)
     in.addData(
@@ -427,7 +428,15 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     q.processAllAvailable()
     in.addData((3L, "quick brown fox jumps again now"))
     q.processAllAvailable()
+    // the sink persists its two benchmark index frames for the query's
+    // lifetime...
+    spark.sparkContext.getPersistentRDDs.size should be > cachedBefore
     q.stop()
+    // ...and the termination listener releases them (async — poll)
+    val deadline = System.nanoTime() + 15_000_000_000L
+    while (spark.sparkContext.getPersistentRDDs.size > cachedBefore &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+    spark.sparkContext.getPersistentRDDs.size shouldBe cachedBefore
     val rows = spark.read.parquet(out)
       .select("batch_id", "doc_id", "flagged", "no_false_neg")
       .collect().map(r => (r.getLong(1), r.getLong(0), r.getBoolean(2), r.getBoolean(3)))
