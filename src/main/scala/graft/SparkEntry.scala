@@ -1600,6 +1600,37 @@ object SparkEntry {
           lit(versions).as("n_versions"))
     }),
 
+    // Extension: IDEMPOTENT ingest sink — exactly-once-per-user landing
+    // where the committed table IS the dedup state (survives restarts;
+    // the existing-key probe is stats-bounded). Replayed as THREE
+    // overlapping micro-batches (full redelivery included): per user,
+    // only the smallest-event_id row of the FIRST batch containing the
+    // user lands; the oracle re-derives that survivor rule.
+    "stream_idempotent_sink" -> ((s, dir) => withStreamingShuffle(s, 4) {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val feed = events(s, dir).filter(col("event_id") < 3000)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          col("value"), col("props"))
+        .as[StreamEv].collect()
+      val batch1 = feed.filter(_.event_id < 1000)
+      val batch2 = feed.filter(_.event_id < 2000) // redelivers ALL of batch 1
+      val batch3 = feed.filter(_.event_id >= 1500) // overlaps batch 2's tail
+      val out = scratch("stream_idem")
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEv]
+      val q = graft.streaming.StreamingOps.idempotentSink(
+        in.toDF().select("event_id", "user_id", "event_type", "value"),
+        keyCol = "user_id", tiebreakCol = "event_id", dir = out)
+      in.addData(batch1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(batch3.toIndexedSeq: _*); q.processAllAvailable()
+      q.stop()
+      graft.sources.ManifestTable.read(s, out)
+        .select(col("user_id"), col("event_id").as("first_event_id"),
+          col("event_type").as("first_type"),
+          round(col("value"), 6).as("first_value"))
+    }),
+
     // Extension: STREAMING per-batch quality gate — the one-scan
     // constraint report runs inside foreachBatch and appends per-rule
     // censuses tagged with the batch id (landing-zone telemetry: "batch
@@ -5318,6 +5349,30 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events WHERE event_id < 2000)
         |WHERE rn = 1""".stripMargin,
+
+    // Three overlapping batches, one landing per user: the smallest
+    // event_id row of the FIRST batch (1: id<1000, 2: id<2000,
+    // 3: id>=1500) containing the user.
+    "stream_idempotent_sink" ->
+      """WITH f AS (SELECT event_id, user_id, event_type, value FROM events WHERE event_id < 3000),
+        |perbatch AS (
+        |  SELECT user_id, 1 AS b, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM f WHERE event_id < 1000
+        |  UNION ALL
+        |  SELECT user_id, 2 AS b, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM f WHERE event_id < 2000
+        |  UNION ALL
+        |  SELECT user_id, 3 AS b, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM f WHERE event_id >= 1500),
+        |firsts AS (SELECT user_id, b, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY b) AS rb
+        |  FROM perbatch WHERE rn = 1)
+        |SELECT user_id, event_id AS first_event_id, event_type AS first_type,
+        |  round(value, 6) AS first_value
+        |FROM firsts WHERE rb = 1""".stripMargin,
 
     // Two micro-batches → two snapshot versions; the table is the feed.
     "stream_append_sink" ->

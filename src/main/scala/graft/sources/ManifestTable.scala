@@ -404,6 +404,12 @@ object ManifestTable {
       dvRelsOf(manifestDvLines(f, dir, name)))
   }
 
+  /** Whether `dir` is an initialized manifest table (has a committed
+    * CURRENT pointer) — the "does the first batch have anything to
+    * probe" check. */
+  def exists(spark: SparkSession, dir: String): Boolean =
+    fs(dir, spark).exists(new Path(dir, PointerName))
+
   /** [[read]], or an empty frame of `schema` when the table has no commit
     * yet — the "first batch of a new sink" case. */
   def readOrEmpty(spark: SparkSession, dir: String, schema: StructType): DataFrame = {

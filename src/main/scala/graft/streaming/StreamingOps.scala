@@ -367,6 +367,62 @@ object StreamingOps {
       }
       .start()
 
+  /** IDEMPOTENT ingest sink — exactly-once-per-key landing where the
+    * committed TABLE ITSELF is the dedup state: each micro-batch first
+    * drops its own intra-batch duplicates (smallest `tiebreakCol`
+    * survives — deterministic), then anti-joins the table's EXISTING
+    * keys and appends only genuinely new rows as one atomic
+    * transaction. Because the state is the table, the guarantee
+    * survives query restarts, redeployments, and replayed/overlapping
+    * sources — an at-least-once upstream becomes exactly-once-per-key
+    * downstream with no streaming state store to lose or expire
+    * (contrast [[dedupStream]], whose watermark bounds how far back it
+    * remembers).
+    *
+    * Scale shape: the existing-key probe is STATS-BOUNDED — the batch's
+    * key range is one 1-row aggregate and only manifest files whose
+    * [min, max] overlap it are opened ([[graft.sources.ManifestTable.readBetween]],
+    * the same pruning mergeInto's rewrite uses), reading the key column
+    * alone. A time-ordered or monotonic key (the common ingest shape)
+    * probes only the table's tail no matter how large history grows;
+    * `keyCol` must be numeric for the range stats to prune. Appends
+    * auto-rebase on concurrent commits (completeAppend), so several
+    * idempotent pipelines can share the table. */
+  def idempotentSink(
+      stream: DataFrame,
+      keyCol: String,
+      tiebreakCol: String,
+      dir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol))
+          .orderBy(col(tiebreakCol).asc)
+        val firsts = batch
+          .withColumn("__graft_rn", row_number().over(wb))
+          .filter(col("__graft_rn") === 1).drop("__graft_rn")
+        val fresh =
+          if (!graft.sources.ManifestTable.exists(spark, dir)) firsts
+          else {
+            val b = firsts.agg(
+              min(col(keyCol).cast("double")),
+              max(col(keyCol).cast("double"))).collect()(0)
+            if (b.isNullAt(0)) firsts.limit(0)
+            else {
+              val existing = graft.sources.ManifestTable
+                .readBetween(spark, dir, keyCol, b.getDouble(0), b.getDouble(1))
+                .select(col(keyCol))
+              firsts.join(existing, Seq(keyCol), "left_anti")
+            }
+          }
+        if (!fresh.isEmpty)
+          graft.sources.ManifestTable.append(spark, dir, fresh): Unit
+      }
+      .start()
+
   /** Per-micro-batch data-quality telemetry: each batch runs the ONE-SCAN
     * [[graft.ops.Quality.constraintReport]] and appends its per-rule
     * censuses tagged with the batch id — the landing-zone gate a

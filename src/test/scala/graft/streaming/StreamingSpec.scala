@@ -448,6 +448,40 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
+  it should "land each key exactly once across overlapping batches and restarts" in {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_idem_sink").toString
+    val in = MemoryStream[(Long, Long, Double)]
+    val q = StreamingOps.idempotentSink(
+      in.toDF().toDF("event_id", "user_id", "value"),
+      keyCol = "user_id", tiebreakCol = "event_id", dir = dir)
+    // intra-batch duplicate on user 1: smallest event_id survives
+    in.addData((11L, 1L, 2.0), (10L, 1L, 1.0), (12L, 2L, 3.0))
+    q.processAllAvailable()
+    // cross-batch redelivery of user 1 + a genuinely new user
+    in.addData((10L, 1L, 1.0), (13L, 3L, 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val landed = graft.sources.ManifestTable.read(spark, dir)
+      .select("user_id", "event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    landed shouldBe Array((1L, 10L, 1.0), (2L, 12L, 3.0), (3L, 13L, 4.0))
+    // RESTART: a brand-new query on the same table redelivers batch 1 —
+    // the table is the state, so nothing lands and nothing commits
+    val vBefore = graft.sources.ManifestTable.currentVersion(spark, dir)
+    val in2 = MemoryStream[(Long, Long, Double)]
+    val q2 = StreamingOps.idempotentSink(
+      in2.toDF().toDF("event_id", "user_id", "value"),
+      keyCol = "user_id", tiebreakCol = "event_id", dir = dir)
+    in2.addData((11L, 1L, 2.0), (10L, 1L, 1.0), (12L, 2L, 3.0))
+    q2.processAllAvailable()
+    q2.stop()
+    graft.sources.ManifestTable.currentVersion(spark, dir) shouldBe vBefore
+    graft.sources.ManifestTable.read(spark, dir).count() shouldBe 3
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   it should "maintain a DDSketch histogram that merges across batches additively" in {
     val out = java.nio.file.Files
       .createTempDirectory("graft_stream_dds").toString
