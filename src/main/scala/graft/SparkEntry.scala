@@ -1932,6 +1932,16 @@ object SparkEntry {
     "events_sessionize" -> ((s, dir) =>
       graft.ops.EventOps.sessionize(events(s, dir), "user_id", "ts", 30 * 60 * 1000L)),
 
+    // Extension: session attribution — purchases attach into the
+    // view/click sessions whose window contains them (equi-join on the
+    // user + residual range, never a cross product); unconverted
+    // sessions kept at zero.
+    "events_session_attach" -> ((s, dir) =>
+      graft.ops.EventOps.sessionAttach(
+        events(s, dir).filter(col("event_type").isin("view", "click")),
+        events(s, dir).filter(col("event_type") === "purchase"),
+        "user_id", "ts", 30 * 60 * 1000L, "value")),
+
     // Extension: cohort retention — users bucketed by first-activity week,
     // activity counted per (cohort, week); integer week arithmetic keeps
     // it engine-portable.
@@ -2866,6 +2876,29 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
           sum(col("n_chars")).as("chars_sum"))
+    }),
+
+    // Extension: Z-ORDER clustered layout — compactZOrder interleaves
+    // two dimensions' bits so a 2D range read keeps the INTERSECTION of
+    // two tight file stripes instead of a full stripe per dimension;
+    // readBetween2D resolves ONE snapshot for both prunes + the
+    // deletion vectors. Content equivalence is the oracle; the
+    // stripe-intersection skipping itself is pinned in
+    // ManifestTableSpec.
+    "ingest_manifest_zorder" -> ((s, dir) => {
+      val out = scratch("manifest_zorder")
+      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("value"))
+      graft.sources.ManifestTable.commit(s, out, ev.repartition(8))
+      graft.sources.ManifestTable.compactZOrder(
+        s, out, "event_id", "user_id", bits = 12, targetFiles = 8)
+      graft.sources.ManifestTable.vacuum(s, out): Unit
+      graft.sources.ManifestTable.readBetween2D(s, out,
+          "event_id", 100.0, 2000.0, "user_id", 10.0, 80.0)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("event_id")).as("id_sum"),
+          round(sum(col("value")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double"), 6).as("value_sum"))
     }),
 
     // Extension: manifest-table INCREMENTAL READ — the consume side of
@@ -5629,6 +5662,24 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
         |FROM y GROUP BY 1, 2""".stripMargin,
 
+    "events_session_attach" ->
+      """WITH a AS (SELECT user_id, ts, epoch_ms(ts) AS ts_ms,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |y AS (SELECT user_id, ts_ms,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM a),
+        |s AS (SELECT user_id, session_id, count(*) AS n_events, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+        |  FROM y GROUP BY 1, 2),
+        |p AS (SELECT user_id, epoch_ms(ts) AS pms, value FROM events WHERE event_type = 'purchase')
+        |SELECT s.user_id, s.session_id, s.n_events, s.start_ms, s.end_ms,
+        |  count(p.pms) AS n_attached,
+        |  round(CAST(COALESCE(SUM(CAST(p.value AS DECIMAL(18,6))), 0) AS DOUBLE), 6) AS attached_value
+        |FROM s LEFT JOIN p ON p.user_id = s.user_id AND p.pms BETWEEN s.start_ms AND s.end_ms
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+
     "events_distinct_by_type" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS nd_exact
         |FROM events GROUP BY 1""".stripMargin,
@@ -6900,6 +6951,14 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
         |FROM documents WHERE doc_id % 3 <> 0
         |GROUP BY source""".stripMargin,
+
+    // The z-ordered table holds exactly the events frame; a 2D stats-
+    // pruned read equals the plain 2D filter.
+    "ingest_manifest_zorder" ->
+      """SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS value_sum
+        |FROM events
+        |WHERE event_id BETWEEN 100 AND 2000 AND user_id BETWEEN 10 AND 80""".stripMargin,
 
     // Version 0 is the full corpus; version 1 is the doc_id % 2 = 0 cut.
     "ingest_manifest_timetravel" ->

@@ -84,6 +84,44 @@ object EventOps {
         max(col("ts_ms")).as("end_ms"))
   }
 
+  /** Session attribution — attach SIDE events into sessions built from
+    * ANCHOR events: sessions come from [[sessionize]] over the anchor
+    * stream, and each side event lands in the session(s) whose
+    * [start, end] window contains its timestamp ("which browsing
+    * session did this purchase belong to"). Output: every session with
+    * its attached-event count and DECIMAL-routed attached-value total
+    * (0 for sessions that converted nothing — the left join keeps
+    * them).
+    *
+    * Scale shape: an EQUI-join keyed on the user plus a residual range
+    * predicate — never a cross product or a time-replicated bucket
+    * join; the shuffle carries each side's rows once, and the residual
+    * nested loop is bounded by sessions-per-user (small in any real
+    * clickstream; a pathological hot user would bucket by day first,
+    * the [[graft.ops.Temporal]] interval-join recipe). */
+  def sessionAttach(
+      anchors: DataFrame,
+      side: DataFrame,
+      userCol: String,
+      tsCol: String,
+      gapMs: Long,
+      valueCol: String
+  ): DataFrame = {
+    val sess = sessionize(anchors, userCol, tsCol, gapMs)
+    val sideTs = side.select(col(userCol).as("__side_user"),
+      Ts.millis(side, tsCol).as("__side_ms"),
+      col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("__side_v"))
+    sess.join(sideTs,
+        sess(userCol) === col("__side_user") &&
+          col("__side_ms") >= col("start_ms") && col("__side_ms") <= col("end_ms"),
+        "left")
+      .groupBy(sess(userCol), col("session_id"), col("n_events"),
+        col("start_ms"), col("end_ms"))
+      .agg(count(col("__side_ms")).as("n_attached"),
+        round(coalesce(sum(col("__side_v")), lit(0))
+          .cast("double"), 6).as("attached_value"))
+  }
+
   /** Per-key numeric profile for data-quality checks: counts, null counts,
     * min/max, and DECIMAL-routed sum/mean (partial-aggregation-order
     * independent — a plain sum(double) is nondeterministic across
