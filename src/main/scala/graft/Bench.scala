@@ -27,8 +27,9 @@ import org.apache.spark.sql.SparkSession
   *    `parsed: null` — zero signal beats a slow plan every time). After
   *    every chunk the remaining cost is projected from measured
   *    per-query wall; on pressure the methodology degrades down a
-  *    deterministic ladder — repeats 3→2→1, timed passes 2→1, chunk size
-  *    8→16→32 (fewer JVM spawns) — recorded in the emitted JSON under
+  *    deterministic ladder — repeats 3→2→1, then chunk size 8→16 (fewer
+  *    JVM spawns) while KEEPING 2 timed passes, and only then passes
+  *    2→1 and chunk →32 — recorded in the emitted JSON under
   *    `degraded` ("levelxqueries" pairs). If even the floor level cannot
   *    fit, the remaining queries are SKIPPED and listed under `skipped`
   *    (never silently dropped), and the final JSON line ALWAYS prints.
@@ -283,8 +284,9 @@ object Bench {
         // the line: after every chunk the remaining cost is projected
         // from measured per-query wall, and when it would overrun, the
         // methodology degrades DETERMINISTICALLY down this ladder —
-        // repeats 3→2→1, timed passes 2→1, chunk 8→16→32 (fewer JVM
-        // spawns). Degradation is recorded in the emitted JSON
+        // repeats 3→2→1, then chunk 8→16 keeping 2 timed passes, then
+        // passes 2→1 and chunk →32 (fewer JVM spawns). Degradation is
+        // recorded in the emitted JSON
         // (`degraded` lists [level, queries-run-at-it]); if even the
         // floor level cannot fit, remaining queries are SKIPPED and
         // listed, never silently dropped. Level 0 is the full
@@ -292,8 +294,14 @@ object Bench {
         val budgetSec = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SEC", "2400").toDouble
         val t0 = System.nanoTime()
         def elapsed(): Double = (System.nanoTime() - t0) / 1e9
-        // (repeats, timed passes, chunkSize) per degradation level
-        val levels = Vector((3, 2, 8), (2, 2, 8), (1, 2, 8), (1, 1, 8), (1, 1, 16), (1, 1, 32))
+        // (repeats, timed passes, chunkSize) per degradation level.
+        // (1,2,16) sits before any passes=1 level: halving JVM spawns is
+        // cheaper than giving up the second steady-state pass — the
+        // per-query min over 2 warm passes is what keeps recorded times
+        // comparable to the multi-repeat rounds (r9: the 1-pass levels
+        // read ~15% slower on identical plans).
+        val levels = Vector((3, 2, 8), (2, 2, 8), (1, 2, 8), (1, 2, 16),
+          (1, 1, 16), (1, 1, 32))
         val startLevel = sys.env.get("GRAFT_BENCH_REPEATS").map(_.toInt) match {
           case Some(r) => levels.indexWhere(_._1 <= r) match { case -1 => 0; case i => i }
           case None    => 0

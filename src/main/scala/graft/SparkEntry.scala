@@ -1310,6 +1310,15 @@ object SparkEntry {
       graft.ops.Multimodal.decodeFlacBatched(
         graft.ops.Multimodal.asFlac(table(s, dir, "documents"), "doc_id", "text")).toDF()),
 
+    // Extension: REAL MP3 container walk — the ID3v2 tag is skipped by
+    // its syncsafe size, then every MPEG-1 Layer III frame header is
+    // validated and hopped by the 144·bitrate/samplerate rule to EXACT
+    // payload exhaustion (truncation/garbage fails loudly, CBR
+    // asserted); the oracle replays the container arithmetic.
+    "multimodal_mp3" -> ((s, dir) =>
+      graft.ops.Multimodal.decodeMp3Batched(
+        graft.ops.Multimodal.asMp3(table(s, dir, "documents"), "doc_id", "text")).toDF()),
+
     // Extension: TIFF header decode — real IFD entry walk in BOTH byte
     // orders (the fixture alternates II/MM by content-length parity).
     "multimodal_tiff" -> ((s, dir) =>
@@ -1783,6 +1792,41 @@ object SparkEntry {
         org.apache.spark.sql.streaming.OutputMode.Update)
       s.table("stream_totals_out")
         .select(col("user_id"), col("n_events"), col("total_value"))
+    }),
+
+    // Extension: STREAMING admission quota — per (user, hour window) at
+    // most 5 events admit, the overflow is flagged (every event still
+    // flows through with its decision). State = one counter per active
+    // (user, window). Arrival order (batch, ts, event_id) is the
+    // replayable contract; the oracle re-derives it over THREE
+    // disjoint batches.
+    "stream_rate_limit" -> ((s, dir) => withStreamingShuffle(s, 4) {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val feed = events(s, dir).filter(col("event_id") < 3000)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          col("value"), col("props"))
+        .as[StreamEv].collect()
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEv]
+      val limited = graft.streaming.StreamingOps.rateLimitStream(
+        in.toDF().select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms")),
+        windowMs = 3600000L, maxPerWindow = 5, idleTimeout = None)
+      s.catalog.dropTempView("stream_rate_out")
+      val q = limited.toDF().writeStream.format("memory")
+        .queryName("stream_rate_out")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+      in.addData(feed.filter(_.event_id < 1000).toIndexedSeq: _*)
+      q.processAllAvailable()
+      in.addData(feed.filter(e => e.event_id >= 1000 && e.event_id < 2000)
+        .toIndexedSeq: _*)
+      q.processAllAvailable()
+      in.addData(feed.filter(_.event_id >= 2000).toIndexedSeq: _*)
+      q.processAllAvailable()
+      q.stop()
+      s.table("stream_rate_out")
+        .select(col("event_id"), col("user_id"), col("window_start_ms"),
+          col("admitted"))
     }),
 
     // Extension: STREAMING stream-static enrichment, oracle-checked — the
@@ -5335,6 +5379,27 @@ object SparkEntry {
         |  CAST(strlen(text) * 1000 // (16000 + (strlen(text) % 4) * 4000) AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
 
+    // Container arithmetic: ID3v2 header (10B) + min(L,37) tag body +
+    // n_frames CBR frames of 144*kbps*1000//sr bytes; 1152 samples/frame.
+    "multimodal_mp3" ->
+      """WITH k AS (SELECT doc_id, strlen(text) AS L FROM documents),
+        |p AS (SELECT doc_id, L,
+        |  CASE L % 5 WHEN 0 THEN 128 WHEN 1 THEN 160 WHEN 2 THEN 192 WHEN 3 THEN 224 ELSE 256 END AS kbps,
+        |  CASE L % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr,
+        |  CAST(1 + L % 2 AS INTEGER) AS channels,
+        |  CAST(2 + L % 4 AS INTEGER) AS n_frames,
+        |  CAST(CASE WHEN L < 37 THEN L ELSE 37 END AS INTEGER) AS id3_bytes
+        | FROM k)
+        |SELECT doc_id AS id,
+        |  CAST(10 + id3_bytes + n_frames * (144 * kbps * 1000 // sr) AS INTEGER) AS byte_len,
+        |  n_frames,
+        |  CAST(kbps AS INTEGER) AS bitrate_kbps,
+        |  CAST(sr AS INTEGER) AS sample_rate,
+        |  channels,
+        |  id3_bytes,
+        |  CAST(n_frames * 1152 * 1000 // sr AS BIGINT) AS duration_ms
+        |FROM p""".stripMargin,
+
     "multimodal_audio_decode" ->
       """SELECT doc_id AS id,
         |  CAST(44 + strlen(text) * 2 AS INTEGER) AS byte_len,
@@ -5466,6 +5531,18 @@ object SparkEntry {
 
     // The final mapGroupsWithState state per user must equal the batch
     // aggregate (value totals DECIMAL-routed on both sides).
+    // Admission = the first 5 of each (user, hour window) in arrival
+    // order: batch (thirds by event_id), then ts, then event_id.
+    "stream_rate_limit" ->
+      """WITH f AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        |    CASE WHEN event_id < 1000 THEN 1 WHEN event_id < 2000 THEN 2 ELSE 3 END AS b
+        |  FROM events WHERE event_id < 3000),
+        |w AS (SELECT event_id, user_id, ts_ms, b,
+        |    (ts_ms // 3600000) * 3600000 AS window_start_ms FROM f),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, window_start_ms
+        |    ORDER BY b, ts_ms, event_id) AS rn FROM w)
+        |SELECT event_id, user_id, window_start_ms, rn <= 5 AS admitted FROM r""".stripMargin,
+
     "stream_running_totals" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value

@@ -30,6 +30,11 @@ case class DecodedExif(
     id: Long, byte_len: Int, endian: String, n_entries: Int,
     orientation: Int, resolution_unit: Int, width: Int, height: Int)
 
+/** Output of the MP3 frame-header walk. */
+case class DecodedMp3(
+    id: Long, byte_len: Int, n_frames: Int, bitrate_kbps: Int,
+    sample_rate: Int, channels: Int, id3_bytes: Int, duration_ms: Long)
+
 /** Output of the animated-GIF structure decoder. */
 case class DecodedGifAnim(
     id: Long, byte_len: Int, n_frames: Int, n_gce: Int, loop_count: Int,
@@ -629,6 +634,115 @@ object Multimodal {
       .as[(Long, String)]
       .map { case (id, text) =>
         MediaRecord(id, toFlac(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), "audio")
+      }
+  }
+
+  private val Mp3Bitrates = Array(128, 160, 192, 224, 256) // kbps, CBR fixture
+  private val Mp3Rates = Array(44100, 48000, 32000) // MPEG-1 samplerate table
+
+  /** Deterministic constant-bitrate MPEG-1 Layer III fixture behind an
+    * ID3v2.3 tag the decoder must skip: every knob (bitrate, samplerate,
+    * channel mode, frame count, tag size) derives from the content
+    * length, so the oracle replays the whole container arithmetically.
+    * Frames use the real header layout (sync/version/layer/protection |
+    * bitrate idx | samplerate idx | padding | mode) and the real MPEG-1
+    * Layer III frame-length rule 144·bitrate/samplerate (padding 0). */
+  def toMp3(content: Array[Byte]): Array[Byte] = {
+    val kbps = Mp3Bitrates(content.length % 5)
+    val bitrateIdx = 9 + content.length % 5 // MPEG1-L3 table: 9=128 .. 13=256
+    val srIdx = content.length % 3
+    val sampleRate = Mp3Rates(srIdx)
+    val channels = 1 + content.length % 2
+    val nFrames = 2 + content.length % 4
+    val frameLen = 144 * kbps * 1000 / sampleRate
+    val id3Body = content.take(37) // < 128 so the syncsafe size is 1 byte
+    val buf = ByteBuffer
+      .allocate(10 + id3Body.length + nFrames * frameLen)
+      .order(ByteOrder.BIG_ENDIAN)
+    buf.put("ID3".getBytes("US-ASCII"))
+    buf.put(3.toByte); buf.put(0.toByte) // v2.3.0
+    buf.put(0.toByte)                    // flags
+    buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte)
+    buf.put(id3Body.length.toByte)       // syncsafe size (fits 7 bits)
+    buf.put(id3Body)
+    for (f <- 0 until nFrames) {
+      buf.put(0xff.toByte)
+      buf.put(0xfb.toByte) // sync | MPEG1 | Layer III | no CRC
+      buf.put(((bitrateIdx << 4) | (srIdx << 2)).toByte) // padding 0, private 0
+      buf.put((if (channels == 1) 0xc0 else 0x00).toByte) // mono=11, stereo=00
+      val data = new Array[Byte](frameLen - 4)
+      for (i <- data.indices)
+        data(i) = if (content.isEmpty) 0 else content((f + i) % content.length)
+      buf.put(data)
+    }
+    buf.array()
+  }
+
+  /** REAL MP3 container walk (pure JVM): skips the ID3v2 tag by its
+    * syncsafe size, then validates and hops every MPEG-1 Layer III
+    * frame header (sync bits, version, layer, bitrate/samplerate table
+    * lookups, padding) using the 144·bitrate/samplerate frame-length
+    * rule until the payload is EXACTLY consumed — truncated or
+    * garbage-trailing containers fail loudly. CBR is asserted (one
+    * bitrate across frames, the fixture's contract); duration comes
+    * from 1152 samples per frame. */
+  def decodeMp3(payload: Array[Byte]): DecodedMp3 = {
+    require(payload.length >= 14, s"not an MP3 payload (${payload.length} bytes)")
+    var pos = 0
+    var id3 = 0
+    if (payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3') {
+      id3 = ((payload(6) & 0x7f) << 21) | ((payload(7) & 0x7f) << 14) |
+        ((payload(8) & 0x7f) << 7) | (payload(9) & 0x7f)
+      pos = 10 + id3
+    }
+    var nFrames = 0
+    var kbps = -1
+    var sampleRate = -1
+    var channels = -1
+    while (pos < payload.length) {
+      require(pos + 4 <= payload.length, s"MP3: truncated header at $pos")
+      require((payload(pos) & 0xff) == 0xff && (payload(pos + 1) & 0xe0) == 0xe0,
+        s"MP3: lost frame sync at $pos")
+      val version = (payload(pos + 1) >> 3) & 0x3
+      val layer = (payload(pos + 1) >> 1) & 0x3
+      require(version == 3 && layer == 1, s"MP3: not MPEG-1 Layer III at $pos")
+      val bIdx = (payload(pos + 2) >> 4) & 0xf
+      val sIdx = (payload(pos + 2) >> 2) & 0x3
+      require(bIdx >= 9 && bIdx <= 13, s"MP3: bitrate index $bIdx outside fixture table")
+      require(sIdx < 3, s"MP3: reserved samplerate index at $pos")
+      val padding = (payload(pos + 2) >> 1) & 0x1
+      val k = Mp3Bitrates(bIdx - 9)
+      val sr = Mp3Rates(sIdx)
+      val mode = (payload(pos + 3) >> 6) & 0x3
+      require(kbps < 0 || kbps == k, s"MP3: VBR frame at $pos in a CBR container")
+      kbps = k; sampleRate = sr
+      channels = if (mode == 3) 1 else 2
+      pos += 144 * k * 1000 / sr + padding
+      nFrames += 1
+    }
+    require(pos == payload.length, "MP3: frame walk overran the payload")
+    require(nFrames > 0, "MP3: no frames after the ID3 tag")
+    DecodedMp3(0L, payload.length, nFrames, kbps, sampleRate, channels, id3,
+      nFrames.toLong * 1152L * 1000L / sampleRate)
+  }
+
+  /** Batched MP3 decode over partitions (the [[decodeFlacBatched]] shape). */
+  def decodeMp3Batched(ds: Dataset[MediaRecord]): Dataset[DecodedMp3] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map(r => decodeMp3(r.payload).copy(id = r.id))
+      }
+    }
+  }
+
+  /** Wrap a text table as MP3 media records (see [[toMp3]]). */
+  def asMp3(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRecord(id, toMp3(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), "audio")
       }
   }
 

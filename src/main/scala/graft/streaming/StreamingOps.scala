@@ -17,6 +17,17 @@ case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
   * depend on shuffle iteration order. */
 case class UserTotalState(n_events: Long, value_micros: Long)
 
+/** Input row for [[StreamingOps.rateLimitStream]] (ts pre-normalized to
+  * epoch millis so the op is dtype-agnostic). */
+case class RateEvent(event_id: Long, user_id: Long, ts_ms: Long)
+
+/** Per-(key, window) admission count for [[StreamingOps.rateLimitStream]]. */
+case class RateState(admitted: Long)
+
+/** One admission decision from [[StreamingOps.rateLimitStream]]. */
+case class RateDecision(
+    event_id: Long, user_id: Long, window_start_ms: Long, admitted: Boolean)
+
 /** Structured Streaming integration.
   *
   * The plug engine compiles rules to stateless projections, so the exact
@@ -366,6 +377,55 @@ object StreamingOps {
         graft.sources.ManifestTable.append(batch.sparkSession, dir, batch): Unit
       }
       .start()
+
+  /** Per-key tumbling-window ADMISSION QUOTA — the ingest rate limiter:
+    * each (key, window) admits at most `maxPerWindow` events and flags
+    * the overflow, so a runaway producer (bot burst, crawler loop,
+    * misconfigured client) cannot flood downstream state or skew the
+    * training mix; every event still flows through WITH its decision,
+    * auditable. Admission order is deterministic: arrival (micro-batch)
+    * order, then (ts, event_id) within a batch — the exactly-replayable
+    * contract the oracle re-derives.
+    *
+    * State is ONE counter per active (key, window)
+    * (`flatMapGroupsWithState`); `idleTimeout` evicts windows no new
+    * events touch (pass `None` only for bounded replays/tests — a
+    * processing-time timeout keeps scheduling no-data batches, so
+    * `processAllAvailable`-style draining never settles, the
+    * [[runningUserTotals]] caveat). Scale shape: one shuffle per batch
+    * keyed on (key, window); state size is active keys × windows, not
+    * events. */
+  def rateLimitStream(
+      stream: DataFrame,
+      windowMs: Long,
+      maxPerWindow: Int,
+      idleTimeout: Option[String] = Some("2 hours")
+  ): Dataset[RateDecision] = {
+    import stream.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    stream.select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("ts_ms").cast("long"))
+      .as[RateEvent]
+      .groupByKey(e => (e.user_id, math.floorDiv(e.ts_ms, windowMs) * windowMs))
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+        (key: (Long, Long), it: Iterator[RateEvent], state: GroupState[RateState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.toVector.sortBy(e => (e.ts_ms, e.event_id))
+            var n = state.getOption.map(_.admitted).getOrElse(0L)
+            val out = sorted.map { e =>
+              val admit = n < maxPerWindow
+              if (admit) n += 1
+              RateDecision(e.event_id, e.user_id, key._2, admit)
+            }
+            state.update(RateState(n))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
 
   /** IDEMPOTENT ingest sink — exactly-once-per-key landing where the
     * committed TABLE ITSELF is the dedup state: each micro-batch first

@@ -1514,6 +1514,32 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out shouldBe Array(DecodedAudio(7, 49, 28000, 2, 16, 3, 3 * 1000 / 28000))
   }
 
+  it should "walk MP3 frames behind an ID3 tag and reject corrupt containers" in {
+    // "hello world" = 11 bytes: kbps=160 (11%5=1), sr=32000 (11%3=2),
+    // stereo (odd), 2+11%4=5 frames, id3 body = 11
+    val mp3 = Multimodal.toMp3("hello world".getBytes("UTF-8"))
+    new String(mp3, 0, 3, "US-ASCII") shouldBe "ID3"
+    val d = Multimodal.decodeMp3(mp3)
+    d.n_frames shouldBe 5
+    d.bitrate_kbps shouldBe 160
+    d.sample_rate shouldBe 32000
+    d.channels shouldBe 2
+    d.id3_bytes shouldBe 11
+    d.byte_len shouldBe 10 + 11 + 5 * (144 * 160 * 1000 / 32000)
+    d.duration_ms shouldBe 5L * 1152 * 1000 / 32000
+    // truncation mid-frame loses sync / overruns
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeMp3(mp3.take(mp3.length - 3))
+    // a VBR frame (different bitrate index) violates the CBR contract
+    val vbr = mp3.clone()
+    val firstFrame = 10 + 11
+    vbr(firstFrame + 2) = (((9 << 4) | (2 << 2)).toByte) // 128 kbps, not 160
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodeMp3(vbr)
+    // not an MP3 at all
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeMp3(Multimodal.toWav("x".getBytes))
+  }
+
   behavior of "empty inputs"
 
   it should "return empty results, not errors, across the dedup and similarity ops" in {

@@ -448,6 +448,36 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
+  it should "admit at most N per key-window across batches, flagging overflow" in {
+    val in = MemoryStream[(Long, Long, Long)] // (event_id, user_id, ts_ms)
+    val limited = StreamingOps.rateLimitStream(
+      in.toDF().toDF("event_id", "user_id", "ts_ms"),
+      windowMs = 1000L, maxPerWindow = 5, idleTimeout = None)
+    spark.catalog.dropTempView("rate_out")
+    val q = limited.toDF().writeStream.format("memory").queryName("rate_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    // batch 1: user 1 sends 3 in window [0, 1000) — all admit; the sort
+    // key is (ts, id), so the later-ts event is the one that counts 3rd
+    in.addData((1L, 1L, 10L), (2L, 1L, 20L), (3L, 1L, 30L))
+    q.processAllAvailable()
+    // batch 2: 4 more in the same window — only 2 admit (5 total), and
+    // admission within the batch is by (ts, event_id), not input order
+    in.addData((7L, 1L, 70L), (4L, 1L, 40L), (5L, 1L, 50L), (6L, 1L, 60L))
+    q.processAllAvailable()
+    // batch 3: a NEW window resets the quota; another user is independent
+    in.addData((8L, 1L, 1500L), (9L, 2L, 80L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("rate_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    rows shouldBe Array(
+      (1L, 0L, true), (2L, 0L, true), (3L, 0L, true),
+      (4L, 0L, true), (5L, 0L, true), (6L, 0L, false), (7L, 0L, false),
+      (8L, 1000L, true), (9L, 0L, true))
+  }
+
   it should "land each key exactly once across overlapping batches and restarts" in {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_idem_sink").toString
