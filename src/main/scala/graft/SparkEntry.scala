@@ -860,6 +860,15 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
     }),
 
+    // Extension: greedy k-center coreset (Gonzalez) — 8 maximally-spread
+    // centers chosen one TakeOrdered row at a time (centers are plan
+    // literals, rounds never shuffle), then every vector assigned to its
+    // nearest center with the coverage cosine; the diverse-subset pick
+    // that represents distribution EDGES, complementing density k-means.
+    "sim_kcenter_coreset" -> ((s, dir) =>
+      graft.ops.Similarity.kcenterCoreset(
+        spread(s, table(s, dir, "embeddings")), "vec_id", "embedding", k = 8)),
+
     // Extension: hard-negative mining — per anchor, the top-5 most
     // similar DIFFERENT-label vectors (contrastive-training negatives;
     // the label guard excludes false negatives). Anchor batch
@@ -3742,6 +3751,26 @@ object SparkEntry {
     * IEEE double exactly). */
   private val ddLnGamma: String = f"${math.log(1.02 / 0.98)}%.17g"
 
+  /** Unrolled greedy k-center CTE chain: `c1` is the md5-seeded first
+    * center; step i scores every unchosen point's max-cosine to `c{i-1}`
+    * and adds the argmin (ties to the smaller id) — exactly
+    * Similarity.kcenterCoreset's rounds. Returns the WITH-clause body
+    * ending at `c$k`. Every step is AS MATERIALIZED: each `c$i` is
+    * referenced ~3 times by the next step, and DuckDB's default CTE
+    * inlining would re-expand the whole chain ~3^k times. */
+  private def kcenterSql(k: Int): String = {
+    val seed =
+      "c1 AS MATERIALIZED (SELECT vec_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)"
+    val steps = (2 to k).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT p.vec_id, any_value(p.v) AS v, max(${cosSql("p.v", "c.cv")}) AS ms
+         |  FROM e p, c${i - 1} c WHERE p.vec_id NOT IN (SELECT vec_id FROM c${i - 1})
+         |  GROUP BY p.vec_id),
+         |f$i AS MATERIALIZED (SELECT vec_id, v FROM s$i ORDER BY ms ASC, vec_id ASC LIMIT 1),
+         |c$i AS MATERIALIZED (SELECT * FROM c${i - 1} UNION ALL SELECT vec_id, v AS cv FROM f$i)""".stripMargin
+    }
+    (seed +: steps).mkString(",\n")
+  }
+
   private def cosSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x,y) -> x+y)" +
       s" / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (x,y) -> x+y))" +
@@ -4521,6 +4550,15 @@ object SparkEntry {
         |  FROM e c, q WHERE c.vec_id != q.query_id),
         |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
         |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin,
+
+    "sim_kcenter_coreset" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |${kcenterSql(8)},
+        |a AS (SELECT p.vec_id, c.vec_id AS center_id, ${cosSql("p.v", "c.cv")} AS cs FROM e p, c8 c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, center_id ASC) AS rn FROM a)
+        |SELECT vec_id, center_id, round(cs, 6) AS center_sim,
+        |  vec_id IN (SELECT vec_id FROM c8) AS selected
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "sim_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

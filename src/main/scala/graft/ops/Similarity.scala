@@ -206,6 +206,58 @@ object Similarity {
     -array_max(array(cands: _*)).getField("neg")
   }
 
+  /** Greedy k-center coreset (Gonzalez's 2-approximation) — the
+    * DIVERSE-SUBSET selector: seed with the smallest (md5(id), id)
+    * vector (the [[kmeansCentroids]] seed rule), then k-1 times add the
+    * point FARTHEST from the chosen set (smallest max-cosine to any
+    * chosen center, ties to the smaller id). Unlike density-seeking
+    * k-means, k-center covers the EDGES of the distribution — the
+    * curation pick when you want every mode represented in a small
+    * training subset. Output: every point with its nearest chosen
+    * center, the cosine to it (the per-point coverage number whose
+    * minimum is the coreset radius), and a `selected` flag.
+    *
+    * Scale shape: chosen centers are PLAN LITERALS (k·dim driver
+    * doubles, the kmeansCentroids budget); each round is one narrow
+    * projection + a 1-row TakeOrderedAndProject — no join, no shuffle —
+    * and the final assignment is the same literal projection. k rounds
+    * total, independent of corpus size. */
+  def kcenterCoreset(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val cos = cosineFor(corpus.sparkSession) _
+    val vecs = corpus
+      .select(col(idCol).cast("long").as("vec_id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .filter(col("v").isNotNull)
+    var cent: Seq[(Long, Seq[Double])] = vecs
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(1)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    var it = cent.size
+    while (it < k) {
+      val maxSim = cent.map { case (_, cv) => cos(col("v"), typedlit(cv)) }
+        .reduce(greatest(_, _))
+      val far = vecs.filter(!col("vec_id").isInCollection(cent.map(_._1)))
+        .select(col("vec_id"), col("v"), maxSim.as("ms"))
+        .orderBy(col("ms").asc, col("vec_id").asc)
+        .limit(1).collect()
+      require(far.nonEmpty, s"k-center: corpus exhausted after $it centers")
+      cent = cent :+ ((far(0).getLong(0), far(0).getSeq[Double](1)))
+      it += 1
+    }
+    val best = array_max(array(cent.map { case (cid, cv) =>
+      struct(cos(col("v"), typedlit(cv)).as("csim"), lit(-cid).as("neg"))
+    }: _*))
+    vecs.select(col("vec_id"),
+      (-best.getField("neg")).as("center_id"),
+      round(best.getField("csim"), 6).as("center_sim"),
+      col("vec_id").isInCollection(cent.map(_._1)).as("selected"))
+  }
+
   /** Per-label mean-pooled prototypes (class centroids) with cohesion:
     * one row per label — member count, centroid L2 norm, and the mean
     * cosine of members to their own centroid (the intra-class tightness

@@ -2119,6 +2119,25 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     plan should not include "CartesianProduct"
   }
 
+  it should "plan session attribution as an equi-join on the user, not a cross product" in {
+    import java.sql.Timestamp
+    val anchors = Seq((1L, new Timestamp(1000L))).toDF("user_id", "ts")
+    // the single-anchor session spans [1000, 1000]; the side event at the
+    // same ms lands in it
+    val side = Seq((1L, new Timestamp(1000L), 5.0)).toDF("user_id", "ts", "value")
+    val attached = EventOps.sessionAttach(
+      anchors, side, "user_id", "ts", 60000L, "value")
+    val plan = attached.queryExecution.executedPlan.toString
+    // the user equi-key must be extracted; the range stays a residual
+    plan should not include "NestedLoop"
+    plan should not include "CartesianProduct"
+    // semantics on a hand-checked row: the side event lands in-session
+    val r = attached.collect()
+    r.length shouldBe 1
+    r(0).getAs[Long]("n_attached") shouldBe 1L
+    r(0).getAs[Double]("attached_value") shouldBe 5.0
+  }
+
   it should "roll up cohort retention by first-activity week" in {
     import java.sql.Timestamp
     def ts(day: Int) = new Timestamp(day * 86400000L)
