@@ -869,6 +869,15 @@ object SparkEntry {
       graft.ops.Similarity.kcenterCoreset(
         spread(s, table(s, dir, "embeddings")), "vec_id", "embedding", k = 8)),
 
+    // Extension: kNN label-prediction eval — majority vote of each
+    // probe's top-5 neighbors vs its true label (the "are these
+    // embeddings useful" probe); vote ties break to the smaller label.
+    "sim_knn_label_eval" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.ops.Similarity.knnLabelEval(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", "label", 5)
+    }),
+
     // Extension: hard-negative mining — per anchor, the top-5 most
     // similar DIFFERENT-label vectors (contrastive-training negatives;
     // the label guard excludes false negatives). Anchor batch
@@ -1984,6 +1993,12 @@ object SparkEntry {
     // Extension: gap-based sessionization (30-minute inactivity gap).
     "events_sessionize" -> ((s, dir) =>
       graft.ops.EventOps.sessionize(events(s, dir), "user_id", "ts", 30 * 60 * 1000L)),
+
+    // Extension: per-user daily lag/rolling feature frame — the
+    // forecasting/churn feature export: day totals (DECIMAL-routed),
+    // observed-day row lags (1 and 7 back), trailing-7-row mean.
+    "events_lag_features" -> ((s, dir) =>
+      graft.ops.EventOps.lagFeatures(events(s, dir), "user_id", "ts", "value")),
 
     // Extension: session attribution — purchases attach into the
     // view/click sessions whose window contains them (equi-join on the
@@ -4550,6 +4565,30 @@ object SparkEntry {
         |  FROM e c, q WHERE c.vec_id != q.query_id),
         |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
         |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin,
+
+    "sim_knn_label_eval" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS true_label, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, q.true_label, c.vec_id AS neighbor_id, c.label AS nl, ${cosSql("q.qv", "c.v")} AS sim
+        |  FROM e c, q WHERE c.vec_id != q.query_id),
+        |topk AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s) WHERE rk <= 5),
+        |votes AS (SELECT query_id, true_label, nl, count(*) AS n_votes FROM topk GROUP BY 1, 2, 3),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, nl ASC) AS rv FROM votes)
+        |SELECT query_id, true_label, nl AS predicted_label, n_votes, nl = true_label AS correct
+        |FROM best WHERE rv = 1""".stripMargin,
+
+    "events_lag_features" ->
+      """WITH d AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS dv, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, n_events,
+        |  round(CAST(dv AS DOUBLE), 6) AS day_value,
+        |  round(CAST(lag(dv, 1) OVER w AS DOUBLE), 6) AS lag1_value,
+        |  round(CAST(lag(dv, 7) OVER w AS DOUBLE), 6) AS lag7_value,
+        |  round(CAST(sum(dv) OVER w7 AS DOUBLE) / count(*) OVER w7, 6) AS roll7_mean
+        |FROM d
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day),
+        |  w7 AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "sim_kcenter_coreset" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

@@ -84,6 +84,40 @@ object EventOps {
         max(col("ts_ms")).as("end_ms"))
   }
 
+  /** Per-user daily LAG/ROLLING feature frame — the feature-engineering
+    * export a forecasting or churn model trains on: one row per
+    * (user, active day) with the day's DECIMAL-routed value total and
+    * event count, the previous and 7-back OBSERVED-day totals (row
+    * lags, so sparse users are well-defined), and the trailing-7-row
+    * mean. Lags are null while history is short — exactly what a
+    * feature store would emit.
+    *
+    * Scale shape: one (user, day) aggregate shuffle with map-side
+    * combine, then one window pass partitioned by user over the
+    * day-compressed frame (rows = active user-days, not events). The
+    * decimal day totals are cast to double BEFORE the rolling divide so
+    * the oracle reproduces the arithmetic bit for bit. */
+  def lagFeatures(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val daily = events
+      .groupBy(col(userCol), date_format(col(tsCol), "yyyy-MM-dd").as("day"))
+      .agg(
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("dv"),
+        count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col(userCol)).orderBy(col("day"))
+    val w7 = w.rowsBetween(-6, Window.currentRow)
+    daily.select(col(userCol), col("day"), col("n_events"),
+      round(col("dv").cast("double"), 6).as("day_value"),
+      round(lag(col("dv"), 1).over(w).cast("double"), 6).as("lag1_value"),
+      round(lag(col("dv"), 7).over(w).cast("double"), 6).as("lag7_value"),
+      round(sum(col("dv")).over(w7).cast("double") /
+        count(lit(1)).over(w7), 6).as("roll7_mean"))
+  }
+
   /** Session attribution — attach SIDE events into sessions built from
     * ANCHOR events: sessions come from [[sessionize]] over the anchor
     * stream, and each side event lands in the session(s) whose

@@ -94,6 +94,48 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** kNN label-prediction evaluation — the embedding-quality probe: for
+    * each query vector, predict its label by MAJORITY VOTE among its
+    * top-`k` cosine neighbors (self excluded; vote ties break to the
+    * smaller label) and compare to the true label. The resulting
+    * accuracy is the standard "are these embeddings linearly useful"
+    * eval a pipeline runs before trusting them for curation. Output:
+    * (query_id, true_label, predicted_label, n_votes, correct).
+    *
+    * Scale shape: the [[bruteForceTopK]] broadcast nested loop over the
+    * probe batch, one (query, label) vote count, one 1-row-per-query
+    * window cut. */
+  def knnLabelEval(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      col(labelCol).cast("long").as("nl"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      col(labelCol).cast("long").as("true_label"))
+    val cos = cosineFor(corpus.sparkSession) _
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("true_label"), col("neighbor_id"), col("nl"),
+        cos(col("qvec"), col("cvec")).as("sim"))
+    val wk = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val votes = scored.withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= k)
+      .groupBy(col("query_id"), col("true_label"), col("nl"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wv = Window.partitionBy("query_id")
+      .orderBy(col("n_votes").desc, col("nl").asc)
+    votes.withColumn("rv", row_number().over(wv)).filter(col("rv") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("nl").as("predicted_label"), col("n_votes"),
+        (col("nl") === col("true_label")).as("correct"))
+  }
+
   /** Triplet mining — per anchor, the hardest POSITIVE (most similar
     * same-label vector) and hardest NEGATIVE (most similar
     * different-label vector), with the triplet margin `pos_sim -
