@@ -912,6 +912,32 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
     }),
 
+    // Extension: PERSISTED IVF index — the real index lifecycle,
+    // decoupled: build the codebook + inverted file ONCE, commit it to
+    // a manifest table clustered by cell, then answer probes by reading
+    // ONLY the probed cells back via per-file cell stats (point-pruned
+    // readBetween reads — query cost tracks nprobe, not corpus size).
+    // Results are identical to the fused sim_ivf_topk, and the oracle
+    // is the same SQL.
+    "sim_ivf_persisted" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val out = scratch("ivf_index")
+      val (cent, assigned) = graft.ops.Similarity.ivfIndex(
+        spread(s, emb), "vec_id", "embedding", numCentroids = 16, lloydRounds = 2)
+      graft.sources.ManifestTable.commit(s, out, assigned.repartition(8))
+      graft.sources.ManifestTable.compactSorted(s, out, Seq("cell"), targetFiles = 4)
+      val probesQ = emb.filter(col("vec_id") < 10)
+      val cells = graft.ops.Similarity.probeCells(
+        cent, probesQ, "vec_id", "embedding", nprobe = 4)
+      val index = cells.map(c => graft.sources.ManifestTable
+          .readBetween(s, out, "cell", c.toDouble, c.toDouble))
+        .reduce(_ union _)
+      graft.ops.Similarity.ivfTopKFromIndex(
+          index, cent, probesQ, "vec_id", "embedding", k = 5, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim"), 6).as("sim"))
+    }),
+
     // Extension: FILTERED ANN — top-k among label-even corpus vectors
     // only. The quantizer trains on the FULL corpus (index built once,
     // predicates arrive at query time); the filter prunes the inverted
@@ -3786,6 +3812,26 @@ object SparkEntry {
     (seed +: steps).mkString(",\n")
   }
 
+  /** The IVF top-k derivation (codebook, cells, probes, ranking) —
+    * shared by `sim_ivf_topk` and `sim_ivf_persisted`, which by
+    * construction return identical rows. */
+  private lazy val ivfTopkOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |c1 AS ${lloydRoundSql("seeds", 64)},
+      |c2 AS ${lloydRoundSql("c1", 64)},
+      |sims AS (SELECT e.vec_id, e.v, c.cent_id, ${cosSql("e.v", "c.cv")} AS csim FROM e, c2 c),
+      |cells AS (SELECT vec_id, v, cent_id AS cell FROM
+      |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims)
+      |  WHERE rn = 1),
+      |probes AS (SELECT vec_id AS query_id, v AS qv, cent_id AS cell FROM
+      |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims WHERE vec_id < 10)
+      |  WHERE rn <= 4),
+      |scored AS (SELECT p.query_id, cl.vec_id AS neighbor_id, ${cosSql("p.qv", "cl.v")} AS sim
+      |  FROM probes p JOIN cells cl ON p.cell = cl.cell WHERE cl.vec_id != p.query_id),
+      |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored)
+      |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x,y) -> x+y)" +
       s" / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (x,y) -> x+y))" +
@@ -4620,22 +4666,12 @@ object SparkEntry {
         |  round(p.ps, 6) AS pos_sim, round(n.ns, 6) AS neg_sim, round(p.ps - n.ns, 6) AS margin
         |FROM p JOIN n USING (query_id)""".stripMargin,
 
-    "sim_ivf_topk" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-        |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-        |c1 AS ${lloydRoundSql("seeds", 64)},
-        |c2 AS ${lloydRoundSql("c1", 64)},
-        |sims AS (SELECT e.vec_id, e.v, c.cent_id, ${cosSql("e.v", "c.cv")} AS csim FROM e, c2 c),
-        |cells AS (SELECT vec_id, v, cent_id AS cell FROM
-        |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims)
-        |  WHERE rn = 1),
-        |probes AS (SELECT vec_id AS query_id, v AS qv, cent_id AS cell FROM
-        |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims WHERE vec_id < 10)
-        |  WHERE rn <= 4),
-        |scored AS (SELECT p.query_id, cl.vec_id AS neighbor_id, ${cosSql("p.qv", "cl.v")} AS sim
-        |  FROM probes p JOIN cells cl ON p.cell = cl.cell WHERE cl.vec_id != p.query_id),
-        |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored)
-        |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin,
+    "sim_ivf_topk" -> ivfTopkOracleSql,
+
+    // The persisted-index probe is DEFINED to return the fused IVF
+    // plan's results (same codebook, same cells, same ranking) — one
+    // oracle text serves both.
+    "sim_ivf_persisted" -> ivfTopkOracleSql,
 
     "sim_label_centroids" ->
       s"""WITH e AS (SELECT CAST(label AS BIGINT) AS label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

@@ -94,6 +94,82 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF index BUILD half — the codebook plus the inverted file as a
+    * frame to persist: (neighbor_id, nvec, cell). Splitting build from
+    * probe is the real index lifecycle: the corpus-sized assignment
+    * runs ONCE, the inverted file commits to a table clustered by cell,
+    * and every later query opens only its probed cells via the table's
+    * file stats — the query-time cost decouples from corpus size. */
+  def ivfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int = 16,
+      lloydRounds: Int = 2
+  ): (Seq[(Long, Seq[Double])], DataFrame) = {
+    val cos = cosineFor(corpus.sparkSession) _
+    val cent = kmeansCentroids(corpus, idCol, vecCol, numCentroids, lloydRounds)
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+      .withColumn("cell", nearestCell(cos)(col("nvec"), cent))
+    (cent, assigned)
+  }
+
+  /** The distinct cells a probe batch opens (each query's `nprobe`
+    * nearest centroids) — the point-lookup list a persisted inverted
+    * file is pruned by. Queries must be small (one tiny job). */
+  def probeCells(
+      cent: Seq[(Long, Seq[Double])],
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nprobe: Int
+  ): Seq[Long] = {
+    val cos = cosineFor(queries.sparkSession) _
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val candArr = array(cent.map { case (cid, cv) =>
+      struct(cos(col("qvec"), typedlit(cv)).as("csim"), lit(cid).as("cent_id"))
+    }: _*)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cand.csim").desc, col("cand.cent_id").asc)
+    q.select(col("query_id"), explode(candArr).as("cand"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= nprobe)
+      .select(col("cand.cent_id").as("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+  }
+
+  /** IVF probe over a PREBUILT index frame — e.g. the persisted
+    * inverted file read back restricted to [[probeCells]] — with
+    * ranking identical to [[ivfTopK]] (same probes, same tie-breaks).
+    * `index` needs (neighbor_id, nvec, cell). */
+  def ivfTopKFromIndex(
+      index: DataFrame,
+      cent: Seq[(Long, Seq[Double])],
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    val cos = cosineFor(queries.sparkSession) _
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val candArr = array(cent.map { case (cid, cv) =>
+      struct(cos(col("qvec"), typedlit(cv)).as("csim"), lit(cid).as("cent_id"))
+    }: _*)
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("cand.csim").desc, col("cand.cent_id").asc)
+    val probes = q.select(col("query_id"), col("qvec"), explode(candArr).as("cand"))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cand.cent_id").as("cell"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    probes.join(index.select(col("neighbor_id"), col("nvec"), col("cell")), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cos(col("qvec"), col("nvec")).as("sim"))
+      .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= k)
+  }
+
   /** kNN label-prediction evaluation — the embedding-quality probe: for
     * each query vector, predict its label by MAJORITY VOTE among its
     * top-`k` cosine neighbors (self excluded; vote ties break to the
