@@ -2564,6 +2564,17 @@ object SparkEntry {
       graft.ops.Corpus.hashedBowEmbed(
         table(s, dir, "documents"), "doc_id", "text", dim = 16)),
 
+    // Extension: BPE vocabulary drift — the first 12 merges trained
+    // independently on the two corpus halves, aligned round by round;
+    // the diff reviewed before shipping a retrained tokenizer.
+    "text_bpe_drift" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.ops.Corpus.bpeVocabDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", nMerges = 12)
+    }),
+
     "text_bpe_merges" -> ((s, dir) =>
       graft.ops.Corpus.bpeMerges(spread(s, table(s, dir, "documents")), "text")),
 
@@ -3872,26 +3883,31 @@ object SparkEntry {
 
   /** The w0/p1..w11/p12 CTE list shared by the induction and application
     * oracles. */
-  private lazy val bpeCtes: String = {
+  private lazy val bpeCtes: String = bpeCtesFor("", "")
+
+  /** The BPE chain parameterized by a CTE-name prefix and a source
+    * filter, so two independent inductions (the drift oracle's corpus
+    * halves) coexist in one statement. */
+  private def bpeCtesFor(pfx: String, where: String): String = {
     val n = 12
     // every CTE is MATERIALIZED: the chain is 12 rounds deep and each
     // round references its predecessor several times (scalar subqueries
     // inside the nested replaces) — default CTE inlining would expand the
     // tree exponentially and re-open the parquet 2^12 times
     val w0 =
-      """w0 AS MATERIALIZED (SELECT '|' || array_to_string(string_split(w, ''), '|') || '|' AS s, n FROM (
-        |  SELECT w, count(*) AS n FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents) GROUP BY 1))""".stripMargin
+      s"""${pfx}w0 AS MATERIALIZED (SELECT '|' || array_to_string(string_split(w, ''), '|') || '|' AS s, n FROM (
+        |  SELECT w, count(*) AS n FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents$where) GROUP BY 1))""".stripMargin
     val rounds = (1 to n).map { k =>
       val rep = (1 to 6).foldLeft("s") { (e, _) =>
-        s"replace($e, (SELECT '|'||a||'|'||b||'|' FROM p$k), (SELECT '|'||a||b||'|' FROM p$k))"
+        s"replace($e, (SELECT '|'||a||'|'||b||'|' FROM ${pfx}p$k), (SELECT '|'||a||b||'|' FROM ${pfx}p$k))"
       }
       val pCte =
-        s"""p$k AS MATERIALIZED (SELECT a, b, cnt FROM (
+        s"""${pfx}p$k AS MATERIALIZED (SELECT a, b, cnt FROM (
            |  SELECT string_split(pr, chr(1))[1] AS a, string_split(pr, chr(1))[2] AS b, sum(n) AS cnt
            |  FROM (SELECT n, unnest(list_transform(generate_series(1, len(sy)-1), i -> sy[i] || chr(1) || sy[i+1])) AS pr
-           |        FROM (SELECT list_filter(string_split(s, '|'), x -> x != '') AS sy, n FROM w${k - 1}))
+           |        FROM (SELECT list_filter(string_split(s, '|'), x -> x != '') AS sy, n FROM ${pfx}w${k - 1}))
            |  GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1))""".stripMargin
-      if (k < n) pCte + s",\nw$k AS MATERIALIZED (SELECT $rep AS s, n FROM w${k - 1})"
+      if (k < n) pCte + s",\n${pfx}w$k AS MATERIALIZED (SELECT $rep AS s, n FROM ${pfx}w${k - 1})"
       else pCte
     }.mkString(",\n")
     s"$w0,\n$rounds"
@@ -6635,6 +6651,24 @@ object SparkEntry {
     },
 
     "text_bpe_merges" -> s"WITH $bpeChainSql",
+
+    // Two independent 12-round inductions over the halves, aligned.
+    "text_bpe_drift" -> {
+      val aOut = (1 to 12).map(k =>
+        s"SELECT $k AS merge_idx, a AS a_left, b AS a_right, CAST(cnt AS BIGINT) AS a_count FROM xap$k")
+        .mkString("\nUNION ALL\n")
+      val bOut = (1 to 12).map(k =>
+        s"SELECT $k AS merge_idx, a AS b_left, b AS b_right, CAST(cnt AS BIGINT) AS b_count FROM xbp$k")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${bpeCtesFor("xa", " WHERE doc_id % 2 = 0")},
+        |${bpeCtesFor("xb", " WHERE doc_id % 2 = 1")},
+        |ma AS ($aOut),
+        |mb AS ($bOut)
+        |SELECT ma.merge_idx, ma.a_left, ma.a_right, ma.a_count,
+        |  mb.b_left, mb.b_right, mb.b_count,
+        |  (ma.a_left = mb.b_left AND ma.a_right = mb.b_right) AS same_pair
+        |FROM ma JOIN mb ON ma.merge_idx = mb.merge_idx""".stripMargin
+    },
 
     "text_bpe_segment" -> s"WITH $bpeSegmentSql",
 

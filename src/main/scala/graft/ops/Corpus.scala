@@ -1354,6 +1354,34 @@ object Corpus {
     merges.toSeq
   }
 
+  /** BPE vocabulary DRIFT between two corpus slices — the tokenizer-
+    * governance check: train the first `nMerges` merges independently
+    * on each slice and align them round by round. A retrained
+    * tokenizer whose early merge table diverges from the production
+    * one changes every downstream token count and sequence boundary —
+    * this is the diff you review before shipping it. Output per round:
+    * both sides' (left, right, weighted count) and whether the learned
+    * pair agrees.
+    *
+    * Scale shape: two independent [[learnMerges]] runs (each the
+    * incremental touched-words trainer); the alignment is a driver-side
+    * zip of two nMerges-row tables. */
+  def bpeVocabDrift(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      textCol: String,
+      nMerges: Int = 12
+  ): DataFrame = {
+    val spark = dfA.sparkSession
+    import spark.implicits._
+    val a = learnMerges(dfA, textCol, nMerges, maxChain = 6)
+    val b = learnMerges(dfB, textCol, nMerges, maxChain = 6)
+    a.zip(b).map { case ((i, al, ar, ac), (_, bl, br, bc)) =>
+      (i, al, ar, ac, bl, br, bc, al == bl && ar == br)
+    }.toDF("merge_idx", "a_left", "a_right", "a_count",
+      "b_left", "b_right", "b_count", "same_pair")
+  }
+
   /** Content-defined chunk dedup — the SHIFT-RESISTANT sub-document
     * signal: token streams cut where the `windowN`-gram hash ≡ 0 mod
     * `divisor` (the rsync/CDC boundary rule at token granularity), so an
