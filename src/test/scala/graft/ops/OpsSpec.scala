@@ -1540,6 +1540,90 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       Multimodal.decodeMp3(Multimodal.toWav("x".getBytes))
   }
 
+  behavior of "contrastive mining and coreset selection"
+
+  it should "mine the hardest positive and negative per anchor with the margin" in {
+    // labels: {1,2}=A, {3,4}=B; cos(1,2)≈0.994, cos(1,3)=0, cos(1,4)=-1
+    val emb = Seq(
+      (1L, Seq(1f, 0f), 1), (2L, Seq(0.9f, 0.1f), 1),
+      (3L, Seq(0f, 1f), 2), (4L, Seq(-1f, 0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val t = Similarity.tripletMine(
+        emb, emb.filter($"vec_id" === 1), "vec_id", "embedding", "label")
+      .collect()
+    t.length shouldBe 1
+    t(0).getAs[Long]("positive_id") shouldBe 2L
+    t(0).getAs[Long]("negative_id") shouldBe 3L // cos 0 beats cos -1
+    t(0).getAs[Double]("margin") should be > 0.9
+    // hard negatives exclude the same-label near-twin entirely
+    val hn = Similarity.hardNegatives(
+        emb, emb.filter($"vec_id" === 1), "vec_id", "embedding", "label", 5)
+      .collect().map(_.getAs[Long]("neighbor_id")).sorted
+    hn shouldBe Array(3L, 4L)
+  }
+
+  it should "predict labels by neighbor majority with deterministic ties" in {
+    val emb = Seq(
+      (1L, Seq(1f, 0f), 1), (2L, Seq(0.9f, 0.1f), 1),
+      (3L, Seq(0f, 1f), 2), (4L, Seq(-1f, 0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    // query 1's 3 neighbors vote: label 1 once (v2), label 2 twice
+    val r = Similarity.knnLabelEval(
+        emb, emb.filter($"vec_id" === 1), "vec_id", "embedding", "label", 3)
+      .collect()
+    r.length shouldBe 1
+    r(0).getAs[Long]("predicted_label") shouldBe 2L
+    r(0).getAs[Long]("n_votes") shouldBe 2L
+    r(0).getAs[Boolean]("correct") shouldBe false
+  }
+
+  it should "select k spread centers whose coverage is self-consistent" in {
+    val emb = (0L until 12L)
+      .map(i => (i, Seq(math.cos(i / 12.0 * math.Pi).toFloat,
+        math.sin(i / 12.0 * math.Pi).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kcenterCoreset(emb, "vec_id", "embedding", k = 3)
+      .collect()
+    out.length shouldBe 12
+    val selected = out.filter(_.getAs[Boolean]("selected"))
+    selected.length shouldBe 3
+    // every selected point is its own center at cosine 1
+    selected.foreach { r =>
+      r.getAs[Long]("center_id") shouldBe r.getAs[Long]("vec_id")
+      r.getAs[Double]("center_sim") shouldBe 1.0 +- 1e-9
+    }
+    // every point's coverage equals its best cosine to the chosen set
+    val cents = selected.map(_.getAs[Long]("vec_id")).toSet
+    val vecs = (0L until 12L).map(i =>
+      i -> (math.cos(i / 12.0 * math.Pi), math.sin(i / 12.0 * math.Pi))).toMap
+    def cos(a: (Double, Double), b: (Double, Double)) =
+      (a._1 * b._1 + a._2 * b._2) /
+        (math.sqrt(a._1 * a._1 + a._2 * a._2) * math.sqrt(b._1 * b._1 + b._2 * b._2))
+    out.foreach { r =>
+      val bestSim = cents.map(c => cos(vecs(r.getAs[Long]("vec_id")), vecs(c))).max
+      r.getAs[Double]("center_sim") shouldBe bestSim +- 1e-5
+    }
+  }
+
+  it should "export lag and trailing-mean features per observed user-day" in {
+    import java.sql.Timestamp
+    def ts(day: Int) = new Timestamp(day * 86400000L)
+    val ev = Seq(
+      (1L, ts(0), 1.0), (1L, ts(0), 1.0), // day 0: total 2.0, 2 events
+      (1L, ts(1), 4.0),                   // day 1: 4.0
+      (1L, ts(3), 6.0)                    // day 3 (day 2 skipped): 6.0
+    ).toDF("user_id", "ts", "value")
+    val r = EventOps.lagFeatures(ev, "user_id", "ts", "value")
+      .orderBy("day").collect()
+    r.map(_.getAs[Double]("day_value")).toSeq shouldBe Seq(2.0, 4.0, 6.0)
+    r.map(_.getAs[Long]("n_events")).toSeq shouldBe Seq(2L, 1L, 1L)
+    // row lags skip the unobserved day by design
+    r(0).isNullAt(r(0).fieldIndex("lag1_value")) shouldBe true
+    r(1).getAs[Double]("lag1_value") shouldBe 2.0
+    r(2).getAs[Double]("lag1_value") shouldBe 4.0
+    r.map(_.getAs[Double]("roll7_mean")).toSeq shouldBe Seq(2.0, 3.0, 4.0)
+  }
+
   behavior of "empty inputs"
 
   it should "return empty results, not errors, across the dedup and similarity ops" in {
