@@ -26,10 +26,14 @@ import org.apache.spark.sql.SparkSession
   *    driver's window and the run was killed before ANY output (rc=124,
   *    `parsed: null` — zero signal beats a slow plan every time). After
   *    every chunk the remaining cost is projected from measured
-  *    per-query wall; on pressure the methodology degrades down a
+  *    per-query wall (warmup priced separately from steady passes — the
+  *    r9 model folded warmup into the steady estimate and over-degraded);
+  *    on pressure the methodology degrades down a
   *    deterministic ladder — repeats 3→2→1, then chunk size 8→16 (fewer
   *    JVM spawns) while KEEPING 2 timed passes, and only then passes
-  *    2→1 and chunk →32 — recorded in the emitted JSON under
+  *    2→1 and chunk →32 — and RE-UPGRADES to a less-degraded level when
+  *    measurement comes in under the prior (r9's degrade-only ladder left
+  *    1,143 s of its budget unspent) — recorded in the emitted JSON under
   *    `degraded` ("levelxqueries" pairs). If even the floor level cannot
   *    fit, the remaining queries are SKIPPED and listed under `skipped`
   *    (never silently dropped), and the final JSON line ALWAYS prints.
@@ -282,10 +286,12 @@ object Bench {
         // 3 fresh-JVM repeats × (warmup + 2 passes) outgrew its window).
         // The run must ALWAYS finish inside the budget and ALWAYS print
         // the line: after every chunk the remaining cost is projected
-        // from measured per-query wall, and when it would overrun, the
-        // methodology degrades DETERMINISTICALLY down this ladder —
+        // from measured per-query wall, and the least-degraded level that
+        // fits is picked DETERMINISTICALLY from this ladder —
         // repeats 3→2→1, then chunk 8→16 keeping 2 timed passes, then
-        // passes 2→1 and chunk →32 (fewer JVM spawns). Degradation is
+        // passes 2→1 and chunk →32 (fewer JVM spawns) — in BOTH
+        // directions: the ladder climbs back up when measurements come in
+        // under the prior. Degradation is
         // recorded in the emitted JSON
         // (`degraded` lists [level, queries-run-at-it]); if even the
         // floor level cannot fit, remaining queries are SKIPPED and
@@ -306,14 +312,22 @@ object Bench {
           case Some(r) => levels.indexWhere(_._1 <= r) match { case -1 => 0; case i => i }
           case None    => 0
         }
-        // a-priori cost model, refined from measurement: one query
-        // execution ≈ qEst s wall; one JVM+session startup ≈ startEst s.
-        // costPerQuery(level) = repeats × (startup/chunk + q×(1+passes)).
-        var qEst = 1.5
+        // a-priori cost model, refined from measurement. Warmup and steady
+        // passes are priced SEPARATELY (r9 lesson: folding the expensive
+        // warmup pass into qEst via a (1+passes) divisor inflated the
+        // steady estimate ~2x, so the ladder degraded 266/290 queries to a
+        // single timed pass and still left 1,143 s of the budget unspent):
+        //   one steady query pass       ≈ qEst s wall   (r9 measured ~0.8-1.2)
+        //   one warmup pass (codegen+JIT)≈ wEst s wall  (r9: 731 s/290 ≈ 2.5)
+        //   one JVM+session startup      ≈ startEst s
+        // costPerQuery(level) = repeats × (startup/chunk + warmup + q×passes)
+        // — warmup is paid once per repeat (each repeat is a fresh JVM).
+        var qEst = 1.0
+        var wEst = 2.5
         val startEst = 12.0
         def costPerQuery(l: Int): Double = {
           val (r, p, c) = levels(l)
-          r * (startEst / c + qEst * (1 + p))
+          r * (startEst / c + wEst + qEst * p)
         }
         val loadBefore = loadAvg()
         val names = SparkEntry.queries.keys.toSeq.sorted
@@ -323,13 +337,19 @@ object Bench {
         val levelCounts = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
         val acc = scala.collection.mutable.ArrayBuffer.empty[(String, (Double, Boolean))]
         var remaining = names
-        // pre-degrade on the prior before the first JVM spawns: starting
-        // three chunks at level 0 only to discover the overrun wastes
-        // minutes of the budget
+        // Pick the LEAST-degraded level whose projected remaining cost fits
+        // the room (pre-degrading on the prior before the first JVM spawns:
+        // starting three chunks at level 0 only to discover the overrun
+        // wastes minutes of the budget). Unlike r9's degrade-only loop,
+        // this re-UPGRADES after every chunk when measurement comes in
+        // under the prior — r9 left 1,143 s of its 2,400 s budget unspent
+        // because the inflated early estimate pinned the ladder at the
+        // single-pass floor for the rest of the run.
         def fitLevel(): Unit = {
           val room = (budgetSec - elapsed()) * 0.9
-          while (level < levels.size - 1 &&
-            remaining.size * costPerQuery(level) > room) level += 1
+          level = (startLevel until levels.size)
+            .find(l => remaining.size * costPerQuery(l) <= room)
+            .getOrElse(levels.size - 1)
         }
         fitLevel()
         while (remaining.nonEmpty && elapsed() < budgetSec - 30.0) {
@@ -338,10 +358,12 @@ object Bench {
           val chunk = remaining.take(csize)
           remaining = remaining.drop(csize)
           val c0 = elapsed()
+          var chunkWarm = 0.0
           val runs = (1 to repeats).map { _ =>
             val (rs, w) = spawnChunk(sfDir, cpus, chunk, passes)
               .getOrElse { fallbacks += 1; runChunk(sfDir, cpus, chunk, passes) }
             warmupTotal += w
+            chunkWarm += w
             rs.toMap
           }
           acc ++= chunk.map { n =>
@@ -350,10 +372,16 @@ object Bench {
             n -> (times(times.size / 2), ok)
           }
           levelCounts(level) = levelCounts.getOrElse(level, 0) + chunk.size
-          // refine the per-execution estimate from this chunk's measured
-          // wall: one chunk-run = startup + chunkSize × (1+passes) execs
-          val qObs = ((elapsed() - c0) / repeats - startEst) /
-            (chunk.size * (1 + passes))
+          // refine warmup and steady estimates SEPARATELY from this chunk:
+          // one chunk-run = startup + chunk×warmup + chunk×passes×steady.
+          // The child reports its warmup pass directly, so the steady
+          // estimate is wall minus startup minus MEASURED warmup — not a
+          // (1+passes) smear that prices warmup as a steady pass (r9's bug).
+          val wAvg = chunkWarm / repeats
+          val wObs = wAvg / chunk.size
+          if (wObs > 0) wEst = 0.5 * wEst + 0.5 * wObs
+          val qObs = ((elapsed() - c0) / repeats - startEst - wAvg) /
+            (chunk.size * passes)
           if (qObs > 0) qEst = 0.5 * qEst + 0.5 * qObs
         }
         val skipped = remaining
