@@ -921,17 +921,29 @@ object SparkEntry {
     // is the same SQL.
     "sim_ivf_persisted" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
+      // Full decoupled lifecycle with a staleness contract: the corpus is
+      // itself a governed manifest table; the index commit records WHICH
+      // corpus snapshot it covers (#indexof), the probe REFUSES a stale
+      // or unbound index (requireIndexFresh), and the whole probe batch
+      // is ONE stats-pruned IN-list read resolving CURRENT once
+      // (readWhereIn) — not one readBetween (and one pointer race
+      // window) per probed cell.
+      val corpusDir = scratch("ivf_corpus")
+      graft.sources.ManifestTable.commit(s, corpusDir, spread(s, emb))
+      val corpusV = graft.sources.ManifestTable.currentVersion(s, corpusDir)
+      val corpus = graft.sources.ManifestTable.read(s, corpusDir)
       val out = scratch("ivf_index")
       val (cent, assigned) = graft.ops.Similarity.ivfIndex(
-        spread(s, emb), "vec_id", "embedding", numCentroids = 16, lloydRounds = 2)
-      graft.sources.ManifestTable.commit(s, out, assigned.repartition(8))
+        corpus, "vec_id", "embedding", numCentroids = 16, lloydRounds = 2)
+      graft.sources.ManifestTable.commitIndex(
+        s, out, assigned.repartition(8), corpusDir, corpusV)
       graft.sources.ManifestTable.compactSorted(s, out, Seq("cell"), targetFiles = 4)
       val probesQ = emb.filter(col("vec_id") < 10)
       val cells = graft.ops.Similarity.probeCells(
         cent, probesQ, "vec_id", "embedding", nprobe = 4)
-      val index = cells.map(c => graft.sources.ManifestTable
-          .readBetween(s, out, "cell", c.toDouble, c.toDouble))
-        .reduce(_ union _)
+      graft.sources.ManifestTable.requireIndexFresh(s, out)
+      val index = graft.sources.ManifestTable.readWhereIn(
+        s, out, "cell", cells.map(_.toDouble))
       graft.ops.Similarity.ivfTopKFromIndex(
           index, cent, probesQ, "vec_id", "embedding", k = 5, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"),

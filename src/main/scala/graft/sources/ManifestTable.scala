@@ -153,7 +153,8 @@ object ManifestTable {
     lines.filter { l =>
       headerRel(l) match {
         case Some(rel) => keepRel(rel)
-        case None => l.startsWith("#dv=") || l.startsWith("#check=")
+        case None => l.startsWith("#dv=") || l.startsWith("#check=") ||
+          l.startsWith("#indexof=")
       }
     }
 
@@ -501,32 +502,44 @@ object ManifestTable {
     val f = fs(dir, spark)
     val mdir = new Path(dir, "_manifests")
     f.mkdirs(mdir)
-    val local = f.getScheme == "file"
     var v = math.max(currentVersion(spark, dir), basis) + 1
     var attempts = 0
     while (true) {
       val name = f"manifest-$v%020d.txt"
-      val tmp = new Path(mdir, s".$name.tmp.${UUID.randomUUID()}")
-      writeSmallFile(f, tmp, content)
-      val dst = new Path(mdir, name)
-      val claimed =
-        if (local) {
-          try {
-            java.nio.file.Files.createLink(
-              java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath),
-              java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath))
-            true
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException => false
-          }
-        } else !f.exists(dst) && f.rename(tmp, dst)
-      f.delete(tmp, false)
-      if (claimed) return StagedCommit(v, name, basis)
+      if (createExclusive(f, new Path(mdir, name), content))
+        return StagedCommit(v, name, basis)
       v += 1
       attempts += 1
       require(attempts < 1000, s"cannot claim a manifest slot in $mdir")
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** The atomic create-if-absent primitive both slot namespaces
+    * ([[claimManifestSlot]], branch-pointer slots) are built on: the
+    * content is fully written to a tmp name first, then the destination
+    * name is CLAIMED — on HDFS by `rename` WITHOUT overwrite (atomic by
+    * contract); on local filesystems, where Hadoop's rename degrades to
+    * POSIX rename(2) (which silently replaces), by a hard link (link(2)
+    * fails with EEXIST — the same O_EXCL guarantee). Either way a file
+    * is either absent or complete, and exactly ONE concurrent claimant
+    * of a name wins. */
+  private def createExclusive(f: FileSystem, dst: Path, content: String): Boolean = {
+    val tmp = new Path(dst.getParent, s".${dst.getName}.tmp.${UUID.randomUUID()}")
+    writeSmallFile(f, tmp, content)
+    val claimed =
+      if (f.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath),
+            java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else !f.exists(dst) && f.rename(tmp, dst)
+    f.delete(tmp, false)
+    claimed
   }
 
   /** Step (3): the atomic pointer swap. After this returns, every new
@@ -570,21 +583,27 @@ object ManifestTable {
     * forward and the incoming content must satisfy them. */
   def commit(spark: SparkSession, dir: String, df: DataFrame): StagedCommit = {
     enforceChecks(spark, dir, df)
-    commitCarryingChecks(spark, dir, df)
+    commitCarryingChecks(spark, dir, df, carryIndexOf = false)
   }
 
   // commit WITHOUT re-validating: for content derived from the table
   // itself (compaction), whose rows already passed at their own commit —
   // a redundant full validation pass is exactly what a 100 TB compaction
-  // must not pay. Still carries the #check headers forward.
+  // must not pay. Always carries the #check headers forward;
+  // `carryIndexOf` additionally carries the #indexof source binding —
+  // true for LAYOUT rewrites (compaction: same content, same covered
+  // corpus snapshot), false for a plain [[commit]] (arbitrary new
+  // content voids any staleness claim; rebind with [[commitIndex]]).
   private def commitCarryingChecks(
-      spark: SparkSession, dir: String, df: DataFrame): StagedCommit = {
+      spark: SparkSession, dir: String, df: DataFrame,
+      carryIndexOf: Boolean): StagedCommit = {
     val f = fs(dir, spark)
     val checkLines =
       if (!f.exists(new Path(dir, PointerName))) Seq.empty[String]
       else manifestLines(f, dir,
         readSmallFile(f, new Path(dir, PointerName)).trim)
-        .filter(_.startsWith("#check="))
+        .filter(l => l.startsWith("#check=") ||
+          (carryIndexOf && l.startsWith("#indexof=")))
     val staged = stage(spark, dir, df, Seq.empty, checkLines)
     publish(spark, dir, staged)
     staged
@@ -647,34 +666,46 @@ object ManifestTable {
 
   // ---- branches: zero-copy write-audit-publish -------------------------
   //
-  // `_branches/<name>` holds two lines: the branch HEAD manifest name and
-  // the BASE manifest name (CURRENT at branch creation). Branch commits
-  // claim version slots in the shared `_manifests/` namespace but swap
-  // the BRANCH pointer, so main's readers never see them; fast-forward
-  // publishes the whole branch with one CURRENT swap — Iceberg's branch /
-  // Delta's shallow-clone-then-swap governance shape, and the
-  // write-audit-publish (WAP) pattern: land a batch on a branch, audit it
-  // with real reads, then make it visible atomically or drop it. All
-  // zero-copy: a branch of a 100 TB table is two small files.
+  // `_branches/<name>/` is a directory of immutable POINTER SLOTS
+  // `head-<seq>`, each holding two lines: the branch HEAD manifest name
+  // and the BASE manifest name (CURRENT at branch creation). The live
+  // state is the highest-seq slot; moving the branch CLAIMS slot seq+1
+  // by atomic create-if-absent ([[createExclusive]]) — a true CAS: of
+  // two appenders racing off the same head, exactly one lands and the
+  // loser's claim FAILS (no check-then-rename window, unlike the main
+  // CURRENT pointer, whose detect-only caveat the class doc states).
+  // Branch commits claim version slots in the shared `_manifests/`
+  // namespace but move only the BRANCH pointer, so main's readers never
+  // see them; fast-forward publishes the whole branch with one CURRENT
+  // swap — Iceberg's branch / Delta's shallow-clone-then-swap governance
+  // shape, and the write-audit-publish (WAP) pattern: land a batch on a
+  // branch, audit it with real reads, then make it visible atomically or
+  // drop it. All zero-copy: a branch of a 100 TB table is a handful of
+  // two-line files.
 
-  private def branchPath(dir: String, name: String): Path = {
+  private def branchDir(dir: String, name: String): Path = {
     require(name.nonEmpty && name.forall(c =>
       c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
       s"branch names are [A-Za-z0-9._-]+: '$name'")
     new Path(new Path(dir, "_branches"), name)
   }
 
+  private def slotName(seq: Long): String = f"head-$seq%020d"
+  private def slotSeq(n: String): Long = n.stripPrefix("head-").toLong
+
   /** Create branch `name` at the CURRENT snapshot (head = base = CURRENT).
-    * Refused if the branch already exists. */
+    * Refused if the branch already exists — two concurrent creators race
+    * on the slot-1 claim and exactly one wins. */
   def createBranch(spark: SparkSession, dir: String, name: String): Unit = {
     val f = fs(dir, spark)
     val ptr = new Path(dir, PointerName)
     require(f.exists(ptr), s"not a manifest table (no $PointerName): $dir")
-    val p = branchPath(dir, name)
-    require(!f.exists(p), s"branch '$name' already exists in $dir")
+    val bd = branchDir(dir, name)
+    require(!f.exists(bd), s"branch '$name' already exists in $dir")
     val cur = readSmallFile(f, ptr).trim
-    f.mkdirs(p.getParent)
-    writeSmallFile(f, p, s"$cur\n$cur")
+    f.mkdirs(bd)
+    require(createExclusive(f, new Path(bd, slotName(1L)), s"$cur\n$cur"),
+      s"branch '$name' already exists in $dir (lost the creation race)")
   }
 
   /** Every branch, name → (head version, base version). */
@@ -683,28 +714,34 @@ object ManifestTable {
     val bdir = new Path(dir, "_branches")
     if (!f.exists(bdir)) Map.empty
     else f.listStatus(bdir).toSeq
-      .filterNot(_.getPath.getName.startsWith("."))
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("."))
       .map { st =>
-        val Array(head, base) =
-          readSmallFile(f, st.getPath).trim.split('\n').map(_.trim)
+        val (head, base, _) = branchState(f, dir, st.getPath.getName)
         def v(n: String) = n.stripPrefix("manifest-").stripSuffix(".txt").toLong
         st.getPath.getName -> (v(head), v(base))
       }.toMap
   }
 
+  // (head manifest name, base manifest name, live slot seq) — the
+  // highest-seq slot is the live state; seq feeds the CAS claim
   private def branchState(f: FileSystem, dir: String, name: String)
-      : (String, String) = {
-    val p = branchPath(dir, name)
-    require(f.exists(p), s"branch '$name' not found in $dir")
-    val Array(head, base) = readSmallFile(f, p).trim.split('\n').map(_.trim)
-    (head, base)
+      : (String, String, Long) = {
+    val bd = branchDir(dir, name)
+    require(f.exists(bd), s"branch '$name' not found in $dir")
+    val slots = f.listStatus(bd).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("head-"))
+    require(slots.nonEmpty, s"branch '$name' has no pointer slots in $dir")
+    val live = slots.maxBy(slotSeq)
+    val Array(head, base) =
+      readSmallFile(f, new Path(bd, live)).trim.split('\n').map(_.trim)
+    (head, base, slotSeq(live))
   }
 
   /** Read branch `name`'s head snapshot (deletion vectors applied) —
     * the audit read of WAP, invisible to main's readers and vice versa. */
   def readBranch(spark: SparkSession, dir: String, name: String): DataFrame = {
     val f = fs(dir, spark)
-    val (head, _) = branchState(f, dir, name)
+    val (head, _, _) = branchState(f, dir, name)
     applyDv(spark, dir,
       spark.read.parquet(
         manifestRel(f, dir, head).map(rel => new Path(dir, rel).toString): _*),
@@ -712,19 +749,21 @@ object ManifestTable {
   }
 
   /** Append `df` to branch `name`: carry the branch HEAD's file list and
-    * headers, claim a fresh version slot, swap the BRANCH pointer (main's
-    * CURRENT never moves). The head's CHECK constraints validate the
-    * batch. Concurrency is DETECT-ONLY, weaker than [[publish]]'s basis
-    * check: the head is re-read after staging and a moved head aborts,
-    * but the window between that re-check and the pointer rename is not
-    * atomic on a plain filesystem — two appenders racing inside it are
-    * last-writer-wins (same single-writer-per-branch deployment
-    * assumption the class doc states for the CURRENT pointer; a true CAS
-    * needs the catalog/LogStore piece). */
+    * headers, claim a fresh version slot, then CAS the BRANCH pointer
+    * forward (main's CURRENT never moves). The head's CHECK constraints
+    * validate the batch. Concurrency is a TRUE compare-and-swap — the
+    * pointer move is an atomic create-if-absent claim of slot seq+1
+    * ([[createExclusive]], the [[claimManifestSlot]] recipe): of two
+    * appenders racing off the same head, exactly one lands; the loser's
+    * claim fails, its staged manifest is abandoned, and it gets a
+    * ConcurrentModificationException to re-stage against the new head —
+    * a stale-head append can NEVER silently overwrite a landed one
+    * (stronger than main's CURRENT swap, whose detect-only caveat the
+    * class doc states). */
   def appendToBranch(
       spark: SparkSession, dir: String, name: String, df: DataFrame): StagedCommit = {
     val f = fs(dir, spark)
-    val (head, base) = branchState(f, dir, name)
+    val (head, base, seq) = branchState(f, dir, name)
     requireSameSchema(manifestSchema(f, dir, head), df.schema, "appendToBranch")
     val headChecks =
       manifestLines(f, dir, head).filter(_.startsWith("#check="))
@@ -740,19 +779,15 @@ object ManifestTable {
     val headV = head.stripPrefix("manifest-").stripSuffix(".txt").toLong
     val staged = stage(spark, dir, df,
       manifestRel(f, dir, head), carriedHeaderLines(f, dir, head), Some(headV))
-    val (nowHead, _) = branchState(f, dir, name)
-    if (nowHead != head) {
+    // the CAS: claim the NEXT pointer slot; a failed claim means another
+    // writer moved the branch after our head read — abandon and retry
+    if (!createExclusive(f, new Path(branchDir(dir, name), slotName(seq + 1)),
+        s"${staged.manifestName}\n$base")) {
       abandon(spark, dir, staged)
+      val (nowHead, _, _) = branchState(f, dir, name)
       throw new java.util.ConcurrentModificationException(
         s"branch '$name' moved $head -> $nowHead while staging; retry")
     }
-    val tmp = new Path(branchPath(dir, name).getParent,
-      s".$name.tmp.${UUID.randomUUID()}")
-    writeSmallFile(f, tmp, s"${staged.manifestName}\n$base")
-    val fc = FileContext.getFileContext(
-      f.makeQualified(new Path(dir)).toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(f.makeQualified(tmp), f.makeQualified(branchPath(dir, name)),
-      Options.Rename.OVERWRITE)
     staged
   }
 
@@ -763,7 +798,7 @@ object ManifestTable {
     * branch). The branch pointer stays (drop it when done). */
   def fastForward(spark: SparkSession, dir: String, name: String): StagedCommit = {
     val f = fs(dir, spark)
-    val (head, base) = branchState(f, dir, name)
+    val (head, base, _) = branchState(f, dir, name)
     def v(n: String) = n.stripPrefix("manifest-").stripSuffix(".txt").toLong
     val staged = StagedCommit(v(head), head, v(base))
     publish(spark, dir, staged) // basis check = "main still at base"
@@ -775,7 +810,7 @@ object ManifestTable {
     * saw anything. */
   def dropBranch(spark: SparkSession, dir: String, name: String): Unit = {
     val f = fs(dir, spark)
-    f.delete(branchPath(dir, name), false): Unit
+    f.delete(branchDir(dir, name), true): Unit
   }
 
   // #bloom=<b64 rel>|<b64 col>|<k>|<mBits>|<b64 sparse "word:hex,...">
@@ -1583,7 +1618,20 @@ object ManifestTable {
       name: String,
       column: String,
       lo: Double,
-      hi: Double): (Seq[String], Int) = {
+      hi: Double): (Seq[String], Int) =
+    pruneByRangesIn(spark, dir, name, column, Seq((lo, hi)))
+
+  /** The multi-range generalization: a file survives when ANY of the
+    * requested [lo, hi] ranges intersects its recorded [min, max] — the
+    * prune an IN-list ([[readWhereIn]]) or a batched point-lookup needs,
+    * evaluated against ONE named snapshot so every range sees the same
+    * file set. */
+  private def pruneByRangesIn(
+      spark: SparkSession,
+      dir: String,
+      name: String,
+      column: String,
+      ranges: Seq[(Double, Double)]): (Seq[String], Int) = {
     val f = fs(dir, spark)
     val all = manifestRel(f, dir, name)
     val numeric = Set("int32", "int64", "float", "double")
@@ -1595,8 +1643,10 @@ object ManifestTable {
       byFile.get(rel) match {
         case Some(cs) =>
           (cs.min, cs.max) match {
-            case (Some(mn), Some(mx)) => mn.toDouble <= hi && mx.toDouble >= lo
-            // all-null column chunk: no row can satisfy BETWEEN
+            case (Some(mn), Some(mx)) =>
+              val (fMn, fMx) = (mn.toDouble, mx.toDouble)
+              ranges.exists { case (lo, hi) => fMn <= hi && fMx >= lo }
+            // all-null column chunk: no row can satisfy BETWEEN / IN
             case _ => cs.nullCount == 0L
           }
         case None => true
@@ -1705,6 +1755,37 @@ object ManifestTable {
       else applyDv(spark, dir, spark.read.parquet(kept: _*),
         dvRelsOf(manifestDvLines(f, dir, name)))
     base.filter(col(column).between(lo, hi))
+  }
+
+  /** Stats-pruned IN-list read: `column IN (values)` over only the files
+    * whose recorded [min, max] can contain at least one requested value —
+    * Delta/Iceberg's point-lookup batch shape, and the probe read a
+    * persisted inverted file needs (one call per probe batch, not one
+    * [[readBetween]] per cell). CURRENT resolves ONCE for the whole
+    * list: every value's prune and the deletion-vector lines evaluate
+    * against the same snapshot, so a commit landing mid-plan can never
+    * mix two snapshots' file sets ([[readBetween2D]]'s guarantee,
+    * generalized to n point ranges). */
+  def readWhereIn(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      values: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(dir, spark)
+    val ptr = new Path(dir, PointerName)
+    require(f.exists(ptr), s"not a manifest table (no $PointerName): $dir")
+    val name = readSmallFile(f, ptr).trim
+    val (kept, _) =
+      pruneByRangesIn(spark, dir, name, column, values.map(v => (v, v)))
+    val base =
+      if (kept.isEmpty || values.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          currentSchema(spark, dir).getOrElse(read(spark, dir).schema))
+      else applyDv(spark, dir, spark.read.parquet(kept: _*),
+        dvRelsOf(manifestDvLines(f, dir, name)))
+    base.filter(col(column).isin(values: _*))
   }
 
   /** [[read]] for a partition-laid-out manifest table: recursive lookup
@@ -2038,6 +2119,73 @@ object ManifestTable {
     staged
   }
 
+  // #indexof=<b64 source dir>|<source version> — a DERIVED-TABLE source
+  // binding: the snapshot of another manifest table this table's content
+  // was built from (a persisted ANN inverted file, a materialized
+  // rollup). Carried verbatim by compaction and appends (they change the
+  // LAYOUT or extend the content, not what snapshot it covers); replaced
+  // by [[commitIndex]]; dropped by a plain [[commit]] (overwriting an
+  // index table with arbitrary content voids any staleness claim).
+  private def indexOfLine(srcDir: String, srcVersion: Long): String =
+    s"#indexof=${b64(srcDir)}|$srcVersion"
+
+  private def parseIndexOfLine(l: String): Option[(String, Long)] =
+    l.stripPrefix("#indexof=").split('|') match {
+      case Array(src, v) => Some((unb64(src), v.toLong))
+      case _ => None
+    }
+
+  /** Full-snapshot commit of DERIVED content (an index, a materialized
+    * view) recording WHICH snapshot of `sourceDir` it was built from —
+    * the staleness contract a decoupled build/probe lifecycle needs:
+    * without it, appending to the corpus leaves every probe silently
+    * missing the new rows, the worst failure mode an index can have.
+    * [[requireIndexFresh]] is the probe-side check. */
+  def commitIndex(
+      spark: SparkSession,
+      dir: String,
+      df: DataFrame,
+      sourceDir: String,
+      sourceVersion: Long): StagedCommit = {
+    enforceChecks(spark, dir, df)
+    val f = fs(dir, spark)
+    val checkLines =
+      if (!f.exists(new Path(dir, PointerName))) Seq.empty[String]
+      else manifestLines(f, dir,
+        readSmallFile(f, new Path(dir, PointerName)).trim)
+        .filter(_.startsWith("#check="))
+    val staged = stage(spark, dir, df, Seq.empty,
+      checkLines :+ indexOfLine(sourceDir, sourceVersion))
+    publish(spark, dir, staged)
+    staged
+  }
+
+  /** The (source dir, source version) this table's CURRENT snapshot is
+    * bound to, or None for an unbound table. */
+  def indexSourceOf(spark: SparkSession, dir: String): Option[(String, Long)] = {
+    val f = fs(dir, spark)
+    val ptr = new Path(dir, PointerName)
+    if (!f.exists(ptr)) None
+    else manifestLines(f, dir, readSmallFile(f, ptr).trim)
+      .filter(_.startsWith("#indexof=")).flatMap(parseIndexOfLine).headOption
+  }
+
+  /** Probe-side staleness gate: refuse (loudly, with both versions in
+    * the message) unless the index's recorded source snapshot is STILL
+    * the source table's CURRENT — after a corpus append/compaction the
+    * probe fails here instead of silently missing vectors. Also refuses
+    * an unbound table: an index with no recorded provenance cannot claim
+    * freshness. */
+  def requireIndexFresh(spark: SparkSession, dir: String): Unit = {
+    val (src, v) = indexSourceOf(spark, dir).getOrElse(throw new IllegalStateException(
+      s"$dir carries no #indexof source binding — commit it with commitIndex " +
+        "before probing, or rebuild it; an unbound index cannot claim freshness"))
+    val cur = currentVersion(spark, src)
+    if (cur != v) throw new IllegalStateException(
+      s"stale index: $dir was built from $src v$v but the source is now v$cur — " +
+        "rebuild the index (commitIndex) before probing")
+  }
+
   // every write transaction funnels its INCOMING rows through this: one
   // aggregate over the batch, loud refusal naming the broken rule
   private def enforceChecks(
@@ -2086,7 +2234,8 @@ object ManifestTable {
     * where directory rename is atomic). Old files stay on disk for
     * in-flight readers until [[vacuum]]. */
   def compact(spark: SparkSession, dir: String, targetFiles: Int): StagedCommit =
-    commitCarryingChecks(spark, dir, read(spark, dir).coalesce(targetFiles))
+    commitCarryingChecks(spark, dir, read(spark, dir).coalesce(targetFiles),
+      carryIndexOf = true)
 
   /** Range-clustered compaction: rewrite the snapshot into `targetFiles`
     * files with DISJOINT `sortCols` ranges (repartitionByRange + local
@@ -2105,7 +2254,7 @@ object ManifestTable {
     val ordered = read(spark, dir)
       .repartitionByRange(targetFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
-    commitCarryingChecks(spark, dir, ordered)
+    commitCarryingChecks(spark, dir, ordered, carryIndexOf = true)
   }
 
   /** Z-ORDER clustered compaction — multi-dimensional file skipping as
@@ -2137,7 +2286,7 @@ object ManifestTable {
       .repartitionByRange(targetFiles, col("__graft_z"))
       .sortWithinPartitions(col("__graft_z"))
       .drop("__graft_z")
-    commitCarryingChecks(spark, dir, ordered)
+    commitCarryingChecks(spark, dir, ordered, carryIndexOf = true)
   }
 
   /** Two-sided stats-pruned read: `colA BETWEEN loA AND hiA AND colB
@@ -2210,9 +2359,13 @@ object ManifestTable {
       val bdir = new Path(dir, "_branches")
       if (!f.exists(bdir)) Set.empty
       else f.listStatus(bdir).toSeq
-        .filterNot(_.getPath.getName.startsWith("."))
-        .flatMap(st => readSmallFile(f, st.getPath).trim.split('\n').map(_.trim))
-        .filter(_.nonEmpty).toSet
+        .filter(st => st.isDirectory && !st.getPath.getName.startsWith("."))
+        .flatMap { st =>
+          // only the LIVE slot's head+base pin manifests: superseded
+          // pointer slots are history, their heads fair vacuum game
+          val (head, base, _) = branchState(f, dir, st.getPath.getName)
+          Seq(head, base)
+        }.toSet
     }
     val retained = scala.collection.mutable.ArrayBuffer.empty[String]
     if (f.exists(mdir))

@@ -1311,4 +1311,128 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
       box.size should be >= 1
     } finally rm(dir)
   }
+
+  it should "answer an IN-list with one stats-pruned single-snapshot read" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.commit(spark, dir,
+        (0L until 8000L).map(i => (i, (i / 500L).toInt)).toDF("id", "cell"))
+      ManifestTable.compactSorted(spark, dir, Seq("cell"), targetFiles = 8)
+      val totalFiles = ManifestTable.read(spark, dir).inputFiles.length
+      // correctness: equals the unpruned filter, for a multi-point list
+      val got = ManifestTable.readWhereIn(spark, dir, "cell", Seq(2.0, 9.0, 14.0))
+      got.count() shouldBe 1500
+      got.agg(sum(col("id"))).collect()(0).getLong(0) shouldBe
+        ManifestTable.read(spark, dir).filter(col("cell").isin(2, 9, 14))
+          .agg(sum(col("id"))).collect()(0).getLong(0)
+      // pruning: the probe batch opens only the files whose [min, max]
+      // can hold a requested value — ONE pointer resolution for the
+      // whole list (readBetween-per-value would resolve CURRENT n times,
+      // each a window for a commit to slip in between)
+      got.inputFiles.length should be < totalFiles
+      got.inputFiles.length should be >= 1
+      // empty list: zero rows, correct schema, no files opened
+      val none = ManifestTable.readWhereIn(spark, dir, "cell", Seq.empty)
+      none.count() shouldBe 0
+      none.columns.toSeq shouldBe Seq("id", "cell")
+    } finally rm(dir)
+  }
+
+  behavior of "ManifestTable index-source binding (#indexof)"
+
+  it should "refuse a probe against an index whose corpus moved, until rebuilt" in {
+    val corpusDir = tmpDir()
+    val indexDir = tmpDir()
+    try {
+      ManifestTable.commit(spark, corpusDir,
+        (0L until 1000L).map(i => (i, (i % 16L).toInt)).toDF("vec_id", "cell"))
+      val v0 = ManifestTable.currentVersion(spark, corpusDir)
+      ManifestTable.commitIndex(spark, indexDir,
+        ManifestTable.read(spark, corpusDir), corpusDir, v0)
+      ManifestTable.indexSourceOf(spark, indexDir) shouldBe Some((corpusDir, v0))
+      noException should be thrownBy
+        ManifestTable.requireIndexFresh(spark, indexDir)
+      // clustering the index is a LAYOUT rewrite: the binding survives
+      ManifestTable.compactSorted(spark, indexDir, Seq("cell"), targetFiles = 4)
+      noException should be thrownBy
+        ManifestTable.requireIndexFresh(spark, indexDir)
+      // corpus append: every probe must now refuse — silently missing
+      // the new vectors is the failure mode the binding exists to stop
+      ManifestTable.append(spark, corpusDir,
+        (1000L until 1100L).map(i => (i, (i % 16L).toInt)).toDF("vec_id", "cell"))
+      val ex = intercept[IllegalStateException] {
+        ManifestTable.requireIndexFresh(spark, indexDir)
+      }
+      ex.getMessage should include("stale index")
+      // rebuild against the new snapshot: probes pass again
+      ManifestTable.commitIndex(spark, indexDir,
+        ManifestTable.read(spark, corpusDir), corpusDir,
+        ManifestTable.currentVersion(spark, corpusDir))
+      noException should be thrownBy
+        ManifestTable.requireIndexFresh(spark, indexDir)
+      // a plain commit voids the binding — an unbound index cannot
+      // claim freshness
+      ManifestTable.commit(spark, indexDir, ManifestTable.read(spark, indexDir))
+      intercept[IllegalStateException] {
+        ManifestTable.requireIndexFresh(spark, indexDir)
+      }.getMessage should include("no #indexof")
+    } finally { rm(corpusDir); rm(indexDir) }
+  }
+
+  it should "never lose a branch append under two racing writers (pointer CAS)" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.commit(spark, dir,
+        (0L until 20L).map(i => (i, "base")).toDF("id", "v"))
+      ManifestTable.createBranch(spark, dir, "race")
+      // two writers, barrier-synced per round so their head-read →
+      // slot-claim windows overlap: the create-if-absent CAS admits
+      // exactly one claim per slot, the loser gets a CME and retries
+      // against the new head. The OVERWRITE-rename pointer this
+      // replaced was last-writer-wins inside that window — this test
+      // fails against it by losing batches.
+      val rounds = 4
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 2).map { w =>
+        new Thread(() => {
+          try {
+            for (r <- 0 until rounds) {
+              val batch = (0L until 5L)
+                .map(i => (1000L + w * 100L + r * 10L + i, s"w$w-r$r"))
+                .toDF("id", "v")
+              barrier.await()
+              var landed = false
+              var attempts = 0
+              while (!landed && attempts < 10) {
+                attempts += 1
+                try {
+                  ManifestTable.appendToBranch(spark, dir, "race", batch)
+                  landed = true
+                } catch {
+                  case _: java.util.ConcurrentModificationException =>
+                    conflicts.incrementAndGet(): Unit
+                }
+              }
+              if (!landed) throw new IllegalStateException(s"w$w r$r never landed")
+            }
+          } catch { case t: Throwable => failures.add(t): Unit }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(300000))
+      failures shouldBe empty
+      // no lost update: the base plus every one of the 8 batches landed
+      val branch = ManifestTable.readBranch(spark, dir, "race")
+      branch.count() shouldBe (20 + 2 * rounds * 5)
+      branch.filter(col("id") >= 1000L).select(col("v")).distinct().count() shouldBe
+        (2L * rounds)
+      // main never saw any of it
+      ManifestTable.read(spark, dir).count() shouldBe 20
+      withClue("barrier-synced rounds should collide at least once: ") {
+        conflicts.get() should be >= 1
+      }
+    } finally rm(dir)
+  }
 }
