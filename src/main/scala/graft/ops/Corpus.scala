@@ -1177,17 +1177,26 @@ object Corpus {
     * heuristic in `bpeishTokenCount`).
     *
     * Scale shape: merges apply to the DISTINCT-WORD vocabulary, not to
-    * every occurrence — the rewrite chain (nMerges·maxChain literal
-    * replaces) runs once per vocab entry, and documents join the
-    * segmented vocab on the word, then aggregate per doc. Segmenting
-    * occurrences instead would multiply the string work by the
-    * corpus/vocab ratio for identical results. `broadcastVocab` picks the
-    * join strategy (the [[bigramLm]] switch): true broadcasts the
-    * segmented vocab — right while the distinct-word table fits an
-    * executor; false shuffle-hash-joins on the word — the escape hatch
-    * for web-scale vocabularies, where an unconditional broadcast is an
-    * OOM, at the price of one corpus-sized shuffle. Results are
-    * bit-identical either way (plain equi-join on the word). */
+    * every occurrence — each merge is ONE greedy-leftmost array fold
+    * ([[mergeFold]], the trainer's own application) over the vocab
+    * frame, checkpointed every [[RepersistEvery]] rounds, so a real
+    * tokenizer's 32k merges cost 32k O(word-length) row-local folds
+    * with bounded plan depth — NOT the nMerges×maxChain nested-`replace`
+    * expression this replaced, whose single projection grew to ~192k
+    * expression nodes at 32k merges and stopped being plannable long
+    * before it stopped being correct. Documents then join the segmented
+    * vocab on the word and aggregate per doc; segmenting occurrences
+    * instead would multiply the string work by the corpus/vocab ratio
+    * for identical results. `broadcastVocab` picks the join strategy
+    * (the [[bigramLm]] switch): true broadcasts the segmented vocab —
+    * right while the distinct-word table fits an executor; false
+    * shuffle-hash-joins on the word — the escape hatch for web-scale
+    * vocabularies, where an unconditional broadcast is an OOM, at the
+    * price of one corpus-sized shuffle. Results are bit-identical either
+    * way (plain equi-join on the word). `maxChain` shapes only the
+    * finite `replace`-chain replay the SQL oracle runs; the fold applies
+    * every chain length exactly (equal wherever maxChain passes reach
+    * the fixpoint — any real corpus). */
   def bpeSegment(
       df: DataFrame,
       idCol: String,
@@ -1195,19 +1204,34 @@ object Corpus {
       nMerges: Int = 12,
       maxChain: Int = 6,
       broadcastVocab: Boolean = true
+  ): DataFrame =
+    bpeSegmentWith(df, idCol, textCol,
+      learnMerges(df, textCol, nMerges, maxChain), broadcastVocab)
+
+  /** [[bpeSegment]] with a PRECOMPUTED merge table — the production
+    * shape: a tokenizer trains once ([[bpeMerges]]) and ships its merge
+    * list; corpora are then segmented with the shipped table, never by
+    * retraining. Merges apply in rank order, each one [[mergeFold]]
+    * over the distinct-word vocabulary with the trainer's checkpoint
+    * cadence. */
+  def bpeSegmentWith(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(Int, String, String, Long)],
+      broadcastVocab: Boolean = true
   ): DataFrame = {
-    val merges = learnMerges(df, textCol, nMerges, maxChain)
-    def applied(w: Column): Column = {
-      var s: Column = concat(lit("|"), array_join(split(w, ""), "|"), lit("|"))
-      for ((_, a, b, _) <- merges; _ <- 1 to maxChain)
-        s = call_function("replace", s, lit(s"|$a|$b|"), lit(s"|$a$b|"))
-      s
+    var vocab = df.select(explode(tokens(col(textCol))).as("w")).distinct()
+      .select(col("w"), filter(split(col("w"), ""), x => x =!= "").as("sy"))
+    var applied = 0
+    for ((_, a, b, _) <- merges) {
+      vocab = vocab.select(col("w"), mergeFold(col("sy"), a, b).as("sy"))
+      applied += 1
+      if (applied % RepersistEvery == 0) vocab = vocab.localCheckpoint(true)
     }
-    val vocab = df.select(explode(tokens(col(textCol))).as("w")).distinct()
-      .select(col("w"),
-        size(filter(split(applied(col("w")), "\\|"), x => x =!= "")).as("nt"))
+    val seg = vocab.select(col("w"), size(col("sy")).as("nt"))
     df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
-      .join(if (broadcastVocab) broadcast(vocab) else vocab.hint("shuffle_hash"), "w")
+      .join(if (broadcastVocab) broadcast(seg) else seg.hint("shuffle_hash"), "w")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_word_tokens"),
         sum(col("nt")).cast("int").as("n_bpe_tokens"))
@@ -1252,6 +1276,40 @@ object Corpus {
     * chains of ANY length exactly. */
   private val RepersistEvery = 8
 
+  /** Lexicographic comparison of UTF-8 byte sequences (unsigned) — the
+    * collation Spark's UTF8String binary ordering and DuckDB's default
+    * VARCHAR ordering share. Driver-side tie-breaks that feed or mirror
+    * an engine ORDER BY must use this, not Scala's UTF-16 code-unit
+    * String ordering (they disagree on supplementary-plane characters
+    * vs U+E000–U+FFFF). */
+  private def utf8Compare(x: String, y: String): Int = {
+    val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    java.util.Arrays.compareUnsigned(xb, yb)
+  }
+
+  /** Greedy-leftmost application of ONE merge (a, b) to a symbol array:
+    * fold the array, coalescing [..., a] + b into [..., ab]; after a
+    * coalesce the merged token is "ab", so an overlapping chain (a,a,a
+    * with pair a·a) correctly yields [aa, a] — byte-pair semantics, all
+    * chain lengths, one row-local pass. A no-op on rows without the
+    * pair, so callers apply it UNCONDITIONALLY: guarding it
+    * (when(touched, fold).otherwise(sy)) would reference `sy` five
+    * times per round, and the optimizer's project collapsing then grows
+    * the iterated plan ~5^k — the unconditional fold references `sy`
+    * once, so plan size stays linear in the checkpoint cadence. Shared
+    * by the trainer's round rewrite and [[bpeSegment]]'s vocabulary
+    * application. */
+  private def mergeFold(sy: Column, a: String, b: String): Column =
+    aggregate(
+      sy,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) === 0, array(x))
+          .when(element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
   private[ops] def learnMerges(
       df: DataFrame,
       textCol: String,
@@ -1273,11 +1331,22 @@ object Corpus {
     // seed: the ONE full pair count; thereafter counts evolve by deltas.
     // `byCount` keeps the rows ordered (count desc, then lexicographic
     // (a, b)) so each round's winner is an O(log P) head read — the
-    // tie-break is identical to the former ORDER BY cnt DESC, a, b.
+    // tie-break compares UTF-8 BYTES ([[utf8Compare]]), matching how a
+    // Spark `ORDER BY` (UTF8String) and the DuckDB oracle collate:
+    // Scala's default String ordering compares UTF-16 code units, which
+    // ranks supplementary-plane characters BELOW U+E000–U+FFFF — one
+    // differently-resolved tie there and every subsequent merge diverges.
     val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val byCount = scala.collection.mutable.TreeSet
-      .empty[(Long, String, String)](Ordering.by {
-        case (c, a, b) => (-c, a, b)
+      .empty[(Long, String, String)](new Ordering[(Long, String, String)] {
+        def compare(l: (Long, String, String), r: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(r._1, l._1) // count DESC
+          if (c != 0) c
+          else {
+            val ca = utf8Compare(l._2, r._2)
+            if (ca != 0) ca else utf8Compare(l._3, r._3)
+          }
+        }
       })
     words.select(explode(adjPairs(col("sy"))).as("p"), col("n"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
@@ -1298,19 +1367,9 @@ object Corpus {
       merges += ((it, a, b, cnt))
       val touched = exists(adjPairs(col("sy")),
         p => p("a") === lit(a) && p("b") === lit(b))
-      // greedy-leftmost merge application: fold the symbol array,
-      // coalescing [..., a] + b into [..., ab]; after a coalesce the
-      // merged token is "ab", so an overlapping chain (a,a,a with pair
-      // a·a) correctly yields [aa, a] — byte-pair semantics, all chain
-      // lengths, one pass
-      val stepped = aggregate(
-        col("sy"),
-        array().cast("array<string>"),
-        (acc, x) =>
-          when(size(acc) === 0, array(x))
-            .when(element_at(acc, -1) === lit(a) && x === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-            .otherwise(concat(acc, array(x))))
+      // greedy-leftmost merge application ([[mergeFold]]) — byte-pair
+      // semantics, all chain lengths, one pass
+      val stepped = mergeFold(col("sy"), a, b)
       // delta aggregate over ONLY the touched words: retract the old
       // pair multiset, assert the post-merge one; everything else in the
       // corpus provably kept its pairs and contributes nothing. The

@@ -105,21 +105,30 @@ class BpeChainScalingSpec extends AnyFlatSpec with Matchers {
     spark.sparkContext.addSparkListener(listener)
 
     val times = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var drained = false
     val merges =
       try {
         Corpus.learnMerges(docsDf, "text", nMerges = 1024, maxChain = 6,
           onRound = (i, ns) => times += ((i, ns)))
       } finally {
-        // listener delivery is async — drain before reading the counter
+        // listener delivery is async — drain before reading the counter,
+        // but with a DEADLINE: background task-end events from another
+        // suite on the shared session (a still-draining stream) would
+        // otherwise spin this loop forever instead of failing the test
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
         var last = -1L
         var stable = 0
-        while (stable < 5) {
+        while (stable < 5 && System.nanoTime() < deadline) {
           Thread.sleep(100)
           val now = shuffled.get
           if (now == last) stable += 1 else { stable = 0; last = now }
         }
+        drained = stable >= 5
         spark.sparkContext.removeSparkListener(listener)
       }
+    withClue("listener drain never stabilized (foreign task-end events?): ") {
+      drained shouldBe true
+    }
     docsDf.unpersist()
 
     // 1. EXACTNESS: every round's (left, right, weighted count) matches
@@ -154,6 +163,55 @@ class BpeChainScalingSpec extends AnyFlatSpec with Matchers {
       // and the budget itself must be decisively below the naive cost,
       // or this assertion would prove nothing
       budget should be < naivePairRows / 2
+    }
+
+    // 4. SEGMENTATION AT REALISTIC MERGE COUNTS: apply all 1,024 learned
+    // merges to a HELD-OUT corpus (training words re-mixed plus novel
+    // words the trainer never saw) with the production-shaped
+    // bpeSegmentWith (shipped merge table, no retraining) and compare
+    // every document's BPE token count to a single-node reference
+    // tokenizer applying the same merges greedily. The former
+    // nMerges×maxChain nested-replace expression stopped being plannable
+    // at this scale; the fold chain's lineage is BOUNDED by the
+    // checkpoint cadence, which the plan-size assertion pins.
+    val rnd2 = new scala.util.Random(17)
+    val heldOut = (0 until 60).map { i =>
+      val mixed = (0 until 10).map(_ => words(rnd2.nextInt(words.size)))
+      (i.toLong, (mixed :+ s"unseen${i}q").mkString(" "))
+    }
+    val heldOutDf = heldOut.toDF("doc_id", "text")
+    val segDf = Corpus.bpeSegmentWith(heldOutDf, "doc_id", "text", merges)
+    // bounded lineage: everything before the last checkpoint is a
+    // materialized scan, so the final plan carries at most
+    // RepersistEvery fold layers plus the join/aggregate — node count
+    // stays flat no matter how many merges applied (the flat-cost twin
+    // of assertion 2, structural instead of timed)
+    val planNodes = segDf.queryExecution.optimizedPlan
+      .collect { case p => p }.size
+    withClue(s"optimized plan nodes=$planNodes: ") {
+      planNodes should be < 64
+    }
+    def refSegCount(w: String): Int = {
+      var sy = w.split("").filter(_.nonEmpty).toVector
+      for ((_, a, b, _) <- merges)
+        sy = sy.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+          else acc :+ x
+        }
+      sy.size
+    }
+    val expectedByDoc = heldOut.map { case (id, text) =>
+      val ws = text.trim.split("\\s+").toSeq
+      id -> ((ws.size, ws.map(refSegCount).sum))
+    }.toMap
+    val got = segDf.collect()
+    got.length shouldBe 60
+    got.foreach { r =>
+      val (nw, nb) = expectedByDoc(r.getLong(0))
+      withClue(s"doc ${r.getLong(0)}: ") {
+        r.getInt(1) shouldBe nw
+        r.getInt(2) shouldBe nb
+      }
     }
   }
 }
