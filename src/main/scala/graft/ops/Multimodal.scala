@@ -1662,15 +1662,20 @@ object Multimodal {
       }
       require(name.getBytes(ascii).length <= 100, s"name too long: $name")
       put(0, name)
-      put(100, "0000644 ")                       // mode
-      put(108, "0000000 "); put(116, "0000000 ") // uid, gid
-      put(124, f"${bytes.length.toLong}%011o ")  // size, octal
-      put(136, "00000000000 ")                   // mtime
+      // numeric fields are NUL-terminated octal; `h` starts all-zero, so
+      // writing only the digits leaves the terminator in place (no
+      // literal NUL bytes in this source file — they made tools classify
+      // it as binary)
+      put(100, "0000644")                         // mode
+      put(108, "0000000"); put(116, "0000000")    // uid, gid
+      put(124, f"${bytes.length.toLong}%011o")    // size, octal
+      put(136, "00000000000")                     // mtime
       java.util.Arrays.fill(h, 148, 156, ' '.toByte)  // chksum field as spaces
       h(156) = '0'                                    // typeflag: regular file
-      put(257, "ustar "); put(263, "00")         // magic + version
+      put(257, "ustar"); put(263, "00")           // magic + version
       val sum = h.foldLeft(0L)((a, b) => a + (b & 0xff))
-      put(148, f"$sum%06o  ")
+      put(148, f"$sum%06o")
+      h(154) = 0; h(155) = ' '.toByte             // chksum: digits NUL space
       bos.write(h)
       bos.write(bytes)
       val pad = (512 - bytes.length % 512) % 512

@@ -392,7 +392,19 @@ object StreamingOps {
     * events touch (pass `None` only for bounded replays/tests — a
     * processing-time timeout keeps scheduling no-data batches, so
     * `processAllAvailable`-style draining never settles, the
-    * [[runningUserTotals]] caveat). Scale shape: one shuffle per batch
+    * [[runningUserTotals]] caveat).
+    *
+    * QUOTA CONTRACT: the cap is exact only while a window's counter
+    * stays RESIDENT. Eviction is idleness-based (processing time), so an
+    * event arriving for an already-evicted window restarts its count at
+    * 0 and that window can admit up to another `maxPerWindow` — per
+    * eviction epoch, not per window. Size `idleTimeout` beyond the
+    * source's worst-case lateness (the default 2 h dwarfs ordinary
+    * out-of-orderness) if the strict per-window cap matters; an
+    * event-time eviction gate would need a watermark contract this
+    * operator deliberately doesn't impose on its replayable input.
+    *
+    * Scale shape: one shuffle per batch
     * keyed on (key, window); state size is active keys × windows, not
     * events. */
   def rateLimitStream(
@@ -472,8 +484,18 @@ object StreamingOps {
               max(col(keyCol).cast("double"))).collect()(0)
             if (b.isNullAt(0)) firsts.limit(0)
             else {
+              // The double-cast bounds are a FILE-PRUNE hint, not the
+              // dedup predicate (the left_anti joins on the exact key).
+              // An int64 key above 2^53 rounds here, but the manifest's
+              // per-file stats round the SAME longs to the SAME doubles,
+              // so a rounded-up lo can never skip a file holding the
+              // true min; the 1-ulp widening below makes that robust
+              // even against a stats writer with different rounding —
+              // worst case is a slightly wider probe window (more files
+              // read), never a missed existing key.
               val existing = graft.sources.ManifestTable
-                .readBetween(spark, dir, keyCol, b.getDouble(0), b.getDouble(1))
+                .readBetween(spark, dir, keyCol,
+                  Math.nextDown(b.getDouble(0)), Math.nextUp(b.getDouble(1)))
                 .select(col(keyCol))
               firsts.join(existing, Seq(keyCol), "left_anti")
             }
@@ -571,21 +593,27 @@ object StreamingOps {
     val (grams, bloom) =
       graft.ops.Corpus.contaminationIndex(benchmark, textCol, shingleN)
     grams.persist(); bloom.persist()
-    val q = stream.writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.ops.Corpus
-          .contaminationProbe(grams, bloom, batch, idCol, textCol, shingleN)
-          .withColumn("batch_id", lit(batchId))
-          .withColumn("flagged", col("n_bloom") > 0)
-          .write.mode("append").parquet(dir)
-      }
-      .start()
-    val spark = stream.sparkSession
     val released = new java.util.concurrent.atomic.AtomicBoolean(false)
     def release(): Unit = if (released.compareAndSet(false, true)) {
       grams.unpersist(); bloom.unpersist(): Unit
     }
+    // if start() itself throws (bad sink config, checkpoint conflict),
+    // no termination event will ever fire — release the caches here or
+    // they leak for the session's lifetime, the exact leak the
+    // termination listener exists to prevent
+    val q = try {
+      stream.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          graft.ops.Corpus
+            .contaminationProbe(grams, bloom, batch, idCol, textCol, shingleN)
+            .withColumn("batch_id", lit(batchId))
+            .withColumn("flagged", col("n_bloom") > 0)
+            .write.mode("append").parquet(dir)
+        }
+        .start()
+    } catch { case e: Throwable => release(); throw e }
+    val spark = stream.sparkSession
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent)
