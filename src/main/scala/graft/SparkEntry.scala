@@ -860,6 +860,19 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
     }),
 
+    // Extension: RADIUS search — every corpus vector within cosine ≥ 0.3
+    // of each probe (the fixed-threshold neighbor-set top-k can't
+    // express when true neighbor counts vary). No window, no shuffle:
+    // the threshold cuts map-side inside the scan projection.
+    "sim_range_search" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.ops.Similarity.rangeSearch(
+          spread(s, emb), emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          minSim = 0.3)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+    }),
+
     // Extension: greedy k-center coreset (Gonzalez) — 8 maximally-spread
     // centers chosen one TakeOrdered row at a time (centers are plan
     // literals, rounds never shuffle), then every vector assigned to its
@@ -2597,6 +2610,19 @@ object SparkEntry {
     "text_bpe_segment" -> ((s, dir) =>
       graft.ops.Corpus.bpeSegment(spread(s, table(s, dir, "documents")), "doc_id", "text")),
 
+    // Extension: SHIPPED-TOKENIZER segmentation — train the merge table
+    // on the even-doc_id half only, then segment the WHOLE corpus with
+    // the shipped table (bpeSegmentWith: no retraining) — the production
+    // shape, and the governance-relevant one: token budgets for new data
+    // are only comparable when counted under the frozen production
+    // tokenizer, not one retrained per batch.
+    "text_bpe_apply" -> ((s, dir) => {
+      val docs = spread(s, table(s, dir, "documents"))
+      val merges = graft.ops.Corpus.bpeMergeTable(
+        docs.filter(col("doc_id") % 2 === 0), "text", nMerges = 12)
+      graft.ops.Corpus.bpeSegmentWith(docs, "doc_id", "text", merges)
+    }),
+
     // Extension: content-defined chunk dedup — shift-resistant
     // sub-document dup fractions (CDC boundaries where the 4-gram hash
     // ≡ 0 mod 16, so early insertions don't move later chunk
@@ -3016,6 +3042,56 @@ object SparkEntry {
           round(sum(col("value")
             .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
             .cast("double"), 6).as("value_sum"))
+    }),
+
+    // Extension: manifest-table IN-LIST read — the batched point-lookup:
+    // ONE pointer resolution and one stats-pruned scan answer the whole
+    // value list (readWhereIn), where a per-value readBetween loop would
+    // resolve CURRENT n times, each a window for a commit to slip
+    // between probes. On the user_id-clustered layout the prune opens
+    // only the files whose [min, max] can hold a requested id.
+    "ingest_manifest_inlist" -> ((s, dir) => {
+      val out = scratch("manifest_inlist")
+      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("value"))
+      graft.sources.ManifestTable.commit(s, out, ev.repartition(8))
+      graft.sources.ManifestTable.compactSorted(s, out, Seq("user_id"), targetFiles = 8)
+      graft.sources.ManifestTable.readWhereIn(s, out, "user_id",
+          Seq(7.0, 19.0, 23.0, 42.0, 77.0))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("event_id")).as("id_sum"),
+          round(sum(col("value")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double"), 6).as("value_sum"))
+    }),
+
+    // Extension: WRITE-AUDIT-PUBLISH branch lifecycle on the CAS-backed
+    // branch pointer: land a batch on a branch (zero-copy — two small
+    // pointer files), audit it with a real read while main's readers
+    // still see the old snapshot, then publish with ONE atomic CURRENT
+    // swap. Each phase's frame pins its snapshot at construction (the
+    // file list resolves eagerly), so the three reads coexist in one
+    // result no matter when the swap lands.
+    "ingest_manifest_branch" -> ((s, dir) => {
+      val out = scratch("manifest_branch")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      graft.sources.ManifestTable.commit(s, out, docs.filter(col("doc_id") % 2 === 0))
+      graft.sources.ManifestTable.createBranch(s, out, "wap")
+      graft.sources.ManifestTable.appendToBranch(
+        s, out, "wap", docs.filter(col("doc_id") % 2 === 1))
+      def profile(df: DataFrame, phase: String): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+            sum(col("n_chars")).as("chars_sum"))
+          .select(lit(phase).as("phase"), col("n_docs"), col("id_sum"),
+            col("chars_sum"))
+      val mainBefore = profile(graft.sources.ManifestTable.read(s, out), "main_before")
+      val audit = profile(
+        graft.sources.ManifestTable.readBranch(s, out, "wap"), "branch_audit")
+      graft.sources.ManifestTable.fastForward(s, out, "wap")
+      graft.sources.ManifestTable.dropBranch(s, out, "wap")
+      val mainAfter = profile(graft.sources.ManifestTable.read(s, out), "main_after")
+      mainBefore.union(audit).union(mainAfter)
     }),
 
     // Extension: manifest-table INCREMENTAL READ — the consume side of
@@ -3946,6 +4022,27 @@ object SparkEntry {
        |FROM occ JOIN voc USING (w) GROUP BY 1""".stripMargin
   }
 
+  /** The shipped-tokenizer chain: merges learned on the even-doc_id half
+    * only (tr-prefixed CTEs), applied to the FULL corpus's vocabulary —
+    * mirrors Corpus.bpeSegmentWith(bpeMergeTable(half), all). */
+  private lazy val bpeApplySql: String = {
+    val ctes = bpeCtesFor("tr", " WHERE doc_id % 2 = 0")
+    val appliedExpr = (1 to 12).foldLeft(
+      "'|' || array_to_string(string_split(w, ''), '|') || '|'") { (e, k) =>
+      (1 to 6).foldLeft(e) { (e2, _) =>
+        s"replace($e2, (SELECT '|'||a||'|'||b||'|' FROM trp$k), (SELECT '|'||a||b||'|' FROM trp$k))"
+      }
+    }
+    s"""$ctes,
+       |voc AS MATERIALIZED (SELECT w, len(list_filter(string_split($appliedExpr, '|'), x -> x != '')) AS nt
+       |  FROM (SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents)),
+       |occ AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents)
+       |SELECT occ.doc_id, CAST(count(*) AS INTEGER) AS n_word_tokens,
+       |  CAST(sum(voc.nt) AS INTEGER) AS n_bpe_tokens,
+       |  round(sum(voc.nt) / count(*), 6) AS bpe_per_word
+       |FROM occ JOIN voc USING (w) GROUP BY 1""".stripMargin
+  }
+
   /** The PQ codebook/encode/reconstruct CTE chain shared by the two PQ
     * oracles: 4 subspaces × 16 dims, 16 centroids each, 2 Lloyd rounds —
     * mirrors Similarity.pqReconstruct(dim=64, m=4, k=16) bit-for-bit. */
@@ -4639,6 +4736,16 @@ object SparkEntry {
         |  FROM e c, q WHERE c.vec_id != q.query_id),
         |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
         |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin,
+
+    // Radius search: the same cosine, kept wherever it clears the fixed
+    // threshold — no per-query rank.
+    "sim_range_search" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM e WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |  ${cosSql("q.qvec", "c.embedding")} AS sim
+        |  FROM e c, q WHERE c.vec_id != q.query_id)
+        |SELECT query_id, neighbor_id, round(sim, 6) AS sim FROM s WHERE sim >= 0.3""".stripMargin,
 
     "sim_knn_label_eval" ->
       s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
@@ -6684,6 +6791,8 @@ object SparkEntry {
 
     "text_bpe_segment" -> s"WITH $bpeSegmentSql",
 
+    "text_bpe_apply" -> s"WITH $bpeApplySql",
+
     "text_cdc_dups" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
         |g AS (SELECT doc_id, toks, list_transform(generate_series(0, len(toks)-4), i -> array_to_string(toks[i+1:i+4], ' ')) AS grams FROM t),
@@ -7195,6 +7304,30 @@ object SparkEntry {
         |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS value_sum
         |FROM events
         |WHERE event_id BETWEEN 100 AND 2000 AND user_id BETWEEN 10 AND 80""".stripMargin,
+
+    // The clustered table holds exactly the events frame; the stats-
+    // pruned IN-list read equals the plain IN filter.
+    "ingest_manifest_inlist" ->
+      """SELECT user_id, count(*) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS value_sum
+        |FROM events
+        |WHERE user_id IN (7, 19, 23, 42, 77)
+        |GROUP BY user_id""".stripMargin,
+
+    // Phases: main before publish = the even half; the branch audit read
+    // and main after the fast-forward = everything.
+    "ingest_manifest_branch" ->
+      """SELECT 'main_before' AS phase, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 'branch_audit', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT) FROM documents
+        |UNION ALL
+        |SELECT 'main_after', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT) FROM documents""".stripMargin,
 
     // Version 0 is the full corpus; version 1 is the doc_id % 2 = 0 cut.
     "ingest_manifest_timetravel" ->

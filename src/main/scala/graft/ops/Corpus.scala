@@ -1171,6 +1171,18 @@ object Corpus {
       .toDF("merge_idx", "left_sym", "right_sym", "pair_count")
   }
 
+  /** [[bpeMerges]] as the driver-side merge table a tokenizer SHIPS —
+    * the artifact [[bpeSegmentWith]] applies to any corpus without
+    * retraining (train on a reference slice, segment everything). The
+    * table is nMerges rows: bounded driver state by construction. */
+  def bpeMergeTable(
+      df: DataFrame,
+      textCol: String,
+      nMerges: Int = 12,
+      maxChain: Int = 6
+  ): Seq[(Int, String, String, Long)] =
+    learnMerges(df, textCol, nMerges, maxChain)
+
   /** BPE segmentation with the merges [[bpeMerges]] learns: per document,
     * word-token and BPE-token counts plus tokens-per-word — the REAL
     * token-budget number a learned tokenizer yields (vs the regex

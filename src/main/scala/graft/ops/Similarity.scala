@@ -59,6 +59,36 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** RADIUS (range) search: every corpus vector within cosine ≥ `minSim`
+    * of each probe vector — the fixed-threshold neighbor-set primitive
+    * (DBSCAN-style density clustering, dedup-by-similarity-threshold,
+    * "find everything close to these exemplars" curation sweeps) that
+    * top-k cannot express when the true neighbor count varies per query.
+    * Self-matches are excluded.
+    *
+    * Scale shape: strictly cheaper than [[bruteForceTopK]] — the probe
+    * batch broadcasts and the threshold filter cuts MAP-SIDE inside the
+    * corpus scan's projection, so there is no per-query window, no
+    * shuffle at all: output size is the only thing that leaves the
+    * scan. At 100 TB this is one pass over the corpus regardless of how
+    * many probes ride the broadcast. */
+  def rangeSearch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minSim: Double
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val cos = cosineFor(corpus.sparkSession) _
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cos(col("qvec"), col("cvec")).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   /** Hard-negative mining — for each anchor, the top-`k` most similar
     * corpus vectors with a DIFFERENT label: the contrastive-training
     * negatives that actually move a model (easy negatives are
