@@ -963,6 +963,50 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
     }),
 
+    // Extension: INCREMENTAL index maintenance — the O(delta) refresh
+    // completing the persisted lifecycle: the codebook trains on the
+    // initial corpus and FREEZES; a later corpus append makes the probe
+    // gate refuse the stale index; maintenance then assigns ONLY the
+    // appended vectors (readChangesSince + assignCells, a pure
+    // projection over the delta) and lands them with appendIndex — one
+    // transaction that unions the file list AND rebinds #indexof, so
+    // the gate passes again without touching any existing entry. At
+    // 100 TB: a full rebuild re-scans the corpus; this re-scans the
+    // batch.
+    "sim_ivf_delta" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val M = graft.sources.ManifestTable
+      val corpusDir = scratch("ivfd_corpus")
+      M.commit(s, corpusDir, spread(s, emb.filter(col("vec_id") % 5 =!= 0)))
+      val v0 = M.currentVersion(s, corpusDir)
+      val out = scratch("ivfd_index")
+      val (cent, assigned0) = graft.ops.Similarity.ivfIndex(
+        M.read(s, corpusDir), "vec_id", "embedding",
+        numCentroids = 16, lloydRounds = 2)
+      M.commitIndex(s, out, assigned0.repartition(8), corpusDir, v0)
+      // corpus grows; the stale index must refuse probes...
+      M.append(s, corpusDir, emb.filter(col("vec_id") % 5 === 0))
+      val staleRefused =
+        try { M.requireIndexFresh(s, out); false }
+        catch { case _: IllegalStateException => true }
+      require(staleRefused, "probe gate must refuse the stale index")
+      // ...until the delta lands: assign only the appended vectors
+      // under the frozen codebook, append + rebind in one transaction
+      val delta = M.readChangesSince(s, corpusDir, fromVersion = v0)
+      M.appendIndex(s, out,
+        graft.ops.Similarity.assignCells(delta, "vec_id", "embedding", cent),
+        corpusDir, M.currentVersion(s, corpusDir))
+      M.requireIndexFresh(s, out)
+      val probesQ = emb.filter(col("vec_id") < 10)
+      val cells = graft.ops.Similarity.probeCells(
+        cent, probesQ, "vec_id", "embedding", nprobe = 4)
+      val index = M.readWhereIn(s, out, "cell", cells.map(_.toDouble))
+      graft.ops.Similarity.ivfTopKFromIndex(
+          index, cent, probesQ, "vec_id", "embedding", k = 5, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim"), 6).as("sim"))
+    }),
+
     // Extension: FILTERED ANN — top-k among label-even corpus vectors
     // only. The quantizer trains on the FULL corpus (index built once,
     // predicates arrive at query time); the filter prunes the inverted
@@ -4807,6 +4851,28 @@ object SparkEntry {
     // plan's results (same codebook, same cells, same ranking) — one
     // oracle text serves both.
     "sim_ivf_persisted" -> ivfTopkOracleSql,
+
+    // The frozen codebook trains on the initial (vec_id % 5 != 0)
+    // corpus only; assignment — original build plus the incremental
+    // delta — covers EVERYTHING. Probes rank identically to the fused
+    // IVF under those centroids.
+    "sim_ivf_delta" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |e0 AS (SELECT * FROM e WHERE vec_id % 5 != 0),
+        |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e0 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |c1 AS ${lloydRoundSqlFrom("e0", "seeds", 64)},
+        |c2 AS ${lloydRoundSqlFrom("e0", "c1", 64)},
+        |sims AS (SELECT e.vec_id, e.v, c.cent_id, ${cosSql("e.v", "c.cv")} AS csim FROM e, c2 c),
+        |cells AS (SELECT vec_id, v, cent_id AS cell FROM
+        |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims)
+        |  WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, v AS qv, cent_id AS cell FROM
+        |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims WHERE vec_id < 10)
+        |  WHERE rn <= 4),
+        |scored AS (SELECT p.query_id, cl.vec_id AS neighbor_id, ${cosSql("p.qv", "cl.v")} AS sim
+        |  FROM probes p JOIN cells cl ON p.cell = cl.cell WHERE cl.vec_id != p.query_id),
+        |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin,
 
     "sim_label_centroids" ->
       s"""WITH e AS (SELECT CAST(label AS BIGINT) AS label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

@@ -137,12 +137,27 @@ object Similarity {
       numCentroids: Int = 16,
       lloydRounds: Int = 2
   ): (Seq[(Long, Seq[Double])], DataFrame) = {
-    val cos = cosineFor(corpus.sparkSession) _
     val cent = kmeansCentroids(corpus, idCol, vecCol, numCentroids, lloydRounds)
-    val assigned = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+    (cent, assignCells(corpus, idCol, vecCol, cent))
+  }
+
+  /** Cell assignment under a FROZEN codebook — the O(delta) maintenance
+    * half of the persisted-index lifecycle: after a corpus append, only
+    * the NEW vectors need assigning (the codebook and every existing
+    * inverted-file entry are untouched); the index table then appends
+    * the delta and rebinds to the new corpus snapshot
+    * ([[graft.sources.ManifestTable.appendIndex]]). A pure projection
+    * over plan-literal centroids: no join, no shuffle, cost = the
+    * delta, never the corpus. */
+  def assignCells(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cent: Seq[(Long, Seq[Double])]
+  ): DataFrame = {
+    val cos = cosineFor(df.sparkSession) _
+    df.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
       .withColumn("cell", nearestCell(cos)(col("nvec"), cent))
-    (cent, assigned)
   }
 
   /** The distinct cells a probe batch opens (each query's `nprobe`

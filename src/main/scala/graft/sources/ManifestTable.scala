@@ -2160,6 +2160,46 @@ object ManifestTable {
     staged
   }
 
+  /** Append-commit to a bound index table that REBINDS the #indexof
+    * header in the same transaction — the O(delta) index-maintenance
+    * shape: after a corpus append, assign ONLY the new vectors
+    * ([[graft.ops.Similarity.assignCells]] under the frozen codebook)
+    * and land them here with the new corpus version; existing
+    * inverted-file entries carry forward by reference, so maintenance
+    * cost is the delta, never the index. Same optimistic-rebase loop as
+    * [[append]]; the binding swap and the file-list union are ONE
+    * pointer move, so no reader ever sees delta rows under the old
+    * binding or the new binding without the delta. */
+  def appendIndex(
+      spark: SparkSession,
+      dir: String,
+      df: DataFrame,
+      sourceDir: String,
+      sourceVersion: Long,
+      maxRetries: Int = 20): StagedCommit = {
+    requireSameSchema(currentSchema(spark, dir), df.schema, "appendIndex")
+    enforceChecks(spark, dir, df)
+    val sd = stageData(spark, dir, df)
+    val f = fs(dir, spark)
+    var attempts = 0
+    while (true) {
+      val (carry, carryStats, basis) = carryState(f, dir)
+      val headers = carryStats.filterNot(_.startsWith("#indexof=")) :+
+        indexOfLine(sourceDir, sourceVersion)
+      val staged = stageManifest(spark, dir, sd, carry, headers, basis)
+      try {
+        publish(spark, dir, staged)
+        return staged
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          abandon(spark, dir, staged)
+          attempts += 1
+          if (attempts >= maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** The (source dir, source version) this table's CURRENT snapshot is
     * bound to, or None for an unbound table. */
   def indexSourceOf(spark: SparkSession, dir: String): Option[(String, Long)] = {
