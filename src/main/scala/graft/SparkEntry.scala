@@ -1700,6 +1700,46 @@ object SparkEntry {
     // snapshot history for free); replayed as TWO batches, the committed
     // table is exactly the feed and the version count proves per-batch
     // commits.
+    // Extension: STREAMING WRITE-AUDIT-PUBLISH — micro-batches land on
+    // a BRANCH (CAS-claimed pointer slots), so the published table never
+    // shows in-flight ingestion: main is checked mid-stream (still the
+    // baseline), the drained branch is audit-read, then ONE fastForward
+    // publishes everything atomically. The governance twin of
+    // stream_append_sink, which publishes every batch immediately.
+    "stream_branch_wap" -> ((s, dir) => withStreamingShuffle(s, 4) {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val M = graft.sources.ManifestTable
+      val feed = events(s, dir).filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          col("value"), col("props"))
+        .as[StreamEv].collect()
+      val (batch1, batch2) = feed.partition(_.event_id < 1000)
+      val out = scratch("stream_wap")
+      // main holds an already-published baseline the stream must not
+      // disturb until the publish
+      M.commit(s, out, events(s, dir)
+        .filter(col("event_id") >= 2000 && col("event_id") < 2500)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value")))
+      M.createBranch(s, out, "ingest")
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEv]
+      val q = graft.streaming.StreamingOps.branchWapSink(
+        in.toDF().select("event_id", "user_id", "event_type", "value"),
+        out, "ingest")
+      in.addData(batch1.toIndexedSeq: _*); q.processAllAvailable()
+      // mid-stream: one batch is already on the branch, main unmoved
+      val mainDuring = M.read(s, out).count()
+      in.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
+      q.stop()
+      val auditN = M.readBranch(s, out, "ingest").count()
+      M.fastForward(s, out, "ingest")
+      M.dropBranch(s, out, "ingest")
+      M.read(s, out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("id_sum"),
+          lit(mainDuring).as("n_main_during"), lit(auditN).as("n_branch_audit"))
+    }),
+
     "stream_append_sink" -> ((s, dir) => withStreamingShuffle(s, 4) {
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
@@ -5793,6 +5833,19 @@ object SparkEntry {
         |  2 AS n_versions
         |FROM events WHERE event_id < 2000
         |GROUP BY event_type""".stripMargin,
+
+    // Mid-stream main = the pre-committed baseline only; the audit read
+    // and the published table = baseline + the whole streamed slice.
+    "stream_branch_wap" ->
+      """WITH base AS (SELECT event_id, event_type FROM events
+        |  WHERE event_id >= 2000 AND event_id < 2500),
+        |ing AS (SELECT event_id, event_type FROM events WHERE event_id < 2000),
+        |allr AS (SELECT * FROM base UNION ALL SELECT * FROM ing)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  (SELECT count(*) FROM base) AS n_main_during,
+        |  (SELECT count(*) FROM allr) AS n_branch_audit
+        |FROM allr GROUP BY event_type""".stripMargin,
 
     // Each micro-batch's censuses re-derived from the event_id split.
     "stream_constraint_gate" ->

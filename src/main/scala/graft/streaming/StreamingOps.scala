@@ -378,6 +378,41 @@ object StreamingOps {
       }
       .start()
 
+  /** STREAMING write-audit-publish: every micro-batch lands on a BRANCH
+    * of the target table, so main's readers never see in-flight
+    * ingestion — the WAP shape, streamed: audit the branch with real
+    * reads while the stream runs (or after it drains), then ONE
+    * fastForward publishes everything atomically, or dropBranch
+    * discards it all and main never saw anything. Branch moves are
+    * CAS-claimed pointer slots, so a concurrent mover can only force a
+    * retry, never a lost batch; the bounded retry loop here absorbs
+    * exactly those refusals. Zero-copy like every branch op: the
+    * stream's cost is its batches, the branch two-line pointer files. */
+  def branchWapSink(
+      stream: DataFrame,
+      dir: String,
+      branch: String,
+      maxRetries: Int = 20
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        var attempts = 0
+        var landed = false
+        while (!landed) {
+          try {
+            graft.sources.ManifestTable.appendToBranch(
+              batch.sparkSession, dir, branch, batch): Unit
+            landed = true
+          } catch {
+            case e: java.util.ConcurrentModificationException =>
+              attempts += 1
+              if (attempts >= maxRetries) throw e
+          }
+        }
+      }
+      .start()
+
   /** Per-key tumbling-window ADMISSION QUOTA — the ingest rate limiter:
     * each (key, window) admits at most `maxPerWindow` events and flags
     * the overflow, so a runaway producer (bot burst, crawler loop,
