@@ -1379,6 +1379,36 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
     } finally { rm(corpusDir); rm(indexDir) }
   }
 
+  it should "rebind the index source in the same transaction as a delta append" in {
+    val corpusDir = tmpDir()
+    val indexDir = tmpDir()
+    try {
+      ManifestTable.commit(spark, corpusDir,
+        (0L until 800L).map(i => (i, (i % 16L).toInt)).toDF("vec_id", "cell"))
+      val v0 = ManifestTable.currentVersion(spark, corpusDir)
+      ManifestTable.commitIndex(spark, indexDir,
+        ManifestTable.read(spark, corpusDir), corpusDir, v0)
+      // corpus append -> stale; appendIndex lands ONLY the delta and
+      // rebinds in one pointer move
+      ManifestTable.append(spark, corpusDir,
+        (800L until 900L).map(i => (i, (i % 16L).toInt)).toDF("vec_id", "cell"))
+      val v1 = ManifestTable.currentVersion(spark, corpusDir)
+      intercept[IllegalStateException] {
+        ManifestTable.requireIndexFresh(spark, indexDir)
+      }
+      val preFiles = ManifestTable.read(spark, indexDir).inputFiles.toSet
+      ManifestTable.appendIndex(spark, indexDir,
+        ManifestTable.readChangesSince(spark, corpusDir, v0), corpusDir, v1)
+      noException should be thrownBy
+        ManifestTable.requireIndexFresh(spark, indexDir)
+      ManifestTable.indexSourceOf(spark, indexDir) shouldBe Some((corpusDir, v1))
+      val post = ManifestTable.read(spark, indexDir)
+      post.count() shouldBe 900
+      // O(delta): every pre-existing index file carried by reference
+      preFiles.subsetOf(post.inputFiles.toSet) shouldBe true
+    } finally { rm(corpusDir); rm(indexDir) }
+  }
+
   it should "never lose a branch append under two racing writers (pointer CAS)" in {
     val dir = tmpDir()
     try {

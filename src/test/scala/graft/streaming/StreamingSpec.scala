@@ -512,6 +512,34 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  it should "keep main invisible to a branch-WAP stream until the publish" in {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_wap").toString
+    val M = graft.sources.ManifestTable
+    M.commit(spark, dir,
+      Seq((100L, "base", 1.0), (101L, "base", 2.0))
+        .toDF("event_id", "event_type", "value"))
+    M.createBranch(spark, dir, "ingest")
+    val in = MemoryStream[(Long, String, Double)]
+    val q = StreamingOps.branchWapSink(
+      in.toDF().toDF("event_id", "event_type", "value"), dir, "ingest")
+    in.addData((1L, "click", 5.0), (2L, "view", 6.0))
+    q.processAllAvailable()
+    // mid-stream: the batch is on the branch, main is untouched
+    M.read(spark, dir).count() shouldBe 2
+    M.readBranch(spark, dir, "ingest").count() shouldBe 4
+    in.addData((3L, "click", 7.0))
+    q.processAllAvailable()
+    q.stop()
+    M.read(spark, dir).count() shouldBe 2
+    // audit then publish: one swap makes all three streamed rows visible
+    M.readBranch(spark, dir, "ingest").count() shouldBe 5
+    M.fastForward(spark, dir, "ingest")
+    M.dropBranch(spark, dir, "ingest")
+    M.read(spark, dir).count() shouldBe 5
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   it should "maintain a DDSketch histogram that merges across batches additively" in {
     val out = java.nio.file.Files
       .createTempDirectory("graft_stream_dds").toString
