@@ -860,6 +860,17 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
     }),
 
+    // Extension: per-label embedding-distribution DRIFT between corpus
+    // halves — each side's DECIMAL-routed per-label centroid, compared
+    // by cosine: the embedding-space governance check you run before
+    // mixing a new batch into curation calibrated on the old one.
+    "sim_centroid_drift" -> ((s, dir) => {
+      val emb = spread(s, table(s, dir, "embeddings"))
+      graft.ops.Similarity.centroidDrift(
+        emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1),
+        "embedding", "label")
+    }),
+
     // Extension: RADIUS search — every corpus vector within cosine ≥ 0.3
     // of each probe (the fixed-threshold neighbor-set top-k can't
     // express when true neighbor counts vary). No window, no shuffle:
@@ -1700,6 +1711,51 @@ object SparkEntry {
     // snapshot history for free); replayed as TWO batches, the committed
     // table is exactly the feed and the version count proves per-batch
     // commits.
+    // Extension: STREAMING ANN index maintenance — embeddings stream in;
+    // every micro-batch appends to the corpus AND lands its frozen-
+    // codebook cell assignments on the index with the #indexof rebind in
+    // the same transaction, so the staleness gate passes between every
+    // pair of batches and the final probe (asserted fresh) ranks
+    // identically to a fused IVF over the full corpus.
+    "stream_ann_maintain" -> ((s, dir) => withStreamingShuffle(s, 4) {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val M = graft.sources.ManifestTable
+      val emb = table(s, dir, "embeddings")
+      val corpusDir = scratch("sann_corpus")
+      val out = scratch("sann_index")
+      M.commit(s, corpusDir, spread(s, emb.filter(col("vec_id") % 5 =!= 0)))
+      val v0 = M.currentVersion(s, corpusDir)
+      val (cent, assigned0) = graft.ops.Similarity.ivfIndex(
+        M.read(s, corpusDir), "vec_id", "embedding",
+        numCentroids = 16, lloydRounds = 2)
+      M.commitIndex(s, out, assigned0.repartition(8), corpusDir, v0)
+      val feed = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+      // batch split is arbitrary: every row lands either way
+      val (b1, b2) = feed.splitAt(feed.length / 2)
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float], Int)]
+      val q = graft.streaming.StreamingOps.annMaintainSink(
+        in.toDS().toDF("vec_id", "embedding", "label"),
+        corpusDir, out, "vec_id", "embedding", cent)
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      // between batches the index is already probe-able and fresh
+      M.requireIndexFresh(s, out)
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      q.stop()
+      M.requireIndexFresh(s, out)
+      val probesQ = emb.filter(col("vec_id") < 10)
+      val cells = graft.ops.Similarity.probeCells(
+        cent, probesQ, "vec_id", "embedding", nprobe = 4)
+      val index = M.readWhereIn(s, out, "cell", cells.map(_.toDouble))
+      graft.ops.Similarity.ivfTopKFromIndex(
+          index, cent, probesQ, "vec_id", "embedding", k = 5, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim"), 6).as("sim"))
+    }),
+
     // Extension: STREAMING WRITE-AUDIT-PUBLISH — micro-batches land on
     // a BRANCH (CAS-claimed pointer slots), so the published table never
     // shows in-flight ingestion: main is checked mid-stream (still the
@@ -4015,6 +4071,28 @@ object SparkEntry {
       |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored)
       |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin
 
+  /** [[ivfTopkOracleSql]] with the codebook FROZEN on the initial
+    * (vec_id % 5 != 0) corpus while assignment covers everything — the
+    * convergence target shared by the batch delta-maintenance query
+    * (`sim_ivf_delta`) and its streaming twin (`stream_ann_maintain`). */
+  private lazy val ivfFrozenDeltaOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |e0 AS (SELECT * FROM e WHERE vec_id % 5 != 0),
+      |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e0 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |c1 AS ${lloydRoundSqlFrom("e0", "seeds", 64)},
+      |c2 AS ${lloydRoundSqlFrom("e0", "c1", 64)},
+      |sims AS (SELECT e.vec_id, e.v, c.cent_id, ${cosSql("e.v", "c.cv")} AS csim FROM e, c2 c),
+      |cells AS (SELECT vec_id, v, cent_id AS cell FROM
+      |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims)
+      |  WHERE rn = 1),
+      |probes AS (SELECT vec_id AS query_id, v AS qv, cent_id AS cell FROM
+      |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims WHERE vec_id < 10)
+      |  WHERE rn <= 4),
+      |scored AS (SELECT p.query_id, cl.vec_id AS neighbor_id, ${cosSql("p.qv", "cl.v")} AS sim
+      |  FROM probes p JOIN cells cl ON p.cell = cl.cell WHERE cl.vec_id != p.query_id),
+      |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored)
+      |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x,y) -> x+y)" +
       s" / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (x,y) -> x+y))" +
@@ -4821,6 +4899,23 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
         |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin,
 
+    // Per-label centroids on each half (the label_centroids mean
+    // recipe), cosine between the halves' centroids.
+    "sim_centroid_drift" ->
+      s"""WITH ea AS (SELECT CAST(label AS BIGINT) AS label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings WHERE vec_id % 2 = 0),
+        |eb AS (SELECT CAST(label AS BIGINT) AS label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings WHERE vec_id % 2 = 1),
+        |ma AS (SELECT label, i - 1 AS pos,
+        |    CAST(SUM(CAST(v[i] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mu, COUNT(*) AS n
+        |  FROM ea, generate_series(1, 64) g(i) GROUP BY 1, 2),
+        |mb AS (SELECT label, i - 1 AS pos,
+        |    CAST(SUM(CAST(v[i] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mu, COUNT(*) AS n
+        |  FROM eb, generate_series(1, 64) g(i) GROUP BY 1, 2),
+        |ca AS (SELECT label, list(mu ORDER BY pos) AS cv, max(n) AS n_a FROM ma GROUP BY 1),
+        |cb AS (SELECT label, list(mu ORDER BY pos) AS cv, max(n) AS n_b FROM mb GROUP BY 1)
+        |SELECT ca.label, ca.n_a, cb.n_b,
+        |  round(${cosSql("ca.cv", "cb.cv")}, 6) AS centroid_cos
+        |FROM ca JOIN cb USING (label)""".stripMargin,
+
     // Radius search: the same cosine, kept wherever it clears the fixed
     // threshold — no per-query rank.
     "sim_range_search" ->
@@ -4895,24 +4990,11 @@ object SparkEntry {
     // The frozen codebook trains on the initial (vec_id % 5 != 0)
     // corpus only; assignment — original build plus the incremental
     // delta — covers EVERYTHING. Probes rank identically to the fused
-    // IVF under those centroids.
-    "sim_ivf_delta" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-        |e0 AS (SELECT * FROM e WHERE vec_id % 5 != 0),
-        |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e0 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-        |c1 AS ${lloydRoundSqlFrom("e0", "seeds", 64)},
-        |c2 AS ${lloydRoundSqlFrom("e0", "c1", 64)},
-        |sims AS (SELECT e.vec_id, e.v, c.cent_id, ${cosSql("e.v", "c.cv")} AS csim FROM e, c2 c),
-        |cells AS (SELECT vec_id, v, cent_id AS cell FROM
-        |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims)
-        |  WHERE rn = 1),
-        |probes AS (SELECT vec_id AS query_id, v AS qv, cent_id AS cell FROM
-        |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims WHERE vec_id < 10)
-        |  WHERE rn <= 4),
-        |scored AS (SELECT p.query_id, cl.vec_id AS neighbor_id, ${cosSql("p.qv", "cl.v")} AS sim
-        |  FROM probes p JOIN cells cl ON p.cell = cl.cell WHERE cl.vec_id != p.query_id),
-        |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored)
-        |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin,
+    // IVF under those centroids. (Shared by the batch delta-maintenance
+    // query and its streaming twin: both must converge to this.)
+    "sim_ivf_delta" -> ivfFrozenDeltaOracleSql,
+
+    "stream_ann_maintain" -> ivfFrozenDeltaOracleSql,
 
     "sim_label_centroids" ->
       s"""WITH e AS (SELECT CAST(label AS BIGINT) AS label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

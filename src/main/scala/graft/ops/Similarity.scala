@@ -463,6 +463,44 @@ object Similarity {
         round(col("mc"), 6).as("mean_cos"))
   }
 
+  /** Per-label EMBEDDING-DISTRIBUTION DRIFT between two corpus slices —
+    * the embedding-space twin of the PSI text drift check: each side's
+    * per-label centroid (component means, DECIMAL-routed so the result
+    * is arrival-order-independent), compared by cosine. A retrained
+    * encoder, a pipeline change, or genuine distribution shift shows up
+    * as centroid_cos dropping below ~1 for the affected labels — the
+    * review you run before mixing a new embedding batch into curation
+    * decisions calibrated on the old one.
+    *
+    * Scale shape: two posexplode aggregates (labels × dim rows each —
+    * map-side combinable, never vector-count-sized) and one join of two
+    * label-sized frames. */
+  def centroidDrift(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      vecCol: String,
+      labelCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(27, 12)
+    def cents(df: DataFrame): DataFrame =
+      df.select(col(labelCol).cast("long").as("label"),
+          transform(col(vecCol), _.cast("double")).as("v"))
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg((sum(col("x").cast(dec)).cast("double") / count(lit(1))).as("mu"),
+          count(lit(1)).as("n"))
+        .groupBy("label")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("mu")))),
+          _.getField("mu")).as("cv"), max(col("n")).as("n"))
+    val a = cents(dfA).select(col("label"), col("n").as("n_a"), col("cv").as("cva"))
+    val b = cents(dfB).select(col("label"), col("n").as("n_b"), col("cv").as("cvb"))
+    val cos = cosineFor(dfA.sparkSession) _
+    a.join(b, Seq("label"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(cos(col("cva"), col("cvb")), 6).as("centroid_cos"))
+  }
+
   /** Product-quantization reconstruction — the MEMORY-side ANN scale path
     * next to [[ivfTopK]]'s compute-side path. The `dim`-space splits into
     * `m` subspaces; each learns `k` centroids with the SAME deterministic

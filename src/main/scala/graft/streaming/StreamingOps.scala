@@ -413,6 +413,38 @@ object StreamingOps {
       }
       .start()
 
+  /** STREAMING ANN index maintenance — continuous embedding ingestion
+    * with an always-probe-able index: each micro-batch appends its
+    * vectors to the corpus table, then lands their cell assignments
+    * (frozen codebook — [[graft.ops.Similarity.assignCells]], a pure
+    * projection over the batch) on the index table with `appendIndex`,
+    * which rebinds `#indexof` to the new corpus version in the same
+    * pointer move. Between any two batches the staleness gate passes
+    * and probes see every landed vector — the streaming twin of the
+    * batch `sim_ivf_delta` lifecycle, with per-batch cost O(batch).
+    * Single-ingest-writer shape (the corpus version read between the
+    * two appends is the binding's truth); probes run concurrently
+    * against whatever snapshot pair is current. */
+  def annMaintainSink(
+      stream: DataFrame,
+      corpusDir: String,
+      indexDir: String,
+      idCol: String,
+      vecCol: String,
+      cent: Seq[(Long, Seq[Double])]
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        graft.sources.ManifestTable.append(s, corpusDir, batch)
+        val v = graft.sources.ManifestTable.currentVersion(s, corpusDir)
+        graft.sources.ManifestTable.appendIndex(s, indexDir,
+          graft.ops.Similarity.assignCells(batch, idCol, vecCol, cent),
+          corpusDir, v): Unit
+      }
+      .start()
+
   /** Per-key tumbling-window ADMISSION QUOTA — the ingest rate limiter:
     * each (key, window) admits at most `maxPerWindow` events and flags
     * the overflow, so a runaway producer (bot burst, crawler loop,
