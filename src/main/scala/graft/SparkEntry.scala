@@ -3234,6 +3234,31 @@ object SparkEntry {
       mainBefore.union(audit).union(mainAfter)
     }),
 
+    // Extension: manifest-table VACUUM — retention in one transaction:
+    // after a compaction, the superseded generation's data files and
+    // manifests are unreferenced; vacuum sweeps exactly them (the
+    // pre-compaction repartition(8) files plus the old manifest's
+    // sidecar-free history), live content is bit-identical, and
+    // time-travel to the collapsed version now fails CLEANLY instead of
+    // dangling — all asserted in the result row.
+    "ingest_manifest_vacuum" -> ((s, dir) => {
+      val M = graft.sources.ManifestTable
+      val out = scratch("manifest_vac")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      M.commit(s, out, docs.repartition(8))
+      M.compact(s, out, targetFiles = 2)
+      val swept = M.vacuum(s, out)
+      val ttPruned =
+        try { M.readVersion(s, out, 0L); false }
+        catch { case _: Exception => true }
+      M.read(s, out)
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_sum"))
+        .select(col("n_docs"), col("id_sum"), col("chars_sum"),
+          lit(swept).as("n_swept"), lit(ttPruned).as("tt_pruned"))
+    }),
+
     // Extension: manifest-table INCREMENTAL READ — the consume side of
     // append: a downstream job remembers its last version and reads
     // ONLY the files newer manifests added (O(batch) per poll); the base
@@ -7505,6 +7530,14 @@ object SparkEntry {
         |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS value_sum
         |FROM events
         |WHERE event_id BETWEEN 100 AND 2000 AND user_id BETWEEN 10 AND 80""".stripMargin,
+
+    // Live content survives the sweep bit-identically; the 8
+    // pre-compaction files are the orphans; v0 is gone cleanly.
+    "ingest_manifest_vacuum" ->
+      """SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |  8 AS n_swept, true AS tt_pruned
+        |FROM documents""".stripMargin,
 
     // The clustered table holds exactly the events frame; the stats-
     // pruned IN-list read equals the plain IN filter.

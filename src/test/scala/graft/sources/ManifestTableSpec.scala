@@ -1335,6 +1335,11 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
       val none = ManifestTable.readWhereIn(spark, dir, "cell", Seq.empty)
       none.count() shouldBe 0
       none.columns.toSeq shouldBe Seq("id", "cell")
+      // deletion vectors apply on this read path too: the DV lines
+      // resolve against the SAME snapshot as the prune
+      ManifestTable.deleteVectorWhere(spark, dir, "id", 1000.0, 1009.0)
+      ManifestTable.readWhereIn(spark, dir, "cell", Seq(2.0))
+        .count() shouldBe 490
     } finally rm(dir)
   }
 
