@@ -2750,6 +2750,14 @@ object SparkEntry {
     "text_bpe_segment" -> ((s, dir) =>
       graft.ops.Corpus.bpeSegment(spread(s, table(s, dir, "documents")), "doc_id", "text")),
 
+    // Extension: the learned VOCABULARY with corpus frequencies — the
+    // second shipped tokenizer artifact next to the merge table (what
+    // token-budget planning, OOV analysis and embedding-table sizing
+    // actually read).
+    "text_bpe_vocab" -> ((s, dir) =>
+      graft.ops.Corpus.bpeVocabulary(
+        spread(s, table(s, dir, "documents")), "text")),
+
     // Extension: SHIPPED-TOKENIZER segmentation — train the merge table
     // on the even-doc_id half only, then segment the WHOLE corpus with
     // the shipped table (bpeSegmentWith: no retraining) — the production
@@ -7018,6 +7026,19 @@ object SparkEntry {
     "text_bpe_segment" -> s"WITH $bpeSegmentSql",
 
     "text_bpe_apply" -> s"WITH $bpeApplySql",
+
+    // The chain's w11 plus merge 12's replace pass = the fully-merged
+    // frequency-weighted symbol stream; unnest and sum per token.
+    "text_bpe_vocab" -> {
+      val rep12 = (1 to 6).foldLeft("s") { (e, _) =>
+        s"replace($e, (SELECT '|'||a||'|'||b||'|' FROM p12), (SELECT '|'||a||b||'|' FROM p12))"
+      }
+      s"""WITH $bpeCtes,
+        |fin AS (SELECT $rep12 AS s, n FROM w11)
+        |SELECT token, CAST(sum(n) AS BIGINT) AS occurrences FROM (
+        |  SELECT unnest(list_filter(string_split(s, '|'), x -> x != '')) AS token, n FROM fin)
+        |GROUP BY token""".stripMargin
+    },
 
     "text_cdc_dups" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

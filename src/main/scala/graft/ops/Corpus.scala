@@ -1171,6 +1171,35 @@ object Corpus {
       .toDF("merge_idx", "left_sym", "right_sym", "pair_count")
   }
 
+  /** The learned VOCABULARY with corpus frequencies — the second
+    * artifact a tokenizer ships next to its merge table: every symbol
+    * the corpus segments into after `nMerges` merges, weighted by word
+    * frequency. Token-budget planning, OOV analysis, and embedding-table
+    * sizing all read this, not the merge list.
+    *
+    * Scale shape: the trainer's induction, then the same rank-ordered
+    * [[mergeFold]] chain over the (distinct word, frequency) frame with
+    * the checkpoint cadence, one explode and one (token) aggregate. */
+  def bpeVocabulary(
+      df: DataFrame,
+      textCol: String,
+      nMerges: Int = 12,
+      maxChain: Int = 6
+  ): DataFrame = {
+    val merges = learnMerges(df, textCol, nMerges, maxChain)
+    var words = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(filter(split(col("w"), ""), x => x =!= "").as("sy"), col("n"))
+    var applied = 0
+    for ((_, a, b, _) <- merges) {
+      words = words.select(mergeFold(col("sy"), a, b).as("sy"), col("n"))
+      applied += 1
+      if (applied % RepersistEvery == 0) words = words.localCheckpoint(true)
+    }
+    words.select(explode(col("sy")).as("token"), col("n"))
+      .groupBy("token").agg(sum(col("n")).as("occurrences"))
+  }
+
   /** [[bpeMerges]] as the driver-side merge table a tokenizer SHIPS —
     * the artifact [[bpeSegmentWith]] applies to any corpus without
     * retraining (train on a reference slice, segment everything). The
