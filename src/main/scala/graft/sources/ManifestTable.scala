@@ -701,41 +701,55 @@ object ManifestTable {
     val ptr = new Path(dir, PointerName)
     require(f.exists(ptr), s"not a manifest table (no $PointerName): $dir")
     val bd = branchDir(dir, name)
-    require(!f.exists(bd), s"branch '$name' already exists in $dir")
+    // a directory with no claimed slot is a crashed create, not a
+    // branch — recoverable; the slot-1 claim below still picks exactly
+    // one winner among concurrent creators
+    require(branchStateOpt(f, dir, name).isEmpty,
+      s"branch '$name' already exists in $dir")
     val cur = readSmallFile(f, ptr).trim
     f.mkdirs(bd)
     require(createExclusive(f, new Path(bd, slotName(1L)), s"$cur\n$cur"),
       s"branch '$name' already exists in $dir (lost the creation race)")
   }
 
-  /** Every branch, name → (head version, base version). */
+  /** Every branch, name → (head version, base version). A directory
+    * with no claimed slot (a creator crashed between mkdir and the
+    * slot-1 claim) is not a branch yet and is skipped. */
   def branches(spark: SparkSession, dir: String): Map[String, (Long, Long)] = {
     val f = fs(dir, spark)
     val bdir = new Path(dir, "_branches")
     if (!f.exists(bdir)) Map.empty
     else f.listStatus(bdir).toSeq
       .filter(st => st.isDirectory && !st.getPath.getName.startsWith("."))
-      .map { st =>
-        val (head, base, _) = branchState(f, dir, st.getPath.getName)
-        def v(n: String) = n.stripPrefix("manifest-").stripSuffix(".txt").toLong
-        st.getPath.getName -> (v(head), v(base))
+      .flatMap { st =>
+        branchStateOpt(f, dir, st.getPath.getName).map { case (head, base, _) =>
+          def v(n: String) = n.stripPrefix("manifest-").stripSuffix(".txt").toLong
+          st.getPath.getName -> (v(head), v(base))
+        }
       }.toMap
   }
 
   // (head manifest name, base manifest name, live slot seq) — the
-  // highest-seq slot is the live state; seq feeds the CAS claim
-  private def branchState(f: FileSystem, dir: String, name: String)
-      : (String, String, Long) = {
+  // highest-seq slot is the live state; seq feeds the CAS claim.
+  // None when the directory is absent or holds no claimed slot.
+  private def branchStateOpt(f: FileSystem, dir: String, name: String)
+      : Option[(String, String, Long)] = {
     val bd = branchDir(dir, name)
-    require(f.exists(bd), s"branch '$name' not found in $dir")
+    if (!f.exists(bd)) return None
     val slots = f.listStatus(bd).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("head-"))
-    require(slots.nonEmpty, s"branch '$name' has no pointer slots in $dir")
+    if (slots.isEmpty) return None
     val live = slots.maxBy(slotSeq)
     val Array(head, base) =
       readSmallFile(f, new Path(bd, live)).trim.split('\n').map(_.trim)
-    (head, base, slotSeq(live))
+    Some((head, base, slotSeq(live)))
   }
+
+  private def branchState(f: FileSystem, dir: String, name: String)
+      : (String, String, Long) =
+    branchStateOpt(f, dir, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"requirement failed: branch '$name' not found in $dir"))
 
   /** Read branch `name`'s head snapshot (deletion vectors applied) —
     * the audit read of WAP, invisible to main's readers and vice versa. */
@@ -2403,8 +2417,8 @@ object ManifestTable {
         .flatMap { st =>
           // only the LIVE slot's head+base pin manifests: superseded
           // pointer slots are history, their heads fair vacuum game
-          val (head, base, _) = branchState(f, dir, st.getPath.getName)
-          Seq(head, base)
+          branchStateOpt(f, dir, st.getPath.getName).toSeq
+            .flatMap { case (head, base, _) => Seq(head, base) }
         }.toSet
     }
     val retained = scala.collection.mutable.ArrayBuffer.empty[String]
