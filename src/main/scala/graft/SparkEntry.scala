@@ -860,6 +860,15 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
     }),
 
+    // Extension: IVF index HEALTH — per-cell occupancy and imbalance vs
+    // the uniform ideal: hot cells are an inverted file's probe-latency
+    // risk (a probe pays its cells' occupancy, not the average), and
+    // imbalance drifting up is the codebook re-train trigger.
+    "sim_ivf_cellstats" -> ((s, dir) =>
+      graft.ops.Similarity.ivfCellStats(
+        spread(s, table(s, dir, "embeddings")), "vec_id", "embedding",
+        numCentroids = 16, lloydRounds = 2)),
+
     // Extension: per-label embedding-distribution DRIFT between corpus
     // halves — each side's DECIMAL-routed per-label centroid, compared
     // by cosine: the embedding-space governance check you run before
@@ -1365,6 +1374,22 @@ object SparkEntry {
     "multimodal_decode" -> ((s, dir) =>
       graft.ops.Multimodal.decodeBatched(
         graft.ops.Multimodal.asMedia(table(s, dir, "documents"), "doc_id", "text")).toDF()),
+
+    // Extension: multimodal RETRIEVAL through the stubbed encoder seam —
+    // media payloads decode (real container walk), the clearly-marked
+    // deterministic fake encoder emits per-record embeddings in the
+    // batched per-partition shape a GPU model needs, and the output
+    // feeds the stock ANN top-k unchanged: the full image-retrieval
+    // pipeline with only the model weights faked.
+    "multimodal_embed_topk" -> ((s, dir) => {
+      val emb = graft.ops.Multimodal.embedBatched(
+        graft.ops.Multimodal.asMedia(
+          spread(s, table(s, dir, "documents")), "doc_id", "text")).toDF()
+      graft.ops.Similarity.bruteForceTopK(
+          emb, emb.filter(col("id") < 5), "id", "embedding", 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim"), 6).as("sim"))
+    }),
 
     // Extension: QUARANTINING media decode — every 7th payload is
     // deliberately corrupted (clobbered magic); the per-record Try keeps
@@ -4932,6 +4957,21 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
         |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin,
 
+    // The full-corpus codebook's cell assignment (ivfTopkOracleSql's
+    // cells CTE), occupancy-profiled.
+    "sim_ivf_cellstats" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |c1 AS ${lloydRoundSqlFrom("e", "seeds", 64)},
+        |c2 AS ${lloydRoundSqlFrom("e", "c1", 64)},
+        |cells AS (SELECT vec_id, cent_id AS cell FROM
+        |  (SELECT e.vec_id, c.cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cent_id) AS rn FROM e, c2 c)
+        |  WHERE rn = 1)
+        |SELECT cell, count(*) AS n_vecs,
+        |  round(count(*)::DOUBLE / sum(count(*)) OVER (), 6) AS share,
+        |  round(count(*)::DOUBLE * 16 / sum(count(*)) OVER (), 6) AS imbalance
+        |FROM cells GROUP BY cell""".stripMargin,
+
     // Per-label centroids on each half (the label_centroids mean
     // recipe), cosine between the halves' centroids.
     "sim_centroid_drift" ->
@@ -5568,6 +5608,19 @@ object SparkEntry {
         |  3 AS channels,
         |  lower(hex(substr(text, 1, 4))) AS feature
         |FROM d""".stripMargin,
+
+    // The stub encoder is md5-derived thousandths over (id, w, h, j) —
+    // engine-portable by construction; the ranking is the stock
+    // brute-force top-k over those vectors.
+    "multimodal_embed_topk" ->
+      s"""WITH d AS (SELECT doc_id AS id, 1 + strlen(text) % 64 AS w, 1 + strlen(text) % 48 AS h FROM documents),
+        |e AS (SELECT id, list_transform(generate_series(0, 7), j ->
+        |    (('0x'||substr(md5(id::VARCHAR || '|' || w::VARCHAR || '|' || h::VARCHAR || '|' || j::VARCHAR), 1, 7))::UBIGINT % 1000) / 1000.0) AS v FROM d),
+        |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id < 5),
+        |s AS (SELECT q.query_id, c.id AS neighbor_id, ${cosSql("q.qv", "c.v")} AS sim
+        |  FROM e c, q WHERE c.id != q.query_id),
+        |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
+        |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 3""".stripMargin,
 
     // Corruption rule: doc_id % 7 = 0 clobbers the magic; the message
     // embeds the container length (the BMP size formula).

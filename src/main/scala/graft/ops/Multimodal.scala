@@ -15,6 +15,10 @@ case class MediaRecord(id: Long, payload: Array[Byte], kind: String)
 case class DecodedMedia(
     id: Long, byte_len: Int, width: Int, height: Int, channels: Int, feature: String)
 
+/** Output of the stub media feature extractor ([[Multimodal.embedBatched]]). */
+case class MediaEmbedding(
+    id: Long, width: Int, height: Int, embedding: Seq[Double])
+
 /** Output of the audio decoder. */
 case class DecodedAudio(
     id: Long, byte_len: Int, sample_rate: Int, channels: Int, bits_per_sample: Int,
@@ -755,6 +759,41 @@ object Multimodal {
         batch.map { r =>
           val (w, h, c, f) = decodePayload(r.payload)
           DecodedMedia(r.id, r.payload.length, w, h, c, f)
+        }
+      }
+    }
+  }
+
+  /** STUB media feature extraction — the vision-encoder seam of a
+    * multimodal curation pipeline, with the model deliberately faked:
+    * this container ships no image models, so the ENCODER is a
+    * clearly-marked deterministic stand-in (component j =
+    * `md5("$id|$w|$h|$j")`-derived thousandths — engine-portable, the
+    * SQL oracle reproduces it bit-for-bit). Everything AROUND the fake
+    * is the production plumbing a real encoder drops into unchanged:
+    * batched `mapPartitions` (a GPU/ONNX session loads once per
+    * partition at the marked seam and sees fixed-size micro-batches),
+    * a REAL container decode feeding the features (corrupt payloads
+    * fail loudly here — quarantine upstream with
+    * [[decodeQuarantined]]), and the (id, dims, embedding) output
+    * schema downstream ANN ops consume as-is. */
+  def embedBatched(ds: Dataset[MediaRecord], dim: Int = 8): Dataset[MediaEmbedding] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // <- a real encoder initializes its model session HERE, once per
+      //    partition; the fake needs only a digest instance
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def stub(id: Long, w: Int, h: Int, j: Int): Double = {
+        val hex = md.digest(s"$id|$w|$h|$j"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"${b & 0xff}%02x").mkString.take(7)
+        java.lang.Long.parseLong(hex, 16) % 1000 / 1000.0
+      }
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, _, _) = decodePayload(r.payload)
+          MediaEmbedding(r.id, w, h,
+            (0 until dim).map(j => stub(r.id, w, h, j)))
         }
       }
     }

@@ -463,6 +463,32 @@ object Similarity {
         round(col("mc"), 6).as("mean_cos"))
   }
 
+  /** IVF index HEALTH telemetry: per-cell occupancy, share of the
+    * corpus, and imbalance vs the uniform ideal (n·k/total — 1.0 means
+    * perfectly balanced). Hot cells are the real probe-latency risk of
+    * an inverted file (a probe pays its cells' occupancy, not the
+    * average), and the re-train trigger: imbalance drifting up as the
+    * corpus grows means the frozen codebook no longer fits the data.
+    *
+    * Scale shape: one k-row aggregate over the assignment projection;
+    * the share/imbalance window runs over the k-row frame only. */
+  def ivfCellStats(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int = 16,
+      lloydRounds: Int = 2
+  ): DataFrame = {
+    val (_, assigned) =
+      ivfIndex(corpus, idCol, vecCol, numCentroids, lloydRounds)
+    val w = Window.partitionBy(lit(0))
+    assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs") / sum(col("n_vecs")).over(w), 6).as("share"),
+        round(col("n_vecs") * lit(numCentroids) / sum(col("n_vecs")).over(w), 6)
+          .as("imbalance"))
+  }
+
   /** Per-label EMBEDDING-DISTRIBUTION DRIFT between two corpus slices —
     * the embedding-space twin of the PSI text drift check: each side's
     * per-label centroid (component means, DECIMAL-routed so the result
