@@ -73,6 +73,31 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "plan radius search with zero shuffles and correct neighbor sets" in {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.rangeSearch(
+      emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", minSim = 0.2)
+    // the scale claim, plan-proven: broadcast probes + map-side
+    // threshold — no hashpartitioning exchange anywhere (no window, no
+    // per-query rank)
+    "Exchange hashpartitioning".r
+      .findAllIn(out.queryExecution.executedPlan.toString).length shouldBe 0
+    // correctness vs a local reference over the same vectors
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = (for {
+      q <- vecs.keys.filter(_ < 3)
+      c <- vecs.keys if c != q
+      s = cos(vecs(q), vecs(c)) if s >= 0.2
+    } yield (q, c)).toSet
+    out.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe expected
+  }
+
   it should "run the boilerplate fraction on at most three exchanges" in {
     // shingle df count + join back + per-doc rollup — the TF-IDF posture;
     // more exchanges would mean the shingle frame shuffles redundantly
