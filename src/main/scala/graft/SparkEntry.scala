@@ -860,6 +860,41 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
     }),
 
+    // Extension: IVF-PQ with RESIDUAL encoding (FAISS by_residual=true,
+    // the production default) — PQ codebooks train on v − coarse
+    // centroid and reconstruction adds it back: residuals concentrate
+    // near zero, so the same 2-byte code budget quantizes far finer
+    // than sim_ivfpq_topk's by_residual=false at identical m/k.
+    "sim_ivfpq_residual" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.ops.Similarity.ivfPqResidualTopK(
+          spread(s, emb), emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          dim = 64, k = 5, numCentroids = 16, lloydRounds = 2, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim"), 6).as("sim"))
+    }),
+
+    // Extension: recall@5 of the residual IVF-PQ vs the exact cosine
+    // ranking — the eval that PRICES the residual encoding against
+    // sim_ivfpq_recall's by_residual=false number at identical m/k.
+    "sim_ivfpq_residual_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = graft.ops.Similarity
+        .bruteForceTopK(spread(s, emb), q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = graft.ops.Similarity.ivfPqResidualTopK(
+          spread(s, emb), q, "vec_id", "embedding",
+          dim = 64, k = 5, numCentroids = 16, lloydRounds = 2, nprobe = 4,
+          m = 4, pqK = 16)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      q.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) / 5.0, 6).as("recall"))
+    }),
+
     // Extension: IVF index HEALTH — per-cell occupancy and imbalance vs
     // the uniform ideal: hot cells are an inverted file's probe-latency
     // risk (a probe pays its cells' occupancy, not the average), and
@@ -4151,6 +4186,72 @@ object SparkEntry {
       |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored)
       |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin
 
+  /** Residual IVF-PQ re-derived in SQL: coarse cells from the IVF chain,
+    * residuals v − coarse_centroid MATERIALIZED (five downstream refs),
+    * the four subspace Lloyd chains over residual slices, reconstruction
+    * = coarse + residual recon, nprobe-pruned asymmetric ranking. */
+  private lazy val ivfpqResidualChainSql: String = {
+    val m = 4
+    val sub = 16
+    val per = (0 until m).map { j =>
+      val lo = j * sub + 1
+      val hi = (j + 1) * sub
+      s"""rs$j AS (SELECT vec_id, rv[$lo:$hi] AS v FROM resid),
+         |rseeds$j AS (SELECT vec_id AS cent_id, v AS cv FROM rs$j ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |rc1_$j AS ${lloydRoundSqlFrom(s"rs$j", s"rseeds$j", sub)},
+         |rc2_$j AS ${lloydRoundSqlFrom(s"rs$j", s"rc1_$j", sub)},
+         |rcode$j AS (SELECT vec_id, cv FROM (
+         |  SELECT s.vec_id, c.cv, row_number() OVER (PARTITION BY s.vec_id ORDER BY ${cosSql("s.v", "c.cv")} DESC, c.cent_id) AS rn
+         |  FROM rs$j s, rc2_$j c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |c1 AS ${lloydRoundSqlFrom("e", "seeds", 64)},
+      |c2 AS ${lloydRoundSqlFrom("e", "c1", 64)},
+      |sims AS MATERIALIZED (SELECT e.vec_id, e.v, c.cent_id, ${cosSql("e.v", "c.cv")} AS csim FROM e, c2 c),
+      |cells AS (SELECT vec_id, v, cell, ccv FROM (
+      |  SELECT s.vec_id, s.v, s.cent_id AS cell, c.cv AS ccv,
+      |    row_number() OVER (PARTITION BY s.vec_id ORDER BY s.csim DESC, s.cent_id) AS rn
+      |  FROM sims s JOIN c2 c ON s.cent_id = c.cent_id) WHERE rn = 1),
+      |resid AS MATERIALIZED (SELECT vec_id, cell, ccv,
+      |  list_transform(generate_series(1, 64), i -> v[i] - ccv[i]) AS rv FROM cells),
+      |$per,
+      |reconr AS (SELECT k0.vec_id, k0.cv || k1.cv || k2.cv || k3.cv AS rrv
+      |  FROM rcode0 k0 JOIN rcode1 k1 USING (vec_id) JOIN rcode2 k2 USING (vec_id)
+      |  JOIN rcode3 k3 USING (vec_id)),
+      |recon AS (SELECT r.vec_id, d.cell,
+      |  list_transform(generate_series(1, 64), i -> d.ccv[i] + r.rrv[i]) AS pv
+      |  FROM reconr r JOIN resid d USING (vec_id)),
+      |probes AS (SELECT vec_id AS query_id, v AS qv, cent_id AS cell FROM
+      |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims WHERE vec_id < 10)
+      |  WHERE rn <= 4),
+      |scored AS (SELECT p.query_id, r.vec_id AS neighbor_id, ${cosSql("p.qv", "r.pv")} AS sim
+      |  FROM probes p JOIN recon r ON p.cell = r.cell WHERE r.vec_id != p.query_id),
+      |rnk AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored)""".stripMargin
+  }
+
+  private lazy val ivfpqResidualOracleSql: String =
+    s"""$ivfpqResidualChainSql
+      |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM rnk WHERE rk <= 5""".stripMargin
+
+  /** Recall@5 of the residual IVF-PQ ranking vs the exact cosine top-5
+    * (`ex_*` CTEs) — the eval that prices the residual encoding. */
+  private lazy val ivfpqResidualRecallOracleSql: String =
+    s"""$ivfpqResidualChainSql,
+      |ex_s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosSql("q.v", "c.v")} AS sim
+      |  FROM e c, e q WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+      |ex_r AS (SELECT query_id, neighbor_id FROM
+      |  (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM ex_s)
+      |  WHERE rk <= 5),
+      |approx AS (SELECT query_id, neighbor_id FROM rnk WHERE rk <= 5),
+      |hits AS (SELECT query_id, count(*) AS n_hit FROM approx
+      |  WHERE EXISTS (SELECT 1 FROM ex_r x WHERE x.query_id = approx.query_id AND x.neighbor_id = approx.neighbor_id)
+      |  GROUP BY query_id)
+      |SELECT q.vec_id AS query_id, coalesce(h.n_hit, 0) AS n_hit,
+      |  round(coalesce(h.n_hit, 0) / 5.0, 6) AS recall
+      |FROM (SELECT vec_id FROM e WHERE vec_id < 10) q
+      |LEFT JOIN hits h ON h.query_id = q.vec_id""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x,y) -> x+y)" +
       s" / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (x,y) -> x+y))" +
@@ -4956,6 +5057,10 @@ object SparkEntry {
         |  FROM e c, q WHERE c.vec_id != q.query_id),
         |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
         |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin,
+
+    "sim_ivfpq_residual" -> ivfpqResidualOracleSql,
+
+    "sim_ivfpq_residual_recall" -> ivfpqResidualRecallOracleSql,
 
     // The full-corpus codebook's cell assignment (ivfTopkOracleSql's
     // cells CTE), occupancy-profiled.

@@ -772,6 +772,76 @@ object Similarity {
       .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= k)
   }
 
+  /** IVF-PQ with RESIDUAL encoding (FAISS `by_residual=true`, the
+    * production default): PQ codebooks train on `v − coarse_centroid`
+    * instead of raw vectors, and reconstruction adds the coarse
+    * centroid back. Residuals concentrate around zero with far less
+    * variance than raw vectors, so the same code budget quantizes much
+    * finer — the standard recall win over [[ivfPqTopK]]'s
+    * `by_residual=false` at identical m/k.
+    *
+    * Scale shape mirrors [[ivfPqTopK]]: both quantizers are plan
+    * literals (k·dim + m·k·(dim/m) driver doubles), the inverted file
+    * is ONE projection (cell + coarse-plus-residual reconstruction),
+    * probes prune compute by nprobe. The residual frame is a pure
+    * projection over the corpus (cell lookup against a map literal, one
+    * `zip_with`) — at index-build scale you'd persist it across the
+    * codebook's Lloyd rounds; the rounds themselves shuffle only
+    * k·dim partial sums either way. */
+  def ivfPqResidualTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      numCentroids: Int = 16,
+      lloydRounds: Int = 2,
+      nprobe: Int = 4,
+      m: Int = 4,
+      pqK: Int = 16
+  ): DataFrame = {
+    val cos = cosineFor(corpus.sparkSession) _
+    val cent = kmeansCentroids(corpus, idCol, vecCol, numCentroids, lloydRounds)
+    if (cent.isEmpty)
+      return queries.limit(0).select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0.0).as("sim"), lit(0).as("rank"))
+    val centMap = typedlit(cent.toMap)
+    val vecs = corpus.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+      .filter(col("v").isNotNull)
+    // cell + residual in one projection
+    val resid = vecs
+      .select(col("id"), nearestCell(cos)(col("v"), cent).as("cell"), col("v"))
+      .select(col("id"), col("cell"),
+        zip_with(col("v"), element_at(centMap, col("cell")),
+          (x, c) => x - c).as("rv"))
+    // the PQ codebooks train on the RESIDUALS
+    val books = pqCodebooks(resid, "id", "rv", dim, m, pqK, lloydRounds)
+    // inverted file: reconstruction = coarse centroid + residual recon
+    val assigned = resid.select(col("id").as("neighbor_id"), col("cell"),
+      zip_with(element_at(centMap, col("cell")),
+        pqReconCol(cos, books, dim)(col("rv")), (c, r) => c + r).as("pq_vec"))
+
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val candArr = array(cent.map { case (cid, cv) =>
+      struct(cos(col("qvec"), typedlit(cv)).as("csim"), lit(cid).as("cent_id"))
+    }: _*)
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("cand.csim").desc, col("cand.cent_id").asc)
+    val probes = q.select(col("query_id"), col("qvec"), explode(candArr).as("cand"))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cand.cent_id").as("cell"))
+
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    probes.join(assigned, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cos(col("qvec"), col("pq_vec")).as("sim"))
+      .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= k)
+  }
+
   /** Hubness report: the top in-degree nodes of the approximate kNN graph
     * — high-dimensional embedding spaces concentrate neighborhoods onto a
     * few "hub" points (the hubness phenomenon), which silently dominate
