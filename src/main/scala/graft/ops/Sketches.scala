@@ -74,7 +74,10 @@ object Sketches {
     * regime they compare in. */
   def hllEstimate(registers: DataFrame): DataFrame = {
     val scale = lit(1L << (W + 1))                       // 2^53, exact
-    val num = sum(shiftleft(lit(1L), lit(W + 1) - col("rho"))) // exact BIGINT
+    // Scala's functions.shiftleft takes an Int shift; the SQL ShiftLeft
+    // expression accepts a column shift amount — the integer shift keeps
+    // the numerator exact (no pow-of-two float rounding).
+    val num = sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${W + 1} - rho)")) // exact BIGINT
     val perShard = registers.groupBy("shard").agg(
       count(lit(1)).as("used"),
       num.as("num_occ"))
