@@ -34,11 +34,13 @@ import org.apache.spark.sql.SparkSession
   *    2→1 and chunk →32 — and RE-UPGRADES to a less-degraded level when
   *    measurement comes in under the prior (r9's degrade-only ladder left
   *    1,143 s of its budget unspent) — recorded in the emitted JSON under
-  *    `degraded` ("levelxqueries" pairs). If even the floor level cannot
+  *    `levels` ("levelxqueries" pairs, level 0 included; `warmup_sec`
+  *    and `spent_sec` ride alongside at every stage). If even the floor
+  *    level cannot
   *    fit, the remaining queries are SKIPPED and listed under `skipped`
   *    (never silently dropped), and the final JSON line ALWAYS prints.
   *  - JVM/session startup and warmup are excluded from query times and
-  *    reported under the `warmup` key (whole seconds); 1-minute load
+  *    reported under the `warmup_sec` key (whole seconds); 1-minute load
   *    averages before;after are under `load`, so external CPU contention
   *    on a shared host is visible.
   *  - Failing queries are listed by name under `failed` (empty list when
@@ -49,14 +51,14 @@ import org.apache.spark.sql.SparkSession
   *
   * Emitted line (driver-parsed from the output tail, window ~2000 chars):
   * `{"metric":"total","value":S,"unit":"sec","queries":{name:sec,...},
-  * "failed":[...],"warmup":W[,"fallbacks":N],"load":"a;b","note":...,
-  * "sf":dir}`. To stay under the window as the query set grows, the line
+  * "failed":[...],"levels":"0xN,...","warmup_sec":W,"spent_sec":E
+  * [,"fallbacks":N],"load":"a;b","note":...,"sf":dir}`. To stay under the window as the query set grows, the line
   * degrades deterministically: (1) per-query times at 2 decimals with
   * trailing zeros trimmed; (2) 1 decimal, trimmed; (3) additionally the
   * query-name PREFIX abbreviation `multimodal_→mm_ events_→ev_ dedup_→dd_
   * plug_→pl_ docs_→dc_ text_→tx_ sim_→si_ ingest_→in_ stream_→st_`;
-  * (4) additionally the diagnostic keys (warmup/load/note/fallbacks) move
-  * to stderr and only the contract fields remain; (5) additionally names
+  * (4) additionally the diagnostic keys (load/note/fallbacks) move to
+  * stderr and only the contract + ladder fields remain; (5) additionally names
   * compress to INITIALS — the prefix abbreviation plus the first letter of
   * each remaining `_`-token (`dedup_ngram_jaccard`→`dd_nj`,
   * `docs_topk_by_lang`→`dc_tbl`); names that would collide at one letter
@@ -65,14 +67,14 @@ import org.apache.spark.sql.SparkSession
   * map is reversible against the sorted query list — this stage keeps the
   * 1-decimal times and holds ~90 queries under ~1300 chars; (6) per-query
   * times drop to whole seconds and an EMPTY failed list is omitted (a
-  * non-empty failed list is always emitted) — holds ~140 queries; (7) last
+  * non-empty failed list is always emitted) — holds ~135 queries; (7) last
   * resort: family prefixes compress to ONE letter with no underscore
   * (`tightAbbrev`: multimodal→m events→e dedup→d plug→p docs→c text→t
   * sim→s ingest→i stream→r — distinct letters so initials stay
-  * reversible), saving ~2 chars per query — holds to ~160 queries; (8)
+  * reversible), saving ~2 chars per query — holds to ~155 queries; (8)
   * names become base-36 ORDINALS of the sorted query list (≤2 chars to
   * 1296 queries, decoded by re-sorting the list), ~8 chars per query —
-  * holds to ~190 queries; (9) last resort: ordinals with sub-half-second
+  * holds to ~185 queries; (9) last resort: ordinals with sub-half-second
   * PASSING queries omitted from the map (a missing entry means "ran,
   * passed, <0.5 s"; a non-empty failed list always emits and failed
   * queries always keep their entry) — the line length now tracks the
@@ -293,7 +295,7 @@ object Bench {
         // directions: the ladder climbs back up when measurements come in
         // under the prior. Degradation is
         // recorded in the emitted JSON
-        // (`degraded` lists [level, queries-run-at-it]); if even the
+        // (`levels` lists [level, queries-run-at-it]); if even the
         // floor level cannot fit, remaining queries are SKIPPED and
         // listed, never silently dropped. Level 0 is the full
         // median-of-3 fresh-JVM methodology of rounds 3-7.
@@ -386,7 +388,6 @@ object Bench {
         }
         val skipped = remaining
         val results: Seq[(String, (Double, Boolean))] = acc.toSeq
-        val degraded = levelCounts.toSeq.filterNot(_._1 == 0)
         def f2(d: Double) = "%.2f".format(d)
         val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }.mkString("[", ",", "]")
         val total = results.map(_._2._1).sum
@@ -447,10 +448,17 @@ object Bench {
         def initials(n: String): String = initialsMap.getOrElse(n, short(n))
         lazy val tightMap = initialsAbbrev(names, tightAbbrev)
         def tight(n: String): String = tightMap.getOrElse(n, n)
-        // degradation summary, e.g. "0x16,2x262" (levelxqueries) — tiny,
-        // so it rides on the line at every stage; an all-level-0 run
-        // omits it (the field means "methodology degraded")
-        val degStr = degraded.map { case (l, n) => s"${l}x$n" }.mkString(",")
+        // ladder summary — rides on the line at EVERY stage (~55 chars):
+        // per-level query counts INCLUDING level 0, warmup seconds, and
+        // wall-clock spent, so the official artifact shows an under-spend
+        // or a degraded methodology without repo archaeology (the old
+        // "degraded" field omitted level-0 counts and the diag-only
+        // stages dropped warmup entirely). The spec's per-stage length
+        // pins project these fields pessimistically.
+        val lvlStr = levelCounts.toSeq.map { case (l, n) => s"${l}x$n" }.mkString(",")
+        def ladderPart =
+          s""","levels":"$lvlStr","warmup_sec":${"%.0f".format(warmupTotal)}""" +
+            s""","spent_sec":${"%.0f".format(elapsed())}"""
         def assemble(fmt: Double => String, name: String => String,
             diag: Boolean, failedAlways: Boolean,
             omitFastOk: Boolean = false) = {
@@ -463,8 +471,9 @@ object Bench {
             else results
           val qs = kept.map { case (k, (v, _)) => "\"" + name(k) + "\":" + fmt(v) }
             .mkString("{", ",", "}")
+          // warmup moved out of diag (always on via ladderPart)
           val diagPart =
-            if (diag) s""","warmup":${"%.0f".format(warmupTotal)}$fb,"load":"$load1","note":"budget-capped fresh-JVM chunks""""
+            if (diag) s"""$fb,"load":"$load1","note":"budget-capped fresh-JVM chunks""""
             else ""
           // the failed list is load-bearing whenever non-empty; only the
           // tightest stage may omit the empty "[]"
@@ -480,8 +489,7 @@ object Bench {
             else if (skipped.size <= 8)
               s""","skipped":${skipped.map(n => "\"" + name(n) + "\"").mkString("[", ",", "]")}"""
             else s""","skipped_n":${skipped.size},"skipped_from":"${name(skipped.head)}""""
-          val degPart = if (degStr.isEmpty) "" else s""","degraded":"$degStr""""
-          s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$failedPart$skippedPart$degPart$diagPart,"sf":"$sfDir"}"""
+          s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$failedPart$skippedPart$ladderPart$diagPart,"sf":"$sfDir"}"""
         }
         val f1t = (d: Double) => trim0("%.1f".format(d))
         // Hoisted out of the stage thunks and flag-guarded: several

@@ -883,16 +883,33 @@ object SparkEntry {
       val exact = graft.ops.Similarity
         .bruteForceTopK(spread(s, emb), q, "vec_id", "embedding", 5)
         .select(col("query_id"), col("neighbor_id"))
-      val approx = graft.ops.Similarity.ivfPqResidualTopK(
-          spread(s, emb), q, "vec_id", "embedding",
-          dim = 64, k = 5, numCentroids = 16, lloydRounds = 2, nprobe = 4,
-          m = 4, pqK = 16)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
-      q.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
-        .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          round(coalesce(col("n_hit"), lit(0L)) / 5.0, 6).as("recall"))
+      def recallOf(approx: DataFrame): DataFrame = {
+        val hits = exact.join(approx.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+        q.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            round(coalesce(col("n_hit"), lit(0L)) / 5.0, 6).as("recall"))
+      }
+      val resid = recallOf(graft.ops.Similarity.ivfPqResidualTopK(
+        spread(s, emb), q, "vec_id", "embedding",
+        dim = 64, k = 5, numCentroids = 16, lloydRounds = 2, nprobe = 4,
+        m = 4, pqK = 16))
+      // SELF-VERIFYING (the sim_ivf_delta precedent): the "residuals
+      // quantize finer" claim is ASSERTED in-query, not narrated — mean
+      // recall@5 of by_residual=true must be >= by_residual=false at
+      // IDENTICAL m/k/nprobe on this data. Cost: one extra eval arm and
+      // a 1-row collect; the returned per-query rows are unchanged.
+      val flat = recallOf(graft.ops.Similarity.ivfPqTopK(
+        spread(s, emb), q, "vec_id", "embedding",
+        dim = 64, k = 5, numCentroids = 16, lloydRounds = 2, nprobe = 4,
+        m = 4, pqK = 16))
+      val means = resid.agg(avg("recall").as("r")).crossJoin(
+        flat.agg(avg("recall").as("f"))).head
+      require(means.getDouble(0) >= means.getDouble(1),
+        s"residual IVF-PQ mean recall ${means.getDouble(0)} fell below the " +
+          s"by_residual=false baseline ${means.getDouble(1)} at identical m/k")
+      resid
     }),
 
     // Extension: IVF index HEALTH — per-cell occupancy and imbalance vs
@@ -1011,7 +1028,7 @@ object SparkEntry {
         cent, probesQ, "vec_id", "embedding", nprobe = 4)
       graft.sources.ManifestTable.requireIndexFresh(s, out)
       val index = graft.sources.ManifestTable.readWhereIn(
-        s, out, "cell", cells.map(_.toDouble))
+        s, out, "cell", cells)
       graft.ops.Similarity.ivfTopKFromIndex(
           index, cent, probesQ, "vec_id", "embedding", k = 5, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -1055,7 +1072,7 @@ object SparkEntry {
       val probesQ = emb.filter(col("vec_id") < 10)
       val cells = graft.ops.Similarity.probeCells(
         cent, probesQ, "vec_id", "embedding", nprobe = 4)
-      val index = M.readWhereIn(s, out, "cell", cells.map(_.toDouble))
+      val index = M.readWhereIn(s, out, "cell", cells)
       graft.ops.Similarity.ivfTopKFromIndex(
           index, cent, probesQ, "vec_id", "embedding", k = 5, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -1809,7 +1826,7 @@ object SparkEntry {
       val probesQ = emb.filter(col("vec_id") < 10)
       val cells = graft.ops.Similarity.probeCells(
         cent, probesQ, "vec_id", "embedding", nprobe = 4)
-      val index = M.readWhereIn(s, out, "cell", cells.map(_.toDouble))
+      val index = M.readWhereIn(s, out, "cell", cells)
       graft.ops.Similarity.ivfTopKFromIndex(
           index, cent, probesQ, "vec_id", "embedding", k = 5, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -2376,6 +2393,40 @@ object SparkEntry {
         .select(col("event_type"), col("n"), col("nd_exact"),
           (abs(col("nd_approx") - col("nd_exact")) / col("nd_exact") <= 0.05)
             .as("within_5pct"))),
+
+    // Extension: mergeable HLL sketches AS DATA (ops/Sketches) — per-shard
+    // register TABLES whose union is a register-wise max over ≤m tiny rows,
+    // never a rescan of the shards. Unlike events_approx_distinct (whose
+    // engine-internal HLL bits force a quality-only gate), the md5/bin
+    // construction is engine-deterministic, so the oracle recomputes the
+    // ESTIMATES bit-for-bit. Keyed on event_id (~2k distinct per shard) so
+    // the estimate stays in the pure integer-arithmetic regime — the
+    // linear-counting branch (libm ln) stays cold at the gate's SF.
+    "events_hll_shards" -> ((s, dir) =>
+      graft.ops.Sketches.hllReport(
+        events(s, dir), col("event_id").cast("string"), "event_type")),
+
+    // Extension: the HLL MERGE PROPERTY proven as a query — the register
+    // table unioned from the five per-shard sketches must equal, register
+    // by register, the sketch built from scratch over all the data. This
+    // is the property that makes stored sketches trustworthy: any shard
+    // combination's distinct count never needs the shards again.
+    "events_hll_union" -> ((s, dir) => {
+      val keyed = events(s, dir).select(
+        col("event_id").cast("string").as("k"), col("event_type").as("shard"))
+      val regs = graft.ops.Sketches.hllRegisters(keyed, col("k"), "shard")
+      val merged = graft.ops.Sketches.hllUnion(regs, "merged")
+        .select(col("idx"), col("rho").as("rho_merged"))
+      val scratch = graft.ops.Sketches.hllRegisters(
+          keyed.select(col("k"), lit("all").as("shard")), col("k"), "shard")
+        .select(col("idx"), col("rho").as("rho_scratch"))
+      merged.join(scratch, Seq("idx"), "full_outer")
+        .agg(count(lit(1)).as("n_registers"),
+          sum(when(col("rho_merged") <=> col("rho_scratch"), 1).otherwise(0))
+            .as("n_match"))
+        .select(col("n_registers"), col("n_match"),
+          (col("n_registers") === col("n_match")).as("merge_equals_scratch"))
+    }),
 
     // Extension: as-of join — each click picks up the most recent error
     // value at-or-before it for the same user. Union + running-last: one
@@ -3264,7 +3315,7 @@ object SparkEntry {
       graft.sources.ManifestTable.commit(s, out, ev.repartition(8))
       graft.sources.ManifestTable.compactSorted(s, out, Seq("user_id"), targetFiles = 8)
       graft.sources.ManifestTable.readWhereIn(s, out, "user_id",
-          Seq(7.0, 19.0, 23.0, 42.0, 77.0))
+          Seq(7L, 19L, 23L, 42L, 77L))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("event_id")).as("id_sum"),
@@ -6565,6 +6616,83 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS nd_exact,
         |  true AS within_5pct
         |FROM events GROUP BY 1""".stripMargin,
+
+    // The Sketches.scala HLL is engine-deterministic by construction
+    // (md5 hash, bit-length rho via bin(), exact-integer harmonic sum,
+    // one fixed IEEE multiply/divide chain), so DuckDB recomputes the
+    // full report — registers, estimates, and the 3-sigma verdict —
+    // bit-for-bit. Float literals are ::DOUBLE-pinned: DuckDB parses
+    // bare decimals as DECIMAL, which would change the arithmetic.
+    "events_hll_shards" ->
+      """WITH keyed AS MATERIALIZED (
+        |  SELECT CAST(event_id AS VARCHAR) AS k, event_type AS shard FROM events),
+        |regs AS MATERIALIZED (
+        |  SELECT shard,
+        |    CAST(CONCAT('0x', substring(md5(k), 1, 2)) AS BIGINT) AS idx,
+        |    MAX(CASE WHEN CAST(CONCAT('0x', substring(md5(k), 3, 13)) AS BIGINT) = 0
+        |        THEN 53
+        |        ELSE 53 - length(bin(CAST(CONCAT('0x', substring(md5(k), 3, 13)) AS BIGINT)))
+        |        END) AS rho
+        |  FROM keyed GROUP BY 1, 2),
+        |allregs AS MATERIALIZED (
+        |  SELECT shard, idx, rho FROM regs
+        |  UNION ALL
+        |  SELECT '__union' AS shard, idx, MAX(rho) AS rho FROM regs GROUP BY idx),
+        |agg AS MATERIALIZED (
+        |  SELECT shard, COUNT(*) AS used,
+        |    SUM(1::BIGINT << (53 - rho)) AS num_occ
+        |  FROM allregs GROUP BY shard),
+        |fin AS MATERIALIZED (
+        |  SELECT shard, used, 256 - used AS v,
+        |    (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)
+        |      * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE)
+        |      / CAST(num_occ + (256 - used) * (1::BIGINT << 53) AS DOUBLE) AS raw
+        |  FROM agg),
+        |est AS MATERIALIZED (
+        |  SELECT shard,
+        |    CAST(used AS INT) AS registers_used,
+        |    CAST(v AS INT) AS v_zero,
+        |    round(CASE WHEN raw <= 640.0::DOUBLE AND v > 0
+        |      THEN 256.0::DOUBLE * ln(256.0::DOUBLE / CAST(v AS DOUBLE))
+        |      ELSE raw END, 4) AS estimate,
+        |    (raw <= 640.0::DOUBLE AND v > 0) AS corrected
+        |  FROM fin),
+        |ex AS MATERIALIZED (
+        |  SELECT shard, count(DISTINCT k) AS nd_exact FROM keyed GROUP BY 1
+        |  UNION ALL
+        |  SELECT '__union' AS shard, count(DISTINCT k) AS nd_exact FROM keyed)
+        |SELECT e.shard, e.registers_used, e.v_zero, e.estimate, e.corrected,
+        |  x.nd_exact,
+        |  (abs(e.estimate - x.nd_exact) / x.nd_exact
+        |    <= 3.0::DOUBLE * 1.04::DOUBLE / sqrt(256.0::DOUBLE)) AS within_3sigma
+        |FROM est e JOIN ex x USING (shard)""".stripMargin,
+
+    "events_hll_union" ->
+      """WITH keyed AS MATERIALIZED (
+        |  SELECT CAST(event_id AS VARCHAR) AS k, event_type AS shard FROM events),
+        |regs AS MATERIALIZED (
+        |  SELECT shard,
+        |    CAST(CONCAT('0x', substring(md5(k), 1, 2)) AS BIGINT) AS idx,
+        |    MAX(CASE WHEN CAST(CONCAT('0x', substring(md5(k), 3, 13)) AS BIGINT) = 0
+        |        THEN 53
+        |        ELSE 53 - length(bin(CAST(CONCAT('0x', substring(md5(k), 3, 13)) AS BIGINT)))
+        |        END) AS rho
+        |  FROM keyed GROUP BY 1, 2),
+        |merged AS MATERIALIZED (
+        |  SELECT idx, MAX(rho) AS rho_merged FROM regs GROUP BY 1),
+        |scratch AS MATERIALIZED (
+        |  SELECT CAST(CONCAT('0x', substring(md5(k), 1, 2)) AS BIGINT) AS idx,
+        |    MAX(CASE WHEN CAST(CONCAT('0x', substring(md5(k), 3, 13)) AS BIGINT) = 0
+        |        THEN 53
+        |        ELSE 53 - length(bin(CAST(CONCAT('0x', substring(md5(k), 3, 13)) AS BIGINT)))
+        |        END) AS rho_scratch
+        |  FROM keyed GROUP BY 1)
+        |SELECT count(*) AS n_registers,
+        |  CAST(sum(CASE WHEN rho_merged IS NOT DISTINCT FROM rho_scratch
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        |  count(*) = CAST(sum(CASE WHEN rho_merged IS NOT DISTINCT FROM rho_scratch
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS merge_equals_scratch
+        |FROM merged FULL OUTER JOIN scratch USING (idx)""".stripMargin,
 
     // DuckDB's NATIVE ASOF JOIN — an independent algorithm for the same
     // semantics as the Spark-side union + running-last formulation.

@@ -146,15 +146,16 @@ object ManifestTable {
 
   // header lines a new manifest carries from its basis: per-file headers
   // (stats, blooms, NDV sketches, sizes) only for files that survive
-  // (`keepRel`); deletion vectors and table-level CHECK constraints
-  // always carry verbatim
+  // (`keepRel`); deletion vectors, table-level CHECK constraints, index
+  // source bindings, and stream-batch idempotence markers always carry
+  // verbatim
   private def carriedHeadersFor(
       lines: Seq[String], keepRel: String => Boolean): Seq[String] =
     lines.filter { l =>
       headerRel(l) match {
         case Some(rel) => keepRel(rel)
         case None => l.startsWith("#dv=") || l.startsWith("#check=") ||
-          l.startsWith("#indexof=")
+          l.startsWith("#indexof=") || l.startsWith("#streambatch=")
       }
     }
 
@@ -590,10 +591,13 @@ object ManifestTable {
   // itself (compaction), whose rows already passed at their own commit —
   // a redundant full validation pass is exactly what a 100 TB compaction
   // must not pay. Always carries the #check headers forward;
-  // `carryIndexOf` additionally carries the #indexof source binding —
-  // true for LAYOUT rewrites (compaction: same content, same covered
-  // corpus snapshot), false for a plain [[commit]] (arbitrary new
-  // content voids any staleness claim; rebind with [[commitIndex]]).
+  // `carryIndexOf` additionally carries the #indexof source binding AND
+  // the #streambatch idempotence markers — true for LAYOUT rewrites
+  // (compaction: same content, so "which corpus snapshot" and "which
+  // stream batches" both still hold), false for a plain [[commit]]
+  // (arbitrary new content voids a staleness claim and a landed-batch
+  // claim alike; rebind with [[commitIndex]] / re-stamp with
+  // [[appendStamped]]).
   private def commitCarryingChecks(
       spark: SparkSession, dir: String, df: DataFrame,
       carryIndexOf: Boolean): StagedCommit = {
@@ -603,7 +607,8 @@ object ManifestTable {
       else manifestLines(f, dir,
         readSmallFile(f, new Path(dir, PointerName)).trim)
         .filter(l => l.startsWith("#check=") ||
-          (carryIndexOf && l.startsWith("#indexof=")))
+          (carryIndexOf && (l.startsWith("#indexof=") ||
+            l.startsWith("#streambatch="))))
     val staged = stage(spark, dir, df, Seq.empty, checkLines)
     publish(spark, dir, staged)
     staged
@@ -775,7 +780,24 @@ object ManifestTable {
     * (stronger than main's CURRENT swap, whose detect-only caveat the
     * class doc states). */
   def appendToBranch(
-      spark: SparkSession, dir: String, name: String, df: DataFrame): StagedCommit = {
+      spark: SparkSession, dir: String, name: String, df: DataFrame): StagedCommit =
+    appendToBranchWith(spark, dir, name, df, identity)
+
+  /** [[appendToBranch]] stamped with a stream-batch idempotence marker
+    * (see [[appendStamped]]): the branch batch and its `(streamId,
+    * batchId)` marker land in the ONE slot claim, so a foreachBatch
+    * replay is detectable via [[lastStreamBatchOnBranch]]. */
+  def appendToBranchStamped(
+      spark: SparkSession, dir: String, name: String, df: DataFrame,
+      streamId: String, batchId: Long): StagedCommit =
+    appendToBranchWith(spark, dir, name, df,
+      hs => hs.filterNot(
+        l => parseStreamBatchLine(l).exists(_._1 == streamId)) :+
+        streamBatchLine(streamId, batchId))
+
+  private def appendToBranchWith(
+      spark: SparkSession, dir: String, name: String, df: DataFrame,
+      mapHeaders: Seq[String] => Seq[String]): StagedCommit = {
     val f = fs(dir, spark)
     val (head, base, seq) = branchState(f, dir, name)
     requireSameSchema(manifestSchema(f, dir, head), df.schema, "appendToBranch")
@@ -792,7 +814,8 @@ object ManifestTable {
     }
     val headV = head.stripPrefix("manifest-").stripSuffix(".txt").toLong
     val staged = stage(spark, dir, df,
-      manifestRel(f, dir, head), carriedHeaderLines(f, dir, head), Some(headV))
+      manifestRel(f, dir, head), mapHeaders(carriedHeaderLines(f, dir, head)),
+      Some(headV))
     // the CAS: claim the NEXT pointer slot; a failed claim means another
     // writer moved the branch after our head read — abandon and retry
     if (!createExclusive(f, new Path(branchDir(dir, name), slotName(seq + 1)),
@@ -1092,12 +1115,25 @@ object ManifestTable {
       dir: String,
       sd: StagedData,
       maxRetries: Int = 20
+  ): StagedCommit = completeAppendWith(spark, dir, sd, identity, maxRetries)
+
+  // [[completeAppend]] with a header rewrite applied INSIDE the rebase
+  // loop — the transform sees the freshly-read carry headers on every
+  // retry, so a header this append must replace (an #indexof rebind, a
+  // #streambatch stamp) can never resurrect a concurrent writer's stale
+  // line.
+  private def completeAppendWith(
+      spark: SparkSession,
+      dir: String,
+      sd: StagedData,
+      mapHeaders: Seq[String] => Seq[String],
+      maxRetries: Int = 20
   ): StagedCommit = {
     val f = fs(dir, spark)
     var attempts = 0
     while (true) {
       val (carry, carryStats, basis) = carryState(f, dir)
-      val staged = stageManifest(spark, dir, sd, carry, carryStats, basis)
+      val staged = stageManifest(spark, dir, sd, carry, mapHeaders(carryStats), basis)
       try {
         publish(spark, dir, staged)
         return staged
@@ -1779,27 +1815,73 @@ object ManifestTable {
     * list: every value's prune and the deletion-vector lines evaluate
     * against the same snapshot, so a commit landing mid-plan can never
     * mix two snapshots' file sets ([[readBetween2D]]'s guarantee,
-    * generalized to n point ranges). */
+    * generalized to n point ranges).
+    *
+    * The EQUALITY compares in the column's NATIVE type: each requested
+    * value is converted driver-side to the column's type only when the
+    * conversion is exact, so an int64 key column is never cast to double
+    * (doubles round above 2^53 — a double-typed IN list could falsely
+    * match or miss neighboring keys). A value the native type cannot
+    * hold exactly (e.g. 3.5 against a BIGINT column) matches nothing,
+    * exactly as native-typed SQL equality would. Doubles serve only the
+    * stats prune, ulp-widened both ways so stats rounding can at worst
+    * read an extra file, never skip a matching one; non-numeric values
+    * skip the prune (all files read, filter still exact). */
   def readWhereIn(
       spark: SparkSession,
       dir: String,
       column: String,
-      values: Seq[Double]): DataFrame = {
+      values: Seq[Any]): DataFrame = {
     import org.apache.spark.sql.functions.col
     val f = fs(dir, spark)
     val ptr = new Path(dir, PointerName)
     require(f.exists(ptr), s"not a manifest table (no $PointerName): $dir")
     val name = readSmallFile(f, ptr).trim
+    val numeric = values.collect { case n: Number => n.doubleValue }
     val (kept, _) =
-      pruneByRangesIn(spark, dir, name, column, values.map(v => (v, v)))
+      if (numeric.size == values.size)
+        pruneByRangesIn(spark, dir, name, column,
+          numeric.map(v => (Math.nextDown(v), Math.nextUp(v))))
+      else (manifestRel(f, dir, name).map(rel => new Path(dir, rel).toString), 0)
+    val schema = currentSchema(spark, dir).getOrElse(read(spark, dir).schema)
+    val native = values.flatMap(v => exactNative(v, schema(column).dataType))
     val base =
-      if (kept.isEmpty || values.isEmpty)
+      if (kept.isEmpty || native.isEmpty)
         spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          currentSchema(spark, dir).getOrElse(read(spark, dir).schema))
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else applyDv(spark, dir, spark.read.parquet(kept: _*),
         dvRelsOf(manifestDvLines(f, dir, name)))
-    base.filter(col(column).isin(values: _*))
+    if (native.isEmpty) base else base.filter(col(column).isin(native: _*))
+  }
+
+  // The requested value as an instance of the column's native type, or
+  // None when the conversion would change the value (such a value can
+  // match no row under native-typed equality). Integral Scala/Java types
+  // convert to integral columns losslessly; floating inputs convert only
+  // when whole and in range. Unhandled (type, column) pairs pass through
+  // verbatim and take Spark's own literal typing.
+  private def exactNative(
+      v: Any, dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    def integral(n: Number): Option[Long] = n match {
+      case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+           _: java.lang.Long => Some(n.longValue)
+      case _ =>
+        val d = n.doubleValue
+        val l = d.toLong
+        if (!d.isNaN && d == l.toDouble) Some(l) else None
+    }
+    (v, dt) match {
+      case (n: Number, LongType)    => integral(n)
+      case (n: Number, IntegerType) =>
+        integral(n).filter(l => l >= Int.MinValue && l <= Int.MaxValue)
+          .map(_.toInt)
+      case (n: Number, DoubleType)  => Some(n.doubleValue)
+      case (n: Number, FloatType)   =>
+        val fv = n.floatValue
+        if (fv.toDouble == n.doubleValue) Some(fv) else None
+      case _ => Some(v)
+    }
   }
 
   /** [[read]] for a partition-laid-out manifest table: recursive lookup
@@ -2193,25 +2275,91 @@ object ManifestTable {
       maxRetries: Int = 20): StagedCommit = {
     requireSameSchema(currentSchema(spark, dir), df.schema, "appendIndex")
     enforceChecks(spark, dir, df)
-    val sd = stageData(spark, dir, df)
-    val f = fs(dir, spark)
-    var attempts = 0
-    while (true) {
-      val (carry, carryStats, basis) = carryState(f, dir)
-      val headers = carryStats.filterNot(_.startsWith("#indexof=")) :+
-        indexOfLine(sourceDir, sourceVersion)
-      val staged = stageManifest(spark, dir, sd, carry, headers, basis)
-      try {
-        publish(spark, dir, staged)
-        return staged
-      } catch {
-        case e: java.util.ConcurrentModificationException =>
-          abandon(spark, dir, staged)
-          attempts += 1
-          if (attempts >= maxRetries) throw e
-      }
+    completeAppendWith(spark, dir, stageData(spark, dir, df),
+      hs => hs.filterNot(_.startsWith("#indexof=")) :+
+        indexOfLine(sourceDir, sourceVersion),
+      maxRetries)
+  }
+
+  // #streambatch=<b64 stream id>|<batch id> — a foreachBatch IDEMPOTENCE
+  // marker: the last micro-batch a named stream landed on this table,
+  // recorded in the SAME pointer move as the batch's files, so "did this
+  // batch already commit?" has a crash-consistent answer. foreachBatch is
+  // at-least-once (a restart replays the last unacknowledged batch);
+  // sinks skip a batch whose id is <= the recorded marker instead of
+  // appending it twice. One marker per stream id — distinct streams
+  // writing one table must use distinct ids; batch ids are monotonic per
+  // checkpointed query, which is what makes <= the correct test.
+  private def streamBatchLine(streamId: String, batchId: Long): String =
+    s"#streambatch=${b64(streamId)}|$batchId"
+
+  private def parseStreamBatchLine(l: String): Option[(String, Long)] =
+    if (!l.startsWith("#streambatch=")) None
+    else l.stripPrefix("#streambatch=").split('|') match {
+      case Array(s, b) => Some((unb64(s), b.toLong))
+      case _ => None
     }
-    throw new IllegalStateException("unreachable")
+
+  private def lastStreamBatchIn(lines: Seq[String], streamId: String): Option[Long] =
+    lines.filter(_.startsWith("#streambatch="))
+      .flatMap(parseStreamBatchLine)
+      .collectFirst { case (s, b) if s == streamId => b }
+
+  /** The last batch id stream `streamId` landed on this table's CURRENT
+    * snapshot, or None (no table, or no marker for this stream). */
+  def lastStreamBatch(
+      spark: SparkSession, dir: String, streamId: String): Option[Long] = {
+    val f = fs(dir, spark)
+    val ptr = new Path(dir, PointerName)
+    if (!f.exists(ptr)) None
+    else lastStreamBatchIn(
+      manifestLines(f, dir, readSmallFile(f, ptr).trim), streamId)
+  }
+
+  /** [[lastStreamBatch]] against a BRANCH head (the WAP sink's marker). */
+  def lastStreamBatchOnBranch(
+      spark: SparkSession, dir: String, name: String,
+      streamId: String): Option[Long] = {
+    val f = fs(dir, spark)
+    if (!f.exists(branchDir(dir, name))) None
+    else {
+      val (head, _, _) = branchState(f, dir, name)
+      lastStreamBatchIn(manifestLines(f, dir, head), streamId)
+    }
+  }
+
+  /** [[append]] stamped with a stream-batch idempotence marker: the
+    * batch's files and its `(streamId, batchId)` marker land in ONE
+    * pointer move, so a foreachBatch replay (at-least-once delivery)
+    * that re-offers an already-landed batch is detectable by
+    * [[lastStreamBatch]] with no duplicate-or-lost window in between. */
+  def appendStamped(
+      spark: SparkSession, dir: String, df: DataFrame,
+      streamId: String, batchId: Long): StagedCommit = {
+    requireSameSchema(currentSchema(spark, dir), df.schema, "appendStamped")
+    enforceChecks(spark, dir, df)
+    completeAppendWith(spark, dir, stageData(spark, dir, df),
+      hs => hs.filterNot(
+        l => parseStreamBatchLine(l).exists(_._1 == streamId)) :+
+        streamBatchLine(streamId, batchId))
+  }
+
+  /** [[appendIndex]] stamped with a stream-batch marker — the streaming
+    * ANN-maintenance transaction: delta rows, the `#indexof` rebind, and
+    * the batch marker are ONE pointer move. */
+  def appendIndexStamped(
+      spark: SparkSession, dir: String, df: DataFrame,
+      sourceDir: String, sourceVersion: Long,
+      streamId: String, batchId: Long,
+      maxRetries: Int = 20): StagedCommit = {
+    requireSameSchema(currentSchema(spark, dir), df.schema, "appendIndexStamped")
+    enforceChecks(spark, dir, df)
+    completeAppendWith(spark, dir, stageData(spark, dir, df),
+      hs => hs.filterNot(l => l.startsWith("#indexof=") ||
+          parseStreamBatchLine(l).exists(_._1 == streamId)) :+
+        indexOfLine(sourceDir, sourceVersion) :+
+        streamBatchLine(streamId, batchId),
+      maxRetries)
   }
 
   /** The (source dir, source version) this table's CURRENT snapshot is

@@ -387,27 +387,43 @@ object StreamingOps {
     * CAS-claimed pointer slots, so a concurrent mover can only force a
     * retry, never a lost batch; the bounded retry loop here absorbs
     * exactly those refusals. Zero-copy like every branch op: the
-    * stream's cost is its batches, the branch two-line pointer files. */
+    * stream's cost is its batches, the branch two-line pointer files.
+    *
+    * EXACTLY-ONCE: foreachBatch is at-least-once (a restarted query
+    * replays its last unacknowledged micro-batch), so each batch lands
+    * with a `#streambatch` idempotence marker in the same slot claim
+    * ([[graft.sources.ManifestTable.appendToBranchStamped]]) and a
+    * replayed batch id at-or-below the branch head's marker is skipped —
+    * no duplicate rows on the branch. `streamId` must be unique among
+    * streams writing this branch (batch ids are only monotonic per
+    * checkpointed query). */
   def branchWapSink(
       stream: DataFrame,
       dir: String,
       branch: String,
-      maxRetries: Int = 20
+      maxRetries: Int = 20,
+      streamId: String = "wap"
   ): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        var attempts = 0
-        var landed = false
-        while (!landed) {
-          try {
-            graft.sources.ManifestTable.appendToBranch(
-              batch.sparkSession, dir, branch, batch): Unit
-            landed = true
-          } catch {
-            case e: java.util.ConcurrentModificationException =>
-              attempts += 1
-              if (attempts >= maxRetries) throw e
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val already = graft.sources.ManifestTable
+          .lastStreamBatchOnBranch(s, dir, branch, streamId)
+          .exists(_ >= batchId)
+        if (!already) {
+          var attempts = 0
+          var landed = false
+          while (!landed) {
+            try {
+              graft.sources.ManifestTable.appendToBranchStamped(
+                s, dir, branch, batch, streamId, batchId): Unit
+              landed = true
+            } catch {
+              case e: java.util.ConcurrentModificationException =>
+                attempts += 1
+                if (attempts >= maxRetries) throw e
+            }
           }
         }
       }
@@ -422,26 +438,45 @@ object StreamingOps {
     * pointer move. Between any two batches the staleness gate passes
     * and probes see every landed vector — the streaming twin of the
     * batch `sim_ivf_delta` lifecycle, with per-batch cost O(batch).
-    * Single-ingest-writer shape (the corpus version read between the
-    * two appends is the binding's truth); probes run concurrently
-    * against whatever snapshot pair is current. */
+    * Single-ingest-writer shape; probes run concurrently against
+    * whatever snapshot pair is current.
+    *
+    * EXACTLY-ONCE across BOTH tables: each append is stamped with a
+    * `#streambatch` marker in its own pointer move, so a foreachBatch
+    * replay (at-least-once delivery) skips whichever append already
+    * landed — including the crash-between-the-two-appends window, where
+    * the replay skips the corpus append and completes only the index
+    * one. The `#indexof` binding records the version RETURNED BY the
+    * corpus append itself (never a later `currentVersion` read), so the
+    * index can never claim coverage of another writer's rows this batch
+    * did not assign — a stale-but-honest binding the freshness gate then
+    * correctly refuses. `streamId` must be unique among streams writing
+    * these tables. */
   def annMaintainSink(
       stream: DataFrame,
       corpusDir: String,
       indexDir: String,
       idCol: String,
       vecCol: String,
-      cent: Seq[(Long, Seq[Double])]
+      cent: Seq[(Long, Seq[Double])],
+      streamId: String = "ann"
   ): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
-        graft.sources.ManifestTable.append(s, corpusDir, batch)
-        val v = graft.sources.ManifestTable.currentVersion(s, corpusDir)
-        graft.sources.ManifestTable.appendIndex(s, indexDir,
-          graft.ops.Similarity.assignCells(batch, idCol, vecCol, cent),
-          corpusDir, v): Unit
+        val M = graft.sources.ManifestTable
+        val corpusV =
+          if (M.lastStreamBatch(s, corpusDir, streamId).exists(_ >= batchId))
+            // replay of a landed corpus append: under the single-ingest-
+            // writer contract CURRENT is still the version that append
+            // produced, so the index binding below stays truthful
+            M.currentVersion(s, corpusDir)
+          else M.appendStamped(s, corpusDir, batch, streamId, batchId).version
+        if (!M.lastStreamBatch(s, indexDir, streamId).exists(_ >= batchId))
+          M.appendIndexStamped(s, indexDir,
+            graft.ops.Similarity.assignCells(batch, idCol, vecCol, cent),
+            corpusDir, corpusV, streamId, batchId): Unit
       }
       .start()
 

@@ -62,63 +62,65 @@ class SparkEntrySpec extends AnyFlatSpec with Matchers {
     val m = Bench.initialsAbbrev(at120)
     m.values.toSeq.distinct.size shouldBe at120.size
     val qs = at120.map(n => "\"" + m(n) + "\":88.8").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":8888.88,"unit":"sec","queries":$qs,"failed":[],"sf":"/root/testdata/sf0.1"}"""
+    val line = s"""{"metric":"total","value":8888.88,"unit":"sec","queries":$qs,"failed":[],"levels":"0x88,1x888,2x888,3x888,4x888,5x888","warmup_sec":8888,"spent_sec":8888,"sf":"/root/testdata/sf0.1"}"""
     withClue(s"projected stage-5 line length ${line.length}: ") {
       line.length should be < 1850
     }
   }
 
-  it should "keep the stage-6 bench line under budget at 140 queries" in {
+  it should "keep the stage-6 bench line under budget at 135 queries" in {
     // Whole-second times, empty failed omitted — designed to hold to
-    // ~140 queries with pessimistic 3-char times; past that stage 7's
+    // ~135 queries with pessimistic 3-char times (the always-on ladder
+    // fields cost ~5 queries of headroom); past that stage 7's
     // single-letter prefixes take over (next test). Pin the designed
     // guarantee at exactly 140 names (truncate or pad the live set).
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val names =
-      if (names0.size >= 140) names0.take(140)
-      else names0 ++ (names0.size until 140).map(i => s"text_future_query_$i")
+      if (names0.size >= 135) names0.take(135)
+      else names0 ++ (names0.size until 135).map(i => s"text_future_query_$i")
     val m = Bench.initialsAbbrev(names)
     val qs = names.map(n => "\"" + m(n) + "\":888").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":8888.88,"unit":"sec","queries":$qs,"sf":"/root/testdata/sf0.1"}"""
+    val line = s"""{"metric":"total","value":8888.88,"unit":"sec","queries":$qs,"levels":"0x88,1x888,2x888,3x888,4x888,5x888","warmup_sec":8888,"spent_sec":8888,"sf":"/root/testdata/sf0.1"}"""
     withClue(s"projected stage-6 line length ${line.length} at ${names.size} queries: ") {
       line.length should be < 1850
     }
   }
 
-  it should "keep the stage-7 bench line under budget at 160 queries" in {
+  it should "keep the stage-7 bench line under budget at 155 queries" in {
     // Single-letter family prefixes, whole-second times, empty failed
-    // omitted — designed to hold to ~160 queries; past that stage 8's
+    // omitted — designed to hold to ~155 queries (ladder fields cost
+    // ~5 of headroom); past that stage 8's
     // sorted-list ordinals take over (next test). Pin the designed
     // guarantee at exactly 160 names (truncate or pad the live set).
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val names =
-      if (names0.size >= 160) names0.take(160)
-      else names0 ++ (names0.size until 160).map(i => s"text_future_query_$i")
+      if (names0.size >= 155) names0.take(155)
+      else names0 ++ (names0.size until 155).map(i => s"text_future_query_$i")
     val m = Bench.initialsAbbrev(names, Bench.tightAbbrev)
     m.values.toSeq.distinct.size shouldBe names.size // still injective
     val qs = names.map(n => "\"" + m(n) + "\":888").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":8888.88,"unit":"sec","queries":$qs,"sf":"/root/testdata/sf0.1"}"""
+    val line = s"""{"metric":"total","value":8888.88,"unit":"sec","queries":$qs,"levels":"0x88,1x888,2x888,3x888,4x888,5x888","warmup_sec":8888,"spent_sec":8888,"sf":"/root/testdata/sf0.1"}"""
     withClue(s"projected stage-7 line length ${line.length} at ${names.size} queries: ") {
       line.length should be < 1800
     }
   }
 
-  it should "keep the stage-8 bench line under budget at 190 queries" in {
+  it should "keep the stage-8 bench line under budget at 185 queries" in {
     // Base-36 ordinals with pessimistic 3-char times at the stage's
     // DESIGNED size (the live set has outgrown it — stage 9 guards the
     // full set); the mapping must be injective and decodable by
     // re-sorting the query list.
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val names =
-      if (names0.size >= 190) names0.take(190)
-      else names0 ++ (names0.size until 190).map(i => s"text_future_query_$i")
+      if (names0.size >= 185) names0.take(185)
+      else names0 ++ (names0.size until 185).map(i => s"text_future_query_$i")
     val m = Bench.ordinalAbbrev(names)
     m.values.toSeq.distinct.size shouldBe names.size
     names.zipWithIndex.foreach { case (n, i) =>
       java.lang.Long.parseLong(m(n), 36) shouldBe i.toLong // reversible
     }
     val qs = names.map(n => "\"" + m(n) + "\":888").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":8888.88,"unit":"sec","queries":$qs,"sf":"/root/testdata/sf0.1"}"""
+    val line = s"""{"metric":"total","value":8888.88,"unit":"sec","queries":$qs,"levels":"0x88,1x888,2x888,3x888,4x888,5x888","warmup_sec":8888,"spent_sec":8888,"sf":"/root/testdata/sf0.1"}"""
     withClue(s"projected stage-8 line length ${line.length} at ${names.size} queries: ") {
       line.length should be < 1800
     }
@@ -135,7 +137,7 @@ class SparkEntrySpec extends AnyFlatSpec with Matchers {
     val slow = names.take(80)
     val qs = slow.map(n => "\"" + m(n) + "\":888").mkString("{", ",", "}")
     val failed = names.takeRight(10).map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":8888.88,"unit":"sec","queries":$qs,"failed":$failed,"sf":"/root/testdata/sf0.1"}"""
+    val line = s"""{"metric":"total","value":8888.88,"unit":"sec","queries":$qs,"failed":$failed,"levels":"0x88,1x888,2x888,3x888,4x888,5x888","warmup_sec":8888,"spent_sec":8888,"sf":"/root/testdata/sf0.1"}"""
     withClue(s"projected stage-9 line length ${line.length} with 80 slow of ${names.size} queries: ") {
       line.length should be < 1800
     }

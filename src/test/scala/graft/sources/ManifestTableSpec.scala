@@ -1470,4 +1470,82 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
       }
     } finally rm(dir)
   }
+
+  behavior of "readWhereIn native-type equality"
+
+  it should "compare int64 keys natively, never through double" in {
+    val dir = tmpDir()
+    try {
+      // 2^53 and 2^53 + 1 are DIFFERENT longs but the SAME double: a
+      // double-cast IN-list equality cannot tell them apart
+      val big = 9007199254740992L // 2^53
+      ManifestTable.commit(spark, dir,
+        Seq((big, "a"), (big + 1L, "b"), (7L, "c")).toDF("k", "tag"))
+      val got = ManifestTable.readWhereIn(spark, dir, "k", Seq(big + 1L))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      got shouldBe Array((big + 1L, "b"))
+      // a fractional value can match no bigint row (native SQL equality
+      // semantics), instead of rounding onto a neighbor
+      ManifestTable.readWhereIn(spark, dir, "k", Seq(7.5)).count() shouldBe 0
+      // whole doubles still convert exactly (back-compat callers)
+      ManifestTable.readWhereIn(spark, dir, "k", Seq(7.0))
+        .collect().map(_.getLong(0)) shouldBe Array(7L)
+    } finally rm(dir)
+  }
+
+  behavior of "stream-batch idempotence markers (#streambatch)"
+
+  it should "stamp appends per stream and answer the replay question" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.commit(spark, dir, Seq((1L, 1.0)).toDF("id", "v"))
+      ManifestTable.lastStreamBatch(spark, dir, "s1") shouldBe None
+      ManifestTable.appendStamped(spark, dir,
+        Seq((2L, 2.0)).toDF("id", "v"), "s1", 0L)
+      ManifestTable.lastStreamBatch(spark, dir, "s1") shouldBe Some(0L)
+      // the foreachBatch guard: a replayed batch id is detected...
+      ManifestTable.lastStreamBatch(spark, dir, "s1")
+        .exists(_ >= 0L) shouldBe true
+      // ...and a NEW batch is not
+      ManifestTable.lastStreamBatch(spark, dir, "s1")
+        .exists(_ >= 1L) shouldBe false
+      // a later batch REPLACES the stream's marker (one per stream)
+      ManifestTable.appendStamped(spark, dir,
+        Seq((3L, 3.0)).toDF("id", "v"), "s1", 1L)
+      ManifestTable.lastStreamBatch(spark, dir, "s1") shouldBe Some(1L)
+      // markers are per-stream: a second writer's marker is independent
+      ManifestTable.appendStamped(spark, dir,
+        Seq((4L, 4.0)).toDF("id", "v"), "s2", 5L)
+      ManifestTable.lastStreamBatch(spark, dir, "s1") shouldBe Some(1L)
+      ManifestTable.lastStreamBatch(spark, dir, "s2") shouldBe Some(5L)
+      // plain appends and compaction CARRY markers (idempotence must
+      // survive unrelated table maintenance)
+      ManifestTable.append(spark, dir, Seq((5L, 5.0)).toDF("id", "v"))
+      ManifestTable.compact(spark, dir, targetFiles = 1)
+      ManifestTable.lastStreamBatch(spark, dir, "s1") shouldBe Some(1L)
+      ManifestTable.lastStreamBatch(spark, dir, "s2") shouldBe Some(5L)
+      ManifestTable.read(spark, dir).count() shouldBe 5
+    } finally rm(dir)
+  }
+
+  it should "stamp an index append atomically with its #indexof rebind" in {
+    val corpusDir = tmpDir()
+    val indexDir = tmpDir()
+    try {
+      val v0 = ManifestTable.commit(spark, corpusDir,
+        Seq((1L, 0L)).toDF("vec_id", "cell")).version
+      ManifestTable.commitIndex(spark, indexDir,
+        Seq((1L, 0L)).toDF("vec_id", "cell"), corpusDir, v0)
+      val v1 = ManifestTable.appendStamped(spark, corpusDir,
+        Seq((2L, 1L)).toDF("vec_id", "cell"), "ann", 0L).version
+      ManifestTable.appendIndexStamped(spark, indexDir,
+        Seq((2L, 1L)).toDF("vec_id", "cell"), corpusDir, v1, "ann", 0L)
+      // one pointer move carried BOTH the marker and the rebind
+      ManifestTable.lastStreamBatch(spark, indexDir, "ann") shouldBe Some(0L)
+      ManifestTable.indexSourceOf(spark, indexDir) shouldBe
+        Some((corpusDir, v1))
+      noException should be thrownBy
+        ManifestTable.requireIndexFresh(spark, indexDir)
+    } finally { rm(corpusDir); rm(indexDir) }
+  }
 }

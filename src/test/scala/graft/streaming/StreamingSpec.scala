@@ -565,4 +565,65 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     math.abs(m(0)._3 - 30.0) / 30.0 should be <= 0.021
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
+
+  it should "stamp WAP batches so a replay cannot duplicate branch rows" in {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_wap_stamp").toString
+    val M = graft.sources.ManifestTable
+    M.commit(spark, dir, Seq((100L, 1.0)).toDF("event_id", "value"))
+    M.createBranch(spark, dir, "ingest")
+    val in = MemoryStream[(Long, Double)]
+    val q = StreamingOps.branchWapSink(
+      in.toDF().toDF("event_id", "value"), dir, "ingest")
+    in.addData((1L, 5.0), (2L, 6.0))
+    q.processAllAvailable()
+    in.addData((3L, 7.0))
+    q.processAllAvailable()
+    q.stop()
+    // every batch landed once and the LAST batch id is the marker
+    M.readBranch(spark, dir, "ingest").count() shouldBe 4
+    M.lastStreamBatchOnBranch(spark, dir, "ingest", "wap") shouldBe Some(1L)
+    // the sink's replay guard: at-least-once redelivery of batches 0/1
+    // is detected (skipped); only a genuinely new batch id passes
+    M.lastStreamBatchOnBranch(spark, dir, "ingest", "wap")
+      .exists(_ >= 1L) shouldBe true
+    M.lastStreamBatchOnBranch(spark, dir, "ingest", "wap")
+      .exists(_ >= 2L) shouldBe false
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  it should "bind the streamed ANN index to the exact corpus version its append produced" in {
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_ann_c").toString
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_ann_i").toString
+    val M = graft.sources.ManifestTable
+    val cent = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+    val v0 = M.commit(spark, corpusDir,
+      Seq((1L, Seq(0.9, 0.1))).toDF("vec_id", "embedding")).version
+    M.commitIndex(spark, indexDir,
+      graft.ops.Similarity.assignCells(
+        M.read(spark, corpusDir), "vec_id", "embedding", cent),
+      corpusDir, v0)
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingOps.annMaintainSink(
+      in.toDF().toDF("vec_id", "embedding"),
+      corpusDir, indexDir, "vec_id", "embedding", cent)
+    in.addData((2L, Seq(0.1, 0.8)))
+    q.processAllAvailable()
+    in.addData((3L, Seq(0.7, 0.2)))
+    q.processAllAvailable()
+    q.stop()
+    // both tables carry the last batch id; the binding is the version
+    // the corpus append RETURNED, and it is fresh
+    M.lastStreamBatch(spark, corpusDir, "ann") shouldBe Some(1L)
+    M.lastStreamBatch(spark, indexDir, "ann") shouldBe Some(1L)
+    M.indexSourceOf(spark, indexDir) shouldBe
+      Some((corpusDir, M.currentVersion(spark, corpusDir)))
+    noException should be thrownBy M.requireIndexFresh(spark, indexDir)
+    M.read(spark, corpusDir).count() shouldBe 3
+    M.read(spark, indexDir).count() shouldBe 3
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(corpusDir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(indexDir))
+  }
 }
