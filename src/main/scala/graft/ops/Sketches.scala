@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable HyperLogLog cardinality sketches as DATA — per-shard register
@@ -119,5 +120,172 @@ object Sketches {
         col("estimate"), col("corrected"), col("nd_exact"),
         (abs(col("estimate") - col("nd_exact")) / col("nd_exact") <= sigma3)
           .as("within_3sigma"))
+  }
+
+  // ---------------------------------------------------------------------
+  // KMV (k-minimum-values) sketches — the SET-OPERATIONS complement to
+  // HLL: a KMV sketch is the k smallest distinct hash values of a set
+  // (Bar-Yossef et al., "Counting distinct elements in a data stream",
+  // RANDOM 2002; Beyer et al. SIGMOD 2007 for the unbiased estimator).
+  // Union merges by re-taking the k smallest of the combined rows, and —
+  // what HLL registers cannot give — INTERSECTION/Jaccard estimates fall
+  // out of membership of the merged sketch's hashes in each side's
+  // sketch. Same determinism contract as the HLL table: md5 hashes, the
+  // estimate a fixed arithmetic chain, every value reproducible by any
+  // engine.
+  // ---------------------------------------------------------------------
+
+  /** KMV sketch size. Relative error ~ 1/sqrt(k-2) ≈ 13% at k=64. */
+  val K = 64
+
+  /** 52-bit md5-derived hash — uniform on [0, 2^52), collision odds
+    * negligible at sketch scale, and small enough that every arithmetic
+    * step below stays exact in a BIGINT/double. */
+  private def h52(key: Column): Column =
+    conv(substring(md5(key), 1, 13), 16, 10).cast("long")
+
+  /** Per-shard KMV sketch table: the K smallest DISTINCT key hashes per
+    * shard, ranked. At most K rows per shard leave the plan whatever the
+    * input size.
+    *
+    * Scale shape: the distinct is one map-side-combinable aggregate on
+    * (shard, h); the min-K cut is a per-shard rank window over DISTINCT
+    * hashes only. At extreme per-shard cardinality, pre-filter map-side
+    * with any upper bound on the k-th hash (e.g. from yesterday's
+    * sketch) before the distinct — the cut is monotone, so a
+    * conservative threshold never changes the result. */
+  def kmvSketch(df: DataFrame, key: Column, shardCol: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("h").asc)
+    df.select(col(shardCol).as("shard"), h52(key).as("h"))
+      .groupBy("shard", "h").agg(count(lit(1)).as("__n")).drop("__n")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+  }
+
+  /** Union-merge: the KMV sketch of the union of every shard in
+    * `sketches`, built purely from sketch rows (distinct hashes, re-rank,
+    * keep K) — never from the data. */
+  def kmvUnion(sketches: DataFrame, label: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("h").asc)
+    sketches.select(lit(label).as("shard"), col("h")).distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+  }
+
+  /** Distinct-count estimates from a KMV sketch table: a SATURATED
+    * sketch (K rows) estimates (K-1) · 2^52 / h_K (the unbiased KMV
+    * estimator); an unsaturated one holds EVERY distinct hash, so its
+    * row count is exact. One K-row-per-shard aggregate. */
+  def kmvEstimate(sketches: DataFrame): DataFrame =
+    sketches.groupBy("shard")
+      .agg(count(lit(1)).as("rows"), max(col("h")).as("hk"))
+      .select(col("shard"), col("rows").cast("int").as("sketch_rows"),
+        round(when(col("rows") < K, col("rows").cast("double"))
+          .otherwise(lit((K - 1).toDouble) * lit(4503599627370496.0) /
+            col("hk").cast("double")), 4).as("estimate"),
+        (col("rows") < K).as("is_exact"))
+
+  /** The SET-OPERATIONS report for two shards `a` and `b` of `df` — what
+    * the HLL registers cannot answer: estimated |A|, |B|, |A∪B| from the
+    * merged sketch, Jaccard from the merged sketch's membership in both
+    * sides (rho = |merged ∩ A-sketch ∩ B-sketch| / |merged|), and
+    * |A∩B| = rho · |A∪B| (Beyer et al.'s KMV set-operation recipe) —
+    * all from ≤3K stored rows, never a rescan. Exact counterparts ride
+    * along for the accuracy read. */
+  def kmvSetOps(df: DataFrame, key: Column, shardCol: String,
+                a: String, b: String): DataFrame = {
+    val keyed = df.select(key.as("__k"), col(shardCol).as("shard"))
+      .filter(col("shard").isin(a, b))
+    val sk = kmvSketch(keyed, col("__k"), "shard").localCheckpoint()
+    val merged = kmvUnion(sk, "__u")
+    val skA = sk.filter(col("shard") === a).select(col("h"))
+    val skB = sk.filter(col("shard") === b).select(col("h"))
+    // membership of the merged sketch's hashes in both sides' sketches
+    val rhoRow = merged.select(col("h"))
+      .join(skA, Seq("h"), "left_semi").join(skB, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    val mStats = merged.agg(count(lit(1)).as("m_rows"), max(col("h")).as("m_hk"))
+    val estOf = (rows: Column, hk: Column) =>
+      when(rows < K, rows.cast("double"))
+        .otherwise(lit((K - 1).toDouble) * lit(4503599627370496.0) /
+          hk.cast("double"))
+    val perShard = sk.groupBy("shard")
+      .agg(count(lit(1)).as("rows"), max(col("h")).as("hk"))
+    val estA = perShard.filter(col("shard") === a)
+      .select(estOf(col("rows"), col("hk")).as("est_a"))
+    val estB = perShard.filter(col("shard") === b)
+      .select(estOf(col("rows"), col("hk")).as("est_b"))
+    val exact = keyed.agg(
+      countDistinct(when(col("shard") === a, col("__k"))).as("nd_a"),
+      countDistinct(when(col("shard") === b, col("__k"))).as("nd_b"),
+      countDistinct(col("__k")).as("nd_union"))
+    val unionEst = mStats.select(estOf(col("m_rows"), col("m_hk")).as("est_union"),
+      col("m_rows"))
+    estA.crossJoin(estB).crossJoin(unionEst).crossJoin(rhoRow).crossJoin(exact)
+      .select(
+        lit(a).as("shard_a"), lit(b).as("shard_b"),
+        round(col("est_a"), 4).as("est_a"),
+        round(col("est_b"), 4).as("est_b"),
+        round(col("est_union"), 4).as("est_union"),
+        round(col("n_both") / col("m_rows"), 6).as("jaccard_est"),
+        round(col("n_both") / col("m_rows") * col("est_union"), 4)
+          .as("est_intersection"),
+        col("nd_a"), col("nd_b"), col("nd_union"),
+        (col("nd_a") + col("nd_b") - col("nd_union")).as("nd_intersection"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Count-min sketches — the FREQUENCY complement: per-shard (row, col,
+  // count) tables of depth×width counters (Cormode & Muthukrishnan,
+  // "An improved data stream summary: the count-min sketch", J.Alg 2005).
+  // Merge is pure per-cell ADDITION (like the DDSketch histogram table),
+  // and a point estimate is the min over depth rows — always an
+  // OVERCOUNT, within N·e/width with probability 1 − e^-depth. Row
+  // hashes are md5 with a per-row salt, so every engine derives the
+  // identical table.
+  // ---------------------------------------------------------------------
+
+  /** Count-min depth (independent hash rows) and width (counters/row). */
+  val CmsD = 4
+  val CmsW = 256
+
+  /** Per-shard count-min table: one row per occupied (shard, row, col)
+    * cell. Map-side combinable; at most depth·width rows per shard leave
+    * the shuffle whatever the input size. */
+  def cmsSketch(df: DataFrame, key: Column, shardCol: String): DataFrame = {
+    val rows = (0 until CmsD).map { r =>
+      struct(lit(r).as("row"),
+        (conv(substring(md5(concat(lit(s"cms$r|"), key)), 1, 13), 16, 10)
+          .cast("long") % CmsW).cast("int").as("col"))
+    }
+    df.select(col(shardCol).as("shard"), explode(array(rows: _*)).as("rc"))
+      .groupBy(col("shard"), col("rc.row").as("row"), col("rc.col").as("col"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge count-min tables by per-cell addition — the whole point: any
+    * shard combination's frequency table is a groupBy-sum over tiny
+    * rows, never a rescan. */
+  def cmsMerge(sketches: DataFrame, label: String): DataFrame =
+    sketches.groupBy("row", "col").agg(sum(col("cnt")).as("cnt"))
+      .select(lit(label).as("shard"), col("row"), col("col"), col("cnt"))
+
+  /** Point-frequency estimates for `probes` (one column named `probe`)
+    * against one sketch's cells: min over the depth rows, next to
+    * nothing the sketch didn't store. Estimates are structural
+    * OVERCOUNTS (never under), the property downstream thresholds rely
+    * on. The probe side is a broadcast of #probes·depth cells against
+    * the ≤depth·width-row sketch. */
+  def cmsPointEstimate(sketch: DataFrame, probes: DataFrame): DataFrame = {
+    val cells = (0 until CmsD).map { r =>
+      struct(lit(r).as("row"),
+        (conv(substring(md5(concat(lit(s"cms$r|"), col("probe"))), 1, 13), 16, 10)
+          .cast("long") % CmsW).cast("int").as("col"))
+    }
+    probes.select(col("probe"), explode(array(cells: _*)).as("rc"))
+      .select(col("probe"), col("rc.row").as("row"), col("rc.col").as("col"))
+      .join(sketch, Seq("row", "col"), "left")
+      .groupBy("probe")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
 }

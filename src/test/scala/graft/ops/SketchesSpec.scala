@@ -70,4 +70,88 @@ class SketchesSpec extends AnyFlatSpec with Matchers {
     // estimates genuinely differ from exact (it IS a sketch)
     rep.map(_.getDouble(3)).toSet.size should be > 1
   }
+
+  behavior of "KMV sketches"
+
+  it should "hold at most K rows, exact below K, estimate above it" in {
+    val sk = Sketches.kmvSketch(fixture, col("k"), "shard")
+    sk.groupBy("shard").count().collect()
+      .foreach(_.getLong(1) should be <= Sketches.K.toLong)
+    // a small shard's sketch IS its distinct set (exact estimate)
+    val small = (0L until 20L).map(i => (s"s-$i", "tiny")).toDF("k", "shard")
+    val est = Sketches.kmvEstimate(
+      Sketches.kmvSketch(small, col("k"), "shard")).collect().head
+    est.getInt(1) shouldBe 20
+    est.getDouble(2) shouldBe 20.0
+    est.getBoolean(3) shouldBe true // is_exact
+    // a saturated sketch estimates within the ~13% (1/sqrt(K-2)) band,
+    // generously widened to 3x for the fixed fixture
+    val big = Sketches.kmvEstimate(
+      Sketches.kmvSketch(fixture, col("k"), "shard")).collect()
+    big.foreach { r =>
+      r.getBoolean(3) shouldBe false
+      math.abs(r.getDouble(2) - 500.0) / 500.0 should be < 0.4
+    }
+  }
+
+  it should "union-merge to exactly the from-scratch sketch" in {
+    val sk = Sketches.kmvSketch(fixture, col("k"), "shard")
+    val merged = Sketches.kmvUnion(sk, "u")
+      .select("h", "rank").collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    val scratch = Sketches.kmvSketch(
+        fixture.select(col("k"), lit("u").as("shard")), col("k"), "shard")
+      .select("h", "rank").collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    merged shouldBe scratch
+  }
+
+  it should "estimate intersection and Jaccard from sketch rows alone" in {
+    // true: |A|=500, |B|=500, |A∩B|=200, |A∪B|=800, J=0.25
+    val rep = Sketches.kmvSetOps(fixture, col("k"), "shard", "a", "b")
+      .collect().head
+    rep.getLong(7) shouldBe 500L  // nd_a
+    rep.getLong(8) shouldBe 500L  // nd_b
+    rep.getLong(9) shouldBe 800L  // nd_union
+    rep.getLong(10) shouldBe 200L // nd_intersection
+    math.abs(rep.getDouble(4) - 800.0) / 800.0 should be < 0.4  // est_union
+    // Jaccard and intersection estimates land in a usable band around
+    // truth (K=64 gives coarse but decision-grade set-overlap reads)
+    rep.getDouble(5) should (be > 0.05 and be < 0.6)   // jaccard_est vs 0.25
+    rep.getDouble(6) should (be > 40.0 and be < 500.0) // est_intersection vs 200
+  }
+
+  behavior of "count-min sketches"
+
+  it should "merge by addition and never undercount" in {
+    val data = (0L until 2000L).map(i => (s"u-${i % 97}", if (i % 2 == 0) "x" else "y"))
+      .toDF("k", "shard")
+    val sk = Sketches.cmsSketch(data, col("k"), "shard")
+    // at most depth*width rows per shard
+    sk.groupBy("shard").count().collect()
+      .foreach(_.getLong(1) should be <= (Sketches.CmsD * Sketches.CmsW).toLong)
+    // merging per-shard tables == sketching all the data at once
+    val merged = Sketches.cmsMerge(sk, "all")
+      .select("row", "col", "cnt").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted
+    val scratch = Sketches.cmsSketch(
+        data.select(col("k"), lit("all").as("shard")), col("k"), "shard")
+      .select("row", "col", "cnt").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted
+    merged shouldBe scratch
+    // point estimates: structurally >= exact, and within N/width slack
+    val probes = (0 until 10).map(i => s"u-$i").toDF("probe")
+    val est = Sketches.cmsPointEstimate(
+        Sketches.cmsMerge(sk, "all"), probes)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = data.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (0 until 10).map(i => s"u-$i").foreach { p =>
+      est(p) should be >= exact(p)
+      est(p) - exact(p) should be <= (2000L * 3 / Sketches.CmsW + 1)
+    }
+    // an unseen key can only collide upward from zero
+    val unseen = Sketches.cmsPointEstimate(
+      Sketches.cmsMerge(sk, "all"), Seq("never-seen").toDF("probe"))
+      .collect().head.getLong(1)
+    unseen should be >= 0L
+  }
 }
