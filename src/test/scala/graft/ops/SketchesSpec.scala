@@ -154,4 +154,45 @@ class SketchesSpec extends AnyFlatSpec with Matchers {
       .collect().head.getLong(1)
     unseen should be >= 0L
   }
+
+  behavior of "sketch plan shapes"
+
+  it should "build every sketch with map-side combine and no sort-merge join" in {
+    // the 100 TB posture, plan-proven: each sketch build is a partial-
+    // aggregated groupBy (the shuffle carries at most m / K / depth*width
+    // rows per shard, never the data), merges run over sketch rows only,
+    // and every join in the probe paths broadcasts the tiny side
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id").cast("string").as("k"),
+        col("event_type").as("shard"))
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    val hll = planOf(Sketches.hllRegisters(ev, col("k"), "shard"))
+    withClue(hll) {
+      hll should include ("partial_max")
+      hll should not include "SortMergeJoin"
+    }
+    val kmv = planOf(Sketches.kmvSketch(ev, col("k"), "shard"))
+    withClue(kmv) {
+      // the min-K cut runs MAP-SIDE too: a Partial WindowGroupLimit
+      // before the shard exchange caps the shuffle at K rows per shard
+      // per input partition (the distinct is the agg-function-free
+      // HashAggregate pair around the (shard, h) exchange)
+      kmv should include ("row_number(), 64, Partial")
+      kmv should include ("row_number(), 64, Final")
+      kmv should not include "SortMergeJoin"
+    }
+    val cms = planOf(Sketches.cmsSketch(ev, col("k"), "shard"))
+    withClue(cms) {
+      cms should include ("partial_count")
+      cms should not include "SortMergeJoin"
+    }
+    val probe = planOf(Sketches.cmsPointEstimate(
+      Sketches.cmsMerge(Sketches.cmsSketch(ev, col("k"), "shard"), "all"),
+      Seq("1", "2").toDF("probe")))
+    withClue(probe) {
+      probe should include ("BroadcastHashJoin")
+      probe should not include "SortMergeJoin"
+    }
+  }
 }
