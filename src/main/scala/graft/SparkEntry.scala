@@ -1305,6 +1305,160 @@ object SparkEntry {
       graft.ops.Corpus.bm25Score(spread(s, table(s, dir, "documents")),
         "doc_id", "text", Seq("spark", "table", "window"))),
 
+    // Extension: PERSISTED INVERTED INDEX — the lexical analogue of the
+    // persisted IVF tier, full lifecycle: the corpus is a governed
+    // manifest table; the posting lists commit ONCE with the corpus
+    // stats riding the #meta header and the #indexof staleness binding;
+    // compactSorted range-clusters by term so the probe is a string-
+    // stats-pruned readWhereIn opening only the query terms' files (the
+    // in-query assert proves files were actually skipped); BM25 scores
+    // come from the index + header stats alone — the corpus is never
+    // rescanned at query time. Three queries ranked in one probe batch.
+    "text_invidx_topk" -> ((s, dir) => {
+      import s.implicits._
+      val M = graft.sources.ManifestTable
+      val R = graft.ops.Retrieval
+      val corpusDir = scratch("retr_corpus")
+      M.commit(s, corpusDir,
+        spread(s, table(s, dir, "documents").select("doc_id", "text")))
+      val v = M.currentVersion(s, corpusDir)
+      val corpus = M.read(s, corpusDir)
+      val (n, dl) = R.corpusStats(corpus, "text")
+      val out = scratch("retr_index")
+      M.commitIndex(s, out,
+        R.buildPostings(corpus, "doc_id", "text").repartition(8),
+        corpusDir, v,
+        meta = Map(R.MetaDocs -> n.toString, R.MetaTotalDl -> dl.toString))
+      M.compactSorted(s, out, Seq("term"), targetFiles = 8)
+      M.requireIndexFresh(s, out)
+      val (kept, total) = M.pruneByEquals(s, out, "term", "join")
+      require(kept.size < total,
+        s"term-clustered prune must skip files: kept ${kept.size} of $total")
+      val queries = Seq(
+        0L -> "spark", 0L -> "table", 0L -> "window",
+        1L -> "join", 1L -> "filter",
+        2L -> "vector", 2L -> "stream", 2L -> "hash"
+      ).toDF("query_id", "term")
+      val props = M.properties(s, out)
+      val post = M.readWhereIn(s, out, "term",
+        Seq("spark", "table", "window", "join", "filter",
+          "vector", "stream", "hash"))
+      R.bm25TopK(post, queries,
+        props(R.MetaDocs).toLong, props(R.MetaTotalDl).toLong, k = 5)
+    }),
+
+    // Extension: O(delta) inverted-index maintenance — the sim_ivf_delta
+    // lifecycle for lexical search: a corpus append makes the probe gate
+    // refuse the stale index; maintenance tokenizes ONLY the appended
+    // documents (readChangesSince) and lands their postings with
+    // appendIndex, the #meta corpus totals advancing in the SAME pointer
+    // move. Document frequency re-aggregates from the (complete) pruned
+    // read at probe time, so split posting lists stay exact — the probe's
+    // scores equal a from-scratch full-corpus BM25 bit-for-bit (the
+    // oracle), and the in-query assert recounts the corpus to prove the
+    // maintained header stats are the true totals.
+    "text_invidx_delta" -> ((s, dir) => {
+      import s.implicits._
+      val M = graft.sources.ManifestTable
+      val R = graft.ops.Retrieval
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val corpusDir = scratch("retrd_corpus")
+      M.commit(s, corpusDir, spread(s, docs.filter(col("doc_id") % 5 =!= 0)))
+      val v0 = M.currentVersion(s, corpusDir)
+      val corpus0 = M.read(s, corpusDir)
+      val (n0, dl0) = R.corpusStats(corpus0, "text")
+      val out = scratch("retrd_index")
+      M.commitIndex(s, out,
+        R.buildPostings(corpus0, "doc_id", "text").repartition(8),
+        corpusDir, v0,
+        meta = Map(R.MetaDocs -> n0.toString, R.MetaTotalDl -> dl0.toString))
+      M.compactSorted(s, out, Seq("term"), targetFiles = 8)
+      // corpus grows; the stale index must refuse probes...
+      M.append(s, corpusDir, docs.filter(col("doc_id") % 5 === 0))
+      val staleRefused =
+        try { M.requireIndexFresh(s, out); false }
+        catch { case _: IllegalStateException => true }
+      require(staleRefused, "probe gate must refuse the stale index")
+      // ...until the delta postings land with the advanced #meta totals
+      val delta = M.readChangesSince(s, corpusDir, fromVersion = v0)
+      val (dn, ddl) = R.corpusStats(delta, "text")
+      M.appendIndex(s, out,
+        R.buildPostings(delta, "doc_id", "text").repartition(4),
+        corpusDir, M.currentVersion(s, corpusDir),
+        meta = Map(R.MetaDocs -> (n0 + dn).toString,
+          R.MetaTotalDl -> (dl0 + ddl).toString))
+      M.requireIndexFresh(s, out)
+      val props = M.properties(s, out)
+      val (nF, dlF) = R.corpusStats(M.read(s, corpusDir), "text")
+      require(props(R.MetaDocs).toLong == nF &&
+        props(R.MetaTotalDl).toLong == dlF,
+        "maintained #meta corpus stats must equal the true totals")
+      val queries = Seq(
+        0L -> "spark", 0L -> "table", 0L -> "window",
+        1L -> "join", 1L -> "filter"
+      ).toDF("query_id", "term")
+      val post = M.readWhereIn(s, out, "term",
+        Seq("spark", "table", "window", "join", "filter"))
+      R.bm25TopK(post, queries, nF, dlF, k = 5)
+    }),
+
+    // Extension: champion-list static pruning PRICED — keep only the 8
+    // highest-impact postings per term (the impact-ordered / quantized-
+    // impact index shape; per-term top-c runs as a map-side partial
+    // group-limit, so no term's full posting list ever sorts in one
+    // task), freeze each term's true document frequency into the
+    // artifact, and score recall@5 against full-postings BM25 as truth —
+    // the nprobe-sweep pricing pattern applied to lexical search.
+    "text_invidx_pruned" -> ((s, dir) => {
+      import s.implicits._
+      val R = graft.ops.Retrieval
+      val docs = spread(s, table(s, dir, "documents").select("doc_id", "text"))
+      val (n, dl) = R.corpusStats(docs, "text")
+      val post = R.buildPostings(docs, "doc_id", "text")
+      val queries = Seq(
+        0L -> "spark", 0L -> "table", 0L -> "window",
+        1L -> "join", 1L -> "filter",
+        2L -> "vector", 2L -> "stream", 2L -> "hash"
+      ).toDF("query_id", "term")
+      val exact = R.bm25TopK(post, queries, n, dl, k = 5)
+        .select(col("query_id"), col("doc_id"))
+      val champ = R.championPostings(post, n, dl, c = 8)
+      val approx = R.bm25TopKChampion(champ, queries, 5, n, dl)
+        .select(col("query_id"), col("doc_id"))
+      val hits = exact.join(approx, Seq("query_id", "doc_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      queries.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) / lit(5.0), 6).as("recall"))
+    }),
+
+    // Extension: PHRASE QUERY from positional postings — "table hash"
+    // matches where an occurrence of the first term is immediately
+    // followed by the second, computed as an array intersection over the
+    // stored token offsets of the two pruned posting lists. No text
+    // rescan: the probe reads two term ranges and joins them on doc id.
+    "text_invidx_phrase" -> ((s, dir) => {
+      val M = graft.sources.ManifestTable
+      val R = graft.ops.Retrieval
+      val corpusDir = scratch("retrp_corpus")
+      M.commit(s, corpusDir,
+        spread(s, table(s, dir, "documents").select("doc_id", "text")))
+      val v = M.currentVersion(s, corpusDir)
+      val corpus = M.read(s, corpusDir)
+      val (n, dl) = R.corpusStats(corpus, "text")
+      val out = scratch("retrp_index")
+      M.commitIndex(s, out,
+        R.buildPostings(corpus, "doc_id", "text").repartition(8),
+        corpusDir, v,
+        meta = Map(R.MetaDocs -> n.toString, R.MetaTotalDl -> dl.toString))
+      M.compactSorted(s, out, Seq("term"), targetFiles = 8)
+      M.requireIndexFresh(s, out)
+      val post = M.readWhereIn(s, out, "term", Seq("table", "hash"))
+      R.phraseMatch(post, "table", "hash")
+    }),
+
     // Extension: the nprobe knob PRICED — corpus-level recall@5 at
     // nprobe ∈ {1, 2, 4} in one 3-row readout (the lshRecallEval pattern
     // applied to the IVF index): how much recall each extra probed cell
@@ -4340,6 +4494,27 @@ object SparkEntry {
       |FROM (SELECT vec_id FROM e WHERE vec_id < 10) q
       |LEFT JOIN hits h ON h.query_id = q.vec_id""".stripMargin
 
+  // Shared fragments of the inverted-index oracles. Every float literal
+  // pins ::DOUBLE (a bare decimal parses as DECIMAL here, and these
+  // queries rank by the EXACT decimal score sum, so the per-posting
+  // double must be bit-identical to the Spark side — same IEEE ops in the
+  // same order, not merely equal after round(6)).
+  private val invidxQueries3 =
+    "(0, 'spark'), (0, 'table'), (0, 'window'), (1, 'join'), (1, 'filter'), " +
+      "(2, 'vector'), (2, 'stream'), (2, 'hash')"
+  private val invidxQueries2 =
+    "(0, 'spark'), (0, 'table'), (0, 'window'), (1, 'join'), (1, 'filter')"
+  // The tf-side factor — graft.ops.Retrieval.tfFactor's exact op order:
+  // (tf·(k1+1)) / (tf + k1·(1−b+b·dl/avgdl)), avgdl = total_dl/n_docs.
+  private val invidxImpactSql =
+    "(tf.tf * (1.2::DOUBLE + 1.0::DOUBLE)) / (tf.tf + 1.2::DOUBLE * " +
+      "(1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * l.dl / " +
+      "(CAST(st.total_dl AS DOUBLE) / st.n_docs)))"
+  // idf (DECIMAL-canonicalized) × tf-factor — Retrieval.bm25TopK's s.
+  private val invidxScoreSql =
+    "CAST(CAST(ln(1.0::DOUBLE + (st.n_docs - dfq.dfc + 0.5::DOUBLE) / " +
+      s"(dfq.dfc + 0.5::DOUBLE)) AS DECIMAL(27,12)) AS DOUBLE) * $invidxImpactSql AS s"
+
   private def cosSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x,y) -> x+y)" +
       s" / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (x,y) -> x+y))" +
@@ -5512,6 +5687,107 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
         |  round(CAST(sum(CAST(s AS DECIMAL(27,12))) AS DOUBLE), 6) AS bm25
         |FROM sc GROUP BY 1""".stripMargin,
+
+    // Full-corpus BM25 top-5 per query — what the index-served probe must
+    // equal exactly. Float literals pin ::DOUBLE (bare decimals parse as
+    // DECIMAL here) and the op order mirrors the Spark side's
+    // idf * (tf-factor) composition, so the per-posting double s is
+    // bit-identical in both engines; ranking compares the exact DECIMAL
+    // score sum with doc-id ties, never the rounded display value.
+    "text_invidx_topk" ->
+      s"""WITH q(query_id, term) AS (VALUES $invidxQueries3),
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM l),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(toks) AS term FROM t)
+        |  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+        |sc AS (SELECT q.query_id, tf.doc_id, $invidxScoreSql
+        |  FROM q JOIN tf ON q.term = tf.term JOIN dfq ON tf.term = dfq.term
+        |  JOIN l ON tf.doc_id = l.doc_id, st),
+        |ag AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+        |  sum(CAST(s AS DECIMAL(27,12))) AS sd FROM sc GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sd DESC, doc_id) AS rk FROM ag)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rk AS INTEGER) AS rank,
+        |  n_terms_matched, round(CAST(sd AS DOUBLE), 6) AS bm25
+        |FROM r WHERE rk <= 5""".stripMargin,
+
+    // The delta-maintained index must serve the FULL corpus exactly — the
+    // oracle is a from-scratch whole-corpus BM25, proving the appended
+    // posting lists + advanced #meta totals reconstruct the truth.
+    "text_invidx_delta" ->
+      s"""WITH q(query_id, term) AS (VALUES $invidxQueries2),
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM l),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(toks) AS term FROM t)
+        |  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+        |sc AS (SELECT q.query_id, tf.doc_id, $invidxScoreSql
+        |  FROM q JOIN tf ON q.term = tf.term JOIN dfq ON tf.term = dfq.term
+        |  JOIN l ON tf.doc_id = l.doc_id, st),
+        |ag AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+        |  sum(CAST(s AS DECIMAL(27,12))) AS sd FROM sc GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sd DESC, doc_id) AS rk FROM ag)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rk AS INTEGER) AS rank,
+        |  n_terms_matched, round(CAST(sd AS DOUBLE), 6) AS bm25
+        |FROM r WHERE rk <= 5""".stripMargin,
+
+    // Champion-list recall: rebuild the identical impact-ordered top-8
+    // prune (the impact double is the same bit-exact expression as the
+    // Spark tf-factor), score both arms, and count the exact-arm top-5
+    // hits the champion arm retains per query.
+    "text_invidx_pruned" ->
+      s"""WITH q(query_id, term) AS (VALUES $invidxQueries3),
+        |t AS MATERIALIZED (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        |l AS MATERIALIZED (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        |st AS MATERIALIZED (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM l),
+        |tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(toks) AS term FROM t)
+        |  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+        |dfq AS MATERIALIZED (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+        |imp AS MATERIALIZED (SELECT tf.doc_id, tf.term, $invidxImpactSql AS impact
+        |  FROM tf JOIN l ON tf.doc_id = l.doc_id, st),
+        |sc AS (SELECT q.query_id, tf.doc_id, $invidxScoreSql
+        |  FROM q JOIN tf ON q.term = tf.term JOIN dfq ON tf.term = dfq.term
+        |  JOIN l ON tf.doc_id = l.doc_id, st),
+        |ex AS MATERIALIZED (SELECT query_id, doc_id FROM (
+        |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sum(CAST(s AS DECIMAL(27,12))) DESC, doc_id) AS rk
+        |  FROM sc GROUP BY 1, 2) WHERE rk <= 5),
+        |champ AS MATERIALIZED (SELECT doc_id, term FROM (
+        |  SELECT doc_id, term, row_number() OVER (PARTITION BY term
+        |    ORDER BY impact DESC, doc_id) AS cr FROM imp) WHERE cr <= 8),
+        |sca AS (SELECT q.query_id, tf.doc_id, $invidxScoreSql
+        |  FROM q JOIN tf ON q.term = tf.term
+        |  JOIN champ ON tf.term = champ.term AND tf.doc_id = champ.doc_id
+        |  JOIN dfq ON tf.term = dfq.term JOIN l ON tf.doc_id = l.doc_id, st),
+        |ap AS MATERIALIZED (SELECT query_id, doc_id FROM (
+        |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sum(CAST(s AS DECIMAL(27,12))) DESC, doc_id) AS rk
+        |  FROM sca GROUP BY 1, 2) WHERE rk <= 5),
+        |hits AS (SELECT ex.query_id, count(*) AS n_hit FROM ex
+        |  SEMI JOIN ap ON ex.query_id = ap.query_id AND ex.doc_id = ap.doc_id GROUP BY 1)
+        |SELECT qq.query_id, COALESCE(h.n_hit, 0) AS n_hit,
+        |  round(COALESCE(h.n_hit, 0) / 5.0::DOUBLE, 6) AS recall
+        |FROM (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id FROM q) qq
+        |LEFT JOIN hits h ON qq.query_id = h.query_id""".stripMargin,
+
+    // Phrase match from token offsets: an occurrence of 'table' at p and
+    // 'hash' at p+1 — the zipped-unnest position lists intersect exactly
+    // like the Spark side's stored positional postings.
+    "text_invidx_phrase" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |p AS (SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks))) AS pos FROM t),
+        |a AS (SELECT doc_id, list(pos ORDER BY pos) AS pa FROM p WHERE term = 'table' GROUP BY 1),
+        |b AS (SELECT doc_id, list(pos ORDER BY pos) AS pb FROM p WHERE term = 'hash' GROUP BY 1),
+        |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        |m AS (SELECT a.doc_id, l.dl,
+        |  CAST(len(list_intersect(list_transform(pa, x -> x + 1), pb)) AS INTEGER) AS n_phrase
+        |  FROM a JOIN b ON a.doc_id = b.doc_id JOIN l ON a.doc_id = l.doc_id)
+        |SELECT doc_id, dl, n_phrase FROM m WHERE n_phrase > 0""".stripMargin,
 
     "sim_prefix_recall" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

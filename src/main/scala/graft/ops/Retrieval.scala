@@ -1,0 +1,222 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.TextFunctions.tokens
+
+/** Persisted inverted index for lexical (BM25) retrieval — the text-side
+  * counterpart of the persisted IVF tier in [[Similarity]] +
+  * [[graft.sources.ManifestTable]]: build the posting lists ONCE as a
+  * governed manifest table, probe them with a stats-pruned term read, and
+  * maintain them incrementally at O(delta).
+  *
+  * Why an index at all: [[Corpus.bm25Score]] is the full-scan shape — every
+  * query tokenizes the corpus again. At 100 TB a keyword query must not
+  * re-read 100 TB; it should open the handful of files that hold the query
+  * terms' posting lists. The pieces:
+  *
+  *  - '''Postings table''' (`term, id, tf, dl, positions`): one row per
+  *    (term, document), document length denormalized so probes never join a
+  *    doc-length side table, token offsets retained so PHRASE queries are an
+  *    array intersection instead of a text rescan (the Lucene posting-with-
+  *    positions shape). Built by one explode + (term, id) aggregation —
+  *    map-side combinable, shuffle keyed on (term, id) which is near-unique,
+  *    so no hot keys at any corpus size.
+  *  - '''Layout''': `compactSorted(Seq("term"))` range-clusters the table so
+  *    each file covers a disjoint term range; the manifest's string min/max
+  *    stats then turn a probe into `readWhereIn(dir, "term", terms)` — the
+  *    UTF-8 containment prune opens only files whose range can hold a query
+  *    term, at any index size.
+  *  - '''Corpus stats as table metadata''': BM25 needs the corpus document
+  *    count and total length. They ride the manifest header (`#meta=`,
+  *    [[graft.sources.ManifestTable.properties]]) in the SAME pointer move
+  *    as the postings they describe — a probe reads them for free instead of
+  *    rescanning the corpus, and a snapshot can never pair postings with
+  *    another snapshot's stats.
+  *  - '''Staleness contract''': the index commit binds `#indexof` to the
+  *    corpus snapshot it covers; probes gate on `requireIndexFresh` exactly
+  *    like the ANN probe path. Maintenance after a corpus append is
+  *    [[buildPostings]] over `readChangesSince` (the delta only) landed with
+  *    `appendIndex` — posting lists for a term may then span files, which is
+  *    correct: document frequency is re-aggregated at probe time from the
+  *    (complete) pruned read, so delta appends never invalidate stored
+  *    statistics. Only the `#meta=` corpus totals change, and they swap in
+  *    the same transaction.
+  *  - '''Static pruning''' ([[championPostings]]): the impact-ordered
+  *    champion-list variant for latency-bound top-k — keep only the C
+  *    highest-impact postings per term (partial per-partition group-limit,
+  *    shuffle carries ≤ C rows per term per partition), freeze each term's
+  *    true document frequency into the artifact, and accept approximate
+  *    recall priced by [[bm25TopK]]-vs-champion evaluation (the nprobe-sweep
+  *    pattern applied to lexical search).
+  *
+  * Determinism: scores canonicalize through DECIMAL(27,12) exactly as
+  * [[Corpus.bm25Score]] does (the idf's `ln` is the one libm call, pinned by
+  * the DECIMAL cast; everything else is integer-derived IEEE arithmetic), and
+  * ranking orders by the EXACT decimal score sum with document-id ties — so
+  * an independent engine reproduces every rank bit-for-bit.
+  */
+object Retrieval {
+
+  /** `#meta=` keys the index build records next to its `#indexof` binding. */
+  val MetaDocs = "retrieval.n_docs"
+  val MetaTotalDl = "retrieval.total_dl"
+
+  private val dec = DecimalType(27, 12)
+
+  /** The posting lists of `df`: one row per (term, document) with term
+    * frequency, document length, and ascending token offsets. One explode +
+    * one (term, id)-keyed aggregation; `array_sort` pins the offset order
+    * regardless of partial-aggregate merge order. */
+  def buildPostings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), size(col("toks")).cast("long").as("dl"),
+        posexplode(col("toks")))
+      .groupBy(col("col").as("term"), col("id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
+        array_sort(collect_list(col("pos"))).as("positions"))
+
+  /** (document count, total token length) of the corpus — the two scalars a
+    * BM25 probe needs beyond the posting lists themselves. One 1-row
+    * aggregate collected on the driver; committed as `#meta=` so probes
+    * never recompute it. */
+  def corpusStats(df: DataFrame, textCol: String): (Long, Long) = {
+    val r = df
+      .agg(count(lit(1)).as("n"),
+        sum(size(tokens(col(textCol))).cast("long")).as("dl"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  // The tf-side BM25 factor: tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) —
+  // monotone in the full per-term score for a fixed term, which is what
+  // makes it the champion-list impact ordering.
+  private def tfFactor(nDocs: Long, totalDl: Long, k1: Double, b: Double) = {
+    val avgdl = lit(totalDl).cast("double") / lit(nDocs)
+    (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+  }
+
+  // idf = ln(1 + (N − df + ½)/(df + ½)), DECIMAL-canonicalized — identical
+  // expression to Corpus.bm25Score so index-served scores equal full-scan
+  // scores exactly.
+  private def idfOf(nDocs: Long) =
+    log(lit(1.0) + (lit(nDocs) - col("dfc") + lit(0.5)) /
+      (col("dfc") + lit(0.5))).cast(dec).cast("double")
+
+  /** Top-k BM25 per query from a posting-list read. `queries` is the tiny
+    * (query_id, term) frame — broadcast into the postings join, so the only
+    * corpus-sized shape is the postings scan itself (already pruned to the
+    * query terms by [[graft.sources.ManifestTable.readWhereIn]]). Document
+    * frequency re-aggregates from the read (a #terms-sized frame), so the
+    * scores are exact at ANY snapshot, including after delta appends.
+    * Ranking compares the exact DECIMAL score sum (never the rounded double)
+    * with document-id ties; rank ≤ k runs as a partial per-partition
+    * group-limit before the per-query shuffle. */
+  def bm25TopK(
+      postings: DataFrame,
+      queries: DataFrame,
+      nDocs: Long,
+      totalDl: Long,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val dfq = postings.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
+    val scored = postings
+      .join(broadcast(queries.select(col("query_id"), col("term"))), "term")
+      .join(broadcast(dfq), "term")
+      .select(col("query_id"), col("id"),
+        (idfOf(nDocs) * tfFactor(nDocs, totalDl, k1, b)).as("s"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum(col("s").cast(dec)).as("sd"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sd").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("doc_id"), col("rank"),
+        col("n_terms_matched"), round(col("sd").cast("double"), 6).as("bm25"))
+  }
+
+  /** The impact-ordered static prune: per term, keep only the `c` postings
+    * with the highest tf-side BM25 factor (ties by document id) and FREEZE
+    * the term's true document frequency into each surviving row — the
+    * champion-list / quantized-impact index shape. The per-term top-c runs
+    * as a partial group-limit (map-side, ≤ c rows per term per partition
+    * enter the shuffle), so no term's full posting list ever sorts in one
+    * task. The artifact is approximate BY DESIGN; price its recall with
+    * [[bm25TopK]] over the full postings as truth. */
+  def championPostings(
+      postings: DataFrame,
+      nDocs: Long,
+      totalDl: Long,
+      c: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val dfq = postings.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("impact").desc, col("id").asc)
+    postings
+      .withColumn("impact", tfFactor(nDocs, totalDl, k1, b))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= c)
+      .join(broadcast(dfq), "term")
+      .select(col("term"), col("id"), col("tf"), col("dl"),
+        col("positions"), col("dfc"))
+  }
+
+  /** [[bm25TopK]] over a champion-list artifact: identical scoring, but
+    * document frequency comes from the frozen `dfc` column — the build-time
+    * truth the artifact carries — because the pruned lists no longer contain
+    * every matching document. */
+  def bm25TopKChampion(
+      champion: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nDocs: Long,
+      totalDl: Long,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val scored = champion
+      .join(broadcast(queries.select(col("query_id"), col("term"))), "term")
+      .select(col("query_id"), col("id"),
+        (idfOf(nDocs) * tfFactor(nDocs, totalDl, k1, b)).as("s"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum(col("s").cast(dec)).as("sd"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sd").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("doc_id"), col("rank"),
+        col("n_terms_matched"), round(col("sd").cast("double"), 6).as("bm25"))
+  }
+
+  /** Exact phrase match `"first second"` from positional postings: the two
+    * terms' lists equi-join on document id and the occurrence count is
+    * `|{p ∈ positions(first) : p+1 ∈ positions(second)}|` — an array
+    * intersection over the stored offsets, no text rescan. The probe read
+    * is two pruned posting lists; the join shuffles only their rows, keyed
+    * on document id. */
+  def phraseMatch(
+      postings: DataFrame,
+      first: String,
+      second: String
+  ): DataFrame = {
+    val a = postings.filter(col("term") === first)
+      .select(col("id"), col("positions").as("pa"), col("dl"))
+    val bb = postings.filter(col("term") === second)
+      .select(col("id"), col("positions").as("pb"))
+    a.join(bb, "id")
+      .select(col("id").as("doc_id"), col("dl"),
+        size(array_intersect(
+          transform(col("pa"), p => p + lit(1)), col("pb"))).as("n_phrase"))
+      .filter(col("n_phrase") > 0)
+  }
+}

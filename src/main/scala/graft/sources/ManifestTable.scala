@@ -147,15 +147,16 @@ object ManifestTable {
   // header lines a new manifest carries from its basis: per-file headers
   // (stats, blooms, NDV sketches, sizes) only for files that survive
   // (`keepRel`); deletion vectors, table-level CHECK constraints, index
-  // source bindings, and stream-batch idempotence markers always carry
-  // verbatim
+  // source bindings, table metadata, and stream-batch idempotence markers
+  // always carry verbatim
   private def carriedHeadersFor(
       lines: Seq[String], keepRel: String => Boolean): Seq[String] =
     lines.filter { l =>
       headerRel(l) match {
         case Some(rel) => keepRel(rel)
         case None => l.startsWith("#dv=") || l.startsWith("#check=") ||
-          l.startsWith("#indexof=") || l.startsWith("#streambatch=")
+          l.startsWith("#indexof=") || l.startsWith("#streambatch=") ||
+          l.startsWith("#meta=")
       }
     }
 
@@ -608,7 +609,7 @@ object ManifestTable {
         readSmallFile(f, new Path(dir, PointerName)).trim)
         .filter(l => l.startsWith("#check=") ||
           (carryIndexOf && (l.startsWith("#indexof=") ||
-            l.startsWith("#streambatch="))))
+            l.startsWith("#streambatch=") || l.startsWith("#meta="))))
     val staged = stage(spark, dir, df, Seq.empty, checkLines)
     publish(spark, dir, staged)
     staged
@@ -1705,6 +1706,40 @@ object ManifestTable {
     (kept.map(rel => new Path(dir, rel).toString), all.size)
   }
 
+  /** The STRING-key leg of [[readWhereIn]]'s prune: a file survives when
+    * ANY requested value fits inside its recorded [min, max] (UTF-8
+    * unsigned-byte order, exactly how parquet orders BINARY string
+    * stats), evaluated against ONE named snapshot so every value sees the
+    * same file set. On a term-clustered layout ([[compactSorted]] on the
+    * key) this is the posting-list read of a persisted inverted index:
+    * a probe for a handful of terms opens only the files whose term
+    * range can contain them, at any index size. */
+  private def pruneByStringsIn(
+      spark: SparkSession,
+      dir: String,
+      name: String,
+      column: String,
+      values: Seq[String]): (Seq[String], Int) = {
+    val f = fs(dir, spark)
+    val all = manifestRel(f, dir, name)
+    val byFile = manifestLines(f, dir, name)
+      .filter(_.startsWith("#stats=")).flatMap(parseStatsLine)
+      .filter(cs => cs.column == column && cs.dtype == "string")
+      .map(cs => cs.file -> cs).toMap
+    val kept = all.filter { rel =>
+      byFile.get(rel) match {
+        case Some(cs) =>
+          (cs.min, cs.max) match {
+            case (Some(mn), Some(mx)) =>
+              values.exists(v => utf8Lte(mn, v) && utf8Lte(v, mx))
+            case _ => cs.nullCount == 0L
+          }
+        case None => true
+      }
+    }
+    (kept.map(rel => new Path(dir, rel).toString), all.size)
+  }
+
   /** [[pruneByRange]] on a STRING column: a file is skippable exactly
     * when its recorded [min, max] (UTF-8 unsigned-byte order — how
     * parquet orders BINARY stats) cannot intersect [lo, hi]. The
@@ -1825,8 +1860,11 @@ object ManifestTable {
     * hold exactly (e.g. 3.5 against a BIGINT column) matches nothing,
     * exactly as native-typed SQL equality would. Doubles serve only the
     * stats prune, ulp-widened both ways so stats rounding can at worst
-    * read an extra file, never skip a matching one; non-numeric values
-    * skip the prune (all files read, filter still exact). */
+    * read an extra file, never skip a matching one; an all-string list
+    * prunes by the exact UTF-8 [min, max] containment test
+    * ([[pruneByStringsIn]] — the posting-list read of a persisted
+    * inverted index); mixed-type lists skip the prune (all files read,
+    * filter still exact). */
   def readWhereIn(
       spark: SparkSession,
       dir: String,
@@ -1838,10 +1876,13 @@ object ManifestTable {
     require(f.exists(ptr), s"not a manifest table (no $PointerName): $dir")
     val name = readSmallFile(f, ptr).trim
     val numeric = values.collect { case n: Number => n.doubleValue }
+    val strings = values.collect { case s: String => s }
     val (kept, _) =
       if (numeric.size == values.size)
         pruneByRangesIn(spark, dir, name, column,
           numeric.map(v => (Math.nextDown(v), Math.nextUp(v))))
+      else if (strings.size == values.size)
+        pruneByStringsIn(spark, dir, name, column, strings)
       else (manifestRel(f, dir, name).map(rel => new Path(dir, rel).toString), 0)
     val schema = currentSchema(spark, dir).getOrElse(read(spark, dir).schema)
     val native = values.flatMap(v => exactNative(v, schema(column).dataType))
@@ -2225,6 +2266,36 @@ object ManifestTable {
   private def indexOfLine(srcDir: String, srcVersion: Long): String =
     s"#indexof=${b64(srcDir)}|$srcVersion"
 
+  // #meta=<b64 key>|<b64 value> — table metadata a DERIVED table's build
+  // records next to its #indexof binding (corpus-level statistics a probe
+  // needs without rescanning the corpus: document count, total token
+  // length). Same lifecycle as #indexof: carried verbatim by compaction
+  // and appends, replaced key-wise by [[commitIndex]]/[[appendIndex]]'s
+  // `meta` argument in the SAME pointer move as the content change it
+  // describes, dropped by a plain [[commit]].
+  private def metaLine(k: String, v: String): String =
+    s"#meta=${b64(k)}|${b64(v)}"
+
+  private def parseMetaLine(l: String): Option[(String, String)] =
+    if (!l.startsWith("#meta=")) None
+    else l.stripPrefix("#meta=").split('|') match {
+      case Array(k, v) => Some((unb64(k), unb64(v)))
+      case _ => None
+    }
+
+  /** The CURRENT snapshot's `#meta=` table metadata as a map. Keys are
+    * committed by [[commitIndex]]/[[appendIndex]]'s `meta` argument —
+    * snapshot-consistent by construction: a reader that resolves CURRENT
+    * once sees the metadata written in the same pointer move as the
+    * content it describes. */
+  def properties(spark: SparkSession, dir: String): Map[String, String] = {
+    val f = fs(dir, spark)
+    val ptr = new Path(dir, PointerName)
+    require(f.exists(ptr), s"not a manifest table (no $PointerName): $dir")
+    manifestLines(f, dir, readSmallFile(f, ptr).trim)
+      .flatMap(parseMetaLine).toMap
+  }
+
   private def parseIndexOfLine(l: String): Option[(String, Long)] =
     l.stripPrefix("#indexof=").split('|') match {
       case Array(src, v) => Some((unb64(src), v.toLong))
@@ -2242,7 +2313,8 @@ object ManifestTable {
       dir: String,
       df: DataFrame,
       sourceDir: String,
-      sourceVersion: Long): StagedCommit = {
+      sourceVersion: Long,
+      meta: Map[String, String] = Map.empty): StagedCommit = {
     enforceChecks(spark, dir, df)
     val f = fs(dir, spark)
     val checkLines =
@@ -2251,7 +2323,8 @@ object ManifestTable {
         readSmallFile(f, new Path(dir, PointerName)).trim)
         .filter(_.startsWith("#check="))
     val staged = stage(spark, dir, df, Seq.empty,
-      checkLines :+ indexOfLine(sourceDir, sourceVersion))
+      (checkLines :+ indexOfLine(sourceDir, sourceVersion)) ++
+        meta.toSeq.sortBy(_._1).map { case (k, v) => metaLine(k, v) })
     publish(spark, dir, staged)
     staged
   }
@@ -2272,12 +2345,15 @@ object ManifestTable {
       df: DataFrame,
       sourceDir: String,
       sourceVersion: Long,
-      maxRetries: Int = 20): StagedCommit = {
+      maxRetries: Int = 20,
+      meta: Map[String, String] = Map.empty): StagedCommit = {
     requireSameSchema(currentSchema(spark, dir), df.schema, "appendIndex")
     enforceChecks(spark, dir, df)
     completeAppendWith(spark, dir, stageData(spark, dir, df),
-      hs => hs.filterNot(_.startsWith("#indexof=")) :+
-        indexOfLine(sourceDir, sourceVersion),
+      hs => (hs.filterNot(l => l.startsWith("#indexof=") ||
+          parseMetaLine(l).exists(kv => meta.contains(kv._1))) :+
+        indexOfLine(sourceDir, sourceVersion)) ++
+        meta.toSeq.sortBy(_._1).map { case (k, v) => metaLine(k, v) },
       maxRetries)
   }
 

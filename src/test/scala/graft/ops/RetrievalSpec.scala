@@ -1,0 +1,107 @@
+package graft.ops
+
+import graft.plug.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** The persisted-inverted-index contract (ops/Retrieval): positional
+  * postings invariants, exact agreement between index-served BM25 and the
+  * full-scan scorer, the champion-list prune's structure, phrase matching
+  * against a hand-built fixture, and the plan shapes that make the tier
+  * scale (map-side partial group-limit, broadcast query joins). */
+class RetrievalSpec extends AnyFlatSpec with Matchers {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  private lazy val postings = Retrieval.buildPostings(docs, "doc_id", "text")
+
+  behavior of "Retrieval"
+
+  it should "build postings whose tf, dl and positions are mutually consistent" in {
+    val bad = postings.filter(
+      col("tf") =!= array_size(col("positions")) ||
+        array_size(col("positions")) === 0 ||
+        // strictly increasing offsets, all inside the document
+        exists(zip_with(col("positions"),
+            slice(col("positions"), 2, 1000000),
+          (a, b) => b <= a), x => x) ||
+        element_at(col("positions"), -1) >= col("dl"))
+      .count()
+    bad shouldBe 0L
+    // per-document tf sums reconstruct the document length exactly
+    val mismatch = postings.groupBy("id")
+      .agg(sum(col("tf")).as("n"), max(col("dl")).as("dl"))
+      .filter(col("n") =!= col("dl")).count()
+    mismatch shouldBe 0L
+  }
+
+  it should "serve BM25 from postings exactly equal to the full-scan scorer" in {
+    val terms = Seq("spark", "table", "window")
+    val (n, dl) = Retrieval.corpusStats(docs, "text")
+    val q = terms.map(t => (0L, t)).toDF("query_id", "term")
+    // k large enough to keep every matching document: the whole ranking
+    // must agree, not just the head
+    val served = Retrieval
+      .bm25TopK(postings.filter(col("term").isin(terms: _*)), q, n, dl,
+        k = 100000)
+      .select(col("doc_id"), col("n_terms_matched"), col("bm25"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val full = Corpus.bm25Score(docs, "doc_id", "text", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    served shouldBe full
+  }
+
+  it should "prune champion lists to c per term with the true df frozen in" in {
+    val (n, dl) = Retrieval.corpusStats(docs, "text")
+    val champ = Retrieval.championPostings(postings, n, dl, c = 8)
+    champ.groupBy("term").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 8).count() shouldBe 0L
+    // frozen dfc is the FULL posting-list length, not the pruned one
+    val trueDf = postings.groupBy("term").agg(count(lit(1)).as("dfx"))
+    champ.select(col("term"), col("dfc")).distinct()
+      .join(trueDf, "term")
+      .filter(col("dfc") =!= col("dfx")).count() shouldBe 0L
+  }
+
+  it should "match phrases exactly against a hand-built corpus" in {
+    val tiny = Seq(
+      (1L, "a b a b c"),   // "a b" at 0 and 2
+      (2L, "b a b"),       // "a b" at 1
+      (3L, "a a a"),       // no b at all
+      (4L, "b b a")        // a last: no following b
+    ).toDF("doc_id", "text")
+    val p = Retrieval.buildPostings(tiny, "doc_id", "text")
+    val got = Retrieval.phraseMatch(p, "a", "b")
+      .select(col("doc_id"), col("n_phrase"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    got shouldBe Array((1L, 2), (2L, 1))
+  }
+
+  it should "keep the scale shapes: partial group-limit and broadcast probes" in {
+    val (n, dl) = Retrieval.corpusStats(docs, "text")
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    // champion prune: per-term top-c runs MAP-SIDE — the shuffle carries
+    // at most c rows per term per input partition, so no term's full
+    // posting list ever sorts in one task
+    val champ = planOf(Retrieval.championPostings(postings, n, dl, c = 8))
+    withClue(champ) {
+      champ should include ("row_number(), 8, Partial")
+      champ should include ("row_number(), 8, Final")
+    }
+    // probe: the (query_id, term) frame and the df frame broadcast into
+    // the postings scan; rank <= k is a partial group-limit again
+    val q = Seq((0L, "spark"), (1L, "join")).toDF("query_id", "term")
+    val topk = planOf(Retrieval.bm25TopK(postings, q, n, dl, k = 5))
+    withClue(topk) {
+      topk should include ("BroadcastHashJoin")
+      topk should include ("row_number(), 5, Partial")
+      topk should not include "SortMergeJoin"
+    }
+  }
+}

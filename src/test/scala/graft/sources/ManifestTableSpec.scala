@@ -1548,4 +1548,63 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
         ManifestTable.requireIndexFresh(spark, indexDir)
     } finally { rm(corpusDir); rm(indexDir) }
   }
+
+  it should "carry #meta table metadata with the index lifecycle and replace keys transactionally" in {
+    val corpusDir = tmpDir()
+    val indexDir = tmpDir()
+    try {
+      val v0 = ManifestTable.commit(spark, corpusDir,
+        Seq((1L, "a")).toDF("id", "term")).version
+      ManifestTable.commitIndex(spark, indexDir,
+        Seq(("a", 1L)).toDF("term", "id"), corpusDir, v0,
+        meta = Map("retrieval.n_docs" -> "1", "retrieval.total_dl" -> "7"))
+      ManifestTable.properties(spark, indexDir) shouldBe
+        Map("retrieval.n_docs" -> "1", "retrieval.total_dl" -> "7")
+      // a layout rewrite changes no content: metadata carries verbatim
+      ManifestTable.compactSorted(spark, indexDir, Seq("term"), targetFiles = 1)
+      ManifestTable.properties(spark, indexDir) shouldBe
+        Map("retrieval.n_docs" -> "1", "retrieval.total_dl" -> "7")
+      // appendIndex replaces ONLY the keys it names, keeping the rest
+      val v1 = ManifestTable.append(spark, corpusDir,
+        Seq((2L, "b")).toDF("id", "term")).version
+      ManifestTable.appendIndex(spark, indexDir,
+        Seq(("b", 2L)).toDF("term", "id"), corpusDir, v1,
+        meta = Map("retrieval.n_docs" -> "2"))
+      ManifestTable.properties(spark, indexDir) shouldBe
+        Map("retrieval.n_docs" -> "2", "retrieval.total_dl" -> "7")
+      // a plain commit voids derived-table metadata like it voids #indexof
+      ManifestTable.commit(spark, indexDir,
+        Seq(("c", 3L)).toDF("term", "id"))
+      ManifestTable.properties(spark, indexDir) shouldBe Map.empty
+    } finally { rm(corpusDir); rm(indexDir) }
+  }
+
+  it should "prune string IN-list reads by UTF-8 stats on a term-clustered layout" in {
+    val dir = tmpDir()
+    try {
+      // 26 terms, term-range-clustered into 4 files: a 2-term probe can
+      // touch at most 2 files, and the pruned read equals the full filter
+      val rows = ('a' to 'z').flatMap(c =>
+        (0 until 5).map(i => (s"$c$i-term", i.toLong)))
+      ManifestTable.commit(spark, dir, rows.toDF("term", "id"))
+      ManifestTable.compactSorted(spark, dir, Seq("term"), targetFiles = 4)
+      val probe = Seq("c1-term", "z4-term")
+      val got = ManifestTable
+        .readWhereIn(spark, dir, "term", probe)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+      val want = ManifestTable.read(spark, dir)
+        .filter(col("term").isin(probe: _*))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+      got shouldBe want
+      got.length shouldBe 2
+      // the prune itself: both probed terms live in 1 file each out of 4
+      val keptA = ManifestTable.pruneByEquals(spark, dir, "term", "c1-term")
+      keptA._1.size should be < keptA._2
+      // an absent value between ranges opens nothing extra vs its range
+      val gotNone = ManifestTable
+        .readWhereIn(spark, dir, "term", Seq("zzzz-absent"))
+        .count()
+      gotNone shouldBe 0L
+    } finally rm(dir)
+  }
 }
