@@ -2619,6 +2619,30 @@ object SparkEntry {
           (col("est_count") >= col("n_exact")).as("never_under"))
     }),
 
+    // Extension: mergeable TOP-K summaries — the frequency-RANKING piece
+    // the count-min table can't answer (it estimates a GIVEN key; it
+    // cannot enumerate the heavy ones). Per-event-type top-16 count
+    // tables with truncation thresholds merge into deterministic
+    // per-user [lo, hi] count bounds (Misra-Gries merge bound); the
+    // top-10 candidates carry a PROVEN verdict (fewer than k other keys
+    // could exceed them) and are gated against exact truth: the true
+    // count sits inside [lo, hi] structurally, never by luck.
+    "events_topk_sketch" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_type"))
+      val sk = graft.ops.Sketches.topkSketch(
+        spread(s, ev), col("user_id"), "event_type", m = 16)
+      val merged = graft.ops.Sketches.topkMerge(sk, "all")
+      val cand = graft.ops.Sketches.topkCandidates(merged, k = 10)
+      val exact = ev.groupBy(col("user_id").as("key"))
+        .agg(count(lit(1)).as("n_true"))
+      cand.join(exact, Seq("key"))
+        .select(col("key").as("user_id"), col("rank"), col("lo"), col("hi"),
+          col("n_true"), col("n_contenders"),
+          (col("n_true") >= col("lo") && col("n_true") <= col("hi"))
+            .as("ok_bounds"),
+          col("proven"))
+    }),
+
     // Extension: as-of join — each click picks up the most recent error
     // value at-or-before it for the same user. Union + running-last: one
     // shuffle on the key, no inequality join (which Spark would plan as a
@@ -7081,6 +7105,37 @@ object SparkEntry {
         |  FROM events WHERE user_id < 10 GROUP BY 1)
         |SELECT probe, est_count, n_exact, est_count >= n_exact AS never_under
         |FROM est JOIN ex USING (probe)""".stripMargin,
+
+    // The top-k summary chain is pure integer arithmetic with
+    // (count desc, key asc) tie-breaks — every bound, rank, and verdict
+    // recomputes bit-for-bit.
+    "events_topk_sketch" ->
+      """WITH c AS MATERIALIZED (
+        |  SELECT event_type AS shard, user_id AS key, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS MATERIALIZED (SELECT *, row_number() OVER (
+        |  PARTITION BY shard ORDER BY cnt DESC, key ASC) AS rr FROM c),
+        |thr AS (SELECT shard, cnt AS thr FROM r WHERE rr = 17),
+        |sk AS MATERIALIZED (SELECT r.shard, r.key, r.cnt, COALESCE(t.thr, 0) AS thr
+        |  FROM r LEFT JOIN thr t ON r.shard = t.shard WHERE r.rr <= 16),
+        |tt AS (SELECT COALESCE(sum(thr), 0) AS total_thr
+        |  FROM (SELECT DISTINCT shard, thr FROM sk)),
+        |mg AS MATERIALIZED (SELECT key, CAST(sum(cnt) AS BIGINT) AS lo,
+        |  CAST(sum(cnt) + (SELECT total_thr FROM tt) - sum(thr) AS BIGINT) AS hi
+        |  FROM sk GROUP BY 1),
+        |cd AS (SELECT key, lo, hi,
+        |  CAST(row_number() OVER (ORDER BY lo DESC, key ASC) AS INTEGER) AS rank
+        |  FROM mg QUALIFY rank <= 10),
+        |nc AS (SELECT c.key, c.lo, c.hi, c.rank,
+        |  CAST(count(m.key) AS BIGINT) AS n_contenders
+        |  FROM cd c LEFT JOIN mg m ON m.key != c.key AND m.hi > c.lo
+        |  GROUP BY 1, 2, 3, 4),
+        |ex AS (SELECT user_id AS key, count(*) AS n_true FROM events GROUP BY 1)
+        |SELECT nc.key AS user_id, nc.rank, nc.lo, nc.hi, ex.n_true,
+        |  nc.n_contenders,
+        |  (ex.n_true >= nc.lo AND ex.n_true <= nc.hi) AS ok_bounds,
+        |  (nc.n_contenders < 10) AS proven
+        |FROM nc JOIN ex ON nc.key = ex.key""".stripMargin,
 
     // DuckDB's NATIVE ASOF JOIN — an independent algorithm for the same
     // semantics as the Spark-side union + running-last formulation.

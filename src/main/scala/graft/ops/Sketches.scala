@@ -288,4 +288,76 @@ object Sketches {
       .groupBy("probe")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
+
+  // ---------------------------------------------------------------------
+  // Mergeable TOP-K (heavy hitters) summaries — the frequency-RANKING
+  // complement of the count-min table (which answers point queries but
+  // cannot enumerate the heavy keys). Per shard: the exact top-m keys by
+  // count plus the shard's truncation threshold (the (m+1)-th count — an
+  // upper bound on every key the shard dropped). Merging summaries gives
+  // every key DETERMINISTIC bounds: lo = Σ counts where present,
+  // hi = lo + Σ thresholds of the shards that dropped it (Agarwal et al.,
+  // "Mergeable summaries", PODS 2012 — the Misra-Gries merge bound; the
+  // TPUT/threshold-algorithm candidate guarantee: any key with true count
+  // > Σ thresholds is certainly present in some summary). Everything is
+  // integer arithmetic with (count desc, key asc) tie-breaks, so an
+  // independent engine reproduces every bound and verdict bit-for-bit.
+  // ---------------------------------------------------------------------
+
+  /** Per-shard top-`m` summary table: one row per kept (shard, key) with
+    * its exact in-shard count and the shard's truncation threshold
+    * denormalized in (`thr` = the (m+1)-th count, 0 when nothing was
+    * dropped — then absent means count 0 exactly). The per-shard top-m
+    * cut runs as a map-side partial group-limit: at most m+1 rows per
+    * shard per partition enter the shuffle, whatever the input size. */
+  def topkSketch(df: DataFrame, key: Column, shardCol: String, m: Int): DataFrame = {
+    val counts = df.select(col(shardCol).as("shard"), key.as("key"))
+      .groupBy("shard", "key").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("shard").orderBy(col("cnt").desc, col("key").asc)
+    val ranked = counts.withColumn("r", row_number().over(w))
+      .filter(col("r") <= m + 1)
+    val thr = ranked.filter(col("r") === m + 1)
+      .select(col("shard"), col("cnt").as("thr"))
+    ranked.filter(col("r") <= m)
+      .join(broadcast(thr), Seq("shard"), "left")
+      .select(col("shard"), col("key"), col("cnt"),
+        coalesce(col("thr"), lit(0L)).as("thr"))
+  }
+
+  /** Merge summaries into per-key count BOUNDS: `lo` sums the counts of
+    * the shards that kept the key (each exact); `hi` adds every other
+    * shard's threshold (the most a dropped key could have held there).
+    * true count ∈ [lo, hi] always — the structural guarantee thresholds
+    * downstream rely on. One aggregate over summary rows plus a 1-row
+    * total-threshold broadcast; never a rescan of any shard. */
+  def topkMerge(sketches: DataFrame, label: String): DataFrame = {
+    val totalThr = sketches.select(col("shard"), col("thr")).distinct()
+      .agg(coalesce(sum(col("thr")), lit(0L)).as("total_thr"))
+    sketches.groupBy(col("key"))
+      .agg(sum(col("cnt")).as("lo"), sum(col("thr")).as("seen_thr"))
+      .crossJoin(broadcast(totalThr))
+      .select(lit(label).as("shard"), col("key"), col("lo"),
+        (col("lo") + col("total_thr") - col("seen_thr")).as("hi"))
+  }
+
+  /** The top-`k` candidates by guaranteed count, each with a PROVEN
+    * verdict: a candidate is certainly in the true top-k when fewer than
+    * k OTHER keys could possibly exceed it (hi > its lo). The merged
+    * frame is bounded by #shards·m rows — the global rank window and the
+    * bounds self-join run over summary rows only, so "tiny by
+    * construction" holds at any data size. */
+  def topkCandidates(merged: DataFrame, k: Int): DataFrame = {
+    val w = Window.orderBy(col("lo").desc, col("key").asc)
+    val cand = merged.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("key"), col("lo"), col("hi"), col("rank"))
+    cand.as("c")
+      .join(broadcast(merged.as("m")),
+        col("m.key") =!= col("c.key") && col("m.hi") > col("c.lo"), "left")
+      .groupBy(col("c.key").as("key"), col("c.lo").as("lo"),
+        col("c.hi").as("hi"), col("c.rank").as("rank"))
+      .agg(count(col("m.key")).as("n_contenders"))
+      .select(col("key"), col("lo"), col("hi"), col("rank"),
+        col("n_contenders"), (col("n_contenders") < k).as("proven"))
+  }
 }

@@ -71,6 +71,56 @@ class SketchesSpec extends AnyFlatSpec with Matchers {
     rep.map(_.getDouble(3)).toSet.size should be > 1
   }
 
+  behavior of "top-k summaries"
+
+  // a skewed multi-shard fixture where no single shard's top-m equals the
+  // global ranking: key K20 is moderately frequent EVERYWHERE (and must
+  // win globally), while each shard has its own noisy local heavies
+  private def hhFixture = {
+    val shards = Seq("s1", "s2", "s3")
+    val rows = shards.zipWithIndex.flatMap { case (sh, i) =>
+      val common = (0 until 30).map(_ => ("K20", sh))
+      val locals = (0 until 20).flatMap(j =>
+        (0 until (25 - j)).map(_ => (s"L$i-$j", sh)))
+      common ++ locals
+    }
+    rows.toDF("k", "shard")
+  }
+
+  it should "bound every key's true count inside [lo, hi] and keep summaries at m rows" in {
+    val sk = Sketches.topkSketch(hhFixture, col("k"), "shard", m = 8)
+    sk.groupBy("shard").count().collect()
+      .foreach(_.getLong(1) should be <= 8L)
+    val merged = Sketches.topkMerge(sk, "all")
+    val truth = hhFixture.groupBy(col("k").as("key"))
+      .agg(count(lit(1)).as("n_true"))
+    val viol = merged.join(truth, "key")
+      .filter(col("n_true") < col("lo") || col("n_true") > col("hi"))
+      .count()
+    viol shouldBe 0L
+    // the TPUT guarantee: any key above the summed thresholds is present
+    val totalThr = sk.select("shard", "thr").distinct()
+      .agg(sum("thr")).collect().head.getLong(0)
+    val mustBePresent = truth.filter(col("n_true") > totalThr)
+    mustBePresent.join(merged, Seq("key"), "left_anti").count() shouldBe 0L
+    // and the globally heaviest key is found and proven despite never
+    // being any single shard's #1
+    val cand = Sketches.topkCandidates(merged, k = 3).collect()
+    val top = cand.find(_.getInt(3) == 1).get
+    top.getString(0) shouldBe "K20"
+    top.getBoolean(5) shouldBe true // proven
+  }
+
+  it should "merge summaries to the same bounds regardless of arrival order" in {
+    val sk1 = Sketches.topkSketch(hhFixture, col("k"), "shard", m = 8)
+    val sk2 = Sketches.topkSketch(
+      hhFixture.orderBy(col("k").desc).repartition(7), col("k"), "shard", m = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      Sketches.topkMerge(df, "all").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).sorted
+    rows(sk1) shouldBe rows(sk2)
+  }
+
   behavior of "KMV sketches"
 
   it should "hold at most K rows, exact below K, estimate above it" in {
@@ -193,6 +243,14 @@ class SketchesSpec extends AnyFlatSpec with Matchers {
     withClue(probe) {
       probe should include ("BroadcastHashJoin")
       probe should not include "SortMergeJoin"
+    }
+    // top-k summary build: the per-shard top-(m+1) cut runs MAP-SIDE —
+    // at most m+1 rows per shard per partition enter the shuffle
+    val hh = planOf(Sketches.topkSketch(ev, col("k"), "shard", m = 8))
+    withClue(hh) {
+      hh should include ("row_number(), 9, Partial")
+      hh should include ("row_number(), 9, Final")
+      hh should not include "SortMergeJoin"
     }
   }
 }
