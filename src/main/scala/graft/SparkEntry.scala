@@ -1987,6 +1987,59 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
     }),
 
+    // Extension: STREAMING inverted-index maintenance — the ANN
+    // maintenance sink's lexical twin: documents arriving in micro-
+    // batches tokenize only themselves; postings, the #indexof rebind,
+    // and the advanced #meta corpus totals land in one pointer move per
+    // batch, so the index is probe-able and fresh BETWEEN batches with
+    // true BM25 idf/avgdl stats. After the drain, the probe must equal a
+    // from-scratch full-corpus BM25 (the oracle) — streamed postings and
+    // batch-built postings are indistinguishable.
+    "stream_invidx_maintain" -> ((s, dir) => withStreamingShuffle(s, 4) {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val M = graft.sources.ManifestTable
+      val R = graft.ops.Retrieval
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val corpusDir = scratch("sinv_corpus")
+      val out = scratch("sinv_index")
+      M.commit(s, corpusDir, spread(s, docs.filter(col("doc_id") % 5 =!= 0)))
+      val v0 = M.currentVersion(s, corpusDir)
+      val corpus0 = M.read(s, corpusDir)
+      val (n0, dl0) = R.corpusStats(corpus0, "text")
+      M.commitIndex(s, out,
+        R.buildPostings(corpus0, "doc_id", "text").repartition(8),
+        corpusDir, v0,
+        meta = Map(R.MetaDocs -> n0.toString, R.MetaTotalDl -> dl0.toString))
+      val feed = docs.filter(col("doc_id") % 5 === 0)
+        .as[StreamDoc].collect()
+      val (b1, b2) = feed.splitAt(feed.length / 2)
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[StreamDoc]
+      val q = graft.streaming.StreamingOps.textIndexMaintainSink(
+        in.toDS().toDF("doc_id", "text"), corpusDir, out, "doc_id", "text")
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      // between batches: probe-able, fresh, stats true for the partial corpus
+      M.requireIndexFresh(s, out)
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      q.stop()
+      M.requireIndexFresh(s, out)
+      val props = M.properties(s, out)
+      val (nF, dlF) = R.corpusStats(M.read(s, corpusDir), "text")
+      require(props(R.MetaDocs).toLong == nF &&
+        props(R.MetaTotalDl).toLong == dlF,
+        "streamed #meta corpus stats must equal the true totals")
+      val queries = Seq(
+        0L -> "spark", 0L -> "table", 0L -> "window",
+        1L -> "join", 1L -> "filter",
+        2L -> "vector", 2L -> "stream", 2L -> "hash"
+      ).toDF("query_id", "term")
+      val post = M.readWhereIn(s, out, "term",
+        Seq("spark", "table", "window", "join", "filter",
+          "vector", "stream", "hash"))
+      R.bm25TopK(post, queries, nF, dlF, k = 5)
+    }),
+
     // Extension: STREAMING WRITE-AUDIT-PUBLISH — micro-batches land on
     // a BRANCH (CAS-claimed pointer slots), so the published table never
     // shows in-flight ingestion: main is checked mid-stream (still the
@@ -5742,6 +5795,28 @@ object SparkEntry {
     // posting lists + advanced #meta totals reconstruct the truth.
     "text_invidx_delta" ->
       s"""WITH q(query_id, term) AS (VALUES $invidxQueries2),
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM l),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(toks) AS term FROM t)
+        |  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+        |sc AS (SELECT q.query_id, tf.doc_id, $invidxScoreSql
+        |  FROM q JOIN tf ON q.term = tf.term JOIN dfq ON tf.term = dfq.term
+        |  JOIN l ON tf.doc_id = l.doc_id, st),
+        |ag AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+        |  sum(CAST(s AS DECIMAL(27,12))) AS sd FROM sc GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sd DESC, doc_id) AS rk FROM ag)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rk AS INTEGER) AS rank,
+        |  n_terms_matched, round(CAST(sd AS DOUBLE), 6) AS bm25
+        |FROM r WHERE rk <= 5""".stripMargin,
+
+    // The streamed index must serve the FULL corpus exactly — identical
+    // truth to the batch-maintained index: a from-scratch whole-corpus
+    // BM25 over the same three queries.
+    "stream_invidx_maintain" ->
+      s"""WITH q(query_id, term) AS (VALUES $invidxQueries3),
         |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
         |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
         |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM l),

@@ -2427,14 +2427,17 @@ object ManifestTable {
       spark: SparkSession, dir: String, df: DataFrame,
       sourceDir: String, sourceVersion: Long,
       streamId: String, batchId: Long,
-      maxRetries: Int = 20): StagedCommit = {
+      maxRetries: Int = 20,
+      meta: Map[String, String] = Map.empty): StagedCommit = {
     requireSameSchema(currentSchema(spark, dir), df.schema, "appendIndexStamped")
     enforceChecks(spark, dir, df)
     completeAppendWith(spark, dir, stageData(spark, dir, df),
-      hs => hs.filterNot(l => l.startsWith("#indexof=") ||
-          parseStreamBatchLine(l).exists(_._1 == streamId)) :+
+      hs => (hs.filterNot(l => l.startsWith("#indexof=") ||
+          parseStreamBatchLine(l).exists(_._1 == streamId) ||
+          parseMetaLine(l).exists(kv => meta.contains(kv._1))) :+
         indexOfLine(sourceDir, sourceVersion) :+
-        streamBatchLine(streamId, batchId),
+        streamBatchLine(streamId, batchId)) ++
+        meta.toSeq.sortBy(_._1).map { case (k, v) => metaLine(k, v) },
       maxRetries)
   }
 

@@ -480,6 +480,50 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming maintenance of a persisted INVERTED INDEX
+    * ([[graft.ops.Retrieval]]) — [[annMaintainSink]]'s lexical twin: each
+    * micro-batch of documents appends to the corpus table, tokenizes ONLY
+    * itself into postings, and lands them with the `#indexof` rebind AND
+    * the advanced `#meta=` corpus totals in one pointer move — so between
+    * any two batches the index is probe-able, fresh, and its header stats
+    * are the true corpus totals (BM25 idf/avgdl never go stale). Batch
+    * appends are `#streambatch`-stamped on both tables: a foreachBatch
+    * replay skips landed batches instead of double-counting documents in
+    * the postings or the totals. Same single-ingest-writer contract as
+    * the ANN sink; per batch the work is O(batch), never O(index). */
+  def textIndexMaintainSink(
+      stream: DataFrame,
+      corpusDir: String,
+      indexDir: String,
+      idCol: String,
+      textCol: String,
+      streamId: String = "invidx"
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val M = graft.sources.ManifestTable
+        val R = graft.ops.Retrieval
+        val corpusV =
+          if (M.lastStreamBatch(s, corpusDir, streamId).exists(_ >= batchId))
+            M.currentVersion(s, corpusDir)
+          else M.appendStamped(s, corpusDir, batch, streamId, batchId).version
+        if (!M.lastStreamBatch(s, indexDir, streamId).exists(_ >= batchId)) {
+          val (dn, ddl) = R.corpusStats(batch, textCol)
+          val props = M.properties(s, indexDir)
+          M.appendIndexStamped(s, indexDir,
+            R.buildPostings(batch, idCol, textCol),
+            corpusDir, corpusV, streamId, batchId,
+            meta = Map(
+              R.MetaDocs ->
+                (props(R.MetaDocs).toLong + dn).toString,
+              R.MetaTotalDl ->
+                (props(R.MetaTotalDl).toLong + ddl).toString)): Unit
+        }
+      }
+      .start()
+
   /** Per-key tumbling-window ADMISSION QUOTA — the ingest rate limiter:
     * each (key, window) admits at most `maxPerWindow` events and flags
     * the overflow, so a runaway producer (bot burst, crawler loop,

@@ -626,4 +626,48 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(corpusDir))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(indexDir))
   }
+
+  it should "advance the text index's #meta totals exactly once per micro-batch" in {
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_inv_c").toString
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_inv_i").toString
+    val M = graft.sources.ManifestTable
+    val R = graft.ops.Retrieval
+    val base = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val v0 = M.commit(spark, corpusDir, base).version
+    M.commitIndex(spark, indexDir,
+      R.buildPostings(M.read(spark, corpusDir), "doc_id", "text"),
+      corpusDir, v0,
+      meta = Map(R.MetaDocs -> "1", R.MetaTotalDl -> "3"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.textIndexMaintainSink(
+      in.toDF().toDF("doc_id", "text"), corpusDir, indexDir,
+      "doc_id", "text")
+    in.addData((2L, "a b"))
+    q.processAllAvailable()
+    // between batches: fresh, and the totals are the TRUE running corpus
+    // stats — a BM25 probe here scores with correct idf/avgdl
+    noException should be thrownBy M.requireIndexFresh(spark, indexDir)
+    M.properties(spark, indexDir) shouldBe
+      Map(R.MetaDocs -> "2", R.MetaTotalDl -> "5")
+    in.addData((3L, "c d e f"))
+    q.processAllAvailable()
+    q.stop()
+    M.properties(spark, indexDir) shouldBe
+      Map(R.MetaDocs -> "3", R.MetaTotalDl -> "9")
+    noException should be thrownBy M.requireIndexFresh(spark, indexDir)
+    // a replayed batch id must not double-count documents or totals
+    val q2 = StreamingOps.textIndexMaintainSink(
+      in.toDF().toDF("doc_id", "text"), corpusDir, indexDir,
+      "doc_id", "text")
+    q2.processAllAvailable(); q2.stop()
+    M.properties(spark, indexDir) shouldBe
+      Map(R.MetaDocs -> "3", R.MetaTotalDl -> "9")
+    M.read(spark, corpusDir).count() shouldBe 3
+    // postings rows: 3 + 2 + 4 distinct (term, doc) pairs
+    M.read(spark, indexDir).count() shouldBe 9
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(corpusDir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(indexDir))
+  }
 }
