@@ -1305,6 +1305,32 @@ object SparkEntry {
       graft.ops.Corpus.bm25Score(spread(s, table(s, dir, "documents")),
         "doc_id", "text", Seq("spark", "table", "window"))),
 
+    // Extension: HYBRID RETRIEVAL — the modern RAG stack's fusion: for
+    // each query document, a DENSE ranking (embedding cosine top-10) and
+    // a LEXICAL ranking (BM25 of the document's own distinct terms over
+    // the corpus, self excluded — more-like-this) combine by reciprocal-
+    // rank fusion. Neither arm sees the other's scores — RRF needs only
+    // ranks, which is what makes fusing a cosine scale and a BM25 scale
+    // principled. Both arms and the fusion are rank/DECIMAL-deterministic.
+    "text_hybrid_rrf" -> ((s, dir) => {
+      val R = graft.ops.Retrieval
+      val docs = spread(s, table(s, dir, "documents").select("doc_id", "text"))
+      val emb = table(s, dir, "embeddings")
+      val dense = graft.ops.Similarity
+        .bruteForceTopK(spread(s, emb), emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val (n, dl) = R.corpusStats(docs, "text")
+      val post = R.buildPostings(docs, "doc_id", "text")
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          explode(graft.ops.TextFunctions.tokens(col("text"))).as("term"))
+        .distinct()
+      val lex = R.bm25TopK(post, queries, n, dl, k = 10, excludeSelf = true)
+        .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rank"))
+      graft.ops.Similarity.rrfFuse(Seq(dense, lex), k = 5)
+    }),
+
     // Extension: PERSISTED INVERTED INDEX — the lexical analogue of the
     // persisted IVF tier, full lifecycle: the corpus is a governed
     // manifest table; the posting lists commit ONCE with the corpus
@@ -5764,6 +5790,38 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
         |  round(CAST(sum(CAST(s AS DECIMAL(27,12))) AS DOUBLE), 6) AS bm25
         |FROM sc GROUP BY 1""".stripMargin,
+
+    // Both hybrid arms rebuilt independently (the cosine chain and the
+    // BM25 chain with self-exclusion), fused by the same rank-only RRF
+    // arithmetic as sim_rrf_fusion.
+    "text_hybrid_rrf" ->
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        |q AS MATERIALIZED (SELECT DISTINCT doc_id AS query_id, unnest(toks) AS term FROM t WHERE doc_id < 5),
+        |l AS MATERIALIZED (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        |st AS MATERIALIZED (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM l),
+        |tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(toks) AS term FROM t)
+        |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+        |dfq AS MATERIALIZED (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+        |sc AS (SELECT q.query_id, tf.doc_id, $invidxScoreSql
+        |  FROM q JOIN tf ON q.term = tf.term AND tf.doc_id != q.query_id
+        |  JOIN dfq ON tf.term = dfq.term JOIN l ON tf.doc_id = l.doc_id, st),
+        |lex AS MATERIALIZED (SELECT query_id, doc_id AS neighbor_id, rk FROM (
+        |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sum(CAST(s AS DECIMAL(27,12))) DESC, doc_id) AS rk
+        |  FROM sc GROUP BY 1, 2) WHERE rk <= 10),
+        |e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |qv AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+        |dense AS MATERIALIZED (SELECT query_id, neighbor_id, rk FROM (
+        |  SELECT qv.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY qv.vec_id ORDER BY ${cosSql("qv.v", "c.v")} DESC, c.vec_id) AS rk
+        |  FROM qv, e c WHERE c.vec_id != qv.vec_id) WHERE rk <= 10),
+        |u AS (SELECT query_id, neighbor_id, CAST(1.0 / (60 + rk) AS DECIMAL(27,12)) AS c FROM dense
+        |      UNION ALL SELECT query_id, neighbor_id, CAST(1.0 / (60 + rk) AS DECIMAL(27,12)) AS c FROM lex),
+        |g AS (SELECT query_id, neighbor_id, CAST(sum(c) AS DOUBLE) AS rrf_score FROM u GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, round(rrf_score, 6) AS rrf_score, CAST(rk AS INTEGER) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id) AS rk FROM g)
+        |WHERE rk <= 5""".stripMargin,
 
     // Full-corpus BM25 top-5 per query — what the index-served probe must
     // equal exactly. Float literals pin ::DOUBLE (bare decimals parse as

@@ -115,7 +115,9 @@ object Retrieval {
     * scores are exact at ANY snapshot, including after delta appends.
     * Ranking compares the exact DECIMAL score sum (never the rounded double)
     * with document-id ties; rank ≤ k runs as a partial per-partition
-    * group-limit before the per-query shuffle. */
+    * group-limit before the per-query shuffle. `excludeSelf` drops the
+    * document whose id equals the query id — the more-like-this mode,
+    * where queries ARE documents and the trivial self-match is noise. */
   def bm25TopK(
       postings: DataFrame,
       queries: DataFrame,
@@ -123,12 +125,16 @@ object Retrieval {
       totalDl: Long,
       k: Int,
       k1: Double = 1.2,
-      b: Double = 0.75
+      b: Double = 0.75,
+      excludeSelf: Boolean = false
   ): DataFrame = {
     val dfq = postings.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
-    val scored = postings
+    val joined = postings
       .join(broadcast(queries.select(col("query_id"), col("term"))), "term")
       .join(broadcast(dfq), "term")
+    val scored =
+      (if (excludeSelf) joined.filter(col("id") =!= col("query_id"))
+       else joined)
       .select(col("query_id"), col("id"),
         (idfOf(nDocs) * tfFactor(nDocs, totalDl, k1, b)).as("s"))
       .groupBy(col("query_id"), col("id"))
