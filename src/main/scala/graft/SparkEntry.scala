@@ -1485,6 +1485,19 @@ object SparkEntry {
       R.phraseMatch(post, "table", "hash")
     }),
 
+    // Extension: ordered PROXIMITY retrieval — "table" followed by "hash"
+    // within 3 tokens, counted per document from the stored positional
+    // postings (nested higher-order functions over the offset arrays —
+    // codegen'd, never a text rescan; phrase is the window=1 special
+    // case). The posting read stays two terms' lists.
+    "text_invidx_proximity" -> ((s, dir) => {
+      val R = graft.ops.Retrieval
+      val docs = spread(s, table(s, dir, "documents").select("doc_id", "text"))
+      val post = R.buildPostings(docs, "doc_id", "text")
+        .filter(col("term").isin("table", "hash"))
+      R.proximityMatch(post, "table", "hash", window = 3)
+    }),
+
     // Extension: the nprobe knob PRICED — corpus-level recall@5 at
     // nprobe ∈ {1, 2, 4} in one 3-row readout (the lshRecallEval pattern
     // applied to the IVF index): how much recall each extra probed cell
@@ -5945,6 +5958,19 @@ object SparkEntry {
         |  CAST(len(list_intersect(list_transform(pa, x -> x + 1), pb)) AS INTEGER) AS n_phrase
         |  FROM a JOIN b ON a.doc_id = b.doc_id JOIN l ON a.doc_id = l.doc_id)
         |SELECT doc_id, dl, n_phrase FROM m WHERE n_phrase > 0""".stripMargin,
+
+    // Proximity from the same position lists: nested list lambdas count
+    // 'table' occurrences with a 'hash' within the 3-token window.
+    "text_invidx_proximity" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |p AS (SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks))) AS pos FROM t),
+        |a AS (SELECT doc_id, list(pos ORDER BY pos) AS pa FROM p WHERE term = 'table' GROUP BY 1),
+        |b AS (SELECT doc_id, list(pos ORDER BY pos) AS pb FROM p WHERE term = 'hash' GROUP BY 1),
+        |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        |m AS (SELECT a.doc_id, l.dl,
+        |  CAST(len(list_filter(pa, x -> len(list_filter(pb, y -> y - x >= 1 AND y - x <= 3)) > 0)) AS INTEGER) AS n_near
+        |  FROM a JOIN b ON a.doc_id = b.doc_id JOIN l ON a.doc_id = l.doc_id)
+        |SELECT doc_id, dl, n_near FROM m WHERE n_near > 0""".stripMargin,
 
     "sim_prefix_recall" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

@@ -225,4 +225,28 @@ object Retrieval {
           transform(col("pa"), p => p + lit(1)), col("pb"))).as("n_phrase"))
       .filter(col("n_phrase") > 0)
   }
+
+  /** Ordered PROXIMITY match: occurrences of `first` followed by `second`
+    * within `window` tokens (phrase = window 1). The occurrence count is
+    * `|{p ∈ positions(first) : ∃q ∈ positions(second), 0 < q−p ≤ window}|`
+    * — nested higher-order functions over the stored offsets (codegen'd,
+    * per-row work bounded by the two lists' lengths), same join shape as
+    * [[phraseMatch]]. */
+  def proximityMatch(
+      postings: DataFrame,
+      first: String,
+      second: String,
+      window: Int
+  ): DataFrame = {
+    val a = postings.filter(col("term") === first)
+      .select(col("id"), col("positions").as("pa"), col("dl"))
+    val bb = postings.filter(col("term") === second)
+      .select(col("id"), col("positions").as("pb"))
+    a.join(bb, "id")
+      .select(col("id").as("doc_id"), col("dl"),
+        size(filter(col("pa"), p =>
+          exists(col("pb"), q =>
+            q - p >= lit(1) && q - p <= lit(window)))).as("n_near"))
+      .filter(col("n_near") > 0)
+  }
 }

@@ -80,6 +80,19 @@ class RetrievalSpec extends AnyFlatSpec with Matchers {
       .select(col("doc_id"), col("n_phrase"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
     got shouldBe Array((1L, 2), (2L, 1))
+    // proximity at window 2 additionally finds doc 3's "b b a"? no — order
+    // matters (a BEFORE b); doc 1 "a b a b c": a@0→b@1, a@2→b@3 (both
+    // within 2); doc 2 "b a b": a@1→b@2; doc 4 "b b a": nothing follows a
+    val near = Retrieval.proximityMatch(p, "a", "b", window = 2)
+      .select(col("doc_id"), col("n_near"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    near shouldBe Array((1L, 2), (2L, 1))
+    // a wider window lets doc 1's a@0 also reach b@3 — still 2 distinct
+    // 'a' occurrences, so the per-occurrence count is unchanged there
+    val wide = Retrieval.proximityMatch(p, "a", "b", window = 5)
+      .select(col("doc_id"), col("n_near"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    wide shouldBe Array((1L, 2), (2L, 1))
   }
 
   it should "keep the scale shapes: partial group-limit and broadcast probes" in {
