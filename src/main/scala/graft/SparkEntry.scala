@@ -3993,6 +3993,42 @@ object SparkEntry {
           lit(after - before).as("idle_refresh_commits"))
     }),
 
+    // Extension: APPROXIMATE-DISTINCT IVM — the rollup maintainRollup
+    // structurally cannot give (count-distinct is not additive): per-type
+    // HLL register tables maintained from the change feed at O(batch +
+    // shards·m) per refresh, never a source rescan. Register max is
+    // associative + idempotent, so the maintained sketch is bit-identical
+    // to a from-scratch sketch of the source — which is exactly what the
+    // oracle recomputes; the idle refresh is a commit-free no-op and the
+    // estimates land within 3 sigma of exact.
+    "ingest_manifest_hll_ivm" -> ((s, dir) => {
+      val M = graft.sources.ManifestTable
+      val src = scratch("hllivm_src")
+      val agg = scratch("hllivm_agg")
+      val ev = events(s, dir).select(col("event_id"), col("event_type"))
+      var watermark = -1L
+      Seq(0, 1, 2).foreach { slice =>
+        M.append(s, src, ev.filter(col("event_id") % 3 === slice).coalesce(2))
+        watermark = graft.ops.Sketches.maintainDistinctRollup(
+          s, src, agg, watermark, "event_type",
+          col("event_id").cast("string"))
+      }
+      val before = M.currentVersion(s, agg)
+      graft.ops.Sketches.maintainDistinctRollup(
+        s, src, agg, watermark, "event_type",
+        col("event_id").cast("string")): Unit
+      val after = M.currentVersion(s, agg)
+      val est = graft.ops.Sketches.hllEstimate(M.read(s, agg))
+      val exact = ev.groupBy(col("event_type").as("shard"))
+        .agg(countDistinct(col("event_id")).as("nd_exact"))
+      est.join(exact, "shard")
+        .select(col("shard").as("event_type"), col("registers_used"),
+          col("v_zero"), col("estimate"), col("corrected"), col("nd_exact"),
+          (abs(col("estimate") - col("nd_exact")) / col("nd_exact") <=
+            lit(3.0 * 1.04 / 16.0)).as("within_3sigma"),
+          lit(after - before).as("idle_refresh_commits"))
+    }),
+
     // Extension: PER-FILE KMV DISTINCT-COUNT SKETCHES in the manifest —
     // the join-planning statistic from metadata alone: each file carries
     // its k smallest md5 value-hashes; KMV merges exactly (union, keep k
@@ -7161,6 +7197,48 @@ object SparkEntry {
         |  x.nd_exact,
         |  (abs(e.estimate - x.nd_exact) / x.nd_exact
         |    <= 3.0::DOUBLE * 1.04::DOUBLE / sqrt(256.0::DOUBLE)) AS within_3sigma
+        |FROM est e JOIN ex x USING (shard)""".stripMargin,
+
+    // The maintained register table ≡ a from-scratch sketch of the source
+    // (register max is associative + idempotent), so the oracle simply
+    // recomputes the per-shard sketch estimate over the full feed; the
+    // idle refresh being a no-op pins idle_refresh_commits at 0.
+    "ingest_manifest_hll_ivm" ->
+      """WITH keyed AS MATERIALIZED (
+        |  SELECT CAST(event_id AS VARCHAR) AS k, event_type AS shard FROM events),
+        |regs AS MATERIALIZED (
+        |  SELECT shard,
+        |    CAST(CONCAT('0x', substring(md5(k), 1, 2)) AS BIGINT) AS idx,
+        |    MAX(CASE WHEN CAST(CONCAT('0x', substring(md5(k), 3, 13)) AS BIGINT) = 0
+        |        THEN 53
+        |        ELSE 53 - length(bin(CAST(CONCAT('0x', substring(md5(k), 3, 13)) AS BIGINT)))
+        |        END) AS rho
+        |  FROM keyed GROUP BY 1, 2),
+        |agg AS MATERIALIZED (
+        |  SELECT shard, COUNT(*) AS used,
+        |    SUM(1::BIGINT << (53 - rho)) AS num_occ
+        |  FROM regs GROUP BY shard),
+        |fin AS MATERIALIZED (
+        |  SELECT shard, used, 256 - used AS v,
+        |    (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)
+        |      * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE)
+        |      / CAST(num_occ + (256 - used) * (1::BIGINT << 53) AS DOUBLE) AS raw
+        |  FROM agg),
+        |est AS MATERIALIZED (
+        |  SELECT shard,
+        |    CAST(used AS INT) AS registers_used,
+        |    CAST(v AS INT) AS v_zero,
+        |    round(CASE WHEN raw <= 640.0::DOUBLE AND v > 0
+        |      THEN 256.0::DOUBLE * ln(256.0::DOUBLE / CAST(v AS DOUBLE))
+        |      ELSE raw END, 4) AS estimate,
+        |    (raw <= 640.0::DOUBLE AND v > 0) AS corrected
+        |  FROM fin),
+        |ex AS (SELECT shard, count(DISTINCT k) AS nd_exact FROM keyed GROUP BY 1)
+        |SELECT e.shard AS event_type, e.registers_used, e.v_zero, e.estimate,
+        |  e.corrected, x.nd_exact,
+        |  (abs(e.estimate - x.nd_exact) / x.nd_exact
+        |    <= 3.0::DOUBLE * 1.04::DOUBLE / sqrt(256.0::DOUBLE)) AS within_3sigma,
+        |  0::BIGINT AS idle_refresh_commits
         |FROM est e JOIN ex x USING (shard)""".stripMargin,
 
     "events_hll_union" ->

@@ -122,6 +122,49 @@ object Sketches {
           .as("within_3sigma"))
   }
 
+  /** APPROXIMATE-DISTINCT incremental view maintenance — what
+    * [[graft.sources.ManifestTable.maintainRollup]] structurally CANNOT
+    * give: count-distinct does not merge by addition, so an additive
+    * rollup can only re-scan. An HLL register table merges by per-register
+    * MAX, so each refresh folds ONLY the change feed's registers into the
+    * stored table: cost is the new batch plus O(shards·m) register rows,
+    * never the source — the 100 TB "distinct users per segment, refreshed
+    * per ingest batch" shape. Same contract as maintainRollup: thread the
+    * returned source version into the next call, −1 bootstraps, an idle
+    * refresh is a commit-free no-op, and a rewrite commit since the last
+    * refresh (compaction/overwrite — the change feed refuses it)
+    * AUTO-RE-BOOTSTRAPS from the full table, correctness over
+    * incrementality. The maintained table is bit-identical to a
+    * from-scratch sketch of the source (register max is associative and
+    * idempotent), which is what the oracle checks. */
+  def maintainDistinctRollup(
+      spark: org.apache.spark.sql.SparkSession,
+      srcDir: String,
+      aggDir: String,
+      sinceVersion: Long,
+      shardCol: String,
+      key: Column
+  ): Long = {
+    val T = graft.sources.ManifestTable
+    val curV = T.currentVersion(spark, srcDir)
+    if (curV < 0) return sinceVersion
+    val (delta, rebootstrap) =
+      if (sinceVersion < 0) (T.read(spark, srcDir), true)
+      else
+        try ((T.readChangesSince(spark, srcDir, sinceVersion), false))
+        catch {
+          case _: IllegalArgumentException => (T.read(spark, srcDir), true)
+        }
+    if (!rebootstrap && delta.isEmpty) return curV
+    val part = hllRegisters(delta, key, shardCol)
+    val merged =
+      if (rebootstrap || T.versions(spark, aggDir).isEmpty) part
+      else T.read(spark, aggDir).unionByName(part)
+        .groupBy("shard", "idx").agg(max("rho").as("rho"))
+    T.commit(spark, aggDir, merged)
+    curV
+  }
+
   // ---------------------------------------------------------------------
   // KMV (k-minimum-values) sketches — the SET-OPERATIONS complement to
   // HLL: a KMV sketch is the k smallest distinct hash values of a set

@@ -71,6 +71,42 @@ class SketchesSpec extends AnyFlatSpec with Matchers {
     rep.map(_.getDouble(3)).toSet.size should be > 1
   }
 
+  it should "maintain distinct-count registers in O(delta), idle-free, rebootstrapping after rewrites" in {
+    def tmp() = java.nio.file.Files.createTempDirectory("graft_hll_ivm").toString
+    def rm(d: String) =
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+    val src = tmp(); val agg = tmp()
+    val M = graft.sources.ManifestTable
+    def regRows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted
+    def scratchRegs() = regRows(Sketches.hllRegisters(
+      M.read(spark, src), col("k"), "shard"))
+    try {
+      M.append(spark, src,
+        (0L until 300L).map(i => (s"key-$i", if (i % 2 == 0) "a" else "b"))
+          .toDF("k", "shard"))
+      var w = Sketches.maintainDistinctRollup(
+        spark, src, agg, -1L, "shard", col("k"))
+      regRows(M.read(spark, agg)) shouldBe scratchRegs()
+      // the incremental refresh folds only the new batch's registers
+      M.append(spark, src,
+        (300L until 700L).map(i => (s"key-$i", "a")).toDF("k", "shard"))
+      w = Sketches.maintainDistinctRollup(spark, src, agg, w, "shard", col("k"))
+      regRows(M.read(spark, agg)) shouldBe scratchRegs()
+      // idle refresh: no new source version, no new agg commit
+      val aggV = M.currentVersion(spark, agg)
+      w = Sketches.maintainDistinctRollup(spark, src, agg, w, "shard", col("k"))
+      M.currentVersion(spark, agg) shouldBe aggV
+      // a rewrite commit (compaction) breaks the file diff: the refresh
+      // must detect it and rebuild from scratch, still exactly right
+      M.compactSorted(spark, src, Seq("k"), targetFiles = 2)
+      M.append(spark, src,
+        (700L until 800L).map(i => (s"key-$i", "b")).toDF("k", "shard"))
+      Sketches.maintainDistinctRollup(spark, src, agg, w, "shard", col("k"))
+      regRows(M.read(spark, agg)) shouldBe scratchRegs()
+    } finally { rm(src); rm(agg) }
+  }
+
   behavior of "top-k summaries"
 
   // a skewed multi-shard fixture where no single shard's top-m equals the
