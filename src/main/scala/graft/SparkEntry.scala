@@ -4029,6 +4029,47 @@ object SparkEntry {
           lit(after - before).as("idle_refresh_commits"))
     }),
 
+    // Extension: METADATA-ONLY AGGREGATES — count(*) and min/max answered
+    // from manifest lines with zero data-file reads (the Iceberg/Delta
+    // fast path; at 100 TB this is the difference between a pointer-file
+    // read and a full scan). The lifecycle exercises the exactness
+    // contract: appends and copy-on-write deletes keep both answers exact
+    // (stats rewrite with the files); a deletion-vector delete keeps the
+    // COUNT exact (sidecar-cardinality subtraction) but demotes min/max
+    // to bounds — the API refuses instead of guessing, and the in-row
+    // gates compare every metadata answer against the scanned truth.
+    "ingest_manifest_meta_agg" -> ((s, dir) => {
+      import s.implicits._
+      val M = graft.sources.ManifestTable
+      val out = scratch("meta_agg")
+      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("value"))
+      Seq(0, 1, 2).foreach { sl =>
+        M.append(s, out, ev.filter(col("event_id") % 3 === sl).coalesce(2))
+      }
+      val n0 = M.countFromMetadata(s, out).get
+      val mm0 = M.minMaxFromMetadata(s, out, "event_id").get
+      // copy-on-write delete: touched files rewrite WITH fresh stats —
+      // metadata answers stay exact
+      M.deleteWhere(s, out, "event_id", 0.0, 99.0)
+      val n1 = M.countFromMetadata(s, out).get
+      val mm1 = M.minMaxFromMetadata(s, out, "event_id").get
+      // deletion-vector delete: no data file changes — the count
+      // subtracts the sidecar, min/max honestly refuses
+      M.deleteVectorWhere(s, out, "event_id", 100.0, 149.0)
+      val n2 = M.countFromMetadata(s, out).get
+      val mm2Answerable = M.minMaxFromMetadata(s, out, "event_id").isDefined
+      val ex = M.read(s, out)
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("mn")).head()
+      Seq((n0, mm0._1.toLong, mm0._2.toLong,
+          n1, mm1._1.toLong, mm1._2.toLong,
+          n2, mm2Answerable,
+          n2 == ex.getLong(0), mm1._1.toLong == ex.getLong(1) - 50L))
+        .toDF("n_meta0", "min_meta0", "max_meta0",
+          "n_meta1", "min_meta1", "max_meta1",
+          "n_meta2", "minmax_answerable_post_dv",
+          "count_matches_scan", "cow_min_was_exact")
+    }),
+
     // Extension: PER-FILE KMV DISTINCT-COUNT SKETCHES in the manifest —
     // the join-planning statistic from metadata alone: each file carries
     // its k smallest md5 value-hashes; KMV merges exactly (union, keep k
@@ -7240,6 +7281,24 @@ object SparkEntry {
         |    <= 3.0::DOUBLE * 1.04::DOUBLE / sqrt(256.0::DOUBLE)) AS within_3sigma,
         |  0::BIGINT AS idle_refresh_commits
         |FROM est e JOIN ex x USING (shard)""".stripMargin,
+
+    // Metadata answers recomputed from the delete semantics directly:
+    // copy-on-write removes [0,99], the deletion vector then [100,149];
+    // the count stays exact through both, min/max only through the first.
+    "ingest_manifest_meta_agg" ->
+      """WITH alive1 AS (SELECT event_id FROM events WHERE event_id NOT BETWEEN 0 AND 99),
+        |alive2 AS (SELECT event_id FROM alive1 WHERE event_id NOT BETWEEN 100 AND 149)
+        |SELECT
+        |  (SELECT count(*) FROM events) AS n_meta0,
+        |  (SELECT min(event_id) FROM events) AS min_meta0,
+        |  (SELECT max(event_id) FROM events) AS max_meta0,
+        |  (SELECT count(*) FROM alive1) AS n_meta1,
+        |  (SELECT min(event_id) FROM alive1) AS min_meta1,
+        |  (SELECT max(event_id) FROM alive1) AS max_meta1,
+        |  (SELECT count(*) FROM alive2) AS n_meta2,
+        |  false AS minmax_answerable_post_dv,
+        |  true AS count_matches_scan,
+        |  true AS cow_min_was_exact""".stripMargin,
 
     "events_hll_union" ->
       """WITH keyed AS MATERIALIZED (

@@ -1637,6 +1637,74 @@ object ManifestTable {
       .filter(_.startsWith("#stats=")).flatMap(parseStatsLine)
   }
 
+  /** METADATA-ONLY `count(*)` of the CURRENT snapshot — the Iceberg/Delta
+    * fast path that answers a 100 TB row count without opening one data
+    * file: every commit records per-file row counts (`#size=` lines), so
+    * the count is a sum over manifest lines. Deletion vectors subtract by
+    * their file-matched cardinality — a sidecar-sized job (the DVs are
+    * tiny parquets), still never a data read. Returns None when any
+    * current file predates row-count recording (readers must scan). */
+  def countFromMetadata(spark: SparkSession, dir: String): Option[Long] = {
+    val f = fs(dir, spark)
+    val ptr = new Path(dir, PointerName)
+    require(f.exists(ptr), s"not a manifest table (no $PointerName): $dir")
+    val name = readSmallFile(f, ptr).trim
+    val lines = manifestLines(f, dir, name)
+    val rels = manifestRel(f, dir, name)
+    val rowsOf = lines.flatMap(parseSizeLine)
+      .map { case (rel, _, rows) => rel -> rows }.toMap
+    if (!rels.forall(rowsOf.contains)) return None
+    val base = rels.map(rowsOf).sum
+    val dvRels = dvRelsOf(manifestDvLines(f, dir, name))
+    if (dvRels.isEmpty) Some(base)
+    else {
+      // only entries pointing at a CURRENT file delete anything (vectors
+      // carry verbatim across rewrites; stale entries anti-join nothing)
+      import org.apache.spark.sql.functions.col
+      val relSet = rels.toSet
+      val deleted = spark.read
+        .parquet(dvRels.map(r => new Path(dir, r).toString): _*)
+        .filter(col("_file").isin(relSet.toSeq: _*))
+        .count()
+      Some(base - deleted)
+    }
+  }
+
+  /** METADATA-ONLY `[min, max]` of `column` over the CURRENT snapshot —
+    * min-of-mins / max-of-maxes across the per-file stats, zero data
+    * reads. Returns None when it cannot be EXACT: a file lacks the stat,
+    * every row of the column is null, or any deletion vector exists (a DV
+    * can delete the extreme rows, demoting file stats to bounds — the
+    * same caveat Iceberg's metadata min/max carries). Values come back in
+    * the stat's recorded string form; numeric dtypes compare numerically,
+    * strings in UTF-8 order. */
+  def minMaxFromMetadata(
+      spark: SparkSession, dir: String, column: String): Option[(String, String)] = {
+    val f = fs(dir, spark)
+    val ptr = new Path(dir, PointerName)
+    require(f.exists(ptr), s"not a manifest table (no $PointerName): $dir")
+    val name = readSmallFile(f, ptr).trim
+    if (manifestDvLines(f, dir, name).nonEmpty) return None
+    val rels = manifestRel(f, dir, name)
+    val byFile = manifestLines(f, dir, name)
+      .filter(_.startsWith("#stats=")).flatMap(parseStatsLine)
+      .filter(_.column == column).map(cs => cs.file -> cs).toMap
+    if (!rels.forall(byFile.contains)) return None
+    val stats = rels.map(byFile)
+    // all-null files (min/max absent, nullCount = rows) contribute nothing;
+    // a file with SOME values must carry both bounds to answer exactly
+    val valued = stats.filter(cs => cs.min.isDefined && cs.max.isDefined)
+    if (valued.isEmpty) return None
+    if (stats.exists(cs => cs.min.isEmpty != cs.max.isEmpty)) return None
+    val numeric = Set("int32", "int64", "float", "double")
+    val lt: (String, String) => Boolean =
+      if (valued.forall(cs => numeric.contains(cs.dtype)))
+        (a, b) => a.toDouble < b.toDouble
+      else (a, b) => !utf8Lte(b, a)
+    Some((valued.map(_.min.get).reduce((a, b) => if (lt(a, b)) a else b),
+      valued.map(_.max.get).reduce((a, b) => if (lt(a, b)) b else a)))
+  }
+
   /** Partition the current snapshot's files into (survivors, total) for
     * the predicate `column BETWEEN lo AND hi` using ONLY manifest
     * statistics — zero footer or data reads at plan time. A file is

@@ -1579,6 +1579,33 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
     } finally { rm(corpusDir); rm(indexDir) }
   }
 
+  it should "answer count and min/max from metadata alone, refusing when inexact" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.append(spark, dir,
+        (0L until 100L).map(i => (i, s"s${i % 7}")).toDF("id", "tag"))
+      ManifestTable.append(spark, dir,
+        (100L until 250L).map(i => (i, s"s${i % 7}")).toDF("id", "tag"))
+      ManifestTable.countFromMetadata(spark, dir) shouldBe Some(250L)
+      ManifestTable.minMaxFromMetadata(spark, dir, "id")
+        .map { case (a, b) => (a.toLong, b.toLong) } shouldBe Some((0L, 249L))
+      // string column: UTF-8 ordered bounds
+      ManifestTable.minMaxFromMetadata(spark, dir, "tag") shouldBe
+        Some(("s0", "s6"))
+      // copy-on-write delete rewrites stats: still exact
+      ManifestTable.deleteWhere(spark, dir, "id", 0.0, 9.0)
+      ManifestTable.countFromMetadata(spark, dir) shouldBe Some(240L)
+      ManifestTable.minMaxFromMetadata(spark, dir, "id")
+        .map { case (a, b) => (a.toLong, b.toLong) } shouldBe Some((10L, 249L))
+      // a DV delete: count subtracts the sidecar, min/max refuses
+      ManifestTable.deleteVectorWhere(spark, dir, "id", 10.0, 19.0)
+      ManifestTable.countFromMetadata(spark, dir) shouldBe Some(230L)
+      ManifestTable.minMaxFromMetadata(spark, dir, "id") shouldBe None
+      // the metadata count equals the scanned truth throughout
+      ManifestTable.read(spark, dir).count() shouldBe 230L
+    } finally rm(dir)
+  }
+
   it should "prune string IN-list reads by UTF-8 stats on a term-clustered layout" in {
     val dir = tmpDir()
     try {
