@@ -4070,6 +4070,37 @@ object SparkEntry {
           "count_matches_scan", "cow_min_was_exact")
     }),
 
+    // Extension: COMMIT LINEAGE — "which commit landed this row?" as a
+    // _commit_version read column, derived from manifest history alone
+    // (each file first appears in exactly one manifest; the #files-sized
+    // map broadcasts into the scan). The contract is FILE lineage, stated
+    // honestly: after a layout rewrite every row carries the rewrite
+    // commit — proven by the post-compaction rows collapsing to one
+    // version while the counts stay put.
+    "ingest_manifest_lineage" -> ((s, dir) => {
+      val M = graft.sources.ManifestTable
+      val out = scratch("lineage")
+      val ev = events(s, dir).select(col("event_id"), col("event_type"))
+      Seq(0, 1, 2).foreach { sl =>
+        M.append(s, out, ev.filter(col("event_id") % 3 === sl).coalesce(2))
+      }
+      val base = M.versions(s, out).min
+      val appends = M.readWithLineage(s, out)
+        .groupBy((col("_commit_version") - lit(base)).as("commit_seq"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .select(lit("append").as("phase"), col("commit_seq"),
+          col("n_rows"), col("min_id"), col("max_id"))
+      M.compactSorted(s, out, Seq("event_id"), targetFiles = 3)
+      val compacted = M.readWithLineage(s, out)
+        .groupBy((col("_commit_version") - lit(base)).as("commit_seq"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .select(lit("compacted").as("phase"), col("commit_seq"),
+          col("n_rows"), col("min_id"), col("max_id"))
+      appends.unionByName(compacted)
+    }),
+
     // Extension: PER-FILE KMV DISTINCT-COUNT SKETCHES in the manifest —
     // the join-planning statistic from metadata alone: each file carries
     // its k smallest md5 value-hashes; KMV merges exactly (union, keep k
@@ -7299,6 +7330,18 @@ object SparkEntry {
         |  false AS minmax_answerable_post_dv,
         |  true AS count_matches_scan,
         |  true AS cow_min_was_exact""".stripMargin,
+
+    // File lineage recomputed from the append semantics (slice s landed
+    // in commit s), then the compaction collapse: one rewrite commit owns
+    // every row, counts unchanged.
+    "ingest_manifest_lineage" ->
+      """SELECT 'append' AS phase, CAST(event_id % 3 AS BIGINT) AS commit_seq,
+        |  count(*) AS n_rows, min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY 2
+        |UNION ALL
+        |SELECT 'compacted' AS phase, 3::BIGINT AS commit_seq,
+        |  count(*) AS n_rows, min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events""".stripMargin,
 
     "events_hll_union" ->
       """WITH keyed AS MATERIALIZED (

@@ -1637,6 +1637,47 @@ object ManifestTable {
       .filter(_.startsWith("#stats=")).flatMap(parseStatsLine)
   }
 
+  /** [[read]] with a `_commit_version` COMMIT-LINEAGE column: the snapshot
+    * version whose commit WROTE each row's current file — "when did this
+    * row land?" for audits and incremental debugging, derived entirely
+    * from manifest history (each file first appears in exactly one
+    * surviving manifest; the map folds over metadata lines, zero data
+    * reads beyond the scan itself; rows attach via the scan's file-path
+    * metadata column and a broadcast of the #files-sized map). FILE
+    * lineage, stated honestly: a row rewritten by compaction/OPTIMIZE or
+    * a copy-on-write delete carries the REWRITE commit's version — the
+    * rewrite wrote the bytes now being read (row-level history across
+    * rewrites is the change-feed's job, [[readChangesSince]]). Versions
+    * collapsed by [[vacuum]] shift lineage to the oldest SURVIVING
+    * manifest that lists the file. */
+  def readWithLineage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val f = fs(dir, spark)
+    val ptr = new Path(dir, PointerName)
+    require(f.exists(ptr), s"not a manifest table (no $PointerName): $dir")
+    val name = readSmallFile(f, ptr).trim
+    val rels = manifestRel(f, dir, name)
+    val firstSeen = scala.collection.mutable.HashMap.empty[String, Long]
+    versions(spark, dir).foreach { v =>
+      manifestRel(f, dir, f"manifest-$v%020d.txt").foreach { rel =>
+        if (!firstSeen.contains(rel)) firstSeen.update(rel, v)
+      }
+    }
+    import spark.implicits._
+    val lineage = broadcast(
+      rels.map(r => (r, firstSeen(r))).toDF("__graft_rel", "_commit_version"))
+    if (rels.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        currentSchema(spark, dir).getOrElse(read(spark, dir).schema))
+        .withColumn("_commit_version", org.apache.spark.sql.functions.lit(-1L))
+    val base = applyDv(spark, dir,
+      spark.read.parquet(rels.map(rel => new Path(dir, rel).toString): _*)
+        .withColumn("__graft_rel", relOfFilePath(col("_metadata.file_path"))),
+      dvRelsOf(manifestDvLines(f, dir, name)))
+    base.join(lineage, "__graft_rel").drop("__graft_rel")
+  }
+
   /** METADATA-ONLY `count(*)` of the CURRENT snapshot — the Iceberg/Delta
     * fast path that answers a 100 TB row count without opening one data
     * file: every commit records per-file row counts (`#size=` lines), so

@@ -1579,6 +1579,26 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
     } finally { rm(corpusDir); rm(indexDir) }
   }
 
+  it should "attach file-commit lineage to every row, rewrites owning what they rewrote" in {
+    val dir = tmpDir()
+    try {
+      val v0 = ManifestTable.append(spark, dir,
+        Seq((1L, "a"), (2L, "a")).toDF("id", "tag")).version
+      val v1 = ManifestTable.append(spark, dir,
+        Seq((3L, "b")).toDF("id", "tag")).version
+      def lineage() = ManifestTable.readWithLineage(spark, dir)
+        .select("id", "_commit_version")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      lineage() shouldBe Array((1L, v0), (2L, v0), (3L, v1))
+      // a DV delete changes no file: survivors keep their lineage
+      ManifestTable.deleteVectorWhere(spark, dir, "id", 2.0, 2.0)
+      lineage() shouldBe Array((1L, v0), (3L, v1))
+      // a layout rewrite owns every row it rewrote
+      val vc = ManifestTable.compactSorted(spark, dir, Seq("id"), 1).version
+      lineage() shouldBe Array((1L, vc), (3L, vc))
+    } finally rm(dir)
+  }
+
   it should "answer count and min/max from metadata alone, refusing when inexact" in {
     val dir = tmpDir()
     try {
