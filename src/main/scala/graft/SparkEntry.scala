@@ -4070,6 +4070,40 @@ object SparkEntry {
           "count_matches_scan", "cow_min_was_exact")
     }),
 
+    // Extension: UNIQUE KEY constraint — the primary-key contract as a
+    // table transaction gate: a batch repeating a key (within itself or
+    // against the table) or carrying a null key is refused LOUDLY before
+    // anything lands. The existing-key probe is stats-bounded (files
+    // whose [min, max] overlaps the batch's key range — monotonic ingest
+    // keys probe only the tail at any table size), and the constraint
+    // header survives compaction like a CHECK.
+    "ingest_manifest_unique" -> ((s, dir) => {
+      import s.implicits._
+      val M = graft.sources.ManifestTable
+      val out = scratch("unique_pk")
+      val ev = events(s, dir).select(col("event_id"), col("user_id"))
+      M.commit(s, out, spread(s, ev.filter(col("event_id") < 5000)))
+      M.addUnique(s, out, "event_id")
+      M.append(s, out,
+        ev.filter(col("event_id") >= 5000 && col("event_id") < 6000))
+      def refused(body: => Any): Boolean =
+        try { body; false } catch { case _: IllegalArgumentException => true }
+      val batchDupRefused = refused(M.append(s, out,
+        ev.filter(col("event_id") === 7000)
+          .unionByName(ev.filter(col("event_id") === 7000))))
+      val collisionRefused = refused(M.append(s, out,
+        ev.filter(col("event_id") === 100)))
+      val nullRefused = refused(M.append(s, out,
+        ev.filter(col("event_id") === 7001)
+          .select(lit(null).cast("long").as("event_id"), col("user_id"))))
+      M.compactSorted(s, out, Seq("event_id"), targetFiles = 4)
+      val carried = M.uniqueKeys(s, out) == Seq("event_id")
+      Seq((M.countFromMetadata(s, out).get,
+          batchDupRefused, collisionRefused, nullRefused, carried))
+        .toDF("n_rows", "batch_dup_refused", "collision_refused",
+          "null_refused", "constraint_survives_compaction")
+    }),
+
     // Extension: COMMIT LINEAGE — "which commit landed this row?" as a
     // _commit_version read column, derived from manifest history alone
     // (each file first appears in exactly one manifest; the #files-sized
@@ -7330,6 +7364,14 @@ object SparkEntry {
         |  false AS minmax_answerable_post_dv,
         |  true AS count_matches_scan,
         |  true AS cow_min_was_exact""".stripMargin,
+
+    // The UNIQUE gate's outcome is fully determined: only the two clean
+    // appends landed; every refusal left the table untouched.
+    "ingest_manifest_unique" ->
+      """SELECT count(*) AS n_rows,
+        |  true AS batch_dup_refused, true AS collision_refused,
+        |  true AS null_refused, true AS constraint_survives_compaction
+        |FROM events WHERE event_id < 6000""".stripMargin,
 
     // File lineage recomputed from the append semantics (slice s landed
     // in commit s), then the compaction collapse: one rewrite commit owns

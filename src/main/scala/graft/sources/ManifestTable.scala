@@ -156,7 +156,7 @@ object ManifestTable {
         case Some(rel) => keepRel(rel)
         case None => l.startsWith("#dv=") || l.startsWith("#check=") ||
           l.startsWith("#indexof=") || l.startsWith("#streambatch=") ||
-          l.startsWith("#meta=")
+          l.startsWith("#meta=") || l.startsWith("#unique=")
       }
     }
 
@@ -585,6 +585,7 @@ object ManifestTable {
     * forward and the incoming content must satisfy them. */
   def commit(spark: SparkSession, dir: String, df: DataFrame): StagedCommit = {
     enforceChecks(spark, dir, df)
+    enforceUnique(spark, dir, df, probeExisting = false)
     commitCarryingChecks(spark, dir, df, carryIndexOf = false)
   }
 
@@ -607,7 +608,7 @@ object ManifestTable {
       if (!f.exists(new Path(dir, PointerName))) Seq.empty[String]
       else manifestLines(f, dir,
         readSmallFile(f, new Path(dir, PointerName)).trim)
-        .filter(l => l.startsWith("#check=") ||
+        .filter(l => l.startsWith("#check=") || l.startsWith("#unique=") ||
           (carryIndexOf && (l.startsWith("#indexof=") ||
             l.startsWith("#streambatch=") || l.startsWith("#meta="))))
     val staged = stage(spark, dir, df, Seq.empty, checkLines)
@@ -1157,6 +1158,7 @@ object ManifestTable {
   def append(spark: SparkSession, dir: String, df: DataFrame): StagedCommit = {
     requireSameSchema(currentSchema(spark, dir), df.schema, "append")
     enforceChecks(spark, dir, df)
+    enforceUnique(spark, dir, df, probeExisting = true)
     completeAppend(spark, dir, stageData(spark, dir, df))
   }
 
@@ -1512,6 +1514,7 @@ object ManifestTable {
     * for. */
   def appendEvolve(spark: SparkSession, dir: String, df: DataFrame): StagedCommit = {
     enforceChecks(spark, dir, df)
+    enforceUnique(spark, dir, df, probeExisting = true)
     val f = fs(dir, spark)
     val (carry, carryStats, basis) =
       if (f.exists(new Path(dir, PointerName))) {
@@ -2523,6 +2526,7 @@ object ManifestTable {
       streamId: String, batchId: Long): StagedCommit = {
     requireSameSchema(currentSchema(spark, dir), df.schema, "appendStamped")
     enforceChecks(spark, dir, df)
+    enforceUnique(spark, dir, df, probeExisting = true)
     completeAppendWith(spark, dir, stageData(spark, dir, df),
       hs => hs.filterNot(
         l => parseStreamBatchLine(l).exists(_._1 == streamId)) :+
@@ -2574,6 +2578,107 @@ object ManifestTable {
     if (cur != v) throw new IllegalStateException(
       s"stale index: $dir was built from $src v$v but the source is now v$cur — " +
         "rebuild the index (commitIndex) before probing")
+  }
+
+  // #unique=<b64 col> — a table-level UNIQUE KEY constraint (the primary-
+  // key contract: non-null, no duplicates). Row-local CHECKs validate the
+  // batch alone; UNIQUE additionally probes the TABLE, stats-bounded: the
+  // existing-key scan prunes to files whose recorded [min, max] overlaps
+  // the batch's key range (the idempotentSink shape — monotonic ingest
+  // keys probe only the tail at any table size). Enforced by [[commit]]
+  // (batch-internal only — an overwrite replaces the content),
+  // [[append]]/[[appendStamped]]/[[appendEvolve]] (batch + table probe).
+  // [[mergeInto]] keyed on the unique column preserves uniqueness by
+  // construction (version-wins upsert); merging on any OTHER key is the
+  // caller's responsibility, stated honestly.
+  private def uniqueLineOf(column: String): String = s"#unique=${b64(column)}"
+
+  private def parseUniqueLine(l: String): Option[String] =
+    if (!l.startsWith("#unique=")) None
+    else Some(unb64(l.stripPrefix("#unique=")))
+
+  /** The table's registered UNIQUE key columns. */
+  def uniqueKeys(spark: SparkSession, dir: String): Seq[String] = {
+    val f = fs(dir, spark)
+    val ptr = new Path(dir, PointerName)
+    if (!f.exists(ptr)) Seq.empty
+    else manifestLines(f, dir, readSmallFile(f, ptr).trim)
+      .flatMap(parseUniqueLine)
+  }
+
+  /** Register a UNIQUE KEY as one header-only commit — refused unless the
+    * CURRENT content already satisfies it. Once registered, every append
+    * refuses a batch that repeats a key (within itself or against the
+    * table) or carries a null key, loudly. */
+  def addUnique(spark: SparkSession, dir: String, column: String): StagedCommit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val line = uniqueLineOf(column)
+    val cur = read(spark, dir)
+    require(cur.schema.fieldNames.contains(column),
+      s"UNIQUE column not in schema: $column")
+    val bad = cur.groupBy(col(column)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1 || col(column).isNull).limit(1).collect()
+    require(bad.isEmpty,
+      s"existing rows violate UNIQUE($column); the key must hold at creation")
+    val f = fs(dir, spark)
+    val name = readSmallFile(f, new Path(dir, PointerName)).trim
+    val basis = name.stripPrefix("manifest-").stripSuffix(".txt").toLong
+    val lines = manifestLines(f, dir, name)
+    if (lines.contains(line)) return StagedCommit(basis, name, basis)
+    val schemaLine = lines.filter(_.startsWith("#schema="))
+    val header = carriedHeadersFor(lines, _ => true)
+    val content = ((schemaLine ++ (header :+ line).sorted) ++
+      manifestRel(f, dir, name).sorted).mkString("\n")
+    val staged = claimManifestSlot(spark, dir, content, basis)
+    publish(spark, dir, staged)
+    staged
+  }
+
+  // the UNIQUE gate: one aggregate over the batch (duplicate or null
+  // keys), then — for appends — the stats-bounded existing-key probe.
+  private def enforceUnique(
+      spark: SparkSession, dir: String, df: DataFrame,
+      probeExisting: Boolean): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    uniqueKeys(spark, dir).foreach { k =>
+      require(df.schema.fieldNames.contains(k),
+        s"UNIQUE($k) column missing from the incoming batch")
+      val bad = df.groupBy(col(k)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1 || col(k).isNull).limit(1).collect()
+      require(bad.isEmpty,
+        s"UNIQUE($k) violated by the incoming batch: duplicate or null key " +
+          s"(first: ${bad.headOption.map(_.get(0)).orNull})")
+      if (probeExisting) {
+        import org.apache.spark.sql.types._
+        val mm = df.agg(min(col(k)), max(col(k))).head()
+        if (!mm.isNullAt(0)) {
+          val existing = df.schema(k).dataType match {
+            case _: NumericType =>
+              val lo = mm.get(0).asInstanceOf[Number].doubleValue
+              val hi = mm.get(1).asInstanceOf[Number].doubleValue
+              readBetween(spark, dir, k, Math.nextDown(lo), Math.nextUp(hi))
+            case StringType =>
+              val (kept, _) = pruneByRangeString(spark, dir, k,
+                mm.getString(0), mm.getString(1))
+              val f = fs(dir, spark)
+              val name = readSmallFile(f, new Path(dir, PointerName)).trim
+              if (kept.isEmpty)
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  currentSchema(spark, dir).getOrElse(df.schema))
+              else applyDv(spark, dir, spark.read.parquet(kept: _*),
+                dvRelsOf(manifestDvLines(f, dir, name)))
+            case _ => read(spark, dir)
+          }
+          val clash = existing.select(col(k).as("__ek"))
+            .join(df.select(col(k).as("__ek")).distinct(), Seq("__ek"))
+            .limit(1).collect()
+          require(clash.isEmpty,
+            s"UNIQUE($k) violated: key already present in the table " +
+              s"(first: ${clash.headOption.map(_.get(0)).orNull})")
+        }
+      }
+    }
   }
 
   // every write transaction funnels its INCOMING rows through this: one

@@ -1579,6 +1579,56 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
     } finally { rm(corpusDir); rm(indexDir) }
   }
 
+  it should "enforce UNIQUE keys on every append, probing the table stats-bounded" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.commit(spark, dir,
+        Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+      ManifestTable.addUnique(spark, dir, "id")
+      ManifestTable.uniqueKeys(spark, dir) shouldBe Seq("id")
+      // fresh keys land
+      ManifestTable.append(spark, dir, Seq((3L, "c")).toDF("id", "tag"))
+      // an intra-batch duplicate refuses
+      an[IllegalArgumentException] should be thrownBy
+        ManifestTable.append(spark, dir,
+          Seq((4L, "d"), (4L, "e")).toDF("id", "tag"))
+      // a collision with the table refuses
+      an[IllegalArgumentException] should be thrownBy
+        ManifestTable.append(spark, dir, Seq((2L, "x")).toDF("id", "tag"))
+      // a null key refuses (the primary-key contract)
+      an[IllegalArgumentException] should be thrownBy
+        ManifestTable.append(spark, dir,
+          Seq((null.asInstanceOf[java.lang.Long], "n"))
+            .toDF("id", "tag"))
+      // refusals landed nothing
+      ManifestTable.read(spark, dir).count() shouldBe 3
+      // the constraint survives compaction AND a validated overwrite
+      ManifestTable.compactSorted(spark, dir, Seq("id"), 1)
+      ManifestTable.uniqueKeys(spark, dir) shouldBe Seq("id")
+      an[IllegalArgumentException] should be thrownBy
+        ManifestTable.commit(spark, dir,
+          Seq((9L, "a"), (9L, "b")).toDF("id", "tag"))
+      // registering over existing duplicates refuses
+      val dup = tmpDir()
+      try {
+        ManifestTable.commit(spark, dup,
+          Seq((1L, "a"), (1L, "b")).toDF("id", "tag"))
+        an[IllegalArgumentException] should be thrownBy
+          ManifestTable.addUnique(spark, dup, "id")
+      } finally rm(dup)
+      // string keys probe via UTF-8 stats
+      val sdir = tmpDir()
+      try {
+        ManifestTable.commit(spark, sdir,
+          Seq(("k1", 1L), ("k2", 2L)).toDF("key", "v"))
+        ManifestTable.addUnique(spark, sdir, "key")
+        ManifestTable.append(spark, sdir, Seq(("k3", 3L)).toDF("key", "v"))
+        an[IllegalArgumentException] should be thrownBy
+          ManifestTable.append(spark, sdir, Seq(("k2", 9L)).toDF("key", "v"))
+      } finally rm(sdir)
+    } finally rm(dir)
+  }
+
   it should "attach file-commit lineage to every row, rewrites owning what they rewrote" in {
     val dir = tmpDir()
     try {
