@@ -4070,6 +4070,48 @@ object SparkEntry {
           "count_matches_scan", "cow_min_was_exact")
     }),
 
+    // Extension: CROSS-TABLE JOIN-KEY OVERLAP from manifests alone — the
+    // cost-based-planner statistic (FK coverage, semi-join selectivity)
+    // for two 100 TB tables with ZERO data reads: each table's per-file
+    // KMV sketches merge into its table-level sketch (the KMV merge law
+    // makes the result identical to sketching the column directly,
+    // whatever the file layout), and the Beyer et al. set-operation
+    // estimators give Jaccard and intersection cardinality from ≤ 2k
+    // longs of metadata. Exact distinct counts ride along as the gate.
+    "ingest_manifest_join_card" -> ((s, dir) => {
+      val M = graft.sources.ManifestTable
+      val oDir = scratch("jc_orders")
+      val cDir = scratch("jc_cust")
+      // a PARTIAL overlap: the custkeys of one order slice vs all
+      // customers — the semi-join-selectivity question as asked
+      val ord = table(s, dir, "orders")
+        .filter(col("o_orderkey") % 4 === 0).select(col("o_custkey"))
+      val cust = table(s, dir, "customer").select(col("c_custkey"))
+      Seq(0, 1, 2).foreach { sl =>
+        M.append(s, oDir, ord.filter(col("o_custkey") % 3 === sl).coalesce(1))
+      }
+      Seq(0, 1).foreach { sl =>
+        M.append(s, cDir, cust.filter(col("c_custkey") % 2 === sl).coalesce(1))
+      }
+      M.addNdvSketch(s, oDir, "o_custkey")
+      M.addNdvSketch(s, cDir, "c_custkey")
+      val ov = M.estimateKeyOverlap(s, oDir, "o_custkey", cDir, "c_custkey")
+      ord.select(col("o_custkey").as("k"), lit("a").as("src"))
+        .unionByName(cust.select(col("c_custkey").as("k"), lit("b").as("src")))
+        .agg(
+          countDistinct(when(col("src") === "a", col("k"))).as("nd_a"),
+          countDistinct(when(col("src") === "b", col("k"))).as("nd_b"),
+          countDistinct(col("k")).as("nd_union"))
+        .select(
+          round(lit(ov("est_a")), 4).as("est_a"),
+          round(lit(ov("est_b")), 4).as("est_b"),
+          round(lit(ov("est_union")), 4).as("est_union"),
+          round(lit(ov("jaccard_est")), 6).as("jaccard_est"),
+          round(lit(ov("est_intersection")), 4).as("est_intersection"),
+          col("nd_a"), col("nd_b"), col("nd_union"),
+          (col("nd_a") + col("nd_b") - col("nd_union")).as("nd_intersection"))
+    }),
+
     // Extension: UNIQUE KEY constraint — the primary-key contract as a
     // table transaction gate: a batch repeating a key (within itself or
     // against the table) or carrying a null key is refused LOUDLY before
@@ -7364,6 +7406,46 @@ object SparkEntry {
         |  false AS minmax_answerable_post_dv,
         |  true AS count_matches_scan,
         |  true AS cow_min_was_exact""".stripMargin,
+
+    // The KMV merge law makes table-level sketches file-layout-
+    // independent, so the oracle recomputes them straight from the
+    // columns: k smallest distinct 60-bit md5 hashes per side, the union
+    // sketch, membership counts, and the same estimator arithmetic.
+    "ingest_manifest_join_card" ->
+      """WITH ska AS MATERIALIZED (SELECT h FROM (
+        |    SELECT DISTINCT CAST(CONCAT('0x', substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |    FROM orders WHERE o_orderkey % 4 = 0) ORDER BY h LIMIT 64),
+        |skb AS MATERIALIZED (SELECT h FROM (
+        |    SELECT DISTINCT CAST(CONCAT('0x', substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |    FROM customer) ORDER BY h LIMIT 64),
+        |m AS MATERIALIZED (SELECT h FROM (
+        |    SELECT h FROM ska UNION SELECT h FROM skb) ORDER BY h LIMIT 64),
+        |st AS (SELECT
+        |  (SELECT count(*) FROM ska) AS ca, (SELECT max(h) FROM ska) AS ha,
+        |  (SELECT count(*) FROM skb) AS cb, (SELECT max(h) FROM skb) AS hb,
+        |  (SELECT count(*) FROM m) AS cm, (SELECT max(h) FROM m) AS hm,
+        |  (SELECT count(*) FROM m WHERE h IN (SELECT h FROM ska)
+        |     AND h IN (SELECT h FROM skb)) AS nb),
+        |est AS (SELECT
+        |  CASE WHEN ca < 64 THEN CAST(ca AS DOUBLE)
+        |    ELSE 63.0::DOUBLE * 1152921504606846976.0::DOUBLE / CAST(ha AS DOUBLE) END AS est_a,
+        |  CASE WHEN cb < 64 THEN CAST(cb AS DOUBLE)
+        |    ELSE 63.0::DOUBLE * 1152921504606846976.0::DOUBLE / CAST(hb AS DOUBLE) END AS est_b,
+        |  CASE WHEN cm < 64 THEN CAST(cm AS DOUBLE)
+        |    ELSE 63.0::DOUBLE * 1152921504606846976.0::DOUBLE / CAST(hm AS DOUBLE) END AS est_union,
+        |  CAST(nb AS DOUBLE) / cm AS j
+        |  FROM st),
+        |ex AS (SELECT
+        |  count(DISTINCT CASE WHEN src = 'a' THEN k END) AS nd_a,
+        |  count(DISTINCT CASE WHEN src = 'b' THEN k END) AS nd_b,
+        |  count(DISTINCT k) AS nd_union
+        |  FROM (SELECT o_custkey AS k, 'a' AS src FROM orders WHERE o_orderkey % 4 = 0
+        |        UNION ALL SELECT c_custkey AS k, 'b' AS src FROM customer))
+        |SELECT round(est_a, 4) AS est_a, round(est_b, 4) AS est_b,
+        |  round(est_union, 4) AS est_union, round(j, 6) AS jaccard_est,
+        |  round(j * est_union, 4) AS est_intersection,
+        |  nd_a, nd_b, nd_union, (nd_a + nd_b - nd_union) AS nd_intersection
+        |FROM est, ex""".stripMargin,
 
     // The UNIQUE gate's outcome is fully determined: only the two clean
     // appends landed; every refusal left the table untouched.

@@ -1071,6 +1071,58 @@ object ManifestTable {
     (est, sketches.size, total)
   }
 
+  /** Cross-table KEY-OVERLAP estimate from manifests alone — the
+    * join-planning statistic (FK coverage, semi-join selectivity) for two
+    * 100 TB tables without scanning either: merge each table's per-file
+    * `#ndv=` KMV sketches into its table-level sketch (union, keep k
+    * smallest — identical to sketching the column directly, the KMV merge
+    * law), then the Beyer et al. set-operation estimators over the two
+    * sketches: the k smallest of the combined hashes form the union
+    * sketch M, K∩ = |{h ∈ M : h ∈ A ∧ h ∈ B}|, Jaccard = K∩/|M|,
+    * |A ∩ B| ≈ J · |A ∪ B|ₑ. Every sketch below k is its column's exact
+    * distinct hash set, so small-side estimates degrade to exact. Purely
+    * driver-side integer/double arithmetic over ≤ 2k longs —
+    * deterministic and engine-reproducible. Requires full sketch coverage
+    * on both tables ([[addNdvSketch]] after appends) and equal k. */
+  def estimateKeyOverlap(
+      spark: SparkSession,
+      dirA: String, colA: String,
+      dirB: String, colB: String): Map[String, Double] = {
+    def tableSketch(dir: String, column: String): (Seq[Long], Int) = {
+      val f = fs(dir, spark)
+      val ptr = new Path(dir, PointerName)
+      require(f.exists(ptr), s"not a manifest table (no $PointerName): $dir")
+      val name = readSmallFile(f, ptr).trim
+      val sketches = manifestLines(f, dir, name).filter(_.startsWith("#ndv="))
+        .flatMap(parseNdvLine).filter(_._2 == column)
+      val total = manifestRel(f, dir, name).size
+      require(sketches.size == total,
+        s"$dir: only ${sketches.size} of $total files carry a #ndv sketch " +
+          s"for $column — run addNdvSketch after appends")
+      val k = sketches.map(_._3).min
+      (sketches.flatMap(_._4).distinct.sorted.take(k), k)
+    }
+    val (skA, kA) = tableSketch(dirA, colA)
+    val (skB, kB) = tableSketch(dirB, colB)
+    require(kA == kB, s"sketch sizes differ: $kA vs $kB")
+    val k = kA
+    def est(sk: Seq[Long]): Double =
+      if (sk.size < k) sk.size.toDouble
+      else (k - 1).toDouble * 1152921504606846976.0 / sk.last.toDouble
+    val setA = skA.toSet
+    val setB = skB.toSet
+    val m = (skA ++ skB).distinct.sorted.take(k)
+    val nBoth = m.count(h => setA(h) && setB(h))
+    val jaccard = nBoth.toDouble / m.size
+    val estUnion = est(m)
+    Map(
+      "est_a" -> est(skA),
+      "est_b" -> est(skB),
+      "est_union" -> estUnion,
+      "jaccard_est" -> jaccard,
+      "est_intersection" -> (jaccard * estUnion))
+  }
+
   /** Bloom-pruned point lookup: `column = value` over only the files
     * [[pruneByBloom]] keeps (deletion vectors applied, the row filter
     * still evaluated). Equivalent to `read(...).filter(col === value)`

@@ -1579,6 +1579,37 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
     } finally { rm(corpusDir); rm(indexDir) }
   }
 
+  it should "estimate cross-table key overlap from manifest sketches, exact below k" in {
+    val a = tmpDir(); val b = tmpDir(); val a2 = tmpDir()
+    try {
+      // below k = 64: sketches ARE the distinct hash sets — every
+      // estimate exact. 30 keys in A (0..29), 40 in B (20..59), ∩ = 10.
+      ManifestTable.append(spark, a,
+        (0L until 15L).map(i => (i, "x")).toDF("id", "t"))
+      ManifestTable.append(spark, a,
+        (15L until 30L).map(i => (i, "x")).toDF("id", "t"))
+      ManifestTable.commit(spark, b,
+        (20L until 60L).map(i => (i, "y")).toDF("id", "t"))
+      ManifestTable.addNdvSketch(spark, a, "id")
+      ManifestTable.addNdvSketch(spark, b, "id")
+      val ov = ManifestTable.estimateKeyOverlap(spark, a, "id", b, "id")
+      ov("est_a") shouldBe 30.0
+      ov("est_b") shouldBe 40.0
+      ov("est_union") shouldBe 60.0
+      ov("est_intersection") shouldBe 10.0 +- 1e-9
+      // the KMV merge law: a different file layout of the same content
+      // produces the identical table-level sketch and estimates
+      ManifestTable.commit(spark, a2,
+        (0L until 30L).map(i => (i, "x")).toDF("id", "t"))
+      ManifestTable.addNdvSketch(spark, a2, "id")
+      ManifestTable.estimateKeyOverlap(spark, a2, "id", b, "id") shouldBe ov
+      // partial sketch coverage refuses instead of under-estimating
+      ManifestTable.append(spark, a, Seq((99L, "x")).toDF("id", "t"))
+      an[IllegalArgumentException] should be thrownBy
+        ManifestTable.estimateKeyOverlap(spark, a, "id", b, "id")
+    } finally { rm(a); rm(b); rm(a2) }
+  }
+
   it should "enforce UNIQUE keys on every append, probing the table stats-bounded" in {
     val dir = tmpDir()
     try {
