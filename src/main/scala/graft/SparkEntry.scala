@@ -4070,6 +4070,33 @@ object SparkEntry {
           "count_matches_scan", "cow_min_was_exact")
     }),
 
+    // Extension: CHANGE DATA FEED — inserts AND row-level deletes between
+    // two snapshots, never a table diff: inserts from the file-diff
+    // change feed, deletes from the deletion-vector sidecars added in the
+    // window joined back by (file, row-position) — the read cost is the
+    // files that LOST rows. Net-change semantics: a row inserted and
+    // DV-deleted inside the window shows only as a delete (a no-op for
+    // any consumer, asserted by the oracle's id arithmetic).
+    "ingest_manifest_cdf" -> ((s, dir) => {
+      val M = graft.sources.ManifestTable
+      val out = scratch("cdf")
+      val ev = events(s, dir).select(col("event_id"), col("user_id"))
+      M.commit(s, out, spread(s, ev.filter(col("event_id") < 4000)))
+      val v0 = M.currentVersion(s, out)
+      M.append(s, out,
+        ev.filter(col("event_id") >= 4000 && col("event_id") < 5000))
+      // deletes from the baseline AND from the window's own inserts
+      M.deleteVectorWhere(s, out, "event_id", 100.0, 199.0)
+      M.deleteVectorWhere(s, out, "event_id", 4500.0, 4599.0)
+      val ins = M.readChangesSince(s, out, v0)
+        .select(lit("insert").as("_change_type"),
+          col("event_id"), col("user_id"))
+      val del = M.readDeletesSince(s, out, v0)
+        .select(lit("delete").as("_change_type"),
+          col("event_id"), col("user_id"))
+      ins.unionByName(del)
+    }),
+
     // Extension: CROSS-TABLE JOIN-KEY OVERLAP from manifests alone — the
     // cost-based-planner statistic (FK coverage, semi-join selectivity)
     // for two 100 TB tables with ZERO data reads: each table's per-file
@@ -7406,6 +7433,18 @@ object SparkEntry {
         |  false AS minmax_answerable_post_dv,
         |  true AS count_matches_scan,
         |  true AS cow_min_was_exact""".stripMargin,
+
+    // The feed recomputed from the window semantics: inserts = the
+    // appended slice minus its in-window deletes; deletes = both DV
+    // ranges (baseline rows AND window inserts).
+    "ingest_manifest_cdf" ->
+      """SELECT 'insert' AS _change_type, event_id, user_id FROM events
+        |WHERE event_id >= 4000 AND event_id < 5000
+        |  AND NOT (event_id BETWEEN 4500 AND 4599)
+        |UNION ALL
+        |SELECT 'delete' AS _change_type, event_id, user_id FROM events
+        |WHERE event_id BETWEEN 100 AND 199
+        |   OR event_id BETWEEN 4500 AND 4599""".stripMargin,
 
     // The KMV merge law makes table-level sketches file-layout-
     // independent, so the oracle recomputes them straight from the

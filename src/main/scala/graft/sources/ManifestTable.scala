@@ -2145,6 +2145,60 @@ object ManifestTable {
     }
   }
 
+  /** The rows DELETED between snapshot `fromVersion` (exclusive) and
+    * CURRENT via deletion vectors — [[readChangesSince]]'s other half,
+    * together the CHANGE DATA FEED of an append+DV-delete workload
+    * (Delta CDF's shape): downstreams consume inserts AND row-level
+    * deletes without ever diffing table contents. DV sidecars are
+    * immutable and disjoint, so the delta is exactly the sidecars added
+    * since `fromVersion`; their (file, position) pairs join back to the
+    * referenced data files via the scan's row-index metadata — the read
+    * cost is the files that LOST rows, not the table. Same append-shape
+    * contract as the insert feed: a rewrite commit (copy-on-write
+    * delete, compaction, OPTIMIZE) moved rows between files and the
+    * read refuses loudly rather than mis-attributing them. NET-CHANGE
+    * semantics across the pair: [[readChangesSince]] filters current DVs,
+    * so a row inserted AND deleted inside the window shows only here —
+    * a delete of a row the consumer never saw, a harmless no-op to
+    * apply. */
+  def readDeletesSince(
+      spark: SparkSession, dir: String, fromVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(dir, spark)
+    val fromName = f"manifest-$fromVersion%020d.txt"
+    require(f.exists(new Path(new Path(dir, "_manifests"), fromName)),
+      s"version $fromVersion not found (vacuumed, or never committed) in $dir")
+    val old = manifestRel(f, dir, fromName).toSet
+    val curName = readSmallFile(f, new Path(dir, PointerName)).trim
+    val cur = manifestRel(f, dir, curName)
+    val removed = old.diff(cur.toSet)
+    require(removed.isEmpty,
+      s"table is not append-shaped since v$fromVersion: ${removed.size} of " +
+        s"its files were rewritten or removed — positions no longer name " +
+        "the same rows; re-bootstrap the consumer from the full table")
+    val oldDv = dvRelsOf(manifestDvLines(f, dir, fromName)).toSet
+    val newDv = dvRelsOf(manifestDvLines(f, dir, curName)).filterNot(oldDv)
+    val schema = currentSchema(spark, dir).getOrElse(read(spark, dir).schema)
+    if (newDv.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val dv = spark.read.parquet(newDv.map(r => new Path(dir, r).toString): _*)
+    // only the files that lost rows are read back
+    val touched = dv.select(col("_file")).distinct()
+      .collect().map(_.getString(0)).filter(cur.toSet)
+    if (touched.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val keyed = spark.read
+      .parquet(touched.map(rel => new Path(dir, rel).toString): _*)
+      .withColumn("__graft_dv_rel", relOfFilePath(col("_metadata.file_path")))
+      .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+    keyed.join(org.apache.spark.sql.functions.broadcast(dv),
+        keyed("__graft_dv_rel") === dv("_file") &&
+          keyed("__graft_dv_pos") === dv("_pos"))
+      .drop("__graft_dv_rel", "__graft_dv_pos", "_file", "_pos")
+  }
+
   /** INCREMENTAL VIEW MAINTENANCE on the change feed: fold the rows
     * appended to `srcDir` after `sinceVersion` into an additive
     * (n_rows, value_sum) rollup keyed by `keyCol`, committed to `aggDir`

@@ -1579,6 +1579,37 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
     } finally { rm(corpusDir); rm(indexDir) }
   }
 
+  it should "feed row-level deletes since a version from DV sidecars alone" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.commit(spark, dir,
+        (0L until 20L).map(i => (i, s"r$i")).toDF("id", "v"))
+      val v0 = ManifestTable.currentVersion(spark, dir)
+      // an empty window feeds nothing
+      ManifestTable.readDeletesSince(spark, dir, v0).count() shouldBe 0
+      ManifestTable.append(spark, dir,
+        (20L until 30L).map(i => (i, s"r$i")).toDF("id", "v"))
+      ManifestTable.deleteVectorWhere(spark, dir, "id", 3.0, 5.0)
+      ManifestTable.deleteVectorWhere(spark, dir, "id", 25.0, 26.0)
+      val dels = ManifestTable.readDeletesSince(spark, dir, v0)
+        .select("id").collect().map(_.getLong(0)).sorted
+      dels shouldBe Array(3L, 4L, 5L, 25L, 26L)
+      // net-change pair: the insert feed excludes the in-window deletes
+      val ins = ManifestTable.readChangesSince(spark, dir, v0)
+        .select("id").collect().map(_.getLong(0)).sorted
+      ins shouldBe (20L until 30L).filterNot(Set(25L, 26L)).toArray
+      // deletes BEFORE the window don't re-feed
+      val v1 = ManifestTable.currentVersion(spark, dir)
+      ManifestTable.deleteVectorWhere(spark, dir, "id", 10.0, 10.0)
+      ManifestTable.readDeletesSince(spark, dir, v1)
+        .select("id").collect().map(_.getLong(0)) shouldBe Array(10L)
+      // a rewrite breaks position identity: the feed refuses
+      ManifestTable.compactSorted(spark, dir, Seq("id"), 1)
+      an[IllegalArgumentException] should be thrownBy
+        ManifestTable.readDeletesSince(spark, dir, v1)
+    } finally rm(dir)
+  }
+
   it should "estimate cross-table key overlap from manifest sketches, exact below k" in {
     val a = tmpDir(); val b = tmpDir(); val a2 = tmpDir()
     try {
