@@ -1755,12 +1755,16 @@ object ManifestTable {
     if (dvRels.isEmpty) Some(base)
     else {
       // only entries pointing at a CURRENT file delete anything (vectors
-      // carry verbatim across rewrites; stale entries anti-join nothing)
-      import org.apache.spark.sql.functions.col
-      val relSet = rels.toSet
+      // carry verbatim across rewrites; stale entries anti-join nothing).
+      // The live-file set joins as a broadcast frame, not an IN-list —
+      // at 100 TB the file census is 10^5+ names, too many for a plan
+      // literal.
+      import org.apache.spark.sql.functions.broadcast
+      import spark.implicits._
+      val live = rels.toDF("_file")
       val deleted = spark.read
         .parquet(dvRels.map(r => new Path(dir, r).toString): _*)
-        .filter(col("_file").isin(relSet.toSeq: _*))
+        .join(broadcast(live), "_file")
         .count()
       Some(base - deleted)
     }
