@@ -1428,6 +1428,24 @@ object SparkEntry {
       R.bm25TopK(post, queries, nF, dlF, k = 5)
     }),
 
+    // Extension: CONJUNCTIVE (boolean-AND) ranked retrieval — only
+    // documents matching EVERY query term rank, the filter applied
+    // before ranking so ranks stay contiguous over the conjunctive
+    // result. Same exact-DECIMAL BM25 rank keys as the disjunctive path.
+    "text_invidx_conjunctive" -> ((s, dir) => {
+      import s.implicits._
+      val R = graft.ops.Retrieval
+      val docs = spread(s, table(s, dir, "documents").select("doc_id", "text"))
+      val (n, dl) = R.corpusStats(docs, "text")
+      val post = R.buildPostings(docs, "doc_id", "text")
+        .filter(col("term").isin("spark", "table", "window", "join", "filter"))
+      val queries = Seq(
+        0L -> "spark", 0L -> "table", 0L -> "window",
+        1L -> "join", 1L -> "filter"
+      ).toDF("query_id", "term")
+      R.bm25TopK(post, queries, n, dl, k = 5, requireAllTerms = true)
+    }),
+
     // Extension: champion-list static pruning PRICED — keep only the 8
     // highest-impact postings per term (the impact-ordered / quantized-
     // impact index shape; per-term top-c runs as a map-side partial
@@ -6112,6 +6130,30 @@ object SparkEntry {
         |ag AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
         |  sum(CAST(s AS DECIMAL(27,12))) AS sd FROM sc GROUP BY 1, 2),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sd DESC, doc_id) AS rk FROM ag)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rk AS INTEGER) AS rank,
+        |  n_terms_matched, round(CAST(sd AS DOUBLE), 6) AS bm25
+        |FROM r WHERE rk <= 5""".stripMargin,
+
+    // The conjunctive gate is a HAVING over matched-term counts before
+    // the ranking window — ranks contiguous over the AND result.
+    "text_invidx_conjunctive" ->
+      s"""WITH q(query_id, term) AS (VALUES $invidxQueries2),
+        |qn AS (SELECT query_id, count(DISTINCT term) AS nq FROM q GROUP BY 1),
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM l),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(toks) AS term FROM t)
+        |  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+        |sc AS (SELECT q.query_id, tf.doc_id, $invidxScoreSql
+        |  FROM q JOIN tf ON q.term = tf.term JOIN dfq ON tf.term = dfq.term
+        |  JOIN l ON tf.doc_id = l.doc_id, st),
+        |ag AS (SELECT sc.query_id, sc.doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+        |  sum(CAST(s AS DECIMAL(27,12))) AS sd FROM sc GROUP BY 1, 2),
+        |cj AS (SELECT ag.* FROM ag JOIN qn ON ag.query_id = qn.query_id
+        |  WHERE ag.n_terms_matched = qn.nq),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sd DESC, doc_id) AS rk FROM cj)
         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rk AS INTEGER) AS rank,
         |  n_terms_matched, round(CAST(sd AS DOUBLE), 6) AS bm25
         |FROM r WHERE rk <= 5""".stripMargin,

@@ -117,7 +117,14 @@ object Retrieval {
     * with document-id ties; rank ≤ k runs as a partial per-partition
     * group-limit before the per-query shuffle. `excludeSelf` drops the
     * document whose id equals the query id — the more-like-this mode,
-    * where queries ARE documents and the trivial self-match is noise. */
+    * where queries ARE documents and the trivial self-match is noise.
+    * `requireAllTerms` is the boolean-AND mode: only documents matching
+    * EVERY term of their query rank (the filter applies BEFORE ranking,
+    * so ranks stay contiguous over the conjunctive result).
+    *
+    * Note the scoring/probing passes evaluate the batch frames more than
+    * once (df census + window); pass cached frames when the inputs are
+    * expensive to recompute. */
   def bm25TopK(
       postings: DataFrame,
       queries: DataFrame,
@@ -126,13 +133,14 @@ object Retrieval {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75,
-      excludeSelf: Boolean = false
+      excludeSelf: Boolean = false,
+      requireAllTerms: Boolean = false
   ): DataFrame = {
     val dfq = postings.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
     val joined = postings
       .join(broadcast(queries.select(col("query_id"), col("term"))), "term")
       .join(broadcast(dfq), "term")
-    val scored =
+    val scored0 =
       (if (excludeSelf) joined.filter(col("id") =!= col("query_id"))
        else joined)
       .select(col("query_id"), col("id"),
@@ -140,6 +148,14 @@ object Retrieval {
       .groupBy(col("query_id"), col("id"))
       .agg(count(lit(1)).as("n_terms_matched"),
         sum(col("s").cast(dec)).as("sd"))
+    val scored =
+      if (!requireAllTerms) scored0
+      else scored0.join(
+        broadcast(queries.groupBy(col("query_id"))
+          .agg(countDistinct(col("term")).as("__nq"))),
+        "query_id")
+        .filter(col("n_terms_matched") === col("__nq"))
+        .drop("__nq")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sd").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -56,6 +56,24 @@ class RetrievalSpec extends AnyFlatSpec with Matchers {
     served shouldBe full
   }
 
+  it should "rank only full-match documents in conjunctive mode, contiguously" in {
+    val terms = Seq("spark", "table", "window")
+    val (n, dl) = Retrieval.corpusStats(docs, "text")
+    val q = terms.map(t => (0L, t)).toDF("query_id", "term")
+    val p = postings.filter(col("term").isin(terms: _*))
+    val conj = Retrieval.bm25TopK(p, q, n, dl, k = 100000,
+      requireAllTerms = true).collect()
+    conj.foreach(_.getLong(3) shouldBe 3L)
+    // ranks contiguous from 1 over the conjunctive result
+    conj.map(_.getInt(2)).sorted shouldBe (1 to conj.length).toArray
+    // exactly the disjunctive rows that matched everything, same scores
+    val disjFull = Retrieval.bm25TopK(p, q, n, dl, k = 100000)
+      .filter(col("n_terms_matched") === 3)
+      .select("doc_id", "bm25").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted
+    conj.map(r => (r.getLong(1), r.getDouble(4))).sorted shouldBe disjFull
+  }
+
   it should "prune champion lists to c per term with the true df frozen in" in {
     val (n, dl) = Retrieval.corpusStats(docs, "text")
     val champ = Retrieval.championPostings(postings, n, dl, c = 8)
