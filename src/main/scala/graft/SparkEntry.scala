@@ -1503,6 +1503,17 @@ object SparkEntry {
       R.phraseMatch(post, "table", "hash")
     }),
 
+    // Extension: N-TERM phrase retrieval — the trigram "slow hash batch"
+    // from the same positional postings: #terms lists equi-join on doc
+    // id, one nested higher-order position test, never a text rescan.
+    "text_invidx_phrase3" -> ((s, dir) => {
+      val R = graft.ops.Retrieval
+      val docs = spread(s, table(s, dir, "documents").select("doc_id", "text"))
+      val post = R.buildPostings(docs, "doc_id", "text")
+        .filter(col("term").isin("slow", "hash", "batch"))
+      R.phraseMatchAll(post, Seq("slow", "hash", "batch"))
+    }),
+
     // Extension: ordered PROXIMITY retrieval — "table" followed by "hash"
     // within 3 tokens, counted per document from the stored positional
     // postings (nested higher-order functions over the offset arrays —
@@ -6210,6 +6221,23 @@ object SparkEntry {
         |m AS (SELECT a.doc_id, l.dl,
         |  CAST(len(list_intersect(list_transform(pa, x -> x + 1), pb)) AS INTEGER) AS n_phrase
         |  FROM a JOIN b ON a.doc_id = b.doc_id JOIN l ON a.doc_id = l.doc_id)
+        |SELECT doc_id, dl, n_phrase FROM m WHERE n_phrase > 0""".stripMargin,
+
+    // The trigram re-derived with the zipped-unnest positions and the
+    // same nested position test.
+    "text_invidx_phrase3" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |p AS (SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks))) AS pos FROM t),
+        |a AS (SELECT doc_id, list(pos ORDER BY pos) AS p0 FROM p WHERE term = 'slow' GROUP BY 1),
+        |b AS (SELECT doc_id, list(pos ORDER BY pos) AS p1 FROM p WHERE term = 'hash' GROUP BY 1),
+        |c AS (SELECT doc_id, list(pos ORDER BY pos) AS p2 FROM p WHERE term = 'batch' GROUP BY 1),
+        |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        |m AS (SELECT a.doc_id, l.dl,
+        |  CAST(len(list_filter(p0, x ->
+        |    len(list_filter(p1, y -> y = x + 1)) > 0 AND
+        |    len(list_filter(p2, z -> z = x + 2)) > 0)) AS INTEGER) AS n_phrase
+        |  FROM a JOIN b ON a.doc_id = b.doc_id JOIN c ON a.doc_id = c.doc_id
+        |  JOIN l ON a.doc_id = l.doc_id)
         |SELECT doc_id, dl, n_phrase FROM m WHERE n_phrase > 0""".stripMargin,
 
     // Proximity from the same position lists: nested list lambdas count

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -239,6 +239,29 @@ object Retrieval {
       .select(col("id").as("doc_id"), col("dl"),
         size(array_intersect(
           transform(col("pa"), p => p + lit(1)), col("pb"))).as("n_phrase"))
+      .filter(col("n_phrase") > 0)
+  }
+
+  /** N-TERM exact phrase match: occurrences where `terms` appear
+    * CONSECUTIVELY, counted as `|{p ∈ P₀ : ∀i, p+i ∈ Pᵢ}|` over the
+    * stored offsets — [[phraseMatch]] generalized past bigrams. The
+    * #terms posting frames equi-join on document id (a phrase is a
+    * handful of terms, so the join chain is literal-sized); the position
+    * test is one nested higher-order expression, codegen'd. */
+  def phraseMatchAll(postings: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.size >= 2, s"a phrase needs at least 2 terms: $terms")
+    val head = postings.filter(col("term") === terms.head)
+      .select(col("id"), col("positions").as("__p0"), col("dl"))
+    val joined = terms.zipWithIndex.tail.foldLeft(head) { case (acc, (t, i)) =>
+      acc.join(postings.filter(col("term") === t)
+        .select(col("id"), col("positions").as(s"__p$i")), "id")
+    }
+    val follows = (p: Column) => terms.indices.tail
+      .map(i => exists(col(s"__p$i"), q => q === p + lit(i)))
+      .reduce(_ && _)
+    joined
+      .select(col("id").as("doc_id"), col("dl"),
+        size(filter(col("__p0"), follows)).as("n_phrase"))
       .filter(col("n_phrase") > 0)
   }
 

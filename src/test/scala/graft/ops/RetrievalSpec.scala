@@ -111,6 +111,16 @@ class RetrievalSpec extends AnyFlatSpec with Matchers {
       .select(col("doc_id"), col("n_near"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
     wide shouldBe Array((1L, 2), (2L, 1))
+    // trigram: only doc 1 holds "a b a" ("a b" at 0 then a@2) — and the
+    // 3-term path agrees with the bigram path on the 2-term phrase
+    val tri = Retrieval.phraseMatchAll(p, Seq("a", "b", "a"))
+      .select(col("doc_id"), col("n_phrase"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    tri shouldBe Array((1L, 1))
+    val bi2 = Retrieval.phraseMatchAll(p, Seq("a", "b"))
+      .select(col("doc_id"), col("n_phrase"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    bi2 shouldBe got
   }
 
   it should "keep the scale shapes: partial group-limit and broadcast probes" in {
