@@ -1478,6 +1478,49 @@ object SparkEntry {
           round(coalesce(col("n_hit"), lit(0L)) / lit(5.0), 6).as("recall"))
     }),
 
+    // Extension: BLOCK-MAX pruned top-k — batch WAND/BMW: range-aligned
+    // per-block score ceilings (a #terms × #ranges metadata frame) plus a
+    // champion-derived threshold θ drop docid ranges that PROVABLY cannot
+    // hold a top-5 document before any posting row is scored; the
+    // surviving ranges score exactly, so the result is bit-identical to
+    // the exhaustive ranking (the oracle — unlike champion lists, which
+    // trade recall). The in-query assert proves ranges were actually
+    // pruned; postings stage through scratch parquet so the probe frames
+    // (df census, champion lists, block index, scoring) share one
+    // tokenization pass, as a persisted index would.
+    "text_invidx_blockmax" -> ((s, dir) => {
+      import s.implicits._
+      val R = graft.ops.Retrieval
+      val docs = spread(s, table(s, dir, "documents").select("doc_id", "text"))
+      val (n, dl) = R.corpusStats(docs, "text")
+      // One query mixes the corpus's RARE term (high idf) with common
+      // ones — the shape block-max exists for: ranges without the rare
+      // term bound far below θ and drop. The other two are common-only,
+      // proving exactness when nothing can be pruned.
+      val terms = Seq("dup", "spark", "table", "join", "filter",
+        "vector", "stream", "hash")
+      val postDir = scratch("bmx_postings")
+      R.buildPostings(docs, "doc_id", "text")
+        .filter(col("term").isin(terms: _*))
+        .write.mode("overwrite").parquet(postDir)
+      val post = s.read.parquet(postDir)
+      val queries = Seq(
+        0L -> "dup", 0L -> "spark", 0L -> "table",
+        1L -> "join", 1L -> "filter",
+        2L -> "vector", 2L -> "stream", 2L -> "hash"
+      ).toDF("query_id", "term")
+      val W = 32L
+      val bidx = R.blockIndex(post, n, dl, W)
+      val surv = R.blockMaxSurvivors(post, bidx, queries, n, dl, k = 5)
+      val candidates = bidx
+        .join(queries.select(col("query_id"), col("term")).distinct(), "term")
+        .select(col("query_id"), col("blk")).distinct().count()
+      val kept = surv.count()
+      require(kept < candidates,
+        s"block-max must prune ranges: kept $kept of $candidates")
+      R.bm25TopKBlockMax(post, queries, n, dl, k = 5, surv, W)
+    }),
+
     // Extension: PHRASE QUERY from positional postings — "table hash"
     // matches where an occurrence of the first term is immediately
     // followed by the second, computed as an array intersection over the
@@ -6084,6 +6127,29 @@ object SparkEntry {
     // score sum with doc-id ties, never the rounded display value.
     "text_invidx_topk" ->
       s"""WITH q(query_id, term) AS (VALUES $invidxQueries3),
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM l),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(toks) AS term FROM t)
+        |  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+        |sc AS (SELECT q.query_id, tf.doc_id, $invidxScoreSql
+        |  FROM q JOIN tf ON q.term = tf.term JOIN dfq ON tf.term = dfq.term
+        |  JOIN l ON tf.doc_id = l.doc_id, st),
+        |ag AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+        |  sum(CAST(s AS DECIMAL(27,12))) AS sd FROM sc GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sd DESC, doc_id) AS rk FROM ag)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rk AS INTEGER) AS rank,
+        |  n_terms_matched, round(CAST(sd AS DOUBLE), 6) AS bm25
+        |FROM r WHERE rk <= 5""".stripMargin,
+
+    // Block-max pruning is EXACT by construction — the oracle is the
+    // same exhaustive whole-corpus BM25 ranking as text_invidx_topk: the
+    // pruned probe must reproduce it bit-for-bit at any pruning rate.
+    "text_invidx_blockmax" ->
+      s"""WITH q(query_id, term) AS (VALUES (0, 'dup'), (0, 'spark'), (0, 'table'),
+        |  (1, 'join'), (1, 'filter'), (2, 'vector'), (2, 'stream'), (2, 'hash')),
         |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
         |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
         |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM l),

@@ -52,6 +52,12 @@ import graft.ops.TextFunctions.tokens
   *    true document frequency into the artifact, and accept approximate
   *    recall priced by [[bm25TopK]]-vs-champion evaluation (the nprobe-sweep
   *    pattern applied to lexical search).
+  *  - '''Block-max pruning''' ([[blockIndex]] / [[blockMaxSurvivors]] /
+  *    [[bm25TopKBlockMax]]): the EXACT fast path — range-aligned per-block
+  *    score ceilings (the block-max WAND side file) plus a champion-derived
+  *    threshold prove most docid ranges cannot hold a top-k document
+  *    before any posting row is scored. Unlike champion lists, results are
+  *    bit-identical to the exhaustive ranking at any pruning rate.
   *
   * Determinism: scores canonicalize through DECIMAL(27,12) exactly as
   * [[Corpus.bm25Score]] does (the idf's `ln` is the one libm call, pinned by
@@ -207,6 +213,128 @@ object Retrieval {
   ): DataFrame = {
     val scored = champion
       .join(broadcast(queries.select(col("query_id"), col("term"))), "term")
+      .select(col("query_id"), col("id"),
+        (idfOf(nDocs) * tfFactor(nDocs, totalDl, k1, b)).as("s"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum(col("s").cast(dec)).as("sd"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sd").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("doc_id"), col("rank"),
+        col("n_terms_matched"), round(col("sd").cast("double"), 6).as("bm25"))
+  }
+
+  /** RANGE-ALIGNED BLOCK-MAX metadata — the batch analogue of the
+    * block-max WAND index side file: per (term, docid-range) the maximum
+    * tf-side BM25 factor any posting in that range can contribute. Ranges
+    * are `floor(id / rangeWidth)`, ALIGNED ACROSS TERMS, so a document's
+    * postings for every term live in exactly one range and a per-range
+    * upper bound really bounds the document's whole score. The artifact
+    * is #terms × #ranges rows — metadata-sized next to the postings it
+    * describes — built by one map-side-combinable aggregation, and meant
+    * to be committed alongside the posting index so a probe can prune
+    * BEFORE touching posting rows. */
+  def blockIndex(
+      postings: DataFrame,
+      nDocs: Long,
+      totalDl: Long,
+      rangeWidth: Long,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame =
+    postings
+      .select(col("term"), floor(col("id") / lit(rangeWidth)).as("blk"),
+        tfFactor(nDocs, totalDl, k1, b).as("impact"))
+      .groupBy(col("term"), col("blk"))
+      .agg(max(col("impact")).as("bmax"), count(lit(1)).as("n_postings"))
+
+  /** The docid ranges a block-max-pruned top-k probe must still score —
+    * batch WAND's two bounds turned into two tiny joins:
+    *
+    *  1. '''Threshold θ''' (a LOWER bound on the true k-th score): score
+    *     only the champion postings (the c highest-impact per term, a
+    *     partial group-limit) and take each query's k-th best PARTIAL sum.
+    *     A partial sum only omits positive contributions, so at least k
+    *     documents truly score ≥ θ. Queries with < k champion candidates
+    *     get θ = −∞ (no pruning — never wrong, just not faster).
+    *  2. '''Upper bound UB(range)''' = Σ over query terms of
+    *     idf · blockMax(term, range). Every posting of a document lives in
+    *     its one range, so UB(range) ≥ the full score of every document in
+    *     it. A range with UB < θ cannot hold a top-k document and is
+    *     dropped; the ε slack covers the double-vs-DECIMAL summation-order
+    *     gap (slack only ever KEEPS more ranges — exactness is one-sided).
+    *
+    * Both joins run over metadata-sized frames (champion lists, the block
+    * index, the query terms); nothing here scans full posting lists. The
+    * survivors frame is queries × ranges — broadcastable into the pruned
+    * scoring read of [[bm25TopKBlockMax]]. */
+  def blockMaxSurvivors(
+      postings: DataFrame,
+      blockIdx: DataFrame,
+      queries: DataFrame,
+      nDocs: Long,
+      totalDl: Long,
+      k: Int,
+      champC: Int = 8,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val qt = broadcast(queries.select(col("query_id"), col("term")))
+    val champ = championPostings(postings, nDocs, totalDl, champC, k1, b)
+    val lower = champ.join(qt, "term")
+      .select(col("query_id"), col("id"),
+        (idfOf(nDocs) * tfFactor(nDocs, totalDl, k1, b)).cast(dec).as("s"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("s")).as("lb"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("lb").desc, col("id").asc)
+    val theta = lower.withColumn("r", row_number().over(wq))
+      .filter(col("r") <= k)
+      .groupBy(col("query_id"))
+      .agg(min(col("lb")).as("th"), count(lit(1)).as("nc"))
+      .select(col("query_id"),
+        when(col("nc") < k, lit(Double.MinValue))
+          .otherwise(col("th").cast("double")).as("theta"))
+    val dfq = postings.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
+    blockIdx.join(qt, "term")
+      .join(broadcast(dfq), "term")
+      .select(col("query_id"), col("blk"),
+        (idfOf(nDocs) * col("bmax")).cast(dec).as("c"))
+      .groupBy(col("query_id"), col("blk"))
+      .agg(sum(col("c")).cast("double").as("ub"))
+      .join(broadcast(theta), "query_id")
+      .filter(col("ub") >= col("theta") - lit(1e-6))
+      .select(col("query_id"), col("blk"))
+  }
+
+  /** [[bm25TopK]] restricted to the ranges [[blockMaxSurvivors]] kept —
+    * IDENTICAL results (the oracle is the exhaustive ranking), fraction of
+    * the postings scored. Document frequency aggregates from the FULL
+    * pruned-by-term read before the range prune, so idf is exact; a
+    * surviving document's postings all share its one range, so its score
+    * and matched-term count are complete, never partial. At index scale
+    * the `(term, blk)` survivors drive the file-level read itself (the
+    * postings table range-clusters by term, id); here the prune is the
+    * broadcast semi-join the plan would push. */
+  def bm25TopKBlockMax(
+      postings: DataFrame,
+      queries: DataFrame,
+      nDocs: Long,
+      totalDl: Long,
+      k: Int,
+      survivors: DataFrame,
+      rangeWidth: Long,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val dfq = postings.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
+    val scored = postings
+      .withColumn("blk", floor(col("id") / lit(rangeWidth)))
+      .join(broadcast(queries.select(col("query_id"), col("term"))), "term")
+      .join(broadcast(survivors), Seq("query_id", "blk"), "left_semi")
+      .join(broadcast(dfq), "term")
       .select(col("query_id"), col("id"),
         (idfOf(nDocs) * tfFactor(nDocs, totalDl, k1, b)).as("s"))
       .groupBy(col("query_id"), col("id"))

@@ -123,6 +123,52 @@ class RetrievalSpec extends AnyFlatSpec with Matchers {
     bi2 shouldBe got
   }
 
+  it should "prune ranges with block-max bounds and still rank exactly" in {
+    val (n, dl) = Retrieval.corpusStats(docs, "text")
+    // the mixed rare+common query shape block-max exists for, plus a
+    // common-only query where little or nothing can be pruned
+    val q = Seq((0L, "dup"), (0L, "spark"), (0L, "table"),
+      (1L, "join"), (1L, "filter")).toDF("query_id", "term")
+    val p = postings
+      .filter(col("term").isin("dup", "spark", "table", "join", "filter"))
+    val W = 32L
+    val bidx = Retrieval.blockIndex(p, n, dl, W)
+    val surv = Retrieval.blockMaxSurvivors(p, bidx, q, n, dl, k = 5)
+    val candidates = bidx
+      .join(q.select("query_id", "term").distinct(), "term")
+      .select("query_id", "blk").distinct().count()
+    surv.count() should be < candidates
+    // EXACTNESS at any pruning rate: identical rows to the exhaustive path
+    val got = Retrieval.bm25TopKBlockMax(p, q, n, dl, k = 5, surv, W)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+      .sorted
+    val want = Retrieval.bm25TopK(p, q, n, dl, k = 5)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+      .sorted
+    got shouldBe want
+  }
+
+  it should "drop exactly the rare-term-free ranges on a hand-built skew" in {
+    // 64 docs: "rare" lives only in docs 0..3 (range 0 at W=16); "common"
+    // is everywhere with identical tf/dl, so every range's common-only
+    // upper bound is the same and θ (from rare-range champions) crushes it
+    val tiny = (0L until 64L)
+      .map(i => (i, if (i < 4) "rare common common" else "other common common"))
+      .toDF("doc_id", "text")
+    val p = Retrieval.buildPostings(tiny, "doc_id", "text")
+    val (n, dl) = Retrieval.corpusStats(tiny, "text")
+    val q = Seq((0L, "rare"), (0L, "common")).toDF("query_id", "term")
+    val W = 16L
+    val bidx = Retrieval.blockIndex(p, n, dl, W)
+    val surv = Retrieval.blockMaxSurvivors(p, bidx, q, n, dl, k = 3)
+    surv.collect().map(_.getLong(1)).sorted shouldBe Array(0L)
+    val got = Retrieval.bm25TopKBlockMax(p, q, n, dl, k = 3, surv, W)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    got shouldBe Array(0L, 1L, 2L)
+  }
+
   it should "keep the scale shapes: partial group-limit and broadcast probes" in {
     val (n, dl) = Retrieval.corpusStats(docs, "text")
     def planOf(df: org.apache.spark.sql.DataFrame) =
