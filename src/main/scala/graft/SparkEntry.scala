@@ -3102,6 +3102,19 @@ object SparkEntry {
       graft.ops.EventOps.funnel(events(s, dir), "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"))),
 
+    // Extension: ROW-PATTERN RECOGNITION (MATCH_RECOGNIZE-lite) — count
+    // per user the strict funnel runs `view+ click+ purchase` over the
+    // time-ordered event sequence: the SQL:2016 / Flink-CEP operator
+    // Spark lacks natively, expressed as one per-user string fold plus a
+    // codegen'd regex — leftmost non-overlapping matches, exactly
+    // AFTER MATCH SKIP PAST LAST ROW semantics.
+    "events_pattern_match" -> ((s, dir) =>
+      graft.ops.EventOps.sequencePattern(events(s, dir), "user_id",
+        "event_type", "ts", "event_id",
+        Seq("view" -> "v", "click" -> "c", "purchase" -> "p",
+          "signup" -> "s", "error" -> "e"),
+        pattern = "v+c+p")),
+
     // Extension: time-boxed funnel — conversions credited only within
     // 7 days of the user's first stage-0 event (the "converted within N
     // days" readout; unbounded funnels credit year-late conversions).
@@ -8195,6 +8208,23 @@ object SparkEntry {
         |SELECT 'view' AS stage, 0 AS stage_idx, n0 AS n_users FROM r
         |UNION ALL SELECT 'click', 1, n1 FROM r
         |UNION ALL SELECT 'purchase', 2, n2 FROM r""".stripMargin,
+
+    // Row-pattern recognition replays exactly in SQL: the same
+    // single-char alphabet, the same (ts, event_id)-ordered fold, the
+    // same regex — DuckDB's RE2 and Spark's Java regex agree on
+    // leftmost non-overlapping greedy matching for alternation-free
+    // patterns like v+c+p.
+    "events_pattern_match" ->
+      """WITH m(event_type, ch) AS (VALUES ('view', 'v'), ('click', 'c'),
+        |  ('purchase', 'p'), ('signup', 's'), ('error', 'e')),
+        |s AS (SELECT e.user_id,
+        |    string_agg(coalesce(m.ch, 'o'), '' ORDER BY e.ts, e.event_id) AS seq
+        |  FROM events e LEFT JOIN m ON e.event_type = m.event_type
+        |  GROUP BY e.user_id),
+        |x AS (SELECT user_id, regexp_extract_all(seq, 'v+c+p') AS ms FROM s)
+        |SELECT user_id, CAST(len(ms) AS BIGINT) AS n_matches,
+        |  CAST(coalesce(list_max(list_transform(ms, z -> len(z))), 0) AS BIGINT) AS longest
+        |FROM x WHERE len(ms) > 0""".stripMargin,
 
     "events_funnel_window" ->
       """WITH m AS (SELECT user_id,

@@ -656,6 +656,57 @@ object EventOps {
       .limit(k)
   }
 
+  /** MATCH_RECOGNIZE-lite: count regex PATTERN matches over each user's
+    * time-ordered event-type sequence — the row-pattern recognition
+    * operator (SQL:2016 `MATCH_RECOGNIZE`, Flink CEP) Spark has no native
+    * form of, expressed with built-ins only: map each event type to one
+    * character (`alphabet`; unmapped types become `other`), fold each
+    * user's events — ordered by (ts, id), so ties are pinned — into one
+    * string, and run the Java-regex `pattern` over it. Matches are
+    * leftmost, non-overlapping, greedy: exactly the semantics of
+    * `regexp_extract_all`, and of `MATCH_RECOGNIZE ... AFTER MATCH SKIP
+    * PAST LAST ROW` for patterns without alternation. Returns per user the
+    * match count and the longest match's event span; only users with ≥1
+    * match survive.
+    *
+    * Scale: one shuffle keyed on the user; per-group state is the user's
+    * own event string (the same bound as any per-entity CEP — sessionize
+    * first if single entities are unbounded), and the regex runs
+    * codegen-adjacent per row, never on the driver. The single-char
+    * alphabet keeps the string length equal to the event count, so a
+    * 10k-event user costs a 10k-char regex scan, not a row-by-row state
+    * machine. */
+  def sequencePattern(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      alphabet: Seq[(String, String)],
+      pattern: String,
+      other: String = "o"
+  ): DataFrame = {
+    require(alphabet.nonEmpty, "alphabet must map at least one event type")
+    require(alphabet.forall(_._2.length == 1) && other.length == 1,
+      s"alphabet symbols must be single characters: $alphabet / $other")
+    val mapped = alphabet.tail
+      .foldLeft(when(col(typeCol) === alphabet.head._1, lit(alphabet.head._2))) {
+        case (acc, (t, c)) => acc.when(col(typeCol) === t, lit(c))
+      }.otherwise(lit(other))
+    val matches = expr(s"regexp_extract_all(seq, '$pattern', 0)")
+    events
+      .select(col(userCol).as("user_id"),
+        struct(col(tsCol), col(idCol), mapped.as("c")).as("st"))
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(array_sort(collect_list(col("st"))),
+        x => x.getField("c")), "").as("seq"))
+      .select(col("user_id"),
+        size(matches).cast("long").as("n_matches"),
+        coalesce(array_max(transform(matches, m => length(m))), lit(0))
+          .cast("long").as("longest"))
+      .filter(col("n_matches") > 0)
+  }
+
   /** Debounce: drop an event when the PREVIOUS raw event of the same
     * (user, type) landed within `minGapMs` before it — duplicate-click /
     * retry-storm suppression. The gate compares to the previous RAW event

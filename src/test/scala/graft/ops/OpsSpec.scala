@@ -607,6 +607,42 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     out shouldBe Array(1L, 4L, 5L, 6L)
   }
 
+  it should "recognize row patterns over time-ordered event sequences" in {
+    val ev = Seq(
+      // user 1: v v c p | e | v c c p  → two matches, longest = 4
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 10:00:01"), 1L, "view"),
+      (3L, ts("2024-01-01 10:00:02"), 1L, "click"),
+      (4L, ts("2024-01-01 10:00:03"), 1L, "purchase"),
+      (5L, ts("2024-01-01 10:00:04"), 1L, "error"),
+      (6L, ts("2024-01-01 10:00:05"), 1L, "view"),
+      (7L, ts("2024-01-01 10:00:06"), 1L, "click"),
+      (8L, ts("2024-01-01 10:00:07"), 1L, "click"),
+      (9L, ts("2024-01-01 10:00:08"), 1L, "purchase"),
+      // user 2: v p c — never v+c+p in order: no row
+      (10L, ts("2024-01-01 10:00:00"), 2L, "view"),
+      (11L, ts("2024-01-01 10:00:01"), 2L, "purchase"),
+      (12L, ts("2024-01-01 10:00:02"), 2L, "click"),
+      // user 3: equal timestamps — order pinned by event_id: v c p matches
+      (13L, ts("2024-01-01 10:00:00"), 3L, "view"),
+      (14L, ts("2024-01-01 10:00:00"), 3L, "click"),
+      (15L, ts("2024-01-01 10:00:00"), 3L, "purchase"),
+      // user 4: signup (unmapped-relevant char) splits the run: no match
+      (16L, ts("2024-01-01 10:00:00"), 4L, "view"),
+      (17L, ts("2024-01-01 10:00:01"), 4L, "signup"),
+      (18L, ts("2024-01-01 10:00:02"), 4L, "click"),
+      (19L, ts("2024-01-01 10:00:03"), 4L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.sequencePattern(ev, "user_id", "event_type", "ts",
+      "event_id",
+      Seq("view" -> "v", "click" -> "c", "purchase" -> "p",
+        "signup" -> "s", "error" -> "e"),
+      pattern = "v+c+p")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out shouldBe Array((1L, 2L, 4L), (3L, 1L, 3L))
+  }
+
   it should "count rolling 7-day distinct actives per observed day" in {
     def d(day: Int) = ts(f"2024-01-$day%02d 10:00:00")
     val ev = Seq(
