@@ -3745,6 +3745,42 @@ object SparkEntry {
       mainBefore.union(audit).union(mainAfter)
     }),
 
+    // Extension: MULTI-TABLE TRANSACTION via a catalog pointer — the
+    // cross-table atomicity a plain FileSystem cannot give two CURRENT
+    // swaps: stage appends on TWO tables (orders + per-order lineitem
+    // sums), publish both and pin them in ONE catalog-pointer move; a
+    // later direct append to one table (the canary) moves that table's
+    // CURRENT but not the catalog, so the transaction-scoped join below
+    // sees both members at the same transaction — the in-query assert
+    // proves the canary is visible at CURRENT yet absent here.
+    "ingest_manifest_txn" -> ((s, dir) => {
+      val M = graft.sources.ManifestTable
+      val cat = scratch("txn_catalog")
+      val dirA = scratch("txn_orders")
+      val dirB = scratch("txn_lsums")
+      val orders = table(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      val lsums = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))
+      M.commit(s, dirA, spread(s, orders.filter(col("o_orderkey") % 2 === 0)))
+      M.commit(s, dirB, spread(s, lsums.filter(col("l_orderkey") % 2 === 0)))
+      M.commitTxnPins(s, cat, Seq(
+        ("orders", dirA, M.currentVersion(s, dirA)),
+        ("lsums", dirB, M.currentVersion(s, dirB))))
+      val sA = M.stage(s, dirA, orders.filter(col("o_orderkey") % 2 =!= 0),
+        M.currentFiles(s, dirA))
+      val sB = M.stage(s, dirB, lsums.filter(col("l_orderkey") % 2 =!= 0),
+        M.currentFiles(s, dirB))
+      M.commitTxn(s, cat, Seq(("orders", dirA, sA), ("lsums", dirB, sB)))
+      M.append(s, dirA, orders.limit(100)) // canary: CURRENT-only rows
+      val a = M.readTxn(s, cat, "orders")
+      val b = M.readTxn(s, cat, "lsums")
+      require(M.read(s, dirA).count() == a.count() + 100,
+        "canary append must be visible at CURRENT only, not in the txn view")
+      a.join(b, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("q")).as("sum_qty"))
+    }),
+
     // Extension: manifest-table VACUUM — retention in one transaction:
     // after a compaction, the superseded generation's data files and
     // manifests are unreferenced; vacuum sweeps exactly them (the
@@ -8966,6 +9002,16 @@ object SparkEntry {
         |FROM events
         |WHERE user_id IN (7, 19, 23, 42, 77)
         |GROUP BY user_id""".stripMargin,
+
+    // The transaction view is both FULL tables at the txn-2 pins — the
+    // post-txn canary append never enters it, so the oracle is the plain
+    // whole-table join.
+    "ingest_manifest_txn" ->
+      """WITH b AS (SELECT l_orderkey, sum(l_quantity) AS q
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o.o_orderstatus, count(*) AS n_orders, sum(b.q) AS sum_qty
+        |FROM orders o JOIN b ON o.o_orderkey = b.l_orderkey
+        |GROUP BY 1""".stripMargin,
 
     // Phases: main before publish = the even half; the branch audit read
     // and main after the fast-forward = everything.

@@ -3011,4 +3011,138 @@ object ManifestTable {
     }
     n
   }
+
+  // ---------------------------------------------------------------------
+  // MULTI-TABLE TRANSACTIONS — a catalog pointer over (table, version)
+  // pins, the piece real lakehouses delegate to the catalog (Iceberg REST
+  // catalog multi-table commits, Delta's coordinated commits): on a plain
+  // FileSystem no swap can move two tables' CURRENT pointers atomically,
+  // so the TRANSACTION pointer is the atomicity boundary instead. A txn
+  // record is the full catalog state — one (name, table dir, version) pin
+  // per member table — claimed into a `txn-<seq>` slot (create-if-absent,
+  // same primitive as manifest slots) and published by one CURRENT swap
+  // in the catalog dir. Readers wanting CROSS-TABLE consistency resolve
+  // the catalog and time-travel each member to its pinned version
+  // ([[readTxn]]): they see every member at the SAME transaction or none
+  // of it, even while per-table CURRENT pointers move underneath (those
+  // remain the weaker single-table view). Manifests are immutable and
+  // pinned versions read bit-identically forever (until vacuumed — keep
+  // retention ≥ catalog lag, or [[tag]] pinned versions).
+  // ---------------------------------------------------------------------
+
+  /** One member-table pin of a transaction record. */
+  final case class TxnPin(dir: String, version: Long)
+
+  private val TxnPointerName = "CURRENT"
+
+  private def txnRecordOf(pins: Map[String, TxnPin]): String =
+    pins.toSeq.sortBy(_._1).map { case (n, p) =>
+      s"${b64(n)}|${b64(p.dir)}|${p.version}"
+    }.mkString("\n")
+
+  private def parseTxnRecord(content: String): Map[String, TxnPin] =
+    content.split('\n').iterator.map(_.trim).filter(_.nonEmpty).map { l =>
+      val Array(n, d, v) = l.split('|')
+      unb64(n) -> TxnPin(unb64(d), v.toLong)
+    }.toMap
+
+  /** The catalog's current pins (empty before any transaction). */
+  def txnState(spark: SparkSession, txnDir: String): Map[String, TxnPin] = {
+    val f = fs(txnDir, spark)
+    val ptr = new Path(txnDir, TxnPointerName)
+    if (!f.exists(ptr)) Map.empty
+    else parseTxnRecord(readSmallFile(f,
+      new Path(new Path(txnDir, "_txns"), readSmallFile(f, ptr).trim)))
+  }
+
+  /** The catalog's current transaction sequence number, -1 before any. */
+  def txnVersion(spark: SparkSession, txnDir: String): Long = {
+    val f = fs(txnDir, spark)
+    val ptr = new Path(txnDir, TxnPointerName)
+    if (!f.exists(ptr)) -1L
+    else readSmallFile(f, ptr).trim.stripPrefix("txn-").stripSuffix(".txt").toLong
+  }
+
+  /** Publish every staged commit, then move the catalog pointer to a new
+    * record pinning each published table at its new version (members not
+    * in this transaction keep their previous pins). The catalog swap is
+    * the commit point: until it lands, [[readTxn]] keeps serving the
+    * previous consistent set.
+    *
+    * Failure semantics (the honest plain-FileSystem contract): per-table
+    * publishes happen in sequence, so a refusal at table i (optimistic-
+    * concurrency conflict) leaves tables 0..i-1 MOVED at their own
+    * CURRENT — the weaker per-table view can observe that — but the
+    * catalog pointer never moves, so transaction-scoped readers never see
+    * a torn cross-table state. Staged commits at and after the failure
+    * are [[abandon]]ed (their slots released); the caller re-stages the
+    * whole transaction against fresh state and retries. */
+  def commitTxn(
+      spark: SparkSession,
+      txnDir: String,
+      staged: Seq[(String, String, StagedCommit)]
+  ): Long = {
+    require(staged.nonEmpty, "a transaction needs at least one member table")
+    require(staged.map(_._1).distinct.size == staged.size,
+      s"duplicate member names in ${staged.map(_._1)}")
+    var i = 0
+    try {
+      staged.foreach { case (_, dir, sc) => publish(spark, dir, sc); i += 1 }
+    } catch {
+      case e: Throwable =>
+        // i = publishes that succeeded, so index i failed: its staged
+        // manifest (and every later one) is released for the retry
+        staged.drop(i).foreach { case (_, dir, sc) =>
+          abandon(spark, dir, sc)
+        }
+        throw e
+    }
+    commitTxnPins(spark, txnDir,
+      staged.map { case (n, dir, sc) => (n, dir, sc.version) })
+  }
+
+  /** Move the catalog pointer to pin `(name, dir, version)` members —
+    * registering already-committed snapshots without publishing anything.
+    * Previous pins for other names carry forward; the new record claims
+    * the next `txn-<seq>` slot and lands with one atomic pointer swap. */
+  def commitTxnPins(
+      spark: SparkSession,
+      txnDir: String,
+      pins: Seq[(String, String, Long)]
+  ): Long = {
+    val f = fs(txnDir, spark)
+    val tdir = new Path(txnDir, "_txns")
+    f.mkdirs(tdir)
+    val merged = txnState(spark, txnDir) ++
+      pins.map { case (n, d, v) => n -> TxnPin(d, v) }
+    val content = txnRecordOf(merged)
+    var seq = txnVersion(spark, txnDir) + 1
+    var attempts = 0
+    while (!createExclusive(f, new Path(tdir, f"txn-$seq%020d.txt"), content)) {
+      seq += 1
+      attempts += 1
+      require(attempts < 1000, s"cannot claim a txn slot in $tdir")
+    }
+    val name = f"txn-$seq%020d.txt"
+    val ptrTmp = new Path(txnDir, s".$TxnPointerName.tmp.${UUID.randomUUID()}")
+    writeSmallFile(f, ptrTmp, name)
+    val fc = FileContext.getFileContext(
+      f.makeQualified(new Path(txnDir)).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(f.makeQualified(ptrTmp),
+      f.makeQualified(new Path(txnDir, TxnPointerName)),
+      Options.Rename.OVERWRITE)
+    seq
+  }
+
+  /** Read member `name` AT the catalog's pinned version — the
+    * transaction-consistent view: every member read through the same
+    * catalog state belongs to one transaction, regardless of per-table
+    * CURRENT movement since. */
+  def readTxn(spark: SparkSession, txnDir: String, name: String): DataFrame = {
+    val pins = txnState(spark, txnDir)
+    val pin = pins.getOrElse(name, throw new IllegalArgumentException(
+      s"no member '$name' in catalog $txnDir (members: ${pins.keys.toSeq.sorted})"))
+    readVersion(spark, pin.dir, pin.version)
+  }
 }

@@ -1766,4 +1766,66 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
       gotNone shouldBe 0L
     } finally rm(dir)
   }
+
+  it should "pin a consistent cross-table view through the txn catalog" in {
+    val cat = tmpDir(); val da = tmpDir(); val db = tmpDir()
+    try {
+      ManifestTable.commit(spark, da, Seq((1L, "a")).toDF("id", "v"))
+      ManifestTable.commit(spark, db, Seq((1L, 10L)).toDF("id", "n"))
+      ManifestTable.commitTxnPins(spark, cat,
+        Seq(("a", da, 0L), ("b", db, 0L))) shouldBe 0L
+      // one transaction appends to BOTH member tables
+      val sA = ManifestTable.stage(spark, da, Seq((2L, "b")).toDF("id", "v"),
+        ManifestTable.currentFiles(spark, da))
+      val sB = ManifestTable.stage(spark, db, Seq((2L, 20L)).toDF("id", "n"),
+        ManifestTable.currentFiles(spark, db))
+      ManifestTable.commitTxn(spark, cat,
+        Seq(("a", da, sA), ("b", db, sB))) shouldBe 1L
+      // per-table CURRENT moves past the transaction — the catalog view
+      // must not follow
+      ManifestTable.append(spark, da, Seq((99L, "z")).toDF("id", "v"))
+      ManifestTable.readTxn(spark, cat, "a")
+        .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
+      ManifestTable.readTxn(spark, cat, "b")
+        .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
+      ManifestTable.read(spark, da).count() shouldBe 3L
+    } finally { rm(cat); rm(da); rm(db) }
+  }
+
+  it should "never move the catalog on a torn transaction, releasing staged slots" in {
+    val cat = tmpDir(); val da = tmpDir(); val db = tmpDir()
+    try {
+      ManifestTable.commit(spark, da, Seq((1L, "a")).toDF("id", "v"))
+      ManifestTable.commit(spark, db, Seq((1L, 10L)).toDF("id", "n"))
+      ManifestTable.commitTxnPins(spark, cat,
+        Seq(("a", da, 0L), ("b", db, 0L)))
+      val sA = ManifestTable.stage(spark, da, Seq((2L, "b")).toDF("id", "v"),
+        ManifestTable.currentFiles(spark, da))
+      val sB = ManifestTable.stage(spark, db, Seq((2L, 20L)).toDF("id", "n"),
+        ManifestTable.currentFiles(spark, db))
+      // a concurrent writer moves table b between stage and commit — b's
+      // publish is refused by optimistic concurrency
+      ManifestTable.append(spark, db, Seq((7L, 70L)).toDF("id", "n"))
+      an[java.util.ConcurrentModificationException] should be thrownBy
+        ManifestTable.commitTxn(spark, cat, Seq(("a", da, sA), ("b", db, sB)))
+      // the catalog never moved: txn readers keep the LAST consistent set
+      ManifestTable.txnVersion(spark, cat) shouldBe 0L
+      ManifestTable.readTxn(spark, cat, "a")
+        .collect().map(_.getLong(0)) shouldBe Array(1L)
+      ManifestTable.readTxn(spark, cat, "b")
+        .collect().map(_.getLong(0)) shouldBe Array(1L)
+      // table a DID move (the documented weaker per-table view); b's
+      // failed staged slot was released, so the next commit claims it
+      ManifestTable.read(spark, da).count() shouldBe 2L
+      val retry = ManifestTable.stage(spark, db,
+        Seq((2L, 20L)).toDF("id", "n"), ManifestTable.currentFiles(spark, db))
+      // rebased on the concurrent append's published version
+      retry.basisVersion shouldBe ManifestTable.currentVersion(spark, db)
+      ManifestTable.commitTxn(spark, cat, Seq(("b", db, retry))) shouldBe 1L
+      ManifestTable.readTxn(spark, cat, "b")
+        .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L, 7L)
+      // member a's pin carried forward unchanged through b's retry txn
+      ManifestTable.txnState(spark, cat)("a").version shouldBe 0L
+    } finally { rm(cat); rm(da); rm(db) }
+  }
 }
