@@ -1079,6 +1079,54 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
     }),
 
+    // Extension: O(delta) index maintenance for DELETES — the lifecycle
+    // leg sim_ivf_delta leaves open: GDPR-erasing corpus vectors (a DV
+    // sidecar, no corpus file rewritten) makes the probe gate refuse the
+    // bound index; maintenance reads ONLY the deleted keys from the DV
+    // change feed and drops their index rows with a DV on the INDEX
+    // itself plus the #indexof rebind in one pointer move — never
+    // retraining the codebook, never rewriting an index file. The probe
+    // then serves the surviving corpus exactly (the oracle), and the
+    // in-query assert proves no erased vector can ever be returned.
+    "sim_ivf_delete" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val M = graft.sources.ManifestTable
+      val corpusDir = scratch("ivfdel_corpus")
+      M.commit(s, corpusDir, spread(s, emb))
+      val v0 = M.currentVersion(s, corpusDir)
+      val out = scratch("ivfdel_index")
+      val (cent, assigned) = graft.ops.Similarity.ivfIndex(
+        M.read(s, corpusDir), "vec_id", "embedding",
+        numCentroids = 16, lloydRounds = 2)
+      M.commitIndex(s, out, assigned.repartition(8), corpusDir, v0)
+      // corpus rows are erased; the stale index must refuse probes...
+      M.deleteVectorWhere(s, corpusDir, "vec_id", 20.0, 39.0)
+      val staleRefused =
+        try { M.requireIndexFresh(s, out); false }
+        catch { case _: IllegalStateException => true }
+      require(staleRefused, "probe gate must refuse the stale index")
+      // ...until the deleted keys' index rows are dropped with the
+      // rebind, read from the DV change feed (the delete batch, never
+      // the corpus)
+      val deleted = M.readDeletesSince(s, corpusDir, fromVersion = v0)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      require(deleted.size == 20, s"expected 20 erased keys, got $deleted")
+      M.deleteIndexVectorIn(s, out, "neighbor_id", deleted,
+        corpusDir, M.currentVersion(s, corpusDir))
+      M.requireIndexFresh(s, out)
+      val probesQ = emb.filter(col("vec_id") < 10)
+      val cells = graft.ops.Similarity.probeCells(
+        cent, probesQ, "vec_id", "embedding", nprobe = 4)
+      val index = M.readWhereIn(s, out, "cell", cells)
+      val topk = graft.ops.Similarity.ivfTopKFromIndex(
+          index, cent, probesQ, "vec_id", "embedding", k = 5, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim"), 6).as("sim"))
+      require(topk.filter(col("neighbor_id").between(20, 39)).isEmpty,
+        "an erased vector surfaced from the maintained index")
+      topk
+    }),
+
     // Extension: FILTERED ANN — top-k among label-even corpus vectors
     // only. The quantizer trains on the FULL corpus (index built once,
     // predicates arrive at query time); the filter prunes the inverted
@@ -5882,6 +5930,29 @@ object SparkEntry {
     // IVF under those centroids. (Shared by the batch delta-maintenance
     // query and its streaming twin: both must converge to this.)
     "sim_ivf_delta" -> ivfFrozenDeltaOracleSql,
+
+    // Delete maintenance: the codebook stays frozen on the FULL corpus
+    // (trained before the erasure), assignment covered everything, and
+    // the maintained index serves exactly the SURVIVING vectors — so the
+    // oracle is the full-corpus IVF chain with the erased ids excluded
+    // from the inverted file at scoring time.
+    "sim_ivf_delete" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |c1 AS ${lloydRoundSql("seeds", 64)},
+        |c2 AS ${lloydRoundSql("c1", 64)},
+        |sims AS (SELECT e.vec_id, e.v, c.cent_id, ${cosSql("e.v", "c.cv")} AS csim FROM e, c2 c),
+        |cells AS (SELECT vec_id, v, cent_id AS cell FROM
+        |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims)
+        |  WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, v AS qv, cent_id AS cell FROM
+        |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims WHERE vec_id < 10)
+        |  WHERE rn <= 4),
+        |scored AS (SELECT p.query_id, cl.vec_id AS neighbor_id, ${cosSql("p.qv", "cl.v")} AS sim
+        |  FROM probes p JOIN cells cl ON p.cell = cl.cell
+        |  WHERE cl.vec_id != p.query_id AND cl.vec_id NOT BETWEEN 20 AND 39),
+        |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin,
 
     "stream_ann_maintain" -> ivfFrozenDeltaOracleSql,
 

@@ -1390,6 +1390,101 @@ object ManifestTable {
     }
   }
 
+  /** The DELETE half of O(delta) index maintenance — the transaction
+    * [[appendIndex]] is for appends: after corpus rows are DV-deleted,
+    * drop this BOUND index table's derived rows whose `column` is in
+    * `values` (the deleted corpus keys, from
+    * [[readDeletesSince]]) and REBIND `#indexof` to the new corpus
+    * version in the SAME pointer move. Merge-on-read: the matching
+    * positions land in one DV sidecar on the index itself — no index
+    * file is rewritten, and the scan is stats-bounded to the files whose
+    * recorded min/max may hold a deleted key (on a cell- or key-clustered
+    * layout, a narrow delete touches a handful of files at any index
+    * size). ALWAYS commits, even when nothing matches (deleted corpus
+    * rows may simply have no index entries): the rebind must land or the
+    * probe gate stays closed forever. No reader ever sees the old binding
+    * without the delete or the new binding with the dropped rows. */
+  def deleteIndexVectorIn(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      values: Seq[Any],
+      sourceDir: String,
+      sourceVersion: Long
+  ): StagedCommit = withCommitRetry(5) { () =>
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val f = fs(dir, spark)
+    val name = readSmallFile(f, new Path(dir, PointerName)).trim
+    val basis = name.stripPrefix("manifest-").stripSuffix(".txt").toLong
+    val numeric = values.collect { case n: Number => n.doubleValue }
+    val strings = values.collect { case s: String => s }
+    val (kept, _) =
+      if (values.isEmpty) (Seq.empty[String], 0)
+      else if (numeric.size == values.size)
+        pruneByRangesIn(spark, dir, name, column,
+          numeric.map(v => (Math.nextDown(v), Math.nextUp(v))))
+      else if (strings.size == values.size)
+        pruneByStringsIn(spark, dir, name, column, strings)
+      else (manifestRel(f, dir, name).map(rel => new Path(dir, rel).toString), 0)
+    val schema = currentSchema(spark, dir).getOrElse(read(spark, dir).schema)
+    val native = values.flatMap(v => exactNative(v, schema(column).dataType))
+    var dvDir: Option[Path] = None
+    val newDvRels: Seq[String] =
+      if (kept.isEmpty || native.isEmpty) Seq.empty
+      else {
+        val existing = dvRelsOf(manifestDvLines(f, dir, name))
+        val keyed = spark.read.parquet(kept: _*)
+          .withColumn("__graft_dv_rel", relOfFilePath(col("_metadata.file_path")))
+          .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+        val notYet =
+          if (existing.isEmpty) keyed
+          else {
+            val dv = spark.read.parquet(
+              existing.map(r => new Path(dir, r).toString): _*)
+            keyed.join(broadcast(dv),
+              keyed("__graft_dv_rel") === dv("_file") &&
+                keyed("__graft_dv_pos") === dv("_pos"),
+              "left_anti")
+          }
+        val d = new Path(new Path(dir, "data"), UUID.randomUUID().toString)
+        notYet.filter(col(column).isin(native: _*))
+          .select(col("__graft_dv_rel").as("_file"),
+            col("__graft_dv_pos").as("_pos"))
+          .repartition(1).write.parquet(d.toString)
+        val conf = spark.sparkContext.hadoopConfiguration
+        val dvFiles = f.listStatus(d).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+        if (dvFiles.map(p => parquetRowCount(conf, p)).sum == 0L) {
+          f.delete(d, true) // nothing matched: header-only rebind below
+          Seq.empty
+        } else {
+          dvDir = Some(d)
+          val root = f.makeQualified(new Path(dir)).toUri.getPath
+          dvFiles.map(_.toUri.getPath.stripPrefix(root).stripPrefix("/"))
+        }
+      }
+    val lines = manifestLines(f, dir, name)
+    val schemaLine = lines.filter(_.startsWith("#schema="))
+    val carried = carriedHeadersFor(lines, _ => true)
+      .filterNot(_.startsWith("#indexof="))
+    val content =
+      ((schemaLine ++
+        (carried ++ newDvRels.map(dvLineOf) :+
+          indexOfLine(sourceDir, sourceVersion)).sorted) ++
+        manifestRel(f, dir, name).sorted).mkString("\n")
+    val staged = claimManifestSlot(spark, dir, content, basis)
+    onBeforePublish()
+    try { publish(spark, dir, staged); staged }
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // release the slot AND the sidecar: a retry recomputes the
+        // still-live positions against the new CURRENT
+        abandon(spark, dir, staged)
+        dvDir.foreach(f.delete(_, true))
+        throw e
+    }
+  }
+
   /** Test seam for the optimistic-retry paths: invoked between staging
     * and the publish attempt of every retrying transaction
     * ([[boundedRewrite]], [[mergeInto]], [[compactSmallFiles]], the

@@ -1767,6 +1767,37 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
     } finally rm(dir)
   }
 
+  it should "maintain a bound index through source deletes: DV + rebind in one move" in {
+    val src = tmpDir(); val idx = tmpDir()
+    try {
+      val corpus = (0L until 40L).map(i => (i, i % 4)).toDF("id", "cell")
+      ManifestTable.commit(spark, src, corpus)
+      ManifestTable.commitIndex(spark, idx, corpus, src, 0L)
+      // erase source keys 10..19 (merge-on-read): the bound index goes stale
+      ManifestTable.deleteVectorWhere(spark, src, "id", 10.0, 19.0)
+      an[IllegalStateException] should be thrownBy
+        ManifestTable.requireIndexFresh(spark, idx)
+      val erased = ManifestTable.readDeletesSince(spark, src, 0L)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      erased.sorted shouldBe (10L to 19L)
+      ManifestTable.deleteIndexVectorIn(spark, idx, "id", erased,
+        src, ManifestTable.currentVersion(spark, src))
+      ManifestTable.requireIndexFresh(spark, idx)
+      // the dropped keys are gone from every read path, files unrewritten
+      ManifestTable.read(spark, idx)
+        .collect().map(_.getLong(0)).sorted shouldBe
+        ((0L to 9L) ++ (20L to 39L))
+      ManifestTable.currentDeleteVectors(spark, idx) should have size 1
+      // a delete matching NO index row still lands the rebind — the gate
+      // must reopen after a corpus-only erasure
+      ManifestTable.deleteVectorWhere(spark, src, "id", 500.0, 600.0)
+      ManifestTable.deleteIndexVectorIn(spark, idx, "id", Seq(555L),
+        src, ManifestTable.currentVersion(spark, src))
+      ManifestTable.requireIndexFresh(spark, idx)
+      ManifestTable.read(spark, idx).count() shouldBe 30L
+    } finally { rm(src); rm(idx) }
+  }
+
   it should "pin a consistent cross-table view through the txn catalog" in {
     val cat = tmpDir(); val da = tmpDir(); val db = tmpDir()
     try {
