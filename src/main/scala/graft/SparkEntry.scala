@@ -1476,6 +1476,62 @@ object SparkEntry {
       R.bm25TopK(post, queries, nF, dlF, k = 5)
     }),
 
+    // Extension: inverted-index DELETE maintenance — the lexical twin of
+    // sim_ivf_delete: GDPR-erasing documents (a corpus DV, no file
+    // rewritten) closes the probe gate; maintenance drops the erased
+    // docs' posting rows with a DV on the INDEX plus the #indexof rebind
+    // AND the shrunken #meta corpus totals in one pointer move, all
+    // computed from the delete batch alone. Document frequency
+    // re-aggregates from the (DV-subtracted) pruned read at probe time,
+    // so the served BM25 equals a from-scratch surviving-corpus ranking
+    // bit-for-bit (the oracle); the in-query asserts prove the
+    // maintained totals equal a true recount and no erased doc ranks.
+    "text_invidx_delete" -> ((s, dir) => {
+      import s.implicits._
+      val M = graft.sources.ManifestTable
+      val R = graft.ops.Retrieval
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val corpusDir = scratch("retrdel_corpus")
+      M.commit(s, corpusDir, spread(s, docs))
+      val v0 = M.currentVersion(s, corpusDir)
+      val corpus0 = M.read(s, corpusDir)
+      val (n0, dl0) = R.corpusStats(corpus0, "text")
+      val out = scratch("retrdel_index")
+      M.commitIndex(s, out,
+        R.buildPostings(corpus0, "doc_id", "text").repartition(8),
+        corpusDir, v0,
+        meta = Map(R.MetaDocs -> n0.toString, R.MetaTotalDl -> dl0.toString))
+      M.compactSorted(s, out, Seq("term"), targetFiles = 8)
+      M.deleteVectorWhere(s, corpusDir, "doc_id", 100.0, 149.0)
+      val staleRefused =
+        try { M.requireIndexFresh(s, out); false }
+        catch { case _: IllegalStateException => true }
+      require(staleRefused, "probe gate must refuse the stale index")
+      val erased = M.readDeletesSince(s, corpusDir, fromVersion = v0)
+      val (dn, ddl) = R.corpusStats(erased, "text")
+      val ids = erased.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      M.deleteIndexVectorIn(s, out, "id", ids,
+        corpusDir, M.currentVersion(s, corpusDir),
+        meta = Map(R.MetaDocs -> (n0 - dn).toString,
+          R.MetaTotalDl -> (dl0 - ddl).toString))
+      M.requireIndexFresh(s, out)
+      val props = M.properties(s, out)
+      val (nF, dlF) = R.corpusStats(M.read(s, corpusDir), "text")
+      require(props(R.MetaDocs).toLong == nF &&
+        props(R.MetaTotalDl).toLong == dlF,
+        "maintained #meta corpus stats must equal the true surviving totals")
+      val queries = Seq(
+        0L -> "spark", 0L -> "table", 0L -> "window",
+        1L -> "join", 1L -> "filter"
+      ).toDF("query_id", "term")
+      val post = M.readWhereIn(s, out, "term",
+        Seq("spark", "table", "window", "join", "filter"))
+      val topk = R.bm25TopK(post, queries, nF, dlF, k = 5)
+      require(topk.filter(col("doc_id").between(100, 149)).isEmpty,
+        "an erased document ranked from the maintained index")
+      topk
+    }),
+
     // Extension: CONJUNCTIVE (boolean-AND) ranked retrieval — only
     // documents matching EVERY query term rank, the filter applied
     // before ranking so ranks stay contiguous over the conjunctive
@@ -6293,6 +6349,30 @@ object SparkEntry {
     "text_invidx_delta" ->
       s"""WITH q(query_id, term) AS (VALUES $invidxQueries2),
         |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM l),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(toks) AS term FROM t)
+        |  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+        |sc AS (SELECT q.query_id, tf.doc_id, $invidxScoreSql
+        |  FROM q JOIN tf ON q.term = tf.term JOIN dfq ON tf.term = dfq.term
+        |  JOIN l ON tf.doc_id = l.doc_id, st),
+        |ag AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+        |  sum(CAST(s AS DECIMAL(27,12))) AS sd FROM sc GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sd DESC, doc_id) AS rk FROM ag)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rk AS INTEGER) AS rank,
+        |  n_terms_matched, round(CAST(sd AS DOUBLE), 6) AS bm25
+        |FROM r WHERE rk <= 5""".stripMargin,
+
+    // The delete-maintained index must serve the SURVIVING corpus
+    // exactly — a from-scratch BM25 over documents minus the erased
+    // range, document frequency and corpus totals recounted over the
+    // survivors.
+    "text_invidx_delete" ->
+      s"""WITH q(query_id, term) AS (VALUES $invidxQueries2),
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM documents WHERE doc_id NOT BETWEEN 100 AND 149),
         |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
         |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM l),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM

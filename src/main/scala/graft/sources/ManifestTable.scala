@@ -1410,7 +1410,8 @@ object ManifestTable {
       column: String,
       values: Seq[Any],
       sourceDir: String,
-      sourceVersion: Long
+      sourceVersion: Long,
+      meta: Map[String, String] = Map.empty
   ): StagedCommit = withCommitRetry(5) { () =>
     import org.apache.spark.sql.functions.{broadcast, col}
     val f = fs(dir, spark)
@@ -1465,11 +1466,15 @@ object ManifestTable {
       }
     val lines = manifestLines(f, dir, name)
     val schemaLine = lines.filter(_.startsWith("#schema="))
+    // the rebind replaces the old binding; `meta` keys (corpus totals a
+    // delete shrinks) replace their old lines in the same move
     val carried = carriedHeadersFor(lines, _ => true)
-      .filterNot(_.startsWith("#indexof="))
+      .filterNot(l => l.startsWith("#indexof=") ||
+        parseMetaLine(l).exists(kv => meta.contains(kv._1)))
+    val metaLines = meta.toSeq.sortBy(_._1).map { case (k, v) => metaLine(k, v) }
     val content =
       ((schemaLine ++
-        (carried ++ newDvRels.map(dvLineOf) :+
+        (carried ++ newDvRels.map(dvLineOf) ++ metaLines :+
           indexOfLine(sourceDir, sourceVersion)).sorted) ++
         manifestRel(f, dir, name).sorted).mkString("\n")
     val staged = claimManifestSlot(spark, dir, content, basis)

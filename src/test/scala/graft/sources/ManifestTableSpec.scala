@@ -1772,7 +1772,8 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
     try {
       val corpus = (0L until 40L).map(i => (i, i % 4)).toDF("id", "cell")
       ManifestTable.commit(spark, src, corpus)
-      ManifestTable.commitIndex(spark, idx, corpus, src, 0L)
+      ManifestTable.commitIndex(spark, idx, corpus, src, 0L,
+        meta = Map("n" -> "40", "keep" -> "yes"))
       // erase source keys 10..19 (merge-on-read): the bound index goes stale
       ManifestTable.deleteVectorWhere(spark, src, "id", 10.0, 19.0)
       an[IllegalStateException] should be thrownBy
@@ -1781,8 +1782,12 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
         .select("id").collect().map(_.getLong(0)).toSeq
       erased.sorted shouldBe (10L to 19L)
       ManifestTable.deleteIndexVectorIn(spark, idx, "id", erased,
-        src, ManifestTable.currentVersion(spark, src))
+        src, ManifestTable.currentVersion(spark, src),
+        meta = Map("n" -> "30"))
       ManifestTable.requireIndexFresh(spark, idx)
+      // named meta keys replaced in the same move, unnamed ones carried
+      ManifestTable.properties(spark, idx) shouldBe
+        Map("n" -> "30", "keep" -> "yes")
       // the dropped keys are gone from every read path, files unrewritten
       ManifestTable.read(spark, idx)
         .collect().map(_.getLong(0)).sorted shouldBe
