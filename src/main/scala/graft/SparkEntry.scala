@@ -3776,6 +3776,28 @@ object SparkEntry {
           sum(col("n_chars")).as("chars_sum"))
     }),
 
+    // Extension: HASH-BUCKET clustered layout — point lookups on keys
+    // min/max stats can never prune (hash-distributed ids): one
+    // __p=<bucket>/ file group per pmod(xxhash64(key), 16) bucket, the
+    // layout spec riding the manifest #meta so the probe's bucket
+    // function can never drift from the writer's; each point probe
+    // opens 1/16 of the files at any table size (the in-query assert),
+    // the complement of range clustering and z-order.
+    "ingest_manifest_bucket" -> ((s, dir) => {
+      val M = graft.sources.ManifestTable
+      val out = scratch("manifest_bucket")
+      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("value"))
+      M.commit(s, out, ev.repartition(8))
+      M.compactBucketed(s, out, "user_id", numBuckets = 16)
+      val (kept, total) = M.pruneByBucket(s, out, 7L)
+      require(kept.size < total,
+        s"bucket prune must skip files: kept ${kept.size} of $total")
+      Seq(7L, 19L, 42L).map(v => M.readWhereEqualsBucketed(s, out, v))
+        .reduce(_ union _)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("id_sum"))
+    }),
+
     // Extension: Z-ORDER clustered layout — compactZOrder interleaves
     // two dimensions' bits so a 2D range read keeps the INTERSECTION of
     // two tight file stripes instead of a full stripe per dimension;
@@ -9127,6 +9149,14 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
         |FROM documents WHERE doc_id % 3 <> 0
         |GROUP BY source""".stripMargin,
+
+    // Bucket-pruned point probes hold exactly the requested keys' rows —
+    // the layout changes which FILES open, never which rows match.
+    "ingest_manifest_bucket" ->
+      """SELECT user_id, count(*) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events WHERE user_id IN (7, 19, 42)
+        |GROUP BY user_id""".stripMargin,
 
     // The z-ordered table holds exactly the events frame; a 2D stats-
     // pruned read equals the plain 2D filter.

@@ -2994,6 +2994,123 @@ object ManifestTable {
     commitCarryingChecks(spark, dir, ordered, carryIndexOf = true)
   }
 
+  // the one bucket expression BOTH the layout write and the probe use —
+  // any drift between them silently loses rows, so it exists once
+  private def bucketExpr(c: org.apache.spark.sql.Column, n: Int) = {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    pmod(xxhash64(c), lit(n.toLong))
+  }
+
+  private val BucketMetaKey = "layout.bucket"
+
+  /** HASH-BUCKET clustered compaction — the layout for point lookups on
+    * keys min/max stats can never prune (UUIDs, content hashes, any
+    * hash-distributed id, where every file's range spans the whole key
+    * space): rewrite the snapshot into one `__p=<bucket>/` file group per
+    * `pmod(xxhash64(key), n)` bucket and commit by pointer swap, the
+    * layout spec riding the manifest as `#meta=` so probes can NEVER
+    * disagree with the writer about the bucket function (Hive/Iceberg
+    * bucket partitioning's hidden-partitioning contract). A point probe
+    * then opens 1/n of the table's files at ANY size — the complement of
+    * [[compactSorted]] (ranges) and [[compactZOrder]] (2D ranges).
+    * Deletion vectors materialize in the rewrite, like every compaction.
+    * One shuffle keyed on the bucket; appends after this compaction
+    * break the pure layout and the probe refuses loudly. */
+  def compactBucketed(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      numBuckets: Int
+  ): StagedCommit = {
+    import org.apache.spark.sql.functions.col
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    val f = fs(dir, spark)
+    val base = read(spark, dir)
+    val name = readSmallFile(f, new Path(dir, PointerName)).trim
+    val basis = name.stripPrefix("manifest-").stripSuffix(".txt").toLong
+    val dataDir = new Path(new Path(dir, "data"), UUID.randomUUID().toString)
+    base.withColumn("__p", bucketExpr(col(column), numBuckets))
+      .repartition(numBuckets, col("__p"))
+      .write.partitionBy("__p").parquet(dataDir.toString)
+    val it = f.listFiles(dataDir, true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet")) files += p
+    }
+    val root = f.makeQualified(new Path(dir)).toUri.getPath
+    val rel = files.toSeq.map(_.toUri.getPath.stripPrefix(root).stripPrefix("/"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stats = files.toSeq.zip(rel)
+      .flatMap { case (p, r) => footerStats(conf, p, r) }.map(statsLine) ++
+      files.toSeq.zip(rel).map { case (p, r) =>
+        sizeLineOf(r, f.getFileStatus(p).getLen, parquetRowCount(conf, p))
+      }
+    // table-level constraints survive the rewrite; a full-snapshot layout
+    // rewrite voids an #indexof binding exactly like commit() does
+    val checks = manifestLines(f, dir, name)
+      .filter(l => l.startsWith("#check=") || l.startsWith("#unique="))
+    val layout = metaLine(BucketMetaKey, s"$column|$numBuckets")
+    val staged = claimManifestSlot(spark, dir,
+      ((s"#schema=${base.schema.json}" +:
+        (checks ++ stats :+ layout).sorted) ++ rel.sorted).mkString("\n"),
+      basis)
+    publish(spark, dir, staged)
+    staged
+  }
+
+  /** The files a bucketed point probe must open for `value`, plus the
+    * snapshot's total file count — the bucket-layout analogue of
+    * [[pruneByEquals]]. Resolves the layout spec from the manifest's own
+    * `#meta=` line (never from caller parameters, so probe and writer
+    * cannot disagree) and refuses a layout broken by later appends. */
+  def pruneByBucket(
+      spark: SparkSession, dir: String, value: Any): (Seq[String], Int) = {
+    import org.apache.spark.sql.functions.lit
+    val spec = properties(spark, dir).getOrElse(BucketMetaKey,
+      throw new IllegalStateException(
+        s"$dir carries no $BucketMetaKey layout — compactBucketed it first"))
+    val Array(column, nStr) = spec.split('|')
+    val n = nStr.toInt
+    val f = fs(dir, spark)
+    val name = readSmallFile(f, new Path(dir, PointerName)).trim
+    val all = manifestRel(f, dir, name)
+    val bare = all.filterNot(_.contains("/__p="))
+    require(bare.isEmpty,
+      s"bucket layout broken: ${bare.size} current file(s) carry no __p= " +
+        "segment (appended after compactBucketed) — re-run compactBucketed")
+    val dt = currentSchema(spark, dir)
+      .getOrElse(read(spark, dir).schema)(column).dataType
+    // the probe value's bucket under the layout's own expression — a
+    // 1-row local eval, no table read
+    val b = spark.range(1)
+      .select(bucketExpr(lit(value).cast(dt), n)).head().getLong(0)
+    (all.filter(_.contains(s"/__p=$b/"))
+      .map(rel => new Path(dir, rel).toString), all.size)
+  }
+
+  /** Point-equality read over a [[compactBucketed]] layout: open ONLY the
+    * probe value's bucket files (1/n of the table at any size), subtract
+    * the snapshot's deletion vectors, and apply the exact native-typed
+    * equality row filter. Keys outside every bucket read nothing. */
+  def readWhereEqualsBucketed(
+      spark: SparkSession, dir: String, value: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val spec = properties(spark, dir)(BucketMetaKey)
+    val column = spec.split('|')(0)
+    val (kept, _) = pruneByBucket(spark, dir, value)
+    val f = fs(dir, spark)
+    val name = readSmallFile(f, new Path(dir, PointerName)).trim
+    val schema = currentSchema(spark, dir).getOrElse(read(spark, dir).schema)
+    if (kept.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else applyDv(spark, dir,
+      spark.read.option("recursiveFileLookup", "true").parquet(kept: _*),
+      dvRelsOf(manifestDvLines(f, dir, name)))
+      .filter(col(column) === lit(value).cast(schema(column).dataType))
+  }
+
   /** Two-sided stats-pruned read: `colA BETWEEN loA AND hiA AND colB
     * BETWEEN loB AND hiB` over only the files BOTH per-column prunes
     * keep — the read side of [[compactZOrder]] (correct on any layout;

@@ -1767,6 +1767,30 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
     } finally rm(dir)
   }
 
+  it should "open one bucket's files per point probe on a hash-bucket layout" in {
+    val dir = tmpDir()
+    try {
+      val rows = (0L until 400L).map(i => (i, s"v$i")).toDF("id", "v")
+      ManifestTable.commit(spark, dir, rows.repartition(8))
+      ManifestTable.compactBucketed(spark, dir, "id", numBuckets = 8)
+      // every current file carries a __p= segment; a probe opens ~1/8
+      val (kept, total) = ManifestTable.pruneByBucket(spark, dir, 123L)
+      total should be >= 8
+      kept.size should be < total / 2
+      // the probe is exact, bucket siblings filtered out row-level
+      ManifestTable.readWhereEqualsBucketed(spark, dir, 123L)
+        .collect().map(r => (r.getLong(0), r.getString(1))) shouldBe
+        Array((123L, "v123"))
+      // a key outside the domain reads its bucket and matches nothing
+      ManifestTable.readWhereEqualsBucketed(spark, dir, 40400L).count() shouldBe 0L
+      // an append breaks the pure layout: the probe refuses loudly
+      // rather than silently missing the appended rows
+      ManifestTable.append(spark, dir, Seq((999L, "late")).toDF("id", "v"))
+      an[IllegalArgumentException] should be thrownBy
+        ManifestTable.pruneByBucket(spark, dir, 999L)
+    } finally rm(dir)
+  }
+
   it should "maintain a bound index through source deletes: DV + rebind in one move" in {
     val src = tmpDir(); val idx = tmpDir()
     try {
