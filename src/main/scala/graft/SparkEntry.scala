@@ -1625,6 +1625,31 @@ object SparkEntry {
       R.bm25TopKBlockMax(post, queries, n, dl, k = 5, surv, W)
     }),
 
+    // Extension: SUBSTRING SEARCH from a character-trigram index (the
+    // pg_trgm / trigram code-search design): a LIKE '%spark table%'
+    // answered by intersecting the pattern's trigram posting lists into
+    // a candidate set and verifying ONLY candidates row-level — the
+    // corpus is never scanned at query time. The in-query assert proves
+    // the index actually pruned (candidates < corpus).
+    "text_trigram_search" -> ((s, dir) => {
+      val R = graft.ops.Retrieval
+      val docs = spread(s, table(s, dir, "documents").select("doc_id", "text"))
+      val postDir = scratch("tri_postings")
+      R.buildTrigramPostings(docs, "doc_id", "text")
+        .write.mode("overwrite").parquet(postDir)
+      val post = s.read.parquet(postDir)
+      val pattern = "spark table"
+      val tris = pattern.sliding(3).toSeq.distinct
+      val nCand = post.filter(col("tri").isin(tris: _*))
+        .groupBy(col("id"))
+        .agg(countDistinct(col("tri")).as("n"))
+        .filter(col("n") === tris.size).count()
+      val nDocs = docs.count()
+      require(nCand < nDocs,
+        s"trigram index must prune: $nCand candidates of $nDocs docs")
+      R.substringSearch(post, docs, "doc_id", "text", pattern)
+    }),
+
     // Extension: PHRASE QUERY from positional postings — "table hash"
     // matches where an occurrence of the first term is immediately
     // followed by the second, computed as an array intersection over the
@@ -6341,6 +6366,13 @@ object SparkEntry {
         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rk AS INTEGER) AS rank,
         |  n_terms_matched, round(CAST(sd AS DOUBLE), 6) AS bm25
         |FROM r WHERE rk <= 5""".stripMargin,
+
+    // The trigram-index search is exact: candidates that fail row-level
+    // verification drop, so the result equals the plain LIKE scan.
+    "text_trigram_search" ->
+      """SELECT doc_id,
+        |  (len(text) - len(replace(text, 'spark table', ''))) // 11 AS n_hits
+        |FROM documents WHERE text LIKE '%spark table%'""".stripMargin,
 
     // Block-max pruning is EXACT by construction — the oracle is the
     // same exhaustive whole-corpus BM25 ranking as text_invidx_topk: the

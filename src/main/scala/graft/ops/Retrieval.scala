@@ -348,6 +348,59 @@ object Retrieval {
         col("n_terms_matched"), round(col("sd").cast("double"), 6).as("bm25"))
   }
 
+  /** CHARACTER-TRIGRAM postings — the substring-search index (pg_trgm /
+    * trigram code-search): one row per (trigram, document) over every
+    * 3-char window of the raw text, deduplicated per document. Substring
+    * queries of length ≥ 3 then resolve from the index: a document can
+    * contain the pattern only if it contains EVERY trigram of the
+    * pattern, so the posting lists prune the corpus to a candidate set
+    * verified row-level — `LIKE '%…%'` answered without scanning the
+    * table. One codegen'd windows+dedup projection, one (tri, id)
+    * aggregation-free explode; shuffle keyed on near-unique pairs. */
+  def buildTrigramPostings(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(array_distinct(
+        // texts under 3 chars index no trigram (explode drops the row);
+        // the guard matters because sequence(0, negative) DESCENDS
+        when(length(col(textCol)) >= 3,
+          transform(sequence(lit(0), length(col(textCol)) - lit(3)),
+            i => col(textCol).substr(i + lit(1), lit(3))))
+          .otherwise(array()))).as("tri"))
+
+  /** Substring search over [[buildTrigramPostings]]: candidates are the
+    * documents containing ALL of the pattern's trigrams (an IN-list read
+    * of #trigram posting lists + one count-distinct gate — the index
+    * prune), then ONLY candidates are verified against the raw text and
+    * their occurrence counts returned. `pattern` must be ≥ 3 chars (below
+    * that the index cannot prune; scan instead, stated loudly). At corpus
+    * scale the verification join is a broadcast of the candidate ids into
+    * the (manifest-pruned) document read — the corpus is never scanned. */
+  def substringSearch(
+      postings: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      pattern: String
+  ): DataFrame = {
+    require(pattern.length >= 3,
+      s"substring search needs >= 3 chars to prune (got '$pattern'); " +
+        "scan with contains() below that")
+    val tris = pattern.sliding(3).toSeq.distinct
+    val candidates = postings
+      .filter(col("tri").isin(tris: _*))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("tri")).as("__n"))
+      .filter(col("__n") === tris.size)
+      .select(col("id"))
+    docs.join(broadcast(candidates), col(idCol) === col("id"), "left_semi")
+      .select(col(idCol).as("doc_id"),
+        ((length(col(textCol)) -
+          length(replace(col(textCol), lit(pattern), lit("")))) /
+          lit(pattern.length)).cast("long").as("n_hits"))
+      .filter(col("n_hits") > 0)
+  }
+
   /** Exact phrase match `"first second"` from positional postings: the two
     * terms' lists equi-join on document id and the occurrence count is
     * `|{p ∈ positions(first) : p+1 ∈ positions(second)}|` — an array

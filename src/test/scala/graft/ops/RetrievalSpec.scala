@@ -169,6 +169,30 @@ class RetrievalSpec extends AnyFlatSpec with Matchers {
     got shouldBe Array(0L, 1L, 2L)
   }
 
+  it should "answer substring queries from the trigram index, verifying candidates" in {
+    val tiny = Seq(
+      (1L, "xx abcd yy abcd"), // two true hits
+      (2L, "abc bcd"),         // FALSE candidate: all trigrams, no substring
+      (3L, "ab"),              // too short to index anything
+      (4L, "zzzz")             // no relevant trigram
+    ).toDF("doc_id", "text")
+    val p = Retrieval.buildTrigramPostings(tiny, "doc_id", "text")
+    // per-doc dedup: doc 1 indexes each distinct window once
+    p.groupBy("id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted shouldBe
+      Array((1L, 10L), (2L, 5L), (4L, 1L))
+    // doc 2 survives the trigram intersection but fails verification
+    val tris = "abcd".sliding(3).toSeq
+    val cand = p.filter(col("tri").isin(tris: _*))
+      .groupBy("id").agg(countDistinct(col("tri")).as("n"))
+      .filter(col("n") === tris.size)
+      .collect().map(_.getLong(0)).sorted
+    cand shouldBe Array(1L, 2L)
+    Retrieval.substringSearch(p, tiny, "doc_id", "text", "abcd")
+      .collect().map(r => (r.getLong(0), r.getLong(1))) shouldBe
+      Array((1L, 2L))
+  }
+
   it should "keep the scale shapes: partial group-limit and broadcast probes" in {
     val (n, dl) = Retrieval.corpusStats(docs, "text")
     def planOf(df: org.apache.spark.sql.DataFrame) =
