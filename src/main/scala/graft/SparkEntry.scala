@@ -4265,6 +4265,35 @@ object SparkEntry {
           lit(after - before).as("idle_refresh_commits"))
     }),
 
+    // Extension: INCREMENTAL JOIN MAINTENANCE — the enrichment ETL as
+    // IVM: the target stays equal to orders LEFT JOIN customer by
+    // folding only each append's delta through a broadcast of the
+    // dimension; the target is itself append-shaped (downstreams can
+    // consume ITS change feed). Two appends, two O(delta) refreshes,
+    // and the maintained table equals the direct join (the oracle).
+    "ingest_manifest_enrich_ivm" -> ((s, dir) => {
+      val M = graft.sources.ManifestTable
+      val src = scratch("enrich_src")
+      val out = scratch("enrich_out")
+      val orders = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val dim = table(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey"), col("c_mktsegment"))
+      var watermark = -1L
+      Seq(0, 1).foreach { slice =>
+        M.append(s, src, orders.filter(col("o_orderkey") % 2 === slice))
+        watermark = M.maintainEnriched(s, src, out, watermark, dim, "o_custkey")
+      }
+      M.read(s, out)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("c_nationkey")).as("n_nations"),
+          round(sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double"), 6).as("price_sum"))
+    }),
+
     // Extension: APPROXIMATE-DISTINCT IVM — the rollup maintainRollup
     // structurally cannot give (count-distinct is not additive): per-type
     // HLL register tables maintained from the change feed at O(batch +
@@ -9361,6 +9390,14 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS value_sum,
         |  CAST(0 AS BIGINT) AS idle_refresh_commits
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // The incrementally maintained enrichment equals the direct join.
+    "ingest_manifest_enrich_ivm" ->
+      """SELECT c.c_mktsegment, count(*) AS n_orders,
+        |  count(DISTINCT c.c_nationkey) AS n_nations,
+        |  round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS price_sum
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin,
 
     // Merged KMV = the global k smallest distinct hashes (every global
     // minimum is inside its own file's k smallest), so the oracle skips

@@ -2364,6 +2364,57 @@ object ManifestTable {
     curV
   }
 
+  /** INCREMENTAL ENRICHMENT on the change feed — join-IVM for the
+    * star-join ETL shape: keep `outDir` equal to `srcDir` LEFT JOIN
+    * `dim` on `joinCol` by folding ONLY the rows appended since
+    * `sinceVersion` through a broadcast of the dimension, landed on the
+    * target as an APPEND (so the enriched table is itself append-shaped
+    * and consumable incrementally downstream). Each refresh costs the
+    * new batch × a broadcast — never the fact table. Returns the source
+    * version the target is now consistent with; sinceVersion = -1
+    * bootstraps from the full table. Append-shape on the SOURCE is
+    * enforced with auto-re-bootstrap exactly like [[maintainRollup]].
+    * The DIMENSION is a point-in-time snapshot: rows enriched earlier
+    * keep the dim values of their own refresh (the SCD-ish audit
+    * semantics); a dimension correction that must rewrite history is a
+    * re-bootstrap, stated honestly. */
+  def maintainEnriched(
+      spark: SparkSession,
+      srcDir: String,
+      outDir: String,
+      sinceVersion: Long,
+      dim: DataFrame,
+      joinCol: String
+  ): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val f = fs(srcDir, spark)
+    val curV = currentVersion(spark, srcDir)
+    if (curV < 0) return sinceVersion
+    val curName = f"manifest-$curV%020d.txt"
+    val curRel = manifestRel(f, srcDir, curName)
+    val (added, rebootstrap) =
+      if (sinceVersion < 0) (curRel, true)
+      else {
+        val fromName = f"manifest-$sinceVersion%020d.txt"
+        require(f.exists(new Path(new Path(srcDir, "_manifests"), fromName)),
+          s"version $sinceVersion not found (vacuumed, or never committed) in $srcDir")
+        val old = manifestRel(f, srcDir, fromName).toSet
+        if (old.subsetOf(curRel.toSet)) (curRel.filterNot(old), false)
+        else (curRel, true)
+      }
+    if (added.isEmpty) return curV
+    val delta = applyDv(spark, srcDir,
+      spark.read.parquet(added.map(rel => new Path(srcDir, rel).toString): _*),
+      dvRelsOf(manifestDvLines(f, srcDir, curName)))
+    val enriched = delta.join(broadcast(dim), Seq(joinCol), "left")
+    val fo = fs(outDir, spark)
+    if (rebootstrap || !fo.exists(new Path(outDir, PointerName)))
+      commit(spark, outDir, enriched)
+    else
+      append(spark, outDir, enriched)
+    curV
+  }
+
   /** The committed snapshot versions still present in `_manifests`,
     * ascending. */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {

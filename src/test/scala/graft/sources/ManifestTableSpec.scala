@@ -1767,6 +1767,35 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
     } finally rm(dir)
   }
 
+  it should "maintain an enrichment join from the change feed, appends only" in {
+    val src = tmpDir(); val out = tmpDir()
+    try {
+      val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+      ManifestTable.append(spark, src, Seq((10L, 1L), (11L, 2L)).toDF("id", "k"))
+      var w = ManifestTable.maintainEnriched(spark, src, out, -1L, dim, "k")
+      ManifestTable.append(spark, src,
+        Seq((12L, 1L), (13L, 9L)).toDF("id", "k")) // 9 has no dim row
+      val outV0 = ManifestTable.currentVersion(spark, out)
+      w = ManifestTable.maintainEnriched(spark, src, out, w, dim, "k")
+      // the refresh APPENDED to the target (itself consumable as a feed)
+      ManifestTable.currentVersion(spark, out) shouldBe outV0 + 1
+      ManifestTable.readChangesSince(spark, out, outV0)
+        .select("id").collect().map(_.getLong(0)).sorted shouldBe
+        Array(12L, 13L)
+      ManifestTable.read(spark, out)
+        .collect().map(r => (r.getLong(1), Option(r.getString(2)))).sorted shouldBe
+        Array((10L, Some("a")), (11L, Some("b")), (12L, Some("a")), (13L, None))
+      // an idle refresh commits nothing
+      val before = ManifestTable.currentVersion(spark, out)
+      ManifestTable.maintainEnriched(spark, src, out, w, dim, "k") shouldBe w
+      ManifestTable.currentVersion(spark, out) shouldBe before
+      // a source rewrite re-bootstraps the target instead of double-counting
+      ManifestTable.compact(spark, src, targetFiles = 1)
+      ManifestTable.maintainEnriched(spark, src, out, w, dim, "k")
+      ManifestTable.read(spark, out).count() shouldBe 4L
+    } finally { rm(src); rm(out) }
+  }
+
   it should "open one bucket's files per point probe on a hash-bucket layout" in {
     val dir = tmpDir()
     try {
