@@ -3932,6 +3932,60 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), sum(col("q")).as("sum_qty"))
     }),
 
+    // Extension: TIMESTAMP AS OF time travel — versions resolve by
+    // commit wall-clock (manifest mtimes, Delta's provenance) instead of
+    // sequence number: a probe at v0's own commit time reads exactly v0
+    // even after later commits. The inter-commit sleep pins the mtime
+    // order on second-granularity filesystems.
+    "ingest_manifest_asof" -> ((s, dir) => {
+      val M = graft.sources.ManifestTable
+      val out = scratch("manifest_asof")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      M.commit(s, out, docs.filter(col("doc_id") % 2 === 0))
+      Thread.sleep(1100)
+      M.commit(s, out, docs)
+      val t0 = M.commitTimes(s, out).head._2
+      require(M.versionAsOf(s, out, t0) == 0L,
+        "v0's own commit time must resolve to v0")
+      require(M.versionAsOf(s, out, Long.MaxValue) ==
+        M.currentVersion(s, out), "the far future must resolve to CURRENT")
+      M.readAsOf(s, out, t0)
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_sum"))
+    }),
+
+    // Extension: MERGE-ON-READ row UPDATE — the update twin of the DV
+    // delete: matching rows' positions land in a deletion vector AND
+    // their updated copies land as new data files in ONE pointer swap;
+    // no candidate file is rewritten (the copy-on-write alternative
+    // would rewrite them all), and every row reads back in exactly one
+    // version. Candidates are stats-bounded on the range-clustered
+    // layout; the in-query asserts prove the original files survived
+    // on disk and exactly one sidecar landed.
+    "ingest_manifest_update" -> ((s, dir) => {
+      val M = graft.sources.ManifestTable
+      val out = scratch("manifest_update")
+      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("value"))
+      M.commit(s, out, ev.repartition(8))
+      M.compactSorted(s, out, Seq("user_id"), targetFiles = 8)
+      val before = M.currentFiles(s, out)
+      M.updateVectorWhere(s, out, "user_id", 10.0, 19.0,
+        Map("value" -> (col("value") * 2)))
+      val after = M.currentFiles(s, out)
+      require(before.toSet.subsetOf(after.toSet) && after.size > before.size,
+        "MOR update must add files, never rewrite existing ones")
+      require(M.currentDeleteVectors(s, out).size == 1,
+        "exactly one deletion-vector sidecar must land")
+      M.read(s, out)
+        .withColumn("updated", col("user_id").between(10, 19))
+        .groupBy(col("updated"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("id_sum"),
+          round(sum(col("value")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double"), 6).as("value_sum"))
+    }),
+
     // Extension: manifest-table VACUUM — retention in one transaction:
     // after a compaction, the superseded generation's data files and
     // manifests are unreferenced; vacuum sweeps exactly them (the
@@ -9210,6 +9264,21 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
         |FROM documents WHERE doc_id % 3 <> 0
         |GROUP BY source""".stripMargin,
+
+    // AS-OF at v0's commit time reads the even half exactly.
+    "ingest_manifest_asof" ->
+      """SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
+
+    // After the MOR update every row reads back in exactly one version:
+    // the doubled value inside the range, the original outside it.
+    "ingest_manifest_update" ->
+      """SELECT (user_id BETWEEN 10 AND 19) AS updated,
+        |  count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  round(CAST(SUM(CAST(CASE WHEN user_id BETWEEN 10 AND 19
+        |    THEN value * 2 ELSE value END AS DECIMAL(18,6))) AS DOUBLE), 6) AS value_sum
+        |FROM events GROUP BY 1""".stripMargin,
 
     // Bucket-pruned point probes hold exactly the requested keys' rows —
     // the layout changes which FILES open, never which rows match.

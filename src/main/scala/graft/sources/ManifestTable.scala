@@ -1298,6 +1298,96 @@ object ManifestTable {
       col(column) === value)
   }
 
+  /** Row-level UPDATE as a MERGE-ON-READ transaction — the update twin
+    * of [[deleteVectorWhere]] (Iceberg v2's position-delete + data-file
+    * shape): the matching live rows' positions land in a deletion-vector
+    * sidecar AND their updated copies land as new data files, in ONE
+    * pointer swap — no existing data file is rewritten, and a reader
+    * sees every row in exactly one version, never both and never
+    * neither. Candidate scan is stats-bounded (only files whose manifest
+    * min/max may hold `column BETWEEN lo AND hi`); the write cost is the
+    * matching rows + a KB-scale sidecar, where the copy-on-write path
+    * would rewrite every candidate file. `assignments` are column →
+    * expression (evaluated against the matching rows); unlisted columns
+    * carry verbatim and the schema must be unchanged. A predicate that
+    * matches nothing is a metadata no-op. Null values never match, as in
+    * SQL. Updates accumulate like deletes; compaction materializes. */
+  def updateVectorWhere(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      lo: Double,
+      hi: Double,
+      assignments: Map[String, org.apache.spark.sql.Column]
+  ): StagedCommit = withCommitRetry(5) { () =>
+    import org.apache.spark.sql.functions.{broadcast, col}
+    require(assignments.nonEmpty, "an update needs at least one assignment")
+    val f = fs(dir, spark)
+    val name = readSmallFile(f, new Path(dir, PointerName)).trim
+    val basis = name.stripPrefix("manifest-").stripSuffix(".txt").toLong
+    val candidates = pruneByRange(spark, dir, column, lo, hi)._1
+    if (candidates.isEmpty) StagedCommit(basis, name, basis)
+    else {
+      val dvLines = manifestDvLines(f, dir, name)
+      val existing = dvRelsOf(dvLines)
+      val keyed = spark.read.parquet(candidates: _*)
+        .withColumn("__graft_dv_rel", relOfFilePath(col("_metadata.file_path")))
+        .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+      val live =
+        if (existing.isEmpty) keyed
+        else {
+          val dv = spark.read.parquet(
+            existing.map(r => new Path(dir, r).toString): _*)
+          keyed.join(broadcast(dv),
+            keyed("__graft_dv_rel") === dv("_file") &&
+              keyed("__graft_dv_pos") === dv("_pos"),
+            "left_anti")
+        }
+      val matching = live
+        .filter(col(column).isNotNull && col(column).between(lo, hi))
+      val updated = assignments.toSeq.sortBy(_._1)
+        .foldLeft(matching) { case (df, (k, v)) => df.withColumn(k, v) }
+        .drop("__graft_dv_rel", "__graft_dv_pos")
+      requireSameSchema(currentSchema(spark, dir), updated.schema,
+        "updateVectorWhere")
+      val sd = stageData(spark, dir, updated)
+      val dvDir = new Path(new Path(dir, "data"), UUID.randomUUID().toString)
+      matching
+        .select(col("__graft_dv_rel").as("_file"),
+          col("__graft_dv_pos").as("_pos"))
+        .repartition(1).write.parquet(dvDir.toString)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dvFiles = f.listStatus(dvDir).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      if (dvFiles.map(p => parquetRowCount(conf, p)).sum == 0L) {
+        // nothing matched: the (empty) staged data files and the sidecar
+        // are orphans for vacuum; metadata no-op
+        f.delete(dvDir, true)
+        StagedCommit(basis, name, basis)
+      } else {
+        val root = f.makeQualified(new Path(dir)).toUri.getPath
+        val newDvRels = dvFiles.map(
+          _.toUri.getPath.stripPrefix(root).stripPrefix("/"))
+        val lines = manifestLines(f, dir, name)
+        val schemaLine = lines.filter(_.startsWith("#schema="))
+        val carried = carriedHeadersFor(lines, _ => true)
+        val content =
+          ((schemaLine ++
+            (carried ++ sd.statsLines ++ newDvRels.map(dvLineOf)).sorted) ++
+            (manifestRel(f, dir, name) ++ sd.rel).sorted).mkString("\n")
+        val staged = claimManifestSlot(spark, dir, content, basis)
+        onBeforePublish()
+        try { publish(spark, dir, staged); staged }
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            abandon(spark, dir, staged)
+            f.delete(dvDir, true)
+            throw e
+        }
+      }
+    }
+  }
+
   /** The current snapshot's deletion-vector sidecar paths
     * (dir-relative), in manifest order — empty when every row of every
     * listed file is live. */
@@ -2425,6 +2515,47 @@ object ManifestTable {
       .filter(n => n.startsWith("manifest-") && n.endsWith(".txt"))
       .map(_.stripPrefix("manifest-").stripSuffix(".txt").toLong).sorted
   }
+
+  /** The (version, wall-clock millis) of every committed snapshot still
+    * present, ascending — manifest-file modification times, the same
+    * provenance Delta's `TIMESTAMP AS OF` resolves against. Times record
+    * when the manifest was WRITTEN (staged); under the optimistic
+    * protocols staging and the pointer swap are milliseconds apart, and
+    * the honest caveat is the same as Delta's: clock skew between
+    * writers can reorder times relative to versions. Only versions at or
+    * below CURRENT list (staged-but-unpublished slots are not commits). */
+  def commitTimes(spark: SparkSession, dir: String): Seq[(Long, Long)] = {
+    val f = fs(dir, spark)
+    val mdir = new Path(dir, "_manifests")
+    val cur = currentVersion(spark, dir)
+    if (!f.exists(mdir)) Seq.empty
+    else f.listStatus(mdir).toSeq
+      .filter(st => st.getPath.getName.startsWith("manifest-") &&
+        st.getPath.getName.endsWith(".txt"))
+      .map(st => (st.getPath.getName
+        .stripPrefix("manifest-").stripSuffix(".txt").toLong,
+        st.getModificationTime))
+      .filter(_._1 <= cur)
+      .sortBy(_._1)
+  }
+
+  /** TIMESTAMP AS OF resolution: the newest committed version whose
+    * manifest time is at or before `tsMillis`. Refuses a time before the
+    * first commit (there was no table to read). */
+  def versionAsOf(spark: SparkSession, dir: String, tsMillis: Long): Long = {
+    val times = commitTimes(spark, dir)
+    require(times.nonEmpty, s"not a committed manifest table: $dir")
+    val at = times.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"no snapshot at or before $tsMillis in $dir " +
+        s"(first commit was at ${times.head._2})")
+    at.map(_._1).max
+  }
+
+  /** [[readVersion]] at the [[versionAsOf]] resolution — `TIMESTAMP AS
+    * OF` time travel. */
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    readVersion(spark, dir, versionAsOf(spark, dir, tsMillis))
 
   /** Time travel: read snapshot `version` exactly as it was committed —
     * manifests are immutable and data files write-once, so any version

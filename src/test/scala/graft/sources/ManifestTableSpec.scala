@@ -1767,6 +1767,61 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
     } finally rm(dir)
   }
 
+  it should "resolve TIMESTAMP AS OF against commit times" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.commit(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+      Thread.sleep(1100) // pin mtime order on second-granularity filesystems
+      ManifestTable.append(spark, dir, Seq((2L, "b")).toDF("id", "v"))
+      val times = ManifestTable.commitTimes(spark, dir)
+      times.map(_._1) shouldBe Seq(0L, 1L)
+      times(1)._2 should be > times(0)._2
+      ManifestTable.versionAsOf(spark, dir, times(0)._2) shouldBe 0L
+      ManifestTable.versionAsOf(spark, dir, Long.MaxValue) shouldBe 1L
+      ManifestTable.readAsOf(spark, dir, times(0)._2)
+        .collect().map(_.getLong(0)) shouldBe Array(1L)
+      // before the first commit there was no table: refuse
+      an[IllegalArgumentException] should be thrownBy
+        ManifestTable.versionAsOf(spark, dir, times(0)._2 - 10000L)
+      // a staged-but-unpublished slot is not a commit and never lists
+      ManifestTable.stage(spark, dir, Seq((9L, "z")).toDF("id", "v"),
+        ManifestTable.currentFiles(spark, dir)): Unit
+      ManifestTable.commitTimes(spark, dir).map(_._1) shouldBe Seq(0L, 1L)
+    } finally rm(dir)
+  }
+
+  it should "update rows merge-on-read: one sidecar + new copies, one swap" in {
+    val dir = tmpDir()
+    try {
+      val rows = (0L until 100L).map(i => (i, i * 10)).toDF("id", "x")
+      ManifestTable.commit(spark, dir, rows.repartition(4))
+      val before = ManifestTable.currentFiles(spark, dir)
+      ManifestTable.updateVectorWhere(spark, dir, "id", 20.0, 29.0,
+        Map("x" -> (col("x") + lit(1L))))
+      // original files survive untouched; copies + one sidecar landed
+      val after = ManifestTable.currentFiles(spark, dir)
+      before.toSet.subsetOf(after.toSet) shouldBe true
+      ManifestTable.currentDeleteVectors(spark, dir) should have size 1
+      // every row in exactly one version
+      val got = ManifestTable.read(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      got shouldBe (0L until 100L)
+        .map(i => (i, if (i >= 20 && i <= 29) i * 10 + 1 else i * 10)).toArray
+      // a second update composes (updated copies are live candidates)
+      ManifestTable.updateVectorWhere(spark, dir, "id", 25.0, 34.0,
+        Map("x" -> (col("x") + lit(1000L))))
+      ManifestTable.read(spark, dir)
+        .filter(col("id").isin(24L, 25L, 30L, 35L))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted shouldBe
+        Array((24L, 241L), (25L, 1251L), (30L, 1300L), (35L, 350L))
+      // a no-match update is a metadata no-op
+      val v = ManifestTable.currentVersion(spark, dir)
+      ManifestTable.updateVectorWhere(spark, dir, "id", 900.0, 999.0,
+        Map("x" -> (col("x") + lit(1L))))
+      ManifestTable.currentVersion(spark, dir) shouldBe v
+    } finally rm(dir)
+  }
+
   it should "maintain an enrichment join from the change feed, appends only" in {
     val src = tmpDir(); val out = tmpDir()
     try {
