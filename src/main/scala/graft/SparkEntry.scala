@@ -1723,6 +1723,34 @@ object SparkEntry {
       }.reduce(_.unionByName(_))
     }),
 
+    // Extension: the nprobe knob OPERATIONALIZED — the sweep's pricing
+    // turned into a decision: the smallest nprobe whose corpus recall@5
+    // meets the 0.7 target is chosen (the largest arm if none does), so
+    // the index ships with a defensible setting instead of a table of
+    // numbers a human must read. Same deterministic arms as the sweep.
+    "sim_ivf_autotune" -> ((s, dir) => {
+      import s.implicits._
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = graft.ops.Similarity
+        .bruteForceTopK(spread(s, emb), q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val nq = q.count()
+      val arms = Seq(1, 2, 4).map { np =>
+        val approx = graft.ops.Similarity.ivfTopK(
+            spread(s, emb), q, "vec_id", "embedding",
+            k = 5, numCentroids = 16, lloydRounds = 2, nprobe = np)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = exact
+          .join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+        (np, hits, math.rint(hits / (5.0 * nq) * 1e6) / 1e6)
+      }
+      val target = 0.7
+      val chosen = arms.find(_._3 >= target).getOrElse(arms.last)
+      Seq(chosen).toDF("nprobe", "n_hits", "mean_recall")
+        .withColumn("met_target", col("mean_recall") >= target)
+    }),
+
     // Extension: IVF quality evaluation — recall@5 of the IVF index
     // (nprobe=4) against the exact brute-force ranking, the same
     // eval pattern as sim_proj_recall. Quantifies the nprobe/recall
@@ -6731,6 +6759,47 @@ object SparkEntry {
         |${arm(2)},
         |${arm(4)}
         |${row(1)} UNION ALL ${row(2)} UNION ALL ${row(4)}""".stripMargin
+    },
+
+    // The tuner replays the sweep and picks the smallest arm meeting
+    // the 0.7 target (the largest arm if none does).
+    "sim_ivf_autotune" -> {
+      def arm(np: Int): String =
+        s"""probes$np AS (SELECT vec_id AS query_id, v AS qv, cent_id AS cell FROM
+           |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims WHERE vec_id < 10)
+           |  WHERE rn <= $np),
+           |scored$np AS (SELECT p.query_id, cl.vec_id AS neighbor_id, ${cosSql("p.qv", "cl.v")} AS sim
+           |  FROM probes$np p JOIN cells cl ON p.cell = cl.cell WHERE cl.vec_id != p.query_id),
+           |ap$np AS (SELECT query_id, neighbor_id FROM
+           |  (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored$np)
+           |  WHERE rk <= 5),
+           |h$np AS (SELECT count(*) AS n_hits FROM ex SEMI JOIN ap$np ON ex.query_id = ap$np.query_id AND ex.neighbor_id = ap$np.neighbor_id)""".stripMargin
+      def row(np: Int): String =
+        s"SELECT $np AS nprobe, CAST(h$np.n_hits AS BIGINT) AS n_hits, round(h$np.n_hits / (5.0 * nq.n_q), 6) AS mean_recall FROM h$np, nq"
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |c1 AS ${lloydRoundSql("seeds", 64)},
+        |c2 AS ${lloydRoundSql("c1", 64)},
+        |sims AS (SELECT e.vec_id, e.v, c.cent_id, ${cosSql("e.v", "c.cv")} AS csim FROM e, c2 c),
+        |cells AS (SELECT vec_id, v, cent_id AS cell FROM
+        |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        |nq AS (SELECT count(*) AS n_q FROM q),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id) AS rk
+        |  FROM q, e c WHERE c.vec_id != q.vec_id) WHERE rk <= 5),
+        |${arm(1)},
+        |${arm(2)},
+        |${arm(4)},
+        |sweep AS (${row(1)} UNION ALL ${row(2)} UNION ALL ${row(4)}),
+        |met AS (SELECT * FROM sweep WHERE mean_recall >= 0.7 ORDER BY nprobe LIMIT 1),
+        |fb AS (SELECT * FROM sweep ORDER BY nprobe DESC LIMIT 1),
+        |pick AS (SELECT * FROM met UNION ALL
+        |  SELECT * FROM fb WHERE NOT EXISTS (SELECT 1 FROM met))
+        |SELECT CAST(nprobe AS INTEGER) AS nprobe, n_hits, mean_recall,
+        |  CAST(mean_recall >= 0.7 AS BOOLEAN) AS met_target FROM pick""".stripMargin
     },
 
     "sim_ivf_recall" ->
