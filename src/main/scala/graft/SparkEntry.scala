@@ -1710,10 +1710,19 @@ object SparkEntry {
         .bruteForceTopK(spread(s, emb), q, "vec_id", "embedding", 5)
         .select(col("query_id"), col("neighbor_id"))
       val nq = q.agg(count(lit(1)).as("n_q"))
+      // the codebook and cell assignment are nprobe-INDEPENDENT: train
+      // once, stage the inverted file, and pay only a probe per arm —
+      // identical results to the per-arm fused plan (the persisted-index
+      // equivalence sim_ivf_persisted proves), one Lloyd run not three
+      val (cent, assigned) = graft.ops.Similarity.ivfIndex(
+        spread(s, emb), "vec_id", "embedding",
+        numCentroids = 16, lloydRounds = 2)
+      val idxDir = scratch("sweep_idx")
+      assigned.write.mode("overwrite").parquet(idxDir)
+      val index = s.read.parquet(idxDir)
       Seq(1, 2, 4).map { np =>
-        val approx = graft.ops.Similarity.ivfTopK(
-            spread(s, emb), q, "vec_id", "embedding",
-            k = 5, numCentroids = 16, lloydRounds = 2, nprobe = np)
+        val approx = graft.ops.Similarity.ivfTopKFromIndex(
+            index, cent, q, "vec_id", "embedding", k = 5, nprobe = np)
           .select(col("query_id"), col("neighbor_id"))
         exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
           .agg(count(lit(1)).as("n_hits"))
@@ -1736,10 +1745,18 @@ object SparkEntry {
         .bruteForceTopK(spread(s, emb), q, "vec_id", "embedding", 5)
         .select(col("query_id"), col("neighbor_id"))
       val nq = q.count()
+      // one Lloyd run + one staged inverted file shared by every arm
+      // (identical results to the fused per-arm plan — the persisted-
+      // index equivalence), so the tuner costs probes, not retrains
+      val (cent, assigned) = graft.ops.Similarity.ivfIndex(
+        spread(s, emb), "vec_id", "embedding",
+        numCentroids = 16, lloydRounds = 2)
+      val idxDir = scratch("autotune_idx")
+      assigned.write.mode("overwrite").parquet(idxDir)
+      val index = s.read.parquet(idxDir)
       val arms = Seq(1, 2, 4).map { np =>
-        val approx = graft.ops.Similarity.ivfTopK(
-            spread(s, emb), q, "vec_id", "embedding",
-            k = 5, numCentroids = 16, lloydRounds = 2, nprobe = np)
+        val approx = graft.ops.Similarity.ivfTopKFromIndex(
+            index, cent, q, "vec_id", "embedding", k = 5, nprobe = np)
           .select(col("query_id"), col("neighbor_id"))
         val hits = exact
           .join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
