@@ -891,10 +891,14 @@ object SparkEntry {
           .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
             round(coalesce(col("n_hit"), lit(0L)) / 5.0, 6).as("recall"))
       }
-      val resid = recallOf(graft.ops.Similarity.ivfPqResidualTopK(
+      // staged once: the assert's collect AND the returned frame would
+      // otherwise each evaluate the full residual index build
+      val residDir = scratch("residrec")
+      recallOf(graft.ops.Similarity.ivfPqResidualTopK(
         spread(s, emb), q, "vec_id", "embedding",
         dim = 64, k = 5, numCentroids = 16, lloydRounds = 2, nprobe = 4,
-        m = 4, pqK = 16))
+        m = 4, pqK = 16)).write.mode("overwrite").parquet(residDir)
+      val resid = s.read.parquet(residDir)
       // SELF-VERIFYING (the sim_ivf_delta precedent): the "residuals
       // quantize finer" claim is ASSERTED in-query, not narrated — mean
       // recall@5 of by_residual=true must be >= by_residual=false at
