@@ -1122,10 +1122,15 @@ object SparkEntry {
       val cells = graft.ops.Similarity.probeCells(
         cent, probesQ, "vec_id", "embedding", nprobe = 4)
       val index = M.readWhereIn(s, out, "cell", cells)
-      val topk = graft.ops.Similarity.ivfTopKFromIndex(
+      // staged once: the erasure assert and the returned frame share
+      // one probe evaluation
+      val topkDir = scratch("ivfdel_topk")
+      graft.ops.Similarity.ivfTopKFromIndex(
           index, cent, probesQ, "vec_id", "embedding", k = 5, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("sim"), 6).as("sim"))
+        .write.mode("overwrite").parquet(topkDir)
+      val topk = s.read.parquet(topkDir)
       require(topk.filter(col("neighbor_id").between(20, 39)).isEmpty,
         "an erased vector surfaced from the maintained index")
       topk
@@ -1530,7 +1535,12 @@ object SparkEntry {
       ).toDF("query_id", "term")
       val post = M.readWhereIn(s, out, "term",
         Seq("spark", "table", "window", "join", "filter"))
-      val topk = R.bm25TopK(post, queries, nF, dlF, k = 5)
+      // staged once: the erasure assert and the returned frame share
+      // one probe evaluation
+      val topkDir = scratch("retrdel_topk")
+      R.bm25TopK(post, queries, nF, dlF, k = 5)
+        .write.mode("overwrite").parquet(topkDir)
+      val topk = s.read.parquet(topkDir)
       require(topk.filter(col("doc_id").between(100, 149)).isEmpty,
         "an erased document ranked from the maintained index")
       topk
