@@ -2286,6 +2286,57 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
     }),
 
+    // Extension: STREAMING ERASURE QUEUE — the delete leg of streaming
+    // index maintenance (stream_ann_maintain is the append leg): each
+    // micro-batch of privacy-deletion requests DV-erases its keys from
+    // the corpus and drops their index rows with the rebind in one
+    // pointer move, so the index stays probe-able and fresh BETWEEN
+    // batches and can never return an erased key. The third batch
+    // REPLAYS already-erased keys — harmless by construction (erasure
+    // is naturally idempotent), which is the exactly-once story without
+    // any batch stamping. Probe must equal the surviving-corpus IVF
+    // (the sim_ivf_delete oracle).
+    "stream_gdpr_erase" -> ((s, dir) => withStreamingShuffle(s, 4) {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val M = graft.sources.ManifestTable
+      val emb = table(s, dir, "embeddings")
+      val corpusDir = scratch("gdpr_corpus")
+      val out = scratch("gdpr_index")
+      M.commit(s, corpusDir, spread(s, emb))
+      val v0 = M.currentVersion(s, corpusDir)
+      val (cent, assigned) = graft.ops.Similarity.ivfIndex(
+        M.read(s, corpusDir), "vec_id", "embedding",
+        numCentroids = 16, lloydRounds = 2)
+      M.commitIndex(s, out, assigned.repartition(8), corpusDir, v0)
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Long]
+      val q = graft.streaming.StreamingOps.eraseMaintainSink(
+        in.toDS().toDF("vec_id"), "vec_id",
+        corpusDir, out, "vec_id", "neighbor_id")
+      in.addData(20L until 30L: _*); q.processAllAvailable()
+      M.requireIndexFresh(s, out) // fresh between batches
+      in.addData(30L until 40L: _*); q.processAllAvailable()
+      // an at-least-once replay of erased keys must be a harmless no-op
+      in.addData(25L, 35L); q.processAllAvailable()
+      q.stop()
+      M.requireIndexFresh(s, out)
+      val probesQ = emb.filter(col("vec_id") < 10)
+      val cells = graft.ops.Similarity.probeCells(
+        cent, probesQ, "vec_id", "embedding", nprobe = 4)
+      val index = M.readWhereIn(s, out, "cell", cells)
+      val topkDir = scratch("gdpr_topk")
+      graft.ops.Similarity.ivfTopKFromIndex(
+          index, cent, probesQ, "vec_id", "embedding", k = 5, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim"), 6).as("sim"))
+        .write.mode("overwrite").parquet(topkDir)
+      val topk = s.read.parquet(topkDir)
+      require(topk.filter(col("neighbor_id").between(20, 39)).isEmpty,
+        "an erased vector surfaced from the stream-maintained index")
+      topk
+    }),
+
     // Extension: STREAMING inverted-index maintenance — the ANN
     // maintenance sink's lexical twin: documents arriving in micro-
     // batches tokenize only themselves; postings, the #indexof rebind,
@@ -5147,6 +5198,29 @@ object SparkEntry {
       |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored)
       |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin
 
+  /** [[ivfTopkOracleSql]] with the erased ids (20..39) excluded from the
+    * inverted file at scoring time — the codebook stays frozen on the
+    * FULL corpus (trained before the erasure). Shared by the batch
+    * delete-maintenance query (`sim_ivf_delete`) and its streaming twin
+    * (`stream_gdpr_erase`), which must converge to the same ranking. */
+  private lazy val ivfEraseOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |c1 AS ${lloydRoundSql("seeds", 64)},
+      |c2 AS ${lloydRoundSql("c1", 64)},
+      |sims AS (SELECT e.vec_id, e.v, c.cent_id, ${cosSql("e.v", "c.cv")} AS csim FROM e, c2 c),
+      |cells AS (SELECT vec_id, v, cent_id AS cell FROM
+      |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims)
+      |  WHERE rn = 1),
+      |probes AS (SELECT vec_id AS query_id, v AS qv, cent_id AS cell FROM
+      |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims WHERE vec_id < 10)
+      |  WHERE rn <= 4),
+      |scored AS (SELECT p.query_id, cl.vec_id AS neighbor_id, ${cosSql("p.qv", "cl.v")} AS sim
+      |  FROM probes p JOIN cells cl ON p.cell = cl.cell
+      |  WHERE cl.vec_id != p.query_id AND cl.vec_id NOT BETWEEN 20 AND 39),
+      |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored)
+      |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin
+
   /** [[ivfTopkOracleSql]] with the codebook FROZEN on the initial
     * (vec_id % 5 != 0) corpus while assignment covers everything — the
     * convergence target shared by the batch delta-maintenance query
@@ -6181,23 +6255,11 @@ object SparkEntry {
     // the maintained index serves exactly the SURVIVING vectors — so the
     // oracle is the full-corpus IVF chain with the erased ids excluded
     // from the inverted file at scoring time.
-    "sim_ivf_delete" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-        |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-        |c1 AS ${lloydRoundSql("seeds", 64)},
-        |c2 AS ${lloydRoundSql("c1", 64)},
-        |sims AS (SELECT e.vec_id, e.v, c.cent_id, ${cosSql("e.v", "c.cv")} AS csim FROM e, c2 c),
-        |cells AS (SELECT vec_id, v, cent_id AS cell FROM
-        |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims)
-        |  WHERE rn = 1),
-        |probes AS (SELECT vec_id AS query_id, v AS qv, cent_id AS cell FROM
-        |  (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims WHERE vec_id < 10)
-        |  WHERE rn <= 4),
-        |scored AS (SELECT p.query_id, cl.vec_id AS neighbor_id, ${cosSql("p.qv", "cl.v")} AS sim
-        |  FROM probes p JOIN cells cl ON p.cell = cl.cell
-        |  WHERE cl.vec_id != p.query_id AND cl.vec_id NOT BETWEEN 20 AND 39),
-        |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored)
-        |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM r WHERE rk <= 5""".stripMargin,
+    "sim_ivf_delete" -> ivfEraseOracleSql,
+
+    // The stream-maintained erasure must converge to the SAME
+    // surviving-corpus IVF as the batch delete — one shared oracle.
+    "stream_gdpr_erase" -> ivfEraseOracleSql,
 
     "stream_ann_maintain" -> ivfFrozenDeltaOracleSql,
 

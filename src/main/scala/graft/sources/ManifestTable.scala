@@ -1298,6 +1298,41 @@ object ManifestTable {
       col(column) === value)
   }
 
+  /** [[deleteVectorWhere]] for an explicit KEY LIST — the erasure-queue
+    * shape (a batch of ids to forget): one stats-bounded candidate scan,
+    * one DV sidecar, native-typed equality. Naturally idempotent:
+    * re-deleting an already-deleted key matches no live position and is
+    * a metadata no-op — which is what makes an at-least-once replay of
+    * an erasure batch harmless. */
+  def deleteVectorWhereIn(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      values: Seq[Any]
+  ): StagedCommit = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(dir, spark)
+    def candidates(): Seq[String] = {
+      val name = readSmallFile(f, new Path(dir, PointerName)).trim
+      val numeric = values.collect { case n: Number => n.doubleValue }
+      val strings = values.collect { case s: String => s }
+      if (values.isEmpty) Seq.empty
+      else if (numeric.size == values.size)
+        pruneByRangesIn(spark, dir, name, column,
+          numeric.map(v => (Math.nextDown(v), Math.nextUp(v))))._1
+      else if (strings.size == values.size)
+        pruneByStringsIn(spark, dir, name, column, strings)._1
+      else manifestRel(f, dir, name).map(rel => new Path(dir, rel).toString)
+    }
+    val schema = currentSchema(spark, dir).getOrElse(read(spark, dir).schema)
+    val native = values.flatMap(v => exactNative(v, schema(column).dataType))
+    if (native.isEmpty) {
+      val name = readSmallFile(f, new Path(dir, PointerName)).trim
+      val cur = name.stripPrefix("manifest-").stripSuffix(".txt").toLong
+      StagedCommit(cur, name, cur)
+    } else dvDelete(spark, dir, () => candidates(), col(column).isin(native: _*))
+  }
+
   /** Row-level UPDATE as a MERGE-ON-READ transaction — the update twin
     * of [[deleteVectorWhere]] (Iceberg v2's position-delete + data-file
     * shape): the matching live rows' positions land in a deletion-vector

@@ -524,6 +524,45 @@ object StreamingOps {
       }
       .start()
 
+  /** STREAMING ERASURE QUEUE — the privacy-deletion pipeline: each
+    * micro-batch of keys to forget DV-erases them from the corpus table
+    * (merge-on-read — one sidecar, no file rewritten) and drops their
+    * derived rows from the bound index with the `#indexof` rebind in the
+    * same pointer move ([[graft.sources.ManifestTable.deleteIndexVectorIn]]),
+    * so between any two batches the index is probe-able, fresh, and can
+    * never return an erased key — the delete leg of the streaming
+    * maintenance pair ([[annMaintainSink]] is the append leg). No batch
+    * stamping needed: erasure is NATURALLY idempotent (re-deleting an
+    * erased key matches no live position → metadata no-op), which makes
+    * at-least-once replays harmless by construction. The rebind uses the
+    * version RETURNED by the corpus delete, never a later read, so a
+    * concurrent corpus appender yields a stale-but-honest binding the
+    * freshness gate correctly refuses rather than a false coverage
+    * claim. Erasure batches are queue-sized (a bounded driver collect),
+    * stated as the contract. Single-erasure-writer shape. */
+  def eraseMaintainSink(
+      stream: DataFrame,
+      keyCol: String,
+      corpusDir: String,
+      indexDir: String,
+      corpusKeyCol: String,
+      indexKeyCol: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val M = graft.sources.ManifestTable
+        val ids = batch.select(col(keyCol)).distinct()
+          .collect().map(_.get(0)).toSeq
+        if (ids.nonEmpty) {
+          val deleted = M.deleteVectorWhereIn(s, corpusDir, corpusKeyCol, ids)
+          M.deleteIndexVectorIn(s, indexDir, indexKeyCol, ids,
+            corpusDir, deleted.version): Unit
+        }
+      }
+      .start()
+
   /** Per-key tumbling-window ADMISSION QUOTA — the ingest rate limiter:
     * each (key, window) admits at most `maxPerWindow` events and flags
     * the overflow, so a runaway producer (bot burst, crawler loop,

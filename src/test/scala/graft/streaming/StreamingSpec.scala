@@ -670,4 +670,33 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(corpusDir))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(indexDir))
   }
+
+  it should "erase streamed keys from corpus and bound index, replay-safe" in {
+    val M = graft.sources.ManifestTable
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_gdpr_c").toString
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft_gdpr_i").toString
+    val corpus = (0L until 40L).map(i => (i, i % 4)).toDF("id", "cell")
+    M.commit(spark, corpusDir, corpus)
+    M.commitIndex(spark, indexDir, corpus.withColumnRenamed("id", "nid"),
+      corpusDir, 0L)
+    val in = MemoryStream[Long]
+    val q = StreamingOps.eraseMaintainSink(
+      in.toDS().toDF("id"), "id", corpusDir, indexDir, "id", "nid")
+    in.addData(10L, 11L, 12L); q.processAllAvailable()
+    // fresh between batches; both tables lost exactly the erased keys
+    noException should be thrownBy M.requireIndexFresh(spark, indexDir)
+    M.read(spark, corpusDir).count() shouldBe 37
+    M.read(spark, indexDir).filter(col("nid").isin(10L, 11L, 12L))
+      .count() shouldBe 0
+    // replaying erased keys (at-least-once) is harmless
+    in.addData(11L, 12L); q.processAllAvailable()
+    q.stop()
+    noException should be thrownBy M.requireIndexFresh(spark, indexDir)
+    M.read(spark, corpusDir).count() shouldBe 37
+    M.read(spark, indexDir).count() shouldBe 37
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(corpusDir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(indexDir))
+  }
 }
