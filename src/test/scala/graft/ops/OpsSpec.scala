@@ -641,6 +641,15 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       .orderBy("user_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     out shouldBe Array((1L, 2L, 4L), (3L, 1L, 3L))
+    // scale shape: ONE shuffle (the per-user fold), no join, regex
+    // evaluated data-side
+    val plan = EventOps.sequencePattern(ev, "user_id", "event_type", "ts",
+      "event_id", Seq("view" -> "v"), pattern = "v+")
+      .queryExecution.executedPlan.toString
+    withClue(plan) {
+      "Exchange".r.findAllIn(plan).size shouldBe 1
+      plan should not include "Join"
+    }
   }
 
   it should "count rolling 7-day distinct actives per observed day" in {
