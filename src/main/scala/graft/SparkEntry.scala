@@ -2874,6 +2874,24 @@ object SparkEntry {
     "events_cube" -> ((s, dir) =>
       graft.ops.EventOps.cubeProfile(events(s, dir), "event_type", "ts", "value")),
 
+    // Extension: explicit GROUPING SETS — the third member of the
+    // multi-level-aggregate family (rollup = prefix sets, cube = all
+    // sets): exactly the three ASKED-FOR sets (type), (user bucket),
+    // (grand total) in one Expand+aggregate pass via Spark 4's
+    // Dataset.groupingSets, with grouping_id() disambiguating which set
+    // a row belongs to.
+    "events_grouping_sets" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ub", col("user_id") % 10)
+      ev.groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("ub")), Seq.empty),
+          col("event_type"), col("ub"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double"), 6).as("value_sum"),
+          grouping_id().cast("long").as("gid"))
+    }),
+
     // Extension: time-series gap fill — densify per-(type, hour) counts
     // over the corpus's full bucket range with explicit zero rows; the
     // grid is generated from a 1-row bounds aggregate, never scanned.
@@ -7862,6 +7880,15 @@ object SparkEntry {
         |  count(*) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS vsum
         |FROM e GROUP BY CUBE (k, d)""".stripMargin,
+
+    // The three explicit sets replay verbatim; GROUPING(a, b) is the
+    // same leftmost-most-significant bitmask as Spark's grouping_id().
+    "events_grouping_sets" ->
+      """WITH e AS (SELECT event_type, user_id % 10 AS ub, value FROM events)
+        |SELECT event_type, ub, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS value_sum,
+        |  CAST(GROUPING(event_type, ub) AS BIGINT) AS gid
+        |FROM e GROUP BY GROUPING SETS ((event_type), (ub), ())""".stripMargin,
 
     // The grid generates laterally from the 1-row bounds aggregate in
     // both engines; zero rows are explicit, not absent.
