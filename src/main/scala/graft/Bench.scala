@@ -9,17 +9,33 @@ import org.apache.spark.sql.SparkSession
   *    `count()` would let Catalyst prune the projections and measure only
   *    the parquet scan.
   *  - Queries run in CHUNKS, each chunk in a FRESH CHILD JVM (same
-  *    classpath/JVM flags as the parent). The child warms its chunk once
-  *    untimed — paying Janino codegen AND JIT compilation — then runs up
-  *    to two timed steady-state passes and reports the per-query min (the
-  *    first timed pass can still catch a C2 compile backlog on a loaded
-  *    host). Round-1/2 investigation showed a single
+  *    classpath/JVM flags as the parent). Within the chunk each query runs
+  *    ADAPTIVELY (the r11 lesson: warming all 32 chunk queries before any
+  *    timed pass spent 1,111 s of the 2,400 s budget on warmup alone and
+  *    still left 128 queries at a single timed pass):
+  *      pass 1 (cold)  — pays Janino codegen + JIT; measured, recorded
+  *                       per query under `cold`, never the headline time.
+  *      pass 2 (timed) — first steady pass.
+  *      pass 3 (timed) — run ONLY if pass 2 came in under the fast
+  *                       threshold (`GRAFT_BENCH_FAST_SEC`, default 2.5 s)
+  *                       and the ladder level allows 2 passes.
+  *    Scan-shaped queries (~90% of the set, sub-2 s) report min(pass2,
+  *    pass3) — the same 2-steady-pass min as the record rounds — while
+  *    commit-floor lifecycle queries (manifest txns, micro-batch replays,
+  *    whose cost is filesystem commits, not JIT) report min(pass1, pass2)
+  *    and skip the third execution: for them the cold pass IS
+  *    representative, and a third multi-second execution buys nothing.
+  *    The per-query timed-pass count is recorded in bench_detail.json
+  *    (`passes`), alongside the ladder level (`lvl`) — so a downstream
+  *    reader can tell a steady-state number from a degraded one without
+  *    re-running. Round-1/2 investigation showed a single
   *    long-lived local[32] JVM intermittently degrades whole-process
   *    (identical binaries measured 17 s / 29 s / 443 s for the full set;
   *    stuck tasks burned 100x the CPU of healthy runs inside generated
   *    code, with `ThreadLocalMap.getEntryAfterMiss` hot in stacks) — a
   *    fresh JVM per chunk bounds any cumulative JVM/thread state to one
-  *    chunk, and per-chunk warmup keeps every timed query steady-state.
+  *    chunk, and the per-query cold pass keeps every timed pass
+  *    steady-state.
   *  - The whole run operates under a WALL-CLOCK BUDGET
   *    (`GRAFT_BENCH_BUDGET_SEC`, default 2400 s): round 8's full
   *    median-of-3 × 2-pass methodology over 278 queries outran the
@@ -29,9 +45,9 @@ import org.apache.spark.sql.SparkSession
   *    per-query wall (warmup priced separately from steady passes — the
   *    r9 model folded warmup into the steady estimate and over-degraded);
   *    on pressure the methodology degrades down a
-  *    deterministic ladder — repeats 3→2→1, then chunk size 8→16 (fewer
-  *    JVM spawns) while KEEPING 2 timed passes, and only then passes
-  *    2→1 and chunk →32 — and RE-UPGRADES to a less-degraded level when
+  *    deterministic ladder — repeats 3→2→1, then chunk size 8→16→32 (fewer
+  *    JVM spawns) while KEEPING 2 timed passes for fast queries, and only
+  *    then passes 2→1 — and RE-UPGRADES to a less-degraded level when
   *    measurement comes in under the prior (r9's degrade-only ladder left
   *    1,143 s of its budget unspent) — recorded in the emitted JSON under
   *    `levels` ("levelxqueries" pairs, level 0 included; `warmup_sec`
@@ -39,8 +55,9 @@ import org.apache.spark.sql.SparkSession
   *    level cannot
   *    fit, the remaining queries are SKIPPED and listed under `skipped`
   *    (never silently dropped), and the final JSON line ALWAYS prints.
-  *  - JVM/session startup and warmup are excluded from query times and
-  *    reported under the `warmup_sec` key (whole seconds); 1-minute load
+  *  - JVM/session startup and the cold passes are excluded from fast
+  *    queries' times and reported in aggregate under the `warmup_sec`
+  *    key (whole seconds, the sum of cold-pass wall); 1-minute load
   *    averages before;after are under `load`, so external CPU contention
   *    on a shared host is visible.
   *  - Failing queries are listed by name under `failed` (empty list when
@@ -199,26 +216,38 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, ok)
   }
 
-  /** Warm + time a chunk of queries on a fresh session; returns
-    * (per-query results, warmup seconds). The warmup pass pays Janino
-    * codegen + JIT compilation; `passes` timed passes are then run and
-    * the per-query MIN is reported — if the first timed pass still
-    * catches a C2 compile backlog (seen on a loaded shared host), the
-    * second pass runs at true steady state. Under budget pressure the
-    * parent degrades to passes=1 (see the budget loop in [[main]]). */
+  /** One query's measurement within a chunk: the reported seconds, ok
+    * flag, number of STEADY timed passes behind the min (2 for fast
+    * queries, 1 for slow ones whose min instead includes the cold pass),
+    * and the cold-pass seconds. */
+  private[graft] final case class QMeasure(
+      sec: Double, ok: Boolean, passes: Int, cold: Double)
+
+  /** Time a chunk of queries on a fresh session with the ADAPTIVE pass
+    * scheme (see the file scaladoc); returns (per-query measures, total
+    * cold-pass seconds). Each query runs a cold pass (codegen + JIT),
+    * then one timed pass; if the timed pass is under `fastSec` and
+    * `maxPasses` >= 2, a second timed pass runs and min(timed1, timed2)
+    * is reported with passes=2. Otherwise the query is commit-floor or
+    * genuinely heavy: min(cold, timed1) is reported with passes=1 and no
+    * third multi-second execution is spent. */
   private def runChunk(sfDir: String, cpus: String, names: Seq[String],
-      passes: Int): (Seq[(String, (Double, Boolean))], Double) = {
+      maxPasses: Int, fastSec: Double): (Seq[(String, QMeasure)], Double) = {
     val spark = newSession(cpus)
-    val w0 = System.nanoTime()
-    names.foreach(n => consume(spark, sfDir, n))
-    val warmup = (System.nanoTime() - w0) / 1e9
-    val runs = (1 to math.max(1, passes)).map(_ => names.map(n => consume(spark, sfDir, n)))
-    val results = names.zipWithIndex.map { case (n, i) =>
-      val obs = runs.map(_(i))
-      n -> (obs.map(_._1).min, obs.forall(_._2))
+    var coldTotal = 0.0
+    val results = names.map { n =>
+      val (cold, okCold) = consume(spark, sfDir, n)
+      coldTotal += cold
+      val (t1, ok1) = consume(spark, sfDir, n)
+      val m =
+        if (maxPasses >= 2 && t1 <= fastSec && ok1) {
+          val (t2, ok2) = consume(spark, sfDir, n)
+          QMeasure(math.min(t1, t2), okCold && ok1 && ok2, 2, cold)
+        } else QMeasure(math.min(cold, t1), okCold && ok1, 1, cold)
+      n -> m
     }
     spark.stop()
-    (results, warmup)
+    (results, coldTotal)
   }
 
   private def loadAvg(): String =
@@ -228,8 +257,11 @@ object Bench {
   /** Child mode: run one chunk, print machine-parsable lines, exit. */
   private def childMain(sfDir: String, cpus: String, names: Seq[String]): Unit = {
     val passes = sys.env.getOrElse("GRAFT_BENCH_PASSES", "2").toInt
-    val (results, warmup) = runChunk(sfDir, cpus, names, passes)
-    results.foreach { case (n, (sec, ok)) => println(s"GRAFT_BENCH_Q\t$n\t$sec\t$ok") }
+    val fastSec = sys.env.getOrElse("GRAFT_BENCH_FAST_SEC", "2.5").toDouble
+    val (results, warmup) = runChunk(sfDir, cpus, names, passes, fastSec)
+    results.foreach { case (n, m) =>
+      println(s"GRAFT_BENCH_Q\t$n\t${m.sec}\t${m.ok}\t${m.passes}\t${m.cold}")
+    }
     println(s"GRAFT_BENCH_WARMUP\t$warmup")
   }
 
@@ -237,7 +269,7 @@ object Bench {
     * parsed results, or None if the spawn/parse failed. */
   private def spawnChunk(sfDir: String, cpus: String, names: Seq[String],
       passes: Int)
-      : Option[(Seq[(String, (Double, Boolean))], Double)] =
+      : Option[(Seq[(String, QMeasure)], Double)] =
     try {
       val javaBin = new java.io.File(new java.io.File(
         System.getProperty("java.home"), "bin"), "java").getAbsolutePath
@@ -263,8 +295,8 @@ object Bench {
       val rc = proc.waitFor()
       if (rc != 0) { System.err.println(s"[bench] child exited rc=$rc"); return None }
       val qs = out.collect { case l if l.startsWith("GRAFT_BENCH_Q\t") =>
-        val Array(_, n, sec, ok) = l.split("\t")
-        n -> (sec.toDouble, ok.toBoolean)
+        val Array(_, n, sec, ok, passes, cold) = l.split("\t")
+        n -> QMeasure(sec.toDouble, ok.toBoolean, passes.toInt, cold.toDouble)
       }
       val warmup = out.collectFirst { case l if l.startsWith("GRAFT_BENCH_WARMUP\t") =>
         l.split("\t")(1).toDouble
@@ -302,42 +334,53 @@ object Bench {
         val budgetSec = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SEC", "2400").toDouble
         val t0 = System.nanoTime()
         def elapsed(): Double = (System.nanoTime() - t0) / 1e9
-        // (repeats, timed passes, chunkSize) per degradation level.
-        // (1,2,16) sits before any passes=1 level: halving JVM spawns is
-        // cheaper than giving up the second steady-state pass — the
-        // per-query min over 2 warm passes is what keeps recorded times
-        // comparable to the multi-repeat rounds (r9: the 1-pass levels
-        // read ~15% slower on identical plans).
+        // (repeats, max timed passes, chunkSize) per degradation level.
+        // Every level with passes=2 keeps 2 steady passes FOR FAST
+        // QUERIES (the adaptive scheme in runChunk; slow commit-floor
+        // queries cap at cold+1 timed at every level) — chunk growth
+        // (fewer JVM spawns) is exhausted before the fast-query second
+        // pass is given up, because the per-query min over 2 steady
+        // passes is what keeps recorded times comparable to the record
+        // rounds (r9: 1-pass levels read ~15% slower on identical plans).
         val levels = Vector((3, 2, 8), (2, 2, 8), (1, 2, 8), (1, 2, 16),
-          (1, 1, 16), (1, 1, 32))
+          (1, 2, 32), (1, 1, 32))
         val startLevel = sys.env.get("GRAFT_BENCH_REPEATS").map(_.toInt) match {
           case Some(r) => levels.indexWhere(_._1 <= r) match { case -1 => 0; case i => i }
           case None    => 0
         }
-        // a-priori cost model, refined from measurement. Warmup and steady
+        // a-priori cost model, refined from measurement. Cold and steady
         // passes are priced SEPARATELY (r9 lesson: folding the expensive
-        // warmup pass into qEst via a (1+passes) divisor inflated the
+        // cold pass into qEst via a (1+passes) divisor inflated the
         // steady estimate ~2x, so the ladder degraded 266/290 queries to a
         // single timed pass and still left 1,143 s of the budget unspent):
-        //   one steady query pass       ≈ qEst s wall   (r9 measured ~0.8-1.2)
-        //   one warmup pass (codegen+JIT)≈ wEst s wall  (r9: 731 s/290 ≈ 2.5)
-        //   one JVM+session startup      ≈ startEst s
-        // costPerQuery(level) = repeats × (startup/chunk + warmup + q×passes)
-        // — warmup is paid once per repeat (each repeat is a fresh JVM).
+        //   one steady query pass         ≈ qEst s wall (r11 ~0.9)
+        //   one cold pass (codegen+JIT)   ≈ wEst s wall (r11: 1111 s warmup)
+        //   one JVM+session startup       ≈ startEst s
+        //   extra fast-query pass         ≈ fAvg s, paid for fFrac of queries
+        // costPerQuery(level) = repeats × (startup/chunk + cold + steady
+        //                                  [+ fFrac × fAvg if 2 passes])
+        // — the cold pass is paid once per repeat (each repeat is a fresh
+        // JVM). The adaptive scheme means the second pass is only ever
+        // paid for queries measured fast, so its price is fAvg (bounded
+        // by the fast threshold), not qEst.
         var qEst = 1.0
         var wEst = 2.5
+        var fFrac = 0.85
+        var fAvg = 0.6
         val startEst = 12.0
         def costPerQuery(l: Int): Double = {
           val (r, p, c) = levels(l)
-          r * (startEst / c + wEst + qEst * p)
+          r * (startEst / c + wEst + qEst + (if (p >= 2) fFrac * fAvg else 0.0))
         }
         val loadBefore = loadAvg()
+        val fastSec = sys.env.getOrElse("GRAFT_BENCH_FAST_SEC", "2.5").toDouble
         val names = SparkEntry.queries.keys.toSeq.sorted
         var warmupTotal = 0.0
         var fallbacks = 0
         var level = startLevel
         val levelCounts = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
-        val acc = scala.collection.mutable.ArrayBuffer.empty[(String, (Double, Boolean))]
+        // per query: (measure aggregated over repeats, ladder level it ran at)
+        val acc = scala.collection.mutable.ArrayBuffer.empty[(String, (QMeasure, Int))]
         var remaining = names
         // Pick the LEAST-degraded level whose projected remaining cost fits
         // the room (pre-degrading on the prior before the first JVM spawns:
@@ -363,31 +406,43 @@ object Bench {
           var chunkWarm = 0.0
           val runs = (1 to repeats).map { _ =>
             val (rs, w) = spawnChunk(sfDir, cpus, chunk, passes)
-              .getOrElse { fallbacks += 1; runChunk(sfDir, cpus, chunk, passes) }
+              .getOrElse { fallbacks += 1; runChunk(sfDir, cpus, chunk, passes, fastSec) }
             warmupTotal += w
             chunkWarm += w
             rs.toMap
           }
           acc ++= chunk.map { n =>
-            val times = runs.map(_(n)._1).sorted
-            val ok = runs.forall(_(n)._2)
-            n -> (times(times.size / 2), ok)
+            val obs = runs.map(_(n))
+            val times = obs.map(_.sec).sorted
+            val agg = QMeasure(
+              sec = times(times.size / 2),
+              ok = obs.forall(_.ok),
+              passes = obs.map(_.passes).min,
+              cold = obs.map(_.cold).min)
+            n -> (agg, level)
           }
           levelCounts(level) = levelCounts.getOrElse(level, 0) + chunk.size
-          // refine warmup and steady estimates SEPARATELY from this chunk:
-          // one chunk-run = startup + chunk×warmup + chunk×passes×steady.
-          // The child reports its warmup pass directly, so the steady
-          // estimate is wall minus startup minus MEASURED warmup — not a
-          // (1+passes) smear that prices warmup as a steady pass (r9's bug).
+          // refine the cost-model terms SEPARATELY from this chunk:
+          // one chunk-run = startup + Σcold + Σsteady + Σ(extra fast pass).
+          // The child reports cold passes directly, and each fast query's
+          // reported sec prices its extra pass, so the steady estimate is
+          // wall minus startup minus MEASURED cold minus MEASURED extra —
+          // not a (1+passes) smear that prices cold as steady (r9's bug).
           val wAvg = chunkWarm / repeats
           val wObs = wAvg / chunk.size
           if (wObs > 0) wEst = 0.5 * wEst + 0.5 * wObs
-          val qObs = ((elapsed() - c0) / repeats - startEst - wAvg) /
-            (chunk.size * passes)
+          val fastObs = runs.head.values.filter(_.passes >= 2).toSeq
+          fFrac = 0.5 * fFrac + 0.5 * (fastObs.size.toDouble / chunk.size)
+          if (fastObs.nonEmpty)
+            fAvg = 0.5 * fAvg + 0.5 * (fastObs.map(_.sec).sum / fastObs.size)
+          val qObs = ((elapsed() - c0) / repeats - startEst - wAvg -
+            fastObs.map(_.sec).sum) / chunk.size
           if (qObs > 0) qEst = 0.5 * qEst + 0.5 * qObs
         }
         val skipped = remaining
-        val results: Seq[(String, (Double, Boolean))] = acc.toSeq
+        val rich: Seq[(String, (QMeasure, Int))] = acc.toSeq
+        val results: Seq[(String, (Double, Boolean))] =
+          rich.map { case (n, (m, _)) => n -> (m.sec, m.ok) }
         def f2(d: Double) = "%.2f".format(d)
         val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }.mkString("[", ",", "]")
         val total = results.map(_._2._1).sum
@@ -405,8 +460,14 @@ object Bench {
         // commit it alongside each record run.
         val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL", "bench_detail.json")
         if (detailPath.nonEmpty) try {
-          val qjson = results.sortBy(_._1).map { case (n, (v, ok)) =>
-            s"""    "$n": {"sec": ${f2(v)}, "ok": $ok}"""
+          // `lvl` = ladder level the query ran at; `passes` = steady timed
+          // passes behind the reported min (2 = record-round methodology;
+          // 1 = min(cold, timed) — commit-floor or over-threshold query);
+          // `cold` = the codegen+JIT first-execution seconds. These three
+          // fields are what let a reader separate "slow plan" from
+          // "single-pass measurement" without a re-run (the r11 gap).
+          val qjson = rich.sortBy(_._1).map { case (n, (m, lvl)) =>
+            s"""    "$n": {"sec": ${f2(m.sec)}, "ok": ${m.ok}, "lvl": $lvl, "passes": ${m.passes}, "cold": ${f2(m.cold)}}"""
           }.mkString("{\n", ",\n", "\n  }")
           val lvlJson = levelCounts.toSeq
             .map { case (l, n) =>
@@ -422,6 +483,8 @@ object Bench {
                |  "sf": "$sfDir",
                |  "cpus": "$cpus",
                |  "budget_sec": ${"%.0f".format(budgetSec)},
+               |  "fast_sec": $fastSec,
+               |  "n_2pass": ${rich.count(_._2._1.passes >= 2)},
                |  "levels": $lvlJson,
                |  "skipped": $skJson,
                |  "warmup_sec": ${"%.0f".format(warmupTotal)},
