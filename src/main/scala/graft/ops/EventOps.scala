@@ -693,7 +693,10 @@ object EventOps {
       .foldLeft(when(col(typeCol) === alphabet.head._1, lit(alphabet.head._2))) {
         case (acc, (t, c)) => acc.when(col(typeCol) === t, lit(c))
       }.otherwise(lit(other))
-    val matches = expr(s"regexp_extract_all(seq, '$pattern', 0)")
+    // typed Column API, not SQL-string interpolation: a pattern holding a
+    // quote or backslash must reach the regex engine verbatim, never the
+    // SQL parser
+    val matches = regexp_extract_all(col("seq"), lit(pattern), lit(0))
     events
       .select(col(userCol).as("user_id"),
         struct(col(tsCol), col(idCol), mapped.as("c")).as("st"))

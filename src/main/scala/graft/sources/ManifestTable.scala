@@ -2466,7 +2466,12 @@ object ManifestTable {
         require(f.exists(new Path(new Path(srcDir, "_manifests"), fromName)),
           s"version $sinceVersion not found (vacuumed, or never committed) in $srcDir")
         val old = manifestRel(f, srcDir, fromName).toSet
-        if (old.subsetOf(curRel.toSet)) (curRel.filterNot(old), false)
+        // a DV delete is a SIDECAR-only change: the data-file set is
+        // unchanged, but rows already folded into the rollup are gone
+        // from the source — only a re-bootstrap can subtract them
+        val dvSame = manifestDvLines(f, srcDir, fromName).toSet ==
+          manifestDvLines(f, srcDir, curName).toSet
+        if (old.subsetOf(curRel.toSet) && dvSame) (curRel.filterNot(old), false)
         // rewrite commit since the last refresh: an incremental fold
         // would double-count the rewritten files — recompute from scratch
         else (curRel, true)
@@ -2524,7 +2529,13 @@ object ManifestTable {
         require(f.exists(new Path(new Path(srcDir, "_manifests"), fromName)),
           s"version $sinceVersion not found (vacuumed, or never committed) in $srcDir")
         val old = manifestRel(f, srcDir, fromName).toSet
-        if (old.subsetOf(curRel.toSet)) (curRel.filterNot(old), false)
+        // same DV-sidecar blind spot as maintainRollup: a delete that
+        // changes no data file still invalidates already-landed target
+        // rows, and the 'outDir equals srcDir LEFT JOIN dim' contract
+        // only survives via re-bootstrap
+        val dvSame = manifestDvLines(f, srcDir, fromName).toSet ==
+          manifestDvLines(f, srcDir, curName).toSet
+        if (old.subsetOf(curRel.toSet) && dvSame) (curRel.filterNot(old), false)
         else (curRel, true)
       }
     if (added.isEmpty) return curV
@@ -3263,10 +3274,20 @@ object ManifestTable {
       files.toSeq.zip(rel).map { case (p, r) =>
         sizeLineOf(r, f.getFileStatus(p).getLen, parquetRowCount(conf, p))
       }
-    // table-level constraints survive the rewrite; a full-snapshot layout
-    // rewrite voids an #indexof binding exactly like commit() does
+    // a layout rewrite leaves CONTENT unchanged, so everything the
+    // sibling rewrites (compactSorted/compactZOrder via
+    // commitCarryingChecks(carryIndexOf = true)) carry holds here too:
+    // #check/#unique constraints, the #indexof source binding, the
+    // #streambatch idempotence markers (dropping them would let a
+    // foreachBatch replay after this compaction double-append), and
+    // #meta corpus stats — EXCEPT a stale bucket-layout #meta line from
+    // a previous compactBucketed, which this commit's own layout line
+    // replaces.
+    val staleLayout = metaLine(BucketMetaKey, "").takeWhile(_ != '|') + "|"
     val checks = manifestLines(f, dir, name)
-      .filter(l => l.startsWith("#check=") || l.startsWith("#unique="))
+      .filter(l => l.startsWith("#check=") || l.startsWith("#unique=") ||
+        l.startsWith("#indexof=") || l.startsWith("#streambatch=") ||
+        (l.startsWith("#meta=") && !l.startsWith(staleLayout)))
     val layout = metaLine(BucketMetaKey, s"$column|$numBuckets")
     val staged = claimManifestSlot(spark, dir,
       ((s"#schema=${base.schema.json}" +:
@@ -3531,14 +3552,39 @@ object ManifestTable {
         }
         throw e
     }
-    commitTxnPins(spark, txnDir,
-      staged.map { case (n, dir, sc) => (n, dir, sc.version) })
+    // The per-table publishes have landed; only the catalog record is
+    // contended now. A concurrent catalog commit makes commitTxnPins
+    // refuse (stale basis) — retrying re-merges against the fresh state,
+    // which is exactly the right resolution since pin maps for distinct
+    // member names commute.
+    val pins = staged.map { case (n, dir, sc) => (n, dir, sc.version) }
+    var attempt = 0
+    var out = -1L
+    var done = false
+    while (!done) {
+      try { out = commitTxnPins(spark, txnDir, pins); done = true }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= 10) throw e
+      }
+    }
+    out
   }
 
   /** Move the catalog pointer to pin `(name, dir, version)` members —
     * registering already-committed snapshots without publishing anything.
     * Previous pins for other names carry forward; the new record claims
-    * the next `txn-<seq>` slot and lands with one atomic pointer swap. */
+    * the next `txn-<seq>` slot and lands with one atomic pointer swap.
+    *
+    * Optimistic concurrency (mirrors [[publish]]): the merged record is
+    * derived from the catalog state at entry; a slot claim alone cannot
+    * prevent two concurrent committers from both merging off the same
+    * basis and the later swap silently dropping the earlier one's pins
+    * (lost update). Before the swap the pointer is re-read — if it moved
+    * past the basis, the claimed txn record is deleted and the commit is
+    * refused with `ConcurrentModificationException`; the caller re-reads
+    * fresh state and retries (which re-merges the surviving pins). */
   def commitTxnPins(
       spark: SparkSession,
       txnDir: String,
@@ -3547,10 +3593,11 @@ object ManifestTable {
     val f = fs(txnDir, spark)
     val tdir = new Path(txnDir, "_txns")
     f.mkdirs(tdir)
+    val basis = txnVersion(spark, txnDir)
     val merged = txnState(spark, txnDir) ++
       pins.map { case (n, d, v) => n -> TxnPin(d, v) }
     val content = txnRecordOf(merged)
-    var seq = txnVersion(spark, txnDir) + 1
+    var seq = basis + 1
     var attempts = 0
     while (!createExclusive(f, new Path(tdir, f"txn-$seq%020d.txt"), content)) {
       seq += 1
@@ -3558,6 +3605,14 @@ object ManifestTable {
       require(attempts < 1000, s"cannot claim a txn slot in $tdir")
     }
     val name = f"txn-$seq%020d.txt"
+    val nowV = txnVersion(spark, txnDir)
+    if (nowV != basis) {
+      f.delete(new Path(tdir, name), false)
+      throw new java.util.ConcurrentModificationException(
+        s"catalog $txnDir moved txn-$basis -> txn-$nowV while pins were " +
+          "being committed — the merged record is based on stale state; " +
+          "re-read and retry")
+    }
     val ptrTmp = new Path(txnDir, s".$TxnPointerName.tmp.${UUID.randomUUID()}")
     writeSmallFile(f, ptrTmp, name)
     val fc = FileContext.getFileContext(

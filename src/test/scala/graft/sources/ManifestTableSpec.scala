@@ -1972,4 +1972,62 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
       ManifestTable.txnState(spark, cat)("a").version shouldBe 0L
     } finally { rm(cat); rm(da); rm(db) }
   }
+
+  it should "carry #streambatch, #indexof and #meta through a bucket layout rewrite" in {
+    val corpusDir = tmpDir(); val dir = tmpDir()
+    try {
+      val v0 = ManifestTable.commit(spark, corpusDir,
+        Seq((1L, "a")).toDF("id", "term")).version
+      ManifestTable.commitIndex(spark, dir,
+        Seq((1L, 7L)).toDF("id", "v"), corpusDir, v0,
+        meta = Map("retrieval.n_docs" -> "1"))
+      ManifestTable.appendStamped(spark, dir,
+        Seq((2L, 8L)).toDF("id", "v"), "s1", 3L)
+      ManifestTable.compactBucketed(spark, dir, "id", numBuckets = 2)
+      // a layout rewrite changes no content: the stream-batch idempotence
+      // marker, the index source binding, and corpus stats all survive
+      // (dropping #streambatch would let a foreachBatch replay after the
+      // compaction double-append)
+      ManifestTable.lastStreamBatch(spark, dir, "s1") shouldBe Some(3L)
+      ManifestTable.properties(spark, dir)
+        .get("retrieval.n_docs") shouldBe Some("1")
+      // re-bucketing replaces the layout spec instead of stacking a
+      // second stale #meta line
+      ManifestTable.compactBucketed(spark, dir, "id", numBuckets = 4)
+      ManifestTable.properties(spark, dir)
+        .get("layout.bucket") shouldBe Some("id|4")
+      ManifestTable.lastStreamBatch(spark, dir, "s1") shouldBe Some(3L)
+      ManifestTable.readWhereEqualsBucketed(spark, dir, 2L)
+        .collect().map(_.getLong(1)) shouldBe Array(8L)
+    } finally { rm(corpusDir); rm(dir) }
+  }
+
+  it should "re-bootstrap a rollup and an enrichment when the source takes a DV-only delete" in {
+    val src = tmpDir(); val agg = tmpDir(); val out = tmpDir()
+    try {
+      ManifestTable.commit(spark, src,
+        Seq((1L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("k", "v"))
+      var wr = ManifestTable.maintainRollup(spark, src, agg, -1L, "k", "v")
+      val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+      var we = ManifestTable.maintainEnriched(spark, src, out, -1L, dim, "k")
+      // sidecar-only change: same data files, one row gone behind a DV
+      ManifestTable.deleteVectorWhere(spark, src, "v", 2.0, 2.0)
+      ManifestTable.read(spark, src).count() shouldBe 2L
+      // the file-set diff alone would see "no change" and silently keep
+      // the deleted row in both targets — the DV-line diff forces the
+      // re-bootstrap that keeps the stated equality contracts
+      wr = ManifestTable.maintainRollup(spark, src, agg, wr, "k", "v")
+      ManifestTable.read(spark, agg)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).sorted shouldBe
+        Array((1L, 1.0), (2L, 3.0))
+      we = ManifestTable.maintainEnriched(spark, src, out, we, dim, "k")
+      ManifestTable.read(spark, out).count() shouldBe 2L
+      // and the refresh after the re-bootstrap is incremental again
+      ManifestTable.append(spark, src, Seq((3L, 4.0)).toDF("k", "v"))
+      val outV = ManifestTable.currentVersion(spark, out)
+      ManifestTable.maintainEnriched(spark, src, out, we, dim, "k")
+      ManifestTable.currentVersion(spark, out) shouldBe outV + 1
+      ManifestTable.read(spark, out).count() shouldBe 3L
+    } finally { rm(src); rm(agg); rm(out) }
+  }
 }
