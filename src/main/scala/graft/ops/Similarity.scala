@@ -340,18 +340,28 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
     var round = 0
+    val dim = cent.headOption.map(_._2.size).getOrElse(0)
     while (round < rounds && cent.nonEmpty) {
+      // Re-center as ONE hash aggregate with a per-position sum column
+      // per dimension, grouped directly on the nearest-cell expression.
+      // NOT a posexplode: Catalyst collapses a pre-Generate projection
+      // into the post-Generate one, so an exploded shape re-evaluates
+      // the k-cosine cell assignment on every (row, pos) pair — dim×
+      // the necessary work (measured 64× on the 64-d embeddings; this
+      // shape cut each Lloyd job ~1 s → ~0.15 s). Here the assignment
+      // runs once per row as the grouping key; the shuffle carries
+      // k·(dim+1) partial sums and the driver still holds k·dim doubles.
+      // DECIMAL sums are order-independent, so the centroids are
+      // bit-identical to the exploded formulation (and the oracle's).
+      val sumCols = (1 to dim).map(i =>
+        sum(element_at(col("v"), i).cast(DecimalType(27, 12))).as(s"s$i"))
       val sums = vecs
-        .select(nearestCell(cos)(col("v"), cent).as("cell"),
-          posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos")
-        .agg(sum(col("x").cast(DecimalType(27, 12))).as("s"), count(lit(1)).as("n"))
+        .groupBy(nearestCell(cos)(col("v"), cent).as("cell"))
+        .agg(count(lit(1)).as("n"), sumCols: _*)
         .collect()
       cent = sums.toSeq
-        .map(r => (r.getLong(0), r.getInt(1),
-          r.getDecimal(2).doubleValue() / r.getLong(3)))
-        .groupBy(_._1).toSeq
-        .map { case (cell, xs) => (cell, xs.sortBy(_._2).map(_._3)) }
+        .map(r => (r.getLong(0),
+          (0 until dim).map(i => r.getDecimal(2 + i).doubleValue() / r.getLong(1)): Seq[Double]))
         .sortBy(_._1)
       round += 1
     }
@@ -613,6 +623,15 @@ object Similarity {
       // the posexploded components group by (subspace, cell, pos) with
       // DECIMAL-routed map-side-combinable sums — the shuffle carries
       // m·k·(dim/m) = k·dim partial sums, the driver holds k·dim doubles.
+      // (Catalyst collapses the cells projection above the Generate, so
+      // the cell assignments re-evaluate per exploded component — dim×
+      // redundant map-side cosine compute. A generator-internal struct
+      // explode that assigns cells once per row was tried and MEASURED
+      // SLOWER at every scale tested: the per-row struct/array
+      // allocations cost more than the redundant fused multiply-adds,
+      // which stay cheap precisely because they are collapse-inlined
+      // into one codegen stage. Keep this shape unless a measurement
+      // says otherwise.)
       val cells = (0 until m).map { j =>
         nearestCell(cos)(slice(col("v"), j * sub + 1, sub), books(j)).as(s"c$j")
       }
@@ -636,6 +655,103 @@ object Similarity {
       round += 1
     }
     books
+  }
+
+  /** Train the `by_residual=false` AND `by_residual=true` PQ codebooks
+    * in the SAME Spark jobs — the eval-harness companion to
+    * [[ivfPqTopK]]/[[ivfPqResidualTopK]]: a flat-vs-residual comparison
+    * needs both books over one corpus, and training them separately
+    * doubles the seed job and every Lloyd round. Here each corpus vector
+    * contributes two training rows (its raw self and its residual
+    * against `coarse`) built INSIDE one explode's generator — evaluated
+    * once per row — so one seed job and one aggregate per round train
+    * both arms. Seeds and per-(arm, subspace, cell, pos) DECIMAL sums
+    * are exactly those of two separate [[pqCodebooks]] runs, so the
+    * returned (flat, residual) books are bit-identical to separate
+    * training at the same parameters.
+    *
+    * Scale shape: 2× the training rows through the same
+    * map-side-combinable aggregate; driver state stays 2·m·pqK·(dim/m)
+    * doubles. */
+  def pqCodebooksPaired(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Seq[(Long, Seq[Double])],
+      dim: Int,
+      m: Int = 4,
+      pqK: Int = 16,
+      lloydRounds: Int = 2
+  ): (IndexedSeq[Seq[(Long, Seq[Double])]], IndexedSeq[Seq[(Long, Seq[Double])]]) = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    import org.apache.spark.sql.types.DecimalType
+    val sub = dim / m
+    val cos = cosineFor(corpus.sparkSession) _
+    val centMap = typedlit(coarse.toMap)
+    val raw = corpus.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+      .filter(col("v").isNotNull)
+    // arm 0 = raw vector, arm 1 = residual vs the shared coarse cell;
+    // both rows come out of ONE generator evaluation per corpus vector
+    val both = raw.select(col("id"), explode(array(
+        struct(lit(0).as("arm"), col("v").as("v")),
+        struct(lit(1).as("arm"),
+          zip_with(col("v"),
+            element_at(centMap, nearestCell(cos)(col("v"), coarse)),
+            (x, c) => x - c).as("v"))
+      )).as("e"))
+      .select(col("id"), col("e.arm").as("arm"), col("e.v").as("v"))
+    // one seed job for both arms: the pqK md5-smallest ids per arm are
+    // the SAME ids, ranked exactly as pqCodebooks' orderBy-limit
+    val wSeed = Window.partitionBy("arm")
+      .orderBy(md5(col("id").cast("string")), col("id"))
+    val seedRows = both.withColumn("rn", row_number().over(wSeed))
+      .filter(col("rn") <= pqK)
+      .select(col("arm"), col("id"), col("v")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+    def seedBooks(arm: Int): IndexedSeq[Seq[(Long, Seq[Double])]] = {
+      val rows = seedRows.filter(_._1 == arm).map(t => (t._2, t._3))
+        .sortBy(_._1).toSeq
+      (0 until m).map { j =>
+        rows.map { case (cid, v) => (cid, v.slice(j * sub, (j + 1) * sub)) }
+      }
+    }
+    var books = IndexedSeq(seedBooks(0), seedBooks(1))
+    var round = 0
+    while (round < lloydRounds) {
+      // one aggregate re-centers both arms × every subspace (the
+      // pqCodebooks shape with `arm` joining the group key; the same
+      // collapse-inlined cell recompute tradeoff applies — see there)
+      val cells = (0 until m).map { j =>
+        when(col("arm") === 0,
+            nearestCell(cos)(slice(col("v"), j * sub + 1, sub), books(0)(j)))
+          .otherwise(
+            nearestCell(cos)(slice(col("v"), j * sub + 1, sub), books(1)(j)))
+          .as(s"c$j")
+      }
+      val sums = both.select(col("arm") +: col("v") +: cells: _*)
+        .select(col("arm"),
+          array((0 until m).map(j => col(s"c$j")): _*).as("cs"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("arm"), (col("pos") / sub).cast("int").as("j"),
+          element_at(col("cs"), (col("pos") / sub).cast("int") + 1).as("cell"),
+          pmod(col("pos"), lit(sub)).as("pos"), col("x"))
+        .groupBy("arm", "j", "cell", "pos")
+        .agg(sum(col("x").cast(DecimalType(27, 12))).as("s"), count(lit(1)).as("n"))
+        .collect()
+      books = IndexedSeq(0, 1).map { arm =>
+        (0 until m).map { j =>
+          sums.filter(r => r.getInt(0) == arm && r.getInt(1) == j).toSeq
+            .map(r => (r.getLong(2), r.getInt(3),
+              r.getDecimal(4).doubleValue() / r.getLong(5)))
+            .groupBy(_._1).toSeq
+            .map { case (cell, xs) => (cell, xs.sortBy(_._2).map(_._3)) }
+            .sortBy(_._1)
+        }
+      }
+      round += 1
+    }
+    (books(0), books(1))
   }
 
   /** IVF (inverted-file) approximate top-k — the classic ANN scale shape.
@@ -735,14 +851,22 @@ object Similarity {
       lloydRounds: Int = 2,
       nprobe: Int = 4,
       m: Int = 4,
-      pqK: Int = 16
+      pqK: Int = 16,
+      coarse: Option[Seq[(Long, Seq[Double])]] = None,
+      pqBooks: Option[IndexedSeq[Seq[(Long, Seq[Double])]]] = None
   ): DataFrame = {
     val cos = cosineFor(corpus.sparkSession) _
-    val cent = kmeansCentroids(corpus, idCol, vecCol, numCentroids, lloydRounds)
+    // `coarse`/`pqBooks` let an eval harness train the quantizers ONCE
+    // and share them across index variants (the sweep/tuner precedent):
+    // the Lloyd rounds are driver-collected jobs over the corpus,
+    // identical for every variant that shares the training parameters.
+    val cent = coarse.getOrElse(
+      kmeansCentroids(corpus, idCol, vecCol, numCentroids, lloydRounds))
     if (cent.isEmpty)
       return queries.limit(0).select(col(idCol).as("query_id"),
         col(idCol).as("neighbor_id"), lit(0.0).as("sim"), lit(0).as("rank"))
-    val books = pqCodebooks(corpus, idCol, vecCol, dim, m, pqK, lloydRounds)
+    val books = pqBooks.getOrElse(
+      pqCodebooks(corpus, idCol, vecCol, dim, m, pqK, lloydRounds))
 
     // one projection builds the whole inverted file: cell + code
     val assigned = corpus
@@ -799,10 +923,18 @@ object Similarity {
       lloydRounds: Int = 2,
       nprobe: Int = 4,
       m: Int = 4,
-      pqK: Int = 16
+      pqK: Int = 16,
+      coarse: Option[Seq[(Long, Seq[Double])]] = None,
+      pqBooks: Option[IndexedSeq[Seq[(Long, Seq[Double])]]] = None,
+      scope: CacheScope = new CacheScope
   ): DataFrame = {
     val cos = cosineFor(corpus.sparkSession) _
-    val cent = kmeansCentroids(corpus, idCol, vecCol, numCentroids, lloydRounds)
+    // see ivfPqTopK: a shared pre-trained coarse quantizer makes flat-vs-
+    // residual comparisons differ ONLY in the PQ encoding, and halves the
+    // eval bill; `pqBooks` takes residual-trained books (e.g. from
+    // [[pqCodebooksPaired]]) and skips training entirely
+    val cent = coarse.getOrElse(
+      kmeansCentroids(corpus, idCol, vecCol, numCentroids, lloydRounds))
     if (cent.isEmpty)
       return queries.limit(0).select(col(idCol).as("query_id"),
         col(idCol).as("neighbor_id"), lit(0.0).as("sim"), lit(0).as("rank"))
@@ -810,14 +942,21 @@ object Similarity {
     val vecs = corpus.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), _.cast("double")).as("v"))
       .filter(col("v").isNotNull)
-    // cell + residual in one projection
-    val resid = vecs
+    // cell + residual in one projection — CACHED through `scope` when
+    // codebook training will re-read it (once per seed/Lloyd job plus
+    // the inverted-file assignment; at index-build scale you'd persist
+    // it to a table, and MEMORY_AND_DISK is the same decision
+    // in-session). With pre-trained books the frame has exactly one
+    // consumer and caching would be pure overhead.
+    val residPlain = vecs
       .select(col("id"), nearestCell(cos)(col("v"), cent).as("cell"), col("v"))
       .select(col("id"), col("cell"),
         zip_with(col("v"), element_at(centMap, col("cell")),
           (x, c) => x - c).as("rv"))
+    val resid = if (pqBooks.isEmpty) scope.cache(residPlain) else residPlain
     // the PQ codebooks train on the RESIDUALS
-    val books = pqCodebooks(resid, "id", "rv", dim, m, pqK, lloydRounds)
+    val books = pqBooks.getOrElse(
+      pqCodebooks(resid, "id", "rv", dim, m, pqK, lloydRounds))
     // inverted file: reconstruction = coarse centroid + residual recon
     val assigned = resid.select(col("id").as("neighbor_id"), col("cell"),
       zip_with(element_at(centMap, col("cell")),

@@ -3133,6 +3133,40 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "train paired PQ codebooks bit-identical to separate training" in {
+    // pqCodebooksPaired exists so a flat-vs-residual eval pays ONE seed
+    // job and ONE aggregate per Lloyd round for both arms — the whole
+    // point dies if the shared jobs drift from separate training, so
+    // the equality is exact, not approximate.
+    val base = Seq(
+      Seq(10f, 0f, 0f, 0f), Seq(0f, 10f, 0f, 0f),
+      Seq(0f, 0f, 10f, 0f), Seq(0f, 0f, 0f, 10f))
+    val vecs = (0L until 48L).map { i =>
+      val c = base((i % 4).toInt)
+      (i, c.zipWithIndex.map { case (x, j) =>
+        x + ((i * 7 + j * 3) % 5).toFloat * 0.3f - 0.6f })
+    }.toDF("vec_id", "embedding")
+    val cent = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 4, rounds = 2)
+    val (fb, rb) = Similarity.pqCodebooksPaired(vecs, "vec_id", "embedding",
+      cent, dim = 4, m = 2, pqK = 4, lloydRounds = 2)
+    val fbSep = Similarity.pqCodebooks(vecs, "vec_id", "embedding",
+      dim = 4, m = 2, k = 4, lloydRounds = 2)
+    fb shouldBe fbSep
+    // the residual arm reproduces training over the residual frame: the
+    // paired books must drive ivfPqResidualTopK to the same rows as its
+    // own internal training
+    val q = vecs.filter(col("vec_id") < 3)
+    val own = Similarity.ivfPqResidualTopK(vecs, q, "vec_id", "embedding",
+      dim = 4, k = 5, numCentroids = 4, lloydRounds = 2, nprobe = 2,
+      m = 2, pqK = 4, coarse = Some(cent)).collect().map(_.toString).sorted
+    val paired = Similarity.ivfPqResidualTopK(vecs, q, "vec_id", "embedding",
+      dim = 4, k = 5, numCentroids = 4, lloydRounds = 2, nprobe = 2,
+      m = 2, pqK = 4, coarse = Some(cent), pqBooks = Some(rb))
+      .collect().map(_.toString).sorted
+    paired shouldBe own
+  }
+
   it should "report cell stats whose shares sum to 1 and uniform imbalance ~ 1" in {
     // 4 tight, equally-sized clusters -> each found cell holds ~12
     // vectors; shares are exact twelfths and imbalance sits at 1
