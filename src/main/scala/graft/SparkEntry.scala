@@ -964,6 +964,19 @@ object SparkEntry {
         spread(s, table(s, dir, "embeddings")), "vec_id", "embedding",
         numCentroids = 16, lloydRounds = 2)),
 
+    // Extension: the ACTUATOR on the cellstats readout (r11 VERDICT ask):
+    // a retrain-vs-keep verdict per occupancy-budget threshold — the
+    // smallest candidate k whose retrained hottest cell fits τ% of the
+    // current-k uniform occupancy, candidates trained lazily and
+    // memoized so a healthy index answers with zero retrains. The
+    // integer-exact budget comparison and deterministic training make
+    // the verdict row DuckDB-replayable bit-for-bit.
+    "sim_ivf_rebalance" -> ((s, dir) =>
+      graft.ops.Similarity.ivfRebalanceAdvice(
+        spread(s, table(s, dir, "embeddings")), "vec_id", "embedding",
+        curK = 16, candidates = Seq(16, 24, 32),
+        thresholdsPct = Seq(125, 110), lloydRounds = 2)),
+
     // Extension: per-label embedding-distribution DRIFT between corpus
     // halves — each side's DECIMAL-routed per-label centroid, compared
     // by cosine: the embedding-space governance check you run before
@@ -5344,6 +5357,42 @@ object SparkEntry {
       |rnk AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored)""".stripMargin
   }
 
+  /** Replays ivfRebalanceAdvice: one kmeans chain per candidate k, the
+    * integer-exact occupancy-budget comparison, smallest-meeting-k per
+    * threshold with the argmin fallback. */
+  private lazy val ivfRebalanceOracleSql: String = {
+    def chain(k: Int): String =
+      s"""seeds$k AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+         |c1_$k AS ${lloydRoundSqlFrom("e", s"seeds$k", 64)},
+         |c2_$k AS ${lloydRoundSqlFrom("e", s"c1_$k", 64)},
+         |cnt_$k AS (SELECT cell, count(*) AS n FROM (SELECT vec_id, cent_id AS cell FROM (
+         |  SELECT e.vec_id, c.cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cent_id) AS rn FROM e, c2_$k c) WHERE rn = 1) GROUP BY cell),
+         |st_$k AS (SELECT $k AS k, max(n) AS max_n, sum(n) AS total FROM cnt_$k)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |${chain(16)},
+       |${chain(24)},
+       |${chain(32)},
+       |cand AS (SELECT * FROM st_16 UNION ALL SELECT * FROM st_24 UNION ALL SELECT * FROM st_32),
+       |taus AS (SELECT unnest([125, 110]) AS threshold_pct),
+       |meets AS (SELECT t.threshold_pct, c.k FROM taus t JOIN cand c
+       |  ON c.max_n * 16 * 100 <= t.threshold_pct * c.total),
+       |pick AS (SELECT threshold_pct, min(k) AS k FROM meets GROUP BY 1),
+       |fallback AS (SELECT threshold_pct, k FROM (
+       |  SELECT t.threshold_pct, c.k,
+       |    row_number() OVER (PARTITION BY t.threshold_pct ORDER BY c.max_n, c.k) AS rn
+       |  FROM taus t, cand c) WHERE rn = 1),
+       |chosen AS (SELECT t.threshold_pct, coalesce(p.k, f.k) AS k FROM taus t
+       |  LEFT JOIN pick p USING (threshold_pct)
+       |  JOIN fallback f ON f.threshold_pct = t.threshold_pct)
+       |SELECT CAST(ch.threshold_pct AS INTEGER) AS threshold_pct,
+       |  CAST(16 AS INTEGER) AS cur_k,
+       |  CAST(cur.max_n AS BIGINT) AS cur_max_n,
+       |  CASE WHEN ch.k = 16 THEN 'keep' ELSE 'retrain' END AS decision,
+       |  CAST(ch.k AS INTEGER) AS chosen_k,
+       |  CAST(cc.max_n AS BIGINT) AS chosen_max_n
+       |FROM chosen ch CROSS JOIN st_16 cur JOIN cand cc ON cc.k = ch.k""".stripMargin
+  }
+
   private lazy val ivfpqResidualOracleSql: String =
     s"""$ivfpqResidualChainSql
       |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS "rank", round(sim, 6) AS sim FROM rnk WHERE rk <= 5""".stripMargin
@@ -6196,6 +6245,7 @@ object SparkEntry {
     "sim_ivfpq_residual" -> ivfpqResidualOracleSql,
 
     "sim_ivfpq_residual_recall" -> ivfpqResidualRecallOracleSql,
+    "sim_ivf_rebalance" -> ivfRebalanceOracleSql,
 
     // The full-corpus codebook's cell assignment (ivfTopkOracleSql's
     // cells CTE), occupancy-profiled.

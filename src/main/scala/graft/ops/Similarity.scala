@@ -499,6 +499,56 @@ object Similarity {
           .as("imbalance"))
   }
 
+  /** IVF REBALANCE advice — the ACTUATOR on [[ivfCellStats]]' readout:
+    * decide retrain-vs-keep from measured cell occupancy, one verdict
+    * row per policy threshold. A probe pays its cells' occupancy, so
+    * the policy is an absolute hottest-cell budget expressed against
+    * the CURRENT k's uniform occupancy: candidate k meets threshold τ%
+    * iff `max_cell_n · curK · 100 <= τ · n` (integer arithmetic — the
+    * comparison is exact on any engine). The verdict per threshold is
+    * the SMALLEST candidate k that meets it (candidates ordered; `keep`
+    * when that is the current k, `retrain` otherwise); if none meets,
+    * the candidate with the smallest hottest cell (ties to smaller k).
+    *
+    * Cost & scale shape: candidate indexes train LAZILY, smallest k
+    * first, memoized across thresholds — a healthy index answers every
+    * threshold from its own stats with zero retrains. Each training is
+    * [[kmeansCentroids]] (k·dim driver doubles) plus one cell-count
+    * aggregate; the verdict itself is computed from k-sized driver
+    * state. */
+  def ivfRebalanceAdvice(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      curK: Int = 16,
+      candidates: Seq[Int] = Seq(16, 24, 32),
+      thresholdsPct: Seq[Int] = Seq(125, 110),
+      lloydRounds: Int = 2
+  ): DataFrame = {
+    require(candidates.contains(curK), s"candidates must include curK=$curK")
+    val spark = corpus.sparkSession
+    val memo = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+    def statsOf(k: Int): (Long, Long) = memo.getOrElseUpdate(k, {
+      val (_, assigned) = ivfIndex(corpus, idCol, vecCol, k, lloydRounds)
+      val r = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("mx"), sum(col("n")).as("tot")).head()
+      (r.getLong(0), r.getLong(1))
+    })
+    val rows = thresholdsPct.map { tau =>
+      val (curMax, total) = statsOf(curK)
+      def meets(k: Int): Boolean =
+        statsOf(k)._1 * curK * 100L <= tau.toLong * total
+      val chosen = candidates.find(meets).getOrElse(
+        candidates.map(k => (statsOf(k)._1, k)).min._2)
+      (tau, curK, curMax,
+        if (chosen == curK) "keep" else "retrain",
+        chosen, statsOf(chosen)._1)
+    }
+    import spark.implicits._
+    rows.toDF("threshold_pct", "cur_k", "cur_max_n",
+      "decision", "chosen_k", "chosen_max_n")
+  }
+
   /** Per-label EMBEDDING-DISTRIBUTION DRIFT between two corpus slices —
     * the embedding-space twin of the PSI text drift check: each side's
     * per-label centroid (component means, DECIMAL-routed so the result

@@ -3133,6 +3133,33 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "advise keep under a loose occupancy budget and retrain under a tight one" in {
+    // 3 clusters of very different sizes: at curK=3 the hottest cell
+    // holds ~2/3 of the corpus, so a loose budget keeps and a tight one
+    // forces the retrain ladder upward
+    val vecs = (0L until 60L).map { i =>
+      val c = if (i < 40) Seq(10f, 0f, 0f, 0f)
+        else if (i < 52) Seq(0f, 10f, 0f, 0f) else Seq(0f, 0f, 10f, 0f)
+      (i, c.zipWithIndex.map { case (x, j) =>
+        x + ((i * 7 + j * 3) % 5).toFloat * 0.1f })
+    }.toDF("vec_id", "embedding")
+    // columns: threshold_pct, cur_k, cur_max_n, decision, chosen_k,
+    // chosen_max_n
+    val rows = Similarity.ivfRebalanceAdvice(vecs, "vec_id", "embedding",
+      curK = 3, candidates = Seq(3, 6, 12), thresholdsPct = Seq(300, 120))
+      .collect()
+    val byTau = rows.map(r => r.getInt(0) -> r).toMap
+    byTau(300).getString(3) shouldBe "keep"
+    byTau(300).getInt(4) shouldBe 3
+    // tight budget: a hot ~40-row cell cannot fit 120% of uniform (24
+    // rows); the ladder must move past curK
+    byTau(120).getString(3) shouldBe "retrain"
+    byTau(120).getInt(4) should be > 3
+    // a keep verdict's hottest cell always fits the budget it was
+    // judged against (integer-exact comparison)
+    byTau(300).getLong(5) * 3 * 100 should be <= 300L * 60L
+  }
+
   it should "train paired PQ codebooks bit-identical to separate training" in {
     // pqCodebooksPaired exists so a flat-vs-residual eval pays ONE seed
     // job and ONE aggregate per Lloyd round for both arms — the whole
