@@ -4026,6 +4026,29 @@ object SparkEntry {
             .cast("double"), 6).as("value_sum"))
     }),
 
+    // Extension: n-DIMENSIONAL Z-ORDER (r11 VERDICT ask) — compactZOrderN
+    // interleaves THREE dimensions' bits (n·i + j positions, n·bits ≤ 63)
+    // so a 3-sided range read keeps the intersection of three tight file
+    // stripes; readBetweenNd folds the per-column stats prunes over one
+    // snapshot resolution. Content equivalence is the oracle; the
+    // 3-way stripe-intersection census is pinned in ManifestTableSpec.
+    "ingest_manifest_zorder3" -> ((s, dir) => {
+      val out = scratch("manifest_zorder3")
+      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("value"))
+      graft.sources.ManifestTable.commit(s, out, ev.repartition(8))
+      graft.sources.ManifestTable.compactZOrderN(
+        s, out, Seq("event_id", "user_id", "value"), bits = 12, targetFiles = 8)
+      graft.sources.ManifestTable.vacuum(s, out): Unit
+      graft.sources.ManifestTable.readBetweenNd(s, out, Seq(
+          ("event_id", 100.0, 3000.0), ("user_id", 10.0, 80.0),
+          ("value", 5.0, 400.0)))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("event_id")).as("id_sum"),
+          round(sum(col("value")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double"), 6).as("value_sum"))
+    }),
+
     // Extension: manifest-table IN-LIST read — the batched point-lookup:
     // ONE pointer resolution and one stats-pruned scan answer the whole
     // value list (readWhereIn), where a per-value readBetween loop would
@@ -9573,6 +9596,15 @@ object SparkEntry {
         |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS value_sum
         |FROM events
         |WHERE event_id BETWEEN 100 AND 2000 AND user_id BETWEEN 10 AND 80""".stripMargin,
+
+    // The 3-d z-ordered table holds exactly the events frame; a 3-sided
+    // stats-pruned read equals the plain 3-sided filter.
+    "ingest_manifest_zorder3" ->
+      """SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS value_sum
+        |FROM events
+        |WHERE event_id BETWEEN 100 AND 3000 AND user_id BETWEEN 10 AND 80
+        |  AND value BETWEEN 5 AND 400""".stripMargin,
 
     // Live content survives the sweep bit-identically; the 8
     // pre-compaction files are the orphans; v0 is gone cleanly.

@@ -79,11 +79,26 @@ object Bucketing {
     * built-ins (2·bits shift/and/sum terms, fully codegen'd, no UDF), and
     * the same arithmetic is expressible in the DuckDB oracle. */
   def zValue(a: Column, b: Column, bits: Int): Column =
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc +
-        shiftleft(shiftright(a.cast("long"), i).bitwiseAND(1L), 2 * i) +
-        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(1L), 2 * i + 1)
+    zValueN(Seq(a, b), bits)
+
+  /** N-dimensional Morton interleave: bit i of column j lands at
+    * position n·i + j — the [[zValue]] arithmetic generalized to the
+    * 3–4-column clustering Delta/Iceberg users routinely ask of
+    * `OPTIMIZE ZORDER BY`. n·bits must stay ≤ 63 so the interleave fits
+    * a signed 64-bit value with no sign-bit cases (portable to any
+    * engine, including the DuckDB oracle). Still pure bit-op built-ins —
+    * n·bits shift/and/sum terms, fully codegen'd, no UDF. */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2, s"z-ordering needs at least 2 columns, got $n")
+    require(n * bits <= 63,
+      s"$n columns x $bits bits = ${n * bits} interleaved bits; max 63")
+    cols.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, j)) =>
+      (0 until bits).foldLeft(acc) { (a, i) =>
+        a + shiftleft(shiftright(c.cast("long"), i).bitwiseAND(1L), n * i + j)
+      }
     }
+  }
 
   /** Z-ordered parquet layout over two keys: range-partition and sort by
     * the interleaved z-value, then drop it — files end up clustered in both

@@ -3210,12 +3210,27 @@ object ManifestTable {
       colB: String,
       bits: Int,
       targetFiles: Int
+  ): StagedCommit =
+    compactZOrderN(spark, dir, Seq(colA, colB), bits, targetFiles)
+
+  /** [[compactZOrder]] over n ≥ 2 columns ([[graft.ops.Bucketing
+    * .zValueN]] — bit i of column j at position n·i + j, n·bits ≤ 63):
+    * each file's min/max stays tight on EVERY clustered column, so
+    * [[readBetweenNd]] intersects one tight stripe per predicate
+    * dimension. Cost is unchanged from the 2-column form — one shuffle
+    * (repartitionByRange on the interleave + local sort). */
+  def compactZOrderN(
+      spark: SparkSession,
+      dir: String,
+      cols: Seq[String],
+      bits: Int,
+      targetFiles: Int
   ): StagedCommit = {
     import org.apache.spark.sql.functions.col
     val base = read(spark, dir)
     val ordered = base
       .withColumn("__graft_z",
-        graft.ops.Bucketing.zValue(col(colA), col(colB), bits))
+        graft.ops.Bucketing.zValueN(cols.map(col), bits))
       .repartitionByRange(targetFiles, col("__graft_z"))
       .sortWithinPartitions(col("__graft_z"))
       .drop("__graft_z")
@@ -3359,17 +3374,35 @@ object ManifestTable {
       spark: SparkSession,
       dir: String,
       colA: String, loA: Double, hiA: Double,
-      colB: String, loB: Double, hiB: Double): DataFrame = {
+      colB: String, loB: Double, hiB: Double): DataFrame =
+    readBetweenNd(spark, dir, Seq((colA, loA, hiA), (colB, loB, hiB)))
+
+  /** [[readBetween2D]] over any number of `(column, lo, hi)` predicates:
+    * the kept file set is the INTERSECTION of every per-column stats
+    * prune — the read side of [[compactZOrderN]] (correct on any
+    * layout; fast on an n-d z-ordered one, where each dimension keeps
+    * one tight stripe). Row-level filters still apply: stats prune
+    * FILES, they never evaluate rows. */
+  def readBetweenNd(
+      spark: SparkSession,
+      dir: String,
+      ranges: Seq[(String, Double, Double)]): DataFrame = {
     import org.apache.spark.sql.functions.col
-    // ONE pointer resolution: both prunes and the DV lines evaluate
+    require(ranges.nonEmpty, "readBetweenNd needs at least one range")
+    // ONE pointer resolution: every prune and the DV lines evaluate
     // against the same snapshot (a commit landing between independent
     // resolutions could silently drop rows)
     val f = fs(dir, spark)
     val ptr = new Path(dir, PointerName)
     require(f.exists(ptr), s"not a manifest table (no $PointerName): $dir")
     val name = readSmallFile(f, ptr).trim
-    val keptA = pruneByRangeIn(spark, dir, name, colA, loA, hiA)._1.toSet
-    val kept = pruneByRangeIn(spark, dir, name, colB, loB, hiB)._1.filter(keptA)
+    val kept = ranges.tail.foldLeft(
+      pruneByRangeIn(spark, dir, name, ranges.head._1,
+        ranges.head._2, ranges.head._3)._1) {
+      case (acc, (c, lo, hi)) =>
+        val keep = pruneByRangeIn(spark, dir, name, c, lo, hi)._1.toSet
+        acc.filter(keep)
+    }
     val base =
       if (kept.isEmpty)
         spark.createDataFrame(
@@ -3377,7 +3410,8 @@ object ManifestTable {
           currentSchema(spark, dir).getOrElse(read(spark, dir).schema))
       else applyDv(spark, dir, spark.read.parquet(kept: _*),
         dvRelsOf(manifestDvLines(f, dir, name)))
-    base.filter(col(colA).between(loA, hiA) && col(colB).between(loB, hiB))
+    base.filter(ranges.map { case (c, lo, hi) => col(c).between(lo, hi) }
+      .reduce(_ && _))
   }
 
   /** Delete data files no longer referenced by the CURRENT manifest —

@@ -1312,6 +1312,39 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
     } finally rm(dir)
   }
 
+  it should "skip files on three dimensions after an n-d z-order compaction" in {
+    val dir = tmpDir()
+    try {
+      // a 20×20×20 cube: every (a, b, c) triple exactly once
+      ManifestTable.commit(spark, dir,
+        (0L until 8000L).map(i =>
+          (i, (i % 20L).toInt, ((i / 20L) % 20L).toInt, (i / 400L).toInt))
+          .toDF("id", "a", "b", "c"))
+      ManifestTable.compactZOrderN(spark, dir, Seq("a", "b", "c"),
+        bits = 5, targetFiles = 16)
+      // correctness: the 3-sided stats-pruned read equals the full filter
+      val got = ManifestTable.readBetweenNd(spark, dir, Seq(
+        ("a", 5.0, 9.0), ("b", 5.0, 9.0), ("c", 5.0, 9.0)))
+      got.count() shouldBe 125
+      got.agg(sum(col("id"))).collect()(0).getLong(0) shouldBe
+        ManifestTable.read(spark, dir)
+          .filter(col("a").between(5, 9) && col("b").between(5, 9) &&
+            col("c").between(5, 9))
+          .agg(sum(col("id"))).collect()(0).getLong(0)
+      // stripe-intersection census: each per-column prune keeps a
+      // stripe; the 3-way intersection readBetweenNd opens is a small
+      // box — strictly tighter than every single-dimension stripe
+      val stripes = Seq("a", "b", "c").map(c =>
+        ManifestTable.pruneByRange(spark, dir, c, 5.0, 9.0)._1.toSet)
+      val box = stripes.reduce(_ intersect _)
+      box.size should be < 16
+      stripes.foreach(st => box.size should be <= st.size)
+      box.size should be >= 1
+      // the read opened exactly the box, not a 2-way relaxation
+      got.inputFiles.length shouldBe box.size
+    } finally rm(dir)
+  }
+
   it should "answer an IN-list with one stats-pruned single-snapshot read" in {
     val dir = tmpDir()
     try {
