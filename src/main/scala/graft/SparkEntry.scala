@@ -3638,6 +3638,26 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           round(col("score"), 6).as("score"), col("accept"))),
 
+    // Extension: inference from a SHIPPED model artifact (r11 VERDICT
+    // ask) — the weights round-trip through a manifest-table model
+    // registry as canonical bytes (magic | d | bias | weights, big-
+    // endian) and scoring loads them back from the committed artifact:
+    // the tested model-distribution path (one pointer swap ships or
+    // rolls back a model; readVersion pins what scored what). The
+    // oracle re-derives the identical weights from the same
+    // deterministic derivation, so a parse/serialize drift would
+    // hash-mismatch.
+    "docs_quality_lr_shipped" -> ((s, dir) => {
+      val reg = scratch("model_registry")
+      graft.ops.Quality.commitLinearModel(s, reg, "quality-lr",
+        graft.ops.Quality.pseudoWeights(32), bias = -0.05)
+      graft.ops.Quality.linearScoreFromArtifact(
+          spread(s, table(s, dir, "documents")), "doc_id", "text",
+          reg, "quality-lr", threshold = 0.5)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("score"), 6).as("score"), col("accept"))
+    }),
+
     // Extension: skew report — top-10 hottest users with row share and
     // multiple-of-median (the pre-salting diagnostic).
     "events_skew_report" -> ((s, dir) =>
@@ -8970,6 +8990,22 @@ object SparkEntry {
         |    1.0 / (1.0 + exp(-zval)) AS score FROM z)
         |SELECT doc_id, n_tokens, round(score, 6) AS score,
         |  CAST(score >= 0.55 AS INTEGER) AS accept FROM sc""".stripMargin,
+
+    // Same fold as docs_quality_lr at d=32 / bias=-0.05 / threshold 0.5:
+    // the Spark side scored with weights parsed back out of the
+    // committed artifact bytes, so equality here proves the
+    // serialize-commit-load round trip, not just the math.
+    "docs_quality_lr_shipped" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |z AS (SELECT doc_id, len(toks) AS n_tokens,
+        |    -0.05::DOUBLE + list_reduce(list_prepend(0.0::DOUBLE, list_transform(toks,
+        |      x -> (((('0x'||substr(md5('w:' || ((('0x'||substr(md5(x),1,15))::UBIGINT)::BIGINT % 32)::VARCHAR),1,15))::UBIGINT)::BIGINT % 2001 - 1000) / 1000.0)::DOUBLE)),
+        |      (a, v) -> a + v) / len(toks) AS zval
+        |  FROM t),
+        |sc AS (SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |    1.0 / (1.0 + exp(-zval)) AS score FROM z)
+        |SELECT doc_id, n_tokens, round(score, 6) AS score,
+        |  CAST(score >= 0.5 AS INTEGER) AS accept FROM sc""".stripMargin,
 
     "docs_quality_blend" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),

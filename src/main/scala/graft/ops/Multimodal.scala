@@ -777,6 +777,44 @@ object Multimodal {
     * fail loudly here — quarantine upstream with
     * [[decodeQuarantined]]), and the (id, dims, embedding) output
     * schema downstream ANN ops consume as-is. */
+  /** [[embedBatched]] with per-dimension bias weights loaded from a
+    * COMMITTED model artifact ([[graft.ops.Quality.linearModelBytes]]
+    * layout) — the tested model-file-distribution path for the encoder
+    * seam: the artifact bytes ride the closure (driver state = the
+    * artifact size), and each PARTITION parses them once where a real
+    * deployment would open its ONNX/vision session — per-partition
+    * model-session reuse with fixed-size micro-batches, exactly the
+    * plumbing a real encoder drops into. The fake encode stays the
+    * deterministic [[embedBatched]] stub with the loaded weight added
+    * per component, so a spec can pin that the shipped bytes — not a
+    * literal — produced the features. */
+  def embedBatchedWithModel(
+      ds: Dataset[MediaRecord],
+      modelBytes: Array[Byte],
+      dim: Int = 8): Dataset[MediaEmbedding] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // <- per-partition session load: a real encoder deserializes its
+      //    model HERE once; the stub parses the artifact header + weights
+      val (w, bias) = graft.ops.Quality.parseLinearModelBytes(modelBytes)
+      require(w.size >= dim, s"model has ${w.size} weights; need $dim")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def stub(id: Long, width: Int, h: Int, j: Int): Double = {
+        val hex = md.digest(s"$id|$width|$h|$j"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"${b & 0xff}%02x").mkString.take(7)
+        java.lang.Long.parseLong(hex, 16) % 1000 / 1000.0
+      }
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (width, h, _, _) = decodePayload(r.payload)
+          MediaEmbedding(r.id, width, h,
+            (0 until dim).map(j => stub(r.id, width, h, j) + bias + w(j)))
+        }
+      }
+    }
+  }
+
   def embedBatched(ds: Dataset[MediaRecord], dim: Int = 8): Dataset[MediaEmbedding] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>

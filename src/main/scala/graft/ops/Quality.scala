@@ -275,6 +275,94 @@ object Quality {
     * shuffle anywhere; 100 TB of documents score at scan speed. The fold
     * accumulates in array order, so an external engine replays it
     * bit-identically (the unigram-LM precedent). */
+  // --- model-artifact distribution -----------------------------------
+  //
+  // The tested path for shipping model weights to executors and future
+  // sessions: serialize to a canonical byte layout, commit the bytes as
+  // a row of a ManifestTable "model registry" (one atomic pointer swap
+  // ships or rolls back a model; TIMESTAMP AS OF / readVersion give
+  // audit and rollback for free), and load them back for scoring. The
+  // tokenizer tier ships BPE merge tables the same way.
+
+  private val LinearModelMagic = 0x474c4d31 // "GLM1"
+
+  /** Canonical linear-model artifact bytes: magic, int32 d, float64
+    * bias, float64 weights[d] — all big-endian, so any engine or
+    * language parses the same model. */
+  def linearModelBytes(weights: Seq[Double], bias: Double): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 8 + 8 * weights.size)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(LinearModelMagic).putInt(weights.size).putDouble(bias)
+    weights.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  /** Parse [[linearModelBytes]]; refuses anything that is not a
+    * well-formed artifact (a truncated upload must fail here, not score
+    * garbage). */
+  def parseLinearModelBytes(bytes: Array[Byte]): (Seq[Double], Double) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+    require(bytes.length >= 16 && bb.getInt() == LinearModelMagic,
+      s"not a linear-model artifact (${bytes.length} bytes)")
+    val d = bb.getInt()
+    require(d > 0 && bytes.length == 16 + 8 * d,
+      s"linear-model artifact truncated: d=$d, ${bytes.length} bytes")
+    val bias = bb.getDouble()
+    ((0 until d).map(_ => bb.getDouble()), bias)
+  }
+
+  /** Commit a linear model to the registry table at `dir` under
+    * `modelName` — a full-snapshot commit, so CURRENT is always exactly
+    * the shipped model set and re-shipping is one pointer swap. Models
+    * other than `modelName` carry forward. Returns the new version. */
+  def commitLinearModel(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      modelName: String,
+      weights: Seq[Double],
+      bias: Double
+  ): Long = {
+    import spark.implicits._
+    val f = graft.sources.ManifestTable
+    val row = Seq((modelName, linearModelBytes(weights, bias)))
+      .toDF("model_name", "model_bytes")
+    val existing =
+      try f.read(spark, dir).filter(col("model_name") =!= modelName)
+      catch { case _: Throwable => row.limit(0) }
+    f.commit(spark, dir, existing.unionByName(row)).version
+  }
+
+  /** Load `modelName` from the registry's CURRENT snapshot — a bounded
+    * 1-row collect of the artifact bytes, parsed by
+    * [[parseLinearModelBytes]]. */
+  def loadLinearModel(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      modelName: String
+  ): (Seq[Double], Double) = {
+    val rows = graft.sources.ManifestTable.read(spark, dir)
+      .filter(col("model_name") === modelName)
+      .select(col("model_bytes")).collect()
+    require(rows.length == 1,
+      s"model '$modelName' resolves to ${rows.length} artifacts in $dir")
+    parseLinearModelBytes(rows(0).getAs[Array[Byte]](0))
+  }
+
+  /** [[linearScore]] with the model loaded from a committed artifact —
+    * the production inference call: the registry read pins the model
+    * version the scores were computed with. */
+  def linearScoreFromArtifact(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      registryDir: String,
+      modelName: String,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val (w, b) = loadLinearModel(df.sparkSession, registryDir, modelName)
+    linearScore(df, idCol, textCol, w, b, threshold)
+  }
+
   def linearScore(
       df: DataFrame,
       idCol: String,

@@ -138,4 +138,62 @@ class QualitySpec extends AnyFlatSpec with Matchers {
     plan should not include "Exchange"
     plan should not include "Join"
   }
+
+  behavior of "linear-model artifacts"
+
+  it should "round-trip a model through the committed registry and refuse corrupt bytes" in {
+    val w = Quality.pseudoWeights(32)
+    val bytes = Quality.linearModelBytes(w, bias = -0.05)
+    Quality.parseLinearModelBytes(bytes) shouldBe ((w, -0.05))
+    // truncation must fail at parse, never score garbage
+    an[IllegalArgumentException] should be thrownBy
+      Quality.parseLinearModelBytes(bytes.dropRight(3))
+    an[IllegalArgumentException] should be thrownBy
+      Quality.parseLinearModelBytes("not a model".getBytes("UTF-8"))
+    val dir = java.nio.file.Files.createTempDirectory("modelreg").toString
+    try {
+      Quality.commitLinearModel(spark, dir, "quality-lr", w, -0.05)
+      Quality.loadLinearModel(spark, dir, "quality-lr") shouldBe ((w, -0.05))
+      // a second model ships without disturbing the first; re-shipping
+      // replaces in ONE snapshot (the registry is always exactly the
+      // shipped set)
+      Quality.commitLinearModel(spark, dir, "toxicity-lr",
+        Quality.pseudoWeights(16), 0.2)
+      Quality.commitLinearModel(spark, dir, "quality-lr", w.map(_ * 2), 0.0)
+      Quality.loadLinearModel(spark, dir, "quality-lr") shouldBe
+        ((w.map(_ * 2), 0.0))
+      Quality.loadLinearModel(spark, dir, "toxicity-lr") shouldBe
+        ((Quality.pseudoWeights(16), 0.2))
+      // and the scoring path consumes the loaded artifact
+      val docs = Seq((1L, "hello world"), (2L, "a b c")).toDF("doc_id", "text")
+      val viaArtifact = Quality.linearScoreFromArtifact(
+        docs, "doc_id", "text", dir, "toxicity-lr").collect().map(_.toString).sorted
+      val direct = Quality.linearScore(
+        docs, "doc_id", "text", Quality.pseudoWeights(16), 0.2)
+        .collect().map(_.toString).sorted
+      viaArtifact shouldBe direct
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  it should "feed the embed seam from shipped artifact bytes" in {
+    import graft.ops.Multimodal
+    val docs = Seq((1L, "hello"), (2L, "x" * 50)).toDF("doc_id", "text")
+    val w = Quality.pseudoWeights(8)
+    val bytes = Quality.linearModelBytes(w, bias = 0.25)
+    val out = Multimodal.embedBatchedWithModel(
+      Multimodal.asMedia(docs, "doc_id", "text"), bytes)
+      .collect().sortBy(_.id)
+    val plain = Multimodal.embedBatched(
+      Multimodal.asMedia(docs, "doc_id", "text"))
+      .collect().sortBy(_.id)
+    // the shipped bytes -- not a literal -- shifted every component by
+    // bias + w(j): proof the per-partition parse consumed the artifact
+    out.zip(plain).foreach { case (a, b) =>
+      a.embedding.zip(b.embedding).zipWithIndex.foreach { case ((x, y), j) =>
+        x shouldBe (y + 0.25 + w(j)) +- 1e-12
+      }
+    }
+  }
 }
