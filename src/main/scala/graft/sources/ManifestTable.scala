@@ -84,16 +84,74 @@ object ManifestTable {
       max: Option[String],
       nullCount: Long)
 
-  private def fs(dir: String, spark: SparkSession): FileSystem =
-    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def fs(dir: String, spark: SparkSession): FileSystem = {
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f match {
+      // The table's metadata files (pointers, manifests, sidecars) are
+      // guarded by ATOMIC RENAME, not by Hadoop's local-FS .crc
+      // sidecars — and the sidecar is actively harmful here: LOCAL
+      // ChecksumFileSystem replaces a file and its .crc non-atomically,
+      // so concurrent pointer swaps (or a reader racing one) throw
+      // spurious ChecksumExceptions. HDFS and object stores are not
+      // ChecksumFileSystems and keep their own integrity machinery.
+      case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+        c.setWriteChecksum(false)
+        c.setVerifyChecksum(false)
+      case _ => ()
+    }
+    f
+  }
 
   private def readSmallFile(f: FileSystem, p: Path): String = {
-    val in = f.open(p)
-    try {
-      val bos = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
-      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
+    // Hadoop's checksummed LOCAL filesystem replaces a file and its .crc
+    // sidecar non-atomically, so a reader racing a pointer swap can
+    // transiently see new bytes against the old checksum. The condition
+    // heals on re-read (the swap itself is atomic); retry briefly
+    // instead of surfacing a spurious ChecksumException. Object stores
+    // have no sidecar and never take this path.
+    var attempt = 0
+    while (true) {
+      try {
+        val in = f.open(p)
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+          return new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+      } catch {
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          attempt += 1
+          if (attempt >= 20) throw e
+          Thread.sleep(5L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The pointer swap: move `tmp` over `dst` ATOMICALLY. On HDFS and
+    * object-store filesystems `FileContext.rename(OVERWRITE)` is the
+    * atomic primitive; on the LOCAL filesystem it is NOT — ChecksumFs
+    * implements overwrite as delete-then-rename, so a concurrent
+    * swapper can observe "destination already exists" (its sibling's
+    * rename landed inside the window) and a reader can observe NO
+    * pointer at all. For file:// the swap therefore goes through
+    * java.nio `ATOMIC_MOVE + REPLACE_EXISTING`, which the local kernel
+    * rename(2) makes genuinely atomic. */
+  private def swapInto(spark: SparkSession, f: FileSystem,
+      tmp: Path, dst: Path): Unit = {
+    val qt = f.makeQualified(tmp)
+    val qd = f.makeQualified(dst)
+    if (qt.toUri.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(qt.toUri.getPath),
+        java.nio.file.Paths.get(qd.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    } else {
+      val fc = FileContext.getFileContext(
+        qd.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(qt, qd, Options.Rename.OVERWRITE)
+    }
   }
 
   private def writeSmallFile(f: FileSystem, p: Path, content: String): Unit = {
@@ -574,10 +632,7 @@ object ManifestTable {
           "was staged — this commit is based on stale state; re-stage and retry")
     val ptrTmp = new Path(dir, s".$PointerName.tmp.${UUID.randomUUID()}")
     writeSmallFile(f, ptrTmp, staged.manifestName)
-    val fc = FileContext.getFileContext(
-      f.makeQualified(new Path(dir)).toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(f.makeQualified(ptrTmp), f.makeQualified(new Path(dir, PointerName)),
-      Options.Rename.OVERWRITE)
+    swapInto(spark, f, ptrTmp, new Path(dir, PointerName))
   }
 
   /** Full-snapshot commit: stage, then swap. The table's content after
@@ -636,10 +691,7 @@ object ManifestTable {
     f.mkdirs(tdir)
     val tmp = new Path(tdir, s".$name.tmp.${UUID.randomUUID()}")
     writeSmallFile(f, tmp, mName)
-    val fc = FileContext.getFileContext(
-      f.makeQualified(new Path(dir)).toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(f.makeQualified(tmp), f.makeQualified(new Path(tdir, name)),
-      Options.Rename.OVERWRITE)
+    swapInto(spark, f, tmp, new Path(tdir, name))
   }
 
   /** Every tag, name → pinned version. */
@@ -3522,8 +3574,6 @@ object ManifestTable {
   /** One member-table pin of a transaction record. */
   final case class TxnPin(dir: String, version: Long)
 
-  private val TxnPointerName = "CURRENT"
-
   private def txnRecordOf(pins: Map[String, TxnPin]): String =
     pins.toSeq.sortBy(_._1).map { case (n, p) =>
       s"${b64(n)}|${b64(p.dir)}|${p.version}"
@@ -3537,19 +3587,25 @@ object ManifestTable {
 
   /** The catalog's current pins (empty before any transaction). */
   def txnState(spark: SparkSession, txnDir: String): Map[String, TxnPin] = {
-    val f = fs(txnDir, spark)
-    val ptr = new Path(txnDir, TxnPointerName)
-    if (!f.exists(ptr)) Map.empty
-    else parseTxnRecord(readSmallFile(f,
-      new Path(new Path(txnDir, "_txns"), readSmallFile(f, ptr).trim)))
+    val v = txnVersion(spark, txnDir)
+    if (v < 0) Map.empty
+    else parseTxnRecord(readSmallFile(fs(txnDir, spark),
+      new Path(new Path(txnDir, "_txns"), f"txn-$v%020d.txt")))
   }
 
-  /** The catalog's current transaction sequence number, -1 before any. */
+  /** The catalog's current transaction sequence number, -1 before any:
+    * the highest claimed `txn-<seq>` record. There is NO pointer file —
+    * the atomic exclusive CREATE of the next record is the commit
+    * point (see [[commitTxnPins]]), so resolution is a directory
+    * listing, never a read of a second, separately-swapped file. */
   def txnVersion(spark: SparkSession, txnDir: String): Long = {
     val f = fs(txnDir, spark)
-    val ptr = new Path(txnDir, TxnPointerName)
-    if (!f.exists(ptr)) -1L
-    else readSmallFile(f, ptr).trim.stripPrefix("txn-").stripSuffix(".txt").toLong
+    val tdir = new Path(txnDir, "_txns")
+    if (!f.exists(tdir)) -1L
+    else f.listStatus(tdir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("txn-") && n.endsWith(".txt"))
+      .map(_.stripPrefix("txn-").stripSuffix(".txt").toLong)
+      .foldLeft(-1L)(math.max)
   }
 
   /** Publish every staged commit, then move the catalog pointer to a new
@@ -3606,19 +3662,22 @@ object ManifestTable {
     out
   }
 
-  /** Move the catalog pointer to pin `(name, dir, version)` members —
-    * registering already-committed snapshots without publishing anything.
-    * Previous pins for other names carry forward; the new record claims
-    * the next `txn-<seq>` slot and lands with one atomic pointer swap.
+  /** Advance the catalog to pin `(name, dir, version)` members —
+    * registering already-committed snapshots without publishing
+    * anything. Previous pins for other names carry forward.
     *
-    * Optimistic concurrency (mirrors [[publish]]): the merged record is
-    * derived from the catalog state at entry; a slot claim alone cannot
-    * prevent two concurrent committers from both merging off the same
-    * basis and the later swap silently dropping the earlier one's pins
-    * (lost update). Before the swap the pointer is re-read — if it moved
-    * past the basis, the claimed txn record is deleted and the commit is
-    * refused with `ConcurrentModificationException`; the caller re-reads
-    * fresh state and retries (which re-merges the surviving pins). */
+    * Concurrency — a TRUE compare-and-swap, not detect-and-refuse: the
+    * merged record derives from the state at `basis` and commits by
+    * exclusively creating `txn-<basis+1>`. Exclusive create is atomic
+    * on every FileSystem this class targets, and the record at s+1 can
+    * only ever be derived from the unique record at s, so concurrent
+    * committers serialize into a gap-free linearizable chain — the
+    * lost-update hazard of a separate pointer swap (two committers
+    * merging off one basis, the later swap dropping the earlier pins)
+    * cannot occur. A loser's create fails; it gets
+    * `ConcurrentModificationException`, re-reads fresh state (now
+    * INCLUDING the winner's pins) and retries — [[commitTxn]] does this
+    * automatically. */
   def commitTxnPins(
       spark: SparkSession,
       txnDir: String,
@@ -3630,31 +3689,13 @@ object ManifestTable {
     val basis = txnVersion(spark, txnDir)
     val merged = txnState(spark, txnDir) ++
       pins.map { case (n, d, v) => n -> TxnPin(d, v) }
-    val content = txnRecordOf(merged)
-    var seq = basis + 1
-    var attempts = 0
-    while (!createExclusive(f, new Path(tdir, f"txn-$seq%020d.txt"), content)) {
-      seq += 1
-      attempts += 1
-      require(attempts < 1000, s"cannot claim a txn slot in $tdir")
-    }
-    val name = f"txn-$seq%020d.txt"
-    val nowV = txnVersion(spark, txnDir)
-    if (nowV != basis) {
-      f.delete(new Path(tdir, name), false)
+    val seq = basis + 1
+    if (!createExclusive(f, new Path(tdir, f"txn-$seq%020d.txt"),
+        txnRecordOf(merged)))
       throw new java.util.ConcurrentModificationException(
-        s"catalog $txnDir moved txn-$basis -> txn-$nowV while pins were " +
-          "being committed — the merged record is based on stale state; " +
+        s"catalog $txnDir moved past txn-$basis while pins were being " +
+          "committed — the merged record is based on stale state; " +
           "re-read and retry")
-    }
-    val ptrTmp = new Path(txnDir, s".$TxnPointerName.tmp.${UUID.randomUUID()}")
-    writeSmallFile(f, ptrTmp, name)
-    val fc = FileContext.getFileContext(
-      f.makeQualified(new Path(txnDir)).toUri,
-      spark.sparkContext.hadoopConfiguration)
-    fc.rename(f.makeQualified(ptrTmp),
-      f.makeQualified(new Path(txnDir, TxnPointerName)),
-      Options.Rename.OVERWRITE)
     seq
   }
 

@@ -2006,6 +2006,49 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
     } finally { rm(cat); rm(da); rm(db) }
   }
 
+  it should "never lose a pin under concurrent catalog commits" in {
+    // the r11 ADVICE hazard: two committers both read catalog state at
+    // the same basis; without the pre-swap basis re-check the later
+    // pointer swap silently dropped the earlier one's pins. Racing
+    // writers (each retrying on the ConcurrentModificationException the
+    // fix throws, as commitTxn does) must land EVERY pin.
+    val cat = tmpDir()
+    try {
+      val writers = 4
+      val perWriter = 5
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+      try {
+        val futs = (0 until writers).map { wtr =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = (0 until perWriter).foreach { i =>
+              var done = false
+              while (!done) {
+                try {
+                  ManifestTable.commitTxnPins(spark, cat,
+                    Seq((s"t$wtr-$i", s"/data/$wtr/$i", i.toLong)))
+                  done = true
+                } catch {
+                  case _: java.util.ConcurrentModificationException => ()
+                }
+              }
+            }
+          })
+        }
+        futs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdownNow()
+      val pins = ManifestTable.txnState(spark, cat)
+      // the lost-update check: every one of the 20 pins survived
+      pins.keySet shouldBe (for {
+        w <- 0 until writers; i <- 0 until perWriter
+      } yield s"t$w-$i").toSet
+      (0 until writers).foreach { w =>
+        (0 until perWriter).foreach { i =>
+          pins(s"t$w-$i").version shouldBe i.toLong
+        }
+      }
+    } finally rm(cat)
+  }
+
   it should "carry #streambatch, #indexof and #meta through a bucket layout rewrite" in {
     val corpusDir = tmpDir(); val dir = tmpDir()
     try {
