@@ -3699,6 +3699,27 @@ object ManifestTable {
     seq
   }
 
+  /** Sweep old catalog records, keeping the newest `keepLast` — the
+    * retention bound on [[txnVersion]]'s directory listing (the CAS
+    * design has no pointer file, so resolution is O(#records); a
+    * high-commit-rate catalog trims here). Records form a gap-free
+    * chain whose MAX is the current state and older entries are pure
+    * history, so any suffix-preserving sweep is safe: committers claim
+    * `max+1` regardless of what was trimmed. Returns records deleted. */
+  def vacuumTxnCatalog(
+      spark: SparkSession, txnDir: String, keepLast: Int = 100): Int = {
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val f = fs(txnDir, spark)
+    val tdir = new Path(txnDir, "_txns")
+    if (!f.exists(tdir)) return 0
+    val seqs = f.listStatus(tdir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("txn-") && n.endsWith(".txt"))
+      .map(_.stripPrefix("txn-").stripSuffix(".txt").toLong).sorted
+    val sweep = seqs.dropRight(keepLast)
+    sweep.foreach(s => f.delete(new Path(tdir, f"txn-$s%020d.txt"), false))
+    sweep.size
+  }
+
   /** Read member `name` AT the catalog's pinned version — the
     * transaction-consistent view: every member read through the same
     * catalog state belongs to one transaction, regardless of per-table

@@ -2049,6 +2049,27 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
     } finally rm(cat)
   }
 
+  it should "trim catalog history while the current pins and CAS chain survive" in {
+    val cat = tmpDir()
+    try {
+      (0 until 7).foreach { i =>
+        ManifestTable.commitTxnPins(spark, cat, Seq((s"t$i", s"/d/$i", i.toLong)))
+      }
+      ManifestTable.txnVersion(spark, cat) shouldBe 6L
+      ManifestTable.vacuumTxnCatalog(spark, cat, keepLast = 2) shouldBe 5
+      // current state is the MAX record — untouched by any suffix-
+      // preserving sweep; all 7 pins still resolve (records accumulate
+      // the full merged map)
+      ManifestTable.txnVersion(spark, cat) shouldBe 6L
+      ManifestTable.txnState(spark, cat).keySet shouldBe
+        (0 until 7).map(i => s"t$i").toSet
+      // and the chain keeps advancing past the trim
+      ManifestTable.commitTxnPins(spark, cat,
+        Seq(("t7", "/d/7", 7L))) shouldBe 7L
+      ManifestTable.txnState(spark, cat)("t7").version shouldBe 7L
+    } finally rm(cat)
+  }
+
   it should "carry #streambatch, #indexof and #meta through a bucket layout rewrite" in {
     val corpusDir = tmpDir(); val dir = tmpDir()
     try {
