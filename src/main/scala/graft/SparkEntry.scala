@@ -977,6 +977,19 @@ object SparkEntry {
         curK = 16, candidates = Seq(16, 24, 32),
         thresholdsPct = Seq(125, 110), lloydRounds = 2)),
 
+    // Extension: the rebalance loop CLOSED — evaluate the verdict at the
+    // tight threshold, train the chosen k, commit the inverted file as a
+    // transactional index commit bound to the corpus snapshot (#indexof
+    // gate included), and re-measure the hottest cell FROM THE COMMITTED
+    // TABLE with the integer-exact budget proof as a column. Advice ->
+    // actuator -> committed artifact -> in-row proof.
+    "sim_ivf_rebalance_apply" -> ((s, dir) =>
+      graft.ops.Similarity.ivfRebalanceApply(
+        spread(s, table(s, dir, "embeddings")), "vec_id", "embedding",
+        corpusDir = scratch("rebal_corpus"), indexDir = scratch("rebal_idx"),
+        curK = 16, candidates = Seq(16, 24, 32),
+        thresholdPct = 110, lloydRounds = 2)),
+
     // Extension: per-label embedding-distribution DRIFT between corpus
     // halves — each side's DECIMAL-routed per-label centroid, compared
     // by cosine: the embedding-space governance check you run before
@@ -5400,17 +5413,21 @@ object SparkEntry {
       |rnk AS (SELECT query_id, neighbor_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored)""".stripMargin
   }
 
+  /** One kmeans-train + cell-count chain per candidate k — shared by the
+    * rebalance advice and apply oracles. */
+  private def ivfKChainSql(k: Int): String =
+    s"""seeds$k AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+       |c1_$k AS ${lloydRoundSqlFrom("e", s"seeds$k", 64)},
+       |c2_$k AS ${lloydRoundSqlFrom("e", s"c1_$k", 64)},
+       |cnt_$k AS (SELECT cell, count(*) AS n FROM (SELECT vec_id, cent_id AS cell FROM (
+       |  SELECT e.vec_id, c.cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cent_id) AS rn FROM e, c2_$k c) WHERE rn = 1) GROUP BY cell),
+       |st_$k AS (SELECT $k AS k, max(n) AS max_n, sum(n) AS total FROM cnt_$k)""".stripMargin
+
   /** Replays ivfRebalanceAdvice: one kmeans chain per candidate k, the
     * integer-exact occupancy-budget comparison, smallest-meeting-k per
     * threshold with the argmin fallback. */
   private lazy val ivfRebalanceOracleSql: String = {
-    def chain(k: Int): String =
-      s"""seeds$k AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
-         |c1_$k AS ${lloydRoundSqlFrom("e", s"seeds$k", 64)},
-         |c2_$k AS ${lloydRoundSqlFrom("e", s"c1_$k", 64)},
-         |cnt_$k AS (SELECT cell, count(*) AS n FROM (SELECT vec_id, cent_id AS cell FROM (
-         |  SELECT e.vec_id, c.cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cent_id) AS rn FROM e, c2_$k c) WHERE rn = 1) GROUP BY cell),
-         |st_$k AS (SELECT $k AS k, max(n) AS max_n, sum(n) AS total FROM cnt_$k)""".stripMargin
+    def chain(k: Int): String = ivfKChainSql(k)
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
        |${chain(16)},
        |${chain(24)},
@@ -5435,6 +5452,25 @@ object SparkEntry {
        |  CAST(cc.max_n AS BIGINT) AS chosen_max_n
        |FROM chosen ch CROSS JOIN st_16 cur JOIN cand cc ON cc.k = ch.k""".stripMargin
   }
+
+  /** Replays ivfRebalanceApply at one threshold: verdict, the chosen
+    * chain's committed-index stats, and the integer-exact budget proof. */
+  private lazy val ivfRebalanceApplyOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |${ivfKChainSql(16)},
+       |${ivfKChainSql(24)},
+       |${ivfKChainSql(32)},
+       |cand AS (SELECT * FROM st_16 UNION ALL SELECT * FROM st_24 UNION ALL SELECT * FROM st_32),
+       |meets AS (SELECT k FROM cand WHERE max_n * 16 * 100 <= 110 * total),
+       |fallback AS (SELECT k FROM cand ORDER BY max_n, k LIMIT 1),
+       |chosen AS (SELECT coalesce((SELECT min(k) FROM meets), (SELECT k FROM fallback)) AS k)
+       |SELECT CAST(110 AS INTEGER) AS threshold_pct,
+       |  CASE WHEN ch.k = 16 THEN 'keep' ELSE 'retrain' END AS decision,
+       |  CAST(ch.k AS INTEGER) AS chosen_k,
+       |  CAST(cur.max_n AS BIGINT) AS cur_max_n,
+       |  CAST(cc.max_n AS BIGINT) AS post_max_n,
+       |  cc.max_n * 16 * 100 <= 110 * cc.total AS fits_budget
+       |FROM chosen ch CROSS JOIN st_16 cur JOIN cand cc ON cc.k = ch.k""".stripMargin
 
   private lazy val ivfpqResidualOracleSql: String =
     s"""$ivfpqResidualChainSql
@@ -6289,6 +6325,7 @@ object SparkEntry {
 
     "sim_ivfpq_residual_recall" -> ivfpqResidualRecallOracleSql,
     "sim_ivf_rebalance" -> ivfRebalanceOracleSql,
+    "sim_ivf_rebalance_apply" -> ivfRebalanceApplyOracleSql,
 
     // The full-corpus codebook's cell assignment (ivfTopkOracleSql's
     // cells CTE), occupancy-profiled.

@@ -549,6 +549,64 @@ object Similarity {
       "decision", "chosen_k", "chosen_max_n")
   }
 
+  /** ACT on [[ivfRebalanceAdvice]] — the full health loop closed:
+    * evaluate the verdict at ONE threshold, train the chosen k (the
+    * current k when the verdict is `keep` — the committed index must
+    * exist either way), commit the inverted file to `indexDir` as a
+    * transactional index commit bound to the corpus snapshot
+    * ([[graft.sources.ManifestTable.commitIndex]] — `#indexof` staleness
+    * gate included), and PROVE the policy in the returned row: the
+    * committed index's hottest cell re-measured from the committed
+    * table itself, with the integer-exact budget check as a column, not
+    * a narration. One retrain maximum beyond the advice's own lazy
+    * candidates (memoized — `keep` pays zero extra training). */
+  def ivfRebalanceApply(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      corpusDir: String,
+      indexDir: String,
+      curK: Int = 16,
+      candidates: Seq[Int] = Seq(16, 24, 32),
+      thresholdPct: Int = 110,
+      lloydRounds: Int = 2
+  ): DataFrame = {
+    require(candidates.contains(curK), s"candidates must include curK=$curK")
+    val spark = corpus.sparkSession
+    val mt = graft.sources.ManifestTable
+    val corpusV = mt.commit(spark, corpusDir, corpus).version
+    // the advice loop inlined so the CHOSEN candidate's assignment frame
+    // is reused for the commit — calling the advice then retraining the
+    // winner would pay the chosen k's Lloyd rounds twice
+    val memo = scala.collection.mutable.Map
+      .empty[Int, (DataFrame, Long, Long)]
+    def eval(k: Int): (DataFrame, Long, Long) = memo.getOrElseUpdate(k, {
+      val (_, assigned) = ivfIndex(corpus, idCol, vecCol, k, lloydRounds)
+      val r = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("mx"), sum(col("n")).as("tot")).head()
+      (assigned, r.getLong(0), r.getLong(1))
+    })
+    val (_, curMax, total) = eval(curK)
+    def meets(k: Int): Boolean =
+      eval(k)._2 * curK * 100L <= thresholdPct.toLong * total
+    val chosenK = candidates.find(meets).getOrElse(
+      candidates.map(k => (eval(k)._2, k)).min._2)
+    val decision = if (chosenK == curK) "keep" else "retrain"
+    mt.commitIndex(spark, indexDir, eval(chosenK)._1, corpusDir, corpusV,
+      meta = Map("ivf.k" -> chosenK.toString))
+    // the PROOF re-measures from the committed table itself, not the
+    // in-flight frame — what a later reader of the index will see
+    val post = mt.read(spark, indexDir)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), sum(col("n")).as("tot")).head()
+    val (postMax, postTotal) = (post.getLong(0), post.getLong(1))
+    import spark.implicits._
+    Seq((thresholdPct, decision, chosenK, curMax, postMax,
+      postMax * curK * 100L <= thresholdPct.toLong * postTotal))
+      .toDF("threshold_pct", "decision", "chosen_k", "cur_max_n",
+        "post_max_n", "fits_budget")
+  }
+
   /** Per-label EMBEDDING-DISTRIBUTION DRIFT between two corpus slices —
     * the embedding-space twin of the PSI text drift check: each side's
     * per-label centroid (component means, DECIMAL-routed so the result

@@ -3160,6 +3160,41 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     byTau(300).getLong(5) * 3 * 100 should be <= 300L * 60L
   }
 
+  it should "apply the rebalance verdict as a committed, provably in-budget index" in {
+    val vecs = (0L until 60L).map { i =>
+      val c = if (i < 40) Seq(10f, 0f, 0f, 0f)
+        else if (i < 52) Seq(0f, 10f, 0f, 0f) else Seq(0f, 0f, 10f, 0f)
+      (i, c.zipWithIndex.map { case (x, j) =>
+        x + ((i * 7 + j * 3) % 5).toFloat * 0.1f })
+    }.toDF("vec_id", "embedding")
+    val corpusDir = java.nio.file.Files.createTempDirectory("rebalc").toString
+    val indexDir = java.nio.file.Files.createTempDirectory("rebali").toString
+    try {
+      val row = Similarity.ivfRebalanceApply(vecs, "vec_id", "embedding",
+        corpusDir, indexDir, curK = 3, candidates = Seq(3, 6, 12),
+        thresholdPct = 120).head()
+      row.getString(1) shouldBe "retrain"
+      val chosenK = row.getInt(2)
+      chosenK should be > 3
+      // the committed index IS at the chosen k, bound to the corpus
+      // snapshot, and the in-row proof re-measured from it holds
+      import graft.sources.ManifestTable
+      ManifestTable.properties(spark, indexDir)
+        .get("ivf.k") shouldBe Some(chosenK.toString)
+      ManifestTable.indexSourceOf(spark, indexDir)
+        .map(_._1) shouldBe Some(corpusDir)
+      row.getBoolean(5) shouldBe true
+      val post = ManifestTable.read(spark, indexDir)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head().getLong(0)
+      post shouldBe row.getLong(4)
+      post * 3 * 100 should be <= 120L * 60L
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(corpusDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(indexDir))
+    }
+  }
+
   it should "train paired PQ codebooks bit-identical to separate training" in {
     // pqCodebooksPaired exists so a flat-vs-residual eval pays ONE seed
     // job and ONE aggregate per Lloyd round for both arms — the whole
