@@ -72,6 +72,77 @@ object SparkEntry {
     d.toString
   }
 
+  /** Per-JVM memoized READ-ONLY staged fixture (r12 VERDICT ask #1): many
+    * lifecycle queries open by committing the SAME source slice into a
+    * scratch manifest table before the operator under test (index build,
+    * probe, maintenance) even starts. That commit is test scaffolding,
+    * not the measured operator — rebuilding it on every pass of every
+    * query was a large share of the bench's per-query cold/steady floor.
+    * Each distinct (fixture, sfDir) is built ONCE per JVM by whichever
+    * query arrives first (concurrent callers block on the same key —
+    * `computeIfAbsent` — so a half-built table is never observable) and
+    * then shared. CONTRACT: callers must never mutate a staged dir —
+    * mutating lifecycle queries take a private `stagedCopy` instead. The
+    * per-query INDEX commits stay per-query, so an index-path regression
+    * stays visible in that query's own time. */
+  private val stagedFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedRO(fixture: String, dir: String)(
+      build: String => Unit): String =
+    stagedFixtures.computeIfAbsent(s"$fixture@$dir", { _ =>
+      val d = scratch(s"fix_${fixture}_${math.abs(dir.hashCode)}")
+      build(d)
+      d
+    })
+
+  /** Private relocated copy of a staged fixture for queries that MUTATE
+    * their corpus (append / DV-delete / branch): manifest tables store
+    * dir-relative paths (ManifestTable scaladoc), so a plain file-tree
+    * copy is a valid table at the new root — milliseconds at harness
+    * scale versus the multi-job Spark re-commit it replaces, and the
+    * mutation happens where production's would: on the table's own files,
+    * never on the shared fixture. */
+  private def copyTree(src: java.io.File, dst: java.io.File): Unit =
+    if (src.isDirectory) {
+      dst.mkdirs(): Unit
+      Option(src.listFiles()).getOrElse(Array.empty)
+        .foreach(c => copyTree(c, new java.io.File(dst, c.getName)))
+    } else {
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+  private def stagedCopy(sub: String, fixture: String, dir: String)(
+      build: String => Unit): String = {
+    val base = stagedRO(fixture, dir)(build)
+    val d = scratch(sub)
+    copyTree(new java.io.File(base), new java.io.File(d))
+    d
+  }
+
+  /** The four corpus slices the lifecycle queries stage (single builders
+    * so two queries can never stage subtly different content under one
+    * key). */
+  private def fixEmbFull(s: SparkSession, dir: String): String =
+    stagedRO("emb_full", dir)(d => graft.sources.ManifestTable.commit(
+      s, d, spread(s, table(s, dir, "embeddings"))))
+  private def fixEmb80Copy(s: SparkSession, sub: String, dir: String): String =
+    stagedCopy(sub, "emb_80", dir)(d => graft.sources.ManifestTable.commit(
+      s, d, spread(s, table(s, dir, "embeddings")
+        .filter(col("vec_id") % 5 =!= 0))))
+  private def fixEmbFullCopy(s: SparkSession, sub: String, dir: String): String =
+    stagedCopy(sub, "emb_full", dir)(d => graft.sources.ManifestTable.commit(
+      s, d, spread(s, table(s, dir, "embeddings"))))
+  private def fixDocsText(s: SparkSession, dir: String): String =
+    stagedRO("docs_text", dir)(d => graft.sources.ManifestTable.commit(
+      s, d, spread(s, table(s, dir, "documents").select("doc_id", "text"))))
+  private def fixDocsTextCopy(s: SparkSession, sub: String, dir: String): String =
+    stagedCopy(sub, "docs_text", dir)(d => graft.sources.ManifestTable.commit(
+      s, d, spread(s, table(s, dir, "documents").select("doc_id", "text"))))
+  private def fixDocsText80Copy(s: SparkSession, sub: String, dir: String): String =
+    stagedCopy(sub, "docs_text_80", dir)(d => graft.sources.ManifestTable.commit(
+      s, d, spread(s, table(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") % 5 =!= 0))))
+
   /** The bounded deterministic event slice every STREAMING oracle query
     * replays, loaded into a MemoryStream: events with `event_id < maxId`,
     * collected once on the driver (a documented harness artifact — the
@@ -1082,8 +1153,7 @@ object SparkEntry {
       // is ONE stats-pruned IN-list read resolving CURRENT once
       // (readWhereIn) — not one readBetween (and one pointer race
       // window) per probed cell.
-      val corpusDir = scratch("ivf_corpus")
-      graft.sources.ManifestTable.commit(s, corpusDir, spread(s, emb))
+      val corpusDir = fixEmbFull(s, dir) // staged RO fixture, never mutated
       val corpusV = graft.sources.ManifestTable.currentVersion(s, corpusDir)
       val corpus = graft.sources.ManifestTable.read(s, corpusDir)
       val out = scratch("ivf_index")
@@ -1117,8 +1187,7 @@ object SparkEntry {
     "sim_ivf_delta" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val M = graft.sources.ManifestTable
-      val corpusDir = scratch("ivfd_corpus")
-      M.commit(s, corpusDir, spread(s, emb.filter(col("vec_id") % 5 =!= 0)))
+      val corpusDir = fixEmb80Copy(s, "ivfd_corpus", dir) // private copy: appended below
       val v0 = M.currentVersion(s, corpusDir)
       val out = scratch("ivfd_index")
       val (cent, assigned0) = graft.ops.Similarity.ivfIndex(
@@ -1160,8 +1229,7 @@ object SparkEntry {
     "sim_ivf_delete" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val M = graft.sources.ManifestTable
-      val corpusDir = scratch("ivfdel_corpus")
-      M.commit(s, corpusDir, spread(s, emb))
+      val corpusDir = fixEmbFullCopy(s, "ivfdel_corpus", dir) // private copy: DV-erased below
       val v0 = M.currentVersion(s, corpusDir)
       val out = scratch("ivfdel_index")
       val (cent, assigned) = graft.ops.Similarity.ivfIndex(
@@ -1466,9 +1534,7 @@ object SparkEntry {
       import s.implicits._
       val M = graft.sources.ManifestTable
       val R = graft.ops.Retrieval
-      val corpusDir = scratch("retr_corpus")
-      M.commit(s, corpusDir,
-        spread(s, table(s, dir, "documents").select("doc_id", "text")))
+      val corpusDir = fixDocsText(s, dir) // staged RO fixture, never mutated
       val v = M.currentVersion(s, corpusDir)
       val corpus = M.read(s, corpusDir)
       val (n, dl) = R.corpusStats(corpus, "text")
@@ -1510,8 +1576,7 @@ object SparkEntry {
       val M = graft.sources.ManifestTable
       val R = graft.ops.Retrieval
       val docs = table(s, dir, "documents").select("doc_id", "text")
-      val corpusDir = scratch("retrd_corpus")
-      M.commit(s, corpusDir, spread(s, docs.filter(col("doc_id") % 5 =!= 0)))
+      val corpusDir = fixDocsText80Copy(s, "retrd_corpus", dir) // private copy: appended below
       val v0 = M.currentVersion(s, corpusDir)
       val corpus0 = M.read(s, corpusDir)
       val (n0, dl0) = R.corpusStats(corpus0, "text")
@@ -1565,8 +1630,7 @@ object SparkEntry {
       val M = graft.sources.ManifestTable
       val R = graft.ops.Retrieval
       val docs = table(s, dir, "documents").select("doc_id", "text")
-      val corpusDir = scratch("retrdel_corpus")
-      M.commit(s, corpusDir, spread(s, docs))
+      val corpusDir = fixDocsTextCopy(s, "retrdel_corpus", dir) // private copy: DV-erased below
       val v0 = M.currentVersion(s, corpusDir)
       val corpus0 = M.read(s, corpusDir)
       val (n0, dl0) = R.corpusStats(corpus0, "text")
@@ -1737,9 +1801,7 @@ object SparkEntry {
     "text_invidx_phrase" -> ((s, dir) => {
       val M = graft.sources.ManifestTable
       val R = graft.ops.Retrieval
-      val corpusDir = scratch("retrp_corpus")
-      M.commit(s, corpusDir,
-        spread(s, table(s, dir, "documents").select("doc_id", "text")))
+      val corpusDir = fixDocsText(s, dir) // staged RO fixture, never mutated
       val v = M.currentVersion(s, corpusDir)
       val corpus = M.read(s, corpusDir)
       val (n, dl) = R.corpusStats(corpus, "text")
@@ -2317,9 +2379,8 @@ object SparkEntry {
       import s.implicits._
       val M = graft.sources.ManifestTable
       val emb = table(s, dir, "embeddings")
-      val corpusDir = scratch("sann_corpus")
+      val corpusDir = fixEmb80Copy(s, "sann_corpus", dir) // private copy: streamed appends below
       val out = scratch("sann_index")
-      M.commit(s, corpusDir, spread(s, emb.filter(col("vec_id") % 5 =!= 0)))
       val v0 = M.currentVersion(s, corpusDir)
       val (cent, assigned0) = graft.ops.Similarity.ivfIndex(
         M.read(s, corpusDir), "vec_id", "embedding",
@@ -2366,9 +2427,8 @@ object SparkEntry {
       import s.implicits._
       val M = graft.sources.ManifestTable
       val emb = table(s, dir, "embeddings")
-      val corpusDir = scratch("gdpr_corpus")
+      val corpusDir = fixEmbFullCopy(s, "gdpr_corpus", dir) // private copy: streamed erasures below
       val out = scratch("gdpr_index")
-      M.commit(s, corpusDir, spread(s, emb))
       val v0 = M.currentVersion(s, corpusDir)
       val (cent, assigned) = graft.ops.Similarity.ivfIndex(
         M.read(s, corpusDir), "vec_id", "embedding",
@@ -2416,9 +2476,8 @@ object SparkEntry {
       val M = graft.sources.ManifestTable
       val R = graft.ops.Retrieval
       val docs = table(s, dir, "documents").select("doc_id", "text")
-      val corpusDir = scratch("sinv_corpus")
+      val corpusDir = fixDocsText80Copy(s, "sinv_corpus", dir) // private copy: streamed appends below
       val out = scratch("sinv_index")
-      M.commit(s, corpusDir, spread(s, docs.filter(col("doc_id") % 5 =!= 0)))
       val v0 = M.currentVersion(s, corpusDir)
       val corpus0 = M.read(s, corpusDir)
       val (n0, dl0) = R.corpusStats(corpus0, "text")
