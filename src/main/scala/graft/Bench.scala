@@ -271,11 +271,20 @@ object Bench {
     *
     * In phase 2, a query whose first timed pass is under `fastSec` (and
     * `maxPasses` >= 2) gets a second steady pass with min-of-2 reported
-    * (passes=2); otherwise it is commit-floor or genuinely heavy and
-    * reports min(cold, timed1) with passes=1 — no third multi-second
-    * execution is spent. */
+    * (passes=2). An over-threshold query gets a second timed pass too
+    * when the ladder level affords it (`slow2` — priced by the budget
+    * model): the first post-cold-phase timed passes run while the JVM is
+    * still settling from the 6-way-saturating cold phase (GC debt, JIT
+    * threads), and for a slow query that contaminated single pass used
+    * to be the headline, with only the now-CONTENDED cold as a fallback
+    * sample — the r13 local A/B measured multi-second inflations healed
+    * exactly by a second timed pass. At degraded levels the slow query
+    * reports min(cold, timed1) with passes=1 as before. A System.gc()
+    * barrier between the phases drains the cold phase's garbage before
+    * anything is timed. */
   private def runChunk(sfDir: String, cpus: String, names: Seq[String],
-      maxPasses: Int, fastSec: Double): (Seq[(String, QMeasure)], Double) = {
+      maxPasses: Int, fastSec: Double, slow2: Boolean)
+      : (Seq[(String, QMeasure)], Double) = {
     val spark = newSession(cpus)
     val coldPar = math.max(1,
       sys.env.getOrElse("GRAFT_BENCH_COLD_PAR", "6").toInt)
@@ -307,6 +316,7 @@ object Bench {
       case kv              => kv
     }
     val coldWall = (System.nanoTime() - w0) / 1e9
+    System.gc() // drain the cold phase's garbage before anything is timed
     val results = names.map { n =>
       val (cold, okCold) = colds(n)
       val (t1, ok1) = consume(spark, sfDir, n)
@@ -314,6 +324,9 @@ object Bench {
         if (maxPasses >= 2 && t1 <= fastSec && ok1) {
           val (t2, ok2) = consume(spark, sfDir, n)
           QMeasure(math.min(t1, t2), okCold && ok1 && ok2, 2, cold)
+        } else if (slow2 && maxPasses >= 2 && ok1) {
+          val (t2, ok2) = consume(spark, sfDir, n)
+          QMeasure(math.min(math.min(cold, t1), t2), okCold && ok1 && ok2, 2, cold)
         } else QMeasure(math.min(cold, t1), okCold && ok1, 1, cold)
       n -> m
     }
@@ -329,7 +342,8 @@ object Bench {
   private def childMain(sfDir: String, cpus: String, names: Seq[String]): Unit = {
     val passes = sys.env.getOrElse("GRAFT_BENCH_PASSES", "2").toInt
     val fastSec = sys.env.getOrElse("GRAFT_BENCH_FAST_SEC", "4.0").toDouble
-    val (results, warmup) = runChunk(sfDir, cpus, names, passes, fastSec)
+    val slow2 = sys.env.getOrElse("GRAFT_BENCH_SLOW2", "1") == "1"
+    val (results, warmup) = runChunk(sfDir, cpus, names, passes, fastSec, slow2)
     results.foreach { case (n, m) =>
       println(s"GRAFT_BENCH_Q\t$n\t${m.sec}\t${m.ok}\t${m.passes}\t${m.cold}")
     }
@@ -339,7 +353,7 @@ object Bench {
   /** Spawn a child JVM (same java, flags, classpath) for one chunk; returns
     * parsed results, or None if the spawn/parse failed. */
   private def spawnChunk(sfDir: String, cpus: String, names: Seq[String],
-      passes: Int)
+      passes: Int, slow2: Boolean)
       : Option[(Seq[(String, QMeasure)], Double)] =
     try {
       val javaBin = new java.io.File(new java.io.File(
@@ -354,6 +368,7 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
       pb.environment().put("SPARK_GRAFT_CPUS", cpus)
       pb.environment().put("GRAFT_BENCH_PASSES", passes.toString)
+      pb.environment().put("GRAFT_BENCH_SLOW2", if (slow2) "1" else "0")
       // Child stderr (Spark INFO startup logs, log4j banner) goes to a file,
       // NOT the parent's streams: the driver parses the tail of our combined
       // output, and a child's log flood must never push the final JSON line
@@ -417,10 +432,15 @@ object Bench {
         // is sacrificed before pass count — a 64-query JVM still bounds
         // cumulative degradation to one chunk, while a 1-pass level
         // permanently inflates every recorded time on a loaded host.
-        val levels = Vector((3, 2, 8), (2, 2, 8), (1, 2, 16),
-          (1, 2, 32), (1, 2, 64), (1, 1, 64))
+        // The 4th field: whether OVER-THRESHOLD queries also get a
+        // second timed pass (the post-cold-phase settle heal; see
+        // runChunk) — given up one rung before the fast-query second
+        // pass is.
+        val levels = Vector((3, 2, 8, true), (2, 2, 8, true),
+          (1, 2, 16, true), (1, 2, 32, true), (1, 2, 64, false),
+          (1, 1, 64, false))
         val startLevel = sys.env.get("GRAFT_BENCH_REPEATS").map(_.toInt) match {
-          case Some(r) => levels.indexWhere(_._1 <= r) match { case -1 => 0; case i => i }
+          case Some(n) => levels.indexWhere(_._1 <= n) match { case -1 => 0; case i => i }
           case None    => 0
         }
         // a-priori cost model, refined from measurement. Cold and steady
@@ -458,10 +478,16 @@ object Bench {
         var wEst = 0.8 * loadFactor
         var fFrac = 0.85
         var fAvg = 0.8
+        // average steady seconds of an OVER-THRESHOLD query — prices the
+        // slow second pass, paid for (1 - fFrac) of the set at slow2
+        // levels; refined from measurement like the other terms
+        var sAvg = 5.0 * loadFactor
         val startEst = 12.0
         def costPerQuery(l: Int): Double = {
-          val (r, p, c) = levels(l)
-          r * (startEst / c + wEst + qEst + (if (p >= 2) fFrac * fAvg else 0.0))
+          val (r, p, c, s2) = levels(l)
+          r * (startEst / c + wEst + qEst +
+            (if (p >= 2) fFrac * fAvg else 0.0) +
+            (if (s2) (1.0 - fFrac) * sAvg else 0.0))
         }
         val fastSec = sys.env.getOrElse("GRAFT_BENCH_FAST_SEC", "4.0").toDouble
         val names = SparkEntry.queries.keys.toSeq.sorted
@@ -494,14 +520,15 @@ object Bench {
         fitLevel()
         while (remaining.nonEmpty && elapsed() < budgetSec - 30.0) {
           fitLevel()
-          val (repeats, passes, csize) = levels(level)
+          val (repeats, passes, csize, slow2) = levels(level)
           val chunk = remaining.take(csize)
           remaining = remaining.drop(csize)
           val c0 = elapsed()
           var chunkWarm = 0.0
           val runs = (1 to repeats).map { _ =>
-            val (rs, w) = spawnChunk(sfDir, cpus, chunk, passes)
-              .getOrElse { fallbacks += 1; runChunk(sfDir, cpus, chunk, passes, fastSec) }
+            val (rs, w) = spawnChunk(sfDir, cpus, chunk, passes, slow2)
+              .getOrElse { fallbacks += 1
+                runChunk(sfDir, cpus, chunk, passes, fastSec, slow2) }
             warmupTotal += w
             chunkWarm += w
             rs.toMap
@@ -526,12 +553,20 @@ object Bench {
           val wAvg = chunkWarm / repeats
           val wObs = wAvg / chunk.size
           if (wObs > 0) wEst = 0.5 * wEst + 0.5 * wObs
-          val fastObs = runs.head.values.filter(_.passes >= 2).toSeq
+          val fastObs = runs.head.values
+            .filter(m => m.passes >= 2 && m.sec <= fastSec).toSeq
+          val slowObs = runs.head.values.filter(_.sec > fastSec).toSeq
           fFrac = 0.5 * fFrac + 0.5 * (fastObs.size.toDouble / chunk.size)
           if (fastObs.nonEmpty)
             fAvg = 0.5 * fAvg + 0.5 * (fastObs.map(_.sec).sum / fastObs.size)
+          if (slowObs.nonEmpty)
+            sAvg = 0.5 * sAvg + 0.5 * (slowObs.map(_.sec).sum / slowObs.size)
+          // extra-pass wall actually spent this chunk: fast queries'
+          // second pass, plus (at slow2 levels) slow queries' second pass
+          val extraWall = fastObs.map(_.sec).sum +
+            (if (slow2) slowObs.filter(_.passes >= 2).map(_.sec).sum else 0.0)
           val qObs = ((elapsed() - c0) / repeats - startEst - wAvg -
-            fastObs.map(_.sec).sum) / chunk.size
+            extraWall) / chunk.size
           if (qObs > 0) qEst = 0.5 * qEst + 0.5 * qObs
         }
         val skipped = remaining
@@ -566,8 +601,8 @@ object Bench {
           }.mkString("{\n", ",\n", "\n  }")
           val lvlJson = levelCounts.toSeq
             .map { case (l, n) =>
-              val (r, p, c) = levels(l)
-              s""""L$l": {"queries": $n, "repeats": $r, "passes": $p, "chunk": $c}"""
+              val (r, p, c, s2) = levels(l)
+              s""""L$l": {"queries": $n, "repeats": $r, "passes": $p, "chunk": $c, "slow2": $s2}"""
             }.mkString("{", ", ", "}")
           val skJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
           val body =

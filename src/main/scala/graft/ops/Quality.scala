@@ -311,26 +311,166 @@ object Quality {
     ((0 until d).map(_ => bb.getDouble()), bias)
   }
 
+  private val MlpMagic = 0x474d4c50 // "GMLP"
+
+  /** Canonical MLP artifact bytes — the GLM1 layout generalized to a
+    * stack of weight matrices: magic "GMLP", int32 nLayers, then per
+    * layer int32 rows, int32 cols, float64 bias[rows], float64
+    * weights[rows*cols] ROW-MAJOR — all big-endian, so any engine or
+    * language parses the same model. Activation is ReLU between layers
+    * and identity after the last: exact double arithmetic (+, *, max)
+    * with no transcendentals, so an external SQL engine replays the
+    * forward pass bit-for-bit from the same weights. */
+  def mlpBytes(layers: Seq[(Seq[Seq[Double]], Seq[Double])]): Array[Byte] = {
+    require(layers.nonEmpty, "need at least one layer")
+    layers.foreach { case (w, b) =>
+      require(w.nonEmpty && w.forall(_.size == w.head.size),
+        "ragged weight matrix")
+      require(w.size == b.size, s"rows ${w.size} != bias ${b.size}")
+    }
+    val sz = 8 + layers.map { case (w, b) =>
+      8 + 8 * b.size + 8 * w.size * w.head.size }.sum
+    val bb = java.nio.ByteBuffer.allocate(sz)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(MlpMagic).putInt(layers.size)
+    layers.foreach { case (w, b) =>
+      bb.putInt(w.size).putInt(w.head.size)
+      b.foreach(bb.putDouble)
+      w.foreach(_.foreach(bb.putDouble))
+    }
+    bb.array()
+  }
+
+  /** Parse [[mlpBytes]]; refuses anything that is not a well-formed
+    * artifact (a truncated upload must fail here, not score garbage). */
+  def parseMlpBytes(bytes: Array[Byte])
+      : Seq[(Seq[Seq[Double]], Seq[Double])] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+    require(bytes.length >= 8 && bb.getInt() == MlpMagic,
+      s"not an MLP artifact (${bytes.length} bytes)")
+    val nLayers = bb.getInt()
+    require(nLayers > 0 && nLayers < 1000, s"implausible layer count $nLayers")
+    val layers = (0 until nLayers).map { _ =>
+      require(bb.remaining() >= 8, "MLP artifact truncated at a layer header")
+      val rows = bb.getInt(); val cols = bb.getInt()
+      require(rows > 0 && cols > 0 &&
+        bb.remaining() >= 8L * rows + 8L * rows * cols,
+        s"MLP artifact truncated: layer $rows x $cols, " +
+          s"${bb.remaining()} bytes left")
+      val bias = (0 until rows).map(_ => bb.getDouble())
+      val w = (0 until rows).map(_ => (0 until cols).map(_ => bb.getDouble()))
+      (w: Seq[Seq[Double]], bias: Seq[Double])
+    }
+    require(bb.remaining() == 0,
+      s"MLP artifact has ${bb.remaining()} trailing bytes")
+    layers.zip(layers.drop(1)).foreach { case ((w1, _), (w2, _)) =>
+      require(w2.head.size == w1.size,
+        s"layer shape mismatch: ${w1.size} outputs feed ${w2.head.size} inputs")
+    }
+    layers
+  }
+
+  /** Forward pass of a [[parseMlpBytes]] model — a REAL matrix-vector
+    * stack evaluated in plain JVM code (nothing stubbed): per layer
+    * y_i = bias_i + Σ_j w[i][j]·x_j in ascending-j order (left-assoc, so
+    * an external engine replaying the same literal expression gets the
+    * identical double), ReLU between layers, identity after the last. */
+  def mlpForward(
+      x: Seq[Double],
+      layers: Seq[(Seq[Seq[Double]], Seq[Double])]): Seq[Double] = {
+    var cur = x
+    layers.zipWithIndex.foreach { case ((w, b), li) =>
+      require(w.head.size == cur.size,
+        s"layer $li expects ${w.head.size} inputs, got ${cur.size}")
+      val z = w.indices.map { i =>
+        var acc = b(i)
+        var j = 0
+        while (j < cur.size) { acc += w(i)(j) * cur(j); j += 1 }
+        acc
+      }
+      cur = if (li == layers.size - 1) z else z.map(v => math.max(0.0, v))
+    }
+    cur
+  }
+
+  /** Commit arbitrary model-artifact bytes to the registry table at
+    * `dir` under `modelName` — a full-snapshot commit, so CURRENT is
+    * always exactly the shipped model set and re-shipping is one pointer
+    * swap. Models other than `modelName` carry forward. Returns the new
+    * version. */
+  def commitModelBytes(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      modelName: String,
+      bytes: Array[Byte]
+  ): Long = {
+    import spark.implicits._
+    val f = graft.sources.ManifestTable
+    val row = Seq((modelName, bytes)).toDF("model_name", "model_bytes")
+    // Probe table EXISTENCE explicitly — never swallow a read failure: a
+    // transient IO error or corrupted pointer treated as "empty registry"
+    // would silently commit a snapshot containing only the new model and
+    // wipe every sibling from CURRENT while reporting success. Only a
+    // verified-absent registry starts from empty; anything else rethrows.
+    val existing =
+      if (f.exists(spark, dir)) f.read(spark, dir)
+        .filter(col("model_name") =!= modelName)
+      else row.limit(0)
+    f.commit(spark, dir, existing.unionByName(row)).version
+  }
+
+  /** [[commitModelBytes]] that BINDS the registry snapshot to the corpus
+    * snapshot the model was trained on (`#indexof` header via
+    * `commitIndex` — the exact contract the persisted ANN/text indexes
+    * carry): serving a model trained on a superseded corpus is the model
+    * registry's version of a stale index, and
+    * [[linearScoreFromArtifact]]'s `requireFresh` gate refuses it the
+    * same way `requireIndexFresh` refuses a stale probe. The binding and
+    * the artifact land in ONE pointer move. */
+  def commitModelBytesBound(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      modelName: String,
+      bytes: Array[Byte],
+      corpusDir: String,
+      corpusVersion: Long
+  ): Long = {
+    import spark.implicits._
+    val f = graft.sources.ManifestTable
+    val row = Seq((modelName, bytes)).toDF("model_name", "model_bytes")
+    val existing =
+      if (f.exists(spark, dir)) f.read(spark, dir)
+        .filter(col("model_name") =!= modelName)
+      else row.limit(0)
+    f.commitIndex(spark, dir, existing.unionByName(row),
+      corpusDir, corpusVersion).version
+  }
+
+  /** Load `modelName`'s raw artifact bytes from the registry's CURRENT
+    * snapshot — a bounded 1-row collect. */
+  def loadModelBytes(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      modelName: String
+  ): Array[Byte] = {
+    val rows = graft.sources.ManifestTable.read(spark, dir)
+      .filter(col("model_name") === modelName)
+      .select(col("model_bytes")).collect()
+    require(rows.length == 1,
+      s"model '$modelName' resolves to ${rows.length} artifacts in $dir")
+    rows(0).getAs[Array[Byte]](0)
+  }
+
   /** Commit a linear model to the registry table at `dir` under
-    * `modelName` — a full-snapshot commit, so CURRENT is always exactly
-    * the shipped model set and re-shipping is one pointer swap. Models
-    * other than `modelName` carry forward. Returns the new version. */
+    * `modelName` (see [[commitModelBytes]]). Returns the new version. */
   def commitLinearModel(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       modelName: String,
       weights: Seq[Double],
       bias: Double
-  ): Long = {
-    import spark.implicits._
-    val f = graft.sources.ManifestTable
-    val row = Seq((modelName, linearModelBytes(weights, bias)))
-      .toDF("model_name", "model_bytes")
-    val existing =
-      try f.read(spark, dir).filter(col("model_name") =!= modelName)
-      catch { case _: Throwable => row.limit(0) }
-    f.commit(spark, dir, existing.unionByName(row)).version
-  }
+  ): Long =
+    commitModelBytes(spark, dir, modelName, linearModelBytes(weights, bias))
 
   /** Load `modelName` from the registry's CURRENT snapshot — a bounded
     * 1-row collect of the artifact bytes, parsed by
@@ -339,26 +479,27 @@ object Quality {
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       modelName: String
-  ): (Seq[Double], Double) = {
-    val rows = graft.sources.ManifestTable.read(spark, dir)
-      .filter(col("model_name") === modelName)
-      .select(col("model_bytes")).collect()
-    require(rows.length == 1,
-      s"model '$modelName' resolves to ${rows.length} artifacts in $dir")
-    parseLinearModelBytes(rows(0).getAs[Array[Byte]](0))
-  }
+  ): (Seq[Double], Double) =
+    parseLinearModelBytes(loadModelBytes(spark, dir, modelName))
 
   /** [[linearScore]] with the model loaded from a committed artifact —
     * the production inference call: the registry read pins the model
-    * version the scores were computed with. */
+    * version the scores were computed with. With `requireFresh = true`
+    * the call REFUSES a registry whose `#indexof` corpus binding
+    * ([[commitModelBytesBound]]) no longer matches the corpus's CURRENT
+    * version — a model trained on a superseded corpus must not silently
+    * score the new one (the index-staleness contract applied to models). */
   def linearScoreFromArtifact(
       df: DataFrame,
       idCol: String,
       textCol: String,
       registryDir: String,
       modelName: String,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      requireFresh: Boolean = false
   ): DataFrame = {
+    if (requireFresh)
+      graft.sources.ManifestTable.requireIndexFresh(df.sparkSession, registryDir)
     val (w, b) = loadLinearModel(df.sparkSession, registryDir, modelName)
     linearScore(df, idCol, textCol, w, b, threshold)
   }

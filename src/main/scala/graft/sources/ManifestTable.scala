@@ -84,22 +84,34 @@ object ManifestTable {
       max: Option[String],
       nullCount: Long)
 
+  // This class's local-FS I/O (pointers, manifests, sidecars) is guarded
+  // by ATOMIC RENAME, not by Hadoop's local-FS .crc sidecars — and the
+  // sidecar is actively harmful here: LOCAL ChecksumFileSystem replaces a
+  // file and its .crc non-atomically, so concurrent pointer swaps (or a
+  // reader racing one) throw spurious ChecksumExceptions. It therefore
+  // runs on a PRIVATE RawLocalFileSystem (no checksum machinery at all)
+  // rather than mutating the JVM-WIDE CACHED LocalFileSystem that
+  // Path.getFileSystem returns: calling setWriteChecksum(false) on that
+  // shared instance (the pre-r13 behavior) leaked "no checksums" to every
+  // local-FS user in the process — Spark's own data I/O and any embedding
+  // application included. HDFS and object stores are not
+  // ChecksumFileSystems and keep their own integrity machinery, so they
+  // use the normal cached instance untouched.
+  private val rawLocalFs =
+    new java.util.concurrent.atomic.AtomicReference[FileSystem]()
   private def fs(dir: String, spark: SparkSession): FileSystem = {
-    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    f match {
-      // The table's metadata files (pointers, manifests, sidecars) are
-      // guarded by ATOMIC RENAME, not by Hadoop's local-FS .crc
-      // sidecars — and the sidecar is actively harmful here: LOCAL
-      // ChecksumFileSystem replaces a file and its .crc non-atomically,
-      // so concurrent pointer swaps (or a reader racing one) throw
-      // spurious ChecksumExceptions. HDFS and object stores are not
-      // ChecksumFileSystems and keep their own integrity machinery.
-      case c: org.apache.hadoop.fs.ChecksumFileSystem =>
-        c.setWriteChecksum(false)
-        c.setVerifyChecksum(false)
-      case _ => ()
+    val conf = spark.sparkContext.hadoopConfiguration
+    new Path(dir).getFileSystem(conf) match {
+      case _: org.apache.hadoop.fs.LocalFileSystem =>
+        val cached = rawLocalFs.get()
+        if (cached != null) cached
+        else {
+          val raw = new org.apache.hadoop.fs.RawLocalFileSystem()
+          raw.initialize(java.net.URI.create("file:///"), conf)
+          if (rawLocalFs.compareAndSet(null, raw)) raw else rawLocalFs.get()
+        }
+      case other => other
     }
-    f
   }
 
   private def readSmallFile(f: FileSystem, p: Path): String = {
@@ -588,7 +600,10 @@ object ManifestTable {
     val tmp = new Path(dst.getParent, s".${dst.getName}.tmp.${UUID.randomUUID()}")
     writeSmallFile(f, tmp, content)
     val claimed =
-      if (f.getScheme == "file") {
+      // f.getUri, not f.getScheme: RawLocalFileSystem (the metadata-I/O
+      // instance fs() hands out on file://) inherits the unimplemented
+      // base getScheme and throws
+      if (f.getUri.getScheme == "file") {
         try {
           java.nio.file.Files.createLink(
             java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath),
@@ -597,7 +612,27 @@ object ManifestTable {
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
         }
-      } else !f.exists(dst) && f.rename(tmp, dst)
+      } else {
+        // rename WITHOUT overwrite is the claim primitive — atomic on
+        // HDFS/viewfs by contract. Object stores like S3A implement
+        // rename as client-side exists-check + copy + delete, so two
+        // racers can BOTH "win" the same name — which would silently
+        // reintroduce the lost update this CAS exists to exclude.
+        // Refuse those schemes outright: deployments there need the
+        // catalog/LogStore piece the class doc describes (Delta's
+        // S3 story is the same). A store whose rename genuinely fails
+        // atomically on an existing destination can opt in via
+        // graft.manifest.assumeAtomicRename=true.
+        val scheme = f.getUri.getScheme
+        require(scheme == "hdfs" || scheme == "viewfs" ||
+          f.getConf.getBoolean("graft.manifest.assumeAtomicRename", false),
+          s"scheme '$scheme' has no atomic fail-if-exists rename: the " +
+            "exclusive-create claim would be exists-then-rename, which " +
+            "two racers can both win. Use a catalog/LogStore for commits " +
+            "on this store, or set graft.manifest.assumeAtomicRename=true " +
+            "if the store's rename is genuinely atomic.")
+        !f.exists(dst) && f.rename(tmp, dst)
+      }
     f.delete(tmp, false)
     claimed
   }

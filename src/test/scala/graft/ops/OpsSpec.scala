@@ -250,6 +250,33 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     edges.filter(_._1 >= 3).map(_._3) shouldBe Array(1, 1)
   }
 
+  it should "navigate the kNN graph to exact top-k when the beam covers it" in {
+    // one tight cluster (signs never flip -> one LSH bucket -> the kNN
+    // graph is complete at degree 5), so 2 beam rounds from the entry
+    // point must reach every node and the graph-ANN answer equals brute
+    // force exactly — the navigability contract, isolated from recall
+    val vecs = (0L to 5L).map { i =>
+      Vec(i, Seq(1f, 1f, 1f, 1f, 1f, 1f, 1f, 0.1f + i * 0.07f))
+    }.toDS.toDF()
+    val q = vecs.filter(col("vec_id") < 2)
+    val ann = Similarity.graphAnnTopK(vecs, q, "vec_id", "embedding",
+        dim = 8, planes = 8, bands = 1, degree = 5, beam = 8, rounds = 2, k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val bf = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    ann shouldBe bf
+    // ranks dense from 1, no self-matches, deterministic under repartition
+    val again = Similarity.graphAnnTopK(vecs.repartition(5), q, "vec_id",
+        "embedding", dim = 8, planes = 8, bands = 1, degree = 5, beam = 8,
+        rounds = 2, k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    again shouldBe ann
+    ann.foreach { case (qid, nid, _) => nid should not be qid }
+  }
+
   it should "bucket near-identical vectors together under sign-LSH" in {
     val vecs = Seq(
       Vec(0, Seq.fill(8)(1f)), Vec(1, Seq.fill(8)(0.99f)), Vec(2, Seq.fill(8)(-1f))
@@ -792,6 +819,19 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       .orderBy("rank").collect()
     ivf.map(r => (r.getLong(1), r.getDouble(2))) shouldBe
       bf.map(r => (r.getLong(1), r.getDouble(2)))
+  }
+
+  it should "refuse ragged vectors instead of skewing a centroid" in {
+    // a vector shorter than dim yields null from element_at — skipped by
+    // the component sum but still counted in n, silently biasing that
+    // centroid toward 0 (r12 ADVICE); the re-center pass must refuse
+    val vecs = Seq(
+      Vec(0, Seq(1f, 0f)), Vec(1, Seq(0.9f, 0.1f)), Vec(2, Seq(0.8f))
+    ).toDS.toDF()
+    val e = intercept[Exception] {
+      Similarity.kmeansCentroids(vecs, "vec_id", "embedding", k = 2)
+    }
+    e.getMessage should include("ragged")
   }
 
   it should "build bit-identical centroids under any input partitioning" in {

@@ -177,6 +177,128 @@ class QualitySpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "refuse to commit over a broken registry instead of wiping siblings" in {
+    // r12 ADVICE (medium): the old catch-all treated ANY read failure as
+    // "empty registry", so a corrupted pointer made the next commit
+    // silently snapshot ONLY the new model — every sibling wiped from
+    // CURRENT while the call reported success. A broken registry must
+    // refuse the commit; only a verified-absent one starts from empty.
+    val dir = java.nio.file.Files.createTempDirectory("modelreg_broken").toString
+    try {
+      Quality.commitLinearModel(spark, dir, "model-a", Seq(1.0, 2.0), 0.1)
+      // corrupt the CURRENT pointer: the table now EXISTS but can't read
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "CURRENT"),
+        "manifest-that-does-not-exist.txt".getBytes("UTF-8")): Unit
+      a[Throwable] should be thrownBy
+        Quality.commitLinearModel(spark, dir, "model-b", Seq(3.0), 0.0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  behavior of "MLP artifacts"
+
+  it should "round-trip an MLP through the GMLP layout and refuse malformed bytes" in {
+    val layers: Seq[(Seq[Seq[Double]], Seq[Double])] = Seq(
+      (Seq(Seq(0.5, -1.0), Seq(2.0, 0.25), Seq(-0.5, 1.5)), Seq(0.1, -0.2, 0.0)),
+      (Seq(Seq(1.0, -1.0, 0.5)), Seq(0.75)))
+    val bytes = Quality.mlpBytes(layers)
+    Quality.parseMlpBytes(bytes) shouldBe layers
+    // truncation / trailing garbage must fail at parse, never score
+    an[IllegalArgumentException] should be thrownBy
+      Quality.parseMlpBytes(bytes.dropRight(5))
+    an[IllegalArgumentException] should be thrownBy
+      Quality.parseMlpBytes(bytes ++ Array[Byte](0, 0))
+    an[IllegalArgumentException] should be thrownBy
+      Quality.parseMlpBytes("nope".getBytes("UTF-8"))
+    // incompatible layer shapes refuse at build AND at parse-time check
+    an[IllegalArgumentException] should be thrownBy
+      Quality.mlpBytes(Seq((Seq(Seq(1.0), Seq(2.0)), Seq(0.0)))) // rows != bias
+  }
+
+  it should "run a real forward pass: hand-computed ReLU MLP" in {
+    // layer 1: 2 -> 2, layer 2: 2 -> 1; x = (1, 2)
+    // z1_0 = 0.5 + 1*1 + (-1)*2 = -0.5 -> relu 0
+    // z1_1 = -1.0 + 0.5*1 + 2*2 = 3.5  -> relu 3.5
+    // y = 0.25 + 2*0 + (-1)*3.5 = -3.25 (identity on the last layer)
+    val layers: Seq[(Seq[Seq[Double]], Seq[Double])] = Seq(
+      (Seq(Seq(1.0, -1.0), Seq(0.5, 2.0)), Seq(0.5, -1.0)),
+      (Seq(Seq(2.0, -1.0)), Seq(0.25)))
+    Quality.mlpForward(Seq(1.0, 2.0), layers) shouldBe Seq(-3.25)
+    an[IllegalArgumentException] should be thrownBy
+      Quality.mlpForward(Seq(1.0), layers) // dim mismatch
+  }
+
+  it should "embed through the seam with a SHIPPED real MLP, not a stub" in {
+    import graft.ops.Multimodal
+    val layers: Seq[(Seq[Seq[Double]], Seq[Double])] = Seq(
+      ((0 until 3).map(i => (0 until 8).map(j => ((i * 8 + j) % 5 - 2) / 4.0)),
+        Seq(0.1, -0.1, 0.3)),
+      (Seq(Seq(1.0, 0.5, -0.25), Seq(-1.0, 0.0, 2.0)), Seq(0.0, 0.5)))
+    val dir = java.nio.file.Files.createTempDirectory("mlpreg").toString
+    try {
+      Quality.commitModelBytes(spark, dir, "vision-mlp", Quality.mlpBytes(layers))
+      val shipped = Quality.loadModelBytes(spark, dir, "vision-mlp")
+      val docs = Seq((1L, "hello world"), (2L, "y" * 33)).toDF("doc_id", "text")
+      val out = Multimodal.embedMlpWithModel(
+        Multimodal.asMedia(docs, "doc_id", "text"), shipped)
+        .collect().sortBy(_.id)
+      // the features must equal mlpForward over the deterministic input
+      // derivation — i.e. the SHIPPED weight matrices did the arithmetic
+      val base = Multimodal.embedBatched(
+        Multimodal.asMedia(docs, "doc_id", "text"))
+        .collect().sortBy(_.id)
+      out.zip(base).foreach { case (o, b) =>
+        o.embedding shouldBe Quality.mlpForward(b.embedding, layers)
+      }
+      out.foreach(_.embedding.size shouldBe 2)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  it should "bind a model to its training corpus and refuse a superseded snapshot" in {
+    val M = graft.sources.ManifestTable
+    val corpus = java.nio.file.Files.createTempDirectory("mbind_corpus").toString
+    val reg = java.nio.file.Files.createTempDirectory("mbind_reg").toString
+    try {
+      val docs = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+      M.commit(spark, corpus, docs)
+      val v0 = M.currentVersion(spark, corpus)
+      Quality.commitModelBytesBound(spark, reg, "quality-lr",
+        Quality.linearModelBytes(Quality.pseudoWeights(8), 0.1), corpus, v0)
+      // fresh: served
+      Quality.linearScoreFromArtifact(M.read(spark, corpus), "doc_id", "text",
+        reg, "quality-lr", requireFresh = true).count() shouldBe 2
+      // the corpus moves on; the bound model is now stale and must refuse
+      M.append(spark, corpus, Seq((3L, "epsilon zeta")).toDF("doc_id", "text"))
+      an[IllegalStateException] should be thrownBy
+        Quality.linearScoreFromArtifact(M.read(spark, corpus), "doc_id", "text",
+          reg, "quality-lr", requireFresh = true)
+      // an UNBOUND registry can't claim freshness either
+      val reg2 = java.nio.file.Files.createTempDirectory("mbind_reg2").toString
+      try {
+        Quality.commitLinearModel(spark, reg2, "quality-lr",
+          Quality.pseudoWeights(8), 0.1)
+        an[IllegalStateException] should be thrownBy
+          Quality.linearScoreFromArtifact(M.read(spark, corpus), "doc_id",
+            "text", reg2, "quality-lr", requireFresh = true)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(reg2))
+      }
+      // re-ship bound to the new version: served again, siblings carried
+      Quality.commitModelBytesBound(spark, reg, "quality-lr",
+        Quality.linearModelBytes(Quality.pseudoWeights(8), 0.1),
+        corpus, M.currentVersion(spark, corpus))
+      Quality.linearScoreFromArtifact(M.read(spark, corpus), "doc_id", "text",
+        reg, "quality-lr", requireFresh = true).count() shouldBe 3
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(corpus))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(reg))
+    }
+  }
+
   it should "feed the embed seam from shipped artifact bytes" in {
     import graft.ops.Multimodal
     val docs = Seq((1L, "hello"), (2L, "x" * 50)).toDF("doc_id", "text")
