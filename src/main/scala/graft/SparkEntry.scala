@@ -1970,8 +1970,30 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings")
       graft.ops.Similarity.graphAnnTopK(
         spread(s, emb), emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        dim = 64, planes = 8, bands = 2, degree = 5, beam = 12, rounds = 4,
-        k = 5)
+        dim = 64, planes = 8, bands = 4, degree = 12, beam = 32, rounds = 8,
+        k = 5, entries = 8)
+    }),
+
+    // Extension: the established recall@5 harness over the graph-ANN
+    // navigation — the measured IVF-vs-graph evidence the SURVEY §7.5
+    // decision row cites (both arms' rankings replayed exactly, so the
+    // recall numbers themselves hash-match the oracle).
+    "sim_hnsw_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = graft.ops.Similarity
+        .bruteForceTopK(spread(s, emb), q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = graft.ops.Similarity.graphAnnTopK(
+          spread(s, emb), q, "vec_id", "embedding",
+          dim = 64, planes = 8, bands = 4, degree = 12, beam = 32, rounds = 8,
+          k = 5, entries = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      q.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) / 5.0, 6).as("recall"))
     }),
 
     // Extension: Local Outlier Factor over the approximate kNN graph —
@@ -5667,6 +5689,44 @@ object SparkEntry {
     "CAST(CAST(ln(1.0::DOUBLE + (st.n_docs - dfq.dfc + 0.5::DOUBLE) / " +
       s"(dfq.dfc + 0.5::DOUBLE)) AS DECIMAL(27,12)) AS DOUBLE) * $invidxImpactSql AS s"
 
+  /** The graph-ANN beam-search replay shared by the sim_hnsw_* oracles:
+    * sim_knn_graph's LSH graph CTEs, the md5 entry-point seed rule, 4
+    * UNROLLED beam rounds (expand along top-degree edges, score, keep
+    * top-beam by sim DESC, node ASC), and the re-scored final beam `f`.
+    * Exposes CTEs `e` (corpus), `q` (probes), `f` (final beam). */
+  private lazy val hnswBeamCtes: String = {
+    val roundCtes = (1 to 8).map { r =>
+      s"""c$r AS (SELECT query_id, node FROM b${r - 1}
+        |  UNION SELECT b.query_id, g.dst AS node FROM b${r - 1} b JOIN g ON g.src = b.node),
+        |s$r AS (SELECT c.query_id, c.node, ${cosSql("q.qv", "e.v")} AS sim
+        |  FROM c$r c JOIN e ON e.vec_id = c.node JOIN q ON q.query_id = c.query_id),
+        |b$r AS (SELECT query_id, node FROM (SELECT query_id, node,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node ASC) AS br FROM s$r)
+        |  WHERE br <= 32)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, embedding AS v FROM embeddings),
+      |bk AS (SELECT vec_id, t.b AS band, list_sum(list_transform(generate_series(0,7), j ->
+      |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(v)), i ->
+      |    v[i]::DOUBLE * (CASE WHEN (('0x'||substr(md5((t.b*8+j)::VARCHAR||':'||(i-1)::VARCHAR),1,15))::UBIGINT & 1) = 1 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END))), (a,x) -> a+x) >= 0
+      |  THEN (1 << j) ELSE 0 END)) AS bucket FROM e, range(4) t(b)),
+      |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |p AS (SELECT c.a_id, c.b_id, ${cosSql("ea.v", "eb.v")} AS sim
+      |  FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id),
+      |sym AS (SELECT a_id AS src, b_id AS dst, sim FROM p
+      |        UNION ALL SELECT b_id, a_id, sim FROM p),
+      |rk AS (SELECT src, dst, sim,
+      |    row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rnk
+      |  FROM sym),
+      |g AS (SELECT src, dst FROM rk WHERE rnk <= 12),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |ent AS (SELECT vec_id AS node FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+      |b0 AS (SELECT q.query_id, ent.node FROM q, ent),
+      |$roundCtes,
+      |f AS (SELECT b.query_id, b.node, ${cosSql("q.qv", "e.v")} AS sim
+      |  FROM b8 b JOIN e ON e.vec_id = b.node JOIN q ON q.query_id = b.query_id)""".stripMargin
+  }
+
   private def cosSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x,y) -> x+y)" +
       s" / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (x,y) -> x+y))" +
@@ -7307,43 +7367,33 @@ object SparkEntry {
     // edges, score, keep top-beam by (sim DESC, node ASC) — and the
     // final self-excluded top-k. Generated per round so the SQL can't
     // drift from the op's round structure.
-    "sim_hnsw_topk" -> {
-      val roundCtes = (1 to 4).map { r =>
-        s"""c$r AS (SELECT query_id, node FROM b${r - 1}
-          |  UNION SELECT b.query_id, g.dst AS node FROM b${r - 1} b JOIN g ON g.src = b.node),
-          |s$r AS (SELECT c.query_id, c.node, ${cosSql("q.qv", "e.v")} AS sim
-          |  FROM c$r c JOIN e ON e.vec_id = c.node JOIN q ON q.query_id = c.query_id),
-          |b$r AS (SELECT query_id, node FROM (SELECT query_id, node,
-          |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node ASC) AS br FROM s$r)
-          |  WHERE br <= 12)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
-        |bk AS (SELECT vec_id, t.b AS band, list_sum(list_transform(generate_series(0,7), j ->
-        |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(v)), i ->
-        |    v[i]::DOUBLE * (CASE WHEN (('0x'||substr(md5((t.b*8+j)::VARCHAR||':'||(i-1)::VARCHAR),1,15))::UBIGINT & 1) = 1 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END))), (a,x) -> a+x) >= 0
-        |  THEN (1 << j) ELSE 0 END)) AS bucket FROM e, range(2) t(b)),
-        |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-        |p AS (SELECT c.a_id, c.b_id, ${cosSql("ea.v", "eb.v")} AS sim
-        |  FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id),
-        |sym AS (SELECT a_id AS src, b_id AS dst, sim FROM p
-        |        UNION ALL SELECT b_id, a_id, sim FROM p),
-        |rk AS (SELECT src, dst, sim,
-        |    row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rnk
-        |  FROM sym),
-        |g AS (SELECT src, dst FROM rk WHERE rnk <= 5),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-        |ent AS (SELECT vec_id AS node FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 1),
-        |b0 AS (SELECT q.query_id, ent.node FROM q, ent),
-        |$roundCtes,
-        |f AS (SELECT b.query_id, b.node, ${cosSql("q.qv", "e.v")} AS sim
-        |  FROM b4 b JOIN e ON e.vec_id = b.node JOIN q ON q.query_id = b.query_id)
+    "sim_hnsw_topk" ->
+      s"""WITH $hnswBeamCtes
         |SELECT query_id, node AS neighbor_id, CAST(rk2 AS INTEGER) AS "rank", round(sim, 6) AS sim
         |FROM (SELECT query_id, node, sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rk2
         |  FROM f WHERE node != query_id)
-        |WHERE rk2 <= 5""".stripMargin
-    },
+        |WHERE rk2 <= 5""".stripMargin,
+
+    // The established recall@5 harness over the SAME beam-search replay:
+    // approximate top-k from the graph navigation vs the exact
+    // brute-force ranking, per-query hit counts.
+    "sim_hnsw_recall" ->
+      s"""WITH $hnswBeamCtes,
+        |ap AS (SELECT query_id, node AS neighbor_id FROM
+        |  (SELECT query_id, node,
+        |     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rk2
+        |   FROM f WHERE node != query_id)
+        |  WHERE rk2 <= 5),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.query_id ORDER BY ${cosSql("q.qv", "c.v")} DESC, c.vec_id) AS rk
+        |  FROM q, e c WHERE c.vec_id != q.query_id) WHERE rk <= 5),
+        |hits AS (SELECT ex.query_id, count(*) AS n_hit FROM ex SEMI JOIN ap
+        |  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id GROUP BY 1)
+        |SELECT q.query_id, COALESCE(h.n_hit, 0) AS n_hit,
+        |  round(COALESCE(h.n_hit, 0) / 5.0, 6) AS recall
+        |FROM q LEFT JOIN hits h ON q.query_id = h.query_id""".stripMargin,
 
     // The sim_knn_graph chain + per-dst in-degree / mutual counts and the
     // deterministic top-10 cut.

@@ -1640,6 +1640,7 @@ object Similarity {
       beam: Int = 12,
       rounds: Int = 4,
       k: Int = 5,
+      entries: Int = 1,
       scope: CacheScope = new CacheScope
   ): DataFrame = {
     import corpus.sparkSession.implicits._
@@ -1653,11 +1654,14 @@ object Similarity {
     val probeVecs = scope.cache(probes.select(
       col(idCol).cast("long").as("query_id"),
       transform(col(vecCol), _.cast("double")).as("qv")))
-    // the committed entry point: deterministic seed rule, O(1) driver state
-    val entryId = corpus
+    // the committed entry points: deterministic seed rule (multi-entry is
+    // the standard flat-graph mitigation for the hierarchy HNSW would
+    // bring — E independent starting neighborhoods), O(entries) driver
+    // state
+    val entryIds = corpus
       .select(col(idCol).cast("long").as("id"))
-      .orderBy(md5(col("id").cast("string")), col("id")).limit(1)
-      .collect()(0).getLong(0)
+      .orderBy(md5(col("id").cast("string")), col("id")).limit(entries)
+      .collect().map(_.getLong(0)).toSeq
     def scored(cand: DataFrame): DataFrame =
       cand.join(vecs, "node").join(probeVecs, "query_id")
         .select(col("query_id"), col("node"), cos(col("qv"), col("nv")).as("sim"))
@@ -1667,7 +1671,7 @@ object Similarity {
     // collects ≤ |probes|·beam (query, node) pairs — probe batches are
     // driver-bounded by the probe contract (see probeCells)
     var beamIds: Seq[(Long, Long)] = probeVecs.select(col("query_id"))
-      .collect().map(r => (r.getLong(0), entryId)).toSeq
+      .collect().toSeq.flatMap(r => entryIds.map(e => (r.getLong(0), e)))
     var r = 0
     var frontier = beamIds.toDF("query_id", "node")
     while (r < rounds) {
