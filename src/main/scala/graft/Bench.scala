@@ -30,12 +30,12 @@ import org.apache.spark.sql.SparkSession
   *      pass 3 (timed) — run ONLY if pass 2 came in under the fast
   *                       threshold (`GRAFT_BENCH_FAST_SEC`, default 4 s)
   *                       and the ladder level allows 2 passes.
-  *    Scan-shaped queries (~90% of the set, sub-2 s) report min(pass2,
-  *    pass3) — the same 2-steady-pass min as the record rounds — while
-  *    commit-floor lifecycle queries (manifest txns, micro-batch replays,
-  *    whose cost is filesystem commits, not JIT) report min(pass1, pass2)
-  *    and skip the third execution: for them the cold pass IS
-  *    representative, and a third multi-second execution buys nothing.
+  *    Scan-shaped queries (~90% of the set) report min(pass2, pass3) —
+  *    the same 2-steady-pass min as the record rounds. Over-threshold
+  *    lifecycle queries ALSO get a second timed pass at non-degraded
+  *    ladder levels (`slow2`, r13) with the min over the two STEADY
+  *    passes; only at the floor levels do they stop at min(pass1,
+  *    pass2), where the cold pass is the only second sample available.
   *    The per-query timed-pass count is recorded in bench_detail.json
   *    (`passes`), alongside the ladder level (`lvl`) — so a downstream
   *    reader can tell a steady-state number from a degraded one without
@@ -232,14 +232,17 @@ object Bench {
   }
 
   /** One query's measurement within a chunk: the reported seconds, ok
-    * flag, number of STEADY timed passes behind the min (2 for fast
-    * queries, 1 for slow ones whose min instead includes the cold pass),
+    * flag, number of STEADY timed passes behind the min (2 means the min
+    * is over steady passes ONLY; 1 means a floor-level slow query whose
+    * min instead includes the cold pass), whether the query measured
+    * OVER the fast threshold on its first timed pass (`slow` — the
+    * cost-model classification, independent of where its min landed),
     * and the cold-pass seconds (wall of THIS query's cold execution —
     * under the concurrent cold phase it includes contention from the
-    * other in-flight colds, so it only ever tightens a slow query's
+    * other in-flight colds, so it only ever tightens a floor-level
     * min(cold, timed), never flatters it). */
   private[graft] final case class QMeasure(
-      sec: Double, ok: Boolean, passes: Int, cold: Double)
+      sec: Double, ok: Boolean, passes: Int, slow: Boolean, cold: Double)
 
   /** Time a chunk of queries on a fresh session with the ADAPTIVE pass
     * scheme (see the file scaladoc); returns (per-query measures, the
@@ -323,11 +326,14 @@ object Bench {
       val m =
         if (maxPasses >= 2 && t1 <= fastSec && ok1) {
           val (t2, ok2) = consume(spark, sfDir, n)
-          QMeasure(math.min(t1, t2), okCold && ok1 && ok2, 2, cold)
+          QMeasure(math.min(t1, t2), okCold && ok1 && ok2, 2, slow = false, cold)
         } else if (slow2 && maxPasses >= 2 && ok1) {
+          // min over the two STEADY passes only — never the contended
+          // cold — so passes=2 keeps the record-round meaning
           val (t2, ok2) = consume(spark, sfDir, n)
-          QMeasure(math.min(math.min(cold, t1), t2), okCold && ok1 && ok2, 2, cold)
-        } else QMeasure(math.min(cold, t1), okCold && ok1, 1, cold)
+          QMeasure(math.min(t1, t2), okCold && ok1 && ok2, 2, slow = true, cold)
+        } else QMeasure(math.min(cold, t1), okCold && ok1, 1,
+          slow = t1 > fastSec, cold)
       n -> m
     }
     spark.stop()
@@ -345,7 +351,7 @@ object Bench {
     val slow2 = sys.env.getOrElse("GRAFT_BENCH_SLOW2", "1") == "1"
     val (results, warmup) = runChunk(sfDir, cpus, names, passes, fastSec, slow2)
     results.foreach { case (n, m) =>
-      println(s"GRAFT_BENCH_Q\t$n\t${m.sec}\t${m.ok}\t${m.passes}\t${m.cold}")
+      println(s"GRAFT_BENCH_Q\t$n\t${m.sec}\t${m.ok}\t${m.passes}\t${m.slow}\t${m.cold}")
     }
     println(s"GRAFT_BENCH_WARMUP\t$warmup")
   }
@@ -381,8 +387,9 @@ object Bench {
       val rc = proc.waitFor()
       if (rc != 0) { System.err.println(s"[bench] child exited rc=$rc"); return None }
       val qs = out.collect { case l if l.startsWith("GRAFT_BENCH_Q\t") =>
-        val Array(_, n, sec, ok, passes, cold) = l.split("\t")
-        n -> QMeasure(sec.toDouble, ok.toBoolean, passes.toInt, cold.toDouble)
+        val Array(_, n, sec, ok, passes, slow, cold) = l.split("\t")
+        n -> QMeasure(sec.toDouble, ok.toBoolean, passes.toInt,
+          slow.toBoolean, cold.toDouble)
       }
       val warmup = out.collectFirst { case l if l.startsWith("GRAFT_BENCH_WARMUP\t") =>
         l.split("\t")(1).toDouble
@@ -540,6 +547,7 @@ object Bench {
               sec = times(times.size / 2),
               ok = obs.forall(_.ok),
               passes = obs.map(_.passes).min,
+              slow = obs.exists(_.slow),
               cold = obs.map(_.cold).min)
             n -> (agg, level)
           }
@@ -553,9 +561,13 @@ object Bench {
           val wAvg = chunkWarm / repeats
           val wObs = wAvg / chunk.size
           if (wObs > 0) wEst = 0.5 * wEst + 0.5 * wObs
+          // classify by the measured ARM (t1 vs fastSec at run time), not
+          // by where the reported min landed: a borderline slow query
+          // whose second pass dipped under the threshold still spent a
+          // slow query's wall and must price as one
           val fastObs = runs.head.values
-            .filter(m => m.passes >= 2 && m.sec <= fastSec).toSeq
-          val slowObs = runs.head.values.filter(_.sec > fastSec).toSeq
+            .filter(m => m.passes >= 2 && !m.slow).toSeq
+          val slowObs = runs.head.values.filter(_.slow).toSeq
           fFrac = 0.5 * fFrac + 0.5 * (fastObs.size.toDouble / chunk.size)
           if (fastObs.nonEmpty)
             fAvg = 0.5 * fAvg + 0.5 * (fastObs.map(_.sec).sum / fastObs.size)
@@ -597,7 +609,7 @@ object Bench {
           // fields are what let a reader separate "slow plan" from
           // "single-pass measurement" without a re-run (the r11 gap).
           val qjson = rich.sortBy(_._1).map { case (n, (m, lvl)) =>
-            s"""    "$n": {"sec": ${f2(m.sec)}, "ok": ${m.ok}, "lvl": $lvl, "passes": ${m.passes}, "cold": ${f2(m.cold)}}"""
+            s"""    "$n": {"sec": ${f2(m.sec)}, "ok": ${m.ok}, "lvl": $lvl, "passes": ${m.passes}, "slow": ${m.slow}, "cold": ${f2(m.cold)}}"""
           }.mkString("{\n", ",\n", "\n  }")
           val lvlJson = levelCounts.toSeq
             .map { case (l, n) =>

@@ -85,15 +85,36 @@ object SparkEntry {
     * mutating lifecycle queries take a private `stagedCopy` instead. The
     * per-query INDEX commits stay per-query, so an index-path regression
     * stays visible in that query's own time. */
-  private val stagedFixtures =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val stagedFixtures = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.FutureTask[String]]()
   private def stagedRO(fixture: String, dir: String)(
-      build: String => Unit): String =
-    stagedFixtures.computeIfAbsent(s"$fixture@$dir", { _ =>
-      val d = scratch(s"fix_${fixture}_${math.abs(dir.hashCode)}")
+      build: String => Unit): String = {
+    val key = s"$fixture@$dir"
+    // FutureTask memo, NOT computeIfAbsent(build): the build runs
+    // multi-second Spark commit jobs, and computeIfAbsent would hold the
+    // map's bin lock for the whole build — re-serializing the concurrent
+    // cold phase behind an unrelated fixture that hashed into the same
+    // bin. Here the map operation is a cheap putIfAbsent; the winner
+    // runs the task outside any lock and everyone else awaits the same
+    // task. A failed build is evicted so the next caller retries.
+    // The on-disk name embeds the SANITIZED dir (never a lossy
+    // hashCode): two sfDirs in one JVM must never wipe each other's
+    // staged table.
+    val task = new java.util.concurrent.FutureTask[String](() => {
+      val d = scratch(s"fix_${fixture}_${dir.replaceAll("[^a-zA-Z0-9._-]", "_")}")
       build(d)
       d
     })
+    val t = Option(stagedFixtures.putIfAbsent(key, task)).getOrElse {
+      task.run(); task
+    }
+    try t.get()
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        stagedFixtures.remove(key, t): Unit
+        throw e.getCause
+    }
+  }
 
   /** Private relocated copy of a staged fixture for queries that MUTATE
     * their corpus (append / DV-delete / branch): manifest tables store
@@ -5689,11 +5710,30 @@ object SparkEntry {
     "CAST(CAST(ln(1.0::DOUBLE + (st.n_docs - dfq.dfc + 0.5::DOUBLE) / " +
       s"(dfq.dfc + 0.5::DOUBLE)) AS DECIMAL(27,12)) AS DOUBLE) * $invidxImpactSql AS s"
 
+  /** The sign-LSH candidate-pair CTEs shared by the sim_lsh_near_dup,
+    * sim_knn_graph, and sim_hnsw_* oracles — ONE copy of the SQL that
+    * must stay bit-identical to the Scala LSH build (same md5 plane
+    * family, same band*8+j plane indexing), so a plane-family tweak
+    * can't silently diverge one oracle. Exposes CTEs `e` (corpus), `bk`
+    * (per-band buckets), `cand` (colliding id pairs), `p` (scored
+    * pairs). */
+  private def lshPairCtes(bands: Int): String =
+    s"""e AS (SELECT vec_id, embedding AS v FROM embeddings),
+      |bk AS (SELECT vec_id, t.b AS band, list_sum(list_transform(generate_series(0,7), j ->
+      |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(v)), i ->
+      |    v[i]::DOUBLE * (CASE WHEN (('0x'||substr(md5((t.b*8+j)::VARCHAR||':'||(i-1)::VARCHAR),1,15))::UBIGINT & 1) = 1 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END))), (a,x) -> a+x) >= 0
+      |  THEN (1 << j) ELSE 0 END)) AS bucket FROM e, range($bands) t(b)),
+      |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |p AS (SELECT c.a_id, c.b_id, ${cosSql("ea.v", "eb.v")} AS sim
+      |  FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id)""".stripMargin
+
   /** The graph-ANN beam-search replay shared by the sim_hnsw_* oracles:
-    * sim_knn_graph's LSH graph CTEs, the md5 entry-point seed rule, 4
-    * UNROLLED beam rounds (expand along top-degree edges, score, keep
-    * top-beam by sim DESC, node ASC), and the re-scored final beam `f`.
-    * Exposes CTEs `e` (corpus), `q` (probes), `f` (final beam). */
+    * sim_knn_graph's LSH graph CTEs ([[lshPairCtes]]), the md5
+    * entry-point seed rule, 8 UNROLLED beam rounds (expand along
+    * top-degree edges, score, keep top-beam by sim DESC, node ASC), and
+    * the re-scored final beam `f`. Exposes CTEs `e` (corpus), `q`
+    * (probes), `f` (final beam). */
   private lazy val hnswBeamCtes: String = {
     val roundCtes = (1 to 8).map { r =>
       s"""c$r AS (SELECT query_id, node FROM b${r - 1}
@@ -5704,15 +5744,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node ASC) AS br FROM s$r)
         |  WHERE br <= 32)""".stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id, embedding AS v FROM embeddings),
-      |bk AS (SELECT vec_id, t.b AS band, list_sum(list_transform(generate_series(0,7), j ->
-      |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(v)), i ->
-      |    v[i]::DOUBLE * (CASE WHEN (('0x'||substr(md5((t.b*8+j)::VARCHAR||':'||(i-1)::VARCHAR),1,15))::UBIGINT & 1) = 1 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END))), (a,x) -> a+x) >= 0
-      |  THEN (1 << j) ELSE 0 END)) AS bucket FROM e, range(4) t(b)),
-      |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-      |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-      |p AS (SELECT c.a_id, c.b_id, ${cosSql("ea.v", "eb.v")} AS sim
-      |  FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id),
+    s"""${lshPairCtes(4)},
       |sym AS (SELECT a_id AS src, b_id AS dst, sim FROM p
       |        UNION ALL SELECT b_id, a_id, sim FROM p),
       |rk AS (SELECT src, dst, sim,
@@ -7322,35 +7354,13 @@ object SparkEntry {
         |FROM q LEFT JOIN hits h ON q.vec_id = h.query_id""".stripMargin,
 
     "sim_lsh_near_dup" ->
-      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
-        |bk AS (SELECT vec_id, t.b AS band, list_sum(list_transform(generate_series(0,7), j ->
-        |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(v)), i ->
-        |    v[i]::DOUBLE * (CASE WHEN (('0x'||substr(md5((t.b*8+j)::VARCHAR||':'||(i-1)::VARCHAR),1,15))::UBIGINT & 1) = 1 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END))), (a,x) -> a+x) >= 0
-        |  THEN (1 << j) ELSE 0 END)) AS bucket FROM e, range(2) t(b)),
-        |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-        |p AS (SELECT c.a_id, c.b_id,
-        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(ea.v)), i -> ea.v[i]::DOUBLE * eb.v[i]::DOUBLE)), (x,y) -> x+y)
-        |  / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(ea.v)), i -> ea.v[i]::DOUBLE * ea.v[i]::DOUBLE)), (x,y) -> x+y))
-        |   * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(eb.v)), i -> eb.v[i]::DOUBLE * eb.v[i]::DOUBLE)), (x,y) -> x+y))) AS sim
-        |  FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id)
+      s"""WITH ${lshPairCtes(2)}
         |SELECT a_id, b_id, round(sim, 6) AS sim FROM p WHERE sim >= 0.3""".stripMargin,
 
     // Same LSH bucketing/cosine replication as sim_lsh_near_dup (no
     // threshold), then symmetrize, rank per node, flag mutual edges.
     "sim_knn_graph" ->
-      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
-        |bk AS (SELECT vec_id, t.b AS band, list_sum(list_transform(generate_series(0,7), j ->
-        |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(v)), i ->
-        |    v[i]::DOUBLE * (CASE WHEN (('0x'||substr(md5((t.b*8+j)::VARCHAR||':'||(i-1)::VARCHAR),1,15))::UBIGINT & 1) = 1 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END))), (a,x) -> a+x) >= 0
-        |  THEN (1 << j) ELSE 0 END)) AS bucket FROM e, range(2) t(b)),
-        |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-        |p AS (SELECT c.a_id, c.b_id,
-        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(ea.v)), i -> ea.v[i]::DOUBLE * eb.v[i]::DOUBLE)), (x,y) -> x+y)
-        |  / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(ea.v)), i -> ea.v[i]::DOUBLE * ea.v[i]::DOUBLE)), (x,y) -> x+y))
-        |   * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(eb.v)), i -> eb.v[i]::DOUBLE * eb.v[i]::DOUBLE)), (x,y) -> x+y))) AS sim
-        |  FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id),
+      s"""WITH ${lshPairCtes(2)},
         |sym AS (SELECT a_id AS src, b_id AS dst, sim FROM p
         |        UNION ALL SELECT b_id, a_id, sim FROM p),
         |rk AS (SELECT src, dst, sim,
@@ -7363,7 +7373,7 @@ object SparkEntry {
 
     // Graph-ANN beam search replayed end-to-end: the knn-graph CTEs
     // (identical to sim_knn_graph's oracle), the md5 entry-point seed
-    // rule, then the 4 beam rounds UNROLLED — expand along top-degree
+    // rule, then the 8 beam rounds UNROLLED — expand along top-degree
     // edges, score, keep top-beam by (sim DESC, node ASC) — and the
     // final self-excluded top-k. Generated per round so the SQL can't
     // drift from the op's round structure.

@@ -393,20 +393,26 @@ object Quality {
     cur
   }
 
-  /** Commit arbitrary model-artifact bytes to the registry table at
-    * `dir` under `modelName` — a full-snapshot commit, so CURRENT is
-    * always exactly the shipped model set and re-shipping is one pointer
-    * swap. Models other than `modelName` carry forward. Returns the new
-    * version. */
-  def commitModelBytes(
+  /** The shared registry commit: one row per model — (model_name,
+    * model_bytes, corpus_dir, corpus_version) — in a full-snapshot
+    * commit, so CURRENT is always exactly the shipped model set and
+    * re-shipping is one pointer swap. Models other than `modelName`
+    * carry forward WITH their own bindings: the binding is a ROW
+    * property, not a table header, because a multi-model registry has
+    * one training corpus per model — a table-wide `#indexof` would be
+    * overwritten by every sibling ship (and destroyed by an unbound
+    * one), silently serving stale models or refusing fresh ones. */
+  private def commitModel(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       modelName: String,
-      bytes: Array[Byte]
+      bytes: Array[Byte],
+      binding: Option[(String, Long)]
   ): Long = {
     import spark.implicits._
     val f = graft.sources.ManifestTable
-    val row = Seq((modelName, bytes)).toDF("model_name", "model_bytes")
+    val row = Seq((modelName, bytes, binding.map(_._1), binding.map(_._2)))
+      .toDF("model_name", "model_bytes", "corpus_dir", "corpus_version")
     // Probe table EXISTENCE explicitly — never swallow a read failure: a
     // transient IO error or corrupted pointer treated as "empty registry"
     // would silently commit a snapshot containing only the new model and
@@ -416,14 +422,27 @@ object Quality {
       if (f.exists(spark, dir)) f.read(spark, dir)
         .filter(col("model_name") =!= modelName)
       else row.limit(0)
-    f.commit(spark, dir, existing.unionByName(row)).version
+    // allowMissingColumns: a registry written before the binding columns
+    // existed upgrades in place (siblings keep null = unbound)
+    f.commit(spark, dir,
+      existing.unionByName(row, allowMissingColumns = true)).version
   }
 
-  /** [[commitModelBytes]] that BINDS the registry snapshot to the corpus
-    * snapshot the model was trained on (`#indexof` header via
-    * `commitIndex` — the exact contract the persisted ANN/text indexes
-    * carry): serving a model trained on a superseded corpus is the model
-    * registry's version of a stale index, and
+  /** Commit arbitrary model-artifact bytes to the registry table at
+    * `dir` under `modelName`, unbound (see [[commitModel]]). Returns the
+    * new version. */
+  def commitModelBytes(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      modelName: String,
+      bytes: Array[Byte]
+  ): Long = commitModel(spark, dir, modelName, bytes, None)
+
+  /** [[commitModelBytes]] that BINDS the model to the corpus snapshot it
+    * was trained on — the persisted indexes' `#indexof` staleness
+    * contract applied per REGISTRY ROW (see [[commitModel]] for why not
+    * per table): serving a model trained on a superseded corpus is the
+    * model registry's version of a stale index, and
     * [[linearScoreFromArtifact]]'s `requireFresh` gate refuses it the
     * same way `requireIndexFresh` refuses a stale probe. The binding and
     * the artifact land in ONE pointer move. */
@@ -434,16 +453,31 @@ object Quality {
       bytes: Array[Byte],
       corpusDir: String,
       corpusVersion: Long
-  ): Long = {
-    import spark.implicits._
-    val f = graft.sources.ManifestTable
-    val row = Seq((modelName, bytes)).toDF("model_name", "model_bytes")
-    val existing =
-      if (f.exists(spark, dir)) f.read(spark, dir)
-        .filter(col("model_name") =!= modelName)
-      else row.limit(0)
-    f.commitIndex(spark, dir, existing.unionByName(row),
-      corpusDir, corpusVersion).version
+  ): Long =
+    commitModel(spark, dir, modelName, bytes, Some((corpusDir, corpusVersion)))
+
+  /** The model-side freshness gate: refuses when `modelName`'s recorded
+    * training-corpus binding no longer matches the corpus's CURRENT
+    * version, or when the model shipped unbound. */
+  def requireModelFresh(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      modelName: String
+  ): Unit = {
+    val rows = graft.sources.ManifestTable.read(spark, dir)
+      .filter(col("model_name") === modelName)
+      .select(col("corpus_dir"), col("corpus_version")).collect()
+    require(rows.length == 1,
+      s"model '$modelName' resolves to ${rows.length} artifacts in $dir")
+    if (rows(0).isNullAt(0)) throw new IllegalStateException(
+      s"model '$modelName' in $dir carries no corpus binding — ship it " +
+        "with commitModelBytesBound before fresh-gated scoring; an " +
+        "unbound model cannot claim freshness")
+    val (src, v) = (rows(0).getString(0), rows(0).getLong(1))
+    val cur = graft.sources.ManifestTable.currentVersion(spark, src)
+    if (cur != v) throw new IllegalStateException(
+      s"stale model: '$modelName' was trained on $src v$v but the corpus " +
+        "is now v" + cur + " — retrain and re-ship (commitModelBytesBound)")
   }
 
   /** Load `modelName`'s raw artifact bytes from the registry's CURRENT
@@ -485,10 +519,11 @@ object Quality {
   /** [[linearScore]] with the model loaded from a committed artifact —
     * the production inference call: the registry read pins the model
     * version the scores were computed with. With `requireFresh = true`
-    * the call REFUSES a registry whose `#indexof` corpus binding
-    * ([[commitModelBytesBound]]) no longer matches the corpus's CURRENT
-    * version — a model trained on a superseded corpus must not silently
-    * score the new one (the index-staleness contract applied to models). */
+    * the call REFUSES when the MODEL's recorded corpus binding
+    * ([[commitModelBytesBound]], per registry row) no longer matches the
+    * corpus's CURRENT version — a model trained on a superseded corpus
+    * must not silently score the new one (the index-staleness contract
+    * applied to models). */
   def linearScoreFromArtifact(
       df: DataFrame,
       idCol: String,
@@ -499,7 +534,7 @@ object Quality {
       requireFresh: Boolean = false
   ): DataFrame = {
     if (requireFresh)
-      graft.sources.ManifestTable.requireIndexFresh(df.sparkSession, registryDir)
+      requireModelFresh(df.sparkSession, registryDir, modelName)
     val (w, b) = loadLinearModel(df.sparkSession, registryDir, modelName)
     linearScore(df, idCol, textCol, w, b, threshold)
   }

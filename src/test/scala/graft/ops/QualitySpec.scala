@@ -276,7 +276,7 @@ class QualitySpec extends AnyFlatSpec with Matchers {
       an[IllegalStateException] should be thrownBy
         Quality.linearScoreFromArtifact(M.read(spark, corpus), "doc_id", "text",
           reg, "quality-lr", requireFresh = true)
-      // an UNBOUND registry can't claim freshness either
+      // an UNBOUND model can't claim freshness either
       val reg2 = java.nio.file.Files.createTempDirectory("mbind_reg2").toString
       try {
         Quality.commitLinearModel(spark, reg2, "quality-lr",
@@ -293,6 +293,32 @@ class QualitySpec extends AnyFlatSpec with Matchers {
         corpus, M.currentVersion(spark, corpus))
       Quality.linearScoreFromArtifact(M.read(spark, corpus), "doc_id", "text",
         reg, "quality-lr", requireFresh = true).count() shouldBe 3
+      // the binding is PER MODEL, not per registry snapshot: shipping an
+      // UNBOUND sibling must not break quality-lr's freshness...
+      Quality.commitLinearModel(spark, reg, "toxicity-lr",
+        Quality.pseudoWeights(4), 0.0)
+      Quality.linearScoreFromArtifact(M.read(spark, corpus), "doc_id", "text",
+        reg, "quality-lr", requireFresh = true).count() shouldBe 3
+      an[IllegalStateException] should be thrownBy
+        Quality.requireModelFresh(spark, reg, "toxicity-lr") // still unbound
+      // ...and a sibling bound to a DIFFERENT corpus keeps its own gate:
+      // quality-lr stays fresh against corpusA; the sibling's gate tracks
+      // corpusB and refuses when only corpusB moves
+      val corpusB = java.nio.file.Files.createTempDirectory("mbind_corpusB").toString
+      try {
+        M.commit(spark, corpusB, Seq((9L, "eta theta")).toDF("doc_id", "text"))
+        Quality.commitModelBytesBound(spark, reg, "toxicity-lr",
+          Quality.linearModelBytes(Quality.pseudoWeights(4), 0.0),
+          corpusB, M.currentVersion(spark, corpusB))
+        Quality.requireModelFresh(spark, reg, "quality-lr")
+        Quality.requireModelFresh(spark, reg, "toxicity-lr")
+        M.append(spark, corpusB, Seq((10L, "iota")).toDF("doc_id", "text"))
+        an[IllegalStateException] should be thrownBy
+          Quality.requireModelFresh(spark, reg, "toxicity-lr")
+        Quality.requireModelFresh(spark, reg, "quality-lr") // unaffected
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(corpusB))
+      }
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(corpus))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(reg))
