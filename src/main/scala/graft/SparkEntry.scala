@@ -97,11 +97,17 @@ object SparkEntry {
     // bin. Here the map operation is a cheap putIfAbsent; the winner
     // runs the task outside any lock and everyone else awaits the same
     // task. A failed build is evicted so the next caller retries.
-    // The on-disk name embeds the SANITIZED dir (never a lossy
-    // hashCode): two sfDirs in one JVM must never wipe each other's
-    // staged table.
+    // The on-disk name embeds the sanitized dir PLUS a digest of the raw
+    // string: sanitization alone is lossy (/a/b and /a_b collide after
+    // the non-word squash), and two sfDirs whose memo keys differ but
+    // whose staged paths coincided would concurrently rmTree each
+    // other's half-built fixture (r13 ADVICE). The md5 prefix makes the
+    // path injective in the raw dir.
     val task = new java.util.concurrent.FutureTask[String](() => {
-      val d = scratch(s"fix_${fixture}_${dir.replaceAll("[^a-zA-Z0-9._-]", "_")}")
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val d = scratch(
+        s"fix_${fixture}_${dir.replaceAll("[^a-zA-Z0-9._-]", "_")}_$dig")
       build(d)
       d
     })

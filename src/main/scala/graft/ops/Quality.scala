@@ -464,7 +464,20 @@ object Quality {
       dir: String,
       modelName: String
   ): Unit = {
-    val rows = graft.sources.ManifestTable.read(spark, dir)
+    val reg = graft.sources.ManifestTable.read(spark, dir)
+    // A registry written before the binding columns existed (legacy
+    // schema, never re-committed since) carries no corpus_dir /
+    // corpus_version at all. That is the SAME contract breach as a null
+    // binding — route it to the identical unbound-model refusal instead
+    // of letting the select die with an opaque unresolved-column
+    // AnalysisException (r13 ADVICE).
+    val hasBinding = reg.columns.contains("corpus_dir") &&
+      reg.columns.contains("corpus_version")
+    if (!hasBinding) throw new IllegalStateException(
+      s"model '$modelName' in $dir carries no corpus binding — ship it " +
+        "with commitModelBytesBound before fresh-gated scoring; an " +
+        "unbound model cannot claim freshness")
+    val rows = reg
       .filter(col("model_name") === modelName)
       .select(col("corpus_dir"), col("corpus_version")).collect()
     require(rows.length == 1,

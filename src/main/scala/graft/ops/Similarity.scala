@@ -320,7 +320,13 @@ object Similarity {
     * Spark MLlib's KMeans uses between iterations — O(k·dim), never O(n).
     * Cells that lose every member drop out (deterministic in both
     * engines); ties in the assignment argmax break to the smallest
-    * centroid id, matching `ORDER BY csim DESC, cent_id ASC LIMIT 1`. */
+    * centroid id, matching `ORDER BY csim DESC, cent_id ASC LIMIT 1`.
+    *
+    * Input contract: every vector must have EXACTLY `dim` components.
+    * Ragged input is REFUSED with an actionable error — including
+    * vectors LONGER than `dim`, which the pre-r13 element_at formulation
+    * silently prefix-summed (a deliberate tightening: a longer vector in
+    * an IVF corpus is a corrupt row, not a valid prefix). */
   def kmeansCentroids(
       corpus: DataFrame,
       idCol: String,
@@ -371,9 +377,16 @@ object Similarity {
             sumCols): _*)
         .collect()
       sums.foreach { r =>
-        require(r.getInt(2) == dim && r.getInt(3) == dim,
+        // all-null vectors in a cell leave min/max(size) null — that is
+        // the same contract breach as a ragged vector, and getInt on a
+        // null would throw an unhelpful NPE instead of this message
+        // (r13 ADVICE)
+        val szOk = !r.isNullAt(2) && !r.isNullAt(3) &&
+          r.getInt(2) == dim && r.getInt(3) == dim
+        require(szOk,
           s"ragged embedding in cell ${if (r.isNullAt(0)) "null" else r.getLong(0)}: vector sizes " +
-            s"${r.getInt(2)}..${r.getInt(3)} != dim $dim — a short vector " +
+            s"${if (r.isNullAt(2)) "null" else r.getInt(2).toString}.." +
+            s"${if (r.isNullAt(3)) "null" else r.getInt(3).toString} != dim $dim — a short (or null) vector " +
             "would skew its centroid (null components skipped by sum but " +
             "counted in n); fix the corpus or project a fixed-dim slice")
       }

@@ -97,6 +97,20 @@ object ManifestTable {
   // application included. HDFS and object stores are not
   // ChecksumFileSystems and keep their own integrity machinery, so they
   // use the normal cached instance untouched.
+  //
+  // FIRST-CONF-WINS, by design (r13 ADVICE asked this be explicit): the
+  // private raw FS is initialized once per JVM from whichever session's
+  // hadoopConfiguration reaches fs() first; later sessions with different
+  // local-FS settings share it. The only conf this FS handle consults
+  // are local-FS byte-stream knobs (buffer size, umask) whose values are
+  // immaterial here — the atomicity guarantees come from POSIX rename /
+  // createLink semantics, not configuration. The one behavioral flag
+  // read through an FS handle (`graft.manifest.assumeAtomicRename`, in
+  // claimCommitSlot) is only consulted on NON-local schemes, where fs()
+  // returns Hadoop's own cached instance, never this private one. A
+  // per-conf FS pool here would re-introduce the identity-leak and
+  // unbounded-growth problems of Hadoop's JVM-wide cache for zero
+  // behavioral difference.
   private val rawLocalFs =
     new java.util.concurrent.atomic.AtomicReference[FileSystem]()
   private def fs(dir: String, spark: SparkSession): FileSystem = {
