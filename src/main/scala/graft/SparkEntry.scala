@@ -2282,6 +2282,31 @@ object SparkEntry {
           round(element_at(col("embedding"), 3), 6).as("e2"))
     }),
 
+    // Extension: the FULLY-REAL encoder path (r13 VERDICT ask #3) — the
+    // shipped MLP's forward pass fed by features derived from the
+    // DECODED PIXELS (the aHash 8x8 luminance grid folded into 8 inputs
+    // by cell residue), so nothing in the payload→embedding chain is
+    // md5-stubbed. The oracle replays pixel sampling, feature fold, and
+    // both ReLU layers from the raw text bytes + the same inlined
+    // weights. Empty docs are filtered (a 0-byte payload has no pixels
+    // to sample — same filter as the phash row).
+    "multimodal_embed_pixels" -> ((s, dir) => {
+      val reg = scratch("mlp_registry_px")
+      graft.ops.Quality.commitModelBytes(s, reg, "vision-mlp-px",
+        graft.ops.Quality.mlpBytes(mlpLayers))
+      val shipped = graft.ops.Quality.loadModelBytes(s, reg, "vision-mlp-px")
+      graft.ops.Multimodal.embedMlpPixels(
+          graft.ops.Multimodal.asMedia(
+            spread(s, table(s, dir, "documents")).filter(length(col("text")) > 0),
+            "doc_id", "text"),
+          shipped)
+        .toDF()
+        .select(col("id"), col("width"), col("height"),
+          round(element_at(col("embedding"), 1), 6).as("e0"),
+          round(element_at(col("embedding"), 2), 6).as("e1"),
+          round(element_at(col("embedding"), 3), 6).as("e2"))
+    }),
+
     // Extension: REAL nearest-neighbor image resize (pure-JVM 24-bit BMP
     // resample to 16x16); the feature is the RESIZED image's first pixels,
     // so the oracle checks the resample's source-pixel mapping, not just
@@ -7590,6 +7615,47 @@ object SparkEntry {
         |x AS (SELECT id, w, h,
         |    $xCols
         |  FROM d),
+        |hl AS (SELECT id, w, h,
+        |    $hCols
+        |  FROM x)
+        |SELECT id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  $eCols
+        |FROM hl""".stripMargin
+    },
+
+    // The fully-real encoder path: the SAME BMP luminance-grid replay as
+    // the phash oracle (nearest-neighbor 8x8 sample over text bytes
+    // cycled into the pixel area), folded into 8 features by cell
+    // residue (x_j = Σ_{g≡j mod 8} lum(g) / 6120.0 — integer sums, one
+    // double division), then the same inlined-weights ReLU forward pass
+    // as the shipped-MLP oracle.
+    "multimodal_embed_pixels" -> {
+      val Seq((w1, b1), (w2, b2)) = mlpLayers: @unchecked
+      val xCols = (0 until 8).map(j =>
+        "(" + (0 until 8).map(k => s"lum[${j + 8 * k + 1}]").mkString(" + ") +
+          s") / 6120.0 AS x$j")
+        .mkString(",\n        |    ")
+      val hCols = w1.indices.map(i =>
+        s"GREATEST(0.0, ${b1(i)} + " +
+          (0 until 8).map(j => s"${w1(i)(j)}*x$j").mkString(" + ") +
+          s") AS h$i").mkString(",\n        |    ")
+      val eCols = w2.indices.map(o =>
+        s"round(${b2(o)} + " +
+          w1.indices.map(i => s"${w2(o)(i)}*h$i").mkString(" + ") +
+          s", 6) AS e$o").mkString(",\n        |  ")
+      s"""WITH d AS (SELECT doc_id AS id, text, strlen(text) AS L,
+        |    1 + strlen(text) % 64 AS w, 1 + strlen(text) % 48 AS h
+        |  FROM documents WHERE strlen(text) > 0),
+        |p AS (SELECT id, text, L, w, h, ((w * 3 + 3) // 4) * 4 AS rs FROM d),
+        |lums AS (SELECT id, w, h,
+        |  list_transform(generate_series(0, 63), g ->
+        |    unicode(substr(text, CAST((((((g // 8) * h) // 8) * rs + (((g % 8) * w) // 8) * 3) % L) + 1 AS INTEGER), 1))
+        |  + unicode(substr(text, CAST((((((g // 8) * h) // 8) * rs + (((g % 8) * w) // 8) * 3 + 1) % L) + 1 AS INTEGER), 1))
+        |  + unicode(substr(text, CAST((((((g // 8) * h) // 8) * rs + (((g % 8) * w) // 8) * 3 + 2) % L) + 1 AS INTEGER), 1))) AS lum
+        |  FROM p),
+        |x AS (SELECT id, w, h,
+        |    $xCols
+        |  FROM lums),
         |hl AS (SELECT id, w, h,
         |    $hCols
         |  FROM x)

@@ -258,6 +258,41 @@ class QualitySpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "derive pixel features: changing a pixel changes the embedding, the id never does" in {
+    import graft.ops.Multimodal
+    val layers: Seq[(Seq[Seq[Double]], Seq[Double])] = Seq(
+      ((0 until 3).map(i => (0 until 8).map(j => ((i * 8 + j) % 5 - 2) / 4.0)),
+        Seq(0.1, -0.1, 0.3)),
+      (Seq(Seq(1.0, 0.5, -0.25), Seq(-1.0, 0.0, 2.0)), Seq(0.0, 0.5)))
+    val bytes = Quality.mlpBytes(layers)
+    // pixel sensitivity: same id, payloads differing in ONE pixel byte
+    // (text byte 0 feeds grid cell g=0 via the cycled BMP pixel area) →
+    // different embeddings. Identity INsensitivity: different ids over
+    // identical payloads → identical embeddings (the md5(id) stub is
+    // provably gone from this path).
+    val base = "hello world, a fixed pixel source"
+    val flip = "Jello world, a fixed pixel source" // one byte differs
+    val docs = Seq((1L, base), (2L, flip), (3L, base)).toDF("doc_id", "text")
+    val out = Multimodal.embedMlpPixels(
+      Multimodal.asMedia(docs, "doc_id", "text"), bytes)
+      .collect().sortBy(_.id)
+    out(0).embedding should not be out(1).embedding
+    out(0).embedding shouldBe out(2).embedding
+    // and the features really are the folded luminance grid through the
+    // real forward pass
+    val payload = Multimodal.toBmp(base.getBytes("UTF-8"))
+    val lum = Multimodal.lumGrid64(payload)
+    val x = (0 until 8).map(j => (0 until 8).map(k => lum(j + 8 * k)).sum / 6120.0)
+    out(0).embedding shouldBe Quality.mlpForward(x, layers)
+    // a model whose input width doesn't divide the 8x8 grid refuses
+    val bad = Quality.mlpBytes(Seq(
+      (Seq(Seq(1.0, 2.0, 3.0)), Seq(0.0)))) // din = 3
+    val thrown = the[org.apache.spark.SparkException] thrownBy
+      Multimodal.embedMlpPixels(
+        Multimodal.asMedia(docs, "doc_id", "text"), bad).collect()
+    thrown.getMessage should include regex "dividing 64|input width"
+  }
+
   it should "bind a model to its training corpus and refuse a superseded snapshot" in {
     val M = graft.sources.ManifestTable
     val corpus = java.nio.file.Files.createTempDirectory("mbind_corpus").toString
