@@ -413,19 +413,26 @@ object Quality {
     val f = graft.sources.ManifestTable
     val row = Seq((modelName, bytes, binding.map(_._1), binding.map(_._2)))
       .toDF("model_name", "model_bytes", "corpus_dir", "corpus_version")
-    // Probe table EXISTENCE explicitly — never swallow a read failure: a
-    // transient IO error or corrupted pointer treated as "empty registry"
-    // would silently commit a snapshot containing only the new model and
-    // wipe every sibling from CURRENT while reporting success. Only a
-    // verified-absent registry starts from empty; anything else rethrows.
-    val existing =
-      if (f.exists(spark, dir)) f.read(spark, dir)
-        .filter(col("model_name") =!= modelName)
-      else row.limit(0)
+    // The upsert runs as a commitRebase TRANSACTION (r13 VERDICT ask #4):
+    // the snapshot commit is read-modify-write, so two concurrent ships
+    // of DIFFERENT models race — the manifest CAS makes the loser's
+    // publish refuse (no silent lost update), and the rebase loop makes
+    // the loser re-read (now seeing the winner's row), re-union, and
+    // re-commit, so BOTH rows land — the same loser-retries recipe as
+    // appendToBranch, at whole-snapshot granularity because a registry
+    // upsert is not commutative (it must drop its own previous row).
+    //
+    // Existence is probed explicitly inside the loop — never inferred
+    // from a read failure: a transient IO error treated as "empty
+    // registry" would commit a snapshot containing only the new model
+    // and wipe every sibling from CURRENT while reporting success.
+    //
     // allowMissingColumns: a registry written before the binding columns
-    // existed upgrades in place (siblings keep null = unbound)
-    f.commit(spark, dir,
-      existing.unionByName(row, allowMissingColumns = true)).version
+    // existed upgrades in place (siblings keep null = unbound).
+    f.commitRebase(spark, dir,
+      existing => existing.filter(col("model_name") =!= modelName)
+        .unionByName(row, allowMissingColumns = true),
+      ifAbsent = row.limit(0)).version
   }
 
   /** Commit arbitrary model-artifact bytes to the registry table at

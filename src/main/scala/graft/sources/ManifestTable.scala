@@ -716,8 +716,49 @@ object ManifestTable {
           (carryIndexOf && (l.startsWith("#indexof=") ||
             l.startsWith("#streambatch=") || l.startsWith("#meta="))))
     val staged = stage(spark, dir, df, Seq.empty, checkLines)
-    publish(spark, dir, staged)
+    try publish(spark, dir, staged)
+    catch {
+      // a refused publish is DEAD forever (the basis can never match
+      // again) — release the slot so a caller's retry loop leaves no
+      // orphaned manifests behind, then let the caller decide to rebase
+      case e: java.util.ConcurrentModificationException =>
+        abandon(spark, dir, staged)
+        throw e
+    }
     staged
+  }
+
+  /** Optimistic read-modify-write TRANSACTION over a whole-table
+    * snapshot — the full-snapshot analogue of [[completeAppend]]'s
+    * rebase loop, for NON-COMMUTATIVE updates (registry upserts, config
+    * tables) where the loser must SEE the winner's rows before retrying:
+    * compute the new content from the CURRENT snapshot and commit; if
+    * another writer landed in between (refused CAS), re-read — now
+    * including that writer's rows — recompute, and retry, bounded by
+    * `maxRetries`. `ifAbsent` seeds the first read when the table does
+    * not exist yet (a genuine read FAILURE still rethrows — existence is
+    * probed explicitly, never inferred from an error). Each attempt
+    * re-runs the CHECK/UNIQUE validation against its own content; the
+    * refused attempt's staged snapshot is released inside the commit
+    * path, so retries leak no version slots. */
+  def commitRebase(
+      spark: SparkSession,
+      dir: String,
+      transform: DataFrame => DataFrame,
+      ifAbsent: => DataFrame,
+      maxRetries: Int = 20
+  ): StagedCommit = {
+    var attempts = 0
+    while (true) {
+      val base = if (exists(spark, dir)) read(spark, dir) else ifAbsent
+      try return commit(spark, dir, transform(base))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts >= maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Name a committed snapshot — Iceberg's tag / Delta's "version as of

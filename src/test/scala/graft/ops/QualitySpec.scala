@@ -293,6 +293,39 @@ class QualitySpec extends AnyFlatSpec with Matchers {
     thrown.getMessage should include regex "dividing 64|input width"
   }
 
+  it should "land BOTH rows when two models ship concurrently (loser rebases, never lost-updates)" in {
+    val dir = java.nio.file.Files.createTempDirectory("mrace_reg").toString
+    try {
+      // barrier-sync two ships of DIFFERENT models into one registry:
+      // both read the same (absent/initial) state, so at most one CAS
+      // wins the first slot and the loser MUST rebase — the pre-r14
+      // read-modify-write would leave the loser failed (no retry) or,
+      // without the CAS, silently drop the winner's row
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val futs = Seq("model-a", "model-b").map { name =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = {
+              barrier.await()
+              Quality.commitModelBytes(spark, dir, name,
+                name.getBytes("UTF-8"))
+            }
+          })
+        }
+        futs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdown()
+      val rows = graft.sources.ManifestTable.read(spark, dir)
+        .select("model_name").as[String].collect().sorted
+      rows shouldBe Array("model-a", "model-b")
+      // and both artifacts load back intact from CURRENT
+      new String(Quality.loadModelBytes(spark, dir, "model-a"), "UTF-8") shouldBe "model-a"
+      new String(Quality.loadModelBytes(spark, dir, "model-b"), "UTF-8") shouldBe "model-b"
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   it should "bind a model to its training corpus and refuse a superseded snapshot" in {
     val M = graft.sources.ManifestTable
     val corpus = java.nio.file.Files.createTempDirectory("mbind_corpus").toString
