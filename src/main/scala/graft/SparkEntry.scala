@@ -159,6 +159,29 @@ object SparkEntry {
   private def fixEmbFullCopy(s: SparkSession, sub: String, dir: String): String =
     stagedCopy(sub, "emb_full", dir)(d => graft.sources.ManifestTable.commit(
       s, d, spread(s, table(s, dir, "embeddings"))))
+  /** The committed graph-ANN edge table over the full embeddings corpus
+    * fixture — built ONCE per JVM and shared by the three `sim_hnsw_*`
+    * queries (r13 VERDICT ask #5: the tuned dense-graph build was paid
+    * per query): [[graft.ops.Similarity.knnGraph]] at the tuned config,
+    * committed with `commitIndex` so every probe gates on the `#indexof`
+    * freshness contract exactly like the persisted IVF path. */
+  private def fixGraphFull(s: SparkSession, dir: String): String = {
+    val corpusDir = fixEmbFull(s, dir)
+    stagedRO("graph_full", dir) { d =>
+      val corpusV = graft.sources.ManifestTable.currentVersion(s, corpusDir)
+      val corpus = graft.sources.ManifestTable.read(s, corpusDir)
+      val scope = new graft.ops.CacheScope
+      try {
+        val edges = graft.ops.Similarity.knnGraph(
+            corpus, "vec_id", "embedding", dim = 64, planes = 8, bands = 4,
+            k = 12, scope = scope)
+          .select(col("src"), col("dst"))
+        graft.sources.ManifestTable.commitIndex(
+          s, d, edges.repartition(4), corpusDir, corpusV): Unit
+      } finally scope.release()
+    }
+  }
+
   private def fixDocsText(s: SparkSession, dir: String): String =
     stagedRO("docs_text", dir)(d => graft.sources.ManifestTable.commit(
       s, d, spread(s, table(s, dir, "documents").select("doc_id", "text"))))
@@ -1993,12 +2016,40 @@ object SparkEntry {
     // sequential insert path replaced by the declarative knnGraph build
     // and the navigation run as driver-bounded rounds (see
     // Similarity.graphAnnTopK's scaladoc for the design rationale).
+    // Since r14 the tuned dense-graph BUILD is shared (r13 VERDICT ask
+    // #5): all three sim_hnsw_* queries probe the ONE committed,
+    // #indexof-gated edge table the fixGraphFull fixture stages per JVM,
+    // so the pair's former per-query build cost collapses to the
+    // navigation rounds. The oracle still replays build + navigation in
+    // full — the committed edges are value-identical to an inline build.
     "sim_hnsw_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      graft.ops.Similarity.graphAnnTopK(
-        spread(s, emb), emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        dim = 64, planes = 8, bands = 4, degree = 12, beam = 32, rounds = 8,
-        k = 5, entries = 8)
+      val g = fixGraphFull(s, dir)
+      graft.sources.ManifestTable.requireIndexFresh(s, g)
+      graft.ops.Similarity.graphAnnTopKFromEdges(
+        spread(s, emb), emb.filter(col("vec_id") < 10),
+        graft.sources.ManifestTable.read(s, g), "vec_id", "embedding",
+        beam = 32, rounds = 8, k = 5, entries = 8)
+    }),
+
+    // Extension: the PERSISTED graph-ANN lifecycle row — the explicit
+    // build/probe decoupling for the graph path (mirrors
+    // sim_ivf_persisted): the fixture commits the knnGraph edge set
+    // bound to the corpus snapshot (#indexof), the probe REFUSES a
+    // stale or unbound graph (requireIndexFresh — refusal spec'd in
+    // OpsSpec), and navigation reads the committed O(n·degree) edges in
+    // one scan amortized over the probe batch (a serving tier would
+    // cluster by src and point-read per round). Same oracle as
+    // sim_hnsw_topk: probing committed edges must be bit-identical to
+    // an inline build.
+    "sim_hnsw_persisted" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val g = fixGraphFull(s, dir)
+      graft.sources.ManifestTable.requireIndexFresh(s, g)
+      graft.ops.Similarity.graphAnnTopKFromEdges(
+        spread(s, emb), emb.filter(col("vec_id") < 10),
+        graft.sources.ManifestTable.read(s, g), "vec_id", "embedding",
+        beam = 32, rounds = 8, k = 5, entries = 8)
     }),
 
     // Extension: the established recall@5 harness over the graph-ANN
@@ -2011,10 +2062,12 @@ object SparkEntry {
       val exact = graft.ops.Similarity
         .bruteForceTopK(spread(s, emb), q, "vec_id", "embedding", 5)
         .select(col("query_id"), col("neighbor_id"))
-      val approx = graft.ops.Similarity.graphAnnTopK(
-          spread(s, emb), q, "vec_id", "embedding",
-          dim = 64, planes = 8, bands = 4, degree = 12, beam = 32, rounds = 8,
-          k = 5, entries = 8)
+      val g = fixGraphFull(s, dir)
+      graft.sources.ManifestTable.requireIndexFresh(s, g)
+      val approx = graft.ops.Similarity.graphAnnTopKFromEdges(
+          spread(s, emb), q,
+          graft.sources.ManifestTable.read(s, g), "vec_id", "embedding",
+          beam = 32, rounds = 8, k = 5, entries = 8)
         .select(col("query_id"), col("neighbor_id"))
       val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
@@ -7409,6 +7462,16 @@ object SparkEntry {
     // final self-excluded top-k. Generated per round so the SQL can't
     // drift from the op's round structure.
     "sim_hnsw_topk" ->
+      s"""WITH $hnswBeamCtes
+        |SELECT query_id, node AS neighbor_id, CAST(rk2 AS INTEGER) AS "rank", round(sim, 6) AS sim
+        |FROM (SELECT query_id, node, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rk2
+        |  FROM f WHERE node != query_id)
+        |WHERE rk2 <= 5""".stripMargin,
+
+    // The persisted-graph probe must be bit-identical to the inline
+    // build — same full build+navigation replay as sim_hnsw_topk.
+    "sim_hnsw_persisted" ->
       s"""WITH $hnswBeamCtes
         |SELECT query_id, node AS neighbor_id, CAST(rk2 AS INTEGER) AS "rank", round(sim, 6) AS sim
         |FROM (SELECT query_id, node, sim,

@@ -1627,13 +1627,12 @@ object Similarity {
     * value (navigate a bounded-degree graph toward the target, touching
     * O(beam·degree·rounds) nodes instead of the corpus) ports cleanly:
     * the graph builds as one declarative LSH+window plan (the existing
-    * [[knnGraph]] op, cached once per search batch), and navigation runs
-    * as driver-coordinated rounds exactly like [[kmeansCentroids]]'
-    * Lloyd loop — per-round driver state is (#probes × beam) id/sim
-    * tuples, bounded by the probe batch, NEVER the corpus. At 100 TB
-    * the graph build is the one shuffle-heavy pass (same cost family as
-    * the IVF train), and each search round is an id-keyed point-lookup
-    * join over ≤ beam·degree·|probes| rows.
+    * [[knnGraph]] op, cached once per search batch), and navigation
+    * chains the rounds LAZILY into one job — the frontier never leaves
+    * the cluster, driver state is the O(entries) seed selection only.
+    * At 100 TB the graph build is the one shuffle-heavy pass (same cost
+    * family as the IVF train), and each chained search round is an
+    * id-keyed equi-join over ≤ beam·degree·|probes| rows.
     *
     * Determinism contract (the oracle replays every step): entry = the
     * corpus vector with the smallest (md5(id), id) — the k-means seed
@@ -1655,15 +1654,41 @@ object Similarity {
       k: Int = 5,
       entries: Int = 1,
       scope: CacheScope = new CacheScope
+  ): DataFrame =
+    graphAnnTopKFromEdges(corpus, probes,
+      knnGraph(corpus, idCol, vecCol, dim, planes, bands, degree, scope)
+        .select(col("src"), col("dst")),
+      idCol, vecCol, beam, rounds, k, entries, scope)
+
+  /** [[graphAnnTopK]]'s navigation DECOUPLED from the graph build — the
+    * persisted-index shape (r13 VERDICT ask #5): `edges` is a prebuilt
+    * bounded-degree edge set (`src`, `dst` — [[knnGraph]]'s output,
+    * typically read back from a [[graft.sources.ManifestTable.commitIndex]]-
+    * committed table whose `#indexof` binding the probe gates on), so the
+    * shuffle-heavy build runs ONCE per corpus version and every probe
+    * batch pays only the navigation rounds. Batch tier reads the O(n·k)
+    * edge table in one scan amortized over the probe batch; a
+    * serving-tier deployment would cluster the committed table by `src`
+    * and swap this scan for per-round `readWhereIn` point-lookups — the
+    * navigation itself is unchanged either way. */
+  def graphAnnTopKFromEdges(
+      corpus: DataFrame,
+      probes: DataFrame,
+      edgeSet: DataFrame,
+      idCol: String,
+      vecCol: String,
+      beam: Int = 12,
+      rounds: Int = 4,
+      k: Int = 5,
+      entries: Int = 1,
+      scope: CacheScope = new CacheScope
   ): DataFrame = {
     import corpus.sparkSession.implicits._
     val cos = cosineFor(corpus.sparkSession) _
     val vecs = scope.cache(corpus.select(
       col(idCol).cast("long").as("node"),
       transform(col(vecCol), _.cast("double")).as("nv")))
-    val edges = scope.cache(
-      knnGraph(corpus, idCol, vecCol, dim, planes, bands, degree, scope)
-        .select(col("src"), col("dst")))
+    val edges = scope.cache(edgeSet.select(col("src"), col("dst")))
     val probeVecs = scope.cache(probes.select(
       col(idCol).cast("long").as("query_id"),
       transform(col(vecCol), _.cast("double")).as("qv")))
@@ -1680,23 +1705,40 @@ object Similarity {
         .select(col("query_id"), col("node"), cos(col("qv"), col("nv")).as("sim"))
     val wBeam = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("node").asc)
-    // driver-coordinated navigation (the Lloyd-loop shape): each round
-    // collects ≤ |probes|·beam (query, node) pairs — probe batches are
-    // driver-bounded by the probe contract (see probeCells)
-    var beamIds: Seq[(Long, Long)] = probeVecs.select(col("query_id"))
-      .collect().toSeq.flatMap(r => entryIds.map(e => (r.getLong(0), e)))
+    // LAZY navigation: the rounds chain as ONE declarative plan — the
+    // frontier never leaves the cluster, so the whole search is a single
+    // Spark job instead of one collect round-trip per round (the r13
+    // driver-coordinated version paid ~a job latency × rounds, which at
+    // harness scale was most of the query's wall; at production scale a
+    // driver round-trip per round is pure coordination overhead the plan
+    // doesn't need). Per-round data stays ≤ |probes|·beam·(1+degree)
+    // rows; driver state is the O(entries) seed selection above, nothing
+    // else. Determinism is unchanged: the same cosine, the same
+    // (sim DESC, node ASC) beam cut, whether the frontier round-trips
+    // through the driver or not.
+    //
+    // PLAN-SHAPE INVARIANT: each round must reference the previous
+    // frontier EXACTLY ONCE. The natural `frontier ∪ (frontier ⋈ edges)`
+    // references it twice, which doubles the logical plan TREE per round
+    // — 2^rounds copies of the seed subtree by round 8 (measured: 7 MiB
+    // task binaries and ~100x wall). The left-outer join + explode below
+    // yields the identical candidate set (a frontier node survives its
+    // own expansion even with no out-edges) from a single reference, so
+    // the plan grows LINEARLY in rounds.
+    var frontier: DataFrame = probeVecs.select(col("query_id"))
+      .withColumn("node", explode(typedlit(entryIds)))
     var r = 0
-    var frontier = beamIds.toDF("query_id", "node")
     while (r < rounds) {
-      val cand = frontier.unionByName(
-          frontier.join(edges, col("node") === col("src"))
-            .select(col("query_id"), col("dst").as("node")))
+      val cand = frontier
+        .join(edges, col("node") === col("src"), "left_outer")
+        .select(col("query_id"),
+          explode(array(col("node"), col("dst"))).as("cnode"))
+        .filter(col("cnode").isNotNull)
+        .select(col("query_id"), col("cnode").as("node"))
         .distinct()
-      val kept = scored(cand)
+      frontier = scored(cand)
         .withColumn("br", row_number().over(wBeam)).filter(col("br") <= beam)
         .select(col("query_id"), col("node"))
-      beamIds = kept.collect().map(t => (t.getLong(0), t.getLong(1))).toSeq
-      frontier = beamIds.toDF("query_id", "node")
       r += 1
     }
     scored(frontier)

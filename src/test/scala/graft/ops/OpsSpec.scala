@@ -277,6 +277,48 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     ann.foreach { case (qid, nid, _) => nid should not be qid }
   }
 
+  it should "probe a COMMITTED graph identically to an inline build and refuse a stale one" in {
+    // the persisted graph-ANN lifecycle: edges committed with #indexof
+    // binding navigate bit-identically to the inline build; a corpus
+    // append makes the gate refuse; a rebuild+rebind heals it
+    val M = graft.sources.ManifestTable
+    val corpusDir = java.nio.file.Files.createTempDirectory("gann_corpus").toString
+    val graphDir = java.nio.file.Files.createTempDirectory("gann_graph").toString
+    try {
+      val vecs = (0L to 5L).map { i =>
+        Vec(i, Seq(1f, 1f, 1f, 1f, 1f, 1f, 1f, 0.1f + i * 0.07f))
+      }.toDS.toDF()
+      M.commit(spark, corpusDir, vecs)
+      val v0 = M.currentVersion(spark, corpusDir)
+      val corpus = M.read(spark, corpusDir)
+      val edges = Similarity.knnGraph(corpus, "vec_id", "embedding",
+        dim = 8, planes = 8, bands = 1, k = 5).select("src", "dst")
+      M.commitIndex(spark, graphDir, edges, corpusDir, v0)
+      M.requireIndexFresh(spark, graphDir)
+      val q = vecs.filter(col("vec_id") < 2)
+      def run(e: org.apache.spark.sql.DataFrame) =
+        Similarity.graphAnnTopKFromEdges(vecs, q, e, "vec_id", "embedding",
+            beam = 8, rounds = 2, k = 3)
+          .select("query_id", "neighbor_id", "rank")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+      run(M.read(spark, graphDir)) shouldBe run(edges)
+      // corpus moves -> the committed graph is stale and the gate refuses
+      M.append(spark, corpusDir,
+        Seq(Vec(9L, Seq(1f, 1f, 1f, 1f, 1f, 1f, 1f, 0.9f))).toDS.toDF())
+      an[IllegalStateException] should be thrownBy
+        M.requireIndexFresh(spark, graphDir)
+      // rebuild over the new corpus + rebind -> the gate passes again
+      val edges2 = Similarity.knnGraph(M.read(spark, corpusDir), "vec_id",
+        "embedding", dim = 8, planes = 8, bands = 1, k = 5).select("src", "dst")
+      M.commitIndex(spark, graphDir, edges2, corpusDir,
+        M.currentVersion(spark, corpusDir))
+      M.requireIndexFresh(spark, graphDir)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(corpusDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(graphDir))
+    }
+  }
+
   it should "bucket near-identical vectors together under sign-LSH" in {
     val vecs = Seq(
       Vec(0, Seq.fill(8)(1f)), Vec(1, Seq.fill(8)(0.99f)), Vec(2, Seq.fill(8)(-1f))
