@@ -5549,7 +5549,69 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"),
           countDistinct(md5(col("text"))).as("n_distinct_texts"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
-    })
+    }),
+
+    // Extension: Bradley–Terry preference ranking (Hunter's MM, 8 fixed
+    // iterations) — the aggregation step of RLHF preference-data
+    // curation. The pairwise-comparison fixture derives deterministically
+    // from events: item_a = event_id mod 7, item_b the div-derived
+    // OTHER item, a wins iff value ≥ 35. The oracle replays the count
+    // matrix and all 8 MM rounds (each round one join + one window +
+    // one DECIMAL-routed sum) bit-for-bit.
+    "events_bt_rank" -> ((s, dir) => {
+      val ia = col("event_id") % 7
+      val ibRaw = expr("event_id div 7") % 6
+      val pr = events(s, dir).select(ia.as("ia"),
+        when(ibRaw >= ia, ibRaw + 1).otherwise(ibRaw).as("ib"),
+        when(col("value") >= 35.0, 1).otherwise(0).as("awin"))
+      graft.ops.EventOps.bradleyTerry(pr, "ia", "ib", "awin", iterations = 8)
+    }),
+
+    // Extension: Krippendorff's alpha (nominal) — the inter-rater
+    // reliability readout of an annotation-QA pipeline, over the
+    // (unit = event_id mod 400, category = event_type) rating grid.
+    // Units with one rating are unpairable and excluded; counts stay
+    // integral until the final divisions.
+    "events_rater_alpha" -> ((s, dir) =>
+      graft.ops.EventOps.krippendorffAlpha(
+        events(s, dir).select((col("event_id") % 400).as("unit"),
+          col("event_type").as("cat")), "unit", "cat")),
+
+    // Extension: pass@k — the unbiased combinatorial estimator over
+    // per-task sample outcomes (task = event_id mod 50, pass iff
+    // value ≥ 35), the eval-harness aggregation for sampled
+    // generations. k ∈ {1, 5, 10}; the estimator is a fixed-order
+    // product of integer ratios, identical IEEE ops in both engines.
+    "events_passk" -> ((s, dir) =>
+      graft.ops.EventOps.passAtK(
+        events(s, dir).select((col("event_id") % 50).as("task"),
+          (col("value") >= 35.0).as("pass")), "task", "pass")),
+
+    // Extension: semi-supervised label propagation over the SAME
+    // committed kNN graph the sim_hnsw_* queries navigate (one more
+    // consumer of the persisted index): seed labels on the vec_id%5==0
+    // slice spread to the unlabeled majority in 3 deterministic
+    // plurality rounds (count desc, own-label, smallest label). The
+    // oracle replays the LSH graph build AND all 3 rounds.
+    "sim_label_prop" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val g = fixGraphFull(s, dir)
+      graft.sources.ManifestTable.requireIndexFresh(s, g)
+      val nodes = emb.select(col("vec_id"),
+        when(col("vec_id") % 5 === 0, col("label")).as("slabel"))
+      graft.ops.Components.labelPropagate(
+        nodes, "vec_id", "slabel",
+        graft.sources.ManifestTable.read(s, g), "src", "dst", rounds = 3)
+    }),
+
+    // Extension: split-conformal quality gate — calibrate the keep
+    // threshold on the doc_id%5==0 slice at α = 0.1 (k-th smallest
+    // calibration score, an exact order statistic), gate the rest, and
+    // report realized coverage next to the target. The
+    // distribution-free version of "keep the top 90% by quality".
+    "docs_conformal_gate" -> ((s, dir) =>
+      graft.ops.Corpus.conformalGate(
+        table(s, dir, "documents"), "doc_id", "text", calMod = 5, alpha = 0.1))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5812,6 +5874,20 @@ object SparkEntry {
       |p AS (SELECT c.a_id, c.b_id, ${cosSql("ea.v", "eb.v")} AS sim
       |  FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id)""".stripMargin
 
+  /** The tuned kNN-graph CTEs (bands=4, degree=12) shared by the
+    * sim_hnsw_* beam replays and the sim_label_prop oracle: the LSH
+    * candidate pairs ([[lshPairCtes]]) symmetrized and cut per source to
+    * the top-12 by (sim DESC, dst ASC) — exactly Similarity.knnGraph's
+    * committed edge set. Exposes `e` (corpus) and `g` (directed edges). */
+  private lazy val knnGraphGCtes: String =
+    s"""${lshPairCtes(4)},
+      |sym AS (SELECT a_id AS src, b_id AS dst, sim FROM p
+      |        UNION ALL SELECT b_id, a_id, sim FROM p),
+      |rk AS (SELECT src, dst, sim,
+      |    row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rnk
+      |  FROM sym),
+      |g AS (SELECT src, dst FROM rk WHERE rnk <= 12)""".stripMargin
+
   /** The graph-ANN beam-search replay shared by the sim_hnsw_* oracles:
     * sim_knn_graph's LSH graph CTEs ([[lshPairCtes]]), the md5
     * entry-point seed rule, 8 UNROLLED beam rounds (expand along
@@ -5828,13 +5904,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node ASC) AS br FROM s$r)
         |  WHERE br <= 32)""".stripMargin
     }.mkString(",\n")
-    s"""${lshPairCtes(4)},
-      |sym AS (SELECT a_id AS src, b_id AS dst, sim FROM p
-      |        UNION ALL SELECT b_id, a_id, sim FROM p),
-      |rk AS (SELECT src, dst, sim,
-      |    row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rnk
-      |  FROM sym),
-      |g AS (SELECT src, dst FROM rk WHERE rnk <= 12),
+    s"""$knnGraphGCtes,
       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
       |ent AS (SELECT vec_id AS node FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
       |b0 AS (SELECT q.query_id, ent.node FROM q, ent),
@@ -5977,6 +6047,59 @@ object SparkEntry {
        |  FROM code0 k0 JOIN code1 k1 USING (vec_id) JOIN code2 k2 USING (vec_id)
        |  JOIN code3 k3 USING (vec_id))""".stripMargin
   }
+
+  /** The Bradley–Terry MM replay: count matrix, 8 unrolled rounds (join
+    * previous scores once via the self-loop-augmented matrix, window-max
+    * π_i back into the i-partition, DECIMAL-routed j-sum), normalized
+    * through one unbounded window — mirrors EventOps.bradleyTerry
+    * bit-for-bit. */
+  private lazy val btRankOracleSql: String = {
+    val rounds = (1 to 8).map { k =>
+      s"""bt$k AS (SELECT gs.i, gs.j, gs.n, p.pi AS pj FROM gs JOIN br${k - 1} p ON p.item = gs.j),
+        |bu$k AS (SELECT i, j, n, pj, max(CASE WHEN j = i THEN pj END) OVER (PARTITION BY i) AS pii FROM bt$k),
+        |bd$k AS (SELECT i, sum(CAST(n / (pii + pj) AS DECIMAL(27,12))) AS den FROM bu$k WHERE j != i GROUP BY 1),
+        |br$k AS (SELECT d.i AS item, w.wins / CAST(d.den AS DOUBLE) AS pi FROM bd$k d JOIN wins w ON w.i = d.i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pr AS (SELECT event_id % 7 AS ia,
+      |    CASE WHEN ((event_id // 7) % 6) >= (event_id % 7) THEN ((event_id // 7) % 6) + 1 ELSE (event_id // 7) % 6 END AS ib,
+      |    CASE WHEN value >= 35.0 THEN 1 ELSE 0 END AS awin FROM events),
+      |dirn AS (SELECT ia AS i, ib AS j, awin AS wi FROM pr UNION ALL SELECT ib, ia, 1 - awin FROM pr),
+      |gm AS (SELECT i, j, count(*) AS n, sum(wi) AS w FROM dirn GROUP BY 1, 2),
+      |wins AS (SELECT i, sum(w) AS wins FROM gm GROUP BY 1),
+      |items AS (SELECT DISTINCT i FROM gm),
+      |gs AS (SELECT i, j, n FROM gm UNION ALL SELECT i, i, 0 FROM items),
+      |br0 AS (SELECT i AS item, 1.0::DOUBLE AS pi FROM items),
+      |$rounds
+      |SELECT item, round(pi / CAST(tot AS DOUBLE), 6) AS score,
+      |  CAST(row_number() OVER (ORDER BY pi / CAST(tot AS DOUBLE) DESC, item ASC) AS INTEGER) AS "rank"
+      |FROM (SELECT item, pi, sum(CAST(pi AS DECIMAL(27,12))) OVER () AS tot FROM br8)""".stripMargin
+  }
+
+  /** The label-propagation replay: the committed kNN graph's edge CTEs
+    * ([[knnGraphGCtes]]) plus 3 unrolled plurality rounds (self-loop
+    * fallback, seed clamping) — mirrors Components.labelPropagate. */
+  private lazy val labelPropOracleSql: String = {
+    val rounds = (1 to 3).map { k =>
+      s"""lt$k AS (SELECT ga.src, p.label, ga.w FROM ga JOIN lr${k - 1} p ON p.id = ga.dst WHERE p.label IS NOT NULL),
+        |lc$k AS (SELECT src, label, sum(w) AS cnt, max(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS own FROM lt$k GROUP BY 1, 2),
+        |lp$k AS (SELECT src, label FROM (SELECT src, label,
+        |    row_number() OVER (PARTITION BY src ORDER BY cnt DESC, own DESC, label ASC) AS rn FROM lc$k) WHERE rn = 1),
+        |lr$k AS (SELECT l.vec_id AS id, COALESCE(l.slabel, p.label) AS label FROM lbl l LEFT JOIN lp$k p ON p.src = l.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphGCtes,
+      |lbl AS (SELECT vec_id, CASE WHEN vec_id % 5 = 0 THEN label END AS slabel FROM embeddings),
+      |ga AS (SELECT src, dst, 1 AS w FROM g UNION ALL SELECT vec_id, vec_id, 0 FROM lbl),
+      |lr0 AS (SELECT vec_id AS id, slabel AS label FROM lbl),
+      |$rounds
+      |SELECT id AS vec_id, label FROM lr3""".stripMargin
+  }
+
+  /** The fixed-order pass@k product Π_{i=0}^{k−1}(n−c−i)/(n−i) —
+    * identical op order to EventOps.passAtK's foldLeft. */
+  private def passkProdSql(k: Int): String =
+    (1 until k).foldLeft("(n - c) / n") { (e, i) =>
+      s"$e * ((n - c - $i) / (n - $i))"
+    }
 
   def oracleSql: Map[String, String] = Map(
     // Tightening a condition un-flags the band between the thresholds;
@@ -10853,6 +10976,58 @@ object SparkEntry {
         |  FROM events)
         |SELECT event_id, CAST(list_sum(list_transform(generate_series(0, 9), i ->
         |  (((a >> i) & 1) << (2*i)) + (((b >> i) & 1) << (2*i+1)))) AS BIGINT) AS z
-        |FROM e""".stripMargin
+        |FROM e""".stripMargin,
+
+    "events_bt_rank" -> btRankOracleSql,
+
+    "events_rater_alpha" ->
+      """WITH cnt AS (SELECT event_id % 400 AS u, event_type AS c, count(*) AS nuc
+        |  FROM events GROUP BY 1, 2),
+        |wn AS (SELECT u, c, nuc, sum(nuc) OVER (PARTITION BY u) AS nu FROM cnt),
+        |pairable AS (SELECT * FROM wn WHERE nu >= 2),
+        |stats AS (SELECT count(DISTINCT u) AS n_units, CAST(sum(nuc) AS BIGINT) AS nn,
+        |    sum(CAST((nuc * (nu - nuc)) / (nu - 1) AS DECIMAL(27,12))) AS so_d FROM pairable),
+        |pc AS (SELECT c, sum(nuc) AS p_c FROM pairable GROUP BY 1),
+        |se AS (SELECT sum(CAST(CAST(p_c AS DOUBLE) * CAST(s.nn - p_c AS DOUBLE) AS DECIMAL(27,12))) AS se_d
+        |  FROM pc, stats s)
+        |SELECT s.n_units, s.nn AS n_ratings,
+        |  round(CAST(so_d AS DOUBLE) / s.nn, 6) AS d_obs,
+        |  round(CAST(se_d AS DOUBLE) / (s.nn * (s.nn - 1)), 6) AS d_exp,
+        |  round(1.0::DOUBLE - (s.nn - 1) * CAST(so_d AS DOUBLE) / CAST(se_d AS DOUBLE), 6) AS alpha
+        |FROM stats s, se""".stripMargin,
+
+    "events_passk" ->
+      s"""WITH b AS (SELECT event_id % 50 AS task_id, count(*) AS n,
+        |    CAST(sum(CASE WHEN value >= 35.0 THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM events GROUP BY 1)
+        |SELECT task_id, n, c,
+        |  CASE WHEN n < 1 THEN NULL WHEN n - c < 1 THEN 1.0::DOUBLE
+        |    ELSE round(1.0::DOUBLE - ${passkProdSql(1)}, 6) END AS pass1,
+        |  CASE WHEN n < 5 THEN NULL WHEN n - c < 5 THEN 1.0::DOUBLE
+        |    ELSE round(1.0::DOUBLE - ${passkProdSql(5)}, 6) END AS pass5,
+        |  CASE WHEN n < 10 THEN NULL WHEN n - c < 10 THEN 1.0::DOUBLE
+        |    ELSE round(1.0::DOUBLE - ${passkProdSql(10)}, 6) END AS pass10
+        |FROM b""".stripMargin,
+
+    "sim_label_prop" -> labelPropOracleSql,
+
+    "docs_conformal_gate" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |q AS (SELECT doc_id,
+        |  least(len(toks) / 100.0, 1.0) * 0.4
+        |    + (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / greatest(length(text), 1)) * 0.3
+        |    + (len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this'], x))) / greatest(len(toks), 1)) * 0.3 AS q,
+        |  doc_id % 5 = 0 AS is_cal FROM t),
+        |nc AS (SELECT count(*) AS n_cal FROM q WHERE is_cal),
+        |kq AS (SELECT n_cal, greatest(1, CAST(floor(0.1::DOUBLE * (n_cal + 1)) AS BIGINT)) AS k FROM nc),
+        |tau AS (SELECT kq.n_cal, kq.k, s.q AS tau FROM
+        |  (SELECT q, row_number() OVER (ORDER BY q ASC, doc_id ASC) AS rn FROM q WHERE is_cal) s, kq
+        |  WHERE s.rn = kq.k),
+        |agg AS (SELECT t2.n_cal, t2.k, t2.tau, count(*) AS n_test,
+        |    CAST(sum(CASE WHEN q.q >= t2.tau THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |  FROM q, tau t2 WHERE NOT q.is_cal GROUP BY 1, 2, 3)
+        |SELECT n_cal, k, round(tau, 6) AS tau, n_test, n_pass,
+        |  round(CAST(n_pass AS DOUBLE) / n_test, 6) AS coverage
+        |FROM agg""".stripMargin
   )
 }

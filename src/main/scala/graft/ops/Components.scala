@@ -193,4 +193,59 @@ object Components {
           .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges")), 6)
           .as("global_cc"))
   }
+
+  /** Semi-supervised label propagation over a DIRECTED bounded-degree
+    * graph (e.g. the committed kNN graph the ANN queries navigate):
+    * spread sparse seed labels to the unlabeled majority — the cheap way
+    * to scale a small human-labeled quality/topic set to corpus size.
+    *
+    * Per round, every node adopts the plurality label among its
+    * out-neighbors' previous-round labels (count desc, then own-label
+    * flag, then smallest label — fully deterministic, exact-integer
+    * ranking); nodes with NO labeled neighbor keep their previous label
+    * (the self-loop fallback), and seed nodes stay clamped to their seed
+    * label. Rounds chain LAZILY into one plan: the graph is augmented
+    * with weight-0 self-loops so each round references the previous
+    * label frame EXACTLY ONCE (a second own-label join would double the
+    * plan tree per round), and the ranking is a per-node window over a
+    * bounded-degree candidate set, so per-round state is O(degree) per
+    * node and each round is one join + one aggregate shuffle.
+    *
+    * `nodes` must carry every vertex with a nullable seed label;
+    * `edges` are directed (src adopts from dst). Returns (`idCol`,
+    * "label") after `rounds` rounds — nodes never reached by any label
+    * stay null. */
+  def labelPropagate(
+      nodes: DataFrame,
+      idCol: String,
+      labelCol: String,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int = 3
+  ): DataFrame = {
+    val edgesAug = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        lit(1L).as("w"))
+      .unionByName(nodes.select(col(idCol).as("src"), col(idCol).as("dst"),
+        lit(0L).as("w")))
+    val seeds = nodes.select(col(idCol).as("id"), col(labelCol).as("slabel"))
+    val byNode = org.apache.spark.sql.expressions.Window
+      .partitionBy("src")
+      .orderBy(col("cnt").desc, col("own").desc, col("label").asc)
+    var prev = seeds.select(col("id"), col("slabel").as("label"))
+    for (_ <- 1 to rounds) {
+      val cand = edgesAug
+        .join(prev.select(col("id").as("dst"), col("label")), "dst")
+        .filter(col("label").isNotNull)
+        .groupBy(col("src"), col("label"))
+        .agg(sum(col("w")).as("cnt"),
+          max(when(col("w") === 0L, 1).otherwise(0)).as("own"))
+      val picked = cand.withColumn("rn", row_number().over(byNode))
+        .filter(col("rn") === 1)
+        .select(col("src").as("id"), col("label").as("plabel"))
+      prev = seeds.join(picked, Seq("id"), "left")
+        .select(col("id"), coalesce(col("slabel"), col("plabel")).as("label"))
+    }
+    prev.select(col("id").as(idCol), col("label"))
+  }
 }

@@ -2242,4 +2242,54 @@ object Corpus {
       .select(col(idCol), round(col("log_weight"), 6).as("log_weight"),
         round(col("pick_key"), 6).as("pick_key"))
   }
+
+  /** Split-conformal quality gate: calibrate a distribution-free
+    * keep-threshold on a held-out slice, then gate the rest with a
+    * finite-sample coverage guarantee — the statistically honest version
+    * of "keep the top (1−α) by quality score". The calibration slice is
+    * the deterministic id-hash split (`id % calMod == 0`); the threshold
+    * τ is the k-th SMALLEST calibration score with k = max(1,
+    * ⌊α·(n_cal+1)⌋) — an exact order statistic (ties broken by id), so
+    * if test scores are exchangeable with calibration scores,
+    * P(score ≥ τ) ≥ 1−α·(1+1/n_cal) up to discreteness. Reports the
+    * realized test coverage next to the target so drift between the
+    * slices is visible in one row.
+    *
+    * Scale shape: scoring is a scan-side projection ([[TextFunctions
+    * .qualityScore]] — codegen, no shuffle); the order statistic is a
+    * per-partition top-k-free rank over ONLY the calibration slice
+    * (row_number window over a single ordered partition of n_cal score
+    * doubles — at 100 TB run calibration at a fixed sample size, which
+    * is what split conformal prescribes anyway); the gate itself is a
+    * 1-row broadcast and a scan-side comparison on the UNROUNDED score,
+    * which both engines compute bit-identically. */
+  def conformalGate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      calMod: Int = 5,
+      alpha: Double = 0.1
+  ): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = df.select(col(idCol).as("id"),
+      qualityScore(col(textCol), toks).as("q"),
+      (col(idCol) % calMod === 0).as("is_cal"))
+    val cal = scored.filter(col("is_cal"))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val byQ = org.apache.spark.sql.expressions.Window
+      .orderBy(col("q").asc, col("id").asc)
+    val tau = cal.withColumn("rn", row_number().over(byQ))
+      .crossJoin(broadcast(nCal))
+      .filter(col("rn") ===
+        greatest(lit(1L), floor(lit(alpha) * (col("n_cal") + 1))))
+      .select(col("n_cal"), col("rn").cast("long").as("k"), col("q").as("tau"))
+    val test = scored.filter(!col("is_cal"))
+      .crossJoin(broadcast(tau))
+      .agg(first(col("n_cal")).as("n_cal"), first(col("k")).as("k"),
+        round(first(col("tau")), 6).as("tau"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("q") >= col("tau"), 1L).otherwise(0L)).as("n_pass"))
+    test.select(col("n_cal"), col("k"), col("tau"), col("n_test"), col("n_pass"),
+      round(col("n_pass").cast("double") / col("n_test"), 6).as("coverage"))
+  }
 }

@@ -1666,4 +1666,136 @@ object EventOps {
       .agg((max(col("run")) + 1).as("longest_streak"),
         sum(col("run")).as("n_increases"))
   }
+
+  /** Bradley–Terry preference ranking via Hunter's MM iteration — the
+    * aggregation step of RLHF preference-data curation: given pairwise
+    * comparisons (a, b, aWins), estimate per-item strengths π with the
+    * fixed-point update π_i ← W_i / Σ_{j≠i} n_ij/(π_i+π_j) for a FIXED
+    * `iterations` budget, then normalize to a distribution.
+    *
+    * Scale shape: the raw pair stream aggregates ONCE to the per-pair
+    * count matrix (one shuffle on (i,j) with map-side combine; the
+    * matrix is O(items²) ≪ comparisons) — every iteration thereafter
+    * touches only that matrix. Each round references the previous score
+    * vector EXACTLY ONCE (the matrix is self-loop-augmented so π_i
+    * re-enters a round through a window max over the i-partition rather
+    * than a second join — the naive two-join round doubles the lazy plan
+    * tree per iteration). Per-item denominators route through
+    * DECIMAL(27,12) so the j-sum is independent of partial-aggregation
+    * order. The count matrix is localCheckpoint-ed ONCE (the pageRank
+    * precedent): it feeds every round and Spark does not dedup common
+    * subplans — each round then re-reads the checkpointed blocks, not
+    * the raw pair stream. */
+  def bradleyTerry(
+      pairs: DataFrame,
+      itemACol: String,
+      itemBCol: String,
+      aWinsCol: String,
+      iterations: Int = 8
+  ): DataFrame = {
+    val dec = DecimalType(27, 12)
+    val dir = pairs.select(col(itemACol).as("i"), col(itemBCol).as("j"),
+        col(aWinsCol).cast("long").as("wi"))
+      .unionByName(pairs.select(col(itemBCol).as("i"), col(itemACol).as("j"),
+        (lit(1L) - col(aWinsCol).cast("long")).as("wi")))
+    val g = dir.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("wi")).as("w"))
+      .localCheckpoint()
+    val wins = g.groupBy(col("i")).agg(sum(col("w")).as("wins"))
+    val items = g.select(col("i")).distinct()
+    // self-loop rows (n = 0) carry π_i into each round's i-partition
+    val gAug = g.select(col("i"), col("j"), col("n"))
+      .unionByName(items.select(col("i"), col("i").as("j"), lit(0L).as("n")))
+    val byI = Window.partitionBy("i")
+    var pi = items.select(col("i").as("item"), lit(1.0).as("pi"))
+    for (_ <- 1 to iterations) {
+      val t = gAug.join(pi.select(col("item").as("j"), col("pi").as("pj")), "j")
+        .withColumn("pii", max(when(col("j") === col("i"), col("pj"))).over(byI))
+      val den = t.filter(col("j") =!= col("i"))
+        .groupBy(col("i"))
+        .agg(sum((col("n") / (col("pii") + col("pj"))).cast(dec)).as("den"))
+      pi = den.join(wins, "i")
+        .select(col("i").as("item"),
+          (col("wins") / col("den").cast("double")).as("pi"))
+    }
+    // normalize through an unbounded window (single reference of the
+    // final chain) with a DECIMAL-routed total
+    val all = Window.partitionBy(lit(1))
+    pi.withColumn("tot", sum(col("pi").cast(dec)).over(all))
+      .select(col("item"),
+        round(col("pi") / col("tot").cast("double"), 6).as("score"),
+        row_number().over(Window.orderBy(
+          (col("pi") / col("tot").cast("double")).desc, col("item").asc))
+          .as("rank"))
+  }
+
+  /** Krippendorff's alpha (nominal data) — the inter-rater reliability
+    * readout of an annotation-QA pipeline: α = 1 − D_o/D_e over rating
+    * units, computed from the per-(unit, category) count grid. Units
+    * with fewer than 2 ratings are unpairable and excluded (the standard
+    * treatment). All counts stay integral until the final divisions;
+    * per-unit disagreement terms route through DECIMAL(27,12) so the
+    * unit-sum is aggregation-order-independent. One shuffle on
+    * (unit, category) with map-side combine; everything after is a
+    * #categories-row reduction. At extreme corpus sizes the D_e products
+    * P_c·(N−P_c) are computed in DOUBLE — deterministic, with relative
+    * error ~1e-16, which the 6-digit rounding absorbs. */
+  def krippendorffAlpha(
+      df: DataFrame,
+      unitCol: String,
+      catCol: String
+  ): DataFrame = {
+    val dec = DecimalType(27, 12)
+    val cnt = df.groupBy(col(unitCol).as("u"), col(catCol).as("c"))
+      .agg(count(lit(1)).as("nuc"))
+    val byU = Window.partitionBy("u")
+    val pairable = cnt.withColumn("nu", sum(col("nuc")).over(byU))
+      .filter(col("nu") >= 2)
+    val oterm = (col("nuc") * (col("nu") - col("nuc"))) / (col("nu") - lit(1L))
+    val stats = pairable.agg(
+      count_distinct(col("u")).as("n_units"),
+      sum(col("nuc")).as("nn"),
+      sum(oterm.cast(dec)).as("so_d"))
+    val pc = pairable.groupBy(col("c")).agg(sum(col("nuc")).as("p_c"))
+    val se = pc.crossJoin(broadcast(stats.select(col("nn").as("nn2"))))
+      .agg(sum((col("p_c").cast("double") * (col("nn2") - col("p_c")).cast("double"))
+        .cast(dec)).as("se_d"))
+    stats.crossJoin(broadcast(se))
+      .select(col("n_units"), col("nn").as("n_ratings"),
+        round(col("so_d").cast("double") / col("nn"), 6).as("d_obs"),
+        round(col("se_d").cast("double") / (col("nn") * (col("nn") - lit(1L))), 6)
+          .as("d_exp"),
+        round(lit(1.0) - (col("nn") - lit(1L)) * col("so_d").cast("double") /
+          col("se_d").cast("double"), 6).as("alpha"))
+  }
+
+  /** pass@k — the unbiased combinatorial estimator (Codex-paper form)
+    * over per-task sample outcomes: for each task with n samples and c
+    * passes, pass@k = 1 − C(n−c,k)/C(n,k), evaluated as the fixed-order
+    * product Π_{i=0}^{k−1} (n−c−i)/(n−i) so both engines execute the
+    * identical IEEE op sequence (no factorials, no overflow at any n).
+    * Tasks with n < k report NULL for that k; n−c < k reports 1.0 (a
+    * pass inside every size-k draw). One shuffle on the task key with
+    * map-side combine; the estimator is a per-row projection after. */
+  def passAtK(
+      df: DataFrame,
+      taskCol: String,
+      passCol: String,
+      ks: Seq[Int] = Seq(1, 5, 10)
+  ): DataFrame = {
+    val base = df.groupBy(col(taskCol).as("task_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(passCol), 1L).otherwise(0L)).as("c"))
+    val out = ks.foldLeft(base) { (acc, k) =>
+      val prod = (1 until k).foldLeft(
+        (col("n") - col("c")) / col("n")) { (e, i) =>
+        e * ((col("n") - col("c") - lit(i)) / (col("n") - lit(i)))
+      }
+      acc.withColumn(s"pass$k",
+        when(col("n") < k, lit(null).cast("double"))
+          .when(col("n") - col("c") < k, lit(1.0))
+          .otherwise(round(lit(1.0) - prod, 6)))
+    }
+    out
+  }
 }

@@ -3364,4 +3364,108 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       .collect().sortBy(_.id)
     repart.map(_.embedding) shouldBe out.map(_.embedding)
   }
+
+  behavior of "preference, agreement, and calibration operators"
+
+  it should "rank Bradley-Terry strengths by dominance and split ties evenly" in {
+    // 1 beats 2 in all 4 games, 2 beats 3 in all 4, 1-3 split 2-2:
+    // strength must order 1 > 2 > 3 regardless of iteration count
+    val pairs = Seq.fill(4)((1L, 2L, 1)) ++ Seq.fill(4)((2L, 3L, 1)) ++
+      Seq((1L, 3L, 1), (1L, 3L, 1), (1L, 3L, 0), (1L, 3L, 0))
+    val out = EventOps.bradleyTerry(
+        pairs.toDF("a", "b", "awin"), "a", "b", "awin")
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    out.map(_._1) shouldBe Array(1L, 2L, 3L)
+    out.map(_._3) shouldBe Array(1, 2, 3)
+    out.map(_._2).sum shouldBe 1.0 +- 1e-6
+    // perfectly symmetric record -> exactly equal normalized strengths
+    val even = Seq((7L, 8L, 1), (7L, 8L, 1), (7L, 8L, 0), (7L, 8L, 0))
+    val sc = EventOps.bradleyTerry(
+        even.toDF("a", "b", "awin"), "a", "b", "awin")
+      .orderBy("item").collect().map(_.getDouble(1))
+    sc shouldBe Array(0.5, 0.5)
+  }
+
+  it should "match hand-computed Krippendorff alpha at both extremes" in {
+    // perfect agreement: every unit unanimous -> D_o = 0, alpha = 1
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+    val p = EventOps.krippendorffAlpha(perfect.toDF("u", "c"), "u", "c")
+      .collect()(0)
+    p.getDouble(4) shouldBe 1.0
+    // systematic disagreement: units {a,b},{a,b} -> so = 4, N = 4,
+    // se = 2*2 + 2*2 = 8 -> alpha = 1 - 3*4/8 = -0.5; d_obs = 4/4 = 1,
+    // d_exp = 8/(4*3) = 0.666667
+    val split = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
+    val s = EventOps.krippendorffAlpha(split.toDF("u", "c"), "u", "c")
+      .collect()(0)
+    (s.getLong(0), s.getLong(1)) shouldBe ((2L, 4L))
+    s.getDouble(2) shouldBe 1.0
+    s.getDouble(3) shouldBe 0.666667
+    s.getDouble(4) shouldBe -0.5
+    // single-rating units are unpairable and must not contribute
+    val withSingleton = split ++ Seq((3L, "a"))
+    EventOps.krippendorffAlpha(withSingleton.toDF("u", "c"), "u", "c")
+      .collect()(0).getDouble(4) shouldBe -0.5
+  }
+
+  it should "compute the unbiased pass@k estimator with boundary cases" in {
+    // task 1: n=3 c=1 -> pass1 = 1 - 2/3; pass5/pass10 undefined (n < k)
+    // task 2: n=10 c=0 -> all-fail: pass10 = 0
+    // task 3: n=10 c=1 -> pass10 = 1 (a pass in every 10-draw);
+    //   pass5 = 1 - (9*8*7*6*5)/(10*9*8*7*6) = 1 - 5/10 = 0.5
+    val rows = Seq.fill(1)((1L, true)) ++ Seq.fill(2)((1L, false)) ++
+      Seq.fill(10)((2L, false)) ++
+      (Seq.fill(1)((3L, true)) ++ Seq.fill(9)((3L, false)))
+    val out = EventOps.passAtK(rows.toDF("task", "pass"), "task", "pass")
+      .orderBy("task_id").collect()
+    val t1 = out(0)
+    (t1.getLong(1), t1.getLong(2)) shouldBe ((3L, 1L))
+    t1.getDouble(3) shouldBe 0.333333
+    t1.isNullAt(4) shouldBe true
+    t1.isNullAt(5) shouldBe true
+    out(1).getDouble(5) shouldBe 0.0
+    out(2).getDouble(4) shouldBe 0.5
+    out(2).getDouble(5) shouldBe 1.0
+  }
+
+  it should "propagate labels with clamped seeds, plurality ties, and fallback" in {
+    // seeds: 1 -> 10, 4 -> 20. Directed adoption edges: 2 adopts from 1,
+    // 3 from 4, 6 ties between 1 and 4 (smaller label wins), 1 points at
+    // 4 but stays clamped, 7 points only at never-labeled 8.
+    val nodes = (1L to 8L).map(i =>
+      (i, if (i == 1) Some(10) else if (i == 4) Some(20) else None))
+      .toDF("id", "slabel")
+    val edges = Seq((2L, 1L), (3L, 4L), (6L, 1L), (6L, 4L), (1L, 4L), (7L, 8L))
+      .toDF("src", "dst")
+    val out = Components.labelPropagate(
+        nodes, "id", "slabel", edges, "src", "dst", rounds = 3)
+      .collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    out shouldBe Map(1L -> Some(10), 2L -> Some(10), 3L -> Some(20),
+      4L -> Some(20), 5L -> None, 6L -> Some(10), 7L -> None, 8L -> None)
+  }
+
+  it should "pick the exact conformal order statistic and report true coverage" in {
+    val docs = (1L to 40L).map(i => Doc(i, ("w " * ((i % 13).toInt + 1)).trim, "s"))
+      .toDS.toDF()
+    val out = Corpus.conformalGate(docs, "doc_id", "text",
+      calMod = 5, alpha = 0.5).collect()(0)
+    val nCal = out.getLong(0)
+    val k = out.getLong(1)
+    nCal shouldBe 8L // doc_id % 5 == 0 within 1..40
+    k shouldBe math.max(1L, math.floor(0.5 * (nCal + 1)).toLong)
+    // tau must equal the k-th smallest calibration score of the same
+    // scoring column the gate uses
+    val scores = docs.filter(col("doc_id") % 5 === 0)
+      .select(TextFunctions.qualityScore(col("text"),
+        TextFunctions.tokens(col("text"))).as("q"))
+      .collect().map(_.getDouble(0)).sorted
+    out.getDouble(2) shouldBe (math.rint(scores(k.toInt - 1) * 1e6) / 1e6)
+    // coverage is exactly n_pass / n_test over the non-calibration slice
+    val nTest = out.getLong(3)
+    val nPass = out.getLong(4)
+    nTest shouldBe 32L
+    out.getDouble(5) shouldBe (math.rint(nPass.toDouble / nTest * 1e6) / 1e6)
+  }
 }
