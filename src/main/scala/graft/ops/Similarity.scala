@@ -699,9 +699,14 @@ object Similarity {
       dim: Int,
       m: Int = 4,
       k: Int = 16,
-      lloydRounds: Int = 2
+      lloydRounds: Int = 2,
+      pqBooks: Option[IndexedSeq[Seq[(Long, Seq[Double])]]] = None
   ): DataFrame = {
-    val books = pqCodebooks(corpus, idCol, vecCol, dim, m, k, lloydRounds)
+    // pre-trained books (e.g. a committed quantizer registry) skip the
+    // seed + Lloyd jobs entirely — raw-vector books are the paired
+    // trainer's flat arm, bit-identical to training here
+    val books = pqBooks.getOrElse(
+      pqCodebooks(corpus, idCol, vecCol, dim, m, k, lloydRounds))
     val cos = cosineFor(corpus.sparkSession) _
     corpus.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), _.cast("double")).as("v"))
@@ -891,6 +896,47 @@ object Similarity {
       round += 1
     }
     (books(0), books(1))
+  }
+
+  /** Flatten a trained quantizer set (coarse centroids + flat and
+    * residual PQ codebooks) into rows for a committed quantizer registry
+    * — (kind, sub, cent_id, cv) with `sub = -1` for the coarse rows.
+    * The inverse of [[pqBooksFromRows]]; together they let the PQ-family
+    * queries train ONCE per corpus version, commit the ~k·(1+2m) rows as
+    * an `#indexof`-gated index table, and rebuild the plan literals from
+    * the committed values (exact doubles through parquet, so probing a
+    * committed registry is bit-identical to inline training). */
+  def pqBooksToRows(
+      cent: Seq[(Long, Seq[Double])],
+      flat: IndexedSeq[Seq[(Long, Seq[Double])]],
+      resid: IndexedSeq[Seq[(Long, Seq[Double])]]
+  ): Seq[(String, Int, Long, Seq[Double])] = {
+    def enc(kind: String, books: IndexedSeq[Seq[(Long, Seq[Double])]]) =
+      books.zipWithIndex.flatMap { case (bk, j) =>
+        bk.map { case (cid, v) => (kind, j, cid, v) }
+      }
+    cent.map { case (cid, v) => ("coarse", -1, cid, v) } ++
+      enc("flat", flat) ++ enc("resid", resid)
+  }
+
+  /** Rebuild (coarse, flat books, residual books) from registry rows —
+    * subspaces and cells re-sort by id, matching the training output
+    * order of [[kmeansCentroids]]/[[pqCodebooks]] exactly. */
+  def pqBooksFromRows(
+      rows: Seq[(String, Int, Long, Seq[Double])]
+  ): (Seq[(Long, Seq[Double])],
+      IndexedSeq[Seq[(Long, Seq[Double])]],
+      IndexedSeq[Seq[(Long, Seq[Double])]]) = {
+    def dec(kind: String): IndexedSeq[Seq[(Long, Seq[Double])]] = {
+      val r = rows.filter(_._1 == kind)
+      require(r.nonEmpty, s"quantizer registry has no '$kind' rows")
+      (0 to r.map(_._2).max).map { j =>
+        r.filter(_._2 == j).map(x => (x._3, x._4)).sortBy(_._1)
+      }
+    }
+    val cent = rows.filter(_._1 == "coarse").map(x => (x._3, x._4)).sortBy(_._1)
+    require(cent.nonEmpty, "quantizer registry has no coarse rows")
+    (cent, dec("flat"), dec("resid"))
   }
 
   /** IVF (inverted-file) approximate top-k — the classic ANN scale shape.

@@ -3365,6 +3365,32 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     repart.map(_.embedding) shouldBe out.map(_.embedding)
   }
 
+  behavior of "quantizer registry codec"
+
+  it should "roundtrip coarse + both PQ arms through registry rows exactly" in {
+    // the committed-registry path (fixPqBooks/loadPqBooks) is only
+    // bit-identical to inline training if this codec is lossless and
+    // order-restoring — pin it on unsorted, multi-subspace input
+    val cent = Seq(3L -> Seq(0.5, -1.25), 1L -> Seq(2.0, 0.0))
+    val flat = IndexedSeq(
+      Seq(2L -> Seq(1.0), 1L -> Seq(-0.5)),
+      Seq(9L -> Seq(0.125), 4L -> Seq(3.5)))
+    val resid = IndexedSeq(
+      Seq(7L -> Seq(0.0625), 2L -> Seq(-2.0)),
+      Seq(1L -> Seq(1.5), 8L -> Seq(-0.25)))
+    val rows = Similarity.pqBooksToRows(cent, flat, resid)
+    rows.length shouldBe 2 + 4 + 4
+    // shuffle the row order: the decoder must not depend on it
+    val (c2, f2, r2) = Similarity.pqBooksFromRows(scala.util.Random
+      .javaRandomToRandom(new java.util.Random(7)).shuffle(rows))
+    c2 shouldBe cent.sortBy(_._1)
+    f2 shouldBe flat.map(_.sortBy(_._1))
+    r2 shouldBe resid.map(_.sortBy(_._1))
+    // a registry missing an arm refuses instead of returning empties
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.pqBooksFromRows(rows.filterNot(_._1 == "coarse"))
+  }
+
   behavior of "preference, agreement, and calibration operators"
 
   it should "rank Bradley-Terry strengths by dominance and split ties evenly" in {
