@@ -5656,7 +5656,23 @@ object SparkEntry {
     // distribution-free version of "keep the top 90% by quality".
     "docs_conformal_gate" -> ((s, dir) =>
       graft.ops.Corpus.conformalGate(
-        table(s, dir, "documents"), "doc_id", "text", calMod = 5, alpha = 0.1))
+        table(s, dir, "documents"), "doc_id", "text", calMod = 5, alpha = 0.1)),
+
+    // Extension: nDCG@10 of the BM25 ranking vs term-frequency
+    // pseudo-relevance — the graded retrieval-quality eval next to the
+    // ANN tier's recall@k rows, over the established 3-query term set.
+    // Gains are an exact integer map (no libm pow); the log2 discount
+    // canonicalizes through DECIMAL like the BM25 idf.
+    "text_ndcg" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(0L -> "spark", 0L -> "table", 0L -> "window",
+        1L -> "join", 1L -> "filter",
+        2L -> "vector", 2L -> "stream", 2L -> "hash")
+        .toDF("query_id", "term")
+      graft.ops.Retrieval.ndcgAtK(
+        spread(s, table(s, dir, "documents")), "doc_id", "text", queries,
+        k = 10)
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -11073,6 +11089,42 @@ object SparkEntry {
         |  FROM q, tau t2 WHERE NOT q.is_cal GROUP BY 1, 2, 3)
         |SELECT n_cal, k, round(tau, 6) AS tau, n_test, n_pass,
         |  round(CAST(n_pass AS DOUBLE) / n_test, 6) AS coverage
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    "text_ndcg" -> {
+      val gainOf = (g: String) =>
+        s"(CASE $g WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 7 END)"
+      val logC = (x: String) => s"CAST(CAST(log2($x) AS DECIMAL(27,12)) AS DOUBLE)"
+      s"""WITH q(query_id, term) AS (VALUES $invidxQueries3),
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM l),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(toks) AS term FROM t)
+        |  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+        |sc AS (SELECT q.query_id, tf.doc_id, $invidxScoreSql
+        |  FROM q JOIN tf ON q.term = tf.term JOIN dfq ON tf.term = dfq.term
+        |  JOIN l ON tf.doc_id = l.doc_id, st),
+        |ag AS (SELECT query_id, doc_id, sum(CAST(s AS DECIMAL(27,12))) AS sd FROM sc GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY sd DESC, doc_id) AS rk FROM ag),
+        |rel AS (SELECT q.query_id, d.doc_id, least(3, count(*)) AS grade
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM t) d JOIN q ON q.term = d.term
+        |  GROUP BY 1, 2),
+        |dcg AS (SELECT r.query_id, sum(CAST(CAST(${gainOf("coalesce(rel.grade, 0)")} AS DOUBLE) / ${logC("r.rk + 1")} AS DECIMAL(27,12))) AS dcg_d
+        |  FROM r LEFT JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+        |  WHERE r.rk <= 10 GROUP BY 1),
+        |ir AS (SELECT query_id, grade, row_number() OVER (PARTITION BY query_id ORDER BY grade DESC, doc_id ASC) AS rn FROM rel),
+        |idcg AS (SELECT query_id, sum(CAST(CAST(${gainOf("grade")} AS DOUBLE) / ${logC("rn + 1")} AS DECIMAL(27,12))) AS idcg_d
+        |  FROM ir WHERE rn <= 10 GROUP BY 1),
+        |qs AS (SELECT DISTINCT query_id FROM q)
+        |SELECT CAST(qs.query_id AS BIGINT) AS query_id,
+        |  round(coalesce(CAST(dcg_d AS DOUBLE), 0.0::DOUBLE), 6) AS dcg,
+        |  round(coalesce(CAST(idcg_d AS DOUBLE), 0.0::DOUBLE), 6) AS idcg,
+        |  round(CASE WHEN coalesce(idcg_d, 0) = 0 THEN 0.0::DOUBLE
+        |    ELSE CAST(dcg_d AS DOUBLE) / CAST(idcg_d AS DOUBLE) END, 6) AS ndcg
+        |FROM qs LEFT JOIN dcg ON dcg.query_id = qs.query_id
+        |LEFT JOIN idcg ON idcg.query_id = qs.query_id""".stripMargin
+    }
   )
 }

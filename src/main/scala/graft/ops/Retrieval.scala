@@ -469,4 +469,67 @@ object Retrieval {
             q - p >= lit(1) && q - p <= lit(window)))).as("n_near"))
       .filter(col("n_near") > 0)
   }
+
+  /** nDCG@k of the BM25 ranking against term-frequency pseudo-relevance
+    * — the graded retrieval-quality readout (the eval-harness companion
+    * to the recall@k rows of the ANN tier): per query, DCG over the
+    * top-k ranking with gains (2^grade − 1) and the standard log2
+    * position discount, normalized by the ideal ordering's IDCG.
+    * Relevance grades derive from the data itself (total occurrences of
+    * the query's terms in the document, capped at `maxGrade`) — the
+    * classic pseudo-relevance stand-in when no human judgments exist.
+    *
+    * Determinism: gains are an exact integer lookup (grade → 2^g−1, a
+    * map literal — no libm pow); the ONE libm call per row (log2 of a
+    * small integer) canonicalizes through DECIMAL(27,12) exactly like
+    * the BM25 idf; per-row terms sum through DECIMAL so the per-query
+    * reduction is aggregation-order-independent; both rankings break
+    * ties on document id.
+    *
+    * Scale shape: the ranking is [[bm25TopK]] (queries broadcast, one
+    * postings scan); grading is one explode + (query, doc)-keyed
+    * aggregation over ONLY query-term tokens; DCG/IDCG are k-row-per-
+    * query aggregates. Nothing beyond the postings build touches the
+    * corpus. */
+  def ndcgAtK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      k: Int = 10,
+      maxGrade: Int = 3
+  ): DataFrame = {
+    val postings = buildPostings(docs, idCol, textCol)
+    val (n, dl) = corpusStats(docs, textCol)
+    val ranking = bm25TopK(postings, queries, n, dl, k)
+    val rels = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .join(broadcast(queries.select(col("query_id"), col("term"))), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(least(lit(maxGrade.toLong), count(lit(1))).cast("int").as("grade"))
+    val gains = typedlit((0 to maxGrade).map(g => g -> ((1L << g) - 1)).toMap)
+    def logC(x: Column): Column = log2(x).cast(dec).cast("double")
+    def gTerm(grade: Column, pos: Column): Column =
+      (element_at(gains, grade).cast("double") / logC(pos + 1)).cast(dec)
+    val dcg = ranking
+      .join(rels, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"),
+        gTerm(coalesce(col("grade"), lit(0)), col("rank")).as("g"))
+      .groupBy("query_id").agg(sum(col("g")).as("dcg_d"))
+    val wI = Window.partitionBy("query_id")
+      .orderBy(col("grade").desc, col("doc_id").asc)
+    val idcg = rels.withColumn("rn", row_number().over(wI))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), gTerm(col("grade"), col("rn")).as("g"))
+      .groupBy("query_id").agg(sum(col("g")).as("idcg_d"))
+    queries.select("query_id").distinct()
+      .join(dcg, Seq("query_id"), "left")
+      .join(idcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("dcg_d").cast("double"), lit(0.0)), 6).as("dcg"),
+        round(coalesce(col("idcg_d").cast("double"), lit(0.0)), 6).as("idcg"),
+        round(when(coalesce(col("idcg_d"), lit(0)) === 0, 0.0)
+          .otherwise(col("dcg_d").cast("double") /
+            col("idcg_d").cast("double")), 6).as("ndcg"))
+  }
 }

@@ -215,4 +215,34 @@ class RetrievalSpec extends AnyFlatSpec with Matchers {
       topk should not include "SortMergeJoin"
     }
   }
+
+  it should "match hand-computed nDCG with capped grades and ideal ties" in {
+    // corpus engineered so the BM25 top list and the ideal list differ:
+    // doc 1 repeats 'cat' 4x (grade caps at 3) but is long; doc 2 has
+    // 'cat' once in two tokens; doc 3 has none.
+    val tiny = Seq(
+      (1L, ("cat " * 4 + "filler " * 36).trim),
+      (2L, "cat dog"),
+      (3L, "dog bird fish")).toDF("doc_id", "text")
+    val qs = Seq((0L, "cat")).toDF("query_id", "term")
+    val out = Retrieval.ndcgAtK(tiny, "doc_id", "text", qs, k = 2)
+      .collect()(0)
+    // grades: doc1 -> min(3,4)=3 (gain 7), doc2 -> 1 (gain 1), doc3 absent.
+    // BM25 rank (k1=1.2, b=0.75, avgdl=15): doc2's tf-factor 2.2/1.42
+    // beats doc1's 8.8/6.7 (doc1 is 40 tokens long) -> ranking = [2, 1];
+    // ideal = [1 (g3), 2 (g1)] -> nDCG < 1.
+    // dcg  = 1/log2(2) + 7/log2(3); idcg = 7/log2(2) + 1/log2(3)
+    val l3 = BigDecimal(math.log(3) / math.log(2))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dcg = 1.0 / 1.0 + 7.0 / l3
+    val idcg = 7.0 / 1.0 + 1.0 / l3
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    out.getDouble(1) shouldBe r6(dcg) +- 2e-6
+    out.getDouble(2) shouldBe r6(idcg) +- 2e-6
+    out.getDouble(3) shouldBe r6(dcg / idcg) +- 2e-6
+    // a query whose term never occurs: zero idcg must gate to 0, not NaN
+    val none = Retrieval.ndcgAtK(tiny, "doc_id", "text",
+      Seq((9L, "absent")).toDF("query_id", "term"), k = 2).collect()(0)
+    (none.getDouble(1), none.getDouble(2), none.getDouble(3)) shouldBe ((0.0, 0.0, 0.0))
+  }
 }
