@@ -229,6 +229,37 @@ object SparkEntry {
   private def fixDocsText(s: SparkSession, dir: String): String =
     stagedRO("docs_text", dir)(d => graft.sources.ManifestTable.commit(
       s, d, spread(s, table(s, dir, "documents").select("doc_id", "text"))))
+
+  /** The committed TOKENIZER REGISTRY: one BPE merge table (12 rows)
+    * induced per (corpus version, training slice) and committed as an
+    * `#indexof`-gated index table — the quantizer-registry decision
+    * applied to the tokenizer tier. The induction is the expensive part
+    * (12 driver-coordinated top-pair rounds over the corpus); the five
+    * text_bpe_* queries load the committed rows back (freshness-gated)
+    * and pay only application. `sub` names the slice ("full" /
+    * "even" / "odd"); `filt` selects it from the committed corpus. */
+  private def loadBpeMerges(
+      s: SparkSession,
+      dir: String,
+      sub: String,
+      filt: org.apache.spark.sql.Column
+  ): Seq[(Int, String, String, Long)] = {
+    val corpusDir = fixDocsText(s, dir)
+    val g = stagedRO(s"bpe_$sub", dir) { d =>
+      val v = graft.sources.ManifestTable.currentVersion(s, corpusDir)
+      val corpus = graft.sources.ManifestTable.read(s, corpusDir).filter(filt)
+      import s.implicits._
+      val rows = graft.ops.Corpus.bpeMergeTable(corpus, "text", nMerges = 12)
+        .toDF("merge_idx", "left_sym", "right_sym", "pair_count")
+      graft.sources.ManifestTable.commitIndex(
+        s, d, rows.repartition(1), corpusDir, v): Unit
+    }
+    graft.sources.ManifestTable.requireIndexFresh(s, g)
+    graft.sources.ManifestTable.read(s, g)
+      .select("merge_idx", "left_sym", "right_sym", "pair_count").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+  }
   private def fixDocsTextCopy(s: SparkSession, sub: String, dir: String): String =
     stagedCopy(sub, "docs_text", dir)(d => graft.sources.ManifestTable.commit(
       s, d, spread(s, table(s, dir, "documents").select("doc_id", "text"))))
@@ -3840,31 +3871,39 @@ object SparkEntry {
     // Extension: BPE vocabulary drift — the first 12 merges trained
     // independently on the two corpus halves, aligned round by round;
     // the diff reviewed before shipping a retrained tokenizer.
-    "text_bpe_drift" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
-      graft.ops.Corpus.bpeVocabDrift(
-        docs.filter(col("doc_id") % 2 === 0),
-        docs.filter(col("doc_id") % 2 === 1),
-        "text", nMerges = 12)
-    }),
+    // The five text_bpe_* queries share the committed tokenizer registry
+    // (loadBpeMerges) since r14: induction runs once per (corpus
+    // version, slice) and every query pays application only. Oracles
+    // still replay the induction in full — committed merges are
+    // value-identical to inline training.
+    "text_bpe_drift" -> ((s, dir) =>
+      graft.ops.Corpus.bpeVocabDriftWith(s,
+        loadBpeMerges(s, dir, "even", col("doc_id") % 2 === 0),
+        loadBpeMerges(s, dir, "odd", col("doc_id") % 2 === 1))),
 
-    "text_bpe_merges" -> ((s, dir) =>
-      graft.ops.Corpus.bpeMerges(spread(s, table(s, dir, "documents")), "text")),
+    "text_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      loadBpeMerges(s, dir, "full", lit(true))
+        .toDF("merge_idx", "left_sym", "right_sym", "pair_count")
+    }),
 
     // Extension: BPE segmentation — per-doc token counts under the
     // LEARNED merges; the rewrite chain runs once per distinct vocab
     // word and documents join the segmented vocab (broadcast), never
     // re-segmenting occurrences.
     "text_bpe_segment" -> ((s, dir) =>
-      graft.ops.Corpus.bpeSegment(spread(s, table(s, dir, "documents")), "doc_id", "text")),
+      graft.ops.Corpus.bpeSegmentWith(
+        spread(s, table(s, dir, "documents")), "doc_id", "text",
+        loadBpeMerges(s, dir, "full", lit(true)))),
 
     // Extension: the learned VOCABULARY with corpus frequencies — the
     // second shipped tokenizer artifact next to the merge table (what
     // token-budget planning, OOV analysis and embedding-table sizing
     // actually read).
     "text_bpe_vocab" -> ((s, dir) =>
-      graft.ops.Corpus.bpeVocabulary(
-        spread(s, table(s, dir, "documents")), "text")),
+      graft.ops.Corpus.bpeVocabularyWith(
+        spread(s, table(s, dir, "documents")), "text",
+        loadBpeMerges(s, dir, "full", lit(true)))),
 
     // Extension: SHIPPED-TOKENIZER segmentation — train the merge table
     // on the even-doc_id half only, then segment the WHOLE corpus with
@@ -3874,8 +3913,7 @@ object SparkEntry {
     // tokenizer, not one retrained per batch.
     "text_bpe_apply" -> ((s, dir) => {
       val docs = spread(s, table(s, dir, "documents"))
-      val merges = graft.ops.Corpus.bpeMergeTable(
-        docs.filter(col("doc_id") % 2 === 0), "text", nMerges = 12)
+      val merges = loadBpeMerges(s, dir, "even", col("doc_id") % 2 === 0)
       graft.ops.Corpus.bpeSegmentWith(docs, "doc_id", "text", merges)
     }),
 

@@ -1185,8 +1185,18 @@ object Corpus {
       textCol: String,
       nMerges: Int = 12,
       maxChain: Int = 6
+  ): DataFrame =
+    bpeVocabularyWith(df, textCol, learnMerges(df, textCol, nMerges, maxChain))
+
+  /** [[bpeVocabulary]] with a PRECOMPUTED merge table (e.g. loaded from
+    * a committed tokenizer registry) — the [[bpeSegmentWith]] companion:
+    * ship the merges once, derive the weighted vocabulary anywhere
+    * without retraining. */
+  def bpeVocabularyWith(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[(Int, String, String, Long)]
   ): DataFrame = {
-    val merges = learnMerges(df, textCol, nMerges, maxChain)
     var words = df.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(filter(split(col("w"), ""), x => x =!= "").as("sy"), col("n"))
@@ -1471,11 +1481,20 @@ object Corpus {
       dfB: DataFrame,
       textCol: String,
       nMerges: Int = 12
+  ): DataFrame =
+    bpeVocabDriftWith(dfA.sparkSession,
+      learnMerges(dfA, textCol, nMerges, maxChain = 6),
+      learnMerges(dfB, textCol, nMerges, maxChain = 6))
+
+  /** [[bpeVocabDrift]] over two PRECOMPUTED merge tables — the pure
+    * comparison step, for merges loaded from committed tokenizer
+    * registries instead of re-induced per diff. */
+  def bpeVocabDriftWith(
+      spark: org.apache.spark.sql.SparkSession,
+      a: Seq[(Int, String, String, Long)],
+      b: Seq[(Int, String, String, Long)]
   ): DataFrame = {
-    val spark = dfA.sparkSession
     import spark.implicits._
-    val a = learnMerges(dfA, textCol, nMerges, maxChain = 6)
-    val b = learnMerges(dfB, textCol, nMerges, maxChain = 6)
     a.zip(b).map { case ((i, al, ar, ac), (_, bl, br, bc)) =>
       (i, al, ar, ac, bl, br, bc, al == bl && ar == br)
     }.toDF("merge_idx", "a_left", "a_right", "a_count",

@@ -140,6 +140,27 @@ class SpanSketchSpec extends AnyFlatSpec with Matchers {
     out.getDouble(3) shouldBe 1.5
   }
 
+  it should "derive identical vocab and drift from a shipped merge table" in {
+    // the committed-tokenizer-registry path (loadBpeMerges +
+    // bpeVocabularyWith/bpeVocabDriftWith) is only sound if the With-
+    // variants equal their inline-induction counterparts exactly
+    val docs = Seq(Doc(1, "low low lower lowest", "s"),
+      Doc(2, "low slow slower", "s")).toDS.toDF()
+    val merges = Corpus.bpeMergeTable(docs, "text", nMerges = 4)
+    val inline = Corpus.bpeVocabulary(docs, "text", nMerges = 4)
+      .orderBy("token").collect().map(r => (r.getString(0), r.getLong(1)))
+    val shipped = Corpus.bpeVocabularyWith(docs, "text", merges)
+      .orderBy("token").collect().map(r => (r.getString(0), r.getLong(1)))
+    shipped shouldBe inline
+    val a = docs.filter(col("doc_id") === 1)
+    val b = docs.filter(col("doc_id") === 2)
+    val driftInline = Corpus.bpeVocabDrift(a, b, "text", nMerges = 3).collect()
+    val driftShipped = Corpus.bpeVocabDriftWith(spark,
+      Corpus.bpeMergeTable(a, "text", nMerges = 3),
+      Corpus.bpeMergeTable(b, "text", nMerges = 3)).collect()
+    driftShipped.map(_.toSeq) shouldBe driftInline.map(_.toSeq)
+  }
+
   behavior of "cdcChunkDups"
 
   it should "survive a prefix insertion that kills every fixed-span gram" in {
