@@ -1164,7 +1164,8 @@ object SparkEntry {
     "sim_ivf_cellstats" -> ((s, dir) =>
       graft.ops.Similarity.ivfCellStats(
         spread(s, table(s, dir, "embeddings")), "vec_id", "embedding",
-        numCentroids = 16, lloydRounds = 2)),
+        numCentroids = 16, lloydRounds = 2,
+        coarse = Some(loadPqBooks(s, dir)._1))),
 
     // Extension: the ACTUATOR on the cellstats readout (r11 VERDICT ask):
     // a retrain-vs-keep verdict per occupancy-budget threshold — the
@@ -1259,11 +1260,15 @@ object SparkEntry {
     // centroids (md5-seeded + 2 DECIMAL-routed Lloyd rounds), cell
     // assignment as a pure projection, nprobe probing. k is FIXED, so the
     // plan ships O(k·dim) literals no matter the corpus size.
+    // The IVF coarse codebook comes from the committed quantizer
+    // registry since r14 (same parameters, same corpus -> identical
+    // values; the oracle still replays the Lloyd chain).
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       graft.ops.Similarity.ivfTopK(
           spread(s, emb), emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, numCentroids = 16, lloydRounds = 2, nprobe = 4)
+          k = 5, numCentroids = 16, lloydRounds = 2, nprobe = 4,
+          coarse = Some(loadPqBooks(s, dir)._1))
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("sim"), 6).as("sim"))
     }),
@@ -1289,7 +1294,8 @@ object SparkEntry {
       val corpus = graft.sources.ManifestTable.read(s, corpusDir)
       val out = scratch("ivf_index")
       val (cent, assigned) = graft.ops.Similarity.ivfIndex(
-        corpus, "vec_id", "embedding", numCentroids = 16, lloydRounds = 2)
+        corpus, "vec_id", "embedding", numCentroids = 16, lloydRounds = 2,
+        coarse = Some(loadPqBooks(s, dir)._1))
       graft.sources.ManifestTable.commitIndex(
         s, out, assigned.repartition(8), corpusDir, corpusV)
       graft.sources.ManifestTable.compactSorted(s, out, Seq("cell"), targetFiles = 4)
@@ -1409,7 +1415,8 @@ object SparkEntry {
       graft.ops.Similarity.ivfTopK(
           spread(s, emb), emb.filter(col("vec_id") < 10), "vec_id", "embedding",
           k = 5, numCentroids = 16, lloydRounds = 2, nprobe = 4,
-          corpusFilter = col("label") % 2 === 0)
+          corpusFilter = col("label") % 2 === 0,
+          coarse = Some(loadPqBooks(s, dir)._1))
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("sim"), 6).as("sim"))
     }),
@@ -1996,7 +2003,8 @@ object SparkEntry {
       // equivalence sim_ivf_persisted proves), one Lloyd run not three
       val (cent, assigned) = graft.ops.Similarity.ivfIndex(
         spread(s, emb), "vec_id", "embedding",
-        numCentroids = 16, lloydRounds = 2)
+        numCentroids = 16, lloydRounds = 2,
+        coarse = Some(loadPqBooks(s, dir)._1))
       val idxDir = scratch("sweep_idx")
       assigned.write.mode("overwrite").parquet(idxDir)
       val index = s.read.parquet(idxDir)
@@ -2061,7 +2069,8 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
       val approx = graft.ops.Similarity.ivfTopK(
           spread(s, emb), q, "vec_id", "embedding",
-          k = 5, numCentroids = 16, lloydRounds = 2, nprobe = 4)
+          k = 5, numCentroids = 16, lloydRounds = 2, nprobe = 4,
+          coarse = Some(loadPqBooks(s, dir)._1))
         .select(col("query_id"), col("neighbor_id"))
       val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("n_hit"))

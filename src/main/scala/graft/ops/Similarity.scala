@@ -135,9 +135,13 @@ object Similarity {
       idCol: String,
       vecCol: String,
       numCentroids: Int = 16,
-      lloydRounds: Int = 2
+      lloydRounds: Int = 2,
+      coarse: Option[Seq[(Long, Seq[Double])]] = None
   ): (Seq[(Long, Seq[Double])], DataFrame) = {
-    val cent = kmeansCentroids(corpus, idCol, vecCol, numCentroids, lloydRounds)
+    // a pre-trained codebook (e.g. the committed quantizer registry)
+    // skips the seed + Lloyd jobs; values are identical by determinism
+    val cent = coarse.getOrElse(
+      kmeansCentroids(corpus, idCol, vecCol, numCentroids, lloydRounds))
     (cent, assignCells(corpus, idCol, vecCol, cent))
   }
 
@@ -518,10 +522,11 @@ object Similarity {
       idCol: String,
       vecCol: String,
       numCentroids: Int = 16,
-      lloydRounds: Int = 2
+      lloydRounds: Int = 2,
+      coarse: Option[Seq[(Long, Seq[Double])]] = None
   ): DataFrame = {
     val (_, assigned) =
-      ivfIndex(corpus, idCol, vecCol, numCentroids, lloydRounds)
+      ivfIndex(corpus, idCol, vecCol, numCentroids, lloydRounds, coarse)
     val w = Window.partitionBy(lit(0))
     assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
       .select(col("cell"), col("n_vecs"),
@@ -972,10 +977,13 @@ object Similarity {
       numCentroids: Int = 16,
       lloydRounds: Int = 2,
       nprobe: Int = 4,
-      corpusFilter: Column = lit(true)
+      corpusFilter: Column = lit(true),
+      coarse: Option[Seq[(Long, Seq[Double])]] = None
   ): DataFrame = {
     val cos = cosineFor(corpus.sparkSession) _
-    val cent = kmeansCentroids(corpus, idCol, vecCol, numCentroids, lloydRounds)
+    // see ivfIndex: a registry-loaded codebook skips training outright
+    val cent = coarse.getOrElse(
+      kmeansCentroids(corpus, idCol, vecCol, numCentroids, lloydRounds))
     // empty corpus → no centroids, no neighbors (schema-preserving)
     if (cent.isEmpty)
       return queries.limit(0).select(col(idCol).as("query_id"),
