@@ -5719,7 +5719,16 @@ object SparkEntry {
       graft.ops.Retrieval.ndcgAtK(
         spread(s, table(s, dir, "documents")), "doc_id", "text", queries,
         k = 10)
-    })
+    }),
+
+    // Extension: expected calibration error — the reliability-diagram
+    // eval of the quality score read as P(document is unique): per
+    // confidence bin, mean confidence vs realized uniqueness, plus the
+    // Σ (n_b/N)·|acc−conf| total. The probability-calibration view next
+    // to docs_quality_calibration's quartile agreement.
+    "docs_quality_ece" -> ((s, dir) =>
+      graft.ops.Corpus.calibrationEce(
+        spread(s, table(s, dir, "documents")), "doc_id", "text"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -11172,6 +11181,25 @@ object SparkEntry {
         |    ELSE CAST(dcg_d AS DOUBLE) / CAST(idcg_d AS DOUBLE) END, 6) AS ndcg
         |FROM qs LEFT JOIN dcg ON dcg.query_id = qs.query_id
         |LEFT JOIN idcg ON idcg.query_id = qs.query_id""".stripMargin
-    }
+    },
+
+    "docs_quality_ece" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |qq AS (SELECT
+        |  least(len(toks) / 100.0, 1.0) * 0.4 + (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / greatest(length(text), 1)) * 0.3 + (len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this'], x))) / greatest(len(toks), 1)) * 0.3 AS q,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM t),
+        |tot AS (SELECT fp, count(*) AS tot FROM qq GROUP BY 1),
+        |bn AS (SELECT CAST(least(9, CAST(floor(q * 10) AS BIGINT)) AS INTEGER) AS bin, q, (tot.tot = 1) AS uniq
+        |  FROM qq JOIN tot USING (fp)),
+        |ag AS (SELECT bin, count(*) AS n_docs, sum(CAST(q AS DECIMAL(27,12))) AS sq,
+        |    CAST(sum(CASE WHEN uniq THEN 1 ELSE 0 END) AS BIGINT) AS su FROM bn GROUP BY 1),
+        |wg AS (SELECT bin, n_docs, sq, su, sum(n_docs) OVER () AS ntot FROM ag),
+        |tm AS (SELECT bin, n_docs, sq, su, ntot,
+        |    CAST((CAST(n_docs AS DOUBLE) / ntot) * abs(CAST(su AS DOUBLE) / n_docs - CAST(sq AS DOUBLE) / n_docs) AS DECIMAL(27,12)) AS term FROM wg)
+        |SELECT bin, n_docs, round(CAST(sq AS DOUBLE) / n_docs, 6) AS avg_conf,
+        |  round(CAST(su AS DOUBLE) / n_docs, 6) AS uniq_rate,
+        |  round(CAST(sum(term) OVER () AS DOUBLE), 6) AS ece
+        |FROM tm""".stripMargin
   )
 }

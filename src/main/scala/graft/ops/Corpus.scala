@@ -2262,6 +2262,54 @@ object Corpus {
         round(col("pick_key"), 6).as("pick_key"))
   }
 
+  /** Expected calibration error (the reliability-diagram readout) of
+    * the quality score read as a confidence that a document is UNIQUE
+    * (fingerprint occurs once) — the eval-harness companion to
+    * [[qualityDupCalibration]]'s quartile view: per equal-width
+    * confidence bin, mean confidence vs realized uniqueness rate, plus
+    * the ECE = Σ_b (n_b/N)·|acc_b − conf_b| repeated on every row.
+    * A well-calibrated score has conf ≈ acc in every bin; ECE near 0.
+    *
+    * Determinism: binning is floor on the exact score double (both
+    * engines compute the identical q); bin sums of q and the ECE terms
+    * route through DECIMAL(27,12) so every reduction is aggregation-
+    * order-independent. One fingerprint aggregate + one bin aggregate;
+    * the ECE total is an unbounded-window sum over #bins rows. */
+  def calibrationEce(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bins: Int = 10,
+      scope: CacheScope = new CacheScope
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val dec = org.apache.spark.sql.types.DecimalType(27, 12)
+    // cached: the score+fingerprint projection feeds the totals and the
+    // binned join (Spark does not dedup common subplans)
+    val q = scope.cache(df.select(
+      qualityScore(col(textCol), tokens(col(textCol))).as("q"),
+      fingerprintFor(spark)(col(textCol)).as("fp")))
+    val tot = q.groupBy("fp").agg(count(lit(1)).as("tot"))
+    val binned = q.join(tot, "fp").select(
+      least(lit(bins - 1), floor(col("q") * bins)).cast("int").as("bin"),
+      col("q"), (col("tot") === 1).as("uniq"))
+    val agg = binned.groupBy("bin").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("q").cast(dec)).as("sq"),
+      sum(when(col("uniq"), 1L).otherwise(0L)).as("su"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    agg
+      .withColumn("ntot", sum(col("n_docs")).over(w))
+      .withColumn("term",
+        ((col("n_docs").cast("double") / col("ntot")) *
+          abs(col("su").cast("double") / col("n_docs") -
+            col("sq").cast("double") / col("n_docs"))).cast(dec))
+      .select(col("bin"), col("n_docs"),
+        round(col("sq").cast("double") / col("n_docs"), 6).as("avg_conf"),
+        round(col("su").cast("double") / col("n_docs"), 6).as("uniq_rate"),
+        round(sum(col("term")).over(w).cast("double"), 6).as("ece"))
+  }
+
   /** Split-conformal quality gate: calibrate a distribution-free
     * keep-threshold on a held-out slice, then gate the rest with a
     * finite-sample coverage guarantee — the statistically honest version

@@ -3472,6 +3472,25 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       4L -> Some(20), 5L -> None, 6L -> Some(10), 7L -> None, 8L -> None)
   }
 
+  it should "report an ECE consistent with its own reliability bins" in {
+    // duplicate docs land uniq=false; singletons true — bins must
+    // partition the corpus and the ECE total must equal the
+    // Σ (n_b/N)|acc_b − conf_b| recomputed from the returned rows
+    val docs = ((1L to 30L).map(i => Doc(i, ("w " * ((i % 11).toInt + 1)).trim, "s"))
+      ++ Seq(Doc(31L, "w w w", "s"), Doc(32L, "w w w", "s"))).toDS.toDF()
+    val rows = Corpus.calibrationEce(docs, "doc_id", "text").collect()
+    rows.map(_.getLong(1)).sum shouldBe 32L
+    val n = 32.0
+    val expectedEce = rows.map(r =>
+      r.getLong(1) / n * math.abs(r.getDouble(3) - r.getDouble(2))).sum
+    all(rows.map(_.getDouble(4))) shouldBe expectedEce +- 1e-4
+    // every bin's confidence and accuracy are probabilities
+    rows.foreach { r =>
+      r.getDouble(2) should (be >= 0.0 and be <= 1.0)
+      r.getDouble(3) should (be >= 0.0 and be <= 1.0)
+    }
+  }
+
   it should "pick the exact conformal order statistic and report true coverage" in {
     val docs = (1L to 40L).map(i => Doc(i, ("w " * ((i % 13).toInt + 1)).trim, "s"))
       .toDS.toDF()
