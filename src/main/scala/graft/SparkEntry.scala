@@ -5728,7 +5728,51 @@ object SparkEntry {
     // to docs_quality_calibration's quartile agreement.
     "docs_quality_ece" -> ((s, dir) =>
       graft.ops.Corpus.calibrationEce(
-        spread(s, table(s, dir, "documents")), "doc_id", "text"))
+        spread(s, table(s, dir, "documents")), "doc_id", "text")),
+
+    // Extension: STREAMING preference-matrix maintenance — the online
+    // half of the Bradley-Terry pipeline: the first half of the bounded
+    // comparison feed commits as the base count matrix; the second half
+    // streams through prefMaintainSink (per-batch partial counts landed
+    // as #streambatch-stamped appends — a partial-aggregate log), and
+    // the solve runs bradleyTerryFromCounts over the re-aggregated log.
+    // Count addition is associative, so the result equals solving the
+    // whole feed batch-side — which is exactly what the oracle does.
+    "stream_pref_rank" -> ((s, dir) => withStreamingShuffle(s, 4) {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val M = graft.sources.ManifestTable
+      val maxId = 2000L
+      def prefPairs(ev: org.apache.spark.sql.DataFrame) = {
+        val ia = col("event_id") % 7
+        val ibRaw = expr("event_id div 7") % 6
+        ev.select(ia.as("ia"),
+          when(ibRaw >= ia, ibRaw + 1).otherwise(ibRaw).as("ib"),
+          when(col("value") >= 35.0, 1).otherwise(0).as("awin"))
+      }
+      val ev = events(s, dir).filter(col("event_id") < maxId)
+      val out = scratch("pref_matrix")
+      M.commit(s, out, graft.ops.EventOps.directedComparisons(
+          prefPairs(ev.filter(col("event_id") < maxId / 2)), "ia", "ib", "awin")
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n"), sum(col("wi")).as("w")))
+      val feed = ev.filter(col("event_id") >= maxId / 2)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          col("value"), col("props"))
+        .as[StreamEv].collect()
+      val (b1, b2) = feed.splitAt(feed.length / 2)
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[StreamEv]
+      val q = graft.streaming.StreamingOps.prefMaintainSink(
+        graft.ops.EventOps.directedComparisons(
+          prefPairs(in.toDS().toDF()), "ia", "ib", "awin"), out)
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      q.stop()
+      graft.ops.EventOps.bradleyTerryFromCounts(
+        M.read(s, out).groupBy(col("i"), col("j"))
+          .agg(sum(col("n")).as("n"), sum(col("w")).as("w")), 8)
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6170,7 +6214,11 @@ object SparkEntry {
     * π_i back into the i-partition, DECIMAL-routed j-sum), normalized
     * through one unbounded window — mirrors EventOps.bradleyTerry
     * bit-for-bit. */
-  private lazy val btRankOracleSql: String = {
+  private lazy val btRankOracleSql: String = btRankOracleSqlFor("")
+
+  /** The same MM replay over a filtered event slice — the streaming
+    * maintenance oracle (`stream_pref_rank`) solves the bounded feed. */
+  private def btRankOracleSqlFor(where: String): String = {
     val rounds = (1 to 8).map { k =>
       s"""bt$k AS (SELECT gs.i, gs.j, gs.n, p.pi AS pj FROM gs JOIN br${k - 1} p ON p.item = gs.j),
         |bu$k AS (SELECT i, j, n, pj, max(CASE WHEN j = i THEN pj END) OVER (PARTITION BY i) AS pii FROM bt$k),
@@ -6179,7 +6227,7 @@ object SparkEntry {
     }.mkString(",\n")
     s"""WITH pr AS (SELECT event_id % 7 AS ia,
       |    CASE WHEN ((event_id // 7) % 6) >= (event_id % 7) THEN ((event_id // 7) % 6) + 1 ELSE (event_id // 7) % 6 END AS ib,
-      |    CASE WHEN value >= 35.0 THEN 1 ELSE 0 END AS awin FROM events),
+      |    CASE WHEN value >= 35.0 THEN 1 ELSE 0 END AS awin FROM events$where),
       |dirn AS (SELECT ia AS i, ib AS j, awin AS wi FROM pr UNION ALL SELECT ib, ia, 1 - awin FROM pr),
       |gm AS (SELECT i, j, count(*) AS n, sum(wi) AS w FROM dirn GROUP BY 1, 2),
       |wins AS (SELECT i, sum(w) AS wins FROM gm GROUP BY 1),
@@ -11200,6 +11248,11 @@ object SparkEntry {
         |SELECT bin, n_docs, round(CAST(sq AS DOUBLE) / n_docs, 6) AS avg_conf,
         |  round(CAST(su AS DOUBLE) / n_docs, 6) AS uniq_rate,
         |  round(CAST(sum(term) OVER () AS DOUBLE), 6) AS ece
-        |FROM tm""".stripMargin
+        |FROM tm""".stripMargin,
+
+    // The maintained partial-count log re-aggregates to the batch
+    // matrix exactly (integer addition), so the oracle is the full MM
+    // replay over the bounded feed.
+    "stream_pref_rank" -> btRankOracleSqlFor(" WHERE event_id < 2000")
   )
 }

@@ -1692,14 +1692,40 @@ object EventOps {
       itemBCol: String,
       aWinsCol: String,
       iterations: Int = 8
-  ): DataFrame = {
-    val dec = DecimalType(27, 12)
-    val dir = pairs.select(col(itemACol).as("i"), col(itemBCol).as("j"),
+  ): DataFrame =
+    bradleyTerryFromCounts(
+      directedComparisons(pairs, itemACol, itemBCol, aWinsCol)
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n"), sum(col("wi")).as("w")),
+      iterations)
+
+  /** Both directions of a comparison stream — (i, j, wi) rows where
+    * `wi` is 1 iff `i` won that game. The shape [[bradleyTerry]]
+    * aggregates and [[graft.streaming.StreamingOps.prefMaintainSink]]
+    * maintains incrementally. Works on batch AND streaming frames
+    * (projection + self-union only). */
+  def directedComparisons(
+      pairs: DataFrame,
+      itemACol: String,
+      itemBCol: String,
+      aWinsCol: String
+  ): DataFrame =
+    pairs.select(col(itemACol).as("i"), col(itemBCol).as("j"),
         col(aWinsCol).cast("long").as("wi"))
       .unionByName(pairs.select(col(itemBCol).as("i"), col(itemACol).as("j"),
         (lit(1L) - col(aWinsCol).cast("long")).as("wi")))
-    val g = dir.groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n"), sum(col("wi")).as("w"))
+
+  /** [[bradleyTerry]]'s MM solve over a PRECOMPUTED symmetric count
+    * matrix (i, j, n, w) — the entry point for maintained matrices (e.g.
+    * a streaming sink's partial-count log re-aggregated at read time):
+    * integer count addition is associative, so solving the maintained
+    * matrix equals solving the raw pair stream exactly. */
+  def bradleyTerryFromCounts(
+      counts: DataFrame,
+      iterations: Int = 8
+  ): DataFrame = {
+    val dec = DecimalType(27, 12)
+    val g = counts.select(col("i"), col("j"), col("n"), col("w"))
       .localCheckpoint()
     val wins = g.groupBy(col("i")).agg(sum(col("w")).as("wins"))
     val items = g.select(col("i")).distinct()

@@ -360,6 +360,42 @@ object StreamingOps {
   def readUpsertTable(spark: SparkSession, dir: String): DataFrame =
     graft.sources.ManifestTable.read(spark, dir)
 
+  /** Streaming maintenance of a PREFERENCE-COUNT matrix — the
+    * aggregation half of an online Bradley–Terry ranking pipeline
+    * (RLHF preference data arrives as a comparison stream, not a
+    * table): each micro-batch of directed comparison rows
+    * (i, j, wi ∈ {0,1}) reduces to its per-pair partial counts
+    * (i, j, n, w) and APPENDS them as one `#streambatch`-stamped
+    * transaction — a partial-aggregate log (the HLL-shards decision
+    * applied to pair counts). Integer count addition is associative,
+    * so the read-side re-aggregation ([[graft.ops.EventOps
+    * .bradleyTerryFromCounts]] over `groupBy(i, j).sum`) equals
+    * solving the raw stream exactly, at any batch boundary.
+    *
+    * EXACTLY-ONCE: the stamp makes foreachBatch replays (at-least-once
+    * delivery) skip batches that already landed — a replayed batch
+    * would otherwise double its counts. Per-batch cost is one
+    * batch-sized aggregate + one append; the log grows by ≤ items² per
+    * batch and compacts like any manifest table. Single-ingest-writer
+    * contract; `streamId` must be unique among writers of `dir`. */
+  def prefMaintainSink(
+      stream: DataFrame,
+      dir: String,
+      streamId: String = "pref"
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val M = graft.sources.ManifestTable
+        if (!M.lastStreamBatch(s, dir, streamId).exists(_ >= batchId)) {
+          val partial = batch.groupBy(col("i"), col("j"))
+            .agg(count(lit(1)).as("n"), sum(col("wi")).as("w"))
+          M.appendStamped(s, dir, partial, streamId, batchId): Unit
+        }
+      }
+      .start()
+
   /** Append-only manifest sink: every micro-batch lands as ONE
     * [[graft.sources.ManifestTable.append]] transaction — readers see
     * each batch atomically (all of its files or none, via the pointer

@@ -699,4 +699,46 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(corpusDir))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(indexDir))
   }
+
+  it should "maintain a preference-count log equal to batch aggregation, replay-safe" in {
+    val M = graft.sources.ManifestTable
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pref").toString
+    // base: one committed partial (1 beats 2 once, both directions)
+    M.commit(spark, dir,
+      Seq((1L, 2L, 1L, 1L), (2L, 1L, 1L, 0L)).toDF("i", "j", "n", "w"))
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = StreamingOps.prefMaintainSink(in.toDS().toDF("i", "j", "wi"), dir)
+    // batch: 1 beats 2 again, 2 beats 3 (directed rows, both directions)
+    in.addData((1L, 2L, 1L), (2L, 1L, 0L), (2L, 3L, 1L), (3L, 2L, 0L))
+    q.processAllAvailable()
+    def matrix() = M.read(spark, dir)
+      .groupBy("i", "j").agg(sum("n").as("n"), sum("w").as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val m1 = matrix()
+    m1((1L, 2L)) shouldBe ((2L, 2L))
+    m1((2L, 3L)) shouldBe ((1L, 1L))
+    m1((3L, 2L)) shouldBe ((1L, 0L))
+    // the solve over the log equals the solve over equivalent raw pairs
+    val fromLog = graft.ops.EventOps.bradleyTerryFromCounts(
+      M.read(spark, dir).groupBy("i", "j")
+        .agg(sum("n").as("n"), sum("w").as("w")), 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    val fromPairs = graft.ops.EventOps.bradleyTerry(
+      Seq((1L, 2L, 1), (1L, 2L, 1), (2L, 3L, 1)).toDF("a", "b", "awin"),
+      "a", "b", "awin", 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    fromLog shouldBe fromPairs
+    q.stop()
+    // a fresh query restarting at batch 0 replays the same data: the
+    // #streambatch stamp must skip it, not double the counts
+    val in2 = MemoryStream[(Long, Long, Long)]
+    val q2 = StreamingOps.prefMaintainSink(in2.toDS().toDF("i", "j", "wi"), dir)
+    in2.addData((1L, 2L, 1L), (2L, 1L, 0L), (2L, 3L, 1L), (3L, 2L, 0L))
+    q2.processAllAvailable()
+    q2.stop()
+    matrix() shouldBe m1
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
