@@ -362,7 +362,19 @@ object ManifestTable {
   private def footerStats(
       conf: org.apache.hadoop.conf.Configuration,
       file: Path,
-      rel: String): Seq[ColStats] = {
+      rel: String): Seq[ColStats] = footerStatsRows(conf, file, rel)._1
+
+  /** [[footerStats]] plus the file's record count from the SAME footer
+    * open — staging reads every new file's footer anyway, and a second
+    * `ParquetFileReader.open` per file just for the row count measurably
+    * lengthened the driver-side commit path on multi-file stages (r14
+    * optimization round: two ~0.5 s gaps in ingest_manifest_txn's steady
+    * pass were exactly the 2×32 footer opens of its two 32-file
+    * commits). */
+  private def footerStatsRows(
+      conf: org.apache.hadoop.conf.Configuration,
+      file: Path,
+      rel: String): (Seq[ColStats], Long) = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
@@ -433,9 +445,9 @@ object ManifestTable {
           }
         }
       }
-      acc.iterator.map { case (c, (dt, mn, mx, n)) =>
+      (acc.iterator.map { case (c, (dt, mn, mx, n)) =>
         ColStats(rel, c, dt, mn, mx, n)
-      }.toSeq
+      }.toSeq, reader.getRecordCount)
     } finally reader.close()
   }
 
@@ -521,12 +533,13 @@ object ManifestTable {
     val root = f.makeQualified(new Path(dir)).toUri.getPath
     val rel = files.map(_.toUri.getPath.stripPrefix(root).stripPrefix("/"))
     val conf = spark.sparkContext.hadoopConfiguration
-    val stats = files.zip(rel).flatMap { case (p, r) => footerStats(conf, p, r) }
-      .map(statsLine)
-    val sizes = statuses.zip(rel).map { case (st, r) =>
-      sizeLineOf(r, st.getLen, parquetRowCount(conf, st.getPath))
+    // one footer open per file: column stats AND the row count for the
+    // #size line come from the same read
+    val statsRows = statuses.zip(rel).map { case (st, r) =>
+      val (cs, rows) = footerStatsRows(conf, st.getPath, r)
+      (cs.map(statsLine), sizeLineOf(r, st.getLen, rows))
     }
-    StagedData(rel, stats ++ sizes, df.schema.json)
+    StagedData(rel, statsRows.flatMap(_._1) ++ statsRows.map(_._2), df.schema.json)
   }
 
   /** Steps (1)+(2): publish data files and manifest WITHOUT moving the
@@ -2034,11 +2047,11 @@ object ManifestTable {
           name.stripPrefix("manifest-").stripSuffix(".txt").toLong)
       }
     val conf = spark.sparkContext.hadoopConfiguration
-    val stats = files.toSeq.zip(rel)
-      .flatMap { case (p, r) => footerStats(conf, p, r) }.map(statsLine) ++
-      files.toSeq.zip(rel).map { case (p, r) =>
-        sizeLineOf(r, f.getFileStatus(p).getLen, parquetRowCount(conf, p))
-      }
+    val statsRows = files.toSeq.zip(rel).map { case (p, r) =>
+      val (cs, rows) = footerStatsRows(conf, p, r)
+      (cs.map(statsLine), sizeLineOf(r, f.getFileStatus(p).getLen, rows))
+    }
+    val stats = statsRows.flatMap(_._1) ++ statsRows.map(_._2)
     val staged = claimManifestSlot(spark, dir,
       ((s"#schema=${df.schema.json}" +: (carryStats ++ stats).sorted) ++
         (carry ++ rel).sorted).mkString("\n"), basis)
@@ -3426,11 +3439,11 @@ object ManifestTable {
     val root = f.makeQualified(new Path(dir)).toUri.getPath
     val rel = files.toSeq.map(_.toUri.getPath.stripPrefix(root).stripPrefix("/"))
     val conf = spark.sparkContext.hadoopConfiguration
-    val stats = files.toSeq.zip(rel)
-      .flatMap { case (p, r) => footerStats(conf, p, r) }.map(statsLine) ++
-      files.toSeq.zip(rel).map { case (p, r) =>
-        sizeLineOf(r, f.getFileStatus(p).getLen, parquetRowCount(conf, p))
-      }
+    val statsRows = files.toSeq.zip(rel).map { case (p, r) =>
+      val (cs, rows) = footerStatsRows(conf, p, r)
+      (cs.map(statsLine), sizeLineOf(r, f.getFileStatus(p).getLen, rows))
+    }
+    val stats = statsRows.flatMap(_._1) ++ statsRows.map(_._2)
     // a layout rewrite leaves CONTENT unchanged, so everything the
     // sibling rewrites (compactSorted/compactZOrder via
     // commitCarryingChecks(carryIndexOf = true)) carry holds here too:
