@@ -292,6 +292,37 @@ object SparkEntry {
     stagedRO("docs_text", dir)(d => graft.sources.ManifestTable.commit(
       s, d, stageSpread(s, table(s, dir, "documents").select("doc_id", "text"))))
 
+  /** One-pass, single-commit inverted-index build (r14 optimization
+    * round). The old shape tokenized the corpus TWICE (corpusStats +
+    * buildPostings) and committed TWICE (plain commitIndex, then a
+    * compactSorted layout rewrite). Here tokenization stages ONCE
+    * through scratch parquet and feeds both the stats aggregate and the
+    * postings build, and the postings commit ALREADY range-clustered by
+    * term (repartitionByRange + local sort — the exact file layout the
+    * compactSorted pass produced, with its string min/max stats, so the
+    * stats-pruned readWhereIn probes are unchanged). At 100 TB: one
+    * corpus pass instead of two, one index commit instead of two.
+    * Returns the (n_docs, total_dl) stats it committed as #meta. */
+  private def commitInvIndex(
+      s: SparkSession, sub: String, corpus: DataFrame, out: String,
+      corpusDir: String, v: Long, files: Int = 8): (Long, Long) = {
+    val R = graft.ops.Retrieval
+    val M = graft.sources.ManifestTable
+    val toksDir = scratch(sub)
+    corpus.select(col("doc_id").as("id"),
+        graft.ops.TextFunctions.tokens(col("text")).as("toks"))
+      .write.mode("overwrite").parquet(toksDir)
+    val toks = s.read.parquet(toksDir)
+    val (n, dl) = R.corpusStatsFromTokens(toks)
+    M.commitIndex(s, out,
+      R.buildPostingsFromTokens(toks)
+        .repartitionByRange(files, col("term"))
+        .sortWithinPartitions(col("term")),
+      corpusDir, v,
+      meta = Map(R.MetaDocs -> n.toString, R.MetaTotalDl -> dl.toString)): Unit
+    (n, dl)
+  }
+
   /** The committed TOKENIZER REGISTRY: one BPE merge table (12 rows)
     * induced per (corpus version, training slice) and committed as an
     * `#indexof`-gated index table — the quantizer-registry decision
@@ -1755,13 +1786,11 @@ object SparkEntry {
       val corpusDir = fixDocsText(s, dir) // staged RO fixture, never mutated
       val v = M.currentVersion(s, corpusDir)
       val corpus = M.read(s, corpusDir)
-      val (n, dl) = R.corpusStats(corpus, "text")
       val out = scratch("retr_index")
-      M.commitIndex(s, out,
-        R.buildPostings(corpus, "doc_id", "text").repartition(8),
-        corpusDir, v,
-        meta = Map(R.MetaDocs -> n.toString, R.MetaTotalDl -> dl.toString))
-      M.compactSorted(s, out, Seq("term"), targetFiles = 8)
+      // one tokenization pass, one term-clustered commit (see
+      // commitInvIndex) — same files-disjoint-by-term layout the old
+      // commit + compactSorted pair produced
+      commitInvIndex(s, "retr_toks", corpus, out, corpusDir, v): Unit
       M.requireIndexFresh(s, out)
       val (kept, total) = M.pruneByEquals(s, out, "term", "join")
       require(kept.size < total,
@@ -1797,13 +1826,8 @@ object SparkEntry {
       val corpusDir = fixDocsText80Copy(s, "retrd_corpus", dir) // private copy: appended below
       val v0 = M.currentVersion(s, corpusDir)
       val corpus0 = M.read(s, corpusDir)
-      val (n0, dl0) = R.corpusStats(corpus0, "text")
       val out = scratch("retrd_index")
-      M.commitIndex(s, out,
-        R.buildPostings(corpus0, "doc_id", "text").repartition(8),
-        corpusDir, v0,
-        meta = Map(R.MetaDocs -> n0.toString, R.MetaTotalDl -> dl0.toString))
-      M.compactSorted(s, out, Seq("term"), targetFiles = 8)
+      val (n0, dl0) = commitInvIndex(s, "retrd_toks", corpus0, out, corpusDir, v0)
       // corpus grows; the stale index must refuse probes...
       M.append(s, corpusDir, docs.filter(col("doc_id") % 5 === 0))
       val staleRefused =
@@ -1851,13 +1875,8 @@ object SparkEntry {
       val corpusDir = fixDocsTextCopy(s, "retrdel_corpus", dir) // private copy: DV-erased below
       val v0 = M.currentVersion(s, corpusDir)
       val corpus0 = M.read(s, corpusDir)
-      val (n0, dl0) = R.corpusStats(corpus0, "text")
       val out = scratch("retrdel_index")
-      M.commitIndex(s, out,
-        R.buildPostings(corpus0, "doc_id", "text").repartition(8),
-        corpusDir, v0,
-        meta = Map(R.MetaDocs -> n0.toString, R.MetaTotalDl -> dl0.toString))
-      M.compactSorted(s, out, Seq("term"), targetFiles = 8)
+      val (n0, dl0) = commitInvIndex(s, "retrdel_toks", corpus0, out, corpusDir, v0)
       M.deleteVectorWhere(s, corpusDir, "doc_id", 100.0, 149.0)
       val staleRefused =
         try { M.requireIndexFresh(s, out); false }
@@ -2827,11 +2846,7 @@ object SparkEntry {
       val out = scratch("sinv_index")
       val v0 = M.currentVersion(s, corpusDir)
       val corpus0 = M.read(s, corpusDir)
-      val (n0, dl0) = R.corpusStats(corpus0, "text")
-      M.commitIndex(s, out,
-        R.buildPostings(corpus0, "doc_id", "text").repartition(8),
-        corpusDir, v0,
-        meta = Map(R.MetaDocs -> n0.toString, R.MetaTotalDl -> dl0.toString))
+      commitInvIndex(s, "sinv_toks", corpus0, out, corpusDir, v0): Unit
       val feed = docs.filter(col("doc_id") % 5 === 0)
         .as[StreamDoc].collect()
       val (b1, b2) = feed.splitAt(feed.length / 2)

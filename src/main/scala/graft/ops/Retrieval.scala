@@ -78,8 +78,18 @@ object Retrieval {
     * one (term, id)-keyed aggregation; `array_sort` pins the offset order
     * regardless of partial-aggregate merge order. */
   def buildPostings(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"), size(col("toks")).cast("long").as("dl"),
+    buildPostingsFromTokens(
+      df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks")))
+
+  /** [[buildPostings]] over an ALREADY-TOKENIZED (id, toks) frame — the
+    * build half when tokenization is staged once and shared with
+    * [[corpusStatsFromTokens]] (r14 optimization round: the index-build
+    * queries tokenized the corpus twice, once for the stats aggregate
+    * and once for the postings; at 100 TB that is two full corpus
+    * passes where one suffices). Arithmetic identical to
+    * [[buildPostings]] by construction — it IS the same plan tail. */
+  def buildPostingsFromTokens(toks: DataFrame): DataFrame =
+    toks.select(col("id"), size(col("toks")).cast("long").as("dl"),
         posexplode(col("toks")))
       .groupBy(col("col").as("term"), col("id"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
@@ -89,10 +99,17 @@ object Retrieval {
     * BM25 probe needs beyond the posting lists themselves. One 1-row
     * aggregate collected on the driver; committed as `#meta=` so probes
     * never recompute it. */
-  def corpusStats(df: DataFrame, textCol: String): (Long, Long) = {
-    val r = df
+  def corpusStats(df: DataFrame, textCol: String): (Long, Long) =
+    corpusStatsFromTokens(
+      df.select(tokens(col(textCol)).as("toks")))
+
+  /** [[corpusStats]] over an already-tokenized frame (any frame with a
+    * `toks` array column) — the stats half of the shared-tokenization
+    * build path. */
+  def corpusStatsFromTokens(toks: DataFrame): (Long, Long) = {
+    val r = toks
       .agg(count(lit(1)).as("n"),
-        sum(size(tokens(col(textCol))).cast("long")).as("dl"))
+        sum(size(col("toks")).cast("long")).as("dl"))
       .head()
     (r.getLong(0), r.getLong(1))
   }

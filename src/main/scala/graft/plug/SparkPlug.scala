@@ -194,11 +194,17 @@ case class SparkPlug(
     * column counts localize WHAT a rewrite touches, and an all-zero
     * report proves a refactor is behavior-preserving.
     *
-    * Scale: two narrow projection chains over one input scan lineage,
-    * then a single equi-join on the key (both sides shuffle once; at
-    * 100 TB this is the same cost as any keyed self-comparison) feeding
-    * one conditional aggregate; the per-column melt explodes a 1-row
-    * frame. Validation failures from either set surface unchanged. */
+    * Scale: both rule chains fuse into ONE narrow projection pass over a
+    * single input scan (chain A runs on the live columns, its outputs
+    * stash aside, the pristine originals restore from duplicated
+    * columns, chain B runs on those), feeding one conditional aggregate
+    * — no join, no exchange at any data size (r14: the previous
+    * key-equality self-join shuffled and sorted both sides for a
+    * comparison every row can answer locally). `keyCols` must be unique
+    * AND left unrewritten by both sets — the canary contract either way
+    * (the old join silently dropped rows whose key a set rewrote).
+    * The per-column melt explodes a 1-row frame. Validation failures
+    * from either set surface unchanged. */
   def diffRuleSets(
       in: DataFrame,
       keyCols: Seq[String],
@@ -224,16 +230,35 @@ case class SparkPlug(
             org.apache.spark.sql.types.StructField("n_diff",
               org.apache.spark.sql.types.LongType))))
       } else {
-        val aSide = a.select((keyCols ++ compared).map(c => col(c).as(s"a_$c")): _*)
-        val bSide = b.select((keyCols ++ compared).map(c => col(c).as(s"b_$c")): _*)
-        // Null-safe key equality: both sides run the same plug over the
-        // same input, so a null-keyed row exists on both sides and must
-        // still be compared rather than silently dropping from the join.
-        val joined = aSide.join(bSide,
-          keyCols.map(k => col(s"a_$k") <=> col(s"b_$k")).reduce(_ && _))
+        // FUSED single-pass diff (r14 optimization round, guide §2.4 —
+        // "remove shuffles outright"): both rule chains are pure
+        // projections over the SAME input rows, so the old key-equality
+        // self-join (shuffle + sort both sides at any data size) carries
+        // no information the row itself doesn't already hold. Instead:
+        // stash a pristine copy of every input column, run chain A, move
+        // its outputs aside, restore the pristine originals, run chain B
+        // on them, and aggregate the per-column disagreements row-local —
+        // ONE scan, ZERO exchanges before the 1-row aggregate. Counts are
+        // identical to the join formulation whenever `keyCols` is unique
+        // and neither set rewrites a key column (the documented
+        // contract; a rewritten key made the join version silently DROP
+        // the disagreeing row, which was itself a bug-shaped edge).
+        val origCols = in.columns.toSeq
+        val dup = in.select(origCols.map(col) ++
+          origCols.map(c => col(c).as(s"__graft_orig_$c")): _*)
+        def rerun(df: DataFrame, rules: List[PlugRule]): DataFrame =
+          plug(df, rules).fold(
+            errs => throw new IllegalStateException(
+              s"rule set re-validation failed mid-diff: ${errs.mkString("; ")}"),
+            identity)
+        val aFused = rerun(dup, rulesA)
+        val mid = aFused.select(
+          compared.map(c => col(c).as(s"__graft_a_$c")) ++
+            origCols.map(c => col(s"__graft_orig_$c").as(c)): _*)
+        val bFused = rerun(mid, rulesB)
         val aggs = compared.map(c =>
-          sum(when(!(col(s"a_$c") <=> col(s"b_$c")), 1L).otherwise(0L)).as(s"__d_$c"))
-        joined.agg(aggs.head, aggs.tail: _*)
+          sum(when(!(col(s"__graft_a_$c") <=> col(c)), 1L).otherwise(0L)).as(s"__d_$c"))
+        bFused.agg(aggs.head, aggs.tail: _*)
           .select(explode(array(compared.map(c =>
             struct(lit(c).as("column"),
               coalesce(col(s"__d_$c"), lit(0L)).as("n_diff"))): _*)).as("d"))
