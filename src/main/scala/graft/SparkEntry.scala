@@ -4849,12 +4849,10 @@ object SparkEntry {
       val out = scratch("manifest_delete")
       val docs = table(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("band", floor(col("n_chars") / 512).cast("long"))
-      val bands = docs.select(col("band")).distinct().as[Long].collect().sorted
-      bands.foreach { b =>
-        graft.sources.ManifestTable.append(s, out,
-          docs.filter(col("band") === b).drop("band").coalesce(1))
-      }
+        .withColumn("band",
+          format_string("%05d", floor(col("n_chars") / 512).cast("long")))
+      graft.sources.ManifestTable.appendSlices(
+        s, out, docs, "band", keepSliceCol = false)
       val (cands, total) = graft.sources.ManifestTable
         .pruneByRange(s, out, "n_chars", 600.0, 1500.0)
       graft.sources.ManifestTable.deleteWhere(s, out, "n_chars", 600.0, 1500.0)
@@ -5174,12 +5172,12 @@ object SparkEntry {
       val ord = table(s, dir, "orders")
         .filter(col("o_orderkey") % 4 === 0).select(col("o_custkey"))
       val cust = table(s, dir, "customer").select(col("c_custkey"))
-      Seq(0, 1, 2).foreach { sl =>
-        M.append(s, oDir, ord.filter(col("o_custkey") % 3 === sl).coalesce(1))
-      }
-      Seq(0, 1).foreach { sl =>
-        M.append(s, cDir, cust.filter(col("c_custkey") % 2 === sl).coalesce(1))
-      }
+      M.appendSlices(s, oDir,
+        ord.withColumn("sl", format_string("%05d", col("o_custkey") % 3)),
+        "sl", keepSliceCol = false)
+      M.appendSlices(s, cDir,
+        cust.withColumn("sl", format_string("%05d", col("c_custkey") % 2)),
+        "sl", keepSliceCol = false)
       M.addNdvSketch(s, oDir, "o_custkey")
       M.addNdvSketch(s, cDir, "c_custkey")
       val ov = M.estimateKeyOverlap(s, oDir, "o_custkey", cDir, "c_custkey")
@@ -5244,9 +5242,9 @@ object SparkEntry {
       val M = graft.sources.ManifestTable
       val out = scratch("lineage")
       val ev = events(s, dir).select(col("event_id"), col("event_type"))
-      Seq(0, 1, 2).foreach { sl =>
-        M.append(s, out, ev.filter(col("event_id") % 3 === sl).coalesce(2))
-      }
+      M.appendSlices(s, out,
+        ev.withColumn("sl", format_string("%05d", col("event_id") % 3)),
+        "sl", keepSliceCol = false)
       val base = M.versions(s, out).min
       val appends = M.readWithLineage(s, out)
         .groupBy((col("_commit_version") - lit(base)).as("commit_seq"))
@@ -5276,12 +5274,10 @@ object SparkEntry {
       val out = scratch("manifest_ndv")
       val docs = table(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("bkt", graft.ops.Corpus.hashBucket(col("source"), 8))
-      val bkts = docs.select(col("bkt")).distinct().as[Long].collect().sorted
-      bkts.foreach { b =>
-        graft.sources.ManifestTable.append(s, out,
-          docs.filter(col("bkt") === b).drop("bkt").coalesce(1))
-      }
+        .withColumn("bkt",
+          format_string("%05d", graft.ops.Corpus.hashBucket(col("source"), 8)))
+      graft.sources.ManifestTable.appendSlices(
+        s, out, docs, "bkt", keepSliceCol = false)
       graft.sources.ManifestTable.addNdvSketch(s, out, "doc_id", k = 64)
       graft.sources.ManifestTable.addNdvSketch(s, out, "source", k = 64)
       val (eDoc, sDoc, tDoc) = graft.sources.ManifestTable
@@ -5313,12 +5309,13 @@ object SparkEntry {
       val out = scratch("manifest_bloom")
       val docs = table(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("bkt", graft.ops.Corpus.hashBucket(col("source"), 8))
-      val bkts = docs.select(col("bkt")).distinct().as[Long].collect().sorted
-      bkts.foreach { b =>
-        graft.sources.ManifestTable.append(s, out,
-          docs.filter(col("bkt") === b).drop("bkt").coalesce(1))
-      }
+        .withColumn("bkt",
+          format_string("%05d", graft.ops.Corpus.hashBucket(col("source"), 8)))
+      // one partitioned write job stages every bucket; per-bucket append
+      // transactions land in bucket order (identical version history to
+      // the old append-per-bucket loop)
+      graft.sources.ManifestTable.appendSlices(
+        s, out, docs, "bkt", keepSliceCol = false)
       graft.sources.ManifestTable.addBloom(s, out, "doc_id", words = 64, k = 4)
       val rows = Seq(5L, 123L, 999999L).map { p =>
         val (kept, total) = graft.sources.ManifestTable
@@ -5340,11 +5337,8 @@ object SparkEntry {
       val out = scratch("manifest_tag")
       val docs = table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
-      val langs = docs.select(col("lang")).distinct().as[String].collect().sorted
-      langs.foreach { l =>
-        graft.sources.ManifestTable.append(s, out,
-          docs.filter(col("lang") === l).coalesce(1))
-      }
+      graft.sources.ManifestTable.appendSlices(
+        s, out, docs, "lang", keepSliceCol = true)
       val vAll = graft.sources.ManifestTable.currentVersion(s, out)
       graft.sources.ManifestTable.tag(s, out, "audit", vAll)
       graft.sources.ManifestTable.deleteVectorWhereEquals(s, out, "lang", "en")
@@ -5375,12 +5369,10 @@ object SparkEntry {
       val out = scratch("manifest_dv")
       val docs = table(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("band", floor(col("n_chars") / 128).cast("long"))
-      val bands = docs.select(col("band")).distinct().as[Long].collect().sorted
-      bands.foreach { b =>
-        graft.sources.ManifestTable.append(s, out,
-          docs.filter(col("band") === b).drop("band").coalesce(1))
-      }
+        .withColumn("band",
+          format_string("%05d", floor(col("n_chars") / 128).cast("long")))
+      graft.sources.ManifestTable.appendSlices(
+        s, out, docs, "band", keepSliceCol = false)
       val before = graft.sources.ManifestTable.currentFiles(s, out)
       graft.sources.ManifestTable.deleteVectorWhere(s, out, "n_chars", 100.0, 200.0)
       graft.sources.ManifestTable.deleteVectorWhere(s, out, "n_chars", 150.0, 300.0)

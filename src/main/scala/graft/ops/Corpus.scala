@@ -223,15 +223,22 @@ object Corpus {
       strataCol: String,
       minTokens: Int,
       rates: Map[String, Double],
-      defaultRate: Double
+      defaultRate: Double,
+      scope: CacheScope = new CacheScope
   ): DataFrame = {
     val spark = df.sparkSession
     val quality = df.filter(size(tokens(col(textCol))) >= minTokens)
     val keepers = quality
       .select(col(idCol), fingerprintFor(spark)(col(textCol)).as("__fp"))
       .groupBy("__fp").agg(min(col(idCol)).as("__keep"))
-    val exactKept = quality.join(keepers, col(idCol) === col("__keep"))
-      .drop("__fp", "__keep")
+    // cached (the package's CacheScope pattern): three downstream
+    // consumers (near-dup pairs, cluster components, the final sample
+    // join) would otherwise each re-run the quality gate + dedup join —
+    // at 100 TB, three full corpus scans where one materialization
+    // serves all (guide §5: reuse + recompute-cost justify the cache)
+    val exactKept = scope.cache(
+      quality.join(keepers, col(idCol) === col("__keep"))
+        .drop("__fp", "__keep"))
     val dupPairs = Dedup.minhashNearDupPairs(exactKept, idCol, textCol)
       .filter(col("is_dup"))
     val clusterKept = Components

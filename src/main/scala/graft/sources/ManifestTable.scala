@@ -1369,6 +1369,65 @@ object ManifestTable {
     completeAppend(spark, dir, stageData(spark, dir, df))
   }
 
+  /** Multi-slice append: stage EVERY slice's data files in ONE
+    * partitioned write job, then land one append transaction per slice
+    * in ascending slice order — version history identical to a serial
+    * append-per-slice loop (each version adds exactly its slice's rows),
+    * at one Spark job instead of one write job per slice (r14
+    * optimization round; the per-slice fixture loops were paying N scan+
+    * write jobs to stage N kilobyte-scale batches). The slice column
+    * must render to a STRING whose lexical order is the intended commit
+    * order (zero-pad numerics); `keepSliceCol=false` drops it from the
+    * committed content (the synthetic-bucket case). Checks/unique
+    * constraints are enforced per slice exactly as [[append]] does —
+    * against each slice's staged files. */
+  def appendSlices(
+      spark: SparkSession,
+      dir: String,
+      df: DataFrame,
+      sliceCol: String,
+      keepSliceCol: Boolean
+  ): Seq[StagedCommit] = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(dir, spark)
+    val contentCols =
+      if (keepSliceCol) df.columns.toSeq
+      else df.columns.toSeq.filterNot(_ == sliceCol)
+    val content = df.select(contentCols.map(col): _*)
+    requireSameSchema(currentSchema(spark, dir), content.schema, "appendSlices")
+    val dataDir = new Path(new Path(dir, "data"), UUID.randomUUID().toString)
+    df.select(contentCols.map(col) :+
+        col(sliceCol).cast("string").as("__slice"): _*)
+      .repartition(col("__slice"))
+      .write.partitionBy("__slice").parquet(dataDir.toString)
+    val sliceDirs = f.listStatus(dataDir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("__slice="))
+      .sortBy(_.getName)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = f.makeQualified(new Path(dir)).toUri.getPath
+    val needsValidation =
+      checks(spark, dir).nonEmpty || uniqueKeys(spark, dir).nonEmpty
+    sliceDirs.map { sd =>
+      val statuses = f.listStatus(sd).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      val rel = statuses.map(
+        _.getPath.toUri.getPath.stripPrefix(root).stripPrefix("/"))
+      val statsRows = statuses.zip(rel).map { case (st, r) =>
+        val (cs, rows) = footerStatsRows(conf, st.getPath, r)
+        (cs.map(statsLine), sizeLineOf(r, st.getLen, rows))
+      }
+      if (needsValidation) {
+        val sliceDf = spark.read.schema(content.schema)
+          .parquet(statuses.map(_.getPath.toString): _*)
+        enforceChecks(spark, dir, sliceDf)
+        enforceUnique(spark, dir, sliceDf, probeExisting = true)
+      }
+      completeAppend(spark, dir, StagedData(rel,
+        statsRows.flatMap(_._1) ++ statsRows.map(_._2),
+        content.schema.json))
+    }
+  }
+
   /** Row-level DELETE as one table transaction, with the rewrite cost
     * BOUNDED BY DATA SKIPPING: only files whose manifest stats say they
     * MAY contain `column BETWEEN lo AND hi` rows are re-read and

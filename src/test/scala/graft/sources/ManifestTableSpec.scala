@@ -38,6 +38,42 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
     } finally rm(dir)
   }
 
+  it should "append slices with version history identical to a serial append loop" in {
+    val dirA = tmpDir(); val dirB = tmpDir()
+    try {
+      val df = (0L until 90L).map(i => (i, i % 3, s"v$i")).toDF("id", "g", "v")
+      // serial loop (the reference behavior)
+      (0L until 3L).foreach { g =>
+        ManifestTable.append(spark, dirA,
+          df.filter(col("g") === g).drop("g").coalesce(1)): Unit
+      }
+      // one-job slice staging
+      ManifestTable.appendSlices(spark, dirB,
+        df.withColumn("sl", format_string("%05d", col("g"))).drop("g"),
+        "sl", keepSliceCol = false)
+      ManifestTable.currentVersion(spark, dirB) shouldBe
+        ManifestTable.currentVersion(spark, dirA)
+      // every VERSION's content matches the loop's, not just the head
+      (0L to ManifestTable.currentVersion(spark, dirA)).foreach { v =>
+        val a = ManifestTable.readVersion(spark, dirA, v)
+          .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+        val b = ManifestTable.readVersion(spark, dirB, v)
+          .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+        b shouldBe a
+      }
+      // the kept-slice-column variant retains the column in content
+      val dirC = tmpDir()
+      try {
+        ManifestTable.appendSlices(spark, dirC,
+          df.select(col("id"), col("v"), format_string("g%01d", col("g")).as("g")),
+          "g", keepSliceCol = true)
+        ManifestTable.read(spark, dirC).columns.sorted shouldBe
+          Array("g", "id", "v")
+        ManifestTable.read(spark, dirC).count() shouldBe 90
+      } finally rm(dirC)
+    } finally { rm(dirA); rm(dirB) }
+  }
+
   it should "keep the previous snapshot intact when a commit crashes before the pointer swap" in {
     val dir = tmpDir()
     try {
