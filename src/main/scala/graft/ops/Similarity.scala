@@ -559,13 +559,15 @@ object Similarity {
       curK: Int = 16,
       candidates: Seq[Int] = Seq(16, 24, 32),
       thresholdsPct: Seq[Int] = Seq(125, 110),
-      lloydRounds: Int = 2
+      lloydRounds: Int = 2,
+      coarseByK: Map[Int, Seq[(Long, Seq[Double])]] = Map.empty
   ): DataFrame = {
     require(candidates.contains(curK), s"candidates must include curK=$curK")
     val spark = corpus.sparkSession
     val memo = scala.collection.mutable.Map.empty[Int, (Long, Long)]
     def statsOf(k: Int): (Long, Long) = memo.getOrElseUpdate(k, {
-      val (_, assigned) = ivfIndex(corpus, idCol, vecCol, k, lloydRounds)
+      val (_, assigned) =
+        ivfIndex(corpus, idCol, vecCol, k, lloydRounds, coarseByK.get(k))
       val r = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
         .agg(max(col("n")).as("mx"), sum(col("n")).as("tot")).head()
       (r.getLong(0), r.getLong(1))
@@ -605,7 +607,8 @@ object Similarity {
       curK: Int = 16,
       candidates: Seq[Int] = Seq(16, 24, 32),
       thresholdPct: Int = 110,
-      lloydRounds: Int = 2
+      lloydRounds: Int = 2,
+      coarseByK: Map[Int, Seq[(Long, Seq[Double])]] = Map.empty
   ): DataFrame = {
     require(candidates.contains(curK), s"candidates must include curK=$curK")
     val spark = corpus.sparkSession
@@ -617,7 +620,8 @@ object Similarity {
     val memo = scala.collection.mutable.Map
       .empty[Int, (DataFrame, Long, Long)]
     def eval(k: Int): (DataFrame, Long, Long) = memo.getOrElseUpdate(k, {
-      val (_, assigned) = ivfIndex(corpus, idCol, vecCol, k, lloydRounds)
+      val (_, assigned) =
+        ivfIndex(corpus, idCol, vecCol, k, lloydRounds, coarseByK.get(k))
       val r = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
         .agg(max(col("n")).as("mx"), sum(col("n")).as("tot")).head()
       (assigned, r.getLong(0), r.getLong(1))
@@ -628,7 +632,13 @@ object Similarity {
     val chosenK = candidates.find(meets).getOrElse(
       candidates.map(k => (eval(k)._2, k)).min._2)
     val decision = if (chosenK == curK) "keep" else "retrain"
-    mt.commitIndex(spark, indexDir, eval(chosenK)._1, corpusDir, corpusV,
+    // commit CELL-CLUSTERED (the inverted-file layout the ivfIndex
+    // scaladoc promises): each file covers a disjoint cell range, so a
+    // probe's readWhereIn opens only its cells' files at any index size
+    mt.commitIndex(spark, indexDir,
+      eval(chosenK)._1.repartitionByRange(4, col("cell"))
+        .sortWithinPartitions(col("cell")),
+      corpusDir, corpusV,
       meta = Map("ivf.k" -> chosenK.toString))
     // the PROOF re-measures from the committed table itself, not the
     // in-flight frame — what a later reader of the index will see
