@@ -2318,7 +2318,8 @@ object SparkEntry {
     "sim_semdedup" -> ((s, dir) =>
       graft.ops.Similarity.semDedup(
         spread(s, table(s, dir, "embeddings")), "vec_id", "embedding",
-        numCentroids = 16, lloydRounds = 2, tau = 0.35)),
+        numCentroids = 16, lloydRounds = 2, tau = 0.35,
+        coarse = Some(loadPqBooks(s, dir)._1))),
 
     // Extension: within-cell pairwise cosine histogram — the separability
     // diagnostic that prices the semDedup τ knob; pairs bounded by the
@@ -2326,7 +2327,8 @@ object SparkEntry {
     "sim_pair_hist" -> ((s, dir) =>
       graft.ops.Similarity.cellPairHistogram(
         spread(s, table(s, dir, "embeddings")), "vec_id", "embedding",
-        numCentroids = 16, lloydRounds = 2, nBins = 10)),
+        numCentroids = 16, lloydRounds = 2, nBins = 10,
+        coarse = Some(loadPqBooks(s, dir)._1))),
 
     // Extension: greedy token-budget curation — best-quality docs until
     // the cumulative token budget is spent.
@@ -2339,14 +2341,16 @@ object SparkEntry {
     // above the exact p90 cut computed as a 1-row broadcast aggregate.
     "sim_centroid_ood" -> ((s, dir) =>
       graft.ops.Similarity.centroidOodScores(
-        spread(s, table(s, dir, "embeddings")), "vec_id", "embedding")),
+        spread(s, table(s, dir, "embeddings")), "vec_id", "embedding",
+        coarse = Some(loadPqBooks(s, dir)._1))),
 
     // Extension: diversity-preserving downsample — up to 10 vectors per
     // k-means cell by stable (md5(id), id) order, flattening the density
     // profile so rare embedding modes survive a budget cut.
     "sim_diverse_sample" -> ((s, dir) =>
       graft.ops.Similarity.cellBalancedSample(
-        spread(s, table(s, dir, "embeddings")), "vec_id", "embedding")),
+        spread(s, table(s, dir, "embeddings")), "vec_id", "embedding",
+        coarse = Some(loadPqBooks(s, dir)._1))),
 
     // Extension: multimodal binary-column plumbing — batched partition-local
     // decode (stubbed deterministically; see graft.ops.Multimodal).

@@ -1543,10 +1543,13 @@ object Similarity {
       numCentroids: Int = 16,
       lloydRounds: Int = 2,
       tau: Double = 0.95,
+      coarse: Option[Seq[(Long, Seq[Double])]] = None,
       scope: CacheScope = new CacheScope
   ): DataFrame = {
     val cos = cosineFor(df.sparkSession) _
-    val cent = kmeansCentroids(df, idCol, vecCol, numCentroids, lloydRounds)
+    // registry-loaded codebook skips training outright (see ivfIndex)
+    val cent = coarse.getOrElse(
+      kmeansCentroids(df, idCol, vecCol, numCentroids, lloydRounds))
     // cached: the assignment projection (k cosines per row) feeds three
     // plan references — both self-join sides and the final keep-flag join
     val assigned = scope.cache(df
@@ -1582,11 +1585,14 @@ object Similarity {
       numCentroids: Int = 16,
       lloydRounds: Int = 2,
       flagQuantile: Double = 0.9,
+      coarse: Option[Seq[(Long, Seq[Double])]] = None,
       scope: CacheScope = new CacheScope
   ): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val cos = cosineFor(df.sparkSession) _
-    val cent = kmeansCentroids(df, idCol, vecCol, numCentroids, lloydRounds)
+    // registry-loaded codebook skips training outright (see ivfIndex)
+    val cent = coarse.getOrElse(
+      kmeansCentroids(df, idCol, vecCol, numCentroids, lloydRounds))
     val best = array_max(array(cent.map { case (_, cv) =>
       cos(col("v"), typedlit(cv))
     }: _*))
@@ -1624,10 +1630,13 @@ object Similarity {
       vecCol: String,
       numCentroids: Int = 16,
       lloydRounds: Int = 2,
-      perCell: Int = 10
+      perCell: Int = 10,
+      coarse: Option[Seq[(Long, Seq[Double])]] = None
   ): DataFrame = {
     val cos = cosineFor(df.sparkSession) _
-    val cent = kmeansCentroids(df, idCol, vecCol, numCentroids, lloydRounds)
+    // registry-loaded codebook skips training outright (see ivfIndex)
+    val cent = coarse.getOrElse(
+      kmeansCentroids(df, idCol, vecCol, numCentroids, lloydRounds))
     val assigned = df
       .select(col(idCol).cast("long").as("id"),
         transform(col(vecCol), _.cast("double")).as("v"))
@@ -1904,11 +1913,14 @@ object Similarity {
       numCentroids: Int = 16,
       lloydRounds: Int = 2,
       nBins: Int = 10,
+      coarse: Option[Seq[(Long, Seq[Double])]] = None,
       scope: CacheScope = new CacheScope
   ): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val cos = cosineFor(df.sparkSession) _
-    val cent = kmeansCentroids(df, idCol, vecCol, numCentroids, lloydRounds)
+    // registry-loaded codebook skips training outright (see ivfIndex)
+    val cent = coarse.getOrElse(
+      kmeansCentroids(df, idCol, vecCol, numCentroids, lloydRounds))
     val assigned = scope.cache(df
       .select(col(idCol).cast("long").as("id"),
         transform(col(vecCol), _.cast("double")).as("v"))
