@@ -2082,13 +2082,8 @@ object SparkEntry {
       val corpusDir = fixDocsText(s, dir) // staged RO fixture, never mutated
       val v = M.currentVersion(s, corpusDir)
       val corpus = M.read(s, corpusDir)
-      val (n, dl) = R.corpusStats(corpus, "text")
       val out = scratch("retrp_index")
-      M.commitIndex(s, out,
-        R.buildPostings(corpus, "doc_id", "text").repartition(8),
-        corpusDir, v,
-        meta = Map(R.MetaDocs -> n.toString, R.MetaTotalDl -> dl.toString))
-      M.compactSorted(s, out, Seq("term"), targetFiles = 8)
+      commitInvIndex(s, "retrp_toks", corpus, out, corpusDir, v): Unit
       M.requireIndexFresh(s, out)
       val post = M.readWhereIn(s, out, "term", Seq("table", "hash"))
       R.phraseMatch(post, "table", "hash")
@@ -2100,9 +2095,13 @@ object SparkEntry {
     "text_invidx_phrase3" -> ((s, dir) => {
       val R = graft.ops.Retrieval
       val docs = spread(s, table(s, dir, "documents").select("doc_id", "text"))
-      val post = R.buildPostings(docs, "doc_id", "text")
+      // staged: phraseMatchAll equi-joins the lists per term, and each
+      // join leg would otherwise re-tokenize the corpus (r14)
+      val p3Dir = scratch("phrase3_post")
+      R.buildPostings(docs, "doc_id", "text")
         .filter(col("term").isin("slow", "hash", "batch"))
-      R.phraseMatchAll(post, Seq("slow", "hash", "batch"))
+        .write.mode("overwrite").parquet(p3Dir)
+      R.phraseMatchAll(s.read.parquet(p3Dir), Seq("slow", "hash", "batch"))
     }),
 
     // Extension: ordered PROXIMITY retrieval — "table" followed by "hash"
@@ -2113,9 +2112,11 @@ object SparkEntry {
     "text_invidx_proximity" -> ((s, dir) => {
       val R = graft.ops.Retrieval
       val docs = spread(s, table(s, dir, "documents").select("doc_id", "text"))
-      val post = R.buildPostings(docs, "doc_id", "text")
+      val pxDir = scratch("prox_post")
+      R.buildPostings(docs, "doc_id", "text")
         .filter(col("term").isin("table", "hash"))
-      R.proximityMatch(post, "table", "hash", window = 3)
+        .write.mode("overwrite").parquet(pxDir)
+      R.proximityMatch(s.read.parquet(pxDir), "table", "hash", window = 3)
     }),
 
     // Extension: the nprobe knob PRICED — corpus-level recall@5 at

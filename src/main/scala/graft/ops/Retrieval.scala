@@ -514,13 +514,20 @@ object Retrieval {
       textCol: String,
       queries: DataFrame,
       k: Int = 10,
-      maxGrade: Int = 3
+      maxGrade: Int = 3,
+      scope: graft.ops.CacheScope = new graft.ops.CacheScope
   ): DataFrame = {
-    val postings = buildPostings(docs, idCol, textCol)
-    val (n, dl) = corpusStats(docs, textCol)
+    // tokenization cached once (the package CacheScope pattern, r14):
+    // the stats aggregate, bm25TopK's df census + scoring join, and the
+    // relevance grades otherwise each re-tokenize the corpus — four
+    // full corpus passes where one suffices at any scale
+    val toks = scope.cache(
+      docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks")))
+    val postings = scope.cache(buildPostingsFromTokens(toks))
+    val (n, dl) = corpusStatsFromTokens(toks)
     val ranking = bm25TopK(postings, queries, n, dl, k)
-    val rels = docs
-      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val rels = toks
+      .select(col("id").as("doc_id"), explode(col("toks")).as("term"))
       .join(broadcast(queries.select(col("query_id"), col("term"))), "term")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(least(lit(maxGrade.toLong), count(lit(1))).cast("int").as("grade"))
