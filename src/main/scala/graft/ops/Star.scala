@@ -583,14 +583,25 @@ object Star {
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") >
           col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")).as("late"))
-    val perOrder = l.groupBy(col("l_orderkey").as("__ok"))
-      .agg(countDistinct(col("l_suppkey")).as("__ns"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("__nl"))
-      .filter(col("__ns") > 1 && col("__nl") === 1)
-    l.filter(col("late"))
-      .join(perOrder, col("l_orderkey") === col("__ok"))
+    // ONE pass over the fact join (r14 optimization round — the old
+    // shape evaluated `l` twice: once into the per-order census, once
+    // into the late-pair leg joined back against it): reduce to distinct
+    // (order, supplier) pairs with an any-late flag, then answer the
+    // census with a WINDOW over the same order key — the window reuses
+    // the aggregation's partitioning (no extra exchange), and the
+    // qualifying late pairs fall out of the same rows the census read.
+    val pairs = l.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("late"), lit(1)).otherwise(lit(0))).as("__late"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey"))
+    pairs
+      .withColumn("__ns", count(lit(1)).over(w))
+      .withColumn("__nl", sum(col("__late")).over(w))
+      .filter(col("__ns") > 1 && col("__nl") === 1 && col("__late") === 1)
       .groupBy(col("l_suppkey"))
-      .agg(countDistinct(col("l_orderkey")).as("numwait"))
+      // pairs are unique per (order, supplier), so the per-supplier row
+      // count IS the distinct-order count
+      .agg(count(lit(1)).as("numwait"))
       .join(supplier.select(col("s_suppkey"), col("s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("numwait"))
