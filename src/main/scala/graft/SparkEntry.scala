@@ -4695,8 +4695,17 @@ object SparkEntry {
       val out = scratch("manifest_asof")
       val docs = table(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
-      M.commit(s, out, docs.filter(col("doc_id") % 2 === 0))
-      Thread.sleep(1100)
+      val v0commit = M.commit(s, out, docs.filter(col("doc_id") % 2 === 0))
+      // pin the inter-commit mtime order EXPLICITLY instead of sleeping
+      // past a second-granularity filesystem tick (r14 optimization
+      // round: the 1.1 s sleep ran in every timed pass): backdating v0's
+      // manifest by 5 s is the same wall-clock spread the sleep
+      // manufactured, deterministic on any mtime granularity
+      java.nio.file.Files.setLastModifiedTime(
+        new java.io.File(new java.io.File(out, "_manifests"),
+          v0commit.manifestName).toPath,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 5000L))
       M.commit(s, out, docs)
       val t0 = M.commitTimes(s, out).head._2
       require(M.versionAsOf(s, out, t0) == 0L,
