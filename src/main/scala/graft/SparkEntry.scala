@@ -5240,10 +5240,14 @@ object SparkEntry {
       val ov = M.estimateKeyOverlap(s, oDir, "o_custkey", cDir, "c_custkey")
       ord.select(col("o_custkey").as("k"), lit("a").as("src"))
         .unionByName(cust.select(col("c_custkey").as("k"), lit("b").as("src")))
-        .agg(
-          countDistinct(when(col("src") === "a", col("k"))).as("nd_a"),
-          countDistinct(when(col("src") === "b", col("k"))).as("nd_b"),
-          countDistinct(col("k")).as("nd_union"))
+        .filter(col("k").isNotNull)
+        // one key shuffle for all three exact counts (see kmvSetOps)
+        .groupBy(col("k"))
+        .agg(max(when(col("src") === "a", 1).otherwise(0)).as("__ina"),
+          max(when(col("src") === "b", 1).otherwise(0)).as("__inb"))
+        .agg(sum(col("__ina")).cast("long").as("nd_a"),
+          sum(col("__inb")).cast("long").as("nd_b"),
+          count(lit(1)).as("nd_union"))
         .select(
           round(lit(ov("est_a")), 4).as("est_a"),
           round(lit(ov("est_b")), 4).as("est_b"),

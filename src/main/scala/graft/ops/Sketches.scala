@@ -258,10 +258,16 @@ object Sketches {
       .select(estOf(col("rows"), col("hk")).as("est_a"))
     val estB = perShard.filter(col("shard") === b)
       .select(estOf(col("rows"), col("hk")).as("est_b"))
-    val exact = keyed.agg(
-      countDistinct(when(col("shard") === a, col("__k"))).as("nd_a"),
-      countDistinct(when(col("shard") === b, col("__k"))).as("nd_b"),
-      countDistinct(col("__k")).as("nd_union"))
+    // one key shuffle for all three exact counts (r14, guide §2.3): the
+    // countDistinct triple planned as an Expand ×3 — three times the
+    // shuffle bytes of one distinct-key aggregate with membership flags
+    val exact = keyed.filter(col("__k").isNotNull)
+      .groupBy(col("__k"))
+      .agg(max(when(col("shard") === a, 1).otherwise(0)).as("__ina"),
+        max(when(col("shard") === b, 1).otherwise(0)).as("__inb"))
+      .agg(sum(col("__ina")).cast("long").as("nd_a"),
+        sum(col("__inb")).cast("long").as("nd_b"),
+        count(lit(1)).as("nd_union"))
     val unionEst = mStats.select(estOf(col("m_rows"), col("m_hk")).as("est_union"),
       col("m_rows"))
     estA.crossJoin(estB).crossJoin(unionEst).crossJoin(rhoRow).crossJoin(exact)

@@ -3291,18 +3291,27 @@ object ManifestTable {
   private def enforceUnique(
       spark: SparkSession, dir: String, df: DataFrame,
       probeExisting: Boolean): Unit = {
-    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min}
     uniqueKeys(spark, dir).foreach { k =>
       require(df.schema.fieldNames.contains(k),
         s"UNIQUE($k) column missing from the incoming batch")
-      val bad = df.groupBy(col(k)).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > 1 || col(k).isNull).limit(1).collect()
-      require(bad.isEmpty,
-        s"UNIQUE($k) violated by the incoming batch: duplicate or null key " +
-          s"(first: ${bad.headOption.map(_.get(0)).orNull})")
+      // ONE aggregate answers the batch gate AND the probe bounds (r14:
+      // the dup check and the min/max ran as two jobs per append): dup
+      // iff distinct < non-null count, null key iff non-null < rows.
+      // Only a FAILING batch pays the extra naming pass for its message.
+      val g = df.agg(count(col(k)).as("__nk"), countDistinct(col(k)).as("__nd"),
+        count(lit(1)).as("__n"), min(col(k)).as("__mn"), max(col(k)).as("__mx"))
+        .head()
+      if (g.getLong(0) != g.getLong(1) || g.getLong(0) != g.getLong(2)) {
+        val bad = df.groupBy(col(k)).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1 || col(k).isNull).limit(1).collect()
+        require(bad.isEmpty,
+          s"UNIQUE($k) violated by the incoming batch: duplicate or null key " +
+            s"(first: ${bad.headOption.map(_.get(0)).orNull})")
+      }
       if (probeExisting) {
         import org.apache.spark.sql.types._
-        val mm = df.agg(min(col(k)), max(col(k))).head()
+        val mm = org.apache.spark.sql.Row(g.get(3), g.get(4))
         if (!mm.isNullAt(0)) {
           val existing = df.schema(k).dataType match {
             case _: NumericType =>
