@@ -398,19 +398,34 @@ object Bench {
     // unavailable) conservatively flags too: "unknown" must not read as
     // "quiet".
     def flag(ext: Double): Boolean = ext < 0 || ext > contTh
+    // Every TIMED pass starts with an empty Spark cache (r14 VERDICT
+    // item 1: ops that persist through a fire-and-forget CacheScope —
+    // docs_clean_pipeline, text_ndcg — never unpersist, the next pass's
+    // re-built plan canonicalizes equal, and the shared CacheManager
+    // serves the PREVIOUS pass's materialized InMemoryRelation; the
+    // steady pass then skips even the one materialization the reuse is
+    // supposed to pay). Clearing here (outside the timed region) makes
+    // every pass pay its own materializations and future-proofs against
+    // new leaks; within-pass reuse — the legitimate §5 win — is
+    // untouched. Committed registries/fixtures are parquet on disk, not
+    // Spark cache, so they are unaffected.
+    def timedPass(n: String): (Double, Boolean, Double) = {
+      spark.catalog.clearCache()
+      consumeExt(spark, sfDir, n)
+    }
     val results = names.map { n =>
       val (cold, okCold) = colds(n)
-      val (t1, ok1, e1) = consumeExt(spark, sfDir, n)
+      val (t1, ok1, e1) = timedPass(n)
       val m =
         if (maxPasses >= 2 && t1 <= fastSec && ok1) {
-          val (t2, ok2, e2) = consumeExt(spark, sfDir, n)
+          val (t2, ok2, e2) = timedPass(n)
           val (sec, ext) = if (t2 <= t1) (t2, e2) else (t1, e1)
           QMeasure(sec, okCold && ok1 && ok2, 2, slow = false, cold,
             contended = flag(ext), ext)
         } else if (slow2 && maxPasses >= 2 && ok1) {
           // min over the two STEADY passes only — never the contended
           // cold — so passes=2 keeps the record-round meaning
-          val (t2, ok2, e2) = consumeExt(spark, sfDir, n)
+          val (t2, ok2, e2) = timedPass(n)
           val (sec, ext) = if (t2 <= t1) (t2, e2) else (t1, e1)
           QMeasure(sec, okCold && ok1 && ok2, 2, slow = true, cold,
             contended = flag(ext), ext)

@@ -59,6 +59,10 @@ object QProfile {
         }
       }
       spark.sparkContext.addSparkListener(listener)
+      // match the bench: every timed pass starts with an empty Spark
+      // cache (the r14 cross-pass CacheScope leak made steady profiles
+      // of caching queries read the cold pass's materialized blocks)
+      spark.catalog.clearCache()
       val w0 = System.currentTimeMillis()
       val steady = consume(name)
       Thread.sleep(300) // let the listener bus drain
