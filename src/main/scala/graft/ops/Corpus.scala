@@ -427,7 +427,10 @@ object Corpus {
   }
 
   /** The probe side of [[contaminationBloom]] against a pre-built
-    * [[contaminationIndex]]. */
+    * [[contaminationIndex]]. Collects the Bloom word table — bounded,
+    * constant-size state (≤ 2·`words` rows whatever the corpus) — and
+    * delegates to [[contaminationProbeWords]]; a long-lived caller (the
+    * streaming gate) should collect once and call that directly. */
   def contaminationProbe(
       corpusGrams: DataFrame,
       bloom: DataFrame,
@@ -437,25 +440,61 @@ object Corpus {
       shingleN: Int = 3,
       words: Int = 16384,
       k: Int = 4
+  ): DataFrame =
+    contaminationProbeWords(corpusGrams, collectBloomWords(bloom, words),
+      test, idCol, textCol, shingleN, words, k)
+
+  /** The Bloom word table as a dense driver-side array indexed by word
+    * number — 2·`words` 32-bit chunks, the filter's constant full size. */
+  def collectBloomWords(bloom: DataFrame, words: Int = 16384): IndexedSeq[Long] = {
+    val arr = Array.fill(2 * words)(0L)
+    bloom.select(col("word"), col("bits")).collect()
+      .foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr.toIndexedSeq
+  }
+
+  /** [[contaminationProbe]] with the Bloom filter as a PLAN LITERAL
+    * (r15 optimization round): the filter is a constant-size word array
+    * (independent of corpus size, the class's stated contract), so the
+    * per-shingle membership test is a ROW-LOCAL projection against the
+    * literal — no k-way position explode, no broadcast join, and no
+    * (id, shingle) re-aggregation (shingles are DISTINCT per document by
+    * [[graft.ops.TextFunctions.shingles]], so that groupBy only ever
+    * deduplicated k exploded copies of itself). Per probe batch: one
+    * projection + one id-aggregate + the exact-truth semi-join — the
+    * same values bit-for-bit (identical md5/position/bit arithmetic,
+    * the codebooks-as-literals decision applied to the Bloom tier). */
+  def contaminationProbeWords(
+      corpusGrams: DataFrame,
+      bloomWords: IndexedSeq[Long],
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      words: Int = 16384,
+      k: Int = 4
   ): DataFrame = {
     val spark = test.sparkSession
     val mBits = words.toLong * 64L
-    def positions(g: Column): Column = array((0 until k).map { j =>
-      conv(substr(md5For(spark)(g), lit(1 + 5 * j), lit(5)), 16, 10)
+    require(bloomWords.length == 2 * words,
+      s"bloomWords must hold the filter's full 2*$words chunks")
+    val wordsLit = typedlit(bloomWords)
+    // md5 referenced k times from one alias — evaluated once per shingle
+    def hitOf(h: Column): Column = (0 until k).map { j =>
+      val p = conv(substr(h, lit(1 + 5 * j), lit(5)), 16, 10)
         .cast("long") % mBits
-    }: _*)
+      val word = get(wordsLit, shiftright(p, 5).cast("int"))
+      val mask = call_function("shiftleft", lit(1L),
+        p.bitwiseAND(lit(31L)).cast("int"))
+      word.bitwiseAND(mask) =!= 0
+    }.reduce(_ && _)
     val tp = test
       .select(col(idCol),
         explode(shinglesFor(spark)(tokens(col(textCol)), shingleN)).as("g"))
-    val perGram = tp
-      .select(col(idCol), col("g"), explode(positions(col("g"))).as("p"))
-      .select(col(idCol), col("g"), shiftright(col("p"), 5).as("word"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 31 AS INT))").as("mask"))
-      .join(broadcast(bloom), Seq("word"), "left")
-      .groupBy(col(idCol), col("g"))
-      .agg(min(when(coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) =!= 0, 1)
-        .otherwise(0)).as("hit"))
-    val perDoc = perGram.groupBy(col(idCol))
+    val perDoc = tp
+      .withColumn("__h", md5For(spark)(col("g")))
+      .select(col(idCol), when(hitOf(col("__h")), 1L).otherwise(0L).as("hit"))
+      .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"), sum(col("hit")).as("n_bloom"))
     val exact = tp.join(corpusGrams, Seq("g"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_exact"))

@@ -1734,13 +1734,23 @@ object EventOps {
       .unionByName(items.select(col("i"), col("i").as("j"), lit(0L).as("n")))
     val byI = Window.partitionBy("i")
     var pi = items.select(col("i").as("item"), lit(1.0).as("pi"))
+    // π and the win totals are O(items) — the DIMENSION side of every
+    // round's joins (the count matrix gAug is the O(items²) fact side).
+    // Broadcasting them keeps each round at ONE exchange (the i-window,
+    // whose partitioning the groupBy(i) then reuses) instead of shuffling
+    // gAug by j and den/wins by i every round — at any matrix size the
+    // fact side never moves (the maintainEnriched broadcast-the-dimension
+    // decision; same values, the j-lookup is a hash probe instead of a
+    // merge). Items beyond broadcast reach would shard the solve itself
+    // long before this join shape is the binding constraint.
     for (_ <- 1 to iterations) {
-      val t = gAug.join(pi.select(col("item").as("j"), col("pi").as("pj")), "j")
+      val t = gAug.join(
+          broadcast(pi.select(col("item").as("j"), col("pi").as("pj"))), "j")
         .withColumn("pii", max(when(col("j") === col("i"), col("pj"))).over(byI))
       val den = t.filter(col("j") =!= col("i"))
         .groupBy(col("i"))
         .agg(sum((col("n") / (col("pii") + col("pj"))).cast(dec)).as("den"))
-      pi = den.join(wins, "i")
+      pi = den.join(broadcast(wins), "i")
         .select(col("i").as("item"),
           (col("wins") / col("den").cast("double")).as("pi"))
     }

@@ -1369,6 +1369,33 @@ object ManifestTable {
     completeAppend(spark, dir, stageData(spark, dir, df))
   }
 
+  /** [[append]] that skips the commit when `df` evaluates to ZERO rows —
+    * at ONE evaluation of the frame: staging already reads every new
+    * file's exact row count from its footer, so the emptiness answer is
+    * free there, where an `isEmpty` probe before the append re-evaluates
+    * the whole frame (for a streaming sink, on every micro-batch — the
+    * r15 optimization round measured that second evaluation as one full
+    * job per batch in stream_idempotent_sink). An empty stage commits
+    * nothing and its files — referenced by no manifest — are deleted
+    * immediately rather than left as vacuum debt on every empty batch.
+    * Returns None when nothing was appended. */
+  def appendIfNonEmpty(
+      spark: SparkSession, dir: String, df: DataFrame): Option[StagedCommit] = {
+    requireSameSchema(currentSchema(spark, dir), df.schema, "append")
+    enforceChecks(spark, dir, df)
+    enforceUnique(spark, dir, df, probeExisting = true)
+    val sd = stageData(spark, dir, df)
+    val rows = sd.statsLines.flatMap(parseSizeLine).map(_._3).sum
+    if (rows > 0L) Some(completeAppend(spark, dir, sd))
+    else {
+      val f = fs(dir, spark)
+      sd.rel.headOption.foreach { r =>
+        f.delete(new Path(dir, r).getParent, true): Unit
+      }
+      None
+    }
+  }
+
   /** Multi-slice append: stage EVERY slice's data files in ONE
     * partitioned write job, then land one append transaction per slice
     * in ascending slice order — version history identical to a serial
