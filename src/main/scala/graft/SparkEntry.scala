@@ -1664,9 +1664,13 @@ object SparkEntry {
     // against the code-reconstructed vectors (asymmetric distance).
     "sim_pq_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      val recon = graft.ops.Similarity
+      // cached: the brute-force crossJoin matches every reconstructed
+      // vector against every probe, and an uncached reconstruction
+      // re-evaluates per PAIR (r15, measured 1.75 -> 0.4 s on the
+      // scoring job); the reconstructed index is the stored artifact
+      val recon = (new graft.ops.CacheScope).cache(graft.ops.Similarity
         .pqReconstruct(spread(s, emb), "vec_id", "embedding", dim = 64,
-          pqBooks = Some(loadPqBooks(s, dir)._2))
+          pqBooks = Some(loadPqBooks(s, dir)._2)))
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id"), col("embedding").as("pq_vec"))
       graft.ops.Similarity.bruteForceTopK(recon, q, "vec_id", "pq_vec", 5)
@@ -1683,9 +1687,10 @@ object SparkEntry {
       val exact = graft.ops.Similarity
         .bruteForceTopK(spread(s, emb), q, "vec_id", "embedding", 5)
         .select(col("query_id"), col("neighbor_id"))
-      val recon = graft.ops.Similarity
+      // cached for the same per-pair re-evaluation reason as sim_pq_topk
+      val recon = (new graft.ops.CacheScope).cache(graft.ops.Similarity
         .pqReconstruct(spread(s, emb), "vec_id", "embedding", dim = 64,
-          pqBooks = Some(loadPqBooks(s, dir)._2))
+          pqBooks = Some(loadPqBooks(s, dir)._2)))
       val approx = graft.ops.Similarity.bruteForceTopK(recon,
           q.select(col("vec_id"), col("embedding").as("pq_vec")),
           "vec_id", "pq_vec", 5)
@@ -1958,9 +1963,16 @@ object SparkEntry {
         try { M.requireIndexFresh(s, out); false }
         catch { case _: IllegalStateException => true }
       require(staleRefused, "probe gate must refuse the stale index")
+      // one bounded collect answers both the erased-id list and the
+      // shrunken corpus totals (erasure batches are queue-sized by
+      // contract; the two separate actions each re-evaluated the
+      // DV-position join behind readDeletesSince)
       val erased = M.readDeletesSince(s, corpusDir, fromVersion = v0)
-      val (dn, ddl) = R.corpusStats(erased, "text")
-      val ids = erased.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      val er = erased.select(col("doc_id"),
+        size(graft.ops.TextFunctions.tokens(col("text"))).cast("long").as("__dl"))
+        .collect()
+      val (dn, ddl) = (er.length.toLong, er.map(_.getLong(1)).sum)
+      val ids = er.map(_.getLong(0)).toSeq
       M.deleteIndexVectorIn(s, out, "id", ids,
         corpusDir, M.currentVersion(s, corpusDir),
         meta = Map(R.MetaDocs -> (n0 - dn).toString,

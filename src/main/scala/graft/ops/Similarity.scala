@@ -1056,7 +1056,8 @@ object Similarity {
       m: Int = 4,
       pqK: Int = 16,
       coarse: Option[Seq[(Long, Seq[Double])]] = None,
-      pqBooks: Option[IndexedSeq[Seq[(Long, Seq[Double])]]] = None
+      pqBooks: Option[IndexedSeq[Seq[(Long, Seq[Double])]]] = None,
+      scope: CacheScope = new CacheScope
   ): DataFrame = {
     val cos = cosineFor(corpus.sparkSession) _
     // `coarse`/`pqBooks` let an eval harness train the quantizers ONCE
@@ -1071,14 +1072,21 @@ object Similarity {
     val books = pqBooks.getOrElse(
       pqCodebooks(corpus, idCol, vecCol, dim, m, pqK, lloydRounds))
 
-    // one projection builds the whole inverted file: cell + code
-    val assigned = corpus
+    // one projection builds the whole inverted file: cell + code —
+    // CACHED (r15 optimization round): the probe join below matches each
+    // indexed row against every probe of its cell, and an uncached
+    // projection re-evaluates the m·k-cosine reconstruction PER MATCHED
+    // PAIR, not per vector (measured 3-5x the whole query's task time at
+    // any probe batch > 1). The inverted file is exactly the artifact a
+    // production deployment persists as a table (sim_ivf_persisted);
+    // MEMORY_AND_DISK is that decision in-session.
+    val assigned = scope.cache(corpus
       .select(col(idCol).as("neighbor_id"),
         transform(col(vecCol), _.cast("double")).as("nv"))
       .filter(col("nv").isNotNull)
       .select(col("neighbor_id"),
         nearestCell(cos)(col("nv"), cent).as("cell"),
-        pqReconCol(cos, books, dim)(col("nv")).as("pq_vec"))
+        pqReconCol(cos, books, dim)(col("nv")).as("pq_vec")))
 
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val candArr = array(cent.map { case (cid, cv) =>
@@ -1160,10 +1168,14 @@ object Similarity {
     // the PQ codebooks train on the RESIDUALS
     val books = pqBooks.getOrElse(
       pqCodebooks(resid, "id", "rv", dim, m, pqK, lloydRounds))
-    // inverted file: reconstruction = coarse centroid + residual recon
-    val assigned = resid.select(col("id").as("neighbor_id"), col("cell"),
-      zip_with(element_at(centMap, col("cell")),
-        pqReconCol(cos, books, dim)(col("rv")), (c, r) => c + r).as("pq_vec"))
+    // inverted file: reconstruction = coarse centroid + residual recon —
+    // cached for the same reason as ivfPqTopK's `assigned` (the probe
+    // join would otherwise re-run cell assignment + residual + recon per
+    // matched pair instead of per vector)
+    val assigned = scope.cache(
+      resid.select(col("id").as("neighbor_id"), col("cell"),
+        zip_with(element_at(centMap, col("cell")),
+          pqReconCol(cos, books, dim)(col("rv")), (c, r) => c + r).as("pq_vec")))
 
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val candArr = array(cent.map { case (cid, cv) =>
