@@ -259,6 +259,19 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
+      // EXPLICIT cluster-width repartition (r15, measured): the candidate
+      // pairs are a few BYTES each, so AQE's bytes-based coalescing
+      // collapses the post-distinct exchange read to ONE partition — and
+      // with the prefix side broadcast, the whole O(len·maxDist)
+      // Levenshtein verify then ran in a SINGLE 1.5 s task at sf0.1 (the
+      // same under-provisioning at any scale: per-row DP cost is
+      // invisible to byte-based sizing). REPARTITION_BY_NUM is exempt
+      // from AQE coalescing; the key is a_id ALONE — on the full pair
+      // key this partitioning equals the distinct's own and the planner
+      // elides the exchange entirely. Hash-on-key, so no
+      // sort-before-repartition cost.
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("a_id"))
     val prefixes = df.select(col(idCol).as("id"),
       substring(col(textCol), 1, prefixChars).as("p"))
     cand
