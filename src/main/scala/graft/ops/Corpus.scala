@@ -1891,12 +1891,17 @@ object Corpus {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      spanN: Int = 8
+      spanN: Int = 8,
+      scope: CacheScope = new CacheScope
   ): DataFrame = {
     val spark = df.sparkSession
     val pos = df.select(col(idCol).as("id"),
       explode(gramsAllFor(spark)(tokens(col(textCol)), spanN)).as("g"))
-    val perDoc = pos.groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+    // cached: the (doc, gram) counts feed the corpus totals AND the join
+    // side — uncached, the positional explode + aggregate runs twice
+    // (two full corpus passes at any scale where one suffices)
+    val perDoc = scope.cache(
+      pos.groupBy(col("id"), col("g")).agg(count(lit(1)).as("c")))
     val totals = perDoc.groupBy(col("g")).agg(sum(col("c")).as("tot"))
     val scored = perDoc.join(totals, "g")
       .groupBy(col("id"))
@@ -1933,6 +1938,10 @@ object Corpus {
     val spark = df.sparkSession
     val pos = df.select(col(idCol).cast("long").as("id"),
       explode(gramsAllFor(spark)(tokens(col(textCol)), spanN)).as("g"))
+    // NOT cached, unlike [[dupSpanProfile]]'s perDoc (r15 measured
+    // negative result): the same two-consumer shape A/B'd flat-to-worse
+    // here (1.56 -> 1.71 s) — the cache round-trip costs more than
+    // recomputing the narrower min-id aggregate at bench scale
     val perDoc = pos.groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
     val firstOwner = perDoc.groupBy(col("g")).agg(min(col("id")).as("first_id"))
     val scored = perDoc.join(firstOwner, "g")
