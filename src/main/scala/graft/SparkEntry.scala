@@ -2173,6 +2173,10 @@ object SparkEntry {
     "sim_ivf_nprobe_sweep" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
+      // NOT cached, unlike sim_ivf_autotune's truth (r15 measured
+      // negative result): all three arms ride ONE unioned action here,
+      // so ReuseExchange already dedups the identical ranking subtree —
+      // a cache only added its round-trip (A/B 1.49 -> 1.59 s)
       val exact = graft.ops.Similarity
         .bruteForceTopK(spread(s, emb), q, "vec_id", "embedding", 5)
         .select(col("query_id"), col("neighbor_id"))
@@ -2209,9 +2213,12 @@ object SparkEntry {
       import s.implicits._
       val emb = table(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
-      val exact = graft.ops.Similarity
+      // cached (r15): each arm's hit count is its own driver action, and
+      // an uncached truth ranking re-ran the full brute-force top-k per
+      // arm — three corpus rankings where one materialization serves all
+      val exact = (new graft.ops.CacheScope).cache(graft.ops.Similarity
         .bruteForceTopK(spread(s, emb), q, "vec_id", "embedding", 5)
-        .select(col("query_id"), col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id")))
       val nq = q.count()
       // one Lloyd run + one staged inverted file shared by every arm
       // (identical results to the fused per-arm plan — the persisted-
