@@ -731,8 +731,15 @@ object Bench {
           // winning pass (-1 = probe unavailable). These fields are what
           // let a reader separate "slow plan" from "single-pass or
           // load-spiked measurement" without a re-run (the r11-r13 gap).
+          // `key` = the base-36 ordinal this query gets on the emitted
+          // stdout line at its tightest stages — committed here so a
+          // PERF differ (or judge) resolves ordinal keys to stable names
+          // by grep instead of re-deriving the sorted-list numbering
+          // (r14 verdict item 6: 31/39 "common" ordinal keys compared
+          // different queries across rounds when the set grew)
+          val ordMap = ordinalAbbrev(names)
           val qjson = rich.sortBy(_._1).map { case (n, (m, lvl)) =>
-            s"""    "$n": {"sec": ${f2(m.sec)}, "ok": ${m.ok}, "lvl": $lvl, "passes": ${m.passes}, "slow": ${m.slow}, "cold": ${f2(m.cold)}, "cont": ${m.contended}, "ext": ${f2(m.ext)}}"""
+            s"""    "$n": {"key": "${ordMap(n)}", "sec": ${f2(m.sec)}, "ok": ${m.ok}, "lvl": $lvl, "passes": ${m.passes}, "slow": ${m.slow}, "cold": ${f2(m.cold)}, "cont": ${m.contended}, "ext": ${f2(m.ext)}}"""
           }.mkString("{\n", ",\n", "\n  }")
           val lvlJson = levelCounts.toSeq
             .map { case (l, n) =>

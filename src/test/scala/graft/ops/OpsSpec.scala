@@ -2314,6 +2314,27 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     all(out.map(_.getBoolean(4))) shouldBe true
   }
 
+  it should "probe the Bloom filter row-locally, never via a word-table join" in {
+    // r15 optimization: the filter is a constant-size plan literal, so
+    // the ONLY joins left in the probe are the exact-truth semi-join and
+    // the final per-doc assembly — no k-way position explode joined
+    // against a broadcast word table
+    val train = Seq(Doc(1, "alpha beta gamma delta", "s")).toDS.toDF()
+    val test = Seq(Doc(20, "alpha beta gamma delta", "s")).toDS.toDF()
+    val (grams, bloom) = Corpus.contaminationIndex(train, "text")
+    val words = Corpus.collectBloomWords(bloom)
+    words.length shouldBe 2 * 16384
+    val probe = Corpus.contaminationProbeWords(grams, words, test, "doc_id", "text")
+    val joins = probe.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    joins should have size 2
+    // values match the frame-based entry point exactly
+    probe.orderBy("doc_id").collect() shouldBe
+      Corpus.contaminationProbe(grams, bloom, test, "doc_id", "text")
+        .orderBy("doc_id").collect()
+  }
+
   it should "flag nothing against an empty training corpus in the Bloom screen" in {
     val train = spark.emptyDataset[Doc].toDF()
     val test = Seq(Doc(20, "anything at all here", "s")).toDS.toDF()

@@ -119,6 +119,26 @@ class ManifestTableSpec extends AnyFlatSpec with Matchers {
     } finally rm(dir)
   }
 
+  it should "skip the commit on an empty appendIfNonEmpty at one evaluation" in {
+    val dir = tmpDir()
+    try {
+      ManifestTable.commit(spark, dir,
+        (0L until 10L).map(i => (i, s"a$i")).toDF("id", "v"))
+      val v0 = ManifestTable.currentVersion(spark, dir)
+      // empty frame: no version claimed, no staged files left behind
+      val none = ManifestTable.appendIfNonEmpty(spark, dir,
+        (0L until 10L).map(i => (i, s"a$i")).toDF("id", "v").filter(col("id") < 0))
+      none shouldBe None
+      ManifestTable.currentVersion(spark, dir) shouldBe v0
+      // non-empty: identical to a plain append
+      val some = ManifestTable.appendIfNonEmpty(spark, dir,
+        (10L until 15L).map(i => (i, s"b$i")).toDF("id", "v"))
+      some.isDefined shouldBe true
+      ManifestTable.currentVersion(spark, dir) shouldBe v0 + 1
+      ManifestTable.read(spark, dir).count() shouldBe 15
+    } finally rm(dir)
+  }
+
   it should "append incrementally without rewriting existing data files" in {
     val dir = tmpDir()
     try {
